@@ -1,0 +1,750 @@
+"""Batch relational queries (SURVEY.md §2.2-§2.7).
+
+Each query exercises one operator family from the reference inventory
+over the driver's TPC-H-ish tables, expressed with the idiomatic
+DataFrame API (or ``spark.sql`` where the reference's entry point is
+SQL, cf. `Instructor/02- Databricks_SQL_Scripts.sql`). Catalyst handles
+pushdown/pruning/join selection; small dimensions get explicit
+``F.broadcast`` hints so the plan stays shuffle-free where it can.
+
+Scale notes (100 TB design): every aggregate here is partial+final
+(map-side combine); joins against region/nation/supplier/part are
+broadcast; the only unavoidable shuffles are on high-cardinality group
+keys and the customer⋈orders⋈lineitem equi-joins, which AQE re-plans
+(coalesce + skew split) at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ent_fins_lakehouse_spark.functions.numeric import (
+    CHARGE_SQL,
+    REVENUE_SQL,
+    charge_expr,
+    davg,
+    dec,
+    dsum,
+    revenue_expr,
+)
+from ent_fins_lakehouse_spark.plans.registry import query
+from ent_fins_lakehouse_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# Scans + filter + multi-aggregate + sort (S*, P*, A*, O1)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           (CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(l_quantity)) AS avg_qty,
+           (CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / COUNT(l_discount)) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shaped pricing summary — scan → pushed filter
+    → 7-aggregate hash agg → total sort. The shape of the reference's
+    gold-table BI aggregations (`02- Databricks_SQL_Scripts.sql:23-29`)
+    at TPC-H richness."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = revenue_expr()
+    charge = charge_expr()
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q02_top_revenue_orders",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1996-01-01'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+)
+def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority query: 3-way equi-join with
+    pushed filters on every input, aggregate, ordered LIMIT (Spark
+    plans TakeOrderedAndProject — no global sort materialized)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
+    )
+    revenue = revenue_expr()
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"), "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q03_regional_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=("join", "agg"),
+)
+def q03_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join. Dimension chain region→nation→
+    supplier is broadcast end-to-end; only the fact-fact joins shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = revenue_expr()
+    dims = F.broadcast(
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(dims, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / projections / scalar expressions (P-series)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q04_filter_isin",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("filter",),
+)
+def q04_filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list filter (P3 — reference `01-Fraud-Delta.py:63`
+    ``isin(["Default","Charged Off","Fully Paid"])``) + grouped agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderpriority").isin(["1-URGENT", "2-HIGH"]))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q05_global_agg",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+    FROM lineitem
+    """,
+    tags=("agg",),
+)
+def q05_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (keyless) aggregation — A3, reference
+    `02- Databricks_SQL_Scripts.sql:15-18` SELECT SUM/COUNT — plus
+    distinct-count extension."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        dsum("l_extendedprice").alias("sum_price"),
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+    )
+
+
+@query(
+    "q06_multikey_count",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(o_orderkey) AS n
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+    tags=("agg",),
+)
+def q06_multikey_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key grouped count(col) — A5, reference
+    `02- Databricks_SQL_Scripts.sql:34-41` (addr_state ×
+    verification_status), via the SQL entry point (EP2)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(o_orderkey) AS n
+        FROM orders
+        GROUP BY o_orderstatus, o_orderpriority
+        ORDER BY o_orderstatus, o_orderpriority
+        """
+    )
+
+
+@query(
+    "q07_derived_columns",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_totalprice AS FLOAT) AS price_f,
+           CAST(FLOOR(CAST(o_totalprice AS DECIMAL(12,2)) / 1000) AS INTEGER) * 1000 AS price_k,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(4,2)), 2) AS DOUBLE) AS charge,
+           CAST(o_orderstatus <> 'F' AS VARCHAR) AS open_flag,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year
+    FROM orders
+    WHERE o_orderkey < 500
+    ORDER BY o_orderkey
+    """,
+    tags=("project",),
+)
+def q07_derived_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """withColumn chain — P5-P9: cast to float (`01-Fraud-Delta.py:
+    69-70`), bucket arithmetic (`03-Fraud-ML.py:66` loan_amnt_k),
+    round (`01-Fraud-Delta.py:258`), !=→string flag (`:64` bad_loan),
+    year extraction (`:71-72`)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") < 500)
+        .withColumn("price_f", F.col("o_totalprice").cast("float"))
+        .withColumn("price_k", F.floor(F.col("o_totalprice").cast("decimal(12,2)") / 1000).cast("int") * 1000)
+        .withColumn("charge", F.round(F.col("o_totalprice").cast("decimal(12,2)") * F.lit(1.1).cast("decimal(4,2)"), 2).cast("double"))
+        .withColumn("open_flag", (F.col("o_orderstatus") != "F").cast("string"))
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .select("o_orderkey", "price_f", "price_k", "charge", "open_flag", "o_year")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q08_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           TRIM(REGEXP_REPLACE(p_type, '[ ]*ECONOMY|PROMO', '')) AS type_clean,
+           SUBSTRING(p_brand, 7, 2) AS brand_num,
+           UPPER(p_name) AS name_upper,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           LENGTH(p_name) AS name_len
+    FROM part
+    WHERE p_partkey <= 100
+    ORDER BY p_partkey
+    """,
+    tags=("string",),
+)
+def q08_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/regex functions — F1 regexp_replace (`01-Fraud-Delta.py:
+    69-70,78-80`), F2 substring (`:71-72`), F3 trim (`:78-80`), plus
+    upper/concat/length extension surface."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_partkey") <= 100)
+        .select(
+            "p_partkey",
+            F.trim(F.regexp_replace("p_type", "[ ]*ECONOMY|PROMO", "")).alias("type_clean"),
+            F.substring("p_brand", 7, 2).alias("brand_num"),
+            F.upper("p_name").alias("name_upper"),
+            F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+            F.length("p_name").alias("name_len"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J-family: inner above; semi / anti / outer here)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q09_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    ORDER BY c_custkey
+    """,
+    tags=("join",),
+)
+def q09_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers having an open order."""
+    cust = load_table(spark, sf_dir, "customer")
+    open_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q10_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+    tags=("join",),
+)
+def q10_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q11_outer_join",
+    oracle="""
+    SELECT n_name, COALESCE(x.n, 0) AS n_customers
+    FROM nation LEFT JOIN (
+        SELECT c_nationkey, COUNT(*) AS n FROM customer GROUP BY c_nationkey
+    ) x ON n_nationkey = x.c_nationkey
+    ORDER BY n_name
+    """,
+    tags=("join",),
+)
+def q11_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join with null-fill: nations with zero customers kept.
+    Aggregate-then-join (smaller build side) rather than join-then-agg."""
+    nation = load_table(spark, sf_dir, "nation")
+    counts = load_table(spark, sf_dir, "customer").groupBy("c_nationkey").agg(F.count("*").alias("n"))
+    return (
+        nation.join(counts, nation.n_nationkey == counts.c_nationkey, "left")
+        .select("n_name", F.coalesce(F.col("n"), F.lit(0)).alias("n_customers"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "q12_broadcast_dim_join",
+    oracle="""
+    SELECT r_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+    tags=("join", "agg"),
+)
+def q12_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup through two broadcast dimensions — the
+    shuffle-free join shape that must survive a 100 TB fact table."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"), dsum("c_acctbal").alias("total_acctbal"))
+        .orderBy("r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q13_union_distinct",
+    oracle="""
+    SELECT nationkey FROM (
+      SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+      UNION
+      SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier
+    ) ORDER BY nationkey
+    """,
+    tags=("setop",),
+)
+def q13_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of customer and supplier nation keys."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("int").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("int").alias("nationkey"))
+    return c.union(s).distinct().orderBy("nationkey")
+
+
+@query(
+    "q14_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    ORDER BY o_custkey
+    """,
+    tags=("setop",),
+)
+def q14_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers with both a finished and an open order."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(o).orderBy("o_custkey")
+
+
+@query(
+    "q15_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY c_custkey
+    """,
+    tags=("setop",),
+)
+def q15_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers who never had a finished order."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.exceptAll(f.distinct()).distinct().orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / windows (§2.6 + extension)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q16_sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("sort",),
+)
+def q16_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + LIMIT (O1 + extension). Spark plans
+    TakeOrderedAndProject: per-partition top-k then merge — no full
+    sort at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q17_window_topk",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+    tags=("window",),
+)
+def q17_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via row_number window — the scalable top-k
+    idiom (single shuffle on the partition key)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@query(
+    "q18_window_running_sum",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(12,4)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_value,
+           CAST(LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS VARCHAR)
+             AS prev_type
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+    tags=("window",),
+)
+def q18_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + lag over an event stream ordered by time."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.sum(dec("value")).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("double").alias("running_value"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / pivot (extension per SURVEY §2.4 note)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q19_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("agg",),
+)
+def q19_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (subtotal + grand total rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty"))
+        .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
+    )
+
+
+@query(
+    "q20_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("agg",),
+)
+def q20_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status × priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority"))
+    )
+
+
+@query(
+    "q21_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_O,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def q21_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns (explicit value list keeps the
+    plan one-pass; without it Spark runs an extra distinct job)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(dec("l_quantity")).cast("double"))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: JSON + time bucketing (driver `events` table; EP3' shape in batch)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q22_events_json",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(props->>'$.k' AS INTEGER) AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("json", "agg"),
+)
+def q22_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON `props` payload
+    (the streaming-JSON shape of `Auto Loader demo.py:72` as a batch
+    column op) and aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("k").cast("bigint")).alias("sum_k"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q23_events_hourly",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("window", "agg", "events"),
+)
+def q23_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over event time via ``F.window`` —
+    the batch twin of the streaming windowed agg (SURVEY §2.9
+    extension). Output keyed by window start (string for a stable
+    cross-engine hash)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+@query(
+    "q24_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                  OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    tags=("window", "events"),
+)
+def q24_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap → cumulative session id → per-session
+    rollup. One shuffle on user_id serves both windows and the final
+    aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    return (
+        ev.withColumn("new_session", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0))
+        .withColumn("session_id", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "q25_distinct",
+    oracle="""
+    SELECT DISTINCT c_mktsegment, CAST(c_nationkey AS INTEGER) AS c_nationkey
+    FROM customer
+    ORDER BY c_mktsegment, c_nationkey
+    """,
+    tags=("dedup",),
+)
+def q25_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection (hash-aggregate dedup)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.select("c_mktsegment", F.col("c_nationkey").cast("int").alias("c_nationkey"))
+        .distinct()
+        .orderBy("c_mktsegment", "c_nationkey")
+    )

@@ -1,0 +1,98 @@
+"""Batch sources (SURVEY.md §2.1 S1-S4, S7).
+
+The reference reads headered CSV with inferred schema
+(`/root/reference/Instructor/01-Fraud-Delta.py:37-51`) and catalogued
+Delta paths. Our engine's canonical batch source is parquet (columnar,
+predicate-pushdown, column-pruning — the format the driver testdata
+ships); CSV/JSON readers reproduce the reference call-sites.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one driver table. Filters/projections composed on
+    top of this are pushed into the scan by Catalyst.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader refuses by default; read it as nano-epoch longs
+    and convert to a microsecond timestamp (truncation — the same
+    ns→us truncation DuckDB's epoch_us applies, keeping oracles exact).
+    """
+    # The caller may hand us an arbitrarily-configured session (the
+    # driver harness does). Timestamp semantics must not depend on the
+    # ambient zone: pin UTC so literals, date_format and window
+    # bucketing match the (UTC-naive) oracle everywhere.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Bind every driver table as a temp view so ``spark.sql`` works
+    (reference idiom: `Instructor/01-Fraud-Delta.py:176,225`)."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    infer_schema: bool = True,
+    header: bool = True,
+    sep: str = ",",
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """CSV scan — S1 (inferred) and S2 (header-only strings) from
+    `Instructor/01-Fraud-Delta.py:47-51,220`."""
+    reader = spark.read.format("csv").option("header", header).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", "true")
+    return reader.load(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """JSON scan (batch shape of the Auto Loader source,
+    `Auto Loader demo.py:69-76`). Always pass a schema in production —
+    inference triggers an extra full scan."""
+    reader = spark.read.format("json")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def from_rows(spark: SparkSession, rows: list[tuple], names: list[str]) -> DataFrame:
+    """In-memory source — S7, `Auto Loader demo.py:33-38`."""
+    return spark.createDataFrame(rows).toDF(*names)
