@@ -1,0 +1,195 @@
+"""Catalog + SQL entry point for lakehouse DDL/DML.
+
+Re-expresses the reference's SQL table-management surface
+(`/root/reference/Instructor/01-Fraud-Delta.py` D1-D10 and
+`Instructor/02- Databricks_SQL_Scripts.sql:2-10`) over
+:class:`~ent_fins_lakehouse_spark.sources.lakehouse.LakeTable`.
+
+Databases are directories under a warehouse root; tables are LakeTable
+paths inside them. ``LakehouseSession.sql`` routes the lakehouse DML
+statements the reference uses (MERGE INTO / DELETE FROM / INSERT INTO /
+DESCRIBE HISTORY / CREATE|DROP DATABASE|TABLE / SHOW) to the table
+layer with a deliberately small, documented grammar; every other
+statement falls through to ``spark.sql`` so the full Spark SQL dialect
+remains available over registered views.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
+
+
+class LakehouseCatalog:
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.root = warehouse_dir
+        os.makedirs(warehouse_dir, exist_ok=True)
+
+    # databases ------------------------------------------------------
+
+    def create_database(self, name: str, if_not_exists: bool = False) -> None:
+        p = os.path.join(self.root, name)
+        if os.path.isdir(p) and not if_not_exists:
+            raise ValueError(f"database {name} exists")
+        os.makedirs(p, exist_ok=True)
+
+    def drop_database(self, name: str, if_exists: bool = False, cascade: bool = False) -> None:
+        p = os.path.join(self.root, name)
+        if not os.path.isdir(p):
+            if if_exists:
+                return
+            raise ValueError(f"database {name} does not exist")
+        if os.listdir(p) and not cascade:
+            raise ValueError(f"database {name} not empty (use cascade)")
+        shutil.rmtree(p)
+
+    def databases(self) -> list[str]:
+        return sorted(d for d in os.listdir(self.root) if os.path.isdir(os.path.join(self.root, d)))
+
+    # tables ---------------------------------------------------------
+
+    def _split(self, qualified: str) -> tuple[str, str]:
+        if "." in qualified:
+            db, tbl = qualified.split(".", 1)
+        else:
+            db, tbl = "default", qualified
+        return db, tbl
+
+    def table_path(self, qualified: str) -> str:
+        db, tbl = self._split(qualified)
+        return os.path.join(self.root, db, tbl)
+
+    def table(self, qualified: str) -> LakeTable:
+        return LakeTable(self.spark, self.table_path(qualified))
+
+    def create_table(self, qualified: str, df: DataFrame | None = None, location: str | None = None) -> LakeTable:
+        """CREATE TABLE … USING <lake> [LOCATION …] (D4). With a
+        location, registers the existing table dir; with a DataFrame,
+        materializes it."""
+        db, tbl = self._split(qualified)
+        os.makedirs(os.path.join(self.root, db), exist_ok=True)
+        if location:
+            # register external location via symlink-free indirection:
+            # store a pointer file
+            p = self.table_path(qualified)
+            os.makedirs(p, exist_ok=True)
+            with open(os.path.join(p, "_location"), "w") as fh:
+                fh.write(location)
+            t = LakeTable(self.spark, location)
+        else:
+            t = LakeTable(self.spark, self.table_path(qualified))
+            if df is not None:
+                t.write(df, mode="overwrite")
+        return t
+
+    def _resolve(self, qualified: str) -> LakeTable:
+        p = self.table_path(qualified)
+        ptr = os.path.join(p, "_location")
+        if os.path.isfile(ptr):
+            with open(ptr) as fh:
+                return LakeTable(self.spark, fh.read().strip())
+        return LakeTable(self.spark, p)
+
+    def drop_table(self, qualified: str, if_exists: bool = False) -> None:
+        p = self.table_path(qualified)
+        if not os.path.isdir(p):
+            if if_exists:
+                return
+            raise ValueError(f"table {qualified} does not exist")
+        shutil.rmtree(p)
+
+    def tables(self, db: str = "default") -> list[str]:
+        p = os.path.join(self.root, db)
+        if not os.path.isdir(p):
+            return []
+        return sorted(os.listdir(p))
+
+
+class LakehouseSession:
+    """SQL facade over the catalog — EP2 for lakehouse statements."""
+
+    _MERGE = re.compile(
+        r"MERGE\s+INTO\s+(?P<target>[\w.]+)\s+(?:AS\s+)?(?P<talias>\w+)?\s*"
+        r"USING\s+(?P<source>[\w.]+)\s+(?:AS\s+)?(?P<salias>\w+)?\s*"
+        r"ON\s+(?P<cond>.+?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+        r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DELETE = re.compile(r"DELETE\s+FROM\s+(?P<target>[\w.]+)\s+WHERE\s+(?P<pred>.+)$", re.IGNORECASE | re.DOTALL)
+    _INSERT = re.compile(r"INSERT\s+INTO\s+(?P<target>[\w.]+)\s+VALUES\s*(?P<vals>.+)$", re.IGNORECASE | re.DOTALL)
+    _HISTORY = re.compile(r"DESCRIBE\s+HISTORY\s+(?P<target>[\w.]+)\s*$", re.IGNORECASE)
+    _CREATE_DB = re.compile(r"CREATE\s+DATABASE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*$", re.IGNORECASE)
+    _DROP_DB = re.compile(r"DROP\s+DATABASE\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>\w+)\s*(?P<cascade>CASCADE)?\s*$", re.IGNORECASE)
+    _DROP_TBL = re.compile(r"DROP\s+TABLE\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s*$", re.IGNORECASE)
+    _SHOW_DB = re.compile(r"SHOW\s+DATABASES\s*$", re.IGNORECASE)
+    _SHOW_TBL = re.compile(r"SHOW\s+TABLES(?:\s+IN\s+(?P<db>\w+))?\s*$", re.IGNORECASE)
+    _SELECT_TBL = re.compile(r"SELECT\s+\*\s+FROM\s+(?P<target>[\w.]+)(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+))?\s*$", re.IGNORECASE)
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.catalog = LakehouseCatalog(spark, warehouse_dir)
+
+    def sql(self, stmt: str) -> DataFrame | None:
+        s = stmt.strip().rstrip(";")
+        if m := self._MERGE.match(s):
+            target = self.catalog._resolve(m["target"])
+            source = self.spark.table(m["source"])
+            on = self._equi_keys(m["cond"], m["talias"], m["salias"])
+            target.merge(source, on=on)
+            return None
+        if m := self._DELETE.match(s):
+            self.catalog._resolve(m["target"]).delete(m["pred"])
+            return None
+        if m := self._INSERT.match(s):
+            rows = self._parse_values(m["vals"])
+            self.catalog._resolve(m["target"]).insert_values(rows)
+            return None
+        if m := self._HISTORY.match(s):
+            return self.catalog._resolve(m["target"]).history()
+        if m := self._CREATE_DB.match(s):
+            self.catalog.create_database(m["name"], if_not_exists=bool(m["ine"]))
+            return None
+        if m := self._DROP_DB.match(s):
+            self.catalog.drop_database(m["name"], if_exists=bool(m["ie"]), cascade=bool(m["cascade"]))
+            return None
+        if m := self._DROP_TBL.match(s):
+            self.catalog.drop_table(m["name"], if_exists=bool(m["ie"]))
+            return None
+        if self._SHOW_DB.match(s):
+            return self.spark.createDataFrame([(d,) for d in self.catalog.databases()], "databaseName STRING")
+        if m := self._SHOW_TBL.match(s):
+            db = m["db"] or "default"
+            return self.spark.createDataFrame([(db, t) for t in self.catalog.tables(db)], "database STRING, tableName STRING")
+        if m := self._SELECT_TBL.match(s):
+            if os.path.isdir(self.catalog.table_path(m["target"])) or "." in m["target"]:
+                v = int(m["v"]) if m["v"] else None
+                try:
+                    return self.catalog._resolve(m["target"]).read(version_as_of=v)
+                except ValueError:
+                    pass  # not a lake table — fall through to spark.sql
+        return self.spark.sql(s)
+
+    @staticmethod
+    def _equi_keys(cond: str, talias: str | None, salias: str | None) -> list[str]:
+        """Extract equi-join keys from ``d.id = m.id [AND …]``."""
+        keys = []
+        for part in re.split(r"\s+AND\s+", cond, flags=re.IGNORECASE):
+            m = re.match(r"\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*", part)
+            if not m or m[2] != m[4]:
+                raise ValueError(f"unsupported MERGE condition: {part!r} (need t.col = s.col)")
+            keys.append(m[2])
+        return keys
+
+    @staticmethod
+    def _parse_values(vals: str) -> list[tuple]:
+        """Parse ``('a', 1, 2.5), ('b', 2, 3.5)`` literal rows."""
+        import ast
+
+        parsed = ast.literal_eval(f"[{vals}]")
+        return [tuple(r) for r in parsed]

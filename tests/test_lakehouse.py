@@ -1,0 +1,150 @@
+"""Unit tests for the LakeTable ACID layer (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _table(spark, tmp_path, name="t"):
+    from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
+
+    return LakeTable(spark, str(tmp_path / name))
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    df = spark.range(100).withColumnRenamed("id", "k")
+    t = _table(spark, tmp_path)
+    t.write(df)
+    assert t.read().count() == 100
+    assert t.latest_version() == 0
+
+
+def test_append_and_schema_enforcement(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.write(spark.createDataFrame([(1, "a")], "k INT, v STRING"))
+    t.write(spark.createDataFrame([(2, "b")], "k INT, v STRING"), mode="append")
+    assert t.read().count() == 2
+    with pytest.raises(ValueError, match="schema enforcement"):
+        t.write(spark.createDataFrame([(3,)], "k INT"), mode="append")
+
+
+def test_schema_evolution(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.write(spark.createDataFrame([(1, "a")], "k INT, v STRING"))
+    t.write(
+        spark.createDataFrame([(2, "b", 9.5)], "k INT, v STRING, w DOUBLE"),
+        mode="append",
+        merge_schema=True,
+    )
+    out = {r["k"]: (r["v"], r["w"]) for r in t.read().collect()}
+    assert out == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_delete_prunes_untouched_dirs(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.write(spark.createDataFrame([(i, "x") for i in range(10)], "k INT, v STRING"))
+    t.write(spark.createDataFrame([(i, "y") for i in range(10, 20)], "k INT, v STRING"), mode="append")
+    metrics = t.delete("k = 15")  # only the second dir contains k=15
+    assert metrics["dirs_rewritten"] == 1
+    assert metrics["rows_deleted"] == 1
+    assert t.read().count() == 19
+
+
+def test_delete_no_match_is_noop_version(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.write(spark.range(5).withColumnRenamed("id", "k"))
+    v = t.latest_version()
+    metrics = t.delete("k = 999")
+    assert metrics == {"dirs_rewritten": 0, "rows_deleted": 0}
+    assert t.latest_version() == v  # no empty commit
+
+
+def test_merge_matrix(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.write(spark.createDataFrame([(1, "old"), (2, "old")], "k INT, v STRING"))
+    src = spark.createDataFrame([(2, "upd"), (3, "new")], "k INT, v STRING")
+    t.merge(src, on=["k"])
+    out = {r["k"]: r["v"] for r in t.read().collect()}
+    assert out == {1: "old", 2: "upd", 3: "new"}
+
+
+def test_merge_insert_only(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.write(spark.createDataFrame([(1, "old")], "k INT, v STRING"))
+    src = spark.createDataFrame([(1, "upd"), (2, "new")], "k INT, v STRING")
+    t.merge(src, on=["k"], when_matched_update_all=False)
+    out = {r["k"]: r["v"] for r in t.read().collect()}
+    assert out == {1: "old", 2: "new"}
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.write(spark.range(10).withColumnRenamed("id", "k"))
+    t.write(spark.range(3).withColumnRenamed("id", "k"))
+    assert t.read(version_as_of=0).count() == 10
+    assert t.read().count() == 3
+    ops = [r["operation"] for r in t.history().collect()]
+    assert ops == ["overwrite", "overwrite"]
+    with pytest.raises(ValueError, match="version 7"):
+        t.read(version_as_of=7)
+
+
+def test_concurrent_commit_loser_retries(spark, tmp_path):
+    from ent_fins_lakehouse_spark.sources.lakehouse import Commit, ConcurrentWriteError, LakeTable
+
+    t = _table(spark, tmp_path)
+    t.write(spark.range(5).withColumnRenamed("id", "k"))
+    # another writer steals version 1
+    t._try_commit(Commit(1, 0, "append", [], [], "", {}))
+    # blind append retries onto version 2
+    t.write(spark.range(2).withColumnRenamed("id", "k"), mode="append")
+    assert t.latest_version() == 2
+    # a rewriting op must NOT silently retry
+    with pytest.raises(ConcurrentWriteError):
+        t._try_commit(Commit(2, 0, "delete", [], [], "", {}))
+
+
+def test_vacuum_drops_unreferenced(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.write(spark.range(10).withColumnRenamed("id", "k"))
+    t.write(spark.range(5).withColumnRenamed("id", "k"))  # overwrite → v0 dir unreferenced
+    removed = t.vacuum()
+    assert removed == 1
+    assert t.read().count() == 5
+    data_dirs = os.listdir(str(tmp_path / "t" / "files"))
+    assert len(data_dirs) == 1
+
+
+def test_optimize_compacts(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    for i in range(4):
+        t.write(
+            spark.createDataFrame([(i, float(i))], "k INT, v DOUBLE"),
+            mode="append" if i else "overwrite",
+        )
+    t.optimize(target_files=1)
+    assert t.read().count() == 4
+    active, _ = t._snapshot()
+    assert len(active) == 1
+
+
+def test_catalog_sql_ddl(spark, tmp_path):
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+
+    lh = LakehouseSession(spark, str(tmp_path / "wh"))
+    lh.sql("CREATE DATABASE lending")
+    assert lh.sql("SHOW DATABASES").collect()[0]["databaseName"] == "lending"
+    lh.catalog.create_table("lending.t1", df=spark.range(3).withColumnRenamed("id", "k"))
+    tbls = lh.sql("SHOW TABLES IN lending").collect()
+    assert [r["tableName"] for r in tbls] == ["t1"]
+    assert lh.sql("SELECT * FROM lending.t1").count() == 3
+    lh.sql("INSERT INTO lending.t1 VALUES (99,), (100,)")
+    assert lh.sql("SELECT * FROM lending.t1").count() == 5
+    lh.sql("DROP TABLE lending.t1")
+    assert lh.sql("SHOW TABLES IN lending").count() == 0
+    lh.sql("DROP DATABASE IF EXISTS lending CASCADE")
+    assert lh.sql("SHOW DATABASES").count() == 0
