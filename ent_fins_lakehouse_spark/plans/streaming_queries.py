@@ -1,1 +1,239 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming queries for the driver harness (SURVEY.md §2.9).
+
+Structured Streaming pipelines driven to completion with
+``availableNow`` triggers so the result is batch-deterministic and can
+be differenced against a plain-SQL oracle. Watermark *semantics* (late
+-data dropping, which is inherently multi-batch) are covered by unit
+tests in tests/test_streaming.py; these harness queries prove the
+pipelines end-to-end: file discovery → checkpointed exactly-once →
+stateful aggregation → sink.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ent_fins_lakehouse_spark.functions.numeric import dec
+from ent_fins_lakehouse_spark.plans.registry import query
+from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
+from ent_fins_lakehouse_spark.sources.readers import load_table
+from ent_fins_lakehouse_spark.streaming.autoloader import (
+    LakeStreamSink,
+    ingest_file_stream,
+    run_available_now,
+)
+
+
+def _events_as_json_waves(spark: SparkSession, sf_dir: str, root: str, waves: int = 3) -> str:
+    """Fabricate a landing zone of raw JSON files (the reference's
+    fixture-generation idiom, `Auto Loader demo.py:50-51`): events
+    split into several files so the stream sees multiple discoveries.
+    Timestamps serialized as ISO strings (JSON has no timestamp type).
+    """
+    src = os.path.join(root, "landing")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    )
+    ev.withColumn("wave", F.col("event_id") % waves).repartition(waves, "wave").drop(
+        "wave"
+    ).write.mode("overwrite").json(src)
+    return src
+
+
+EVENTS_JSON_SCHEMA = (
+    "event_id LONG, ts STRING, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+)
+
+
+@query(
+    "q40_stream_file_ingest",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("streaming",),
+)
+def q40_stream_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto Loader pipeline end-to-end (S6+S9+ST2-ST4): JSON landing
+    zone → file stream with schema → checkpointed availableNow write →
+    idempotent re-run (second trigger ingests nothing) → aggregate of
+    the ingested table matches the source of truth."""
+    root = tempfile.mkdtemp(prefix="stream_ingest_")
+    src = _events_as_json_waves(spark, sf_dir, root)
+    target = os.path.join(root, "bronze")
+    ckpt = os.path.join(root, "ckpt")
+
+    stream = ingest_file_stream(spark, src, EVENTS_JSON_SCHEMA, fmt="json", max_files_per_trigger=1)
+    run_available_now(stream, target, ckpt)
+    n1 = spark.read.schema(EVENTS_JSON_SCHEMA).parquet(target).count()
+
+    # idempotence: re-running with the same checkpoint ingests 0 new rows
+    stream2 = ingest_file_stream(spark, src, EVENTS_JSON_SCHEMA, fmt="json")
+    run_available_now(stream2, target, ckpt)
+    n2 = spark.read.schema(EVENTS_JSON_SCHEMA).parquet(target).count()
+    assert n1 == n2, f"re-run ingested new rows: {n1} -> {n2}"
+
+    bronze = spark.read.schema(EVENTS_JSON_SCHEMA).parquet(target)
+    return (
+        bronze.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum(dec("value")).cast("double").alias("total_value"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q41_stream_agg_complete",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("streaming",),
+)
+def q41_stream_agg_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregation over a stream (ST5/A8 —
+    `01-Fraud-Delta.py:175-181` sum(loan_amnt) group by addr_state on a
+    readStream view): stateful groupBy in complete mode to a memory
+    sink, driven by multiple microbatches."""
+    root = tempfile.mkdtemp(prefix="stream_agg_")
+    src = os.path.join(root, "src")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    agg = stream.groupBy("event_type").agg(
+        F.sum(dec("value")).cast("double").alias("total_value"), F.count("*").alias("n")
+    )
+    name = f"agg_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("event_type")
+
+
+@query(
+    "q42_stream_windowed",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           COUNT(*) AS n
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=("streaming", "window"),
+)
+def q42_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation with a watermark over a
+    stream (extension row of SURVEY §2.9): windowed state keyed by
+    event-time, complete-mode emission. Late-data *dropping* is
+    validated in tests/test_streaming.py (multi-batch scenario)."""
+    root = tempfile.mkdtemp(prefix="stream_win_")
+    src = os.path.join(root, "src")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    windowed = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"), "n")
+    )
+    name = f"win_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("hour_start")
+
+
+@query(
+    "q43_stream_lake_sink",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("streaming", "lakehouse"),
+)
+def q43_stream_lake_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming writes into an ACID LakeTable (ST1 — the reference's
+    batch+stream concurrency demo `01-Fraud-Delta.py:165-206`): each
+    microbatch is an atomic commit carrying its batch id (exactly-once
+    under replay); a concurrent batch INSERT between microbatch runs is
+    linearized by the transaction log and visible to the final read."""
+    root = tempfile.mkdtemp(prefix="stream_lake_")
+    src = os.path.join(root, "src")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    # hold back one marker row; it will arrive via a concurrent batch INSERT
+    ev.filter(F.col("event_id") != 0).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    table = LakeTable(spark, os.path.join(root, "lake"))
+    sink = LakeStreamSink(table)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(src)
+    sink.start(stream, os.path.join(root, "ckpt"))
+
+    # concurrent batch writer appends the held-back row (D6-style)
+    row0 = ev.filter(F.col("event_id") == 0).collect()
+    if row0:
+        table.insert_values([tuple(r) for r in row0])
+
+    ops = {c.operation for c in table._read_commits()}
+    assert "streaming_append" in ops, ops
+    return table.read().groupBy("event_type").agg(F.count("*").alias("n")).orderBy("event_type")
+
+
+@query(
+    "q44_session_window",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM gaps
+    )
+    SELECT user_id,
+           STRFTIME(DATE_TRUNC('microsecond', MIN(ts)), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "window"),
+)
+def q44_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows via ``F.session_window`` (30-min gap) — the
+    built-in sessionization operator, differenced against a manual
+    lag/cumsum SQL sessionization. Batch execution of the same operator
+    used in streaming mode (`session_window` is stream-capable)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
