@@ -1,0 +1,311 @@
+"""Document deduplication operators.
+
+All operators are DataFrame→DataFrame and shuffle-conscious:
+
+- exact/canonical dedup: one hash-aggregate on the dedup key (the key
+  is hashed, never the full row set collected).
+- fingerprint dedup: md5 of normalized text → same agg, but the key is
+  a fixed 32-byte column — at 100 TB you group on the digest, not the
+  document body.
+- MinHash LSH: per-doc signature (narrow map) → band buckets →
+  shuffle on (band, bucket) — candidate pairs only within buckets, the
+  classic sub-quadratic near-dup join (Broder; see PAPERS.md ICDE 2022
+  string-similarity survey). Spark-native via ``pyspark.ml.feature``.
+- SimHash: 64-bit signature via a vectorized Pandas UDF, candidates
+  bucketed by 16-bit bands, verified by popcount Hamming distance —
+  all JVM/Arrow, no row-at-a-time Python.
+- blocked n-gram Jaccard: exact set similarity inside cheap blocks;
+  the fully-SQL-expressible ground truth the probabilistic methods are
+  tested against.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col) -> "F.Column":
+    """Whitespace-collapsed, lowercased canonical form."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact duplicate removal on a column subset (hash aggregate)."""
+    return df.dropDuplicates(cols)
+
+
+def canonical_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the minimum-id representative per duplicate group, with the
+    group size — deterministic (unlike dropDuplicates' arbitrary
+    survivor), at the cost of carrying min(id)+count through the agg."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .select(id_col, "n_copies")
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
+    """Content fingerprint: md5 of the normalized text."""
+    return df.withColumn(out_col, F.md5(normalize_text(text_col)))
+
+
+def shingle_ngrams(df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles") -> DataFrame:
+    """Distinct word n-gram shingles per document, computed JVM-side
+    with array higher-order functions (no UDF)."""
+    toks = F.split(normalize_text(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return df.withColumn(out_col, F.array_distinct(grams))
+
+
+def jaccard_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact unigram-Jaccard near-dup pairs within blocking keys.
+
+    Blocking bounds the quadratic comparison to each block (the same
+    role LSH bands play probabilistically); inside a block the set
+    intersection/union run on JVM array functions. Returns
+    (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    t = df.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(F.split(normalize_text(text_col), " ")).alias("_w"),
+    )
+    a = t.select(F.col("_id").alias("id_a"), *[F.col(c).alias(f"a_{c}") for c in block_cols], F.col("_w").alias("w_a"))
+    b = t.select(F.col("_id").alias("id_b"), *[F.col(c).alias(f"b_{c}") for c in block_cols], F.col("_w").alias("w_b"))
+    cond = [F.col(f"a_{c}") == F.col(f"b_{c}") for c in block_cols] + [F.col("id_a") < F.col("id_b")]
+    inter = F.size(F.array_intersect("w_a", "w_b"))
+    union = F.size(F.array_union("w_a", "w_b"))
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, cond)
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 18,
+    jaccard_threshold: float = 0.9,
+    shingle_n: int = 1,
+    seed: int = 42,
+    verify_exact: bool = True,
+) -> DataFrame:
+    """Approximate near-dup pairs via MinHash LSH
+    (shingle → hashing-TF sparse vector → MinHash signature → banded
+    bucket join). ``approxSimilarityJoin`` emits candidate pairs whose
+    estimated Jaccard distance ≤ 1-threshold; sub-quadratic because
+    only same-bucket pairs are compared. Seeded → deterministic.
+
+    ``verify_exact``: re-score candidates with the true shingle-set
+    Jaccard (the standard LSH filter-verify pattern) — precision
+    becomes 1.0, recall stays whatever the banding gives. Candidate
+    generation uses a slack of 0.1 on the estimated threshold so the
+    verify step, not the noisy estimate, decides borderline pairs.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = shingle_ngrams(df.select(id_col, text_col), text_col, n=shingle_n)
+    tf = HashingTF(inputCol="shingles", outputCol="_features", numFeatures=num_features, binary=True)
+    feats = tf.transform(sh).filter(F.size("shingles") > 0)
+    mh = MinHashLSH(inputCol="_features", outputCol="_hashes", numHashTables=num_hash_tables, seed=seed)
+    model = mh.fit(feats)
+    slack = 0.1 if verify_exact else 0.0
+    cand_dist = min(1.0, 1.0 - jaccard_threshold + slack)
+    pairs = model.approxSimilarityJoin(feats, feats, cand_dist, distCol="jaccard_dist")
+    cand = (
+        pairs.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetA.shingles").alias("sh_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.col(f"datasetB.shingles").alias("sh_b"),
+            (1 - F.col("jaccard_dist")).alias("jaccard_est"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if not verify_exact:
+        return cand.select("id_a", "id_b", "jaccard_est")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash over word unigrams (Charikar): per-token 64-bit
+    hash, signed bit-vote, sign → signature bit. Vectorized Pandas UDF
+    (Arrow batches; numpy bit ops) — the per-row work is trivial but
+    Python, so it runs in the Arrow fast path, not row-at-a-time."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _simhash(texts):  # pd.Series -> pd.Series (no annotations:
+        # `from __future__ import annotations` breaks pyspark's
+        # signature-based type inference)
+        def fnv1a64(s: str) -> int:
+            # inlined so the closure pickles by value — the Python
+            # worker has no repo on its sys.path
+            h = 0xCBF29CE484222325
+            for byte in s.encode("utf-8"):
+                h ^= byte
+                h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            return h
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            toks = t.lower().split()
+            if not toks:
+                continue
+            # stable 64-bit token hashes (FNV-1a), vectorized over tokens
+            hs = np.array([fnv1a64(tok) for tok in set(toks)], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+            votes = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _simhash(F.col(text_col)))
+
+
+def _fnv1a64(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for byte in s.encode("utf-8"):
+        h ^= byte
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs by SimHash banding: split the 64-bit
+    signature into 4 bands of 16 bits; by pigeonhole any pair within
+    Hamming distance 3 shares at least one identical band → equi-join
+    per band (shuffle on the 16-bit band value, never a cross join),
+    then verify exact Hamming distance with JVM bit_count."""
+    sh = simhash(df.select(id_col, text_col), text_col).select(
+        F.col(id_col).alias("_id"), F.col("simhash")
+    )
+    bands = (
+        sh.select("_id", "simhash", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band_idx"))
+        .withColumn(
+            "band_val",
+            # expr form: the python helper only takes a literal shift amount
+            F.expr("shiftrightunsigned(simhash, band_idx * 16)").bitwiseAND(F.lit(0xFFFF)),
+        )
+    )
+    a = bands.select(F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a"), "band_idx", "band_val")
+    b = bands.select(F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b"), "band_idx", "band_val")
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def dedup_connected_components(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str,
+    max_iter: int = 20,
+    driver_union_find_limit: int = 2_000_000,
+) -> DataFrame:
+    """Resolve near-dup pairs into groups. Returns (id, group_id).
+
+    Two physical strategies:
+
+    * pair set fits on the driver (≤ ``driver_union_find_limit``; dup
+      pairs are a tiny fraction of any real corpus — the quadratic
+      work already happened in candidate generation): collect → union-
+      find → broadcast-join the group map back. One pass, no iterative
+      shuffles.
+    * otherwise: iterative min-label propagation over joins (the
+      standard CC-by-joins loop; O(component diameter) rounds, lineage
+      truncated per round).
+    """
+    n_pairs = pairs.limit(driver_union_find_limit + 1).count()
+    if n_pairs <= driver_union_find_limit:
+        edges = pairs.select("id_a", "id_b").collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edges:
+            ra, rb = find(r["id_a"]), find(r["id_b"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        mapping = [(x, find(x)) for x in list(parent)]
+        if not mapping:
+            return ids.select(F.col(id_col), F.col(id_col).alias("group_id"))
+        spark = ids.sparkSession
+        mdf = spark.createDataFrame(mapping, f"{id_col} LONG, _grp LONG")
+        return ids.join(F.broadcast(mdf), id_col, "left").select(
+            F.col(id_col), F.coalesce("_grp", F.col(id_col)).alias("group_id")
+        )
+    return _cc_label_propagation(pairs, ids, id_col, max_iter)
+
+
+def _cc_label_propagation(pairs: DataFrame, ids: DataFrame, id_col: str, max_iter: int = 20) -> DataFrame:
+    """Distributed min-label propagation (fallback for huge pair sets)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("group_id"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, "src")
+            .groupBy(F.col("dst").alias("src"))
+            .agg(F.min("group_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "src", "left")
+            .select("src", F.least("group_id", F.coalesce("nbr_min", "group_id")).alias("group_id"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "src")
+            .filter(F.col("n.group_id") != F.col("o.group_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per round
+        if changed == 0:
+            break
+    return labels.select(F.col("src").alias(id_col), "group_id")

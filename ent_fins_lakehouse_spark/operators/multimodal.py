@@ -1,0 +1,91 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with
+a metadata struct (mime, byte_len, checksum) — the lakehouse-native
+representation (the same shape Spark's built-in ``binaryFile`` source
+produces). Decode/resize/frame-sample are Pandas-UDF stages over
+``mapInPandas``: Arrow moves the bytes in columnar batches, the Python
+worker touches each batch once.
+
+The actual codecs (PIL/ffmpeg/soundfile) are NOT in this container, so
+the decode step is STUBBED: ``decode_image`` raises
+NotImplementedError unless PIL is importable, and
+``extract_features`` ships a deterministic fake featurizer so the
+Spark-side contract — schema, batch iteration, partitioning — is real
+and tested end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id BIGINT, byte_len BIGINT, checksum STRING, byte_mean DOUBLE, feature STRING"
+)
+
+
+def to_binary_column(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Wrap content as (payload binary, meta struct) — the multimodal
+    envelope. Here the payload is utf-8 bytes of the text column (the
+    container has no media files); a real pipeline points the same
+    shape at ``spark.read.format('binaryFile')`` output."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.octet_length(payload).cast("bigint").alias("byte_len"),
+            F.md5(payload).alias("checksum"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes):
+    """STUB: decode an image payload. Real implementation requires PIL,
+    which is not installed in this container."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode requires PIL (not in this environment); "
+            "the surrounding Spark plumbing is real — swap this function body"
+        ) from e
+    import io
+
+    from PIL import Image
+
+    return Image.open(io.BytesIO(payload))
+
+
+def extract_features(df: DataFrame, batch_size_hint: int | None = None) -> DataFrame:
+    """Feature-extraction stage over multimodal rows via mapInPandas.
+
+    The featurizer here is a deterministic fake (byte statistics +
+    checksum echo) standing in for a vision/audio model forward pass;
+    the batch shape (pandas DataFrame per Arrow batch, one yield per
+    batch) is exactly what a GPU-batched model needs.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": payloads.map(len).astype("int64"),
+                    "checksum": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
+                    "byte_mean": payloads.map(
+                        lambda b: (sum(b) / len(b)) if len(b) else 0.0
+                    ).astype("float64"),
+                    "feature": payloads.map(lambda b: f"fake-feat-{len(b) % 7}"),
+                }
+            )
+
+    return df.mapInPandas(featurize, schema=FEATURE_SCHEMA)

@@ -1,1 +1,271 @@
-"""Placeholder — populated in a later milestone."""
+"""LLM-data-pipeline queries over documents/embeddings (SURVEY §2.12).
+
+Oracle-checked where SQL can express the op (exact dedup,
+fingerprinting, blocked Jaccard, text quality, token counting,
+brute-force cosine, multimodal envelope); rows-only for the
+probabilistic operators (MinHash LSH, SimHash, LSH-ANN, IVF), whose
+recall against the exact baseline is asserted in
+tests/test_llm_ops.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ent_fins_lakehouse_spark.functions.text import (
+    TOKEN_PATTERN,
+    language_id,
+    quality_metrics,
+    token_count,
+)
+from ent_fins_lakehouse_spark.operators.dedup import (
+    canonical_dedup,
+    dedup_connected_components,
+    fingerprint,
+    jaccard_pairs_blocked,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from ent_fins_lakehouse_spark.operators.multimodal import extract_features, to_binary_column
+from ent_fins_lakehouse_spark.operators.similarity import (
+    ann_topk_lsh,
+    build_ivf_index,
+    cosine_topk,
+    ivf_topk,
+)
+from ent_fins_lakehouse_spark.plans.registry import query
+from ent_fins_lakehouse_spark.sources.readers import load_table
+
+
+@query(
+    "q50_exact_dedup",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text ORDER BY doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def q50_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with deterministic canonical representative
+    (min doc_id per identical text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return canonical_dedup(docs, ["text"], "doc_id").orderBy("doc_id")
+
+
+@query(
+    "q51_fingerprint",
+    oracle="""
+    SELECT fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n_docs
+    FROM (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    )
+    GROUP BY fingerprint ORDER BY doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def q51_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (md5 of whitespace-normalized lowercase
+    text) + dedup accounting on the 32-byte digest instead of the
+    document body — the at-scale exact-dedup key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        fingerprint(docs, "text")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_docs"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q52_jaccard_near_dup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, source,
+             list_distinct(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.w, b.w))) AS jaccard
+    FROM toks a JOIN toks b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.w, b.w))) >= 0.9
+    ORDER BY id_a, id_b
+    """,
+    tags=("llm", "dedup"),
+)
+def q52_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (unigram) Jaccard near-dup pairs with (lang,
+    source) blocking — the bounded-quadratic ground truth the LSH
+    methods approximate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        jaccard_pairs_blocked(docs, "doc_id", "text", ["lang", "source"], threshold=0.9)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query("q53_minhash_lsh_dedup", oracle=None, tags=("llm", "dedup"))
+def q53_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup groups: banded signature join → candidate
+    pairs → connected components → (doc_id, group_id). Rows-only here;
+    recall vs the exact Jaccard pairs is asserted in
+    tests/test_llm_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.9)
+    groups = dedup_connected_components(pairs, docs.select("doc_id"), "doc_id")
+    return groups.orderBy("doc_id")
+
+
+@query("q54_simhash_near_dup", oracle=None, tags=("llm", "dedup"))
+def q54_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs (64-bit signatures, 16-bit
+    banding, Hamming ≤ 3 verification)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3).orderBy("id_a", "id_b")
+
+
+@query(
+    "q55_text_quality",
+    oracle="""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_m,
+           len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_words,
+           CAST(LENGTH(list_aggregate(regexp_split_to_array(trim(lower(text)), '\\s+'), 'string_agg', '')) AS DOUBLE)
+             / len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS mean_word_len,
+           CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+             / LENGTH(text) AS punct_ratio,
+           CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+             / LENGTH(text) AS upper_ratio,
+           CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                w -> list_contains(['the','a','of','and','to','in','is','that','it','for'], w))) AS DOUBLE)
+             / len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS stopword_ratio
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def q55_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring metrics per document (length, word stats,
+    punctuation/uppercase/stopword ratios) — all codegen'd column ops."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_metrics(docs, "text").drop("text").orderBy("doc_id")
+
+
+@query(
+    "q56_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens,
+           LENGTH(text) AS n_chars_m
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def q56_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_m"),
+    ).orderBy("doc_id")
+
+
+@query("q57_language_id", oracle=None, tags=("llm", "text"))
+def q57_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language identification (stopword-profile argmax)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return language_id(docs, "text").drop("text").orderBy("doc_id")
+
+
+@query(
+    "q58_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qe, q.qe))) AS cosine_sim
+      FROM embeddings e, q
+    )
+    SELECT vec_id, cosine_sim FROM scored
+    ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    """,
+    tags=("llm", "similarity"),
+)
+def q58_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id=0 — JVM-side
+    zip_with/aggregate dot product, TakeOrderedAndProject top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return cosine_topk(emb, "embedding", list(qvec), k=10, id_col="vec_id")
+
+
+@query("q59_ann_lsh_topk", oracle=None, tags=("llm", "similarity"))
+def q59_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-projection LSH (recall vs q58
+    asserted in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ann_topk_lsh(emb, "embedding", list(qvec), k=10, id_col="vec_id")
+
+
+@query("q60_ivf_topk", oracle=None, tags=("llm", "similarity"))
+def q60_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans coarse quantizer, n_probe=4) approximate top-10."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    indexed, centroids = build_ivf_index(emb, "embedding", n_clusters=8)
+    return ivf_topk(indexed, centroids, "embedding", list(qvec), k=10, id_col="vec_id", n_probe=4)
+
+
+@query(
+    "q61_multimodal_envelope",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS mime,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS checksum
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def q61_multimodal_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal envelope construction: binary payload + typed
+    metadata struct (mime, byte_len, md5 checksum)."""
+    docs = load_table(spark, sf_dir, "documents")
+    env = to_binary_column(docs, "text", "doc_id")
+    return env.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.byte_len").alias("byte_len"),
+        F.col("meta.checksum").alias("checksum"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q62_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS checksum,
+           CONCAT('fake-feat-', CAST(octet_length(encode(text)) % 7 AS VARCHAR)) AS feature
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def q62_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature-extraction stage over binary payloads
+    (deterministic fake featurizer — the decode step is stubbed, the
+    Arrow batch plumbing is real). byte_mean is excluded from the
+    oracle (Python float mean vs SQL decimal division differ in last
+    bits) and validated in tests instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    env = to_binary_column(docs, "text", "doc_id")
+    return extract_features(env).select("doc_id", "byte_len", "checksum", "feature").orderBy("doc_id")

@@ -14,6 +14,36 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def _ship_package_to_workers(spark: SparkSession) -> None:
+    """Make this package importable in Python workers (UDF closures may
+    reference module globals): zip it and addPyFile once per session.
+    The driver process added the repo to sys.path; workers don't
+    inherit that. On a real cluster this is the --py-files step."""
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = os.path.join(tempfile.mkdtemp(prefix="pkgship_"), "ent_fins_lakehouse_spark.zip")
+    base = os.path.dirname(pkg_root)
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for dirpath, _dirs, files in os.walk(pkg_root):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    zf.write(full, os.path.relpath(full, base))
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added under the same name in this JVM
+    _SHIPPED_SESSIONS.add(key)
+
+
 TABLE_NAMES = (
     "region",
     "nation",
@@ -42,6 +72,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # ambient zone: pin UTC so literals, date_format and window
     # bucketing match the (UTC-naive) oracle everywhere.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Size shuffles to the cluster, not Spark's static 200 default:
+    # if the session still carries the default, scale to parallelism
+    # (local[N] → N) and let AQE coalesce below that at runtime.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(8, spark.sparkContext.defaultParallelism)),
+        )
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    _ship_package_to_workers(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F

@@ -1,0 +1,148 @@
+"""LLM-data-pipeline operator tests: recall of the probabilistic
+methods against exact baselines, plus UDF/batch plumbing edge cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from ent_fins_lakehouse_spark.sources.readers import load_table
+
+    return load_table(spark, SF_SMOKE, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from ent_fins_lakehouse_spark.sources.readers import load_table
+
+    return load_table(spark, SF_SMOKE, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(docs):
+    """Unblocked exact unigram-Jaccard ≥0.9 pairs (ground truth)."""
+    from ent_fins_lakehouse_spark.operators.dedup import jaccard_pairs_blocked
+
+    blocked = docs.withColumn("_all", F.lit(1))
+    return {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs_blocked(blocked, "doc_id", "text", ["_all"], 0.9).collect()
+    }
+
+
+def test_minhash_recall_and_precision(docs, exact_pairs):
+    from ent_fins_lakehouse_spark.operators.dedup import minhash_lsh_pairs
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", num_hash_tables=16).collect()
+    }
+    assert exact_pairs, "ground truth should be non-empty at sf0.001"
+    # verify_exact makes precision exact
+    assert got <= exact_pairs, f"false positives: {sorted(got - exact_pairs)[:5]}"
+    recall = len(got & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.9, f"recall {recall:.2f} over {len(exact_pairs)} true pairs"
+
+
+def test_simhash_finds_exact_dups(docs, spark):
+    from ent_fins_lakehouse_spark.operators.dedup import simhash_pairs
+
+    # plant exact duplicates: simhash distance 0 must catch them
+    base = docs.limit(5).select("doc_id", "text")
+    dup = base.withColumn("doc_id", F.col("doc_id") + 10000)
+    planted = base.unionByName(dup)
+    got = {(r["id_a"], r["id_b"]) for r in simhash_pairs(planted, "doc_id", "text", max_hamming=0).collect()}
+    for r in base.collect():
+        assert (r["doc_id"], r["doc_id"] + 10000) in got
+
+
+def test_connected_components_union_find(spark):
+    from ent_fins_lakehouse_spark.operators.dedup import dedup_connected_components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a LONG, id_b LONG")
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 99]], "doc_id LONG")
+    got = {r["doc_id"]: r["group_id"] for r in dedup_connected_components(pairs, ids, "doc_id").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_ann_lsh_recall_vs_bruteforce(emb):
+    from ent_fins_lakehouse_spark.operators.similarity import ann_topk_lsh, cosine_topk
+
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    exact = [r["vec_id"] for r in cosine_topk(emb, "embedding", list(q), 10, "vec_id").collect()]
+    approx = [r["vec_id"] for r in ann_topk_lsh(emb, "embedding", list(q), 10, "vec_id", num_tables=8).collect()]
+    # LSH on 64-dim random data: expect the query itself + decent overlap
+    assert exact[0] == 0
+    assert 0 in approx
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.3, f"recall@10 = {recall}"
+
+
+def test_ivf_full_probe_is_exact(emb):
+    from ent_fins_lakehouse_spark.operators.similarity import build_ivf_index, cosine_topk, ivf_topk
+
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    exact = [r["vec_id"] for r in cosine_topk(emb, "embedding", list(q), 10, "vec_id").collect()]
+    indexed, centroids = build_ivf_index(emb, "embedding", n_clusters=8)
+    full = [r["vec_id"] for r in ivf_topk(indexed, centroids, "embedding", list(q), 10, "vec_id", n_probe=8).collect()]
+    assert full == exact  # probing every cluster = brute force
+    part = [r["vec_id"] for r in ivf_topk(indexed, centroids, "embedding", list(q), 10, "vec_id", n_probe=3).collect()]
+    recall = len(set(part) & set(exact)) / 10
+    assert recall >= 0.3, f"n_probe=3 recall {recall}"
+
+
+def test_language_id_shape(docs):
+    from ent_fins_lakehouse_spark.functions.text import LANG_PROFILES, language_id
+
+    out = language_id(docs.limit(20), "text")
+    rows = out.select("lang_pred").distinct().collect()
+    assert all(r["lang_pred"] in LANG_PROFILES for r in rows)
+
+
+def test_quality_metrics_edges(spark):
+    from ent_fins_lakehouse_spark.functions.text import quality_metrics
+
+    df = spark.createDataFrame(
+        [(1, "The cat. And THE dog!"), (2, "xyz")], "doc_id LONG, text STRING"
+    )
+    out = {r["doc_id"]: r.asDict() for r in quality_metrics(df, "text").collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 5
+    assert r1["stopword_ratio"] == pytest.approx(0.6)  # the, and, the / 5 words
+    assert 0 < r1["punct_ratio"] < 0.2
+    assert out[2]["punct_ratio"] == 0.0
+    assert out[2]["mean_word_len"] == 3.0
+
+
+def test_multimodal_feature_batching(docs, spark):
+    from ent_fins_lakehouse_spark.operators.multimodal import extract_features, to_binary_column
+
+    env = to_binary_column(docs.limit(10), "text", "doc_id")
+    feats = extract_features(env).collect()
+    assert len(feats) == 10
+    src = {r["doc_id"]: r["text"] for r in docs.limit(10).collect()}
+    import hashlib
+
+    for r in feats:
+        raw = src[r["doc_id"]].encode("utf-8")
+        assert r["byte_len"] == len(raw)
+        assert r["checksum"] == hashlib.md5(raw).hexdigest()
+        assert r["byte_mean"] == pytest.approx(sum(raw) / len(raw))
+
+
+def test_decode_image_is_stubbed():
+    from ent_fins_lakehouse_spark.operators.multimodal import decode_image
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present — stub not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"\x89PNG fake")
