@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Headline benchmark — one JSON line for the driver.
+
+Runs a representative subset of the engine's named queries (relational
+scan/agg, multi-join, window, event-time, dedup, similarity) at
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and prints::
+
+    {"metric": "headline_wall", "value": <total sec>, "unit": "sec",
+     "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is fully materialized through the ``noop`` datasource writer
+(runs the whole plan on executors, no driver collect, no sink I/O), so
+the timing measures scan→shuffle→agg work, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+# Queries chosen to cover every physical shape that matters at scale:
+# columnar scan + partial/final agg, broadcast + shuffle joins,
+# window functions, event-time bucketing, hash dedup, LSH banding,
+# and vectorized embedding math.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+    "q03_regional_revenue",
+    "q09_semi_join",
+    "q12_broadcast_dim_join",
+    "q17_window_topk",
+    "q23_events_hourly",
+    "q24_sessionize",
+    "q50_exact_dedup",
+    "q52_jaccard_near_dup",
+    "q53_minhash_lsh_dedup",
+    "q58_cosine_topk",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    from ent_fins_lakehouse_spark.session import get_session
+    from ent_fins_lakehouse_spark.plans.registry import queries_map
+
+    spark = get_session(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # Warm the JVM / codegen paths so q01 doesn't pay session startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    qmap = queries_map()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qmap[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

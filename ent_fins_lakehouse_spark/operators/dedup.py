@@ -31,6 +31,17 @@ def normalize_text(col) -> "F.Column":
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
+def _at_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to cluster parallelism when the source arrives in
+    fewer partitions (a couple of small parquet files would otherwise
+    pin CPU-bound narrow work — shingling, hashing, signature UDFs —
+    to a couple of cores). No-op when the scan is already wide."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
     """Exact duplicate removal on a column subset (hash aggregate)."""
     return df.dropDuplicates(cols)
@@ -75,11 +86,11 @@ def jaccard_pairs_blocked(
     intersection/union run on JVM array functions. Returns
     (id_a, id_b, jaccard) with id_a < id_b.
     """
-    t = df.select(
+    t = _at_parallelism(df.select(id_col, text_col, *block_cols)).select(
         F.col(id_col).alias("_id"),
         *[F.col(c) for c in block_cols],
         F.array_distinct(F.split(normalize_text(text_col), " ")).alias("_w"),
-    )
+    ).persist()  # word sets feed both sides of the block join
     a = t.select(F.col("_id").alias("id_a"), *[F.col(c).alias(f"a_{c}") for c in block_cols], F.col("_w").alias("w_a"))
     b = t.select(F.col("_id").alias("id_b"), *[F.col(c).alias(f"b_{c}") for c in block_cols], F.col("_w").alias("w_b"))
     cond = [F.col(f"a_{c}") == F.col(f"b_{c}") for c in block_cols] + [F.col("id_a") < F.col("id_b")]
@@ -93,59 +104,124 @@ def jaccard_pairs_blocked(
     )
 
 
+def _band_keys_udf(b: int, r: int, seed: int):
+    """Pandas UDF factory: array<shingle xxhash64> → array of b band
+    keys. Per Arrow batch, numpy computes k=b·r seeded minhashes
+    (splitmix64 finalizer over hash XOR seed — a k×m broadcast) and
+    folds each r-row band into one 64-bit key. Pure modular uint64
+    arithmetic → deterministic across partitions, runs, and cluster
+    sizes."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    k = b * r
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _band_keys(hashes):  # pd.Series[list[int64]] -> same shape
+        # splitmix64 finalizer (public-domain mixing constants)
+        C1 = np.uint64(0xBF58476D1CE4E5B9)
+        C2 = np.uint64(0x94D049BB133111EB)
+        P = np.uint64(0x100000001B3)
+
+        def mix(x):
+            x = (x ^ (x >> np.uint64(30))) * C1
+            x = (x ^ (x >> np.uint64(27))) * C2
+            return x ^ (x >> np.uint64(31))
+
+        rng = np.random.default_rng(seed)
+        seeds = rng.integers(0, 2**63, size=k, dtype=np.uint64)[:, None]
+        out = []
+        with np.errstate(over="ignore"):
+            for h in hashes:
+                H = np.asarray(h, dtype=np.int64).view(np.uint64)[None, :]
+                sig = mix(H ^ seeds).min(axis=1)  # (k,)
+                bands = sig.reshape(b, r)
+                key = np.zeros(b, dtype=np.uint64)
+                for j in range(r):  # polynomial fold of the r rows
+                    key = key * P + bands[:, j]
+                out.append(mix(key).view(np.int64))
+        return pd.Series(out)
+
+    return _band_keys
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_hash_tables: int = 8,
-    num_features: int = 1 << 18,
+    rows_per_band: int = 8,
     jaccard_threshold: float = 0.9,
     shingle_n: int = 1,
     seed: int = 42,
     verify_exact: bool = True,
 ) -> DataFrame:
-    """Approximate near-dup pairs via MinHash LSH
-    (shingle → hashing-TF sparse vector → MinHash signature → banded
-    bucket join). ``approxSimilarityJoin`` emits candidate pairs whose
-    estimated Jaccard distance ≤ 1-threshold; sub-quadratic because
-    only same-bucket pairs are compared. Seeded → deterministic.
+    """Approximate near-dup pairs via banded MinHash LSH: shingle
+    hashing JVM-side, signatures/band keys in one vectorized numpy
+    Pandas UDF, candidate join JVM-side. No driver collect.
 
-    ``verify_exact``: re-score candidates with the true shingle-set
-    Jaccard (the standard LSH filter-verify pattern) — precision
-    becomes 1.0, recall stays whatever the banding gives. Candidate
-    generation uses a slack of 0.1 on the estimated threshold so the
-    verify step, not the noisy estimate, decides borderline pairs.
+    Classic b×r banding (Broder / Leskovec MMDS ch.3): k = b·r seeded
+    minhashes per doc, hashed into b band keys of r rows each; a pair
+    becomes a candidate iff it agrees on ALL r rows of some band, so
+    P(candidate) = 1-(1-J^r)^b — steeply sigmoidal around the
+    threshold. With the defaults (b=8, r=8): J=0.9 → 0.99 recall,
+    J=0.3 → 1e-4 false-candidate rate. Deliberately NOT Spark ML's
+    ``MinHashLSH.approxSimilarityJoin``: that implementation fixes
+    r=1, so at J=0.3 a pair collides with 1-(1-0.3)^8 ≈ 94% — a
+    near-quadratic candidate explosion on any corpus with shared
+    vocabulary. Banding keeps the bucket join sub-quadratic at 100 TB.
+
+    Physical plan: narrow map (shingles → base hashes → band keys) →
+    posexplode to b rows/doc → self equi-join on (band_idx, band_val)
+    — the only shuffle is on the 64-bit band key — → candidate-pair
+    dedup → join back to fetch shingle sets → exact-Jaccard verify
+    (``verify_exact``: the standard filter-verify pattern; precision
+    1.0, recall decided by banding). Seeded → deterministic.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
-    sh = shingle_ngrams(df.select(id_col, text_col), text_col, n=shingle_n)
-    tf = HashingTF(inputCol="shingles", outputCol="_features", numFeatures=num_features, binary=True)
-    feats = tf.transform(sh).filter(F.size("shingles") > 0)
-    mh = MinHashLSH(inputCol="_features", outputCol="_hashes", numHashTables=num_hash_tables, seed=seed)
-    model = mh.fit(feats)
-    slack = 0.1 if verify_exact else 0.0
-    cand_dist = min(1.0, 1.0 - jaccard_threshold + slack)
-    pairs = model.approxSimilarityJoin(feats, feats, cand_dist, distCol="jaccard_dist")
+    b, r = num_hash_tables, rows_per_band
+    src = _at_parallelism(df.select(id_col, text_col))
+    sh = shingle_ngrams(src, text_col, n=shingle_n)
+    # Persist BEFORE the size()>0 filter: persistence is an optimizer
+    # barrier, so the shingle-array expression is evaluated exactly
+    # once — filtering first lets Catalyst substitute the whole array
+    # chain into the predicate and re-evaluate it per consumer (the
+    # banding pass plus both sides of the verify join-back).
+    shingled = sh.select(id_col, "shingles").persist()
+    feats = shingled.filter(F.size("shingles") > 0)
+    # Hash every shingle string ONCE on the JVM (single cheap HOF
+    # pass); the k permutations are derived from the 64-bit base hash
+    # in a vectorized numpy kernel. (A pure-expression formulation —
+    # nested transform() with an outer lambda reference — is evaluated
+    # interpretively per element and measured ~30x slower.)
+    hashed = feats.select(
+        F.col(id_col).alias("_id"),
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("_h"),
+    )
+    banded = hashed.select(
+        "_id",
+        F.posexplode(_band_keys_udf(b, r, seed)(F.col("_h"))).alias("band_idx", "band_val"),
+    )
     cand = (
-        pairs.select(
-            F.col(f"datasetA.{id_col}").alias("id_a"),
-            F.col(f"datasetA.shingles").alias("sh_a"),
-            F.col(f"datasetB.{id_col}").alias("id_b"),
-            F.col(f"datasetB.shingles").alias("sh_b"),
-            (1 - F.col("jaccard_dist")).alias("jaccard_est"),
+        banded.select(F.col("_id").alias("id_a"), "band_idx", "band_val")
+        .join(
+            banded.select(F.col("_id").alias("id_b"), "band_idx", "band_val"),
+            ["band_idx", "band_val"],
         )
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    if not verify_exact:
-        return cand.select("id_a", "id_b", "jaccard_est")
+    sh_a = feats.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = feats.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    scored = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        cand.withColumn("jaccard", inter.cast("double") / union)
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    jac = (inter.cast("double") / union).alias("jaccard")
+    out = scored.select("id_a", "id_b", jac)
+    if not verify_exact:
+        return out  # unthresholded candidates, scored
+    return out.filter(F.col("jaccard") >= jaccard_threshold)
 
 
 def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
@@ -209,9 +285,12 @@ def simhash_pairs(
     Hamming distance 3 shares at least one identical band → equi-join
     per band (shuffle on the 16-bit band value, never a cross join),
     then verify exact Hamming distance with JVM bit_count."""
-    sh = simhash(df.select(id_col, text_col), text_col).select(
+    src = _at_parallelism(df.select(id_col, text_col))
+    # signatures feed both sides of the band join — persist the narrow
+    # (id, simhash) projection, not the text
+    sh = simhash(src, text_col).select(
         F.col(id_col).alias("_id"), F.col("simhash")
-    )
+    ).persist()
     bands = (
         sh.select("_id", "simhash", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band_idx"))
         .withColumn(
@@ -252,9 +331,10 @@ def dedup_connected_components(
       standard CC-by-joins loop; O(component diameter) rounds, lineage
       truncated per round).
     """
-    n_pairs = pairs.limit(driver_union_find_limit + 1).count()
-    if n_pairs <= driver_union_find_limit:
-        edges = pairs.select("id_a", "id_b").collect()
+    # one action probes size AND fetches the edges (limit+1 rows max):
+    # no separate count job, no recompute of the candidate DAG
+    edges = pairs.select("id_a", "id_b").limit(driver_union_find_limit + 1).collect()
+    if len(edges) <= driver_union_find_limit:
         parent: dict = {}
 
         def find(x):
@@ -286,6 +366,7 @@ def _cc_label_propagation(pairs: DataFrame, ids: DataFrame, id_col: str, max_ite
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .persist()  # re-joined every propagation round
     )
     labels = ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("group_id"))
     for _ in range(max_iter):

@@ -116,7 +116,10 @@ def q53_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs the exact Jaccard pairs is asserted in
     tests/test_llm_ops.py."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.9)
+    # word 3-gram shingles (the C4/RefinedWeb-style choice): order-
+    # sensitive, so "same vocabulary" docs don't collapse into one
+    # quadratic near-dup clique the way unigram Jaccard does
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.9, shingle_n=3)
     groups = dedup_connected_components(pairs, docs.select("doc_id"), "doc_id")
     return groups.orderBy("doc_id")
 
