@@ -1,0 +1,108 @@
+"""ML dataflow tests (SURVEY.md §5.6): pipeline mechanics and AUC
+floor on a controlled separable dataset — golden-metric matching is
+deliberately avoided (CV/LBFGS are partitioning-sensitive)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def separable(spark):
+    """Synthetic learnable data: label = f(segment, balance) + noise-free
+    margin, two categorical + one numeric feature."""
+    rows = []
+    for i in range(600):
+        seg = ["AUTO", "HOME", "GOODS"][i % 3]
+        nat = ["US", "DE"][i % 2]
+        bal = float((i * 37) % 1000)
+        # linear margin in (one-hot(seg), bal): separable for LR
+        label = 1.0 if bal + (300.0 if seg == "AUTO" else 0.0) > 650.0 else 0.0
+        rows.append((i, seg, nat, bal, label))
+    return spark.createDataFrame(
+        rows, "id LONG, seg STRING, nat STRING, bal DOUBLE, label DOUBLE"
+    )
+
+
+def test_feature_pipeline_shapes(separable):
+    from ent_fins_lakehouse_spark.ml.pipeline import build_feature_pipeline
+
+    pipe = build_feature_pipeline(["seg", "nat"], ["bal"])
+    out = pipe.fit(separable).transform(separable)
+    row = out.select("features").head()
+    # per categorical: (n_cats + 1 keep-invalid) indexer slots, minus
+    # one for OHE dropLast → seg 3, nat 2; plus 1 numeric
+    assert row["features"].size == 3 + 2 + 1
+
+
+def test_train_score_auc_floor(separable):
+    from ent_fins_lakehouse_spark.ml.pipeline import auc, score, train_lr
+
+    model = train_lr(separable, ["seg", "nat"], ["bal"], reg_param=0.0)
+    scored = score(model, separable, id_cols=["id"])
+    assert scored.columns == ["id", "label", "prediction", "p0", "p1"]
+    probs = scored.select(F.min("p1"), F.max("p1")).head()
+    assert 0.0 <= probs[0] <= probs[1] <= 1.0
+    # the label is a clean linear margin — near-perfect separation
+    assert auc(scored) > 0.95
+
+
+def test_crossvalidate_selects_model(separable):
+    from ent_fins_lakehouse_spark.ml.pipeline import crossvalidate, score
+
+    cv = crossvalidate(
+        separable, ["seg"], ["bal"], reg_params=(0.1, 0.01), num_folds=3
+    )
+    assert len(cv.avgMetrics) == 2
+    scored = score(cv.bestModel, separable, id_cols=["id"])
+    assert scored.count() == 600
+
+
+def test_confusion_net_exact(spark):
+    from ent_fins_lakehouse_spark.ml.pipeline import confusion_net
+
+    scored = spark.createDataFrame(
+        [
+            (0.0, 0.0, 10.0),
+            (0.0, 0.0, 20.0),
+            (0.0, 1.0, 5.0),
+            (1.0, 1.0, 7.0),
+        ],
+        "label DOUBLE, prediction DOUBLE, net DOUBLE",
+    )
+    got = {
+        (r["label"], r["prediction"]): (r["n"], r["sum_net"])
+        for r in confusion_net(scored, "net").collect()
+    }
+    assert got == {(0.0, 0.0): (2, 30.0), (0.0, 1.0): (1, 5.0), (1.0, 1.0): (1, 7.0)}
+
+
+def test_feature_registry_materialize(spark, tmp_path):
+    from ent_fins_lakehouse_spark.ml.features import FeatureRegistry
+    from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
+
+    reg = FeatureRegistry()
+
+    @reg.register("f1", keys=["id"], description="doubling")
+    def f1(spark):
+        return spark.range(5).withColumn("x2", F.col("id") * 2)
+
+    assert reg.names() == ["f1"]
+    assert reg.spec("f1").keys == ["id"]
+    path = str(tmp_path / "f1")
+    reg.materialize("f1", path, spark)
+    back = LakeTable(spark, path).read()
+    assert back.count() == 5
+    assert {r["x2"] for r in back.collect()} == {0, 2, 4, 6, 8}
+
+
+def test_tracking_shim_records_locally():
+    from ent_fins_lakehouse_spark.ml import tracking
+
+    with tracking.tracking_run("t") as run:
+        tracking.log_params({"regParam": 0.1})
+        tracking.log_metrics({"auc": 0.9})
+    if not tracking._HAVE_MLFLOW:
+        assert tracking.local_runs()[-1]["params"]["regParam"] == 0.1
+        assert tracking.local_runs()[-1]["metrics"]["auc"] == 0.9
