@@ -1,0 +1,135 @@
+"""Property-based invariants (SURVEY.md §5.5, hypothesis).
+
+Few, fat examples: every example round-trips through Spark jobs, so
+the per-property example budget is small but each example is an
+adversarial batch (duplicate keys, nulls, negative/huge values,
+unicode text)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# (key, value) batches with deliberate key collisions
+kv_batches = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(-(10**9), 10**9)),
+    min_size=1,
+    max_size=30,
+)
+
+texts = st.lists(
+    st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@pytest.fixture(scope="module")
+def sparkm(spark):
+    return spark
+
+
+@SET
+@given(target=kv_batches, source=kv_batches)
+def test_merge_equals_groupby_last(sparkm, tmp_path_factory, target, source):
+    """MERGE(update-all/insert-all) == pandas 'source wins, last
+    occurrence per key' upsert semantics (J1/D7)."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
+
+    path = str(tmp_path_factory.mktemp("merge"))
+    # lake MERGE requires unique keys on both sides (ambiguous matches
+    # are rejected, like Delta): last-wins pre-dedup on both
+    t = {k: v for k, v in target}
+    s = {k: v for k, v in source}
+    tdf = sparkm.createDataFrame(list(t.items()), "id LONG, v LONG")
+    sdf = sparkm.createDataFrame(list(s.items()), "id LONG, v LONG")
+    lt = LakeTable(sparkm, path)
+    lt.write(tdf, mode="overwrite")
+    lt.merge(sdf, on=["id"])
+    got = {r["id"]: r["v"] for r in lt.read().collect()}
+    assert got == {**t, **s}
+
+
+@SET
+@given(batch=kv_batches)
+def test_delete_partitions_rows_exactly(sparkm, tmp_path_factory, batch):
+    """DELETE(pred) removes exactly the matching rows (D5) —
+    complement survives untouched."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
+
+    path = str(tmp_path_factory.mktemp("del"))
+    df = sparkm.createDataFrame(batch, "id LONG, v LONG")
+    lt = LakeTable(sparkm, path)
+    lt.write(df, mode="overwrite")
+    lt.delete("v < 0")
+    kept = [(k, v) for k, v in batch if not (v < 0)]
+    got = sorted((r["id"], r["v"]) for r in lt.read().collect())
+    assert got == sorted(kept)
+
+
+@SET
+@given(docs=texts)
+def test_exact_dedup_idempotent_and_canonical(sparkm, docs):
+    """dedup(dedup(x)) == dedup(x); canonical_dedup survivor is the
+    min id and group sizes sum to the input size."""
+    from ent_fins_lakehouse_spark.operators.dedup import canonical_dedup, exact_dedup
+
+    rows = [(i, t) for i, t in enumerate(docs)] + [
+        (len(docs) + i, t) for i, t in enumerate(docs[: len(docs) // 2])
+    ]
+    df = sparkm.createDataFrame(rows, "doc_id LONG, text STRING")
+    once = exact_dedup(df, ["text"])
+    twice = exact_dedup(once, ["text"])
+    assert once.count() == twice.count() == len(set(docs))
+    canon = canonical_dedup(df, ["text"], "doc_id").collect()
+    assert sum(r["n_copies"] for r in canon) == len(rows)
+    by_text = {}
+    for i, t in rows:
+        by_text.setdefault(t, []).append(i)
+    assert {r["doc_id"] for r in canon} == {min(v) for v in by_text.values()}
+
+
+@SET
+@given(batch=kv_batches)
+def test_partial_agg_equals_global(sparkm, batch):
+    """sum of per-key partial sums == global sum regardless of
+    partitioning (the partial+final split Catalyst performs)."""
+    df = sparkm.createDataFrame(batch, "k LONG, v LONG").repartition(7)
+    per_key = df.groupBy("k").agg(F.sum("v").alias("s"))
+    total_from_parts = per_key.agg(F.sum("s")).collect()[0][0]
+    total = df.agg(F.sum("v")).collect()[0][0]
+    assert total_from_parts == total == sum(v for _, v in batch)
+
+
+@SET
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_decimal_sum_order_insensitive(sparkm, vals):
+    """dsum (decimal-pathed double sum) is identical under any
+    partitioning — the property the oracle hashes rely on."""
+    from ent_fins_lakehouse_spark.functions.numeric import dsum
+
+    rows = [(float(v),) for v in vals]
+    a = sparkm.createDataFrame(rows, "v DOUBLE").coalesce(1)
+    b = sparkm.createDataFrame(list(reversed(rows)), "v DOUBLE").repartition(5)
+    ra = a.agg(dsum("v").alias("s")).collect()[0]["s"]
+    rb = b.agg(dsum("v").alias("s")).collect()[0]["s"]
+    assert (ra is None and rb is None) or math.isclose(ra, rb, rel_tol=0, abs_tol=0)
