@@ -115,6 +115,48 @@ def similarity_join_lsh(
     )
 
 
+def cosine_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_cols: list[str],
+    top_n: int | None = None,
+    min_cosine: float | None = None,
+) -> DataFrame:
+    """Exact all-pairs cosine within blocking keys — the embedding
+    analogue of :func:`dedup.jaccard_pairs_blocked`. Blocking bounds
+    the quadratic join (at 100 TB the block is a shard/cluster key,
+    e.g. an IVF cluster id); inside a block the dot products run in
+    codegen via zip_with/aggregate. Returns (id_a, id_b, cosine_sim)
+    with id_a < id_b, thresholded and/or global top-N by similarity
+    (TakeOrderedAndProject — no full sort)."""
+    t = df.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c) for c in block_cols],
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    a = t.select(
+        F.col("_id").alias("id_a"),
+        *[F.col(c).alias(f"a_{c}") for c in block_cols],
+        F.col("_v").alias("v_a"),
+    )
+    b = t.select(
+        F.col("_id").alias("id_b"),
+        *[F.col(c).alias(f"b_{c}") for c in block_cols],
+        F.col("_v").alias("v_b"),
+    )
+    cond = [F.col(f"a_{c}") == F.col(f"b_{c}") for c in block_cols] + [
+        F.col("id_a") < F.col("id_b")
+    ]
+    cos = _dot(F.col("v_a"), F.col("v_b")) / (_norm(F.col("v_a")) * _norm(F.col("v_b")))
+    out = a.join(b, cond).select("id_a", "id_b", cos.alias("cosine_sim"))
+    if min_cosine is not None:
+        out = out.filter(F.col("cosine_sim") >= min_cosine)
+    if top_n is not None:
+        out = out.orderBy(F.desc("cosine_sim"), F.asc("id_a"), F.asc("id_b")).limit(top_n)
+    return out
+
+
 def build_ivf_index(
     df: DataFrame, vec_col: str, n_clusters: int = 16, seed: int = 42
 ) -> tuple[DataFrame, list[list[float]]]:

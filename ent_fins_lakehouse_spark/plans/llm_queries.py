@@ -31,6 +31,7 @@ from ent_fins_lakehouse_spark.operators.multimodal import extract_features, to_b
 from ent_fins_lakehouse_spark.operators.similarity import (
     ann_topk_lsh,
     build_ivf_index,
+    cosine_pairs_blocked,
     cosine_topk,
     ivf_topk,
 )
@@ -272,3 +273,65 @@ def q62_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     env = to_binary_column(docs, "text", "doc_id")
     return extract_features(env).select("doc_id", "byte_len", "checksum", "feature").orderBy("doc_id")
+
+
+@query(
+    "q63_embedding_near_dup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS id_a,
+           b.vec_id AS id_b,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             AS cosine_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    ORDER BY cosine_sim DESC, id_a, id_b LIMIT 100
+    """,
+    tags=("llm", "similarity", "dedup"),
+)
+def q63_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: exact blocked all-pairs (block =
+    label; at scale an IVF cluster / shard key), global top-100 most
+    similar pairs. The thresholded variant is the same operator with
+    ``min_cosine`` — top-N keeps the query meaningful on corpora with
+    no high-cosine pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs_blocked(
+        emb, "vec_id", "embedding", block_cols=["label"], top_n=100
+    )
+
+
+@query(
+    "q64_token_frequencies",
+    oracle="""
+    WITH toks AS (
+      SELECT UNNEST(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT token, COUNT(*) AS n
+    FROM toks WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token LIMIT 50
+    """,
+    tags=("llm", "text"),
+)
+def q64_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: explode(tokens) → count → top-50.
+    Physical shape at 100 TB: narrow explode, partial+final count on
+    the token key (map-side combine collapses the Zipf head before the
+    shuffle), TakeOrderedAndProject for the limit."""
+    from ent_fins_lakehouse_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.trim("text") != "").select(
+        F.explode(F.split(normalize_text("text"), " ")).alias("token")
+    )
+    return (
+        toks.filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )

@@ -16,6 +16,7 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ent_fins_lakehouse_spark.functions.numeric import dec
@@ -236,4 +237,59 @@ def q44_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
         .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "q45_stateful_user_stats",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def q45_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running (count, min, max) state machine over the event stream,
+    multi-batch (maxFilesPerTrigger=1 over 3 landing files), update
+    mode. The sink keeps every per-batch emission; the final answer is
+    the last emission per user — which must equal the batch aggregate,
+    proving state survives across microbatches. min/max (not sum) keep
+    the oracle float-exact."""
+    from ent_fins_lakehouse_spark.streaming.stateful import user_stats_stream
+
+    root = tempfile.mkdtemp(prefix="stream_state_")
+    src = _events_as_json_waves(spark, sf_dir, root)
+    target = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+
+    stream = ingest_file_stream(
+        spark, src, EVENTS_JSON_SCHEMA, fmt="json", max_files_per_trigger=1
+    ).select("user_id", "value")
+    stats = user_stats_stream(stream)
+
+    # parquet sinks are append-only: land the update-mode emissions via
+    # foreachBatch (the standard pattern for update→file)
+    def _append_batch(bdf: DataFrame, _bid: int) -> None:
+        bdf.write.mode("append").parquet(target)
+
+    q = (
+        stats.writeStream.trigger(availableNow=True)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(_append_batch)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.schema(
+        "user_id LONG, n_events LONG, min_value DOUBLE, max_value DOUBLE"
+    ).parquet(target)
+    # last emission per user = the one with the max running count
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("user_id")
     )
