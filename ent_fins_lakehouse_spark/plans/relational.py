@@ -748,3 +748,131 @@ def q25_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("c_mktsegment", "c_nationkey")
     )
+
+
+@query(
+    "q26_asof_join",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts AS vts, value AS view_value FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id,
+           STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           STRFTIME(v.vts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+           v.view_value
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.vts
+    ORDER BY p.event_id
+    """,
+    tags=("join", "temporal", "events"),
+)
+def q26_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (the tick-data staple Spark lacks natively):
+    for each purchase, the user's most recent prior view. One shuffle
+    on user_id via the union+ordered-window rewrite
+    (operators/temporal.py) — oracle is DuckDB's native ASOF JOIN."""
+    from ent_fins_lakehouse_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts"), F.col("value").alias("view_value")
+    )
+    res = asof_join(purchases, views, on=["user_id"], left_ts="ts", right_ts="vts",
+                    value_cols=["view_value"])
+    return res.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.date_format("matched_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
+        "view_value",
+    ).orderBy("event_id")
+
+
+@query(
+    "q27_range_join",
+    oracle="""
+    WITH s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+         e AS (SELECT user_id, ts AS ets FROM events WHERE event_type = 'error')
+    SELECT s.event_id, s.user_id, COUNT(*) AS n_errors
+    FROM s JOIN e
+      ON s.user_id = e.user_id
+     AND e.ets >= s.ts AND e.ets <= s.ts + INTERVAL 1 HOUR
+    GROUP BY s.event_id, s.user_id
+    ORDER BY s.event_id
+    """,
+    tags=("join", "temporal", "events"),
+)
+def q27_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band/range join: errors within 1h after each signup, per user.
+    Interval-bucketing rewrite (equi-join on (user, time-bin) with
+    fan-out 2 + exact band filter) instead of the quadratic inequality
+    join — the rewrite Catalyst doesn't do automatically."""
+    from ent_fins_lakehouse_spark.operators.temporal import range_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("ets")
+    )
+    pairs = range_join_bucketed(
+        signups, errors, on=["user_id"], left_ts="ts", right_ts="ets",
+        lower_seconds=0, upper_seconds=3600,
+    )
+    return (
+        pairs.groupBy("event_id", "user_id")
+        .agg(F.count("*").alias("n_errors"))
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q28_distinct_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities,
+           COUNT(DISTINCT EXTRACT(year FROM o_orderdate)) AS n_years,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("agg",),
+)
+def q28_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) aggregation (Expand-based two-phase distinct
+    aggregation — extension beyond the reference's plain aggs)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.countDistinct(F.year("o_orderdate")).alias("n_years"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q29_grouping_sets",
+    oracle="""
+    SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), (c_mktsegment, o_orderpriority))
+    ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("agg", "sql"),
+)
+def q29_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL entry point (EP2) — single Expand +
+    one aggregation pass instead of unioned re-scans."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), (c_mktsegment, o_orderpriority))
+        ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
