@@ -38,6 +38,8 @@ HEADLINE = [
     "q17_window_topk",
     "q23_events_hourly",
     "q24_sessionize",
+    "q26_asof_join",
+    "q27_range_join",
     "q50_exact_dedup",
     "q52_jaccard_near_dup",
     "q53_minhash_lsh_dedup",
