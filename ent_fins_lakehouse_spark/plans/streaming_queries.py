@@ -293,3 +293,56 @@ def q45_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rn")
         .orderBy("user_id")
     )
+
+
+@query(
+    "q46_stream_from_lake",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("streaming", "lakehouse"),
+)
+def q46_stream_from_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 — the LakeTable as a streaming SOURCE (the Delta streaming
+    scan, `01-Fraud-Delta.py:175`), via the Spark 4 Python Data Source
+    API with commit-version offsets. Events land in the lake table in
+    two batch commits; the stream reads both exactly-once (Arrow
+    record-batch path), a third append between triggers arrives
+    incrementally on re-trigger with the same checkpoint."""
+    from ent_fins_lakehouse_spark.streaming.lake_source import read_lake_stream
+
+    root = tempfile.mkdtemp(prefix="stream_src_")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    table = LakeTable(spark, os.path.join(root, "lake"))
+    table.write(ev.filter(F.col("event_id") % 3 != 0), mode="overwrite")
+    table.insert_into(ev.filter((F.col("event_id") % 3 == 0) & (F.col("event_id") % 2 == 0)))
+
+    out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+    q = (
+        read_lake_stream(spark, table.path)
+        .writeStream.trigger(availableNow=True)
+        .format("parquet")
+        .option("checkpointLocation", ckpt)
+        .start(out)
+    )
+    q.awaitTermination()
+
+    # a concurrent-style append between triggers: only the delta streams
+    table.insert_into(ev.filter((F.col("event_id") % 3 == 0) & (F.col("event_id") % 2 == 1)))
+    q = (
+        read_lake_stream(spark, table.path)
+        .writeStream.trigger(availableNow=True)
+        .format("parquet")
+        .option("checkpointLocation", ckpt)
+        .start(out)
+    )
+    q.awaitTermination()
+
+    got = spark.read.schema("event_id LONG, event_type STRING, value DOUBLE").parquet(out)
+    return (
+        got.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum(dec("value")).cast("double").alias("total_value"))
+        .orderBy("event_type")
+    )

@@ -96,3 +96,54 @@ def test_lake_sink_replay_is_exactly_once(spark, tmp_path):
     assert t.read().count() == 2
     sink.write_batch(df, batch_id=1)
     assert t.read().count() == 4
+
+
+class TestLakeStreamSource:
+    """S5: LakeTable as a streaming source (streaming/lake_source.py)."""
+
+    def _drain(self, spark, path, out, ckpt, **kw):
+        from ent_fins_lakehouse_spark.streaming.lake_source import read_lake_stream
+
+        q = (
+            read_lake_stream(spark, path, **kw)
+            .writeStream.trigger(availableNow=True)
+            .format("parquet")
+            .option("checkpointLocation", ckpt)
+            .start(out)
+        )
+        q.awaitTermination()
+        return sorted(r["id"] for r in spark.read.parquet(out).collect())
+
+    def test_exactly_once_incremental(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
+
+        t = LakeTable(spark, str(tmp_path / "tbl"))
+        t.write(spark.range(5).withColumn("v", F.col("id") * 10), mode="overwrite")
+        t.insert_into(spark.range(5, 8).withColumn("v", F.col("id") * 10))
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        assert self._drain(spark, t.path, out, ckpt) == list(range(8))
+        # re-trigger with nothing new: no duplicates
+        assert self._drain(spark, t.path, out, ckpt) == list(range(8))
+        # append streams only the delta
+        t.insert_into(spark.range(8, 10).withColumn("v", F.col("id") * 10))
+        assert self._drain(spark, t.path, out, ckpt) == list(range(10))
+
+    def test_rewrite_aborts_without_ignore_changes(self, spark, tmp_path):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
+
+        t = LakeTable(spark, str(tmp_path / "tbl"))
+        t.write(spark.range(5).withColumn("v", F.col("id")), mode="overwrite")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        assert self._drain(spark, t.path, out, ckpt) == list(range(5))
+        t.delete("id = 3")
+        with _pytest.raises(Exception, match="rewrites data|STREAM_FAILED"):
+            self._drain(spark, t.path, out, ckpt)
+        # ignoreChanges skips the rewrite commit's adds-with-removes
+        out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+        got = self._drain(spark, t.path, out2, ckpt2, ignore_changes=True)
+        assert set(got) >= {0, 1, 2, 4}
