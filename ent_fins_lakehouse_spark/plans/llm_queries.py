@@ -335,3 +335,18 @@ def q64_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(50)
     )
+
+
+@query("q65_winnow_overlap", oracle=None, tags=("llm", "dedup"))
+def q65_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprint overlap: partial-overlap /
+    containment candidates that whole-document MinHash misses
+    (shared substrings ≥ k+window-1 chars guarantee a shared
+    fingerprint). Rows-only: the winnowing guarantee itself is unit-
+    tested in tests/test_llm_ops.py."""
+    from ent_fins_lakehouse_spark.operators.dedup import winnow_overlap_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(
+        docs, "doc_id", "text", min_shared=3, k=8, window=6
+    ).orderBy("id_a", "id_b")

@@ -146,3 +146,34 @@ def test_decode_image_is_stubbed():
         pass
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_image(b"\x89PNG fake")
+
+
+def test_winnow_guarantee_and_identity(spark):
+    """Shared substrings >= k+window-1 chars must share a fingerprint;
+    disjoint-alphabet docs must share none."""
+    from ent_fins_lakehouse_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    common = "zqxjvkwpfyg hbdmctlnrs"  # 22-char shared block
+    docs = spark.createDataFrame(
+        [
+            (1, f"aaaa {common} aaaa"),
+            (2, f"eeee oooo {common}"),  # same block, shifted position
+            (3, "iiii uuuu 0000 1111 2222"),  # disjoint alphabet
+        ],
+        "doc_id LONG, text STRING",
+    )
+    fps = {r["doc_id"]: set(r["fingerprints"]) for r in winnow_fingerprints(docs, "text").collect()}
+    assert fps[1] & fps[2], "winnowing guarantee violated"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    # identical text -> identical fingerprint set
+    dup = spark.createDataFrame([(9, f"aaaa {common} aaaa")], "doc_id LONG, text STRING")
+    fps9 = set(winnow_fingerprints(dup, "text").collect()[0]["fingerprints"])
+    assert fps9 == fps[1]
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_overlap_pairs(docs, "doc_id", "text", min_shared=1).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) not in pairs
