@@ -876,3 +876,130 @@ def q29_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST
         """
     )
+
+
+@query(
+    "q36_complex_predicate_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 5 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 10 AND l_quantity <= 40)
+    """,
+    tags=("predicate", "join", "agg"),
+)
+def q36_complex_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs multi-table predicate. The part
+    side of each disjunct is pushable to the broadcast build; the
+    mixed l/p residual evaluates post-join in codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    d1 = (F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20)
+    d2 = (F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(5, 30)
+    d3 = (F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(10, 40)
+    rev = F.sum(dec("l_extendedprice", 2) * (1 - dec("l_discount", 2))).cast("double")
+    return j.filter(d1 | d2 | d3).agg(rev.alias("revenue"))
+
+
+@query(
+    "q37_conditional_agg_share",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+           100.0 * CAST(SUM(CASE WHEN p_type LIKE 'ECONOMY%'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                 ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS economy_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("agg", "predicate"),
+)
+def q37_conditional_agg_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: CASE-WHEN conditional aggregation (promo
+    revenue share) — one pass, no self-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = dec("l_extendedprice", 2) * (1 - dec("l_discount", 2))
+    cond = F.when(F.col("p_type").like("ECONOMY%"), rev).otherwise(F.lit(0).cast("decimal(25,4)"))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg((F.lit(100.0) * F.sum(cond).cast("double") / F.sum(rev).cast("double")).alias("economy_share_pct"))
+        .orderBy("ship_year")
+    )
+
+
+@query(
+    "q38_bilateral_volume",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS volume
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE sn.n_name < cn.n_name
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("join", "agg"),
+)
+def q38_bilateral_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two independent dimension chains (supplier
+    nation, customer nation) hanging off the fact — both chains
+    broadcast; the only shuffles are fact⋈orders and the final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))
+    sn = nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    vol = F.sum(dec("l_extendedprice", 2) * (1 - dec("l_discount", 2))).cast("double")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(F.count("*").alias("n_lines"), vol.alias("volume"))
+        .orderBy("supp_nation", "cust_nation")
+    )
+
+
+@query(
+    "q39_rich_idle_customers",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_custs,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("join", "subquery", "agg"),
+)
+def q39_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global average, one tiny
+    broadcast) + anti join (customers with no high-value order)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
+    big = orders.filter(F.col("o_totalprice") > 300000)
+    return (
+        cust.filter(F.col("c_acctbal") > avg_bal)
+        .join(big, cust["c_custkey"] == big["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_custs"), dsum("c_acctbal", 2).alias("total_bal"))
+        .orderBy("c_mktsegment")
+    )
