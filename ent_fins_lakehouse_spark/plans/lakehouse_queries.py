@@ -205,3 +205,91 @@ def q35_lake_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (it doesn't at sf0.001 — no supplier in nation 0)
     assert ops[:2] == ["overwrite", "merge"], ops
     return lh.sql("SELECT * FROM lending.silver_suppliers").orderBy("s_suppkey")
+
+
+@query(
+    "q47_partition_pruning",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+    FROM events WHERE event_type IN ('purchase', 'error')
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("lakehouse", "layout"),
+)
+def q47_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition layout + partition pruning: events written
+    ``partitionBy(event_type)``, then a two-partition predicate. The
+    scan must list only the two matching directories — the plan is
+    asserted to carry the predicate as a PartitionFilter (metadata-
+    level pruning, zero data read from other partitions). At 100 TB
+    this is the difference between scanning 2/5 and 5/5 of the table."""
+    root = _scratch("part")
+    src = os.path.join(root, "events_by_type")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(src)
+
+    back = spark.read.parquet(src).filter(F.col("event_type").isin("purchase", "error"))
+    import io, contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0], (
+        "partition predicate did not reach the scan"
+    )
+    from ent_fins_lakehouse_spark.functions.numeric import dec as _dec
+
+    return (
+        back.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum(_dec("value")).cast("double").alias("total_value"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q48_bucketed_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("lakehouse", "layout", "join"),
+)
+def q48_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides written ``bucketBy(8,
+    key)`` via saveAsTable, joined on the bucket key with broadcast
+    disabled — the plan must contain NO shuffle exchange on either
+    side (bucket layout satisfies the join's distribution
+    requirement). This is the pre-shuffled layout big fact-fact joins
+    rely on at 100 TB; asserted on the plan, validated by oracle."""
+    import io, contextlib, uuid as _uuid
+
+    sfx = _uuid.uuid4().hex[:8]
+    t_orders, t_cust = f"b_orders_{sfx}", f"b_cust_{sfx}"
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    for name, df, key in ((t_orders, orders, "o_custkey"), (t_cust, cust, "c_custkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        df.write.bucketBy(8, key).sortBy(key).format("parquet").saveAsTable(name)
+    # NOTE: the bucketed tables must outlive the returned (lazy)
+    # DataFrame; unique names per run keep re-entry safe.
+    bo, bc = spark.table(t_orders), spark.table(t_cust)
+    joined = bo.hint("merge").join(bc, bo["o_custkey"] == bc["c_custkey"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange hashpartitioning" not in plan, "bucketed join still shuffles"
+    from ent_fins_lakehouse_spark.functions.numeric import dec as _dec
+
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice", 2)).cast("double").alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
