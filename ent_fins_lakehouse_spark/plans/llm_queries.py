@@ -350,3 +350,62 @@ def q65_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(
         docs, "doc_id", "text", min_shared=3, k=8, window=6
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "q66_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents WHERE trim(text) <> ''
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * (LN((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ), ranked AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf FROM ranked WHERE rk <= 3
+    ORDER BY doc_id, tfidf DESC, term
+    """,
+    tags=("llm", "text"),
+)
+def q66_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms, smoothed-IDF formula
+    (tf · (ln((N+1)/(df+1)) + 1)), computed with explicit term
+    identity (explode → tf → df broadcast-join → window rank) rather
+    than ``HashingTF`` — hashing destroys the term column and its
+    collisions break exactness. Shuffles: tf groupBy(doc,term), df
+    groupBy(term) (broadcast back), final per-doc rank."""
+    from pyspark.sql import Window as W
+    from ent_fins_lakehouse_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.trim("text") != "")
+        .select("doc_id", F.explode(F.split(normalize_text("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tf.select("doc_id").distinct().count()
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0)).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .drop("rk")
+        .orderBy("doc_id", F.desc("tfidf"), "term")
+    )

@@ -1003,3 +1003,36 @@ def q39_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_custs"), dsum("c_acctbal", 2).alias("total_bal"))
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q49_exact_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.50) AS p50,
+           quantile_cont(value, 0.75) AS p75,
+           MIN(value) AS vmin, MAX(value) AS vmax
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("agg", "events"),
+)
+def q49_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (`percentile`, the
+    sort-based exact aggregate) — the distribution-profiling primitive;
+    the approximate path (`percentile_approx`/KLL at 100 TB, where the
+    exact sort is the bottleneck) is covered rows-only in unit tests
+    with error bounds."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile("value", F.lit([0.25, 0.50, 0.75]))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            pct.getItem(0).alias("p25"),
+            pct.getItem(1).alias("p50"),
+            pct.getItem(2).alias("p75"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .orderBy("event_type")
+    )
