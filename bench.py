@@ -40,10 +40,16 @@ HEADLINE = [
     "q24_sessionize",
     "q26_asof_join",
     "q27_range_join",
+    "q36_complex_predicate_revenue",
+    "q38_bilateral_volume",
+    "q49_exact_percentiles",
     "q50_exact_dedup",
     "q52_jaccard_near_dup",
     "q53_minhash_lsh_dedup",
     "q58_cosine_topk",
+    "q63_embedding_near_dup",
+    "q64_token_frequencies",
+    "q66_tfidf_top_terms",
 ]
 
 

@@ -89,3 +89,83 @@ def extract_features(df: DataFrame, batch_size_hint: int | None = None) -> DataF
             )
 
     return df.mapInPandas(featurize, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = "doc_id BIGINT, payload BINARY, width INT, height INT, checksum STRING"
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage over multimodal rows (mapInPandas, 1→1).
+
+    With PIL present this would decode→resize→re-encode each payload;
+    here the transform is a deterministic stand-in (payload truncated/
+    cycled to the target w·h·3 byte budget) so the plumbing — Arrow
+    batch in, binary column out, metadata recomputed — is real and the
+    output is bit-reproducible for tests/oracles."""
+    import hashlib
+
+    import pandas as pd
+
+    target = width * height * 3
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def fake_resize(b: bytes) -> bytes:
+                if not b:
+                    return b"\x00" * target
+                reps = -(-target // len(b))  # ceil
+                return (b * reps)[:target]
+
+            out = pdf["payload"].map(fake_resize)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                    "checksum": out.map(lambda b: hashlib.md5(b).hexdigest()),
+                }
+            )
+
+    return df.mapInPandas(do_resize, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id BIGINT, frame_idx BIGINT, frame BINARY, frame_len BIGINT"
+
+
+def sample_frames(
+    df: DataFrame, chunk_bytes: int = 64, every_nth: int = 2
+) -> DataFrame:
+    """Frame-sampling stage (mapInPandas, 1→N fan-out — the shape a
+    video pipeline needs: one input blob yields many frame rows).
+
+    The deterministic stand-in treats the payload as fixed-size chunks
+    ("frames") and keeps every n-th; a real implementation swaps the
+    chunker for an ffmpeg keyframe iterator, and the Spark contract
+    (schema, multiple output rows per input row, batch-local memory)
+    is unchanged."""
+    import pandas as pd
+
+    def do_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                chunks = [
+                    payload[o : o + chunk_bytes]
+                    for o in range(0, len(payload), chunk_bytes)
+                ]
+                for i, ch in enumerate(chunks):
+                    if i % every_nth == 0:
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        frames.append(ch)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame": pd.Series(frames, dtype=object),
+                    "frame_len": pd.Series([len(f) for f in frames], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(do_sample, schema=FRAME_SCHEMA)

@@ -130,25 +130,31 @@ def cosine_pairs_blocked(
     codegen via zip_with/aggregate. Returns (id_a, id_b, cosine_sim)
     with id_a < id_b, thresholded and/or global top-N by similarity
     (TakeOrderedAndProject — no full sort)."""
+    # Norms are computed ONCE per vector before the self-join (the
+    # per-pair formulation would fold each array O(block) extra times);
+    # same operand values either way, so the division stays bit-exact
+    # vs the oracle. Persist: both join sides read it.
     t = df.select(
         F.col(id_col).alias("_id"),
         *[F.col(c) for c in block_cols],
         F.col(vec_col).cast("array<double>").alias("_v"),
-    )
+    ).withColumn("_n", _norm(F.col("_v"))).persist()
     a = t.select(
         F.col("_id").alias("id_a"),
         *[F.col(c).alias(f"a_{c}") for c in block_cols],
         F.col("_v").alias("v_a"),
+        F.col("_n").alias("n_a"),
     )
     b = t.select(
         F.col("_id").alias("id_b"),
         *[F.col(c).alias(f"b_{c}") for c in block_cols],
         F.col("_v").alias("v_b"),
+        F.col("_n").alias("n_b"),
     )
     cond = [F.col(f"a_{c}") == F.col(f"b_{c}") for c in block_cols] + [
         F.col("id_a") < F.col("id_b")
     ]
-    cos = _dot(F.col("v_a"), F.col("v_b")) / (_norm(F.col("v_a")) * _norm(F.col("v_b")))
+    cos = _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
     out = a.join(b, cond).select("id_a", "id_b", cos.alias("cosine_sim"))
     if min_cosine is not None:
         out = out.filter(F.col("cosine_sim") >= min_cosine)

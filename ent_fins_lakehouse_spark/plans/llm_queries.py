@@ -409,3 +409,41 @@ def q66_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rk")
         .orderBy("doc_id", F.desc("tfidf"), "term")
     )
+
+
+@query(
+    "q67_frame_sampling",
+    oracle="""
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS blen FROM documents),
+    c AS (
+      SELECT doc_id, blen,
+             CAST(CEIL(blen / 64.0) AS BIGINT) AS n_chunks,
+             CAST(CEIL(CAST(CEIL(blen / 64.0) AS DOUBLE) / 2) AS BIGINT) AS n_frames
+      FROM b
+    )
+    SELECT doc_id, n_frames,
+           -- kept chunks 0,2,4,…: all full (64B) except when the last
+           -- kept chunk is also the final (ragged) chunk
+           (n_frames - 1) * 64
+             + CASE WHEN 2 * (n_frames - 1) = n_chunks - 1
+                    THEN blen - (n_chunks - 1) * 64
+                    ELSE 64 END AS frame_bytes
+    FROM c ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def q67_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out (1→N mapInPandas): payload chunked into
+    64-byte 'frames', every 2nd kept; per-doc frame count and byte
+    totals hash-match the SQL arithmetic oracle — proving the fan-out
+    row accounting, not just the happy path."""
+    from ent_fins_lakehouse_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    env = to_binary_column(docs, "text", "doc_id")
+    frames = sample_frames(env.select("doc_id", "payload"), chunk_bytes=64, every_nth=2)
+    return (
+        frames.groupBy("doc_id")
+        .agg(F.count("*").alias("n_frames"), F.sum("frame_len").alias("frame_bytes"))
+        .orderBy("doc_id")
+    )

@@ -177,3 +177,31 @@ def test_winnow_guarantee_and_identity(spark):
         for r in winnow_overlap_pairs(docs, "doc_id", "text", min_shared=1).collect()
     }
     assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_resize_deterministic_and_sized(spark):
+    from ent_fins_lakehouse_spark.operators.multimodal import resize_images, to_binary_column
+
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "a much longer document body " * 10), (3, "")],
+        "doc_id LONG, text STRING",
+    )
+    env = to_binary_column(docs, "text", "doc_id")
+    out = {r["doc_id"]: r for r in resize_images(env, 4, 4).collect()}
+    assert all(len(r["payload"]) == 4 * 4 * 3 for r in out.values())
+    # bit-reproducible
+    again = {r["doc_id"]: r["checksum"] for r in resize_images(env, 4, 4).collect()}
+    assert again == {k: v["checksum"] for k, v in out.items()}
+
+
+def test_sample_frames_fanout_accounting(spark):
+    from ent_fins_lakehouse_spark.operators.multimodal import sample_frames, to_binary_column
+
+    text = "x" * 200  # 200 bytes -> chunks of 64: [64,64,64,8]; keep 0,2
+    docs = spark.createDataFrame([(1, text)], "doc_id LONG, text STRING")
+    env = to_binary_column(docs, "text", "doc_id")
+    rows = sample_frames(env.select("doc_id", "payload"), 64, 2).collect()
+    assert [(r["frame_idx"], r["frame_len"]) for r in sorted(rows, key=lambda r: r["frame_idx"])] == [
+        (0, 64),
+        (2, 64),
+    ]
