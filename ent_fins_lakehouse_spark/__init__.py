@@ -12,9 +12,49 @@ Everything is DataFrame-in / DataFrame-out; SQL and the DataFrame API
 are thin peers. No custom execution engine: logical plans are declared
 with the PySpark DataFrame/SQL API and Catalyst + Tungsten pick the
 physical strategy.
+
+Quick start::
+
+    from ent_fins_lakehouse_spark import get_session, LakeTable, Medallion
+
+    spark = get_session()
+    t = LakeTable(spark, "/data/silver_loans")
+    t.merge(updates, on=["id"])            # ACID upsert
+    t.read(version_as_of=3)                # time travel
 """
 
 from ent_fins_lakehouse_spark.session import get_session, stop_session
 
-__all__ = ["get_session", "stop_session"]
+
+def __getattr__(name):
+    # Lazy re-exports: keep `import ent_fins_lakehouse_spark` fast and
+    # py4j-free until a symbol is actually touched.
+    lazy = {
+        "LakeTable": ("ent_fins_lakehouse_spark.sources.lakehouse", "LakeTable"),
+        "LakehouseCatalog": ("ent_fins_lakehouse_spark.sources.catalog", "LakehouseCatalog"),
+        "LakehouseSession": ("ent_fins_lakehouse_spark.sources.catalog", "LakehouseSession"),
+        "Medallion": ("ent_fins_lakehouse_spark.etl", "Medallion"),
+        "load_table": ("ent_fins_lakehouse_spark.sources.readers", "load_table"),
+        "register_views": ("ent_fins_lakehouse_spark.sources.readers", "register_views"),
+        "read_lake_stream": ("ent_fins_lakehouse_spark.streaming.lake_source", "read_lake_stream"),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = [
+    "get_session",
+    "stop_session",
+    "LakeTable",
+    "LakehouseCatalog",
+    "LakehouseSession",
+    "Medallion",
+    "load_table",
+    "register_views",
+    "read_lake_stream",
+]
 __version__ = "0.1.0"
