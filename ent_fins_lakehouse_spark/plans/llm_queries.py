@@ -447,3 +447,57 @@ def q67_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_frames"), F.sum("frame_len").alias("frame_bytes"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q68_corpus_cleaning_pipeline",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, lang, text,
+             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_words,
+             CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / LENGTH(text) AS punct_ratio,
+             CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                  w -> list_contains(['the','a','of','and','to','in','is','that','it','for'], w))) AS DOUBLE)
+               / len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS stopword_ratio
+      FROM documents
+    ), clean AS (
+      SELECT * FROM m
+      WHERE n_words >= 30 AND stopword_ratio >= 0.05 AND punct_ratio <= 0.1
+    ), deduped AS (
+      SELECT MIN(doc_id) AS doc_id, ANY_VALUE(lang) AS lang, ANY_VALUE(n_words) AS n_words
+      FROM clean
+      GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    )
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_words) AS total_words
+    FROM deduped GROUP BY lang ORDER BY lang
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def q68_corpus_cleaning_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4-style cleaning pipeline as ONE composed plan: quality
+    metrics (codegen column ops) → threshold filter → exact-fingerprint
+    dedup (min-id survivor) → per-language accounting. One narrow map
+    + two shuffles (dedup agg on the 32-byte digest, final lang agg) —
+    the whole filter chain fuses into the scan at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = quality_metrics(docs.select("doc_id", "lang", "text"), "text")
+    clean = m.filter(
+        (F.col("n_words") >= 30)
+        & (F.col("stopword_ratio") >= 0.05)
+        & (F.col("punct_ratio") <= 0.1)
+    )
+    deduped = (
+        fingerprint(clean, "text")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.any_value("lang").alias("lang"),
+            F.any_value("n_words").alias("n_words"),
+        )
+    )
+    return (
+        deduped.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_words").alias("total_words"))
+        .orderBy("lang")
+    )

@@ -1036,3 +1036,41 @@ def q49_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q69_window_suite",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_custkey, o_totalprice, o_orderkey
+    """,
+    tags=("window",),
+)
+def q69_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions beyond rank/sum: lag, lead, ntile,
+    percent_rank, cume_dist over one per-customer ordered window — a
+    single shuffle on the partition key serves all five."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.filter(F.col("o_custkey") < 50)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+            F.lead("o_totalprice").over(w).alias("next_price"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("o_custkey", F.col("prev_price").asc_nulls_first(), "o_orderkey")
+    )
