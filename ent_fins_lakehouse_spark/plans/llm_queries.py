@@ -501,3 +501,33 @@ def q68_corpus_cleaning_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_words").alias("total_words"))
         .orderBy("lang")
     )
+
+
+@query(
+    "q75_sentence_udtf",
+    oracle="""
+    WITH parts AS (
+      SELECT doc_id, UNNEST(string_split(text, '. ')) AS sentence
+      FROM documents
+    )
+    SELECT doc_id, COUNT(*) AS n_sentences, SUM(LENGTH(sentence)) AS sent_chars
+    FROM parts WHERE sentence <> ''
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm", "text", "udtf"),
+)
+def q75_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4) in a LATERAL join: one doc row in, one
+    row per sentence out, aggregated back per doc — the table-function
+    surface of SURVEY §2.10 (absent from the reference)."""
+    from ent_fins_lakehouse_spark.functions.udxf import sentence_udtf
+
+    spark.udtf.register("split_sentences", sentence_udtf())
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT doc_id, COUNT(*) AS n_sentences, SUM(LENGTH(sentence)) AS sent_chars
+        FROM docs_for_udtf, LATERAL split_sentences(text)
+        GROUP BY doc_id ORDER BY doc_id
+        """
+    )

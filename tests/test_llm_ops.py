@@ -205,3 +205,31 @@ def test_sample_frames_fanout_accounting(spark):
         (0, 64),
         (2, 64),
     ]
+
+
+def test_sentence_udtf_lateral(spark):
+    from ent_fins_lakehouse_spark.functions.udxf import sentence_udtf
+
+    spark.udtf.register("split_sentences", sentence_udtf())
+    spark.createDataFrame(
+        [(1, "One. Two. Three"), (2, "Solo"), (3, None)], "doc_id LONG, text STRING"
+    ).createOrReplaceTempView("udtf_docs")
+    got = {
+        (r["doc_id"], r["sentence_idx"], r["sentence"])
+        for r in spark.sql(
+            "SELECT doc_id, sentence_idx, sentence FROM udtf_docs, LATERAL split_sentences(text)"
+        ).collect()
+    }
+    assert got == {(1, 0, "One"), (1, 1, "Two"), (1, 2, "Three"), (2, 0, "Solo")}
+
+
+def test_weighted_mean_udaf_groups_and_window(spark):
+    from ent_fins_lakehouse_spark.functions.udxf import weighted_mean_udaf
+
+    wm = weighted_mean_udaf()
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 3.0, 3.0), ("b", 10.0, 2.0)],
+        "k STRING, v DOUBLE, w DOUBLE",
+    )
+    got = {r["k"]: r["wmean"] for r in df.groupBy("k").agg(wm("v", "w").alias("wmean")).collect()}
+    assert got["a"] == (1 * 1 + 3 * 3) / 4 and got["b"] == 10.0
