@@ -156,6 +156,20 @@ class LakeTable:
             fh.write(commit.to_json())
 
     def _commit(self, operation: str, add: list[str], remove: list[str], schema: T.StructType, metrics: dict, retries: int = 10) -> int:
+        # data skipping: per-dir min/max column stats ride in the commit
+        # (one agg pass per added dir, before the commit race)
+        if add:
+            from ent_fins_lakehouse_spark.sources.skipping import collect_stats
+
+            stats = {}
+            for rel in add:
+                try:
+                    stats[rel] = collect_stats(
+                        self.spark.read.parquet(os.path.join(self.path, rel))
+                    )
+                except Exception:
+                    stats[rel] = {}  # stats are an optimization, never a failure
+            metrics = {**metrics, "stats": stats}
         for _ in range(retries):
             v = self.latest_version() + 1
             try:
@@ -230,15 +244,45 @@ class LakeTable:
 
     # ---------------------------------------------------------------- read
 
-    def read(self, version_as_of: int | None = None) -> DataFrame:
-        """Delta batch scan (S3) + time travel (D8 versionAsOf)."""
+    def _dir_stats(self, version: int | None = None) -> dict[str, dict]:
+        """Per-active-dir column stats from the commit log (metadata
+        only — no data I/O)."""
+        stats: dict[str, dict] = {}
+        for c in self._read_commits(up_to=version):
+            stats.update(c.metrics.get("stats", {}))
+        active, _ = self._snapshot(version)
+        return {rel: stats.get(rel, {}) for rel in active}
+
+    def read(self, version_as_of: int | None = None, where: str | None = None) -> DataFrame:
+        """Delta batch scan (S3) + time travel (D8 versionAsOf).
+
+        ``where`` enables data skipping: directories whose stored
+        [min, max] ranges cannot satisfy the predicate are never
+        listed, then the predicate is applied as a normal filter
+        (pruning only selects files; it never decides rows)."""
         active, schema = self._snapshot(version_as_of)
         if not active:
             if schema is None:
                 raise ValueError(f"table {self.path} does not exist")
             return self.spark.createDataFrame([], schema)
+        if where:
+            from ent_fins_lakehouse_spark.sources.skipping import prune_dirs
+
+            active, _pruned = prune_dirs(where, self._dir_stats(version_as_of), active)
+            if not active:
+                return self.spark.createDataFrame([], schema).filter(where)
         paths = [os.path.join(self.path, rel) for rel in active]
-        return self.spark.read.schema(schema).parquet(*paths)
+        out = self.spark.read.schema(schema).parquet(*paths)
+        return out.filter(where) if where else out
+
+    def scan_info(self, where: str | None = None) -> dict:
+        """Introspection: how many dirs a predicate scan would read
+        (tests + EXPLAIN-style visibility for skipping)."""
+        from ent_fins_lakehouse_spark.sources.skipping import prune_dirs
+
+        active, _ = self._snapshot()
+        cand, pruned = prune_dirs(where, self._dir_stats(), active)
+        return {"n_active": len(active), "n_read": len(cand), "n_pruned": len(pruned)}
 
     def history(self) -> DataFrame:
         """DESCRIBE HISTORY (D8, `01-Fraud-Delta.py:214`)."""
@@ -259,7 +303,17 @@ class LakeTable:
         active, schema = self._snapshot()
         if not active:
             return [], []
-        paths = {os.path.join(self.path, rel): rel for rel in active}
+        # stats pre-prune: dirs whose ranges can't match are untouched
+        # by definition — no verify scan needed for them
+        from ent_fins_lakehouse_spark.sources.skipping import prune_dirs
+
+        if isinstance(predicate, str):
+            candidates, skipped = prune_dirs(predicate, self._dir_stats(), active)
+        else:
+            candidates, skipped = active, []
+        if not candidates:
+            return [], active
+        paths = {os.path.join(self.path, rel): rel for rel in candidates}
         hit_files = (
             self.spark.read.schema(schema)
             .parquet(*paths)
@@ -388,14 +442,51 @@ class LakeTable:
         effect for those columns."""
         active, schema = self._snapshot()
         df = self.read()
+        adds: list[str]
         if zorder_by:
-            df = df.repartitionByRange(target_files, *zorder_by).sortWithinPartitions(*zorder_by)
-            rel = self._write_data_dir(df)
+            adds = self._write_zordered(df, zorder_by, target_files)
         else:
-            rel = self._write_data_dir(df, target_files=target_files)
+            adds = [self._write_data_dir(df, target_files=target_files)]
         metrics = {"dirs_compacted": len(active), "zorder_by": zorder_by or []}
-        self._commit("optimize", [rel], active, schema, metrics)
+        self._commit("optimize", adds, active, schema, metrics)
         return metrics
+
+    def _write_zordered(self, df: DataFrame, zorder_by: list[str], n_slices: int) -> list[str]:
+        """Write the snapshot as ``n_slices`` range-disjoint data dirs
+        clustered on the leading Z-ORDER column (quantile boundaries),
+        each internally sorted on all cluster columns. Disjoint per-dir
+        ranges are what make the commit-log min/max stats selective —
+        a point/range predicate on the cluster key then prunes to
+        O(1/n_slices) of the dirs (see sources/skipping.py)."""
+        lead = zorder_by[0]
+        try:
+            qs = [i / n_slices for i in range(1, n_slices)]
+            bounds = sorted(set(df.approxQuantile(lead, qs, 0.001)))
+        except Exception:
+            bounds = []  # non-numeric leading column: single clustered dir
+        df = df.persist()
+        try:
+            adds = []
+            lo = None
+            for b in [*bounds, None]:
+                sl = df
+                if lo is not None:
+                    sl = sl.filter(F.col(lead) > lo)
+                if b is not None:
+                    sl = sl.filter(F.col(lead) <= b)
+                sl = sl.sortWithinPartitions(*zorder_by)
+                if sl.isEmpty():
+                    lo = b
+                    continue
+                adds.append(self._write_data_dir(sl, target_files=1))
+                lo = b
+            # rows with NULL in the lead column fall outside every range
+            nulls = df.filter(F.col(lead).isNull())
+            if not nulls.isEmpty():
+                adds.append(self._write_data_dir(nulls, target_files=1))
+            return adds
+        finally:
+            df.unpersist()
 
     def vacuum(self) -> int:
         """Physically delete data dirs no longer referenced by the
