@@ -346,3 +346,99 @@ def q46_stream_from_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.sum(dec("value")).cast("double").alias("total_value"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "q76_stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def q76_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: the landing zone is written TWICE
+    (at-least-once delivery), the stream drops duplicate event_ids
+    with ``dropDuplicates`` state across microbatches — output equals
+    the exactly-once batch answer."""
+    root = tempfile.mkdtemp(prefix="stream_dedup_")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    src = os.path.join(root, "landing")
+    ev.write.mode("overwrite").json(src)
+    ev.write.mode("append").json(src)  # duplicate delivery
+
+    schema = "event_id LONG, event_type STRING"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .json(src)
+        .dropDuplicates(["event_id"])
+    )
+    target, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .format("parquet")
+        .option("checkpointLocation", ckpt)
+        .start(target)
+    )
+    q.awaitTermination()
+    out = spark.read.schema(schema).parquet(target)
+    return out.groupBy("event_type").agg(F.count("*").alias("n")).orderBy("event_type")
+
+
+@query(
+    "q77_stream_upsert_cdc",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_id % 500 AS key, user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_id % 500 ORDER BY event_id DESC) AS rk
+      FROM events
+    )
+    SELECT key, user_id, value FROM ranked WHERE rk = 1 ORDER BY key
+    """,
+    tags=("streaming", "lakehouse", "merge"),
+)
+def q77_stream_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical CDC pattern (streaming + MERGE, the reference's
+    two core demos composed): a stream of keyed updates applied to an
+    ACID lake table via per-microbatch MERGE in foreachBatch. Each
+    batch dedups to last-change-per-key before merging; the final
+    table state equals 'latest change wins' over the whole feed."""
+    root = tempfile.mkdtemp(prefix="stream_cdc_")
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 500).alias("key"), "event_id", "user_id", "value"
+    )
+    src = os.path.join(root, "changes")
+    # 3 files -> 3 microbatches; event_id orders the change feed
+    ev.withColumn("_w", F.col("event_id") % 3).repartition(3, "_w").drop("_w").write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    table = LakeTable(spark, os.path.join(root, "state"))
+    table.write(
+        spark.createDataFrame([], "key LONG, event_id LONG, user_id LONG, value DOUBLE"),
+        mode="overwrite",
+    )
+
+    def upsert_batch(bdf: DataFrame, _bid: int) -> None:
+        w = W.partitionBy("key").orderBy(F.desc("event_id"))
+        last = (
+            bdf.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        # out-of-order guard: batches arrive in file order, not change
+        # order — only apply changes newer than the current row
+        table.merge(last, on=["key"], matched_condition="s.event_id > t.event_id")
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .foreachBatch(upsert_batch)
+        .start()
+    )
+    q.awaitTermination()
+    return table.read().select("key", "user_id", "value").orderBy("key")

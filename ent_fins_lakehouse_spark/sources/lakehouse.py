@@ -365,6 +365,11 @@ class LakeTable:
         append updated+inserted source rows — one new data dir, only
         touched dirs rewritten. The equi-join is Spark-planned
         (broadcast if source is small, SMJ otherwise).
+
+        ``matched_condition``: SQL over aliases ``t`` (target) and
+        ``s`` (source), e.g. ``"s.version > t.version"`` — WHEN MATCHED
+        AND cond THEN UPDATE; a matched row failing the condition keeps
+        its target version (the CDC out-of-order guard).
         """
         if not self.exists():
             raise ValueError(f"merge target {self.path} does not exist")
@@ -396,18 +401,32 @@ class LakeTable:
 
         parts: list[DataFrame] = []
         n_updated = 0
+        # keys whose target row is actually replaced: matched AND (when
+        # given) passing the t-vs-s condition — a condition-false match
+        # must KEEP the target row, not drop it
+        upd_keys = keys
+        if when_matched_update_all and matched_condition and touched:
+            tpaths = [os.path.join(self.path, rel) for rel in touched]
+            tdf_cond = self.spark.read.schema(schema).parquet(*tpaths)
+            upd_keys = (
+                tdf_cond.alias("t")
+                .join(F.broadcast(source).alias("s"), on=on, how="inner")
+                .filter(F.expr(matched_condition))
+                .select(*on)
+                .distinct()
+            )
         if touched:
             tpaths = [os.path.join(self.path, rel) for rel in touched]
             tdf = self.spark.read.schema(schema).parquet(*tpaths)
             if when_matched_update_all:
-                cond_keep = tdf.join(F.broadcast(keys), on=on, how="left_anti")
+                cond_keep = tdf.join(F.broadcast(upd_keys), on=on, how="left_anti")
                 parts.append(cond_keep)
             else:
                 parts.append(tdf)
         if when_matched_update_all:
             matched_src = source.join(F.broadcast(self.read().select(*on).distinct()), on=on, how="left_semi")
             if matched_condition:
-                matched_src = matched_src.filter(F.expr(matched_condition))
+                matched_src = matched_src.join(F.broadcast(upd_keys), on=on, how="left_semi")
             parts.append(matched_src)
         if when_not_matched_insert_all:
             inserted = source.join(self.read().select(*on).distinct(), on=on, how="left_anti")

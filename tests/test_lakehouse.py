@@ -148,3 +148,14 @@ def test_catalog_sql_ddl(spark, tmp_path):
     assert lh.sql("SHOW TABLES IN lending").count() == 0
     lh.sql("DROP DATABASE IF EXISTS lending CASCADE")
     assert lh.sql("SHOW DATABASES").count() == 0
+
+
+def test_merge_matched_condition_keeps_stale_target(spark, tmp_path):
+    """WHEN MATCHED AND s.v > t.v: a condition-false match must keep
+    the target row (regression: it used to be dropped)."""
+    t = _table(spark, tmp_path)
+    t.write(spark.createDataFrame([(1, 10), (2, 10)], "k INT, ver INT"))
+    src = spark.createDataFrame([(1, 20), (2, 5), (3, 1)], "k INT, ver INT")
+    t.merge(src, on=["k"], matched_condition="s.ver > t.ver")
+    out = {r["k"]: r["ver"] for r in t.read().collect()}
+    assert out == {1: 20, 2: 10, 3: 1}
