@@ -233,3 +233,25 @@ def test_weighted_mean_udaf_groups_and_window(spark):
     )
     got = {r["k"]: r["wmean"] for r in df.groupBy("k").agg(wm("v", "w").alias("wmean")).collect()}
     assert got["a"] == (1 * 1 + 3 * 3) / 4 and got["b"] == 10.0
+
+
+def test_connected_components_label_propagation_path(spark):
+    """Force the distributed fallback (limit=0) — must agree with the
+    union-find result on a graph with chains, cycles and singletons."""
+    from ent_fins_lakehouse_spark.operators.dedup import dedup_connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (20, 21), (21, 22), (22, 20)],
+        "id_a LONG, id_b LONG",
+    )
+    ids = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 22, 99]], "doc_id LONG"
+    )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 99: 99}
+    lp = {
+        r["doc_id"]: r["group_id"]
+        for r in dedup_connected_components(
+            pairs, ids, "doc_id", driver_union_find_limit=0
+        ).collect()
+    }
+    assert lp == want
