@@ -366,7 +366,7 @@ def q65_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
     scored AS (
       SELECT tf.doc_id, tf.term,
-             tf.tf * (LN((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf
+             ROUND(tf.tf * (LN((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 4) AS tfidf
       FROM tf JOIN df USING (term) CROSS JOIN n
     ), ranked AS (
       SELECT doc_id, term, tfidf,
@@ -400,7 +400,10 @@ def q66_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = tf.join(F.broadcast(df_), "term").select(
         "doc_id",
         "term",
-        (F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0)).alias("tfidf"),
+        # rounded to 4dp: ln() is not correctly rounded and drifts by
+        # 1 ulp between JVM and libm on some inputs — raw doubles would
+        # flip rank-boundary ties and hash-mismatch the oracle
+        F.round(F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 4).alias("tfidf"),
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
