@@ -1074,3 +1074,31 @@ def q69_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", F.col("prev_price").asc_nulls_first(), "o_orderkey")
     )
+
+
+@query(
+    "q78_array_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           list_sort(array_agg(DISTINCT o_orderpriority)) AS priorities,
+           COUNT(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("agg", "array"),
+)
+def q78_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: collect_set sorted for a deterministic value
+    hash (collect_list/collect_set ordering is partitioning-dependent —
+    sort_array is the portable contract)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
