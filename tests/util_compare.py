@@ -56,4 +56,9 @@ def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
             # pandas may surface SQL NULL as None / NaN / NaT interchangeably
             if (x is None or xnan or x is pd.NaT) and (y is None or ynan or y is pd.NaT):
                 continue
+            # array columns arrive as list (Spark) / ndarray (DuckDB)
+            if isinstance(x, (list, tuple)) or hasattr(x, "tolist"):
+                x = tuple(x.tolist() if hasattr(x, "tolist") else x)
+            if isinstance(y, (list, tuple)) or hasattr(y, "tolist"):
+                y = tuple(y.tolist() if hasattr(y, "tolist") else y)
             assert x == y, f"{name}: col {c} row {i}: spark={x!r} duck={y!r}"
