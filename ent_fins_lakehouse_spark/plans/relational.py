@@ -1102,3 +1102,81 @@ def q78_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q79_rolling_time_window",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_prev_hour,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) OVER w AS DOUBLE) AS sum_prev_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    tags=("window", "temporal", "events"),
+)
+def q79_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (not row-count): per-user rolling
+    1-hour count/sum over event time — the feature-engineering shape
+    for transaction velocity checks. Spark expresses range frames over
+    timestamps via rangeBetween on the epoch seconds ordering."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)  # 1 hour in microseconds
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.count("*").over(w).alias("n_prev_hour"),
+            F.sum(dec("value")).over(w).cast("double").alias("sum_prev_hour"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q80_fuzzy_entity_match",
+    oracle="""
+    WITH probes AS (
+      SELECT c_custkey AS probe_id,
+             CONCAT(SUBSTRING(c_name, 1, 2), SUBSTRING(c_name, 4, LENGTH(c_name))) AS probe_name,
+             c_nationkey
+      FROM customer WHERE c_custkey % 150 = 0
+    )
+    SELECT p.probe_id, c.c_custkey AS matched_id,
+           levenshtein(p.probe_name, c.c_name) AS dist
+    FROM probes p JOIN customer c
+      ON p.c_nationkey = c.c_nationkey
+    WHERE levenshtein(p.probe_name, c.c_name) <= 1
+    ORDER BY probe_id, matched_id
+    """,
+    tags=("join", "fuzzy", "dedup"),
+)
+def q80_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity linking by edit distance: a probe list of corrupted
+    names (one character dropped) fuzzy-joined back to the master
+    table — nation blocking bounds the candidates, the small probe
+    side broadcasts, Levenshtein ≤ 1 verifies. Linear in the master
+    table; the all-pairs variant is the near-dup family's job."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    probes = cust.filter(F.col("c_custkey") % 150 == 0).select(
+        F.col("c_custkey").alias("probe_id"),
+        F.concat(
+            F.substring("c_name", 1, 2),
+            F.expr("substring(c_name, 4, length(c_name))"),
+        ).alias("probe_name"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    dist = F.levenshtein("probe_name", "c_name")
+    return (
+        F.broadcast(probes)
+        .join(cust, probes["nk"] == cust["c_nationkey"])
+        .select("probe_id", F.col("c_custkey").alias("matched_id"), dist.alias("dist"))
+        .filter(F.col("dist") <= 1)
+        .orderBy("probe_id", "matched_id")
+    )
