@@ -1180,3 +1180,37 @@ def q80_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 1)
         .orderBy("probe_id", "matched_id")
     )
+
+
+@query(
+    "q81_deterministic_sample",
+    oracle="""
+    WITH s AS (
+      SELECT * FROM orders
+      WHERE CAST(('0x' || SUBSTRING(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 5 = 0
+    )
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM s GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("sample", "agg"),
+)
+def q81_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% sample by key hash (md5 bucket), not
+    seed+partition-dependent Bernoulli: the reproducible sampling a
+    training pipeline needs — same rows on any engine, any cluster
+    size, any run. Filter is a pure row-local expression (fused into
+    the scan); the aggregate proves the same rows were chosen."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 5
+    return (
+        orders.filter(bucket == 0)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("o_totalprice", 2)).cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
