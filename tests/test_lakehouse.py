@@ -159,3 +159,36 @@ def test_merge_matched_condition_keeps_stale_target(spark, tmp_path):
     t.merge(src, on=["k"], matched_condition="s.ver > t.ver")
     out = {r["k"]: r["ver"] for r in t.read().collect()}
     assert out == {1: 20, 2: 10, 3: 1}
+
+
+def test_concurrent_appenders_all_commit(spark, tmp_path):
+    """8 threads x 5 appends racing on one table: optimistic
+    concurrency must linearize all 40 commits with no lost rows and
+    dense version numbers."""
+    import threading
+
+    t = _table(spark, tmp_path)
+    t.write(spark.createDataFrame([(-1, "seed")], "k INT, v STRING"))
+    errors = []
+
+    def appender(tid: int) -> None:
+        from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
+
+        try:
+            mine = LakeTable(spark, t.path)
+            for i in range(5):
+                mine.insert_into(
+                    spark.createDataFrame([(tid * 100 + i, f"t{tid}")], "k INT, v STRING")
+                )
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    threads = [threading.Thread(target=appender, args=(tid,)) for tid in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert t.read().count() == 1 + 8 * 5
+    versions = [c.version for c in t._read_commits()]
+    assert versions == list(range(len(versions))), "versions must be dense"
