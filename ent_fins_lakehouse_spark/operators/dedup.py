@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def normalize_text(col) -> "F.Column":
@@ -449,7 +450,13 @@ def dedup_connected_components(
         if not mapping:
             return ids.select(F.col(id_col), F.col(id_col).alias("group_id"))
         spark = ids.sparkSession
-        mdf = spark.createDataFrame(mapping, f"{id_col} LONG, _grp LONG")
+        id_type = ids.schema[id_col].dataType
+        mdf = spark.createDataFrame(
+            mapping,
+            T.StructType(
+                [T.StructField(id_col, id_type), T.StructField("_grp", id_type)]
+            ),
+        )
         return ids.join(F.broadcast(mdf), id_col, "left").select(
             F.col(id_col), F.coalesce("_grp", F.col(id_col)).alias("group_id")
         )

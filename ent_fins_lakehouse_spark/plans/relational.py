@@ -1080,7 +1080,7 @@ def q69_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q78_array_agg",
     oracle="""
     SELECT c_mktsegment,
-           list_sort(array_agg(DISTINCT o_orderpriority)) AS priorities,
+           array_to_string(list_sort(array_agg(DISTINCT o_orderpriority)), '|') AS priorities,
            COUNT(*) AS n
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment ORDER BY c_mktsegment
@@ -1090,14 +1090,18 @@ def q69_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q78_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: collect_set sorted for a deterministic value
     hash (collect_list/collect_set ordering is partitioning-dependent —
-    sort_array is the portable contract)."""
+    sort_array is the portable contract). The sorted array is serialized
+    with array_join on both sides because the driver's pandas-based
+    canonicalizer cannot sort/hash list-valued cells."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     return (
         orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
         .groupBy("c_mktsegment")
         .agg(
-            F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderpriority")), "|"
+            ).alias("priorities"),
             F.count("*").alias("n"),
         )
         .orderBy("c_mktsegment")

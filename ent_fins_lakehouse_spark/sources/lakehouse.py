@@ -155,7 +155,16 @@ class LakeTable:
         with os.fdopen(fd, "w") as fh:
             fh.write(commit.to_json())
 
-    def _commit(self, operation: str, add: list[str], remove: list[str], schema: T.StructType, metrics: dict, retries: int = 10) -> int:
+    def _commit(
+        self,
+        operation: str,
+        add: list[str],
+        remove: list[str],
+        schema: T.StructType,
+        metrics: dict,
+        retries: int = 10,
+        base_version: int | None = None,
+    ) -> int:
         # data skipping: per-dir min/max column stats ride in the commit
         # (one agg pass per added dir, before the commit race)
         if add:
@@ -172,6 +181,18 @@ class LakeTable:
             metrics = {**metrics, "stats": stats}
         for _ in range(retries):
             v = self.latest_version() + 1
+            # Rewriting ops (remove-carrying: delete/merge/optimize/
+            # overwrite) planned their remove set against a snapshot; a
+            # commit that landed since then invalidates that plan even
+            # though the O_EXCL create would succeed at latest+1 — the
+            # stale remove set would resurrect deleted rows / duplicate
+            # data. Revalidate the read snapshot at commit time.
+            if base_version is not None and v != base_version + 1:
+                raise ConcurrentWriteError(
+                    f"snapshot changed under {operation}: planned against "
+                    f"version {base_version}, latest is now {v - 1} — "
+                    f"re-plan against the current snapshot"
+                )
             try:
                 self._try_commit(
                     Commit(
@@ -217,6 +238,21 @@ class LakeTable:
                 f"schema enforcement: incoming {sorted(have)} != committed {sorted(want)} "
                 f"for {self.path} (pass merge_schema=True to evolve)"
             )
+        # evolution adds NEW columns only; a same-name column with a
+        # different type is rejected (Delta rejects incompatible type
+        # changes — silently replacing the committed type would make
+        # read() apply the new schema to old parquet dirs)
+        conflicts = {
+            n: (want[n].simpleString(), have[n].simpleString())
+            for n in have
+            if n in want and have[n] != want[n]
+        }
+        if conflicts:
+            raise ValueError(
+                f"schema evolution cannot change column types for {self.path}: "
+                f"{conflicts} (committed_type, incoming_type) — cast the "
+                "incoming DataFrame to the committed types first"
+            )
         # evolution: union of columns, nulls for what either side lacks
         cols = [f.name for f in committed.fields] + [n for n in have if n not in want]
         return df.select(
@@ -229,13 +265,15 @@ class LakeTable:
     def write(self, df: DataFrame, mode: str = "overwrite", merge_schema: bool = False) -> "LakeTable":
         """S8-equivalent: persist a DataFrame as a table version
         (`01-Fraud-Delta.py:116` write.format('delta').mode('overwrite'))."""
-        _, committed = self._snapshot() if self.exists() else ([], None)
+        base = self.latest_version()
+        old, committed = self._snapshot() if self.exists() else ([], None)
         if mode == "append":
             df = self._check_schema(df, committed, merge_schema)
         rel = self._write_data_dir(df)
-        old, _ = self._snapshot() if self.exists() else ([], None)
         if mode == "overwrite":
-            self._commit("overwrite", [rel], old, df.schema, {})
+            # overwrite removes the planned snapshot's dirs: revalidate
+            # that snapshot at commit time (base_version)
+            self._commit("overwrite", [rel], old, df.schema, {}, base_version=base)
         elif mode == "append":
             self._commit("append", [rel], [], df.schema, {})
         else:
@@ -335,6 +373,7 @@ class LakeTable:
     def delete(self, predicate: str) -> dict:
         """DELETE FROM … WHERE (D5, `01-Fraud-Delta.py:159` GDPR
         delete). Rewrites only data dirs containing matching rows."""
+        base = self.latest_version()
         pred = F.expr(predicate)
         touched, _ = self._dirs_touching(pred)
         if not touched:
@@ -346,7 +385,7 @@ class LakeTable:
         rel = self._write_data_dir(remaining)
         n_after = remaining.count()
         metrics = {"dirs_rewritten": len(touched), "rows_deleted": n_before - n_after}
-        self._commit("delete", [rel], touched, schema, metrics)
+        self._commit("delete", [rel], touched, schema, metrics, base_version=base)
         return metrics
 
     def merge(
@@ -373,8 +412,33 @@ class LakeTable:
         """
         if not self.exists():
             raise ValueError(f"merge target {self.path} does not exist")
+        base = self.latest_version()
         _, schema = self._snapshot()
         source = self._check_schema(source, schema, merge_schema=False)
+
+        if when_matched_update_all:
+            # Delta raises when a target row matches multiple source
+            # rows (nondeterministic update); silently appending every
+            # match would duplicate the key. Detect dup source keys that
+            # actually match the target and refuse.
+            dup_keys = (
+                source.groupBy(*on)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .drop("_n")
+            )
+            dup_matched = (
+                dup_keys.join(self.read().select(*on).distinct(), on=on, how="left_semi")
+                .limit(1)
+                .collect()
+            )
+            if dup_matched:
+                raise ValueError(
+                    f"MERGE source has multiple rows for key "
+                    f"{dup_matched[0].asDict()} matching the target — "
+                    "dedup the source change feed before merging "
+                    "(Delta-equivalent multiple-source-matches error)"
+                )
 
         keys = source.select(*on).distinct()
         key_pred = None  # predicate form for dir pruning: key IN (...)
@@ -437,7 +501,7 @@ class LakeTable:
             combined = combined.unionByName(p)
         rel = self._write_data_dir(combined)
         metrics = {"dirs_rewritten": len(touched)}
-        self._commit("merge", [rel], touched, schema, metrics)
+        self._commit("merge", [rel], touched, schema, metrics, base_version=base)
         return metrics
 
     def insert_values(self, rows: list[tuple]) -> None:
@@ -459,6 +523,7 @@ class LakeTable:
         Z-ORDER approximation: range-partition + sort on the cluster
         columns so min/max footer stats give the same file-skipping
         effect for those columns."""
+        base = self.latest_version()
         active, schema = self._snapshot()
         df = self.read()
         adds: list[str]
@@ -467,7 +532,7 @@ class LakeTable:
         else:
             adds = [self._write_data_dir(df, target_files=target_files)]
         metrics = {"dirs_compacted": len(active), "zorder_by": zorder_by or []}
-        self._commit("optimize", adds, active, schema, metrics)
+        self._commit("optimize", adds, active, schema, metrics, base_version=base)
         return metrics
 
     def _write_zordered(self, df: DataFrame, zorder_by: list[str], n_slices: int) -> list[str]:

@@ -16,6 +16,7 @@ optimization and must NEVER change results.
 
 from __future__ import annotations
 
+import math
 import re
 
 from pyspark.sql import DataFrame
@@ -85,7 +86,17 @@ def parse_conjuncts(predicate: str) -> list[tuple[str, str, object]] | None:
     return out or None
 
 
+def _is_nan(v) -> bool:
+    return isinstance(v, float) and math.isnan(v)
+
+
 def _comparable(lit, lo, hi) -> bool:
+    # NaN bounds make the range meaningless: Spark's max() returns NaN
+    # when any value is NaN and Spark SQL orders NaN above everything,
+    # while Python's nan comparisons are all False — treating such a
+    # range as "no stats" keeps pruning sound.
+    if _is_nan(lo) or _is_nan(hi):
+        return False
     return isinstance(lit, str) == isinstance(lo, str)
 
 

@@ -192,3 +192,81 @@ def test_concurrent_appenders_all_commit(spark, tmp_path):
     assert t.read().count() == 1 + 8 * 5
     versions = [c.version for c in t._read_commits()]
     assert versions == list(range(len(versions))), "versions must be dense"
+
+
+def test_stale_rewrite_rejected_when_commit_lands_mid_plan(spark, tmp_path):
+    """ADVICE r1: a rewriting op whose read snapshot is invalidated by a
+    commit landing during its rewrite phase must NOT commit cleanly at
+    latest+1 — the stale remove set would resurrect deleted rows."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import ConcurrentWriteError
+
+    t = _table(spark, tmp_path)
+    t.write(spark.createDataFrame([(i, "x") for i in range(10)], "k INT, v STRING"))
+    base = t.latest_version()
+    active, schema = t._snapshot()
+    # another writer lands an append between plan and commit
+    t.write(spark.createDataFrame([(99, "y")], "k INT, v STRING"), mode="append")
+    with pytest.raises(ConcurrentWriteError, match="snapshot changed"):
+        t._commit("delete", [], active, schema, {}, base_version=base)
+    # blind appends (no base_version) still commit fine
+    t._commit("append", [], [], schema, {})
+
+
+def test_delete_append_race_preserves_append(spark, tmp_path):
+    """End-to-end race: DELETE planned against v0 must fail if an append
+    commits first; retrying against the new snapshot keeps the appended
+    rows and removes the deleted ones."""
+    from ent_fins_lakehouse_spark.sources import lakehouse as lh
+
+    t = _table(spark, tmp_path)
+    t.write(spark.createDataFrame([(i,) for i in range(10)], "k INT"))
+    orig = lh.LakeTable._write_data_dir
+    raced = {"done": False}
+
+    def racing_write(self, df, target_files=None):
+        rel = orig(self, df, target_files)
+        if not raced["done"]:
+            raced["done"] = True
+            # simulate a concurrent appender landing during the rewrite
+            other = lh.LakeTable(spark, self.path)
+            other.write(spark.createDataFrame([(100,)], "k INT"), mode="append")
+        return rel
+
+    lh.LakeTable._write_data_dir = racing_write
+    try:
+        with pytest.raises(lh.ConcurrentWriteError):
+            t.delete("k < 5")
+    finally:
+        lh.LakeTable._write_data_dir = orig
+    # re-plan against the winner's snapshot succeeds
+    t.delete("k < 5")
+    ks = sorted(r["k"] for r in t.read().collect())
+    assert ks == [5, 6, 7, 8, 9, 100]
+
+
+def test_schema_evolution_rejects_type_conflict(spark, tmp_path):
+    """ADVICE r1: merge_schema=True must not silently replace a
+    committed column type (Delta rejects incompatible type changes)."""
+    t = _table(spark, tmp_path)
+    t.write(spark.createDataFrame([(1, "a")], "k INT, v STRING"))
+    with pytest.raises(ValueError, match="cannot change column types"):
+        t.write(
+            spark.createDataFrame([(2.5, "b")], "k DOUBLE, v STRING"),
+            mode="append",
+            merge_schema=True,
+        )
+
+
+def test_merge_duplicate_source_keys_raises(spark, tmp_path):
+    """ADVICE r1: duplicate keys in the MERGE source that match the
+    target must raise (Delta multiple-source-matches error), not
+    silently multiply rows."""
+    t = _table(spark, tmp_path)
+    t.write(spark.createDataFrame([(1, "old")], "k INT, v STRING"))
+    dup_src = spark.createDataFrame([(1, "a"), (1, "b")], "k INT, v STRING")
+    with pytest.raises(ValueError, match="multiple rows"):
+        t.merge(dup_src, on=["k"])
+    # duplicates that do NOT match the target are plain inserts — allowed
+    ins_src = spark.createDataFrame([(2, "a"), (2, "b")], "k INT, v STRING")
+    t.merge(ins_src, on=["k"])
+    assert t.read().filter("k = 2").count() == 2

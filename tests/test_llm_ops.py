@@ -255,3 +255,16 @@ def test_connected_components_label_propagation_path(spark):
         ).collect()
     }
     assert lp == want
+
+
+def test_connected_components_string_ids(spark):
+    """ADVICE r1: the driver-side union-find path must honor the id
+    column's actual type (was hardcoded LONG)."""
+    from ent_fins_lakehouse_spark.operators.dedup import dedup_connected_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a STRING, id_b STRING"
+    )
+    ids = spark.createDataFrame([("a",), ("b",), ("c",), ("x",), ("y",), ("z",)], "doc STRING")
+    out = {r["doc"]: r["group_id"] for r in dedup_connected_components(pairs, ids, "doc").collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "z"}

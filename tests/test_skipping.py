@@ -81,3 +81,24 @@ def test_string_stats_prune(spark, tmp_path):
     t.insert_into(spark.createDataFrame([("xray",), ("zulu",)], "w STRING"))
     assert t.scan_info("w = 'zebra'")["n_read"] == 1
     assert t.read(where="w = 'zulu'").count() == 1
+
+
+def test_nan_bounds_never_prune(spark, tmp_path):
+    """ADVICE r1: Spark orders NaN above all values ('x > 5' matches
+    NaN rows) but Python nan comparisons are all False — a dir whose
+    max is NaN must be treated as having no stats, not pruned."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
+    from ent_fins_lakehouse_spark.sources.skipping import range_may_match
+
+    assert range_may_match([("x", ">", 5)], {"x": [1.0, float("nan")]})
+    assert range_may_match([("x", "=", 7)], {"x": [float("nan"), float("nan")]})
+
+    t = LakeTable(spark, str(tmp_path / "nan_t"))
+    t.write(spark.createDataFrame([(1.0,), (2.0,), (float("nan"),)], "x DOUBLE"))
+    t.write(spark.createDataFrame([(3.0,), (4.0,)], "x DOUBLE"), mode="append")
+    pruned = t.read(where="x > 5")
+    full = t.read().filter("x > 5")
+    assert sorted(map(str, (r["x"] for r in pruned.collect()))) == sorted(
+        map(str, (r["x"] for r in full.collect()))
+    )
+    assert pruned.count() == 1  # the NaN row
