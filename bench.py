@@ -65,10 +65,25 @@ def main() -> int:
 
     spark = get_session(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # Warm the JVM / codegen paths so q01 doesn't pay session startup.
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     qmap = queries_map()
+    # Warm-run benchmarking: execute every headline query once at the
+    # smallest scale factor first, so the timed pass measures the
+    # engine (scan → shuffle → agg), not one-time JVM/codegen compile,
+    # parquet-reader init, and Python/Arrow worker spin-up. q53 cold is
+    # 8.5 s vs 1.6 s warm from worker startup alone; on a real cluster
+    # these costs amortize across a session, so steady state is the
+    # honest per-query number.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            try:
+                qmap[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass  # warmup is best-effort; the timed pass will surface real failures
+    else:
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qmap[name]
