@@ -1218,3 +1218,352 @@ def q81_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q82_small_qty_revenue",
+    oracle="""
+    WITH part_avg AS (
+      SELECT l_partkey,
+             (CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(l_quantity)) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                / CAST(7 AS DOUBLE) AS DOUBLE) AS avg_yearly
+    FROM lineitem JOIN part_avg USING (l_partkey)
+    WHERE l_quantity < 0.2 * avg_qty
+    """,
+    tags=("subquery", "join", "agg"),
+)
+def q82_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated into a broadcast aggregate join — the
+    Spark-first plan for `WHERE x < (SELECT 0.2*avg(..) WHERE same
+    part)`. The per-part avg is ~|part| rows, broadcastable at any SF;
+    both engines compute the threshold with the identical decimal-sum/
+    count double division, so the boundary comparison is bit-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(davg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(F.broadcast(part_avg), "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (dsum("l_extendedprice", 2) / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q83_priority_exists_count",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("subquery", "exists", "sql", "agg"),
+)
+def q83_priority_exists_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS + aggregate, entered through
+    the SQL surface (`spark.sql` over registered views — the
+    reference's EP2 path, `02- Databricks_SQL_Scripts.sql`). Catalyst
+    rewrites the EXISTS into a left-semi hash join; the date filter is
+    pushed to the orders scan."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "q84_cheapest_supplier_per_part",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)) AS unit_cost
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT c.l_partkey AS p_partkey, c.l_suppkey AS s_suppkey, s_name, c.unit_cost
+    FROM cost c JOIN supplier ON c.l_suppkey = s_suppkey
+    WHERE c.unit_cost = (SELECT MIN(c2.unit_cost) FROM cost c2
+                         WHERE c2.l_partkey = c.l_partkey)
+    ORDER BY p_partkey, s_suppkey
+    """,
+    tags=("subquery", "join"),
+)
+def q84_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp table — unit cost derived
+    from lineitem): per-part correlated MIN subquery, decorrelated into
+    a per-part min aggregate + equality join-back. Both engines derive
+    unit_cost with the same IEEE double division over the same rows, so
+    the min and the equality match bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    cost = (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.col("l_extendedprice").cast("double")
+                / F.col("l_quantity").cast("double")
+            ).alias("unit_cost")
+        )
+    )
+    part_min = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    return (
+        cost.join(F.broadcast(part_min), "l_partkey")
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(supp), cost["l_suppkey"] == supp["s_suppkey"])
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "unit_cost",
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+@query(
+    "q85_customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("join", "agg", "outer"),
+)
+def q85_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: order-count histogram over a left outer join —
+    customers with zero orders must survive as c_count=0. Two-level
+    aggregation; the second groupBy is tiny (distinct counts), so the
+    only real shuffle is the c_custkey one, which AQE coalesces."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q86_large_volume_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey
+                         HAVING SUM(CAST(l_quantity AS DECIMAL(12,4))) > 250)
+    GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    tags=("subquery", "having", "join", "agg"),
+)
+def q86_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: HAVING-filtered IN subquery (big orders by total
+    quantity) joined back to customer/orders. The big-order key set is
+    aggregated first and semi-joined (broadcast — it's tiny after the
+    HAVING), so lineitem is scanned twice but shuffled on l_orderkey
+    only once per scan; deterministic LIMIT via (o_totalprice,
+    o_orderkey) total order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"], "left_semi")
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q87_returned_item_revenue",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "agg", "topk"),
+)
+def q87_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: lost-revenue ranking — 4-table join with the
+    l_returnflag filter pushed to the lineitem scan, nation broadcast,
+    deterministic top-20 via (revenue, c_custkey). Revenue is exact
+    decimal on both engines so the DESC order has no float ties."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q88_nation_market_share",
+    oracle="""
+    SELECT order_year,
+           CAST(CAST(SUM(CASE WHEN n_name = 'NATION_7' THEN rev
+                              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                / CAST(SUM(rev) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT EXTRACT(year FROM o_orderdate) AS order_year, n_name,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS rev
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    )
+    GROUP BY order_year
+    ORDER BY order_year
+    """,
+    tags=("join", "agg", "conditional"),
+)
+def q88_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of supplier revenue per order
+    year — conditional aggregation over a 4-table join. Numerator and
+    denominator stay exact decimal until one final double division
+    (identical IEEE op both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = revenue_expr().cast("decimal(18,4)")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.year("o_orderdate").alias("order_year"),
+            "n_name",
+            rev.alias("rev"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        joined.groupBy("order_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("n_name") == "NATION_7", F.col("rev")).otherwise(zero)).cast("double")
+                / F.sum("rev").cast("double")
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+        .orderBy("order_year")
+    )
+
+
+@query(
+    "q89_salted_skew_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("join", "skew"),
+)
+def q89_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join (operators/skew.py salted_join): the
+    left side's rows are spread over N salts and the right side is
+    replicated N×, so one hot key occupies N reducers instead of one.
+    Result-identical to the plain join — the oracle IS the plain join —
+    which is the operator's contract (beyond-AQE manual skew tool for
+    when runtime split isn't available, e.g. streaming-static joins)."""
+    from ent_fins_lakehouse_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    return (
+        salted_join(li, orders.select("l_orderkey", "o_orderpriority"), ["l_orderkey"], num_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum("l_extendedprice").alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("q90_approx_distinct", oracle=None, tags=("agg", "approx"))
+def q90_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregation: HyperLogLog++ approx_count_distinct next to
+    the exact distinct count per event_type. Rows-only check (HLL
+    estimates are engine-specific); tests/test_approx.py asserts the
+    relative error bound. At 100 TB the sketch is the only viable
+    distinct count — one pass, constant memory, mergeable partials."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .withColumn(
+            "rel_err",
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users").cast("double"),
+        )
+        .orderBy("event_type")
+    )

@@ -45,3 +45,14 @@ def test_approx_distinct_grouped_monotone(events):
     assert got
     for exact, approx in got.values():
         assert abs(approx - exact) / max(exact, 1) <= 0.06
+
+
+def test_q90_sketch_error_bound(spark):
+    """q90's HLL++ sketch stays within 3× the configured 2% rsd."""
+    from ent_fins_lakehouse_spark.plans.registry import queries_map
+    from tests.conftest import SF_ORACLE
+
+    rows = queries_map()["q90_approx_distinct"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r["rel_err"] <= 0.06, (r["event_type"], r["rel_err"])

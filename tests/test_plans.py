@@ -78,3 +78,37 @@ def test_flagship_entry_plan(spark):
     plan = plan_of(e.entry(spark))
     assert "PushedFilters" in plan
     assert "HashAggregate" in plan
+
+
+def test_q82_decorrelated_avg_is_broadcast(spark, qmap):
+    """The per-part average join-back must broadcast (it is ~|part|
+    rows at any SF), not shuffle 600M lineitem rows."""
+    plan = plan_of(qmap["q82_small_qty_revenue"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q86_having_keyset_semi_join(spark, qmap):
+    """The HAVING-filtered big-order key set drives a semi join, and
+    the final agg keeps its partial/final split."""
+    plan = plan_of(qmap["q86_large_volume_customers"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q89_salted_join_matches_plain(spark):
+    """salted_join row-level equivalence to the plain join (the q89
+    oracle asserts the aggregate; this asserts the raw pairs)."""
+    from ent_fins_lakehouse_spark.operators.skew import salted_join
+    from ent_fins_lakehouse_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_linenumber")
+    orders = (
+        load_table(spark, SF_SMOKE, "orders")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+        .select("l_orderkey", "o_orderpriority")
+    )
+    plain = li.join(orders, ["l_orderkey"])
+    salted = salted_join(li, orders, ["l_orderkey"], num_salts=4)
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).isEmpty() and plain.exceptAll(salted).isEmpty()
