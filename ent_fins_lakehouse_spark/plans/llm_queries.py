@@ -11,6 +11,7 @@ tests/test_llm_ops.py instead.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ent_fins_lakehouse_spark.functions.text import (
@@ -534,3 +535,99 @@ def q75_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id ORDER BY doc_id
         """
     )
+
+
+@query(
+    "q92_pii_redaction",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example-' || (doc_id % 7) || '.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           length(raw) AS raw_len,
+           length(regexp_replace(regexp_replace(raw,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\\+?[0-9][0-9()\\-]{6,}[0-9]', '<PHONE>', 'g')) AS redacted_len,
+           CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails
+    FROM tagged ORDER BY doc_id
+    """,
+    tags=("llm", "text", "pii"),
+)
+def q92_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (the pre-training scrub pass): email + phone
+    patterns replaced with typed placeholder tokens, JVM-side
+    regexp_replace — no UDF in the hot path. The corpus is synthetic
+    word-soup with no PII, so the query first injects deterministic
+    contact strings derived from doc_id, making the redaction
+    observable and oracle-checkable on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone_re = "\\+?[0-9][0-9()\\-]{6,}[0-9]"
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" today"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    return (
+        docs.select("doc_id", raw.alias("raw"))
+        .select(
+            "doc_id",
+            F.length("raw").alias("raw_len"),
+            F.length(redacted).alias("redacted_len"),
+            F.regexp_count("raw", F.lit(email_re)).alias("n_emails"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q93_corpus_mix",
+    oracle="""
+    WITH per AS (
+      SELECT lang, source, COUNT(*) AS n_docs,
+             SUM(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1) AS n_tokens
+      FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS token_share
+    FROM per ORDER BY lang, source
+    """,
+    tags=("llm", "text", "agg"),
+)
+def q93_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report (the data-mixing dashboard for
+    pre-training): docs + whitespace tokens per (lang, source) and each
+    cell's share of total tokens — a grouped agg plus one unpartitioned
+    window over the tiny aggregate (|langs|x|sources| rows, not the
+    corpus), so the global-total window is safe at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = (
+        F.length(F.trim("text"))
+        - F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("")))
+        + 1
+    )
+    per = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok).alias("n_tokens"),
+    )
+    total = W.partitionBy()
+    return per.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.sum("n_tokens").over(total).cast("double")).alias(
+            "token_share"
+        ),
+    ).orderBy("lang", "source")

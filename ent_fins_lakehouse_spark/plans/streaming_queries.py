@@ -442,3 +442,74 @@ def q77_stream_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return table.read().select("key", "user_id", "value").orderBy("key")
+
+
+@query(
+    "q91_stream_stream_join",
+    oracle="""
+    SELECT a.user_id,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(b.value AS DECIMAL(12,4))) AS DOUBLE) AS purchase_value
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+    GROUP BY a.user_id
+    ORDER BY a.user_id
+    """,
+    tags=("streaming", "join"),
+)
+def q91_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition
+    (click → purchase attribution within 60 min): two file streams over
+    the same landing zone, per-side watermarks, time-bounded equi-join,
+    availableNow to completion, then a batch aggregate over the sink.
+    The time bound + watermarks let Spark expire join state — the thing
+    that makes stream-stream joins feasible on unbounded input; the
+    oracle is the equivalent batch self-join."""
+    root = tempfile.mkdtemp(prefix="stream_ss_join_")
+    src = _events_as_json_waves(spark, sf_dir, root)
+    out = os.path.join(root, "pairs")
+    ckpt = os.path.join(root, "ckpt")
+
+    def side(event_type: str, alias: str):
+        return (
+            spark.readStream.schema(EVENTS_JSON_SCHEMA)
+            .json(src)
+            .withColumn("ts", F.to_timestamp("ts"))
+            .filter(F.col("event_type") == event_type)
+            # delay >> the data's span: nothing is ever late, so the
+            # availableNow result is batch-deterministic; production
+            # would use a real lateness bound here
+            .withWatermark("ts", "60 days")
+            .select(
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("ts").alias(f"{alias}_ts"),
+                F.col("value").alias(f"{alias}_value"),
+            )
+        )
+
+    clicks, purchases = side("click", "c"), side("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 60 MINUTES"
+        ),
+    )
+    (
+        joined.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .option("path", out)
+        .start()
+        .awaitTermination()
+    )
+    pairs = spark.read.parquet(out)
+    return (
+        pairs.groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(dec("p_value")).cast("double").alias("purchase_value"),
+        )
+        .orderBy("user_id")
+    )
