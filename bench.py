@@ -43,6 +43,11 @@ HEADLINE = [
     "q36_complex_predicate_revenue",
     "q38_bilateral_volume",
     "q49_exact_percentiles",
+    "q82_small_qty_revenue",
+    "q85_customer_order_distribution",
+    "q86_large_volume_customers",
+    "q87_returned_item_revenue",
+    "q88_nation_market_share",
     "q50_exact_dedup",
     "q52_jaccard_near_dup",
     "q53_minhash_lsh_dedup",
