@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Scale-up probe: replicate sf0.1 Nx with shifted keys, rerun the
+headline queries, and report 1x vs Nx wall-clock ratios.
+
+This is the committed generator behind SCALING.md. Replication
+preserves each table's join structure and statistical shape while
+keeping copies disjoint, so work should scale ~linearly and anything
+superlinear is a real algorithmic smell:
+
+- fact/dim keys are offset per copy (joins stay within-copy; nation/
+  region stay single-copy like real slowly-growing dims)
+- documents get ~15%% extra per-copy salt tokens so cross-copy Jaccard
+  lands below the 0.9 near-dup threshold (no artificial cross-copy
+  cliques; within-copy near-dup structure intact)
+- embeddings are cyclically rotated by copy index (within-copy cosines
+  exactly preserved; cross-copy pairs decorrelated)
+
+Usage:
+    python tools/scale_probe.py [--factor 8] [--out /tmp/scale_probe]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+KEY_OFFSET = 100_000_000
+
+PROBE_QUERIES = [
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+    "q03_regional_revenue",
+    "q17_window_topk",
+    "q23_events_hourly",
+    "q24_sessionize",
+    "q26_asof_join",
+    "q27_range_join",
+    "q38_bilateral_volume",
+    "q49_exact_percentiles",
+    "q50_exact_dedup",
+    "q53_minhash_lsh_dedup",
+    "q58_cosine_topk",
+    "q63_embedding_near_dup",
+    "q64_token_frequencies",
+    "q66_tfidf_top_terms",
+    "q68_corpus_cleaning_pipeline",
+    "q82_small_qty_revenue",
+    "q85_customer_order_distribution",
+    "q86_large_volume_customers",
+    "q87_returned_item_revenue",
+    "q88_nation_market_share",
+]
+
+# per-table key columns to offset per copy (fact->dim links stay valid
+# because both sides get the same offset)
+OFFSETS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+SINGLE_COPY = ["nation", "region"]
+
+
+def replicate(spark, src_dir: str, out_dir: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.readers import load_table
+
+    for t in SINGLE_COPY:
+        load_table(spark, src_dir, t).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{t}.parquet")
+        )
+    for t, keys in OFFSETS.items():
+        base = load_table(spark, src_dir, t)
+        copies = []
+        for i in range(factor):
+            c = base
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * KEY_OFFSET))
+            if t == "documents":
+                # ~25 salt tokens on ~150-token docs: cross-copy J ~ 0.86
+                salt = F.concat_ws(
+                    " ", *[F.lit(f"zcopy{i}tok{j}") for j in range(25)]
+                )
+                c = c.withColumn("text", F.concat_ws(" ", F.col("text"), salt))
+            if t == "embeddings":
+                # cyclic rotation by i: within-copy cosines unchanged,
+                # cross-copy pairs decorrelated
+                c = c.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"concat(slice(embedding, {i} + 1, size(embedding) - {i}), "
+                        f"slice(embedding, 1, {i}))"
+                    ),
+                )
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        npart = max(factor, spark.sparkContext.defaultParallelism)
+        out.repartition(npart).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{t}.parquet")
+        )
+
+
+def time_queries(spark, qmap, sf_dir: str) -> dict[str, float]:
+    out = {}
+    for name in PROBE_QUERIES:
+        t0 = time.perf_counter()
+        qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 2)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=8)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/scale_probe")
+    ap.add_argument("--skip-gen", action="store_true")
+    args = ap.parse_args()
+
+    from ent_fins_lakehouse_spark.plans.registry import queries_map
+    from ent_fins_lakehouse_spark.session import get_session
+
+    spark = get_session(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qmap = queries_map()
+
+    big = os.path.join(args.out, f"x{args.factor}")
+    if not args.skip_gen:
+        print(f"replicating {args.src} -> {big} ({args.factor}x)", flush=True)
+        replicate(spark, args.src, big, args.factor)
+
+    # warm pass at the small SF (codegen + worker spin-up amortized, as
+    # on any long-lived cluster), then timed 1x and Nx passes
+    for name in PROBE_QUERIES:
+        qmap[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    t1 = time_queries(spark, qmap, args.src)
+    tn = time_queries(spark, qmap, big)
+
+    print(f"\n| query | 1x (s) | {args.factor}x (s) | ratio |")
+    print("|---|---|---|---|")
+    for name in PROBE_QUERIES:
+        r = tn[name] / t1[name] if t1[name] else float("inf")
+        print(f"| {name} | {t1[name]:.2f} | {tn[name]:.2f} | {r:.1f}x |")
+    worst = max(PROBE_QUERIES, key=lambda n: tn[n] / max(t1[n], 1e-9))
+    print(
+        f"\nworst ratio: {worst} "
+        f"{tn[worst] / max(t1[worst], 1e-9):.1f}x on {args.factor}x data"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
