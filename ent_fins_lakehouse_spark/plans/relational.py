@@ -1391,26 +1391,25 @@ def q85_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
 )
 def q86_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: HAVING-filtered IN subquery (big orders by total
-    quantity) joined back to customer/orders. The big-order key set is
-    aggregated first and semi-joined (broadcast — it's tiny after the
-    HAVING), so lineitem is scanned twice but shuffled on l_orderkey
-    only once per scan; deterministic LIMIT via (o_totalprice,
+    quantity) joined back to customer/orders. The textbook plan scans
+    lineitem twice (once for the HAVING key set, once to re-aggregate
+    per surviving order); here the HAVING aggregate IS the per-order
+    quantity sum, so one lineitem scan + one shuffle produces both the
+    filter and sum_qty, and the tiny survivor set broadcasts into
+    orders⋈customer. Deterministic LIMIT via (o_totalprice,
     o_orderkey) total order."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(dec("l_quantity")).alias("q"))
-        .filter(F.col("q") > 250)
-        .select("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
     )
     return (
-        orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"], "left_semi")
+        orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"])
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("o_orderkey") == li["l_orderkey"])
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
-        .agg(dsum("l_quantity").alias("sum_qty"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_totalprice", "sum_qty")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )

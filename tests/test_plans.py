@@ -87,11 +87,13 @@ def test_q82_decorrelated_avg_is_broadcast(spark, qmap):
     assert "BroadcastHashJoin" in plan
 
 
-def test_q86_having_keyset_semi_join(spark, qmap):
-    """The HAVING-filtered big-order key set drives a semi join, and
-    the final agg keeps its partial/final split."""
+def test_q86_single_lineitem_scan(spark, qmap):
+    """The HAVING aggregate doubles as the per-order sum, so lineitem
+    is scanned exactly once, the survivor set broadcasts, and the agg
+    keeps its partial/final split."""
     plan = plan_of(qmap["q86_large_volume_customers"](spark, SF_SMOKE))
-    assert "LeftSemi" in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 2
 
 
