@@ -364,7 +364,7 @@ def q65_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term
     ), df AS (
       SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
-    ), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE trim(text) <> ''),
     scored AS (
       SELECT tf.doc_id, tf.term,
              ROUND(tf.tf * (LN((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 4) AS tfidf
@@ -395,9 +395,13 @@ def q66_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.split(normalize_text("text"), " ")).alias("term"))
         .filter(F.col("term") != "")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # persisted: tf feeds both the df aggregate and the scored join —
+    # without the barrier the explode+groupBy pipeline runs twice
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
     df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = tf.select("doc_id").distinct().count()
+    # every non-blank doc contributes >=1 non-empty token, so N comes
+    # from the cheap documents scan, not a distinct over the tf matrix
+    n_docs = docs.filter(F.trim("text") != "").count()
     scored = tf.join(F.broadcast(df_), "term").select(
         "doc_id",
         "term",
