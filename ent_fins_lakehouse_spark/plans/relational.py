@@ -1566,3 +1566,49 @@ def q90_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q94_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           EXTRACT(year FROM o_orderdate) AS o_year,
+           EXTRACT(month FROM o_orderdate) AS o_month,
+           EXTRACT(day FROM o_orderdate) AS o_day,
+           CAST(EXTRACT(dow FROM o_orderdate) + 1 AS BIGINT) AS o_dow,
+           EXTRACT(quarter FROM o_orderdate) AS o_quarter,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-12-31') AS BIGINT) AS days_to_ref,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_day
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    ORDER BY o_orderkey
+    """,
+    tags=("functions", "temporal"),
+)
+def q94_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar-function parity suite: extract family,
+    date_trunc, day difference, and strftime-style formatting — the
+    idiomatic replacements for the reference's substring-on-string date
+    handling (`01-Fraud-Delta.py:71-72` extracts year with
+    substring(issue_d, 5, 4)). Engine-mapping notes: Spark dayofweek is
+    1=Sunday, DuckDB dow is 0=Sunday (+1 aligns); datediff(end, start)
+    argument order matches DuckDB date_diff('day', start, end)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.month("o_orderdate").cast("long").alias("o_month"),
+            F.dayofmonth("o_orderdate").cast("long").alias("o_day"),
+            F.dayofweek("o_orderdate").cast("long").alias("o_dow"),
+            F.quarter("o_orderdate").cast("long").alias("o_quarter"),
+            F.date_trunc("month", "o_orderdate").alias("month_start"),
+            F.datediff(
+                F.lit("1998-12-31").cast("timestamp"), F.col("o_orderdate")
+            ).cast("long").alias("days_to_ref"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+        )
+        .orderBy("o_orderkey")
+    )
