@@ -293,3 +293,47 @@ def q48_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q95_lake_change_feed",
+    oracle="""
+    WITH appended AS (
+      SELECT s_suppkey + 100000 AS s_suppkey, s_name, s_nationkey, s_acctbal
+      FROM supplier WHERE s_suppkey <= 20
+    ),
+    v1 AS (SELECT * FROM supplier UNION ALL SELECT * FROM appended)
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+           'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+    FROM appended
+    UNION ALL
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+           'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+    FROM v1 WHERE s_acctbal < 0
+    ORDER BY _commit_version, _change_type, s_suppkey
+    """,
+    tags=("lakehouse", "cdf"),
+)
+def q95_lake_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed (Delta CDF shape): v0 load, v1 append, v2
+    predicate delete, then read_changes(1, 2) — appends come off the
+    fast path (read only the added dirs), the delete off the
+    snapshot-diff path; every row tagged (_change_type,
+    _commit_version). The CDC-consumer contract: downstream incremental
+    pipelines replay exactly these rows instead of re-reading the
+    table."""
+    supp = load_table(spark, sf_dir, "supplier")
+    t = LakeTable(spark, _scratch("cdf"))
+    t.write(supp, mode="overwrite")  # v0
+    t.write(
+        supp.filter(F.col("s_suppkey") <= 20).withColumn(
+            "s_suppkey", F.col("s_suppkey") + 100000
+        ),
+        mode="append",
+    )  # v1
+    t.delete("s_acctbal < 0")  # v2
+    return (
+        t.read_changes(1, 2)
+        .withColumn("_commit_version", F.col("_commit_version").cast("long"))
+        .orderBy("_commit_version", "_change_type", "s_suppkey")
+    )

@@ -572,6 +572,83 @@ class LakeTable:
         finally:
             df.unpersist()
 
+    def restore(self, version: int) -> dict:
+        """RESTORE TABLE … TO VERSION (Delta RESTORE): re-activate the
+        snapshot at ``version`` as a NEW commit. Metadata-only — the
+        old data dirs are re-referenced, nothing is rewritten — and the
+        restore itself is time-travelable/undoable since history is
+        append-only."""
+        base = self.latest_version()
+        if version == base:
+            return {"restored_to": version, "dirs": 0}
+        target_active, target_schema = self._snapshot(version)
+        current_active, _ = self._snapshot()
+        self._commit(
+            "restore",
+            target_active,
+            current_active,
+            target_schema,
+            {"restored_to": version},
+            base_version=base,
+        )
+        return {"restored_to": version, "dirs": len(target_active)}
+
+    def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Change data feed between two versions (Delta CDF shape):
+        every row carries ``_change_type`` ('insert' | 'delete') and
+        ``_commit_version``. Updates surface as delete+insert pairs.
+
+        Fast path: commits that only add dirs (append/insert) read just
+        those dirs — no diffing. Rewriting commits (delete/merge/
+        overwrite/restore) fall back to a multiset diff of adjacent
+        snapshots (``exceptAll`` both ways), which is exact for any
+        operation; compaction commits (optimize) are data-neutral and
+        emit nothing."""
+        if to_version is None:
+            to_version = self.latest_version()
+        parts: list[DataFrame] = []
+        for c in self._read_commits(up_to=to_version):
+            if c.version < from_version:
+                continue
+            v = F.lit(c.version).alias("_commit_version")
+            if c.operation == "optimize":
+                continue  # rewrites bytes, not rows
+            if not c.remove:
+                if not c.add:
+                    continue
+                _, schema = self._snapshot(c.version)
+                paths = [os.path.join(self.path, rel) for rel in c.add]
+                parts.append(
+                    self.spark.read.schema(schema)
+                    .parquet(*paths)
+                    .withColumn("_change_type", F.lit("insert"))
+                    .withColumn("_commit_version", v)
+                )
+                continue
+            before = self.read(version_as_of=c.version - 1)
+            after = self.read(version_as_of=c.version)
+            parts.append(
+                after.exceptAll(before)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", v)
+            )
+            parts.append(
+                before.exceptAll(after)
+                .withColumn("_change_type", F.lit("delete"))
+                .withColumn("_commit_version", v)
+            )
+        if not parts:
+            _, schema = self._snapshot()
+            empty = self.spark.createDataFrame([], schema)
+            return (
+                empty.withColumn("_change_type", F.lit(""))
+                .withColumn("_commit_version", F.lit(0))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def vacuum(self) -> int:
         """Physically delete data dirs no longer referenced by the
         current snapshot (breaks time travel to old versions, like

@@ -270,3 +270,68 @@ def test_merge_duplicate_source_keys_raises(spark, tmp_path):
     ins_src = spark.createDataFrame([(2, "a"), (2, "b")], "k INT, v STRING")
     t.merge(ins_src, on=["k"])
     assert t.read().filter("k = 2").count() == 2
+
+
+def test_restore_is_metadata_only_and_undoable(spark, tmp_path):
+    """RESTORE re-activates an old snapshot as a new commit without
+    rewriting data; history keeps growing so the restore itself can be
+    time-traveled past."""
+    t = _table(spark, tmp_path)
+    t.write(spark.createDataFrame([(i,) for i in range(10)], "k INT"))  # v0
+    t.write(spark.createDataFrame([(100,)], "k INT"), mode="append")  # v1
+    t.delete("k < 5")  # v2
+    assert t.read().count() == 6
+    m = t.restore(0)
+    assert m["restored_to"] == 0
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(10))
+    # the pre-restore state is still reachable
+    assert t.read(version_as_of=2).count() == 6
+    # restoring to the current version is a no-op commit-wise
+    v = t.latest_version()
+    t.restore(v)
+    assert t.latest_version() == v
+
+
+def test_change_feed_fast_path_and_diff_path(spark, tmp_path):
+    """Appends emit inserts from added dirs only; deletes emit the
+    removed rows via snapshot diff; optimize emits nothing."""
+    t = _table(spark, tmp_path)
+    t.write(spark.createDataFrame([(i, "x") for i in range(6)], "k INT, v STRING"))  # v0
+    t.write(spark.createDataFrame([(10, "y")], "k INT, v STRING"), mode="append")  # v1
+    t.delete("k >= 4 AND k < 6")  # v2
+    t.optimize()  # v3: data-neutral
+    ch = t.read_changes(1).collect()
+    got = sorted((r["k"], r["_change_type"], r["_commit_version"]) for r in ch)
+    assert got == [(4, "delete", 2), (5, "delete", 2), (10, "insert", 1)]
+    # full-history feed includes the initial load as inserts
+    all_ch = t.read_changes(0)
+    assert all_ch.filter("_change_type = 'insert' AND _commit_version = 0").count() == 6
+
+
+def test_restore_conflicts_with_concurrent_commit(spark, tmp_path):
+    """RESTORE is a rewriting commit: it must revalidate its snapshot."""
+    from ent_fins_lakehouse_spark.sources import lakehouse as lh
+
+    t = _table(spark, tmp_path)
+    t.write(spark.range(5).withColumnRenamed("id", "k"))
+    t.write(spark.range(5, 8).withColumnRenamed("id", "k"), mode="append")
+    orig = lh.LakeTable._snapshot
+    raced = {"done": False}
+
+    def racing_snapshot(self, version=None):
+        out = orig(self, version)
+        if version == 0 and not raced["done"]:
+            raced["done"] = True
+            lh.LakeTable(spark, self.path).write(
+                spark.range(100, 101).withColumnRenamed("id", "k"), mode="append"
+            )
+        return out
+
+    lh.LakeTable._snapshot = racing_snapshot
+    try:
+        with pytest.raises(lh.ConcurrentWriteError):
+            t.restore(0)
+    finally:
+        lh.LakeTable._snapshot = orig
+    t.restore(0)
+    assert t.read().count() == 5
