@@ -335,3 +335,27 @@ def test_restore_conflicts_with_concurrent_commit(spark, tmp_path):
         lh.LakeTable._snapshot = orig
     t.restore(0)
     assert t.read().count() == 5
+
+
+def test_change_feed_replays_to_exact_snapshot(spark, tmp_path):
+    """CDC invariant: snapshot(v-1) + inserts(v) - deletes(v) ==
+    snapshot(v), for every version across a mixed op history — the
+    property a downstream incremental consumer relies on."""
+    t = _table(spark, tmp_path)
+    t.write(spark.createDataFrame([(i, i % 3) for i in range(20)], "k INT, g INT"))
+    t.write(spark.createDataFrame([(i, 9) for i in range(100, 105)], "k INT, g INT"), mode="append")
+    t.delete("g = 1")
+    t.merge(
+        spark.createDataFrame([(0, 42), (200, 7)], "k INT, g INT"), on=["k"]
+    )
+    t.optimize()
+    for v in range(1, t.latest_version() + 1):
+        before = t.read(version_as_of=v - 1)
+        after = t.read(version_as_of=v)
+        ch = t.read_changes(v, v)
+        ins = ch.filter("_change_type = 'insert'").drop("_change_type", "_commit_version")
+        dels = ch.filter("_change_type = 'delete'").drop("_change_type", "_commit_version")
+        replayed = before.exceptAll(dels).unionByName(ins)
+        assert replayed.exceptAll(after).isEmpty() and after.exceptAll(replayed).isEmpty(), (
+            f"version {v} replay mismatch"
+        )
