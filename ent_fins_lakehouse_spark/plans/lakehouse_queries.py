@@ -337,3 +337,43 @@ def q95_lake_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_commit_version", F.col("_commit_version").cast("long"))
         .orderBy("_commit_version", "_change_type", "s_suppkey")
     )
+
+
+@query(
+    "q104_lake_vacuum",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38, 4))) AS DOUBLE) AS total
+    FROM orders
+    WHERE NOT (o_orderstatus = 'P')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("lakehouse", "vacuum"),
+)
+def q104_lake_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM after DELETE + OPTIMIZE (D11 — `01-Fraud-Delta.py:287-290`
+    names file compaction; Delta VACUUM is its cleanup half): physically
+    drop every data directory the current snapshot no longer
+    references, then prove the table still answers queries identically.
+    The vacuum removes the pre-delete and pre-compaction dirs (history
+    reads are gone by design, like Delta retention-0 VACUUM); the live
+    snapshot is untouched."""
+    orders = load_table(spark, sf_dir, "orders")
+    t = LakeTable(spark, _scratch("vacuum"))
+    t.write(orders, mode="overwrite")
+    t.delete("o_orderstatus = 'P'")
+    t.optimize(target_files=4)
+    removed = t.vacuum()
+    assert removed > 0, "vacuum should drop superseded dirs"
+    # time travel to v0 must now fail fast (files gone), latest must not
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,4)")).cast("double").alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -635,3 +635,73 @@ def q93_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_share"
         ),
     ).orderBy("lang", "source")
+
+
+@query(
+    "q102_higher_order_arrays",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS pos_count,
+           round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 4) AS l1_norm,
+           round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm,
+           round(list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)[1], 4) AS scaled_first
+    FROM embeddings
+    WHERE vec_id % 37 = 0
+    ORDER BY vec_id
+    """,
+    tags=("functions", "array", "higher-order"),
+)
+def q102_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function suite over the embedding column:
+    ``filter`` (positive-component count), ``transform`` + ``aggregate``
+    (L1 norm), ``zip_with`` (self dot product → L2 norm), and
+    element_at on a transformed array. All lambda expressions execute
+    JVM-side inside codegen — no Python UDF — which is the scale story
+    for vector math over 100 TB of array<float> columns."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 37 == 0)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    zero = F.lit(0.0)
+    l1 = F.aggregate(F.transform(v, lambda x: F.abs(x)), zero, lambda a, x: a + x)
+    l2 = F.sqrt(F.aggregate(F.zip_with(v, v, lambda a, b: a * b), zero, lambda a, x: a + x))
+    return (
+        emb.select(
+            "vec_id",
+            F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("pos_count"),
+            F.round(l1, 4).alias("l1_norm"),
+            F.round(l2, 4).alias("l2_norm"),
+            F.round(F.element_at(F.transform(v, lambda x: x * 2.0), 1), 4).alias("scaled_first"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "q103_posexplode_tokens",
+    oracle="""
+    WITH exploded AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS word,
+             CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos
+      FROM documents
+      WHERE doc_id % 151 = 0
+    )
+    SELECT doc_id, pos, word
+    FROM exploded
+    WHERE pos <= 5
+    ORDER BY doc_id, pos
+    """,
+    tags=("functions", "array", "explode"),
+)
+def q103_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (lateral view) of the tokenized text — the
+    first five tokens of each document with their 1-based position.
+    ``posexplode`` fans out inside the same stage as the scan (no
+    shuffle); DuckDB expresses it as unnest + generate_subscripts."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 151 == 0)
+    return (
+        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word"))
+        .withColumn("pos", (F.col("pos0") + 1).cast("long"))
+        .filter(F.col("pos") <= 5)
+        .select("doc_id", "pos", "word")
+        .orderBy("doc_id", "pos")
+    )

@@ -1612,3 +1612,315 @@ def q94_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "q96_date_spine_gap_fill",
+    oracle="""
+    WITH spine AS (
+      SELECT CAST(d AS DATE) AS day
+      FROM generate_series(DATE '1995-01-01', DATE '1995-06-30',
+                           INTERVAL 1 DAY) AS t(d)
+    ),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1995-07-01'
+      GROUP BY 1
+    )
+    SELECT s.day,
+           COALESCE(d.n, 0) AS n_orders,
+           CAST(CASE WHEN d.n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    ORDER BY s.day
+    """,
+    tags=("functions", "temporal", "gap-fill"),
+)
+def q96_date_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap fill: generate a dense day spine with
+    ``sequence`` + ``explode`` (DuckDB generate_series), left-join the
+    per-day order counts, and zero-fill missing days — the standard
+    time-series densification step the reference's dashboards assume
+    (`02- Databricks_SQL_Scripts.sql` charts group-by-day data).
+    Scale note: the spine is tiny (one row per day) so Spark
+    broadcasts it; the fact side aggregates map-side before the join."""
+    orders = load_table(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-06-30").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+        )
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_orders"),
+            F.col("n").isNull().cast("long").alias("is_gap"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "q97_stat_functions",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_s,
+           round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_p,
+           round(stddev_samp(l_extendedprice), 2) AS sd_price,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(var_pop(l_quantity), 4) AS varp_qty,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("aggregation", "statistics"),
+)
+def q97_stat_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate suite (SURVEY §2.4 extension): correlation,
+    sample/population covariance and variance, stddev, and the
+    regr_* linear-regression family — all JVM-side Catalyst aggregates
+    with map-side partial merge (no shuffle of raw rows beyond the
+    group-by). Rounding is scaled to each statistic's magnitude so the
+    float merge order across 32 partitions cannot flip a digit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.regr_count(p, q).cast("long").alias("n"),
+            F.round(F.corr(q, p), 6).alias("corr_qp"),
+            F.round(F.covar_samp(q, p), 2).alias("covar_s"),
+            F.round(F.covar_pop(q, p), 2).alias("covar_p"),
+            F.round(F.stddev_samp(p), 2).alias("sd_price"),
+            F.round(F.var_samp(q), 4).alias("var_qty"),
+            F.round(F.var_pop(q), 4).alias("varp_qty"),
+            F.round(F.regr_slope(p, q), 4).alias("slope"),
+            F.round(F.regr_intercept(p, q), 2).alias("icept"),
+            F.round(F.regr_r2(p, q), 6).alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q98_moment_skew_kurtosis",
+    oracle="""
+    WITH sums AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38, 6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38, 6))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(38, 6))) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(38, 6))) AS DOUBLE) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skew_pop,
+           round((s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / pow(s2 / n - (s1 / n) * (s1 / n), 2) - 3, 6) AS kurt_pop
+    FROM sums
+    ORDER BY l_returnflag
+    """,
+    tags=("aggregation", "statistics"),
+)
+def q98_moment_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness / excess kurtosis pinned through exact
+    DECIMAL moment sums (the same float-determinism discipline as the
+    revenue aggregates): per-row double powers are cast to
+    DECIMAL(38,6), summed exactly (order-insensitive), and the moment
+    formulas evaluate in double identically on both engines. Spark's
+    built-in ``skewness``/``kurtosis`` use this population definition
+    while DuckDB's use the sample-adjusted one, so the raw built-ins
+    intentionally diverge — tests/test_relational_extra.py asserts the
+    built-ins agree with these pinned values to 1e-3."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(x, 6)).cast("double").alias("s1"),
+        F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("s2"),
+        F.sum((x * x * x).cast("decimal(38,6)")).cast("double").alias("s3"),
+        F.sum((x * x * x * x).cast("decimal(38,6)")).cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    skew = (s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu) / F.pow(m2, 1.5)
+    kurt = (s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n) - 3 * mu * mu * mu * mu) / F.pow(m2, 2) - 3
+    return (
+        sums.select(
+            "l_returnflag",
+            F.round(skew, 6).alias("skew_pop"),
+            F.round(kurt, 6).alias("kurt_pop"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q99_regex_suite",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+           CAST(len(regexp_extract_all(text, 'table')) AS BIGINT) AS n_table,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN regexp_matches(text, 'spark') THEN 1 ELSE 0 END AS BIGINT) AS has_spark,
+           CAST(levenshtein(regexp_extract(text, '^([a-z]+)', 1), 'table') AS BIGINT) AS lev_to_table,
+           replace(regexp_extract(text, '^([a-z]+ [a-z]+)', 1), ' ', '_') AS bigram_key
+    FROM documents
+    WHERE doc_id % 101 = 0
+    ORDER BY doc_id
+    """,
+    tags=("functions", "string", "regex"),
+)
+def q99_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex / string scalar-function parity suite (SURVEY §2.3 — the
+    reference's regexp_replace/substring/trim family F1-F3 generalized):
+    anchored extract, extract-all count, split tokenization, rlike,
+    levenshtein distance, and replace. All whole-stage-codegen JVM
+    expressions; the predicate prunes on doc_id before any regex runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    first_word = F.regexp_extract("text", r"^([a-z]+)", 1)
+    return (
+        docs.filter(F.col("doc_id") % 101 == 0)
+        .select(
+            "doc_id",
+            first_word.alias("first_word"),
+            F.size(F.regexp_extract_all("text", F.lit("table"), 0)).cast("long").alias("n_table"),
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            F.col("text").rlike("spark").cast("long").alias("has_spark"),
+            F.levenshtein(first_word, F.lit("table")).cast("long").alias("lev_to_table"),
+            F.replace(
+                F.regexp_extract("text", r"^([a-z]+ [a-z]+)", 1), F.lit(" "), F.lit("_")
+            ).alias("bigram_key"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q100_hash_string_suite",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           sha256(c_name) AS name_sha256,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           reverse(c_name) AS name_rev,
+           concat_ws('|', c_name, c_mktsegment) AS name_seg,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS key_pad,
+           upper(c_mktsegment) AS seg_upper,
+           substring(c_name, 1, 8) AS name_head
+    FROM customer
+    WHERE c_custkey % 251 = 0
+    ORDER BY c_custkey
+    """,
+    tags=("functions", "string", "hash"),
+)
+def q100_hash_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hashing + string-shaping suite: md5 / sha2-256
+    content fingerprints (the engine-portable hash family — xxhash64 and
+    crc32 exist in Spark but are engine-specific, so the portable subset
+    is what cross-system pipelines should key on), plus
+    length/reverse/concat_ws/lpad/upper/substring parity."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.filter(F.col("c_custkey") % 251 == 0)
+        .select(
+            "c_custkey",
+            F.md5("c_name").alias("name_md5"),
+            F.sha2("c_name", 256).alias("name_sha256"),
+            F.length("c_name").cast("long").alias("name_len"),
+            F.reverse("c_name").alias("name_rev"),
+            F.concat_ws("|", "c_name", "c_mktsegment").alias("name_seg"),
+            F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("key_pad"),
+            F.upper("c_mktsegment").alias("seg_upper"),
+            F.substring("c_name", 1, 8).alias("name_head"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q101_sole_late_supplier",
+    oracle="""
+    WITH flagged AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 75 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late
+      FROM flagged GROUP BY l_orderkey
+    )
+    SELECT s.s_name,
+           CAST(COUNT(DISTINCT f.l_orderkey) AS BIGINT) AS numwait
+    FROM flagged f
+    JOIN per_order p ON f.l_orderkey = p.l_orderkey
+    JOIN supplier s ON f.l_suppkey = s.s_suppkey
+    WHERE f.late = 1 AND p.n_supp > 1 AND p.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+    tags=("join", "tpch-shape"),
+)
+def q101_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting) adapted to
+    the testdata's columns: among finished multi-supplier orders, blame
+    the supplier who was the ONLY late shipper (shipdate > orderdate +
+    75 days). Two-level plan: a per-order distinct-supplier rollup
+    joined back to the late lines — Spark plans the orders join
+    broadcast-free on l_orderkey and reuses that shuffle for the
+    rollup join; supplier is a broadcast dim."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = load_table(spark, sf_dir, "supplier")
+    flagged = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 75 DAY"))
+            .cast("int")
+            .alias("late"),
+        )
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("n_late"),
+    )
+    return (
+        flagged.filter(F.col("late") == 1)
+        .join(per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)), "l_orderkey")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
