@@ -1924,3 +1924,241 @@ def q101_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)
     )
+
+
+@query(
+    "q105_unpivot_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             round(CAST(SUM(CAST(l_quantity AS DECIMAL(38, 4))) AS DOUBLE), 2) AS sum_qty,
+             round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38, 4))) AS DOUBLE), 2) AS sum_price,
+             round(CAST(SUM(CAST(l_discount AS DECIMAL(38, 4))) AS DOUBLE), 2) AS sum_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, val
+    FROM wide
+    UNPIVOT (val FOR metric IN (sum_qty, sum_price, sum_disc))
+    ORDER BY l_returnflag, metric
+    """,
+    tags=("reshape", "unpivot"),
+)
+def q105_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (``DataFrame.unpivot`` / SQL UNPIVOT): melt
+    per-flag metric columns into (metric, val) rows — the inverse of
+    q21's pivot. The melt is a zero-shuffle projection (each input row
+    fans out to 3 output rows in place), so it composes with the
+    upstream agg without adding an exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(dsum("l_quantity"), 2).alias("sum_qty"),
+        F.round(dsum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(dsum("l_discount"), 2).alias("sum_disc"),
+    )
+    return (
+        wide.unpivot(
+            ids=["l_returnflag"],
+            values=["sum_qty", "sum_price", "sum_disc"],
+            variableColumnName="metric",
+            valueColumnName="val",
+        )
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+@query(
+    "q106_argmin_argmax",
+    oracle="""
+    SELECT o_orderpriority,
+           (min({'p': o_totalprice, 'k': o_orderkey})).k AS cheapest_key,
+           (max({'p': o_totalprice, 'k': o_orderkey})).k AS dearest_key,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("aggregation", "argminmax"),
+)
+def q106_argmin_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax aggregation (``min_by``/``max_by``): which order
+    was the cheapest / most expensive per priority class. The ordering
+    key is a (price, orderkey) struct so ties on price break
+    deterministically by key on both engines — bare min_by leaves
+    tie-breaks implementation-defined, which a differential harness
+    cannot accept."""
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.min_by("o_orderkey", key).alias("cheapest_key"),
+            F.max_by("o_orderkey", key).alias("dearest_key"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q107_bitwise_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           bit_and(o_orderkey) AS key_and,
+           bit_or(o_orderkey) AS key_or,
+           bit_xor(o_orderkey) AS key_xor,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("aggregation", "bitwise"),
+)
+def q107_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (bit_and / bit_or / bit_xor) — exact,
+    order-insensitive, commutative aggregates used for key-space
+    membership sketches and parity checks; merge-friendly at any
+    partition count by construction."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.bit_and("o_orderkey").alias("key_and"),
+            F.bit_or("o_orderkey").alias("key_or"),
+            F.bit_xor("o_orderkey").alias("key_xor"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q108_array_ops",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')[:6])), ',') AS head_vocab,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS vocab_size,
+           CAST(list_contains(string_split(text, ' '), 'table') AS INT) AS has_table,
+           CAST(COALESCE(list_position(string_split(text, ' '), 'table'), 0) AS BIGINT) AS table_pos,
+           array_to_string(list_reverse(list_sort(list_distinct(string_split(text, ' ')[:6]))), ',') AS head_desc
+    FROM documents
+    WHERE doc_id % 151 = 0
+    ORDER BY doc_id
+    """,
+    tags=("functions", "array"),
+)
+def q108_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set/ordering operators: slice → distinct → sort (and
+    reverse-sort), distinct cardinality, membership, and first-position
+    lookup over tokenized text. Spark's array_position and DuckDB's
+    list_position differ on absent keys (0 vs NULL) — the oracle
+    coalesces to Spark's convention, a documented engine-mapping rule."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 151 == 0)
+    toks = F.split("text", " ")
+    head = F.array_sort(F.array_distinct(F.slice(toks, 1, 6)))
+    return docs.select(
+        "doc_id",
+        F.array_join(head, ",").alias("head_vocab"),
+        F.size(F.array_distinct(toks)).cast("long").alias("vocab_size"),
+        F.array_contains(toks, "table").cast("int").alias("has_table"),
+        F.array_position(toks, "table").cast("long").alias("table_pos"),
+        F.array_join(F.reverse(head), ",").alias("head_desc"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q109_sql_cte_ranking",
+    oracle="""
+    WITH seg_nation AS (
+      SELECT c.c_mktsegment AS segment, n.n_name AS nation,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38, 4))) AS DOUBLE) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT segment, nation, round(revenue, 2) AS revenue,
+             RANK() OVER (PARTITION BY segment ORDER BY revenue DESC, nation) AS rnk
+      FROM seg_nation
+    )
+    SELECT segment, nation, revenue, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY segment, rnk, nation
+    """,
+    tags=("sql", "cte", "window"),
+)
+def q109_sql_cte_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front end end-to-end (S4 — the reference drives most of
+    its analytics through `spark.sql`, `02- Databricks_SQL_Scripts.sql`):
+    register temp views, then run a multi-CTE query with joins, a
+    decimal-pinned aggregate, and a window RANK — all planned by
+    Catalyst identically to the DataFrame API."""
+    for name in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"q109_{name}")
+    return spark.sql("""
+        WITH seg_nation AS (
+          SELECT c.c_mktsegment AS segment, n.n_name AS nation,
+                 CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38, 4))) AS DOUBLE) AS revenue
+          FROM q109_orders o
+          JOIN q109_customer c ON o.o_custkey = c.c_custkey
+          JOIN q109_nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT segment, nation, round(revenue, 2) AS revenue,
+                 RANK() OVER (PARTITION BY segment ORDER BY revenue DESC, nation) AS rnk
+          FROM seg_nation
+        )
+        SELECT segment, nation, revenue, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= 3
+        ORDER BY segment, rnk, nation
+    """)
+
+
+@query(
+    "q110_map_functions",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents WHERE doc_id % 151 = 0
+    )
+    SELECT doc_id,
+           lang AS meta_lang,
+           source AS meta_source,
+           CAST(n_tokens AS BIGINT) AS meta_tokens,
+           'chars,lang,source,tokens' AS meta_keys,
+           CAST(4 AS INT) AS meta_size
+    FROM tok
+    ORDER BY doc_id
+    """,
+    tags=("functions", "map"),
+)
+def q110_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column plumbing: build a string→string metadata map
+    per document (``create_map``), then read it back via element_at,
+    sorted map_keys, and size. Maps are how a corpus pipeline carries
+    open-schema sidecar metadata (provenance, decode params) without
+    widening the table; the oracle states the expected extractions
+    directly since DuckDB's MAP literals hash differently."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 151 == 0)
+    meta = F.create_map(
+        F.lit("lang"), F.col("lang"),
+        F.lit("source"), F.col("source"),
+        F.lit("chars"), F.col("n_chars").cast("string"),
+        F.lit("tokens"), F.size(F.split("text", " ")).cast("string"),
+    )
+    return (
+        docs.withColumn("meta", meta)
+        .select(
+            "doc_id",
+            F.element_at("meta", "lang").alias("meta_lang"),
+            F.element_at("meta", "source").alias("meta_source"),
+            F.element_at("meta", "tokens").cast("long").alias("meta_tokens"),
+            F.array_join(F.array_sort(F.map_keys("meta")), ",").alias("meta_keys"),
+            F.size(F.map_keys("meta")).alias("meta_size"),
+        )
+        .orderBy("doc_id")
+    )
