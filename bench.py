@@ -48,6 +48,9 @@ HEADLINE = [
     "q86_large_volume_customers",
     "q87_returned_item_revenue",
     "q88_nation_market_share",
+    "q97_stat_functions",
+    "q101_sole_late_supplier",
+    "q109_sql_cte_ranking",
     "q50_exact_dedup",
     "q52_jaccard_near_dup",
     "q53_minhash_lsh_dedup",

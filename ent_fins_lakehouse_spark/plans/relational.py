@@ -1894,10 +1894,12 @@ def q101_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (suppliers who kept orders waiting) adapted to
     the testdata's columns: among finished multi-supplier orders, blame
     the supplier who was the ONLY late shipper (shipdate > orderdate +
-    75 days). Two-level plan: a per-order distinct-supplier rollup
-    joined back to the late lines — Spark plans the orders join
-    broadcast-free on l_orderkey and reuses that shuffle for the
-    rollup join; supplier is a broadcast dim."""
+    75 days). Single-scan plan: the per-order distinct-supplier
+    counts come from ``collect_set`` windows over l_orderkey instead of
+    a groupBy + join-back (which would scan lineitem and orders twice —
+    at 100 TB the second fact scan IS the bottleneck); the window
+    reuses the join shuffle's l_orderkey partitioning, so the whole
+    rollup adds no exchange. Supplier is a broadcast dim."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = load_table(spark, sf_dir, "supplier")
@@ -1911,13 +1913,17 @@ def q101_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("late"),
         )
     )
-    per_order = flagged.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("n_late"),
+    w = W.partitionBy("l_orderkey")
+    per_line = flagged.withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "n_late",
+        F.size(F.collect_set(F.when(F.col("late") == 1, F.col("l_suppkey"))).over(w)),
     )
     return (
-        flagged.filter(F.col("late") == 1)
-        .join(per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)), "l_orderkey")
+        per_line.filter(
+            (F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").cast("long").alias("numwait"))
