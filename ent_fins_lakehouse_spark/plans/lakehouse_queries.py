@@ -377,3 +377,42 @@ def q104_lake_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q111_lake_clone",
+    oracle="""
+    WITH clone_state AS (
+      SELECT * FROM customer WHERE NOT (c_mktsegment = 'BUILDING')
+    )
+    SELECT 'clone' AS side, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM clone_state GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'source' AS side, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer GROUP BY c_mktsegment
+    ORDER BY side, c_mktsegment
+    """,
+    tags=("lakehouse", "clone"),
+)
+def q111_lake_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow CLONE independence: clone the customer table by
+    metadata reference (zero data copy — Delta shallow-clone
+    semantics), DELETE a segment from the clone, and prove the clone
+    diverged while the source is byte-identical to its original state.
+    The clone's delete rewrites only clone-owned dirs; source dirs are
+    referenced read-only by absolute path."""
+    cust = load_table(spark, sf_dir, "customer")
+    root = _scratch("clone")
+    src = LakeTable(spark, os.path.join(root, "src")).write(cust, mode="overwrite")
+    clone = src.clone(os.path.join(root, "clone"), shallow=True)
+    clone.delete("c_mktsegment = 'BUILDING'")
+    both = clone.read().withColumn("side", F.lit("clone")).unionByName(
+        src.read().withColumn("side", F.lit("source"))
+    )
+    return (
+        both.groupBy("side", "c_mktsegment")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("side", "c_mktsegment")
+    )

@@ -269,6 +269,8 @@ class LakeTable:
         old, committed = self._snapshot() if self.exists() else ([], None)
         if mode == "append":
             df = self._check_schema(df, committed, merge_schema)
+        if committed is not None:
+            self._enforce_constraints(df, f"write(mode={mode})")
         rel = self._write_data_dir(df)
         if mode == "overwrite":
             # overwrite removes the planned snapshot's dirs: revalidate
@@ -415,6 +417,9 @@ class LakeTable:
         base = self.latest_version()
         _, schema = self._snapshot()
         source = self._check_schema(source, schema, merge_schema=False)
+        # only the incoming rows need validation — rewritten target
+        # rows already passed when they were written
+        self._enforce_constraints(source, "merge")
 
         if when_matched_update_all:
             # Delta raises when a target row matches multiple source
@@ -508,6 +513,7 @@ class LakeTable:
         """INSERT INTO … VALUES (D6, `01-Fraud-Delta.py:185-195`)."""
         _, schema = self._snapshot()
         df = self.spark.createDataFrame(rows, schema)
+        self._enforce_constraints(df, "insert_values")
         rel = self._write_data_dir(df, target_files=1)
         self._commit("insert", [rel], [], schema, {"rows": len(rows)})
 
@@ -666,3 +672,150 @@ class LakeTable:
                     shutil.rmtree(os.path.join(base, d), ignore_errors=True)
                     removed += 1
         return removed
+
+    # ------------------------------------------------------ introspection
+
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL equivalent (Delta surface adjacent to
+        DESCRIBE HISTORY, `01-Fraud-Delta.py:214`): physical + logical
+        metadata of the current snapshot. Driver-side metadata walk
+        only — no Spark job."""
+        active, schema = self._snapshot()
+        commits = self._read_commits()
+        num_files = 0
+        size_bytes = 0
+        for rel in active:
+            p = rel if os.path.isabs(rel) else os.path.join(self.path, rel)
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        num_files += 1
+                        size_bytes += os.path.getsize(os.path.join(root, f))
+        ops: dict[str, int] = {}
+        for c in commits:
+            ops[c.operation] = ops.get(c.operation, 0) + 1
+        return {
+            "format": "lake+parquet",
+            "location": self.path,
+            "version": self.latest_version(),
+            "num_data_dirs": len(active),
+            "num_files": num_files,
+            "size_bytes": size_bytes,
+            "created_at_ms": commits[0].timestamp_ms if commits else None,
+            "last_modified_ms": commits[-1].timestamp_ms if commits else None,
+            "schema": schema.simpleString() if schema else None,
+            "constraints": self.constraints(),
+            "operations": ops,
+        }
+
+    def clone(self, target_path: str, shallow: bool = True) -> "LakeTable":
+        """CREATE TABLE ... CLONE (Delta shallow/deep clone).
+
+        Shallow: the clone's first commit references the source's data
+        dirs by ABSOLUTE path — a metadata-only copy (zero data I/O,
+        any table size), exactly Delta's shallow-clone mechanism; all
+        readers handle absolute entries because ``os.path.join(base,
+        abs)`` returns the absolute path unchanged. Subsequent writes
+        to the clone land in the clone's own directory; the source is
+        never modified through the clone. Caveat shared with Delta:
+        VACUUM on the source invalidates shallow clones.
+
+        Deep: data dirs are physically copied; the clone is fully
+        independent. Per-dir skipping stats are carried over in both
+        modes so pruning works without a re-scan."""
+        active, schema = self._snapshot()
+        if schema is None:
+            raise ValueError(f"cannot clone non-existent table {self.path}")
+        target = LakeTable(self.spark, target_path)
+        if target.exists():
+            raise ValueError(f"clone target {target_path} already exists")
+        src_stats = self._dir_stats()
+        if shallow:
+            add = [
+                rel if os.path.isabs(rel) else os.path.join(self.path, rel)
+                for rel in active
+            ]
+            stats = {a: src_stats.get(rel, {}) for a, rel in zip(add, active)}
+        else:
+            import shutil
+
+            add = []
+            stats = {}
+            for rel in active:
+                new_rel = os.path.join(DATA_DIR, uuid.uuid4().hex)
+                src = rel if os.path.isabs(rel) else os.path.join(self.path, rel)
+                shutil.copytree(src, os.path.join(target_path, new_rel))
+                add.append(new_rel)
+                stats[new_rel] = src_stats.get(rel, {})
+        target._try_commit(
+            Commit(
+                version=0,
+                timestamp_ms=int(time.time() * 1000),
+                operation="clone",
+                add=add,
+                remove=[],
+                schema_json=json.dumps(schema.jsonValue()),
+                metrics={
+                    "source": self.path,
+                    "source_version": self.latest_version(),
+                    "shallow": shallow,
+                    "stats": stats,
+                },
+            )
+        )
+        return target
+
+    # -------------------------------------------------------- constraints
+
+    def constraints(self) -> dict[str, str]:
+        """Active CHECK constraints (name → SQL expression), replayed
+        from the commit log like the schema."""
+        out: dict[str, str] = {}
+        for c in self._read_commits():
+            if c.operation == "add_constraint":
+                out[c.metrics["name"]] = c.metrics["expr"]
+            elif c.operation == "drop_constraint":
+                out.pop(c.metrics["name"], None)
+        return out
+
+    def add_constraint(self, name: str, expr: str) -> None:
+        """ALTER TABLE ADD CONSTRAINT name CHECK (expr) — Delta
+        semantics: existing rows are validated first (one scan), then
+        every subsequent write/insert/merge validates incoming rows.
+        SQL CHECK logic: a row violates only when the expression is
+        FALSE; NULL passes."""
+        if not self.exists():
+            raise ValueError(f"table {self.path} does not exist")
+        if name in self.constraints():
+            raise ValueError(f"constraint {name!r} already exists on {self.path}")
+        _, schema = self._snapshot()
+        bad = self.read().filter(~F.expr(expr)).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"cannot add constraint {name!r}: existing row violates "
+                f"CHECK ({expr}): {bad[0].asDict()}"
+            )
+        self._commit("add_constraint", [], [], schema, {"name": name, "expr": expr})
+
+    def drop_constraint(self, name: str) -> None:
+        """ALTER TABLE DROP CONSTRAINT."""
+        if name not in self.constraints():
+            raise ValueError(f"no constraint {name!r} on {self.path}")
+        _, schema = self._snapshot()
+        self._commit("drop_constraint", [], [], schema, {"name": name})
+
+    def _enforce_constraints(self, df: DataFrame, op: str) -> None:
+        """One validation scan for ALL active constraints over the
+        incoming rows (not the whole table) — O(write size), not
+        O(table size), the property that keeps enforcement viable on a
+        100 TB table."""
+        cons = self.constraints()
+        if not cons:
+            return
+        pred = " OR ".join(f"(NOT ({e}))" for e in cons.values())
+        bad = df.filter(pred).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"{op} rejected: CHECK constraint violated "
+                f"({cons}) by row {bad[0].asDict()}"
+            )

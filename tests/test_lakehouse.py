@@ -359,3 +359,70 @@ def test_change_feed_replays_to_exact_snapshot(spark, tmp_path):
         assert replayed.exceptAll(after).isEmpty() and after.exceptAll(replayed).isEmpty(), (
             f"version {v} replay mismatch"
         )
+
+
+def test_describe_detail(spark, tmp_path):
+    from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    t = LakeTable(spark, str(tmp_path / "d"))
+    t.write(df, mode="overwrite")
+    t.insert_into(df)
+    d = t.detail()
+    assert d["version"] == 1
+    assert d["num_data_dirs"] == 2
+    assert d["num_files"] > 0 and d["size_bytes"] > 0
+    assert d["operations"] == {"overwrite": 1, "append": 1}
+    assert "k" in d["schema"]
+
+
+def test_shallow_clone_is_metadata_only_and_independent(spark, tmp_path):
+    from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable, DATA_DIR
+    import os
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    src = LakeTable(spark, str(tmp_path / "src")).write(df, mode="overwrite")
+    clone = src.clone(str(tmp_path / "clone"), shallow=True)
+    # metadata-only: the clone owns no data dirs yet
+    assert not os.path.isdir(os.path.join(clone.path, DATA_DIR))
+    assert clone.read().count() == 1000
+    # writes diverge the clone, never the source
+    clone.delete("k < 500")
+    assert clone.read().count() == 500
+    assert src.read().count() == 1000
+    # deep clone survives source vacuum; stats carried for skipping
+    deep = src.clone(str(tmp_path / "deep"), shallow=False)
+    assert deep.read().count() == 1000
+    info = deep.scan_info("k < 0")
+    assert info["n_read"] == 0 and info["n_pruned"] == deep.scan_info(None)["n_active"]
+
+
+def test_check_constraints_gate_every_write_path(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
+
+    df = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    t = LakeTable(spark, str(tmp_path / "c"))
+    t.write(df, mode="overwrite")
+    t.add_constraint("v_nonneg", "v >= 0")
+    assert t.constraints() == {"v_nonneg": "v >= 0"}
+    # existing-data validation on add
+    with _pytest.raises(ValueError, match="existing row violates"):
+        t.add_constraint("impossible", "v > 100")
+    # append path
+    bad = spark.range(1).select(F.col("id").alias("k"), F.lit(-5).cast("long").alias("v"))
+    with _pytest.raises(ValueError, match="CHECK constraint violated"):
+        t.insert_into(bad)
+    # merge path
+    with _pytest.raises(ValueError, match="CHECK constraint violated"):
+        t.merge(bad, on=["k"])
+    # NULL passes (SQL CHECK semantics)
+    nullrow = spark.range(1).select(
+        (F.col("id") + 100).alias("k"), F.lit(None).cast("long").alias("v")
+    )
+    t.insert_into(nullrow)
+    # drop re-opens the gate
+    t.drop_constraint("v_nonneg")
+    t.insert_into(bad)
+    assert t.read().filter("v < 0").count() == 1
