@@ -705,3 +705,101 @@ def q103_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "pos", "word")
         .orderBy("doc_id", "pos")
     )
+
+
+@query(
+    "q113_stratified_sample",
+    oracle="""
+    WITH bucketed AS (
+      SELECT lang, n_chars,
+             CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM bucketed
+    WHERE bucket < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("sample", "corpus-mix"),
+)
+def q113_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — per-language keep rates
+    (downsample dominant 'en' to 10%, keep low-resource languages at
+    50%), the corpus-rebalancing step of a training-data mix. Unlike
+    ``sampleBy`` (seeded Bernoulli: partition-layout-dependent, not
+    reproducible across engines or cluster sizes), the keep decision is
+    a pure function of the document id via md5 bucketing — same rows
+    everywhere, and the filter fuses into the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+    rate = F.when(F.col("lang") == "en", F.lit(10)).otherwise(F.lit(50))
+    return (
+        docs.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_sampled"),
+            F.sum(F.col("n_chars")).cast("long").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q114_repetition_filter",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents WHERE doc_id % 151 = 0
+    ),
+    big AS (
+      SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(COUNT(bg) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(DISTINCT bg) AS BIGINT) AS n_distinct,
+           round(1.0 - COUNT(DISTINCT bg) / CAST(COUNT(bg) AS DOUBLE), 4) AS dup_frac
+    FROM big
+    WHERE bg IS NOT NULL
+    GROUP BY doc_id
+    HAVING COUNT(bg) > 0
+    ORDER BY doc_id
+    """,
+    tags=("text-quality", "dedup", "corpus"),
+)
+def q114_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition scoring (Rae et al. 2021 §A1.1: filter
+    documents whose duplicate n-gram fraction is high — boilerplate and
+    degenerate text): fraction of repeated word bigrams per document.
+    The bigram list is built row-locally with slice+zip_with lambdas
+    (whole-stage codegen; no explode, no shuffle, no Python) — the
+    oracle needs an unnest + window to say the same thing. Per-doc
+    arrays stay bounded, so this scales linearly with corpus size."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 151 == 0)
+    bigrams = F.expr(
+        "zip_with(slice(_toks, 1, size(_toks) - 1),"
+        "         slice(_toks, 2, size(_toks) - 1),"
+        "         (a, b) -> concat(a, ' ', b))"
+    )
+    return (
+        docs.withColumn("_toks", F.split("text", " "))
+        .withColumn("_bg", bigrams)
+        .filter(F.size("_bg") > 0)
+        .select(
+            "doc_id",
+            F.size("_bg").cast("long").alias("n_bigrams"),
+            F.size(F.array_distinct("_bg")).cast("long").alias("n_distinct"),
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct("_bg")) / F.size("_bg").cast("double"),
+                4,
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )

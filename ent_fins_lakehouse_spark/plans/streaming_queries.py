@@ -513,3 +513,63 @@ def q91_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q112_stream_dedup_watermark",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12, 4))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("streaming", "dedup", "watermark"),
+)
+def q112_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` — the bounded-state streaming
+    dedup (q76's ``dropDuplicates`` keeps EVERY key forever; at 100 TB
+    of stream history that state never stops growing). Keys are only
+    remembered for the watermark horizon: the first delivery is
+    emitted, the duplicate delivery — arriving one microbatch later
+    with the same event time, inside the 2-hour horizon — is absorbed
+    by state, and expired keys are evicted. Output equals the
+    exactly-once batch answer."""
+    root = tempfile.mkdtemp(prefix="stream_dedup_wm_")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit("2024-01-03").cast("timestamp"))
+        .select("event_id", "ts", "event_type", "value")
+    )
+    src = os.path.join(root, "landing")
+    # delivery 1: every event; delivery 2 (next microbatch): the last
+    # hour of events again — at-least-once duplicates within the horizon
+    ev.coalesce(1).write.mode("overwrite").json(src)
+    dup = ev.filter(F.col("ts") >= F.lit("2024-01-02 23:00:00").cast("timestamp"))
+    dup.coalesce(1).write.mode("append").json(src)
+
+    schema = "event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    target, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .format("parquet")
+        .option("checkpointLocation", ckpt)
+        .start(target)
+    )
+    q.awaitTermination()
+    out = spark.read.schema(schema).parquet(target)
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
