@@ -2168,3 +2168,149 @@ def q110_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q115_format_roundtrip",
+    oracle="""
+    SELECT 'csv' AS fmt, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38, 4))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey % 7 = 0 GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'orc' AS fmt, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38, 4))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey % 7 = 0 GROUP BY o_orderpriority
+    ORDER BY fmt, o_orderpriority
+    """,
+    tags=("sources", "formats"),
+)
+def q115_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/sink format breadth (S1/S2/S8 generalized — the
+    reference reads CSV `01-Fraud-Delta.py:37-51` and writes Delta):
+    the same relation written to ORC (typed, columnar, splittable) and
+    headered CSV (schema applied explicitly on read — never inferSchema
+    in production: inference is a full extra pass over 100 TB and can
+    mis-type sparse columns), read back, and aggregated identically
+    from both."""
+    import tempfile as _tf
+
+    root = _tf.mkdtemp(prefix="fmt_rt_")
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    orc_path, csv_path = f"{root}/orc", f"{root}/csv"
+    base.write.mode("overwrite").orc(orc_path)
+    base.write.mode("overwrite").option("header", True).csv(csv_path)
+    orc_df = spark.read.orc(orc_path)
+    csv_df = (
+        spark.read.schema("o_orderkey LONG, o_orderpriority STRING, o_totalprice DOUBLE")
+        .option("header", True)
+        .csv(csv_path)
+    )
+
+    def _agg(df: DataFrame, fmt: str) -> DataFrame:
+        return (
+            df.groupBy("o_orderpriority")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(dec("o_totalprice")).cast("double").alias("total"),
+            )
+            .withColumn("fmt", F.lit(fmt))
+        )
+
+    return (
+        _agg(csv_df, "csv")
+        .unionByName(_agg(orc_df, "orc"))
+        .select("fmt", "o_orderpriority", "n", "total")
+        .orderBy("fmt", "o_orderpriority")
+    )
+
+
+@query(
+    "q116_null_semantics",
+    oracle="""
+    WITH a AS (
+      SELECT nullif(c_nationkey % 5, 0) AS g, c_custkey, c_acctbal FROM customer
+    ),
+    b AS (
+      SELECT nullif(c_nationkey % 5, 0) AS g, c_custkey FROM customer
+      WHERE c_custkey <= 100
+    )
+    SELECT COALESCE(CAST(a.g AS VARCHAR), 'none') AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(a.g) AS BIGINT) AS n_nonnull_keys,
+           CAST(SUM(CASE WHEN a.c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+           round(CAST(SUM(CAST(COALESCE(a.c_acctbal, 0) AS DECIMAL(38, 4))) AS DOUBLE), 2) AS total_bal
+    FROM a JOIN b ON a.g IS NOT DISTINCT FROM b.g
+    GROUP BY 1
+    ORDER BY grp
+    """,
+    tags=("join", "null-semantics"),
+)
+def q116_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics suite: nullif manufactures NULL keys, the join
+    uses null-safe equality (Spark ``<=>`` ≡ SQL IS NOT DISTINCT FROM,
+    which matches NULL to NULL where ``=`` silently drops those rows),
+    and the aggregate layer shows COUNT(*) vs COUNT(col) and
+    COALESCE-pinned sums. Null-safe equi-joins hash-partition NULL like
+    any other key value, so the plan is still a plain shuffle/broadcast
+    hash join — no special casing at scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    g = F.nullif(F.col("c_nationkey") % 5, F.lit(0))
+    a = cust.select(g.alias("g"), "c_custkey", "c_acctbal")
+    b = cust.filter(F.col("c_custkey") <= 100).select(g.alias("g_b"), "c_custkey")
+    return (
+        a.join(F.broadcast(b), a.g.eqNullSafe(b.g_b))
+        .groupBy(F.coalesce(F.col("g").cast("string"), F.lit("none")).alias("grp"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.count("g").cast("long").alias("n_nonnull_keys"),
+            F.sum((F.col("c_acctbal") < 0).cast("long")).alias("n_neg"),
+            F.round(
+                F.sum(dec(F.coalesce(F.col("c_acctbal"), F.lit(0)), 4)).cast("double"), 2
+            ).alias("total_bal"),
+        )
+        .orderBy("grp")
+    )
+
+
+@query(
+    "q117_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + 45 AS DATE) AS plus45d,
+           CAST(EXTRACT(week FROM o_orderdate) AS BIGINT) AS iso_week,
+           CAST(EXTRACT(isodow FROM o_orderdate) AS BIGINT) AS iso_dow,
+           CAST(EXTRACT(doy FROM o_orderdate) AS BIGINT) AS doy
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    ORDER BY o_orderkey
+    """,
+    tags=("functions", "temporal"),
+)
+def q117_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic beyond q94: add_months (end-of-month clamped the
+    same way on both engines), last_day, fixed-day offsets, ISO week /
+    ISO day-of-week (Spark ``weekday`` is 0=Monday; +1 aligns with
+    DuckDB isodow), and day-of-year."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return (
+        orders.filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.add_months(d, 3).alias("plus3m"),
+            F.last_day(d).alias("month_end"),
+            F.date_add(d, 45).alias("plus45d"),
+            F.weekofyear(d).cast("long").alias("iso_week"),
+            (F.weekday(d) + 1).cast("long").alias("iso_dow"),
+            F.dayofyear(d).cast("long").alias("doy"),
+        )
+        .orderBy("o_orderkey")
+    )
