@@ -208,3 +208,76 @@ def ivf_topk(
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def cosine_pairs_blockwise_numpy(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_cols: list[str],
+    top_n: int | None = None,
+    min_cosine: float | None = None,
+) -> DataFrame:
+    """All-pairs cosine within blocks as one BLAS matrix product per
+    block (``applyInPandas``) — the dense-block scale path beside
+    :func:`cosine_pairs_blocked`'s codegen'd per-pair fold.
+
+    Why both exist: per-pair ``zip_with``/``aggregate`` evaluates an
+    interpreted expression per (pair × dimension); a block of n
+    d-dim vectors is better served by a single n×d @ d×n dgemm. The
+    crossover favors numpy once blocks hold more than a few dozen
+    vectors. Blocks must be driver-bounded in memory — the intended
+    block key at scale is an IVF cell / LSH bucket (thousands of
+    vectors, n² pair matrix in MBs), never an unbounded corpus.
+
+    Per-block top-``top_n`` is taken inside the UDF (global top-N ⊆
+    union of per-block top-Ns, since pairs never span blocks), so at
+    most ``top_n × n_blocks`` rows leave the executors before the
+    final TakeOrderedAndProject.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
+        ids = pdf[id_col].to_numpy()
+        U = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.sqrt((U * U).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        G = (U @ U.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(n, k=1)
+        a, b = ids[iu], ids[ju]
+        res = pd.DataFrame(
+            {
+                "id_a": np.minimum(a, b),
+                "id_b": np.maximum(a, b),
+                "cosine_sim": G[iu, ju],
+            }
+        )
+        if min_cosine is not None:
+            res = res[res["cosine_sim"] >= min_cosine]
+        if top_n is not None and len(res) > top_n:
+            res = res.nlargest(top_n, "cosine_sim")
+        return res
+
+    out = (
+        df.select(id_col, *block_cols, vec_col)
+        .groupBy(*block_cols)
+        .applyInPandas(block_pairs, schema=out_schema)
+    )
+    if top_n is not None:
+        out = out.orderBy(F.desc("cosine_sim"), F.asc("id_a"), F.asc("id_b")).limit(top_n)
+    return out

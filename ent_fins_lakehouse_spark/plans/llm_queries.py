@@ -803,3 +803,169 @@ def q114_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline, continued: benchmark decontamination, Gopher
+# quality gating, and deterministic shard assignment — the three steps
+# between "cleaned corpus" and "training shards" in an LLM data flow.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q127_decontamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(range(len(w) - 4),
+                    i -> array_to_string(w[i+1:i+5], ' ')))) AS g
+      FROM toks WHERE len(w) >= 5
+    )
+    SELECT t.doc_id AS doc_id, COUNT(DISTINCT t.g) AS n_contaminated_grams
+    FROM grams t
+    JOIN (SELECT DISTINCT g FROM grams WHERE source = 'src0') b ON t.g = b.g
+    WHERE t.source <> 'src0'
+    GROUP BY t.doc_id
+    ORDER BY doc_id
+    """,
+    tags=("llm", "dedup", "decontamination"),
+)
+def q127_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / PaLM style):
+    flag training documents sharing any word 5-gram with a held-out
+    benchmark set (source='src0' stands in for the eval corpus).
+    Physical plan: one shingle pass (JVM higher-order functions) →
+    explode → the benchmark gram set is DISTINCT-reduced and
+    broadcast — the training side never shuffles, which is the
+    property that matters when the training side is 100 TB and the
+    benchmark side is megabytes."""
+    from ent_fins_lakehouse_spark.operators.dedup import normalize_text, shingle_ngrams
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = docs.filter(F.size(F.split(normalize_text("text"), " ")) >= 5)
+    grams = shingle_ngrams(docs, "text", n=5).select(
+        "doc_id", "source", F.explode("shingles").alias("g")
+    )
+    bench = grams.filter(F.col("source") == "src0").select("g").distinct()
+    return (
+        grams.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_contaminated_grams"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q128_gopher_quality_gate",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_words,
+             CAST(LENGTH(list_aggregate(regexp_split_to_array(trim(lower(text)), '\\s+'), 'string_agg', '')) AS DOUBLE)
+               / len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS mean_word_len,
+             CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / LENGTH(text) AS symbol_ratio,
+             len(list_distinct(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 w -> list_contains(['the','a','of','and','to','in','is','that','it','for'], w)))) AS n_stopwords
+      FROM documents
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, n_stopwords,
+           (n_words BETWEEN 40 AND 100000)
+             AND (mean_word_len BETWEEN 3 AND 10)
+             AND symbol_ratio < 0.1
+             AND n_stopwords >= 2 AS keep
+    FROM m ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def q128_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gate (Rae et al. 2021, §A1.1): word-count
+    bounds, mean-word-length bounds, symbol ratio, and minimum distinct
+    stopword evidence, combined into one boolean keep decision. All
+    codegen'd column expressions — a full-corpus pass at 100 TB is one
+    narrow scan with no shuffle (ORDER BY here is for the oracle
+    comparison; production writes the flag back unsorted)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_words = F.size(words).cast("long")
+    mean_wl = F.length(F.array_join(words, "")).cast("double") / n_words
+    n_chars = F.length("text")
+    symbol_ratio = (n_chars - F.length(F.regexp_replace("text", r"[^A-Za-z0-9\s]", ""))).cast(
+        "double"
+    ) / n_chars
+    en_stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")])
+    n_stop = F.size(F.array_distinct(F.filter(words, lambda w: F.array_contains(en_stop, w)))).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            mean_wl.alias("mean_word_len"),
+            symbol_ratio.alias("symbol_ratio"),
+            n_stop.alias("n_stopwords"),
+        )
+        .withColumn(
+            "keep",
+            F.col("n_words").between(40, 100000)
+            & F.col("mean_word_len").between(3, 10)
+            & (F.col("symbol_ratio") < 0.1)
+            & (F.col("n_stopwords") >= 2),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q129_shard_assignment",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
+             len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens
+      FROM documents
+    )
+    SELECT shard, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+    tags=("llm", "text", "sharding"),
+)
+def q129_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment: md5-bucket each
+    document into one of 8 shards (engine-portable, reshuffle-stable —
+    the same doc lands in the same shard on any engine or cluster
+    size), with per-shard document and token accounting to verify
+    balance. At scale this is the partitioning key for the final
+    `write.partitionBy(shard)` of training data."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 8
+    )
+    return (
+        docs.select(shard.alias("shard"), token_count("text").alias("n_tokens"))
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+        .orderBy("shard")
+    )
+
+
+@query("q130_blockwise_cosine_topk", oracle=None, tags=("llm", "similarity"))
+def q130_blockwise_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The numpy scale path for q63: per-block all-pairs cosine as one
+    BLAS matrix product inside applyInPandas (vs q63's per-pair
+    codegen'd fold). Same logical result — equality with q63's exact
+    top-100 is asserted in tests/test_llm_ops.py — but the per-block
+    cost drops from O(pairs × dim) interpreted expression evaluation
+    to one O(n² × dim) dgemm per block, the right physical strategy
+    when blocks are dense (IVF cells, near-dup buckets)."""
+    from ent_fins_lakehouse_spark.operators.similarity import cosine_pairs_blockwise_numpy
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs_blockwise_numpy(
+        emb, "vec_id", "embedding", block_cols=["label"], top_n=100
+    )

@@ -27,6 +27,7 @@ from ent_fins_lakehouse_spark.functions.numeric import (
     davg,
     dec,
     dsum,
+    money,
     revenue_expr,
 )
 from ent_fins_lakehouse_spark.plans.registry import query
@@ -2313,4 +2314,385 @@ def q117_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.dayofyear(d).cast("long").alias("doy"),
         )
         .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H suite completion: the remaining canonical query shapes (Q5, Q9,
+# Q11, Q12, Q14, Q15, Q16, Q20) adapted to the driver's star schema
+# (no partsupp table — lineitem's (l_partkey, l_suppkey) is the
+# part-supplier relationship; no l_shipmode/commitdate — o_orderpriority
+# and shipdate-vs-orderdate lag stand in). Together with q01/q02/q82-q88/
+# q101 this covers every distinct TPC-H physical shape.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q118_regional_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q118_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join with a local-supplier
+    constraint (customer and supplier share a nation). Physical plan:
+    orders⋈lineitem is the one big shuffle join; supplier, nation,
+    region, and the filtered customer side are all broadcast — at
+    100 TB only the fact-fact join shuffles."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            cust,
+            (orders.o_custkey == cust.c_custkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "q119_promo_revenue_share",
+    oracle=f"""
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE_SQL} ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE) AS promo_revenue,
+           CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS total_revenue,
+           100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE_SQL} ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE)
+                 / CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q119_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): conditional aggregate ratio
+    over a month of shipments. The share is divided in DOUBLE space
+    from two exact decimal sums, so both engines produce the identical
+    IEEE result. part is broadcast; one scan of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = revenue_expr()
+    zero = F.lit(0).cast("decimal(12,4)")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
+    total = F.sum(rev).cast("double")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            promo.alias("promo_revenue"),
+            total.alias("total_revenue"),
+            (F.lit(100.0) * promo / total).alias("promo_share_pct"),
+        )
+    )
+
+
+@query(
+    "q120_disjunctive_predicate_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#5'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q120_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): a disjunction of
+    conjunctive brand/size/quantity predicates spanning both join
+    sides. Catalyst extracts the common p_brand IN (...) / p_size
+    bounds into pushable filters below the broadcast join and keeps
+    the full disjunction as the post-join condition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q, s, b = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((b == "Brand#12") & s.between(1, 15) & q.between(1, 21))
+        | ((b == "Brand#23") & s.between(1, 25) & q.between(10, 30))
+        | ((b == "Brand#5") & s.between(1, 35) & q.between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(revenue_expr()).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q121_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey, CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q121_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    keep the max-revenue supplier(s) via a scalar aggregate compared
+    against the same derived table. The scalar MAX is a one-row
+    broadcast cross-join, not a window over a single partition — no
+    single-reducer bottleneck at scale. Equality on the double is safe:
+    both operands derive from the identical exact decimal sum."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(revenue_expr()).cast("double").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx._mx)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q122_supplier_cnt_by_part_attrs",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q122_supplier_cnt_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct-supplier
+    count per part attribute triple, excluding a NOT-IN subquery of
+    flagged suppliers. lineitem(l_partkey, l_suppkey) is the partsupp
+    stand-in. NOT IN over a non-nullable key column is planned as a
+    broadcast anti-join (s_suppkey has no NULLs — no null-semantics
+    trap)."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    flagged = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(flagged), li.l_suppkey == flagged.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q123_product_profit_by_nation_year",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INT) AS o_year,
+           CAST(SUM({REVENUE_SQL}
+                    - CAST(0.5 AS DECIMAL(2,1)) * CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,4))
+               ) AS DOUBLE) AS sum_profit
+    FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, CAST(EXTRACT(year FROM l_shipdate) AS INT)
+    ORDER BY nation, o_year DESC
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q123_product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit per supplier-nation
+    per ship-year for one product family. Cost is modeled as
+    0.5 × p_retailprice × l_quantity (no partsupp.ps_supplycost in
+    this schema). The whole profit expression stays in exact decimal
+    until the final double cast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    half = F.lit(0.5).cast("decimal(2,1)")
+    profit = revenue_expr() - half * money("p_retailprice") * dec("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q124_important_parts",
+    oracle=f"""
+    WITH val AS (
+      SELECT l_partkey, CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS part_value
+      FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_regionkey = 2
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_value
+    FROM val
+    WHERE part_value > (SELECT 0.001 * SUM(part_value) FROM val)
+    ORDER BY part_value DESC, l_partkey
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q124_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part traded value
+    restricted to one region's suppliers, HAVING value above a fraction
+    of the global total (scalar subquery → one-row broadcast). The
+    0.001 × total threshold is computed in double on both engines from
+    the same exact decimal sum.
+
+    Scale note: val is aggregated once and reused for both the total
+    and the filter — Spark recomputes the subtree unless persisted, so
+    we persist the small aggregate, not the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    val = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(revenue_expr()).cast("double").alias("part_value"))
+        .persist()
+    )
+    thresh = val.agg((F.lit(0.001) * F.sum("part_value")).alias("_t"))
+    return (
+        val.join(F.broadcast(thresh), val.part_value > thresh._t)
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@query(
+    "q125_excess_volume_suppliers",
+    oracle="""
+    WITH red AS (
+      SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS red_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'red %'
+      GROUP BY l_suppkey
+    ),
+    tot AS (
+      SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, red_qty, total_qty
+    FROM supplier JOIN red ON s_suppkey = red.l_suppkey
+                  JOIN tot ON s_suppkey = tot.l_suppkey
+    WHERE red_qty > 0.13 * total_qty
+    ORDER BY s_suppkey
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q125_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers whose
+    shipped volume of one product family exceeds a fraction of their
+    total shipped volume — two aggregates over lineitem joined on the
+    supplier key. Both quantity sums are exact decimal → double, and
+    the 0.13 factor is applied in double space on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red %"))
+    supp = load_table(spark, sf_dir, "supplier")
+    red = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(dsum("l_quantity").alias("red_qty"))
+    )
+    tot = li.groupBy("l_suppkey").agg(dsum("l_quantity").alias("total_qty"))
+    return (
+        red.join(tot, "l_suppkey")
+        .filter(F.col("red_qty") > F.lit(0.13) * F.col("total_qty"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "red_qty", "total_qty")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q126_late_shipment_priority",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q126_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / order priority): conditional
+    priority counts over late shipments — a cross-column date-lag
+    predicate (shipdate > orderdate + 90 days) that only resolves
+    after the join, plus pushable shipdate bounds that prune the
+    lineitem scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
     )

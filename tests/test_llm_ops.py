@@ -268,3 +268,21 @@ def test_connected_components_string_ids(spark):
     ids = spark.createDataFrame([("a",), ("b",), ("c",), ("x",), ("y",), ("z",)], "doc STRING")
     out = {r["doc"]: r["group_id"] for r in dedup_connected_components(pairs, ids, "doc").collect()}
     assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "z"}
+
+
+def test_blockwise_numpy_cosine_matches_codegen_path(spark):
+    """q130 (applyInPandas + BLAS) must produce the same top-100 pair
+    set as q63 (per-pair codegen fold) — same logical operator, two
+    physical strategies. Cosine values agree to float64 matmul
+    tolerance."""
+    from ent_fins_lakehouse_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+    sf = "/root/testdata/sf0.001"
+    exact = QUERIES["q63_embedding_near_dup"].fn(spark, sf).collect()
+    fast = QUERIES["q130_blockwise_cosine_topk"].fn(spark, sf).collect()
+    exact_m = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in exact}
+    fast_m = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in fast}
+    assert set(exact_m) == set(fast_m)
+    for k, v in exact_m.items():
+        assert abs(v - fast_m[k]) < 1e-9, k
