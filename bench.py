@@ -92,13 +92,23 @@ def main() -> int:
     else:
         spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Timed pass: min of two runs per query. The VM this runs on shows
+    # >2x run-to-run noise from host contention; min-of-N reports the
+    # engine's cost rather than the host's worst moment. The cache is
+    # cleared between runs so a query that persists an intermediate
+    # (LSH shingles, norm vectors) re-computes it every run — both
+    # runs are cold-cache, warm-JVM.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qmap[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

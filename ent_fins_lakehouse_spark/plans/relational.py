@@ -2696,3 +2696,147 @@ def q126_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral / product analytics over the events stream: funnel,
+# cohort retention, and path mining — the standard clickstream shapes
+# beside q23 (hourly rollup) and q24 (sessionization).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q131_event_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_then_click,
+           (SELECT COUNT(*) FROM p) AS n_full_funnel
+    """,
+    tags=("events", "funnel", "analytics"),
+)
+def q131_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): each stage
+    requires an event strictly after the user's first event of the
+    previous stage. Three staged min-aggregates chained by equi-joins
+    on user_id — every join key is the same, so at scale one
+    repartition by user_id serves all three stages (AQE reuses the
+    exchange); no window over the full event log is needed."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_then_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_full_funnel")))
+    )
+
+
+@query(
+    "q132_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+    )
+    SELECT CAST(cohort_week AS DATE) AS cohort_week,
+           CAST(date_diff('week', cohort_week, active_week) AS INT) AS weeks_since,
+           COUNT(*) AS n_users
+    FROM firsts JOIN activity USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("events", "cohort", "analytics"),
+)
+def q132_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity week
+    (both engines truncate weeks to Monday), counted in every
+    subsequent week they were active. On week-truncated dates the
+    day difference is an exact multiple of 7, so datediff/7 matches
+    DuckDB's boundary-counting date_diff('week') losslessly."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    activity = ev.select("user_id", F.date_trunc("week", "ts").alias("active_week")).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            (F.datediff("active_week", "cohort_week") / 7).cast("int").alias("weeks_since"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+@query(
+    "q133_event_path_trigrams",
+    oracle="""
+    SELECT g, COUNT(*) AS n FROM (
+      SELECT event_type || '>' || lead1 || '>' || lead2 AS g FROM (
+        SELECT event_type,
+               LEAD(event_type, 1) OVER w AS lead1,
+               LEAD(event_type, 2) OVER w AS lead2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ) WHERE lead1 IS NOT NULL AND lead2 IS NOT NULL
+    )
+    GROUP BY g ORDER BY n DESC, g LIMIT 10
+    """,
+    tags=("events", "window", "analytics"),
+)
+def q133_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the 10 most common 3-step event-type sequences
+    across user timelines. One window (partition user_id, ordered by
+    ts with event_id tiebreak — deterministic under any partitioning),
+    two LEADs, then a partial+final count and TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = F.concat_ws(">", "event_type", "lead1", "lead2")
+    return (
+        ev.select(
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("lead1"),
+            F.lead("event_type", 2).over(w).alias("lead2"),
+        )
+        .filter(F.col("lead1").isNotNull() & F.col("lead2").isNotNull())
+        .select(g.alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "g")
+        .limit(10)
+    )
