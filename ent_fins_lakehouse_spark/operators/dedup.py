@@ -79,6 +79,9 @@ def jaccard_pairs_blocked(
     text_col: str,
     block_cols: list[str],
     threshold: float = 0.9,
+    max_block_size: int | None = None,
+    on_oversize: str = "subshard",
+    max_total_pairs: int | None = None,
 ) -> DataFrame:
     """Exact unigram-Jaccard near-dup pairs within blocking keys.
 
@@ -86,21 +89,54 @@ def jaccard_pairs_blocked(
     role LSH bands play probabilistically); inside a block the set
     intersection/union run on JVM array functions. Returns
     (id_a, id_b, jaccard) with id_a < id_b.
+
+    The bounded-block contract is enforced, not documented: blocks
+    larger than ``max_block_size`` are triangle hash-sub-sharded
+    (exact, bit-identical result; bounded per-task pair counts) or
+    rejected under ``on_oversize="raise"``, and a total-pair census
+    guard refuses workloads past ``max_total_pairs`` with a pointer to
+    :func:`minhash_lsh_pairs` — the sub-quadratic path this ground
+    truth exists to validate. See ``operators/blocking.py``.
+
+    Matched pairs are pruned by the exact size bound before any array
+    work: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so J ≥ t requires
+    min ≥ t·max — an integer comparison that kills most candidates
+    without evaluating array_intersect/array_union.
     """
+    from ent_fins_lakehouse_spark.operators.blocking import (
+        DEFAULT_MAX_BLOCK_SIZE,
+        DEFAULT_MAX_TOTAL_PAIRS,
+        bounded_pair_sides,
+    )
+
     t = _at_parallelism(df.select(id_col, text_col, *block_cols)).select(
         F.col(id_col).alias("_id"),
         *[F.col(c) for c in block_cols],
         F.array_distinct(F.split(normalize_text(text_col), " ")).alias("_w"),
-    ).persist()  # word sets feed both sides of the block join
-    a = t.select(F.col("_id").alias("id_a"), *[F.col(c).alias(f"a_{c}") for c in block_cols], F.col("_w").alias("w_a"))
-    b = t.select(F.col("_id").alias("id_b"), *[F.col(c).alias(f"b_{c}") for c in block_cols], F.col("_w").alias("w_b"))
-    cond = [F.col(f"a_{c}") == F.col(f"b_{c}") for c in block_cols] + [F.col("id_a") < F.col("id_b")]
-    inter = F.size(F.array_intersect("w_a", "w_b"))
-    union = F.size(F.array_union("w_a", "w_b"))
+    ).withColumn("_sz", F.size("_w")).persist()  # word sets feed both sides of the block join
+    a, b, cond = bounded_pair_sides(
+        t,
+        block_cols,
+        max_block_size=max_block_size or DEFAULT_MAX_BLOCK_SIZE,
+        on_oversize=on_oversize,
+        max_total_pairs=max_total_pairs or DEFAULT_MAX_TOTAL_PAIRS,
+    )
+    # exact length prune (1e-9 slack guards float rounding; only
+    # provably-impossible pairs are dropped, so results are unchanged)
+    cond = cond + [
+        F.least("_sz_a", "_sz_b").cast("double")
+        >= F.lit(float(threshold)) * F.greatest("_sz_a", "_sz_b") - F.lit(1e-9)
+    ]
+    inter = F.size(F.array_intersect("_w_a", "_w_b"))
+    union = F.size(F.array_union("_w_a", "_w_b"))
     jac = inter.cast("double") / union
     return (
         a.join(b, cond)
-        .select("id_a", "id_b", jac.alias("jaccard"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            jac.alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -449,6 +485,16 @@ def dedup_connected_components(
         mapping = [(x, find(x)) for x in list(parent)]
         if not mapping:
             return ids.select(F.col(id_col), F.col(id_col).alias("group_id"))
+        # The group map is bounded by 2 ids per collected edge, i.e.
+        # ≤ 2·driver_union_find_limit entries ≈ tens of MB at the 2M
+        # ceiling — safely broadcastable. Enforce the bound so a future
+        # limit bump can't silently turn this into a multi-GB broadcast
+        # (past ~10M entries the label-propagation path is the answer).
+        assert len(mapping) <= 2 * driver_union_find_limit, (
+            f"group map {len(mapping):,} entries exceeds the broadcast "
+            f"contract; lower driver_union_find_limit (got "
+            f"{driver_union_find_limit:,}) to route to label propagation"
+        )
         spark = ids.sparkSession
         id_type = ids.schema[id_col].dataType
         mdf = spark.createDataFrame(

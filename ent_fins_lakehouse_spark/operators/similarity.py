@@ -122,6 +122,9 @@ def cosine_pairs_blocked(
     block_cols: list[str],
     top_n: int | None = None,
     min_cosine: float | None = None,
+    max_block_size: int | None = None,
+    on_oversize: str = "subshard",
+    max_total_pairs: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine within blocking keys — the embedding
     analogue of :func:`dedup.jaccard_pairs_blocked`. Blocking bounds
@@ -129,33 +132,51 @@ def cosine_pairs_blocked(
     e.g. an IVF cluster id); inside a block the dot products run in
     codegen via zip_with/aggregate. Returns (id_a, id_b, cosine_sim)
     with id_a < id_b, thresholded and/or global top-N by similarity
-    (TakeOrderedAndProject — no full sort)."""
+    (TakeOrderedAndProject — no full sort).
+
+    The bounded-block contract is enforced in code: oversized blocks
+    triangle hash-sub-shard (exact, bit-identical; bounded per-task
+    pair counts) or raise, and a total-pair census guard refuses
+    unbounded use with a pointer to :func:`similarity_join_lsh` /
+    IVF — see ``operators/blocking.py``.
+
+    Zero-norm vectors are dropped before pairing (cosine is undefined
+    for them); :func:`cosine_pairs_blockwise_numpy` applies the same
+    convention so the two physical strategies stay interchangeable.
+    """
+    from ent_fins_lakehouse_spark.operators.blocking import (
+        DEFAULT_MAX_BLOCK_SIZE,
+        DEFAULT_MAX_TOTAL_PAIRS,
+        bounded_pair_sides,
+    )
+
     # Norms are computed ONCE per vector before the self-join (the
     # per-pair formulation would fold each array O(block) extra times);
     # same operand values either way, so the division stays bit-exact
     # vs the oracle. Persist: both join sides read it.
-    t = df.select(
-        F.col(id_col).alias("_id"),
-        *[F.col(c) for c in block_cols],
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    ).withColumn("_n", _norm(F.col("_v"))).persist()
-    a = t.select(
-        F.col("_id").alias("id_a"),
-        *[F.col(c).alias(f"a_{c}") for c in block_cols],
-        F.col("_v").alias("v_a"),
-        F.col("_n").alias("n_a"),
+    t = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            *[F.col(c) for c in block_cols],
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .withColumn("_n", _norm(F.col("_v")))
+        .filter(F.col("_n") > 0)
+        .persist()
     )
-    b = t.select(
-        F.col("_id").alias("id_b"),
-        *[F.col(c).alias(f"b_{c}") for c in block_cols],
-        F.col("_v").alias("v_b"),
-        F.col("_n").alias("n_b"),
+    a, b, cond = bounded_pair_sides(
+        t,
+        block_cols,
+        max_block_size=max_block_size or DEFAULT_MAX_BLOCK_SIZE,
+        on_oversize=on_oversize,
+        max_total_pairs=max_total_pairs or DEFAULT_MAX_TOTAL_PAIRS,
     )
-    cond = [F.col(f"a_{c}") == F.col(f"b_{c}") for c in block_cols] + [
-        F.col("id_a") < F.col("id_b")
-    ]
-    cos = _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
-    out = a.join(b, cond).select("id_a", "id_b", cos.alias("cosine_sim"))
+    cos = _dot(F.col("_v_a"), F.col("_v_b")) / (F.col("_n_a") * F.col("_n_b"))
+    out = a.join(b, cond).select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        cos.alias("cosine_sim"),
+    )
     if min_cosine is not None:
         out = out.filter(F.col("cosine_sim") >= min_cosine)
     if top_n is not None:
@@ -256,7 +277,15 @@ def cosine_pairs_blockwise_numpy(
         ids = pdf[id_col].to_numpy()
         U = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
         norms = np.sqrt((U * U).sum(axis=1))
-        norms[norms == 0.0] = 1.0
+        # same convention as cosine_pairs_blocked: zero-norm vectors
+        # have no defined cosine — drop them so the two strategies
+        # stay interchangeable
+        keep = norms > 0.0
+        if not keep.all():
+            ids, U, norms = ids[keep], U[keep], norms[keep]
+            n = len(ids)
+            if n < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
         G = (U @ U.T) / np.outer(norms, norms)
         iu, ju = np.triu_indices(n, k=1)
         a, b = ids[iu], ids[ju]
@@ -270,7 +299,13 @@ def cosine_pairs_blockwise_numpy(
         if min_cosine is not None:
             res = res[res["cosine_sim"] >= min_cosine]
         if top_n is not None and len(res) > top_n:
-            res = res.nlargest(top_n, "cosine_sim")
+            # deterministic tie-break matching cosine_pairs_blocked's
+            # orderBy(desc(sim), id_a, id_b) — nlargest alone keeps
+            # input order among ties, which can differ between the
+            # two strategies on tie-heavy data
+            res = res.sort_values(
+                ["cosine_sim", "id_a", "id_b"], ascending=[False, True, True]
+            ).head(top_n)
         return res
 
     out = (

@@ -286,3 +286,91 @@ def test_blockwise_numpy_cosine_matches_codegen_path(spark):
     assert set(exact_m) == set(fast_m)
     for k, v in exact_m.items():
         assert abs(v - fast_m[k]) < 1e-9, k
+
+
+def test_bounded_blocks_subshard_is_exact(docs):
+    """Triangle hash-sub-sharding (forced via a tiny cap) must return
+    the identical pair set as the unsharded join — the cap bounds
+    per-task work, never the result."""
+    from ent_fins_lakehouse_spark.operators.dedup import jaccard_pairs_blocked
+
+    blocked = docs.withColumn("_all", F.lit(1))
+    base = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+        for r in jaccard_pairs_blocked(blocked, "doc_id", "text", ["_all"], 0.9).collect()
+    }
+    sharded = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+        for r in jaccard_pairs_blocked(
+            blocked, "doc_id", "text", ["_all"], 0.9, max_block_size=50
+        ).collect()
+    }
+    assert base, "ground truth should be non-empty at sf0.001"
+    assert sharded == base
+
+
+def test_bounded_blocks_raise_mode(docs):
+    """on_oversize='raise' rejects oversized blocks eagerly at plan
+    time with routing guidance toward the LSH path."""
+    from ent_fins_lakehouse_spark.operators.blocking import BlockSizeExceededError
+    from ent_fins_lakehouse_spark.operators.dedup import jaccard_pairs_blocked
+
+    blocked = docs.withColumn("_all", F.lit(1))
+    with pytest.raises(BlockSizeExceededError, match="max_block_size"):
+        jaccard_pairs_blocked(
+            blocked, "doc_id", "text", ["_all"], 0.9, max_block_size=50, on_oversize="raise"
+        )
+
+
+def test_total_pairs_guard_routes_to_lsh(docs):
+    """The census guard refuses workloads past max_total_pairs in
+    either mode — exact all-pairs at that scale is a misrouted job."""
+    from ent_fins_lakehouse_spark.operators.blocking import BlockSizeExceededError
+    from ent_fins_lakehouse_spark.operators.dedup import jaccard_pairs_blocked
+
+    blocked = docs.withColumn("_all", F.lit(1))
+    with pytest.raises(BlockSizeExceededError, match="minhash_lsh_pairs"):
+        jaccard_pairs_blocked(
+            blocked, "doc_id", "text", ["_all"], 0.9, max_total_pairs=1000
+        )
+
+
+def test_cosine_bounded_blocks_subshard_is_exact(emb):
+    """Same triangle-sharding exactness contract for the embedding
+    exact-pair operator."""
+    from ent_fins_lakehouse_spark.operators.similarity import cosine_pairs_blocked
+
+    base = {
+        (r["id_a"], r["id_b"], round(r["cosine_sim"], 12))
+        for r in cosine_pairs_blocked(
+            emb, "vec_id", "embedding", ["label"], top_n=100
+        ).collect()
+    }
+    sharded = {
+        (r["id_a"], r["id_b"], round(r["cosine_sim"], 12))
+        for r in cosine_pairs_blocked(
+            emb, "vec_id", "embedding", ["label"], top_n=100, max_block_size=10
+        ).collect()
+    }
+    assert base and sharded == base
+
+
+def test_zero_norm_vectors_dropped_in_both_strategies(spark):
+    """ADVICE r2: the codegen and BLAS paths must agree on zero-norm
+    vectors — both drop them (cosine undefined), so neither emits a
+    NULL/0.0 pair the other lacks."""
+    from ent_fins_lakehouse_spark.operators.similarity import (
+        cosine_pairs_blocked,
+        cosine_pairs_blockwise_numpy,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], "x"),
+        (2, [1.0, 0.0], "x"),
+        (3, [0.0, 0.0], "x"),  # zero-norm: must pair with nothing
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>, label STRING")
+    exact = cosine_pairs_blocked(df, "vec_id", "embedding", ["label"]).collect()
+    fast = cosine_pairs_blockwise_numpy(df, "vec_id", "embedding", ["label"]).collect()
+    assert {(r["id_a"], r["id_b"]) for r in exact} == {(1, 2)}
+    assert {(r["id_a"], r["id_b"]) for r in fast} == {(1, 2)}
