@@ -1546,13 +1546,30 @@ def q89_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q90_approx_distinct", oracle=None, tags=("agg", "approx"))
+@query(
+    "q90_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_bound
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("agg", "approx"),
+)
 def q90_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregation: HyperLogLog++ approx_count_distinct next to
-    the exact distinct count per event_type. Rows-only check (HLL
-    estimates are engine-specific); tests/test_approx.py asserts the
-    relative error bound. At 100 TB the sketch is the only viable
-    distinct count — one pass, constant memory, mergeable partials."""
+    the exact distinct count per event_type. At 100 TB the sketch is
+    the only viable distinct count — one pass, constant memory,
+    mergeable partials.
+
+    Hash-checkable formulation (VERDICT r2 item 3): the engine-specific
+    HLL estimate is folded into ``within_bound = rel_err <= 0.05``, a
+    deterministic boolean the DuckDB oracle reproduces as literal TRUE
+    (the estimate itself would differ across engines; the bound claim
+    must not). tests/test_approx.py still asserts the tighter
+    rsd-derived error bound on the raw estimate."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
@@ -1560,10 +1577,14 @@ def q90_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
         )
-        .withColumn(
-            "rel_err",
-            F.abs(F.col("approx_users") - F.col("exact_users"))
-            / F.col("exact_users").cast("double"),
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users").cast("double")
+                <= F.lit(0.05)
+            ).alias("within_bound"),
         )
         .orderBy("event_type")
     )
