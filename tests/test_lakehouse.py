@@ -426,3 +426,27 @@ def test_check_constraints_gate_every_write_path(spark, tmp_path):
     t.drop_constraint("v_nonneg")
     t.insert_into(bad)
     assert t.read().filter("v < 0").count() == 1
+
+
+def test_use_database_retargets_unqualified_names(spark, tmp_path):
+    """USE <db> (D9): unqualified names resolve against the current
+    database; USE of a missing database raises instead of silently
+    retargeting."""
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+
+    lh = LakehouseSession(spark, str(tmp_path / "usewh"))
+    lh.sql("CREATE DATABASE a")
+    lh.sql("CREATE DATABASE b")
+    df_a = spark.createDataFrame([(1, "a")], "id INT, v STRING")
+    df_b = spark.createDataFrame([(2, "b")], "id INT, v STRING")
+    lh.catalog.create_table("a.t", df=df_a)
+    lh.catalog.create_table("b.t", df=df_b)
+    lh.sql("USE a")
+    assert [r["v"] for r in lh.sql("SELECT * FROM t").collect()] == ["a"]
+    assert {r["tableName"] for r in lh.sql("SHOW TABLES").collect()} == {"t"}
+    lh.sql("USE b")
+    assert [r["v"] for r in lh.sql("SELECT * FROM t").collect()] == ["b"]
+    with pytest.raises(ValueError, match="does not exist"):
+        lh.sql("USE nope")
+    # qualified names still bypass the current database
+    assert [r["v"] for r in lh.sql("SELECT * FROM a.t").collect()] == ["a"]
