@@ -450,3 +450,202 @@ def test_use_database_retargets_unqualified_names(spark, tmp_path):
         lh.sql("USE nope")
     # qualified names still bypass the current database
     assert [r["v"] for r in lh.sql("SELECT * FROM a.t").collect()] == ["a"]
+
+
+def _delta_stage_files(df, table_dir):
+    """Write df as parquet part files directly into the delta table dir,
+    returning their log-relative names."""
+    import glob
+    import json as _json
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    st = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(st)
+    names = []
+    os.makedirs(table_dir, exist_ok=True)
+    for f in sorted(glob.glob(os.path.join(st, "part-*.parquet"))):
+        name = f"part-{_uuid.uuid4().hex}.snappy.parquet"
+        shutil.move(f, os.path.join(table_dir, name))
+        names.append(name)
+    shutil.rmtree(st, ignore_errors=True)
+    return names
+
+
+def _delta_commit(table_dir, version, actions):
+    import json as _json
+
+    log = os.path.join(table_dir, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    with open(os.path.join(log, f"{version:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(_json.dumps(a) + "\n")
+
+
+def _delta_meta(schema_json, part_cols=()):
+    return {
+        "metaData": {
+            "id": "0000",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_json,
+            "partitionColumns": list(part_cols),
+            "configuration": {},
+            "createdTime": 0,
+        }
+    }
+
+
+def test_delta_log_read_multi_commit(spark, tmp_path):
+    """Hand-built open-source _delta_log: add/remove replay across
+    three commits + time travel (VERDICT r2 item 2)."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
+
+    td = str(tmp_path / "dl")
+    df = spark.createDataFrame([(i, f"r{i}") for i in range(10)], "id INT, v STRING")
+    a = _delta_stage_files(df.filter("id < 5"), td)
+    b = _delta_stage_files(df.filter("id >= 5"), td)
+    c = _delta_stage_files(df.filter("id < 5"), td)  # rewrite of a
+    _delta_commit(td, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _delta_meta(df.schema.json()),
+        *[{"add": {"path": p, "partitionValues": {}, "size": 1, "modificationTime": 0, "dataChange": True}} for p in a],
+    ])
+    _delta_commit(td, 1, [
+        {"commitInfo": {"operation": "WRITE"}},
+        *[{"add": {"path": p, "partitionValues": {}, "size": 1, "modificationTime": 0, "dataChange": True}} for p in b],
+    ])
+    _delta_commit(td, 2, [
+        *[{"remove": {"path": p, "deletionTimestamp": 0, "dataChange": True}} for p in a],
+        *[{"add": {"path": p, "partitionValues": {}, "size": 1, "modificationTime": 0, "dataChange": True}} for p in c],
+    ])
+    dl = LakeTable.from_delta_log(spark, td)
+    assert dl.latest_version() == 2
+    got = sorted((r["id"], r["v"]) for r in dl.read().collect())
+    assert got == [(i, f"r{i}") for i in range(10)]
+    v0 = sorted(r["id"] for r in dl.read(version_as_of=0).collect())
+    assert v0 == [0, 1, 2, 3, 4]
+    # LakeTable.read() transparently falls through to the shim
+    via_lake = LakeTable(spark, td).read(where="id >= 7")
+    assert sorted(r["id"] for r in via_lake.collect()) == [7, 8, 9]
+
+
+def test_delta_log_read_partitioned(spark, tmp_path):
+    """Partitioned Delta table: physical files omit partition columns;
+    the shim re-attaches typed partitionValues."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
+
+    td = str(tmp_path / "dlp")
+    full = spark.createDataFrame(
+        [(1, "x", 10), (2, "x", 20), (3, "y", 30)], "id INT, k STRING, val INT"
+    )
+    adds = []
+    for k in ("x", "y"):
+        names = _delta_stage_files(full.filter(f"k = '{k}'").drop("k"), td)
+        adds += [
+            {"add": {"path": p, "partitionValues": {"k": k}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}}
+            for p in names
+        ]
+    _delta_commit(td, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _delta_meta(full.schema.json(), part_cols=["k"]),
+        *adds,
+    ])
+    got = sorted((r["id"], r["k"], r["val"]) for r in
+                 LakeTable.from_delta_log(spark, td).read().collect())
+    assert got == [(1, "x", 10), (2, "x", 20), (3, "y", 30)]
+
+
+def test_delta_log_checkpoint_bootstrap(spark, tmp_path):
+    """Snapshot bootstraps from the _last_checkpoint parquet and
+    replays only the JSON commits past it."""
+    import json as _json
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
+
+    td = str(tmp_path / "dlc")
+    df = spark.createDataFrame([(i,) for i in range(6)], "id INT")
+    a = _delta_stage_files(df.filter("id < 3"), td)
+    b = _delta_stage_files(df.filter("id >= 3"), td)
+    # checkpoint at version 1 holds the v0+v1 state (files a); JSON for
+    # v0/v1 deliberately absent (cleaned up, as Delta does)
+    log = os.path.join(td, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    from pyspark.sql import types as T
+
+    cp_schema = T.StructType(
+        [
+            T.StructField(
+                "metaData",
+                T.StructType(
+                    [
+                        T.StructField("id", T.StringType()),
+                        T.StructField("schemaString", T.StringType()),
+                        T.StructField("partitionColumns", T.ArrayType(T.StringType())),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "protocol",
+                T.StructType(
+                    [
+                        T.StructField("minReaderVersion", T.IntegerType()),
+                        T.StructField("minWriterVersion", T.IntegerType()),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "add",
+                T.StructType(
+                    [
+                        T.StructField("path", T.StringType()),
+                        T.StructField(
+                            "partitionValues", T.MapType(T.StringType(), T.StringType())
+                        ),
+                        T.StructField("size", T.LongType()),
+                        T.StructField("modificationTime", T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    cp_rows = [
+        (("0", df.schema.json(), []), None, None),
+        (None, (1, 2), None),
+    ] + [(None, None, (p, {}, 1, 0)) for p in a]
+    spark.createDataFrame(cp_rows, cp_schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(log, "_cp_stage"))
+    import glob as _glob
+    import shutil as _shutil
+
+    src = _glob.glob(os.path.join(log, "_cp_stage", "part-*.parquet"))[0]
+    _shutil.move(src, os.path.join(log, f"{1:020d}.checkpoint.parquet"))
+    _shutil.rmtree(os.path.join(log, "_cp_stage"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        fh.write(_json.dumps({"version": 1, "size": len(a) + 2}))
+    # v2 JSON adds files b
+    _delta_commit(td, 2, [
+        *[{"add": {"path": p, "partitionValues": {}, "size": 1,
+                   "modificationTime": 0, "dataChange": True}} for p in b],
+    ])
+    got = sorted(r["id"] for r in LakeTable.from_delta_log(spark, td).read().collect())
+    assert got == [0, 1, 2, 3, 4, 5]
+
+
+def test_delta_log_rejects_unsupported_reader_protocol(spark, tmp_path):
+    from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
+
+    td = str(tmp_path / "dlx")
+    df = spark.createDataFrame([(1,)], "id INT")
+    a = _delta_stage_files(df, td)
+    _delta_commit(td, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"]}},
+        _delta_meta(df.schema.json()),
+        *[{"add": {"path": p, "partitionValues": {}, "size": 1,
+                   "modificationTime": 0, "dataChange": True}} for p in a],
+    ])
+    with pytest.raises(NotImplementedError, match="deletionVectors"):
+        LakeTable.from_delta_log(spark, td).read()
