@@ -288,6 +288,52 @@ def q134_delta_log_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q137_schema_widening",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT CAST(n_nationkey + 1000 AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    tags=("lakehouse", "schema"),
+)
+def q137_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric type widening on schema evolution (VERDICT r2 item 5 —
+    the reference names schema evolution as a capability,
+    `01-Fraud-Delta.py:282-284`): v0 written with int32 keys, the
+    append arrives with int64 and merge_schema=True widens the
+    committed schema along int→long; the pre-evolution int32 parquet
+    dirs are then read back through the widened (bigint) schema."""
+    nation = load_table(spark, sf_dir, "nation")
+    t = LakeTable(spark, _scratch("widen"))
+    t.write(
+        nation.select(
+            F.col("n_nationkey").cast("int").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("int").alias("n_regionkey"),
+        ),
+        mode="overwrite",
+    )
+    t.write(
+        nation.select(
+            (F.col("n_nationkey").cast("long") + 1000).alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        ),
+        mode="append",
+        merge_schema=True,
+    )
+    out = t.read()
+    types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert types["n_nationkey"] == "bigint" and types["n_regionkey"] == "bigint", types
+    return out.orderBy("n_nationkey")
+
+
+@query(
     "q136_use_database",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -235,6 +235,32 @@ class LakeTable:
         df.write.mode("overwrite").parquet(out)
         return rel
 
+    @staticmethod
+    def _numeric_lub(a: T.DataType, b: T.DataType) -> T.DataType | None:
+        """Least upper bound on the numeric widening lattice
+        byte → short → int → long → double, with float joining any
+        other numeric at double (int→float and long→float are lossy;
+        double embeds every other member exactly enough for Delta's
+        own widening rules). Non-numeric or non-widenable pairs → None."""
+        rank = {
+            T.ByteType(): 0,
+            T.ShortType(): 1,
+            T.IntegerType(): 2,
+            T.LongType(): 3,
+            T.DoubleType(): 5,
+        }
+        if a == b:
+            return a
+        flt = T.FloatType()
+        if a == flt or b == flt:
+            other = b if a == flt else a
+            if other == flt or other in rank:
+                return T.DoubleType() if other != flt else flt
+            return None
+        if a in rank and b in rank:
+            return a if rank[a] >= rank[b] else b
+        return None
+
     def _check_schema(self, df: DataFrame, committed: T.StructType | None, merge_schema: bool) -> DataFrame:
         if committed is None:
             return df
@@ -248,26 +274,44 @@ class LakeTable:
                 f"schema enforcement: incoming {sorted(have)} != committed {sorted(want)} "
                 f"for {self.path} (pass merge_schema=True to evolve)"
             )
-        # evolution adds NEW columns only; a same-name column with a
-        # different type is rejected (Delta rejects incompatible type
-        # changes — silently replacing the committed type would make
-        # read() apply the new schema to old parquet dirs)
-        conflicts = {
-            n: (want[n].simpleString(), have[n].simpleString())
-            for n in have
-            if n in want and have[n] != want[n]
-        }
+        # evolution adds NEW columns and widens same-name numeric types
+        # along the byte→short→int→long→double lattice (Delta-style
+        # type widening; narrower incoming data is upcast to the
+        # committed type, wider incoming data widens the committed
+        # schema — old parquet dirs stay readable because Spark 4's
+        # parquet reader upcasts at scan time). Everything else — any
+        # narrowing or incompatible change — is rejected: silently
+        # replacing the committed type would make read() apply the new
+        # schema to old parquet dirs.
+        widened: dict[str, T.DataType] = {}
+        conflicts: dict[str, tuple[str, str]] = {}
+        for n in have:
+            if n in want and have[n] != want[n]:
+                lub = self._numeric_lub(want[n], have[n])
+                if lub is None:
+                    conflicts[n] = (want[n].simpleString(), have[n].simpleString())
+                else:
+                    widened[n] = lub
         if conflicts:
             raise ValueError(
                 f"schema evolution cannot change column types for {self.path}: "
-                f"{conflicts} (committed_type, incoming_type) — cast the "
-                "incoming DataFrame to the committed types first"
+                f"{conflicts} (committed_type, incoming_type) — only numeric "
+                "widening (byte→short→int→long→double, float→double) is "
+                "supported; cast the incoming DataFrame to the committed "
+                "types first"
             )
+        final = {n: widened.get(n, t) for n, t in want.items()}
         # evolution: union of columns, nulls for what either side lacks
         cols = [f.name for f in committed.fields] + [n for n in have if n not in want]
         return df.select(
             *[
-                (F.col(n) if n in have else F.lit(None).cast(want[n])).alias(n)
+                (
+                    F.col(n).cast(final[n])
+                    if n in have and n in final
+                    else F.col(n)
+                    if n in have
+                    else F.lit(None).cast(want[n])
+                ).alias(n)
                 for n in cols
             ]
         )

@@ -246,12 +246,14 @@ def test_delete_append_race_preserves_append(spark, tmp_path):
 
 def test_schema_evolution_rejects_type_conflict(spark, tmp_path):
     """ADVICE r1: merge_schema=True must not silently replace a
-    committed column type (Delta rejects incompatible type changes)."""
+    committed column type. Since r3, numeric widening is legal
+    (test_schema_widening_lattice) — the rejection applies to
+    off-lattice changes like numeric→string."""
     t = _table(spark, tmp_path)
     t.write(spark.createDataFrame([(1, "a")], "k INT, v STRING"))
     with pytest.raises(ValueError, match="cannot change column types"):
         t.write(
-            spark.createDataFrame([(2.5, "b")], "k DOUBLE, v STRING"),
+            spark.createDataFrame([("x", "b")], "k STRING, v STRING"),
             mode="append",
             merge_schema=True,
         )
@@ -649,3 +651,60 @@ def test_delta_log_rejects_unsupported_reader_protocol(spark, tmp_path):
     ])
     with pytest.raises(NotImplementedError, match="deletionVectors"):
         LakeTable.from_delta_log(spark, td).read()
+
+
+def test_schema_widening_lattice(spark, tmp_path):
+    """VERDICT r2 item 5: merge_schema widens along
+    byte→short→int→long→double (float joins at double); pre-evolution
+    int32 dirs stay readable through the widened schema; narrowing
+    without merge_schema and incompatible changes raise."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "widen"))
+    t.write(spark.createDataFrame([(1, 1.5)], "k INT, v FLOAT"), mode="overwrite")
+    # widen-ok: long keys + double values evolve the schema...
+    t.write(
+        spark.createDataFrame([(2**40, 2.5)], "k LONG, v DOUBLE"),
+        mode="append",
+        merge_schema=True,
+    )
+    got = t.read()
+    types = {f.name: f.dataType.simpleString() for f in got.schema.fields}
+    assert types == {"k": "bigint", "v": "double"}
+    # ...and the pre-evolution int32/float32 dir reads through it
+    assert sorted((r["k"], round(r["v"], 3)) for r in got.collect()) == [
+        (1, 1.5),
+        (2**40, 2.5),
+    ]
+    # narrower incoming upcasts to the committed type (schema unchanged)
+    t.write(
+        spark.createDataFrame([(7, 7.0)], "k INT, v FLOAT"),
+        mode="append",
+        merge_schema=True,
+    )
+    assert {f.name: f.dataType.simpleString() for f in t.read().schema.fields} == {
+        "k": "bigint",
+        "v": "double",
+    }
+    assert t.read().count() == 3
+    # narrow/teardown without merge_schema still enforces
+    with pytest.raises(ValueError, match="schema enforcement"):
+        t.write(spark.createDataFrame([(8, 8.0)], "k INT, v FLOAT"), mode="append")
+    # incompatible: string over numeric raises even with merge_schema
+    with pytest.raises(ValueError, match="cannot change column types"):
+        t.write(
+            spark.createDataFrame([("x", 1.0)], "k STRING, v DOUBLE"),
+            mode="append",
+            merge_schema=True,
+        )
+    # incompatible: decimal is off-lattice by design
+    with pytest.raises(ValueError, match="cannot change column types"):
+        t.write(
+            spark.createDataFrame([(1, 1.0)], "k INT, v FLOAT").select(
+                "k", F.col("v").cast("decimal(10,2)").alias("v")
+            ),
+            mode="append",
+            merge_schema=True,
+        )
