@@ -288,6 +288,74 @@ def q134_delta_log_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q135_generalized_merge",
+    oracle="""
+    WITH src AS (
+      SELECT s_suppkey, s_name, s_nationkey, s_acctbal + 1000 AS s_acctbal
+      FROM supplier WHERE s_suppkey <= 8
+      UNION ALL
+      SELECT s_suppkey + 2000 AS s_suppkey, s_name, s_nationkey, s_acctbal
+      FROM supplier WHERE s_suppkey <= 4
+    ),
+    matched_upd AS (
+      SELECT t.s_suppkey, s.s_name, t.s_nationkey, s.s_acctbal
+      FROM supplier t JOIN src s USING (s_suppkey)
+      WHERE s.s_acctbal > 5000
+    ),
+    kept AS (
+      SELECT t.* FROM supplier t
+      WHERE EXISTS (SELECT 1 FROM src s WHERE s.s_suppkey = t.s_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM matched_upd u WHERE u.s_suppkey = t.s_suppkey)
+      UNION ALL
+      SELECT t.* FROM supplier t
+      WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.s_suppkey = t.s_suppkey)
+        AND NOT (t.s_nationkey = 3)
+    ),
+    inserted AS (
+      SELECT s.* FROM src s
+      WHERE NOT EXISTS (SELECT 1 FROM supplier t WHERE t.s_suppkey = s.s_suppkey)
+    )
+    SELECT * FROM kept
+    UNION ALL SELECT * FROM matched_upd
+    UNION ALL SELECT * FROM inserted
+    ORDER BY s_suppkey
+    """,
+    tags=("lakehouse", "merge", "sql"),
+)
+def q135_generalized_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized MERGE clause set (VERDICT r2 item 7) end-to-end via
+    the SQL facade: WHEN MATCHED AND <cond> THEN UPDATE SET c = expr
+    (explicit columns — unlisted columns keep target values), WHEN NOT
+    MATCHED THEN INSERT *, and WHEN NOT MATCHED BY SOURCE AND <cond>
+    THEN DELETE. The reference only exercises SET */INSERT *
+    (`01-Fraud-Delta.py:235-241`); this is the first superset shape a
+    real lakehouse user reaches for."""
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+
+    supp = load_table(spark, sf_dir, "supplier")
+    lh = LakehouseSession(spark, _scratch("gmerge"))
+    lh.sql("CREATE DATABASE IF NOT EXISTS lending")
+    lh.catalog.create_table("lending.suppliers", df=supp)
+    src = (
+        supp.filter(F.col("s_suppkey") <= 8)
+        .withColumn("s_acctbal", F.col("s_acctbal") + 1000)
+        .unionByName(
+            supp.filter(F.col("s_suppkey") <= 4).withColumn(
+                "s_suppkey", F.col("s_suppkey") + 2000
+            )
+        )
+    )
+    src.createOrReplaceTempView("merge_src")
+    lh.sql(
+        "MERGE INTO lending.suppliers t USING merge_src m ON t.s_suppkey = m.s_suppkey "
+        "WHEN MATCHED AND m.s_acctbal > 5000 THEN UPDATE SET s_acctbal = m.s_acctbal, s_name = m.s_name "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND t.s_nationkey = 3 THEN DELETE"
+    )
+    return lh.sql("SELECT * FROM lending.suppliers").orderBy("s_suppkey")
+
+
+@query(
     "q137_schema_widening",
     oracle="""
     SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,

@@ -131,8 +131,13 @@ class LakehouseSession:
     _MERGE = re.compile(
         r"MERGE\s+INTO\s+(?P<target>[\w.]+)\s+(?:AS\s+)?(?P<talias>\w+)?\s*"
         r"USING\s+(?P<source>[\w.]+)\s+(?:AS\s+)?(?P<salias>\w+)?\s*"
-        r"ON\s+(?P<cond>.+?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
-        r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$",
+        r"ON\s+(?P<cond>.+?)\s+(?P<clauses>WHEN\s.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _MERGE_WHEN = re.compile(
+        r"WHEN\s+(?P<kind>MATCHED|NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED)"
+        r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+        r"(?P<action>UPDATE\s+SET\s+.+?|INSERT\s+\*|DELETE)\s*(?=WHEN\s|$)",
         re.IGNORECASE | re.DOTALL,
     )
     _DELETE = re.compile(r"DELETE\s+FROM\s+(?P<target>[\w.]+)\s+WHERE\s+(?P<pred>.+)$", re.IGNORECASE | re.DOTALL)
@@ -156,7 +161,7 @@ class LakehouseSession:
             target = self.catalog._resolve(m["target"])
             source = self.spark.table(m["source"])
             on = self._equi_keys(m["cond"], m["talias"], m["salias"])
-            target.merge(source, on=on)
+            target.merge(source, on=on, **self._merge_clauses(m))
             return None
         if m := self._DELETE.match(s):
             self.catalog._resolve(m["target"]).delete(m["pred"])
@@ -192,6 +197,69 @@ class LakehouseSession:
                 except ValueError:
                     pass  # not a lake table — fall through to spark.sql
         return self.spark.sql(s)
+
+    @classmethod
+    def _merge_clauses(cls, m: "re.Match") -> dict:
+        """Translate the statement's WHEN clause list into
+        :meth:`LakeTable.merge` kwargs. Supported grammar (a superset
+        of the reference's `UPDATE SET * / INSERT *` shape,
+        `01-Fraud-Delta.py:235-241`):
+
+        * ``WHEN MATCHED [AND cond] THEN UPDATE SET *``
+        * ``WHEN MATCHED [AND cond] THEN UPDATE SET c = expr[, ...]``
+        * ``WHEN NOT MATCHED THEN INSERT *``
+        * ``WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE``
+
+        Conditions/expressions may reference the statement's own
+        aliases; they are rewritten to the ``t``/``s`` aliases
+        LakeTable.merge evaluates against."""
+        talias, salias = m["talias"], m["salias"]
+
+        def norm(expr: str) -> str:
+            out = expr.strip()
+            if talias:
+                out = re.sub(rf"\b{re.escape(talias)}\.", "t.", out)
+            if salias:
+                out = re.sub(rf"\b{re.escape(salias)}\.", "s.", out)
+            return out
+
+        kw: dict = {"when_matched_update_all": False, "when_not_matched_insert_all": False}
+        clauses, pos = [], 0
+        text = m["clauses"].strip()
+        for w in cls._MERGE_WHEN.finditer(text):
+            if text[pos : w.start()].strip():
+                raise ValueError(f"unsupported MERGE clause: {text[pos:w.start()]!r}")
+            clauses.append(w)
+            pos = w.end()
+        if text[pos:].strip() or not clauses:
+            raise ValueError(f"unsupported MERGE clause tail: {text[pos:]!r}")
+        for w in clauses:
+            kind = re.sub(r"\s+", " ", w["kind"].upper())
+            action = w["action"].strip()
+            cond = norm(w["cond"]) if w["cond"] else None
+            if kind == "MATCHED" and action.upper().startswith("UPDATE SET"):
+                body = action[len("UPDATE SET"):].strip()
+                kw["matched_condition"] = cond
+                if body == "*":
+                    kw["when_matched_update_all"] = True
+                else:
+                    sets = {}
+                    for part in body.split(","):
+                        am = re.match(r"\s*(\w+)\s*=\s*(.+)\s*$", part, re.DOTALL)
+                        if not am:
+                            raise ValueError(f"unsupported UPDATE SET assignment: {part!r}")
+                        sets[am[1]] = norm(am[2])
+                    kw["matched_update"] = sets
+            elif kind == "NOT MATCHED" and action.upper() == "INSERT *":
+                if cond:
+                    raise ValueError("WHEN NOT MATCHED AND <cond> is not supported")
+                kw["when_not_matched_insert_all"] = True
+            elif kind == "NOT MATCHED BY SOURCE" and action.upper() == "DELETE":
+                kw["not_matched_by_source_delete"] = True
+                kw["not_matched_by_source_condition"] = cond
+            else:
+                raise ValueError(f"unsupported MERGE clause: WHEN {kind} THEN {action}")
+        return kw
 
     @staticmethod
     def _equi_keys(cond: str, talias: str | None, salias: str | None) -> list[str]:

@@ -460,6 +460,9 @@ class LakeTable:
         when_matched_update_all: bool = True,
         when_not_matched_insert_all: bool = True,
         matched_condition: str | None = None,
+        matched_update: dict[str, str] | None = None,
+        not_matched_by_source_delete: bool = False,
+        not_matched_by_source_condition: str | None = None,
     ) -> dict:
         """MERGE INTO … USING … ON (J1/D7, `01-Fraud-Delta.py:235-241`:
         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *).
@@ -470,10 +473,24 @@ class LakeTable:
         touched dirs rewritten. The equi-join is Spark-planned
         (broadcast if source is small, SMJ otherwise).
 
-        ``matched_condition``: SQL over aliases ``t`` (target) and
-        ``s`` (source), e.g. ``"s.version > t.version"`` — WHEN MATCHED
-        AND cond THEN UPDATE; a matched row failing the condition keeps
-        its target version (the CDC out-of-order guard).
+        Generalized clauses (VERDICT r2 item 7 — the reference only
+        needs SET */INSERT *, but these are the first things a real
+        lakehouse user reaches for):
+
+        * ``matched_condition``: SQL over aliases ``t`` (target) and
+          ``s`` (source), e.g. ``"s.version > t.version"`` — WHEN
+          MATCHED AND cond THEN UPDATE; a matched row failing the
+          condition keeps its target version (the CDC out-of-order
+          guard).
+        * ``matched_update``: ``{target_col: sql_expr}`` over the same
+          ``t``/``s`` aliases — WHEN MATCHED THEN UPDATE SET c = expr.
+          Unlisted columns keep their target values. Overrides the
+          SET * behavior of ``when_matched_update_all``.
+        * ``not_matched_by_source_delete`` (+ optional
+          ``…_condition`` over ``t``): WHEN NOT MATCHED BY SOURCE
+          [AND cond] THEN DELETE — target rows with no source match
+          are dropped. Forces a full-table rewrite (every dir may hold
+          unmatched rows), unlike the key-pruned clauses.
         """
         if not self.exists():
             raise ValueError(f"merge target {self.path} does not exist")
@@ -483,8 +500,15 @@ class LakeTable:
         # only the incoming rows need validation — rewritten target
         # rows already passed when they were written
         self._enforce_constraints(source, "merge")
+        do_update = when_matched_update_all or matched_update is not None
+        if matched_update is not None:
+            unknown = set(matched_update) - {f.name for f in schema.fields}
+            if unknown:
+                raise ValueError(f"UPDATE SET targets unknown columns {sorted(unknown)}")
+            if set(matched_update) & set(on):
+                raise ValueError("UPDATE SET cannot reassign MERGE key columns")
 
-        if when_matched_update_all:
+        if do_update:
             # Delta raises when a target row matches multiple source
             # rows (nondeterministic update); silently appending every
             # match would duplicate the key. Detect dup source keys that
@@ -509,61 +533,91 @@ class LakeTable:
                 )
 
         keys = source.select(*on).distinct()
-        key_pred = None  # predicate form for dir pruning: key IN (...)
         # dir pruning via semi-join instead of expr: read → semi-join → files
         active, _ = self._snapshot()
         paths = {os.path.join(self.path, rel): rel for rel in active}
         target = self.spark.read.schema(schema).parquet(*paths)
-        # project input_file_name BELOW the join: the expression only
-        # resolves against a single-file-source subtree
-        target_files = target.select(*on, F.input_file_name().alias("f"))
-        hit_files = (
-            target_files.join(F.broadcast(keys), on=on, how="left_semi")
-            .select("f")
-            .distinct()
-            .collect()
-        )
-        touched_rel = set()
-        for r in hit_files:
-            fpath = r["f"].removeprefix("file://")
-            for p, rel in paths.items():
-                if fpath.startswith(p + "/") or fpath.startswith(p):
-                    touched_rel.add(rel)
-        touched = [rel for rel in active if rel in touched_rel]
+        if not_matched_by_source_delete:
+            # deletable rows are the ones NOT matching the source —
+            # they can live in any dir, so every dir participates
+            touched = list(active)
+        else:
+            # project input_file_name BELOW the join: the expression
+            # only resolves against a single-file-source subtree
+            target_files = target.select(*on, F.input_file_name().alias("f"))
+            hit_files = (
+                target_files.join(F.broadcast(keys), on=on, how="left_semi")
+                .select("f")
+                .distinct()
+                .collect()
+            )
+            touched_rel = set()
+            for r in hit_files:
+                fpath = r["f"].removeprefix("file://")
+                for p, rel in paths.items():
+                    if fpath.startswith(p + "/") or fpath.startswith(p):
+                        touched_rel.add(rel)
+            touched = [rel for rel in active if rel in touched_rel]
 
         parts: list[DataFrame] = []
-        n_updated = 0
+        tpaths = [os.path.join(self.path, rel) for rel in touched]
+        tdf = self.spark.read.schema(schema).parquet(*tpaths) if touched else None
         # keys whose target row is actually replaced: matched AND (when
         # given) passing the t-vs-s condition — a condition-false match
         # must KEEP the target row, not drop it
         upd_keys = keys
-        if when_matched_update_all and matched_condition and touched:
-            tpaths = [os.path.join(self.path, rel) for rel in touched]
-            tdf_cond = self.spark.read.schema(schema).parquet(*tpaths)
+        if do_update and matched_condition and tdf is not None:
             upd_keys = (
-                tdf_cond.alias("t")
+                tdf.alias("t")
                 .join(F.broadcast(source).alias("s"), on=on, how="inner")
                 .filter(F.expr(matched_condition))
                 .select(*on)
                 .distinct()
             )
-        if touched:
-            tpaths = [os.path.join(self.path, rel) for rel in touched]
-            tdf = self.spark.read.schema(schema).parquet(*tpaths)
-            if when_matched_update_all:
-                cond_keep = tdf.join(F.broadcast(upd_keys), on=on, how="left_anti")
-                parts.append(cond_keep)
+        if tdf is not None:
+            kept = tdf.join(F.broadcast(upd_keys), on=on, how="left_anti") if do_update else tdf
+            if not_matched_by_source_delete:
+                kept_matched = kept.join(F.broadcast(keys), on=on, how="left_semi")
+                if not_matched_by_source_condition:
+                    survivors = (
+                        kept.join(F.broadcast(keys), on=on, how="left_anti")
+                        .alias("t")
+                        .filter(~F.expr(not_matched_by_source_condition))
+                    )
+                    kept = kept_matched.unionByName(survivors)
+                else:
+                    kept = kept_matched  # unconditional delete of unmatched
+            parts.append(kept)
+        if do_update:
+            if matched_update is not None:
+                if tdf is not None:
+                    joined = tdf.alias("t").join(
+                        F.broadcast(source).alias("s"), on=on, how="inner"
+                    )
+                    if matched_condition:
+                        joined = joined.filter(F.expr(matched_condition))
+                    updated = joined.select(
+                        *[
+                            F.expr(matched_update[f.name]).cast(f.dataType).alias(f.name)
+                            if f.name in matched_update
+                            else F.col(f"t.{f.name}").alias(f.name)
+                            for f in schema.fields
+                        ]
+                    )
+                    parts.append(updated)
             else:
-                parts.append(tdf)
-        if when_matched_update_all:
-            matched_src = source.join(F.broadcast(self.read().select(*on).distinct()), on=on, how="left_semi")
-            if matched_condition:
-                matched_src = matched_src.join(F.broadcast(upd_keys), on=on, how="left_semi")
-            parts.append(matched_src)
+                matched_src = source.join(
+                    F.broadcast(self.read().select(*on).distinct()), on=on, how="left_semi"
+                )
+                if matched_condition:
+                    matched_src = matched_src.join(F.broadcast(upd_keys), on=on, how="left_semi")
+                parts.append(matched_src)
         if when_not_matched_insert_all:
             inserted = source.join(self.read().select(*on).distinct(), on=on, how="left_anti")
             parts.append(inserted)
 
+        if not parts:
+            return {"dirs_rewritten": 0}
         combined = parts[0]
         for p in parts[1:]:
             combined = combined.unionByName(p)

@@ -708,3 +708,86 @@ def test_schema_widening_lattice(spark, tmp_path):
             mode="append",
             merge_schema=True,
         )
+
+
+def test_merge_explicit_update_set(spark, tmp_path):
+    """UPDATE SET c = expr: listed columns take the expression value,
+    unlisted columns keep the target's values."""
+    t = _table(spark, tmp_path)
+    t.write(spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "k INT, v STRING, w INT"))
+    src = spark.createDataFrame([(2, "B", 99), (3, "C", 30)], "k INT, v STRING, w INT")
+    t.merge(src, on=["k"], matched_update={"v": "s.v"})
+    out = {r["k"]: (r["v"], r["w"]) for r in t.read().collect()}
+    # k=2: v updated from source, w kept from target; k=3 inserted whole
+    assert out == {1: ("a", 10), 2: ("B", 20), 3: ("C", 30)}
+
+
+def test_merge_explicit_update_with_condition(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.write(spark.createDataFrame([(1, 5), (2, 50)], "k INT, ver INT"))
+    src = spark.createDataFrame([(1, 10), (2, 10)], "k INT, ver INT")
+    t.merge(
+        src, on=["k"], matched_update={"ver": "s.ver + t.ver"},
+        matched_condition="s.ver > t.ver", when_not_matched_insert_all=False,
+    )
+    out = {r["k"]: r["ver"] for r in t.read().collect()}
+    assert out == {1: 15, 2: 50}
+
+
+def test_merge_not_matched_by_source_delete(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.write(spark.createDataFrame(
+        [(i, f"v{i}", i % 2) for i in range(6)], "k INT, v STRING, flag INT"
+    ))
+    src = spark.createDataFrame([(0, "V0", 0), (9, "V9", 1)], "k INT, v STRING, flag INT")
+    # conditional NMBS: only unmatched rows with flag=1 are deleted
+    t.merge(src, on=["k"], not_matched_by_source_delete=True,
+            not_matched_by_source_condition="t.flag = 1")
+    out = sorted(r["k"] for r in t.read().collect())
+    assert out == [0, 2, 4, 9], out  # 1,3,5 deleted; 0 updated; 9 inserted
+    # unconditional NMBS wipes every unmatched row
+    t.merge(spark.createDataFrame([(0, "x", 0)], "k INT, v STRING, flag INT"),
+            on=["k"], not_matched_by_source_delete=True,
+            when_not_matched_insert_all=False)
+    assert sorted(r["k"] for r in t.read().collect()) == [0]
+
+
+def test_merge_update_set_rejects_key_or_unknown_columns(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.write(spark.createDataFrame([(1, "a")], "k INT, v STRING"))
+    src = spark.createDataFrame([(1, "b")], "k INT, v STRING")
+    with pytest.raises(ValueError, match="key columns"):
+        t.merge(src, on=["k"], matched_update={"k": "s.k + 1"})
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.merge(src, on=["k"], matched_update={"nope": "s.v"})
+
+
+def test_sql_facade_generalized_merge(spark, tmp_path):
+    """The SQL dispatcher parses the full clause list and rewrites the
+    statement's aliases to t/s."""
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+
+    lh = LakehouseSession(spark, str(tmp_path / "gmwh"))
+    lh.catalog.create_table(
+        "t1",
+        df=spark.createDataFrame(
+            [(1, "a", 1), (2, "b", 9), (3, "c", 1)], "k INT, v STRING, ver INT"
+        ),
+    )
+    spark.createDataFrame(
+        [(1, "A", 5), (2, "B", 5), (8, "H", 5)], "k INT, v STRING, ver INT"
+    ).createOrReplaceTempView("gm_src")
+    lh.sql(
+        "MERGE INTO t1 d USING gm_src m ON d.k = m.k "
+        "WHEN MATCHED AND m.ver > d.ver THEN UPDATE SET v = m.v, ver = m.ver "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    out = {r["k"]: (r["v"], r["ver"]) for r in lh.sql("SELECT * FROM t1").collect()}
+    # 1 updated (5>1), 2 kept (5<9), 3 deleted (unmatched), 8 inserted
+    assert out == {1: ("A", 5), 2: ("b", 9), 8: ("H", 5)}
+    with pytest.raises(ValueError, match="unsupported MERGE clause"):
+        lh.sql(
+            "MERGE INTO t1 d USING gm_src m ON d.k = m.k "
+            "WHEN MATCHED THEN FROBNICATE"
+        )
