@@ -2370,9 +2370,10 @@ def q117_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q118_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-table star join with a local-supplier
     constraint (customer and supplier share a nation). Physical plan:
-    orders⋈lineitem is the one big shuffle join; supplier, nation,
-    region, and the filtered customer side are all broadcast — at
-    100 TB only the fact-fact join shuffles."""
+    orders⋈lineitem and the customer join are the two shuffle joins —
+    customer scales with SF (a big dimension at 100 TB), so unlike
+    supplier/nation/region it must NOT be broadcast; AQE may still
+    choose broadcast at small SF where it fits."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -2616,8 +2617,11 @@ def q124_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same exact decimal sum.
 
     Scale note: val is aggregated once and reused for both the total
-    and the filter — Spark recomputes the subtree unless persisted, so
-    we persist the small aggregate, not the scan."""
+    and the filter — Spark recomputes the subtree unless materialized.
+    localCheckpoint (lazy) rather than persist: the checkpointed
+    blocks are released by the ContextCleaner when the result is
+    dropped, whereas a cache entry would accumulate across repeated
+    invocations in a long-lived session (ADVICE r2)."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
@@ -2626,7 +2630,7 @@ def q124_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("l_partkey")
         .agg(F.sum(revenue_expr()).cast("double").alias("part_value"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     thresh = val.agg((F.lit(0.001) * F.sum("part_value")).alias("_t"))
     return (
