@@ -991,14 +991,18 @@ def q38_bilateral_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "subquery", "agg"),
 )
 def q39_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: scalar subquery (global average, one tiny
-    broadcast) + anti join (customers with no high-value order)."""
+    """TPC-H Q22 shape: scalar subquery (global average) + anti join
+    (customers with no high-value order). The average stays IN the
+    plan as a one-row broadcast cross join rather than a driver-side
+    collect (VERDICT r2 anti-pattern #3) — one lazy plan, no job
+    barrier, and the whole query still optimizes as a unit."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("_avg_bal"))
     big = orders.filter(F.col("o_totalprice") > 300000)
     return (
-        cust.filter(F.col("c_acctbal") > avg_bal)
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
         .join(big, cust["c_custkey"] == big["o_custkey"], "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_custs"), dsum("c_acctbal", 2).alias("total_bal"))

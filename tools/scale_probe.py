@@ -127,7 +127,18 @@ def main() -> int:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/scale_probe")
     ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of the probe queries (default: all)",
+    )
     args = ap.parse_args()
+    if args.queries:
+        subset = args.queries.split(",")
+        unknown = set(subset) - set(PROBE_QUERIES)
+        if unknown:
+            ap.error(f"unknown probe queries: {sorted(unknown)}")
+        PROBE_QUERIES[:] = subset
 
     from ent_fins_lakehouse_spark.plans.registry import queries_map
     from ent_fins_lakehouse_spark.session import get_session
