@@ -85,14 +85,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ship_package_to_workers(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        from pyspark.sql import functions as F
-
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+        return _ntz_to_utc(df)
+    return _ntz_to_utc(spark.read.parquet(path))
+
+
+def _ntz_to_utc(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to TIMESTAMP (LTZ).
+
+    The driver's parquet writer has emitted both isAdjustedToUTC=true
+    (→ TIMESTAMP) and naive timestamp[us] (→ TIMESTAMP_NTZ under Spark
+    4's NTZ inference) across rounds. The session zone is pinned UTC
+    above, so the cast is numerically exact, and every timestamp
+    function (unix_micros, watermarks, windows) sees one stable type —
+    the same wall-clock instants the UTC-naive DuckDB oracle computes
+    on.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
