@@ -95,8 +95,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _ntz_to_utc(spark.read.parquet(path))
 
 
+def _strip_ntz(dt: T.DataType) -> tuple[T.DataType, bool]:
+    """Return ``dt`` with every TIMESTAMP_NTZ (at any nesting depth:
+    struct field, array element, map key/value) replaced by TIMESTAMP,
+    plus a flag saying whether anything changed."""
+    if isinstance(dt, T.TimestampNTZType):
+        return T.TimestampType(), True
+    if isinstance(dt, T.StructType):
+        fields, changed = [], False
+        for f in dt.fields:
+            inner, ch = _strip_ntz(f.dataType)
+            changed = changed or ch
+            fields.append(T.StructField(f.name, inner, f.nullable, f.metadata))
+        return (T.StructType(fields), True) if changed else (dt, False)
+    if isinstance(dt, T.ArrayType):
+        inner, ch = _strip_ntz(dt.elementType)
+        return (T.ArrayType(inner, dt.containsNull), True) if ch else (dt, False)
+    if isinstance(dt, T.MapType):
+        k, ck = _strip_ntz(dt.keyType)
+        v, cv = _strip_ntz(dt.valueType)
+        if ck or cv:
+            return T.MapType(k, v, dt.valueContainsNull), True
+        return dt, False
+    return dt, False
+
+
 def _ntz_to_utc(df: DataFrame) -> DataFrame:
-    """Normalize TIMESTAMP_NTZ columns to TIMESTAMP (LTZ).
+    """Normalize TIMESTAMP_NTZ columns to TIMESTAMP (LTZ), including NTZ
+    nested inside struct/array/map types.
 
     The driver's parquet writer has emitted both isAdjustedToUTC=true
     (→ TIMESTAMP) and naive timestamp[us] (→ TIMESTAMP_NTZ under Spark
@@ -104,15 +130,20 @@ def _ntz_to_utc(df: DataFrame) -> DataFrame:
     above, so the cast is numerically exact, and every timestamp
     function (unix_micros, watermarks, windows) sees one stable type —
     the same wall-clock instants the UTC-naive DuckDB oracle computes
-    on.
+    on. All casts happen in one select() projection (one plan analysis,
+    not one per column).
     """
     from pyspark.sql import functions as F
-    from pyspark.sql import types as T
 
-    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
-    for c in ntz:
-        df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
-    return df
+    cols, changed = [], False
+    for f in df.schema.fields:
+        new_dt, ch = _strip_ntz(f.dataType)
+        if ch:
+            cols.append(F.col(f.name).cast(new_dt).alias(f.name))
+            changed = True
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols) if changed else df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

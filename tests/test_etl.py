@@ -93,3 +93,49 @@ def test_medallion_end_to_end_from_csv(spark, tmp_path):
     med.write("silver", med.read("silver").filter(F.col("id") != "1003"))
     assert med.read("silver").count() == 3
     assert med.read("silver", version_as_of=0).count() == 4
+
+
+def test_ntz_normalization_recurses_into_nested_types(spark):
+    """ADVICE r3: TIMESTAMP_NTZ nested in struct/array/map must be
+    normalized too, not just top-level columns — one select() pass."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from ent_fins_lakehouse_spark.sources.readers import _ntz_to_utc
+
+    ts = datetime.datetime(2024, 3, 1, 12, 30, 0)
+    schema = T.StructType([
+        T.StructField("plain", T.TimestampNTZType()),
+        T.StructField("s", T.StructType([
+            T.StructField("inner", T.TimestampNTZType()),
+            T.StructField("deep", T.ArrayType(T.TimestampNTZType())),
+        ])),
+        T.StructField("arr", T.ArrayType(T.TimestampNTZType())),
+        T.StructField("m", T.MapType(T.StringType(), T.TimestampNTZType())),
+        T.StructField("untouched", T.StringType()),
+    ])
+    df = spark.createDataFrame([(ts, (ts, [ts]), [ts], {"k": ts}, "x")], schema)
+    out = _ntz_to_utc(df)
+    dt = {f.name: f.dataType for f in out.schema.fields}
+    assert dt["plain"] == T.TimestampType()
+    assert dt["s"].fields[0].dataType == T.TimestampType()
+    assert dt["s"].fields[1].dataType.elementType == T.TimestampType()
+    assert dt["arr"].elementType == T.TimestampType()
+    assert dt["m"].valueType == T.TimestampType()
+    assert dt["untouched"] == T.StringType()
+    row = out.collect()[0]
+    # session zone is UTC, so wall-clock values are preserved exactly
+    assert row["plain"] == ts
+    assert row["s"]["inner"] == ts
+    assert row["arr"][0] == ts
+    assert row["m"]["k"] == ts
+
+
+def test_ntz_normalization_noop_returns_same_plan(spark):
+    """No NTZ anywhere -> the DataFrame is returned untouched (no
+    extra projection node)."""
+    from ent_fins_lakehouse_spark.sources.readers import _ntz_to_utc
+
+    df = spark.range(3).toDF("n")
+    assert _ntz_to_utc(df) is df
