@@ -42,6 +42,7 @@ PROBE_QUERIES = [
     "q38_bilateral_volume",
     "q49_exact_percentiles",
     "q50_exact_dedup",
+    "q52_jaccard_near_dup",
     "q53_minhash_lsh_dedup",
     "q58_cosine_topk",
     "q63_embedding_near_dup",
@@ -87,11 +88,34 @@ def replicate(spark, src_dir: str, out_dir: str, factor: int) -> None:
             for k in keys:
                 c = c.withColumn(k, F.col(k) + F.lit(i * KEY_OFFSET))
             if t == "documents":
-                # ~25 salt tokens on ~150-token docs: cross-copy J ~ 0.86
-                salt = F.concat_ws(
-                    " ", *[F.lit(f"zcopy{i}tok{j}") for j in range(25)]
+                # Interleave a per-copy salt token after every 6th word
+                # (NOT appended at the end: appended salt leaves all
+                # original word n-grams shared, and cross-copy 3-gram
+                # Jaccard ~0.73 is inside the LSH banding knee — at
+                # large factors every cross-copy pair becomes a
+                # candidate and candidate count grows quadratically in
+                # the factor, a generator artifact rather than an
+                # operator property). Interleaving destroys the shared
+                # n-grams spanning salt positions: cross-copy 3-gram
+                # J ~ 0.27 → candidate probability ~1e-4. Within-copy
+                # pairs get identical salt at identical positions, so
+                # within-copy near-dup structure is preserved.
+                c = c.withColumn(
+                    "text",
+                    F.array_join(
+                        F.flatten(
+                            F.zip_with(
+                                F.split(F.col("text"), " "),
+                                F.sequence(F.lit(0), F.size(F.split(F.col("text"), " ")) - 1),
+                                lambda w, j: F.when(
+                                    j % 6 == 5,
+                                    F.array(w, F.concat(F.lit(f"zcopy{i}tok"), (j / 6).cast("int").cast("string"))),
+                                ).otherwise(F.array(w)),
+                            )
+                        ),
+                        " ",
+                    ),
                 )
-                c = c.withColumn("text", F.concat_ws(" ", F.col("text"), salt))
             if t == "embeddings":
                 # cyclic rotation by i: within-copy cosines unchanged,
                 # cross-copy pairs decorrelated
@@ -113,10 +137,19 @@ def replicate(spark, src_dir: str, out_dir: str, factor: int) -> None:
 
 
 def time_queries(spark, qmap, sf_dir: str) -> dict[str, float]:
+    from ent_fins_lakehouse_spark.operators.blocking import BlockSizeExceededError
+
     out = {}
     for name in PROBE_QUERIES:
         t0 = time.perf_counter()
-        qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except BlockSizeExceededError:
+            # the exact-pair census guard refused the workload — at large
+            # factors this is the bounded-block contract working as
+            # designed (route to LSH/IVF), not a probe failure
+            out[name] = float("nan")
+            continue
         out[name] = round(time.perf_counter() - t0, 2)
     return out
 
@@ -161,16 +194,23 @@ def main() -> int:
     t1 = time_queries(spark, qmap, args.src)
     tn = time_queries(spark, qmap, big)
 
+    import math
+
     print(f"\n| query | 1x (s) | {args.factor}x (s) | ratio |")
     print("|---|---|---|---|")
     for name in PROBE_QUERIES:
+        if math.isnan(tn[name]):
+            print(f"| {name} | {t1[name]:.2f} | guard-refused | n/a |")
+            continue
         r = tn[name] / t1[name] if t1[name] else float("inf")
         print(f"| {name} | {t1[name]:.2f} | {tn[name]:.2f} | {r:.1f}x |")
-    worst = max(PROBE_QUERIES, key=lambda n: tn[n] / max(t1[n], 1e-9))
-    print(
-        f"\nworst ratio: {worst} "
-        f"{tn[worst] / max(t1[worst], 1e-9):.1f}x on {args.factor}x data"
-    )
+    ran = [n for n in PROBE_QUERIES if not math.isnan(tn[n])]
+    if ran:
+        worst = max(ran, key=lambda n: tn[n] / max(t1[n], 1e-9))
+        print(
+            f"\nworst ratio: {worst} "
+            f"{tn[worst] / max(t1[worst], 1e-9):.1f}x on {args.factor}x data"
+        )
     return 0
 
 
