@@ -644,3 +644,65 @@ def q111_lake_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy("side", "c_mktsegment")
     )
+
+
+@query(
+    "q140_incremental_rollup",
+    oracle="""
+    SELECT event_type,
+           STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY event_type, hour_start
+    """,
+    tags=("lakehouse", "rollup", "merge"),
+)
+def q140_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate, maintained incrementally:
+    an hourly (event_type, hour) rollup LakeTable built from the first
+    third of the event stream, then kept current by two additive MERGE
+    batches (WHEN MATCHED UPDATE n = n + delta / WHEN NOT MATCHED
+    INSERT) as the remaining thirds 'arrive'. The oracle recomputes the
+    rollup from scratch - incremental maintenance must equal full
+    recompute exactly, which is why the running sums live in DECIMAL
+    (associative, order- and batch-insensitive) until the final read.
+
+    At 100 TB this is the pattern that turns an O(history) nightly
+    recompute into an O(delta) MERGE per ingest batch; each MERGE
+    rewrites only the hour-bucket dirs the delta touches."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        F.col("value").cast("decimal(18,6)").alias("_v"),
+    )
+
+    def rollup(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("event_type", "hour_start").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("_v").cast("decimal(28,6)").alias("total_dec"),
+        )
+
+    t = LakeTable(spark, _scratch("rollup"))
+    t.write(rollup(ev.filter(F.col("event_id") % 3 == 0)), mode="overwrite")
+    for r in (1, 2):
+        t.merge(
+            rollup(ev.filter(F.col("event_id") % 3 == r)),
+            on=["event_type", "hour_start"],
+            matched_update={
+                "n": "t.n + s.n",
+                "total_dec": "CAST(t.total_dec + s.total_dec AS DECIMAL(28,6))",
+            },
+        )
+    return (
+        t.read()
+        .select(
+            "event_type",
+            "hour_start",
+            "n",
+            F.col("total_dec").cast("double").alias("total_value"),
+        )
+        .orderBy("event_type", "hour_start")
+    )

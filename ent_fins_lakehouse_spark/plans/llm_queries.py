@@ -969,3 +969,156 @@ def q130_blockwise_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_blockwise_numpy(
         emb, "vec_id", "embedding", block_cols=["label"], top_n=100
     )
+
+
+@query(
+    "q138_quantized_ann",
+    oracle="""
+    WITH q0 AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+    qq AS (SELECT qe, list_max(list_transform(qe, x -> abs(x))) / 127.0 AS qs FROM q0),
+    qdq AS (SELECT qe, list_transform(qe, x -> floor(x / qs + 0.5) * qs) AS dqe FROM qq),
+    e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0
+    ),
+    z AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS s FROM e),
+    dq AS (SELECT vec_id, v, list_transform(v, x -> floor(x / s + 0.5) * s) AS dv FROM z),
+    approx AS (
+      SELECT vec_id, v,
+             list_dot_product(dv, dqe)
+               / (sqrt(list_dot_product(dv, dv)) * sqrt(list_dot_product(dqe, dqe))) AS approx_sim
+      FROM dq, qdq
+    ),
+    cand AS (SELECT * FROM approx ORDER BY approx_sim DESC, vec_id LIMIT 50)
+    SELECT cand.vec_id, cand.approx_sim,
+           list_dot_product(cand.v, q0.qe)
+             / (sqrt(list_dot_product(cand.v, cand.v)) * sqrt(list_dot_product(q0.qe, q0.qe))) AS cosine_sim
+    FROM cand, q0
+    ORDER BY cosine_sim DESC, cand.vec_id LIMIT 10
+    """,
+    tags=("llm", "similarity"),
+)
+def q138_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized filter-then-rescore ANN (IVF-SQ8's SQ half):
+    per-vector symmetric int8 quantization (~3.5x smaller hot column at
+    scale), candidate scoring in the quantized domain, exact rescoring
+    of the top-50 on full precision, exact top-10 out. Deterministic
+    double arithmetic end to end - hash-checked against the DuckDB
+    oracle, unlike sketch-based ANN."""
+    from ent_fins_lakehouse_spark.operators.similarity import quantized_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return quantized_ann_topk(
+        emb, "vec_id", "embedding", list(qvec), k=10, n_candidates=50
+    )
+
+
+@query(
+    "q139_unigram_lm_quality",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents WHERE trim(text) <> ''
+    ),
+    t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    tc AS (SELECT term, COUNT(*) AS tf FROM t2 GROUP BY term),
+    consts AS (
+      SELECT (SELECT COUNT(*) FROM t2) AS n_tok, (SELECT COUNT(*) FROM tc) AS v
+    ),
+    lp AS (
+      SELECT t2.doc_id,
+             CAST(ROUND(LN(CAST(tc.tf + 1 AS DOUBLE) / CAST(consts.n_tok + consts.v AS DOUBLE)), 4)
+                  AS DECIMAL(12,4)) AS lpv
+      FROM t2 JOIN tc USING (term) CROSS JOIN consts
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(lpv) AS DOUBLE) / COUNT(*), 4) AS avg_logp
+    FROM lp GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def q139_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: train add-one-smoothed
+    corpus unigram probabilities, score each document by mean token
+    log-probability - the classic cheap LM-perplexity proxy used to
+    rank web documents for training-data selection (CCNet-style, with
+    the corpus itself as the LM). Per-token log-probs are rounded to
+    4dp and summed in DECIMAL so the per-doc mean is order-insensitive
+    and hash-exact vs the oracle (same discipline as q66's TF-IDF).
+
+    Shuffles: corpus tf groupBy(term) (broadcast back), per-doc
+    groupBy(doc_id). The normalizing constants (total tokens, vocab
+    size) are LM index metadata, computed once from the persisted
+    token table."""
+    from ent_fins_lakehouse_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.trim("text") != "")
+        .select("doc_id", F.explode(F.split(normalize_text("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .persist()  # feeds the tf aggregate, the count, and the score join
+    )
+    tc = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    n_tok = toks.count()
+    v = tc.count()
+    denom = float(n_tok + v)
+    lp = F.round(
+        F.log((F.col("tf").cast("double") + F.lit(1.0)) / F.lit(denom)), 4
+    ).cast("decimal(12,4)")
+    scored = toks.join(F.broadcast(tc.withColumn("lpv", lp).drop("tf")), "term")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("lpv").cast("double") / F.count("*"), 4).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q143_weighted_sample",
+    oracle="""
+    WITH mx AS (SELECT MAX(n_chars) AS max_chars FROM documents),
+    u AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsamp'), 1, 15)) AS BIGINT)
+               / 1152921504606846976.0 AS unif,
+             CAST(n_chars AS DOUBLE) / CAST(mx.max_chars AS DOUBLE) AS w
+      FROM documents, mx
+    )
+    SELECT doc_id, n_chars, ROUND(w, 6) AS weight
+    FROM u WHERE unif < w ORDER BY doc_id
+    """,
+    tags=("llm", "sampling"),
+)
+def q143_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted deterministic sampling: keep each document
+    with probability proportional to its quality weight (here
+    n_chars / max(n_chars) - longer docs kept more often), decided by
+    an md5-derived uniform per doc_id. Engine-portable and
+    reshuffle-stable like q81's uniform sample: the same doc makes the
+    same cut on any engine, cluster size, or rerun - a reproducibility
+    property Bernoulli RNG sampling can't give a 100 TB pipeline. The
+    max-weight normalizer stays in-plan via a broadcast cross join (no
+    driver collect barrier)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    mx = docs.agg(F.max("n_chars").alias("max_chars"))
+    unif = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":wsamp"))), 1, 15), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    w = F.col("n_chars").cast("double") / F.col("max_chars").cast("double")
+    return (
+        docs.crossJoin(F.broadcast(mx))
+        .withColumn("weight", F.round(w, 6))
+        .withColumn("_u", unif)
+        .filter(F.col("_u") < w)
+        .select("doc_id", "n_chars", "weight")
+        .orderBy("doc_id")
+    )

@@ -2869,3 +2869,46 @@ def q133_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "g")
         .limit(10)
     )
+
+
+@query(
+    "q141_approx_quantile_bound",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.50), 4) AS exact_p50,
+           ROUND(quantile_cont(l_quantity, 0.95), 4) AS exact_p95,
+           TRUE AS within_bound
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("agg", "approx"),
+)
+def q141_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch next to the exact quantile (q90's pattern for
+    percentiles): approx_percentile's KLL-style sketch is the only
+    one-pass constant-memory quantile at 100 TB; here its p50/p95 are
+    folded into ``within_bound = max value error <= 1.0`` - a
+    deterministic boolean the oracle reproduces as literal TRUE - while
+    the exact interpolated percentiles are hash-checked directly.
+    l_quantity is integer-valued in [1, 50], so a 1.0 bound is ~2% of
+    the range; with accuracy=10000 the sketch's rank error is n/10000
+    (~tens of ranks at sf0.1), far inside that."""
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = F.percentile_approx("l_quantity", [0.5, 0.95], 10000)
+    exact = F.percentile("l_quantity", F.array(F.lit(0.5), F.lit(0.95)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(approx.alias("_a"), exact.alias("_e"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("_e")[0], 4).alias("exact_p50"),
+            F.round(F.col("_e")[1], 4).alias("exact_p95"),
+            (
+                F.greatest(
+                    F.abs(F.col("_a")[0] - F.col("_e")[0]),
+                    F.abs(F.col("_a")[1] - F.col("_e")[1]),
+                )
+                <= F.lit(1.0)
+            ).alias("within_bound"),
+        )
+        .orderBy("l_returnflag")
+    )

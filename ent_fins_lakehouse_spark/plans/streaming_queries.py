@@ -573,3 +573,48 @@ def q112_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q142_stream_static_join",
+    oracle="""
+    SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1 ORDER BY segment
+    """,
+    tags=("streaming", "join"),
+)
+def q142_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream (file-discovery
+    source, availableNow) is joined per-microbatch against a static
+    customer dimension - the standard streaming enrichment shape, where
+    the static side is re-planned per batch and broadcast (no state
+    store involved, unlike stream-stream joins). Enriched rows land in
+    a parquet sink; the final aggregate over the sink must equal the
+    batch left-join the oracle states. Left join keeps events with no
+    matching customer ('UNKNOWN' segment) - proving outer stream-static
+    semantics, not just the happy inner path."""
+    root = tempfile.mkdtemp(prefix="stream_enrich_")
+    src = _events_as_json_waves(spark, sf_dir, root)
+    target = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    stream = ingest_file_stream(
+        spark, src, EVENTS_JSON_SCHEMA, fmt="json", max_files_per_trigger=1
+    ).select("user_id", "value")
+    enriched = stream.join(F.broadcast(dim), "user_id", "left").select(
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"), "value"
+    )
+    run_available_now(enriched, target, ckpt)
+    out = spark.read.schema("segment STRING, value DOUBLE").parquet(target)
+    return (
+        out.groupBy("segment")
+        .agg(F.count("*").alias("n"), F.sum(dec("value")).cast("double").alias("total_value"))
+        .orderBy("segment")
+    )

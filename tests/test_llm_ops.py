@@ -374,3 +374,67 @@ def test_zero_norm_vectors_dropped_in_both_strategies(spark):
     fast = cosine_pairs_blockwise_numpy(df, "vec_id", "embedding", ["label"]).collect()
     assert {(r["id_a"], r["id_b"]) for r in exact} == {(1, 2)}
     assert {(r["id_a"], r["id_b"]) for r in fast} == {(1, 2)}
+
+
+def test_quantize_int8_bounds_and_error(emb):
+    """Quantized components stay in [-127, 127]; per-element
+    dequantization error is <= scale/2 (the half-step bound of
+    round-to-nearest)."""
+    from ent_fins_lakehouse_spark.operators.similarity import dequantize, quantize_int8
+
+    qz = quantize_int8(emb.select("vec_id", "embedding"), "embedding")
+    stats = qz.select(
+        F.array_max(F.transform("qvec", lambda i: F.abs(i))).alias("max_abs_q"),
+        F.array_max(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                dequantize("qvec", "qscale"),
+                lambda x, d: F.abs(x - d),
+            )
+        ).alias("max_err"),
+        F.col("qscale"),
+    ).agg(
+        F.max("max_abs_q").alias("q_bound"),
+        F.max(F.col("max_err") / F.col("qscale")).alias("worst_halfsteps"),
+    ).head()
+    assert stats["q_bound"] <= 127
+    assert stats["worst_halfsteps"] <= 0.5 + 1e-9
+
+
+def test_quantized_ann_recall_vs_exact(emb):
+    """Filter-then-rescore over int8 candidates recovers the exact
+    brute-force top-10 (int8 on 64-dim unit-ish vectors loses far less
+    ranking signal than the 5x candidate margin)."""
+    from ent_fins_lakehouse_spark.operators.similarity import cosine_topk, quantized_ann_topk
+
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    exact = [r["vec_id"] for r in cosine_topk(emb, "embedding", qvec, 10, "vec_id").collect()]
+    approx = [
+        r["vec_id"]
+        for r in quantized_ann_topk(emb, "vec_id", "embedding", qvec, k=10, n_candidates=50).collect()
+    ]
+    assert set(approx) == set(exact)
+    # rescoring is exact, so the final ordering must match exactly
+    assert approx == exact
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    """q143's sampler: identical across reruns (md5-keyed, not RNG) and
+    actually weight-biased (docs above the median weight are kept at a
+    higher rate than docs below)."""
+    from ent_fins_lakehouse_spark.plans.llm_queries import q143_weighted_sample
+
+    a = q143_weighted_sample(spark, SF_SMOKE).collect()
+    b = q143_weighted_sample(spark, SF_SMOKE).collect()
+    assert a == b
+    from ent_fins_lakehouse_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "n_chars")
+    med = docs.agg(F.median("n_chars")).head()[0]
+    kept = {r["doc_id"] for r in a}
+    rows = docs.collect()
+    hi = [r for r in rows if r["n_chars"] > med]
+    lo = [r for r in rows if r["n_chars"] <= med]
+    rate_hi = sum(r["doc_id"] in kept for r in hi) / max(len(hi), 1)
+    rate_lo = sum(r["doc_id"] in kept for r in lo) / max(len(lo), 1)
+    assert rate_hi > rate_lo
