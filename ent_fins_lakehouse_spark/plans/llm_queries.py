@@ -1122,3 +1122,56 @@ def q143_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars", "weight")
         .orderBy("doc_id")
     )
+
+
+@query("q144_ivf_partitioned_serving", oracle=None, tags=("llm", "similarity", "layout"))
+def q144_ivf_partitioned_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving as a storage-layout problem: the IVF index (KMeans
+    cluster assignment) is PERSISTED as a hive-partitioned layout
+    (partitionBy(ivf_cluster)), and a probe query reads only the
+    n_probe nearest clusters - asserted to reach the scan as
+    PartitionFilters, i.e. metadata-level pruning with zero bytes read
+    from unprobed clusters. This is how a 100 TB vector corpus is
+    actually served: the index is a partition key, not an in-memory
+    structure, and every probe is a partition-pruned columnar scan
+    (~n_probe/n_clusters of the table) + exact rescore. Rows-only
+    (KMeans isn't SQL-expressible); equality with the in-memory IVF
+    probe (q60) and recall vs exact (q58) are asserted in
+    tests/test_llm_ops.py."""
+    import contextlib
+    import io
+    import math
+    import os
+    import tempfile
+
+    from ent_fins_lakehouse_spark.operators.similarity import build_ivf_index, with_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    indexed, centroids = build_ivf_index(emb, "embedding", n_clusters=8)
+
+    root = tempfile.mkdtemp(prefix="ivf_layout_")
+    path = os.path.join(root, "embeddings_by_cluster")
+    indexed.write.mode("overwrite").partitionBy("ivf_cluster").parquet(path)
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return d / (na * nb)
+
+    probe = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i], qvec))[:4]
+    scan = spark.read.parquet(path).filter(F.col("ivf_cluster").isin(probe))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scan.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "ivf_cluster" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0], (
+        "cluster probe did not prune partitions"
+    )
+    return (
+        with_cosine(scan, "embedding", qvec)
+        .select("vec_id", "cosine_sim")
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -438,3 +438,27 @@ def test_weighted_sample_deterministic_and_biased(spark):
     rate_hi = sum(r["doc_id"] in kept for r in hi) / max(len(hi), 1)
     rate_lo = sum(r["doc_id"] in kept for r in lo) / max(len(lo), 1)
     assert rate_hi > rate_lo
+
+
+def test_ivf_partitioned_serving_matches_inmemory_probe(spark, emb):
+    """q144's partition-pruned serving path returns exactly what the
+    in-memory IVF probe (q60's operator) returns for the same index
+    parameters, and covers most of the exact top-10."""
+    from ent_fins_lakehouse_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_topk,
+    )
+    from ent_fins_lakehouse_spark.plans.llm_queries import q144_ivf_partitioned_serving
+
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    served = [(r["vec_id"], round(r["cosine_sim"], 9)) for r in q144_ivf_partitioned_serving(spark, SF_SMOKE).collect()]
+    indexed, centroids = build_ivf_index(emb, "embedding", n_clusters=8)
+    mem = [
+        (r["vec_id"], round(r["cosine_sim"], 9))
+        for r in ivf_topk(indexed, centroids, "embedding", qvec, 10, "vec_id", n_probe=4).collect()
+    ]
+    assert served == mem
+    exact = {r["vec_id"] for r in cosine_topk(emb, "embedding", qvec, 10, "vec_id").collect()}
+    recall = len({v for v, _ in served} & exact) / len(exact)
+    assert recall >= 0.5, f"IVF n_probe=4/8 recall {recall}"
