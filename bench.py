@@ -58,6 +58,8 @@ HEADLINE = [
     "q63_embedding_near_dup",
     "q64_token_frequencies",
     "q66_tfidf_top_terms",
+    "q138_quantized_ann",
+    "q139_unigram_lm_quality",
 ]
 
 
