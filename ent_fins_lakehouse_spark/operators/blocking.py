@@ -44,6 +44,13 @@ DEFAULT_MAX_BLOCK_SIZE = 10_000
 #: Default total-pair routing guard (~10⁸ exact comparisons).
 DEFAULT_MAX_TOTAL_PAIRS = 100_000_000
 
+#: Broadcast gate for vocabulary-sized dimension tables: below this
+#: many distinct keys the dim side is genuinely "small" (a few hundred
+#: MB at worst) and an explicit broadcast hint is safe; above it a
+#: *forced* hint does not degrade — it OOMs the driver/executors
+#: outright (a 100 TB web corpus has 10⁸–10⁹ distinct tokens).
+DEFAULT_MAX_BROADCAST_KEYS = 2_000_000
+
 
 class BlockSizeExceededError(ValueError):
     """A blocking key exceeds the operator's bounded-block contract.
@@ -56,6 +63,29 @@ class BlockSizeExceededError(ValueError):
     LSH/IVF similarity for embeddings) and keep the exact-pair path
     for bounded audit samples.
     """
+
+
+def broadcast_if_small(
+    dim: DataFrame,
+    census_source: DataFrame,
+    key: str,
+    max_keys: int = DEFAULT_MAX_BROADCAST_KEYS,
+) -> DataFrame:
+    """Census-gated broadcast hint for a vocabulary-sized dimension.
+
+    Same contract-enforcement philosophy as :func:`bounded_pair_sides`:
+    a cheap ``approx_count_distinct`` census over ``census_source``
+    (one small aggregation job — callers pass the already-persisted /
+    already-needed side, so the scan is shared with the main query)
+    decides whether ``dim`` is genuinely broadcast-small. Under the cap
+    the explicit hint is kept (deterministic plan, no reliance on
+    runtime statistics); over it the hint is DROPPED and
+    AQE / ``autoBroadcastJoinThreshold`` picks the join strategy from
+    actual observed sizes — a shuffle join degrades gracefully where a
+    forced broadcast of a 10⁹-token vocabulary would OOM.
+    """
+    n = census_source.agg(F.approx_count_distinct(key).alias("_n")).collect()[0]["_n"]
+    return F.broadcast(dim) if n <= max_keys else dim
 
 
 def bounded_pair_sides(

@@ -240,6 +240,12 @@ def quantized_ann_topk(
     """
     import math
 
+    if not query or max(abs(float(x)) for x in query) == 0.0:
+        raise ValueError(
+            "quantized_ann_topk: query vector is all zeros — cosine "
+            "similarity (and the int8 quantization scale) is undefined "
+            "for a zero vector"
+        )
     qs = max(abs(float(x)) for x in query) / 127.0
     dq_query = [math.floor(float(x) / qs + 0.5) * qs for x in query]
     qlit = F.array(*[F.lit(float(x)) for x in query])

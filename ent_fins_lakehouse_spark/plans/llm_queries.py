@@ -385,8 +385,16 @@ def q66_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity (explode → tf → df broadcast-join → window rank) rather
     than ``HashingTF`` — hashing destroys the term column and its
     collisions break exactness. Shuffles: tf groupBy(doc,term), df
-    groupBy(term) (broadcast back), final per-doc rank."""
+    groupBy(term) (broadcast back), final per-doc rank.
+
+    The df (document-frequency) table has one row per distinct corpus
+    token — tiny here, 10⁸–10⁹ rows on a real web corpus — so its
+    broadcast hint is census-gated (``broadcast_if_small``): explicit
+    broadcast while the vocabulary is provably small, plain join (AQE
+    decides) beyond the cap. A *forced* hint at real vocab sizes would
+    OOM rather than degrade."""
     from pyspark.sql import Window as W
+    from ent_fins_lakehouse_spark.operators.blocking import broadcast_if_small
     from ent_fins_lakehouse_spark.operators.dedup import normalize_text
 
     docs = load_table(spark, sf_dir, "documents")
@@ -402,7 +410,7 @@ def q66_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every non-blank doc contributes >=1 non-empty token, so N comes
     # from the cheap documents scan, not a distinct over the tf matrix
     n_docs = docs.filter(F.trim("text") != "").count()
-    scored = tf.join(F.broadcast(df_), "term").select(
+    scored = tf.join(broadcast_if_small(df_, tf, "term"), "term").select(
         "doc_id",
         "term",
         # rounded to 4dp: ln() is not correctly rounded and drifts by
@@ -1048,10 +1056,16 @@ def q139_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     4dp and summed in DECIMAL so the per-doc mean is order-insensitive
     and hash-exact vs the oracle (same discipline as q66's TF-IDF).
 
-    Shuffles: corpus tf groupBy(term) (broadcast back), per-doc
-    groupBy(doc_id). The normalizing constants (total tokens, vocab
-    size) are LM index metadata, computed once from the persisted
-    token table."""
+    Single lazy plan, zero driver-side actions: the normalizing
+    constants (total tokens, vocab size) are a 1-row aggregate of the
+    vocab table joined back via broadcast cross join (q143's pattern) —
+    broadcasting ONE row is always safe; the vocab-sized tc table
+    itself carries NO forced broadcast hint (10⁸–10⁹ distinct tokens on
+    a real corpus would OOM a forced hint), so AQE /
+    autoBroadcastJoinThreshold picks the tc-join strategy from actual
+    sizes. Nothing is persisted: at 100 TB, caching the exploded token
+    stream costs more than the extra narrow re-scan, and in production
+    the LM (tc + consts) is index metadata built once and reused."""
     from ent_fins_lakehouse_spark.operators.dedup import normalize_text
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1059,16 +1073,25 @@ def q139_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.trim("text") != "")
         .select("doc_id", F.explode(F.split(normalize_text("text"), " ")).alias("term"))
         .filter(F.col("term") != "")
-        .persist()  # feeds the tf aggregate, the count, and the score join
     )
     tc = toks.groupBy("term").agg(F.count("*").alias("tf"))
-    n_tok = toks.count()
-    v = tc.count()
-    denom = float(n_tok + v)
+    # n_tok = Σ tf and v = |vocab| fall out of the (small) vocab table —
+    # no second pass over the token stream for the constants
+    consts = tc.agg(
+        F.sum("tf").alias("n_tok"), F.count("*").alias("v")
+    )
     lp = F.round(
-        F.log((F.col("tf").cast("double") + F.lit(1.0)) / F.lit(denom)), 4
+        F.log(
+            (F.col("tf").cast("double") + F.lit(1.0))
+            / (F.col("n_tok") + F.col("v")).cast("double")
+        ),
+        4,
     ).cast("decimal(12,4)")
-    scored = toks.join(F.broadcast(tc.withColumn("lpv", lp).drop("tf")), "term")
+    scored = (
+        toks.join(tc, "term")
+        .crossJoin(F.broadcast(consts))
+        .withColumn("lpv", lp)
+    )
     return (
         scored.groupBy("doc_id")
         .agg(
@@ -1124,35 +1147,37 @@ def q143_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q144_ivf_partitioned_serving", oracle=None, tags=("llm", "similarity", "layout"))
-def q144_ivf_partitioned_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN serving as a storage-layout problem: the IVF index (KMeans
-    cluster assignment) is PERSISTED as a hive-partitioned layout
-    (partitionBy(ivf_cluster)), and a probe query reads only the
-    n_probe nearest clusters - asserted to reach the scan as
-    PartitionFilters, i.e. metadata-level pruning with zero bytes read
-    from unprobed clusters. This is how a 100 TB vector corpus is
-    actually served: the index is a partition key, not an in-memory
-    structure, and every probe is a partition-pruned columnar scan
-    (~n_probe/n_clusters of the table) + exact rescore. Rows-only
-    (KMeans isn't SQL-expressible); equality with the in-memory IVF
-    probe (q60) and recall vs exact (q58) are asserted in
-    tests/test_llm_ops.py."""
+class PartitionPruningError(RuntimeError):
+    """The IVF cluster probe failed to reach the parquet scan as
+    PartitionFilters — the serving layout's metadata-pruning contract
+    is broken (every probe would scan the whole corpus)."""
+
+
+def _require_partition_pruned(scan: DataFrame, partition_col: str) -> None:
+    """Enforce (not just document) the serving-layout contract: the
+    probe predicate must appear in the scan's PartitionFilters line.
+    An explicit exception, not ``assert`` — the contract must survive
+    ``python -O``."""
     import contextlib
     import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scan.explain("formatted")
+    plan = buf.getvalue()
+    pruned = (
+        "PartitionFilters" in plan
+        and partition_col in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+    )
+    if not pruned:
+        raise PartitionPruningError(
+            f"cluster probe on {partition_col!r} did not prune partitions; "
+            "plan follows:\n" + plan
+        )
+
+
+def _centroid_probe(centroids: list[list[float]], qvec: list[float], n_probe: int) -> list[int]:
     import math
-    import os
-    import tempfile
-
-    from ent_fins_lakehouse_spark.operators.similarity import build_ivf_index, with_cosine
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
-    indexed, centroids = build_ivf_index(emb, "embedding", n_clusters=8)
-
-    root = tempfile.mkdtemp(prefix="ivf_layout_")
-    path = os.path.join(root, "embeddings_by_cluster")
-    indexed.write.mode("overwrite").partitionBy("ivf_cluster").parquet(path)
 
     def cos(a, b):
         d = sum(x * y for x, y in zip(a, b))
@@ -1160,18 +1185,128 @@ def q144_ivf_partitioned_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb = math.sqrt(sum(x * x for x in b)) or 1.0
         return d / (na * nb)
 
-    probe = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i], qvec))[:4]
+    return sorted(range(len(centroids)), key=lambda i: -cos(centroids[i], qvec))[:n_probe]
+
+
+def _ivf_sq8_layout(spark: SparkSession, sf_dir: str, n_clusters: int = 8) -> tuple[str, list[list[float]]]:
+    """Build-once / probe-many IVF-SQ8 serving layout.
+
+    The embeddings table is written hive-partitioned by KMeans cluster
+    id with BOTH the full-precision vector and its int8 quantization
+    (qvec, qscale) as sibling columns; centroids are persisted beside
+    it. The layout lives at a stable per-dataset path and is REUSED on
+    every subsequent probe (index builds are amortized across queries
+    in production — a 100 TB index is rebuilt on ingest cadence, not
+    per query); delete the directory to force a rebuild. The scratch
+    root is registered for atexit cleanup so long sessions don't
+    accumulate layouts. Returns (parquet_path, centroids).
+    """
+    import atexit
+    import hashlib
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from ent_fins_lakehouse_spark.operators.similarity import quantize_int8
+
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"efl_ivf_sq8_{digest}_k{n_clusters}")
+    path = os.path.join(root, "embeddings_by_cluster")
+    meta = os.path.join(root, "centroids.json")
+    if os.path.isfile(meta) and os.path.isfile(os.path.join(path, "_SUCCESS")):
+        with open(meta, encoding="utf-8") as fh:
+            return path, json.load(fh)
+    emb = load_table(spark, sf_dir, "embeddings")
+    indexed, centroids = build_ivf_index(emb, "embedding", n_clusters=n_clusters)
+    qz = quantize_int8(indexed, "embedding")
+    # zero vectors have no quantization scale (and no cosine): keep the
+    # row (full-precision column stays complete) but null out qvec so
+    # the quantized scorer skips it explicitly
+    qz = qz.withColumn("qvec", F.when(F.col("qscale") > 0, F.col("qvec")))
+    qz.write.mode("overwrite").partitionBy("ivf_cluster").parquet(path)
+    with open(meta, "w", encoding="utf-8") as fh:
+        json.dump(centroids, fh)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return path, centroids
+
+
+@query("q144_ivf_partitioned_serving", oracle=None, tags=("llm", "similarity", "layout"))
+def q144_ivf_partitioned_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving as a storage-layout problem: the IVF index (KMeans
+    cluster assignment) is PERSISTED as a hive-partitioned layout
+    (partitionBy(ivf_cluster)), and a probe query reads only the
+    n_probe nearest clusters - enforced (explicit exception) to reach
+    the scan as PartitionFilters, i.e. metadata-level pruning with
+    zero bytes read from unprobed clusters. This is how a 100 TB
+    vector corpus is actually served: the index is a partition key,
+    not an in-memory structure, and every probe is a partition-pruned
+    columnar scan (~n_probe/n_clusters of the table) + exact rescore.
+    The layout is built once per dataset and reused across probes
+    (see :func:`_ivf_sq8_layout`). Rows-only (KMeans isn't
+    SQL-expressible); equality with the in-memory IVF probe (q60) and
+    recall vs exact (q58) are asserted in tests/test_llm_ops.py."""
+    from ent_fins_lakehouse_spark.operators.similarity import with_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    path, centroids = _ivf_sq8_layout(spark, sf_dir, n_clusters=8)
+    probe = _centroid_probe(centroids, qvec, n_probe=4)
     scan = spark.read.parquet(path).filter(F.col("ivf_cluster").isin(probe))
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        scan.explain("formatted")
-    plan = buf.getvalue()
-    assert "PartitionFilters" in plan and "ivf_cluster" in plan.split("PartitionFilters", 1)[1].split("\n", 1)[0], (
-        "cluster probe did not prune partitions"
-    )
+    _require_partition_pruned(scan, "ivf_cluster")
     return (
         with_cosine(scan, "embedding", qvec)
         .select("vec_id", "cosine_sim")
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@query("q148_ivf_sq8_serving", oracle=None, tags=("llm", "similarity", "layout"))
+def q148_ivf_sq8_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF-SQ8 serving — q138's quantized filter-then-
+    rescore composed with q144's partition-pruned layout. The probe:
+
+    1. rank centroids by cosine to the query, pick n_probe clusters
+       (driver-side over the tiny persisted centroid list);
+    2. partition-pruned scan of ONLY those clusters (PartitionFilters
+       enforced — zero bytes from unprobed clusters), reading the
+       ~3.5×-smaller int8 (qvec, qscale) columns, NOT the
+       full-precision vectors — parquet is columnar, so the float
+       column costs nothing until step 4;
+    3. approximate scores in the quantized domain → top n_candidates;
+    4. exact rescore of just those candidates on the full-precision
+       column → exact top-k among survivors.
+
+    At 100 TB this is the full production story: the index is a
+    partition key (metadata pruning), the hot scan is the quantized
+    column (I/O), and full floats are touched for ~50 rows per query.
+    Rows-only (KMeans); recall vs the exact q58 baseline is asserted
+    ≥ the plain-IVF q60 baseline in tests/test_llm_ops.py."""
+    from ent_fins_lakehouse_spark.operators.similarity import _dot, _norm, dequantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    path, centroids = _ivf_sq8_layout(spark, sf_dir, n_clusters=8)
+    probe = _centroid_probe(centroids, qvec, n_probe=4)
+    scan = spark.read.parquet(path).filter(F.col("ivf_cluster").isin(probe))
+    _require_partition_pruned(scan, "ivf_cluster")
+
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    dv = dequantize("qvec", "qscale")
+    approx = (_dot(dv, qlit) / (_norm(dv) * _norm(qlit))).alias("approx_sim")
+    cand = (
+        scan.filter(F.col("qvec").isNotNull())
+        .select("vec_id", "embedding", approx)
+        .orderBy(F.desc("approx_sim"), F.asc("vec_id"))
+        .limit(50)
+    )
+    exact = (
+        _dot(F.col("embedding").cast("array<double>"), qlit)
+        / (_norm(F.col("embedding").cast("array<double>")) * _norm(qlit))
+    ).alias("cosine_sim")
+    return (
+        cand.select("vec_id", "approx_sim", exact)
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(10)
     )

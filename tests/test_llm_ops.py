@@ -462,3 +462,51 @@ def test_ivf_partitioned_serving_matches_inmemory_probe(spark, emb):
     exact = {r["vec_id"] for r in cosine_topk(emb, "embedding", qvec, 10, "vec_id").collect()}
     recall = len({v for v, _ in served} & exact) / len(exact)
     assert recall >= 0.5, f"IVF n_probe=4/8 recall {recall}"
+
+
+def test_quantized_ann_rejects_zero_query(emb):
+    """An all-zero query has no cosine (and no int8 scale): the
+    operator must refuse with a clear error, not ZeroDivisionError."""
+    from ent_fins_lakehouse_spark.operators.similarity import quantized_ann_topk
+
+    with pytest.raises(ValueError, match="all zeros"):
+        quantized_ann_topk(emb, "vec_id", "embedding", [0.0] * 64, k=10)
+
+
+def test_ivf_sq8_layout_is_amortized(spark):
+    """The serving layout is built once per dataset and REUSED: a
+    second probe must not rewrite the parquet (index builds amortize
+    across queries — the q144/q148 production contract)."""
+    import os
+
+    from ent_fins_lakehouse_spark.plans.llm_queries import _ivf_sq8_layout
+
+    path1, cents1 = _ivf_sq8_layout(spark, SF_SMOKE, n_clusters=8)
+    marker = os.path.join(path1, "_SUCCESS")
+    mtime = os.path.getmtime(marker)
+    path2, cents2 = _ivf_sq8_layout(spark, SF_SMOKE, n_clusters=8)
+    assert path2 == path1
+    assert cents2 == cents1
+    assert os.path.getmtime(marker) == mtime, "layout was rebuilt on reuse"
+
+
+def test_ivf_sq8_serving_recall_and_rescore(spark, emb):
+    """q148 (partition-pruned int8 probe + exact rescore) must match
+    q144's exact-over-probed-clusters top-10 — the 50-candidate
+    quantized prefilter cannot cost ranking fidelity at this scale —
+    and therefore meets the plain-IVF (q60-parameter) recall baseline
+    by construction."""
+    from ent_fins_lakehouse_spark.plans.llm_queries import (
+        q144_ivf_partitioned_serving,
+        q148_ivf_sq8_serving,
+    )
+
+    served = [
+        (r["vec_id"], round(r["cosine_sim"], 9))
+        for r in q148_ivf_sq8_serving(spark, SF_SMOKE).collect()
+    ]
+    exact_probed = [
+        (r["vec_id"], round(r["cosine_sim"], 9))
+        for r in q144_ivf_partitioned_serving(spark, SF_SMOKE).collect()
+    ]
+    assert served == exact_probed

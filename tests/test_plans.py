@@ -114,3 +114,70 @@ def test_q89_salted_join_matches_plain(spark):
     salted = salted_join(li, orders, ["l_orderkey"], num_salts=4)
     assert salted.count() == plain.count()
     assert salted.exceptAll(plain).isEmpty() and plain.exceptAll(salted).isEmpty()
+
+
+@contextlib.contextmanager
+def _sql_conf(spark, overrides: dict):
+    old = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_vocab_broadcast_is_census_gated(spark):
+    """q66/q139's scale contract: the vocabulary-sized dimension
+    (one row per distinct corpus token — 10⁸–10⁹ on a real web corpus)
+    is broadcast ONLY while the census proves it small. Above the cap
+    the hint must vanish so the join degrades to a shuffle join
+    instead of OOMing on a forced broadcast."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.operators.blocking import broadcast_if_small
+    from ent_fins_lakehouse_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    dim = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    # disable every AUTOMATIC broadcast path so a BroadcastHashJoin can
+    # only come from the explicit hint under test
+    with _sql_conf(
+        spark,
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.enabled": "false",
+        },
+    ):
+        hinted = toks.join(broadcast_if_small(dim, toks, "term"), "term")
+        assert "BroadcastHashJoin" in plan_of(hinted)
+        over_cap = toks.join(broadcast_if_small(dim, toks, "term", max_keys=0), "term")
+        p = plan_of(over_cap)
+        assert "BroadcastExchange" not in p, "forced broadcast survived the census gate"
+        assert "SortMergeJoin" in p
+
+
+def test_q139_has_no_forced_vocab_broadcast(spark, qmap):
+    """The q139 term-count join must carry no forced broadcast hint:
+    with automatic broadcasting disabled it falls back to a shuffle
+    join (only the 1-row constants table is explicitly broadcast —
+    broadcasting one row is always safe)."""
+    with _sql_conf(
+        spark,
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.enabled": "false",
+        },
+    ):
+        df = qmap["q139_unigram_lm_quality"](spark, SF_SMOKE)
+        assert "SortMergeJoin" in plan_of(df), "tc join should shuffle when broadcast is off"
+        # exactly the 1-row consts broadcast remains ("simple" mode:
+        # one line per node, unlike "formatted" which repeats nodes)
+        assert plan_of(df, "simple").count("BroadcastExchange") <= 1

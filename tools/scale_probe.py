@@ -198,13 +198,20 @@ def main() -> int:
 
     print(f"\n| query | 1x (s) | {args.factor}x (s) | ratio |")
     print("|---|---|---|---|")
+    def fmt(t: float) -> str:
+        return "guard-refused" if math.isnan(t) else f"{t:.2f}"
+
     for name in PROBE_QUERIES:
-        if math.isnan(tn[name]):
-            print(f"| {name} | {t1[name]:.2f} | guard-refused | n/a |")
+        if math.isnan(t1[name]) or math.isnan(tn[name]):
+            print(f"| {name} | {fmt(t1[name])} | {fmt(tn[name])} | n/a |")
             continue
         r = tn[name] / t1[name] if t1[name] else float("inf")
         print(f"| {name} | {t1[name]:.2f} | {tn[name]:.2f} | {r:.1f}x |")
-    ran = [n for n in PROBE_QUERIES if not math.isnan(tn[n])]
+    # a query is "ran" only if BOTH passes finished — a guard refusal at
+    # the 1x baseline must not poison the worst-ratio max() with NaN
+    ran = [
+        n for n in PROBE_QUERIES if not (math.isnan(t1[n]) or math.isnan(tn[n]))
+    ]
     if ran:
         worst = max(ran, key=lambda n: tn[n] / max(t1[n], 1e-9))
         print(
