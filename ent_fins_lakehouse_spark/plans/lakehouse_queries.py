@@ -706,3 +706,140 @@ def q140_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_start")
     )
+
+
+@query(
+    "q145_delta_log_write",
+    oracle="SELECT * FROM supplier ORDER BY s_suppkey",
+    tags=("lakehouse", "delta", "interop"),
+)
+def q145_delta_log_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta `_delta_log` WRITE interop (VERDICT r4 item 2): the engine
+    COMMITS tables in the public Delta JSON-action format — protocol/
+    metaData at creation, add per file, remove on overwrite, O_EXCL
+    optimistic versioned commits — so its output is consumable by any
+    Delta reader (delta-spark, DuckDB delta scanner, Polars), the
+    write-side complement of q134's read shim. Two appends then a full
+    overwrite; the latest snapshot must equal the source bit-for-bit
+    and version replay must see the pre-overwrite state. Cross-checks
+    the reference's `CREATE TABLE ... USING DELTA`
+    (`/root/reference/Instructor/01-Fraud-Delta.py:130-134`) from the
+    producer side."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    sup = load_table(spark, sf_dir, "supplier")
+    dl = DeltaLogTable(spark, _scratch("deltawrite"))
+    v0 = dl.write(sup.filter(F.col("s_suppkey") <= 10), mode="append")
+    v1 = dl.write(sup.filter(F.col("s_suppkey") > 10), mode="append")
+    v2 = dl.write(sup, mode="overwrite")
+    if (v0, v1, v2) != (0, 1, 2):
+        raise AssertionError(f"unexpected commit versions {(v0, v1, v2)}")
+    n_v1 = dl.read(version_as_of=1).count()
+    if n_v1 != sup.count():
+        raise AssertionError(f"time travel to pre-overwrite state saw {n_v1} rows")
+    return dl.read().orderBy("s_suppkey")
+
+
+def _roaring64_portable(rows: list[int]) -> bytes:
+    """Serialize row indexes as Delta's DV payload: 4-byte LE magic
+    1681511377 + 64-bit RoaringBitmapArray in the public *portable*
+    format (RoaringBitmap/RoaringFormatSpec): u64 LE bucket count, per
+    bucket u32 LE high-key + a 32-bit roaring bitmap
+    (SERIAL_COOKIE_NO_RUNCONTAINER layout, array containers — test DVs
+    are small). Fixture-side twin of the engine's parser so the q146
+    differential exercises a genuine end-to-end decode."""
+    import struct
+
+    buckets: dict[int, dict[int, list[int]]] = {}
+    for r in sorted(set(rows)):
+        buckets.setdefault(r >> 32, {}).setdefault((r >> 16) & 0xFFFF, []).append(r & 0xFFFF)
+    out = [struct.pack("<i", 1681511377), struct.pack("<Q", len(buckets))]
+    for high in sorted(buckets):
+        conts = buckets[high]
+        keys = sorted(conts)
+        out.append(struct.pack("<I", high))
+        out.append(struct.pack("<I", 12346))  # no-run cookie
+        out.append(struct.pack("<I", len(keys)))
+        for k in keys:
+            out.append(struct.pack("<HH", k, len(conts[k]) - 1))
+        # per-container byte offsets from the start of this 32-bit bitmap
+        off = 4 + 4 + 4 * len(keys) + 4 * len(keys)
+        for k in keys:
+            out.append(struct.pack("<I", off))
+            off += 2 * len(conts[k])
+        for k in keys:
+            out.append(struct.pack(f"<{len(conts[k])}H", *conts[k]))
+    return b"".join(out)
+
+
+def _dv_fixture(spark: SparkSession, df: DataFrame, order_col: str, table_dir: str, deleted: list[int]) -> None:
+    """Hand-built DV-bearing Delta table (q134's fixture approach): v0 =
+    one sorted data file via the engine's own Delta writer; v1 = protocol
+    upgrade to readerFeatures=[deletionVectors] + re-add of the same file
+    carrying a storageType="u" descriptor whose RoaringBitmap file uses
+    the public on-disk framing (1-byte version, [u32 BE size][payload]
+    [u32 BE crc32], Base85 UUID naming)."""
+    import base64
+    import json
+    import struct
+    import uuid
+    import zlib
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    dl = DeltaLogTable(spark, table_dir)
+    dl.write(df.repartition(1).sortWithinPartitions(order_col), mode="append")
+    adds, _, _, _ = dl._snapshot()
+    (path,) = adds  # single data file by construction
+    payload = _roaring64_portable(deleted)
+    u = uuid.uuid4()
+    with open(os.path.join(table_dir, f"deletion_vector_{u}.bin"), "wb") as fh:
+        fh.write(b"\x01")
+        fh.write(struct.pack(">i", len(payload)))
+        fh.write(payload)
+        fh.write(struct.pack(">I", zlib.crc32(payload)))
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"add": {"path": path, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": False,
+                 "deletionVector": {
+                     "storageType": "u",
+                     "pathOrInlineDv": base64.b85encode(u.bytes).decode(),
+                     "offset": 1,
+                     "sizeInBytes": len(payload),
+                     "cardinality": len(deleted),
+                 }}},
+    ]
+    with open(os.path.join(table_dir, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+@query(
+    "q146_delta_deletion_vectors",
+    oracle="SELECT * FROM supplier WHERE s_suppkey % 7 <> 0 ORDER BY s_suppkey",
+    tags=("lakehouse", "delta", "interop"),
+)
+def q146_delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector reads (VERDICT r4 item 3): modern Delta writers
+    default to DVs (soft deletes as RoaringBitmaps of row indexes), so
+    a 2024+ table from the reference's platform needs this to be
+    readable at all. The shim decodes the public DV format — Base85
+    UUID file naming, 1-byte-version framing, magic 1681511377, 64-bit
+    portable RoaringBitmapArray — and applies it as a row-index
+    anti-filter on `_metadata.row_index`. Fixture: supplier written
+    sorted into one file, a DV deleting every s_suppkey % 7 == 0 row
+    by position; the differential proves exactly the surviving rows
+    come back."""
+    sup = load_table(spark, sf_dir, "supplier")
+    td = _scratch("deltadv")
+    keys = [r[0] for r in sup.select("s_suppkey").orderBy("s_suppkey").collect()]
+    deleted = [i for i, k in enumerate(keys) if k % 7 == 0]
+    _dv_fixture(spark, sup, "s_suppkey", td, deleted)
+    dl = LakeTable.from_delta_log(spark, td)
+    got = dl.read()
+    if got.count() != len(keys) - len(deleted):
+        raise AssertionError("DV anti-filter removed the wrong number of rows")
+    return got.orderBy("s_suppkey")

@@ -951,17 +951,26 @@ class DeltaLogTable:
     Storage over Cloud Object Stores" (VLDB 2020) and delta-io
     PROTOCOL.md.
 
-    Read-only by design — writes go through :class:`LakeTable`'s own
-    log. Supported: multi-commit replay, time travel, partitioned
-    tables (``partitionValues`` re-attached as typed literal columns —
+    Reads: multi-commit replay, time travel, partitioned tables
+    (``partitionValues`` re-attached as typed literal columns —
     Delta's physical parquet omits partition columns), single- and
-    multi-part checkpoints. Refused loudly: deletion vectors and
-    column mapping (reader-protocol features that change row or column
-    interpretation; pretending to read them would return wrong data).
+    multi-part checkpoints, deletion vectors (RoaringBitmap row-index
+    anti-filter). Refused loudly: column mapping (changes column
+    interpretation; pretending to read it would return wrong data).
+
+    Writes (:meth:`write`): append/overwrite commits in the public
+    JSON action format — protocol/metaData at table creation, add
+    (with hive-style ``partitionValues``) per data file, remove on
+    overwrite, optimistic O_EXCL versioned commits — so tables this
+    engine produces are consumable by ANY Delta reader (delta-spark,
+    DuckDB's delta scanner, Polars), closing the write half of the
+    interop loop with the reference's ``USING DELTA`` tables.
     """
 
-    #: reader features that do not change how add/remove/data are interpreted
-    _SAFE_READER_FEATURES = {"timestampNtz"}
+    #: reader features whose data interpretation this shim implements
+    #: (timestampNtz is type-only; deletionVectors are decoded by
+    #: :meth:`_dv_row_indexes` and applied as a row-index anti-filter)
+    _SAFE_READER_FEATURES = {"timestampNtz", "deletionVectors"}
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -1022,12 +1031,15 @@ class DeltaLogTable:
         )
 
     def _snapshot(self, version_as_of: int | None = None):
-        """Replay the log to ``(adds, schema, partition_cols)`` where
-        ``adds`` maps data-file path → partitionValues."""
+        """Replay the log to ``(adds, schema, partition_cols, meta)``
+        where ``adds`` maps data-file path → ``{"partitionValues": …,
+        "deletionVector": descriptor-or-None}`` and ``meta`` is the
+        latest raw metaData action (table id reuse on overwrite)."""
         target = self.latest_version() if version_as_of is None else version_as_of
         adds: dict[str, dict] = {}
         schema_str: str | None = None
         part_cols: list[str] = []
+        meta: dict | None = None
         start = 0
         cp = self._checkpoint()
         if cp and cp[0] <= target:
@@ -1038,6 +1050,7 @@ class DeltaLogTable:
             for r in df_cp.collect():
                 md = r["metaData"] if "metaData" in cols else None
                 if md is not None and md["schemaString"]:
+                    meta = md.asDict(recursive=True)
                     schema_str = md["schemaString"]
                     part_cols = list(md["partitionColumns"] or [])
                 pr = r["protocol"] if "protocol" in cols else None
@@ -1045,9 +1058,13 @@ class DeltaLogTable:
                     self._check_protocol(pr.asDict())
                 a = r["add"] if "add" in cols else None
                 if a is not None and a["path"]:
+                    dv = None
                     if "deletionVector" in (a.__fields__ or []) and a["deletionVector"]:
-                        raise NotImplementedError("deletion vectors not supported")
-                    adds[a["path"]] = dict(a["partitionValues"] or {})
+                        dv = a["deletionVector"].asDict()
+                    adds[a["path"]] = {
+                        "partitionValues": dict(a["partitionValues"] or {}),
+                        "deletionVector": dv,
+                    }
             start = cp[0] + 1
         versions = self._json_versions()
         missing = [v for v in range(start, target + 1) if v not in versions]
@@ -1064,47 +1081,342 @@ class DeltaLogTable:
                         continue
                     act = json.loads(line)
                     if "metaData" in act:
+                        meta = act["metaData"]
                         schema_str = act["metaData"]["schemaString"]
                         part_cols = list(act["metaData"].get("partitionColumns") or [])
                     elif "protocol" in act:
                         self._check_protocol(act["protocol"])
                     elif "add" in act:
                         a = act["add"]
-                        if a.get("deletionVector"):
-                            raise NotImplementedError("deletion vectors not supported")
-                        adds[a["path"]] = a.get("partitionValues") or {}
+                        adds[a["path"]] = {
+                            "partitionValues": a.get("partitionValues") or {},
+                            "deletionVector": a.get("deletionVector"),
+                        }
                     elif "remove" in act:
                         adds.pop(act["remove"]["path"], None)
         if schema_str is None:
             raise ValueError(f"no metaData action found in {self.log_path}")
         schema = T.StructType.fromJson(json.loads(schema_str))
-        return adds, schema, part_cols
+        return adds, schema, part_cols, meta
+
+    # ------------------------------------------------- deletion vectors
+
+    @staticmethod
+    def _roaring64_rows(data: bytes) -> list[int]:
+        """Decode Delta's DV payload — 4-byte LE magic 1681511377 then a
+        64-bit RoaringBitmapArray in the *portable* format (public spec:
+        RoaringBitmap/RoaringFormatSpec): u64 LE bucket count, then per
+        bucket a u32 LE high-key followed by a standard 32-bit roaring
+        bitmap (array / bitmap / run containers all handled)."""
+        import struct
+
+        if len(data) < 4 or struct.unpack_from("<i", data, 0)[0] != 1681511377:
+            raise ValueError("deletion vector payload missing magic 1681511377")
+        pos = 4
+        (n_buckets,) = struct.unpack_from("<Q", data, pos)
+        pos += 8
+        rows: list[int] = []
+        for _ in range(n_buckets):
+            (high,) = struct.unpack_from("<I", data, pos)
+            pos += 4
+            base = high << 32
+            (cookie,) = struct.unpack_from("<I", data, pos)
+            runbits = b""
+            if (cookie & 0xFFFF) == 12347:  # SERIAL_COOKIE (run containers)
+                n_cont = (cookie >> 16) + 1
+                pos += 4
+                nrb = (n_cont + 7) // 8
+                runbits = data[pos : pos + nrb]
+                pos += nrb
+                has_offsets = n_cont >= 4
+            elif cookie == 12346:  # SERIAL_COOKIE_NO_RUNCONTAINER
+                pos += 4
+                (n_cont,) = struct.unpack_from("<I", data, pos)
+                pos += 4
+                has_offsets = True
+            else:
+                raise ValueError(f"unknown roaring cookie {cookie}")
+            keys_cards = []
+            for i in range(n_cont):
+                key, card_m1 = struct.unpack_from("<HH", data, pos)
+                pos += 4
+                keys_cards.append((key, card_m1 + 1))
+            if has_offsets:
+                pos += 4 * n_cont
+            for i, (key, card) in enumerate(keys_cards):
+                kbase = base | (key << 16)
+                is_run = bool(runbits) and (runbits[i // 8] >> (i % 8)) & 1
+                if is_run:
+                    (n_runs,) = struct.unpack_from("<H", data, pos)
+                    pos += 2
+                    for _r in range(n_runs):
+                        start, length = struct.unpack_from("<HH", data, pos)
+                        pos += 4
+                        rows.extend(kbase | v for v in range(start, start + length + 1))
+                elif card <= 4096:
+                    vals = struct.unpack_from(f"<{card}H", data, pos)
+                    pos += 2 * card
+                    rows.extend(kbase | v for v in vals)
+                else:
+                    words = struct.unpack_from("<1024Q", data, pos)
+                    pos += 8192
+                    for wi, w in enumerate(words):
+                        while w:
+                            b = w & -w
+                            rows.append(kbase | (wi << 6) | b.bit_length() - 1)
+                            w ^= b
+        return rows
+
+    def _dv_row_indexes(self, dv: dict) -> list[int]:
+        """Resolve a deletionVector descriptor to deleted row indexes.
+        Storage types (public PROTOCOL.md): ``i`` = payload inline,
+        Base85 (RFC 1924); ``u`` = relative file whose name derives from
+        a Base85-encoded UUID (last 20 chars; any leading chars are a
+        directory prefix); ``p`` = explicit path. On-disk framing: 1-byte
+        format version, then per DV [u32 BE size][payload][u32 BE CRC] —
+        ``offset`` points at the size word, ``sizeInBytes`` is the
+        payload length."""
+        import base64
+        import struct
+        import uuid as _uuid
+
+        st = dv["storageType"]
+        if st == "i":
+            return self._roaring64_rows(base64.b85decode(dv["pathOrInlineDv"]))
+        if st == "u":
+            enc = dv["pathOrInlineDv"]
+            prefix, enc_uuid = enc[:-20], enc[-20:]
+            u = _uuid.UUID(bytes=base64.b85decode(enc_uuid))
+            name = f"deletion_vector_{u}.bin"
+            fpath = os.path.join(self.path, prefix, name) if prefix else os.path.join(self.path, name)
+        elif st == "p":
+            fpath = dv["pathOrInlineDv"]
+            if not os.path.isabs(fpath):
+                fpath = os.path.join(self.path, fpath)
+        else:
+            raise NotImplementedError(f"deletion vector storage type {st!r}")
+        with open(fpath, "rb") as fh:
+            blob = fh.read()
+        off = int(dv.get("offset") or 0)
+        size = int(dv["sizeInBytes"])
+        (stored,) = struct.unpack_from(">i", blob, off)
+        if stored != size:
+            raise ValueError(
+                f"DV length prefix {stored} != descriptor sizeInBytes {size} at offset {off}"
+            )
+        return self._roaring64_rows(blob[off + 4 : off + 4 + size])
 
     # ----------------------------------------------------------------- read
 
     def read(self, version_as_of: int | None = None) -> DataFrame:
-        adds, schema, part_cols = self._snapshot(version_as_of)
+        adds, schema, part_cols, _ = self._snapshot(version_as_of)
         if not adds:
             return self.spark.createDataFrame([], schema)
-        if not part_cols:
-            paths = [os.path.join(self.path, p) for p in sorted(adds)]
-            return self.spark.read.schema(schema).parquet(*paths)
-        # partitioned table: physical files omit the partition columns;
-        # re-attach each group's values as typed literals (partition
-        # values are serialized as strings in the log)
         phys = T.StructType([f for f in schema.fields if f.name not in part_cols])
         types = {f.name: f.dataType for f in schema.fields}
+
+        def attach_parts(df: DataFrame, pv: dict) -> DataFrame:
+            # physical files omit partition columns; re-attach each
+            # group's values as typed literals (serialized as strings)
+            for c in part_cols:
+                df = df.withColumn(c, F.lit(pv.get(c)).cast(types[c]))
+            return df.select(*[f.name for f in schema.fields])
+
+        # group plain files by partition tuple for bulk multi-path scans;
+        # DV-bearing files are scanned per-file with the parquet
+        # row-index metadata column and anti-filtered on the decoded
+        # bitmap (the DV is KBs of control-plane data, never a shuffle)
         groups: dict[tuple, list[str]] = {}
-        for p, pv in adds.items():
-            key = tuple(pv.get(c) for c in part_cols)
-            groups.setdefault(key, []).append(os.path.join(self.path, p))
+        pv_of: dict[tuple, dict] = {}
+        dv_parts: list[DataFrame] = []
+        for p, info in sorted(adds.items()):
+            full = os.path.join(self.path, p)
+            pv = info["partitionValues"]
+            if info["deletionVector"]:
+                deleted = self._dv_row_indexes(info["deletionVector"])
+                df = (
+                    self.spark.read.schema(phys)
+                    .parquet(full)
+                    .select("*", F.col("_metadata.row_index").alias("_dv_ri"))
+                    .filter(~F.col("_dv_ri").isin(deleted))
+                    .drop("_dv_ri")
+                )
+                dv_parts.append(attach_parts(df, pv) if part_cols else df.select(*[f.name for f in phys.fields]))
+            else:
+                key = tuple(pv.get(c) for c in part_cols)
+                groups.setdefault(key, []).append(full)
+                pv_of[key] = pv
         parts = []
         for key in sorted(groups, key=lambda k: tuple("" if v is None else str(v) for v in k)):
             df = self.spark.read.schema(phys).parquet(*sorted(groups[key]))
-            for c, v in zip(part_cols, key):
-                df = df.withColumn(c, F.lit(v).cast(types[c]))
-            parts.append(df.select(*[f.name for f in schema.fields]))
+            parts.append(attach_parts(df, pv_of[key]) if part_cols else df)
+        parts.extend(dv_parts)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    # ---------------------------------------------------------------- write
+
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Commit data in the PUBLIC Delta log format (closes the write
+        half of the interop loop — engine output becomes consumable by
+        delta-spark, DuckDB's delta scanner, Polars, …).
+
+        Emits newline-delimited JSON actions per PROTOCOL.md:
+        ``commitInfo`` + (at creation) ``protocol``/``metaData`` +
+        ``remove`` for every replaced file on overwrite + one ``add``
+        (path, hive-style ``partitionValues``, size, modificationTime,
+        dataChange) per data file. Commits are optimistic: the versioned
+        log file is created with O_EXCL, so a concurrent writer loses
+        with :class:`ConcurrentWriteError` and its orphaned data files
+        stay invisible to readers (standard Delta semantics — VACUUM
+        reclaims them). Appends must match the committed schema exactly
+        (widening/evolution belongs to :class:`LakeTable`); overwrite
+        may change the schema and re-emits ``metaData`` with the SAME
+        table id. Returns the committed version.
+        """
+        import glob
+        import shutil
+        import tempfile
+        import time
+        import urllib.parse
+        import uuid as _uuid
+
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be 'append' or 'overwrite', got {mode!r}")
+        try:
+            version = self.latest_version() + 1
+        except (ValueError, FileNotFoundError):
+            version = 0
+        existing_adds: dict[str, dict] = {}
+        meta: dict | None = None
+        if version > 0:
+            existing_adds, committed_schema, committed_parts, meta = self._snapshot()
+            if partition_by is None:
+                partition_by = committed_parts
+            if mode == "append":
+                want = [(f.name, f.dataType) for f in committed_schema.fields]
+                have = {f.name: f.dataType for f in df.schema.fields}
+                if sorted(have) != sorted(n for n, _ in want) or any(
+                    have[n] != t for n, t in want
+                ):
+                    raise ValueError(
+                        f"append schema {df.schema.simpleString()} does not match "
+                        f"committed schema {committed_schema.simpleString()}"
+                    )
+                df = df.select(*[n for n, _ in want])
+                if list(partition_by or []) != list(committed_parts):
+                    raise ValueError(
+                        f"append partitioning {partition_by} != committed {committed_parts}"
+                    )
+        part_cols = list(partition_by or [])
+
+        # stage through a scratch dir so the table dir only ever gains
+        # fully-written files with collision-free names
+        st = tempfile.mkdtemp(prefix="deltaw_")
+        try:
+            w = df.write.mode("overwrite")
+            if part_cols:
+                w = w.partitionBy(*part_cols)
+            w.parquet(st)
+            now = int(time.time() * 1000)
+            adds: list[dict] = []
+            for fpath in sorted(
+                glob.glob(os.path.join(st, "**", "*.parquet"), recursive=True)
+            ):
+                rel_dir = os.path.relpath(os.path.dirname(fpath), st)
+                pv: dict[str, str | None] = {}
+                if rel_dir != ".":
+                    for comp in rel_dir.split(os.sep):
+                        k, _, val = comp.partition("=")
+                        pv[k] = (
+                            None
+                            if val == "__HIVE_DEFAULT_PARTITION__"
+                            else urllib.parse.unquote(val)
+                        )
+                name = f"part-{_uuid.uuid4().hex}.snappy.parquet"
+                rel = name if rel_dir == "." else os.path.join(rel_dir, name)
+                dest = os.path.join(self.path, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                shutil.move(fpath, dest)
+                adds.append(
+                    {
+                        "add": {
+                            "path": rel.replace(os.sep, "/"),
+                            "partitionValues": pv,
+                            "size": os.path.getsize(dest),
+                            "modificationTime": int(os.path.getmtime(dest) * 1000),
+                            "dataChange": True,
+                        }
+                    }
+                )
+        finally:
+            shutil.rmtree(st, ignore_errors=True)
+
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "WRITE",
+                    "operationParameters": {
+                        "mode": mode.capitalize(),
+                        "partitionBy": json.dumps(part_cols),
+                    },
+                    "engineInfo": "ent_fins_lakehouse_spark/delta-shim",
+                }
+            }
+        ]
+        if version == 0:
+            actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        schema_json = df.schema.json()
+        if version == 0 or (
+            mode == "overwrite"
+            and meta is not None
+            and (meta.get("schemaString") != schema_json or list(meta.get("partitionColumns") or []) != part_cols)
+        ):
+            actions.append(
+                {
+                    "metaData": {
+                        "id": (meta or {}).get("id") or str(_uuid.uuid4()),
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema_json,
+                        "partitionColumns": part_cols,
+                        "configuration": {},
+                        "createdTime": (meta or {}).get("createdTime") or now,
+                    }
+                }
+            )
+        if mode == "overwrite":
+            actions.extend(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                        "partitionValues": info["partitionValues"],
+                    }
+                }
+                for p, info in sorted(existing_adds.items())
+            )
+        actions.extend(adds)
+
+        os.makedirs(self.log_path, exist_ok=True)
+        target = os.path.join(self.log_path, f"{version:020d}.json")
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"Delta commit {version} at {self.log_path} was taken by a "
+                "concurrent writer; staged files are uncommitted (invisible "
+                "to readers) — retry the write"
+            ) from None
+        with os.fdopen(fd, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        return version
