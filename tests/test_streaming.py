@@ -147,3 +147,93 @@ class TestLakeStreamSource:
         out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
         got = self._drain(spark, t.path, out2, ckpt2, ignore_changes=True)
         assert set(got) >= {0, 1, 2, 4}
+
+
+class TestAutoLoaderEvolution:
+    """Schema inference / evolution / _rescued_data (q147's machinery)."""
+
+    def _land(self, path: str, *lines: str) -> None:
+        import uuid as _uuid
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, f"{_uuid.uuid4().hex}.json"), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+
+    def test_infer_then_widen_then_append_column(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from ent_fins_lakehouse_spark.streaming.autoloader import AutoLoader
+
+        src, loc = str(tmp_path / "src"), str(tmp_path / "loc")
+        self._land(src, '{"id": 1, "v": 10}')
+        al = AutoLoader(spark, src, loc)
+        s0 = al.resolve_schema()
+        assert [(f.name, f.dataType) for f in s0.fields] == [
+            ("id", T.LongType()), ("v", T.LongType())]
+        # drift: v becomes fractional (widen long->double), extra appears
+        self._land(src, '{"id": 2, "v": 2.5, "extra": "e"}')
+        s1 = al.resolve_schema()
+        assert [(f.name, f.dataType) for f in s1.fields] == [
+            ("id", T.LongType()), ("v", T.DoubleType()), ("extra", T.StringType())]
+        # schema versions recorded like cloudFiles' _schemas dir
+        assert al._stored_versions() == ["0.json", "1.json"]
+
+    def test_rescued_data_buckets(self, spark, tmp_path):
+        """Bad casts, unknown keys (evolution off) and corrupt lines
+        all land in _rescued_data without failing the stream."""
+        import json as _json
+
+        from ent_fins_lakehouse_spark.streaming.autoloader import AutoLoader
+
+        src, loc = str(tmp_path / "src"), str(tmp_path / "loc")
+        self._land(src, '{"id": 1, "v": 10}')
+        al = AutoLoader(spark, src, loc, schema_evolution=False)
+        schema = al.resolve_schema()
+        self._land(
+            src,
+            '{"id": "oops", "v": 20}',
+            '{"id": 3, "v": 30, "mystery": "m"}',
+            "garbage{",
+        )
+        out = AutoLoader.with_rescued_data(spark.read.text(src), schema)
+        rows = {r["id"]: r for r in out.collect() if True}
+        assert rows[1]["_rescued_data"] is None
+        assert _json.loads(rows[3]["_rescued_data"]) == {"mystery": "m"}
+        rescued = [r for r in out.collect() if r["id"] is None]
+        buckets = [_json.loads(r["_rescued_data"]) for r in rescued]
+        assert {"id": "oops"} in buckets
+        assert {"_corrupt_record": "garbage{"} in buckets
+
+    def test_unwidenable_conflict_keeps_stored_type(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from ent_fins_lakehouse_spark.streaming.autoloader import AutoLoader
+
+        src, loc = str(tmp_path / "src"), str(tmp_path / "loc")
+        self._land(src, '{"id": 1}')
+        al = AutoLoader(spark, src, loc)
+        al.resolve_schema()
+        self._land(src, '{"id": "str-now"}')
+        s1 = al.resolve_schema()
+        # long vs string has no LUB: stored type wins, values rescue
+        assert s1["id"].dataType == T.LongType()
+
+    def test_evolving_stream_keeps_checkpoint(self, spark, tmp_path):
+        """Exactly-once survives schema evolution: the second run with
+        the SAME checkpoint ingests only the new file, with the wider
+        schema, through a merge_schema sink."""
+        from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
+        from ent_fins_lakehouse_spark.streaming.autoloader import AutoLoader, LakeStreamSink
+
+        src, loc, ckpt = str(tmp_path / "src"), str(tmp_path / "loc"), str(tmp_path / "ck")
+        self._land(src, '{"id": 1, "v": 10}', '{"id": 2, "v": 20}')
+        al = AutoLoader(spark, src, loc)
+        t = LakeTable(spark, str(tmp_path / "tbl"))
+        sink = LakeStreamSink(t, merge_schema=True)
+        sink.start(al.stream(), ckpt)
+        assert t.read().count() == 2
+        self._land(src, '{"id": 3, "v": 30, "extra": "e"}')
+        sink.start(al.stream(), ckpt)
+        got = {r["id"]: r for r in t.read().collect()}
+        assert len(got) == 3  # no re-ingest of wave 1
+        assert got[3]["extra"] == "e" and got[1]["extra"] is None
