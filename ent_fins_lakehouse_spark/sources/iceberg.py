@@ -1,0 +1,184 @@
+"""Read-only Apache Iceberg table interop.
+
+Named in the driver brief ("Spark SQL + Delta/Iceberg") — the Iceberg
+analogue of :class:`sources.lakehouse.DeltaLogTable`, built from the
+public table spec (iceberg.apache.org/spec, format versions 1 and 2):
+
+- ``metadata/v<N>.metadata.json`` (discovered via ``version-hint.text``
+  or the highest version present) holds the schema, snapshot list and
+  current snapshot id;
+- each snapshot names a **manifest list** (Avro) whose rows point at
+  **manifests** (Avro); manifest entries carry ``data_file`` records
+  with the parquet path, content kind and liveness ``status``;
+- data files for identity-partitioned/unpartitioned tables are plain
+  parquet readable by Spark directly (Iceberg parquet retains
+  partition columns, unlike hive layouts — no value re-attachment
+  needed).
+
+Avro decoding is the in-repo pure-Python OCF reader
+(:mod:`sources.avro_io`) since neither spark-avro nor an avro package
+ships in this environment.
+
+Scope, refused loudly rather than read wrongly: positional/equality
+**delete files** (v2 row-level deletes change row visibility) and
+schema evolution via field-id remapping (columns are resolved by
+name; a renamed column would need the id mapping). Time travel via
+``snapshot_id`` replays any listed snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ent_fins_lakehouse_spark.sources.avro_io import read_ocf
+
+_PRIMITIVES = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampNTZType(),
+    "timestamptz": T.TimestampType(),
+    "string": T.StringType(),
+    "uuid": T.StringType(),
+    "binary": T.BinaryType(),
+}
+
+
+def _iceberg_type(t) -> T.DataType:
+    """Iceberg JSON schema type → Spark type (spec: 'Schemas and Data
+    Types')."""
+    if isinstance(t, str):
+        if t in _PRIMITIVES:
+            return _PRIMITIVES[t]
+        if t.startswith("decimal("):
+            p, s = t[len("decimal(") : -1].split(",")
+            return T.DecimalType(int(p), int(s))
+        if t.startswith("fixed["):
+            return T.BinaryType()
+        raise NotImplementedError(f"iceberg type {t!r}")
+    kind = t["type"]
+    if kind == "struct":
+        return T.StructType(
+            [
+                T.StructField(f["name"], _iceberg_type(f["type"]), not f["required"])
+                for f in t["fields"]
+            ]
+        )
+    if kind == "list":
+        return T.ArrayType(_iceberg_type(t["element"]), not t["element-required"])
+    if kind == "map":
+        return T.MapType(
+            _iceberg_type(t["key"]), _iceberg_type(t["value"]), not t["value-required"]
+        )
+    raise NotImplementedError(f"iceberg type {t!r}")
+
+
+class IcebergTable:
+    """Read-only snapshot reads over an Iceberg v1/v2 table directory."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.meta_dir = os.path.join(path, "metadata")
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.meta_dir)
+
+    # ---------------------------------------------------------- metadata
+
+    def _metadata_file(self) -> str:
+        hint = os.path.join(self.meta_dir, "version-hint.text")
+        if os.path.isfile(hint):
+            with open(hint, encoding="utf-8") as fh:
+                v = fh.read().strip()
+            cand = os.path.join(self.meta_dir, f"v{v}.metadata.json")
+            if os.path.isfile(cand):
+                return cand
+        versions = []
+        for f in os.listdir(self.meta_dir):
+            if f.endswith(".metadata.json") and f.startswith("v"):
+                stem = f[1 : -len(".metadata.json")]
+                if stem.isdigit():
+                    versions.append((int(stem), f))
+        if not versions:
+            raise ValueError(f"no Iceberg metadata under {self.meta_dir}")
+        return os.path.join(self.meta_dir, max(versions)[1])
+
+    def metadata(self) -> dict:
+        with open(self._metadata_file(), encoding="utf-8") as fh:
+            return json.load(fh)
+
+    def schema(self, meta: dict | None = None) -> T.StructType:
+        meta = meta or self.metadata()
+        if "schemas" in meta:  # v2: list keyed by current-schema-id
+            sid = meta["current-schema-id"]
+            ice = next(s for s in meta["schemas"] if s["schema-id"] == sid)
+        else:  # v1: single inline schema
+            ice = meta["schema"]
+        return _iceberg_type({**ice, "type": "struct"})
+
+    def snapshots(self) -> list[dict]:
+        return list(self.metadata().get("snapshots") or [])
+
+    def _resolve(self, p: str) -> str:
+        """Spec paths are absolute location-rooted URIs; tolerate
+        file: prefixes and relative fixture paths."""
+        if p.startswith("file:"):
+            p = p[len("file:") :]
+            while p.startswith("//"):
+                p = p[1:]
+        return p if os.path.isabs(p) else os.path.join(self.path, p)
+
+    # -------------------------------------------------------------- read
+
+    def data_files(self, snapshot_id: int | None = None) -> list[str]:
+        meta = self.metadata()
+        snaps = meta.get("snapshots") or []
+        if not snaps:
+            return []
+        if snapshot_id is None:
+            snapshot_id = meta["current-snapshot-id"]
+            if snapshot_id in (None, -1):
+                return []
+        snap = next(
+            (s for s in snaps if s["snapshot-id"] == snapshot_id), None
+        )
+        if snap is None:
+            raise ValueError(f"snapshot {snapshot_id} not in {self.meta_dir}")
+        _, manifests = read_ocf(self._resolve(snap["manifest-list"]))
+        files: list[str] = []
+        for m in manifests:
+            if m.get("content", 0) not in (0, None):  # 1 = deletes manifest
+                raise NotImplementedError(
+                    "Iceberg delete manifests (v2 row-level deletes) are not "
+                    "supported by the read-only shim — reading past them "
+                    "would resurrect deleted rows"
+                )
+            _, entries = read_ocf(self._resolve(m["manifest_path"]))
+            for e in entries:
+                if e.get("status") == 2:  # DELETED entry — file removed
+                    continue
+                df_rec = e["data_file"]
+                if df_rec.get("content", 0) not in (0, None):
+                    raise NotImplementedError(
+                        "Iceberg position/equality delete files are not supported"
+                    )
+                fmt = (df_rec.get("file_format") or "PARQUET").upper()
+                if fmt != "PARQUET":
+                    raise NotImplementedError(f"Iceberg data file format {fmt}")
+                files.append(self._resolve(df_rec["file_path"]))
+        return files
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        schema = self.schema()
+        files = self.data_files(snapshot_id)
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*sorted(files))

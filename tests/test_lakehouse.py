@@ -977,3 +977,108 @@ def test_delta_dv_inline_storage(spark, tmp_path):
                 "sizeInBytes": len(payload), "cardinality": 3}}}) + "\n")
     got = sorted(r["id"] for r in LakeTable.from_delta_log(spark, td).read().collect())
     assert got == [1, 2, 4, 5, 6, 7, 8]
+
+
+# --------------------------------------------------------------- iceberg
+
+
+def test_avro_ocf_roundtrip_all_types(spark, tmp_path):
+    """Pure-Python Avro OCF writer/reader round-trip over the type
+    surface Iceberg metadata uses (records, unions, arrays, maps,
+    primitives)."""
+    from ent_fins_lakehouse_spark.sources.avro_io import read_ocf, write_ocf
+
+    schema = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "n", "type": "long"},
+            {"name": "f", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "u", "type": ["null", "long"]},
+            {"name": "arr", "type": {"type": "array", "items": "int"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {"name": "rec", "type": {"type": "record", "name": "inner", "fields": [
+                {"name": "x", "type": "int"}]}},
+        ],
+    }
+    rows = [
+        {"s": "héllo", "n": -(2**40), "f": 1.5, "b": True, "u": None,
+         "arr": [1, -2, 3], "m": {"k": "v"}, "rec": {"x": 7}},
+        {"s": "", "n": 0, "f": -0.25, "b": False, "u": 42,
+         "arr": [], "m": {}, "rec": {"x": -1}},
+    ]
+    p = str(tmp_path / "t.avro")
+    write_ocf(p, schema, rows)
+    got_schema, got = read_ocf(p)
+    assert got == rows
+    assert got_schema["name"] == "r"
+
+
+def test_avro_deflate_codec_read(tmp_path):
+    """Reader handles deflate-compressed blocks (what real Iceberg
+    writers emit by default)."""
+    import json
+    import zlib
+
+    from ent_fins_lakehouse_spark.sources.avro_io import MAGIC, _Writer, read_ocf
+
+    schema = {"type": "record", "name": "r", "fields": [{"name": "x", "type": "long"}]}
+    body = _Writer()
+    for i in range(5):
+        body.encode(schema, {"x": i})
+    blob = zlib.compress(body.out.getvalue())[2:-4]  # raw deflate
+    w = _Writer()
+    w.write(MAGIC)
+    w.encode({"type": "map", "values": "bytes"},
+             {"avro.schema": json.dumps(schema).encode(), "avro.codec": b"deflate"})
+    sync = b"0123456789abcdef"
+    w.write(sync)
+    w.zlong(5)
+    w.zlong(len(blob))
+    w.write(blob)
+    w.write(sync)
+    p = str(tmp_path / "d.avro")
+    with open(p, "wb") as fh:
+        fh.write(w.out.getvalue())
+    _, got = read_ocf(p)
+    assert [r["x"] for r in got] == [0, 1, 2, 3, 4]
+
+
+def test_iceberg_read_and_time_travel(spark, tmp_path):
+    from ent_fins_lakehouse_spark.plans.lakehouse_queries import _iceberg_fixture
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    td = str(tmp_path / "ice")
+    df = spark.createDataFrame([(i, f"r{i}") for i in range(10)], "id BIGINT, v STRING")
+    _iceberg_fixture(spark, df, td)
+    t = IcebergTable(spark, td)
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(10))
+    old = sorted(r["id"] for r in t.read(snapshot_id=101).collect())
+    assert old == [0, 1, 2, 3, 4]
+    assert t.schema().simpleString() == "struct<id:bigint,v:string>"
+    with pytest.raises(ValueError, match="snapshot 999"):
+        t.read(snapshot_id=999)
+
+
+def test_iceberg_refuses_delete_manifests(spark, tmp_path):
+    """v2 row-level deletes must refuse loudly, not resurrect rows."""
+    import json
+
+    from ent_fins_lakehouse_spark.plans.lakehouse_queries import (
+        _ICE_MANIFEST_LIST_SCHEMA,
+        _iceberg_fixture,
+    )
+    from ent_fins_lakehouse_spark.sources.avro_io import read_ocf, write_ocf
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    td = str(tmp_path / "iced")
+    df = spark.createDataFrame([(i, f"r{i}") for i in range(4)], "id BIGINT, v STRING")
+    _iceberg_fixture(spark, df, td)
+    t = IcebergTable(spark, td)
+    meta = t.metadata()
+    lpath = next(s for s in meta["snapshots"] if s["snapshot-id"] == 102)["manifest-list"]
+    _, entries = read_ocf(lpath)
+    entries[0]["content"] = 1  # mark as a deletes manifest
+    write_ocf(lpath, _ICE_MANIFEST_LIST_SCHEMA, entries)
+    with pytest.raises(NotImplementedError, match="delete manifests"):
+        t.read()
