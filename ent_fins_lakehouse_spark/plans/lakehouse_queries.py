@@ -990,3 +990,104 @@ def q149_iceberg_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_old != n_half:
         raise AssertionError(f"snapshot-101 replay saw {n_old} rows, want {n_half}")
     return t.read().orderBy("n_nationkey")
+
+
+def _iceberg_posdelete_fixture(
+    spark: SparkSession, df: DataFrame, order_col: str, table_dir: str, deleted: list[int]
+) -> None:
+    """Iceberg v2 table whose snapshot carries a position-delete file
+    (spec: 'Position Delete Files' — parquet rows of (file_path, pos))
+    beside one sorted data file, linked through a content=1 deletes
+    manifest in the manifest list."""
+    import glob
+    import json
+    import shutil
+    import uuid
+
+    from ent_fins_lakehouse_spark.sources.avro_io import write_ocf
+
+    data_dir = os.path.join(table_dir, "data")
+    meta_dir = os.path.join(table_dir, "metadata")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir)
+
+    def stage(part: DataFrame) -> str:
+        st = tempfile.mkdtemp()
+        part.coalesce(1).write.mode("overwrite").parquet(st)
+        (f,) = sorted(glob.glob(os.path.join(st, "part-*.parquet")))
+        dest = os.path.join(data_dir, f"{uuid.uuid4().hex}.parquet")
+        shutil.move(f, dest)
+        shutil.rmtree(st, ignore_errors=True)
+        return dest
+
+    dpath = stage(df.repartition(1).sortWithinPartitions(order_col))
+    del_path = stage(
+        spark.createDataFrame(
+            [(dpath, int(p)) for p in deleted], "file_path STRING, pos LONG"
+        ).repartition(1).sortWithinPartitions("pos")
+    )
+
+    def manifest(tag: str, fpath: str, content: int) -> str:
+        mpath = os.path.join(meta_dir, f"manifest-{tag}.avro")
+        write_ocf(mpath, _ICE_MANIFEST_SCHEMA, [
+            {"status": 1, "snapshot_id": 201, "data_file": {
+                "content": content, "file_path": fpath, "file_format": "PARQUET",
+                "record_count": 0, "file_size_in_bytes": os.path.getsize(fpath)}}
+        ])
+        return mpath
+
+    mlist = os.path.join(meta_dir, "snap-201.avro")
+    write_ocf(mlist, _ICE_MANIFEST_LIST_SCHEMA, [
+        {"manifest_path": manifest("data", dpath, 0), "manifest_length": 1,
+         "partition_spec_id": 0, "content": 0, "added_snapshot_id": 201,
+         "added_files_count": 1, "existing_files_count": 0, "deleted_files_count": 0},
+        {"manifest_path": manifest("del", del_path, 1), "manifest_length": 1,
+         "partition_spec_id": 0, "content": 1, "added_snapshot_id": 201,
+         "added_files_count": 1, "existing_files_count": 0, "deleted_files_count": 0},
+    ])
+    ice_fields = [
+        {"id": i + 1, "name": f.name, "required": False,
+         "type": _ICE_TYPES[repr(f.dataType)]}
+        for i, f in enumerate(df.schema.fields)
+    ]
+    meta = {
+        "format-version": 2, "table-uuid": str(uuid.uuid4()), "location": table_dir,
+        "last-sequence-number": 1, "last-updated-ms": 0,
+        "last-column-id": len(ice_fields), "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": ice_fields}],
+        "default-spec-id": 0, "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999, "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": 201,
+        "snapshots": [{"snapshot-id": 201, "sequence-number": 1, "timestamp-ms": 0,
+                       "manifest-list": mlist, "summary": {"operation": "overwrite"}}],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+
+@query(
+    "q150_iceberg_position_deletes",
+    oracle="SELECT * FROM supplier WHERE s_suppkey % 5 <> 0 ORDER BY s_suppkey",
+    tags=("lakehouse", "iceberg", "interop"),
+)
+def q150_iceberg_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 position-delete reads — the Iceberg analogue of
+    q146's Delta deletion vectors: (file_path, pos) parquet delete
+    files resolved through a content=1 deletes manifest and applied as
+    a fully distributed anti-join on `_metadata.file_path` +
+    `_metadata.row_index` (delete files stay a DataFrame — no driver
+    materialization, so a 100 TB table's deletes scale like any other
+    join; AQE broadcasts them when small). Fixture deletes every
+    s_suppkey % 5 == 0 row by position in the sorted data file; the
+    differential proves exactly the survivors come back."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    sup = load_table(spark, sf_dir, "supplier")
+    td = _scratch("iceposdel")
+    keys = [r[0] for r in sup.select("s_suppkey").orderBy("s_suppkey").collect()]
+    deleted = [i for i, k in enumerate(keys) if k % 5 == 0]
+    _iceberg_posdelete_fixture(spark, sup, "s_suppkey", td, deleted)
+    return IcebergTable(spark, td).read().orderBy("s_suppkey")

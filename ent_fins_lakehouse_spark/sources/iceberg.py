@@ -19,11 +19,15 @@ Avro decoding is the in-repo pure-Python OCF reader
 (:mod:`sources.avro_io`) since neither spark-avro nor an avro package
 ships in this environment.
 
-Scope, refused loudly rather than read wrongly: positional/equality
-**delete files** (v2 row-level deletes change row visibility) and
-schema evolution via field-id remapping (columns are resolved by
-name; a renamed column would need the id mapping). Time travel via
-``snapshot_id`` replays any listed snapshot.
+v2 **position deletes** are applied as a fully distributed anti-join:
+data files are scanned with ``_metadata.file_path`` /
+``_metadata.row_index`` and anti-joined against the (file_path, pos)
+pairs from the snapshot's delete files — no driver materialization,
+so delete files can be arbitrarily large. Refused loudly rather than
+read wrongly: **equality deletes** (need sequence-number ordering
+semantics) and schema evolution via field-id remapping (columns are
+resolved by name; a renamed column would need the id mapping). Time
+travel via ``snapshot_id`` replays any listed snapshot.
 """
 
 from __future__ import annotations
@@ -32,6 +36,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ent_fins_lakehouse_spark.sources.avro_io import read_ocf
@@ -138,47 +143,74 @@ class IcebergTable:
 
     # -------------------------------------------------------------- read
 
-    def data_files(self, snapshot_id: int | None = None) -> list[str]:
+    def _files(self, snapshot_id: int | None = None) -> tuple[list[str], list[str]]:
+        """Resolve a snapshot to (data_files, position_delete_files)."""
         meta = self.metadata()
         snaps = meta.get("snapshots") or []
         if not snaps:
-            return []
+            return [], []
         if snapshot_id is None:
             snapshot_id = meta["current-snapshot-id"]
             if snapshot_id in (None, -1):
-                return []
+                return [], []
         snap = next(
             (s for s in snaps if s["snapshot-id"] == snapshot_id), None
         )
         if snap is None:
             raise ValueError(f"snapshot {snapshot_id} not in {self.meta_dir}")
         _, manifests = read_ocf(self._resolve(snap["manifest-list"]))
-        files: list[str] = []
+        data: list[str] = []
+        deletes: list[str] = []
         for m in manifests:
-            if m.get("content", 0) not in (0, None):  # 1 = deletes manifest
-                raise NotImplementedError(
-                    "Iceberg delete manifests (v2 row-level deletes) are not "
-                    "supported by the read-only shim — reading past them "
-                    "would resurrect deleted rows"
-                )
+            # manifest-list content: 0 = data manifest, 1 = deletes manifest
             _, entries = read_ocf(self._resolve(m["manifest_path"]))
             for e in entries:
                 if e.get("status") == 2:  # DELETED entry — file removed
                     continue
                 df_rec = e["data_file"]
-                if df_rec.get("content", 0) not in (0, None):
-                    raise NotImplementedError(
-                        "Iceberg position/equality delete files are not supported"
-                    )
+                content = df_rec.get("content") or 0
                 fmt = (df_rec.get("file_format") or "PARQUET").upper()
                 if fmt != "PARQUET":
                     raise NotImplementedError(f"Iceberg data file format {fmt}")
-                files.append(self._resolve(df_rec["file_path"]))
-        return files
+                if content == 0:
+                    data.append(self._resolve(df_rec["file_path"]))
+                elif content == 1:
+                    deletes.append(self._resolve(df_rec["file_path"]))
+                else:  # content == 2
+                    raise NotImplementedError(
+                        "Iceberg equality deletes are not supported by the "
+                        "read-only shim (they need sequence-number ordering "
+                        "semantics); position deletes are"
+                    )
+        return data, deletes
+
+    def data_files(self, snapshot_id: int | None = None) -> list[str]:
+        return self._files(snapshot_id)[0]
 
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         schema = self.schema()
-        files = self.data_files(snapshot_id)
-        if not files:
+        data, deletes = self._files(snapshot_id)
+        if not data:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*sorted(files))
+        df = self.spark.read.schema(schema).parquet(*sorted(data))
+        if not deletes:
+            return df
+        # position deletes (spec: 'Position Delete Files' — parquet rows
+        # of (file_path, pos)): anti-join on the scan's file identity +
+        # row index. Fully distributed — delete files are a DataFrame,
+        # never driver state; AQE broadcasts them when small.
+        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+        del_df = (
+            self.spark.read.schema("file_path STRING, pos LONG")
+            .parquet(*sorted(deletes))
+            .select(norm(F.col("file_path")).alias("_fp"), F.col("pos").alias("_ri"))
+        )
+        return (
+            df.select(
+                "*",
+                norm(F.col("_metadata.file_path")).alias("_fp"),
+                F.col("_metadata.row_index").alias("_ri"),
+            )
+            .join(del_df, ["_fp", "_ri"], "left_anti")
+            .drop("_fp", "_ri")
+        )

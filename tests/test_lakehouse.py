@@ -1060,25 +1060,28 @@ def test_iceberg_read_and_time_travel(spark, tmp_path):
         t.read(snapshot_id=999)
 
 
-def test_iceberg_refuses_delete_manifests(spark, tmp_path):
-    """v2 row-level deletes must refuse loudly, not resurrect rows."""
-    import json
-
+def test_iceberg_position_deletes_and_equality_refusal(spark, tmp_path):
+    """Position deletes anti-filter the right rows; equality deletes
+    (data_file.content=2) refuse loudly, not resurrect rows."""
     from ent_fins_lakehouse_spark.plans.lakehouse_queries import (
-        _ICE_MANIFEST_LIST_SCHEMA,
-        _iceberg_fixture,
+        _ICE_MANIFEST_SCHEMA,
+        _iceberg_posdelete_fixture,
     )
     from ent_fins_lakehouse_spark.sources.avro_io import read_ocf, write_ocf
     from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
 
     td = str(tmp_path / "iced")
-    df = spark.createDataFrame([(i, f"r{i}") for i in range(4)], "id BIGINT, v STRING")
-    _iceberg_fixture(spark, df, td)
+    df = spark.createDataFrame([(i, f"r{i}") for i in range(10)], "id BIGINT, v STRING")
+    _iceberg_posdelete_fixture(spark, df, "id", td, deleted=[0, 4, 9])
     t = IcebergTable(spark, td)
-    meta = t.metadata()
-    lpath = next(s for s in meta["snapshots"] if s["snapshot-id"] == 102)["manifest-list"]
-    _, entries = read_ocf(lpath)
-    entries[0]["content"] = 1  # mark as a deletes manifest
-    write_ocf(lpath, _ICE_MANIFEST_LIST_SCHEMA, entries)
-    with pytest.raises(NotImplementedError, match="delete manifests"):
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3, 5, 6, 7, 8]
+    # flip the delete file to an equality delete: must refuse
+    import glob
+    import os
+
+    (mdel,) = glob.glob(os.path.join(td, "metadata", "manifest-del.avro"))
+    _, entries = read_ocf(mdel)
+    entries[0]["data_file"]["content"] = 2
+    write_ocf(mdel, _ICE_MANIFEST_SCHEMA, entries)
+    with pytest.raises(NotImplementedError, match="equality deletes"):
         t.read()
