@@ -40,6 +40,7 @@ PROBE_QUERIES = [
     "q26_asof_join",
     "q27_range_join",
     "q38_bilateral_volume",
+    "q40_stream_file_ingest",
     "q49_exact_percentiles",
     "q50_exact_dedup",
     "q52_jaccard_near_dup",
@@ -49,11 +50,13 @@ PROBE_QUERIES = [
     "q64_token_frequencies",
     "q66_tfidf_top_terms",
     "q68_corpus_cleaning_pipeline",
+    "q77_stream_upsert_cdc",
     "q82_small_qty_revenue",
     "q85_customer_order_distribution",
     "q86_large_volume_customers",
     "q87_returned_item_revenue",
     "q88_nation_market_share",
+    "q140_incremental_rollup",
 ]
 
 # per-table key columns to offset per copy (fact->dim links stay valid
@@ -71,16 +74,20 @@ OFFSETS = {
 SINGLE_COPY = ["nation", "region"]
 
 
-def replicate(spark, src_dir: str, out_dir: str, factor: int) -> None:
+def replicate(spark, src_dir: str, out_dir: str, factor: int, tables: list[str] | None = None) -> None:
     from pyspark.sql import functions as F
 
     from ent_fins_lakehouse_spark.sources.readers import load_table
 
     for t in SINGLE_COPY:
+        if tables and t not in tables:
+            continue
         load_table(spark, src_dir, t).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{t}.parquet")
         )
     for t, keys in OFFSETS.items():
+        if tables and t not in tables:
+            continue
         base = load_table(spark, src_dir, t)
         copies = []
         for i in range(factor):
@@ -165,6 +172,12 @@ def main() -> int:
         default=None,
         help="comma-separated subset of the probe queries (default: all)",
     )
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset of tables to replicate (default: all; "
+        "use with --queries to keep single-family probes cheap)",
+    )
     args = ap.parse_args()
     if args.queries:
         subset = args.queries.split(",")
@@ -183,7 +196,10 @@ def main() -> int:
     big = os.path.join(args.out, f"x{args.factor}")
     if not args.skip_gen:
         print(f"replicating {args.src} -> {big} ({args.factor}x)", flush=True)
-        replicate(spark, args.src, big, args.factor)
+        replicate(
+            spark, args.src, big, args.factor,
+            tables=args.tables.split(",") if args.tables else None,
+        )
 
     # warm pass at the small SF (codegen + worker spin-up amortized, as
     # on any long-lived cluster), then timed 1x and Nx passes
