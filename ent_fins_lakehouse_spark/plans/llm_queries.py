@@ -1310,3 +1310,30 @@ def q148_ivf_sq8_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@query("q151_ivf_blocked_near_dup", oracle=None, tags=("llm", "similarity", "dedup"))
+def q151_ivf_blocked_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at production scale: the IVF coarse
+    quantizer (q60/q144's KMeans) becomes the BLOCKING KEY for the
+    BLAS blockwise exact-pair kernel (q130) — the composition that
+    replaces label-blocking (q63) when no natural blocking key exists
+    at 100 TB. KMeans partitions the corpus into bounded cells; each
+    cell runs one n×d @ d×n dgemm inside applyInPandas; pairs never
+    span cells, so total work is Σ nᵢ² over cells instead of N² (with
+    balanced cells, N²/k). Global top-100 by cosine with deterministic
+    tie-breaks. Rows-only (KMeans); recall of the cell-local pair set
+    against the unblocked exact top pairs is asserted in
+    tests/test_llm_ops.py — the recall/throughput trade is the point:
+    near-identical vectors land in the same cell with high
+    probability."""
+    from ent_fins_lakehouse_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_pairs_blockwise_numpy,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    indexed, _ = build_ivf_index(emb, "embedding", n_clusters=8)
+    return cosine_pairs_blockwise_numpy(
+        indexed, "vec_id", "embedding", ["ivf_cluster"], top_n=100
+    ).orderBy(F.desc("cosine_sim"), "id_a", "id_b")

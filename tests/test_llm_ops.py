@@ -510,3 +510,49 @@ def test_ivf_sq8_serving_recall_and_rescore(spark, emb):
         for r in q144_ivf_partitioned_serving(spark, SF_SMOKE).collect()
     ]
     assert served == exact_probed
+
+
+def test_ivf_blocked_near_dup_recall(spark, emb):
+    """q151's contract: NEAR-IDENTICAL vectors co-locate in a KMeans
+    cell, so planted near-dup pairs (cosine ~1, far above the ~0.48
+    background max of the synthetic corpus) are all recovered by the
+    cell-blocked kernel — and every emitted score is exact."""
+    from pyspark.sql import functions as FF
+
+    from ent_fins_lakehouse_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_pairs_blocked,
+        cosine_pairs_blockwise_numpy,
+    )
+
+    # plant 10 near-duplicates: copies of vec_id 0..9, scaled +0.1% —
+    # same direction, cosine ~0.9999998
+    base = emb.select("vec_id", "embedding")
+    dup = base.filter(FF.col("vec_id") < 10).select(
+        (FF.col("vec_id") + 100000).alias("vec_id"),
+        FF.transform("embedding", lambda x: x * FF.lit(1.001)).alias("embedding"),
+    )
+    corpus = base.unionByName(dup)
+    indexed, _ = build_ivf_index(corpus, "embedding", n_clusters=8)
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in cosine_pairs_blockwise_numpy(
+            indexed, "vec_id", "embedding", ["ivf_cluster"], top_n=100
+        ).collect()
+    }
+    planted = {(i, i + 100000) for i in range(10)}
+    found = planted & set(got)
+    assert len(found) == 10, f"planted near-dups missed: {sorted(planted - found)}"
+    for k in found:
+        assert got[k] > 0.999
+    # scores are exact: agree with the codegen'd per-pair kernel on the
+    # same blocking to 1e-9
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in cosine_pairs_blocked(
+            indexed, "vec_id", "embedding", ["ivf_cluster"], top_n=100
+        ).collect()
+    }
+    assert set(exact) == set(got)
+    for k in got:
+        assert abs(got[k] - exact[k]) < 1e-9
