@@ -1419,4 +1419,121 @@ class DeltaLogTable:
         with os.fdopen(fd, "w") as fh:
             for a in actions:
                 fh.write(json.dumps(a) + "\n")
+        if (version + 1) % self.CHECKPOINT_INTERVAL == 0:
+            self.checkpoint(version)
         return version
+
+    #: checkpoint cadence for engine-written logs (delta-spark's default)
+    CHECKPOINT_INTERVAL = 10
+
+    def checkpoint(self, version: int | None = None) -> str:
+        """Write a single-file parquet checkpoint + ``_last_checkpoint``
+        (spec: 'Checkpoints'): the replayed snapshot's protocol /
+        metaData / add actions as one action-table row each, so readers
+        bootstrap from one parquet scan instead of replaying every JSON
+        commit — the log-compaction half of Delta write interop.
+        Written with pyarrow (a checkpoint is ONE file with an exact
+        name; Spark writers emit directories)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if version is None:
+            version = self.latest_version()
+        adds, _schema, _parts, meta = self._snapshot(version)
+        if meta is None:
+            raise ValueError("cannot checkpoint a log with no metaData action")
+        has_dv = any(info.get("deletionVector") for info in adds.values())
+        proto_fields = [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+        if has_dv:
+            proto_fields += [
+                ("readerFeatures", pa.list_(pa.string())),
+                ("writerFeatures", pa.list_(pa.string())),
+            ]
+        proto_t = pa.struct(proto_fields)
+        meta_t = pa.struct(
+            [
+                ("id", pa.string()),
+                ("format", pa.struct([("provider", pa.string()),
+                                      ("options", pa.map_(pa.string(), pa.string()))])),
+                ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+                ("configuration", pa.map_(pa.string(), pa.string())),
+                ("createdTime", pa.int64()),
+            ]
+        )
+        add_fields = [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+        if has_dv:
+            add_fields.append(
+                ("deletionVector", pa.struct([
+                    ("storageType", pa.string()),
+                    ("pathOrInlineDv", pa.string()),
+                    ("offset", pa.int32()),
+                    ("sizeInBytes", pa.int32()),
+                    ("cardinality", pa.int64()),
+                ]))
+            )
+        add_t = pa.struct(add_fields)
+        # DV protocol features must survive into the checkpoint, or a
+        # bootstrap read would skip the feature check
+        proto_row = (
+            {"minReaderVersion": 3, "minWriterVersion": 7,
+             "readerFeatures": ["deletionVectors"], "writerFeatures": ["deletionVectors"]}
+            if has_dv
+            else {"minReaderVersion": 1, "minWriterVersion": 2}
+        )
+        rows = [
+            {"protocol": proto_row, "metaData": None, "add": None},
+            {
+                "protocol": None,
+                "metaData": {
+                    "id": meta.get("id"),
+                    "format": {
+                        "provider": (meta.get("format") or {}).get("provider", "parquet"),
+                        "options": list(((meta.get("format") or {}).get("options") or {}).items()),
+                    },
+                    "schemaString": meta.get("schemaString"),
+                    "partitionColumns": list(meta.get("partitionColumns") or []),
+                    "configuration": list((meta.get("configuration") or {}).items()),
+                    "createdTime": meta.get("createdTime") or 0,
+                },
+                "add": None,
+            },
+        ]
+        for p in sorted(adds):
+            info = adds[p]
+            a = {
+                "path": p,
+                "partitionValues": list((info.get("partitionValues") or {}).items()),
+                "size": 0,
+                "modificationTime": 0,
+                "dataChange": False,
+            }
+            if has_dv:
+                dv = info.get("deletionVector")
+                a["deletionVector"] = (
+                    {
+                        "storageType": dv["storageType"],
+                        "pathOrInlineDv": dv["pathOrInlineDv"],
+                        "offset": dv.get("offset"),
+                        "sizeInBytes": dv.get("sizeInBytes"),
+                        "cardinality": dv.get("cardinality"),
+                    }
+                    if dv
+                    else None
+                )
+            rows.append({"protocol": None, "metaData": None, "add": a})
+        table = pa.Table.from_pylist(
+            rows,
+            schema=pa.schema([("protocol", proto_t), ("metaData", meta_t), ("add", add_t)]),
+        )
+        cp_path = os.path.join(self.log_path, f"{version:020d}.checkpoint.parquet")
+        pq.write_table(table, cp_path)
+        with open(os.path.join(self.log_path, "_last_checkpoint"), "w") as fh:
+            json.dump({"version": version, "size": len(rows)}, fh)
+        return cp_path

@@ -1085,3 +1085,48 @@ def test_iceberg_position_deletes_and_equality_refusal(spark, tmp_path):
     write_ocf(mdel, _ICE_MANIFEST_SCHEMA, entries)
     with pytest.raises(NotImplementedError, match="equality deletes"):
         t.read()
+
+
+def test_delta_write_auto_checkpoint_bootstrap(spark, tmp_path):
+    """Engine-written logs checkpoint every 10 commits (delta-spark's
+    cadence): the parquet checkpoint + _last_checkpoint must carry the
+    full snapshot, so reads survive deletion of the pre-checkpoint
+    JSON commits and later writes continue the version line."""
+    import os
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "dcp")
+    dl = DeltaLogTable(spark, td)
+    for i in range(12):
+        dl.write(spark.createDataFrame([(i,)], "id INT"), mode="append")
+    log = os.path.join(td, "_delta_log")
+    assert os.path.isfile(os.path.join(log, f"{9:020d}.checkpoint.parquet"))
+    for v in range(10):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    assert sorted(r["id"] for r in dl.read().collect()) == list(range(12))
+    dl.write(spark.createDataFrame([(99,)], "id INT"), mode="append")
+    assert dl.latest_version() == 12
+    assert dl.read().count() == 13
+    assert dl.read(version_as_of=10).count() == 11
+
+
+def test_delta_checkpoint_preserves_deletion_vectors(spark, tmp_path):
+    """A forced checkpoint over a DV-bearing snapshot must carry the
+    descriptor AND the feature protocol: bootstrap reads still
+    anti-filter the deleted rows."""
+    import os
+
+    from ent_fins_lakehouse_spark.plans.lakehouse_queries import _dv_fixture
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "dcpdv")
+    df = spark.createDataFrame([(i, f"r{i}") for i in range(10)], "id BIGINT, v STRING")
+    _dv_fixture(spark, df, "id", td, deleted=[0, 5])
+    dl = DeltaLogTable(spark, td)
+    dl.checkpoint()
+    log = os.path.join(td, "_delta_log")
+    for v in (0, 1):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    got = sorted(r["id"] for r in dl.read().collect())
+    assert got == [1, 2, 3, 4, 6, 7, 8, 9]
