@@ -1537,3 +1537,65 @@ class DeltaLogTable:
         with open(os.path.join(self.log_path, "_last_checkpoint"), "w") as fh:
             json.dump({"version": version, "size": len(rows)}, fh)
         return cp_path
+
+
+def open_table(spark: SparkSession, path: str):
+    """Format-autodetecting table opener — the single entry point a
+    user migrating off the reference points at ANY table directory:
+
+    - engine commit log (``_txn_log/``) → :class:`LakeTable` (full
+      ACID surface: MERGE/DELETE/time travel/OPTIMIZE);
+    - open-source Delta (``_delta_log/``) → :class:`DeltaLogTable`
+      (reads incl. deletion vectors + public-format writes);
+    - Apache Iceberg (``metadata/*.metadata.json``) →
+      :class:`sources.iceberg.IcebergTable` (reads incl. position
+      deletes, snapshot time travel);
+    - a bare parquet directory → a thin read-only wrapper.
+
+    Every returned object exposes ``read()``; format capabilities
+    beyond that differ by type, which is the point — detection is
+    explicit and loud, never a guess between two present formats.
+    """
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    lake = LakeTable(spark, path)
+    delta = DeltaLogTable(spark, path)
+    ice = IcebergTable(spark, path)
+    present = [
+        name
+        for name, t in (("lake", lake), ("delta", delta), ("iceberg", ice))
+        if t.exists()
+    ]
+    if len(present) > 1:
+        raise ValueError(
+            f"{path} carries multiple table formats {present}; open the "
+            "intended one explicitly (LakeTable / DeltaLogTable / IcebergTable)"
+        )
+    if present == ["lake"]:
+        return lake
+    if present == ["delta"]:
+        return delta
+    if present == ["iceberg"]:
+        return ice
+    if os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        return ParquetDirTable(spark, path)
+    raise ValueError(f"no recognizable table at {path}")
+
+
+class ParquetDirTable:
+    """Read-only wrapper for a bare parquet directory (no log, no
+    versions) so :func:`open_table` has a uniform return surface."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path)
+
+    def read(self, version_as_of: int | None = None) -> DataFrame:
+        if version_as_of is not None:
+            raise ValueError("bare parquet directories have no versions")
+        return self.spark.read.parquet(self.path)

@@ -1130,3 +1130,51 @@ def test_delta_checkpoint_preserves_deletion_vectors(spark, tmp_path):
         os.remove(os.path.join(log, f"{v:020d}.json"))
     got = sorted(r["id"] for r in dl.read().collect())
     assert got == [1, 2, 3, 4, 6, 7, 8, 9]
+
+
+def test_open_table_autodetects_formats(spark, tmp_path):
+    from ent_fins_lakehouse_spark.plans.lakehouse_queries import _iceberg_fixture
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+    from ent_fins_lakehouse_spark.sources.lakehouse import (
+        DeltaLogTable,
+        LakeTable,
+        ParquetDirTable,
+        open_table,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(6)], "id BIGINT")
+
+    lake_p = str(tmp_path / "lake")
+    LakeTable(spark, lake_p).write(df)
+    assert isinstance(open_table(spark, lake_p), LakeTable)
+
+    delta_p = str(tmp_path / "delta")
+    DeltaLogTable(spark, delta_p).write(df, mode="append")
+    assert isinstance(open_table(spark, delta_p), DeltaLogTable)
+
+    ice_p = str(tmp_path / "ice")
+    _iceberg_fixture(spark, df, ice_p)
+    assert isinstance(open_table(spark, ice_p), IcebergTable)
+
+    pq_p = str(tmp_path / "pq")
+    df.write.parquet(pq_p)
+    t = open_table(spark, pq_p)
+    assert isinstance(t, ParquetDirTable)
+    assert t.read().count() == 6
+    with pytest.raises(ValueError, match="no versions"):
+        t.read(version_as_of=0)
+
+    for p in (lake_p, delta_p, ice_p, pq_p):
+        assert open_table(spark, p).read().count() == 6
+
+    with pytest.raises(ValueError, match="no recognizable"):
+        open_table(spark, str(tmp_path / "empty"))
+
+    # ambiguity is an error, not a guess
+    import os
+
+    os.makedirs(os.path.join(lake_p, "_delta_log"))
+    with open(os.path.join(lake_p, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write("{}\n")
+    with pytest.raises(ValueError, match="multiple table formats"):
+        open_table(spark, lake_p)
