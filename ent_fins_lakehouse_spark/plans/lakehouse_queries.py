@@ -741,35 +741,11 @@ def q145_delta_log_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _roaring64_portable(rows: list[int]) -> bytes:
-    """Serialize row indexes as Delta's DV payload: 4-byte LE magic
-    1681511377 + 64-bit RoaringBitmapArray in the public *portable*
-    format (RoaringBitmap/RoaringFormatSpec): u64 LE bucket count, per
-    bucket u32 LE high-key + a 32-bit roaring bitmap
-    (SERIAL_COOKIE_NO_RUNCONTAINER layout, array containers — test DVs
-    are small). Fixture-side twin of the engine's parser so the q146
-    differential exercises a genuine end-to-end decode."""
-    import struct
+    """DV payload serialization — shared codec in
+    :mod:`sources.roaring` (kept as a named fixture hook for tests)."""
+    from ent_fins_lakehouse_spark.sources.roaring import roaring64_payload
 
-    buckets: dict[int, dict[int, list[int]]] = {}
-    for r in sorted(set(rows)):
-        buckets.setdefault(r >> 32, {}).setdefault((r >> 16) & 0xFFFF, []).append(r & 0xFFFF)
-    out = [struct.pack("<i", 1681511377), struct.pack("<Q", len(buckets))]
-    for high in sorted(buckets):
-        conts = buckets[high]
-        keys = sorted(conts)
-        out.append(struct.pack("<I", high))
-        out.append(struct.pack("<I", 12346))  # no-run cookie
-        out.append(struct.pack("<I", len(keys)))
-        for k in keys:
-            out.append(struct.pack("<HH", k, len(conts[k]) - 1))
-        # per-container byte offsets from the start of this 32-bit bitmap
-        off = 4 + 4 + 4 * len(keys) + 4 * len(keys)
-        for k in keys:
-            out.append(struct.pack("<I", off))
-            off += 2 * len(conts[k])
-        for k in keys:
-            out.append(struct.pack(f"<{len(conts[k])}H", *conts[k]))
-    return b"".join(out)
+    return roaring64_payload(rows)
 
 
 def _dv_fixture(spark: SparkSession, df: DataFrame, order_col: str, table_dir: str, deleted: list[int]) -> None:
@@ -1091,3 +1067,38 @@ def q150_iceberg_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame
     deleted = [i for i, k in enumerate(keys) if k % 5 == 0]
     _iceberg_posdelete_fixture(spark, sup, "s_suppkey", td, deleted)
     return IcebergTable(spark, td).read().orderBy("s_suppkey")
+
+
+@query(
+    "q152_delta_dv_delete",
+    oracle="""
+    SELECT * FROM customer
+    WHERE NOT (c_mktsegment = 'BUILDING') AND NOT (c_acctbal < 0)
+    ORDER BY c_custkey
+    """,
+    tags=("lakehouse", "delta", "interop"),
+)
+def q152_delta_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector WRITES — the engine executes DELETE the way
+    modern Delta does by default: soft deletes as per-file RoaringBitmap
+    sidecars (public DV format, protocol upgraded to the
+    deletionVectors feature), no data-file rewrite. Two successive
+    predicates prove DV merging (a file's second delete folds into its
+    existing bitmap, replacing the descriptor); the read path
+    anti-filters through the same public format it wrote, and the
+    differential proves exactly the survivors. Complements q145 (write
+    interop) + q146 (DV reads): the full round-trip is now
+    engine-authored."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    cust = load_table(spark, sf_dir, "customer")
+    dl = DeltaLogTable(spark, _scratch("deltadvw"))
+    dl.write(cust.repartition(4), mode="append")  # several files → several DVs
+    m1 = dl.delete("c_mktsegment = 'BUILDING'")
+    m2 = dl.delete("c_acctbal < 0")
+    expect = cust.filter("c_mktsegment = 'BUILDING' OR c_acctbal < 0").count()
+    if m1["rows_deleted"] + m2["rows_deleted"] != expect:
+        raise AssertionError(
+            f"DV deletes removed {m1['rows_deleted']}+{m2['rows_deleted']} rows, want {expect}"
+        )
+    return dl.read().orderBy("c_custkey")

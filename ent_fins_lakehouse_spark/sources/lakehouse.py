@@ -1103,69 +1103,10 @@ class DeltaLogTable:
 
     @staticmethod
     def _roaring64_rows(data: bytes) -> list[int]:
-        """Decode Delta's DV payload — 4-byte LE magic 1681511377 then a
-        64-bit RoaringBitmapArray in the *portable* format (public spec:
-        RoaringBitmap/RoaringFormatSpec): u64 LE bucket count, then per
-        bucket a u32 LE high-key followed by a standard 32-bit roaring
-        bitmap (array / bitmap / run containers all handled)."""
-        import struct
+        """Decode a DV payload (see :mod:`sources.roaring`)."""
+        from ent_fins_lakehouse_spark.sources.roaring import roaring64_rows
 
-        if len(data) < 4 or struct.unpack_from("<i", data, 0)[0] != 1681511377:
-            raise ValueError("deletion vector payload missing magic 1681511377")
-        pos = 4
-        (n_buckets,) = struct.unpack_from("<Q", data, pos)
-        pos += 8
-        rows: list[int] = []
-        for _ in range(n_buckets):
-            (high,) = struct.unpack_from("<I", data, pos)
-            pos += 4
-            base = high << 32
-            (cookie,) = struct.unpack_from("<I", data, pos)
-            runbits = b""
-            if (cookie & 0xFFFF) == 12347:  # SERIAL_COOKIE (run containers)
-                n_cont = (cookie >> 16) + 1
-                pos += 4
-                nrb = (n_cont + 7) // 8
-                runbits = data[pos : pos + nrb]
-                pos += nrb
-                has_offsets = n_cont >= 4
-            elif cookie == 12346:  # SERIAL_COOKIE_NO_RUNCONTAINER
-                pos += 4
-                (n_cont,) = struct.unpack_from("<I", data, pos)
-                pos += 4
-                has_offsets = True
-            else:
-                raise ValueError(f"unknown roaring cookie {cookie}")
-            keys_cards = []
-            for i in range(n_cont):
-                key, card_m1 = struct.unpack_from("<HH", data, pos)
-                pos += 4
-                keys_cards.append((key, card_m1 + 1))
-            if has_offsets:
-                pos += 4 * n_cont
-            for i, (key, card) in enumerate(keys_cards):
-                kbase = base | (key << 16)
-                is_run = bool(runbits) and (runbits[i // 8] >> (i % 8)) & 1
-                if is_run:
-                    (n_runs,) = struct.unpack_from("<H", data, pos)
-                    pos += 2
-                    for _r in range(n_runs):
-                        start, length = struct.unpack_from("<HH", data, pos)
-                        pos += 4
-                        rows.extend(kbase | v for v in range(start, start + length + 1))
-                elif card <= 4096:
-                    vals = struct.unpack_from(f"<{card}H", data, pos)
-                    pos += 2 * card
-                    rows.extend(kbase | v for v in vals)
-                else:
-                    words = struct.unpack_from("<1024Q", data, pos)
-                    pos += 8192
-                    for wi, w in enumerate(words):
-                        while w:
-                            b = w & -w
-                            rows.append(kbase | (wi << 6) | b.bit_length() - 1)
-                            w ^= b
-        return rows
+        return roaring64_rows(data)
 
     def _dv_row_indexes(self, dv: dict) -> list[int]:
         """Resolve a deletionVector descriptor to deleted row indexes.
@@ -1406,6 +1347,12 @@ class DeltaLogTable:
             )
         actions.extend(adds)
 
+        self._commit_actions(version, actions)
+        return version
+
+    def _commit_actions(self, version: int, actions: list[dict]) -> None:
+        """O_EXCL optimistic commit of one versioned action file (+
+        auto-checkpoint on the every-10-commits cadence)."""
         os.makedirs(self.log_path, exist_ok=True)
         target = os.path.join(self.log_path, f"{version:020d}.json")
         try:
@@ -1421,7 +1368,108 @@ class DeltaLogTable:
                 fh.write(json.dumps(a) + "\n")
         if (version + 1) % self.CHECKPOINT_INTERVAL == 0:
             self.checkpoint(version)
-        return version
+
+    def delete(self, predicate: str) -> dict:
+        """Soft delete via deletion vectors — the public-format DV
+        WRITE path (modern Delta's default DML shape): rows matching
+        ``predicate`` are recorded per data file as RoaringBitmap row
+        indexes in sidecar ``.bin`` files; no data file is rewritten.
+        Existing DVs are merged (a file's DV is replaced, never
+        chained). Emits re-``add`` actions carrying the descriptors
+        plus a protocol upgrade to the ``deletionVectors`` feature on
+        first use. Returns ``{"rows_deleted", "files_touched"}``.
+
+        Matching row indexes are computed distributedly per file via
+        ``_metadata.row_index``; only the matched indexes come back to
+        the driver (the bitmap must be serialized to one sidecar — the
+        same driver-side step every DV writer performs). For mass
+        deletes that touch most of a file, rewriting beats a DV; that
+        rewrite path is :class:`LakeTable`'s delete.
+        """
+        import base64
+        import struct
+        import time
+        import uuid as _uuid
+        import zlib
+
+        from ent_fins_lakehouse_spark.sources.roaring import roaring64_payload
+
+        adds, schema, part_cols, _meta = self._snapshot()
+        phys = T.StructType([f for f in schema.fields if f.name not in part_cols])
+        types = {f.name: f.dataType for f in schema.fields}
+        version = self.latest_version() + 1
+        now = int(time.time() * 1000)
+        new_adds: list[dict] = []
+        rows_deleted = 0
+        for path, info in sorted(adds.items()):
+            full = os.path.join(self.path, path)
+            df = (
+                self.spark.read.schema(phys)
+                .parquet(full)
+                .select("*", F.col("_metadata.row_index").alias("_dv_ri"))
+            )
+            for c in part_cols:
+                df = df.withColumn(c, F.lit(info["partitionValues"].get(c)).cast(types[c]))
+            prior = (
+                set(self._dv_row_indexes(info["deletionVector"]))
+                if info["deletionVector"]
+                else set()
+            )
+            matched = {
+                r["_dv_ri"]
+                for r in df.filter(predicate).select("_dv_ri").collect()
+            } - prior
+            if not matched:
+                continue
+            rows_deleted += len(matched)
+            payload = roaring64_payload(sorted(prior | matched))
+            u = _uuid.uuid4()
+            with open(os.path.join(self.path, f"deletion_vector_{u}.bin"), "wb") as fh:
+                fh.write(b"\x01")
+                fh.write(struct.pack(">i", len(payload)))
+                fh.write(payload)
+                fh.write(struct.pack(">I", zlib.crc32(payload)))
+            new_adds.append(
+                {
+                    "add": {
+                        "path": path,
+                        "partitionValues": info["partitionValues"],
+                        "size": os.path.getsize(full),
+                        "modificationTime": now,
+                        "dataChange": True,
+                        "deletionVector": {
+                            "storageType": "u",
+                            "pathOrInlineDv": base64.b85encode(u.bytes).decode(),
+                            "offset": 1,
+                            "sizeInBytes": len(payload),
+                            "cardinality": len(prior | matched),
+                        },
+                    }
+                }
+            )
+        if not new_adds:
+            return {"rows_deleted": 0, "files_touched": 0}
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "DELETE",
+                    "operationParameters": {"predicate": predicate},
+                    "engineInfo": "ent_fins_lakehouse_spark/delta-shim",
+                }
+            },
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            },
+            *new_adds,
+        ]
+        self._commit_actions(version, actions)
+        return {"rows_deleted": rows_deleted, "files_touched": len(new_adds)}
 
     #: checkpoint cadence for engine-written logs (delta-spark's default)
     CHECKPOINT_INTERVAL = 10

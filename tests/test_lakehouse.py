@@ -1178,3 +1178,40 @@ def test_open_table_autodetects_formats(spark, tmp_path):
         fh.write("{}\n")
     with pytest.raises(ValueError, match="multiple table formats"):
         open_table(spark, lake_p)
+
+
+def test_roaring_payload_roundtrip_bitmap_container():
+    """Codec round-trip across container boundaries: >4096 values in
+    one 16-bit key forces a bitmap container; sparse high buckets force
+    the 64-bit array layout."""
+    from ent_fins_lakehouse_spark.sources.roaring import roaring64_payload, roaring64_rows
+
+    rows = list(range(5000)) + [70000, (1 << 32) + 3, (5 << 32) + 123456]
+    assert sorted(roaring64_rows(roaring64_payload(rows))) == sorted(set(rows))
+
+
+def test_delta_dv_delete_merges_and_reads_back(spark, tmp_path):
+    """DeltaLogTable.delete: soft delete via DVs, second predicate
+    merges into existing bitmaps, no data files rewritten, and a fresh
+    reader sees only survivors."""
+    import glob
+    import os
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable, LakeTable
+
+    td = str(tmp_path / "dvdel")
+    df = spark.createDataFrame([(i, i % 3) for i in range(30)], "id BIGINT, bucket BIGINT")
+    dl = DeltaLogTable(spark, td)
+    dl.write(df.repartition(3), mode="append")
+    data_before = sorted(glob.glob(os.path.join(td, "part-*.parquet")))
+    m1 = dl.delete("bucket = 0")
+    assert m1["rows_deleted"] == 10
+    m2 = dl.delete("id < 6")  # overlaps bucket-0 rows: only new ones count
+    assert m2["rows_deleted"] == 4
+    assert sorted(glob.glob(os.path.join(td, "part-*.parquet"))) == data_before
+    got = sorted(r["id"] for r in LakeTable.from_delta_log(spark, td).read().collect())
+    assert got == sorted(i for i in range(30) if i % 3 != 0 and i >= 6)
+    # no-match delete is a no-op commit-wise
+    v = dl.latest_version()
+    assert dl.delete("id > 1000") == {"rows_deleted": 0, "files_touched": 0}
+    assert dl.latest_version() == v
