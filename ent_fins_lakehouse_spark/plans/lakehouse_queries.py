@@ -1102,3 +1102,38 @@ def q152_delta_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"DV deletes removed {m1['rows_deleted']}+{m2['rows_deleted']} rows, want {expect}"
         )
     return dl.read().orderBy("c_custkey")
+
+
+@query(
+    "q153_create_using_delta",
+    oracle="SELECT * FROM nation ORDER BY n_nationkey",
+    tags=("lakehouse", "delta", "sql", "interop"),
+)
+def q153_create_using_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exact DDL arc end-to-end
+    (`/root/reference/Instructor/01-Fraud-Delta.py:108-134`): CREATE
+    DATABASE + CREATE TABLE … USING DELTA LOCATION '…' through the SQL
+    facade, over a table the engine itself wrote in the PUBLIC Delta
+    log format, then SELECT through the catalog name. Also exercises
+    CTAS (CREATE TABLE … USING LAKE AS SELECT) and IF NOT EXISTS
+    idempotence. A user can paste the reference's DDL cells unchanged."""
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    nation = load_table(spark, sf_dir, "nation")
+    ext = _scratch("usingdelta")
+    DeltaLogTable(spark, ext).write(nation, mode="append")
+
+    lh = LakehouseSession(spark, _scratch("ddlwh"))
+    lh.sql("CREATE DATABASE IF NOT EXISTS lending_club")
+    lh.sql(f"CREATE TABLE lending_club.bronze_nation USING DELTA LOCATION '{ext}'")
+    lh.sql(f"CREATE TABLE IF NOT EXISTS lending_club.bronze_nation USING DELTA LOCATION '{ext}'")
+    nation.createOrReplaceTempView("_nation_src")
+    lh.sql(
+        "CREATE TABLE lending_club.top_nations USING LAKE AS "
+        "SELECT * FROM _nation_src WHERE n_nationkey < 5"
+    )
+    n_ctas = lh.sql("SELECT * FROM lending_club.top_nations").count()
+    if n_ctas != 5:
+        raise AssertionError(f"CTAS materialized {n_ctas} rows, want 5")
+    return lh.sql("SELECT * FROM lending_club.bronze_nation").orderBy("n_nationkey")

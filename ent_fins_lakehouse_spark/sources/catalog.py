@@ -144,6 +144,13 @@ class LakehouseSession:
     _INSERT = re.compile(r"INSERT\s+INTO\s+(?P<target>[\w.]+)\s+VALUES\s*(?P<vals>.+)$", re.IGNORECASE | re.DOTALL)
     _HISTORY = re.compile(r"DESCRIBE\s+HISTORY\s+(?P<target>[\w.]+)\s*$", re.IGNORECASE)
     _CREATE_DB = re.compile(r"CREATE\s+DATABASE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*$", re.IGNORECASE)
+    _CREATE_TBL = re.compile(
+        r"CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s+"
+        r"USING\s+(?P<fmt>DELTA|LAKE|PARQUET|ICEBERG)"
+        r"(?:\s+LOCATION\s+'(?P<loc>[^']+)')?"
+        r"(?:\s+AS\s+(?P<select>SELECT\s.+))?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
     _DROP_DB = re.compile(r"DROP\s+DATABASE\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>\w+)\s*(?P<cascade>CASCADE)?\s*$", re.IGNORECASE)
     _DROP_TBL = re.compile(r"DROP\s+TABLE\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s*$", re.IGNORECASE)
     _USE = re.compile(r"USE\s+(?P<name>\w+)\s*$", re.IGNORECASE)
@@ -174,6 +181,17 @@ class LakehouseSession:
             return self.catalog._resolve(m["target"]).history()
         if m := self._CREATE_DB.match(s):
             self.catalog.create_database(m["name"], if_not_exists=bool(m["ine"]))
+            return None
+        if m := self._CREATE_TBL.match(s):
+            # the reference's exact DDL shape (`01-Fraud-Delta.py:130-134`:
+            # CREATE TABLE … USING DELTA LOCATION '…'): register the
+            # location (reads resolve through the format shims — an
+            # external `_delta_log` location is read via DeltaLogTable's
+            # fall-through) or materialize the optional AS SELECT
+            if m["ine"] and os.path.isdir(self.catalog.table_path(m["name"])):
+                return None
+            df = self.spark.sql(m["select"]) if m["select"] else None
+            self.catalog.create_table(m["name"], df=df, location=m["loc"])
             return None
         if m := self._DROP_DB.match(s):
             self.catalog.drop_database(m["name"], if_exists=bool(m["ie"]), cascade=bool(m["cascade"]))

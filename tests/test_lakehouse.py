@@ -1215,3 +1215,27 @@ def test_delta_dv_delete_merges_and_reads_back(spark, tmp_path):
     v = dl.latest_version()
     assert dl.delete("id > 1000") == {"rows_deleted": 0, "files_touched": 0}
     assert dl.latest_version() == v
+
+
+def test_create_table_using_delta_location_sql(spark, tmp_path):
+    """The reference's DDL cells run unchanged: CREATE TABLE ... USING
+    DELTA LOCATION over an external public-format Delta dir; SELECT and
+    version reads resolve through the shim."""
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    ext = str(tmp_path / "ext")
+    df = spark.createDataFrame([(i, f"r{i}") for i in range(8)], "id BIGINT, v STRING")
+    dl = DeltaLogTable(spark, ext)
+    dl.write(df.filter("id < 4"), mode="append")
+    dl.write(df.filter("id >= 4"), mode="append")
+
+    lh = LakehouseSession(spark, str(tmp_path / "wh"))
+    lh.sql("CREATE DATABASE bronze")
+    lh.sql(f"CREATE TABLE bronze.t USING DELTA LOCATION '{ext}'")
+    assert lh.sql("SELECT * FROM bronze.t").count() == 8
+    assert lh.sql("SELECT * FROM bronze.t VERSION AS OF 0").count() == 4
+    # CTAS without location materializes a managed lake table
+    df.createOrReplaceTempView("_src8")
+    lh.sql("CREATE TABLE bronze.small USING LAKE AS SELECT * FROM _src8 WHERE id < 2")
+    assert lh.sql("SELECT * FROM bronze.small").count() == 2
