@@ -1137,3 +1137,54 @@ def q153_create_using_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_ctas != 5:
         raise AssertionError(f"CTAS materialized {n_ctas} rows, want 5")
     return lh.sql("SELECT * FROM lending_club.bronze_nation").orderBy("n_nationkey")
+
+
+@query(
+    "q154_delta_column_mapping",
+    oracle="SELECT * FROM nation ORDER BY n_nationkey",
+    tags=("lakehouse", "delta", "interop"),
+)
+def q154_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta column mapping, 'name' mode (what every table gets after
+    ALTER TABLE RENAME/DROP COLUMN on modern Delta): physical parquet
+    columns are opaque col-<n> names; the logical schema plus the
+    physical mapping live in the schemaString field metadata. The shim
+    scans physical and projects back to logical — without this, a
+    renamed-column table from the reference's platform reads as all
+    nulls. 'id' mode still refuses loudly."""
+    import glob
+    import json
+    import shutil
+    import uuid
+
+    nation = load_table(spark, sf_dir, "nation")
+    td = _scratch("colmap")
+    phys_names = {c: f"col-{i + 1}" for i, c in enumerate(nation.columns)}
+    pdf = nation.select(*[F.col(c).alias(phys_names[c]) for c in nation.columns])
+    st = tempfile.mkdtemp()
+    pdf.coalesce(1).write.mode("overwrite").parquet(st)
+    (f,) = glob.glob(os.path.join(st, "part-*.parquet"))
+    name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+    shutil.move(f, os.path.join(td, name))
+    shutil.rmtree(st, ignore_errors=True)
+
+    base = json.loads(nation.schema.json())
+    for i, fld in enumerate(base["fields"]):
+        fld["metadata"] = {
+            "delta.columnMapping.id": i + 1,
+            "delta.columnMapping.physicalName": phys_names[fld["name"]],
+        }
+    log = os.path.join(td, "_delta_log")
+    os.makedirs(log)
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        fh.write(json.dumps({"metaData": {
+            "id": "q154", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(base), "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": str(len(base["fields"]))},
+            "createdTime": 0}}) + "\n")
+        fh.write(json.dumps({"add": {
+            "path": name, "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True}}) + "\n")
+    return LakeTable.from_delta_log(spark, td).read().orderBy("n_nationkey")

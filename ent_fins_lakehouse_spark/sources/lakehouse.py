@@ -969,8 +969,10 @@ class DeltaLogTable:
 
     #: reader features whose data interpretation this shim implements
     #: (timestampNtz is type-only; deletionVectors are decoded by
-    #: :meth:`_dv_row_indexes` and applied as a row-index anti-filter)
-    _SAFE_READER_FEATURES = {"timestampNtz", "deletionVectors"}
+    #: :meth:`_dv_row_indexes` and applied as a row-index anti-filter;
+    #: columnMapping name-mode is resolved in :meth:`read` — id mode
+    #: refuses there)
+    _SAFE_READER_FEATURES = {"timestampNtz", "deletionVectors", "columnMapping"}
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -1020,14 +1022,16 @@ class DeltaLogTable:
         return max(cands)
 
     def _check_protocol(self, proto: dict) -> None:
+        # mrv 2 signals column mapping MAY be active — the mode check
+        # in read() decides (name mode is implemented; id mode refuses)
         mrv = proto.get("minReaderVersion") or 1
         feats = set(proto.get("readerFeatures") or [])
-        if mrv == 1 or (mrv == 3 and feats <= self._SAFE_READER_FEATURES):
+        if mrv in (1, 2) or (mrv == 3 and feats <= self._SAFE_READER_FEATURES):
             return
         raise NotImplementedError(
             f"Delta reader protocol {mrv} with features {sorted(feats)} is not "
-            "supported by the read-only shim (deletion vectors / column "
-            "mapping change data interpretation)"
+            "supported by the read-only shim (unknown features may change "
+            "data interpretation)"
         )
 
     def _snapshot(self, version_as_of: int | None = None):
@@ -1150,17 +1154,46 @@ class DeltaLogTable:
     # ----------------------------------------------------------------- read
 
     def read(self, version_as_of: int | None = None) -> DataFrame:
-        adds, schema, part_cols, _ = self._snapshot(version_as_of)
+        adds, schema, part_cols, meta = self._snapshot(version_as_of)
+        # column mapping (spec: 'Column Mapping'): 'name' mode stores
+        # each logical field's physical parquet name in the schema
+        # field metadata — scan physical, project back to logical.
+        # 'id' mode (parquet field-id resolution) is refused.
+        mode = ((meta or {}).get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if mode not in ("none", "name"):
+            raise NotImplementedError(
+                f"Delta column mapping mode {mode!r} is not supported by the "
+                "shim ('name' mode is; 'id' needs parquet field-id resolution)"
+            )
+
+        def pname(f: T.StructField) -> str:
+            if mode == "name":
+                return (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
+            return f.name
+
+        pmap = {f.name: pname(f) for f in schema.fields}
+        out_schema = T.StructType(
+            [T.StructField(f.name, f.dataType, f.nullable) for f in schema.fields]
+        )
         if not adds:
-            return self.spark.createDataFrame([], schema)
-        phys = T.StructType([f for f in schema.fields if f.name not in part_cols])
+            return self.spark.createDataFrame([], out_schema)
+        data_fields = [f for f in schema.fields if f.name not in part_cols]
+        phys = T.StructType(
+            [T.StructField(pmap[f.name], f.dataType) for f in data_fields]
+        )
         types = {f.name: f.dataType for f in schema.fields}
+
+        def logical(df: DataFrame) -> DataFrame:
+            return df.select(*[F.col(pmap[f.name]).alias(f.name) for f in data_fields])
 
         def attach_parts(df: DataFrame, pv: dict) -> DataFrame:
             # physical files omit partition columns; re-attach each
-            # group's values as typed literals (serialized as strings)
+            # group's values as typed literals (serialized as strings,
+            # keyed by PHYSICAL name under column mapping)
             for c in part_cols:
-                df = df.withColumn(c, F.lit(pv.get(c)).cast(types[c]))
+                df = df.withColumn(c, F.lit(pv.get(pmap[c])).cast(types[c]))
             return df.select(*[f.name for f in schema.fields])
 
         # group plain files by partition tuple for bulk multi-path scans;
@@ -1180,16 +1213,16 @@ class DeltaLogTable:
                     .parquet(full)
                     .select("*", F.col("_metadata.row_index").alias("_dv_ri"))
                     .filter(~F.col("_dv_ri").isin(deleted))
-                    .drop("_dv_ri")
                 )
-                dv_parts.append(attach_parts(df, pv) if part_cols else df.select(*[f.name for f in phys.fields]))
+                df = logical(df)
+                dv_parts.append(attach_parts(df, pv) if part_cols else df)
             else:
-                key = tuple(pv.get(c) for c in part_cols)
+                key = tuple(pv.get(pmap[c]) for c in part_cols)
                 groups.setdefault(key, []).append(full)
                 pv_of[key] = pv
         parts = []
         for key in sorted(groups, key=lambda k: tuple("" if v is None else str(v) for v in k)):
-            df = self.spark.read.schema(phys).parquet(*sorted(groups[key]))
+            df = logical(self.spark.read.schema(phys).parquet(*sorted(groups[key])))
             parts.append(attach_parts(df, pv_of[key]) if part_cols else df)
         parts.extend(dv_parts)
         out = parts[0]
@@ -1395,6 +1428,12 @@ class DeltaLogTable:
         from ent_fins_lakehouse_spark.sources.roaring import roaring64_payload
 
         adds, schema, part_cols, _meta = self._snapshot()
+        if ((_meta or {}).get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        ) != "none":
+            raise NotImplementedError(
+                "DV deletes on column-mapped tables are not supported by the shim"
+            )
         phys = T.StructType([f for f in schema.fields if f.name not in part_cols])
         types = {f.name: f.dataType for f in schema.fields}
         version = self.latest_version() + 1

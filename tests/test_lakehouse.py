@@ -644,12 +644,12 @@ def test_delta_log_rejects_unsupported_reader_protocol(spark, tmp_path):
     a = _delta_stage_files(df, td)
     _delta_commit(td, 0, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["columnMapping"]}},
+                      "readerFeatures": ["someFutureFeature"]}},
         _delta_meta(df.schema.json()),
         *[{"add": {"path": p, "partitionValues": {}, "size": 1,
                    "modificationTime": 0, "dataChange": True}} for p in a],
     ])
-    with pytest.raises(NotImplementedError, match="columnMapping"):
+    with pytest.raises(NotImplementedError, match="someFutureFeature"):
         LakeTable.from_delta_log(spark, td).read()
 
 
@@ -1239,3 +1239,71 @@ def test_create_table_using_delta_location_sql(spark, tmp_path):
     df.createOrReplaceTempView("_src8")
     lh.sql("CREATE TABLE bronze.small USING LAKE AS SELECT * FROM _src8 WHERE id < 2")
     assert lh.sql("SELECT * FROM bronze.small").count() == 2
+
+
+def test_delta_column_mapping_name_mode(spark, tmp_path):
+    """Column mapping 'name' mode (what a table gets after ALTER TABLE
+    RENAME COLUMN): physical parquet columns are col-<uuid>; the shim
+    scans physical and projects back to logical names, including a
+    physically-named partition column. 'id' mode refuses."""
+    import glob
+    import json
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
+
+    td = str(tmp_path / "cm")
+    os.makedirs(td)
+    # physical data file: columns col-aaa (long), col-bbb (string);
+    # partition column col-ccc carried only in partitionValues
+    pdf = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(6)], "`col-aaa` BIGINT, `col-bbb` STRING"
+    )
+    st = str(tmp_path / "stage")
+    pdf.coalesce(1).write.parquet(st)
+    (f,) = glob.glob(os.path.join(st, "part-*.parquet"))
+    name = f"part-{_uuid.uuid4().hex}.snappy.parquet"
+    shutil.move(f, os.path.join(td, name))
+
+    fields = [
+        {"name": "renamed_id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-aaa"}},
+        {"name": "v", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-bbb"}},
+        {"name": "k", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "col-ccc"}},
+    ]
+    schema_str = json.dumps({"type": "struct", "fields": fields})
+    log = os.path.join(td, "_delta_log")
+    os.makedirs(log)
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        fh.write(json.dumps({"metaData": {
+            "id": "cmfix", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_str, "partitionColumns": ["k"],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "3"},
+            "createdTime": 0}}) + "\n")
+        fh.write(json.dumps({"add": {
+            "path": name, "partitionValues": {"col-ccc": "x"}, "size": 1,
+            "modificationTime": 0, "dataChange": True}}) + "\n")
+
+    got = LakeTable.from_delta_log(spark, td).read()
+    assert got.columns == ["renamed_id", "v", "k"]
+    rows = sorted((r["renamed_id"], r["v"], r["k"]) for r in got.collect())
+    assert rows == [(i, f"r{i}", "x") for i in range(6)]
+
+    # id mode refuses
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"metaData": {
+            "id": "cmfix", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_str, "partitionColumns": ["k"],
+            "configuration": {"delta.columnMapping.mode": "id"},
+            "createdTime": 0}}) + "\n")
+    with pytest.raises(NotImplementedError, match="column mapping mode 'id'"):
+        LakeTable.from_delta_log(spark, td).read()
