@@ -1327,6 +1327,7 @@ class DeltaLogTable:
                             "size": os.path.getsize(dest),
                             "modificationTime": int(os.path.getmtime(dest) * 1000),
                             "dataChange": True,
+                            "stats": self._file_stats(dest),
                         }
                     }
                 )
@@ -1382,6 +1383,60 @@ class DeltaLogTable:
 
         self._commit_actions(version, actions)
         return version
+
+    @staticmethod
+    def _file_stats(path: str) -> str:
+        """Per-file stats JSON for the add action (spec: 'Per-file
+        Statistics') — numRecords always; minValues / maxValues /
+        nullCount for numeric, boolean, date and timestamp columns.
+        Sourced from the parquet FOOTER row-group statistics via
+        pyarrow — metadata-only, no data scan (the same place every
+        Delta writer gets them). String min/max are omitted: parquet
+        footers may truncate them, and a truncated max that readers
+        treat as exact would wrongly skip files."""
+        import datetime
+
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        num_records = md.num_rows
+        mins: dict = {}
+        maxs: dict = {}
+        nulls: dict = {}
+
+        def jsonable(v):
+            if isinstance(v, (datetime.date, datetime.datetime)):
+                return v.isoformat()
+            if isinstance(v, (int, float, bool)):
+                return v
+            return None  # bytes/str/unknown → skip (truncation risk)
+
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if "." in name:  # nested leaves — skip
+                    continue
+                st = col.statistics
+                if st is None:
+                    continue
+                if st.null_count is not None:
+                    nulls[name] = nulls.get(name, 0) + st.null_count
+                if not st.has_min_max:
+                    continue
+                lo, hi = jsonable(st.min), jsonable(st.max)
+                if lo is None or hi is None:
+                    continue
+                mins[name] = lo if name not in mins else min(mins[name], lo)
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+        return json.dumps(
+            {
+                "numRecords": num_records,
+                "minValues": mins,
+                "maxValues": maxs,
+                "nullCount": nulls,
+            }
+        )
 
     def _commit_actions(self, version: int, actions: list[dict]) -> None:
         """O_EXCL optimistic commit of one versioned action file (+

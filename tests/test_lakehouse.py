@@ -1307,3 +1307,29 @@ def test_delta_column_mapping_name_mode(spark, tmp_path):
             "createdTime": 0}}) + "\n")
     with pytest.raises(NotImplementedError, match="column mapping mode 'id'"):
         LakeTable.from_delta_log(spark, td).read()
+
+
+def test_delta_write_emits_file_stats(spark, tmp_path):
+    """Engine-written add actions carry per-file stats JSON (footer-
+    sourced): numRecords, numeric/date min-max, null counts; strings
+    are omitted (parquet footers may truncate them)."""
+    import json
+    import os
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "dst")
+    df = spark.createDataFrame(
+        [(1, 1.5, "a", None), (7, -2.0, "b", 4), (3, 0.0, "c", None)],
+        "id BIGINT, x DOUBLE, s STRING, n INT",
+    )
+    DeltaLogTable(spark, td).write(df.coalesce(1), mode="append")
+    with open(os.path.join(td, "_delta_log", f"{0:020d}.json")) as fh:
+        acts = [json.loads(line) for line in fh]
+    (add,) = [a["add"] for a in acts if "add" in a]
+    stats = json.loads(add["stats"])
+    assert stats["numRecords"] == 3
+    assert stats["minValues"]["id"] == 1 and stats["maxValues"]["id"] == 7
+    assert stats["minValues"]["x"] == -2.0 and stats["maxValues"]["x"] == 1.5
+    assert stats["nullCount"]["n"] == 2
+    assert "s" not in stats["minValues"]  # truncation-safe omission
