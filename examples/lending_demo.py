@@ -67,6 +67,25 @@ def main() -> int:
     print("silver versions:", silver.latest_version() + 1)
     print("v0 rows:", silver.read(version_as_of=0).count(), "now:", silver.read().count())
 
+    # -- Delta interop: export gold in the PUBLIC Delta log format
+    # (readable by delta-spark / DuckDB / Polars), soft-delete via
+    # deletion vectors, register with the reference's own DDL
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable, open_table
+
+    export = os.path.join(root, "gold_delta")
+    dl = DeltaLogTable(spark, export)
+    dl.write(med.read("gold"), mode="append")
+    dl.delete("grade = 'B' AND bad_loan = 'true'")
+    lh = LakehouseSession(spark, os.path.join(root, "warehouse"))
+    lh.sql("CREATE DATABASE IF NOT EXISTS lending_club")
+    lh.sql(f"CREATE TABLE lending_club.gold USING DELTA LOCATION '{export}'")
+    print(
+        "delta export rows:",
+        lh.sql("SELECT * FROM lending_club.gold").count(),
+        "(format:", type(open_table(spark, export)).__name__ + ")",
+    )
+
     # -- ML scoring (03-Fraud-ML shape)
     ds = (
         med.read("gold")
