@@ -99,6 +99,10 @@ class IcebergTable:
     # ---------------------------------------------------------- metadata
 
     def _metadata_file(self) -> str:
+        """Newest table metadata. Both public layouts: HadoopTables'
+        ``v<N>.metadata.json`` (+ optional ``version-hint.text``), and
+        catalog-managed ``<seq>-<uuid>.metadata.json`` (e.g.
+        ``00003-….metadata.json``) ordered by the sequence prefix."""
         hint = os.path.join(self.meta_dir, "version-hint.text")
         if os.path.isfile(hint):
             with open(hint, encoding="utf-8") as fh:
@@ -108,10 +112,13 @@ class IcebergTable:
                 return cand
         versions = []
         for f in os.listdir(self.meta_dir):
-            if f.endswith(".metadata.json") and f.startswith("v"):
-                stem = f[1 : -len(".metadata.json")]
-                if stem.isdigit():
-                    versions.append((int(stem), f))
+            if not f.endswith(".metadata.json"):
+                continue
+            stem = f[: -len(".metadata.json")]
+            if stem.startswith("v") and stem[1:].isdigit():
+                versions.append((int(stem[1:]), f))
+            elif stem.split("-", 1)[0].isdigit():
+                versions.append((int(stem.split("-", 1)[0]), f))
         if not versions:
             raise ValueError(f"no Iceberg metadata under {self.meta_dir}")
         return os.path.join(self.meta_dir, max(versions)[1])

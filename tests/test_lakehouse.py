@@ -1333,3 +1333,26 @@ def test_delta_write_emits_file_stats(spark, tmp_path):
     assert stats["minValues"]["x"] == -2.0 and stats["maxValues"]["x"] == 1.5
     assert stats["nullCount"]["n"] == 2
     assert "s" not in stats["minValues"]  # truncation-safe omission
+
+
+def test_iceberg_catalog_style_metadata_names(spark, tmp_path):
+    """Catalog-managed layouts name metadata <seq>-<uuid>.metadata.json
+    with no version-hint: discovery must pick the highest sequence."""
+    import os
+    import shutil
+
+    from ent_fins_lakehouse_spark.plans.lakehouse_queries import _iceberg_fixture
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    td = str(tmp_path / "icecat")
+    df = spark.createDataFrame([(i, f"r{i}") for i in range(10)], "id BIGINT, v STRING")
+    _iceberg_fixture(spark, df, td)
+    meta = os.path.join(td, "metadata")
+    shutil.move(os.path.join(meta, "v1.metadata.json"),
+                os.path.join(meta, "00001-aaaa-bbbb.metadata.json"))
+    shutil.move(os.path.join(meta, "v2.metadata.json"),
+                os.path.join(meta, "00002-cccc-dddd.metadata.json"))
+    os.remove(os.path.join(meta, "version-hint.text"))
+    t = IcebergTable(spark, td)
+    assert t._metadata_file().endswith("00002-cccc-dddd.metadata.json")
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(10))
