@@ -31,6 +31,10 @@ def __getattr__(name):
     # py4j-free until a symbol is actually touched.
     lazy = {
         "LakeTable": ("ent_fins_lakehouse_spark.sources.lakehouse", "LakeTable"),
+        "DeltaLogTable": ("ent_fins_lakehouse_spark.sources.lakehouse", "DeltaLogTable"),
+        "IcebergTable": ("ent_fins_lakehouse_spark.sources.iceberg", "IcebergTable"),
+        "open_table": ("ent_fins_lakehouse_spark.sources.lakehouse", "open_table"),
+        "AutoLoader": ("ent_fins_lakehouse_spark.streaming.autoloader", "AutoLoader"),
         "LakehouseCatalog": ("ent_fins_lakehouse_spark.sources.catalog", "LakehouseCatalog"),
         "LakehouseSession": ("ent_fins_lakehouse_spark.sources.catalog", "LakehouseSession"),
         "Medallion": ("ent_fins_lakehouse_spark.etl", "Medallion"),
@@ -50,6 +54,10 @@ __all__ = [
     "get_session",
     "stop_session",
     "LakeTable",
+    "DeltaLogTable",
+    "IcebergTable",
+    "open_table",
+    "AutoLoader",
     "LakehouseCatalog",
     "LakehouseSession",
     "Medallion",
