@@ -156,7 +156,12 @@ class LakehouseSession:
     _USE = re.compile(r"USE\s+(?P<name>\w+)\s*$", re.IGNORECASE)
     _SHOW_DB = re.compile(r"SHOW\s+DATABASES\s*$", re.IGNORECASE)
     _SHOW_TBL = re.compile(r"SHOW\s+TABLES(?:\s+IN\s+(?P<db>\w+))?\s*$", re.IGNORECASE)
-    _SELECT_TBL = re.compile(r"SELECT\s+\*\s+FROM\s+(?P<target>[\w.]+)(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+))?\s*$", re.IGNORECASE)
+    _SELECT_TBL = re.compile(
+        r"SELECT\s+\*\s+FROM\s+(?P<target>[\w.]+)"
+        r"(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+        r"|\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')?\s*$",
+        re.IGNORECASE,
+    )
 
     def __init__(self, spark: SparkSession, warehouse_dir: str):
         self.spark = spark
@@ -211,7 +216,9 @@ class LakehouseSession:
             if os.path.isdir(self.catalog.table_path(m["target"])) or "." in m["target"]:
                 v = int(m["v"]) if m["v"] else None
                 try:
-                    return self.catalog._resolve(m["target"]).read(version_as_of=v)
+                    return self.catalog._resolve(m["target"]).read(
+                        version_as_of=v, timestamp_as_of=m["ts"]
+                    )
                 except ValueError:
                     pass  # not a lake table — fall through to spark.sql
         return self.spark.sql(s)

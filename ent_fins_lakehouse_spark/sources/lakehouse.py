@@ -96,6 +96,27 @@ class Commit:
         )
 
 
+def _parse_ts_ms(ts) -> int:
+    """Timestamp-as-of argument → epoch ms. Accepts epoch ms (int),
+    epoch seconds (float), datetime, or ISO-8601 string; naive values
+    are UTC (the engine pins the session to UTC)."""
+    import datetime
+
+    if isinstance(ts, bool):
+        raise TypeError("timestamp_as_of must be a time, not bool")
+    if isinstance(ts, int):
+        return ts
+    if isinstance(ts, float):
+        return int(ts * 1000)
+    if isinstance(ts, str):
+        ts = datetime.datetime.fromisoformat(ts)
+    if isinstance(ts, datetime.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        return int(ts.timestamp() * 1000)
+    raise TypeError(f"unsupported timestamp_as_of value {ts!r}")
+
+
 class LakeTable:
     """A named, versioned, ACID table at a directory path."""
 
@@ -347,8 +368,26 @@ class LakeTable:
         active, _ = self._snapshot(version)
         return {rel: stats.get(rel, {}) for rel in active}
 
-    def read(self, version_as_of: int | None = None, where: str | None = None) -> DataFrame:
-        """Delta batch scan (S3) + time travel (D8 versionAsOf).
+    def version_at(self, timestamp) -> int:
+        """Resolve a point in time to the newest version committed at
+        or before it (D8 timestampAsOf)."""
+        ms = _parse_ts_ms(timestamp)
+        cands = [c.version for c in self._read_commits() if c.timestamp_ms <= ms]
+        if not cands:
+            raise ValueError(
+                f"no commit at or before {timestamp!r} in {self.path} "
+                f"(earliest is {min(c.timestamp_ms for c in self._read_commits())} ms)"
+            )
+        return max(cands)
+
+    def read(
+        self,
+        version_as_of: int | None = None,
+        where: str | None = None,
+        timestamp_as_of=None,
+    ) -> DataFrame:
+        """Delta batch scan (S3) + time travel (D8 versionAsOf /
+        timestampAsOf).
 
         ``where`` enables data skipping: directories whose stored
         [min, max] ranges cannot satisfy the predicate are never
@@ -358,6 +397,14 @@ class LakeTable:
         A path holding an open-source Delta table (``_delta_log/``
         instead of our ``_txn_log/``) is transparently served by the
         read-only :class:`DeltaLogTable` shim."""
+        if timestamp_as_of is not None:
+            if version_as_of is not None:
+                raise ValueError("pass version_as_of OR timestamp_as_of, not both")
+            if not self.exists() and DeltaLogTable(self.spark, self.path).exists():
+                dl = DeltaLogTable(self.spark, self.path)
+                out = dl.read(version_as_of=dl.version_at(timestamp_as_of))
+                return out.filter(where) if where else out
+            version_as_of = self.version_at(timestamp_as_of)
         if not self.exists():
             dl = DeltaLogTable(self.spark, self.path)
             if dl.exists():
@@ -1020,6 +1067,32 @@ class DeltaLogTable:
         if not cands:
             raise ValueError(f"no Delta log at {self.log_path}")
         return max(cands)
+
+    def version_at(self, timestamp) -> int:
+        """Timestamp time travel (Delta's rule: a commit's time is its
+        commitInfo timestamp when present, else the log file's
+        modification time). Limited to retained JSON commits, as in
+        Delta itself."""
+        ms = _parse_ts_ms(timestamp)
+        best = None
+        for v, path in sorted(self._json_versions().items()):
+            t = None
+            with open(path) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    act = json.loads(line)
+                    if "commitInfo" in act:
+                        t = act["commitInfo"].get("timestamp")
+                    break  # commitInfo is the first action by convention
+            if t is None:
+                t = int(os.path.getmtime(path) * 1000)
+            if t <= ms:
+                best = v
+        if best is None:
+            raise ValueError(f"no commit at or before {timestamp!r} in {self.log_path}")
+        return best
 
     def _check_protocol(self, proto: dict) -> None:
         # mrv 2 signals column mapping MAY be active — the mode check

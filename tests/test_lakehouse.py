@@ -1356,3 +1356,50 @@ def test_iceberg_catalog_style_metadata_names(spark, tmp_path):
     t = IcebergTable(spark, td)
     assert t._metadata_file().endswith("00002-cccc-dddd.metadata.json")
     assert sorted(r["id"] for r in t.read().collect()) == list(range(10))
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF resolves to the newest commit at or before the
+    point in time, on both the engine log and the Delta shim, and
+    through the SQL facade."""
+    import datetime
+    import json
+    import os
+    import time
+
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable, LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.write(spark.range(10).withColumnRenamed("id", "k"))
+    mid_ms = t._read_commits()[-1].timestamp_ms
+    time.sleep(0.01)
+    t.write(spark.range(3).withColumnRenamed("id", "k"))
+    assert t.version_at(mid_ms) == 0
+    assert t.read(timestamp_as_of=mid_ms).count() == 10
+    assert t.read(timestamp_as_of=time.time()).count() == 3
+    iso = datetime.datetime.fromtimestamp(
+        mid_ms / 1000, tz=datetime.timezone.utc
+    ).isoformat()
+    assert t.read(timestamp_as_of=iso).count() == 10
+    with pytest.raises(ValueError, match="no commit at or before"):
+        t.read(timestamp_as_of=0)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version_as_of=0, timestamp_as_of=mid_ms)
+
+    # Delta shim: commitInfo timestamps drive the resolution
+    dpath = str(tmp_path / "d")
+    dl = DeltaLogTable(spark, dpath)
+    dl.write(spark.createDataFrame([(1,)], "id INT"), mode="append")
+    dl.write(spark.createDataFrame([(2,)], "id INT"), mode="append")
+    with open(os.path.join(dpath, "_delta_log", f"{0:020d}.json")) as fh:
+        t0 = next(json.loads(line)["commitInfo"]["timestamp"] for line in fh)
+    assert dl.version_at(t0) == 0
+    assert dl.read(version_as_of=dl.version_at(t0)).count() == 1
+
+    # SQL facade
+    lh = LakehouseSession(spark, str(tmp_path / "wh"))
+    lh.sql("CREATE DATABASE db1")
+    lh.sql(f"CREATE TABLE db1.t USING LAKE LOCATION '{t.path}'")
+    assert lh.sql(f"SELECT * FROM db1.t TIMESTAMP AS OF '{iso}'").count() == 10
+    assert lh.sql("SELECT * FROM db1.t").count() == 3
