@@ -683,3 +683,45 @@ def q147_autoloader_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy(F.col("lang").asc_nulls_first())
     )
+
+
+@query(
+    "q155_delta_table_stream",
+    oracle="SELECT * FROM supplier ORDER BY s_suppkey",
+    tags=("streaming", "delta", "interop"),
+)
+def q155_delta_table_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FROM an open-source Delta table
+    (`/root/reference/Instructor/01-Fraud-Delta.py:175-176`,
+    spark.readStream.format('delta')) — over the PUBLIC `_delta_log`
+    format via a Spark 4 Python Data Source, so existing delta-spark
+    tables stream without conversion. Offsets are Delta versions;
+    hive partition values (absent from the physical parquet) are
+    re-attached per file as typed constants. Two appends land in wave
+    1; a third commit after the first availableNow run is picked up by
+    the second run through the SAME checkpoint (exactly-once). The
+    streamed union hash-matches the supplier oracle."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+    from ent_fins_lakehouse_spark.streaming.delta_source import read_delta_stream
+
+    root = tempfile.mkdtemp(prefix="delta_stream_")
+    src = os.path.join(root, "tbl")
+    target = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    sup = load_table(spark, sf_dir, "supplier")
+    dl = DeltaLogTable(spark, src)
+    dl.write(sup.filter(F.col("s_suppkey") % 3 == 0), mode="append", partition_by=["s_nationkey"])
+    dl.write(sup.filter(F.col("s_suppkey") % 3 == 1), mode="append")
+
+    from ent_fins_lakehouse_spark.streaming.autoloader import run_available_now
+
+    run_available_now(read_delta_stream(spark, src), target, ckpt)
+    n1 = spark.read.parquet(target).count()
+
+    dl.write(sup.filter(F.col("s_suppkey") % 3 == 2), mode="append")
+    run_available_now(read_delta_stream(spark, src), target, ckpt)
+
+    out = spark.read.parquet(target)
+    if out.count() - n1 != sup.filter(F.col("s_suppkey") % 3 == 2).count():
+        raise AssertionError("second run did not ingest exactly the new commit")
+    return out.select(*sup.columns).orderBy("s_suppkey")

@@ -1,0 +1,210 @@
+"""Open-source Delta tables as a Structured-Streaming SOURCE.
+
+The reference streams FROM its Delta tables
+(`/root/reference/Instructor/01-Fraud-Delta.py:175-176`,
+``spark.readStream.format('delta')``); :mod:`streaming.lake_source`
+covers the engine's own log — this is the same contract over the
+PUBLIC ``_delta_log`` format, so a user can point a stream at a table
+produced by delta-spark (or by this engine's Delta writer) without
+converting it:
+
+    spark.readStream.format("delta_stream").option("path", p).load()
+
+Offsets are Delta versions; each microbatch covers the ``add`` actions
+of commits in (start, end] — exactly-once because the log is
+append-only with dense versions. Commits that ``remove`` files or
+attach deletion vectors are REWRITES of already-streamed data and
+abort the stream unless ``ignoreChanges=true`` (Delta's own streaming
+contract). Partition columns (absent from the physical parquet) are
+re-attached per file from the add action's ``partitionValues``.
+
+One InputPartition per added data file; read() yields pyarrow
+RecordBatches (Arrow fast path, bounded memory). Classes live in a
+factory closure so cloudpickle ships them by value to data-source
+workers (no repo on their sys.path).
+"""
+
+from __future__ import annotations
+
+
+def make_delta_stream_source():
+    """Build the DataSource class (self-contained, pickled by value)."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    def version_files(table_path: str) -> dict[int, str]:
+        log = os.path.join(table_path, "_delta_log")
+        out: dict[int, str] = {}
+        if os.path.isdir(log):
+            for f in os.listdir(log):
+                stem, ext = os.path.splitext(f)
+                if ext == ".json" and stem.isdigit():
+                    out[int(stem)] = os.path.join(log, f)
+        return out
+
+    def actions(path: str) -> list[dict]:
+        with open(path) as fh:
+            return [json.loads(line) for line in fh if line.strip()]
+
+    def table_meta(table_path: str) -> dict:
+        meta = None
+        for v in sorted(version_files(table_path)):
+            for act in actions(version_files(table_path)[v]):
+                if "metaData" in act:
+                    meta = act["metaData"]
+        if meta is None:
+            raise ValueError(f"no Delta metaData under {table_path}/_delta_log")
+        return meta
+
+    class FilePartition(InputPartition):
+        def __init__(self, abs_path: str, pv: dict, schema_json: str, part_cols: list[str]):
+            self.abs_path = abs_path
+            self.pv = pv
+            self.schema_json = schema_json
+            self.part_cols = part_cols
+
+    class DeltaStreamReader(DataSourceStreamReader):
+        def __init__(self, table_path: str, ignore_changes: bool):
+            self.table_path = table_path
+            self.ignore_changes = ignore_changes
+
+        def initialOffset(self) -> dict:
+            return {"version": -1}
+
+        def latestOffset(self) -> dict:
+            vs = version_files(self.table_path)
+            return {"version": max(vs) if vs else -1}
+
+        def partitions(self, start: dict, end: dict):
+            lo, hi = start["version"], end["version"]
+            meta = table_meta(self.table_path)
+            part_cols = list(meta.get("partitionColumns") or [])
+            schema_json = meta["schemaString"]
+            vs = version_files(self.table_path)
+            parts = []
+            for v in sorted(vs):
+                if not (lo < v <= hi):
+                    continue
+                for act in actions(vs[v]):
+                    if "remove" in act and not self.ignore_changes:
+                        raise RuntimeError(
+                            f"Delta commit v{v} removes data files; streaming "
+                            "from a table with updates/deletes requires "
+                            "option ignoreChanges=true"
+                        )
+                    if "add" not in act:
+                        continue
+                    a = act["add"]
+                    if a.get("deletionVector"):
+                        if self.ignore_changes:
+                            continue  # rewrite of already-streamed rows
+                        raise RuntimeError(
+                            f"Delta commit v{v} attaches a deletion vector "
+                            f"to {a['path']} (row-level rewrite); pass "
+                            "ignoreChanges=true to skip such commits"
+                        )
+                    parts.append(
+                        FilePartition(
+                            os.path.join(self.table_path, a["path"]),
+                            a.get("partitionValues") or {},
+                            schema_json,
+                            part_cols,
+                        )
+                    )
+            return parts or [FilePartition("", {}, "", [])]
+
+        def read(self, partition):
+            if not partition.abs_path or not os.path.isfile(partition.abs_path):
+                return iter(())
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            spark_schema = T.StructType.fromJson(json.loads(partition.schema_json))
+
+            def pa_typed(field: T.StructField, raw, n: int):
+                """Partition value (string in the log) → typed constant
+                arrow array matching the declared Spark field type."""
+                t = field.dataType
+                if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType)):
+                    val, at = (None if raw is None else int(raw)), pa.int32()
+                elif isinstance(t, T.LongType):
+                    val, at = (None if raw is None else int(raw)), pa.int64()
+                elif isinstance(t, T.FloatType):
+                    val, at = (None if raw is None else float(raw)), pa.float32()
+                elif isinstance(t, T.DoubleType):
+                    val, at = (None if raw is None else float(raw)), pa.float64()
+                elif isinstance(t, T.BooleanType):
+                    val, at = (None if raw is None else str(raw).lower() == "true"), pa.bool_()
+                else:
+                    val, at = (None if raw is None else str(raw)), pa.string()
+                return pa.array([val] * n, type=at)
+
+            def gen():
+                pf = pq.ParquetFile(partition.abs_path)
+                for batch in pf.iter_batches():
+                    by_name = {
+                        n: batch.column(i) for i, n in enumerate(batch.schema.names)
+                    }
+                    for c in partition.part_cols:
+                        by_name[c] = pa_typed(
+                            spark_schema[c], partition.pv.get(c), batch.num_rows
+                        )
+                    # emit in the DECLARED schema's field order — the
+                    # data-source contract maps columns positionally
+                    names = [f.name for f in spark_schema.fields]
+                    yield pa.RecordBatch.from_arrays(
+                        [by_name[n] for n in names], names=names
+                    )
+
+            return gen()
+
+        def commit(self, end: dict) -> None:
+            pass  # offsets are durable in the query checkpoint
+
+    class DeltaStreamDataSource(DataSource):
+        """``format("delta_stream")`` — options: path, ignoreChanges."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "delta_stream"
+
+        def schema(self):
+            meta = table_meta(self.options["path"])
+            mode = (meta.get("configuration") or {}).get(
+                "delta.columnMapping.mode", "none"
+            )
+            if mode != "none":
+                raise NotImplementedError(
+                    "streaming from column-mapped Delta tables is not supported"
+                )
+            return T.StructType.fromJson(json.loads(meta["schemaString"]))
+
+        def streamReader(self, schema):
+            return DeltaStreamReader(
+                self.options["path"],
+                self.options.get("ignorechanges", "false").lower() == "true",
+            )
+
+    return DeltaStreamDataSource
+
+
+def register(spark) -> None:
+    spark.dataSource.register(make_delta_stream_source())
+
+
+def read_delta_stream(spark, path: str, ignore_changes: bool = False):
+    """Continuously read a public-format Delta table as it is appended."""
+    register(spark)
+    return (
+        spark.readStream.format("delta_stream")
+        .option("path", path)
+        .option("ignoreChanges", str(ignore_changes).lower())
+        .load()
+    )

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -237,3 +239,41 @@ class TestAutoLoaderEvolution:
         got = {r["id"]: r for r in t.read().collect()}
         assert len(got) == 3  # no re-ingest of wave 1
         assert got[3]["extra"] == "e" and got[1]["extra"] is None
+
+
+class TestDeltaStreamSource:
+    """Streaming from the public _delta_log format (q155's source)."""
+
+    def _drain(self, spark, src, out, ckpt, ignore_changes=False):
+        from ent_fins_lakehouse_spark.streaming.autoloader import run_available_now
+        from ent_fins_lakehouse_spark.streaming.delta_source import read_delta_stream
+
+        run_available_now(read_delta_stream(spark, src, ignore_changes), out, ckpt)
+        return [r["id"] for r in spark.read.parquet(out).collect()]
+
+    def test_appends_stream_exactly_once(self, spark, tmp_path):
+        from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+        src, out, ckpt = str(tmp_path / "t"), str(tmp_path / "o"), str(tmp_path / "c")
+        dl = DeltaLogTable(spark, src)
+        dl.write(spark.createDataFrame([(1,), (2,)], "id INT"), mode="append")
+        assert sorted(self._drain(spark, src, out, ckpt)) == [1, 2]
+        dl.write(spark.createDataFrame([(3,)], "id INT"), mode="append")
+        assert sorted(self._drain(spark, src, out, ckpt)) == [1, 2, 3]
+
+    def test_rewrites_abort_without_ignore_changes(self, spark, tmp_path):
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+        src = str(tmp_path / "t")
+        dl = DeltaLogTable(spark, src)
+        dl.write(spark.createDataFrame([(i,) for i in range(6)], "id INT"), mode="append")
+        dl.delete("id = 2")  # DV rewrite of already-streamed rows
+        out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+        with pytest.raises(StreamingQueryException, match="ignoreChanges"):
+            self._drain(spark, src, out, ckpt)
+        # ignoreChanges skips the DV-bearing re-add (Delta's contract)
+        out2, ckpt2 = str(tmp_path / "o2"), str(tmp_path / "c2")
+        got = self._drain(spark, src, out2, ckpt2, ignore_changes=True)
+        assert sorted(got) == [0, 1, 2, 3, 4, 5]  # original add already streamed
