@@ -1188,3 +1188,36 @@ def q154_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "path": name, "partitionValues": {}, "size": 1,
             "modificationTime": 0, "dataChange": True}}) + "\n")
     return LakeTable.from_delta_log(spark, td).read().orderBy("n_nationkey")
+
+
+@query(
+    "q156_lake_update",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderstatus = 'O' THEN 'RUSH' ELSE o_orderpriority END AS o_orderpriority,
+           CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+           o_orderstatus
+    FROM orders ORDER BY o_orderkey
+    """,
+    tags=("lakehouse", "update", "sql"),
+)
+def q156_lake_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone UPDATE DML (Delta's UPDATE … SET … WHERE — the one
+    DML verb the reference's MERGE/DELETE arc skips), via the SQL
+    facade over a multi-dir layout so the pruned-rewrite path is
+    exercised: only dirs containing 'O'-status rows are rewritten,
+    non-matching rows in touched dirs carry through unchanged."""
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice", "o_orderstatus"
+    )
+    lh = LakehouseSession(spark, _scratch("updwh"))
+    lh.sql("CREATE DATABASE IF NOT EXISTS dml")
+    t = lh.catalog.create_table("dml.orders", df=orders.filter(F.col("o_orderkey") % 2 == 0))
+    t.write(orders.filter(F.col("o_orderkey") % 2 == 1), mode="append")
+    lh.sql(
+        "UPDATE dml.orders SET o_orderpriority = 'RUSH', "
+        "o_totalprice = o_totalprice + 100.0 WHERE o_orderstatus = 'O'"
+    )
+    return lh.sql("SELECT * FROM dml.orders").orderBy("o_orderkey")

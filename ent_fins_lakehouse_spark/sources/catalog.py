@@ -141,6 +141,11 @@ class LakehouseSession:
         re.IGNORECASE | re.DOTALL,
     )
     _DELETE = re.compile(r"DELETE\s+FROM\s+(?P<target>[\w.]+)\s+WHERE\s+(?P<pred>.+)$", re.IGNORECASE | re.DOTALL)
+    _UPDATE = re.compile(
+        r"UPDATE\s+(?P<target>[\w.]+)\s+SET\s+(?P<sets>.+?)"
+        r"(?:\s+WHERE\s+(?P<pred>.+))?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
     _INSERT = re.compile(r"INSERT\s+INTO\s+(?P<target>[\w.]+)\s+VALUES\s*(?P<vals>.+)$", re.IGNORECASE | re.DOTALL)
     _HISTORY = re.compile(r"DESCRIBE\s+HISTORY\s+(?P<target>[\w.]+)\s*$", re.IGNORECASE)
     _CREATE_DB = re.compile(r"CREATE\s+DATABASE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*$", re.IGNORECASE)
@@ -177,6 +182,15 @@ class LakehouseSession:
             return None
         if m := self._DELETE.match(s):
             self.catalog._resolve(m["target"]).delete(m["pred"])
+            return None
+        if m := self._UPDATE.match(s):
+            sets = {}
+            for part in m["sets"].split(","):
+                am = re.match(r"\s*(\w+)\s*=\s*(.+)\s*$", part, re.DOTALL)
+                if not am:
+                    raise ValueError(f"unsupported UPDATE SET assignment: {part!r}")
+                sets[am[1]] = am[2]
+            self.catalog._resolve(m["target"]).update(sets, m["pred"])
             return None
         if m := self._INSERT.match(s):
             rows = self._parse_values(m["vals"])

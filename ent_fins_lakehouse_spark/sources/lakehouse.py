@@ -500,6 +500,44 @@ class LakeTable:
         self._commit("delete", [rel], touched, schema, metrics, base_version=base)
         return metrics
 
+    def update(self, assignments: dict[str, str], predicate: str | None = None) -> dict:
+        """UPDATE … SET c = expr [WHERE pred] (Delta's UPDATE DML).
+        Same pruned-rewrite shape as :meth:`delete`: only data dirs
+        containing matching rows are rewritten; non-matching rows in a
+        touched dir are carried through unchanged. Expressions may
+        reference any column of the row being updated; unknown target
+        columns are rejected like MERGE's UPDATE SET."""
+        _, schema = self._snapshot()
+        if schema is None:
+            raise ValueError(f"table {self.path} does not exist")
+        cols = [f.name for f in schema.fields]
+        unknown = set(assignments) - set(cols)
+        if unknown:
+            raise ValueError(f"UPDATE SET targets unknown columns {sorted(unknown)}")
+        base = self.latest_version()
+        pred = F.expr(predicate) if predicate else F.lit(True)
+        touched, _ = self._dirs_touching(pred)
+        if not touched:
+            return {"dirs_rewritten": 0, "rows_updated": 0}
+        paths = [os.path.join(self.path, rel) for rel in touched]
+        df = self.spark.read.schema(schema).parquet(*paths)
+        n_updated = df.filter(pred).count()
+        rewritten = df.select(
+            *[
+                (
+                    F.when(pred, F.expr(assignments[c]).cast(schema[c].dataType)).otherwise(F.col(c))
+                    if c in assignments
+                    else F.col(c)
+                ).alias(c)
+                for c in cols
+            ]
+        )
+        self._enforce_constraints(rewritten, "update")
+        rel = self._write_data_dir(rewritten)
+        metrics = {"dirs_rewritten": len(touched), "rows_updated": n_updated}
+        self._commit("update", [rel], touched, schema, metrics, base_version=base)
+        return metrics
+
     def merge(
         self,
         source: DataFrame,

@@ -1403,3 +1403,23 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
     lh.sql(f"CREATE TABLE db1.t USING LAKE LOCATION '{t.path}'")
     assert lh.sql(f"SELECT * FROM db1.t TIMESTAMP AS OF '{iso}'").count() == 10
     assert lh.sql("SELECT * FROM db1.t").count() == 3
+
+
+def test_update_prunes_and_validates(spark, tmp_path):
+    """UPDATE rewrites only dirs containing matching rows, carries
+    non-matching rows in touched dirs unchanged, and rejects unknown
+    target columns; CHECK constraints gate the rewrite."""
+    t = _table(spark, tmp_path)
+    t.write(spark.createDataFrame([(i, "x", 10) for i in range(5)], "k INT, v STRING, n INT"))
+    t.write(spark.createDataFrame([(i, "y", 10) for i in range(5, 10)], "k INT, v STRING, n INT"), mode="append")
+    m = t.update({"n": "n + 5"}, "v = 'y' AND k >= 7")
+    assert m == {"dirs_rewritten": 1, "rows_updated": 3}
+    out = {r["k"]: r["n"] for r in t.read().collect()}
+    assert out == {**{i: 10 for i in range(7)}, 7: 15, 8: 15, 9: 15}
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update({"zz": "1"})
+    m2 = t.update({"n": "0"}, "k = 999")
+    assert m2 == {"dirs_rewritten": 0, "rows_updated": 0}
+    t.add_constraint("n_pos", "n >= 0")
+    with pytest.raises(ValueError, match="n_pos"):
+        t.update({"n": "-1"}, "k = 0")
