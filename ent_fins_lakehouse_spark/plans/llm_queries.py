@@ -1337,3 +1337,45 @@ def q151_ivf_blocked_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_blockwise_numpy(
         indexed, "vec_id", "embedding", ["ivf_cluster"], top_n=100
     ).orderBy(F.desc("cosine_sim"), "id_a", "id_b")
+
+
+@query("q157_semantic_dedup", oracle=None, tags=("llm", "dedup", "similarity"))
+def q157_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540) composed from the engine's own operators — the
+    embedding-space analogue of the MinHash text pipeline (q53):
+
+    1. candidate pairs from the IVF-cell-blocked BLAS kernel (q151's
+       composition — bounded cells, no natural blocking key needed),
+       thresholded at cosine ≥ 0.95 (near-identical content);
+    2. connected components over the pair graph (driver union-find
+       with asserted broadcast bound / distributed label-prop
+       fallback);
+    3. keep one canonical representative per component (min vec_id)
+       plus every singleton.
+
+    Returns the keep-list with its duplicate-group accounting. At
+    100 TB each stage is the already-scale-audited operator; the
+    composition adds no new shuffle shape. Rows-only (KMeans);
+    idempotence and no-kept-pair invariants are asserted in
+    tests/test_llm_ops.py."""
+    from ent_fins_lakehouse_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_pairs_blockwise_numpy,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    indexed, _ = build_ivf_index(emb, "embedding", n_clusters=8)
+    pairs = cosine_pairs_blockwise_numpy(
+        indexed, "vec_id", "embedding", ["ivf_cluster"], min_cosine=0.95
+    )
+    groups = dedup_connected_components(pairs, emb.select("vec_id"), "vec_id")
+    return (
+        groups.groupBy("group_id")
+        .agg(
+            F.min("vec_id").alias("vec_id"),
+            F.count("*").alias("n_members"),
+        )
+        .select("vec_id", "n_members")
+        .orderBy("vec_id")
+    )

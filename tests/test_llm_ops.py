@@ -556,3 +556,45 @@ def test_ivf_blocked_near_dup_recall(spark, emb):
     assert set(exact) == set(got)
     for k in got:
         assert abs(got[k] - exact[k]) < 1e-9
+
+
+def test_semantic_dedup_keeps_one_per_group(spark, emb):
+    """q157's pipeline on a corpus with planted near-identical vectors:
+    each planted pair collapses to its min-id representative, and
+    re-running on the kept set is a fixpoint (all singletons)."""
+    from pyspark.sql import functions as FF
+
+    from ent_fins_lakehouse_spark.operators.dedup import dedup_connected_components
+    from ent_fins_lakehouse_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_pairs_blockwise_numpy,
+    )
+
+    def run(corpus):
+        indexed, _ = build_ivf_index(corpus, "embedding", n_clusters=8)
+        pairs = cosine_pairs_blockwise_numpy(
+            indexed, "vec_id", "embedding", ["ivf_cluster"], min_cosine=0.95
+        )
+        groups = dedup_connected_components(pairs, corpus.select("vec_id"), "vec_id")
+        return (
+            groups.groupBy("group_id")
+            .agg(FF.min("vec_id").alias("vec_id"), FF.count("*").alias("n_members"))
+        )
+
+    base = emb.select("vec_id", "embedding")
+    dup = base.filter(FF.col("vec_id") < 10).select(
+        (FF.col("vec_id") + 100000).alias("vec_id"),
+        FF.transform("embedding", lambda x: x * FF.lit(1.001)).alias("embedding"),
+    )
+    kept = run(base.unionByName(dup))
+    rows = {r["vec_id"]: r["n_members"] for r in kept.collect()}
+    # every planted copy collapsed onto its original (min id)
+    for i in range(10):
+        assert rows.get(i) == 2, f"vec {i}: {rows.get(i)}"
+        assert i + 100000 not in rows
+    # fixpoint: dedup of the kept set is all singletons
+    kept_corpus = base.unionByName(dup).join(
+        kept.select("vec_id"), "vec_id", "semi"
+    )
+    again = run(kept_corpus)
+    assert again.filter(FF.col("n_members") > 1).count() == 0
