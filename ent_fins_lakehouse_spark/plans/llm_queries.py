@@ -1379,3 +1379,42 @@ def q157_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "n_members")
         .orderBy("vec_id")
     )
+
+
+@query(
+    "q158_per_source_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':cap'), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars FROM ranked WHERE rk <= 40
+    ORDER BY doc_id
+    """,
+    tags=("llm", "sampling"),
+)
+def q158_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps — the corpus-balancing primitive that
+    keeps one domain/language from dominating a training mix: at most
+    K documents per group, chosen by a deterministic md5 shuffle
+    (engine-portable and reshuffle-stable like q81/q143 — the same
+    docs survive on any engine, cluster size, or rerun; a random
+    ORDER BY rand() would not hash-match anything). One shuffle
+    (partitionBy group), rank inside, filter — at 100 TB this is the
+    standard windowed top-K-per-key shape with no skew beyond the
+    group sizes themselves."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cap"))), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 40)
+        .drop("rk")
+        .orderBy("doc_id")
+    )
