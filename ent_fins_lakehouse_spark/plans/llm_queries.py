@@ -1418,3 +1418,58 @@ def q158_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rk")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q159_sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             len(regexp_split_to_array(trim(text), ' ')) AS n_tok
+      FROM documents WHERE trim(text) <> ''
+    ), c AS (
+      SELECT doc_id, shard, n_tok,
+             SUM(n_tok) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM t
+    )
+    SELECT doc_id, shard, n_tok,
+           CAST(FLOOR((cum - n_tok) / 512.0) AS BIGINT) AS seq_id
+    FROM c ORDER BY doc_id
+    """,
+    tags=("llm", "packing"),
+)
+def q159_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: assign documents to fixed
+    token-budget training sequences (budget 512 here) by a running
+    token total — the step that turns a curated corpus into the
+    context-window-sized units a trainer actually consumes. Packing is
+    SHARD-LOCAL (partitionBy shard, order within shard): a global
+    ORDER BY would be a total sort of the corpus, while per-shard
+    running sums are one partitioned window — the only formulation
+    that survives 100 TB, and the one real pipelines use (shards are
+    the unit of training-data shuffling anyway). Deterministic,
+    hash-checked against the oracle's windowed running sum."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split(F.trim("text"), " ")).alias("n_tok"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        t.withColumn("cum", F.sum("n_tok").over(w))
+        .select(
+            "doc_id",
+            "shard",
+            "n_tok",
+            F.floor((F.col("cum") - F.col("n_tok")) / F.lit(512.0)).alias("seq_id"),
+        )
+        .orderBy("doc_id")
+    )
