@@ -1473,3 +1473,92 @@ def q159_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q160_bigram_lm_quality",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS arr
+      FROM documents WHERE trim(text) <> ''
+    ),
+    idx AS (
+      SELECT doc_id, arr, UNNEST(generate_series(1, len(arr))) AS ord FROM s
+    ),
+    toks AS (SELECT doc_id, arr[ord] AS term, ord FROM idx),
+    t2 AS (SELECT doc_id, term, ord FROM toks WHERE term <> ''),
+    bi AS (
+      SELECT doc_id, term,
+             LEAD(term) OVER (PARTITION BY doc_id ORDER BY ord) AS next
+      FROM t2
+    ),
+    b2 AS (SELECT doc_id, term, next FROM bi WHERE next IS NOT NULL),
+    bc AS (SELECT term, next, COUNT(*) AS bf FROM b2 GROUP BY term, next),
+    ctx AS (SELECT term, COUNT(*) AS cf FROM b2 GROUP BY term),
+    v AS (SELECT COUNT(DISTINCT term) AS v FROM t2),
+    lp AS (
+      SELECT b2.doc_id,
+             CAST(ROUND(LN(CAST(bc.bf + 1 AS DOUBLE) / CAST(ctx.cf + v.v AS DOUBLE)), 4)
+                  AS DECIMAL(12,4)) AS lpv
+      FROM b2 JOIN bc USING (term, next) JOIN ctx USING (term) CROSS JOIN v
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(lpv) AS DOUBLE) / COUNT(*), 4) AS avg_logp
+    FROM lp GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def q160_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality: add-one-smoothed corpus bigram
+    probabilities P(w_i | w_{i-1}) = (c(w_{i-1}w_i)+1) / (c(w_{i-1}·)+V),
+    per-document mean log-prob — one order up from q139's unigram
+    proxy, sensitive to word-ORDER degeneracy (shuffled or
+    template-stitched text scores low even when its unigram mix looks
+    natural). Same hash-exactness discipline: 4dp-rounded log-probs
+    summed in DECIMAL. Shuffles: bigram counts groupBy(term,next),
+    context counts groupBy(term), per-doc groupBy(doc_id); the count
+    tables carry no forced broadcast (census lesson from q66/q139 —
+    AQE decides), and the 1-row vocab constant rides a broadcast cross
+    join."""
+    from ent_fins_lakehouse_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(normalize_text("text"), " ")).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    wlead = W.partitionBy("doc_id").orderBy("pos")
+    b2 = (
+        toks.withColumn("next", F.lead("term").over(wlead))
+        .filter(F.col("next").isNotNull())
+        .select("doc_id", "term", "next")
+    )
+    bc = b2.groupBy("term", "next").agg(F.count("*").alias("bf"))
+    ctx = b2.groupBy("term").agg(F.count("*").alias("cf"))
+    v = toks.agg(F.countDistinct("term").alias("v"))
+    lp = F.round(
+        F.log(
+            (F.col("bf").cast("double") + F.lit(1.0))
+            / (F.col("cf") + F.col("v")).cast("double")
+        ),
+        4,
+    ).cast("decimal(12,4)")
+    scored = (
+        b2.join(bc, ["term", "next"])
+        .join(ctx, "term")
+        .crossJoin(F.broadcast(v))
+        .withColumn("lpv", lp)
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum("lpv").cast("double") / F.count("*"), 4).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )
