@@ -1221,3 +1221,34 @@ def q156_lake_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice = o_totalprice + 100.0 WHERE o_orderstatus = 'O'"
     )
     return lh.sql("SELECT * FROM dml.orders").orderBy("o_orderkey")
+
+
+@query(
+    "q161_delta_change_feed",
+    oracle="""
+    SELECT *, 'insert' AS _change_type, 1 AS _commit_version
+    FROM supplier WHERE s_suppkey > 50
+    UNION ALL
+    SELECT *, 'delete' AS _change_type, 2 AS _commit_version
+    FROM supplier WHERE s_suppkey % 3 = 0
+    ORDER BY _commit_version, s_suppkey
+    """,
+    tags=("lakehouse", "delta", "cdf", "interop"),
+)
+def q161_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed over the public Delta log (the q95 capability,
+    cross-format): per commit, cdc files when present, else synthesis —
+    dataChange adds as inserts, removes as deletes, and DV-bearing
+    re-adds as deletes of EXACTLY the newly-masked rows (bitmap diff
+    against the prior snapshot's DV). Arc: v0 seed append (before the
+    feed window), v1 append (→ inserts), v2 soft DELETE via deletion
+    vectors (→ deletes). Hash-checked against the reconstructed
+    oracle."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    sup = load_table(spark, sf_dir, "supplier")
+    dl = DeltaLogTable(spark, _scratch("deltacdf"))
+    dl.write(sup.filter(F.col("s_suppkey") <= 50), mode="append")
+    dl.write(sup.filter(F.col("s_suppkey") > 50), mode="append")
+    dl.delete("s_suppkey % 3 = 0")
+    return dl.read_changes(from_version=1).orderBy("_commit_version", "s_suppkey")

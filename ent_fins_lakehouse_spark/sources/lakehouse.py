@@ -1341,6 +1341,139 @@ class DeltaLogTable:
             out = out.unionByName(p)
         return out
 
+    # ------------------------------------------------------------- changes
+
+    def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Change data feed over the public log (table columns +
+        ``_change_type`` + ``_commit_version``). Per commit, in spec
+        order of preference:
+
+        - ``cdc`` actions present → read those ``_change_data`` files
+          verbatim (they carry ``_change_type``);
+        - otherwise synthesize: ``add`` with ``dataChange`` → inserts;
+          ``remove`` with ``dataChange`` → deletes; a DV-bearing
+          re-``add`` of an existing file → deletes of exactly the rows
+          in the NEW bitmap minus the OLD one (the engine's own
+          :meth:`delete` commits this shape).
+        """
+        to_version = self.latest_version() if to_version is None else to_version
+        versions = self._json_versions()
+        missing = [v for v in range(from_version, to_version + 1) if v not in versions]
+        if missing:
+            raise ValueError(
+                f"change feed needs JSON commits {missing} (checkpointed away?)"
+            )
+        _, schema, part_cols, _ = self._snapshot(to_version)
+        phys = T.StructType([f for f in schema.fields if f.name not in part_cols])
+        types = {f.name: f.dataType for f in schema.fields}
+
+        def attach(df: DataFrame, pv: dict, ctype: str, v: int) -> DataFrame:
+            for c in part_cols:
+                df = df.withColumn(c, F.lit(pv.get(c)).cast(types[c]))
+            return df.select(
+                *[f.name for f in schema.fields],
+                F.lit(ctype).alias("_change_type"),
+                F.lit(v).alias("_commit_version"),
+            )
+
+        def file_rows(path: str, pv: dict, dv_keep=None, dv_drop=None) -> DataFrame:
+            df = self.spark.read.schema(phys).parquet(os.path.join(self.path, path))
+            if dv_keep is not None or dv_drop is not None:
+                df = df.select("*", F.col("_metadata.row_index").alias("_ri"))
+                if dv_drop is not None:
+                    df = df.filter(~F.col("_ri").isin(list(dv_drop)))
+                if dv_keep is not None:
+                    df = df.filter(F.col("_ri").isin(list(dv_keep)))
+                df = df.drop("_ri")
+            return df
+
+        parts: list[DataFrame] = []
+        # live files + their DV state as of the commit BEFORE from_version
+        prev_adds: dict[str, dict] = {}
+        if from_version > 0:
+            prev_adds, *_ = self._snapshot(from_version - 1)
+        live_paths = set(prev_adds)
+        prior_dv: dict[str, set] = {
+            p: set(self._dv_row_indexes(info["deletionVector"]))
+            for p, info in prev_adds.items()
+            if info["deletionVector"]
+        }
+        for v in range(from_version, to_version + 1):
+            with open(versions[v]) as fh:
+                acts = [json.loads(line) for line in fh if line.strip()]
+            cdc = [a["cdc"] for a in acts if "cdc" in a]
+            if cdc:
+                for c in cdc:
+                    cdc_schema = T.StructType(
+                        [*phys.fields, T.StructField("_change_type", T.StringType())]
+                    )
+                    df = self.spark.read.schema(cdc_schema).parquet(
+                        os.path.join(self.path, c["path"])
+                    )
+                    for pc in part_cols:
+                        df = df.withColumn(
+                            pc, F.lit((c.get("partitionValues") or {}).get(pc)).cast(types[pc])
+                        )
+                    parts.append(
+                        df.select(
+                            *[f.name for f in schema.fields],
+                            "_change_type",
+                            F.lit(v).alias("_commit_version"),
+                        )
+                    )
+                continue
+            for a in acts:
+                if "add" in a and a["add"].get("dataChange"):
+                    ad = a["add"]
+                    pv = ad.get("partitionValues") or {}
+                    dv = ad.get("deletionVector")
+                    new_dv = set(self._dv_row_indexes(dv)) if dv else set()
+                    if ad["path"] in live_paths:
+                        # re-add of a live file: the change is exactly
+                        # the rows its DV newly masks (soft deletes)
+                        newly = new_dv - prior_dv.get(ad["path"], set())
+                        if newly:
+                            parts.append(
+                                attach(
+                                    file_rows(ad["path"], pv, dv_keep=newly),
+                                    pv, "delete", v,
+                                )
+                            )
+                    else:
+                        parts.append(
+                            attach(
+                                file_rows(ad["path"], pv, dv_drop=new_dv or None),
+                                pv, "insert", v,
+                            )
+                        )
+                    live_paths.add(ad["path"])
+                    prior_dv[ad["path"]] = new_dv
+                elif "remove" in a and a["remove"].get("dataChange", True):
+                    rm = a["remove"]
+                    pv = rm.get("partitionValues") or {}
+                    parts.append(
+                        attach(
+                            file_rows(rm["path"], pv, dv_drop=prior_dv.get(rm["path"])),
+                            pv, "delete", v,
+                        )
+                    )
+                    live_paths.discard(rm["path"])
+        if not parts:
+            return self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        *schema.fields,
+                        T.StructField("_change_type", T.StringType()),
+                        T.StructField("_commit_version", T.IntegerType(), False),
+                    ]
+                ),
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     # ---------------------------------------------------------------- write
 
     def write(

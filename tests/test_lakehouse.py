@@ -1423,3 +1423,55 @@ def test_update_prunes_and_validates(spark, tmp_path):
     t.add_constraint("n_pos", "n >= 0")
     with pytest.raises(ValueError, match="n_pos"):
         t.update({"n": "-1"}, "k = 0")
+
+
+def test_delta_change_feed_synthesis_and_cdc_files(spark, tmp_path):
+    """CDF synthesis: appends → inserts, overwrite → deletes+inserts,
+    repeated DV deletes → only newly-masked rows; explicit cdc actions
+    take precedence over synthesis for their commit."""
+    import glob
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "cdf")
+    df = spark.createDataFrame([(i, f"r{i}") for i in range(10)], "id BIGINT, v STRING")
+    dl = DeltaLogTable(spark, td)
+    dl.write(df.filter("id < 6"), mode="append")          # v0
+    dl.delete("id IN (0, 1)")                              # v1: DV deletes
+    dl.delete("id IN (1, 2)")                              # v2: only id=2 is new
+    dl.write(df.filter("id >= 6"), mode="overwrite")       # v3: remove-all + add
+
+    ch = dl.read_changes(from_version=1)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"]) for r in ch.collect()
+    )
+    expect = sorted(
+        [(1, "delete", 0), (1, "delete", 1), (2, "delete", 2)]
+        + [(3, "delete", i) for i in (3, 4, 5)]  # survivors of the DVs
+        + [(3, "insert", i) for i in range(6, 10)]
+    )
+    assert got == expect
+
+    # cdc files short-circuit synthesis: append a commit carrying one
+    st = str(tmp_path / "cdcstage")
+    spark.createDataFrame(
+        [(99, "x", "update_postimage")], "id BIGINT, v STRING, _change_type STRING"
+    ).coalesce(1).write.parquet(st)
+    (f,) = glob.glob(os.path.join(st, "part-*.parquet"))
+    os.makedirs(os.path.join(td, "_change_data"), exist_ok=True)
+    rel = f"_change_data/cdc-{uuid.uuid4().hex}.parquet"
+    shutil.move(f, os.path.join(td, rel))
+    v = dl.latest_version() + 1
+    with open(os.path.join(td, "_delta_log", f"{v:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"operation": "UPDATE", "timestamp": 0}}) + "\n")
+        fh.write(json.dumps({"cdc": {"path": rel, "partitionValues": {}, "size": 1,
+                                     "dataChange": False}}) + "\n")
+        fh.write(json.dumps({"add": {"path": "ignored-when-cdc.parquet",
+                                     "partitionValues": {}, "size": 1,
+                                     "modificationTime": 0, "dataChange": True}}) + "\n")
+    last = dl.read_changes(from_version=v).collect()
+    assert [(r["id"], r["_change_type"]) for r in last] == [(99, "update_postimage")]

@@ -133,3 +133,20 @@ def test_decimal_sum_order_insensitive(sparkm, vals):
     ra = a.agg(dsum("v").alias("s")).collect()[0]["s"]
     rb = b.agg(dsum("v").alias("s")).collect()[0]["s"]
     assert (ra is None and rb is None) or math.isclose(ra, rb, rel_tol=0, abs_tol=0)
+
+
+@SET
+@given(
+    rows=st.lists(
+        st.integers(min_value=0, max_value=(1 << 40) - 1), max_size=300
+    )
+)
+def test_roaring64_codec_roundtrip(rows):
+    """DV bitmap codec: encode→decode is the identity on any row-index
+    set (spans multiple 16-bit containers and 32-bit buckets)."""
+    from ent_fins_lakehouse_spark.sources.roaring import (
+        roaring64_payload,
+        roaring64_rows,
+    )
+
+    assert sorted(roaring64_rows(roaring64_payload(rows))) == sorted(set(rows))
