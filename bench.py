@@ -60,6 +60,9 @@ HEADLINE = [
     "q66_tfidf_top_terms",
     "q138_quantized_ann",
     "q139_unigram_lm_quality",
+    "q158_per_source_cap",
+    "q159_sequence_packing",
+    "q160_bigram_lm_quality",
 ]
 
 
