@@ -1562,3 +1562,81 @@ def q160_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q162_group_holdout_split",
+    oracle="""
+    SELECT doc_id, source,
+           CASE WHEN CAST(('0x' || substr(md5(source || ':holdout'), 1, 15)) AS BIGINT)
+                     / 1152921504606846976.0 < 0.8
+                THEN 'train' ELSE 'heldout' END AS split
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("llm", "sampling"),
+)
+def q162_group_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/heldout split: the split key is the SOURCE,
+    not the document, so every document of a source lands on the same
+    side — near-duplicates and templated pages within a domain cannot
+    straddle the split and leak eval content into training (the
+    group-wise holdout discipline behind every honest web-corpus
+    eval). Same md5-uniform determinism as q81/q143: the assignment is
+    engine-portable, reshuffle-stable, and reproducible from the key
+    alone — no RNG state to version."""
+    docs = load_table(spark, sf_dir, "documents")
+    unif = (
+        F.conv(F.substring(F.md5(F.concat(F.col("source"), F.lit(":holdout"))), 1, 15), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.when(unif < 0.8, "train").otherwise("heldout").alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q163_source_quality_gate",
+    oracle="""
+    WITH m AS (
+      SELECT source,
+             AVG(CAST(n_chars AS DOUBLE)) AS mean_chars,
+             COUNT(*) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    kept AS (SELECT source, mean_chars, n_docs FROM m WHERE mean_chars >= 280.0)
+    SELECT d.doc_id, d.source, ROUND(k.mean_chars, 4) AS source_mean_chars
+    FROM documents d JOIN kept k USING (source)
+    ORDER BY d.doc_id
+    """,
+    tags=("llm", "quality"),
+)
+def q163_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level filtering (RefinedWeb-style): score each SOURCE by
+    an aggregate quality signal (mean document length here — the same
+    join shape carries any per-doc metric) and drop every document of
+    a failing source — curation happens at the domain granularity
+    where spam lives, not per page. Two shuffles: the per-source
+    aggregate, then the join back; the aggregate side is one row per
+    source, so AQE broadcasts it at any realistic source count (no
+    forced hint, q66's census lesson)."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.groupBy("source").agg(
+        F.avg(F.col("n_chars").cast("double")).alias("mean_chars")
+    )
+    kept = m.filter(F.col("mean_chars") >= 280.0)
+    return (
+        docs.join(kept, "source")
+        .select(
+            "doc_id",
+            "source",
+            F.round("mean_chars", 4).alias("source_mean_chars"),
+        )
+        .orderBy("doc_id")
+    )
