@@ -831,6 +831,7 @@ _ICE_MANIFEST_LIST_SCHEMA = {
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
         {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": ["null", "long"]},
         {"name": "added_snapshot_id", "type": "long"},
         {"name": "added_files_count", "type": "int"},
         {"name": "existing_files_count", "type": "int"},
@@ -842,6 +843,7 @@ _ICE_MANIFEST_SCHEMA = {
     "type": "record", "name": "manifest_entry", "fields": [
         {"name": "status", "type": "int"},
         {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
         {"name": "data_file", "type": {
             "type": "record", "name": "r2", "fields": [
                 {"name": "content", "type": "int"},
@@ -849,6 +851,7 @@ _ICE_MANIFEST_SCHEMA = {
                 {"name": "file_format", "type": "string"},
                 {"name": "record_count", "type": "long"},
                 {"name": "file_size_in_bytes", "type": "long"},
+                {"name": "equality_ids", "type": ["null", {"type": "array", "items": "int"}]},
             ]}},
     ],
 }
@@ -1252,3 +1255,120 @@ def q161_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl.write(sup.filter(F.col("s_suppkey") > 50), mode="append")
     dl.delete("s_suppkey % 3 = 0")
     return dl.read_changes(from_version=1).orderBy("_commit_version", "s_suppkey")
+
+
+def _iceberg_eqdelete_fixture(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    eq_col: str,
+    eq_values: list,
+    late_pred: str,
+) -> None:
+    """Iceberg v2 table with an EQUALITY delete file between two data
+    files: data A (sequence 1, rows NOT matching ``late_pred``), an
+    equality delete on ``eq_col`` ∈ eq_values (sequence 2), data B
+    (sequence 3, rows matching ``late_pred``) — so the delete masks
+    only sequence-1 rows and B survives even where it matches."""
+    import glob
+    import json
+    import shutil
+    import uuid
+
+    from ent_fins_lakehouse_spark.sources.avro_io import write_ocf
+
+    data_dir = os.path.join(table_dir, "data")
+    meta_dir = os.path.join(table_dir, "metadata")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir)
+
+    def stage(part: DataFrame) -> str:
+        st = tempfile.mkdtemp()
+        part.coalesce(1).write.mode("overwrite").parquet(st)
+        (f,) = sorted(glob.glob(os.path.join(st, "part-*.parquet")))
+        dest = os.path.join(data_dir, f"{uuid.uuid4().hex}.parquet")
+        shutil.move(f, dest)
+        shutil.rmtree(st, ignore_errors=True)
+        return dest
+
+    ice_fields = [
+        {"id": i + 1, "name": f.name, "required": False,
+         "type": _ICE_TYPES[repr(f.dataType)]}
+        for i, f in enumerate(df.schema.fields)
+    ]
+    eq_id = next(fl["id"] for fl in ice_fields if fl["name"] == eq_col)
+
+    a = stage(df.filter(f"NOT ({late_pred})"))
+    b = stage(df.filter(late_pred))
+    del_path = stage(
+        spark.createDataFrame([(v,) for v in eq_values], df.select(eq_col).schema)
+    )
+
+    def manifest(tag: str, fpath: str, content: int, ids=None) -> str:
+        mpath = os.path.join(meta_dir, f"manifest-{tag}.avro")
+        write_ocf(mpath, _ICE_MANIFEST_SCHEMA, [
+            {"status": 1, "snapshot_id": 301, "data_file": {
+                "content": content, "file_path": fpath, "file_format": "PARQUET",
+                "record_count": 0, "file_size_in_bytes": os.path.getsize(fpath),
+                "equality_ids": ids}}
+        ])
+        return mpath
+
+    def lrow(mpath: str, content: int, seq: int) -> dict:
+        return {"manifest_path": mpath, "manifest_length": 1,
+                "partition_spec_id": 0, "content": content,
+                "sequence_number": seq, "added_snapshot_id": 301,
+                "added_files_count": 1, "existing_files_count": 0,
+                "deleted_files_count": 0}
+
+    mlist = os.path.join(meta_dir, "snap-301.avro")
+    write_ocf(mlist, _ICE_MANIFEST_LIST_SCHEMA, [
+        lrow(manifest("a", a, 0), 0, 1),
+        lrow(manifest("del", del_path, 2, ids=[eq_id]), 1, 2),
+        lrow(manifest("b", b, 0), 0, 3),
+    ])
+    meta = {
+        "format-version": 2, "table-uuid": str(uuid.uuid4()), "location": table_dir,
+        "last-sequence-number": 3, "last-updated-ms": 0,
+        "last-column-id": len(ice_fields), "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": ice_fields}],
+        "default-spec-id": 0, "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999, "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": 301,
+        "snapshots": [{"snapshot-id": 301, "sequence-number": 3, "timestamp-ms": 0,
+                       "manifest-list": mlist, "summary": {"operation": "overwrite"}}],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+
+@query(
+    "q164_iceberg_equality_deletes",
+    oracle="""
+    SELECT * FROM supplier
+    WHERE s_suppkey <= 10 OR s_nationkey NOT IN (0, 1, 2, 3, 4, 5, 6, 7)
+    ORDER BY s_suppkey
+    """,
+    tags=("lakehouse", "iceberg", "interop"),
+)
+def q164_iceberg_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 EQUALITY deletes with sequence-number semantics (the
+    shape streaming CDC writers like Flink emit): a delete file at
+    sequence S masks rows matching its equality_ids columns only in
+    data files with sequence < S. Fixture: data A (seq 1) = suppliers
+    with s_suppkey > 10; equality delete (seq 2) on s_nationkey 0-7;
+    data B (seq 3) = s_suppkey <= 10, which SURVIVES even where its
+    nationkeys match — the differential proves both the masking and
+    the strictly-before rule. Applied as a null-safe distributed
+    anti-join per delete file."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    sup = load_table(spark, sf_dir, "supplier")
+    td = _scratch("iceeqdel")
+    _iceberg_eqdelete_fixture(
+        spark, sup, td, "s_nationkey", list(range(8)), "s_suppkey <= 10"
+    )
+    return IcebergTable(spark, td).read().orderBy("s_suppkey")

@@ -19,15 +19,22 @@ Avro decoding is the in-repo pure-Python OCF reader
 (:mod:`sources.avro_io`) since neither spark-avro nor an avro package
 ships in this environment.
 
-v2 **position deletes** are applied as a fully distributed anti-join:
-data files are scanned with ``_metadata.file_path`` /
-``_metadata.row_index`` and anti-joined against the (file_path, pos)
-pairs from the snapshot's delete files — no driver materialization,
-so delete files can be arbitrarily large. Refused loudly rather than
-read wrongly: **equality deletes** (need sequence-number ordering
-semantics) and schema evolution via field-id remapping (columns are
-resolved by name; a renamed column would need the id mapping). Time
-travel via ``snapshot_id`` replays any listed snapshot.
+v2 row-level deletes are applied as fully distributed anti-joins (no
+driver materialization, so delete files can be arbitrarily large):
+
+- **position deletes**: data files scanned with
+  ``_metadata.file_path`` / ``_metadata.row_index``, anti-joined
+  against the (file_path, pos) pairs;
+- **equality deletes**: sequence-number semantics per the spec — a
+  delete file at sequence S masks rows only in data files with
+  sequence STRICTLY below S, matching null-safely on the columns
+  named by its ``equality_ids`` (field ids resolved through the
+  schema's id→name map).
+
+Refused loudly rather than read wrongly: schema evolution via
+field-id remapping (columns are resolved by name; a renamed column
+would need the id mapping). Time travel via ``snapshot_id`` replays
+any listed snapshot.
 """
 
 from __future__ import annotations
@@ -127,14 +134,19 @@ class IcebergTable:
         with open(self._metadata_file(), encoding="utf-8") as fh:
             return json.load(fh)
 
-    def schema(self, meta: dict | None = None) -> T.StructType:
+    def _ice_schema(self, meta: dict | None = None) -> dict:
         meta = meta or self.metadata()
         if "schemas" in meta:  # v2: list keyed by current-schema-id
             sid = meta["current-schema-id"]
-            ice = next(s for s in meta["schemas"] if s["schema-id"] == sid)
-        else:  # v1: single inline schema
-            ice = meta["schema"]
-        return _iceberg_type({**ice, "type": "struct"})
+            return next(s for s in meta["schemas"] if s["schema-id"] == sid)
+        return meta["schema"]  # v1: single inline schema
+
+    def schema(self, meta: dict | None = None) -> T.StructType:
+        return _iceberg_type({**self._ice_schema(meta), "type": "struct"})
+
+    def field_names_by_id(self, meta: dict | None = None) -> dict[int, str]:
+        """Top-level field-id → column name (equality_ids resolution)."""
+        return {f["id"]: f["name"] for f in self._ice_schema(meta)["fields"]}
 
     def snapshots(self) -> list[dict]:
         return list(self.metadata().get("snapshots") or [])
@@ -150,74 +162,116 @@ class IcebergTable:
 
     # -------------------------------------------------------------- read
 
-    def _files(self, snapshot_id: int | None = None) -> tuple[list[str], list[str]]:
-        """Resolve a snapshot to (data_files, position_delete_files)."""
+    def _files(self, snapshot_id: int | None = None):
+        """Resolve a snapshot to ``(data, pos_deletes, eq_deletes)``:
+        data = [(path, seq)], pos_deletes = [path],
+        eq_deletes = [(path, seq, equality_ids)]. Sequence numbers come
+        from the manifest entry or are inherited from its manifest-list
+        row (the spec's inheritance rule); v1 logs without them get 0."""
         meta = self.metadata()
         snaps = meta.get("snapshots") or []
         if not snaps:
-            return [], []
+            return [], [], []
         if snapshot_id is None:
             snapshot_id = meta["current-snapshot-id"]
             if snapshot_id in (None, -1):
-                return [], []
+                return [], [], []
         snap = next(
             (s for s in snaps if s["snapshot-id"] == snapshot_id), None
         )
         if snap is None:
             raise ValueError(f"snapshot {snapshot_id} not in {self.meta_dir}")
         _, manifests = read_ocf(self._resolve(snap["manifest-list"]))
-        data: list[str] = []
-        deletes: list[str] = []
+        data: list[tuple[str, int]] = []
+        pos_deletes: list[str] = []
+        eq_deletes: list[tuple[str, int, list[int]]] = []
         for m in manifests:
-            # manifest-list content: 0 = data manifest, 1 = deletes manifest
+            m_seq = m.get("sequence_number") or 0
             _, entries = read_ocf(self._resolve(m["manifest_path"]))
             for e in entries:
                 if e.get("status") == 2:  # DELETED entry — file removed
                     continue
+                seq = e.get("sequence_number")
+                seq = m_seq if seq is None else seq
                 df_rec = e["data_file"]
                 content = df_rec.get("content") or 0
                 fmt = (df_rec.get("file_format") or "PARQUET").upper()
                 if fmt != "PARQUET":
                     raise NotImplementedError(f"Iceberg data file format {fmt}")
+                path = self._resolve(df_rec["file_path"])
                 if content == 0:
-                    data.append(self._resolve(df_rec["file_path"]))
+                    data.append((path, seq))
                 elif content == 1:
-                    deletes.append(self._resolve(df_rec["file_path"]))
-                else:  # content == 2
-                    raise NotImplementedError(
-                        "Iceberg equality deletes are not supported by the "
-                        "read-only shim (they need sequence-number ordering "
-                        "semantics); position deletes are"
-                    )
-        return data, deletes
+                    pos_deletes.append(path)
+                else:  # content == 2: equality delete
+                    ids = df_rec.get("equality_ids")
+                    if not ids:
+                        raise ValueError(
+                            f"equality delete {path} carries no equality_ids"
+                        )
+                    eq_deletes.append((path, seq, list(ids)))
+        return data, pos_deletes, eq_deletes
 
     def data_files(self, snapshot_id: int | None = None) -> list[str]:
-        return self._files(snapshot_id)[0]
+        return [p for p, _ in self._files(snapshot_id)[0]]
 
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         schema = self.schema()
-        data, deletes = self._files(snapshot_id)
+        data, pos_deletes, eq_deletes = self._files(snapshot_id)
         if not data:
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(schema).parquet(*sorted(data))
-        if not deletes:
-            return df
-        # position deletes (spec: 'Position Delete Files' — parquet rows
-        # of (file_path, pos)): anti-join on the scan's file identity +
-        # row index. Fully distributed — delete files are a DataFrame,
-        # never driver state; AQE broadcasts them when small.
         norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
-        del_df = (
-            self.spark.read.schema("file_path STRING, pos LONG")
-            .parquet(*sorted(deletes))
-            .select(norm(F.col("file_path")).alias("_fp"), F.col("pos").alias("_ri"))
-        )
-        return (
-            df.select(
-                "*",
-                norm(F.col("_metadata.file_path")).alias("_fp"),
-                F.col("_metadata.row_index").alias("_ri"),
+        need_seq = bool(eq_deletes)
+        parts = []
+        for seq in sorted({s for _, s in data}):
+            paths = sorted(p for p, s in data if s == seq)
+            df = self.spark.read.schema(schema).parquet(*paths)
+            if pos_deletes or need_seq:
+                df = df.select(
+                    "*",
+                    norm(F.col("_metadata.file_path")).alias("_fp"),
+                    F.col("_metadata.row_index").alias("_ri"),
+                )
+            if need_seq:
+                df = df.withColumn("_seq", F.lit(seq))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if pos_deletes:
+            # position deletes (spec: 'Position Delete Files' — parquet
+            # rows of (file_path, pos)): anti-join on file identity +
+            # row index. Fully distributed — delete files stay
+            # DataFrames; AQE broadcasts them when small.
+            del_df = (
+                self.spark.read.schema("file_path STRING, pos LONG")
+                .parquet(*sorted(pos_deletes))
+                .select(norm(F.col("file_path")).alias("_fp"), F.col("pos").alias("_ri"))
             )
-            .join(del_df, ["_fp", "_ri"], "left_anti")
-            .drop("_fp", "_ri")
-        )
+            out = out.join(del_df, ["_fp", "_ri"], "left_anti")
+        # equality deletes: a delete file at sequence S masks rows only
+        # in data files with sequence < S, matching null-safely on its
+        # equality_ids columns — one distributed anti-join per delete
+        # file (delete sets are small relative to data; AQE broadcasts)
+        id_names = self.field_names_by_id() if eq_deletes else {}
+        for path, seq, ids in eq_deletes:
+            try:
+                cols = [id_names[i] for i in ids]
+            except KeyError as e:
+                raise NotImplementedError(
+                    f"equality delete {path} references unknown field id {e} "
+                    "(nested or dropped columns are not supported)"
+                ) from None
+            eq_schema = T.StructType([schema[c] for c in cols])
+            del_df = (
+                self.spark.read.schema(eq_schema)
+                .parquet(path)
+                .select(*[F.col(c).alias(f"_eq_{c}") for c in cols])
+                .distinct()
+            )
+            cond = [out["_seq"] < F.lit(seq)] + [
+                out[c].eqNullSafe(del_df[f"_eq_{c}"]) for c in cols
+            ]
+            out = out.join(del_df, on=cond, how="left_anti")
+        drop = [c for c in ("_fp", "_ri", "_seq") if c in out.columns]
+        return out.drop(*drop) if drop else out

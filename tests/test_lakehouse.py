@@ -1060,9 +1060,9 @@ def test_iceberg_read_and_time_travel(spark, tmp_path):
         t.read(snapshot_id=999)
 
 
-def test_iceberg_position_deletes_and_equality_refusal(spark, tmp_path):
-    """Position deletes anti-filter the right rows; equality deletes
-    (data_file.content=2) refuse loudly, not resurrect rows."""
+def test_iceberg_position_deletes_and_malformed_equality(spark, tmp_path):
+    """Position deletes anti-filter the right rows; an equality delete
+    without equality_ids is malformed and refuses loudly."""
     from ent_fins_lakehouse_spark.plans.lakehouse_queries import (
         _ICE_MANIFEST_SCHEMA,
         _iceberg_posdelete_fixture,
@@ -1075,7 +1075,7 @@ def test_iceberg_position_deletes_and_equality_refusal(spark, tmp_path):
     _iceberg_posdelete_fixture(spark, df, "id", td, deleted=[0, 4, 9])
     t = IcebergTable(spark, td)
     assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3, 5, 6, 7, 8]
-    # flip the delete file to an equality delete: must refuse
+    # flip the delete file to an equality delete with no equality_ids
     import glob
     import os
 
@@ -1083,8 +1083,26 @@ def test_iceberg_position_deletes_and_equality_refusal(spark, tmp_path):
     _, entries = read_ocf(mdel)
     entries[0]["data_file"]["content"] = 2
     write_ocf(mdel, _ICE_MANIFEST_SCHEMA, entries)
-    with pytest.raises(NotImplementedError, match="equality deletes"):
+    with pytest.raises(ValueError, match="no equality_ids"):
         t.read()
+
+
+def test_iceberg_equality_delete_sequence_semantics(spark, tmp_path):
+    """Equality deletes mask only data files with sequence strictly
+    below the delete's; later files survive even where they match."""
+    from ent_fins_lakehouse_spark.plans.lakehouse_queries import _iceberg_eqdelete_fixture
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    td = str(tmp_path / "iceeq")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"r{i}") for i in range(12)], "id BIGINT, k BIGINT, v STRING"
+    )
+    # early rows: id >= 6 (seq 1); delete k in (0, 1) at seq 2;
+    # late rows id < 6 (seq 3) survive even with k in (0, 1)
+    _iceberg_eqdelete_fixture(spark, df, td, "k", [0, 1], "id < 6")
+    got = sorted(r["id"] for r in IcebergTable(spark, td).read().collect())
+    early_survivors = [i for i in range(6, 12) if i % 3 == 2]
+    assert got == sorted(list(range(6)) + early_survivors)
 
 
 def test_delta_write_auto_checkpoint_bootstrap(spark, tmp_path):
