@@ -38,7 +38,11 @@ def _at_parallelism(df: DataFrame) -> DataFrame:
     pin CPU-bound narrow work — shingling, hashing, signature UDFs —
     to a couple of cores). No-op when the scan is already wide."""
     want = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
+    # partition count via the plan's input files (metadata), not
+    # df.rdd — materializing the RDD lineage object per call costs a
+    # py4j round-trip and analysis work (r4 ADVICE hygiene note)
+    n_in = len(df.inputFiles()) or 1
+    if n_in < want:
         return df.repartition(want)
     return df
 
