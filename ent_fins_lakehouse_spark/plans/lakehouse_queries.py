@@ -1372,3 +1372,191 @@ def q164_iceberg_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame
         spark, sup, td, "s_nationkey", list(range(8)), "s_suppkey <= 10"
     )
     return IcebergTable(spark, td).read().orderBy("s_suppkey")
+
+
+@query(
+    "q165_delta_log_merge",
+    oracle="""
+    WITH src AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey <= 50
+      UNION ALL
+      SELECT c_custkey + 100000, c_name, c_nationkey, c_acctbal,
+             'NEWSEGMENT' AS c_mktsegment
+      FROM customer WHERE c_custkey <= 20
+    )
+    SELECT * FROM src
+    UNION ALL
+    SELECT c.* FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.c_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+    tags=("lakehouse", "delta", "merge", "interop"),
+)
+def q165_delta_log_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE in the PUBLIC Delta log format — the reference's core cell
+    (`01-Fraud-Delta.py:235-241` WHEN MATCHED UPDATE SET * / WHEN NOT
+    MATCHED INSERT *) committed as remove/add JSON actions readable by
+    delta-spark / DuckDB / Polars. Same 50-update + 20-insert arc as
+    q30 (LakeTable), so the two paths share one oracle. Row→file
+    attribution rides `_metadata.file_path`; only matched files are
+    rewritten; joins are AQE-planned (no forced broadcast)."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    cust = load_table(spark, sf_dir, "customer")
+    dl = DeltaLogTable(spark, _scratch("dlmerge"))
+    # seed across multiple files so the file-pruned rewrite is real
+    dl.write(cust.repartition(4), mode="append")
+    updates = cust.filter(F.col("c_custkey") <= 50).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100
+    )
+    inserts = (
+        cust.filter(F.col("c_custkey") <= 20)
+        .withColumn("c_custkey", F.col("c_custkey") + 100000)
+        .withColumn("c_mktsegment", F.lit("NEWSEGMENT"))
+    )
+    dl.merge(updates.unionByName(inserts), on=["c_custkey"])
+    return dl.read().orderBy("c_custkey")
+
+
+@query(
+    "q168_delta_log_update",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey,
+           CASE WHEN s_nationkey < 10 THEN s_acctbal + 50.0 ELSE s_acctbal END
+             AS s_acctbal
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+    tags=("lakehouse", "delta", "update", "interop"),
+)
+def q168_delta_log_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone UPDATE … SET … WHERE committed to the PUBLIC Delta
+    log as remove/add actions (q156's verb, cross-format): files
+    holding matching rows are rewritten, matching rows take the
+    assignment, non-matching rows in touched files carry through, and
+    the result is interop-visible. Seeded across multiple files so the
+    file-pruned rewrite path is exercised."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    dl = DeltaLogTable(spark, _scratch("dlupd"))
+    dl.write(sup.repartition(3), mode="append")
+    dl.update({"s_acctbal": "s_acctbal + 50.0"}, "s_nationkey < 10")
+    return dl.read().orderBy("s_suppkey")
+
+
+def _delta_id_mode_fixture(spark: SparkSession, df: DataFrame, td: str) -> None:
+    """Delta table in column-mapping 'id' mode: physical parquet
+    columns named col-<n> carrying parquet FIELD IDs; the log schema
+    maps logical names to those ids (what engines defaulting to
+    id-mode — e.g. some Trino/Flink writers — produce)."""
+    import glob
+    import json
+    import shutil
+    import uuid
+
+    os.makedirs(td)
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    fields = df.schema.fields
+    # physical names + parquet field ids, stamped in-plan (alias
+    # metadata) — fully distributed, no driver materialization
+    pdf = df.select(
+        *[
+            F.col(f.name).alias(
+                f"col-{i + 1}", metadata={"parquet.field.id": i + 1}
+            )
+            for i, f in enumerate(fields)
+        ]
+    )
+    st = td + "_stage"
+    pdf.repartition(2).write.parquet(st)
+    names = []
+    for f in sorted(glob.glob(os.path.join(st, "part-*.parquet"))):
+        name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+        shutil.move(f, os.path.join(td, name))
+        names.append(name)
+    shutil.rmtree(st, ignore_errors=True)
+    log_fields = [
+        {
+            "name": f.name,
+            "type": f.dataType.jsonValue(),
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": i + 1,
+                "delta.columnMapping.physicalName": f"col-{i + 1}",
+            },
+        }
+        for i, f in enumerate(fields)
+    ]
+    log = os.path.join(td, "_delta_log")
+    os.makedirs(log)
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}})
+            + "\n"
+        )
+        fh.write(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": "idmode",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": json.dumps(
+                            {"type": "struct", "fields": log_fields}
+                        ),
+                        "partitionColumns": [],
+                        "configuration": {
+                            "delta.columnMapping.mode": "id",
+                            "delta.columnMapping.maxColumnId": str(len(fields)),
+                        },
+                        "createdTime": 0,
+                    }
+                }
+            )
+            + "\n"
+        )
+        for name in names:
+            fh.write(
+                json.dumps(
+                    {
+                        "add": {
+                            "path": name,
+                            "partitionValues": {},
+                            "size": 1,
+                            "modificationTime": 0,
+                            "dataChange": True,
+                        }
+                    }
+                )
+                + "\n"
+            )
+
+
+@query(
+    "q166_delta_id_mode_read",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+    tags=("lakehouse", "delta", "column-mapping", "interop"),
+)
+def q166_delta_id_mode_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-mapping 'id'-mode Delta reads (the last refused mapping
+    mode, VERDICT r5 missing #3): data columns resolve by parquet
+    FIELD ID via Spark's native fieldId read path — physical col-<n>
+    names in the files are ignored, logical names come from the log
+    schema's columnMapping metadata. Hash-checked against the plain
+    supplier projection."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    td = _scratch("idmode") + "_t"
+    _delta_id_mode_fixture(spark, sup, td)
+    return DeltaLogTable(spark, td).read().orderBy("s_suppkey")

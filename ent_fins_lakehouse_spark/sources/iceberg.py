@@ -92,6 +92,60 @@ def _iceberg_type(t) -> T.DataType:
     raise NotImplementedError(f"iceberg type {t!r}")
 
 
+def _decode_bound(ftype: str, b) -> object | None:
+    """Iceberg single-value serialization (spec: 'Binary single-value
+    serialization') for the bound types predicate pruning can use:
+    little-endian int/long/float/double, UTF-8 string. Anything else
+    (or a malformed payload) returns None — the file just isn't
+    pruned, which is always sound."""
+    import struct as _s
+
+    if b is None:
+        return None
+    if isinstance(b, str):
+        b = b.encode("latin-1")  # avro readers may surface bytes as str
+    try:
+        if ftype == "int":
+            return _s.unpack("<i", b)[0]
+        if ftype == "long":
+            return _s.unpack("<q", b)[0]
+        if ftype == "float":
+            return _s.unpack("<f", b)[0]
+        if ftype == "double":
+            return _s.unpack("<d", b)[0]
+        if ftype == "string":
+            return b.decode("utf-8")
+    except (ValueError, UnicodeDecodeError, _s.error):
+        return None
+    return None
+
+
+def _entry_bounds(df_rec: dict, names: dict, ftypes: dict) -> dict:
+    """``{col: [lo, hi]}`` from a manifest entry's ``lower_bounds`` /
+    ``upper_bounds`` (field-id-keyed byte maps — Avro surfaces them as
+    either a dict or a list of key/value records)."""
+
+    def as_map(x) -> dict:
+        if isinstance(x, dict):
+            return {int(k): v for k, v in x.items()}
+        return {int(kv["key"]): kv["value"] for kv in x}
+
+    lo_raw = df_rec.get("lower_bounds")
+    hi_raw = df_rec.get("upper_bounds")
+    if not lo_raw or not hi_raw:
+        return {}
+    lo_m, hi_m = as_map(lo_raw), as_map(hi_raw)
+    out: dict[str, list] = {}
+    for fid, lob in lo_m.items():
+        nm, t = names.get(fid), ftypes.get(fid)
+        if nm is None or t is None or fid not in hi_m:
+            continue
+        lo, hi = _decode_bound(t, lob), _decode_bound(t, hi_m[fid])
+        if lo is not None and hi is not None:
+            out[nm] = [lo, hi]
+    return out
+
+
 class IcebergTable:
     """Read-only snapshot reads over an Iceberg v1/v2 table directory."""
 
@@ -185,6 +239,12 @@ class IcebergTable:
         data: list[tuple[str, int]] = []
         pos_deletes: list[str] = []
         eq_deletes: list[tuple[str, int, list[int]]] = []
+        names = self.field_names_by_id(meta)
+        ftypes = {
+            f["id"]: f["type"]
+            for f in self._ice_schema(meta)["fields"]
+            if isinstance(f["type"], str)
+        }
         for m in manifests:
             m_seq = m.get("sequence_number") or 0
             _, entries = read_ocf(self._resolve(m["manifest_path"]))
@@ -200,7 +260,9 @@ class IcebergTable:
                     raise NotImplementedError(f"Iceberg data file format {fmt}")
                 path = self._resolve(df_rec["file_path"])
                 if content == 0:
-                    data.append((path, seq))
+                    data.append(
+                        (path, seq, _entry_bounds(df_rec, names, ftypes))
+                    )
                 elif content == 1:
                     pos_deletes.append(path)
                 else:  # content == 2: equality delete
@@ -213,18 +275,43 @@ class IcebergTable:
         return data, pos_deletes, eq_deletes
 
     def data_files(self, snapshot_id: int | None = None) -> list[str]:
-        return [p for p, _ in self._files(snapshot_id)[0]]
+        return [p for p, _, _ in self._files(snapshot_id)[0]]
 
-    def read(self, snapshot_id: int | None = None) -> DataFrame:
+    def scan_info(
+        self, where: str | None = None, snapshot_id: int | None = None
+    ) -> dict:
+        """How many data files a predicate scan reads vs skips via the
+        manifests' lower/upper bounds (the LakeTable / DeltaLogTable
+        ``scan_info`` surface, cross-format)."""
+        from ent_fins_lakehouse_spark.sources.skipping import prune_dirs
+
+        data, _, _ = self._files(snapshot_id)
+        stats = {p: b for p, _, b in data}
+        cand, pruned = prune_dirs(where, stats, [p for p, _, _ in data])
+        return {"n_active": len(data), "n_read": len(cand), "n_pruned": len(pruned)}
+
+    def read(
+        self, snapshot_id: int | None = None, where: str | None = None
+    ) -> DataFrame:
         schema = self.schema()
         data, pos_deletes, eq_deletes = self._files(snapshot_id)
+        if where:
+            # file skipping on manifest [lower, upper] bounds — prune
+            # only selects files; the predicate still runs as a filter
+            from ent_fins_lakehouse_spark.sources.skipping import prune_dirs
+
+            stats = {p: b for p, _, b in data}
+            cand, _pruned = prune_dirs(where, stats, [p for p, _, _ in data])
+            keep = set(cand)
+            data = [d for d in data if d[0] in keep]
         if not data:
-            return self.spark.createDataFrame([], schema)
+            empty = self.spark.createDataFrame([], schema)
+            return empty.filter(where) if where else empty
         norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
         need_seq = bool(eq_deletes)
         parts = []
-        for seq in sorted({s for _, s in data}):
-            paths = sorted(p for p, s in data if s == seq)
+        for seq in sorted({s for _, s, _ in data}):
+            paths = sorted(p for p, s, _ in data if s == seq)
             df = self.spark.read.schema(schema).parquet(*paths)
             if pos_deletes or need_seq:
                 df = df.select(
@@ -274,4 +361,5 @@ class IcebergTable:
             ]
             out = out.join(del_df, on=cond, how="left_anti")
         drop = [c for c in ("_fp", "_ri", "_seq") if c in out.columns]
-        return out.drop(*drop) if drop else out
+        out = out.drop(*drop) if drop else out
+        return out.filter(where) if where else out

@@ -402,14 +402,14 @@ class LakeTable:
                 raise ValueError("pass version_as_of OR timestamp_as_of, not both")
             if not self.exists() and DeltaLogTable(self.spark, self.path).exists():
                 dl = DeltaLogTable(self.spark, self.path)
-                out = dl.read(version_as_of=dl.version_at(timestamp_as_of))
-                return out.filter(where) if where else out
+                return dl.read(
+                    version_as_of=dl.version_at(timestamp_as_of), where=where
+                )
             version_as_of = self.version_at(timestamp_as_of)
         if not self.exists():
             dl = DeltaLogTable(self.spark, self.path)
             if dl.exists():
-                out = dl.read(version_as_of=version_as_of)
-                return out.filter(where) if where else out
+                return dl.read(version_as_of=version_as_of, where=where)
         active, schema = self._snapshot(version_as_of)
         if not active:
             if schema is None:
@@ -1022,6 +1022,52 @@ class LakeTable:
                 f"({cons}) by row {bad[0].asDict()}"
             )
 
+def _dv_row_indexes_of(table_path: str, dv: dict) -> list[int]:
+    """Resolve a deletionVector descriptor to deleted row indexes.
+    Storage types (public PROTOCOL.md): ``i`` = payload inline,
+    Base85 (RFC 1924); ``u`` = relative file whose name derives from
+    a Base85-encoded UUID (last 20 chars; any leading chars are a
+    directory prefix); ``p`` = explicit path. On-disk framing: 1-byte
+    format version, then per DV [u32 BE size][payload][u32 BE CRC] —
+    ``offset`` points at the size word, ``sizeInBytes`` is the
+    payload length.
+
+    Module-level (not a method) so executor-side decodes — see
+    :meth:`DeltaLogTable._dv_deleted_df` — pickle a plain function
+    reference, not a table object."""
+    import base64
+    import struct
+    import uuid as _uuid
+
+    from ent_fins_lakehouse_spark.sources.roaring import roaring64_rows
+
+    st = dv["storageType"]
+    if st == "i":
+        return roaring64_rows(base64.b85decode(dv["pathOrInlineDv"]))
+    if st == "u":
+        enc = dv["pathOrInlineDv"]
+        prefix, enc_uuid = enc[:-20], enc[-20:]
+        u = _uuid.UUID(bytes=base64.b85decode(enc_uuid))
+        name = f"deletion_vector_{u}.bin"
+        fpath = os.path.join(table_path, prefix, name) if prefix else os.path.join(table_path, name)
+    elif st == "p":
+        fpath = dv["pathOrInlineDv"]
+        if not os.path.isabs(fpath):
+            fpath = os.path.join(table_path, fpath)
+    else:
+        raise NotImplementedError(f"deletion vector storage type {st!r}")
+    with open(fpath, "rb") as fh:
+        blob = fh.read()
+    off = int(dv.get("offset") or 0)
+    size = int(dv["sizeInBytes"])
+    (stored,) = struct.unpack_from(">i", blob, off)
+    if stored != size:
+        raise ValueError(
+            f"DV length prefix {stored} != descriptor sizeInBytes {size} at offset {off}"
+        )
+    return roaring64_rows(blob[off + 4 : off + 4 + size])
+
+
 class DeltaLogTable:
     """Read-only interop with open-source Delta Lake tables.
 
@@ -1155,6 +1201,7 @@ class DeltaLogTable:
         schema_str: str | None = None
         part_cols: list[str] = []
         meta: dict | None = None
+        proto: dict | None = None
         start = 0
         cp = self._checkpoint()
         if cp and cp[0] <= target:
@@ -1170,7 +1217,12 @@ class DeltaLogTable:
                     part_cols = list(md["partitionColumns"] or [])
                 pr = r["protocol"] if "protocol" in cols else None
                 if pr is not None and pr["minReaderVersion"] is not None:
-                    self._check_protocol(pr.asDict())
+                    proto = {
+                        k: v
+                        for k, v in pr.asDict(recursive=True).items()
+                        if v is not None
+                    }
+                    self._check_protocol(proto)
                 a = r["add"] if "add" in cols else None
                 if a is not None and a["path"]:
                     dv = None
@@ -1179,6 +1231,9 @@ class DeltaLogTable:
                     adds[a["path"]] = {
                         "partitionValues": dict(a["partitionValues"] or {}),
                         "deletionVector": dv,
+                        # checkpoints don't carry stats — pruning just
+                        # sees "no stats" for these files (sound)
+                        "stats": None,
                     }
             start = cp[0] + 1
         versions = self._json_versions()
@@ -1200,17 +1255,23 @@ class DeltaLogTable:
                         schema_str = act["metaData"]["schemaString"]
                         part_cols = list(act["metaData"].get("partitionColumns") or [])
                     elif "protocol" in act:
-                        self._check_protocol(act["protocol"])
+                        proto = act["protocol"]
+                        self._check_protocol(proto)
                     elif "add" in act:
                         a = act["add"]
                         adds[a["path"]] = {
                             "partitionValues": a.get("partitionValues") or {},
                             "deletionVector": a.get("deletionVector"),
+                            "stats": a.get("stats"),
                         }
                     elif "remove" in act:
                         adds.pop(act["remove"]["path"], None)
         if schema_str is None:
             raise ValueError(f"no metaData action found in {self.log_path}")
+        # latest raw protocol, kept for checkpoint() to write through
+        # verbatim (a synthesized protocol would downgrade feature
+        # gates like columnMapping's (2,5) — ADVICE r5)
+        self._last_protocol = proto
         schema = T.StructType.fromJson(json.loads(schema_str))
         return adds, schema, part_cols, meta
 
@@ -1224,79 +1285,200 @@ class DeltaLogTable:
         return roaring64_rows(data)
 
     def _dv_row_indexes(self, dv: dict) -> list[int]:
-        """Resolve a deletionVector descriptor to deleted row indexes.
-        Storage types (public PROTOCOL.md): ``i`` = payload inline,
-        Base85 (RFC 1924); ``u`` = relative file whose name derives from
-        a Base85-encoded UUID (last 20 chars; any leading chars are a
-        directory prefix); ``p`` = explicit path. On-disk framing: 1-byte
-        format version, then per DV [u32 BE size][payload][u32 BE CRC] —
-        ``offset`` points at the size word, ``sizeInBytes`` is the
-        payload length."""
-        import base64
-        import struct
-        import uuid as _uuid
+        """Resolve a deletionVector descriptor to deleted row indexes
+        (driver-side convenience over :func:`_dv_row_indexes_of`)."""
+        return _dv_row_indexes_of(self.path, dv)
 
-        st = dv["storageType"]
-        if st == "i":
-            return self._roaring64_rows(base64.b85decode(dv["pathOrInlineDv"]))
-        if st == "u":
-            enc = dv["pathOrInlineDv"]
-            prefix, enc_uuid = enc[:-20], enc[-20:]
-            u = _uuid.UUID(bytes=base64.b85decode(enc_uuid))
-            name = f"deletion_vector_{u}.bin"
-            fpath = os.path.join(self.path, prefix, name) if prefix else os.path.join(self.path, name)
-        elif st == "p":
-            fpath = dv["pathOrInlineDv"]
-            if not os.path.isabs(fpath):
-                fpath = os.path.join(self.path, fpath)
-        else:
-            raise NotImplementedError(f"deletion vector storage type {st!r}")
-        with open(fpath, "rb") as fh:
-            blob = fh.read()
-        off = int(dv.get("offset") or 0)
-        size = int(dv["sizeInBytes"])
-        (stored,) = struct.unpack_from(">i", blob, off)
-        if stored != size:
-            raise ValueError(
-                f"DV length prefix {stored} != descriptor sizeInBytes {size} at offset {off}"
-            )
-        return self._roaring64_rows(blob[off + 4 : off + 4 + size])
+    #: DVs at or below this cardinality are applied as a literal
+    #: ``isin`` filter — cheap, joins nothing. Above it the indexes are
+    #: decoded ON THE EXECUTORS and anti-joined: a production DV can
+    #: mask 10^7+ rows of a large file (DVs exist precisely to avoid
+    #: rewriting big files), and a multi-million-literal ``In``
+    #: expression is a driver-memory and plan-size bomb.
+    DV_ISIN_MAX = 4096
+
+    def _dv_deleted_df(self, dv_files: list[tuple[str, dict]]) -> DataFrame:
+        """``(_fp, _ri)`` rows for every row masked by the given files'
+        deletion vectors, decoded on the EXECUTORS via ``mapInPandas``
+        over the (tiny) descriptor list — the driver never materializes
+        a large bitmap, each file's DV decodes in parallel, and the
+        read plan carries a bounded anti-join instead of literals.
+        Mirrors the Iceberg position-delete path
+        (:meth:`sources.iceberg.IcebergTable.read`)."""
+        table_path = self.path
+        desc = [(fp, json.dumps(dv)) for fp, dv in dv_files]
+        desc_df = self.spark.createDataFrame(desc, "_fp string, _dv string")
+        if len(desc) > 1:
+            desc_df = desc_df.repartition(min(len(desc), 32))
+
+        def decode(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                for fp, dvj in zip(pdf["_fp"], pdf["_dv"]):
+                    idx = _dv_row_indexes_of(table_path, json.loads(dvj))
+                    yield pd.DataFrame(
+                        {"_fp": fp, "_ri": pd.Series(idx, dtype="int64")}
+                    )
+
+        return desc_df.mapInPandas(decode, "_fp string, _ri long")
+
+    def _drop_indexes(self, df: DataFrame, ri_col: str, idxs) -> DataFrame:
+        """Drop rows whose ``ri_col`` is in ``idxs``: literal ``isin``
+        below :data:`DV_ISIN_MAX`, else a left-anti join against an
+        Arrow-built index DataFrame (bounded plan, no literal list)."""
+        idxs = sorted(idxs)
+        if len(idxs) <= self.DV_ISIN_MAX:
+            return df.filter(~F.col(ri_col).isin(idxs))
+        import pandas as pd
+
+        idf = self.spark.createDataFrame(pd.DataFrame({ri_col: pd.Series(idxs, dtype="int64")}))
+        return df.join(idf, ri_col, "left_anti")
+
+    def _keep_indexes(self, df: DataFrame, ri_col: str, idxs) -> DataFrame:
+        """Keep only rows whose ``ri_col`` is in ``idxs`` (semi-join
+        twin of :meth:`_drop_indexes`)."""
+        idxs = sorted(idxs)
+        if len(idxs) <= self.DV_ISIN_MAX:
+            return df.filter(F.col(ri_col).isin(idxs))
+        import pandas as pd
+
+        idf = self.spark.createDataFrame(pd.DataFrame({ri_col: pd.Series(idxs, dtype="int64")}))
+        return df.join(idf, ri_col, "left_semi")
 
     # ----------------------------------------------------------------- read
 
-    def read(self, version_as_of: int | None = None) -> DataFrame:
+    @staticmethod
+    def _file_stats_map(adds: dict, schema, part_cols: list[str], pmap: dict) -> dict:
+        """``{rel_path: {logical_col: [min, max]}}`` from the add
+        actions' per-file stats JSON (the numbers :meth:`write` emits
+        and every Delta writer records), plus exact single-value
+        ranges from hive ``partitionValues`` — the inputs predicate
+        file-skipping needs. Stats keys are PHYSICAL names under
+        column mapping; ``pmap`` inverts them back to logical."""
+        inv = {v: k for k, v in pmap.items()}
+        types = {f.name: f.dataType for f in schema.fields}
+
+        def typed_pv(v: str, dt) -> object | None:
+            try:
+                if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+                    return int(v)
+                if isinstance(dt, (T.FloatType, T.DoubleType)):
+                    return float(v)
+                if isinstance(dt, T.StringType):
+                    return v
+            except (TypeError, ValueError):
+                return None
+            return None
+
+        out: dict[str, dict] = {}
+        for p, info in adds.items():
+            st: dict[str, list] = {}
+            raw = info.get("stats")
+            if raw:
+                try:
+                    js = json.loads(raw)
+                except (TypeError, ValueError):
+                    js = {}
+                mins = js.get("minValues") or {}
+                maxs = js.get("maxValues") or {}
+                for pc, lo in mins.items():
+                    hi = maxs.get(pc)
+                    if hi is not None:
+                        st[inv.get(pc, pc)] = [lo, hi]
+            for c in part_cols:
+                v = info["partitionValues"].get(pmap.get(c, c))
+                if v is not None:
+                    tv = typed_pv(v, types.get(c))
+                    if tv is not None:
+                        st[c] = [tv, tv]
+            out[p] = st
+        return out
+
+    def _mapping(self, meta: dict | None, schema) -> tuple[str, dict]:
+        """(column-mapping mode, logical→physical name map)."""
+        mode = ((meta or {}).get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+
+        def pname(f: T.StructField) -> str:
+            if mode in ("name", "id"):
+                return (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
+            return f.name
+
+        return mode, {f.name: pname(f) for f in schema.fields}
+
+    def scan_info(self, where: str | None = None, version_as_of: int | None = None) -> dict:
+        """How many data files a predicate scan reads vs skips via
+        add-action stats (tests + EXPLAIN-style visibility — the
+        :class:`LakeTable` ``scan_info`` surface, cross-format)."""
+        from ent_fins_lakehouse_spark.sources.skipping import prune_dirs
+
+        adds, schema, part_cols, meta = self._snapshot(version_as_of)
+        _, pmap = self._mapping(meta, schema)
+        stats = self._file_stats_map(adds, schema, part_cols, pmap)
+        cand, pruned = prune_dirs(where, stats, sorted(adds))
+        return {"n_active": len(adds), "n_read": len(cand), "n_pruned": len(pruned)}
+
+    def read(
+        self, version_as_of: int | None = None, where: str | None = None
+    ) -> DataFrame:
         adds, schema, part_cols, meta = self._snapshot(version_as_of)
         # column mapping (spec: 'Column Mapping'): 'name' mode stores
         # each logical field's physical parquet name in the schema
         # field metadata — scan physical, project back to logical.
         # 'id' mode (parquet field-id resolution) is refused.
-        mode = ((meta or {}).get("configuration") or {}).get(
-            "delta.columnMapping.mode", "none"
-        )
-        if mode not in ("none", "name"):
+        # partitionValues are keyed by PHYSICAL name in both mapped modes
+        mode, pmap = self._mapping(meta, schema)
+        if mode not in ("none", "name", "id"):
             raise NotImplementedError(
-                f"Delta column mapping mode {mode!r} is not supported by the "
-                "shim ('name' mode is; 'id' needs parquet field-id resolution)"
+                f"Delta column mapping mode {mode!r} is not supported by the shim"
             )
-
-        def pname(f: T.StructField) -> str:
-            if mode == "name":
-                return (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
-            return f.name
-
-        pmap = {f.name: pname(f) for f in schema.fields}
         out_schema = T.StructType(
             [T.StructField(f.name, f.dataType, f.nullable) for f in schema.fields]
         )
+        if where:
+            # stats-based file skipping (the LakeTable capability,
+            # cross-format): files whose add-action [min, max] ranges
+            # — or partitionValues — cannot satisfy the predicate are
+            # never listed; the predicate still runs as a filter, so
+            # pruning only selects files, never decides rows.
+            from ent_fins_lakehouse_spark.sources.skipping import prune_dirs
+
+            stats = self._file_stats_map(adds, schema, part_cols, pmap)
+            cand, _pruned = prune_dirs(where, stats, sorted(adds))
+            adds = {p: adds[p] for p in cand}
         if not adds:
-            return self.spark.createDataFrame([], out_schema)
+            empty = self.spark.createDataFrame([], out_schema)
+            return empty.filter(where) if where else empty
         data_fields = [f for f in schema.fields if f.name not in part_cols]
-        phys = T.StructType(
-            [T.StructField(pmap[f.name], f.dataType) for f in data_fields]
-        )
+        if mode == "id":
+            # 'id' mode: resolve data columns by parquet FIELD ID, not
+            # name — Spark's native fieldId read support does exactly
+            # this when the requested schema carries parquet.field.id
+            # metadata (spec: 'Column Mapping', id mode). The scan
+            # returns LOGICAL names directly; no rename projection.
+            self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            phys = T.StructType(
+                [
+                    T.StructField(
+                        f.name,
+                        f.dataType,
+                        True,
+                        {"parquet.field.id": int((f.metadata or {})["delta.columnMapping.id"])},
+                    )
+                    for f in data_fields
+                ]
+            )
+        else:
+            phys = T.StructType(
+                [T.StructField(pmap[f.name], f.dataType) for f in data_fields]
+            )
         types = {f.name: f.dataType for f in schema.fields}
 
         def logical(df: DataFrame) -> DataFrame:
+            if mode == "id":
+                return df.select(*[f.name for f in data_fields])
             return df.select(*[F.col(pmap[f.name]).alias(f.name) for f in data_fields])
 
         def attach_parts(df: DataFrame, pv: dict) -> DataFrame:
@@ -1307,18 +1489,32 @@ class DeltaLogTable:
                 df = df.withColumn(c, F.lit(pv.get(pmap[c])).cast(types[c]))
             return df.select(*[f.name for f in schema.fields])
 
-        # group plain files by partition tuple for bulk multi-path scans;
-        # DV-bearing files are scanned per-file with the parquet
-        # row-index metadata column and anti-filtered on the decoded
-        # bitmap (the DV is KBs of control-plane data, never a shuffle)
+        # group plain files by partition tuple for bulk multi-path
+        # scans. DV-bearing files route on descriptor CARDINALITY (no
+        # decode needed to choose): small DVs decode on the driver and
+        # anti-filter via an isin literal; large DVs are scanned
+        # together with the parquet file-path / row-index metadata
+        # columns and applied as ONE distributed left-anti join against
+        # executor-decoded (_fp, _ri) rows — plan size and driver
+        # memory stay bounded no matter how many rows the bitmaps mask
+        # (a production DV can cover 10^7+ rows of one file).
         groups: dict[tuple, list[str]] = {}
         pv_of: dict[tuple, dict] = {}
         dv_parts: list[DataFrame] = []
+        big_groups: dict[tuple, list[str]] = {}
+        big_pv: dict[tuple, dict] = {}
+        big_dvs: list[tuple[str, dict]] = []
         for p, info in sorted(adds.items()):
             full = os.path.join(self.path, p)
             pv = info["partitionValues"]
-            if info["deletionVector"]:
-                deleted = self._dv_row_indexes(info["deletionVector"])
+            dv = info["deletionVector"]
+            if dv and int(dv.get("cardinality") or 0) > self.DV_ISIN_MAX:
+                key = tuple(pv.get(pmap[c]) for c in part_cols)
+                big_groups.setdefault(key, []).append(full)
+                big_pv[key] = pv
+                big_dvs.append((os.path.abspath(full), dv))
+            elif dv:
+                deleted = self._dv_row_indexes(dv)
                 df = (
                     self.spark.read.schema(phys)
                     .parquet(full)
@@ -1331,6 +1527,35 @@ class DeltaLogTable:
                 key = tuple(pv.get(pmap[c]) for c in part_cols)
                 groups.setdefault(key, []).append(full)
                 pv_of[key] = pv
+        if big_groups:
+            norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+            bparts = []
+            for key in sorted(
+                big_groups, key=lambda k: tuple("" if v is None else str(v) for v in k)
+            ):
+                lsel = (
+                    [F.col(f.name) for f in data_fields]
+                    if mode == "id"
+                    else [F.col(pmap[f.name]).alias(f.name) for f in data_fields]
+                )
+                df = (
+                    self.spark.read.schema(phys)
+                    .parquet(*sorted(big_groups[key]))
+                    .select(
+                        *lsel,
+                        norm(F.col("_metadata.file_path")).alias("_fp"),
+                        F.col("_metadata.row_index").alias("_ri"),
+                    )
+                )
+                bpv = big_pv[key]
+                for c in part_cols:
+                    df = df.withColumn(c, F.lit(bpv.get(pmap[c])).cast(types[c]))
+                bparts.append(df)
+            big = bparts[0]
+            for b in bparts[1:]:
+                big = big.unionByName(b)
+            big = big.join(self._dv_deleted_df(big_dvs), ["_fp", "_ri"], "left_anti")
+            dv_parts.append(big.select(*[f.name for f in schema.fields]))
         parts = []
         for key in sorted(groups, key=lambda k: tuple("" if v is None else str(v) for v in k)):
             df = logical(self.spark.read.schema(phys).parquet(*sorted(groups[key])))
@@ -1339,7 +1564,7 @@ class DeltaLogTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        return out.filter(where) if where else out
 
     # ------------------------------------------------------------- changes
 
@@ -1363,13 +1588,34 @@ class DeltaLogTable:
             raise ValueError(
                 f"change feed needs JSON commits {missing} (checkpointed away?)"
             )
-        _, schema, part_cols, _ = self._snapshot(to_version)
-        phys = T.StructType([f for f in schema.fields if f.name not in part_cols])
+        _, schema, part_cols, meta = self._snapshot(to_version)
+        # column mapping: same pname/pmap resolution as read() — files
+        # carry physical names, the feed returns logical ones
+        # (ADVICE r5: CDF over a name-mode table must not NULL out)
+        mode = ((meta or {}).get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if mode not in ("none", "name"):
+            raise NotImplementedError(
+                f"Delta column mapping mode {mode!r} is not supported by the "
+                "change feed ('name' mode is)"
+            )
+
+        def pname(f: T.StructField) -> str:
+            if mode == "name":
+                return (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
+            return f.name
+
+        pmap = {f.name: pname(f) for f in schema.fields}
+        data_fields = [f for f in schema.fields if f.name not in part_cols]
+        phys = T.StructType(
+            [T.StructField(pmap[f.name], f.dataType) for f in data_fields]
+        )
         types = {f.name: f.dataType for f in schema.fields}
 
         def attach(df: DataFrame, pv: dict, ctype: str, v: int) -> DataFrame:
             for c in part_cols:
-                df = df.withColumn(c, F.lit(pv.get(c)).cast(types[c]))
+                df = df.withColumn(c, F.lit(pv.get(pmap[c])).cast(types[c]))
             return df.select(
                 *[f.name for f in schema.fields],
                 F.lit(ctype).alias("_change_type"),
@@ -1380,12 +1626,16 @@ class DeltaLogTable:
             df = self.spark.read.schema(phys).parquet(os.path.join(self.path, path))
             if dv_keep is not None or dv_drop is not None:
                 df = df.select("*", F.col("_metadata.row_index").alias("_ri"))
+                # bounded-plan application: isin literal below
+                # DV_ISIN_MAX, index-DataFrame anti/semi join above
                 if dv_drop is not None:
-                    df = df.filter(~F.col("_ri").isin(list(dv_drop)))
+                    df = self._drop_indexes(df, "_ri", dv_drop)
                 if dv_keep is not None:
-                    df = df.filter(F.col("_ri").isin(list(dv_keep)))
+                    df = self._keep_indexes(df, "_ri", dv_keep)
                 df = df.drop("_ri")
-            return df
+            return df.select(
+                *[F.col(pmap[f.name]).alias(f.name) for f in data_fields]
+            )
 
         parts: list[DataFrame] = []
         # live files + their DV state as of the commit BEFORE from_version
@@ -1410,9 +1660,16 @@ class DeltaLogTable:
                     df = self.spark.read.schema(cdc_schema).parquet(
                         os.path.join(self.path, c["path"])
                     )
+                    df = df.select(
+                        *[F.col(pmap[f.name]).alias(f.name) for f in data_fields],
+                        "_change_type",
+                    )
                     for pc in part_cols:
                         df = df.withColumn(
-                            pc, F.lit((c.get("partitionValues") or {}).get(pc)).cast(types[pc])
+                            pc,
+                            F.lit(
+                                (c.get("partitionValues") or {}).get(pmap[pc])
+                            ).cast(types[pc]),
                         )
                     parts.append(
                         df.select(
@@ -1499,11 +1756,7 @@ class DeltaLogTable:
         may change the schema and re-emits ``metaData`` with the SAME
         table id. Returns the committed version.
         """
-        import glob
-        import shutil
-        import tempfile
         import time
-        import urllib.parse
         import uuid as _uuid
 
         if mode not in ("append", "overwrite"):
@@ -1516,6 +1769,17 @@ class DeltaLogTable:
         meta: dict | None = None
         if version > 0:
             existing_adds, committed_schema, committed_parts, meta = self._snapshot()
+            if ((meta or {}).get("configuration") or {}).get(
+                "delta.columnMapping.mode", "none"
+            ) != "none":
+                # writing LOGICAL column names into a column-mapped
+                # table would leave files whose physical names don't
+                # match the schema metadata — readers would see NULLs.
+                # Refuse loudly (same stance as delete()).
+                raise NotImplementedError(
+                    "writes to column-mapped Delta tables are not supported "
+                    "by the shim (files need physical column names)"
+                )
             if partition_by is None:
                 partition_by = committed_parts
             if mode == "append":
@@ -1535,48 +1799,8 @@ class DeltaLogTable:
                     )
         part_cols = list(partition_by or [])
 
-        # stage through a scratch dir so the table dir only ever gains
-        # fully-written files with collision-free names
-        st = tempfile.mkdtemp(prefix="deltaw_")
-        try:
-            w = df.write.mode("overwrite")
-            if part_cols:
-                w = w.partitionBy(*part_cols)
-            w.parquet(st)
-            now = int(time.time() * 1000)
-            adds: list[dict] = []
-            for fpath in sorted(
-                glob.glob(os.path.join(st, "**", "*.parquet"), recursive=True)
-            ):
-                rel_dir = os.path.relpath(os.path.dirname(fpath), st)
-                pv: dict[str, str | None] = {}
-                if rel_dir != ".":
-                    for comp in rel_dir.split(os.sep):
-                        k, _, val = comp.partition("=")
-                        pv[k] = (
-                            None
-                            if val == "__HIVE_DEFAULT_PARTITION__"
-                            else urllib.parse.unquote(val)
-                        )
-                name = f"part-{_uuid.uuid4().hex}.snappy.parquet"
-                rel = name if rel_dir == "." else os.path.join(rel_dir, name)
-                dest = os.path.join(self.path, rel)
-                os.makedirs(os.path.dirname(dest), exist_ok=True)
-                shutil.move(fpath, dest)
-                adds.append(
-                    {
-                        "add": {
-                            "path": rel.replace(os.sep, "/"),
-                            "partitionValues": pv,
-                            "size": os.path.getsize(dest),
-                            "modificationTime": int(os.path.getmtime(dest) * 1000),
-                            "dataChange": True,
-                            "stats": self._file_stats(dest),
-                        }
-                    }
-                )
-        finally:
-            shutil.rmtree(st, ignore_errors=True)
+        adds = self._stage_adds(df, part_cols)
+        now = int(time.time() * 1000)
 
         actions: list[dict] = [
             {
@@ -1627,6 +1851,60 @@ class DeltaLogTable:
 
         self._commit_actions(version, actions)
         return version
+
+    def _stage_adds(self, df: DataFrame, part_cols: list[str]) -> list[dict]:
+        """Write ``df``'s rows as new parquet data files under the
+        table dir (staged through a scratch dir so the table only ever
+        gains fully-written, collision-free-named files) and return the
+        corresponding ``add`` actions — hive ``partitionValues``, size,
+        footer-sourced per-file stats. Shared by :meth:`write`,
+        :meth:`update` and :meth:`merge`; the caller owns the commit."""
+        import glob
+        import shutil
+        import tempfile
+        import urllib.parse
+        import uuid as _uuid
+
+        st = tempfile.mkdtemp(prefix="deltaw_")
+        try:
+            w = df.write.mode("overwrite")
+            if part_cols:
+                w = w.partitionBy(*part_cols)
+            w.parquet(st)
+            adds: list[dict] = []
+            for fpath in sorted(
+                glob.glob(os.path.join(st, "**", "*.parquet"), recursive=True)
+            ):
+                rel_dir = os.path.relpath(os.path.dirname(fpath), st)
+                pv: dict[str, str | None] = {}
+                if rel_dir != ".":
+                    for comp in rel_dir.split(os.sep):
+                        k, _, val = comp.partition("=")
+                        pv[k] = (
+                            None
+                            if val == "__HIVE_DEFAULT_PARTITION__"
+                            else urllib.parse.unquote(val)
+                        )
+                name = f"part-{_uuid.uuid4().hex}.snappy.parquet"
+                rel = name if rel_dir == "." else os.path.join(rel_dir, name)
+                dest = os.path.join(self.path, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                shutil.move(fpath, dest)
+                adds.append(
+                    {
+                        "add": {
+                            "path": rel.replace(os.sep, "/"),
+                            "partitionValues": pv,
+                            "size": os.path.getsize(dest),
+                            "modificationTime": int(os.path.getmtime(dest) * 1000),
+                            "dataChange": True,
+                            "stats": self._file_stats(dest),
+                        }
+                    }
+                )
+            return adds
+        finally:
+            shutil.rmtree(st, ignore_errors=True)
 
     @staticmethod
     def _file_stats(path: str) -> str:
@@ -1809,6 +2087,305 @@ class DeltaLogTable:
         self._commit_actions(version, actions)
         return {"rows_deleted": rows_deleted, "files_touched": len(new_adds)}
 
+    # ------------------------------------------------------ DML (public log)
+
+    def _read_with_fp(self):
+        """Current snapshot as a DataFrame of LOGICAL columns plus
+        ``_fp`` (normalized absolute data-file path) — the row→file
+        attribution :meth:`update` / :meth:`merge` need to rewrite only
+        touched files. Deletion vectors are applied with the same
+        bounded anti-join as :meth:`read`. Column-mapped tables are
+        refused (rewritten files would carry logical names).
+
+        Returns ``(df, adds, schema, part_cols, abs_path→rel_path)``.
+        """
+        adds, schema, part_cols, meta = self._snapshot()
+        if ((meta or {}).get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        ) != "none":
+            raise NotImplementedError(
+                "DML on column-mapped Delta tables is not supported by the shim"
+            )
+        data_fields = [f for f in schema.fields if f.name not in part_cols]
+        phys = T.StructType([T.StructField(f.name, f.dataType) for f in data_fields])
+        types = {f.name: f.dataType for f in schema.fields}
+        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+        rel_of = {os.path.abspath(os.path.join(self.path, p)): p for p in adds}
+        if not adds:
+            empty = self.spark.createDataFrame(
+                [],
+                T.StructType([*schema.fields, T.StructField("_fp", T.StringType())]),
+            )
+            return empty, adds, schema, part_cols, rel_of
+        groups: dict[tuple, list[str]] = {}
+        pv_of: dict[tuple, dict] = {}
+        dv_files: list[tuple[str, dict]] = []
+        for p, info in sorted(adds.items()):
+            full = os.path.abspath(os.path.join(self.path, p))
+            pv = info["partitionValues"]
+            key = tuple(pv.get(c) for c in part_cols)
+            groups.setdefault(key, []).append(full)
+            pv_of[key] = pv
+            if info["deletionVector"]:
+                dv_files.append((full, info["deletionVector"]))
+        parts = []
+        for key in sorted(
+            groups, key=lambda k: tuple("" if v is None else str(v) for v in k)
+        ):
+            df = (
+                self.spark.read.schema(phys)
+                .parquet(*sorted(groups[key]))
+                .select(
+                    "*",
+                    norm(F.col("_metadata.file_path")).alias("_fp"),
+                    F.col("_metadata.row_index").alias("_ri"),
+                )
+            )
+            pv = pv_of[key]
+            for c in part_cols:
+                df = df.withColumn(c, F.lit(pv.get(c)).cast(types[c]))
+            parts.append(df.select(*[f.name for f in schema.fields], "_fp", "_ri"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if dv_files:
+            out = out.join(self._dv_deleted_df(dv_files), ["_fp", "_ri"], "left_anti")
+        return out.drop("_ri"), adds, schema, part_cols, rel_of
+
+    def _only_files(self, df: DataFrame, fps: list[str]) -> DataFrame:
+        """Restrict ``df`` (carrying ``_fp``) to the given files —
+        literal ``isin`` for small lists, semi-join above (file lists
+        are control-plane but can reach 10^5+ entries at scale)."""
+        if len(fps) <= 1000:
+            return df.filter(F.col("_fp").isin(fps))
+        fdf = self.spark.createDataFrame([(p,) for p in fps], "_fp string")
+        return df.join(fdf, "_fp", "left_semi")
+
+    def update(self, assignments: dict[str, str], predicate: str | None = None) -> dict:
+        """UPDATE … SET col = expr [WHERE pred] committed to the PUBLIC
+        Delta log (the verb delta-spark's ``UPDATE`` runs;
+        `/root/reference/Instructor/01-Fraud-Delta.py` models it via
+        MERGE): only files containing matching rows are rewritten —
+        matching rows take the assignments, other rows in a touched
+        file carry through unchanged, untouched files keep their
+        ``add`` actions. Commits ``remove`` (old file) + ``add``
+        (rewritten) JSON actions, so the result is visible to
+        delta-spark / DuckDB / Polars. Assignments may reference any
+        column, including partition columns (rows migrate to their new
+        hive dir on rewrite). Returns
+        ``{"files_rewritten", "rows_updated"}``."""
+        import time
+
+        df, adds, schema, part_cols, rel_of = self._read_with_fp()
+        cols = [f.name for f in schema.fields]
+        unknown = set(assignments) - set(cols)
+        if unknown:
+            raise ValueError(f"UPDATE SET targets unknown columns {sorted(unknown)}")
+        pred = F.expr(predicate) if predicate else F.lit(True)
+        touched = sorted(
+            r["_fp"] for r in df.filter(pred).select("_fp").distinct().collect()
+        )
+        if not touched:
+            return {"files_rewritten": 0, "rows_updated": 0}
+        sub = self._only_files(df, touched)
+        n_updated = sub.filter(pred).count()
+        rewritten = sub.select(
+            *[
+                (
+                    F.when(
+                        pred, F.expr(assignments[c]).cast(schema[c].dataType)
+                    ).otherwise(F.col(c))
+                    if c in assignments
+                    else F.col(c)
+                ).alias(c)
+                for c in cols
+            ]
+        )
+        new_adds = self._stage_adds(rewritten, part_cols)
+        now = int(time.time() * 1000)
+        version = self.latest_version() + 1
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "UPDATE",
+                    "operationParameters": {"predicate": predicate or "true"},
+                    "engineInfo": "ent_fins_lakehouse_spark/delta-shim",
+                }
+            },
+            *[
+                {
+                    "remove": {
+                        "path": rel_of[fp],
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                        "partitionValues": adds[rel_of[fp]]["partitionValues"],
+                    }
+                }
+                for fp in touched
+            ],
+            *new_adds,
+        ]
+        self._commit_actions(version, actions)
+        return {"files_rewritten": len(touched), "rows_updated": n_updated}
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: list[str],
+        when_matched_update_all: bool = True,
+        when_not_matched_insert_all: bool = True,
+        matched_condition: str | None = None,
+        matched_update: dict[str, str] | None = None,
+        not_matched_by_source_delete: bool = False,
+        not_matched_by_source_condition: str | None = None,
+    ) -> dict:
+        """MERGE INTO … USING source ON keys, committed to the PUBLIC
+        Delta log — the reference's single most important operation
+        (`/root/reference/Instructor/01-Fraud-Delta.py:235-241`: WHEN
+        MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *) in
+        a format delta-spark / DuckDB / Polars can read back. Clause
+        surface matches :meth:`LakeTable.merge` (conditional matched
+        update, UPDATE SET exprs over ``t``/``s`` aliases, NOT MATCHED
+        BY SOURCE DELETE).
+
+        Physical shape: row→file attribution via the parquet
+        ``_metadata.file_path`` column; only files holding matched keys
+        are rewritten (``remove``+``add`` actions), inserts and updated
+        rows land in new staged files. Joins are Spark-planned — no
+        forced broadcast; AQE picks broadcast when the source is small.
+        Returns ``{"files_rewritten"}``."""
+        import time
+
+        df, adds, schema, part_cols, rel_of = self._read_with_fp()
+        want = {f.name: f.dataType for f in schema.fields}
+        have = {f.name: f.dataType for f in source.schema.fields}
+        if sorted(have) != sorted(want) or any(have[n] != t for n, t in want.items()):
+            raise ValueError(
+                f"merge source schema {source.schema.simpleString()} does not "
+                f"match table schema {schema.simpleString()}"
+            )
+        source = source.select(*[f.name for f in schema.fields])
+        full = df.drop("_fp")
+        do_update = when_matched_update_all or matched_update is not None
+        if matched_update is not None:
+            unknown = set(matched_update) - set(want)
+            if unknown:
+                raise ValueError(f"UPDATE SET targets unknown columns {sorted(unknown)}")
+            if set(matched_update) & set(on):
+                raise ValueError("UPDATE SET cannot reassign MERGE key columns")
+        if do_update:
+            # Delta errors when one target row matches multiple source
+            # rows (nondeterministic update) — same refusal here
+            dup_keys = (
+                source.groupBy(*on)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .drop("_n")
+            )
+            dup_matched = (
+                dup_keys.join(full.select(*on).distinct(), on=on, how="left_semi")
+                .limit(1)
+                .collect()
+            )
+            if dup_matched:
+                raise ValueError(
+                    f"MERGE source has multiple rows for key "
+                    f"{dup_matched[0].asDict()} matching the target — "
+                    "dedup the source change feed before merging"
+                )
+        keys = source.select(*on).distinct()
+        if not_matched_by_source_delete:
+            touched = sorted(rel_of)  # any file may hold unmatched rows
+        else:
+            touched = sorted(
+                r["_fp"]
+                for r in df.join(keys, on=on, how="left_semi")
+                .select("_fp")
+                .distinct()
+                .collect()
+            )
+        tdf = self._only_files(df, touched).drop("_fp") if touched else None
+        upd_keys = keys
+        if do_update and matched_condition and tdf is not None:
+            upd_keys = (
+                tdf.alias("t")
+                .join(source.alias("s"), on=on, how="inner")
+                .filter(F.expr(matched_condition))
+                .select(*on)
+                .distinct()
+            )
+        parts: list[DataFrame] = []
+        if tdf is not None:
+            kept = tdf.join(upd_keys, on=on, how="left_anti") if do_update else tdf
+            if not_matched_by_source_delete:
+                kept_matched = kept.join(keys, on=on, how="left_semi")
+                if not_matched_by_source_condition:
+                    survivors = (
+                        kept.join(keys, on=on, how="left_anti")
+                        .alias("t")
+                        .filter(~F.expr(not_matched_by_source_condition))
+                    )
+                    kept = kept_matched.unionByName(survivors)
+                else:
+                    kept = kept_matched
+            parts.append(kept)
+        if do_update:
+            if matched_update is not None:
+                if tdf is not None:
+                    joined = tdf.alias("t").join(source.alias("s"), on=on, how="inner")
+                    if matched_condition:
+                        joined = joined.filter(F.expr(matched_condition))
+                    parts.append(
+                        joined.select(
+                            *[
+                                F.expr(matched_update[f.name]).cast(f.dataType).alias(f.name)
+                                if f.name in matched_update
+                                else F.col(f"t.{f.name}").alias(f.name)
+                                for f in schema.fields
+                            ]
+                        )
+                    )
+            else:
+                matched_src = source.join(full.select(*on).distinct(), on=on, how="left_semi")
+                if matched_condition:
+                    matched_src = matched_src.join(upd_keys, on=on, how="left_semi")
+                parts.append(matched_src)
+        if when_not_matched_insert_all:
+            parts.append(source.join(full.select(*on).distinct(), on=on, how="left_anti"))
+        if not parts:
+            return {"files_rewritten": 0}
+        combined = parts[0]
+        for p in parts[1:]:
+            combined = combined.unionByName(p)
+        new_adds = self._stage_adds(combined, part_cols)
+        now = int(time.time() * 1000)
+        version = self.latest_version() + 1
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "MERGE",
+                    "operationParameters": {"predicate": json.dumps(on)},
+                    "engineInfo": "ent_fins_lakehouse_spark/delta-shim",
+                }
+            },
+            *[
+                {
+                    "remove": {
+                        "path": rel_of[fp],
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                        "partitionValues": adds[rel_of[fp]]["partitionValues"],
+                    }
+                }
+                for fp in touched
+            ],
+            *new_adds,
+        ]
+        self._commit_actions(version, actions)
+        return {"files_rewritten": len(touched)}
+
     #: checkpoint cadence for engine-written logs (delta-spark's default)
     CHECKPOINT_INTERVAL = 10
 
@@ -1829,8 +2406,15 @@ class DeltaLogTable:
         if meta is None:
             raise ValueError("cannot checkpoint a log with no metaData action")
         has_dv = any(info.get("deletionVector") for info in adds.values())
+        # the log's actual latest protocol (tracked by _snapshot) is
+        # written through verbatim — synthesizing one from DV presence
+        # would downgrade other reader features (e.g. columnMapping)
+        proto = getattr(self, "_last_protocol", None)
+        has_feats = has_dv or bool(
+            proto and (proto.get("readerFeatures") or proto.get("writerFeatures"))
+        )
         proto_fields = [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
-        if has_dv:
+        if has_feats:
             proto_fields += [
                 ("readerFeatures", pa.list_(pa.string())),
                 ("writerFeatures", pa.list_(pa.string())),
@@ -1865,14 +2449,23 @@ class DeltaLogTable:
                 ]))
             )
         add_t = pa.struct(add_fields)
-        # DV protocol features must survive into the checkpoint, or a
-        # bootstrap read would skip the feature check
-        proto_row = (
-            {"minReaderVersion": 3, "minWriterVersion": 7,
-             "readerFeatures": ["deletionVectors"], "writerFeatures": ["deletionVectors"]}
-            if has_dv
-            else {"minReaderVersion": 1, "minWriterVersion": 2}
-        )
+        if proto is not None:
+            proto_row = {
+                "minReaderVersion": proto.get("minReaderVersion"),
+                "minWriterVersion": proto.get("minWriterVersion"),
+            }
+            if has_feats:
+                proto_row["readerFeatures"] = proto.get("readerFeatures")
+                proto_row["writerFeatures"] = proto.get("writerFeatures")
+        else:
+            # legacy logs with no protocol action: minimal synthesis
+            # (DV features must still survive the bootstrap)
+            proto_row = (
+                {"minReaderVersion": 3, "minWriterVersion": 7,
+                 "readerFeatures": ["deletionVectors"], "writerFeatures": ["deletionVectors"]}
+                if has_dv
+                else {"minReaderVersion": 1, "minWriterVersion": 2}
+            )
         rows = [
             {"protocol": proto_row, "metaData": None, "add": None},
             {

@@ -10,13 +10,17 @@ converting it:
 
     spark.readStream.format("delta_stream").option("path", p).load()
 
-Offsets are Delta versions; each microbatch covers the ``add`` actions
-of commits in (start, end] — exactly-once because the log is
-append-only with dense versions. Commits that ``remove`` files or
-attach deletion vectors are REWRITES of already-streamed data and
-abort the stream unless ``ignoreChanges=true`` (Delta's own streaming
-contract). Partition columns (absent from the physical parquet) are
-re-attached per file from the add action's ``partitionValues``.
+Offsets are Delta versions. The FIRST microbatch is the table's
+INITIAL SNAPSHOT — the reconciled current state (adds minus removes,
+deletion vectors applied), never a replay of files removed before the
+stream started — matching Delta's streaming semantics; subsequent
+microbatches cover the ``add`` actions of commits in (start, end] —
+exactly-once because the log is append-only with dense versions.
+Post-snapshot commits that ``remove`` files or attach deletion
+vectors are REWRITES of already-streamed data and abort the stream
+unless ``ignoreChanges=true`` (Delta's own streaming contract).
+Partition columns (absent from the physical parquet) are re-attached
+per file from the add action's ``partitionValues``.
 
 One InputPartition per added data file; read() yields pyarrow
 RecordBatches (Arrow fast path, bounded memory). Classes live in a
@@ -64,11 +68,22 @@ def make_delta_stream_source():
         return meta
 
     class FilePartition(InputPartition):
-        def __init__(self, abs_path: str, pv: dict, schema_json: str, part_cols: list[str]):
+        def __init__(
+            self,
+            abs_path: str,
+            pv: dict,
+            schema_json: str,
+            part_cols: list[str],
+            deleted: tuple = (),
+        ):
             self.abs_path = abs_path
             self.pv = pv
             self.schema_json = schema_json
             self.part_cols = part_cols
+            # file-local row indexes masked by a deletion vector
+            # (initial snapshot only; decoded driver-side, filtered
+            # executor-side with numpy — no repo import on workers)
+            self.deleted = deleted
 
     class DeltaStreamReader(DataSourceStreamReader):
         def __init__(self, table_path: str, ignore_changes: bool):
@@ -89,6 +104,46 @@ def make_delta_stream_source():
             schema_json = meta["schemaString"]
             vs = version_files(self.table_path)
             parts = []
+            if lo < 0:
+                # INITIAL SNAPSHOT (Delta's streaming semantics): the
+                # first batch is the reconciled state as of `hi` — adds
+                # minus removes, deletion vectors applied — never a
+                # replay of files removed before the stream started.
+                # Historical rewrites are fine here; only commits
+                # AFTER the snapshot fall under the ignoreChanges
+                # contract.
+                live: dict[str, dict] = {}
+                for v in sorted(vs):
+                    if v > hi:
+                        break
+                    for act in actions(vs[v]):
+                        if "add" in act:
+                            live[act["add"]["path"]] = act["add"]
+                        elif "remove" in act:
+                            live.pop(act["remove"]["path"], None)
+                for path in sorted(live):
+                    a = live[path]
+                    deleted: tuple = ()
+                    if a.get("deletionVector"):
+                        # driver-side decode (partition planning runs
+                        # on the driver, where the repo is importable)
+                        from ent_fins_lakehouse_spark.sources.lakehouse import (
+                            _dv_row_indexes_of,
+                        )
+
+                        deleted = tuple(
+                            _dv_row_indexes_of(self.table_path, a["deletionVector"])
+                        )
+                    parts.append(
+                        FilePartition(
+                            os.path.join(self.table_path, path),
+                            a.get("partitionValues") or {},
+                            schema_json,
+                            part_cols,
+                            deleted,
+                        )
+                    )
+                return parts or [FilePartition("", {}, "", [])]
             for v in sorted(vs):
                 if not (lo < v <= hi):
                     continue
@@ -147,8 +202,26 @@ def make_delta_stream_source():
                 return pa.array([val] * n, type=at)
 
             def gen():
+                import numpy as np
+
+                darr = (
+                    np.fromiter(sorted(partition.deleted), dtype="int64")
+                    if getattr(partition, "deleted", ())
+                    else None
+                )
+                off = 0
                 pf = pq.ParquetFile(partition.abs_path)
                 for batch in pf.iter_batches():
+                    n_in = batch.num_rows
+                    if darr is not None:
+                        keep = ~np.isin(
+                            np.arange(off, off + n_in, dtype="int64"), darr
+                        )
+                        if not keep.all():
+                            batch = batch.filter(pa.array(keep))
+                    off += n_in
+                    if batch.num_rows == 0:
+                        continue
                     by_name = {
                         n: batch.column(i) for i, n in enumerate(batch.schema.names)
                     }

@@ -979,6 +979,53 @@ def test_delta_dv_inline_storage(spark, tmp_path):
     assert got == [1, 2, 4, 5, 6, 7, 8]
 
 
+def test_delta_large_dv_applied_as_anti_join(spark, tmp_path):
+    """A DV masking >=10^5 rows must reach the plan as a distributed
+    left-anti join (executor-decoded index DataFrame), never as a
+    100k-literal In expression — the literal form is a driver-memory
+    and plan-size bomb on production-size DVs (VERDICT r5 #1)."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "bigdv")
+    n = 120_000
+    df = spark.range(n).select(
+        F.col("id").cast("long").alias("id"), (F.col("id") % 7).alias("grp")
+    )
+    dl = DeltaLogTable(spark, td)
+    dl.write(df.repartition(2), mode="append")
+    res = dl.delete("id % 2 = 0")
+    assert res["rows_deleted"] == n // 2
+    out = dl.read()
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in plan, plan[:2000]
+    # a 60k-literal In-list would be hundreds of KB of plan text
+    assert len(plan) < 20_000, f"plan unexpectedly huge ({len(plan)} chars)"
+    assert out.count() == n // 2
+    assert out.filter("id % 2 = 0").count() == 0
+    # spot-check values survive exactly
+    assert sorted(r["id"] for r in out.orderBy("id").limit(3).collect()) == [1, 3, 5]
+
+
+def test_delta_small_dv_stays_literal_isin(spark, tmp_path):
+    """Below DV_ISIN_MAX the cheap isin literal path is kept — no join
+    machinery for a KB-scale bitmap."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "smalldv")
+    dl = DeltaLogTable(spark, td)
+    dl.write(
+        spark.createDataFrame([(i,) for i in range(100)], "id long").coalesce(1),
+        mode="append",
+    )
+    dl.delete("id < 10")
+    out = dl.read()
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" not in plan
+    assert out.count() == 90
+
+
 # --------------------------------------------------------------- iceberg
 
 
@@ -1316,15 +1363,332 @@ def test_delta_column_mapping_name_mode(spark, tmp_path):
     rows = sorted((r["renamed_id"], r["v"], r["k"]) for r in got.collect())
     assert rows == [(i, f"r{i}", "x") for i in range(6)]
 
-    # id mode refuses
+    # an unknown future mapping mode still refuses loudly
     with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
         fh.write(json.dumps({"metaData": {
             "id": "cmfix", "format": {"provider": "parquet", "options": {}},
             "schemaString": schema_str, "partitionColumns": ["k"],
-            "configuration": {"delta.columnMapping.mode": "id"},
+            "configuration": {"delta.columnMapping.mode": "bogus"},
             "createdTime": 0}}) + "\n")
-    with pytest.raises(NotImplementedError, match="column mapping mode 'id'"):
+    with pytest.raises(NotImplementedError, match="column mapping mode"):
         LakeTable.from_delta_log(spark, td).read()
+
+
+def test_delta_column_mapping_id_mode(spark, tmp_path):
+    """Column mapping 'id' mode: data columns resolve by parquet FIELD
+    ID (what engines that default to id-mode write), via Spark's
+    native fieldId read support — physical names in the file are
+    ignored; logical names come from the schema metadata. Includes a
+    physically-named partition column (keyed by physical name in
+    partitionValues)."""
+    import glob
+    import json
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
+
+    td = str(tmp_path / "cmid")
+    os.makedirs(td)
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    pschema = T.StructType(
+        [
+            T.StructField("col-7", T.LongType(), True, {"parquet.field.id": 1}),
+            T.StructField("col-9", T.StringType(), True, {"parquet.field.id": 2}),
+        ]
+    )
+    pdf = spark.createDataFrame([(i, f"r{i}") for i in range(6)], pschema)
+    st = str(tmp_path / "stage")
+    pdf.coalesce(1).write.parquet(st)
+    (f,) = glob.glob(os.path.join(st, "part-*.parquet"))
+    name = f"part-{_uuid.uuid4().hex}.snappy.parquet"
+    shutil.move(f, os.path.join(td, name))
+
+    fields = [
+        {"name": "renamed_id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-7"}},
+        {"name": "v", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-9"}},
+        {"name": "k", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "col-ccc"}},
+    ]
+    log = os.path.join(td, "_delta_log")
+    os.makedirs(log)
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        fh.write(json.dumps({"metaData": {
+            "id": "cmidfix", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": fields}),
+            "partitionColumns": ["k"],
+            "configuration": {"delta.columnMapping.mode": "id",
+                              "delta.columnMapping.maxColumnId": "3"},
+            "createdTime": 0}}) + "\n")
+        fh.write(json.dumps({"add": {
+            "path": name, "partitionValues": {"col-ccc": "x"}, "size": 1,
+            "modificationTime": 0, "dataChange": True}}) + "\n")
+
+    got = LakeTable.from_delta_log(spark, td).read()
+    assert got.columns == ["renamed_id", "v", "k"]
+    rows = sorted((r["renamed_id"], r["v"], r["k"]) for r in got.collect())
+    assert rows == [(i, f"r{i}", "x") for i in range(6)]
+
+
+def test_delta_log_merge_with_dv_and_clauses(spark, tmp_path):
+    """Public-format MERGE composes with a prior DV delete — masked
+    rows stay gone through the rewrite — and carries LakeTable.merge's
+    clause surface: conditional matched update (a condition-false match
+    KEEPS the target row) and NOT MATCHED BY SOURCE DELETE with a
+    condition."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "dlm")
+    dl = DeltaLogTable(spark, td)
+    seed = spark.createDataFrame(
+        [(i, 1, f"t{i}") for i in range(10)], "id LONG, ver LONG, val STRING"
+    )
+    dl.write(seed.repartition(2), mode="append")
+    dl.delete("id >= 8")  # DV masks 8, 9
+    src = spark.createDataFrame(
+        [(0, 2, "s0"), (1, 0, "s1"), (20, 5, "s20")],
+        "id LONG, ver LONG, val STRING",
+    )
+    res = dl.merge(
+        src,
+        on=["id"],
+        matched_condition="s.ver > t.ver",
+        not_matched_by_source_delete=True,
+        not_matched_by_source_condition="t.id >= 6",
+    )
+    assert res["files_rewritten"] == 2  # NOT MATCHED BY SOURCE → all files
+    rows = {r["id"]: (r["ver"], r["val"]) for r in dl.read().collect()}
+    assert rows == {
+        0: (2, "s0"),      # matched, condition true → updated
+        1: (1, "t1"),      # matched, condition false → target kept
+        2: (1, "t2"), 3: (1, "t3"), 4: (1, "t4"), 5: (1, "t5"),
+        # 6, 7: unmatched by source AND id >= 6 → deleted
+        # 8, 9: DV-deleted before the merge → stay gone
+        20: (5, "s20"),    # inserted
+    }
+    # rewritten files carry no deletion vectors
+    adds, _, _, _ = dl._snapshot()
+    assert all(info["deletionVector"] is None for info in adds.values())
+
+
+def test_delta_log_merge_update_set_exprs(spark, tmp_path):
+    """UPDATE SET col = expr over t/s aliases (matched_update) in the
+    public-format MERGE, with file-pruned rewrite: only the file
+    holding the matched key is removed/re-added."""
+    import json as _json
+    import os as _os
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "dlmu")
+    dl = DeltaLogTable(spark, td)
+    dl.write(
+        spark.createDataFrame(
+            [(i, f"t{i}") for i in range(8)], "id LONG, val STRING"
+        ).repartition(4, "id"),
+        mode="append",
+    )
+    n_files_before = len(dl._snapshot()[0])
+    src = spark.createDataFrame([(3, "s3")], "id LONG, val STRING")
+    dl.merge(
+        src,
+        on=["id"],
+        matched_update={"val": "concat(t.val, '+', s.val)"},
+        when_not_matched_insert_all=False,
+    )
+    rows = {r["id"]: r["val"] for r in dl.read().collect()}
+    assert rows[3] == "t3+s3"
+    assert all(rows[i] == f"t{i}" for i in range(8) if i != 3)
+    # pruned rewrite: exactly the touched file(s) were replaced
+    with open(
+        sorted(
+            _os.path.join(td, "_delta_log", f)
+            for f in _os.listdir(_os.path.join(td, "_delta_log"))
+            if f.endswith(".json")
+        )[-1]
+    ) as fh:
+        acts = [_json.loads(line) for line in fh]
+    removes = [a for a in acts if "remove" in a]
+    assert 1 <= len(removes) < n_files_before
+
+
+def test_delta_log_update_partition_migration(spark, tmp_path):
+    """Public-format UPDATE may reassign a partition column — rewritten
+    rows land in their new hive dir with matching partitionValues."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "dlup")
+    dl = DeltaLogTable(spark, td)
+    dl.write(
+        spark.createDataFrame(
+            [(i, "a" if i < 5 else "b") for i in range(10)], "id LONG, k STRING"
+        ),
+        mode="append",
+        partition_by=["k"],
+    )
+    res = dl.update({"k": "'z'"}, "id < 3")
+    assert res["rows_updated"] == 3
+    rows = {r["id"]: r["k"] for r in dl.read().collect()}
+    assert all(rows[i] == "z" for i in range(3))
+    assert all(rows[i] == "a" for i in range(3, 5))
+    assert all(rows[i] == "b" for i in range(5, 10))
+    adds, _, _, _ = dl._snapshot()
+    z_adds = [i for i in adds.values() if i["partitionValues"].get("k") == "z"]
+    assert z_adds, "migrated rows must carry k=z partitionValues"
+
+
+def test_delta_log_dml_refuses_column_mapped(spark, tmp_path):
+    """write/update/merge on a column-mapped table refuse loudly —
+    files written under logical names would read back as NULLs
+    (ADVICE r5 #1)."""
+    import json as _json
+    import os as _os
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "cmw")
+    _os.makedirs(_os.path.join(td, "_delta_log"))
+    schema_str = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "x",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-x",
+                    },
+                }
+            ],
+        }
+    )
+    with open(_os.path.join(td, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write(
+            _json.dumps(
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+            )
+            + "\n"
+        )
+        fh.write(
+            _json.dumps(
+                {
+                    "metaData": {
+                        "id": "cmw",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema_str,
+                        "partitionColumns": [],
+                        "configuration": {"delta.columnMapping.mode": "name"},
+                        "createdTime": 0,
+                    }
+                }
+            )
+            + "\n"
+        )
+    dl = DeltaLogTable(spark, td)
+    df = spark.createDataFrame([(1,)], "x LONG")
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        dl.write(df, mode="append")
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        dl.update({"x": "x + 1"})
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        dl.merge(df, on=["x"])
+
+
+def test_delta_checkpoint_preserves_protocol_verbatim(spark, tmp_path):
+    """checkpoint() writes the log's ACTUAL latest protocol action
+    through, not a synthesis from DV presence — a (2,5) column-mapping
+    protocol must survive the bootstrap (ADVICE r5 #3)."""
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "cpproto")
+    dl = DeltaLogTable(spark, td)
+    dl.write(spark.createDataFrame([(1,)], "x LONG"), mode="append")
+    # upgrade the protocol in a follow-up commit (no column mapping in
+    # the config, so reads stay allowed; the protocol itself is (2,5))
+    with open(_os.path.join(td, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        fh.write(
+            _json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}})
+            + "\n"
+        )
+    cp = dl.checkpoint(1)
+    rows = _pq.read_table(cp).to_pylist()
+    (proto,) = [r["protocol"] for r in rows if r["protocol"] is not None]
+    assert proto["minReaderVersion"] == 2 and proto["minWriterVersion"] == 5
+    # bootstrap from the checkpoint still reads
+    assert dl.read().count() == 1
+
+
+def test_delta_cdf_column_mapping_name_mode(spark, tmp_path):
+    """read_changes over a name-mode column-mapped table resolves
+    physical names like read() does — logical columns, real values,
+    not NULLs (ADVICE r5 #2)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "cmcdf")
+    _os.makedirs(td)
+    pdf = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(4)], "`col-aaa` BIGINT, `col-bbb` STRING"
+    )
+    st = str(tmp_path / "stage")
+    pdf.coalesce(1).write.parquet(st)
+    (f,) = _glob.glob(_os.path.join(st, "part-*.parquet"))
+    name = f"part-{_uuid.uuid4().hex}.snappy.parquet"
+    _shutil.move(f, _os.path.join(td, name))
+    schema_str = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "renamed_id", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 1,
+                              "delta.columnMapping.physicalName": "col-aaa"}},
+                {"name": "v", "type": "string", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 2,
+                              "delta.columnMapping.physicalName": "col-bbb"}},
+            ],
+        }
+    )
+    log = _os.path.join(td, "_delta_log")
+    _os.makedirs(log)
+    with open(_os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write(
+            _json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}})
+            + "\n"
+        )
+        fh.write(_json.dumps({"metaData": {
+            "id": "cmcdf", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_str, "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+            "createdTime": 0}}) + "\n")
+        fh.write(_json.dumps({"add": {
+            "path": name, "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True}}) + "\n")
+    feed = DeltaLogTable(spark, td).read_changes(from_version=0)
+    rows = sorted(
+        (r["renamed_id"], r["v"], r["_change_type"]) for r in feed.collect()
+    )
+    assert rows == [(i, f"r{i}", "insert") for i in range(4)]
 
 
 def test_delta_write_emits_file_stats(spark, tmp_path):

@@ -102,3 +102,152 @@ def test_nan_bounds_never_prune(spark, tmp_path):
         map(str, (r["x"] for r in full.collect()))
     )
     assert pruned.count() == 1  # the NaN row
+
+
+# ------------------------------------------- interop file skipping (r6)
+
+
+def test_delta_log_file_skipping(spark, tmp_path):
+    """DeltaLogTable.read(where=) consumes the add-action stats its
+    own write() emits: files whose [min, max] cannot satisfy the
+    predicate are never listed; results are unchanged (VERDICT r5
+    missing #2)."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "dskip")
+    dl = DeltaLogTable(spark, td)
+    for lo in (0, 1000, 2000):
+        dl.write(
+            spark.range(lo, lo + 1000).selectExpr("id", "id % 10 AS g").coalesce(1),
+            mode="append",
+        )
+    info = dl.scan_info("id >= 2500")
+    assert info == {"n_active": 3, "n_read": 1, "n_pruned": 2}
+    got = dl.read(where="id >= 2500")
+    assert got.count() == 500
+    assert got.count() == dl.read().filter("id >= 2500").count()
+    # unparseable predicate → no pruning, still correct
+    assert dl.scan_info("id % 2 = 0")["n_pruned"] == 0
+    assert dl.read(where="id % 2 = 0").count() == 1500
+
+
+def test_delta_log_partition_value_skipping(spark, tmp_path):
+    """Hive partitionValues act as exact single-value ranges for
+    pruning on the public-format read path."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "dskip2")
+    dl = DeltaLogTable(spark, td)
+    dl.write(
+        spark.range(100).selectExpr("id", "CAST(id % 4 AS INT) AS p"),
+        mode="append",
+        partition_by=["p"],
+    )
+    info = dl.scan_info("p = 2")
+    assert info["n_read"] < info["n_active"] and info["n_pruned"] >= 1
+    assert dl.read(where="p = 2").count() == 25
+
+
+def test_iceberg_manifest_bounds_skipping(spark, tmp_path):
+    """IcebergTable.read(where=) prunes data files via the manifests'
+    lower_bounds/upper_bounds (Iceberg single-value serialization,
+    little-endian long here); results unchanged."""
+    import glob
+    import json
+    import os
+    import shutil
+    import struct
+    import uuid
+
+    from ent_fins_lakehouse_spark.sources.avro_io import write_ocf
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    td = str(tmp_path / "iskip")
+    data_dir, meta_dir = os.path.join(td, "data"), os.path.join(td, "metadata")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir)
+
+    def stage(lo, hi):
+        st = str(tmp_path / f"st{lo}")
+        spark.range(lo, hi).selectExpr("id", "id * 2 AS v").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(st)
+        (f,) = glob.glob(os.path.join(st, "part-*.parquet"))
+        dest = os.path.join(data_dir, f"{uuid.uuid4().hex}.parquet")
+        shutil.move(f, dest)
+        return dest, lo, hi - 1
+
+    files = [stage(0, 50), stage(50, 100)]
+    kv = lambda rec: {"type": "record", "name": rec, "fields": [  # noqa: E731
+        {"name": "key", "type": "int"}, {"name": "value", "type": "bytes"}]}
+    man_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "lower_bounds",
+                     "type": ["null", {"type": "array", "items": kv("k126")}]},
+                    {"name": "upper_bounds",
+                     "type": ["null", {"type": "array", "items": kv("k129")}]},
+                ]}},
+        ],
+    }
+    mpath = os.path.join(meta_dir, "manifest-a.avro")
+    write_ocf(mpath, man_schema, [
+        {"status": 1, "snapshot_id": 101, "data_file": {
+            "content": 0, "file_path": p, "file_format": "PARQUET",
+            "record_count": 0, "file_size_in_bytes": os.path.getsize(p),
+            "lower_bounds": [{"key": 1, "value": struct.pack("<q", lo)}],
+            "upper_bounds": [{"key": 1, "value": struct.pack("<q", hi)}]}}
+        for p, lo, hi in files
+    ])
+    list_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "content", "type": "int"},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "added_snapshot_id", "type": "long"},
+        ],
+    }
+    lpath = os.path.join(meta_dir, "snap-101.avro")
+    write_ocf(lpath, list_schema, [
+        {"manifest_path": mpath, "manifest_length": os.path.getsize(mpath),
+         "partition_spec_id": 0, "content": 0, "sequence_number": 1,
+         "added_snapshot_id": 101}])
+    meta = {
+        "format-version": 2, "table-uuid": "u", "location": td,
+        "last-sequence-number": 1, "last-updated-ms": 0, "last-column-id": 2,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "v", "required": False, "type": "long"}]}],
+        "current-schema-id": 0,
+        "default-spec-id": 0, "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999, "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": 101,
+        "snapshots": [{"snapshot-id": 101, "sequence-number": 1,
+                       "timestamp-ms": 0, "manifest-list": lpath,
+                       "summary": {"operation": "append"}}],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    t = IcebergTable(spark, td)
+    info = t.scan_info("id >= 80")
+    assert info == {"n_active": 2, "n_read": 1, "n_pruned": 1}
+    got = t.read(where="id >= 80")
+    assert got.count() == 20
+    assert sorted(r["id"] for r in got.collect()) == list(range(80, 100))
+    # no predicate → everything, unchanged by the bounds machinery
+    assert t.read().count() == 100

@@ -261,7 +261,29 @@ class TestDeltaStreamSource:
         dl.write(spark.createDataFrame([(3,)], "id INT"), mode="append")
         assert sorted(self._drain(spark, src, out, ckpt)) == [1, 2, 3]
 
-    def test_rewrites_abort_without_ignore_changes(self, spark, tmp_path):
+    def test_initial_snapshot_applies_history_and_dvs(self, spark, tmp_path):
+        """A NEW stream starts from the reconciled current snapshot
+        (Delta's initial-snapshot semantics, ADVICE r5 #4): pre-stream
+        rewrites — overwrites and DV deletes — need no ignoreChanges
+        and emit no phantom rows from removed files."""
+        from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+        src = str(tmp_path / "t")
+        dl = DeltaLogTable(spark, src)
+        dl.write(spark.createDataFrame([(7,), (8,)], "id INT"), mode="append")
+        dl.write(
+            spark.createDataFrame([(i,) for i in range(6)], "id INT"),
+            mode="overwrite",  # historical rewrite BEFORE the stream
+        )
+        dl.delete("id = 2")  # DV delete BEFORE the stream
+        out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+        got = self._drain(spark, src, out, ckpt)
+        assert sorted(got) == [0, 1, 3, 4, 5]  # no 7/8 phantoms, no 2
+        # appends after the snapshot tail normally
+        dl.write(spark.createDataFrame([(9,)], "id INT"), mode="append")
+        assert sorted(self._drain(spark, src, out, ckpt)) == [0, 1, 3, 4, 5, 9]
+
+    def test_post_snapshot_rewrites_abort_without_ignore_changes(self, spark, tmp_path):
         from pyspark.errors.exceptions.captured import StreamingQueryException
 
         from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
@@ -269,11 +291,11 @@ class TestDeltaStreamSource:
         src = str(tmp_path / "t")
         dl = DeltaLogTable(spark, src)
         dl.write(spark.createDataFrame([(i,) for i in range(6)], "id INT"), mode="append")
-        dl.delete("id = 2")  # DV rewrite of already-streamed rows
         out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+        assert sorted(self._drain(spark, src, out, ckpt)) == [0, 1, 2, 3, 4, 5]
+        dl.delete("id = 2")  # DV rewrite of already-streamed rows
         with pytest.raises(StreamingQueryException, match="ignoreChanges"):
             self._drain(spark, src, out, ckpt)
         # ignoreChanges skips the DV-bearing re-add (Delta's contract)
-        out2, ckpt2 = str(tmp_path / "o2"), str(tmp_path / "c2")
-        got = self._drain(spark, src, out2, ckpt2, ignore_changes=True)
-        assert sorted(got) == [0, 1, 2, 3, 4, 5]  # original add already streamed
+        got = self._drain(spark, src, out, ckpt, ignore_changes=True)
+        assert sorted(got) == [0, 1, 2, 3, 4, 5]  # already streamed; no dupes
