@@ -1857,3 +1857,64 @@ def test_delta_change_feed_synthesis_and_cdc_files(spark, tmp_path):
                                      "modificationTime": 0, "dataChange": True}}) + "\n")
     last = dl.read_changes(from_version=v).collect()
     assert [(r["id"], r["_change_type"]) for r in last] == [(99, "update_postimage")]
+
+
+def test_iceberg_append_roundtrip_and_time_travel(spark, tmp_path):
+    """Engine Iceberg v2 appends: create (field ids 1..n), second
+    append, snapshot time travel, bounds-based skipping from the
+    writer's own manifests, schema-mismatch refusal, and O_EXCL
+    concurrent-commit loss."""
+    import os
+
+    import pytest as _pytest
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    td = str(tmp_path / "icew")
+    t = IcebergTable(spark, td)
+    s1 = t.append(spark.range(0, 50).selectExpr("id", "id * 2 AS v").coalesce(1))
+    s2 = t.append(spark.range(50, 100).selectExpr("id", "id * 2 AS v").coalesce(1))
+    assert (s1, s2) == (1, 2)
+    assert t.read().count() == 100
+    assert sorted(r["id"] for r in t.read(snapshot_id=s1).collect()) == list(range(50))
+    # writer bounds prune
+    info = t.scan_info("id >= 80")
+    assert info == {"n_active": 2, "n_read": 1, "n_pruned": 1}
+    assert t.read(where="id >= 80").count() == 20
+    # schema mismatch refuses
+    with _pytest.raises(ValueError, match="does not match"):
+        t.append(spark.range(3).selectExpr("id AS other"))
+    # a concurrent writer taking v3 makes the next commit lose loudly
+    nxt = os.path.join(td, "metadata", "v3.metadata.json")
+    with open(nxt, "w") as fh:
+        fh.write("{}")
+    with _pytest.raises(RuntimeError, match="concurrent"):
+        t.append(spark.range(100, 110).selectExpr("id", "id * 2 AS v").coalesce(1))
+    os.remove(nxt)
+
+
+def test_iceberg_append_into_external_fixture(spark, tmp_path):
+    """Appending to an EXISTING hand-built Iceberg table reuses its
+    schema/field ids and chains the prior snapshot's manifests into
+    the new manifest list (old rows + new rows all visible)."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.plans.lakehouse_queries import _iceberg_fixture
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    td = str(tmp_path / "icex")
+    df = spark.range(0, 40).select(
+        F.col("id").cast("long").alias("id"), (F.col("id") * 3).alias("v")
+    )
+    _iceberg_fixture(spark, df, td)
+    t = IcebergTable(spark, td)
+    n0 = t.read().count()
+    assert n0 == 40
+    t.append(
+        spark.range(100, 110).select(
+            F.col("id").cast("long").alias("id"), (F.col("id") * 3).alias("v")
+        ).coalesce(1)
+    )
+    got = t.read()
+    assert got.count() == n0 + 10
+    assert got.filter("id >= 100").count() == 10
