@@ -65,11 +65,22 @@ class BlockSizeExceededError(ValueError):
     """
 
 
+#: Memoized census results keyed by (semantic plan hash, key column).
+#: A repeated serving call over the same immutable table version (same
+#: logical plan) reuses the decision instead of re-running the census
+#: job. Bounded FIFO so a long session over many distinct plans can't
+#: grow it unboundedly; a table REWRITE under the same path yields a
+#: fresh file listing only on a fresh read(), i.e. a new plan → new key.
+_CENSUS_CACHE: dict[tuple[int, str], int] = {}
+_CENSUS_CACHE_MAX = 256
+
+
 def broadcast_if_small(
     dim: DataFrame,
     census_source: DataFrame,
     key: str,
     max_keys: int = DEFAULT_MAX_BROADCAST_KEYS,
+    use_cache: bool = True,
 ) -> DataFrame:
     """Census-gated broadcast hint for a vocabulary-sized dimension.
 
@@ -83,8 +94,27 @@ def broadcast_if_small(
     AQE / ``autoBroadcastJoinThreshold`` picks the join strategy from
     actual observed sizes — a shuffle join degrades gracefully where a
     forced broadcast of a 10⁹-token vocabulary would OOM.
+
+    The census is memoized per (logical-plan semantic hash, key): in a
+    hot serving loop over one table version only the FIRST call pays
+    the census job. Pass ``use_cache=False`` for sources whose plan is
+    stable but whose data mutates in place (none of ours do — lake
+    reads pin a snapshot/file list at plan time).
     """
+    cache_key = None
+    if use_cache:
+        try:
+            cache_key = (census_source.semanticHash(), key)
+        except Exception:
+            cache_key = None
+        if cache_key is not None and cache_key in _CENSUS_CACHE:
+            n = _CENSUS_CACHE[cache_key]
+            return F.broadcast(dim) if n <= max_keys else dim
     n = census_source.agg(F.approx_count_distinct(key).alias("_n")).collect()[0]["_n"]
+    if cache_key is not None:
+        if len(_CENSUS_CACHE) >= _CENSUS_CACHE_MAX:
+            _CENSUS_CACHE.pop(next(iter(_CENSUS_CACHE)))
+        _CENSUS_CACHE[cache_key] = n
     return F.broadcast(dim) if n <= max_keys else dim
 
 

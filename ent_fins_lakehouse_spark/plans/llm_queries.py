@@ -39,6 +39,38 @@ from ent_fins_lakehouse_spark.operators.similarity import (
 from ent_fins_lakehouse_spark.plans.registry import query
 from ent_fins_lakehouse_spark.sources.readers import load_table
 
+# Per-query persist registry: a query that caches an intermediate
+# (e.g. q66's tf matrix, shared by three downstream branches) swaps its
+# handle here, unpersisting the PREVIOUS invocation's cache first —
+# repeated bench/correctness runs hold at most one cached copy per key
+# instead of accumulating partitions until LRU eviction. atexit drops
+# whatever is still live at shutdown.
+_PERSISTED: dict[str, DataFrame] = {}
+_PERSIST_ATEXIT_ARMED = False
+
+
+def _swap_persist(key: str, df: DataFrame) -> DataFrame:
+    import atexit
+
+    global _PERSIST_ATEXIT_ARMED
+    prev = _PERSISTED.pop(key, None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    if not _PERSIST_ATEXIT_ARMED:
+        atexit.register(_unpersist_all)
+        _PERSIST_ATEXIT_ARMED = True
+    _PERSISTED[key] = df.persist()
+    return _PERSISTED[key]
+
+
+def _unpersist_all() -> None:
+    while _PERSISTED:
+        _, df = _PERSISTED.popitem()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass
+
 
 @query(
     "q50_exact_dedup",
@@ -392,7 +424,15 @@ def q66_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast hint is census-gated (``broadcast_if_small``): explicit
     broadcast while the vocabulary is provably small, plain join (AQE
     decides) beyond the cap. A *forced* hint at real vocab sizes would
-    OOM rather than degrade."""
+    OOM rather than degrade.
+
+    No driver-side actions beyond the (memoized) census: the
+    normalizing constant N rides a 1-row broadcast cross join (q139's
+    pattern) — countDistinct(doc_id) over the cached tf matrix, since
+    every non-blank doc contributes ≥1 non-empty token. tf stays
+    persisted only until the next q66 invocation (swap-and-unpersist +
+    atexit), so repeated bench/correctness runs hold at most one
+    cached copy instead of accumulating until LRU eviction."""
     from pyspark.sql import Window as W
     from ent_fins_lakehouse_spark.operators.blocking import broadcast_if_small
     from ent_fins_lakehouse_spark.operators.dedup import normalize_text
@@ -403,20 +443,27 @@ def q66_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.split(normalize_text("text"), " ")).alias("term"))
         .filter(F.col("term") != "")
     )
-    # persisted: tf feeds both the df aggregate and the scored join —
-    # without the barrier the explode+groupBy pipeline runs twice
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    # persisted: tf feeds the df aggregate, the consts aggregate and
+    # the scored join — without the barrier the explode+groupBy
+    # pipeline runs three times. Bounded: _swap_persist unpersists the
+    # previous invocation's handle.
+    tf = _swap_persist("q66_tf", toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
     df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    # every non-blank doc contributes >=1 non-empty token, so N comes
-    # from the cheap documents scan, not a distinct over the tf matrix
-    n_docs = docs.filter(F.trim("text") != "").count()
-    scored = tf.join(broadcast_if_small(df_, tf, "term"), "term").select(
-        "doc_id",
-        "term",
-        # rounded to 4dp: ln() is not correctly rounded and drifts by
-        # 1 ulp between JVM and libm on some inputs — raw doubles would
-        # flip rank-boundary ties and hash-mismatch the oracle
-        F.round(F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 4).alias("tfidf"),
+    consts = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(broadcast_if_small(df_, tf, "term"), "term")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            "term",
+            # rounded to 4dp: ln() is not correctly rounded and drifts
+            # by 1 ulp between JVM and libm on some inputs — raw
+            # doubles would flip rank-boundary ties and hash-mismatch
+            # the oracle
+            F.round(
+                F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0), 4
+            ).alias("tfidf"),
+        )
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (

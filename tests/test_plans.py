@@ -181,3 +181,62 @@ def test_q139_has_no_forced_vocab_broadcast(spark, qmap):
         # exactly the 1-row consts broadcast remains ("simple" mode:
         # one line per node, unlike "formatted" which repeats nodes)
         assert plan_of(df, "simple").count("BroadcastExchange") <= 1
+
+
+def test_census_is_memoized_per_plan(spark):
+    """Round-6 hygiene (r5 verdict #9): in a hot serving loop over one
+    immutable table version, only the first broadcast_if_small call
+    pays the census job — later calls reuse the memoized distinct-count
+    (keyed by the census source's semantic plan hash)."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.operators import blocking
+    from ent_fins_lakehouse_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    dim = toks.groupBy("term").agg(F.count("*").alias("tf"))
+
+    blocking._CENSUS_CACHE.clear()
+    blocking.broadcast_if_small(dim, toks, "term")
+    key = (toks.semanticHash(), "term")
+    assert key in blocking._CENSUS_CACHE, "census result not memoized"
+    true_n = blocking._CENSUS_CACHE[key]
+
+    # poison the cache: if the second call consults it (no fresh census
+    # job), the over-cap fake count must flip the decision to no-hint
+    blocking._CENSUS_CACHE[key] = blocking.DEFAULT_MAX_BROADCAST_KEYS + 1
+    undated = blocking.broadcast_if_small(dim, toks, "term")
+    with _sql_conf(
+        spark,
+        {"spark.sql.autoBroadcastJoinThreshold": "-1", "spark.sql.adaptive.enabled": "false"},
+    ):
+        p = plan_of(toks.join(undated, "term"))
+        assert "BroadcastExchange" not in p, "cached census was not consulted"
+    # …and the cached value, not the decision, is what's stored: a
+    # stricter max_keys on the same cache entry flips the other way
+    blocking._CENSUS_CACHE[key] = true_n
+    hinted = blocking.broadcast_if_small(dim, toks, "term")
+    with _sql_conf(
+        spark,
+        {"spark.sql.autoBroadcastJoinThreshold": "-1", "spark.sql.adaptive.enabled": "false"},
+    ):
+        assert "BroadcastHashJoin" in plan_of(toks.join(hinted, "term"))
+    blocking._CENSUS_CACHE.clear()
+
+
+def test_q66_persist_is_bounded_across_invocations(spark, qmap):
+    """Round-6 hygiene (r5 verdict #6): q66 persists its tf matrix for
+    three-way reuse, but repeated invocations must swap-and-unpersist —
+    at most ONE cached copy alive, and no driver-side count() actions
+    beyond the memoized census (N rides a 1-row broadcast cross join)."""
+    q66 = qmap["q66_tfidf_top_terms"]
+    jsc = spark.sparkContext._jsc.sc()
+    baseline = jsc.getPersistentRDDs().size()
+    for _ in range(3):
+        q66(spark, SF_SMOKE).count()
+    assert jsc.getPersistentRDDs().size() <= baseline + 1, (
+        "q66 accumulated cached partitions across invocations"
+    )
