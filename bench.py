@@ -63,6 +63,14 @@ HEADLINE = [
     "q158_per_source_cap",
     "q159_sequence_packing",
     "q160_bigram_lm_quality",
+    # lakehouse interop verbs (write path + DML + CDF), tracked
+    # round-over-round like the relational/LLM sets — the timing
+    # includes the table build because commit-protocol cost IS the
+    # operation's cost at scale
+    "q145_delta_log_write",
+    "q156_lake_update",
+    "q161_delta_change_feed",
+    "q165_delta_log_merge",
 ]
 
 

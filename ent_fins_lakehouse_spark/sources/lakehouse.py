@@ -1297,6 +1297,13 @@ class DeltaLogTable:
     #: expression is a driver-memory and plan-size bomb.
     DV_ISIN_MAX = 4096
 
+    #: …and at most this many files may take the isin path in one read:
+    #: each isin file is its own scan branch in the union, so the
+    #: branch count — not just the literal count — must stay bounded
+    #: (32 small-DV files = a 32-branch plan; the anti-join path scans
+    #: them all in ONE multi-path branch).
+    DV_ISIN_MAX_FILES = 4
+
     def _dv_deleted_df(self, dv_files: list[tuple[str, dict]]) -> DataFrame:
         """``(_fp, _ri)`` rows for every row masked by the given files'
         deletion vectors, decoded on the EXECUTORS via ``mapInPandas``
@@ -1490,14 +1497,30 @@ class DeltaLogTable:
             return df.select(*[f.name for f in schema.fields])
 
         # group plain files by partition tuple for bulk multi-path
-        # scans. DV-bearing files route on descriptor CARDINALITY (no
-        # decode needed to choose): small DVs decode on the driver and
-        # anti-filter via an isin literal; large DVs are scanned
-        # together with the parquet file-path / row-index metadata
-        # columns and applied as ONE distributed left-anti join against
-        # executor-decoded (_fp, _ri) rows — plan size and driver
-        # memory stay bounded no matter how many rows the bitmaps mask
-        # (a production DV can cover 10^7+ rows of one file).
+        # scans. DV-bearing files route on the PLAN-AGGREGATE cost (no
+        # decode needed to choose): the literal-isin fast path is used
+        # only when the DVs are few files AND few total rows — its cost
+        # is one scan branch per file plus one literal per deleted row,
+        # so 32 files × 2k rows each is a 64k-literal 32-branch plan
+        # even though every file is individually "small" (the round-6
+        # interop octave probe measured exactly that: 39 s of plan
+        # time at 1x). Beyond the aggregate budget, ALL DV-bearing
+        # files are scanned together with the parquet file-path /
+        # row-index metadata columns and applied as ONE distributed
+        # left-anti join against executor-decoded (_fp, _ri) rows —
+        # plan size and driver memory stay bounded no matter how many
+        # rows the bitmaps mask (a production DV can cover 10^7+ rows
+        # of one file) or how many files carry one.
+        dv_adds = {
+            p: info for p, info in adds.items() if info["deletionVector"]
+        }
+        total_dv_card = sum(
+            int(info["deletionVector"].get("cardinality") or 0)
+            for info in dv_adds.values()
+        )
+        use_isin = (
+            len(dv_adds) <= self.DV_ISIN_MAX_FILES and total_dv_card <= self.DV_ISIN_MAX
+        )
         groups: dict[tuple, list[str]] = {}
         pv_of: dict[tuple, dict] = {}
         dv_parts: list[DataFrame] = []
@@ -1508,7 +1531,7 @@ class DeltaLogTable:
             full = os.path.join(self.path, p)
             pv = info["partitionValues"]
             dv = info["deletionVector"]
-            if dv and int(dv.get("cardinality") or 0) > self.DV_ISIN_MAX:
+            if dv and not use_isin:
                 key = tuple(pv.get(pmap[c]) for c in part_cols)
                 big_groups.setdefault(key, []).append(full)
                 big_pv[key] = pv
@@ -1989,20 +2012,21 @@ class DeltaLogTable:
         plus a protocol upgrade to the ``deletionVectors`` feature on
         first use. Returns ``{"rows_deleted", "files_touched"}``.
 
-        Matching row indexes are computed distributedly per file via
-        ``_metadata.row_index``; only the matched indexes come back to
-        the driver (the bitmap must be serialized to one sidecar — the
-        same driver-side step every DV writer performs). For mass
-        deletes that touch most of a file, rewriting beats a DV; that
-        rewrite path is :class:`LakeTable`'s delete.
+        Scale shape: candidate files prune on add-action stats first;
+        matched row indexes are computed by ONE distributed job over
+        the surviving files via ``(_metadata.file_path, row_index)``;
+        each file's bitmap is merged with its prior DV and ENCODED ON
+        THE EXECUTORS (``applyInPandas`` per file), so the driver
+        receives compressed payloads — KBs per file — never one row
+        per deleted index. For mass deletes that touch most of a file,
+        rewriting beats a DV; that rewrite path is :class:`LakeTable`'s
+        delete.
         """
         import base64
         import struct
         import time
         import uuid as _uuid
         import zlib
-
-        from ent_fins_lakehouse_spark.sources.roaring import roaring64_payload
 
         adds, schema, part_cols, _meta = self._snapshot()
         if ((_meta or {}).get("configuration") or {}).get(
@@ -2015,54 +2039,141 @@ class DeltaLogTable:
         types = {f.name: f.dataType for f in schema.fields}
         version = self.latest_version() + 1
         now = int(time.time() * 1000)
-        new_adds: list[dict] = []
-        rows_deleted = 0
-        for path, info in sorted(adds.items()):
-            full = os.path.join(self.path, path)
+
+        # stats-based pruning first: files whose add-action [min,max] /
+        # partitionValues cannot match the predicate are never scanned
+        # (a delete of one day's data touches a handful of files, not
+        # the table)
+        from ent_fins_lakehouse_spark.sources.skipping import prune_dirs
+
+        _, pmap = self._mapping(_meta, schema)
+        stats = self._file_stats_map(adds, schema, part_cols, pmap)
+        cand, _ = prune_dirs(predicate, stats, sorted(adds))
+
+        # ONE distributed job computes every file's matched row indexes
+        # via (_metadata.file_path, _metadata.row_index) — not a
+        # one-job-per-file driver loop (N× scheduling + scan setup at N
+        # files). Files are grouped by partition tuple so partition
+        # columns attach as per-group literals; the groups union into a
+        # single plan and a single collect, which returns only the
+        # matched indexes (bounded by rows actually deleted — the same
+        # driver-side data every DV writer must hold to serialize the
+        # sidecar bitmaps).
+        grouped: dict[tuple, list[str]] = {}
+        for p in cand:
+            key = tuple(adds[p]["partitionValues"].get(c) for c in part_cols)
+            grouped.setdefault(key, []).append(os.path.join(self.path, p))
+        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+        parts = []
+        for key, paths in sorted(
+            grouped.items(), key=lambda kv: tuple("" if v is None else str(v) for v in kv[0])
+        ):
             df = (
                 self.spark.read.schema(phys)
-                .parquet(full)
-                .select("*", F.col("_metadata.row_index").alias("_dv_ri"))
+                .parquet(*sorted(paths))
+                .select(
+                    "*",
+                    norm(F.col("_metadata.file_path")).alias("_dv_fp"),
+                    F.col("_metadata.row_index").alias("_dv_ri"),
+                )
             )
-            for c in part_cols:
-                df = df.withColumn(c, F.lit(info["partitionValues"].get(c)).cast(types[c]))
-            prior = (
-                set(self._dv_row_indexes(info["deletionVector"]))
-                if info["deletionVector"]
-                else set()
+            for c, v in zip(part_cols, key):
+                df = df.withColumn(c, F.lit(v).cast(types[c]))
+            parts.append(df)
+        # The bitmaps are ENCODED ON THE EXECUTORS (applyInPandas per
+        # file): each file's matched indexes merge with its prior DV
+        # and serialize to a RoaringBitmap payload in the task that
+        # holds them — only the compressed payloads (KBs per file, not
+        # one Python Row per deleted row) come back to the driver,
+        # which writes the sidecars and the commit. A mass delete of
+        # 10^7 rows ships ~a few MB of bitmap, not 10^7 driver rows.
+        rel_by_full = {
+            os.path.abspath(os.path.join(self.path, p)): p for p in adds
+        }
+        desc_of = {
+            full: json.dumps(adds[rel]["deletionVector"])
+            for full, rel in rel_by_full.items()
+            if adds[rel]["deletionVector"]
+        }
+        table_path = self.path
+
+        def encode(pdf):
+            import pandas as pd
+
+            from ent_fins_lakehouse_spark.sources.roaring import (
+                roaring64_payload as rp,
+                roaring64_rows as rr,
             )
-            matched = {
-                r["_dv_ri"]
-                for r in df.filter(predicate).select("_dv_ri").collect()
-            } - prior
-            if not matched:
-                continue
-            rows_deleted += len(matched)
-            payload = roaring64_payload(sorted(prior | matched))
+
+            fp = pdf["_dv_fp"].iloc[0]
+            idx = set(int(i) for i in pdf["_dv_ri"])
+            prior: set[int] = set()
+            d = desc_of.get(fp)
+            if d is not None:
+                prior = set(_dv_row_indexes_of(table_path, json.loads(d)))
+            new = idx - prior
+            if not new:
+                return pd.DataFrame(
+                    {"_fp": [], "payload": [], "card": [], "matched": []}
+                ).astype({"_fp": str, "card": "int64", "matched": "int64"})
+            merged = sorted(idx | prior)
+            return pd.DataFrame(
+                {
+                    "_fp": [fp],
+                    "payload": [rp(merged)],
+                    "card": [len(merged)],
+                    "matched": [len(new)],
+                }
+            )
+
+        encoded = []
+        if parts:
+            scan = parts[0]
+            for p in parts[1:]:
+                scan = scan.unionByName(p)
+            encoded = (
+                scan.filter(predicate)
+                .select("_dv_fp", "_dv_ri")
+                .groupBy("_dv_fp")
+                .applyInPandas(
+                    encode, "_fp string, payload binary, card long, matched long"
+                )
+                .collect()
+            )
+
+        new_adds: list[dict] = []
+        rows_deleted = 0
+        for r in sorted(encoded, key=lambda r: r["_fp"]):
+            rel = rel_by_full[r["_fp"]]
+            info = adds[rel]
+            rows_deleted += r["matched"]
+            payload = bytes(r["payload"])
             u = _uuid.uuid4()
             with open(os.path.join(self.path, f"deletion_vector_{u}.bin"), "wb") as fh:
                 fh.write(b"\x01")
                 fh.write(struct.pack(">i", len(payload)))
                 fh.write(payload)
                 fh.write(struct.pack(">I", zlib.crc32(payload)))
-            new_adds.append(
-                {
-                    "add": {
-                        "path": path,
-                        "partitionValues": info["partitionValues"],
-                        "size": os.path.getsize(full),
-                        "modificationTime": now,
-                        "dataChange": True,
-                        "deletionVector": {
-                            "storageType": "u",
-                            "pathOrInlineDv": base64.b85encode(u.bytes).decode(),
-                            "offset": 1,
-                            "sizeInBytes": len(payload),
-                            "cardinality": len(prior | matched),
-                        },
-                    }
-                }
-            )
+            add_act = {
+                "path": rel,
+                "partitionValues": info["partitionValues"],
+                "size": os.path.getsize(r["_fp"]),
+                "modificationTime": now,
+                "dataChange": True,
+                "deletionVector": {
+                    "storageType": "u",
+                    "pathOrInlineDv": base64.b85encode(u.bytes).decode(),
+                    "offset": 1,
+                    "sizeInBytes": len(payload),
+                    "cardinality": int(r["card"]),
+                },
+            }
+            # a DV only removes rows, so the file's original min/max
+            # stats stay valid (wide) bounds — dropping them here would
+            # silently disable file skipping on every later read
+            if info.get("stats"):
+                add_act["stats"] = info["stats"]
+            new_adds.append({"add": add_act})
         if not new_adds:
             return {"rows_deleted": 0, "files_touched": 0}
         actions: list[dict] = [

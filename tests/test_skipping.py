@@ -251,3 +251,49 @@ def test_iceberg_manifest_bounds_skipping(spark, tmp_path):
     assert sorted(r["id"] for r in got.collect()) == list(range(80, 100))
     # no predicate → everything, unchanged by the bounds machinery
     assert t.read().count() == 100
+
+
+def test_dv_delete_preserves_file_stats(spark, tmp_path):
+    """The DV delete's re-add actions must carry the prior add's
+    min/max stats through (a DV only removes rows, so the original
+    bounds stay valid) — dropping them silently disables file skipping
+    on every post-delete read (caught by the r6 interop octave probe:
+    0 of 32 files skipped after a DV delete)."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "dvstats")
+    dl = DeltaLogTable(spark, td)
+    for lo in (0, 1000, 2000):
+        dl.write(spark.range(lo, lo + 1000).selectExpr("id").coalesce(1), mode="append")
+    assert dl.scan_info("id >= 2500")["n_pruned"] == 2
+    dl.delete("id % 10 = 0")  # touches every file → every add rewritten
+    info = dl.scan_info("id >= 2500")
+    assert info["n_pruned"] == 2, f"stats lost through DV re-add: {info}"
+    got = dl.read(where="id >= 2500")
+    assert got.count() == 450  # 500 minus the 50 DV-deleted
+
+
+def test_many_small_dvs_use_one_anti_join(spark, tmp_path):
+    """DV routing bounds the PLAN AGGREGATE, not each file: 16 files
+    each carrying a small DV must be applied as ONE multi-path scan +
+    ONE anti-join — not 16 isin scan branches whose union carries
+    thousands of literals (measured at 39 s of plan time for 32 files
+    before the r6 fix)."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "manydv")
+    dl = DeltaLogTable(spark, td)
+    n = 32_000
+    dl.write(
+        spark.range(n).selectExpr("id").repartitionByRange(16, "id"), mode="append"
+    )
+    dl.delete("id % 4 = 0")  # ~500 deleted per file: small per file, big in aggregate
+    out = dl.read()
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in plan, "aggregate-small DVs fell back to per-file isin"
+    assert plan.count("Relation") <= 3, (
+        f"expected one multi-path scan + the DV index source, got "
+        f"{plan.count('Relation')} relations"
+    )
+    assert out.count() == n - n // 4
+    assert out.filter("id % 4 = 0").count() == 0
