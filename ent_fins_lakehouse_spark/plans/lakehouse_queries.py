@@ -1596,3 +1596,73 @@ def q167_iceberg_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     if info["n_pruned"] < 1:
         raise AssertionError(f"writer bounds must prune files, got {info}")
     return t.read().orderBy("s_suppkey")
+
+
+@query(
+    "q169_iceberg_partitioned_append",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY o_orderkey
+    """,
+    tags=("lakehouse", "iceberg", "partitioning", "interop"),
+)
+def q169_iceberg_partitioned_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity-PARTITIONED Iceberg v2 append + partition-pruned read:
+    the writer stages hive-style (one partition tuple per data file,
+    partition columns kept IN the files per the spec — they are pruning
+    metadata, not dropped columns), records the tuple in each manifest
+    entry's r102 partition record, and the reader consumes it as an
+    exact [v, v] bound — a predicate on the partition column must prune
+    whole partitions' files (asserted) while values hash-match the
+    plain relational oracle. This is the metadata-level pruning that
+    turns a 100 TB scan into a per-partition scan."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    t = IcebergTable(spark, _scratch("icepart") + "_t")
+    t.append(orders.repartition(4), partition_by=["o_orderstatus"])
+    info = t.scan_info("o_orderstatus = 'F'")
+    if not (0 < info["n_read"] < info["n_active"]):
+        raise AssertionError(f"partition tuple must prune files, got {info}")
+    return t.read(where="o_orderstatus = 'F'").orderBy("o_orderkey")
+
+
+@query(
+    "q170_iceberg_pos_delete_write",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal
+    FROM customer
+    WHERE c_custkey % 5 <> 0 AND c_nationkey <> 3
+    ORDER BY c_custkey
+    """,
+    tags=("lakehouse", "iceberg", "delete", "interop"),
+)
+def q170_iceberg_pos_delete_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE written as Iceberg v2 POSITION-DELETE files
+    (the write half of q150's read path): two successive deletes stack
+    — the second must not re-record rows the first already masked (the
+    matched-position job anti-joins prior delete files) — no data file
+    is rewritten, and the read-back hash-matches the SQL oracle.
+    Positions are computed in ONE distributed job over stats-pruned
+    candidates and land via a distributed sorted write; the driver
+    never holds a row per deleted position."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    t = IcebergTable(spark, _scratch("icedel") + "_t")
+    t.append(cust.repartition(4))
+    n_data_files = len(t.data_files())
+    r1 = t.delete("c_custkey % 5 = 0")
+    # overlapping second delete: nation-3 rows include some % 5 == 0
+    # rows already masked — only the net-new positions may be recorded
+    r2 = t.delete("c_nationkey = 3")
+    if len(t.data_files()) != n_data_files:
+        raise AssertionError("position deletes must not rewrite data files")
+    if r1["rows_deleted"] == 0 or r2["rows_deleted"] == 0:
+        raise AssertionError(f"deletes matched nothing: {r1} {r2}")
+    return t.read().orderBy("c_custkey")

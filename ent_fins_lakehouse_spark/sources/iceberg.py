@@ -205,6 +205,17 @@ class IcebergTable:
     def snapshots(self) -> list[dict]:
         return list(self.metadata().get("snapshots") or [])
 
+    def partition_fields(self, meta: dict | None = None) -> list[dict]:
+        """Default partition-spec fields as
+        ``[{"name", "transform", "source-id", "field-id"}, …]``
+        (spec: 'Partition Specs'). Empty for unpartitioned tables."""
+        meta = meta or self.metadata()
+        spec_id = meta.get("default-spec-id", 0)
+        for spec in meta.get("partition-specs") or []:
+            if spec.get("spec-id") == spec_id:
+                return list(spec.get("fields") or [])
+        return []
+
     def _resolve(self, p: str) -> str:
         """Spec paths are absolute location-rooted URIs; tolerate
         file: prefixes and relative fixture paths."""
@@ -245,6 +256,18 @@ class IcebergTable:
             for f in self._ice_schema(meta)["fields"]
             if isinstance(f["type"], str)
         }
+        # identity-transform partition fields: the manifest entry's
+        # partition tuple pins the source column to ONE value per data
+        # file, which pruning consumes as an exact [v, v] range (the
+        # footer path skips strings — partition values are never
+        # truncated, so they prune string predicates too). Non-identity
+        # transforms (bucket/day/…) are not column values; their tuple
+        # is ignored and the file simply isn't pruned — always sound.
+        ident_parts = {
+            pf["name"]: names.get(pf["source-id"])
+            for pf in self.partition_fields(meta)
+            if pf.get("transform") == "identity"
+        }
         for m in manifests:
             m_seq = m.get("sequence_number") or 0
             _, entries = read_ocf(self._resolve(m["manifest_path"]))
@@ -260,9 +283,14 @@ class IcebergTable:
                     raise NotImplementedError(f"Iceberg data file format {fmt}")
                 path = self._resolve(df_rec["file_path"])
                 if content == 0:
-                    data.append(
-                        (path, seq, _entry_bounds(df_rec, names, ftypes))
-                    )
+                    bounds = _entry_bounds(df_rec, names, ftypes)
+                    pv = df_rec.get("partition")
+                    if pv and ident_parts:
+                        for pname, col in ident_parts.items():
+                            v = pv.get(pname) if isinstance(pv, dict) else None
+                            if col is not None and v is not None:
+                                bounds[col] = [v, v]
+                    data.append((path, seq, bounds))
                 elif content == 1:
                     pos_deletes.append(path)
                 else:  # content == 2: equality delete
@@ -405,27 +433,67 @@ class IcebergTable:
         ],
     }
 
-    def append(self, df: DataFrame) -> int:
-        """Append-only Iceberg v2 WRITE interop (VERDICT r5 missing
-        #4): stage ``df`` as parquet data files, emit an Avro manifest
-        (entries carry footer-sourced record counts and little-endian
-        lower/upper bounds, so this engine's own reads file-skip), a
-        manifest list reusing the prior snapshot's manifests, and a
-        new ``v<N>.metadata.json`` with the appended snapshot —
-        committed with O_EXCL so a concurrent writer loses loudly.
-        Creates the table (unpartitioned, field ids 1..n) when the
-        path holds none. Returns the new snapshot id.
+    #: identity-partition value types the writer can carry in the
+    #: manifest partition record (iceberg type → avro type)
+    _PART_AVRO = {"int": "int", "long": "long", "string": "string",
+                  "float": "float", "double": "double"}
+
+    def _manifest_schema(self, part_fields: list[dict], ice_schema: dict) -> dict:
+        """Manifest-entry Avro schema with the table's partition record
+        (spec: 'Manifests', field 102 ``partition`` — a record with one
+        nullable field per partition field). Unpartitioned tables keep
+        the bare shape."""
+        import copy
+
+        sch = copy.deepcopy(self._MANIFEST_SCHEMA)
+        if not part_fields:
+            return sch
+        ftypes = {f["id"]: f["type"] for f in ice_schema["fields"]}
+        pfields = []
+        for pf in part_fields:
+            t = ftypes.get(pf["source-id"])
+            if pf.get("transform") != "identity" or t not in self._PART_AVRO:
+                raise NotImplementedError(
+                    f"append to table partitioned by {pf.get('transform')}"
+                    f"({t}) — only identity over int/long/float/double/"
+                    "string is supported"
+                )
+            pfields.append(
+                {"name": pf["name"], "type": ["null", self._PART_AVRO[t]]}
+            )
+        part_rec = {"type": "record", "name": "r102", "fields": pfields}
+        for f in sch["fields"]:
+            if f["name"] == "data_file":
+                f["type"]["fields"].insert(2, {"name": "partition", "type": part_rec})
+        return sch
+
+    def append(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        """Iceberg v2 WRITE interop (VERDICT r5 missing #4): stage
+        ``df`` as parquet data files, emit an Avro manifest (entries
+        carry footer-sourced record counts, little-endian lower/upper
+        bounds, and the identity partition tuple, so this engine's own
+        reads file-skip on BOTH), a manifest list reusing the prior
+        snapshot's manifests, and a new ``v<N>.metadata.json`` with the
+        appended snapshot — committed with O_EXCL so a concurrent
+        writer loses loudly. Creates the table when the path holds none
+        (field ids 1..n; identity partition spec over ``partition_by``,
+        partition field ids 1000+). Returns the new snapshot id.
+
+        Partitioned staging follows the spec's invariants: each data file
+        belongs to exactly ONE partition tuple (hive-style staging dirs
+        guarantee it) and — unlike Hive — the partition columns remain
+        IN the data files, so reads need no literal re-attachment and
+        external readers see complete rows.
 
         Spark-first shape: data lands via one distributed
         ``df.write.parquet``; only footer metadata is read back on the
-        driver (no data scan). Overwrites/deletes stay with the Delta
-        side — the reference is Delta-only; appends close the Iceberg
-        round-trip."""
+        driver (no data scan)."""
         import glob
         import shutil
         import struct as _s
         import tempfile
         import time
+        import urllib.parse
         import uuid as _uuid
 
         import pyarrow.parquet as pq
@@ -452,6 +520,14 @@ class IcebergTable:
                     f"table schema {spark_schema.simpleString()}"
                 )
             df = df.select(*[f.name for f in spark_schema.fields])
+            part_fields = self.partition_fields(meta)
+            names = self.field_names_by_id(meta)
+            spec_cols = [names[pf["source-id"]] for pf in part_fields]
+            if partition_by is not None and list(partition_by) != spec_cols:
+                raise ValueError(
+                    f"append partition_by={partition_by} does not match the "
+                    f"table's partition spec {spec_cols}"
+                )
             snaps = list(meta.get("snapshots") or [])
             seq = int(meta.get("last-sequence-number") or 0) + 1
             snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
@@ -473,6 +549,20 @@ class IcebergTable:
                     }
                 )
             ice_schema = {"schema-id": 0, "type": "struct", "fields": fields}
+            by_name = {f["name"]: f["id"] for f in fields}
+            part_fields = []
+            for i, c in enumerate(partition_by or []):
+                if c not in by_name:
+                    raise ValueError(f"partition column {c!r} not in dataframe")
+                part_fields.append(
+                    {
+                        "name": c,
+                        "transform": "identity",
+                        "source-id": by_name[c],
+                        "field-id": 1000 + i,
+                    }
+                )
+            spec_cols = list(partition_by or [])
             meta = {
                 "format-version": 2,
                 "table-uuid": str(_uuid.uuid4()),
@@ -483,8 +573,8 @@ class IcebergTable:
                 "schemas": [ice_schema],
                 "current-schema-id": 0,
                 "default-spec-id": 0,
-                "partition-specs": [{"spec-id": 0, "fields": []}],
-                "last-partition-id": 999,
+                "partition-specs": [{"spec-id": 0, "fields": part_fields}],
+                "last-partition-id": 999 + len(part_fields),
                 "default-sort-order-id": 0,
                 "sort-orders": [{"order-id": 0, "fields": []}],
                 "current-snapshot-id": -1,
@@ -501,13 +591,59 @@ class IcebergTable:
             if isinstance(f["type"], str)
         }
 
-        # stage data files (distributed write), then footer-only stats
+        # stage data files (distributed write), then footer-only stats.
+        # Partitioned: stage via partitionBy over DUPLICATED columns —
+        # hive dirs guarantee one partition tuple per file while the
+        # real columns stay in the data (the spec's layout: partition
+        # tuples are pruning metadata, not dropped columns).
         st = tempfile.mkdtemp(prefix="icew_")
         entries: list[dict] = []
+        spark_types = {f.name: f.dataType for f in df.schema.fields}
+
+        def hive_val(c: str, raw: str):
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                return None
+            s = urllib.parse.unquote(raw)
+            dt = spark_types[c]
+            if isinstance(dt, (T.IntegerType, T.LongType)):
+                return int(s)
+            if isinstance(dt, (T.FloatType, T.DoubleType)):
+                return float(s)
+            return s
+
         try:
-            df.write.mode("overwrite").parquet(st)
-            for f in sorted(glob.glob(os.path.join(st, "part-*.parquet"))):
-                dest = os.path.join(data_dir, f"{_uuid.uuid4().hex}.parquet")
+            if spec_cols:
+                stage_df = df
+                for c in spec_cols:
+                    stage_df = stage_df.withColumn(f"__ipart_{c}", F.col(c))
+                stage_df.write.mode("overwrite").partitionBy(
+                    *[f"__ipart_{c}" for c in spec_cols]
+                ).parquet(st)
+                staged = sorted(
+                    glob.glob(os.path.join(st, *["*"] * len(spec_cols), "part-*.parquet"))
+                )
+            else:
+                df.write.mode("overwrite").parquet(st)
+                staged = sorted(glob.glob(os.path.join(st, "part-*.parquet")))
+            for f in staged:
+                pv: dict[str, object] = {}
+                if spec_cols:
+                    rel_dirs = os.path.relpath(os.path.dirname(f), st).split(os.sep)
+                    for d in rel_dirs:
+                        k, _, raw = d.partition("=")
+                        c = k[len("__ipart_") :]
+                        pv[c] = hive_val(c, raw)
+                    sub = "/".join(
+                        f"{c}={urllib.parse.quote(str(pv[c]), safe='')}"
+                        if pv[c] is not None
+                        else f"{c}=__HIVE_DEFAULT_PARTITION__"
+                        for c in spec_cols
+                    )
+                    ddir = os.path.join(data_dir, sub)
+                    os.makedirs(ddir, exist_ok=True)
+                else:
+                    ddir = data_dir
+                dest = os.path.join(ddir, f"{_uuid.uuid4().hex}.parquet")
                 shutil.move(f, dest)
                 md = pq.ParquetFile(dest).metadata
                 lo_kv, hi_kv = [], []
@@ -535,27 +671,32 @@ class IcebergTable:
                     ]
                     lo_kv.append({"key": ids[name], "value": _s.pack(fmt, lo)})
                     hi_kv.append({"key": ids[name], "value": _s.pack(fmt, maxs[name])})
+                data_file = {
+                    "content": 0,
+                    "file_path": dest,
+                    "file_format": "PARQUET",
+                    "record_count": md.num_rows,
+                    "file_size_in_bytes": os.path.getsize(dest),
+                    "lower_bounds": lo_kv or None,
+                    "upper_bounds": hi_kv or None,
+                }
+                if spec_cols:
+                    data_file["partition"] = {
+                        pf["name"]: pv.get(pf["name"]) for pf in part_fields
+                    }
                 entries.append(
                     {
                         "status": 1,
                         "snapshot_id": snap_id,
                         "sequence_number": None,  # inherited from the list row
-                        "data_file": {
-                            "content": 0,
-                            "file_path": dest,
-                            "file_format": "PARQUET",
-                            "record_count": md.num_rows,
-                            "file_size_in_bytes": os.path.getsize(dest),
-                            "lower_bounds": lo_kv or None,
-                            "upper_bounds": hi_kv or None,
-                        },
+                        "data_file": data_file,
                     }
                 )
         finally:
             shutil.rmtree(st, ignore_errors=True)
 
         mpath = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
-        write_ocf(mpath, self._MANIFEST_SCHEMA, entries)
+        write_ocf(mpath, self._manifest_schema(part_fields, ice_schema), entries)
         rows: list[dict] = []
         if snaps and meta.get("current-snapshot-id") not in (None, -1):
             cur = next(
@@ -627,6 +768,181 @@ class IcebergTable:
             with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as fh:
                 fh.write(str(next_version))
         return snap_id
+
+    def delete(self, predicate: str) -> dict:
+        """Row-level DELETE as Iceberg v2 POSITION DELETE files (spec:
+        'Position Delete Files'): matching rows are recorded as
+        ``(file_path, pos)`` parquet rows — no data file is rewritten —
+        in a content=1 manifest chained onto a new snapshot. The
+        engine's own reader (and any v2 reader) then anti-joins them
+        out. Returns ``{"rows_deleted", "files_touched"}``.
+
+        Scale shape: candidate data files prune on manifest bounds +
+        partition tuples first; ONE distributed job computes matched
+        positions (already-deleted rows are anti-joined away so they
+        are neither recounted nor re-recorded); the delete file lands
+        via a distributed sorted write — the driver only moves staged
+        files and writes Avro metadata, it never holds a row per
+        deleted position."""
+        import glob
+        import shutil
+        import tempfile
+        import time
+        import uuid as _uuid
+
+        from ent_fins_lakehouse_spark.sources.avro_io import read_ocf, write_ocf
+        from ent_fins_lakehouse_spark.sources.skipping import prune_dirs
+
+        meta = self.metadata()
+        schema = self.schema(meta)
+        data, pos_deletes, eq_deletes = self._files()
+        if eq_deletes:
+            raise NotImplementedError(
+                "position-delete writes on tables carrying equality deletes "
+                "are not supported (sequence interplay)"
+            )
+        stats = {p: b for p, _, b in data}
+        cand, _ = prune_dirs(predicate, stats, [p for p, _, _ in data])
+        if not cand:
+            return {"rows_deleted": 0, "files_touched": 0}
+        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+        scan = (
+            self.spark.read.schema(schema)
+            .parquet(*sorted(cand))
+            .select(
+                "*",
+                norm(F.col("_metadata.file_path")).alias("file_path"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+        )
+        if pos_deletes:
+            prior = (
+                self.spark.read.schema("file_path STRING, pos LONG")
+                .parquet(*sorted(pos_deletes))
+                .select(norm(F.col("file_path")).alias("file_path"), "pos")
+            )
+            scan = scan.join(prior, ["file_path", "pos"], "left_anti")
+        matched = scan.filter(predicate).select("file_path", "pos")
+
+        # distributed sorted write of the delete file(s); spec orders
+        # position deletes by (file_path, pos) for merge-friendly scans
+        st = tempfile.mkdtemp(prefix="icedel_")
+        now = int(time.time() * 1000)
+        try:
+            matched.repartitionByRange(
+                max(1, min(8, len(cand))), "file_path", "pos"
+            ).sortWithinPartitions("file_path", "pos").write.mode("overwrite").parquet(st)
+            staged = sorted(glob.glob(os.path.join(st, "part-*.parquet")))
+            import pyarrow.parquet as pq
+
+            data_dir = os.path.join(self.path, "data")
+            os.makedirs(data_dir, exist_ok=True)
+            entries = []
+            rows_deleted = 0
+            touched: set[str] = set()
+            seq = int(meta.get("last-sequence-number") or 0) + 1
+            snaps = list(meta.get("snapshots") or [])
+            snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+            for f in staged:
+                pf = pq.ParquetFile(f)
+                if pf.metadata.num_rows == 0:
+                    continue
+                t = pf.read(columns=["file_path"])
+                touched.update(t.column("file_path").to_pylist())
+                rows_deleted += pf.metadata.num_rows
+                dest = os.path.join(data_dir, f"{_uuid.uuid4().hex}-deletes.parquet")
+                shutil.move(f, dest)
+                entries.append(
+                    {
+                        "status": 1,
+                        "snapshot_id": snap_id,
+                        "sequence_number": None,
+                        "data_file": {
+                            "content": 1,
+                            "file_path": dest,
+                            "file_format": "PARQUET",
+                            "record_count": pf.metadata.num_rows,
+                            "file_size_in_bytes": os.path.getsize(dest),
+                            "lower_bounds": None,
+                            "upper_bounds": None,
+                        },
+                    }
+                )
+        finally:
+            shutil.rmtree(st, ignore_errors=True)
+        if not entries:
+            return {"rows_deleted": 0, "files_touched": 0}
+
+        mpath = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
+        write_ocf(mpath, self._MANIFEST_SCHEMA, entries)
+        cur = next(
+            s for s in snaps if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, prev_rows = read_ocf(self._resolve(cur["manifest-list"]))
+        rows = [
+            {
+                "manifest_path": r["manifest_path"],
+                "manifest_length": r.get("manifest_length") or 0,
+                "partition_spec_id": r.get("partition_spec_id") or 0,
+                "content": r.get("content") or 0,
+                "sequence_number": r.get("sequence_number"),
+                "added_snapshot_id": r.get("added_snapshot_id") or 0,
+            }
+            for r in prev_rows
+        ] + [
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": seq,
+                "added_snapshot_id": snap_id,
+            }
+        ]
+        lpath = os.path.join(self.meta_dir, f"snap-{snap_id}-{_uuid.uuid4().hex}.avro")
+        write_ocf(lpath, self._MANIFEST_LIST_SCHEMA, rows)
+
+        mfile = self._metadata_file()
+        stem = os.path.basename(mfile)[: -len(".metadata.json")]
+        if stem.startswith("v") and stem[1:].isdigit():
+            next_version, catalog_style = int(stem[1:]) + 1, False
+        else:
+            next_version, catalog_style = int(stem.split("-", 1)[0]) + 1, True
+        new_meta = {
+            **meta,
+            "last-sequence-number": seq,
+            "last-updated-ms": now,
+            "current-snapshot-id": snap_id,
+            "snapshots": [
+                *snaps,
+                {
+                    "snapshot-id": snap_id,
+                    "parent-snapshot-id": meta["current-snapshot-id"],
+                    "sequence-number": seq,
+                    "timestamp-ms": now,
+                    "manifest-list": lpath,
+                    "summary": {"operation": "delete"},
+                },
+            ],
+        }
+        if catalog_style:
+            mname = f"{next_version:05d}-{_uuid.uuid4()}.metadata.json"
+        else:
+            mname = f"v{next_version}.metadata.json"
+        target = os.path.join(self.meta_dir, mname)
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise RuntimeError(
+                f"Iceberg commit {mname} was taken by a concurrent writer; "
+                "staged delete files are uncommitted — retry the delete"
+            ) from None
+        with os.fdopen(fd, "w") as fh:
+            json.dump(new_meta, fh)
+        if not catalog_style:
+            with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as fh:
+                fh.write(str(next_version))
+        return {"rows_deleted": rows_deleted, "files_touched": len(touched)}
 
 
 def _spark_to_iceberg(dt: T.DataType) -> str:

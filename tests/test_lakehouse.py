@@ -1918,3 +1918,69 @@ def test_iceberg_append_into_external_fixture(spark, tmp_path):
     got = t.read()
     assert got.count() == n0 + 10
     assert got.filter("id >= 100").count() == 10
+
+
+# ------------------------------------------------- iceberg write (r6)
+
+
+def test_iceberg_partitioned_append_prunes_and_keeps_columns(spark, tmp_path):
+    """Identity-partitioned appends: one partition tuple per data file,
+    partition columns stay IN the files (spec layout — tuples are
+    pruning metadata, not dropped columns), manifest partition records
+    prune as exact [v, v] bounds, and string partition values prune
+    too (footer bounds skip strings; partition tuples never truncate)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    df = spark.range(400).selectExpr(
+        "id", "CAST(id % 4 AS INT) AS bucket"
+    ).withColumn("tag", F.concat(F.lit("t "), F.col("bucket").cast("string")))
+    t = IcebergTable(spark, str(tmp_path / "ipart"))
+    t.append(df.repartition(2), partition_by=["bucket"])
+    info = t.scan_info("bucket = 2")
+    assert info["n_pruned"] >= 1 and info["n_read"] < info["n_active"]
+    assert t.read(where="bucket = 2").count() == 100
+    # the partition column is physically present in every data file
+    for p in t.data_files():
+        assert "bucket" in pq.ParquetFile(p).schema_arrow.names
+    # appends inherit the spec; a conflicting partition_by is refused
+    t.append(df.withColumn("id", F.col("id") + 400))
+    assert t.read().count() == 800
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partition spec"):
+        t.append(df, partition_by=["tag"])
+    # string partitions prune as well
+    t2 = IcebergTable(spark, str(tmp_path / "ipart_s"))
+    t2.append(df, partition_by=["tag"])
+    assert t2.scan_info("tag = 't 1'")["n_pruned"] >= 1
+    assert t2.read(where="tag = 't 1'").count() == 100
+
+
+def test_iceberg_position_delete_write_stacks(spark, tmp_path):
+    """Position-delete writes: no data file rewritten, stacked deletes
+    don't re-record already-masked positions, results and time travel
+    stay exact, and the engine's own reader round-trips them."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    df = spark.range(1000).selectExpr("id", "CAST(id % 4 AS INT) AS bucket")
+    t = IcebergTable(spark, str(tmp_path / "idel"))
+    s1 = t.append(df.repartition(4))
+    files_before = sorted(t.data_files())
+    r1 = t.delete("id % 10 = 0")
+    assert r1["rows_deleted"] == 100
+    # overlap: id < 25 includes 0,10,20 (already masked) → 22 net-new
+    r2 = t.delete("id < 25")
+    assert r2["rows_deleted"] == 22, r2
+    assert sorted(t.data_files()) == files_before
+    out = t.read()
+    assert out.count() == 1000 - 100 - 22
+    assert out.filter("id % 10 = 0 OR id < 25").count() == 0
+    # pre-delete snapshot still serves every row
+    assert t.read(snapshot_id=s1).count() == 1000
+    # no-match delete is a metadata no-op
+    v = len(t.snapshots())
+    assert t.delete("id > 10000") == {"rows_deleted": 0, "files_touched": 0}
+    assert len(t.snapshots()) == v
