@@ -1666,3 +1666,45 @@ def q170_iceberg_pos_delete_write(spark: SparkSession, sf_dir: str) -> DataFrame
     if r1["rows_deleted"] == 0 or r2["rows_deleted"] == 0:
         raise AssertionError(f"deletes matched nothing: {r1} {r2}")
     return t.read().orderBy("c_custkey")
+
+
+@query(
+    "q171_delta_log_optimize_vacuum",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal
+    FROM customer WHERE c_custkey % 7 <> 0
+    ORDER BY c_custkey
+    """,
+    tags=("lakehouse", "delta", "optimize", "interop"),
+)
+def q171_delta_log_optimize_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE + VACUUM in the PUBLIC log format (the reference's
+    `02-Fraud-Performance.py` maintenance arc, cross-format): a
+    12-file table with a DV delete is compacted to 3 files clustered
+    by key — dataChange=false remove/add actions, DVs MATERIALIZED
+    (masked rows drop out, no DV on the new adds), clustered stats
+    making a key-range read selective (asserted) — then VACUUM with
+    zero retention physically reclaims the 12 tombstoned files and
+    the DV sidecars while the current snapshot reads back untouched
+    and hash-matches the oracle."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    dl = DeltaLogTable(spark, _scratch("dlopt"))
+    dl.write(cust.repartition(12), mode="append")
+    dl.delete("c_custkey % 7 = 0")
+    res = dl.optimize(target_files=3, cluster_by=["c_custkey"])
+    if res["files_before"] != 12 or res["dvs_materialized"] == 0:
+        raise AssertionError(f"unexpected optimize accounting {res}")
+    adds, *_ = dl._snapshot()
+    if any(i["deletionVector"] for i in adds.values()):
+        raise AssertionError("OPTIMIZE must materialize deletion vectors")
+    info = dl.scan_info("c_custkey <= 100")
+    if info["n_pruned"] < 1:
+        raise AssertionError(f"clustered stats must prune, got {info}")
+    reclaimed = dl.vacuum(retention_hours=0.0)
+    if len(reclaimed) < 12:
+        raise AssertionError(f"vacuum reclaimed only {len(reclaimed)} files")
+    return dl.read().orderBy("c_custkey")

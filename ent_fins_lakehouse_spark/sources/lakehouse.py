@@ -2497,6 +2497,136 @@ class DeltaLogTable:
         self._commit_actions(version, actions)
         return {"files_rewritten": len(touched)}
 
+    def optimize(self, target_files: int = 8, cluster_by: list[str] | None = None) -> dict:
+        """OPTIMIZE (bin-packing compaction) in the PUBLIC log format
+        (the verb behind `02-Fraud-Performance.py`'s OPTIMIZE cell,
+        cross-format): the current snapshot is rewritten into
+        ``target_files`` right-sized files per partition and committed
+        as remove/add actions with ``dataChange=false`` — readers see
+        identical rows, streams skip the commit (no re-emission), and
+        time travel still serves the pre-compaction layout. Deletion
+        vectors are MATERIALIZED: masked rows drop out of the rewritten
+        files and the new adds carry no DV (what OPTIMIZE does on
+        modern Delta — it is the DV garbage-collection point).
+
+        ``cluster_by`` range-partitions + sorts the rewrite on the
+        given columns (linear clustering): each output file then covers
+        a narrow value range, so the add-action stats make predicate
+        reads selective — the single-dimension cousin of
+        :meth:`LakeTable.optimize`'s Z-order.
+
+        Returns ``{"files_before", "files_after", "dvs_materialized"}``.
+        """
+        import time
+
+        adds, schema, part_cols, meta = self._snapshot()
+        if ((meta or {}).get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        ) != "none":
+            raise NotImplementedError(
+                "OPTIMIZE on column-mapped Delta tables is not supported by "
+                "the shim (files need physical column names)"
+            )
+        n_dvs = sum(1 for i in adds.values() if i["deletionVector"])
+        df = self.read()
+        if cluster_by:
+            missing = [c for c in cluster_by if c not in df.columns]
+            if missing:
+                raise ValueError(f"cluster_by columns {missing} not in table")
+            df = df.repartitionByRange(target_files, *cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
+        else:
+            df = df.coalesce(target_files)
+        new_adds = self._stage_adds(df, part_cols)
+        now = int(time.time() * 1000)
+        for a in new_adds:
+            a["add"]["dataChange"] = False
+        version = self.latest_version() + 1
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "OPTIMIZE",
+                    "operationParameters": {
+                        "targetFiles": target_files,
+                        "clusterBy": list(cluster_by or []),
+                    },
+                    "engineInfo": "ent_fins_lakehouse_spark/delta-shim",
+                }
+            },
+            *[
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now,
+                        "dataChange": False,
+                        "partitionValues": info["partitionValues"],
+                    }
+                }
+                for p, info in sorted(adds.items())
+            ],
+            *new_adds,
+        ]
+        self._commit_actions(version, actions)
+        return {
+            "files_before": len(adds),
+            "files_after": len(new_adds),
+            "dvs_materialized": n_dvs,
+        }
+
+    def vacuum(self, retention_hours: float = 168.0, dry_run: bool = False) -> list[str]:
+        """VACUUM: physically delete data files and DV sidecars that no
+        snapshot ≥ the retention horizon references — the storage
+        reclamation half of OPTIMIZE (tombstoned pre-compaction files
+        stay on disk until vacuumed, preserving time travel inside the
+        retention window, exactly delta-spark's contract). Files still
+        referenced by the CURRENT snapshot are never candidates, and
+        younger-than-retention tombstones survive. Returns the deleted
+        (or, under ``dry_run``, deletable) paths."""
+        import time
+
+        adds, _, _, _ = self._snapshot()
+        live: set[str] = {os.path.abspath(os.path.join(self.path, p)) for p in adds}
+        for info in adds.values():
+            dv = info["deletionVector"]
+            if dv and dv.get("storageType") in ("u", "p"):
+                live.add(os.path.abspath(self._dv_abs_path(dv)))
+        horizon = time.time() - retention_hours * 3600.0
+        victims: list[str] = []
+        for root, dirs, files in os.walk(self.path):
+            if os.path.basename(root) == "_delta_log":
+                dirs[:] = []
+                continue
+            for fn in files:
+                if not (fn.endswith(".parquet") or fn.startswith("deletion_vector_")):
+                    continue
+                full = os.path.abspath(os.path.join(root, fn))
+                if full in live:
+                    continue
+                if os.path.getmtime(full) > horizon:
+                    continue
+                victims.append(full)
+        if not dry_run:
+            for v in victims:
+                os.remove(v)
+        return sorted(victims)
+
+    def _dv_abs_path(self, dv: dict) -> str:
+        """Absolute sidecar path for a file-backed DV descriptor
+        (mirrors the resolution in :func:`_dv_row_indexes_of`)."""
+        import base64
+        import uuid as _uuid
+
+        if dv["storageType"] == "p":
+            p = dv["pathOrInlineDv"]
+            return p if os.path.isabs(p) else os.path.join(self.path, p)
+        enc = dv["pathOrInlineDv"]
+        tail, prefix = enc[-20:], enc[:-20]
+        u = _uuid.UUID(bytes=base64.b85decode(tail))
+        name = f"deletion_vector_{u}.bin"
+        return os.path.join(self.path, prefix, name) if prefix else os.path.join(self.path, name)
+
     #: checkpoint cadence for engine-written logs (delta-spark's default)
     CHECKPOINT_INTERVAL = 10
 

@@ -148,6 +148,11 @@ def make_delta_stream_source():
                 if not (lo < v <= hi):
                     continue
                 for act in actions(vs[v]):
+                    # dataChange=false actions (OPTIMIZE/compaction)
+                    # rearrange rows the stream already emitted — Delta
+                    # streams skip them without needing ignoreChanges
+                    if "remove" in act and act["remove"].get("dataChange", True) is False:
+                        continue
                     if "remove" in act and not self.ignore_changes:
                         raise RuntimeError(
                             f"Delta commit v{v} removes data files; streaming "
@@ -157,6 +162,8 @@ def make_delta_stream_source():
                     if "add" not in act:
                         continue
                     a = act["add"]
+                    if a.get("dataChange", True) is False:
+                        continue
                     if a.get("deletionVector"):
                         if self.ignore_changes:
                             continue  # rewrite of already-streamed rows

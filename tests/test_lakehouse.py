@@ -1984,3 +1984,59 @@ def test_iceberg_position_delete_write_stacks(spark, tmp_path):
     v = len(t.snapshots())
     assert t.delete("id > 10000") == {"rows_deleted": 0, "files_touched": 0}
     assert len(t.snapshots()) == v
+
+
+def test_delta_log_optimize_is_stream_transparent(spark, tmp_path):
+    """An OPTIMIZE commit (dataChange=false remove/add) must be
+    invisible to a Delta stream tailing the table: rows stream once
+    before compaction, zero rows re-emit after it — without needing
+    ignoreChanges (real Delta stream semantics)."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+    from ent_fins_lakehouse_spark.streaming.autoloader import run_available_now
+    from ent_fins_lakehouse_spark.streaming.delta_source import read_delta_stream
+
+    td = str(tmp_path / "opt_stream")
+    dl = DeltaLogTable(spark, td)
+    dl.write(spark.range(500).selectExpr("id", "id % 5 AS k").repartition(8), mode="append")
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        run_available_now(read_delta_stream(spark, td), out, ckpt)
+        return spark.read.parquet(out).count()
+
+    assert drain() == 500
+    res = dl.optimize(target_files=2)
+    assert res["files_before"] == 8
+    # the compaction commit must not re-emit the 500 rows
+    assert drain() == 500
+    # and genuinely new data still streams
+    dl.write(spark.range(500, 600).selectExpr("id", "id % 5 AS k"), mode="append")
+    assert drain() == 600
+
+
+def test_delta_log_vacuum_respects_retention_and_liveness(spark, tmp_path):
+    """VACUUM never touches current-snapshot files or DV sidecars, and
+    tombstones younger than the retention window survive (time travel
+    keeps working inside the window)."""
+    import glob
+    import os
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "vac")
+    dl = DeltaLogTable(spark, td)
+    dl.write(spark.range(100).selectExpr("id"), mode="append")
+    dl.delete("id % 2 = 0")  # live DV sidecar
+    dl.write(spark.range(100, 200).selectExpr("id"), mode="overwrite")
+    # young tombstones: nothing reclaimable yet
+    assert dl.vacuum(retention_hours=1.0, dry_run=True) == []
+    victims = dl.vacuum(retention_hours=0.0, dry_run=True)
+    # v0's data file and its DV sidecar are dead; current file is not
+    assert any("deletion_vector_" in v for v in victims)
+    live = {os.path.abspath(os.path.join(td, p)) for p in dl._snapshot()[0]}
+    assert not (set(victims) & live)
+    dl.vacuum(retention_hours=0.0)
+    assert dl.read().count() == 100
+    assert [r["id"] for r in dl.read().orderBy("id").limit(3).collect()] == [100, 101, 102]
