@@ -145,3 +145,84 @@ def range_join_bucketed(
         .filter((delta >= F.lit(l_us)) & (delta <= F.lit(u_us)))
         .drop("_shifted", "_bin", "_probe", "_rus")
     )
+
+
+def scd2_apply(
+    table,
+    changes: DataFrame,
+    key: list[str],
+    tracked: list[str],
+    effective_date: str,
+) -> dict:
+    """Apply one change batch to a Slowly-Changing-Dimension Type 2
+    history table (columns: ``key`` + ``tracked`` + ``valid_from`` /
+    ``valid_to`` DATE + ``is_current`` BOOLEAN) in ONE transactional
+    MERGE commit.
+
+    Semantics per batch (the standard warehouse contract):
+
+    - a key whose tracked attributes changed → its current row CLOSES
+      (``valid_to`` = effective date, ``is_current`` = false) and a new
+      current version inserts (``valid_from`` = effective date);
+    - a brand-new key → inserts as current;
+    - an unchanged key → untouched (its files are never rewritten);
+    - ``changes`` may be a full snapshot — unchanged rows are filtered
+      by a null-safe attribute comparison, so feeding the whole
+      dimension is safe.
+
+    Scale shape: ONE :meth:`LakeTable.merge` keyed on
+    ``key + [valid_from]`` — close directives match exactly the current
+    version of each changed key (its ``valid_from`` is carried from the
+    target), new versions match nothing and ride the INSERT path; the
+    merge's own key pruning rewrites only dirs holding changed keys.
+    No full-table rewrite, no per-key driver loop, history rows are
+    never scanned beyond the ``is_current`` filter.
+
+    First call (table does not exist) bootstraps the dimension:
+    every change row becomes a current version at ``effective_date``.
+    """
+    eff_lit = F.to_date(F.lit(effective_date))
+    payload = key + tracked
+    incoming = changes.select(*payload)
+
+    def as_current(df: DataFrame) -> DataFrame:
+        return df.select(
+            *payload,
+            eff_lit.alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+
+    if not table.exists():
+        table.write(as_current(incoming), mode="overwrite")
+        return {"closed": 0, "inserted": incoming.count(), "bootstrap": True}
+
+    cur = table.read().filter("is_current")
+    neq = None
+    for c in tracked:
+        term = ~F.col(f"s.{c}").eqNullSafe(F.col(f"t.{c}"))
+        neq = term if neq is None else (neq | term)
+    joined = incoming.alias("s").join(cur.alias("t"), on=key, how="inner")
+    changed = joined.filter(neq)
+    # close directives: the target current row's identity (key,
+    # valid_from) with the closing assignments applied by the merge
+    close_rows = changed.select(
+        *[F.col(f"t.{c}").alias(c) for c in payload],
+        F.col("t.valid_from").alias("valid_from"),
+        F.col("t.valid_to").alias("valid_to"),
+        F.col("t.is_current").alias("is_current"),
+    )
+    ins_changed = as_current(changed.select(*[F.col(f"s.{c}").alias(c) for c in payload]))
+    ins_new = as_current(incoming.join(cur, on=key, how="left_anti"))
+    src = close_rows.unionByName(ins_changed).unionByName(ins_new)
+    metrics = table.merge(
+        src,
+        on=key + ["valid_from"],
+        when_matched_update_all=False,
+        matched_update={
+            "valid_to": f"DATE '{effective_date}'",
+            "is_current": "false",
+        },
+        when_not_matched_insert_all=True,
+    )
+    return {"merge": metrics}

@@ -1749,3 +1749,65 @@ def q172_delta_to_iceberg_convert(spark: SparkSession, sf_dir: str) -> DataFrame
     if it.scan_info("p_partkey <= 100")["n_pruned"] < 1:
         raise AssertionError("converted bounds must prune files")
     return it.read().orderBy("p_partkey")
+
+
+@query(
+    "q173_scd2_dimension",
+    oracle="""
+    WITH base AS (SELECT c_custkey, c_mktsegment FROM customer),
+    hist AS (
+      SELECT c_custkey, c_mktsegment,
+             DATE '1995-01-01' AS valid_from,
+             CASE WHEN c_custkey % 3 = 0 THEN DATE '1996-01-01' END AS valid_to
+      FROM base
+      UNION ALL
+      SELECT c_custkey, 'CHANGED1', DATE '1996-01-01',
+             CASE WHEN c_custkey % 6 = 0 THEN DATE '1997-01-01' END
+      FROM base WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey, 'CHANGED2', DATE '1997-01-01', NULL
+      FROM base WHERE c_custkey % 6 = 0
+      UNION ALL
+      SELECT c_custkey + 100000, c_mktsegment, DATE '1996-01-01', NULL
+      FROM base WHERE c_custkey % 10 = 0
+    )
+    SELECT c_custkey, c_mktsegment, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM hist ORDER BY c_custkey, valid_from
+    """,
+    tags=("lakehouse", "merge", "scd2", "temporal"),
+)
+def q173_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 maintenance — the warehouse
+    pattern behind every auditable dimension (who had which segment
+    WHEN): three change batches (bootstrap snapshot; a segment change
+    for every 3rd key plus brand-new keys; a second change for every
+    6th key) applied via :func:`operators.temporal.scd2_apply`, each
+    batch ONE transactional MERGE keyed on (key, valid_from) — close
+    directives update exactly the changed keys' current rows, new
+    versions ride the INSERT path, unchanged keys' files are never
+    rewritten. The full history (three versions for 6k keys, two for
+    3k keys, one otherwise) hash-matches the oracle's closed-form
+    reconstruction."""
+    from ent_fins_lakehouse_spark.operators.temporal import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    t = LakeTable(spark, _scratch("scd2"))
+    scd2_apply(t, cust, ["c_custkey"], ["c_mktsegment"], "1995-01-01")
+    b1 = cust.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("CHANGED1")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
+            "c_custkey", F.col("c_custkey") + 100000
+        )
+    )
+    scd2_apply(t, b1, ["c_custkey"], ["c_mktsegment"], "1996-01-01")
+    b2 = (
+        cust.filter(F.col("c_custkey") % 6 == 0)
+        .withColumn("c_mktsegment", F.lit("CHANGED2"))
+    )
+    scd2_apply(t, b2, ["c_custkey"], ["c_mktsegment"], "1997-01-01")
+    return t.read().orderBy("c_custkey", "valid_from")

@@ -100,3 +100,52 @@ def test_range_join_matches_naive(spark):
         .collect()
     }
     assert got == naive and got
+
+
+def test_scd2_apply_batches(spark, tmp_path):
+    """SCD2 contract: bootstrap, change closes + re-inserts, new key
+    inserts, unchanged keys untouched, full snapshot batches safe."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.operators.temporal import scd2_apply
+    from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
+
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver"), (3, "bronze")], "k INT, tier STRING"
+    )
+    t = LakeTable(spark, str(tmp_path / "scd"))
+    r0 = scd2_apply(t, dim, ["k"], ["tier"], "2020-01-01")
+    assert r0["bootstrap"] and r0["inserted"] == 3
+    # full snapshot: only k=2 changed, k=4 new
+    b1 = spark.createDataFrame(
+        [(1, "gold"), (2, "gold"), (3, "bronze"), (4, "iron")], "k INT, tier STRING"
+    )
+    scd2_apply(t, b1, ["k"], ["tier"], "2021-06-15")
+    hist = {
+        (r["k"], r["tier"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+        for r in t.read().collect()
+    }
+    assert hist == {
+        (1, "gold", "2020-01-01", "None", True),
+        (2, "silver", "2020-01-01", "2021-06-15", False),
+        (2, "gold", "2021-06-15", "None", True),
+        (3, "bronze", "2020-01-01", "None", True),
+        (4, "iron", "2021-06-15", "None", True),
+    }
+    # second change to the same key stacks a third version
+    scd2_apply(
+        t,
+        spark.createDataFrame([(2, "platinum")], "k INT, tier STRING"),
+        ["k"],
+        ["tier"],
+        "2022-01-01",
+    )
+    k2 = t.read().filter("k = 2").orderBy("valid_from").collect()
+    assert [r["tier"] for r in k2] == ["silver", "gold", "platinum"]
+    assert [r["is_current"] for r in k2] == [False, False, True]
+    cur = t.read().filter("is_current")
+    assert cur.count() == 4
+    # no-change batch is a no-op on history size
+    n = t.read().count()
+    scd2_apply(t, b1.filter("k <> 2"), ["k"], ["tier"], "2023-01-01")
+    assert t.read().count() == n
