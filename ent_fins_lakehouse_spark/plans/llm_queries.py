@@ -1690,3 +1690,183 @@ def q163_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q174_bm25_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents WHERE trim(text) <> ''
+    ), toks2 AS (SELECT * FROM toks WHERE term <> ''),
+    dlen AS (SELECT doc_id, COUNT(*) AS dl FROM toks2 GROUP BY doc_id),
+    consts AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dlen
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks2
+      WHERE term IN ('spark', 'merge', 'window') GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             ROUND(
+               LN(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen.dl / c.avgdl)),
+               4) AS s
+      FROM tf JOIN df USING (term) JOIN dlen USING (doc_id) CROSS JOIN consts c
+    ),
+    agg AS (
+      SELECT doc_id, CAST(SUM(CAST(s AS DECIMAL(12,4))) AS DOUBLE) AS bm25
+      FROM scored GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, bm25,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+      FROM agg
+    )
+    SELECT doc_id, bm25 FROM ranked WHERE rk <= 20 ORDER BY bm25 DESC, doc_id
+    """,
+    tags=("llm", "text", "retrieval"),
+)
+def q174_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (Lucene's idf variant, k1=1.2 b=0.75) for
+    the query "spark merge window" — the lexical-search complement of
+    the embedding ANN family (q58/q59/q60): a real retrieval engine
+    ranks with BOTH and fuses. Per-term scores are rounded to 4dp and
+    summed in DECIMAL (the q66 discipline), ties break on doc_id, so
+    the top-20 hash-matches the oracle exactly.
+
+    Scale shape: the term filter lands BEFORE the tf aggregation, so
+    the per-(doc,term) shuffle carries only docs containing query
+    terms — corpus-size work is one doc-length aggregation (reusable
+    index metadata in production) and the normalizing constants ride a
+    1-row broadcast cross join. No driver-side actions at all."""
+    from ent_fins_lakehouse_spark.operators.dedup import normalize_text
+
+    QUERY = ["spark", "merge", "window"]
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.trim("text") != "")
+        .select("doc_id", F.explode(F.split(normalize_text("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    dlen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    consts = dlen.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(df_, "term")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+                ),
+                4,
+            ).alias("s"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum(F.col("s").cast("decimal(12,4)")).cast("double").alias("bm25")
+    )
+    # top-k via sort-limit (TakeOrderedAndProject: per-partition heaps
+    # + driver merge of k rows), NOT a global row_number window whose
+    # single partition would funnel the corpus through one task
+    return agg.orderBy(F.desc("bm25"), "doc_id").limit(20)
+
+
+@query(
+    "q175_span_dedup_stats",
+    oracle="""
+    WITH arr AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS a
+      FROM documents WHERE trim(text) <> ''
+    ),
+    w AS (
+      SELECT doc_id, generate_subscripts(a, 1) - 1 AS widx, unnest(a) AS wd
+      FROM arr
+    ),
+    ch AS (
+      SELECT doc_id, CAST(FLOOR(widx / 10.0) AS BIGINT) AS cidx,
+             md5(string_agg(wd, ' ' ORDER BY widx)) AS fp
+      FROM w GROUP BY doc_id, CAST(FLOOR(widx / 10.0) AS BIGINT)
+    ),
+    freq AS (SELECT fp, COUNT(*) AS n FROM ch GROUP BY fp)
+    SELECT ch.doc_id,
+           COUNT(*) AS n_spans,
+           SUM(CASE WHEN freq.n > 1 THEN 1 ELSE 0 END) AS n_dup_spans,
+           ROUND(CAST(SUM(CASE WHEN freq.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS dup_frac
+    FROM ch JOIN freq USING (fp)
+    GROUP BY ch.doc_id ORDER BY ch.doc_id
+    """,
+    tags=("llm", "dedup", "text"),
+)
+def q175_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document SPAN dedup accounting (C4's three-sentence-span /
+    RefinedWeb's line-level idea, word-chunk flavored for this corpus):
+    each doc splits into consecutive 10-word spans, each span gets an
+    md5 fingerprint, and a doc's duplication profile is the fraction
+    of its spans whose fingerprint recurs ANYWHERE in the corpus —
+    the signal that catches boilerplate and partial copies that
+    whole-document dedup (q50/q51) is blind to.
+
+    Scale shape: one posexplode (linear), one (doc, span) hash-groupBy,
+    one corpus-wide fingerprint count (32-byte keys, not span text),
+    one AQE-planned join back — every stage is a hash aggregation on
+    bounded keys; no pairwise comparison anywhere."""
+    from ent_fins_lakehouse_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        docs.filter(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(normalize_text("text"), " ")).alias("widx", "wd"),
+        )
+    )
+    ch = (
+        w.withColumn("cidx", F.floor(F.col("widx") / 10.0))
+        .groupBy("doc_id", "cidx")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("widx", "wd"))),
+                        lambda s: s.wd,
+                    ),
+                    " ",
+                )
+            ).alias("fp")
+        )
+    )
+    freq = ch.groupBy("fp").agg(F.count("*").alias("n"))
+    dup = F.when(F.col("n") > 1, 1).otherwise(0)
+    return (
+        ch.join(freq, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(dup).alias("n_dup_spans"),
+            F.round(F.sum(dup).cast("double") / F.count("*"), 4).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
