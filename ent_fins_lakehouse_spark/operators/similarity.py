@@ -404,3 +404,125 @@ def cosine_pairs_blockwise_numpy(
     if top_n is not None:
         out = out.orderBy(F.desc("cosine_sim"), F.asc("id_a"), F.asc("id_b")).limit(top_n)
     return out
+
+
+def build_pq_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    train_fraction: float = 1.0,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: the vector space splits into
+    ``m`` contiguous subspaces and each learns ``k`` KMeans centroids.
+    A vector then compresses to ``m`` small codes (m=8, k=16 → 8×4
+    bits = 4 bytes for a 64-dim float vector, 64×) — the compression
+    tier beyond scalar int8 (8×, ``quantize_int8``), at the cost of a
+    rerank pass for exactness. Training runs on a ``train_fraction``
+    sample: codebooks are index METADATA learned once from a sample,
+    not a per-query cost (at 100 TB you train on ~10⁶ rows and encode
+    the corpus in one distributed pass)."""
+    from pyspark.ml.clustering import KMeans
+
+    dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    if dim % m:
+        raise ValueError(f"vector dim {dim} not divisible into {m} subspaces")
+    sub = dim // m
+    train = df.sample(train_fraction, seed=seed) if train_fraction < 1.0 else df
+    books: list[list[list[float]]] = []
+    for i in range(m):
+        sl = train.select(F.slice(F.col(vec_col), i * sub + 1, sub).alias("s"))
+        feats = _to_ml_vectors(sl, "s")
+        model = KMeans(k=k, seed=seed + i, featuresCol="_v", predictionCol="_c").fit(feats)
+        books.append([list(map(float, c)) for c in model.clusterCenters()])
+    return books
+
+
+def pq_encode(df: DataFrame, vec_col: str, books: list[list[list[float]]]) -> DataFrame:
+    """Encode vectors to PQ codes + reconstruction norm — ONE
+    distributed ``mapInPandas`` pass, numpy-vectorized per Arrow batch
+    (each row: m argmin-distance lookups against the m×k codebook).
+    Adds ``pq_codes array<int>`` and ``pq_norm double`` (the norm of
+    the RECONSTRUCTED vector, needed for cosine under ADC)."""
+    import numpy as np
+
+    m = len(books)
+    sub = len(books[0][0])
+    cb = np.asarray(books, dtype=np.float64)  # (m, k, sub)
+    cols = df.columns
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            n = len(pdf)
+            codes = np.empty((n, m), dtype=np.int32)
+            recon_sq = np.zeros(n, dtype=np.float64)
+            for i in range(m):
+                Xi = X[:, i * sub : (i + 1) * sub]  # (n, sub)
+                # (n, k) squared distances via the expansion trick
+                d2 = (
+                    (Xi * Xi).sum(axis=1, keepdims=True)
+                    - 2.0 * Xi @ cb[i].T
+                    + (cb[i] * cb[i]).sum(axis=1)[None, :]
+                )
+                codes[:, i] = d2.argmin(axis=1)
+                recon_sq += (cb[i][codes[:, i]] ** 2).sum(axis=1)
+            out = pdf.copy()
+            out["pq_codes"] = [c.tolist() for c in codes]
+            out["pq_norm"] = np.sqrt(recon_sq)
+            yield out
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    return df.mapInPandas(encode, f"{schema}, pq_codes array<int>, pq_norm double")
+
+
+def pq_topk(
+    encoded: DataFrame,
+    vectors: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str,
+    query: list[float],
+    k: int,
+    id_col: str,
+    rerank: int = 50,
+) -> DataFrame:
+    """PQ serving via Asymmetric Distance Computation: the query builds
+    an m×k dot-product table against the codebooks (driver-side, tiny),
+    the table embeds as ARRAY LITERALS and each row's approximate dot
+    is Σ element_at(table_m, code_m + 1) — pure JVM whole-stage-codegen
+    scoring, NO Python in the scan path. The approximate-cosine top
+    ``rerank`` candidates then exact-rescore against the full-precision
+    vectors (one semi-join), so the final top-k carries TRUE cosines;
+    PQ only decides who gets rescored."""
+    import math
+
+    m = len(books)
+    qn = math.sqrt(sum(x * x for x in query)) or 1.0
+    sub = len(books[0][0])
+    tabs = []
+    for i in range(m):
+        qi = query[i * sub : (i + 1) * sub]
+        tabs.append([sum(a * b for a, b in zip(qi, c)) for c in books[i]])
+    approx_dot = None
+    for i in range(m):
+        t = F.array(*[F.lit(float(v)) for v in tabs[i]])
+        term = F.element_at(t, F.col("pq_codes")[i] + 1)
+        approx_dot = term if approx_dot is None else (approx_dot + term)
+    cand = (
+        encoded.withColumn(
+            "pq_score",
+            F.when(F.col("pq_norm") > 0, approx_dot / (F.lit(qn) * F.col("pq_norm"))),
+        )
+        .orderBy(F.desc_nulls_last("pq_score"), F.asc(id_col))
+        .limit(rerank)
+        .select(id_col)
+    )
+    return (
+        with_cosine(vectors.join(cand, id_col, "left_semi"), vec_col, query)
+        .select(id_col, "cosine_sim")
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1870,3 +1870,28 @@ def q175_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query("q176_pq_ann", oracle=None, tags=("llm", "similarity"))
+def q176_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the compression tier beyond q138's
+    scalar int8): 64-dim floats → 8 codes of 4 bits (64× smaller hot
+    column) via per-subspace KMeans codebooks; queries score by
+    Asymmetric Distance Computation — an m×k dot table embedded as
+    array literals, summed JVM-side per row with zero Python in the
+    scan — then the top-50 candidates exact-rescore on full precision.
+    Rows-only check (KMeans); recall vs the exact top-k is asserted in
+    tests/test_llm_ops.py."""
+    from ent_fins_lakehouse_spark.operators.similarity import (
+        build_pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    books = build_pq_codebooks(emb, "embedding", m=8, k=16)
+    enc = pq_encode(emb.select("vec_id", "embedding"), "embedding", books)
+    return pq_topk(
+        enc, emb, books, "embedding", qvec, k=10, id_col="vec_id", rerank=50
+    )

@@ -598,3 +598,39 @@ def test_semantic_dedup_keeps_one_per_group(spark, emb):
     )
     again = run(kept_corpus)
     assert again.filter(FF.col("n_members") > 1).count() == 0
+
+
+def test_pq_ann_recall_and_compression(spark):
+    """PQ ADC + rerank: recall vs exact top-10 must be high (the
+    rerank pass rescores true cosines, so any hit in the candidate set
+    surfaces exactly); codes are m small ints; the returned scores ARE
+    the exact cosines of the survivors."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.operators.similarity import (
+        build_pq_codebooks,
+        cosine_topk,
+        pq_encode,
+        pq_topk,
+    )
+    from ent_fins_lakehouse_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 7).select("embedding").head()[0])
+    exact = {r["vec_id"]: r["cosine_sim"] for r in cosine_topk(emb, "embedding", qvec, 10, "vec_id").collect()}
+
+    books = build_pq_codebooks(emb, "embedding", m=8, k=16)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    enc = pq_encode(emb.select("vec_id", "embedding"), "embedding", books)
+    row = enc.first()
+    assert len(row["pq_codes"]) == 8
+    assert all(0 <= c < 16 for c in row["pq_codes"])
+    got = {r["vec_id"]: r["cosine_sim"] for r in pq_topk(enc, emb, books, "embedding", qvec, 10, "vec_id", rerank=50).collect()}
+    recall = len(set(got) & set(exact)) / 10
+    assert recall >= 0.7, f"PQ recall {recall} too low"
+    # scores of common hits are the EXACT cosines (rerank guarantees it)
+    for vid in set(got) & set(exact):
+        assert abs(got[vid] - exact[vid]) < 1e-9
+    # determinism: same seed → same codebooks → same result
+    books2 = build_pq_codebooks(emb, "embedding", m=8, k=16)
+    assert books == books2
