@@ -71,6 +71,9 @@ HEADLINE = [
     "q156_lake_update",
     "q161_delta_change_feed",
     "q165_delta_log_merge",
+    # retrieval + sub-document dedup (r6)
+    "q174_bm25_topk",
+    "q175_span_dedup_stats",
 ]
 
 

@@ -1746,10 +1746,21 @@ def q174_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms — corpus-size work is one doc-length aggregation (reusable
     index metadata in production) and the normalizing constants ride a
     1-row broadcast cross join. No driver-side actions at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = _bm25_scores(docs, ["spark", "merge", "window"])
+    # top-k via sort-limit (TakeOrderedAndProject: per-partition heaps
+    # + driver merge of k rows), NOT a global row_number window whose
+    # single partition would funnel the corpus through one task
+    return agg.orderBy(F.desc("bm25"), "doc_id").limit(20)
+
+
+def _bm25_scores(docs: DataFrame, terms: list[str]) -> DataFrame:
+    """``(doc_id, bm25)`` for every doc containing a query term —
+    Lucene-variant BM25 (k1=1.2, b=0.75), per-term 4dp rounding +
+    DECIMAL sum so scores are hash-exact vs a SQL oracle (q174/q177
+    share this plan)."""
     from ent_fins_lakehouse_spark.operators.dedup import normalize_text
 
-    QUERY = ["spark", "merge", "window"]
-    docs = load_table(spark, sf_dir, "documents")
     toks = (
         docs.filter(F.trim("text") != "")
         .select("doc_id", F.explode(F.split(normalize_text("text"), " ")).alias("term"))
@@ -1761,7 +1772,7 @@ def q174_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
     )
     tf = (
-        toks.filter(F.col("term").isin(QUERY))
+        toks.filter(F.col("term").isin(terms))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
@@ -1783,13 +1794,9 @@ def q174_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
     )
-    agg = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.sum(F.col("s").cast("decimal(12,4)")).cast("double").alias("bm25")
     )
-    # top-k via sort-limit (TakeOrderedAndProject: per-partition heaps
-    # + driver merge of k rows), NOT a global row_number window whose
-    # single partition would funnel the corpus through one task
-    return agg.orderBy(F.desc("bm25"), "doc_id").limit(20)
 
 
 @query(
@@ -1895,3 +1902,226 @@ def q176_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
         enc, emb, books, "embedding", qvec, k=10, id_col="vec_id", rerank=50
     )
+
+
+@query(
+    "q177_hybrid_rrf_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents WHERE trim(text) <> ''
+    ), toks2 AS (SELECT * FROM toks WHERE term <> ''),
+    dlen AS (SELECT doc_id, COUNT(*) AS dl FROM toks2 GROUP BY doc_id),
+    consts AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dlen
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks2
+      WHERE term IN ('spark', 'merge', 'window') GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             ROUND(
+               LN(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen.dl / c.avgdl)),
+               4) AS s
+      FROM tf JOIN df USING (term) JOIN dlen USING (doc_id) CROSS JOIN consts c
+    ),
+    agg AS (
+      SELECT doc_id, CAST(SUM(CAST(s AS DECIMAL(12,4))) AS DOUBLE) AS bm25
+      FROM scored GROUP BY doc_id
+    ),
+    lex AS (
+      SELECT doc_id AS id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20
+    ),
+    q0 AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+    e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0
+    ),
+    cos AS (
+      SELECT vec_id,
+             list_dot_product(v, qe)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qe, qe))) AS c
+      FROM e, q0
+    ),
+    den AS (
+      SELECT vec_id AS id, ROW_NUMBER() OVER (ORDER BY c DESC, vec_id) AS r
+      FROM cos ORDER BY c DESC, vec_id LIMIT 20
+    ),
+    fused AS (
+      SELECT COALESCE(lex.id, den.id) AS id,
+             ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + lex.r), 0)
+                   + COALESCE(CAST(1.0 AS DOUBLE) / (60 + den.r), 0), 6) AS rrf
+      FROM lex FULL OUTER JOIN den ON lex.id = den.id
+    )
+    SELECT id, rrf FROM fused ORDER BY rrf DESC, id LIMIT 10
+    """,
+    tags=("llm", "retrieval", "similarity"),
+)
+def q177_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID search — Reciprocal Rank Fusion (RRF, rrf_k=60) of the
+    lexical BM25 ranking (q174's plan, shared helper) and the dense
+    exact-cosine ranking over the corpus embeddings (vec_id indexes
+    the same corpus as doc_id): each top-20 list contributes
+    1/(60+rank), docs in both lists rise. This is how production
+    retrieval actually ranks — sparse and dense signals fused rank-
+    wise, immune to their incomparable score scales. Deterministic
+    end-to-end (rank ties break on id; fused score rounded to 6dp)
+    and hash-checked against the full SQL reconstruction.
+
+    Scale shape: both branches end in sort-limit top-20s (per-
+    partition heaps), the rank windows run over 20-row sets, and the
+    fusion is a full outer join of two 20-row tables — corpus-size
+    work stays in the two scoring branches."""
+    from pyspark.sql import Window as W
+    from ent_fins_lakehouse_spark.operators.similarity import with_cosine
+
+    docs = load_table(spark, sf_dir, "documents")
+    lex20 = (
+        _bm25_scores(docs, ["spark", "merge", "window"])
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+    lex = lex20.select(
+        F.col("doc_id").alias("id"),
+        F.row_number().over(W.orderBy(F.desc("bm25"), F.asc("doc_id"))).alias("lr"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    import math
+
+    nz = emb.filter(
+        F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)) > 0
+    )
+    den20 = (
+        with_cosine(nz, "embedding", qvec)
+        .select("vec_id", "cosine_sim")
+        .orderBy(F.desc("cosine_sim"), "vec_id")
+        .limit(20)
+    )
+    den = den20.select(
+        F.col("vec_id").alias("id"),
+        F.row_number().over(W.orderBy(F.desc("cosine_sim"), F.asc("vec_id"))).alias("dr"),
+    )
+    fused = (
+        lex.join(den, "id", "full_outer")
+        .select(
+            "id",
+            F.round(
+                F.coalesce(F.lit(1.0) / (60 + F.col("lr")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (60 + F.col("dr")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), "id").limit(10)
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Fixed-iteration PageRank as chained CTEs (DuckDB has no
+    aggregate-in-recursive-CTE; unrolling the loop IS the oracle)."""
+    sql = """
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    bi AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+    deg AS (SELECT src, COUNT(*) AS d FROM bi GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM bi),
+    pr0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes)
+    """
+    # FIXED-POINT iteration: ranks live in integer 10^-12 units and
+    # every op is bigint add/multiply/floor-divide — engines cannot
+    # diverge by even 1 ulp (double ROUND tie behavior differs between
+    # DuckDB and the JVM; integers have no ties). 0.15 → 15e10 units,
+    # damping 0.85·s → (85·s) div 100.
+    for i in range(1, iters + 1):
+        sql += f""",
+    c{i} AS (
+      SELECT bi.dst AS node, SUM(p.r // deg.d) AS s
+      FROM bi JOIN pr{i - 1} p ON p.node = bi.src JOIN deg ON deg.src = bi.src
+      GROUP BY bi.dst
+    ),
+    pr{i} AS (
+      SELECT n.node,
+             150000000000 + (85 * COALESCE(c{i}.s, 0)) // 100 AS r
+      FROM nodes n LEFT JOIN c{i} ON c{i}.node = n.node
+    )"""
+    sql += (
+        f"\n    SELECT node, CAST(r AS DOUBLE) / 1e12 AS pagerank"
+        f" FROM pr{iters} ORDER BY node"
+    )
+    return sql
+
+
+@query(
+    "q178_pagerank",
+    oracle=_pagerank_oracle(10),
+    tags=("graph", "iterative"),
+)
+def q178_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier trading graph (edges =
+    distinct (customer, supplier) pairs through orders⨝lineitem, made
+    bidirectional; supplier nodes offset by 10⁶) — the ITERATIVE
+    dataflow class: 10 synchronous iterations of contribute-along-
+    edges → aggregate → damp, each iteration one join + one shuffle
+    on the node key. Ranks are FIXED-POINT integers (10⁻¹² units,
+    floor division, damping as (85·s) div 100): float ROUND tie
+    behavior differs between engines at ~1-in-10⁴ values and ten
+    chained iterations amplify it, so the loop simply contains no
+    floats — hash-exact vs the oracle's unrolled CTEs by
+    construction.
+
+    Scale shape: the classic Pregel-on-DataFrames loop — each
+    iteration's ranks PERSIST and the previous iteration unpersists
+    (bounded cache footprint, lineage cut), contributions shuffle once
+    per iteration on dst, and the damping constants are literals. On a
+    real cluster the edge table would be bucketed by src so every
+    iteration's join is co-partitioned and shuffle-free."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    bi = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    bi = bi.persist()
+    deg = bi.groupBy("src").agg(F.count("*").alias("d"))
+    nodes = bi.select(F.col("src").alias("node")).distinct()
+    pr = nodes.select("node", F.lit(1000000000000).alias("r"))
+    # fixed-point loop: bigint floor-division only, no floats — the
+    # two engines cannot diverge (double ROUND ties differ; ints don't)
+    for _ in range(10):
+        contribs = (
+            pr.join(bi, pr.node == bi.src)
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), F.expr("r div d").alias("c"))
+        )
+        sums = contribs.groupBy("node").agg(F.sum("c").alias("s"))
+        pr = nodes.join(sums, "node", "left").select(
+            "node",
+            F.expr("150000000000 + (85 * coalesce(s, 0)) div 100").alias("r"),
+        )
+        # localCheckpoint, not persist+count: persist leaves the full
+        # logical lineage in place, so ten iterations nest every prior
+        # plan and Catalyst's plan-string rendering alone OOMs a small
+        # driver. localCheckpoint materializes eagerly AND replaces the
+        # lineage with a LogicalRDD — plan size stays O(1) per
+        # iteration, prior iterations' blocks release via GC. This is
+        # the standard Pregel-style loop hygiene on Spark.
+        pr = pr.localCheckpoint()
+    bi.unpersist(blocking=False)
+    return pr.select(
+        "node", (F.col("r").cast("double") / F.lit(1e12)).alias("pagerank")
+    ).orderBy("node")
