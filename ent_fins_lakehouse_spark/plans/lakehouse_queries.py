@@ -1811,3 +1811,44 @@ def q173_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scd2_apply(t, b2, ["c_custkey"], ["c_mktsegment"], "1997-01-01")
     return t.read().orderBy("c_custkey", "valid_from")
+
+
+@query(
+    "q179_iceberg_maintenance",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier WHERE s_suppkey % 4 <> 0
+    ORDER BY s_suppkey
+    """,
+    tags=("lakehouse", "iceberg", "optimize", "interop"),
+)
+def q179_iceberg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg table MAINTENANCE arc (rewrite_data_files +
+    expire_snapshots — the cross-format twin of q171's Delta
+    OPTIMIZE/VACUUM): an 8-file table takes a position delete, then
+    compacts to 2 files via a REPLACE snapshot (position deletes
+    MATERIALIZED — the new snapshot carries no delete manifests;
+    asserted), timestamp time travel still serves the pre-delete
+    state, and snapshot expiration physically reclaims every file
+    only the expired snapshots referenced (asserted non-empty) while
+    the survivor reads back hash-exact."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    t = IcebergTable(spark, _scratch("icemaint") + "_t")
+    s1 = t.append(sup.repartition(8))
+    ts1 = next(
+        s for s in t.snapshots() if s["snapshot-id"] == s1
+    )["timestamp-ms"]
+    t.delete("s_suppkey % 4 = 0")
+    res = t.compact(target_files=2)
+    if res["files_before"] != 8 or res["deletes_materialized"] < 1:
+        raise AssertionError(f"unexpected compaction accounting {res}")
+    if t.read(as_of_timestamp_ms=ts1).count() != sup.count():
+        raise AssertionError("timestamp time travel lost the pre-delete state")
+    exp = t.expire_snapshots(keep_last=1)
+    if exp["expired"] != 2 or not exp["files_deleted"]:
+        raise AssertionError(f"unexpected expiration accounting {exp}")
+    return t.read().orderBy("s_suppkey")

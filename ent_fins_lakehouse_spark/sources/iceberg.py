@@ -318,9 +318,31 @@ class IcebergTable:
         cand, pruned = prune_dirs(where, stats, [p for p, _, _ in data])
         return {"n_active": len(data), "n_read": len(cand), "n_pruned": len(pruned)}
 
+    def snapshot_at(self, timestamp_ms: int) -> int:
+        """TIMESTAMP AS OF resolution: the latest snapshot whose
+        ``timestamp-ms`` is ≤ the given instant (the Delta
+        ``version_at`` twin, cross-format)."""
+        cands = [
+            s for s in self.snapshots() if s.get("timestamp-ms", 0) <= timestamp_ms
+        ]
+        if not cands:
+            raise ValueError(
+                f"no snapshot at or before timestamp {timestamp_ms} in {self.meta_dir}"
+            )
+        return max(cands, key=lambda s: (s.get("timestamp-ms", 0), s["snapshot-id"]))[
+            "snapshot-id"
+        ]
+
     def read(
-        self, snapshot_id: int | None = None, where: str | None = None
+        self,
+        snapshot_id: int | None = None,
+        where: str | None = None,
+        as_of_timestamp_ms: int | None = None,
     ) -> DataFrame:
+        if as_of_timestamp_ms is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id OR as_of_timestamp_ms, not both")
+            snapshot_id = self.snapshot_at(as_of_timestamp_ms)
         schema = self.schema()
         data, pos_deletes, eq_deletes = self._files(snapshot_id)
         if where:
@@ -467,7 +489,12 @@ class IcebergTable:
                 f["type"]["fields"].insert(2, {"name": "partition", "type": part_rec})
         return sch
 
-    def append(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        _replace: bool = False,
+    ) -> int:
         """Iceberg v2 WRITE interop (VERDICT r5 missing #4): stage
         ``df`` as parquet data files, emit an Avro manifest (entries
         carry footer-sourced record counts, little-endian lower/upper
@@ -698,7 +725,7 @@ class IcebergTable:
         mpath = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
         write_ocf(mpath, self._manifest_schema(part_fields, ice_schema), entries)
         rows: list[dict] = []
-        if snaps and meta.get("current-snapshot-id") not in (None, -1):
+        if not _replace and snaps and meta.get("current-snapshot-id") not in (None, -1):
             cur = next(
                 s for s in snaps if s["snapshot-id"] == meta["current-snapshot-id"]
             )
@@ -746,7 +773,7 @@ class IcebergTable:
                     "sequence-number": seq,
                     "timestamp-ms": now,
                     "manifest-list": lpath,
-                    "summary": {"operation": "append"},
+                    "summary": {"operation": "replace" if _replace else "append"},
                 },
             ],
         }
@@ -943,6 +970,101 @@ class IcebergTable:
             with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as fh:
                 fh.write(str(next_version))
         return {"rows_deleted": rows_deleted, "files_touched": len(touched)}
+
+    def compact(self, target_files: int = 8) -> dict:
+        """rewrite_data_files — Iceberg's compaction verb (OPTIMIZE's
+        cross-format twin): the current snapshot rewrites into
+        ``target_files`` right-sized files committed as a REPLACE
+        snapshot whose manifest list carries ONLY the new data
+        manifest — position deletes are MATERIALIZED (masked rows drop
+        out; the new snapshot carries no delete manifests), prior
+        snapshots keep their own manifest lists so time travel still
+        serves the pre-compaction state. Returns
+        ``{"files_before", "files_after", "deletes_materialized"}``."""
+        data, pos_deletes, eq_deletes = self._files()
+        meta = self.metadata()
+        names = self.field_names_by_id(meta)
+        spec_cols = [names[pf["source-id"]] for pf in self.partition_fields(meta)]
+        df = self.read()
+        if spec_cols:
+            df = df.repartition(max(1, target_files), *spec_cols)
+        else:
+            df = df.coalesce(max(1, target_files))
+        snap_id = self.append(df, _replace=True)
+        new_n = len(self.data_files(snap_id))
+        return {
+            "files_before": len(data),
+            "files_after": new_n,
+            "deletes_materialized": len(pos_deletes) + len(eq_deletes),
+        }
+
+    def expire_snapshots(self, keep_last: int = 1, dry_run: bool = False) -> dict:
+        """Snapshot expiration — the storage-reclamation half of
+        compaction (delta-spark VACUUM's cross-format twin): all but
+        the newest ``keep_last`` snapshots (the current snapshot is
+        always kept) drop from the metadata, and data files, delete
+        files, manifests and manifest lists referenced ONLY by expired
+        snapshots are physically deleted. Returns
+        ``{"expired", "files_deleted"}`` (paths under ``dry_run``)."""
+        meta = self.metadata()
+        snaps = sorted(self.snapshots(), key=lambda s: s["snapshot-id"])
+        cur_id = meta.get("current-snapshot-id")
+        keep = {s["snapshot-id"] for s in snaps[-max(1, keep_last) :]} | {cur_id}
+        expired = [s for s in snaps if s["snapshot-id"] not in keep]
+        if not expired:
+            return {"expired": 0, "files_deleted": []}
+
+        def refs(snap_ids) -> set[str]:
+            out: set[str] = set()
+            for sid in snap_ids:
+                snap = next(s for s in snaps if s["snapshot-id"] == sid)
+                lpath = self._resolve(snap["manifest-list"])
+                out.add(lpath)
+                _, mrows = read_ocf(lpath)
+                for r in mrows:
+                    mpath = self._resolve(r["manifest_path"])
+                    out.add(mpath)
+                    _, entries = read_ocf(mpath)
+                    for e in entries:
+                        if e.get("status") == 2:
+                            continue
+                        out.add(self._resolve(e["data_file"]["file_path"]))
+            return out
+
+        live = refs(keep & {s["snapshot-id"] for s in snaps})
+        dead = refs({s["snapshot-id"] for s in expired}) - live
+        if not dry_run:
+            for p in sorted(dead):
+                if os.path.isfile(p):
+                    os.remove(p)
+            new_meta = {
+                **meta,
+                "snapshots": [s for s in snaps if s["snapshot-id"] in keep],
+            }
+            mfile = self._metadata_file()
+            stem = os.path.basename(mfile)[: -len(".metadata.json")]
+            if stem.startswith("v") and stem[1:].isdigit():
+                nv, catalog_style = int(stem[1:]) + 1, False
+            else:
+                nv, catalog_style = int(stem.split("-", 1)[0]) + 1, True
+            import uuid as _uuid
+
+            mname = (
+                f"{nv:05d}-{_uuid.uuid4()}.metadata.json"
+                if catalog_style
+                else f"v{nv}.metadata.json"
+            )
+            fd = os.open(
+                os.path.join(self.meta_dir, mname), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+            with os.fdopen(fd, "w") as fh:
+                json.dump(new_meta, fh)
+            if not catalog_style:
+                with open(
+                    os.path.join(self.meta_dir, "version-hint.text"), "w"
+                ) as fh:
+                    fh.write(str(nv))
+        return {"expired": len(expired), "files_deleted": sorted(dead)}
 
 
 def _spark_to_iceberg(dt: T.DataType) -> str:

@@ -2081,3 +2081,37 @@ def test_convert_delta_to_iceberg_metadata_only(spark, tmp_path):
     )
     with _pytest.raises(NotImplementedError, match="partition"):
         convert_delta_to_iceberg(spark, dlp, str(tmp_path / "i4"))
+
+
+def test_iceberg_compact_and_expire(spark, tmp_path):
+    """Compaction materializes position deletes via a REPLACE snapshot
+    (older snapshots stay time-travelable); expiration reclaims only
+    files no kept snapshot references and drops expired ids."""
+    import pytest as _pytest
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    df = spark.range(600).selectExpr("id", "CAST(id % 3 AS INT) AS b")
+    t = IcebergTable(spark, str(tmp_path / "m"))
+    s1 = t.append(df.repartition(6))
+    t.delete("id % 2 = 0")
+    res = t.compact(target_files=2)
+    assert res == {"files_before": 6, "files_after": res["files_after"], "deletes_materialized": res["deletes_materialized"]}
+    assert res["files_after"] <= 2 and res["deletes_materialized"] >= 1
+    assert t.read().count() == 300
+    # compacted snapshot has no delete files
+    _, pos, eq = t._files()
+    assert pos == [] and eq == []
+    # pre-compaction snapshots intact until expiration
+    assert t.read(snapshot_id=s1).count() == 600
+    ts1 = next(s for s in t.snapshots() if s["snapshot-id"] == s1)["timestamp-ms"]
+    assert t.snapshot_at(ts1) == s1
+    exp = t.expire_snapshots(keep_last=1, dry_run=True)
+    assert exp["expired"] == 2 and exp["files_deleted"]
+    # dry run deleted nothing
+    assert t.read(snapshot_id=s1).count() == 600
+    exp2 = t.expire_snapshots(keep_last=1)
+    assert exp2["files_deleted"] == exp["files_deleted"]
+    assert t.read().count() == 300
+    with _pytest.raises(ValueError):
+        t.read(snapshot_id=s1)
