@@ -1852,3 +1852,85 @@ def q179_iceberg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     if exp["expired"] != 2 or not exp["files_deleted"]:
         raise AssertionError(f"unexpected expiration accounting {exp}")
     return t.read().orderBy("s_suppkey")
+
+
+@query(
+    "q180_delta_log_zorder",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_partkey <= 200
+    ORDER BY l_orderkey, l_partkey, l_suppkey, l_quantity, l_extendedprice
+    """,
+    tags=("lakehouse", "delta", "zorder", "interop"),
+)
+def q180_delta_log_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE … ZORDER BY in the PUBLIC log format — true
+    multi-dimensional Morton clustering (the reference's
+    `02-Fraud-Performance.py` Z-ORDER cell, cross-format): each
+    z-ordered column bucketizes over its [min, max], bucket bits
+    interleave JVM-side into a z-value, and the rewrite range-
+    partitions + sorts on it. Every output file then covers a small
+    (orderkey × partkey) hyper-rectangle, so add-action stats prune
+    predicates on EITHER column — asserted for both dimensions before
+    the hash check against the relational oracle."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    dl = DeltaLogTable(spark, _scratch("dlz"))
+    dl.write(li.repartition(16), mode="append")
+    dl.optimize(target_files=16, zorder_by=["l_orderkey", "l_partkey"])
+    for pred in ("l_orderkey <= 1000", "l_partkey <= 200"):
+        info = dl.scan_info(pred)
+        if info["n_pruned"] < 4:
+            raise AssertionError(f"z-order must prune on {pred}: {info}")
+    return dl.read(where="l_partkey <= 200").orderBy(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+
+
+@query(
+    "q181_delta_log_constraints",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice,
+           CASE WHEN p_partkey % 10 = 0 THEN p_retailprice + 1.0
+                ELSE p_retailprice END AS p_adjusted
+    FROM part ORDER BY p_partkey
+    """,
+    tags=("lakehouse", "delta", "constraints", "interop"),
+)
+def q181_delta_log_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints in the PUBLIC encoding
+    (``delta.constraints.<name>`` metaData configuration + the
+    writer-version-3 protocol gate, exactly how delta-spark persists
+    ALTER TABLE ADD CONSTRAINT): a positivity constraint is added
+    (existing rows validate in one scan), a violating append and a
+    violating UPDATE are both REFUSED (asserted), a conforming UPDATE
+    commits, and the surviving table hash-matches the oracle. Any
+    engine reading this log sees — and any conforming writer
+    enforces — the same constraint."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+    dl = DeltaLogTable(spark, _scratch("dlcons"))
+    dl.write(part.withColumn("p_adjusted", F.col("p_retailprice")), mode="append")
+    dl.add_constraint("positive_price", "p_adjusted > 0")
+    if dl.constraints() != {"positive_price": "p_adjusted > 0"}:
+        raise AssertionError("constraint not visible in the public encoding")
+    try:
+        dl.write(
+            part.withColumn("p_adjusted", F.lit(-1.0)).limit(5), mode="append"
+        )
+        raise AssertionError("violating append was not refused")
+    except ValueError:
+        pass
+    try:
+        dl.update({"p_adjusted": "-p_adjusted"}, "p_partkey % 10 = 0")
+        raise AssertionError("violating update was not refused")
+    except ValueError:
+        pass
+    dl.update({"p_adjusted": "p_adjusted + 1.0"}, "p_partkey % 10 = 0")
+    return dl.read().orderBy("p_partkey")

@@ -1022,6 +1022,37 @@ class LakeTable:
                 f"({cons}) by row {bad[0].asDict()}"
             )
 
+def _zvalue(df: DataFrame, cols: list[str], bits: int = 8) -> F.Column:
+    """Morton z-value column over numeric ``cols``: each column maps
+    to a ``2^bits``-bucket id over its observed [min, max] (one
+    bounded driver agg — index-building metadata, like any clustering
+    stats pass), and the bucket bits interleave JVM-side with
+    shift/mask expressions (bit j of column k lands at j·m+k). Rows
+    sorted by the z-value cluster into hyper-rectangles, which is what
+    makes per-file min/max stats selective on EVERY z-ordered column.
+    NULLs bucket to 0 (lowest corner)."""
+    n_buckets = 1 << bits
+    row = df.agg(
+        *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).first()
+    buckets = []
+    for i, c in enumerate(cols):
+        mn, mx = row[f"mn_{i}"], row[f"mx_{i}"]
+        if mn is None or mx is None or not isinstance(mn, (int, float)) or mn >= mx:
+            raise ValueError(
+                f"zorder column {c!r} needs a numeric range (got [{mn}, {mx}])"
+            )
+        b = F.width_bucket(F.col(c).cast("double"), F.lit(float(mn)), F.lit(float(mx)), F.lit(n_buckets)) - 1
+        buckets.append(F.coalesce(F.least(b, F.lit(n_buckets - 1)), F.lit(0)).cast("long"))
+    m = len(cols)
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        for k, b in enumerate(buckets):
+            z = z + F.shiftleft(F.shiftright(b, j).bitwiseAND(F.lit(1)), j * m + k)
+    return z
+
+
 def _dv_row_indexes_of(table_path: str, dv: dict) -> list[int]:
     """Resolve a deletionVector descriptor to deleted row indexes.
     Storage types (public PROTOCOL.md): ``i`` = payload inline,
@@ -1822,6 +1853,8 @@ class DeltaLogTable:
                     )
         part_cols = list(partition_by or [])
 
+        if self.exists():
+            self._enforce_constraints(df, f"write(mode={mode})")
         adds = self._stage_adds(df, part_cols)
         now = int(time.time() * 1000)
 
@@ -2312,6 +2345,7 @@ class DeltaLogTable:
                 for c in cols
             ]
         )
+        self._enforce_constraints(rewritten, "update")
         new_adds = self._stage_adds(rewritten, part_cols)
         now = int(time.time() * 1000)
         version = self.latest_version() + 1
@@ -2377,6 +2411,7 @@ class DeltaLogTable:
                 f"match table schema {schema.simpleString()}"
             )
         source = source.select(*[f.name for f in schema.fields])
+        self._enforce_constraints(source, "merge")
         full = df.drop("_fp")
         do_update = when_matched_update_all or matched_update is not None
         if matched_update is not None:
@@ -2497,7 +2532,89 @@ class DeltaLogTable:
         self._commit_actions(version, actions)
         return {"files_rewritten": len(touched)}
 
-    def optimize(self, target_files: int = 8, cluster_by: list[str] | None = None) -> dict:
+    def constraints(self) -> dict[str, str]:
+        """Active CHECK constraints from the PUBLIC encoding —
+        ``delta.constraints.<name>`` keys in the metaData
+        configuration (how delta-spark persists ``ALTER TABLE … ADD
+        CONSTRAINT``), so constraints added by any engine are read and
+        ENFORCED here, and vice versa."""
+        _, _, _, meta = self._snapshot()
+        cfg = (meta or {}).get("configuration") or {}
+        pre = "delta.constraints."
+        return {k[len(pre) :]: v for k, v in cfg.items() if k.startswith(pre)}
+
+    def add_constraint(self, name: str, expr: str) -> None:
+        """ALTER TABLE ADD CONSTRAINT name CHECK (expr), committed as
+        a metaData action with the ``delta.constraints.<name>``
+        configuration key plus the writer-version-3 protocol gate the
+        spec requires — Delta semantics: existing rows validate first
+        (one scan); NULL passes (SQL CHECK logic)."""
+        adds, schema, part_cols, meta = self._snapshot()
+        if name in self.constraints():
+            raise ValueError(f"constraint {name!r} already exists on {self.path}")
+        bad = self.read().filter(~F.expr(expr)).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"cannot add constraint {name!r}: existing row violates "
+                f"CHECK ({expr}): {bad[0].asDict()}"
+            )
+        self._commit_constraint_meta(meta, {f"delta.constraints.{name}": expr}, drop=None)
+
+    def drop_constraint(self, name: str) -> None:
+        """ALTER TABLE DROP CONSTRAINT (metaData re-commit without the
+        configuration key)."""
+        if name not in self.constraints():
+            raise ValueError(f"no constraint {name!r} on {self.path}")
+        _, _, _, meta = self._snapshot()
+        self._commit_constraint_meta(meta, {}, drop=f"delta.constraints.{name}")
+
+    def _commit_constraint_meta(self, meta: dict, add_cfg: dict, drop: str | None) -> None:
+        import time
+
+        cfg = dict((meta or {}).get("configuration") or {})
+        cfg.update(add_cfg)
+        if drop:
+            cfg.pop(drop, None)
+        new_meta = {**meta, "configuration": cfg}
+        proto = getattr(self, "_last_protocol", None) or {
+            "minReaderVersion": 1,
+            "minWriterVersion": 2,
+        }
+        if int(proto.get("minWriterVersion") or 1) < 3 and "writerFeatures" not in proto:
+            proto = {**proto, "minWriterVersion": 3}
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "ADD CONSTRAINT" if add_cfg else "DROP CONSTRAINT",
+                    "engineInfo": "ent_fins_lakehouse_spark/delta-shim",
+                }
+            },
+            {"protocol": proto},
+            {"metaData": new_meta},
+        ]
+        self._commit_actions(self.latest_version() + 1, actions)
+
+    def _enforce_constraints(self, df: DataFrame, op: str) -> None:
+        """One validation scan for all active constraints over the
+        INCOMING rows only — O(write size), not O(table size)."""
+        cons = self.constraints()
+        if not cons:
+            return
+        pred = " OR ".join(f"(NOT ({e}))" for e in cons.values())
+        bad = df.filter(pred).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"{op} rejected: CHECK constraint violated "
+                f"({cons}) by row {bad[0].asDict()}"
+            )
+
+    def optimize(
+        self,
+        target_files: int = 8,
+        cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+    ) -> dict:
         """OPTIMIZE (bin-packing compaction) in the PUBLIC log format
         (the verb behind `02-Fraud-Performance.py`'s OPTIMIZE cell,
         cross-format): the current snapshot is rewritten into
@@ -2510,15 +2627,21 @@ class DeltaLogTable:
         modern Delta — it is the DV garbage-collection point).
 
         ``cluster_by`` range-partitions + sorts the rewrite on the
-        given columns (linear clustering): each output file then covers
-        a narrow value range, so the add-action stats make predicate
-        reads selective — the single-dimension cousin of
-        :meth:`LakeTable.optimize`'s Z-order.
+        given columns (linear clustering — first column selective).
+        ``zorder_by`` is TRUE multi-dimensional Z-ORDER (the
+        reference's ``OPTIMIZE … ZORDER BY``): each numeric column
+        bucketizes into 2⁸ quantile-free [min,max] buckets, bucket
+        bits INTERLEAVE into a z-value, and files range-partition +
+        sort on it — every file then covers a small hyper-rectangle,
+        so add-action min/max stats prune predicates on ANY of the
+        z-ordered columns, not just the leading one.
 
         Returns ``{"files_before", "files_after", "dvs_materialized"}``.
         """
         import time
 
+        if cluster_by and zorder_by:
+            raise ValueError("pass cluster_by OR zorder_by, not both")
         adds, schema, part_cols, meta = self._snapshot()
         if ((meta or {}).get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
@@ -2529,7 +2652,17 @@ class DeltaLogTable:
             )
         n_dvs = sum(1 for i in adds.values() if i["deletionVector"])
         df = self.read()
-        if cluster_by:
+        if zorder_by:
+            missing = [c for c in zorder_by if c not in df.columns]
+            if missing:
+                raise ValueError(f"zorder_by columns {missing} not in table")
+            df = (
+                df.withColumn("_z", _zvalue(df, zorder_by))
+                .repartitionByRange(target_files, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        elif cluster_by:
             missing = [c for c in cluster_by if c not in df.columns]
             if missing:
                 raise ValueError(f"cluster_by columns {missing} not in table")

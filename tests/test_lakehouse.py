@@ -2115,3 +2115,55 @@ def test_iceberg_compact_and_expire(spark, tmp_path):
     assert t.read().count() == 300
     with _pytest.raises(ValueError):
         t.read(snapshot_id=s1)
+
+
+def test_delta_log_zorder_prunes_both_dims(spark, tmp_path):
+    """Morton z-order: predicates on EITHER z-ordered column prune
+    most files; values survive the rewrite bit-for-bit."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "z")
+    dl = DeltaLogTable(spark, td)
+    df = spark.range(20000).selectExpr(
+        "id AS a", "CAST(pmod(id * 2654435761, 20000) AS BIGINT) AS b"
+    )
+    dl.write(df.repartition(8), mode="append")
+    before = dl.scan_info("b BETWEEN 500 AND 800")
+    assert before["n_pruned"] == 0  # round-robin: every file spans b
+    dl.optimize(target_files=16, zorder_by=["a", "b"])
+    for pred in ("a BETWEEN 500 AND 800", "b BETWEEN 500 AND 800"):
+        info = dl.scan_info(pred)
+        assert info["n_pruned"] >= info["n_active"] // 2, (pred, info)
+    got = dl.read()
+    assert got.count() == 20000
+    assert got.filter("a = 1234").first()["b"] == (1234 * 2654435761) % 20000
+
+
+def test_delta_log_constraints_public_encoding(spark, tmp_path):
+    """Constraints round-trip through delta.constraints.* metaData
+    keys; violating write/update/merge refuse; drop re-permits; an
+    add over violating existing rows refuses."""
+    import pytest as _pytest
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "cons")
+    dl = DeltaLogTable(spark, td)
+    dl.write(spark.createDataFrame([(1, 10), (2, 20)], "k INT, v INT"), mode="append")
+    dl.add_constraint("v_pos", "v > 0")
+    # the key is literally in the committed metaData configuration
+    _, _, _, meta = dl._snapshot()
+    assert meta["configuration"]["delta.constraints.v_pos"] == "v > 0"
+    with _pytest.raises(ValueError, match="CHECK"):
+        dl.write(spark.createDataFrame([(3, -1)], "k INT, v INT"), mode="append")
+    with _pytest.raises(ValueError, match="CHECK"):
+        dl.update({"v": "-v"}, "k = 1")
+    with _pytest.raises(ValueError, match="CHECK"):
+        dl.merge(spark.createDataFrame([(1, -5)], "k INT, v INT"), on=["k"])
+    # NULL passes (SQL CHECK semantics)
+    dl.write(spark.createDataFrame([(4, None)], "k INT, v INT"), mode="append")
+    with _pytest.raises(ValueError, match="violates"):
+        dl.add_constraint("v_big", "v > 15")  # k=1 v=10 violates
+    dl.drop_constraint("v_pos")
+    dl.write(spark.createDataFrame([(5, -9)], "k INT, v INT"), mode="append")
+    assert dl.read().count() == 4
