@@ -1934,3 +1934,72 @@ def q181_delta_log_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     dl.update({"p_adjusted": "p_adjusted + 1.0"}, "p_partkey % 10 = 0")
     return dl.read().orderBy("p_partkey")
+
+
+@query(
+    "q182_delta_log_restore",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_suppkey
+    """,
+    tags=("lakehouse", "delta", "restore", "interop"),
+)
+def q182_delta_log_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE … TO VERSION AS OF in the PUBLIC log format
+    (q95/LakeTable.restore's verb, cross-format): after a DV delete
+    AND an append, restoring to v0 must drop the appended files and
+    re-add the DV-bearing file WITHOUT its deletion vector (an add
+    action replaces the path's state) — metadata-only, nothing read or
+    rewritten, and the restore itself remains time-travelable. The
+    restored table hash-matches the untouched supplier oracle."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    dl = DeltaLogTable(spark, _scratch("dlrst"))
+    dl.write(sup.repartition(4), mode="append")
+    v0 = dl.latest_version()
+    dl.delete("s_suppkey % 3 = 0")
+    dl.write(
+        sup.withColumn("s_suppkey", F.col("s_suppkey") + 500000), mode="append"
+    )
+    res = dl.restore(v0)
+    if res["files_removed"] < 1 or res["files_added"] < 1:
+        raise AssertionError(f"unexpected restore accounting {res}")
+    post = dl.read()
+    if post.filter("s_suppkey >= 500000").count() != 0:
+        raise AssertionError("restore kept post-target appends")
+    return post.orderBy("s_suppkey")
+
+
+@query(
+    "q183_iceberg_read_changes",
+    oracle="""
+    SELECT c_custkey, c_name, 'insert' AS _change_type,
+           CAST(2 AS BIGINT) AS _commit_snapshot
+    FROM customer WHERE c_custkey > 1000
+    UNION ALL
+    SELECT c_custkey, c_name, 'delete', CAST(3 AS BIGINT)
+    FROM customer WHERE c_custkey % 6 = 0
+    ORDER BY _commit_snapshot, _change_type, c_custkey
+    """,
+    tags=("lakehouse", "iceberg", "cdf", "interop"),
+)
+def q183_iceberg_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg INCREMENTAL read (the Delta change-data-feed twin,
+    q161 cross-format): rows changed in snapshots (s1, s3] — the
+    second append's rows as inserts (tagged with their committing
+    snapshot) and the masked positions of a position delete resolved
+    back to full rows as deletes. Consumers tail a table by snapshot
+    id exactly like a CDF cursor; REPLACE (compaction) snapshots are
+    skipped because they move rows without changing them."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    t = IcebergTable(spark, _scratch("icerc") + "_t")
+    s1 = t.append(cust.filter(F.col("c_custkey") <= 1000).coalesce(2))
+    t.append(cust.filter(F.col("c_custkey") > 1000).coalesce(2))
+    t.delete("c_custkey % 6 = 0")
+    return t.read_changes(s1).orderBy(
+        "_commit_snapshot", "_change_type", "c_custkey"
+    )

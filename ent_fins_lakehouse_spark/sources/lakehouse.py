@@ -2532,6 +2532,88 @@ class DeltaLogTable:
         self._commit_actions(version, actions)
         return {"files_rewritten": len(touched)}
 
+    def restore(self, version: int) -> dict:
+        """RESTORE TABLE … TO VERSION AS OF in the PUBLIC log format
+        (delta-spark's RESTORE): re-activates the target snapshot as a
+        NEW commit — removes for files only the current snapshot holds,
+        re-adds (with their original stats and DV descriptors carried
+        verbatim) for files only the target held. Metadata-only: no
+        data file is read or rewritten, and the restore itself is
+        time-travelable since history stays append-only. Requires the
+        target version's data files to still exist (not VACUUMed)."""
+        import time
+
+        base = self.latest_version()
+        if version == base:
+            return {"restored_to": version, "files_added": 0, "files_removed": 0}
+        t_adds, t_schema, t_parts, t_meta = self._snapshot(version)
+        c_adds, _, _, c_meta = self._snapshot()
+        missing = [
+            p
+            for p in t_adds
+            if not os.path.isfile(os.path.join(self.path, p))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot restore to v{version}: data files {missing[:3]} were "
+                "vacuumed past the target snapshot"
+            )
+        now = int(time.time() * 1000)
+        to_remove = [p for p in sorted(c_adds) if p not in t_adds]
+        # re-add files the target alone held, PLUS files whose DV state
+        # differs (an add action replaces the path's prior state, so
+        # re-adding with the target's descriptor — or none — restores
+        # pre-delete visibility)
+        to_add = [
+            p
+            for p in sorted(t_adds)
+            if p not in c_adds
+            or t_adds[p].get("deletionVector") != c_adds[p].get("deletionVector")
+        ]
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "RESTORE",
+                    "operationParameters": {"version": version},
+                    "engineInfo": "ent_fins_lakehouse_spark/delta-shim",
+                }
+            },
+        ]
+        if json.dumps(t_meta, sort_keys=True) != json.dumps(c_meta, sort_keys=True):
+            actions.append({"metaData": t_meta})
+        for p in to_remove:
+            actions.append(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                        "partitionValues": c_adds[p]["partitionValues"],
+                    }
+                }
+            )
+        for p in to_add:
+            info = t_adds[p]
+            add = {
+                "path": p,
+                "partitionValues": info["partitionValues"],
+                "size": os.path.getsize(os.path.join(self.path, p)),
+                "modificationTime": now,
+                "dataChange": True,
+            }
+            if info.get("stats"):
+                add["stats"] = info["stats"]
+            if info.get("deletionVector"):
+                add["deletionVector"] = info["deletionVector"]
+            actions.append({"add": add})
+        self._commit_actions(base + 1, actions)
+        return {
+            "restored_to": version,
+            "files_added": len(to_add),
+            "files_removed": len(to_remove),
+        }
+
     def constraints(self) -> dict[str, str]:
         """Active CHECK constraints from the PUBLIC encoding —
         ``delta.constraints.<name>`` keys in the metaData

@@ -2167,3 +2167,62 @@ def test_delta_log_constraints_public_encoding(spark, tmp_path):
     dl.drop_constraint("v_pos")
     dl.write(spark.createDataFrame([(5, -9)], "k INT, v INT"), mode="append")
     assert dl.read().count() == 4
+
+
+def test_delta_log_restore_dv_and_appends(spark, tmp_path):
+    """Public-format RESTORE: drops post-target appends, strips
+    post-target DVs (re-add replaces the path's state), carries stats,
+    refuses when the target's files were vacuumed."""
+    import pytest as _pytest
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "rst")
+    dl = DeltaLogTable(spark, td)
+    dl.write(spark.range(0, 1000).selectExpr("id").coalesce(1), mode="append")
+    v0 = dl.latest_version()
+    dl.delete("id % 2 = 0")
+    dl.write(spark.range(1000, 1100).selectExpr("id").coalesce(1), mode="append")
+    dl.restore(v0)
+    got = dl.read()
+    assert got.count() == 1000 and got.filter("id % 2 = 0").count() == 500
+    # stats carried through the re-add: selective predicate still prunes
+    dl.write(spark.range(2000, 3000).selectExpr("id").coalesce(1), mode="append")
+    assert dl.scan_info("id >= 2500")["n_pruned"] >= 1
+    # restore to the overwritten state is refused after vacuum removes it
+    v_now = dl.latest_version()
+    dl.write(spark.range(5).selectExpr("id"), mode="overwrite")
+    dl.vacuum(retention_hours=0.0)
+    with _pytest.raises(ValueError, match="vacuumed"):
+        dl.restore(v_now)
+
+
+def test_iceberg_read_changes_inserts_deletes_and_replace_skip(spark, tmp_path):
+    """Incremental scan: in-range appends emit inserts, position
+    deletes emit the masked rows as deletes, REPLACE snapshots are
+    invisible, out-of-range history excluded."""
+    import collections
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "rc"))
+    s1 = t.append(spark.range(50).selectExpr("id"))
+    s2 = t.append(spark.range(50, 80).selectExpr("id"))
+    t.delete("id < 10")
+    s3 = max(s["snapshot-id"] for s in t.snapshots())
+    cnt = collections.Counter(
+        (r["_change_type"], r["_commit_snapshot"])
+        for r in t.read_changes(s1).collect()
+    )
+    assert cnt == {("insert", s2): 30, ("delete", s3): 10}
+    # bounded upper end
+    assert (
+        t.read_changes(s1, to_snapshot=s2).filter("_change_type = 'delete'").count()
+        == 0
+    )
+    # compaction is change-invisible
+    t.compact(target_files=1)
+    cnt2 = collections.Counter(
+        r["_change_type"] for r in t.read_changes(s2).collect()
+    )
+    assert cnt2 == {"delete": 10}
