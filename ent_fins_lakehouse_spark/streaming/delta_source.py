@@ -86,19 +86,46 @@ def make_delta_stream_source():
             self.deleted = deleted
 
     class DeltaStreamReader(DataSourceStreamReader):
-        def __init__(self, table_path: str, ignore_changes: bool):
+        def __init__(
+            self,
+            table_path: str,
+            ignore_changes: bool,
+            max_versions_per_trigger: int | None = None,
+        ):
             self.table_path = table_path
             self.ignore_changes = ignore_changes
+            # rate limiting (Delta's maxFilesPerTrigger idea at our
+            # version-offset granularity): each micro-batch advances at
+            # most N commit versions, so one trigger never ingests an
+            # unbounded backlog — admission control for recovery after
+            # downtime. Tracked from the last end WE handed out (the
+            # engine calls latestOffset once per trigger).
+            self.max_versions = max_versions_per_trigger
+            self._last_end: int | None = None
 
         def initialOffset(self) -> dict:
             return {"version": -1}
 
         def latestOffset(self) -> dict:
             vs = version_files(self.table_path)
-            return {"version": max(vs) if vs else -1}
+            latest = max(vs) if vs else -1
+            if self.max_versions is not None:
+                base = self._last_end if self._last_end is not None else -1
+                latest = min(latest, base + self.max_versions)
+            self._last_end = latest
+            return {"version": latest}
+
+        def commit(self, end: dict) -> None:
+            # checkpoint committed through `end`; align the rate-limit
+            # cursor with what the engine durably processed
+            self._last_end = end["version"]
 
         def partitions(self, start: dict, end: dict):
             lo, hi = start["version"], end["version"]
+            # restart alignment: after recovery the checkpointed start
+            # may be ahead of our fresh rate-limit cursor
+            if self._last_end is None or self._last_end < lo:
+                self._last_end = lo
             meta = table_meta(self.table_path)
             part_cols = list(meta.get("partitionColumns") or [])
             schema_json = meta["schemaString"]
@@ -267,9 +294,11 @@ def make_delta_stream_source():
             return T.StructType.fromJson(json.loads(meta["schemaString"]))
 
         def streamReader(self, schema):
+            mv = self.options.get("maxversionspertrigger")
             return DeltaStreamReader(
                 self.options["path"],
                 self.options.get("ignorechanges", "false").lower() == "true",
+                int(mv) if mv else None,
             )
 
     return DeltaStreamDataSource
@@ -279,12 +308,22 @@ def register(spark) -> None:
     spark.dataSource.register(make_delta_stream_source())
 
 
-def read_delta_stream(spark, path: str, ignore_changes: bool = False):
-    """Continuously read a public-format Delta table as it is appended."""
+def read_delta_stream(
+    spark,
+    path: str,
+    ignore_changes: bool = False,
+    max_versions_per_trigger: int | None = None,
+):
+    """Continuously read a public-format Delta table as it is appended.
+    ``max_versions_per_trigger`` bounds how many commit versions one
+    micro-batch ingests (Delta's maxFilesPerTrigger idea at version
+    granularity) — admission control when recovering a large backlog."""
     register(spark)
-    return (
+    r = (
         spark.readStream.format("delta_stream")
         .option("path", path)
         .option("ignoreChanges", str(ignore_changes).lower())
-        .load()
     )
+    if max_versions_per_trigger is not None:
+        r = r.option("maxVersionsPerTrigger", str(max_versions_per_trigger))
+    return r.load()

@@ -299,3 +299,29 @@ class TestDeltaStreamSource:
         # ignoreChanges skips the DV-bearing re-add (Delta's contract)
         got = self._drain(spark, src, out, ckpt, ignore_changes=True)
         assert sorted(got) == [0, 1, 2, 3, 4, 5]  # already streamed; no dupes
+
+
+def test_delta_stream_rate_limit(spark, tmp_path):
+    """maxVersionsPerTrigger bounds each micro-batch's commit range
+    (admission control for backlog recovery): a 5-commit backlog
+    drains 2 versions per trigger — the initial snapshot itself
+    respects the cap — with exactly-once totals across restarts."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+    from ent_fins_lakehouse_spark.streaming.autoloader import run_available_now
+    from ent_fins_lakehouse_spark.streaming.delta_source import read_delta_stream
+
+    src, out, ckpt = str(tmp_path / "t"), str(tmp_path / "o"), str(tmp_path / "c")
+    dl = DeltaLogTable(spark, src)
+    for i in range(5):
+        dl.write(
+            spark.range(i * 10, (i + 1) * 10).selectExpr("id"), mode="append"
+        )
+    seen = []
+    for _ in range(4):
+        run_available_now(
+            read_delta_stream(spark, src, max_versions_per_trigger=2), out, ckpt
+        )
+        seen.append(spark.read.parquet(out).count())
+    assert seen == [20, 40, 50, 50], seen
+    got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(50))

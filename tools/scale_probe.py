@@ -57,6 +57,9 @@ PROBE_QUERIES = [
     "q87_returned_item_revenue",
     "q88_nation_market_share",
     "q140_incremental_rollup",
+    "q174_bm25_topk",
+    "q175_span_dedup_stats",
+    "q178_pagerank",
 ]
 
 # per-table key columns to offset per copy (fact->dim links stay valid
