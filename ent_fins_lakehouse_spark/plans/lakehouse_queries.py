@@ -2003,3 +2003,138 @@ def q183_iceberg_read_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read_changes(s1).orderBy(
         "_commit_snapshot", "_change_type", "c_custkey"
     )
+
+
+def _iceberg_renamed_fixture(spark: SparkSession, df: DataFrame, table_dir: str) -> None:
+    """Hand-built Iceberg v2 table whose PARQUET carries field ids
+    under the ORIGINAL column names while the CURRENT schema renames
+    the last column — the post-`ALTER TABLE RENAME COLUMN` shape every
+    real Iceberg writer produces (spec 'Column Projection': resolution
+    is BY ID; names are display metadata)."""
+    import json as _json
+    import time
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ent_fins_lakehouse_spark.sources.avro_io import write_ocf
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    data_dir = os.path.join(table_dir, "data")
+    meta_dir = os.path.join(table_dir, "metadata")
+    os.makedirs(data_dir)
+    os.makedirs(meta_dir)
+    pdf = df.toPandas()
+    pa_types = {"int64": pa.int64(), "object": pa.string(), "float64": pa.float64()}
+    fields = [
+        pa.field(
+            c,
+            pa_types[str(pdf[c].dtype)],
+            metadata={b"PARQUET:field_id": str(i + 1).encode()},
+        )
+        for i, c in enumerate(pdf.columns)
+    ]
+    fpath = os.path.join(data_dir, "part-0.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf, schema=pa.schema(fields)), fpath)
+
+    ice_types = {"int64": "long", "object": "string", "float64": "double"}
+    sfields = [
+        {"id": i + 1, "name": c, "required": False, "type": ice_types[str(pdf[c].dtype)]}
+        for i, c in enumerate(pdf.columns)
+    ]
+    sfields[-1]["name"] = "renamed_" + sfields[-1]["name"]  # the rename
+    mpath = os.path.join(meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
+    write_ocf(
+        mpath,
+        IcebergTable._MANIFEST_SCHEMA,
+        [
+            {
+                "status": 1,
+                "snapshot_id": 1,
+                "sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": fpath,
+                    "file_format": "PARQUET",
+                    "record_count": len(pdf),
+                    "file_size_in_bytes": os.path.getsize(fpath),
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                },
+            }
+        ],
+    )
+    lpath = os.path.join(meta_dir, f"snap-1-{_uuid.uuid4().hex}.avro")
+    write_ocf(
+        lpath,
+        IcebergTable._MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "added_snapshot_id": 1,
+            }
+        ],
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": str(_uuid.uuid4()),
+        "location": table_dir,
+        "last-sequence-number": 1,
+        "last-updated-ms": int(time.time() * 1000),
+        "last-column-id": len(sfields),
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": sfields}],
+        "current-schema-id": 0,
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {"snapshot-id": 1, "sequence-number": 1,
+             "timestamp-ms": int(time.time() * 1000),
+             "manifest-list": lpath, "summary": {"operation": "append"}}
+        ],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        _json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+
+@query(
+    "q184_iceberg_renamed_column",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal AS renamed_s_acctbal
+    FROM supplier ORDER BY s_suppkey
+    """,
+    tags=("lakehouse", "iceberg", "schema-evolution", "interop"),
+)
+def q184_iceberg_renamed_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg reads after ALTER TABLE RENAME COLUMN (closes the
+    shim's last read refusal): the fixture's parquet stores the
+    column under its ORIGINAL name with embedded parquet field ids —
+    exactly what real writers produce — while the current schema
+    renames it. Resolution goes BY FIELD ID (spec 'Column
+    Projection' rule 1) through Spark's native ``parquet.field.id``
+    read support, so the renamed column returns its values; name
+    matching would silently return all nulls. Files without ids (this
+    shim's own writes) keep name resolution — one footer probe
+    decides."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    td = _scratch("iceren") + "_t"
+    _iceberg_renamed_fixture(spark, sup, td)
+    t = IcebergTable(spark, td)
+    out = t.read()
+    if out.filter(F.col("renamed_s_acctbal").isNull()).count() > 0:
+        raise AssertionError("renamed column read as nulls — id resolution failed")
+    return out.orderBy("s_suppkey")

@@ -333,6 +333,40 @@ class IcebergTable:
             "snapshot-id"
         ]
 
+    def _read_schema_for(self, sample_path: str, schema: T.StructType) -> T.StructType:
+        """Schema-evolution-safe read schema: if the data files carry
+        parquet FIELD IDS (every real Iceberg writer embeds them —
+        spec: 'Column Projection' rule 1 resolves by id, names are
+        display only), request columns by id via Spark's native
+        ``parquet.field.id`` support, so a column RENAMED after the
+        file was written still reads its values instead of silently
+        returning nulls under name matching. Files without ids (this
+        shim's own staged writes) keep name resolution — one footer
+        probe decides, no data scan."""
+        import pyarrow.parquet as pq
+
+        try:
+            arrow = pq.ParquetFile(sample_path).schema_arrow
+            has_ids = all(
+                f.metadata and b"PARQUET:field_id" in f.metadata for f in arrow
+            )
+        except Exception:
+            has_ids = False
+        if not has_ids:
+            return schema
+        ids = {f["name"]: f["id"] for f in self._ice_schema()["fields"]}
+        if not all(f.name in ids for f in schema.fields):
+            return schema
+        self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        return T.StructType(
+            [
+                T.StructField(
+                    f.name, f.dataType, True, {"parquet.field.id": ids[f.name]}
+                )
+                for f in schema.fields
+            ]
+        )
+
     def read(
         self,
         snapshot_id: int | None = None,
@@ -359,10 +393,11 @@ class IcebergTable:
             return empty.filter(where) if where else empty
         norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
         need_seq = bool(eq_deletes)
+        read_schema = self._read_schema_for(data[0][0], schema)
         parts = []
         for seq in sorted({s for _, s, _ in data}):
             paths = sorted(p for p, s, _ in data if s == seq)
-            df = self.spark.read.schema(schema).parquet(*paths)
+            df = self.spark.read.schema(read_schema).parquet(*paths)
             if pos_deletes or need_seq:
                 df = df.select(
                     "*",
