@@ -2138,3 +2138,70 @@ def q184_iceberg_renamed_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     if out.filter(F.col("renamed_s_acctbal").isNull()).count() > 0:
         raise AssertionError("renamed column read as nulls — id resolution failed")
     return out.orderBy("s_suppkey")
+
+
+@query(
+    "q185_sql_dml_on_delta_location",
+    oracle="""
+    WITH upd AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 10.0 ELSE c_acctbal END AS c_acctbal
+      FROM customer
+    ),
+    merged AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey <= 30 THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal
+      FROM upd
+      UNION ALL
+      -- inserted rows carry the SOURCE's values (the pre-UPDATE
+      -- customer rows), not the updated target's
+      SELECT c_custkey + 900000, c_name, c_nationkey, c_acctbal
+      FROM customer WHERE c_custkey <= 10
+    )
+    SELECT * FROM merged WHERE NOT (c_nationkey = 7 AND c_custkey < 900000)
+    ORDER BY c_custkey
+    """,
+    tags=("lakehouse", "delta", "sql", "interop"),
+)
+def q185_sql_dml_on_delta_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's SQL DML cells against a ``CREATE TABLE … USING
+    DELTA LOCATION`` table, END-TO-END IN THE PUBLIC FORMAT: UPDATE,
+    MERGE INTO (matched update + not-matched insert) and DELETE FROM
+    all route through the facade to :class:`DeltaLogTable` commits —
+    the write-side completion of read()'s transparent shim
+    fall-through (before r6 these raised; a LakeTable commit would
+    have split-brained the table across two logs). The surviving
+    table hash-matches the composed oracle, and the final state is
+    visible to any Delta reader."""
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    ext = _scratch("sqldelta")
+    DeltaLogTable(spark, ext).write(cust.repartition(4), mode="append")
+    lh = LakehouseSession(spark, _scratch("wh_sqldelta"))
+    lh.sql("CREATE DATABASE ext")
+    lh.sql(f"CREATE TABLE ext.c USING DELTA LOCATION '{ext}'")
+    lh.sql("UPDATE ext.c SET c_acctbal = c_acctbal + 10.0 WHERE c_custkey % 4 = 0")
+    src = (
+        cust.filter(F.col("c_custkey") <= 30)
+        .withColumn("c_acctbal", F.lit(0.0))
+        .unionByName(
+            cust.filter(F.col("c_custkey") <= 10).withColumn(
+                "c_custkey", F.col("c_custkey") + 900000
+            )
+        )
+    )
+    src.createOrReplaceTempView("q185_src")
+    lh.sql(
+        "MERGE INTO ext.c AS t USING q185_src AS s ON t.c_custkey = s.c_custkey "
+        "WHEN MATCHED THEN UPDATE SET c_acctbal = t.c_acctbal + 1000.0 "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    lh.sql("DELETE FROM ext.c WHERE c_nationkey = 7 AND c_custkey < 900000")
+    # the mutations live in the PUBLIC log (readable by any Delta reader)
+    if DeltaLogTable(spark, ext).latest_version() < 3:
+        raise AssertionError("SQL DML did not commit to the public _delta_log")
+    return lh.sql("SELECT * FROM ext.c").orderBy("c_custkey")

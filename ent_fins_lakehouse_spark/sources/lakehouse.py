@@ -482,9 +482,24 @@ class LakeTable:
         untouched = [rel for rel in active if rel not in touched_rel]
         return touched, untouched
 
+    def _as_delta_shim(self) -> "DeltaLogTable | None":
+        """When this path holds an open-source Delta table
+        (``_delta_log/``, no ``_txn_log/``), DML delegates to
+        :class:`DeltaLogTable` so the mutation lands in the PUBLIC
+        format — the write-side completion of read()'s transparent
+        fall-through (a LakeTable commit here would split-brain the
+        table across two logs)."""
+        if not self.exists():
+            dl = DeltaLogTable(self.spark, self.path)
+            if dl.exists():
+                return dl
+        return None
+
     def delete(self, predicate: str) -> dict:
         """DELETE FROM … WHERE (D5, `01-Fraud-Delta.py:159` GDPR
         delete). Rewrites only data dirs containing matching rows."""
+        if (dl := self._as_delta_shim()) is not None:
+            return dl.delete(predicate)
         base = self.latest_version()
         pred = F.expr(predicate)
         touched, _ = self._dirs_touching(pred)
@@ -507,6 +522,8 @@ class LakeTable:
         touched dir are carried through unchanged. Expressions may
         reference any column of the row being updated; unknown target
         columns are rejected like MERGE's UPDATE SET."""
+        if (dl := self._as_delta_shim()) is not None:
+            return dl.update(assignments, predicate)
         _, schema = self._snapshot()
         if schema is None:
             raise ValueError(f"table {self.path} does not exist")
@@ -577,6 +594,17 @@ class LakeTable:
           are dropped. Forces a full-table rewrite (every dir may hold
           unmatched rows), unlike the key-pruned clauses.
         """
+        if (dl := self._as_delta_shim()) is not None:
+            return dl.merge(
+                source,
+                on,
+                when_matched_update_all=when_matched_update_all,
+                when_not_matched_insert_all=when_not_matched_insert_all,
+                matched_condition=matched_condition,
+                matched_update=matched_update,
+                not_matched_by_source_delete=not_matched_by_source_delete,
+                not_matched_by_source_condition=not_matched_by_source_condition,
+            )
         if not self.exists():
             raise ValueError(f"merge target {self.path} does not exist")
         base = self.latest_version()
@@ -713,6 +741,10 @@ class LakeTable:
 
     def insert_values(self, rows: list[tuple]) -> None:
         """INSERT INTO … VALUES (D6, `01-Fraud-Delta.py:185-195`)."""
+        if (dl := self._as_delta_shim()) is not None:
+            _, schema, _, _ = dl._snapshot()
+            dl.write(self.spark.createDataFrame(rows, schema), mode="append")
+            return
         _, schema = self._snapshot()
         df = self.spark.createDataFrame(rows, schema)
         self._enforce_constraints(df, "insert_values")
@@ -720,6 +752,9 @@ class LakeTable:
         self._commit("insert", [rel], [], schema, {"rows": len(rows)})
 
     def insert_into(self, df: DataFrame) -> None:
+        if (dl := self._as_delta_shim()) is not None:
+            dl.write(df, mode="append")
+            return
         self.write(df, mode="append")
 
     # ------------------------------------------------------- maintenance
@@ -731,6 +766,8 @@ class LakeTable:
         Z-ORDER approximation: range-partition + sort on the cluster
         columns so min/max footer stats give the same file-skipping
         effect for those columns."""
+        if (dl := self._as_delta_shim()) is not None:
+            return dl.optimize(target_files=target_files, zorder_by=zorder_by)
         base = self.latest_version()
         active, schema = self._snapshot()
         df = self.read()
@@ -786,6 +823,8 @@ class LakeTable:
         old data dirs are re-referenced, nothing is rewritten — and the
         restore itself is time-travelable/undoable since history is
         append-only."""
+        if (dl := self._as_delta_shim()) is not None:
+            return dl.restore(version)
         base = self.latest_version()
         if version == base:
             return {"restored_to": version, "dirs": 0}
@@ -861,6 +900,8 @@ class LakeTable:
         """Physically delete data dirs no longer referenced by the
         current snapshot (breaks time travel to old versions, like
         Delta VACUUM with retention 0)."""
+        if (dl := self._as_delta_shim()) is not None:
+            return len(dl.vacuum(retention_hours=0.0))
         import shutil
 
         active, _ = self._snapshot()
