@@ -2205,3 +2205,40 @@ def q185_sql_dml_on_delta_location(spark: SparkSession, sf_dir: str) -> DataFram
     if DeltaLogTable(spark, ext).latest_version() < 3:
         raise AssertionError("SQL DML did not commit to the public _delta_log")
     return lh.sql("SELECT * FROM ext.c").orderBy("c_custkey")
+
+
+@query(
+    "q186_iceberg_rename_column",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice AS list_price FROM part
+    UNION ALL
+    SELECT p_partkey + 700000, p_name, p_retailprice FROM part WHERE p_partkey <= 50
+    ORDER BY p_partkey
+    """,
+    tags=("lakehouse", "iceberg", "schema-evolution", "interop"),
+)
+def q186_iceberg_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE RENAME COLUMN on the engine's OWN Iceberg tables
+    (q184 covered external fixtures): staged writes embed the Iceberg
+    field ids as parquet field ids, the rename is a metadata-only
+    schema version keeping the id, and a post-rename append writes
+    files under the NEW name with the SAME id — so a read spanning
+    pre- and post-rename files resolves both by id and returns full
+    values (name matching would null the older half; asserted)."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+    t = IcebergTable(spark, _scratch("iceren2") + "_t")
+    t.append(part.repartition(2))
+    t.rename_column("p_retailprice", "list_price")
+    t.append(
+        part.filter(F.col("p_partkey") <= 50)
+        .withColumn("p_partkey", F.col("p_partkey") + 700000)
+        .withColumnRenamed("p_retailprice", "list_price")
+    )
+    out = t.read()
+    if out.filter(F.col("list_price").isNull()).count() > 0:
+        raise AssertionError("pre-rename files read as nulls — id resolution failed")
+    return out.orderBy("p_partkey")

@@ -674,6 +674,17 @@ class IcebergTable:
             return s
 
         try:
+            # embed the Iceberg field ids as parquet field ids (what
+            # every real writer does; Spark writes them when the
+            # schema metadata carries parquet.field.id) — so OUR files
+            # survive RENAME COLUMN under the reader's id resolution
+            df = df.select(
+                *[
+                    F.col(f.name).alias(f.name, metadata={"parquet.field.id": ids[f.name]})
+                    for f in df.schema.fields
+                ]
+            )
+            self.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
             if spec_cols:
                 stage_df = df
                 for c in spec_cols:
@@ -1095,6 +1106,61 @@ class IcebergTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def rename_column(self, old: str, new: str) -> None:
+        """ALTER TABLE … RENAME COLUMN — metadata-only, as the spec
+        mandates: the schema field keeps its FIELD ID and changes only
+        its display name in a new metadata.json version. Existing data
+        files (written under the old name, carrying field ids) keep
+        reading correctly because resolution is by id; files appended
+        after the rename carry the new name with the SAME id."""
+        import uuid as _uuid
+
+        meta = self.metadata()
+        sch = self._ice_schema(meta)
+        names = [f["name"] for f in sch["fields"]]
+        if old not in names:
+            raise ValueError(f"no column {old!r} in {names}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        new_fields = [
+            {**f, "name": new} if f["name"] == old else f for f in sch["fields"]
+        ]
+        new_schema = {**sch, "fields": new_fields}
+        schemas = [
+            new_schema if s.get("schema-id") == sch.get("schema-id") else s
+            for s in (meta.get("schemas") or [sch])
+        ]
+        # identity partition fields display the source column's name
+        specs = []
+        for spec in meta.get("partition-specs") or []:
+            sfields = [
+                {**pf, "name": new}
+                if pf.get("transform") == "identity" and pf.get("name") == old
+                else pf
+                for pf in spec.get("fields") or []
+            ]
+            specs.append({**spec, "fields": sfields})
+        new_meta = {**meta, "schemas": schemas, "partition-specs": specs}
+        mfile = self._metadata_file()
+        stem = os.path.basename(mfile)[: -len(".metadata.json")]
+        if stem.startswith("v") and stem[1:].isdigit():
+            nv, catalog_style = int(stem[1:]) + 1, False
+        else:
+            nv, catalog_style = int(stem.split("-", 1)[0]) + 1, True
+        mname = (
+            f"{nv:05d}-{_uuid.uuid4()}.metadata.json"
+            if catalog_style
+            else f"v{nv}.metadata.json"
+        )
+        fd = os.open(
+            os.path.join(self.meta_dir, mname), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+        )
+        with os.fdopen(fd, "w") as fh:
+            json.dump(new_meta, fh)
+        if not catalog_style:
+            with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as fh:
+                fh.write(str(nv))
 
     def compact(self, target_files: int = 8) -> dict:
         """rewrite_data_files — Iceberg's compaction verb (OPTIMIZE's

@@ -2226,3 +2226,33 @@ def test_iceberg_read_changes_inserts_deletes_and_replace_skip(spark, tmp_path):
         r["_change_type"] for r in t.read_changes(s2).collect()
     )
     assert cnt2 == {"delete": 10}
+
+
+def test_iceberg_rename_column_spans_old_and_new_files(spark, tmp_path):
+    """Own-write field ids + metadata-only rename: reads spanning pre-
+    and post-rename files resolve by id (no nulls), partition-column
+    renames keep pruning, collisions refused."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "ren"))
+    t.append(spark.range(100).selectExpr("id", "CAST(id AS DOUBLE)*1.5 AS amount"))
+    t.rename_column("amount", "total")
+    t.append(spark.range(100, 150).selectExpr("id", "CAST(id AS DOUBLE)*1.5 AS total"))
+    out = t.read()
+    assert out.columns == ["id", "total"]
+    assert out.count() == 150 and out.filter(F.col("total").isNull()).count() == 0
+    assert abs(out.filter("id = 10").first()["total"] - 15.0) < 1e-9
+    with _pytest.raises(ValueError, match="already exists"):
+        t.rename_column("id", "total")
+    # partition column rename keeps tuple-based pruning
+    t2 = IcebergTable(spark, str(tmp_path / "renp"))
+    t2.append(
+        spark.range(100).selectExpr("id", "CAST(id % 4 AS INT) AS b"),
+        partition_by=["b"],
+    )
+    t2.rename_column("b", "bucket")
+    assert t2.read(where="bucket = 2").count() == 25
+    assert t2.scan_info("bucket = 2")["n_pruned"] >= 1
