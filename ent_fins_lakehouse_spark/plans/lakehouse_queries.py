@@ -2242,3 +2242,44 @@ def q186_iceberg_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     if out.filter(F.col("list_price").isNull()).count() > 0:
         raise AssertionError("pre-rename files read as nulls — id resolution failed")
     return out.orderBy("p_partkey")
+
+
+@query(
+    "q187_delta_shallow_clone",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE c_custkey % 9 <> 0 AND c_custkey > 40
+    ORDER BY c_custkey
+    """,
+    tags=("lakehouse", "delta", "clone", "interop"),
+)
+def q187_delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE in the PUBLIC format: the clone's v0 re-adds the
+    source's data files by ABSOLUTE path (spec-legal) — zero bytes
+    copied (asserted: no parquet under the clone before its own DML) —
+    carrying stats and converting the source's relative DV descriptors
+    to absolute paths. The clone then diverges with its own DV DELETE
+    while the source stays bit-identical (asserted), the
+    dev/test-against-production-data workflow CLONE exists for. The
+    diverged clone hash-matches the composed oracle."""
+    import glob
+    import os
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    spath = _scratch("clsrc")
+    src = DeltaLogTable(spark, spath)
+    src.write(cust.repartition(4), mode="append")
+    src.delete("c_custkey % 9 = 0")  # source carries a DV
+    n_src = src.read().count()
+    cpath = _scratch("cldst")
+    cl = src.clone(cpath)
+    if glob.glob(os.path.join(cpath, "*.parquet")):
+        raise AssertionError("shallow clone copied data files")
+    cl.delete("c_custkey <= 40")
+    if src.read().count() != n_src:
+        raise AssertionError("clone DML leaked into the source")
+    return cl.read().orderBy("c_custkey")

@@ -2655,6 +2655,70 @@ class DeltaLogTable:
             "files_removed": len(to_remove),
         }
 
+    def clone(self, target_path: str) -> "DeltaLogTable":
+        """SHALLOW CLONE in the PUBLIC format (Delta's CREATE TABLE …
+        SHALLOW CLONE): the clone's v0 commit re-adds the SOURCE's data
+        files by ABSOLUTE path (the spec allows absolute add paths) —
+        zero bytes copied, stats carried, schema/constraints
+        configuration carried under a fresh table id. Source DV
+        descriptors convert from relative ``u`` storage to absolute
+        ``p`` paths so they keep resolving from the clone. The clone
+        then evolves independently: DML commits land in ITS log
+        (DV sidecars under its dir), and VACUUM on the clone walks only
+        its own directory so source files are never reclaimed by a
+        clone's retention policy."""
+        import time
+        import uuid as _uuid
+
+        adds, schema, part_cols, meta = self._snapshot()
+        target = DeltaLogTable(self.spark, target_path)
+        if target.exists():
+            raise ValueError(f"clone target {target_path} already exists")
+        os.makedirs(target.log_path, exist_ok=True)
+        now = int(time.time() * 1000)
+        new_meta = {
+            **(meta or {}),
+            "id": str(_uuid.uuid4()),
+            "createdTime": now,
+        }
+        proto = getattr(self, "_last_protocol", None) or {
+            "minReaderVersion": 1,
+            "minWriterVersion": 2,
+        }
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "CLONE",
+                    "operationParameters": {"source": self.path},
+                    "engineInfo": "ent_fins_lakehouse_spark/delta-shim",
+                }
+            },
+            {"protocol": proto},
+            {"metaData": new_meta},
+        ]
+        for p, info in sorted(adds.items()):
+            full = os.path.abspath(os.path.join(self.path, p))
+            add = {
+                "path": full,
+                "partitionValues": info["partitionValues"],
+                "size": os.path.getsize(full),
+                "modificationTime": now,
+                "dataChange": True,
+            }
+            if info.get("stats"):
+                add["stats"] = info["stats"]
+            dv = info.get("deletionVector")
+            if dv:
+                add["deletionVector"] = {
+                    **dv,
+                    "storageType": "p",
+                    "pathOrInlineDv": os.path.abspath(self._dv_abs_path(dv)),
+                } if dv.get("storageType") == "u" else dv
+            actions.append({"add": add})
+        target._commit_actions(0, actions)
+        return target
+
     def constraints(self) -> dict[str, str]:
         """Active CHECK constraints from the PUBLIC encoding —
         ``delta.constraints.<name>`` keys in the metaData

@@ -2256,3 +2256,31 @@ def test_iceberg_rename_column_spans_old_and_new_files(spark, tmp_path):
     t2.rename_column("b", "bucket")
     assert t2.read(where="bucket = 2").count() == 25
     assert t2.scan_info("bucket = 2")["n_pruned"] >= 1
+
+
+def test_delta_shallow_clone_isolation(spark, tmp_path):
+    """Shallow clone: absolute-path re-adds (no data copied), source
+    DVs carried as absolute descriptors, clone DML/VACUUM never
+    touches source files, stats carried for pruning."""
+    import glob
+    import os
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    s, t = str(tmp_path / "src"), str(tmp_path / "dst")
+    src = DeltaLogTable(spark, s)
+    src.write(spark.range(1000).selectExpr("id").repartition(4), mode="append")
+    src.delete("id % 10 = 0")
+    cl = src.clone(t)
+    assert not glob.glob(os.path.join(t, "*.parquet"))
+    assert cl.read().count() == 900
+    cl.delete("id < 100")
+    assert cl.read().count() == 810 and src.read().count() == 900
+    cl.write(spark.range(5000, 5010).selectExpr("id").coalesce(1), mode="append")
+    cl.vacuum(retention_hours=0.0)
+    assert src.read().count() == 900 and cl.read().count() == 820
+    assert cl.scan_info("id >= 5000")["n_pruned"] >= 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already exists"):
+        src.clone(t)
