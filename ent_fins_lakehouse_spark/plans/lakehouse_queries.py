@@ -1881,7 +1881,14 @@ def q180_delta_log_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl = DeltaLogTable(spark, _scratch("dlz"))
     dl.write(li.repartition(16), mode="append")
     dl.optimize(target_files=16, zorder_by=["l_orderkey", "l_partkey"])
-    for pred in ("l_orderkey <= 1000", "l_partkey <= 200"):
+    # selectivity assertions on 5%-quantile cutoffs so they hold at
+    # every scale factor (a fixed literal is selective at sf0.01 but
+    # covers most of the key space at sf0.001)
+    q_ok, q_pk = (
+        int(li.approxQuantile(c, [0.05], 0.01)[0])
+        for c in ("l_orderkey", "l_partkey")
+    )
+    for pred in (f"l_orderkey <= {q_ok}", f"l_partkey <= {q_pk}"):
         info = dl.scan_info(pred)
         if info["n_pruned"] < 4:
             raise AssertionError(f"z-order must prune on {pred}: {info}")
