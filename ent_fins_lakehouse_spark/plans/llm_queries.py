@@ -2125,3 +2125,104 @@ def q178_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         "node", (F.col("r").cast("double") / F.lit(1e12)).alias("pagerank")
     ).orderBy("node")
+
+
+def _ivf_pq_layout(
+    spark: SparkSession, sf_dir: str, n_clusters: int = 8
+) -> tuple[str, list[list[float]], list[list[list[float]]]]:
+    """Build-once / probe-many IVF-PQ serving layout (q148's shape
+    with the deeper compression tier): hive-partitioned by KMeans
+    cluster id, rows carry the full-precision vector PLUS the 8×4-bit
+    PQ codes and reconstructed norm; centroids and codebooks persist
+    beside it. Returns (parquet_path, centroids, codebooks)."""
+    import atexit
+    import hashlib
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from ent_fins_lakehouse_spark.operators.similarity import (
+        build_pq_codebooks,
+        pq_encode,
+    )
+
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"efl_ivf_pq_{digest}_k{n_clusters}")
+    path = os.path.join(root, "embeddings_by_cluster")
+    meta = os.path.join(root, "index.json")
+    if os.path.isfile(meta) and os.path.isfile(os.path.join(path, "_SUCCESS")):
+        with open(meta, encoding="utf-8") as fh:
+            m = json.load(fh)
+        return path, m["centroids"], m["books"]
+    emb = load_table(spark, sf_dir, "embeddings")
+    indexed, centroids = build_ivf_index(emb, "embedding", n_clusters=n_clusters)
+    books = build_pq_codebooks(emb, "embedding", m=8, k=16)
+    enc = pq_encode(indexed, "embedding", books)
+    # zero vectors have no cosine: null the codes so the ADC scorer
+    # skips them explicitly (full-precision column stays complete)
+    enc = enc.withColumn(
+        "pq_codes", F.when(F.col("pq_norm") > 0, F.col("pq_codes"))
+    )
+    enc.write.mode("overwrite").partitionBy("ivf_cluster").parquet(path)
+    with open(meta, "w", encoding="utf-8") as fh:
+        json.dump({"centroids": centroids, "books": books}, fh)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return path, centroids, books
+
+
+@query("q188_ivf_pq_serving", oracle=None, tags=("llm", "similarity", "layout"))
+def q188_ivf_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF-PQ serving — the deepest compression tier of the
+    ANN family matrix (q60 IVF → q138 SQ8 → q148 IVF-SQ8 → q176 PQ →
+    this): probe the n_probe nearest KMeans cells as a
+    PartitionFilters-pruned scan (enforced — zero bytes from unprobed
+    cells), ADC-score ONLY the 4-byte PQ codes column via JVM
+    element_at lookups over the query's dot table (the 64×-smaller
+    hot column; parquet is columnar, floats cost nothing yet), then
+    exact-rescore the top-50 on full precision. At 100 TB: partition
+    pruning handles the index, the scan streams 4-byte codes, and
+    full floats are touched for ~50 rows per query. Rows-only
+    (KMeans); recall vs the exact baseline is asserted in
+    tests/test_llm_ops.py."""
+    import math
+
+    from ent_fins_lakehouse_spark.operators.similarity import _dot, _norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    path, centroids, books = _ivf_pq_layout(spark, sf_dir, n_clusters=8)
+    probe = _centroid_probe(centroids, qvec, n_probe=4)
+    scan = spark.read.parquet(path).filter(F.col("ivf_cluster").isin(probe))
+    _require_partition_pruned(scan, "ivf_cluster")
+
+    m, sub = len(books), len(books[0][0])
+    qn = math.sqrt(sum(x * x for x in qvec)) or 1.0
+    approx_dot = None
+    for i in range(m):
+        qi = qvec[i * sub : (i + 1) * sub]
+        tab = F.array(
+            *[F.lit(float(sum(a * b for a, b in zip(qi, c)))) for c in books[i]]
+        )
+        term = F.element_at(tab, F.col("pq_codes")[i] + 1)
+        approx_dot = term if approx_dot is None else (approx_dot + term)
+    cand = (
+        scan.filter(F.col("pq_codes").isNotNull())
+        .select(
+            "vec_id",
+            "embedding",
+            (approx_dot / (F.lit(qn) * F.col("pq_norm"))).alias("approx_sim"),
+        )
+        .orderBy(F.desc("approx_sim"), F.asc("vec_id"))
+        .limit(50)
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    exact = (
+        _dot(F.col("embedding").cast("array<double>"), qlit)
+        / (_norm(F.col("embedding").cast("array<double>")) * _norm(qlit))
+    ).alias("cosine_sim")
+    return (
+        cand.select("vec_id", "approx_sim", exact)
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+    )

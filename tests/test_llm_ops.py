@@ -634,3 +634,29 @@ def test_pq_ann_recall_and_compression(spark):
     # determinism: same seed → same codebooks → same result
     books2 = build_pq_codebooks(emb, "embedding", m=8, k=16)
     assert books == books2
+
+
+def test_ivf_pq_serving_recall(spark):
+    """IVF-PQ serving recall vs the exact top-10 — the partition-pruned
+    ADC probe + rescore must surface most true neighbors, and every
+    returned cosine is the exact score (rescore guarantees it)."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.operators.similarity import cosine_topk
+    from ent_fins_lakehouse_spark.plans.registry import queries_map
+    from ent_fins_lakehouse_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    exact = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in cosine_topk(emb, "embedding", qvec, 10, "vec_id").collect()
+    }
+    got = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in queries_map()["q188_ivf_pq_serving"](spark, SF_SMOKE).collect()
+    }
+    recall = len(set(got) & set(exact)) / 10
+    assert recall >= 0.5, f"IVF-PQ recall {recall} too low"
+    for vid in set(got) & set(exact):
+        assert abs(got[vid] - exact[vid]) < 1e-9
