@@ -2290,3 +2290,91 @@ def q187_delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     if src.read().count() != n_src:
         raise AssertionError("clone DML leaked into the source")
     return cl.read().orderBy("c_custkey")
+
+
+@query(
+    "q189_iceberg_update",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey,
+           CASE WHEN s_nationkey < 10 THEN s_acctbal + 50.0 ELSE s_acctbal END
+             AS s_acctbal
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+    tags=("lakehouse", "iceberg", "update", "interop"),
+)
+def q189_iceberg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE on an ICEBERG v2 table (q168's verb,
+    cross-format) committed MERGE-ON-READ: one 'overwrite' snapshot
+    carries a position-delete manifest masking the old row versions
+    plus a data manifest with the re-written rows — no data file is
+    rewritten, so write cost scales with the change, not the table.
+    The pre-update snapshot must still serve the ORIGINAL values (time
+    travel across the update, asserted); the current read hash-matches
+    the CASE-expression oracle."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    t = IcebergTable(spark, _scratch("iceupd") + "_t")
+    snap0 = t.append(sup.repartition(3))
+    res = t.update({"s_acctbal": "s_acctbal + 50.0"}, "s_nationkey < 10")
+    n_low = sup.filter(F.col("s_nationkey") < 10).count()
+    if res["rows_updated"] != n_low:
+        raise AssertionError(f"expected {n_low} updated rows, got {res}")
+    before = t.read(snapshot_id=snap0).select(*sup.columns)
+    if before.exceptAll(sup).count() != 0 or sup.exceptAll(before).count() != 0:
+        raise AssertionError("pre-update snapshot must serve original values")
+    return t.read().orderBy("s_suppkey")
+
+
+@query(
+    "q190_iceberg_merge",
+    oracle="""
+    WITH src AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey <= 50
+      UNION ALL
+      SELECT c_custkey + 100000, c_name, c_nationkey, c_acctbal,
+             'NEWSEGMENT' AS c_mktsegment
+      FROM customer WHERE c_custkey <= 20
+    )
+    SELECT * FROM src
+    UNION ALL
+    SELECT c.* FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.c_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+    tags=("lakehouse", "iceberg", "merge", "interop"),
+)
+def q190_iceberg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO … USING on an ICEBERG v2 table — the reference's
+    core upsert (`01-Fraud-Delta.py:235-241` WHEN MATCHED UPDATE SET *
+    / WHEN NOT MATCHED INSERT *) in the Iceberg format, same 50-update
+    + 20-insert arc as q30/q165 so all three share one oracle.
+    Merge-on-read: matched row versions become position deletes,
+    updates + inserts land as new data files, ONE snapshot. Write cost
+    follows the change-feed size — the property that lets a 100 TB
+    table absorb a 100 MB feed without rewriting itself."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    cust = load_table(spark, sf_dir, "customer")
+    t = IcebergTable(spark, _scratch("icemerge") + "_t")
+    t.append(cust.repartition(4))
+    updates = cust.filter(F.col("c_custkey") <= 50).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100
+    )
+    inserts = (
+        cust.filter(F.col("c_custkey") <= 20)
+        .withColumn("c_custkey", F.col("c_custkey") + 100000)
+        .withColumn("c_mktsegment", F.lit("NEWSEGMENT"))
+    )
+    res = t.merge(updates.unionByName(inserts), on=["c_custkey"])
+    n_upd, n_ins = updates.count(), inserts.count()
+    if res["rows_updated"] != n_upd or res["rows_inserted"] != n_ins:
+        raise AssertionError(
+            f"expected {n_upd} updates + {n_ins} inserts, got {res}"
+        )
+    return t.read().orderBy("c_custkey")

@@ -524,127 +524,29 @@ class IcebergTable:
                 f["type"]["fields"].insert(2, {"name": "partition", "type": part_rec})
         return sch
 
-    def append(
+    def _stage_data_entries(
         self,
         df: DataFrame,
-        partition_by: list[str] | None = None,
-        _replace: bool = False,
-    ) -> int:
-        """Iceberg v2 WRITE interop (VERDICT r5 missing #4): stage
-        ``df`` as parquet data files, emit an Avro manifest (entries
-        carry footer-sourced record counts, little-endian lower/upper
-        bounds, and the identity partition tuple, so this engine's own
-        reads file-skip on BOTH), a manifest list reusing the prior
-        snapshot's manifests, and a new ``v<N>.metadata.json`` with the
-        appended snapshot — committed with O_EXCL so a concurrent
-        writer loses loudly. Creates the table when the path holds none
-        (field ids 1..n; identity partition spec over ``partition_by``,
-        partition field ids 1000+). Returns the new snapshot id.
-
-        Partitioned staging follows the spec's invariants: each data file
-        belongs to exactly ONE partition tuple (hive-style staging dirs
-        guarantee it) and — unlike Hive — the partition columns remain
-        IN the data files, so reads need no literal re-attachment and
-        external readers see complete rows.
-
-        Spark-first shape: data lands via one distributed
-        ``df.write.parquet``; only footer metadata is read back on the
-        driver (no data scan)."""
+        ice_schema: dict,
+        part_fields: list[dict],
+        spec_cols: list[str],
+        snap_id: int,
+    ) -> list[dict]:
+        """Stage ``df`` as parquet data files under ``data/`` and return
+        content=0 manifest entries (footer-sourced record counts +
+        little-endian numeric bounds + identity partition tuple). One
+        distributed ``df.write.parquet``; the driver reads footers only.
+        Shared by :meth:`append`, :meth:`update` and :meth:`merge`."""
         import glob
         import shutil
         import struct as _s
         import tempfile
-        import time
         import urllib.parse
         import uuid as _uuid
 
         import pyarrow.parquet as pq
 
-        from ent_fins_lakehouse_spark.sources.avro_io import read_ocf, write_ocf
-
         data_dir = os.path.join(self.path, "data")
-        exists = self.exists() and bool(
-            [f for f in os.listdir(self.meta_dir) if f.endswith(".metadata.json")]
-        ) if os.path.isdir(self.meta_dir) else False
-        now = int(time.time() * 1000)
-        if exists:
-            mfile = self._metadata_file()
-            meta = self.metadata()
-            ice_schema = self._ice_schema(meta)
-            spark_schema = self.schema(meta)
-            want = {f.name: f.dataType for f in spark_schema.fields}
-            have = {f.name: f.dataType for f in df.schema.fields}
-            if sorted(have) != sorted(want) or any(
-                have[n] != t for n, t in want.items()
-            ):
-                raise ValueError(
-                    f"append schema {df.schema.simpleString()} does not match "
-                    f"table schema {spark_schema.simpleString()}"
-                )
-            df = df.select(*[f.name for f in spark_schema.fields])
-            part_fields = self.partition_fields(meta)
-            names = self.field_names_by_id(meta)
-            spec_cols = [names[pf["source-id"]] for pf in part_fields]
-            if partition_by is not None and list(partition_by) != spec_cols:
-                raise ValueError(
-                    f"append partition_by={partition_by} does not match the "
-                    f"table's partition spec {spec_cols}"
-                )
-            snaps = list(meta.get("snapshots") or [])
-            seq = int(meta.get("last-sequence-number") or 0) + 1
-            snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
-            stem = os.path.basename(mfile)[: -len(".metadata.json")]
-            if stem.startswith("v") and stem[1:].isdigit():
-                next_version, catalog_style = int(stem[1:]) + 1, False
-            else:
-                next_version, catalog_style = int(stem.split("-", 1)[0]) + 1, True
-        else:
-            os.makedirs(self.meta_dir, exist_ok=True)
-            fields = []
-            for i, f in enumerate(df.schema.fields):
-                fields.append(
-                    {
-                        "id": i + 1,
-                        "name": f.name,
-                        "required": False,
-                        "type": _spark_to_iceberg(f.dataType),
-                    }
-                )
-            ice_schema = {"schema-id": 0, "type": "struct", "fields": fields}
-            by_name = {f["name"]: f["id"] for f in fields}
-            part_fields = []
-            for i, c in enumerate(partition_by or []):
-                if c not in by_name:
-                    raise ValueError(f"partition column {c!r} not in dataframe")
-                part_fields.append(
-                    {
-                        "name": c,
-                        "transform": "identity",
-                        "source-id": by_name[c],
-                        "field-id": 1000 + i,
-                    }
-                )
-            spec_cols = list(partition_by or [])
-            meta = {
-                "format-version": 2,
-                "table-uuid": str(_uuid.uuid4()),
-                "location": self.path,
-                "last-sequence-number": 0,
-                "last-updated-ms": now,
-                "last-column-id": len(fields),
-                "schemas": [ice_schema],
-                "current-schema-id": 0,
-                "default-spec-id": 0,
-                "partition-specs": [{"spec-id": 0, "fields": part_fields}],
-                "last-partition-id": 999 + len(part_fields),
-                "default-sort-order-id": 0,
-                "sort-orders": [{"order-id": 0, "fields": []}],
-                "current-snapshot-id": -1,
-                "snapshots": [],
-            }
-            snaps = []
-            seq, snap_id = 1, 1
-            next_version, catalog_style = 1, False
         os.makedirs(data_dir, exist_ok=True)
         ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
         itypes = {
@@ -652,12 +554,6 @@ class IcebergTable:
             for f in ice_schema["fields"]
             if isinstance(f["type"], str)
         }
-
-        # stage data files (distributed write), then footer-only stats.
-        # Partitioned: stage via partitionBy over DUPLICATED columns —
-        # hive dirs guarantee one partition tuple per file while the
-        # real columns stay in the data (the spec's layout: partition
-        # tuples are pruning metadata, not dropped columns).
         st = tempfile.mkdtemp(prefix="icew_")
         entries: list[dict] = []
         spark_types = {f.name: f.dataType for f in df.schema.fields}
@@ -767,41 +663,57 @@ class IcebergTable:
                 )
         finally:
             shutil.rmtree(st, ignore_errors=True)
+        return entries
 
-        mpath = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
-        write_ocf(mpath, self._manifest_schema(part_fields, ice_schema), entries)
-        rows: list[dict] = []
-        if not _replace and snaps and meta.get("current-snapshot-id") not in (None, -1):
-            cur = next(
-                s for s in snaps if s["snapshot-id"] == meta["current-snapshot-id"]
-            )
-            _, prev_rows = read_ocf(self._resolve(cur["manifest-list"]))
-            for r in prev_rows:
-                rows.append(
-                    {
-                        "manifest_path": r["manifest_path"],
-                        "manifest_length": r.get("manifest_length") or 0,
-                        "partition_spec_id": r.get("partition_spec_id") or 0,
-                        "content": r.get("content") or 0,
-                        "sequence_number": r.get("sequence_number"),
-                        "added_snapshot_id": r.get("added_snapshot_id") or 0,
-                    }
-                )
-        rows.append(
+    def _prior_manifest_rows(self, meta: dict, snaps: list[dict]) -> list[dict]:
+        """Normalized manifest-list rows of the CURRENT snapshot, to be
+        carried forward into the next snapshot's manifest list."""
+        from ent_fins_lakehouse_spark.sources.avro_io import read_ocf
+
+        if not snaps or meta.get("current-snapshot-id") in (None, -1):
+            return []
+        cur = next(s for s in snaps if s["snapshot-id"] == meta["current-snapshot-id"])
+        _, prev_rows = read_ocf(self._resolve(cur["manifest-list"]))
+        return [
             {
-                "manifest_path": mpath,
-                "manifest_length": os.path.getsize(mpath),
-                "partition_spec_id": 0,
-                "content": 0,
-                "sequence_number": seq,
-                "added_snapshot_id": snap_id,
+                "manifest_path": r["manifest_path"],
+                "manifest_length": r.get("manifest_length") or 0,
+                "partition_spec_id": r.get("partition_spec_id") or 0,
+                "content": r.get("content") or 0,
+                "sequence_number": r.get("sequence_number"),
+                "added_snapshot_id": r.get("added_snapshot_id") or 0,
             }
-        )
-        lpath = os.path.join(
-            self.meta_dir, f"snap-{snap_id}-{_uuid.uuid4().hex}.avro"
-        )
-        write_ocf(lpath, self._MANIFEST_LIST_SCHEMA, rows)
+            for r in prev_rows
+        ]
 
+    def _commit_snapshot(
+        self,
+        meta: dict,
+        snaps: list[dict],
+        snap_id: int,
+        seq: int,
+        list_rows: list[dict],
+        operation: str,
+        now: int,
+    ) -> int:
+        """Write the manifest list + ``v<N>.metadata.json`` for one new
+        snapshot (O_EXCL commit — a concurrent writer loses loudly).
+        Returns ``snap_id``."""
+        import uuid as _uuid
+
+        from ent_fins_lakehouse_spark.sources.avro_io import write_ocf
+
+        lpath = os.path.join(self.meta_dir, f"snap-{snap_id}-{_uuid.uuid4().hex}.avro")
+        write_ocf(lpath, self._MANIFEST_LIST_SCHEMA, list_rows)
+        try:
+            mfile = self._metadata_file()
+            stem = os.path.basename(mfile)[: -len(".metadata.json")]
+            if stem.startswith("v") and stem[1:].isdigit():
+                next_version, catalog_style = int(stem[1:]) + 1, False
+            else:
+                next_version, catalog_style = int(stem.split("-", 1)[0]) + 1, True
+        except (FileNotFoundError, ValueError):
+            next_version, catalog_style = 1, False
         new_meta = {
             **meta,
             "last-sequence-number": seq,
@@ -819,7 +731,7 @@ class IcebergTable:
                     "sequence-number": seq,
                     "timestamp-ms": now,
                     "manifest-list": lpath,
-                    "summary": {"operation": "replace" if _replace else "append"},
+                    "summary": {"operation": operation},
                 },
             ],
         }
@@ -833,7 +745,7 @@ class IcebergTable:
         except FileExistsError:
             raise RuntimeError(
                 f"Iceberg commit {mname} was taken by a concurrent writer; "
-                "staged files are uncommitted — retry the append"
+                f"staged files are uncommitted — retry the {operation}"
             ) from None
         with os.fdopen(fd, "w") as fh:
             json.dump(new_meta, fh)
@@ -842,45 +754,145 @@ class IcebergTable:
                 fh.write(str(next_version))
         return snap_id
 
-    def delete(self, predicate: str) -> dict:
-        """Row-level DELETE as Iceberg v2 POSITION DELETE files (spec:
-        'Position Delete Files'): matching rows are recorded as
-        ``(file_path, pos)`` parquet rows — no data file is rewritten —
-        in a content=1 manifest chained onto a new snapshot. The
-        engine's own reader (and any v2 reader) then anti-joins them
-        out. Returns ``{"rows_deleted", "files_touched"}``.
+    def append(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        _replace: bool = False,
+    ) -> int:
+        """Iceberg v2 WRITE interop (VERDICT r5 missing #4): stage
+        ``df`` as parquet data files, emit an Avro manifest (entries
+        carry footer-sourced record counts, little-endian lower/upper
+        bounds, and the identity partition tuple, so this engine's own
+        reads file-skip on BOTH), a manifest list reusing the prior
+        snapshot's manifests, and a new ``v<N>.metadata.json`` with the
+        appended snapshot — committed with O_EXCL so a concurrent
+        writer loses loudly. Creates the table when the path holds none
+        (field ids 1..n; identity partition spec over ``partition_by``,
+        partition field ids 1000+). Returns the new snapshot id.
 
-        Scale shape: candidate data files prune on manifest bounds +
-        partition tuples first; ONE distributed job computes matched
-        positions (already-deleted rows are anti-joined away so they
-        are neither recounted nor re-recorded); the delete file lands
-        via a distributed sorted write — the driver only moves staged
-        files and writes Avro metadata, it never holds a row per
-        deleted position."""
-        import glob
-        import shutil
-        import tempfile
+        Partitioned staging follows the spec's invariants: each data file
+        belongs to exactly ONE partition tuple (hive-style staging dirs
+        guarantee it) and — unlike Hive — the partition columns remain
+        IN the data files, so reads need no literal re-attachment and
+        external readers see complete rows.
+
+        Spark-first shape: data lands via one distributed
+        ``df.write.parquet``; only footer metadata is read back on the
+        driver (no data scan)."""
         import time
         import uuid as _uuid
 
-        from ent_fins_lakehouse_spark.sources.avro_io import read_ocf, write_ocf
-        from ent_fins_lakehouse_spark.sources.skipping import prune_dirs
+        from ent_fins_lakehouse_spark.sources.avro_io import write_ocf
 
-        meta = self.metadata()
-        schema = self.schema(meta)
-        data, pos_deletes, eq_deletes = self._files()
-        if eq_deletes:
-            raise NotImplementedError(
-                "position-delete writes on tables carrying equality deletes "
-                "are not supported (sequence interplay)"
-            )
-        stats = {p: b for p, _, b in data}
-        cand, _ = prune_dirs(predicate, stats, [p for p, _, _ in data])
-        if not cand:
-            return {"rows_deleted": 0, "files_touched": 0}
+        exists = self.exists() and bool(
+            [f for f in os.listdir(self.meta_dir) if f.endswith(".metadata.json")]
+        ) if os.path.isdir(self.meta_dir) else False
+        now = int(time.time() * 1000)
+        if exists:
+            meta = self.metadata()
+            ice_schema = self._ice_schema(meta)
+            spark_schema = self.schema(meta)
+            want = {f.name: f.dataType for f in spark_schema.fields}
+            have = {f.name: f.dataType for f in df.schema.fields}
+            if sorted(have) != sorted(want) or any(
+                have[n] != t for n, t in want.items()
+            ):
+                raise ValueError(
+                    f"append schema {df.schema.simpleString()} does not match "
+                    f"table schema {spark_schema.simpleString()}"
+                )
+            df = df.select(*[f.name for f in spark_schema.fields])
+            part_fields = self.partition_fields(meta)
+            names = self.field_names_by_id(meta)
+            spec_cols = [names[pf["source-id"]] for pf in part_fields]
+            if partition_by is not None and list(partition_by) != spec_cols:
+                raise ValueError(
+                    f"append partition_by={partition_by} does not match the "
+                    f"table's partition spec {spec_cols}"
+                )
+            snaps = list(meta.get("snapshots") or [])
+            seq = int(meta.get("last-sequence-number") or 0) + 1
+            snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+        else:
+            os.makedirs(self.meta_dir, exist_ok=True)
+            fields = []
+            for i, f in enumerate(df.schema.fields):
+                fields.append(
+                    {
+                        "id": i + 1,
+                        "name": f.name,
+                        "required": False,
+                        "type": _spark_to_iceberg(f.dataType),
+                    }
+                )
+            ice_schema = {"schema-id": 0, "type": "struct", "fields": fields}
+            by_name = {f["name"]: f["id"] for f in fields}
+            part_fields = []
+            for i, c in enumerate(partition_by or []):
+                if c not in by_name:
+                    raise ValueError(f"partition column {c!r} not in dataframe")
+                part_fields.append(
+                    {
+                        "name": c,
+                        "transform": "identity",
+                        "source-id": by_name[c],
+                        "field-id": 1000 + i,
+                    }
+                )
+            spec_cols = list(partition_by or [])
+            meta = {
+                "format-version": 2,
+                "table-uuid": str(_uuid.uuid4()),
+                "location": self.path,
+                "last-sequence-number": 0,
+                "last-updated-ms": now,
+                "last-column-id": len(fields),
+                "schemas": [ice_schema],
+                "current-schema-id": 0,
+                "default-spec-id": 0,
+                "partition-specs": [{"spec-id": 0, "fields": part_fields}],
+                "last-partition-id": 999 + len(part_fields),
+                "default-sort-order-id": 0,
+                "sort-orders": [{"order-id": 0, "fields": []}],
+                "current-snapshot-id": -1,
+                "snapshots": [],
+            }
+            snaps = []
+            seq, snap_id = 1, 1
+        # staging (distributed write + footer-only stats) is shared
+        # with update()/merge() — see _stage_data_entries
+        entries = self._stage_data_entries(
+            df, ice_schema, part_fields, spec_cols, snap_id
+        )
+        mpath = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
+        write_ocf(mpath, self._manifest_schema(part_fields, ice_schema), entries)
+        rows = [] if _replace else self._prior_manifest_rows(meta, snaps)
+        rows.append(
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "added_snapshot_id": snap_id,
+            }
+        )
+        return self._commit_snapshot(
+            meta, snaps, snap_id, seq, rows,
+            "replace" if _replace else "append", now,
+        )
+
+    def _scan_with_pos(
+        self, schema: T.StructType, cand: list[str], pos_deletes: list[str]
+    ) -> DataFrame:
+        """Scan candidate data files with ``file_path``/``pos`` columns
+        attached (parquet ``_metadata``), prior position deletes
+        anti-joined away. Shared by :meth:`delete`, :meth:`update`,
+        :meth:`merge`."""
         norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
         scan = (
-            self.spark.read.schema(schema)
+            self.spark.read.schema(self._read_schema_for(sorted(cand)[0], schema))
             .parquet(*sorted(cand))
             .select(
                 "*",
@@ -895,27 +907,34 @@ class IcebergTable:
                 .select(norm(F.col("file_path")).alias("file_path"), "pos")
             )
             scan = scan.join(prior, ["file_path", "pos"], "left_anti")
-        matched = scan.filter(predicate).select("file_path", "pos")
+        return scan
 
-        # distributed sorted write of the delete file(s); spec orders
-        # position deletes by (file_path, pos) for merge-friendly scans
+    def _stage_pos_delete_entries(
+        self, matched: DataFrame, n_cand: int, snap_id: int
+    ) -> tuple[list[dict], int, set]:
+        """Distributed sorted write of position-delete file(s) from a
+        ``(file_path, pos)`` DataFrame; returns (content=1 manifest
+        entries, rows_deleted, touched data-file paths). The spec
+        orders position deletes by (file_path, pos) for merge-friendly
+        scans; the driver reads footers only."""
+        import glob
+        import shutil
+        import tempfile
+        import uuid as _uuid
+
+        import pyarrow.parquet as pq
+
         st = tempfile.mkdtemp(prefix="icedel_")
-        now = int(time.time() * 1000)
+        entries: list[dict] = []
+        rows_deleted = 0
+        touched: set[str] = set()
         try:
-            matched.repartitionByRange(
-                max(1, min(8, len(cand))), "file_path", "pos"
+            matched.select("file_path", "pos").repartitionByRange(
+                max(1, min(8, n_cand)), "file_path", "pos"
             ).sortWithinPartitions("file_path", "pos").write.mode("overwrite").parquet(st)
             staged = sorted(glob.glob(os.path.join(st, "part-*.parquet")))
-            import pyarrow.parquet as pq
-
             data_dir = os.path.join(self.path, "data")
             os.makedirs(data_dir, exist_ok=True)
-            entries = []
-            rows_deleted = 0
-            touched: set[str] = set()
-            seq = int(meta.get("last-sequence-number") or 0) + 1
-            snaps = list(meta.get("snapshots") or [])
-            snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
             for f in staged:
                 pf = pq.ParquetFile(f)
                 if pf.metadata.num_rows == 0:
@@ -943,26 +962,57 @@ class IcebergTable:
                 )
         finally:
             shutil.rmtree(st, ignore_errors=True)
+        return entries, rows_deleted, touched
+
+    def delete(self, predicate: str) -> dict:
+        """Row-level DELETE as Iceberg v2 POSITION DELETE files (spec:
+        'Position Delete Files'): matching rows are recorded as
+        ``(file_path, pos)`` parquet rows — no data file is rewritten —
+        in a content=1 manifest chained onto a new snapshot. The
+        engine's own reader (and any v2 reader) then anti-joins them
+        out. Returns ``{"rows_deleted", "files_touched"}``.
+
+        Scale shape: candidate data files prune on manifest bounds +
+        partition tuples first; ONE distributed job computes matched
+        positions (already-deleted rows are anti-joined away so they
+        are neither recounted nor re-recorded); the delete file lands
+        via a distributed sorted write — the driver only moves staged
+        files and writes Avro metadata, it never holds a row per
+        deleted position."""
+        import time
+        import uuid as _uuid
+
+        from ent_fins_lakehouse_spark.sources.avro_io import write_ocf
+        from ent_fins_lakehouse_spark.sources.skipping import prune_dirs
+
+        meta = self.metadata()
+        schema = self.schema(meta)
+        data, pos_deletes, eq_deletes = self._files()
+        if eq_deletes:
+            raise NotImplementedError(
+                "position-delete writes on tables carrying equality deletes "
+                "are not supported (sequence interplay)"
+            )
+        stats = {p: b for p, _, b in data}
+        cand, _ = prune_dirs(predicate, stats, [p for p, _, _ in data])
+        if not cand:
+            return {"rows_deleted": 0, "files_touched": 0}
+        matched = self._scan_with_pos(schema, cand, pos_deletes).filter(
+            predicate
+        ).select("file_path", "pos")
+        now = int(time.time() * 1000)
+        seq = int(meta.get("last-sequence-number") or 0) + 1
+        snaps = list(meta.get("snapshots") or [])
+        snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+        entries, rows_deleted, touched = self._stage_pos_delete_entries(
+            matched, len(cand), snap_id
+        )
         if not entries:
             return {"rows_deleted": 0, "files_touched": 0}
 
         mpath = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
         write_ocf(mpath, self._MANIFEST_SCHEMA, entries)
-        cur = next(
-            s for s in snaps if s["snapshot-id"] == meta["current-snapshot-id"]
-        )
-        _, prev_rows = read_ocf(self._resolve(cur["manifest-list"]))
-        rows = [
-            {
-                "manifest_path": r["manifest_path"],
-                "manifest_length": r.get("manifest_length") or 0,
-                "partition_spec_id": r.get("partition_spec_id") or 0,
-                "content": r.get("content") or 0,
-                "sequence_number": r.get("sequence_number"),
-                "added_snapshot_id": r.get("added_snapshot_id") or 0,
-            }
-            for r in prev_rows
-        ] + [
+        rows = self._prior_manifest_rows(meta, snaps) + [
             {
                 "manifest_path": mpath,
                 "manifest_length": os.path.getsize(mpath),
@@ -972,50 +1022,307 @@ class IcebergTable:
                 "added_snapshot_id": snap_id,
             }
         ]
-        lpath = os.path.join(self.meta_dir, f"snap-{snap_id}-{_uuid.uuid4().hex}.avro")
-        write_ocf(lpath, self._MANIFEST_LIST_SCHEMA, rows)
-
-        mfile = self._metadata_file()
-        stem = os.path.basename(mfile)[: -len(".metadata.json")]
-        if stem.startswith("v") and stem[1:].isdigit():
-            next_version, catalog_style = int(stem[1:]) + 1, False
-        else:
-            next_version, catalog_style = int(stem.split("-", 1)[0]) + 1, True
-        new_meta = {
-            **meta,
-            "last-sequence-number": seq,
-            "last-updated-ms": now,
-            "current-snapshot-id": snap_id,
-            "snapshots": [
-                *snaps,
-                {
-                    "snapshot-id": snap_id,
-                    "parent-snapshot-id": meta["current-snapshot-id"],
-                    "sequence-number": seq,
-                    "timestamp-ms": now,
-                    "manifest-list": lpath,
-                    "summary": {"operation": "delete"},
-                },
-            ],
-        }
-        if catalog_style:
-            mname = f"{next_version:05d}-{_uuid.uuid4()}.metadata.json"
-        else:
-            mname = f"v{next_version}.metadata.json"
-        target = os.path.join(self.meta_dir, mname)
-        try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            raise RuntimeError(
-                f"Iceberg commit {mname} was taken by a concurrent writer; "
-                "staged delete files are uncommitted — retry the delete"
-            ) from None
-        with os.fdopen(fd, "w") as fh:
-            json.dump(new_meta, fh)
-        if not catalog_style:
-            with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as fh:
-                fh.write(str(next_version))
+        self._commit_snapshot(meta, snaps, snap_id, seq, rows, "delete", now)
         return {"rows_deleted": rows_deleted, "files_touched": len(touched)}
+
+    def update(self, assignments: dict[str, str], predicate: str | None = None) -> dict:
+        """Row-level UPDATE … SET col = expr [WHERE pred] as ONE Iceberg
+        v2 'overwrite' snapshot carrying BOTH a position-delete manifest
+        (content=1, masking the old row versions — merge-on-read, no
+        data file rewritten) and a data manifest (content=0, the
+        re-written rows). Mirrors :meth:`DeltaLogTable.update`'s verb on
+        the Iceberg side; any v2 reader sees the updated rows.
+
+        Scale shape: candidate files prune on manifest bounds first;
+        matching is one distributed scan; both the delete files and the
+        new data files land via distributed writes (driver reads footers
+        only). Returns ``{"rows_updated", "snapshot_id"}``."""
+        import time
+        import uuid as _uuid
+
+        from ent_fins_lakehouse_spark.sources.avro_io import write_ocf
+        from ent_fins_lakehouse_spark.sources.skipping import prune_dirs
+
+        meta = self.metadata()
+        schema = self.schema(meta)
+        cols = [f.name for f in schema.fields]
+        unknown = set(assignments) - set(cols)
+        if unknown:
+            raise ValueError(f"UPDATE SET targets unknown columns {sorted(unknown)}")
+        data, pos_deletes, eq_deletes = self._files()
+        if eq_deletes:
+            raise NotImplementedError(
+                "UPDATE on tables carrying equality deletes is not supported "
+                "(sequence interplay)"
+            )
+        if predicate:
+            stats = {p: b for p, _, b in data}
+            cand, _ = prune_dirs(predicate, stats, [p for p, _, _ in data])
+        else:
+            cand = [p for p, _, _ in data]
+        if not cand:
+            return {"rows_updated": 0, "snapshot_id": meta.get("current-snapshot-id")}
+        scan = self._scan_with_pos(schema, cand, pos_deletes)
+        matched = scan.filter(predicate) if predicate else scan
+        now = int(time.time() * 1000)
+        seq = int(meta.get("last-sequence-number") or 0) + 1
+        snaps = list(meta.get("snapshots") or [])
+        snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+        del_entries, rows_updated, _ = self._stage_pos_delete_entries(
+            matched, len(cand), snap_id
+        )
+        if not del_entries:
+            return {"rows_updated": 0, "snapshot_id": meta.get("current-snapshot-id")}
+        updated = matched.select(
+            *[
+                (
+                    F.expr(assignments[c]).cast(schema[c].dataType)
+                    if c in assignments
+                    else F.col(c)
+                ).alias(c)
+                for c in cols
+            ]
+        )
+        part_fields = self.partition_fields(meta)
+        names = self.field_names_by_id(meta)
+        spec_cols = [names[pf["source-id"]] for pf in part_fields]
+        ice_schema = self._ice_schema(meta)
+        data_entries = self._stage_data_entries(
+            updated, ice_schema, part_fields, spec_cols, snap_id
+        )
+        dm = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
+        write_ocf(dm, self._MANIFEST_SCHEMA, del_entries)
+        am = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
+        write_ocf(am, self._manifest_schema(part_fields, ice_schema), data_entries)
+        rows = self._prior_manifest_rows(meta, snaps) + [
+            {
+                "manifest_path": am,
+                "manifest_length": os.path.getsize(am),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "added_snapshot_id": snap_id,
+            },
+            {
+                "manifest_path": dm,
+                "manifest_length": os.path.getsize(dm),
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": seq,
+                "added_snapshot_id": snap_id,
+            },
+        ]
+        self._commit_snapshot(meta, snaps, snap_id, seq, rows, "overwrite", now)
+        return {"rows_updated": rows_updated, "snapshot_id": snap_id}
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: list[str],
+        when_matched_update_all: bool = True,
+        when_not_matched_insert_all: bool = True,
+        matched_condition: str | None = None,
+        matched_update: dict[str, str] | None = None,
+        not_matched_by_source_delete: bool = False,
+        not_matched_by_source_condition: str | None = None,
+    ) -> dict:
+        """MERGE INTO … USING source ON keys against an ICEBERG v2
+        table — the reference's core upsert verb
+        (`/root/reference/Instructor/01-Fraud-Delta.py:235-241`) on the
+        Iceberg side, with the same clause surface as
+        :meth:`DeltaLogTable.merge`. Committed merge-on-read as ONE
+        'overwrite' snapshot: matched target row versions become
+        position deletes (content=1 manifest); their updated values and
+        the not-matched inserts land as new data files (content=0
+        manifest). No existing data file is rewritten, so the write cost
+        scales with the CHANGE size, not the table size — the property
+        that matters when a 100 TB table absorbs a 100 MB change feed.
+
+        Joins are Spark-planned (no forced broadcast; AQE broadcasts a
+        small source). Returns ``{"rows_updated", "rows_inserted",
+        "rows_deleted", "snapshot_id"}``."""
+        import time
+        import uuid as _uuid
+
+        from ent_fins_lakehouse_spark.sources.avro_io import write_ocf
+
+        meta = self.metadata()
+        schema = self.schema(meta)
+        cols = [f.name for f in schema.fields]
+        want = {f.name: f.dataType for f in schema.fields}
+        have = {f.name: f.dataType for f in source.schema.fields}
+        if sorted(have) != sorted(want) or any(have[n] != t for n, t in want.items()):
+            raise ValueError(
+                f"merge source schema {source.schema.simpleString()} does not "
+                f"match table schema {schema.simpleString()}"
+            )
+        source = source.select(cols)
+        data, pos_deletes, eq_deletes = self._files()
+        if eq_deletes:
+            raise NotImplementedError(
+                "MERGE on tables carrying equality deletes is not supported "
+                "(sequence interplay)"
+            )
+        cand = [p for p, _, _ in data]
+        if not cand:
+            n = self.append(source)
+            return {
+                "rows_updated": 0,
+                "rows_inserted": source.count(),
+                "rows_deleted": 0,
+                "snapshot_id": n,
+            }
+        do_update = when_matched_update_all or matched_update is not None
+        if matched_update is not None:
+            unknown = set(matched_update) - set(want)
+            if unknown:
+                raise ValueError(f"UPDATE SET targets unknown columns {sorted(unknown)}")
+            if set(matched_update) & set(on):
+                raise ValueError("UPDATE SET cannot reassign MERGE key columns")
+        target = self._scan_with_pos(schema, cand, pos_deletes)
+        tkeys = target.select(*on).distinct()
+        if do_update:
+            # one target row matching multiple source rows is a
+            # nondeterministic update — refuse, as Delta does
+            dup_keys = (
+                source.groupBy(*on)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .drop("_n")
+            )
+            dup_matched = dup_keys.join(tkeys, on=on, how="left_semi").limit(1).collect()
+            if dup_matched:
+                raise ValueError(
+                    f"MERGE source has multiple rows for key "
+                    f"{dup_matched[0].asDict()} matching the target — "
+                    "dedup the source change feed before merging"
+                )
+        keys = source.select(*on).distinct()
+        # keys that actually match a target row (and the matched
+        # condition, when given) — the update clause applies to these
+        upd_keys = keys.join(tkeys, on=on, how="left_semi")
+        if do_update and matched_condition:
+            upd_keys = (
+                target.drop("file_path", "pos")
+                .alias("t")
+                .join(source.alias("s"), on=on, how="inner")
+                .filter(F.expr(matched_condition))
+                .select(*on)
+                .distinct()
+            )
+        del_parts: list[DataFrame] = []
+        n_upd_del = 0
+        if do_update:
+            del_parts.append(target.join(upd_keys, on=on, how="left_semi"))
+        if not_matched_by_source_delete:
+            # only target columns are in scope; alias as "t" so the
+            # condition may use either bare or t.-prefixed names
+            nm = target.alias("t").join(keys, on=on, how="left_anti")
+            if not_matched_by_source_condition:
+                nm = nm.filter(F.expr(not_matched_by_source_condition))
+            del_parts.append(nm.select(target.columns))
+        new_parts: list[DataFrame] = []
+        if do_update:
+            if matched_update is None:
+                # WHEN MATCHED THEN UPDATE SET * — the new row IS the
+                # source row (source keys are unique among matched)
+                new_parts.append(source.join(upd_keys, on=on, how="left_semi"))
+            else:
+                joined = (
+                    target.drop("file_path", "pos")
+                    .alias("t")
+                    .join(source.alias("s"), on=on, how="inner")
+                )
+                if matched_condition:
+                    joined = joined.filter(F.expr(matched_condition))
+                new_parts.append(
+                    joined.select(
+                        *[
+                            (
+                                F.col(c)
+                                if c in on
+                                else (
+                                    F.expr(matched_update[c]).cast(want[c])
+                                    if c in matched_update
+                                    else F.col(f"t.{c}")
+                                )
+                            ).alias(c)
+                            for c in cols
+                        ]
+                    )
+                )
+        if when_not_matched_insert_all:
+            new_parts.append(source.join(tkeys, on=on, how="left_anti"))
+
+        now = int(time.time() * 1000)
+        seq = int(meta.get("last-sequence-number") or 0) + 1
+        snaps = list(meta.get("snapshots") or [])
+        snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+        list_rows = self._prior_manifest_rows(meta, snaps)
+        n_deleted = 0
+        if del_parts:
+            matched_del = del_parts[0]
+            for p in del_parts[1:]:
+                matched_del = matched_del.unionByName(p)
+            if do_update:
+                n_upd_del = del_parts[0].count()
+            del_entries, n_deleted, _ = self._stage_pos_delete_entries(
+                matched_del, len(cand), snap_id
+            )
+            if del_entries:
+                dm = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
+                write_ocf(dm, self._MANIFEST_SCHEMA, del_entries)
+                list_rows.append(
+                    {
+                        "manifest_path": dm,
+                        "manifest_length": os.path.getsize(dm),
+                        "partition_spec_id": 0,
+                        "content": 1,
+                        "sequence_number": seq,
+                        "added_snapshot_id": snap_id,
+                    }
+                )
+        n_written = 0
+        if new_parts:
+            new_df = new_parts[0]
+            for p in new_parts[1:]:
+                new_df = new_df.unionByName(p)
+            part_fields = self.partition_fields(meta)
+            names = self.field_names_by_id(meta)
+            spec_cols = [names[pf["source-id"]] for pf in part_fields]
+            ice_schema = self._ice_schema(meta)
+            data_entries = self._stage_data_entries(
+                new_df, ice_schema, part_fields, spec_cols, snap_id
+            )
+            if data_entries:
+                n_written = sum(e["data_file"]["record_count"] for e in data_entries)
+                am = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
+                write_ocf(am, self._manifest_schema(part_fields, ice_schema), data_entries)
+                list_rows.insert(
+                    len(list_rows) - (1 if del_parts and n_deleted else 0),
+                    {
+                        "manifest_path": am,
+                        "manifest_length": os.path.getsize(am),
+                        "partition_spec_id": 0,
+                        "content": 0,
+                        "sequence_number": seq,
+                        "added_snapshot_id": snap_id,
+                    },
+                )
+        if len(list_rows) == len(self._prior_manifest_rows(meta, snaps)):
+            return {
+                "rows_updated": 0,
+                "rows_inserted": 0,
+                "rows_deleted": 0,
+                "snapshot_id": meta.get("current-snapshot-id"),
+            }
+        self._commit_snapshot(meta, snaps, snap_id, seq, list_rows, "overwrite", now)
+        return {
+            "rows_updated": n_upd_del,
+            "rows_inserted": max(0, n_written - n_upd_del),
+            "rows_deleted": max(0, n_deleted - n_upd_del),
+            "snapshot_id": snap_id,
+        }
 
     def read_changes(self, from_snapshot: int, to_snapshot: int | None = None) -> DataFrame:
         """Incremental read — rows that changed in snapshots

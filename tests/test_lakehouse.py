@@ -2284,3 +2284,120 @@ def test_delta_shallow_clone_isolation(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="already exists"):
         src.clone(t)
+
+
+# ------------------------------------------- iceberg update / merge (DML)
+
+
+def test_iceberg_update_merge_on_read(spark, tmp_path):
+    """UPDATE commits ONE overwrite snapshot (pos-delete manifest +
+    data manifest); no original data file is rewritten; time travel
+    serves the pre-update rows."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    df = spark.range(100).select(
+        F.col("id").cast("long"), (F.col("id") % 7).cast("long").alias("k")
+    )
+    t = IcebergTable(spark, str(tmp_path / "iup"))
+    snap0 = t.append(df.repartition(3))
+    files_before = set(t.data_files())
+    res = t.update({"k": "k + 100"}, "id < 30")
+    assert res["rows_updated"] == 30
+    # merge-on-read: the original files are all still active
+    assert files_before <= set(t.data_files())
+    cur = {r["id"]: r["k"] for r in t.read().collect()}
+    assert len(cur) == 100
+    assert all(cur[i] == i % 7 + 100 for i in range(30))
+    assert all(cur[i] == i % 7 for i in range(30, 100))
+    old = {r["id"]: r["k"] for r in t.read(snapshot_id=snap0).collect()}
+    assert all(old[i] == i % 7 for i in range(100))
+    # second update stacks on the first (already-updated rows re-match)
+    t.update({"k": "k + 1"}, "id < 10")
+    cur2 = {r["id"]: r["k"] for r in t.read().collect()}
+    assert all(cur2[i] == i % 7 + 101 for i in range(10))
+
+
+def test_iceberg_update_no_match_is_noop(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    df = spark.range(20).select(F.col("id").cast("long"))
+    t = IcebergTable(spark, str(tmp_path / "inoop"))
+    snap = t.append(df)
+    res = t.update({"id": "id + 1"}, "id > 1000")
+    assert res == {"rows_updated": 0, "snapshot_id": snap}
+    assert t.read().count() == 20
+
+
+def test_iceberg_merge_clauses(spark, tmp_path):
+    """Conditional matched update (SET exprs over t/s aliases) +
+    NOT MATCHED BY SOURCE DELETE, mirroring DeltaLogTable.merge."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    tgt = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)], "id LONG, v DOUBLE"
+    )
+    src = spark.createDataFrame(
+        [(2, 200.0), (3, 5.0), (9, 90.0)], "id LONG, v DOUBLE"
+    )
+    t = IcebergTable(spark, str(tmp_path / "imrg"))
+    t.append(tgt.repartition(2))
+    res = t.merge(
+        src,
+        on=["id"],
+        when_matched_update_all=False,
+        matched_update={"v": "t.v + s.v"},
+        matched_condition="s.v > 100.0",
+        not_matched_by_source_delete=True,
+        not_matched_by_source_condition="t.v >= 40.0",
+    )
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    # id=2 matched+condition -> 20+200; id=3 matched, condition false ->
+    # kept; id=4 not in source, condition true -> deleted; id=1 kept;
+    # id=9 inserted
+    assert got == {1: 10.0, 2: 220.0, 3: 30.0, 9: 90.0}
+    assert res["rows_updated"] == 1 and res["rows_inserted"] == 1
+    assert res["rows_deleted"] == 1
+
+
+def test_iceberg_merge_duplicate_source_keys_refused(spark, tmp_path):
+    import pytest as _pytest
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "idup"))
+    t.append(spark.createDataFrame([(1, 1.0)], "id LONG, v DOUBLE"))
+    dup = spark.createDataFrame([(1, 2.0), (1, 3.0)], "id LONG, v DOUBLE")
+    with _pytest.raises(ValueError, match="multiple rows"):
+        t.merge(dup, on=["id"])
+
+
+def test_iceberg_merge_into_empty_and_partitioned_update(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    # merge into a table whose current snapshot has no data files ->
+    # plain append of the source
+    t = IcebergTable(spark, str(tmp_path / "imempty"))
+    src = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id LONG, v DOUBLE")
+    t.append(src.limit(0))
+    t.merge(src, on=["id"])
+    assert t.read().count() == 2
+    # update on an identity-partitioned table keeps partition layout
+    p = IcebergTable(spark, str(tmp_path / "ipupd"))
+    df = spark.range(40).select(
+        F.col("id").cast("long"), (F.col("id") % 4).cast("long").alias("part")
+    )
+    p.append(df, partition_by=["part"])
+    p.update({"id": "id + 1000"}, "part = 2")
+    got = p.read(where="part = 2")
+    assert got.count() == 10
+    assert got.agg(F.min("id")).collect()[0][0] >= 1000
+    info = p.scan_info("part = 3")
+    assert info["n_pruned"] >= 1  # partition pruning still works
