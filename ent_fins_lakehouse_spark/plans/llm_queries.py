@@ -2226,3 +2226,143 @@ def q188_ivf_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@query(
+    "q192_dsir_selection",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS arr
+      FROM documents WHERE trim(text) <> ''
+    ),
+    idx AS (
+      SELECT doc_id, lang, arr, UNNEST(generate_series(1, len(arr))) AS ord FROM s
+    ),
+    toks AS (SELECT doc_id, lang, arr[ord] AS term, ord FROM idx WHERE arr[ord] <> ''),
+    bi AS (
+      SELECT doc_id, lang, term,
+             LEAD(term) OVER (PARTITION BY doc_id ORDER BY ord) AS next
+      FROM toks
+    ),
+    b2 AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(term || ' ' || next), 1, 15)) AS BIGINT) % 512
+               AS bucket
+      FROM bi WHERE next IS NOT NULL
+    ),
+    feat AS (SELECT doc_id, bucket, COUNT(*) AS c FROM b2 GROUP BY doc_id, bucket),
+    tc AS (SELECT bucket, COUNT(*) AS tc FROM b2 WHERE lang = 'en' GROUP BY bucket),
+    rc AS (SELECT bucket, COUNT(*) AS rc FROM b2 GROUP BY bucket),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM b2 WHERE lang = 'en') AS t_total,
+             (SELECT COUNT(*) FROM b2) AS r_total
+    ),
+    lr AS (
+      SELECT rc.bucket,
+             CAST(ROUND(LN((CAST(COALESCE(tc.tc, 0) + 1 AS DOUBLE) / (tot.t_total + 512))
+                           / (CAST(rc.rc + 1 AS DOUBLE) / (tot.r_total + 512))), 4)
+                  AS DECIMAL(14,4)) AS lrv
+      FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot
+    ),
+    score AS (
+      SELECT feat.doc_id, CAST(SUM(feat.c * lr.lrv) AS DOUBLE) AS log_w
+      FROM feat JOIN lr USING (bucket) GROUP BY feat.doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, ROUND(log_w, 4) AS log_w,
+             ROUND(log_w - LN(-LN(
+               CAST(('0x' || substr(md5(doc_id || ':dsir'), 1, 15)) AS BIGINT)
+                 / 1152921504606846976.0)), 4) AS sel_key
+      FROM score
+    )
+    SELECT doc_id, log_w, sel_key FROM keyed
+    ORDER BY sel_key DESC, doc_id LIMIT 50
+    """,
+    tags=("llm", "sampling", "dedup-adjacent"),
+)
+def q192_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, 'Data Selection for
+    Language Models via Importance Resampling'): hashed BIGRAM features
+    (md5 → 512 buckets), add-one-smoothed bucket distributions for the
+    TARGET domain (lang='en' as the in-domain proxy) and the RAW pool,
+    per-document importance weight log w = Σ c_i·ln(p_i/q_i), then
+    sampling WITHOUT replacement via the Gumbel top-k trick — here with
+    DETERMINISTIC md5-uniform Gumbel noise (q162's idiom), so the draw
+    is engine-portable and reproducible with no RNG state.
+
+    Scale shape: the bucket distributions are ≤512-row aggregates
+    (broadcast by AQE); the per-doc score is one groupBy(doc_id,bucket)
+    + one groupBy(doc_id); selection is a sort-limit top-k. Nothing
+    grows with corpus size except the two linear passes — the reason
+    DSIR is THE importance-sampling method that runs at web scale.
+    Hash-exactness: per-bucket log-ratios rounded 4dp into DECIMAL
+    before the weighted sum (q160's discipline)."""
+    from ent_fins_lakehouse_spark.operators.dedup import normalize_text
+
+    B = 512
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.trim("text") != "")
+        .select(
+            "doc_id",
+            "lang",
+            F.posexplode(F.split(normalize_text("text"), " ")).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    wlead = W.partitionBy("doc_id").orderBy("pos")
+    b2 = (
+        toks.withColumn("next", F.lead("term").over(wlead))
+        .filter(F.col("next").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat_ws(" ", "term", "next")), 1, 15), 16, 10
+                ).cast("long")
+                % B
+            ).alias("bucket"),
+        )
+    )
+    feat = b2.groupBy("doc_id", "bucket").agg(F.count("*").alias("c"))
+    tc = b2.filter(F.col("lang") == "en").groupBy("bucket").agg(F.count("*").alias("tc"))
+    rc = b2.groupBy("bucket").agg(F.count("*").alias("rc"))
+    tot = b2.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_total"),
+        F.count("*").alias("r_total"),
+    )
+    lr = (
+        rc.join(tc, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double") / (F.col("t_total") + B))
+                    / ((F.col("rc") + 1).cast("double") / (F.col("r_total") + B))
+                ),
+                4,
+            )
+            .cast("decimal(14,4)")
+            .alias("lrv"),
+        )
+    )
+    score = (
+        feat.join(lr, "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("lrv")).cast("double").alias("log_w"))
+    )
+    unif = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id"), F.lit(":dsir"))), 1, 15), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    keyed = score.select(
+        "doc_id",
+        F.round("log_w", 4).alias("log_w"),
+        F.round(F.col("log_w") - F.log(-F.log(unif)), 4).alias("sel_key"),
+    )
+    return keyed.orderBy(F.desc("sel_key"), "doc_id").limit(50)

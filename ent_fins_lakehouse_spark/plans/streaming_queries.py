@@ -725,3 +725,54 @@ def q155_delta_table_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if out.count() - n1 != sup.filter(F.col("s_suppkey") % 3 == 2).count():
         raise AssertionError("second run did not ingest exactly the new commit")
     return out.select(*sup.columns).orderBy("s_suppkey")
+
+
+@query(
+    "q191_delta_stream_sink",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("streaming", "delta", "interop", "exactly-once"),
+)
+def q191_delta_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming sink into a PUBLIC-format Delta table:
+    file stream (one JSON wave per micro-batch) → foreachBatch append
+    committed WITH the spec's ``txn`` action (appId, batchId) — the
+    idempotence mechanism delta-spark's own streaming sink uses, so the
+    result is interop-readable mid-stream AND a replayed micro-batch
+    (crash between sink commit and checkpoint write) is skipped, not
+    double-applied (asserted by re-delivering batch 0 by hand). The
+    aggregate of the streamed table hash-matches the events oracle."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+    from ent_fins_lakehouse_spark.streaming.autoloader import DeltaStreamSink
+
+    root = tempfile.mkdtemp(prefix="delta_sink_")
+    src = _events_as_json_waves(spark, sf_dir, root)
+    ckpt = os.path.join(root, "ckpt")
+    table = DeltaLogTable(spark, os.path.join(root, "bronze"))
+
+    stream = ingest_file_stream(
+        spark, src, EVENTS_JSON_SCHEMA, fmt="json", max_files_per_trigger=1
+    )
+    sink = DeltaStreamSink(table, app_id="q191-ingest")
+    sink.start(stream, ckpt)
+    n1 = table.read().count()
+    if table.txn_version("q191-ingest") < 1:
+        raise AssertionError("expected multiple txn-tracked micro-batches")
+    # re-deliver an already-committed micro-batch (the crash-replay
+    # case foreachBatch documents): must be a no-op
+    replay = spark.read.schema(EVENTS_JSON_SCHEMA).json(src)
+    sink.write_batch(replay, 0)
+    if table.read().count() != n1:
+        raise AssertionError("replayed micro-batch was double-applied")
+    bronze = table.read()
+    return (
+        bronze.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -1274,6 +1274,7 @@ class DeltaLogTable:
         part_cols: list[str] = []
         meta: dict | None = None
         proto: dict | None = None
+        txns: dict[str, int] = {}
         start = 0
         cp = self._checkpoint()
         if cp and cp[0] <= target:
@@ -1307,6 +1308,9 @@ class DeltaLogTable:
                         # sees "no stats" for these files (sound)
                         "stats": None,
                     }
+                tx = r["txn"] if "txn" in cols else None
+                if tx is not None and tx["appId"]:
+                    txns[tx["appId"]] = int(tx["version"])
             start = cp[0] + 1
         versions = self._json_versions()
         missing = [v for v in range(start, target + 1) if v not in versions]
@@ -1338,8 +1342,13 @@ class DeltaLogTable:
                         }
                     elif "remove" in act:
                         adds.pop(act["remove"]["path"], None)
+                    elif "txn" in act:
+                        txns[act["txn"]["appId"]] = int(act["txn"]["version"])
         if schema_str is None:
             raise ValueError(f"no metaData action found in {self.log_path}")
+        # latest txn version per appId (spec: 'Transaction Identifiers')
+        # — the idempotence watermark streaming sinks consult
+        self._last_txns = txns
         # latest raw protocol, kept for checkpoint() to write through
         # verbatim (a synthesized protocol would downgrade feature
         # gates like columnMapping's (2,5) — ADVICE r5)
@@ -1828,11 +1837,23 @@ class DeltaLogTable:
 
     # ---------------------------------------------------------------- write
 
+    def txn_version(self, app_id: str) -> int:
+        """Latest committed ``txn`` version for ``app_id`` (spec:
+        'Transaction Identifiers'), or -1 when the application has
+        never committed. Streaming sinks consult this before applying a
+        micro-batch: a replayed batch with version ≤ the watermark is
+        already durable and must be skipped (exactly-once)."""
+        if not self.exists():
+            return -1
+        self._snapshot()
+        return getattr(self, "_last_txns", {}).get(app_id, -1)
+
     def write(
         self,
         df: DataFrame,
         mode: str = "append",
         partition_by: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Commit data in the PUBLIC Delta log format (closes the write
         half of the interop loop — engine output becomes consumable by
@@ -1849,7 +1870,11 @@ class DeltaLogTable:
         reclaims them). Appends must match the committed schema exactly
         (widening/evolution belongs to :class:`LakeTable`); overwrite
         may change the schema and re-emits ``metaData`` with the SAME
-        table id. Returns the committed version.
+        table id. ``txn=(appId, version)`` additionally records a
+        ``txn`` action (spec: 'Transaction Identifiers') so idempotent
+        writers — streaming sinks replaying a micro-batch — can detect
+        an already-applied version via :meth:`txn_version`. Returns the
+        committed version.
         """
         import time
         import uuid as _uuid
@@ -1912,6 +1937,16 @@ class DeltaLogTable:
                 }
             }
         ]
+        if txn is not None:
+            actions.append(
+                {
+                    "txn": {
+                        "appId": str(txn[0]),
+                        "version": int(txn[1]),
+                        "lastUpdated": now,
+                    }
+                }
+            )
         if version == 0:
             actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
         schema_json = df.schema.json()
@@ -1927,7 +1962,10 @@ class DeltaLogTable:
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": schema_json,
                         "partitionColumns": part_cols,
-                        "configuration": {},
+                        # carry table configuration (CHECK constraints,
+                        # feature flags) through an overwrite — an empty
+                        # map would silently drop them
+                        "configuration": (meta or {}).get("configuration") or {},
                         "createdTime": (meta or {}).get("createdTime") or now,
                     }
                 }
@@ -2964,6 +3002,7 @@ class DeltaLogTable:
         if version is None:
             version = self.latest_version()
         adds, _schema, _parts, meta = self._snapshot(version)
+        txns = dict(getattr(self, "_last_txns", {}) or {})
         if meta is None:
             raise ValueError("cannot checkpoint a log with no metaData action")
         has_dv = any(info.get("deletionVector") for info in adds.values())
@@ -3068,10 +3107,28 @@ class DeltaLogTable:
                     else None
                 )
             rows.append({"protocol": None, "metaData": None, "add": a})
-        table = pa.Table.from_pylist(
-            rows,
-            schema=pa.schema([("protocol", proto_t), ("metaData", meta_t), ("add", add_t)]),
-        )
+        fields = [("protocol", proto_t), ("metaData", meta_t), ("add", add_t)]
+        if txns:
+            # spec: checkpoints carry the latest txn action per appId —
+            # dropping them would reset streaming sinks' idempotence
+            # watermark after log cleanup
+            fields.append(
+                (
+                    "txn",
+                    pa.struct(
+                        [
+                            ("appId", pa.string()),
+                            ("version", pa.int64()),
+                            ("lastUpdated", pa.int64()),
+                        ]
+                    ),
+                )
+            )
+            for app_id in sorted(txns):
+                rows.append(
+                    {"txn": {"appId": app_id, "version": txns[app_id], "lastUpdated": 0}}
+                )
+        table = pa.Table.from_pylist(rows, schema=pa.schema(fields))
         cp_path = os.path.join(self.log_path, f"{version:020d}.checkpoint.parquet")
         pq.write_table(table, cp_path)
         with open(os.path.join(self.log_path, "_last_checkpoint"), "w") as fh:

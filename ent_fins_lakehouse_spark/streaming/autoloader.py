@@ -268,3 +268,44 @@ class LakeStreamSink:
         else:
             q = writer.start()
         return q
+
+class DeltaStreamSink:
+    """Exactly-once streaming sink into a PUBLIC-format Delta table
+    (:class:`DeltaLogTable`) via ``foreachBatch`` + the spec's ``txn``
+    action ('Transaction Identifiers') — the mechanism delta-spark's
+    own streaming sink uses. Each micro-batch append commits with
+    ``txn=(app_id, batch_id)``; a replayed batch (failure between the
+    sink commit and the checkpoint write) is detected by
+    ``txn_version(app_id) >= batch_id`` and skipped, so re-runs are
+    idempotent and the table stays interop-readable (delta-spark /
+    DuckDB / Polars) throughout the stream.
+
+    Scale shape: the watermark check is a control-plane log replay (no
+    data scan); each batch lands via one distributed parquet write; the
+    txn watermark survives log checkpointing (the parquet checkpoint
+    carries the latest txn per appId)."""
+
+    def __init__(self, table, app_id: str):
+        self.table = table
+        self.app_id = app_id
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        if self.table.exists() and self.table.txn_version(self.app_id) >= batch_id:
+            return  # replayed micro-batch — already durable, skip
+        self.table.write(df, mode="append", txn=(self.app_id, batch_id))
+
+    def start(
+        self,
+        stream_df: DataFrame,
+        checkpoint_dir: str,
+        available_now: bool = True,
+    ) -> StreamingQuery:
+        writer = stream_df.writeStream.foreachBatch(self.write_batch).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if available_now:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+        else:
+            q = writer.start()
+        return q

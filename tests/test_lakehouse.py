@@ -2401,3 +2401,77 @@ def test_iceberg_merge_into_empty_and_partitioned_update(spark, tmp_path):
     assert got.agg(F.min("id")).collect()[0][0] >= 1000
     info = p.scan_info("part = 3")
     assert info["n_pruned"] >= 1  # partition pruning still works
+
+
+# ----------------------------------------- delta txn (streaming sink)
+
+
+def test_delta_txn_watermark_and_checkpoint_survival(spark, tmp_path):
+    """txn actions (spec 'Transaction Identifiers') set the per-appId
+    idempotence watermark; it must survive a parquet checkpoint +
+    JSON-log cleanup bootstrap."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    t = DeltaLogTable(spark, str(tmp_path / "txn"))
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    assert t.txn_version("app-a") == -1
+    t.write(df, mode="append", txn=("app-a", 0))
+    t.write(df, mode="append", txn=("app-a", 1))
+    t.write(df, mode="append", txn=("app-b", 7))
+    assert t.txn_version("app-a") == 1
+    assert t.txn_version("app-b") == 7
+    assert t.txn_version("app-c") == -1
+    # checkpoint, then drop the JSON commits at/below it — the
+    # watermark must bootstrap from the checkpoint's txn rows
+    t.checkpoint()
+    import glob
+    import os as _os
+
+    for f in glob.glob(str(tmp_path / "txn" / "_delta_log" / "*.json")):
+        _os.remove(f)
+    t2 = DeltaLogTable(spark, str(tmp_path / "txn"))
+    assert t2.txn_version("app-a") == 1
+    assert t2.txn_version("app-b") == 7
+    assert t2.read().count() == 30
+
+
+def test_delta_stream_sink_skips_replayed_batch(spark, tmp_path):
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+    from ent_fins_lakehouse_spark.streaming.autoloader import DeltaStreamSink
+
+    t = DeltaLogTable(spark, str(tmp_path / "sink"))
+    sink = DeltaStreamSink(t, app_id="app-x")
+    b0 = spark.range(5).selectExpr("id", "id * 10 AS v")
+    b1 = spark.range(5, 9).selectExpr("id", "id * 10 AS v")
+    sink.write_batch(b0, 0)
+    sink.write_batch(b1, 1)
+    assert t.read().count() == 9
+    sink.write_batch(b0, 0)  # replay: must be skipped
+    sink.write_batch(b1, 1)
+    assert t.read().count() == 9
+    sink.write_batch(spark.range(9, 12).selectExpr("id", "id * 10 AS v"), 2)
+    assert t.read().count() == 12
+    assert t.txn_version("app-x") == 2
+
+
+def test_delta_overwrite_preserves_configuration(spark, tmp_path):
+    """Overwrite with a schema change re-emits metaData — table
+    configuration (CHECK constraints) must carry through, and the
+    constraint still validates post-overwrite writes."""
+    import pytest as _pytest
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    t = DeltaLogTable(spark, str(tmp_path / "cfg"))
+    t.write(spark.range(5).selectExpr("id", "CAST(id AS DOUBLE) AS v"), mode="append")
+    t.add_constraint("v_nonneg", "v >= 0")
+    t.write(
+        spark.range(5).selectExpr("id", "CAST(id AS DOUBLE) AS v", "'x' AS tag"),
+        mode="overwrite",
+    )
+    assert "v_nonneg" in t.constraints()
+    with _pytest.raises(ValueError, match="v_nonneg"):
+        t.write(
+            spark.createDataFrame([(1, -5.0, "y")], "id LONG, v DOUBLE, tag STRING"),
+            mode="append",
+        )

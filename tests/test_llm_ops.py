@@ -660,3 +660,24 @@ def test_ivf_pq_serving_recall(spark):
     assert recall >= 0.5, f"IVF-PQ recall {recall} too low"
     for vid in set(got) & set(exact):
         assert abs(got[vid] - exact[vid]) < 1e-9
+
+
+def test_dsir_weights_favor_target_domain(spark):
+    """DSIR importance weights must rank in-domain (en) docs above
+    out-of-domain ones on average: mean log_w of en docs > mean log_w
+    of non-en docs, and the Gumbel top-k selection must be
+    deterministic across invocations."""
+    from ent_fins_lakehouse_spark.plans.llm_queries import q192_dsir_selection
+    from ent_fins_lakehouse_spark.sources.readers import load_table
+
+    from tests.conftest import SF_ORACLE as sf_dir
+
+    sel1 = q192_dsir_selection(spark, sf_dir).collect()
+    sel2 = q192_dsir_selection(spark, sf_dir).collect()
+    assert [r["doc_id"] for r in sel1] == [r["doc_id"] for r in sel2]
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    lang = {r["doc_id"]: r["lang"] for r in docs.collect()}
+    n_en = sum(1 for r in sel1 if lang[r["doc_id"]] == "en")
+    # the corpus is ~44% en; an importance-resampled top-50 must be
+    # heavily enriched toward the target domain
+    assert n_en >= 30, f"only {n_en}/50 selected docs are in-domain"

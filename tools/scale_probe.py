@@ -232,6 +232,23 @@ def interop_probe(spark, sf_dir: str, scratch: str, n_files: int = 32) -> dict[s
         "iceberg_pred_read",
         lambda: sink(it.read(where=f"o_orderkey <= {lo + 100}")),
     )
+
+    # merge-on-read DML (r6): position-delete staging + data manifest
+    # in one snapshot. The change feed is ~1% of the table — the cost
+    # that must track the CHANGE size, not the table size.
+    from pyspark.sql import functions as F
+
+    hi = orders.agg({"o_orderkey": "max"}).collect()[0][0]
+    upd = orders.filter(F.col("o_orderkey") % 100 == 1).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1.0
+    )
+    ins = upd.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(hi))
+    timed(
+        "iceberg_mor_update",
+        lambda: it.update({"o_totalprice": "o_totalprice + 1.0"}, "o_orderkey % 100 = 7"),
+    )
+    timed("iceberg_merge", lambda: it.merge(upd.unionByName(ins), on=["o_orderkey"]))
+    timed("iceberg_mor_read", lambda: sink(it.read()))
     return out
 
 
