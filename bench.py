@@ -74,6 +74,9 @@ HEADLINE = [
     # retrieval + sub-document dedup (r6)
     "q174_bm25_topk",
     "q175_span_dedup_stats",
+    # Iceberg merge-on-read DML + DSIR selection (r6)
+    "q190_iceberg_merge",
+    "q192_dsir_selection",
 ]
 
 

@@ -2366,3 +2366,85 @@ def q192_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("log_w") - F.log(-F.log(unif)), 4).alias("sel_key"),
     )
     return keyed.orderBy(F.desc("sel_key"), "doc_id").limit(50)
+
+
+@query(
+    "q193_temperature_mixture",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             SUM(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)
+               AS toks
+      FROM documents GROUP BY source
+    ),
+    shares AS (
+      SELECT source, toks,
+             POW(CAST(toks AS DOUBLE) / SUM(toks) OVER (), 0.7) AS a
+      FROM per
+    ),
+    rates AS (
+      SELECT source, toks,
+             ROUND(LEAST(1.0,
+               0.5 * SUM(toks) OVER () * (a / SUM(a) OVER ()) / toks), 6) AS rate
+      FROM shares
+    )
+    SELECT d.doc_id, d.source, r.rate
+    FROM documents d JOIN rates r USING (source)
+    WHERE CAST(('0x' || substr(md5(d.doc_id || ':tmix'), 1, 15)) AS BIGINT)
+            / 1152921504606846976.0 < r.rate
+    ORDER BY d.doc_id
+    """,
+    tags=("llm", "sampling"),
+)
+def q193_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (the GPT-3/PaLM recipe for
+    balancing heterogeneous sources): per-source token masses become
+    α-smoothed sampling shares q_i ∝ p_i^0.7 — up-weighting small
+    high-value sources without letting any source dominate — then each
+    source gets acceptance rate min(1, budget·q_i/T_i) toward a 50%
+    token budget, applied per-document by the md5-uniform coin (q143's
+    determinism: same doc, same verdict, any engine or cluster).
+
+    Scale shape: the rate table is |sources| rows (two tiny windows
+    over it); docs join it on source — AQE broadcasts the rate side —
+    and the filter is a map-side coin flip. One linear pass. Rates
+    rounded 6dp BEFORE the coin so the accept decision itself is
+    engine-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = (
+        F.length(F.trim("text"))
+        - F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("")))
+        + 1
+    )
+    per = docs.groupBy("source").agg(F.sum(n_tok).alias("toks"))
+    everything = W.partitionBy()
+    shares = per.select(
+        "source",
+        "toks",
+        F.pow(F.col("toks").cast("double") / F.sum("toks").over(everything), 0.7).alias("a"),
+    )
+    rates = shares.select(
+        "source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(0.5)
+                * F.sum("toks").over(everything)
+                * (F.col("a") / F.sum("a").over(everything))
+                / F.col("toks"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    unif = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id"), F.lit(":tmix"))), 1, 15), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    return (
+        docs.join(rates, "source")
+        .filter(unif < F.col("rate"))
+        .select("doc_id", "source", "rate")
+        .orderBy("doc_id")
+    )

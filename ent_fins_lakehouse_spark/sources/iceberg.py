@@ -1259,29 +1259,33 @@ class IcebergTable:
         snaps = list(meta.get("snapshots") or [])
         snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
         list_rows = self._prior_manifest_rows(meta, snaps)
+        n_prior = len(list_rows)
         n_deleted = 0
-        if del_parts:
-            matched_del = del_parts[0]
-            for p in del_parts[1:]:
-                matched_del = matched_del.unionByName(p)
-            if do_update:
-                n_upd_del = del_parts[0].count()
-            del_entries, n_deleted, _ = self._stage_pos_delete_entries(
-                matched_del, len(cand), snap_id
+        # stage update-deletes and not-matched-by-source-deletes as
+        # SEPARATE jobs: each part's row count then comes from the
+        # staged file footers — no extra count() scan over the target
+        del_entries: list[dict] = []
+        part_counts: list[int] = []
+        for p in del_parts:
+            e, n, _ = self._stage_pos_delete_entries(p, len(cand), snap_id)
+            del_entries.extend(e)
+            part_counts.append(n)
+            n_deleted += n
+        if do_update and del_parts:
+            n_upd_del = part_counts[0]
+        if del_entries:
+            dm = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
+            write_ocf(dm, self._MANIFEST_SCHEMA, del_entries)
+            list_rows.append(
+                {
+                    "manifest_path": dm,
+                    "manifest_length": os.path.getsize(dm),
+                    "partition_spec_id": 0,
+                    "content": 1,
+                    "sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                }
             )
-            if del_entries:
-                dm = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
-                write_ocf(dm, self._MANIFEST_SCHEMA, del_entries)
-                list_rows.append(
-                    {
-                        "manifest_path": dm,
-                        "manifest_length": os.path.getsize(dm),
-                        "partition_spec_id": 0,
-                        "content": 1,
-                        "sequence_number": seq,
-                        "added_snapshot_id": snap_id,
-                    }
-                )
         n_written = 0
         if new_parts:
             new_df = new_parts[0]
@@ -1309,7 +1313,7 @@ class IcebergTable:
                         "added_snapshot_id": snap_id,
                     },
                 )
-        if len(list_rows) == len(self._prior_manifest_rows(meta, snaps)):
+        if len(list_rows) == n_prior:
             return {
                 "rows_updated": 0,
                 "rows_inserted": 0,
