@@ -2378,3 +2378,130 @@ def q190_iceberg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"expected {n_upd} updates + {n_ins} inserts, got {res}"
         )
     return t.read().orderBy("c_custkey")
+
+
+@query(
+    "q194_delta_schema_evolution",
+    oracle="""
+    SELECT p_partkey,
+           p_retailprice AS price,
+           CASE WHEN p_partkey % 3 = 2 THEN 'NEW' END AS origin
+    FROM part ORDER BY p_partkey
+    """,
+    tags=("lakehouse", "delta", "ddl", "interop"),
+)
+def q194_delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE schema evolution on the PUBLIC Delta log — the arc
+    every aging production table goes through, metadata-only at each
+    step (no data file is touched, the property that makes renames
+    instant on a 100 TB table):
+
+    v0 seed append → ``RENAME COLUMN`` (auto-upgrades to columnMapping
+    ``name`` mode: existing fields get ids + physicalName = their
+    current name, so old files still resolve; protocol gains (2,5)) →
+    a POST-RENAME append, whose files carry PHYSICAL column names +
+    parquet field ids (the write half of q154's read support — without
+    it a mapped table is read-only) → ``ADD COLUMN`` (fresh id, opaque
+    col-<uuid> physical name; pre-existing files read the new column
+    as NULL via the explicit-schema scan) → append carrying the new
+    column → ``DROP COLUMN`` (metadata removal; physical data stays,
+    never projected). Time travel still serves the PRE-RENAME shape
+    from the old metadata. All through the reference-shaped SQL facade
+    (`01-Fraud-Delta.py:130-134` DDL idiom + ALTER verbs)."""
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+    loc = _scratch("schevo")
+    dl = DeltaLogTable(spark, loc)
+    dl.write(part.filter(F.col("p_partkey") % 3 == 0), mode="append")
+
+    lh = LakehouseSession(spark, _scratch("schevowh"))
+    lh.sql("CREATE DATABASE IF NOT EXISTS evo")
+    lh.sql(f"CREATE TABLE evo.parts USING DELTA LOCATION '{loc}'")
+    lh.sql("ALTER TABLE evo.parts RENAME COLUMN p_retailprice TO price")
+
+    # post-rename append: physical col names + field ids in the files
+    mid = part.filter(F.col("p_partkey") % 3 == 1).withColumnRenamed(
+        "p_retailprice", "price"
+    )
+    dl.write(mid, mode="append")
+
+    lh.sql("ALTER TABLE evo.parts ADD COLUMN origin STRING")
+    tail = (
+        part.filter(F.col("p_partkey") % 3 == 2)
+        .withColumnRenamed("p_retailprice", "price")
+        .withColumn("origin", F.lit("NEW"))
+    )
+    dl.write(tail, mode="append")
+    lh.sql("ALTER TABLE evo.parts DROP COLUMN p_name")
+
+    # time travel serves the pre-rename shape from the old metadata
+    v0_cols = dl.read(version_as_of=0).columns
+    if v0_cols != ["p_partkey", "p_name", "p_retailprice"]:
+        raise AssertionError(f"version 0 must keep the original schema, got {v0_cols}")
+    out = lh.sql("SELECT * FROM evo.parts")
+    if out.columns != ["p_partkey", "price", "origin"]:
+        raise AssertionError(f"post-evolution schema wrong: {out.columns}")
+    return out.orderBy("p_partkey")
+
+
+@query(
+    "q195_iceberg_cdc_upsert",
+    oracle="""
+    WITH src AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey <= 50
+      UNION ALL
+      SELECT c_custkey + 100000, c_name, c_nationkey, c_acctbal,
+             'NEWSEGMENT' AS c_mktsegment
+      FROM customer WHERE c_custkey <= 20
+    ),
+    merged AS (
+      SELECT * FROM src
+      UNION ALL
+      SELECT c.* FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.c_custkey = c.c_custkey)
+    )
+    SELECT * FROM merged WHERE c_custkey % 7 <> 0 ORDER BY c_custkey
+    """,
+    tags=("lakehouse", "iceberg", "cdc", "interop"),
+)
+def q195_iceberg_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC ingestion into Iceberg v2 via EQUALITY DELETE files — the
+    Flink-CDC commit shape (content=2, the write half of q164's read
+    support). Unlike MERGE (q190), the upsert NEVER READS THE TARGET:
+    one snapshot commits the batch's key tuples as an equality delete
+    at sequence S (masking older row versions in every file with
+    sequence < S) plus the batch rows as data files at S. Write cost
+    ∝ batch size — a 100 MB CDC feed commits blind against a 100 TB
+    table; readers pay the anti-joins until compact() materializes
+    them. Arc: seed append → upsert batch (same 50-update + 20-insert
+    arc as q30/q165/q190, one shared oracle family) → key-only
+    delete_eq batch → read, with the seed snapshot still serving the
+    original rows (time travel across both CDC commits)."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    cust = load_table(spark, sf_dir, "customer")
+    t = IcebergTable(spark, _scratch("icecdc") + "_t")
+    snap0 = t.append(cust.repartition(4))
+    updates = cust.filter(F.col("c_custkey") <= 50).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100
+    )
+    inserts = (
+        cust.filter(F.col("c_custkey") <= 20)
+        .withColumn("c_custkey", F.col("c_custkey") + 100000)
+        .withColumn("c_mktsegment", F.lit("NEWSEGMENT"))
+    )
+    res = t.upsert_eq(updates.unionByName(inserts), keys=["c_custkey"])
+    n_batch = updates.count() + inserts.count()
+    if res["rows_upserted"] != n_batch:
+        raise AssertionError(f"expected {n_batch} upserted rows, got {res}")
+    dead = t.read().select("c_custkey").filter("c_custkey % 7 = 0")
+    t.delete_eq(dead, keys=["c_custkey"])
+    if t.read(snapshot_id=snap0).count() != cust.count():
+        raise AssertionError("seed snapshot must still serve the original rows")
+    return t.read().orderBy("c_custkey")

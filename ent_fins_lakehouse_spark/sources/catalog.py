@@ -159,6 +159,18 @@ class LakehouseSession:
     _DROP_DB = re.compile(r"DROP\s+DATABASE\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>\w+)\s*(?P<cascade>CASCADE)?\s*$", re.IGNORECASE)
     _DROP_TBL = re.compile(r"DROP\s+TABLE\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s*$", re.IGNORECASE)
     _USE = re.compile(r"USE\s+(?P<name>\w+)\s*$", re.IGNORECASE)
+    _ALTER_RENAME = re.compile(
+        r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+RENAME\s+COLUMN\s+(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*$",
+        re.IGNORECASE,
+    )
+    _ALTER_ADD = re.compile(
+        r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+ADD\s+COLUMNS?\s*\(?\s*(?P<col>\w+)\s+(?P<dtype>[\w()<>, ]+?)\s*\)?\s*$",
+        re.IGNORECASE,
+    )
+    _ALTER_DROP = re.compile(
+        r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+DROP\s+COLUMN\s+(?P<col>\w+)\s*$",
+        re.IGNORECASE,
+    )
     _SHOW_DB = re.compile(r"SHOW\s+DATABASES\s*$", re.IGNORECASE)
     _SHOW_TBL = re.compile(r"SHOW\s+TABLES(?:\s+IN\s+(?P<db>\w+))?\s*$", re.IGNORECASE)
     _SELECT_TBL = re.compile(
@@ -220,6 +232,30 @@ class LakehouseSession:
             return None
         if m := self._USE.match(s):
             self.catalog.use_database(m["name"])
+            return None
+        if m := self._ALTER_RENAME.match(s):
+            t = self.catalog._resolve(m["target"])
+            if not hasattr(t, "rename_column"):
+                raise NotImplementedError(
+                    f"RENAME COLUMN is not supported by {type(t).__name__}"
+                )
+            t.rename_column(m["old"], m["new"])
+            return None
+        if m := self._ALTER_ADD.match(s):
+            t = self.catalog._resolve(m["target"])
+            if not hasattr(t, "add_column"):
+                raise NotImplementedError(
+                    f"ADD COLUMN is not supported by {type(t).__name__}"
+                )
+            t.add_column(m["col"], m["dtype"])
+            return None
+        if m := self._ALTER_DROP.match(s):
+            t = self.catalog._resolve(m["target"])
+            if not hasattr(t, "drop_column"):
+                raise NotImplementedError(
+                    f"DROP COLUMN is not supported by {type(t).__name__}"
+                )
+            t.drop_column(m["col"])
             return None
         if self._SHOW_DB.match(s):
             return self.spark.createDataFrame([(d,) for d in self.catalog.databases()], "databaseName STRING")

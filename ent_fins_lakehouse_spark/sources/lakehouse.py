@@ -495,6 +495,37 @@ class LakeTable:
                 return dl
         return None
 
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN — delegates to the public Delta
+        writer when the path is an open-format table (metadata-only
+        there via column mapping); the private ``_txn_log`` format has
+        no mapping layer, so it refuses rather than rewriting data."""
+        if (dl := self._as_delta_shim()) is not None:
+            return dl.rename_column(old, new)
+        raise NotImplementedError(
+            "RENAME COLUMN needs column mapping (open-format Delta tables "
+            "only — the private format would have to rewrite every file)"
+        )
+
+    def add_column(self, name: str, dtype) -> int:
+        """ALTER TABLE ADD COLUMN — open-format delegation (see
+        :meth:`rename_column`)."""
+        if (dl := self._as_delta_shim()) is not None:
+            return dl.add_column(name, dtype)
+        raise NotImplementedError(
+            "ADD COLUMN is supported on open-format Delta tables; private-"
+            "format tables evolve via merge_schema=True writes instead"
+        )
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN — open-format delegation (see
+        :meth:`rename_column`)."""
+        if (dl := self._as_delta_shim()) is not None:
+            return dl.drop_column(name)
+        raise NotImplementedError(
+            "DROP COLUMN needs column mapping (open-format Delta tables only)"
+        )
+
     def delete(self, predicate: str) -> dict:
         """DELETE FROM … WHERE (D5, `01-Fraud-Delta.py:159` GDPR
         delete). Rewrites only data dirs containing matching rows."""
@@ -1887,27 +1918,28 @@ class DeltaLogTable:
             version = 0
         existing_adds: dict[str, dict] = {}
         meta: dict | None = None
+        cm_mode, cm_pmap = "none", {}
+        committed_schema = None
         if version > 0:
             existing_adds, committed_schema, committed_parts, meta = self._snapshot()
-            if ((meta or {}).get("configuration") or {}).get(
-                "delta.columnMapping.mode", "none"
-            ) != "none":
-                # writing LOGICAL column names into a column-mapped
-                # table would leave files whose physical names don't
-                # match the schema metadata — readers would see NULLs.
-                # Refuse loudly (same stance as delete()).
-                raise NotImplementedError(
-                    "writes to column-mapped Delta tables are not supported "
-                    "by the shim (files need physical column names)"
-                )
+            cm_mode, cm_pmap = self._mapping(meta, committed_schema)
             if partition_by is None:
                 partition_by = committed_parts
-            if mode == "append":
+            if mode == "append" or cm_mode != "none":
+                # column-mapped overwrite reuses the committed mapping,
+                # so the incoming LOGICAL schema must match exactly too
+                # (fresh ids for new columns belong to add_column())
                 want = [(f.name, f.dataType) for f in committed_schema.fields]
                 have = {f.name: f.dataType for f in df.schema.fields}
                 if sorted(have) != sorted(n for n, _ in want) or any(
                     have[n] != t for n, t in want
                 ):
+                    if mode != "append":
+                        raise NotImplementedError(
+                            "schema-changing overwrite of a column-mapped Delta "
+                            "table is not supported (new columns need fresh "
+                            "mapping ids — use add_column())"
+                        )
                     raise ValueError(
                         f"append schema {df.schema.simpleString()} does not match "
                         f"committed schema {committed_schema.simpleString()}"
@@ -1921,7 +1953,37 @@ class DeltaLogTable:
 
         if self.exists():
             self._enforce_constraints(df, f"write(mode={mode})")
-        adds = self._stage_adds(df, part_cols)
+        # metaData schemaString must stay LOGICAL; capture it before any
+        # physical rename (for a mapped table the committed string — with
+        # its mapping metadata — IS the logical schema and cannot have
+        # changed, per the check above)
+        schema_json = (
+            meta["schemaString"] if cm_mode != "none" else df.schema.json()
+        )
+        stage_parts = part_cols
+        if cm_mode != "none":
+            # column-mapped table: data files carry PHYSICAL column names
+            # (plus parquet field ids so id-mode readers resolve them);
+            # hive dirs / partitionValues are keyed physical too. The
+            # logical→physical rename is a pure projection — no extra
+            # job, no data movement.
+            fids = {
+                f.name: (f.metadata or {}).get("delta.columnMapping.id")
+                for f in committed_schema.fields
+            }
+            self.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+            cols = []
+            for f in committed_schema.fields:
+                c = F.col(f.name)
+                fid = fids.get(f.name)
+                if fid is not None:
+                    c = c.alias(cm_pmap[f.name], metadata={"parquet.field.id": int(fid)})
+                else:
+                    c = c.alias(cm_pmap[f.name])
+                cols.append(c)
+            df = df.select(*cols)
+            stage_parts = [cm_pmap[c] for c in part_cols]
+        adds = self._stage_adds(df, stage_parts)
         now = int(time.time() * 1000)
 
         actions: list[dict] = [
@@ -1949,7 +2011,6 @@ class DeltaLogTable:
             )
         if version == 0:
             actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
-        schema_json = df.schema.json()
         if version == 0 or (
             mode == "overwrite"
             and meta is not None
@@ -2833,6 +2894,159 @@ class DeltaLogTable:
                 f"{op} rejected: CHECK constraint violated "
                 f"({cons}) by row {bad[0].asDict()}"
             )
+
+    # ------------------------------------------------ schema evolution
+
+    def _commit_meta(self, meta: dict, operation: str, proto: dict | None = None) -> int:
+        """Commit a metadata-only schema/config change (one JSON action
+        file, no data touched — exactly how delta-spark commits ALTER
+        TABLE)."""
+        import time
+
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": operation,
+                    "engineInfo": "ent_fins_lakehouse_spark/delta-shim",
+                }
+            }
+        ]
+        if proto is not None:
+            actions.append({"protocol": proto})
+        actions.append({"metaData": meta})
+        v = self.latest_version() + 1
+        self._commit_actions(v, actions)
+        return v
+
+    def _refuse_constrained(self, column: str, verb: str) -> None:
+        import re as _re
+
+        for name, expr in self.constraints().items():
+            if _re.search(rf"\b{_re.escape(column)}\b", expr):
+                raise ValueError(
+                    f"cannot {verb} column {column!r}: CHECK constraint "
+                    f"{name!r} ({expr}) references it — drop the constraint first"
+                )
+
+    def enable_column_mapping(self) -> int | None:
+        """Upgrade the table to column mapping ``name`` mode (the
+        prerequisite Delta imposes for RENAME/DROP COLUMN). Metadata
+        only: every existing field gets ``delta.columnMapping.id`` and
+        a ``physicalName`` equal to its CURRENT name — so every
+        already-written data file still resolves — and the protocol
+        gains the mapping gate ((2,5), or the ``columnMapping`` feature
+        when the log already runs table features). No-op when already
+        mapped. Spec: 'Column Mapping'."""
+        _, schema, part_cols, meta = self._snapshot()
+        cfg = dict((meta or {}).get("configuration") or {})
+        if cfg.get("delta.columnMapping.mode", "none") != "none":
+            return None
+        base = json.loads(meta["schemaString"])
+        for i, fld in enumerate(base["fields"]):
+            md = dict(fld.get("metadata") or {})
+            md["delta.columnMapping.id"] = i + 1
+            md["delta.columnMapping.physicalName"] = fld["name"]
+            fld["metadata"] = md
+        cfg["delta.columnMapping.mode"] = "name"
+        cfg["delta.columnMapping.maxColumnId"] = str(len(base["fields"]))
+        proto = dict(
+            getattr(self, "_last_protocol", None)
+            or {"minReaderVersion": 1, "minWriterVersion": 2}
+        )
+        if "readerFeatures" in proto or int(proto.get("minReaderVersion") or 1) >= 3:
+            proto["readerFeatures"] = sorted(
+                set(proto.get("readerFeatures") or []) | {"columnMapping"}
+            )
+            proto["writerFeatures"] = sorted(
+                set(proto.get("writerFeatures") or []) | {"columnMapping"}
+            )
+        else:
+            proto["minReaderVersion"] = max(int(proto.get("minReaderVersion") or 1), 2)
+            proto["minWriterVersion"] = max(int(proto.get("minWriterVersion") or 2), 5)
+        new_meta = {**meta, "schemaString": json.dumps(base), "configuration": cfg}
+        return self._commit_meta(new_meta, "UPGRADE COLUMN MAPPING", proto)
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE … RENAME COLUMN old TO new — metadata-only (the
+        point of column mapping: no data file is touched; the field
+        keeps its id and physical name, only the LOGICAL name changes).
+        Auto-upgrades an unmapped table to ``name`` mode first, exactly
+        as delta-spark requires the user to. Partition-column renames
+        follow through ``partitionColumns``."""
+        self.enable_column_mapping()
+        _, schema, part_cols, meta = self._snapshot()
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r} in {names}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        self._refuse_constrained(old, "rename")
+        base = json.loads(meta["schemaString"])
+        for fld in base["fields"]:
+            if fld["name"] == old:
+                fld["name"] = new
+        new_meta = {
+            **meta,
+            "schemaString": json.dumps(base),
+            "partitionColumns": [new if c == old else c for c in part_cols],
+        }
+        return self._commit_meta(new_meta, "RENAME COLUMN")
+
+    def add_column(self, name: str, dtype) -> int:
+        """ALTER TABLE … ADD COLUMN (nullable) — metadata-only. Files
+        written before the change simply lack the physical column, so
+        reads return NULL for them (the explicit-schema parquet scan
+        fills missing columns). On a mapped table the new field gets a
+        fresh id and an opaque ``col-<uuid>`` physical name (delta-spark's
+        own scheme), never colliding with any historical name."""
+        import uuid as _uuid
+
+        if isinstance(dtype, str):
+            dtype = T._parse_datatype_string(dtype)
+        _, schema, part_cols, meta = self._snapshot()
+        if name in [f.name for f in schema.fields]:
+            raise ValueError(f"column {name!r} already exists")
+        cfg = dict((meta or {}).get("configuration") or {})
+        mapped = cfg.get("delta.columnMapping.mode", "none") != "none"
+        base = json.loads(meta["schemaString"])
+        fld = json.loads(T.StructField(name, dtype, True).json())
+        if mapped:
+            next_id = int(cfg.get("delta.columnMapping.maxColumnId") or 0) + 1
+            fld["metadata"] = {
+                "delta.columnMapping.id": next_id,
+                "delta.columnMapping.physicalName": f"col-{_uuid.uuid4().hex[:8]}",
+            }
+            cfg["delta.columnMapping.maxColumnId"] = str(next_id)
+        base["fields"].append(fld)
+        new_meta = {**meta, "schemaString": json.dumps(base), "configuration": cfg}
+        return self._commit_meta(new_meta, "ADD COLUMNS")
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE … DROP COLUMN — metadata-only removal. Requires
+        column mapping (Delta's own rule: without it the physical data
+        would still resolve by name and a later re-add would resurrect
+        it); the physical column stays in old files but is never
+        projected again."""
+        _, schema, part_cols, meta = self._snapshot()
+        cfg = (meta or {}).get("configuration") or {}
+        if cfg.get("delta.columnMapping.mode", "none") == "none":
+            raise ValueError(
+                "DROP COLUMN requires column mapping — call "
+                "enable_column_mapping() first (Delta's own prerequisite)"
+            )
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"no column {name!r} in {names}")
+        if name in part_cols:
+            raise ValueError(f"cannot drop partition column {name!r}")
+        if len(names) == 1:
+            raise ValueError("cannot drop the only column")
+        self._refuse_constrained(name, "drop")
+        base = json.loads(meta["schemaString"])
+        base["fields"] = [f for f in base["fields"] if f["name"] != name]
+        new_meta = {**meta, "schemaString": json.dumps(base)}
+        return self._commit_meta(new_meta, "DROP COLUMNS")
 
     def optimize(
         self,
