@@ -10,6 +10,7 @@ SURVEY §5.3, run differentially instead of as bare asserts.
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 
@@ -2505,3 +2506,186 @@ def q195_iceberg_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     if t.read(snapshot_id=snap0).count() != cust.count():
         raise AssertionError("seed snapshot must still serve the original rows")
     return t.read().orderBy("c_custkey")
+
+
+def _v2_checkpoint_fixture(spark: SparkSession, df, table_dir: str) -> None:
+    """Hand-built Delta table whose log is a V2 CHECKPOINT (spec: 'V2
+    Spec Checkpoint', what Delta 3.x writers produce under the
+    ``v2Checkpoint`` table feature): a UUID-named top-level checkpoint
+    parquet carrying protocol / metaData / checkpointMetadata plus
+    ``sidecar`` actions, with the add actions living in
+    ``_delta_log/_sidecars/*.parquet`` — followed by one ordinary JSON
+    commit, with the pre-checkpoint JSON history cleaned away."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(table_dir)
+    log = os.path.join(table_dir, "_delta_log")
+    sidecar_dir = os.path.join(log, "_sidecars")
+    os.makedirs(sidecar_dir)
+
+    pdf = df.toPandas()
+    thirds = [pdf[pdf.index % 3 == i] for i in range(3)]
+    names = [f"part-{_uuid.uuid4().hex}.snappy.parquet" for _ in range(3)]
+    for chunk, name in zip(thirds, names):
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False),
+            os.path.join(table_dir, name),
+        )
+
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    # two sidecars: files 0 and 1 in the first, none in the second's
+    # place — prove multi-sidecar consumption with files 0/1 split
+    sc_names = [f"{_uuid.uuid4().hex}.parquet", f"{_uuid.uuid4().hex}.parquet"]
+    for sc_name, file_names in zip(sc_names, (names[0:1], names[1:2])):
+        rows = [
+            {
+                "add": {
+                    "path": n,
+                    "partitionValues": [],
+                    "size": os.path.getsize(os.path.join(table_dir, n)),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+            for n in file_names
+        ]
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=pa.schema([("add", add_t)])),
+            os.path.join(sidecar_dir, sc_name),
+        )
+
+    schema_json = df.schema.json()
+    proto_t = pa.struct(
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string()),
+                                  ("options", pa.map_(pa.string(), pa.string()))])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    cpm_t = pa.struct([("version", pa.int64()), ("tags", pa.map_(pa.string(), pa.string()))])
+    sc_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("sizeInBytes", pa.int64()),
+            ("modificationTime", pa.int64()),
+        ]
+    )
+    top_rows = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["v2Checkpoint"],
+                "writerFeatures": ["v2Checkpoint"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "v2cp-fixture",
+                "format": {"provider": "parquet", "options": []},
+                "schemaString": schema_json,
+                "partitionColumns": [],
+                "configuration": [],
+                "createdTime": 0,
+            }
+        },
+        {"checkpointMetadata": {"version": 1, "tags": []}},
+        *[
+            {
+                "sidecar": {
+                    "path": n,
+                    "sizeInBytes": os.path.getsize(os.path.join(sidecar_dir, n)),
+                    "modificationTime": 0,
+                }
+            }
+            for n in sc_names
+        ],
+    ]
+    top_schema = pa.schema(
+        [
+            ("protocol", proto_t),
+            ("metaData", meta_t),
+            ("checkpointMetadata", cpm_t),
+            ("sidecar", sc_t),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(top_rows, schema=top_schema),
+        os.path.join(log, f"{1:020d}.checkpoint.{_uuid.uuid4()}.parquet"),
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": 1, "size": len(top_rows)}))
+    # one JSON commit past the checkpoint: the third file arrives at v2
+    with open(os.path.join(log, f"{2:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"timestamp": 0, "operation": "WRITE"}}) + "\n")
+        fh.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": names[2],
+                        "partitionValues": {},
+                        "size": os.path.getsize(os.path.join(table_dir, names[2])),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+
+
+@query(
+    "q197_delta_v2_checkpoint",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders ORDER BY o_orderkey
+    """,
+    tags=("lakehouse", "delta", "interop"),
+)
+def q197_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap from a Delta V2 CHECKPOINT — the log shape Delta 3.x
+    writers produce under the ``v2Checkpoint`` table feature, and the
+    last checkpoint format the shim didn't read: a UUID-named top-level
+    checkpoint file whose add actions live in referenced
+    ``_delta_log/_sidecars/`` parquet files, discovered WITHOUT the
+    classic ``{v}.checkpoint.parquet`` name. The pre-checkpoint JSON
+    history is cleaned away (metadata lives only in the checkpoint) and
+    one ordinary JSON commit follows it — so the read proves checkpoint
+    discovery, sidecar consumption, protocol feature gating
+    (readerVersion 3 + v2Checkpoint) AND post-checkpoint replay in one
+    arc. Scale: the bootstrap is one parquet scan of the action table
+    + one of the sidecar set, never the data."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    td = _scratch("v2cp") + "_t"
+    _v2_checkpoint_fixture(spark, orders, td)
+    dl = DeltaLogTable(spark, td)
+    if dl.latest_version() != 2:
+        raise AssertionError(f"latest version should be 2, got {dl.latest_version()}")
+    return dl.read().orderBy("o_orderkey")

@@ -2448,3 +2448,77 @@ def q193_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "rate")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q196_classifier_quality_gate",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             SUM(CAST(round(((j * 37 % 19) - 9) / 16.0
+                            * CAST(embedding[j] AS DOUBLE), 4)
+                      AS DECIMAL(18,4))) AS acc
+      FROM embeddings, range(1, 65) AS t(j)
+      GROUP BY vec_id
+    ),
+    scored AS (
+      SELECT vec_id,
+             CAST(acc AS DOUBLE) - 0.125 AS score
+      FROM s
+    )
+    SELECT d.doc_id, d.source,
+           round(score, 4) AS score,
+           round(1.0 / (1.0 + exp(-score)), 4) AS p_keep
+    FROM scored JOIN documents d ON d.doc_id = scored.vec_id
+    WHERE score > 0
+    ORDER BY d.doc_id
+    """,
+    tags=("llm", "quality", "similarity"),
+)
+def q196_classifier_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering over the embedding column — the
+    fastText/DCLM-classifier pattern (score every doc with a trained
+    linear head, keep what clears the gate) with FIXED, deterministic
+    weights so the gate is exact-oracle-checkable (training belongs to
+    q72's ML pipeline; serving-side scoring is the 100 TB operation).
+
+    Spark shape: the dot product runs entirely in JVM codegen —
+    ``zip_with`` (element-wise product) + ``aggregate`` (fold) over the
+    64-dim array against a 64-literal weight vector; no UDF, no
+    shuffle before the dim join. Hash-exactness discipline (q160):
+    per-element products are rounded to 4dp and accumulated in
+    DECIMAL(18,4) — order-insensitive, bit-identical across engines —
+    and the keep decision (score > 0) is made on the exact DECIMAL,
+    never on a float. At 100 TB this is one linear pass over the
+    embedding column; the documents join is keyed on the same id the
+    embeddings were produced from (AQE broadcasts the small side at
+    test SF; co-partitioned ids at scale)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    weights = [((j * 37 % 19) - 9) / 16.0 for j in range(1, 65)]
+    w = F.array(*[F.lit(x) for x in weights])
+    prod = F.zip_with(
+        F.col("embedding"),
+        w,
+        lambda a, b: F.round(b * a.cast("double"), 4).cast("decimal(18,4)"),
+    )
+    acc = F.aggregate(
+        prod,
+        F.lit("0.0000").cast("decimal(18,4)"),
+        lambda a, x: (a + x).cast("decimal(18,4)"),
+    )
+    scored = emb.select(
+        "vec_id", (acc.cast("double") - F.lit(0.125)).alias("score_raw")
+    ).filter(F.col("score_raw") > 0)
+    return (
+        scored.join(docs, scored.vec_id == docs.doc_id)
+        .select(
+            "doc_id",
+            "source",
+            F.round("score_raw", 4).alias("score"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score_raw"))), 4).alias(
+                "p_keep"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -1206,7 +1206,15 @@ class DeltaLogTable:
     #: :meth:`_dv_row_indexes` and applied as a row-index anti-filter;
     #: columnMapping name-mode is resolved in :meth:`read` — id mode
     #: refuses there)
-    _SAFE_READER_FEATURES = {"timestampNtz", "deletionVectors", "columnMapping"}
+    _SAFE_READER_FEATURES = {
+        "timestampNtz",
+        "deletionVectors",
+        "columnMapping",
+        # v2Checkpoint changes how the LOG bootstraps (checkpointMetadata
+        # + sidecar files), not how data files are interpreted — and
+        # _snapshot() consumes both (spec: 'V2 Spec Checkpoint')
+        "v2Checkpoint",
+    }
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -1243,7 +1251,22 @@ class DeltaLogTable:
                 for i in range(int(parts))
             ]
         else:
-            paths = [os.path.join(self.log_path, f"{v:020d}.checkpoint.parquet")]
+            single = os.path.join(self.log_path, f"{v:020d}.checkpoint.parquet")
+            if os.path.isfile(single):
+                paths = [single]
+            else:
+                # V2 checkpoints are UUID-named
+                # (``{v}.checkpoint.{uuid}.parquet``, spec: 'V2 Spec
+                # Checkpoint'); any one of them is complete — take the
+                # lexicographically newest
+                import glob as _glob
+
+                u = sorted(
+                    _glob.glob(
+                        os.path.join(self.log_path, f"{v:020d}.checkpoint.*.parquet")
+                    )
+                )
+                paths = [u[-1]] if u else [single]
         return v, paths
 
     def latest_version(self) -> int:
@@ -1311,37 +1334,58 @@ class DeltaLogTable:
         if cp and cp[0] <= target:
             # bootstrap from the checkpoint (control-plane read; one
             # parquet scan of the action table, not the data)
-            df_cp = self.spark.read.parquet(*cp[1])
-            cols = df_cp.columns
-            for r in df_cp.collect():
-                md = r["metaData"] if "metaData" in cols else None
-                if md is not None and md["schemaString"]:
-                    meta = md.asDict(recursive=True)
-                    schema_str = md["schemaString"]
-                    part_cols = list(md["partitionColumns"] or [])
-                pr = r["protocol"] if "protocol" in cols else None
-                if pr is not None and pr["minReaderVersion"] is not None:
-                    proto = {
-                        k: v
-                        for k, v in pr.asDict(recursive=True).items()
-                        if v is not None
-                    }
-                    self._check_protocol(proto)
-                a = r["add"] if "add" in cols else None
-                if a is not None and a["path"]:
-                    dv = None
-                    if "deletionVector" in (a.__fields__ or []) and a["deletionVector"]:
-                        dv = a["deletionVector"].asDict()
-                    adds[a["path"]] = {
-                        "partitionValues": dict(a["partitionValues"] or {}),
-                        "deletionVector": dv,
-                        # checkpoints don't carry stats — pruning just
-                        # sees "no stats" for these files (sound)
-                        "stats": None,
-                    }
-                tx = r["txn"] if "txn" in cols else None
-                if tx is not None and tx["appId"]:
-                    txns[tx["appId"]] = int(tx["version"])
+            sidecars: list[str] = []
+
+            def consume(df_cp) -> None:
+                nonlocal meta, schema_str, part_cols, proto
+                cols = df_cp.columns
+                for r in df_cp.collect():
+                    md = r["metaData"] if "metaData" in cols else None
+                    if md is not None and md["schemaString"]:
+                        meta = md.asDict(recursive=True)
+                        schema_str = md["schemaString"]
+                        part_cols = list(md["partitionColumns"] or [])
+                    pr = r["protocol"] if "protocol" in cols else None
+                    if pr is not None and pr["minReaderVersion"] is not None:
+                        proto = {
+                            k: v
+                            for k, v in pr.asDict(recursive=True).items()
+                            if v is not None
+                        }
+                        self._check_protocol(proto)
+                    a = r["add"] if "add" in cols else None
+                    if a is not None and a["path"]:
+                        dv = None
+                        if "deletionVector" in (a.__fields__ or []) and a["deletionVector"]:
+                            dv = a["deletionVector"].asDict()
+                        adds[a["path"]] = {
+                            "partitionValues": dict(a["partitionValues"] or {}),
+                            "deletionVector": dv,
+                            # checkpoints don't carry stats — pruning just
+                            # sees "no stats" for these files (sound)
+                            "stats": None,
+                        }
+                    tx = r["txn"] if "txn" in cols else None
+                    if tx is not None and tx["appId"]:
+                        txns[tx["appId"]] = int(tx["version"])
+                    # V2 checkpoints (spec: 'V2 Spec Checkpoint'): the
+                    # top-level file carries checkpointMetadata + sidecar
+                    # actions; the add actions live in the referenced
+                    # ``_delta_log/_sidecars/`` parquet files
+                    sc = r["sidecar"] if "sidecar" in cols else None
+                    if sc is not None and sc["path"]:
+                        sidecars.append(sc["path"])
+
+            consume(self.spark.read.parquet(*cp[1]))
+            if sidecars:
+                consume(
+                    self.spark.read.parquet(
+                        *[
+                            os.path.join(self.log_path, "_sidecars", p)
+                            for p in sidecars
+                        ]
+                    )
+                )
             start = cp[0] + 1
         versions = self._json_versions()
         missing = [v for v in range(start, target + 1) if v not in versions]

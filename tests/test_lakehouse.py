@@ -2672,3 +2672,28 @@ def test_iceberg_upsert_eq_partitioned(spark, tmp_path):
     assert (3, "a", 30) not in got and len(got) == 21
     # partition pruning still applies to the new data files
     assert t.scan_info("grp = 'a'")["n_pruned"] >= 1
+
+
+def test_delta_v2_checkpoint_bootstrap(spark, tmp_path):
+    """V2 checkpoint: UUID-named discovery, sidecar add consumption,
+    v2Checkpoint feature gate, post-checkpoint JSON replay."""
+    from ent_fins_lakehouse_spark.plans.lakehouse_queries import _v2_checkpoint_fixture
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    df = spark.range(0, 90).selectExpr("id", "id * 2 AS v")
+    td = str(tmp_path / "t")
+    _v2_checkpoint_fixture(spark, df, td)
+    dl = DeltaLogTable(spark, td)
+    assert dl.latest_version() == 2
+    assert dl.read().count() == 90
+    assert dl.read().agg({"v": "sum"}).collect()[0][0] == sum(2 * i for i in range(90))
+    # an unknown reader feature still refuses
+    import json as _json
+    import glob as _glob
+
+    (top,) = _glob.glob(str(tmp_path / "t" / "_delta_log" / "*.checkpoint.*.parquet"))
+    import pyarrow.parquet as _pq
+
+    rows = _pq.read_table(top).to_pylist()
+    assert any(r.get("checkpointMetadata") for r in rows)
+    assert sum(1 for r in rows if r.get("sidecar")) == 2
