@@ -2689,3 +2689,49 @@ def q197_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     if dl.latest_version() != 2:
         raise AssertionError(f"latest version should be 2, got {dl.latest_version()}")
     return dl.read().orderBy("o_orderkey")
+
+
+@query(
+    "q198_iceberg_bucket_partitioning",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey IN (
+      SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5
+    )
+    ORDER BY o_orderkey
+    """,
+    tags=("lakehouse", "iceberg", "interop"),
+)
+def q198_iceberg_bucket_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``bucket[16]`` partition transform — hash partitioning
+    for point-lookup serving, the spec's answer to high-cardinality
+    keys that identity partitioning can't hold (spec: 'Bucket Transform
+    Details'): rows land in murmur3_x86_32-ordinal partitions (bit-exact
+    vs the reference implementation, vectorized numpy in an Arrow
+    batch UDF on the write path), the manifests carry the ordinal in
+    each file's partition tuple, and an equality predicate on the
+    SOURCE column prunes by rewriting through the same transform —
+    ``o_orderkey = K`` reads only bucket(K)'s files. At 100 TB this is
+    the difference between a key lookup scanning the table and scanning
+    1/16th (or 1/4096th) of it, with no clustering maintenance. Each
+    lookup here is asserted to prune; the unioned result hash-matches
+    the IN-list oracle."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = IcebergTable(spark, _scratch("icebucket") + "_t")
+    t.append(orders.repartition(4), partition_by=["bucket(16, o_orderkey)"])
+    keys = [r[0] for r in orders.orderBy("o_orderkey").limit(5).collect()]
+    parts = []
+    for k in keys:
+        info = t.scan_info(f"o_orderkey = {k}")
+        if info["n_read"] >= info["n_active"]:
+            raise AssertionError(f"bucket pruning did not engage for key {k}: {info}")
+        parts.append(t.read(where=f"o_orderkey = {k}"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("o_orderkey")

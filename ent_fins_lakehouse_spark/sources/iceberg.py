@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -144,6 +145,77 @@ def _entry_bounds(df_rec: dict, names: dict, ftypes: dict) -> dict:
         if lo is not None and hi is not None:
             out[nm] = [lo, hi]
     return out
+
+
+def _murmur3_bucket_np(vals, n: int):
+    """Iceberg ``bucket[n]`` transform over int/long values, vectorized:
+    murmur3_x86_32 (seed 0) of the value serialized as an 8-byte
+    little-endian long (spec: 'Bucket Transform Details' — int is
+    upcast so bucket(int x) == bucket(long x)), then
+    ``(hash & Integer.MAX_VALUE) % n``. Bit-exact vs the reference
+    implementation (hash(34L) = 2017239379, asserted in tests)."""
+    import numpy as np
+
+    v = np.asarray(vals, dtype=np.int64).view(np.uint64)
+    c1, c2 = np.uint32(0xCC9E2D51), np.uint32(0x1B873593)
+    k1 = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    k2 = (v >> np.uint64(32)).astype(np.uint32)
+    h = np.zeros(len(v), dtype=np.uint32)
+    with np.errstate(over="ignore"):
+        for k in (k1, k2):
+            k = k * c1
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k = k * c2
+            h = h ^ k
+            h = (h << np.uint32(13)) | (h >> np.uint32(19))
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+        h = h ^ np.uint32(8)  # input length in bytes
+        h = h ^ (h >> np.uint32(16))
+        h = h * np.uint32(0x85EBCA6B)
+        h = h ^ (h >> np.uint32(13))
+        h = h * np.uint32(0xC2B2AE35)
+        h = h ^ (h >> np.uint32(16))
+    return ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype(np.int32)
+
+
+def _bucket_value(v, n: int) -> int:
+    """Driver-side single-value bucket (for predicate rewriting)."""
+    return int(_murmur3_bucket_np([int(v)], n)[0])
+
+
+def _bucket_udf(n: int):
+    """Vectorized Arrow-batched bucket transform for the write path
+    (Pandas UDF — numpy murmur3 over int64 batches; nulls map to the
+    null partition per the spec)."""
+    import pandas as pd
+
+    # no type annotations: `from __future__ import annotations` turns
+    # them into strings, which pandas_udf's signature inference rejects
+    def f(s):
+        out = pd.Series([pd.NA] * len(s), dtype="Int32")
+        mask = s.notna()
+        if mask.any():
+            out[mask] = _murmur3_bucket_np(
+                s[mask].astype("int64").to_numpy(), n
+            )
+        return out
+
+    f.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(f, "int")
+
+
+_BUCKET_SPEC = re.compile(r"^\s*bucket\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*$", re.IGNORECASE)
+_BUCKET_TRANSFORM = re.compile(r"^bucket\[(\d+)\]$")
+
+
+def _canonical_spec(pf: dict, names: dict[int, str]) -> str:
+    """Canonical partition_by string for a spec field (identity →
+    column name; bucket[n] → ``bucket(n, col)``)."""
+    col = names[pf["source-id"]]
+    m = _BUCKET_TRANSFORM.match(pf.get("transform") or "")
+    if m:
+        return f"bucket({m.group(1)}, {col})"
+    return col
 
 
 class IcebergTable:
@@ -268,6 +340,15 @@ class IcebergTable:
             for pf in self.partition_fields(meta)
             if pf.get("transform") == "identity"
         }
+        # bucket[n] partition fields: the tuple pins the file's bucket
+        # ORDINAL — not a column value — recorded under the synthetic
+        # partition-field name so read()/scan_info can prune equality
+        # predicates rewritten through the same murmur3 transform
+        bucket_parts = {
+            pf["name"]
+            for pf in self.partition_fields(meta)
+            if _BUCKET_TRANSFORM.match(pf.get("transform") or "")
+        }
         for m in manifests:
             m_seq = m.get("sequence_number") or 0
             _, entries = read_ocf(self._resolve(m["manifest_path"]))
@@ -290,6 +371,11 @@ class IcebergTable:
                             v = pv.get(pname) if isinstance(pv, dict) else None
                             if col is not None and v is not None:
                                 bounds[col] = [v, v]
+                    if pv and bucket_parts and isinstance(pv, dict):
+                        for pname in bucket_parts:
+                            v = pv.get(pname)
+                            if v is not None:
+                                bounds[pname] = [v, v]
                     data.append((path, seq, bounds))
                 elif content == 1:
                     pos_deletes.append(path)
@@ -305,6 +391,40 @@ class IcebergTable:
     def data_files(self, snapshot_id: int | None = None) -> list[str]:
         return [p for p, _, _ in self._files(snapshot_id)[0]]
 
+    def _prune_predicate(self, where: str | None) -> str | None:
+        """Pruning-only predicate augmentation for bucket partitioning:
+        each parseable ``col = literal`` conjunct whose column is a
+        bucket SOURCE gains a ``<pf_name> = bucket_n(literal)`` conjunct
+        evaluated against the manifests' synthetic bucket stats (how
+        Iceberg itself prunes bucketed scans: the residual transform of
+        an equality predicate is an equality on the ordinal). The data
+        filter always stays the ORIGINAL predicate — the synthetic
+        column never exists in rows."""
+        if not where:
+            return where
+        from ent_fins_lakehouse_spark.sources.skipping import parse_conjuncts
+
+        meta = self.metadata()
+        names = self.field_names_by_id(meta)
+        buckets: dict[str, tuple[str, int]] = {}
+        for pf in self.partition_fields(meta):
+            m = _BUCKET_TRANSFORM.match(pf.get("transform") or "")
+            if m:
+                buckets[names[pf["source-id"]]] = (pf["name"], int(m.group(1)))
+        if not buckets:
+            return where
+        cons = parse_conjuncts(where)
+        if not cons:
+            return where
+        extra = [
+            f"{buckets[col][0]} = {_bucket_value(lit, buckets[col][1])}"
+            for col, op, lit in cons
+            if op == "=" and col in buckets and isinstance(lit, int)
+        ]
+        if not extra:
+            return where
+        return where + " AND " + " AND ".join(extra)
+
     def scan_info(
         self, where: str | None = None, snapshot_id: int | None = None
     ) -> dict:
@@ -315,7 +435,9 @@ class IcebergTable:
 
         data, _, _ = self._files(snapshot_id)
         stats = {p: b for p, _, b in data}
-        cand, pruned = prune_dirs(where, stats, [p for p, _, _ in data])
+        cand, pruned = prune_dirs(
+            self._prune_predicate(where), stats, [p for p, _, _ in data]
+        )
         return {"n_active": len(data), "n_read": len(cand), "n_pruned": len(pruned)}
 
     def snapshot_at(self, timestamp_ms: int) -> int:
@@ -385,7 +507,9 @@ class IcebergTable:
             from ent_fins_lakehouse_spark.sources.skipping import prune_dirs
 
             stats = {p: b for p, _, b in data}
-            cand, _pruned = prune_dirs(where, stats, [p for p, _, _ in data])
+            cand, _pruned = prune_dirs(
+                self._prune_predicate(where), stats, [p for p, _, _ in data]
+            )
             keep = set(cand)
             data = [d for d in data if d[0] in keep]
         if not data:
@@ -511,11 +635,15 @@ class IcebergTable:
         pfields = []
         for pf in part_fields:
             t = ftypes.get(pf["source-id"])
+            if _BUCKET_TRANSFORM.match(pf.get("transform") or ""):
+                # bucket[n] partition values are int bucket ordinals
+                pfields.append({"name": pf["name"], "type": ["null", "int"]})
+                continue
             if pf.get("transform") != "identity" or t not in self._PART_AVRO:
                 raise NotImplementedError(
                     f"append to table partitioned by {pf.get('transform')}"
-                    f"({t}) — only identity over int/long/float/double/"
-                    "string is supported"
+                    f"({t}) — only identity and bucket[n] over int/long/"
+                    "float/double/string are supported"
                 )
             pfields.append(
                 {"name": pf["name"], "type": ["null", self._PART_AVRO[t]]}
@@ -560,11 +688,22 @@ class IcebergTable:
         entries: list[dict] = []
         spark_types = {f.name: f.dataType for f in df.schema.fields}
 
-        def hive_val(c: str, raw: str):
+        names_by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
+        pf_info: list[tuple[str, str, str | None]] = []  # (pf_name, src_col, bucket_n)
+        for pf in part_fields:
+            m = _BUCKET_TRANSFORM.match(pf.get("transform") or "")
+            pf_info.append(
+                (pf["name"], names_by_id[pf["source-id"]], m.group(1) if m else None)
+            )
+
+        def hive_val(pf_name: str, raw: str):
             if raw == "__HIVE_DEFAULT_PARTITION__":
                 return None
             s = urllib.parse.unquote(raw)
-            dt = spark_types[c]
+            (src, bn) = next((sc, b) for n, sc, b in pf_info if n == pf_name)
+            if bn is not None:
+                return int(s)
+            dt = spark_types[src]
             if isinstance(dt, (T.IntegerType, T.LongType)):
                 return int(s)
             if isinstance(dt, (T.FloatType, T.DoubleType)):
@@ -583,22 +722,32 @@ class IcebergTable:
                 ]
             )
             self.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-            if spec_cols:
+            if pf_info:
                 stage_df = df
-                for c in spec_cols:
-                    stage_df = stage_df.withColumn(f"__ipart_{c}", F.col(c))
+                for pf_name, src, bn in pf_info:
+                    # staging column = the TRANSFORMED partition value
+                    # (identity: the column itself; bucket[n]: the
+                    # murmur3 ordinal via a vectorized pandas UDF) —
+                    # df.write.partitionBy keeps it OUT of the data
+                    # files, exactly the spec's data layout
+                    expr = (
+                        _bucket_udf(int(bn))(F.col(src))
+                        if bn is not None
+                        else F.col(src)
+                    )
+                    stage_df = stage_df.withColumn(f"__ipart_{pf_name}", expr)
                 stage_df.write.mode("overwrite").partitionBy(
-                    *[f"__ipart_{c}" for c in spec_cols]
+                    *[f"__ipart_{n}" for n, _, _ in pf_info]
                 ).parquet(st)
                 staged = sorted(
-                    glob.glob(os.path.join(st, *["*"] * len(spec_cols), "part-*.parquet"))
+                    glob.glob(os.path.join(st, *["*"] * len(pf_info), "part-*.parquet"))
                 )
             else:
                 df.write.mode("overwrite").parquet(st)
                 staged = sorted(glob.glob(os.path.join(st, "part-*.parquet")))
             for f in staged:
                 pv: dict[str, object] = {}
-                if spec_cols:
+                if pf_info:
                     rel_dirs = os.path.relpath(os.path.dirname(f), st).split(os.sep)
                     for d in rel_dirs:
                         k, _, raw = d.partition("=")
@@ -608,7 +757,7 @@ class IcebergTable:
                         f"{c}={urllib.parse.quote(str(pv[c]), safe='')}"
                         if pv[c] is not None
                         else f"{c}=__HIVE_DEFAULT_PARTITION__"
-                        for c in spec_cols
+                        for c, _, _ in pf_info
                     )
                     ddir = os.path.join(data_dir, sub)
                     os.makedirs(ddir, exist_ok=True)
@@ -807,8 +956,10 @@ class IcebergTable:
             df = df.select(*[f.name for f in spark_schema.fields])
             part_fields = self.partition_fields(meta)
             names = self.field_names_by_id(meta)
-            spec_cols = [names[pf["source-id"]] for pf in part_fields]
-            if partition_by is not None and list(partition_by) != spec_cols:
+            spec_cols = [_canonical_spec(pf, names) for pf in part_fields]
+            if partition_by is not None and [
+                p.replace(" ", "") for p in partition_by
+            ] != [s.replace(" ", "") for s in spec_cols]:
                 raise ValueError(
                     f"append partition_by={partition_by} does not match the "
                     f"table's partition spec {spec_cols}"
@@ -831,7 +982,29 @@ class IcebergTable:
             ice_schema = {"schema-id": 0, "type": "struct", "fields": fields}
             by_name = {f["name"]: f["id"] for f in fields}
             part_fields = []
+            dtypes = {f.name: f.dataType for f in df.schema.fields}
             for i, c in enumerate(partition_by or []):
+                bm = _BUCKET_SPEC.match(c)
+                if bm:
+                    n, src = int(bm.group(1)), bm.group(2)
+                    if src not in by_name:
+                        raise ValueError(f"partition column {src!r} not in dataframe")
+                    if not isinstance(dtypes[src], (T.IntegerType, T.LongType)):
+                        raise NotImplementedError(
+                            f"bucket transform over {dtypes[src].simpleString()} — "
+                            "only int/long sources are supported"
+                        )
+                    if n <= 0:
+                        raise ValueError(f"bucket width must be positive, got {n}")
+                    part_fields.append(
+                        {
+                            "name": f"{src}_bucket",
+                            "transform": f"bucket[{n}]",
+                            "source-id": by_name[src],
+                            "field-id": 1000 + i,
+                        }
+                    )
+                    continue
                 if c not in by_name:
                     raise ValueError(f"partition column {c!r} not in dataframe")
                 part_fields.append(

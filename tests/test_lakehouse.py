@@ -2697,3 +2697,73 @@ def test_delta_v2_checkpoint_bootstrap(spark, tmp_path):
     rows = _pq.read_table(top).to_pylist()
     assert any(r.get("checkpointMetadata") for r in rows)
     assert sum(1 for r in rows if r.get("sidecar")) == 2
+
+
+def test_iceberg_bucket_transform_spec_vectors(spark):
+    """murmur3 bucket matches the Iceberg spec's published test values
+    and the int/long upcast invariant."""
+    from ent_fins_lakehouse_spark.sources.iceberg import _murmur3_bucket_np
+
+    # spec 'Appendix B: 32-bit Hash Requirements': hash(34int)=hash(34L)=2017239379
+    assert int(_murmur3_bucket_np([34], 1 << 31)[0]) == 2017239379
+    import numpy as np
+
+    a = _murmur3_bucket_np(np.arange(0, 10000), 64)
+    assert a.min() >= 0 and a.max() <= 63
+    # roughly uniform: no bucket takes more than 3x the fair share
+    counts = np.bincount(a, minlength=64)
+    assert counts.max() < 3 * (10000 / 64)
+
+
+def test_iceberg_bucket_partitioned_table(spark, tmp_path):
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable, _bucket_value
+    import pytest as _pytest
+
+    t = IcebergTable(spark, str(tmp_path / "t"))
+    df = spark.range(0, 500).selectExpr("id", "id * 2 AS v")
+    t.append(df.coalesce(2), partition_by=["bucket(8, id)"])
+    assert t.read().count() == 500
+    # partition tuple carries the ordinal; equality predicates prune
+    si = t.scan_info("id = 42")
+    assert si["n_read"] < si["n_active"]
+    assert [r.id for r in t.read(where="id = 42").collect()] == [42]
+    # non-equality predicates never consult buckets (sound, no pruning lie)
+    assert t.read(where="id >= 498").count() == 2
+    # appends must repeat the canonical spec
+    with _pytest.raises(ValueError, match="partition spec"):
+        t.append(df, partition_by=["id"])
+    t.append(
+        spark.range(500, 600).selectExpr("id", "id * 2 AS v").coalesce(1),
+        partition_by=["bucket(8,id)"],
+    )
+    assert t.read().count() == 600
+    # row-level DELETE composes with bucket partitioning
+    t.delete("id % 10 = 0")
+    assert t.read().count() == 540
+    # string sources refuse loudly
+    with _pytest.raises(NotImplementedError, match="bucket transform"):
+        t2 = IcebergTable(spark, str(tmp_path / "t2"))
+        t2.append(
+            spark.createDataFrame([("a", 1)], "k string, v long"),
+            partition_by=["bucket(4, k)"],
+        )
+
+
+def test_iceberg_bucket_plus_identity_composite(spark, tmp_path):
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], i * 10) for i in range(100)], "id long, grp string, v long"
+    )
+    t = IcebergTable(spark, str(tmp_path / "t"))
+    t.append(df.coalesce(1), partition_by=["grp", "bucket(4, id)"])
+    assert t.read().count() == 100
+    # both dimensions prune independently
+    si_g = t.scan_info("grp = 'a'")
+    si_b = t.scan_info("id = 17")
+    si_both = t.scan_info("grp = 'b' AND id = 17")
+    assert si_g["n_read"] < si_g["n_active"]
+    assert si_b["n_read"] < si_b["n_active"]
+    assert si_both["n_read"] <= min(si_g["n_read"], si_b["n_read"])
+    got = t.read(where="grp = 'b' AND id = 17").collect()
+    assert [(r.id, r.grp, r.v) for r in got] == [(17, "b", 170)]
