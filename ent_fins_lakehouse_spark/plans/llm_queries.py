@@ -2522,3 +2522,72 @@ def q196_classifier_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q199_passage_chunking",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+      FROM documents WHERE trim(text) <> ''
+    ),
+    c AS (SELECT doc_id, words, len(words) AS n FROM w),
+    idx AS (
+      SELECT doc_id, words, n,
+             unnest(range(0,
+               GREATEST(CAST(ceil((n - 40) / 20.0) AS BIGINT), 0) + 1)) AS i
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_id,
+           array_to_string(words[i*20 + 1 : i*20 + 40], ' ') AS chunk_text,
+           CAST(LEAST(40, n - i*20) AS INT) AS n_words
+    FROM idx ORDER BY doc_id, chunk_id
+    """,
+    tags=("llm", "chunking"),
+)
+def q199_passage_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window passage chunking — how long documents become
+    retrieval passages / training windows (the RAG-ingest and
+    FiD-style segmentation op): 40-word windows at a 20-word stride,
+    so every token lands in ≤2 chunks and no boundary sentence is ever
+    lost to a hard cut. A short doc yields exactly one chunk.
+
+    Spark shape: whole-doc word split → per-doc chunk-index sequence →
+    ``posexplode`` — a pure flatMap, NO shuffle, all JVM codegen
+    (``sequence``/``slice``/``array_join``); the op is one linear pass
+    whatever the corpus size, and chunk counts adapt per doc (no
+    padding rows). The window arithmetic is integer-exact, so the
+    DuckDB differential is hash-exact including the ragged tail
+    chunk."""
+    W_SIZE, STRIDE = 40, 20
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.trim("text") != "").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("words")
+    )
+    n = F.size("words")
+    n_chunks = (
+        F.greatest(
+            F.ceil((n - W_SIZE).cast("double") / STRIDE).cast("int"), F.lit(0)
+        )
+        + 1
+    )
+    return (
+        base.select(
+            "doc_id",
+            "words",
+            n.alias("n"),
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("_p", "chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.array_join(
+                F.slice("words", F.col("chunk_id") * STRIDE + 1, W_SIZE), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(W_SIZE), F.col("n") - F.col("chunk_id") * STRIDE)
+            .cast("int")
+            .alias("n_words"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

@@ -776,3 +776,103 @@ def q191_delta_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q200_stream_stream_outer_join",
+    oracle="""
+    WITH mx AS (
+      SELECT LEAST(
+        (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        (SELECT max(ts) FROM events WHERE event_type = 'purchase')) AS m
+    ),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT c.user_id, c.ts AS c_ts, p.value AS p_value
+      FROM c LEFT JOIN p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE
+    )
+    SELECT user_id,
+           COUNT(p_value) AS n_matched,
+           CAST(SUM(CASE WHEN p_value IS NULL
+                          AND c_ts + INTERVAL 61 MINUTE < (SELECT m FROM mx)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+    FROM j GROUP BY user_id
+    HAVING COUNT(p_value) > 0
+        OR SUM(CASE WHEN p_value IS NULL
+                     AND c_ts + INTERVAL 61 MINUTE < (SELECT m FROM mx)
+                    THEN 1 ELSE 0 END) > 0
+    ORDER BY user_id
+    """,
+    tags=("streaming", "join"),
+)
+def q200_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join (q91's missing half): clicks that
+    never convert within the 60-minute window must STILL emit — with a
+    null purchase side — but only once the watermark proves no match
+    can arrive. This is the abandonment side of attribution, and it is
+    exactly where outer stream joins differ from batch: an unmatched
+    click is held in join state until the GLOBAL watermark passes
+    ``c_ts + window``, so clicks near the end of the stream
+    legitimately never emit (they are still awaiting a possible match).
+
+    The oracle encodes Spark's actual eviction semantics, which this
+    query pins down empirically and the differential then hash-checks:
+    each side's event-type filter is pushed BELOW its watermark
+    operator by Catalyst, so each watermark tracks only its own side's
+    events, and the query-global watermark is ``min(max click ts, max
+    purchase ts) − delay``. An orphan therefore emits iff
+    ``c_ts + window + delay < min(max_c, max_p)`` — the oracle's
+    cutoff, exact including the held-back tail. availableNow's final
+    state flush emits the eligible orphans without any extra trigger.
+    State stays bounded by (window + delay) of per-key history — the
+    property that lets this run forever on an unbounded stream."""
+    root = tempfile.mkdtemp(prefix="stream_ss_outer_")
+    src = _events_as_json_waves(spark, sf_dir, root)
+    out = os.path.join(root, "pairs")
+    ckpt = os.path.join(root, "ckpt")
+
+    def side(event_type: str, alias: str):
+        return (
+            spark.readStream.schema(EVENTS_JSON_SCHEMA)
+            .json(src)
+            .withColumn("ts", F.to_timestamp("ts"))
+            .filter(F.col("event_type") == event_type)
+            .withWatermark("ts", "1 minute")
+            .select(
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("ts").alias(f"{alias}_ts"),
+                F.col("value").alias(f"{alias}_value"),
+            )
+        )
+
+    clicks, purchases = side("click", "c"), side("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 60 MINUTES"
+        ),
+        "left_outer",
+    )
+    (
+        joined.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .option("path", out)
+        .start()
+        .awaitTermination()
+    )
+    pairs = spark.read.parquet(out)
+    return (
+        pairs.groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count("p_value").alias("n_matched"),
+            F.sum(F.when(F.col("p_value").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+        .filter((F.col("n_matched") > 0) | (F.col("n_orphans") > 0))
+        .orderBy("user_id")
+    )
