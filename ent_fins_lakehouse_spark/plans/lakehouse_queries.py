@@ -2735,3 +2735,38 @@ def q198_iceberg_bucket_partitioning(spark: SparkSession, sf_dir: str) -> DataFr
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("o_orderkey")
+
+
+@query(
+    "q201_iceberg_truncate_partitioning",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey BETWEEN 3000 AND 4500
+    ORDER BY o_orderkey
+    """,
+    tags=("lakehouse", "iceberg", "interop"),
+)
+def q201_iceberg_truncate_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``truncate[1024]`` partition transform — range
+    clustering where bucket's hash scatter would destroy locality
+    (spec: 'Truncate Transform Details'): int keys floor to 1024-wide
+    blocks (``v − (((v % W) + W) % W)``, floor-toward-−∞ including
+    negatives), strings to prefixes — pure JVM staging exprs, no UDF.
+    Unlike bucket ordinals, a truncate tuple IS source-column
+    information: an int tuple t pins the file to [t, t+1023], a string
+    tuple to the prefix interval — so the reader turns tuples into real
+    bounds and BOTH equality and RANGE predicates prune with no
+    predicate rewriting (string partition pruning too, which parquet
+    footers can't give — they truncate string min/max). The BETWEEN
+    scan here is asserted to read only the overlapping blocks."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = IcebergTable(spark, _scratch("icetrunc") + "_t")
+    t.append(orders.repartition(4), partition_by=["truncate(1024, o_orderkey)"])
+    info = t.scan_info("o_orderkey BETWEEN 3000 AND 4500")
+    if info["n_read"] >= info["n_active"]:
+        raise AssertionError(f"truncate range pruning did not engage: {info}")
+    return t.read(where="o_orderkey BETWEEN 3000 AND 4500").orderBy("o_orderkey")

@@ -206,15 +206,21 @@ def _bucket_udf(n: int):
 
 _BUCKET_SPEC = re.compile(r"^\s*bucket\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*$", re.IGNORECASE)
 _BUCKET_TRANSFORM = re.compile(r"^bucket\[(\d+)\]$")
+_TRUNC_SPEC = re.compile(r"^\s*truncate\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*$", re.IGNORECASE)
+_TRUNC_TRANSFORM = re.compile(r"^truncate\[(\d+)\]$")
 
 
 def _canonical_spec(pf: dict, names: dict[int, str]) -> str:
     """Canonical partition_by string for a spec field (identity →
-    column name; bucket[n] → ``bucket(n, col)``)."""
+    column name; bucket[n] → ``bucket(n, col)``; truncate[w] →
+    ``truncate(w, col)``)."""
     col = names[pf["source-id"]]
     m = _BUCKET_TRANSFORM.match(pf.get("transform") or "")
     if m:
         return f"bucket({m.group(1)}, {col})"
+    m = _TRUNC_TRANSFORM.match(pf.get("transform") or "")
+    if m:
+        return f"truncate({m.group(1)}, {col})"
     return col
 
 
@@ -349,6 +355,20 @@ class IcebergTable:
             for pf in self.partition_fields(meta)
             if _BUCKET_TRANSFORM.match(pf.get("transform") or "")
         }
+        # truncate[w] tuples ARE source-column information: an int
+        # tuple t pins the file's rows to [t, t+w-1]; a string tuple is
+        # a shared prefix, pinning [t, t + U+10FFFF]. Real bounds — no
+        # predicate rewriting needed, range predicates prune too.
+        trunc_parts = {}
+        for pf in self.partition_fields(meta):
+            tm = _TRUNC_TRANSFORM.match(pf.get("transform") or "")
+            if tm:
+                src = names.get(pf["source-id"])
+                trunc_parts[pf["name"]] = (
+                    src,
+                    int(tm.group(1)),
+                    ftypes.get(pf["source-id"]),
+                )
         for m in manifests:
             m_seq = m.get("sequence_number") or 0
             _, entries = read_ocf(self._resolve(m["manifest_path"]))
@@ -376,6 +396,15 @@ class IcebergTable:
                             v = pv.get(pname)
                             if v is not None:
                                 bounds[pname] = [v, v]
+                    if pv and trunc_parts and isinstance(pv, dict):
+                        for pname, (src, w, styp) in trunc_parts.items():
+                            v = pv.get(pname)
+                            if src is None or v is None or src in bounds:
+                                continue  # footer stats are tighter
+                            if styp in ("int", "long"):
+                                bounds[src] = [int(v), int(v) + w - 1]
+                            elif styp == "string":
+                                bounds[src] = [v, str(v) + chr(0x10FFFF)]
                     data.append((path, seq, bounds))
                 elif content == 1:
                     pos_deletes.append(path)
@@ -639,11 +668,17 @@ class IcebergTable:
                 # bucket[n] partition values are int bucket ordinals
                 pfields.append({"name": pf["name"], "type": ["null", "int"]})
                 continue
+            if _TRUNC_TRANSFORM.match(pf.get("transform") or ""):
+                # truncate[w] tuples keep the SOURCE type
+                pfields.append(
+                    {"name": pf["name"], "type": ["null", self._PART_AVRO[t]]}
+                )
+                continue
             if pf.get("transform") != "identity" or t not in self._PART_AVRO:
                 raise NotImplementedError(
                     f"append to table partitioned by {pf.get('transform')}"
-                    f"({t}) — only identity and bucket[n] over int/long/"
-                    "float/double/string are supported"
+                    f"({t}) — only identity, bucket[n] and truncate[w] over "
+                    "int/long/float/double/string are supported"
                 )
             pfields.append(
                 {"name": pf["name"], "type": ["null", self._PART_AVRO[t]]}
@@ -689,19 +724,26 @@ class IcebergTable:
         spark_types = {f.name: f.dataType for f in df.schema.fields}
 
         names_by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
-        pf_info: list[tuple[str, str, str | None]] = []  # (pf_name, src_col, bucket_n)
+        # (pf_name, src_col, kind, param) with kind ∈ identity|bucket|truncate
+        pf_info: list[tuple[str, str, str, int | None]] = []
         for pf in part_fields:
-            m = _BUCKET_TRANSFORM.match(pf.get("transform") or "")
-            pf_info.append(
-                (pf["name"], names_by_id[pf["source-id"]], m.group(1) if m else None)
-            )
+            src = names_by_id[pf["source-id"]]
+            tr = pf.get("transform") or ""
+            if m := _BUCKET_TRANSFORM.match(tr):
+                pf_info.append((pf["name"], src, "bucket", int(m.group(1))))
+            elif m := _TRUNC_TRANSFORM.match(tr):
+                pf_info.append((pf["name"], src, "truncate", int(m.group(1))))
+            else:
+                pf_info.append((pf["name"], src, "identity", None))
 
         def hive_val(pf_name: str, raw: str):
             if raw == "__HIVE_DEFAULT_PARTITION__":
                 return None
             s = urllib.parse.unquote(raw)
-            (src, bn) = next((sc, b) for n, sc, b in pf_info if n == pf_name)
-            if bn is not None:
+            (src, kind, _w) = next(
+                (sc, k, w) for n, sc, k, w in pf_info if n == pf_name
+            )
+            if kind == "bucket":
                 return int(s)
             dt = spark_types[src]
             if isinstance(dt, (T.IntegerType, T.LongType)):
@@ -724,20 +766,28 @@ class IcebergTable:
             self.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
             if pf_info:
                 stage_df = df
-                for pf_name, src, bn in pf_info:
+                for pf_name, src, kind, w in pf_info:
                     # staging column = the TRANSFORMED partition value
                     # (identity: the column itself; bucket[n]: the
-                    # murmur3 ordinal via a vectorized pandas UDF) —
-                    # df.write.partitionBy keeps it OUT of the data
-                    # files, exactly the spec's data layout
-                    expr = (
-                        _bucket_udf(int(bn))(F.col(src))
-                        if bn is not None
-                        else F.col(src)
-                    )
+                    # murmur3 ordinal via a vectorized pandas UDF;
+                    # truncate[w]: floor-mod int / prefix string, pure
+                    # JVM exprs) — df.write.partitionBy keeps it OUT of
+                    # the data files, exactly the spec's data layout
+                    if kind == "bucket":
+                        expr = _bucket_udf(w)(F.col(src))
+                    elif kind == "truncate":
+                        if isinstance(spark_types[src], (T.IntegerType, T.LongType)):
+                            # spec: v - (((v % W) + W) % W) — floor toward -inf
+                            expr = F.col(src) - (
+                                ((F.col(src) % w) + w) % w
+                            )
+                        else:
+                            expr = F.substring(F.col(src), 1, w)
+                    else:
+                        expr = F.col(src)
                     stage_df = stage_df.withColumn(f"__ipart_{pf_name}", expr)
                 stage_df.write.mode("overwrite").partitionBy(
-                    *[f"__ipart_{n}" for n, _, _ in pf_info]
+                    *[f"__ipart_{n}" for n, _, _, _ in pf_info]
                 ).parquet(st)
                 staged = sorted(
                     glob.glob(os.path.join(st, *["*"] * len(pf_info), "part-*.parquet"))
@@ -757,7 +807,7 @@ class IcebergTable:
                         f"{c}={urllib.parse.quote(str(pv[c]), safe='')}"
                         if pv[c] is not None
                         else f"{c}=__HIVE_DEFAULT_PARTITION__"
-                        for c, _, _ in pf_info
+                        for c, _, _, _ in pf_info
                     )
                     ddir = os.path.join(data_dir, sub)
                     os.makedirs(ddir, exist_ok=True)
@@ -984,6 +1034,29 @@ class IcebergTable:
             part_fields = []
             dtypes = {f.name: f.dataType for f in df.schema.fields}
             for i, c in enumerate(partition_by or []):
+                tm = _TRUNC_SPEC.match(c)
+                if tm:
+                    w, src = int(tm.group(1)), tm.group(2)
+                    if src not in by_name:
+                        raise ValueError(f"partition column {src!r} not in dataframe")
+                    if not isinstance(
+                        dtypes[src], (T.IntegerType, T.LongType, T.StringType)
+                    ):
+                        raise NotImplementedError(
+                            f"truncate transform over {dtypes[src].simpleString()} — "
+                            "only int/long/string sources are supported"
+                        )
+                    if w <= 0:
+                        raise ValueError(f"truncate width must be positive, got {w}")
+                    part_fields.append(
+                        {
+                            "name": f"{src}_trunc",
+                            "transform": f"truncate[{w}]",
+                            "source-id": by_name[src],
+                            "field-id": 1000 + i,
+                        }
+                    )
+                    continue
                 bm = _BUCKET_SPEC.match(c)
                 if bm:
                     n, src = int(bm.group(1)), bm.group(2)

@@ -2767,3 +2767,40 @@ def test_iceberg_bucket_plus_identity_composite(spark, tmp_path):
     assert si_both["n_read"] <= min(si_g["n_read"], si_b["n_read"])
     got = t.read(where="grp = 'b' AND id = 17").collect()
     assert [(r.id, r.grp, r.v) for r in got] == [(17, "b", 170)]
+
+
+def test_iceberg_truncate_transform(spark, tmp_path):
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "t"))
+    df = spark.range(-50, 300).selectExpr("id", "cast(id as string) AS s")
+    t.append(df.coalesce(1), partition_by=["truncate(100, id)"])
+    # floor semantics: -50..-1 land in the -100 block (footer stats,
+    # being tighter, narrow its recorded id-range to the actual [-50,-1])
+    data, _, _ = t._files()
+    all_bounds = [b for _, _, b in data]
+    assert any(b.get("id") == [-50, -1] for b in all_bounds)
+    import os as _os
+
+    assert any("id_trunc=-100" in p for p, _, _ in data)
+    assert {r.id for r in t.read(where="id = -7").collect()} == {-7}
+    si = t.scan_info("id >= 250")
+    assert si["n_read"] == 1 and si["n_pruned"] == si["n_active"] - 1
+    # DML composes
+    t.delete("id % 2 = 0")
+    assert t.read().count() == 175
+
+
+def test_iceberg_truncate_string_prefix_pruning(spark, tmp_path):
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    words = ["alpha", "arc", "beta", "bison", "gamma", "delta"]
+    df = spark.createDataFrame(list(enumerate(words)), "id long, w string")
+    t = IcebergTable(spark, str(tmp_path / "t"))
+    t.append(df.coalesce(1), partition_by=["truncate(1, w)"])
+    si = t.scan_info("w = 'beta'")
+    assert si["n_read"] == 1  # only the 'b' prefix file
+    assert [r.w for r in t.read(where="w = 'beta'").collect()] == ["beta"]
+    # range predicate on strings prunes through the prefix interval
+    si2 = t.scan_info("w >= 'g'")
+    assert si2["n_read"] == 1
