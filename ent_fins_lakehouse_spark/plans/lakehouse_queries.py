@@ -2770,3 +2770,50 @@ def q201_iceberg_truncate_partitioning(spark: SparkSession, sf_dir: str) -> Data
     if info["n_read"] >= info["n_active"]:
         raise AssertionError(f"truncate range pruning did not engage: {info}")
     return t.read(where="o_orderkey BETWEEN 3000 AND 4500").orderBy("o_orderkey")
+
+
+@query(
+    "q202_iceberg_day_partitioning",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-17 00:00:00'
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("lakehouse", "iceberg", "interop"),
+)
+def q202_iceberg_day_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``day(ts)`` temporal partition transform — the default
+    layout of every event-time fact table (spec: 'Partition
+    Transforms'): rows land in days-since-epoch ordinal partitions
+    (pure JVM floor division, pre-1970 safe), and the reader decodes
+    each tuple into a conservative [day, next-day) DATE-string bound on
+    the SOURCE timestamp — so event-time range scans prune to exactly
+    the overlapping days with no predicate rewriting. At 100 TB this is
+    the difference between a one-week dashboard query scanning 3 years
+    of events and scanning 7 days — the hypertable/time-chunking
+    pattern as Iceberg metadata. The week-window scan here is asserted
+    to read less than the full file set before aggregating."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+    from ent_fins_lakehouse_spark.functions.numeric import dec
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    t = IcebergTable(spark, _scratch("iceday") + "_t")
+    t.append(ev.repartition(8), partition_by=["day(ts)"])
+    pred = "ts >= '2024-01-10 00:00:00' AND ts < '2024-01-17 00:00:00'"
+    info = t.scan_info(pred)
+    if info["n_read"] >= info["n_active"]:
+        raise AssertionError(f"day pruning did not engage: {info}")
+    return (
+        t.read(where=pred)
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .orderBy("day")
+    )

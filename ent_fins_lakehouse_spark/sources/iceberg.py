@@ -208,6 +208,7 @@ _BUCKET_SPEC = re.compile(r"^\s*bucket\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*$", re.IG
 _BUCKET_TRANSFORM = re.compile(r"^bucket\[(\d+)\]$")
 _TRUNC_SPEC = re.compile(r"^\s*truncate\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*$", re.IGNORECASE)
 _TRUNC_TRANSFORM = re.compile(r"^truncate\[(\d+)\]$")
+_DAY_SPEC = re.compile(r"^\s*day\s*\(\s*(\w+)\s*\)\s*$", re.IGNORECASE)
 
 
 def _canonical_spec(pf: dict, names: dict[int, str]) -> str:
@@ -221,6 +222,8 @@ def _canonical_spec(pf: dict, names: dict[int, str]) -> str:
     m = _TRUNC_TRANSFORM.match(pf.get("transform") or "")
     if m:
         return f"truncate({m.group(1)}, {col})"
+    if (pf.get("transform") or "") == "day":
+        return f"day({col})"
     return col
 
 
@@ -369,6 +372,16 @@ class IcebergTable:
                     int(tm.group(1)),
                     ftypes.get(pf["source-id"]),
                 )
+        # day-transform tuples (days since epoch) become conservative
+        # DATE-string bounds on the timestamp source: ["yyyy-MM-dd" of
+        # the day, "yyyy-MM-dd" of the NEXT day] — short-form ISO
+        # compares sound against any same-format literal, erring only
+        # toward keeping a boundary file
+        day_parts = {
+            pf["name"]: names.get(pf["source-id"])
+            for pf in self.partition_fields(meta)
+            if (pf.get("transform") or "") == "day"
+        }
         for m in manifests:
             m_seq = m.get("sequence_number") or 0
             _, entries = read_ocf(self._resolve(m["manifest_path"]))
@@ -405,6 +418,18 @@ class IcebergTable:
                                 bounds[src] = [int(v), int(v) + w - 1]
                             elif styp == "string":
                                 bounds[src] = [v, str(v) + chr(0x10FFFF)]
+                    if pv and day_parts and isinstance(pv, dict):
+                        import datetime as _dt
+
+                        for pname, src in day_parts.items():
+                            v = pv.get(pname)
+                            if src is None or v is None or src in bounds:
+                                continue
+                            d0 = _dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))
+                            bounds[src] = [
+                                d0.isoformat(),
+                                (d0 + _dt.timedelta(days=1)).isoformat(),
+                            ]
                     data.append((path, seq, bounds))
                 elif content == 1:
                     pos_deletes.append(path)
@@ -674,6 +699,10 @@ class IcebergTable:
                     {"name": pf["name"], "type": ["null", self._PART_AVRO[t]]}
                 )
                 continue
+            if (pf.get("transform") or "") == "day":
+                # day ordinals (days since epoch) ride as ints
+                pfields.append({"name": pf["name"], "type": ["null", "int"]})
+                continue
             if pf.get("transform") != "identity" or t not in self._PART_AVRO:
                 raise NotImplementedError(
                     f"append to table partitioned by {pf.get('transform')}"
@@ -733,6 +762,8 @@ class IcebergTable:
                 pf_info.append((pf["name"], src, "bucket", int(m.group(1))))
             elif m := _TRUNC_TRANSFORM.match(tr):
                 pf_info.append((pf["name"], src, "truncate", int(m.group(1))))
+            elif tr == "day":
+                pf_info.append((pf["name"], src, "day", None))
             else:
                 pf_info.append((pf["name"], src, "identity", None))
 
@@ -743,7 +774,7 @@ class IcebergTable:
             (src, kind, _w) = next(
                 (sc, k, w) for n, sc, k, w in pf_info if n == pf_name
             )
-            if kind == "bucket":
+            if kind in ("bucket", "day"):
                 return int(s)
             dt = spark_types[src]
             if isinstance(dt, (T.IntegerType, T.LongType)):
@@ -775,6 +806,12 @@ class IcebergTable:
                     # the data files, exactly the spec's data layout
                     if kind == "bucket":
                         expr = _bucket_udf(w)(F.col(src))
+                    elif kind == "day":
+                        # days since epoch (spec 'Partition Transforms');
+                        # floor division handles pre-1970 instants
+                        expr = F.floor(
+                            F.col(src).cast("double") / F.lit(86400.0)
+                        ).cast("int")
                     elif kind == "truncate":
                         if isinstance(spark_types[src], (T.IntegerType, T.LongType)):
                             # spec: v - (((v % W) + W) % W) — floor toward -inf
@@ -1034,6 +1071,25 @@ class IcebergTable:
             part_fields = []
             dtypes = {f.name: f.dataType for f in df.schema.fields}
             for i, c in enumerate(partition_by or []):
+                dm = _DAY_SPEC.match(c)
+                if dm:
+                    src = dm.group(1)
+                    if src not in by_name:
+                        raise ValueError(f"partition column {src!r} not in dataframe")
+                    if not isinstance(dtypes[src], (T.TimestampType, T.DateType)):
+                        raise NotImplementedError(
+                            f"day transform over {dtypes[src].simpleString()} — "
+                            "only timestamp/date sources are supported"
+                        )
+                    part_fields.append(
+                        {
+                            "name": f"{src}_day",
+                            "transform": "day",
+                            "source-id": by_name[src],
+                            "field-id": 1000 + i,
+                        }
+                    )
+                    continue
                 tm = _TRUNC_SPEC.match(c)
                 if tm:
                     w, src = int(tm.group(1)), tm.group(2)

@@ -2804,3 +2804,27 @@ def test_iceberg_truncate_string_prefix_pruning(spark, tmp_path):
     # range predicate on strings prunes through the prefix interval
     si2 = t.scan_info("w >= 'g'")
     assert si2["n_read"] == 1
+
+
+def test_iceberg_day_transform(spark, tmp_path):
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "2024-03-01 10:00:00"), (2, "2024-03-02 23:59:59"), (3, "1969-12-31 12:00:00")],
+        "id long, ts string",
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["to_timestamp"]).to_timestamp("ts"))
+    t = IcebergTable(spark, str(tmp_path / "t"))
+    t.append(df.coalesce(1), partition_by=["day(ts)"])
+    assert t.read().count() == 3
+    # pre-1970 floor: 1969-12-31 lands in day -1, reads back exactly
+    assert [r.id for r in t.read(where="ts < '1970-01-01'").collect()] == [3]
+    # (midnight-boundary literals conservatively keep the adjacent day)
+    si = t.scan_info("ts >= '2024-03-02 00:00:01'")
+    assert si["n_read"] == 1
+    # boundary soundness: a midnight-equality predicate keeps the file
+    si2 = t.scan_info("ts <= '2024-03-02'")
+    assert si2["n_read"] >= 2
+    with _pytest.raises(NotImplementedError, match="day transform"):
+        t2 = IcebergTable(spark, str(tmp_path / "t2"))
+        t2.append(spark.range(3).selectExpr("id"), partition_by=["day(id)"])
