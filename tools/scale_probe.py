@@ -249,6 +249,51 @@ def interop_probe(spark, sf_dir: str, scratch: str, n_files: int = 32) -> dict[s
     )
     timed("iceberg_merge", lambda: it.merge(upd.unionByName(ins), on=["o_orderkey"]))
     timed("iceberg_mor_read", lambda: sink(it.read()))
+
+    # r6 additions: equality-delete CDC (write cost must track the
+    # BATCH, not the table), bucket[16] point lookups, day(ts) window
+    # scans, and column-mapped appends after a metadata-only rename
+    cdc = orders.filter(F.col("o_orderkey") % 100 == 3).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 2.0
+    )
+    timed("iceberg_eq_upsert", lambda: it.upsert_eq(cdc, keys=["o_orderkey"]))
+    timed("iceberg_eq_read", lambda: sink(it.read()))
+
+    bt = IcebergTable(spark, os.path.join(scratch, "iceberg_bucket"))
+    timed(
+        "iceberg_bucket_append",
+        lambda: bt.append(orders_ranged, partition_by=["bucket(16, o_orderkey)"]),
+    )
+    timed(
+        "iceberg_bucket_lookup",
+        lambda: sink(bt.read(where=f"o_orderkey = {lo + 40}")),
+    )
+    out["bucket_files_read"] = bt.scan_info(f"o_orderkey = {lo + 40}")["n_read"]
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    dt_ = IcebergTable(spark, os.path.join(scratch, "iceberg_day"))
+    timed(
+        "iceberg_day_append",
+        lambda: dt_.append(ev.repartition(n_files), partition_by=["day(ts)"]),
+    )
+    timed(
+        "iceberg_day_window",
+        lambda: sink(
+            dt_.read(
+                where="ts >= '2024-01-10 00:00:00' AND ts < '2024-01-17 00:00:00'"
+            )
+        ),
+    )
+
+    timed("delta_rename_metadata_only", lambda: dl.rename_column("o_orderstatus", "status"))
+    timed(
+        "delta_mapped_append",
+        lambda: dl.write(
+            orders_ranged.withColumnRenamed("o_orderstatus", "status"), mode="append"
+        ),
+    )
     return out
 
 
