@@ -2591,3 +2591,154 @@ def q199_passage_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+@query(
+    "q203_fim_transform",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n,
+             CAST(('0x' || substr(md5(doc_id || ':fimc'), 1, 15)) AS BIGINT)
+               / 1152921504606846976.0 AS u0,
+             CAST(('0x' || substr(md5(doc_id || ':fim1'), 1, 15)) AS BIGINT)
+               / 1152921504606846976.0 AS u1,
+             CAST(('0x' || substr(md5(doc_id || ':fim2'), 1, 15)) AS BIGINT)
+               / 1152921504606846976.0 AS u2
+      FROM documents WHERE trim(text) <> ''
+    ),
+    cuts AS (
+      SELECT doc_id, text, n, u0 < 0.5 AS fim,
+             LEAST(CAST(floor(u1 * n) AS INT), CAST(floor(u2 * n) AS INT)) AS lo,
+             GREATEST(CAST(floor(u1 * n) AS INT), CAST(floor(u2 * n) AS INT)) AS hi
+      FROM d
+    )
+    SELECT doc_id, fim,
+           CASE WHEN fim THEN
+             '<PRE>' || substr(text, 1, lo) ||
+             '<SUF>' || substr(text, hi + 1) ||
+             '<MID>' || substr(text, lo + 1, hi - lo)
+           ELSE text END AS out_text
+    FROM cuts ORDER BY doc_id
+    """,
+    tags=("llm", "augmentation"),
+)
+def q203_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022,
+    arXiv:2207.14255 — the code-LLM pretraining augmentation): with
+    probability 0.5 a document is rewritten PSM-style as
+    ``<PRE>prefix<SUF>suffix<MID>middle`` over two uniform character
+    cuts, teaching the model to infill; the rest pass through. All
+    THREE random draws are the md5-uniform idiom (q143/q193): same doc
+    → same coin, same cuts, on any engine, any partitioning, any rerun
+    — the reproducibility every data-augmentation pipeline needs and
+    RNG-per-task never gives. One linear map-only pass (substr/concat
+    in JVM codegen, no shuffle, no UDF); the cut arithmetic is
+    integer-exact so the transformed text is hash-identical to the
+    DuckDB oracle character for character."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+
+    def unif(salt: str):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("doc_id"), F.lit(salt))), 1, 15),
+                16,
+                10,
+            )
+            .cast("long")
+            .cast("double")
+            / F.lit(float(1 << 60))
+        )
+
+    n = F.length("text")
+    c1 = F.floor(unif(":fim1") * n).cast("int")
+    c2 = F.floor(unif(":fim2") * n).cast("int")
+    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    fim = unif(":fimc") < 0.5
+    out_text = F.when(
+        fim,
+        F.concat(
+            F.lit("<PRE>"),
+            F.substring(F.col("text"), 1, lo),
+            F.lit("<SUF>"),
+            F.col("text").substr(hi + 1, F.length("text")),
+            F.lit("<MID>"),
+            F.col("text").substr(lo + 1, hi - lo),
+        ),
+    ).otherwise(F.col("text"))
+    return docs.select(
+        "doc_id", fim.alias("fim"), out_text.alias("out_text")
+    ).orderBy("doc_id")
+
+
+@query(
+    "q204_mlm_masking",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+      FROM documents WHERE trim(text) <> ''
+    ),
+    idx AS (
+      SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i FROM w
+    ),
+    tok AS (
+      SELECT doc_id, i, words[i] AS w,
+             CAST(('0x' || substr(md5(doc_id || ':mlm:' || CAST(i - 1 AS VARCHAR)), 1, 15))
+                  AS BIGINT) / 1152921504606846976.0 < 0.15 AS m
+      FROM idx
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN m THEN '<MASK>' ELSE w END, ' ' ORDER BY i) AS masked_text,
+           COALESCE(string_agg(CASE WHEN m THEN w END, ' ' ORDER BY i), '') AS labels,
+           CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+    FROM tok GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("llm", "augmentation"),
+)
+def q204_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Masked-language-model corruption (the BERT pretraining
+    objective): each word masks with probability 0.15 under a
+    DETERMINISTIC per-(doc, position) md5 coin — same doc, same masks,
+    on any engine / partitioning / rerun (q143's idiom at token
+    granularity), which is what makes MLM data reproducible across
+    pipeline re-executions. Output per doc: the masked text, the
+    ordered label sequence, and the mask count.
+
+    Spark shape: everything happens INSIDE the word array with
+    higher-order functions — ``transform`` (with the position index
+    feeding the coin) and ``filter`` — so the op is one map-only pass,
+    no explode, NO shuffle, no UDF; the oracle unnests to rows and
+    re-aggregates, proving the array formulation exact."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    words = F.split(F.trim("text"), r"\s+")
+
+    def coin(i):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id"), F.lit(":mlm:"), i.cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .cast("double")
+            / F.lit(float(1 << 60))
+            < 0.15
+        )
+
+    masked = F.transform(words, lambda w, i: F.when(coin(i), "<MASK>").otherwise(w))
+    labels = F.filter(
+        F.transform(words, lambda w, i: F.when(coin(i), w)), lambda x: x.isNotNull()
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(masked, " ").alias("masked_text"),
+        F.array_join(labels, " ").alias("labels"),
+        F.size(labels).cast("long").alias("n_masked"),
+    ).orderBy("doc_id")
