@@ -171,6 +171,15 @@ class LakehouseSession:
         r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+DROP\s+COLUMN\s+(?P<col>\w+)\s*$",
         re.IGNORECASE,
     )
+    _ALTER_ADD_CON = re.compile(
+        r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+ADD\s+CONSTRAINT\s+(?P<name>\w+)\s+"
+        r"CHECK\s*\(\s*(?P<expr>.+?)\s*\)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _ALTER_DROP_CON = re.compile(
+        r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+DROP\s+CONSTRAINT\s+(?P<name>\w+)\s*$",
+        re.IGNORECASE,
+    )
     _SHOW_DB = re.compile(r"SHOW\s+DATABASES\s*$", re.IGNORECASE)
     _SHOW_TBL = re.compile(r"SHOW\s+TABLES(?:\s+IN\s+(?P<db>\w+))?\s*$", re.IGNORECASE)
     _SELECT_TBL = re.compile(
@@ -232,6 +241,22 @@ class LakehouseSession:
             return None
         if m := self._USE.match(s):
             self.catalog.use_database(m["name"])
+            return None
+        if m := self._ALTER_ADD_CON.match(s):
+            t = self.catalog._resolve(m["target"])
+            if not hasattr(t, "add_constraint"):
+                raise NotImplementedError(
+                    f"ADD CONSTRAINT is not supported by {type(t).__name__}"
+                )
+            t.add_constraint(m["name"], m["expr"])
+            return None
+        if m := self._ALTER_DROP_CON.match(s):
+            t = self.catalog._resolve(m["target"])
+            if not hasattr(t, "drop_constraint"):
+                raise NotImplementedError(
+                    f"DROP CONSTRAINT is not supported by {type(t).__name__}"
+                )
+            t.drop_constraint(m["name"])
             return None
         if m := self._ALTER_RENAME.match(s):
             t = self.catalog._resolve(m["target"])

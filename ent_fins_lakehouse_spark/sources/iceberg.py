@@ -1960,22 +1960,34 @@ class IcebergTable:
             with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as fh:
                 fh.write(str(nv))
 
-    def compact(self, target_files: int = 8) -> dict:
+    def compact(self, target_files: int = 8, sort_by: list[str] | None = None) -> dict:
         """rewrite_data_files — Iceberg's compaction verb (OPTIMIZE's
         cross-format twin): the current snapshot rewrites into
         ``target_files`` right-sized files committed as a REPLACE
         snapshot whose manifest list carries ONLY the new data
-        manifest — position deletes are MATERIALIZED (masked rows drop
-        out; the new snapshot carries no delete manifests), prior
-        snapshots keep their own manifest lists so time travel still
-        serves the pre-compaction state. Returns
+        manifest — position and equality deletes are MATERIALIZED
+        (masked rows drop out; the new snapshot carries no delete
+        manifests), prior snapshots keep their own manifest lists so
+        time travel still serves the pre-compaction state.
+
+        ``sort_by`` is rewrite_data_files' sort strategy: rows
+        range-partition + sort on the given columns, so each rewritten
+        file covers a DISJOINT range and the manifests' footer-sourced
+        lower/upper bounds turn selective — the compaction that makes
+        file skipping effective (Z-ORDER's single-dimension sibling;
+        the multi-dimension Morton variant is the Delta side's
+        ``optimize(zorder_by=…)``). Returns
         ``{"files_before", "files_after", "deletes_materialized"}``."""
         data, pos_deletes, eq_deletes = self._files()
         meta = self.metadata()
         names = self.field_names_by_id(meta)
         spec_cols = [names[pf["source-id"]] for pf in self.partition_fields(meta)]
         df = self.read()
-        if spec_cols:
+        if sort_by:
+            df = df.repartitionByRange(
+                max(1, target_files), *sort_by
+            ).sortWithinPartitions(*sort_by)
+        elif spec_cols:
             df = df.repartition(max(1, target_files), *spec_cols)
         else:
             df = df.coalesce(max(1, target_files))

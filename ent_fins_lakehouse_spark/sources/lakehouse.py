@@ -1057,7 +1057,10 @@ class LakeTable:
         semantics: existing rows are validated first (one scan), then
         every subsequent write/insert/merge validates incoming rows.
         SQL CHECK logic: a row violates only when the expression is
-        FALSE; NULL passes."""
+        FALSE; NULL passes. Open-format locations delegate to the
+        public writer (the delta.constraints.* encoding), like DML."""
+        if (dl := self._as_delta_shim()) is not None:
+            return dl.add_constraint(name, expr)
         if not self.exists():
             raise ValueError(f"table {self.path} does not exist")
         if name in self.constraints():
@@ -1072,7 +1075,10 @@ class LakeTable:
         self._commit("add_constraint", [], [], schema, {"name": name, "expr": expr})
 
     def drop_constraint(self, name: str) -> None:
-        """ALTER TABLE DROP CONSTRAINT."""
+        """ALTER TABLE DROP CONSTRAINT (open-format delegation like
+        :meth:`add_constraint`)."""
+        if (dl := self._as_delta_shim()) is not None:
+            return dl.drop_constraint(name)
         if name not in self.constraints():
             raise ValueError(f"no constraint {name!r} on {self.path}")
         _, schema = self._snapshot()

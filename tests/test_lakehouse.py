@@ -2828,3 +2828,49 @@ def test_iceberg_day_transform(spark, tmp_path):
     with _pytest.raises(NotImplementedError, match="day transform"):
         t2 = IcebergTable(spark, str(tmp_path / "t2"))
         t2.append(spark.range(3).selectExpr("id"), partition_by=["day(id)"])
+
+
+def test_sql_alter_constraint_verbs(spark, tmp_path):
+    """ALTER TABLE ADD/DROP CONSTRAINT through the SQL facade, landing
+    in the PUBLIC delta.constraints.* encoding on an open-format
+    location (q181's API surface as the reference-shaped DDL)."""
+    import pytest as _pytest
+
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    loc = str(tmp_path / "ext")
+    DeltaLogTable(spark, loc).write(
+        spark.range(0, 20).selectExpr("id", "id * 2 AS v"), mode="append"
+    )
+    lh = LakehouseSession(spark, str(tmp_path / "wh"))
+    lh.sql("CREATE DATABASE IF NOT EXISTS c")
+    lh.sql(f"CREATE TABLE c.t USING DELTA LOCATION '{loc}'")
+    lh.sql("ALTER TABLE c.t ADD CONSTRAINT v_even CHECK (v % 2 = 0)")
+    dl = DeltaLogTable(spark, loc)
+    assert dl.constraints() == {"v_even": "v % 2 = 0"}
+    with _pytest.raises(ValueError, match="CHECK"):
+        dl.write(spark.createDataFrame([(99, 3)], "id long, v long"), mode="append")
+    lh.sql("ALTER TABLE c.t DROP CONSTRAINT v_even")
+    assert dl.constraints() == {}
+    dl.write(spark.createDataFrame([(99, 3)], "id long, v long"), mode="append")
+    assert dl.read().count() == 21
+
+
+def test_iceberg_compact_sort_by_tightens_bounds(spark, tmp_path):
+    """compact(sort_by=...) range-clusters the rewrite so the new
+    manifests' bounds are disjoint — a selective predicate that read
+    every file before compaction prunes after it."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "t"))
+    # round-robin writes: every file spans the whole key range
+    df = spark.range(0, 4000).selectExpr("id", "id % 7 AS v").repartition(8)
+    t.append(df)
+    before = t.scan_info("id < 100")
+    assert before["n_pruned"] == 0  # nothing prunable by construction
+    t.compact(target_files=8, sort_by=["id"])
+    after = t.scan_info("id < 100")
+    assert after["n_pruned"] >= after["n_active"] - 2
+    assert t.read(where="id < 100").count() == 100
+    assert t.read().count() == 4000
