@@ -876,3 +876,101 @@ def q200_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter((F.col("n_matched") > 0) | (F.col("n_orphans") > 0))
         .orderBy("user_id")
     )
+
+
+@query(
+    "q205_iceberg_table_stream",
+    oracle="SELECT * FROM supplier ORDER BY s_suppkey",
+    tags=("streaming", "iceberg", "interop"),
+)
+def q205_iceberg_table_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FROM an Apache Iceberg table — q155's contract,
+    cross-format: snapshot-history positions are the offsets, the
+    first batch is the reconciled current snapshot (position deletes
+    applied, never a replay of replaced files), later batches stream
+    exactly the data files each new append ADDED (manifest entries
+    with status=ADDED and the snapshot's own added_snapshot_id), and
+    REPLACE/compaction snapshots are skipped as rearrangements of
+    already-streamed rows — the dataChange=false rule, cross-format.
+    Arc: two appends → availableNow run 1 → a compact() (must NOT
+    re-emit) + a third append → run 2 through the SAME checkpoint
+    ingests exactly the new rows. Streamed union hash-matches the
+    supplier oracle."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+    from ent_fins_lakehouse_spark.streaming.autoloader import run_available_now
+    from ent_fins_lakehouse_spark.streaming.iceberg_source import read_iceberg_stream
+
+    root = tempfile.mkdtemp(prefix="iceberg_stream_")
+    src = os.path.join(root, "tbl")
+    target = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    sup = load_table(spark, sf_dir, "supplier")
+    t = IcebergTable(spark, src)
+    t.append(sup.filter(F.col("s_suppkey") % 3 == 0).repartition(2))
+    t.append(sup.filter(F.col("s_suppkey") % 3 == 1).repartition(2))
+
+    run_available_now(read_iceberg_stream(spark, src), target, ckpt)
+    n1 = spark.read.parquet(target).count()
+
+    t.compact(target_files=2)  # rearrangement only — stream must skip it
+    t.append(sup.filter(F.col("s_suppkey") % 3 == 2).repartition(2))
+    run_available_now(read_iceberg_stream(spark, src), target, ckpt)
+
+    out = spark.read.parquet(target)
+    n_new = sup.filter(F.col("s_suppkey") % 3 == 2).count()
+    if out.count() - n1 != n_new:
+        raise AssertionError(
+            f"second run ingested {out.count() - n1} rows, want exactly {n_new} "
+            "(compaction must not re-emit)"
+        )
+    return out.select(*sup.columns).orderBy("s_suppkey")
+
+
+@query(
+    "q206_iceberg_stream_sink",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("streaming", "iceberg", "interop", "exactly-once"),
+)
+def q206_iceberg_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming sink into an APACHE ICEBERG table —
+    q191's guarantee, cross-format, via the Flink-connector pattern:
+    each micro-batch appends one snapshot whose summary carries
+    (app-id, batch-id); a replayed batch (crash between snapshot
+    commit and checkpoint write) is detected against the summary
+    watermark and skipped, not double-applied (asserted by hand
+    re-delivering batch 0). The table is interop-readable mid-stream
+    (metadata.json + Avro manifests after every batch); the aggregate
+    hash-matches the events oracle."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+    from ent_fins_lakehouse_spark.streaming.autoloader import IcebergStreamSink
+
+    root = tempfile.mkdtemp(prefix="iceberg_sink_")
+    src = _events_as_json_waves(spark, sf_dir, root)
+    ckpt = os.path.join(root, "ckpt")
+    table = IcebergTable(spark, os.path.join(root, "bronze"))
+
+    stream = ingest_file_stream(
+        spark, src, EVENTS_JSON_SCHEMA, fmt="json", max_files_per_trigger=1
+    )
+    sink = IcebergStreamSink(table, app_id="q206-ingest")
+    sink.start(stream, ckpt)
+    n1 = table.read().count()
+    if table.txn_version("q206-ingest") < 1:
+        raise AssertionError("expected multiple txn-tracked micro-batches")
+    replay = spark.read.schema(EVENTS_JSON_SCHEMA).json(src)
+    sink.write_batch(replay, 0)
+    if table.read().count() != n1:
+        raise AssertionError("replayed micro-batch was double-applied")
+    bronze = table.read()
+    return (
+        bronze.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -933,6 +933,7 @@ class IcebergTable:
         list_rows: list[dict],
         operation: str,
         now: int,
+        summary_extra: dict | None = None,
     ) -> int:
         """Write the manifest list + ``v<N>.metadata.json`` for one new
         snapshot (O_EXCL commit — a concurrent writer loses loudly).
@@ -969,7 +970,7 @@ class IcebergTable:
                     "sequence-number": seq,
                     "timestamp-ms": now,
                     "manifest-list": lpath,
-                    "summary": {"operation": operation},
+                    "summary": {"operation": operation, **(summary_extra or {})},
                 },
             ],
         }
@@ -992,10 +993,23 @@ class IcebergTable:
                 fh.write(str(next_version))
         return snap_id
 
+    def txn_version(self, app_id: str) -> int:
+        """Latest committed batch id for an idempotent writer, read
+        from snapshot summaries (the Flink-connector pattern: commit
+        metadata rides the snapshot; a replayed micro-batch is detected
+        by its batch id being ≤ the watermark). −1 when none."""
+        best = -1
+        for s in self.metadata().get("snapshots") or []:
+            summ = s.get("summary") or {}
+            if summ.get("app-id") == app_id and "batch-id" in summ:
+                best = max(best, int(summ["batch-id"]))
+        return best
+
     def append(
         self,
         df: DataFrame,
         partition_by: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
         _replace: bool = False,
     ) -> int:
         """Iceberg v2 WRITE interop (VERDICT r5 missing #4): stage
@@ -1185,6 +1199,11 @@ class IcebergTable:
         return self._commit_snapshot(
             meta, snaps, snap_id, seq, rows,
             "replace" if _replace else "append", now,
+            summary_extra=(
+                {"app-id": str(txn[0]), "batch-id": str(int(txn[1]))}
+                if txn is not None
+                else None
+            ),
         )
 
     def _scan_with_pos(

@@ -325,3 +325,70 @@ def test_delta_stream_rate_limit(spark, tmp_path):
     assert seen == [20, 40, 50, 50], seen
     got = sorted(r["id"] for r in spark.read.parquet(out).collect())
     assert got == list(range(50))
+
+
+def test_iceberg_stream_source_semantics(spark, tmp_path):
+    """Initial snapshot reconciles position deletes; DML snapshots
+    abort without ignoreChanges and skip with it; equality deletes
+    refuse."""
+    import os
+
+    import pytest as _pytest
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+    from ent_fins_lakehouse_spark.streaming.autoloader import run_available_now
+    from ent_fins_lakehouse_spark.streaming.iceberg_source import read_iceberg_stream
+
+    t = IcebergTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(0, 100).selectExpr("id", "id * 2 AS v"))
+    t.delete("id < 10")  # BEFORE the stream: part of the initial snapshot
+    out1, ck1 = str(tmp_path / "o1"), str(tmp_path / "c1")
+    run_available_now(read_iceberg_stream(spark, str(tmp_path / "t")), out1, ck1)
+    got = spark.read.parquet(out1)
+    assert got.count() == 90 and got.filter("id < 10").count() == 0
+
+    # post-stream DML aborts without ignoreChanges
+    t.delete("id >= 95")
+    with _pytest.raises(Exception, match="ignoreChanges"):
+        run_available_now(read_iceberg_stream(spark, str(tmp_path / "t")), out1, ck1)
+    # with ignoreChanges the delete snapshot is skipped, appends flow.
+    # (The aborted run already WAL-logged the delete snapshot's offset
+    # range, and Python sources run ONE batch per availableNow — so the
+    # first recovery run drains that empty range, the next ingests the
+    # append.)
+    t.append(spark.createDataFrame([(1000, 1)], "id long, v long"))
+    for _ in range(2):
+        run_available_now(
+            read_iceberg_stream(spark, str(tmp_path / "t"), ignore_changes=True),
+            out1,
+            ck1,
+        )
+    assert spark.read.parquet(out1).count() == 91
+
+    # equality deletes in the initial snapshot refuse loudly
+    t2 = IcebergTable(spark, str(tmp_path / "t2"))
+    t2.append(spark.range(0, 10).selectExpr("id", "id AS v"))
+    t2.delete_eq(spark.range(0, 3).selectExpr("id"), keys=["id"])
+    with _pytest.raises(Exception, match="EQUALITY"):
+        run_available_now(
+            read_iceberg_stream(spark, str(tmp_path / "t2")),
+            str(tmp_path / "o2"),
+            str(tmp_path / "c2"),
+        )
+
+
+def test_iceberg_stream_sink_idempotence(spark, tmp_path):
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+    from ent_fins_lakehouse_spark.streaming.autoloader import IcebergStreamSink
+
+    t = IcebergTable(spark, str(tmp_path / "t"))
+    sink = IcebergStreamSink(t, app_id="test-app")
+    sink.write_batch(spark.range(0, 5).selectExpr("id"), 0)
+    sink.write_batch(spark.range(5, 9).selectExpr("id"), 1)
+    assert t.read().count() == 9
+    assert t.txn_version("test-app") == 1
+    sink.write_batch(spark.range(0, 5).selectExpr("id"), 1)  # replay
+    assert t.read().count() == 9
+    sink.write_batch(spark.range(9, 10).selectExpr("id"), 2)
+    assert t.read().count() == 10
+    assert t.txn_version("other-app") == -1
