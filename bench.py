@@ -77,6 +77,11 @@ HEADLINE = [
     # Iceberg merge-on-read DML + DSIR selection (r6)
     "q190_iceberg_merge",
     "q192_dsir_selection",
+    # linear-pass curation/augmentation ops (r6 session)
+    "q196_classifier_quality_gate",
+    "q199_passage_chunking",
+    "q203_fim_transform",
+    "q204_mlm_masking",
 ]
 
 

@@ -2742,3 +2742,88 @@ def q204_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(labels, " ").alias("labels"),
         F.size(labels).cast("long").alias("n_masked"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q207_hard_negative_mining",
+    oracle="""
+    WITH e AS (
+      SELECT d.doc_id, d.source, CAST(em.embedding AS DOUBLE[]) AS v
+      FROM documents d JOIN embeddings em ON em.vec_id = d.doc_id
+    ),
+    anchors AS (SELECT * FROM e WHERE doc_id % 20 = 0),
+    scored AS (
+      SELECT a.doc_id AS anchor_id, c.doc_id AS neg_id,
+             list_dot_product(a.v, c.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))
+               AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.doc_id
+               ORDER BY list_dot_product(a.v, c.v)
+                        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+                        c.doc_id
+             ) AS rank
+      FROM anchors a JOIN e c
+        ON c.source <> a.source
+    )
+    SELECT anchor_id, neg_id, rank, cos_sim
+    FROM scored WHERE rank <= 3
+    ORDER BY anchor_id, rank
+    """,
+    tags=("llm", "similarity", "training-pairs"),
+)
+def q207_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval-model training (the DPR /
+    contrastive-pairs op): for each anchor document, the top-3 most
+    cosine-similar documents from a DIFFERENT source — near the anchor
+    in embedding space but known-non-positive, the negatives that make
+    contrastive training work (random negatives are too easy).
+
+    Spark shape: anchors (5% of the corpus) broadcast against the
+    candidate side; the dot product runs in JVM codegen
+    (``zip_with``/``aggregate`` over the double-cast arrays — q58's
+    kernel) and a per-anchor ROW_NUMBER window takes the top 3. Exact
+    brute-force is the test-SF tier of the ANN matrix; at 100 TB the
+    anchor probe routes through the IVF-partitioned layout
+    (q60→q144→q148→q188) with this same query as the rescore step.
+    Same-source pairs are excluded ON THE JOIN (never materialized)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    e = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "source", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    anchors = e.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("anchor_id"),
+        F.col("source").alias("a_source"),
+        F.col("v").alias("av"),
+    )
+    cand = e.select(
+        F.col("doc_id").alias("neg_id"),
+        F.col("source").alias("c_source"),
+        F.col("v").alias("cv"),
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    pairs = (
+        F.broadcast(anchors)
+        .join(cand, F.col("c_source") != F.col("a_source"))
+        .select(
+            "anchor_id",
+            "neg_id",
+            (
+                dot(F.col("av"), F.col("cv"))
+                / (
+                    F.sqrt(dot(F.col("av"), F.col("av")))
+                    * F.sqrt(dot(F.col("cv"), F.col("cv")))
+                )
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("anchor_id").orderBy(F.desc("cos_sim"), "neg_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("anchor_id", "neg_id", F.col("rank").cast("long"), "cos_sim")
+        .orderBy("anchor_id", "rank")
+    )
