@@ -974,3 +974,70 @@ def q206_iceberg_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q208_delta_cdf_stream",
+    oracle="""
+    SELECT *, 'insert' AS _change_type, 0 AS _commit_version
+    FROM supplier WHERE s_suppkey <= 50
+    UNION ALL
+    SELECT *, 'insert' AS _change_type, 1 AS _commit_version
+    FROM supplier WHERE s_suppkey > 50
+    UNION ALL
+    SELECT *, 'delete' AS _change_type, 2 AS _commit_version
+    FROM supplier WHERE s_suppkey % 3 = 0
+    ORDER BY _commit_version, s_suppkey
+    """,
+    tags=("streaming", "delta", "cdf", "interop"),
+)
+def q208_delta_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING change data feed from a public-format Delta table —
+    `readChangeFeed=true` on the stream source (Delta's own option),
+    the pattern behind every incremental downstream ETL: consumers see
+    row-level (+_change_type, +_commit_version) events, including
+    DELETES, which a plain table stream can never convey (it only sees
+    files). Per commit the source plans the q161 synthesis
+    driver-side — cdc files verbatim, adds as inserts, removes as
+    deletes, DV-bearing re-adds as deletes of exactly the newly-masked
+    rows (bitmap diff) — and workers stream Arrow batches with the
+    constants attached. Arc: v0 seed + v1 append + v2 soft DELETE via
+    deletion vectors land BEFORE the stream; one availableNow run
+    replays the full feed from version 0; a later v3 append is picked
+    up by a second run through the SAME checkpoint (exactly-once on
+    the change stream itself). Hash-checked against the reconstructed
+    oracle."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+    from ent_fins_lakehouse_spark.streaming.autoloader import run_available_now
+    from ent_fins_lakehouse_spark.streaming.delta_source import read_delta_stream
+
+    root = tempfile.mkdtemp(prefix="delta_cdf_stream_")
+    src = os.path.join(root, "tbl")
+    target = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    sup = load_table(spark, sf_dir, "supplier")
+    dl = DeltaLogTable(spark, src)
+    dl.write(sup.filter(F.col("s_suppkey") <= 50), mode="append")
+    dl.write(sup.filter(F.col("s_suppkey") > 50), mode="append")
+    dl.delete("s_suppkey % 3 = 0")
+
+    run_available_now(
+        read_delta_stream(spark, src, read_change_feed=True), target, ckpt
+    )
+    n1 = spark.read.parquet(target).count()
+    # a post-stream append flows as inserts through the same checkpoint
+    extra = sup.filter(F.col("s_suppkey") == 1).withColumn(
+        "s_suppkey", F.col("s_suppkey") + 100000
+    )
+    dl.write(extra, mode="append")
+    run_available_now(
+        read_delta_stream(spark, src, read_change_feed=True), target, ckpt
+    )
+    out = spark.read.parquet(target)
+    if out.count() - n1 != 1:
+        raise AssertionError("second run must ingest exactly the v3 insert")
+    return (
+        out.filter(F.col("_commit_version") <= 2)
+        .select(*sup.columns, "_change_type", F.col("_commit_version").cast("int"))
+        .orderBy("_commit_version", "s_suppkey")
+    )

@@ -75,6 +75,10 @@ def make_delta_stream_source():
             schema_json: str,
             part_cols: list[str],
             deleted: tuple = (),
+            ctype: str | None = None,
+            commit_version: int | None = None,
+            kept: tuple = (),
+            file_has_ctype: bool = False,
         ):
             self.abs_path = abs_path
             self.pv = pv
@@ -84,6 +88,14 @@ def make_delta_stream_source():
             # (initial snapshot only; decoded driver-side, filtered
             # executor-side with numpy — no repo import on workers)
             self.deleted = deleted
+            # change-feed mode: constant _change_type / _commit_version
+            # for this partition; `kept` restricts to exactly these
+            # row indexes (DV-diff deletes); cdc `_change_data` files
+            # carry their own _change_type column instead
+            self.ctype = ctype
+            self.commit_version = commit_version
+            self.kept = kept
+            self.file_has_ctype = file_has_ctype
 
     class DeltaStreamReader(DataSourceStreamReader):
         def __init__(
@@ -91,9 +103,11 @@ def make_delta_stream_source():
             table_path: str,
             ignore_changes: bool,
             max_versions_per_trigger: int | None = None,
+            change_feed: bool = False,
         ):
             self.table_path = table_path
             self.ignore_changes = ignore_changes
+            self.change_feed = change_feed
             # rate limiting (Delta's maxFilesPerTrigger idea at our
             # version-offset granularity): each micro-batch advances at
             # most N commit versions, so one trigger never ingests an
@@ -120,12 +134,128 @@ def make_delta_stream_source():
             # cursor with what the engine durably processed
             self._last_end = end["version"]
 
+        def _cdf_partitions(self, lo: int, hi: int):
+            """Change-feed partitions for commits in (lo, hi] — the
+            batch ``read_changes`` synthesis (cdc files verbatim; adds
+            → inserts; removes → deletes; DV-diff re-adds → deletes of
+            the newly-masked rows), driver-side planned, worker-read.
+            Stateless in (lo, hi] so WAL replay re-plans identically."""
+            import os as _os
+
+            from pyspark.sql import SparkSession
+
+            from ent_fins_lakehouse_spark.sources.lakehouse import (
+                DeltaLogTable,
+                _dv_row_indexes_of,
+            )
+
+            meta = table_meta(self.table_path)
+            if ((meta.get("configuration") or {}).get(
+                "delta.columnMapping.mode", "none"
+            )) != "none":
+                raise RuntimeError(
+                    "streaming CDF over column-mapped tables is not supported"
+                )
+            part_cols = list(meta.get("partitionColumns") or [])
+            schema_json = meta["schemaString"]
+            vs = version_files(self.table_path)
+            dl = DeltaLogTable(SparkSession.getActiveSession(), self.table_path)
+            prev_adds: dict[str, dict] = {}
+            if lo >= 0:
+                prev_adds, *_ = dl._snapshot(lo)
+            live = set(prev_adds)
+            prior_dv = {
+                p: set(_dv_row_indexes_of(self.table_path, i["deletionVector"]))
+                for p, i in prev_adds.items()
+                if i.get("deletionVector")
+            }
+            parts = []
+            for v in sorted(vs):
+                if not (lo < v <= hi):
+                    continue
+                acts = actions(vs[v])
+                cdc = [a["cdc"] for a in acts if "cdc" in a]
+                if cdc:
+                    for c in cdc:
+                        parts.append(
+                            FilePartition(
+                                _os.path.join(self.table_path, c["path"]),
+                                c.get("partitionValues") or {},
+                                schema_json,
+                                part_cols,
+                                commit_version=v,
+                                file_has_ctype=True,
+                            )
+                        )
+                    continue
+                for a in acts:
+                    if "add" in a and a["add"].get("dataChange", True):
+                        ad = a["add"]
+                        pv = ad.get("partitionValues") or {}
+                        dv = ad.get("deletionVector")
+                        new_dv = (
+                            set(_dv_row_indexes_of(self.table_path, dv))
+                            if dv
+                            else set()
+                        )
+                        if ad["path"] in live:
+                            newly = new_dv - prior_dv.get(ad["path"], set())
+                            if newly:
+                                parts.append(
+                                    FilePartition(
+                                        _os.path.join(self.table_path, ad["path"]),
+                                        pv,
+                                        schema_json,
+                                        part_cols,
+                                        ctype="delete",
+                                        commit_version=v,
+                                        kept=tuple(sorted(newly)),
+                                    )
+                                )
+                        else:
+                            parts.append(
+                                FilePartition(
+                                    _os.path.join(self.table_path, ad["path"]),
+                                    pv,
+                                    schema_json,
+                                    part_cols,
+                                    deleted=tuple(sorted(new_dv)),
+                                    ctype="insert",
+                                    commit_version=v,
+                                )
+                            )
+                            live.add(ad["path"])
+                        prior_dv[ad["path"]] = new_dv
+                    elif "remove" in a and a["remove"].get("dataChange", True):
+                        rm = a["remove"]
+                        full = _os.path.join(self.table_path, rm["path"])
+                        if not _os.path.isfile(full):
+                            raise RuntimeError(
+                                f"change feed needs removed file {rm['path']} "
+                                "(vacuumed away?)"
+                            )
+                        parts.append(
+                            FilePartition(
+                                full,
+                                rm.get("partitionValues") or {},
+                                schema_json,
+                                part_cols,
+                                deleted=tuple(sorted(prior_dv.get(rm["path"], ()))),
+                                ctype="delete",
+                                commit_version=v,
+                            )
+                        )
+                        live.discard(rm["path"])
+            return parts or [FilePartition("", {}, "", [])]
+
         def partitions(self, start: dict, end: dict):
             lo, hi = start["version"], end["version"]
             # restart alignment: after recovery the checkpointed start
             # may be ahead of our fresh rate-limit cursor
             if self._last_end is None or self._last_end < lo:
                 self._last_end = lo
+            if self.change_feed:
+                return self._cdf_partitions(lo, hi)
             meta = table_meta(self.table_path)
             part_cols = list(meta.get("partitionColumns") or [])
             schema_json = meta["schemaString"]
@@ -243,16 +373,24 @@ def make_delta_stream_source():
                     if getattr(partition, "deleted", ())
                     else None
                 )
+                karr = (
+                    np.fromiter(sorted(getattr(partition, "kept", ())), dtype="int64")
+                    if getattr(partition, "kept", ())
+                    else None
+                )
+                cdf = getattr(partition, "commit_version", None) is not None
                 off = 0
                 pf = pq.ParquetFile(partition.abs_path)
                 for batch in pf.iter_batches():
                     n_in = batch.num_rows
+                    idx = np.arange(off, off + n_in, dtype="int64")
+                    mask = np.ones(n_in, dtype=bool)
                     if darr is not None:
-                        keep = ~np.isin(
-                            np.arange(off, off + n_in, dtype="int64"), darr
-                        )
-                        if not keep.all():
-                            batch = batch.filter(pa.array(keep))
+                        mask &= ~np.isin(idx, darr)
+                    if karr is not None:
+                        mask &= np.isin(idx, karr)
+                    if not mask.all():
+                        batch = batch.filter(pa.array(mask))
                     off += n_in
                     if batch.num_rows == 0:
                         continue
@@ -266,9 +404,21 @@ def make_delta_stream_source():
                     # emit in the DECLARED schema's field order — the
                     # data-source contract maps columns positionally
                     names = [f.name for f in spark_schema.fields]
-                    yield pa.RecordBatch.from_arrays(
-                        [by_name[n] for n in names], names=names
-                    )
+                    cols = [by_name[n] for n in names]
+                    if cdf:
+                        n_rows = batch.num_rows
+                        if getattr(partition, "file_has_ctype", False):
+                            ct = by_name["_change_type"]
+                        else:
+                            ct = pa.array([partition.ctype] * n_rows, type=pa.string())
+                        cols = cols + [
+                            ct,
+                            pa.array(
+                                [partition.commit_version] * n_rows, type=pa.int64()
+                            ),
+                        ]
+                        names = names + ["_change_type", "_commit_version"]
+                    yield pa.RecordBatch.from_arrays(cols, names=names)
 
             return gen()
 
@@ -291,7 +441,16 @@ def make_delta_stream_source():
                 raise NotImplementedError(
                     "streaming from column-mapped Delta tables is not supported"
                 )
-            return T.StructType.fromJson(json.loads(meta["schemaString"]))
+            base = T.StructType.fromJson(json.loads(meta["schemaString"]))
+            if self.options.get("readchangefeed", "false").lower() == "true":
+                return T.StructType(
+                    [
+                        *base.fields,
+                        T.StructField("_change_type", T.StringType()),
+                        T.StructField("_commit_version", T.LongType()),
+                    ]
+                )
+            return base
 
         def streamReader(self, schema):
             mv = self.options.get("maxversionspertrigger")
@@ -299,6 +458,7 @@ def make_delta_stream_source():
                 self.options["path"],
                 self.options.get("ignorechanges", "false").lower() == "true",
                 int(mv) if mv else None,
+                self.options.get("readchangefeed", "false").lower() == "true",
             )
 
     return DeltaStreamDataSource
@@ -313,6 +473,7 @@ def read_delta_stream(
     path: str,
     ignore_changes: bool = False,
     max_versions_per_trigger: int | None = None,
+    read_change_feed: bool = False,
 ):
     """Continuously read a public-format Delta table as it is appended.
     ``max_versions_per_trigger`` bounds how many commit versions one
@@ -326,4 +487,6 @@ def read_delta_stream(
     )
     if max_versions_per_trigger is not None:
         r = r.option("maxVersionsPerTrigger", str(max_versions_per_trigger))
+    if read_change_feed:
+        r = r.option("readChangeFeed", "true")
     return r.load()
