@@ -147,6 +147,11 @@ class LakehouseSession:
         re.IGNORECASE | re.DOTALL,
     )
     _INSERT = re.compile(r"INSERT\s+INTO\s+(?P<target>[\w.]+)\s+VALUES\s*(?P<vals>.+)$", re.IGNORECASE | re.DOTALL)
+    _INSERT_SEL = re.compile(
+        r"INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<target>[\w.]+)\s+"
+        r"(?P<select>SELECT\s.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
     _HISTORY = re.compile(r"DESCRIBE\s+HISTORY\s+(?P<target>[\w.]+)\s*$", re.IGNORECASE)
     _CREATE_DB = re.compile(r"CREATE\s+DATABASE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*$", re.IGNORECASE)
     _CREATE_TBL = re.compile(
@@ -216,6 +221,16 @@ class LakehouseSession:
         if m := self._INSERT.match(s):
             rows = self._parse_values(m["vals"])
             self.catalog._resolve(m["target"]).insert_values(rows)
+            return None
+        if m := self._INSERT_SEL.match(s):
+            # INSERT INTO/OVERWRITE … SELECT — the set-based sibling of
+            # the reference's VALUES loop (`01-Fraud-Delta.py:185-195`):
+            # the SELECT plans through Spark SQL (temp views + catalog
+            # tables), the result commits through the lake writer
+            df = self.spark.sql(m["select"])
+            self.catalog._resolve(m["target"]).write(
+                df, mode="append" if m["mode"].upper() == "INTO" else "overwrite"
+            )
             return None
         if m := self._HISTORY.match(s):
             return self.catalog._resolve(m["target"]).history()

@@ -993,6 +993,76 @@ class IcebergTable:
                 fh.write(str(next_version))
         return snap_id
 
+    # ------------------------------------------------ metadata tables
+
+    def snapshots_df(self) -> DataFrame:
+        """The ``<table>.snapshots`` metadata table (Iceberg's
+        introspection surface; Delta's DESCRIBE HISTORY twin): one row
+        per snapshot with id, parent, sequence number, commit time and
+        operation — a control-plane read of metadata.json only."""
+        rows = [
+            (
+                int(s["snapshot-id"]),
+                int(s["parent-snapshot-id"]) if s.get("parent-snapshot-id") is not None else None,
+                int(s.get("sequence-number") or 0),
+                int(s.get("timestamp-ms") or 0),
+                (s.get("summary") or {}).get("operation"),
+            )
+            for s in self.metadata().get("snapshots") or []
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id LONG, parent_id LONG, sequence_number LONG, "
+            "committed_at_ms LONG, operation STRING",
+        )
+
+    def history_df(self) -> DataFrame:
+        """DESCRIBE HISTORY, cross-format: snapshot lineage in commit
+        order with an ``is_current`` flag."""
+        cur = self.metadata().get("current-snapshot-id")
+        return self.snapshots_df().withColumn(
+            "is_current", F.col("snapshot_id") == F.lit(cur)
+        )
+
+    def files_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """The ``<table>.files`` metadata table: one row per live
+        data/delete file of the snapshot — content kind, path, record
+        count, size, sequence number — decoded from the Avro manifests
+        (footers and data untouched)."""
+        from ent_fins_lakehouse_spark.sources.avro_io import read_ocf
+
+        meta = self.metadata()
+        snaps = meta.get("snapshots") or []
+        sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
+        rows = []
+        snap = next((s for s in snaps if s["snapshot-id"] == sid), None)
+        if snap is not None:
+            _, manifests = read_ocf(self._resolve(snap["manifest-list"]))
+            for m in manifests:
+                _, entries = read_ocf(self._resolve(m["manifest_path"]))
+                m_seq = m.get("sequence_number") or 0
+                for e in entries:
+                    if e.get("status") == 2:
+                        continue
+                    df_rec = e["data_file"]
+                    content = int(df_rec.get("content") or 0)
+                    rows.append(
+                        (
+                            {0: "data", 1: "position-deletes", 2: "equality-deletes"}[
+                                content
+                            ],
+                            df_rec["file_path"],
+                            int(df_rec.get("record_count") or 0),
+                            int(df_rec.get("file_size_in_bytes") or 0),
+                            int(e.get("sequence_number") or m_seq),
+                        )
+                    )
+        return self.spark.createDataFrame(
+            rows,
+            "content STRING, file_path STRING, record_count LONG, "
+            "file_size_in_bytes LONG, sequence_number LONG",
+        )
+
     def txn_version(self, app_id: str) -> int:
         """Latest committed batch id for an idempotent writer, read
         from snapshot summaries (the Flink-connector pattern: commit

@@ -2874,3 +2874,40 @@ def test_iceberg_compact_sort_by_tightens_bounds(spark, tmp_path):
     assert after["n_pruned"] >= after["n_active"] - 2
     assert t.read(where="id < 100").count() == 100
     assert t.read().count() == 4000
+
+
+def test_sql_insert_select(spark, tmp_path):
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+
+    lh = LakehouseSession(spark, str(tmp_path / "wh"))
+    lh.sql("CREATE DATABASE IF NOT EXISTS ins")
+    spark.range(0, 10).selectExpr("id", "id * 2 AS v").createOrReplaceTempView("_src10")
+    lh.sql("CREATE TABLE ins.t USING LAKE AS SELECT * FROM _src10 WHERE id < 5")
+    lh.sql("INSERT INTO ins.t SELECT * FROM _src10 WHERE id >= 5")
+    assert lh.sql("SELECT * FROM ins.t").count() == 10
+    lh.sql("INSERT OVERWRITE ins.t SELECT * FROM _src10 WHERE id = 0")
+    assert lh.sql("SELECT * FROM ins.t").count() == 1
+
+
+def test_iceberg_metadata_tables(spark, tmp_path):
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(0, 50).selectExpr("id", "id AS v"))
+    t.delete("id < 5")
+    t.append(spark.range(50, 60).selectExpr("id", "id AS v"))
+    snaps = t.snapshots_df().collect()
+    assert [r.operation for r in snaps] == ["append", "delete", "append"]
+    assert snaps[1].parent_id == snaps[0].snapshot_id
+    hist = t.history_df().collect()
+    assert sum(1 for r in hist if r.is_current) == 1 and hist[-1].is_current
+    files = t.files_df()
+    kinds = {r.content for r in files.collect()}
+    assert kinds == {"data", "position-deletes"}
+    assert (
+        files.filter("content = 'data'").agg({"record_count": "sum"}).collect()[0][0]
+        == 60
+    )
+    # time travel: the seed snapshot's files view has no delete files
+    f0 = t.files_df(snapshot_id=snaps[0].snapshot_id)
+    assert {r.content for r in f0.collect()} == {"data"}
