@@ -2088,6 +2088,40 @@ class IcebergTable:
             "deletes_materialized": len(pos_deletes) + len(eq_deletes),
         }
 
+    def remove_orphan_files(self, dry_run: bool = False) -> dict:
+        """remove_orphan_files — reclaim data files under ``data/``
+        referenced by NO snapshot (crash leftovers: a writer that
+        staged files but lost the optimistic metadata commit, the
+        Iceberg analogue of Delta VACUUM's uncommitted-file cleanup).
+        Metadata (manifests, metadata.json) is never touched; live
+        files of EVERY snapshot — including historical ones — are kept,
+        so time travel survives. Returns ``{"orphans": [...]}`` under
+        dry_run, else the deleted count."""
+        import glob as _glob
+
+        snaps = self.snapshots()
+        live: set[str] = set()
+        for snap in snaps:
+            lpath = self._resolve(snap["manifest-list"])
+            _, mrows = read_ocf(lpath)
+            for r in mrows:
+                _, entries = read_ocf(self._resolve(r["manifest_path"]))
+                for e in entries:
+                    live.add(
+                        os.path.abspath(self._resolve(e["data_file"]["file_path"]))
+                    )
+        on_disk = {
+            os.path.abspath(p)
+            for p in _glob.glob(os.path.join(self.path, "data", "*"))
+            if os.path.isfile(p)
+        }
+        orphans = sorted(on_disk - live)
+        if dry_run:
+            return {"orphans": orphans}
+        for p in orphans:
+            os.remove(p)
+        return {"orphans_deleted": len(orphans)}
+
     def expire_snapshots(self, keep_last: int = 1, dry_run: bool = False) -> dict:
         """Snapshot expiration — the storage-reclamation half of
         compaction (delta-spark VACUUM's cross-format twin): all but

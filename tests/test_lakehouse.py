@@ -2911,3 +2911,82 @@ def test_iceberg_metadata_tables(spark, tmp_path):
     # time travel: the seed snapshot's files view has no delete files
     f0 = t.files_df(snapshot_id=snaps[0].snapshot_id)
     assert {r.content for r in f0.collect()} == {"data"}
+
+
+def test_iceberg_remove_orphan_files(spark, tmp_path):
+    import os
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(0, 30).selectExpr("id", "id AS v"))
+    t.delete("id < 3")
+    # crash leftover: a staged file that never got its metadata commit
+    orphan = str(tmp_path / "t" / "data" / "deadbeef-orphan.parquet")
+    spark.range(0, 5).coalesce(1).toPandas().to_parquet(orphan)
+    pre = t.remove_orphan_files(dry_run=True)
+    assert pre["orphans"] == [os.path.abspath(orphan)]
+    res = t.remove_orphan_files()
+    assert res["orphans_deleted"] == 1 and not os.path.exists(orphan)
+    # live files (incl. historical snapshots' and delete files) survive
+    assert t.read().count() == 27
+    snaps = t.snapshots_df().collect()
+    assert t.read(snapshot_id=snaps[0].snapshot_id).count() == 30
+
+
+def test_delta_id_mode_mapped_append(spark, tmp_path):
+    """Appends to an id-mode column-mapped table route through the same
+    physical-name writer (field ids attached), so id-mode readers -
+    including our own q166 path - resolve the new files."""
+    import glob
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "t")
+    _os.makedirs(_os.path.join(td, "_delta_log"))
+    schema_str = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "id",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-7a",
+                    },
+                },
+                {
+                    "name": "v",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "col-7b",
+                    },
+                },
+            ],
+        }
+    )
+    with open(_os.path.join(td, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write(_json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        fh.write(_json.dumps({"metaData": {
+            "id": "idm", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_str, "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id",
+                              "delta.columnMapping.maxColumnId": "2"},
+            "createdTime": 0}}) + "\n")
+    dl = DeltaLogTable(spark, td)
+    dl.write(spark.range(0, 10).selectExpr("id", "id * 2 AS v"), mode="append")
+    assert dl.read().agg({"v": "sum"}).collect()[0][0] == sum(2 * i for i in range(10))
+    # files carry PHYSICAL names + parquet field ids
+    (f,) = sorted(glob.glob(_os.path.join(td, "*.parquet")))[:1]
+    arrow = _pq.ParquetFile(f).schema_arrow
+    assert arrow.names == ["col-7a", "col-7b"]
+    fid = arrow.field("col-7a").metadata.get(b"PARQUET:field_id")
+    assert fid == b"1"
