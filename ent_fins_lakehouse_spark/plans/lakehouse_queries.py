@@ -2817,3 +2817,49 @@ def q202_iceberg_day_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q209_iceberg_to_delta_convert",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier ORDER BY s_suppkey
+    """,
+    tags=("lakehouse", "delta", "iceberg", "interop"),
+)
+def q209_iceberg_to_delta_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg → Delta METADATA-ONLY conversion — q172's reverse (the
+    XTable both-directions contract): a `_delta_log` is synthesized
+    whose add actions point at the Iceberg table's own parquet files
+    (absolute paths — the shallow-clone mechanism), with each manifest
+    entry's record count and bounds re-encoded as Delta per-file
+    stats, so the converted table FILE-SKIPS exactly like the source.
+    Zero data copied (asserted: the destination holds no parquet).
+    A truncate-partitioned source converts too — the spec keeps source
+    columns in the files, so the Delta side sees complete rows and the
+    tuple-derived bounds keep pruning. Tables carrying delete files
+    refuse (compact() first). At 100 TB, format migration as a
+    control-plane op over file listings, not a petabyte rewrite."""
+    import glob
+
+    from ent_fins_lakehouse_spark.sources.iceberg import (
+        IcebergTable,
+        convert_iceberg_to_delta,
+    )
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    src = IcebergTable(spark, _scratch("ice2delta") + "_t")
+    src.append(sup.filter(F.col("s_suppkey") % 2 == 0).repartition(2),
+               partition_by=["truncate(64, s_suppkey)"])
+    src.append(sup.filter(F.col("s_suppkey") % 2 == 1).repartition(2),
+               partition_by=["truncate(64,s_suppkey)"])
+    dest = _scratch("ice2delta") + "_delta"
+    dl = convert_iceberg_to_delta(spark, src, dest)
+    if glob.glob(os.path.join(dest, "**", "*.parquet"), recursive=True):
+        raise AssertionError("conversion must not copy data files")
+    info = dl.scan_info("s_suppkey <= 32")
+    if info["n_pruned"] == 0:
+        raise AssertionError(f"converted stats must still skip files: {info}")
+    return dl.read().orderBy("s_suppkey")

@@ -2364,3 +2364,125 @@ def convert_delta_to_iceberg(spark, delta_table, dest: str) -> "IcebergTable":
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write("1")
     return IcebergTable(spark, dest)
+
+
+def convert_iceberg_to_delta(spark, iceberg_table: "IcebergTable", dest: str):
+    """METADATA-ONLY Iceberg → Delta conversion — the reverse of
+    :func:`convert_delta_to_iceberg` (XTable translates both
+    directions): write a ``_delta_log`` whose add actions point at the
+    ICEBERG TABLE'S OWN parquet files (absolute paths, the q187
+    shallow-clone mechanism), re-encoding each manifest entry's record
+    count and lower/upper bounds as Delta per-file stats — so the
+    converted table file-skips exactly like the source. Zero bytes of
+    data move.
+
+    Partitioned Iceberg tables convert fine AS UNPARTITIONED Delta:
+    the spec keeps partition source columns IN the data files, so every
+    column is present; partition pruning downgrades to stats-based
+    skipping (identity/truncate tuples already ride the bounds).
+
+    Refused loudly (a data rewrite, not metadata): tables carrying
+    position or equality delete files — run ``compact()`` first to
+    materialize them.
+    """
+    import json as _json
+    import struct as _s
+    import time
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    data, pos_deletes, eq_deletes = iceberg_table._files()
+    if pos_deletes or eq_deletes:
+        raise NotImplementedError(
+            "table carries delete files — run compact() first to materialize "
+            "them, then convert"
+        )
+    meta = iceberg_table.metadata()
+    schema = iceberg_table.schema(meta)
+    snaps = meta.get("snapshots") or []
+    cur = meta.get("current-snapshot-id")
+    now = int(time.time() * 1000)
+
+    # manifest entries again, for record counts + sizes + raw bounds
+    names = iceberg_table.field_names_by_id(meta)
+    ftypes = {
+        f["id"]: f["type"]
+        for f in iceberg_table._ice_schema(meta)["fields"]
+        if isinstance(f["type"], str)
+    }
+    stats_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                   T.FloatType, T.DoubleType, T.BooleanType)
+    by_path: dict[str, dict] = {}
+    if cur not in (None, -1):
+        from ent_fins_lakehouse_spark.sources.avro_io import read_ocf
+
+        snap = next(s for s in snaps if s["snapshot-id"] == cur)
+        _, manifests = read_ocf(iceberg_table._resolve(snap["manifest-list"]))
+        for m in manifests:
+            _, entries = read_ocf(iceberg_table._resolve(m["manifest_path"]))
+            for e in entries:
+                if e.get("status") == 2:
+                    continue
+                df_rec = e["data_file"]
+                if (df_rec.get("content") or 0) != 0:
+                    continue
+                p = os.path.abspath(iceberg_table._resolve(df_rec["file_path"]))
+                by_path[p] = df_rec
+
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "CONVERT",
+                "operationParameters": {"sourceFormat": "iceberg"},
+                "engineInfo": "ent_fins_lakehouse_spark/delta-shim",
+            }
+        },
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(_uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": now,
+            }
+        },
+    ]
+    for path, _seq, bounds in sorted(data):
+        p = os.path.abspath(path)
+        rec = by_path.get(p) or {}
+        mins: dict = {}
+        maxs: dict = {}
+        for col, (lo, hi) in (bounds or {}).items():
+            f = next((f for f in schema.fields if f.name == col), None)
+            if f is None or not isinstance(f.dataType, stats_types):
+                continue
+            mins[col], maxs[col] = lo, hi
+        actions.append(
+            {
+                "add": {
+                    "path": p,
+                    "partitionValues": {},
+                    "size": int(rec.get("file_size_in_bytes") or os.path.getsize(p)),
+                    "modificationTime": now,
+                    "dataChange": True,
+                    "stats": _json.dumps(
+                        {
+                            "numRecords": int(rec.get("record_count") or 0),
+                            "minValues": mins,
+                            "maxValues": maxs,
+                            "nullCount": {},
+                        }
+                    ),
+                }
+            }
+        )
+    dl = DeltaLogTable(spark, dest)
+    os.makedirs(dest, exist_ok=True)
+    dl._commit_actions(0, actions)
+    return dl

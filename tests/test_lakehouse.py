@@ -2990,3 +2990,23 @@ def test_delta_id_mode_mapped_append(spark, tmp_path):
     assert arrow.names == ["col-7a", "col-7b"]
     fid = arrow.field("col-7a").metadata.get(b"PARQUET:field_id")
     assert fid == b"1"
+
+
+def test_iceberg_to_delta_convert_refuses_deletes(spark, tmp_path):
+    import pytest as _pytest
+
+    from ent_fins_lakehouse_spark.sources.iceberg import (
+        IcebergTable,
+        convert_iceberg_to_delta,
+    )
+
+    t = IcebergTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(0, 20).selectExpr("id", "id AS v"))
+    t.delete("id < 5")
+    with _pytest.raises(NotImplementedError, match="compact"):
+        convert_iceberg_to_delta(spark, t, str(tmp_path / "d"))
+    t.compact(target_files=2)
+    dl = convert_iceberg_to_delta(spark, t, str(tmp_path / "d"))
+    assert dl.read().count() == 15
+    # the converted table's own maintenance never touches source files
+    assert dl.vacuum(retention_hours=0) == []
