@@ -36,6 +36,18 @@ def make_delta_stream_source():
     import json
     import os
 
+    # see make_iceberg_stream_source: the planning runner process has
+    # no repo on sys.path — bootstrap from the factory-captured root
+    _repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
+    def _bootstrap() -> None:
+        import sys as _sys
+
+        if _repo_root not in _sys.path:
+            _sys.path.insert(0, _repo_root)
+
     from pyspark.sql import types as T
     from pyspark.sql.datasource import (
         DataSource,
@@ -144,6 +156,7 @@ def make_delta_stream_source():
 
             from pyspark.sql import SparkSession
 
+            _bootstrap()
             from ent_fins_lakehouse_spark.sources.lakehouse import (
                 DeltaLogTable,
                 _dv_row_indexes_of,
@@ -284,6 +297,7 @@ def make_delta_stream_source():
                     if a.get("deletionVector"):
                         # driver-side decode (partition planning runs
                         # on the driver, where the repo is importable)
+                        _bootstrap()
                         from ent_fins_lakehouse_spark.sources.lakehouse import (
                             _dv_row_indexes_of,
                         )

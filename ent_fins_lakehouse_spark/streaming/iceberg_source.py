@@ -36,6 +36,25 @@ from __future__ import annotations
 def make_iceberg_stream_source():
     """Build the DataSource class (self-contained, pickled by value)."""
     import json
+    import os as _os_factory
+
+    # The offset/partition-planning runner is a SEPARATE Python process
+    # (driver-side, but without the repo on sys.path — the driver_sim
+    # cwd probe catches this). Capture the repo root at factory time
+    # (where this module's path is known) and bootstrap before any repo
+    # import; on a real cluster this is the spark-submit --py-files
+    # contract: application code is present on the driver node.
+    _repo_root = _os_factory.path.dirname(
+        _os_factory.path.dirname(
+            _os_factory.path.dirname(_os_factory.path.abspath(__file__))
+        )
+    )
+
+    def _bootstrap() -> None:
+        import sys as _sys
+
+        if _repo_root not in _sys.path:
+            _sys.path.insert(0, _repo_root)
 
     from pyspark.sql import types as T
     from pyspark.sql.datasource import (
@@ -60,6 +79,7 @@ def make_iceberg_stream_source():
         def _table(self):
             from pyspark.sql import SparkSession
 
+            _bootstrap()
             from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
 
             return IcebergTable(SparkSession.getActiveSession(), self.table_path)
@@ -76,6 +96,7 @@ def make_iceberg_stream_source():
         def partitions(self, start: dict, end: dict):
             import os
 
+            _bootstrap()
             from ent_fins_lakehouse_spark.sources.avro_io import read_ocf
 
             t = self._table()
@@ -216,6 +237,7 @@ def make_iceberg_stream_source():
         def schema(self):
             from pyspark.sql import SparkSession
 
+            _bootstrap()
             from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
 
             t = IcebergTable(SparkSession.getActiveSession(), self.options["path"])
