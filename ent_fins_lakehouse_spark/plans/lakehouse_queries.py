@@ -2851,15 +2851,62 @@ def q209_iceberg_to_delta_convert(spark: SparkSession, sf_dir: str) -> DataFrame
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
     src = IcebergTable(spark, _scratch("ice2delta") + "_t")
+    # width-4 truncate blocks exist at EVERY test sf (sf0.001's keys
+    # stop at 9 — a width of 64 would leave one unprunable block)
     src.append(sup.filter(F.col("s_suppkey") % 2 == 0).repartition(2),
-               partition_by=["truncate(64, s_suppkey)"])
+               partition_by=["truncate(4, s_suppkey)"])
     src.append(sup.filter(F.col("s_suppkey") % 2 == 1).repartition(2),
-               partition_by=["truncate(64,s_suppkey)"])
+               partition_by=["truncate(4,s_suppkey)"])
     dest = _scratch("ice2delta") + "_delta"
     dl = convert_iceberg_to_delta(spark, src, dest)
     if glob.glob(os.path.join(dest, "**", "*.parquet"), recursive=True):
         raise AssertionError("conversion must not copy data files")
-    info = dl.scan_info("s_suppkey <= 32")
+    info = dl.scan_info("s_suppkey <= 2")
     if info["n_pruned"] == 0:
         raise AssertionError(f"converted stats must still skip files: {info}")
     return dl.read().orderBy("s_suppkey")
+
+
+@query(
+    "q213_iceberg_spec_evolution",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id
+    """,
+    tags=("lakehouse", "iceberg", "interop"),
+)
+def q213_iceberg_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg partition-spec EVOLUTION (spec: 'Partition Evolution'):
+    a table created with identity(lang) partitioning is re-pointed at
+    truncate(16, doc_id) via a METADATA-ONLY commit — no snapshot, no
+    data rewrite, O(1) on a 100 TB table — and subsequent appends
+    stage under the new layout. Reads interpret every manifest's
+    partition tuples under THAT manifest's spec id, so BOTH
+    generations keep pruning: the asserted scan_info calls prove a
+    lang equality skips old-spec files (identity tuples → [v,v]
+    bounds) while a doc_id range skips new-spec files (truncate
+    tuples → [t, t+15] bounds), and appends declaring the superseded
+    spec are refused loudly."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    t = IcebergTable(spark, _scratch("specevo") + "_t")
+    t.append(docs.filter(F.col("doc_id") % 2 == 0), partition_by=["lang"])
+    new_spec = t.evolve_spec(["truncate(16, doc_id)"])
+    if new_spec != 1:
+        raise AssertionError(f"expected spec id 1, got {new_spec}")
+    t.append(docs.filter(F.col("doc_id") % 2 == 1),
+             partition_by=["truncate(16, doc_id)"])
+    li = t.scan_info("lang = 'zh'")
+    if li["n_pruned"] == 0:
+        raise AssertionError(f"identity tuples must still prune: {li}")
+    di = t.scan_info("doc_id <= 15")
+    if di["n_pruned"] == 0:
+        raise AssertionError(f"truncate tuples must prune post-evolution: {di}")
+    try:
+        t.append(docs.limit(1), partition_by=["lang"])
+        raise AssertionError("append under the superseded spec must refuse")
+    except ValueError:
+        pass
+    return t.read().orderBy("doc_id")
