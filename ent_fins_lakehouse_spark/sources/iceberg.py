@@ -337,53 +337,69 @@ class IcebergTable:
             for f in self._ice_schema(meta)["fields"]
             if isinstance(f["type"], str)
         }
-        # identity-transform partition fields: the manifest entry's
-        # partition tuple pins the source column to ONE value per data
-        # file, which pruning consumes as an exact [v, v] range (the
-        # footer path skips strings — partition values are never
-        # truncated, so they prune string predicates too). Non-identity
-        # transforms (bucket/day/…) are not column values; their tuple
-        # is ignored and the file simply isn't pruned — always sound.
-        ident_parts = {
-            pf["name"]: names.get(pf["source-id"])
-            for pf in self.partition_fields(meta)
-            if pf.get("transform") == "identity"
+        # Partition-tuple interpretation is PER MANIFEST: after spec
+        # evolution (evolve_spec) a table carries manifests written
+        # under different specs, each manifest-list row naming its
+        # spec id — so the tuple→bounds maps below are resolved from
+        # THAT spec, not the default (the spec's 'Partition Evolution'
+        # rule: old data keeps its old layout).
+        #
+        # identity tuples pin the source column to ONE value per data
+        # file → exact [v, v] range (partition values are never
+        # truncated, so they prune string predicates too).
+        # bucket[n] tuples pin the bucket ORDINAL under the synthetic
+        # partition-field name (pruned via _prune_predicate's rewrite).
+        # truncate[w] tuples ARE source-column information: int t pins
+        # [t, t+w-1]; a string tuple is a shared prefix.
+        # day tuples (days since epoch) become conservative DATE-string
+        # bounds [day, next day) on the timestamp source.
+        # Unknown transforms are ignored — the file is kept: sound.
+        specs_by_id = {
+            int(sp.get("spec-id") or 0): list(sp.get("fields") or [])
+            for sp in (meta.get("partition-specs") or [])
         }
-        # bucket[n] partition fields: the tuple pins the file's bucket
-        # ORDINAL — not a column value — recorded under the synthetic
-        # partition-field name so read()/scan_info can prune equality
-        # predicates rewritten through the same murmur3 transform
-        bucket_parts = {
-            pf["name"]
-            for pf in self.partition_fields(meta)
-            if _BUCKET_TRANSFORM.match(pf.get("transform") or "")
-        }
-        # truncate[w] tuples ARE source-column information: an int
-        # tuple t pins the file's rows to [t, t+w-1]; a string tuple is
-        # a shared prefix, pinning [t, t + U+10FFFF]. Real bounds — no
-        # predicate rewriting needed, range predicates prune too.
-        trunc_parts = {}
-        for pf in self.partition_fields(meta):
-            tm = _TRUNC_TRANSFORM.match(pf.get("transform") or "")
-            if tm:
-                src = names.get(pf["source-id"])
-                trunc_parts[pf["name"]] = (
-                    src,
-                    int(tm.group(1)),
-                    ftypes.get(pf["source-id"]),
-                )
-        # day-transform tuples (days since epoch) become conservative
-        # DATE-string bounds on the timestamp source: ["yyyy-MM-dd" of
-        # the day, "yyyy-MM-dd" of the NEXT day] — short-form ISO
-        # compares sound against any same-format literal, erring only
-        # toward keeping a boundary file
-        day_parts = {
-            pf["name"]: names.get(pf["source-id"])
-            for pf in self.partition_fields(meta)
-            if (pf.get("transform") or "") == "day"
-        }
+        if not specs_by_id:
+            specs_by_id = {0: self.partition_fields(meta)}
+        _maps_cache: dict[int, tuple] = {}
+
+        def _spec_maps(spec_id: int) -> tuple:
+            got = _maps_cache.get(spec_id)
+            if got is not None:
+                return got
+            pfs = specs_by_id.get(spec_id, [])
+            ident_parts = {
+                pf["name"]: names.get(pf["source-id"])
+                for pf in pfs
+                if pf.get("transform") == "identity"
+            }
+            bucket_parts = {
+                pf["name"]
+                for pf in pfs
+                if _BUCKET_TRANSFORM.match(pf.get("transform") or "")
+            }
+            trunc_parts = {}
+            for pf in pfs:
+                tm = _TRUNC_TRANSFORM.match(pf.get("transform") or "")
+                if tm:
+                    trunc_parts[pf["name"]] = (
+                        names.get(pf["source-id"]),
+                        int(tm.group(1)),
+                        ftypes.get(pf["source-id"]),
+                    )
+            day_parts = {
+                pf["name"]: names.get(pf["source-id"])
+                for pf in pfs
+                if (pf.get("transform") or "") == "day"
+            }
+            got = (ident_parts, bucket_parts, trunc_parts, day_parts)
+            _maps_cache[spec_id] = got
+            return got
+
         for m in manifests:
             m_seq = m.get("sequence_number") or 0
+            ident_parts, bucket_parts, trunc_parts, day_parts = _spec_maps(
+                int(m.get("partition_spec_id") or 0)
+            )
             _, entries = read_ocf(self._resolve(m["manifest_path"]))
             for e in entries:
                 if e.get("status") == 2:  # DELETED entry — file removed
@@ -460,11 +476,27 @@ class IcebergTable:
 
         meta = self.metadata()
         names = self.field_names_by_id(meta)
+        # buckets from EVERY spec (after evolution, files of any spec
+        # may be live): pruning on a conjunct whose synthetic column is
+        # absent from a file's stats keeps the file, so extra
+        # conjuncts are always sound. A source bucketed under two
+        # different (name, n) pairs would make one conjunct lie —
+        # drop that source instead.
         buckets: dict[str, tuple[str, int]] = {}
-        for pf in self.partition_fields(meta):
-            m = _BUCKET_TRANSFORM.match(pf.get("transform") or "")
-            if m:
-                buckets[names[pf["source-id"]]] = (pf["name"], int(m.group(1)))
+        clash: set[str] = set()
+        for sp in meta.get("partition-specs") or [
+            {"fields": self.partition_fields(meta)}
+        ]:
+            for pf in sp.get("fields") or []:
+                m = _BUCKET_TRANSFORM.match(pf.get("transform") or "")
+                if m:
+                    src = names[pf["source-id"]]
+                    pair = (pf["name"], int(m.group(1)))
+                    if src in buckets and buckets[src] != pair:
+                        clash.add(src)
+                    buckets[src] = pair
+        for src in clash:
+            buckets.pop(src, None)
         if not buckets:
             return where
         cons = parse_conjuncts(where)
@@ -1152,82 +1184,10 @@ class IcebergTable:
                 )
             ice_schema = {"schema-id": 0, "type": "struct", "fields": fields}
             by_name = {f["name"]: f["id"] for f in fields}
-            part_fields = []
             dtypes = {f.name: f.dataType for f in df.schema.fields}
-            for i, c in enumerate(partition_by or []):
-                dm = _DAY_SPEC.match(c)
-                if dm:
-                    src = dm.group(1)
-                    if src not in by_name:
-                        raise ValueError(f"partition column {src!r} not in dataframe")
-                    if not isinstance(dtypes[src], (T.TimestampType, T.DateType)):
-                        raise NotImplementedError(
-                            f"day transform over {dtypes[src].simpleString()} — "
-                            "only timestamp/date sources are supported"
-                        )
-                    part_fields.append(
-                        {
-                            "name": f"{src}_day",
-                            "transform": "day",
-                            "source-id": by_name[src],
-                            "field-id": 1000 + i,
-                        }
-                    )
-                    continue
-                tm = _TRUNC_SPEC.match(c)
-                if tm:
-                    w, src = int(tm.group(1)), tm.group(2)
-                    if src not in by_name:
-                        raise ValueError(f"partition column {src!r} not in dataframe")
-                    if not isinstance(
-                        dtypes[src], (T.IntegerType, T.LongType, T.StringType)
-                    ):
-                        raise NotImplementedError(
-                            f"truncate transform over {dtypes[src].simpleString()} — "
-                            "only int/long/string sources are supported"
-                        )
-                    if w <= 0:
-                        raise ValueError(f"truncate width must be positive, got {w}")
-                    part_fields.append(
-                        {
-                            "name": f"{src}_trunc",
-                            "transform": f"truncate[{w}]",
-                            "source-id": by_name[src],
-                            "field-id": 1000 + i,
-                        }
-                    )
-                    continue
-                bm = _BUCKET_SPEC.match(c)
-                if bm:
-                    n, src = int(bm.group(1)), bm.group(2)
-                    if src not in by_name:
-                        raise ValueError(f"partition column {src!r} not in dataframe")
-                    if not isinstance(dtypes[src], (T.IntegerType, T.LongType)):
-                        raise NotImplementedError(
-                            f"bucket transform over {dtypes[src].simpleString()} — "
-                            "only int/long sources are supported"
-                        )
-                    if n <= 0:
-                        raise ValueError(f"bucket width must be positive, got {n}")
-                    part_fields.append(
-                        {
-                            "name": f"{src}_bucket",
-                            "transform": f"bucket[{n}]",
-                            "source-id": by_name[src],
-                            "field-id": 1000 + i,
-                        }
-                    )
-                    continue
-                if c not in by_name:
-                    raise ValueError(f"partition column {c!r} not in dataframe")
-                part_fields.append(
-                    {
-                        "name": c,
-                        "transform": "identity",
-                        "source-id": by_name[c],
-                        "field-id": 1000 + i,
-                    }
-                )
+            part_fields = self._parse_partition_fields(
+                partition_by, by_name, dtypes, 1000
+            )
             spec_cols = list(partition_by or [])
             meta = {
                 "format-version": 2,
@@ -1260,7 +1220,7 @@ class IcebergTable:
             {
                 "manifest_path": mpath,
                 "manifest_length": os.path.getsize(mpath),
-                "partition_spec_id": 0,
+                "partition_spec_id": int(meta.get("default-spec-id") or 0),
                 "content": 0,
                 "sequence_number": seq,
                 "added_snapshot_id": snap_id,
@@ -1275,6 +1235,189 @@ class IcebergTable:
                 else None
             ),
         )
+
+    @staticmethod
+    def _parse_partition_fields(
+        partition_by: list[str] | None,
+        by_name: dict[str, int],
+        dtypes: dict,
+        first_field_id: int,
+    ) -> list[dict]:
+        """Parse ``partition_by`` spec strings — ``identity`` /
+        ``truncate(w, col)`` / ``bucket(n, col)`` / ``day(col)`` — into
+        Iceberg partition-spec field dicts with sequential field ids
+        from ``first_field_id`` (spec: 'Partition Specs'). Shared by
+        table creation and :meth:`evolve_spec`."""
+        part_fields: list[dict] = []
+        for i, c in enumerate(partition_by or []):
+            dm = _DAY_SPEC.match(c)
+            if dm:
+                src = dm.group(1)
+                if src not in by_name:
+                    raise ValueError(f"partition column {src!r} not in dataframe")
+                if not isinstance(dtypes[src], (T.TimestampType, T.DateType)):
+                    raise NotImplementedError(
+                        f"day transform over {dtypes[src].simpleString()} — "
+                        "only timestamp/date sources are supported"
+                    )
+                part_fields.append(
+                    {
+                        "name": f"{src}_day",
+                        "transform": "day",
+                        "source-id": by_name[src],
+                        "field-id": first_field_id + i,
+                    }
+                )
+                continue
+            tm = _TRUNC_SPEC.match(c)
+            if tm:
+                w, src = int(tm.group(1)), tm.group(2)
+                if src not in by_name:
+                    raise ValueError(f"partition column {src!r} not in dataframe")
+                if not isinstance(
+                    dtypes[src], (T.IntegerType, T.LongType, T.StringType)
+                ):
+                    raise NotImplementedError(
+                        f"truncate transform over {dtypes[src].simpleString()} — "
+                        "only int/long/string sources are supported"
+                    )
+                if w <= 0:
+                    raise ValueError(f"truncate width must be positive, got {w}")
+                part_fields.append(
+                    {
+                        "name": f"{src}_trunc",
+                        "transform": f"truncate[{w}]",
+                        "source-id": by_name[src],
+                        "field-id": first_field_id + i,
+                    }
+                )
+                continue
+            bm = _BUCKET_SPEC.match(c)
+            if bm:
+                n, src = int(bm.group(1)), bm.group(2)
+                if src not in by_name:
+                    raise ValueError(f"partition column {src!r} not in dataframe")
+                if not isinstance(dtypes[src], (T.IntegerType, T.LongType)):
+                    raise NotImplementedError(
+                        f"bucket transform over {dtypes[src].simpleString()} — "
+                        "only int/long sources are supported"
+                    )
+                if n <= 0:
+                    raise ValueError(f"bucket width must be positive, got {n}")
+                part_fields.append(
+                    {
+                        "name": f"{src}_bucket",
+                        "transform": f"bucket[{n}]",
+                        "source-id": by_name[src],
+                        "field-id": first_field_id + i,
+                    }
+                )
+                continue
+            if c not in by_name:
+                raise ValueError(f"partition column {c!r} not in dataframe")
+            part_fields.append(
+                {
+                    "name": c,
+                    "transform": "identity",
+                    "source-id": by_name[c],
+                    "field-id": first_field_id + i,
+                }
+            )
+        return part_fields
+
+    def evolve_spec(self, partition_by: list[str]) -> int:
+        """Partition-spec EVOLUTION (spec: 'Partition Evolution') — a
+        METADATA-ONLY commit: a new spec is appended to
+        ``partition-specs`` and made the default, with NO data rewrite
+        and no snapshot. Files already written keep their old layout
+        (each manifest-list row names its spec id; :meth:`_files`
+        interprets every manifest's partition tuples under THAT spec),
+        new appends stage under the new layout — the contract that
+        makes re-partitioning a 100 TB table an O(1) operation.
+
+        Fields identical to one in ANY existing spec (same source-id +
+        transform) reuse its field-id and name; genuinely new fields
+        get fresh ids after ``last-partition-id``. A new field whose
+        derived name collides with a DIFFERENT existing field is
+        disambiguated with its field-id suffix, so tuple keys stay
+        unambiguous across specs. Returns the new spec id."""
+        meta = self.metadata()
+        ice_schema = self._ice_schema(meta)
+        by_name = {f["name"]: f["id"] for f in ice_schema["fields"]}
+        dtypes = {
+            f.name: f.dataType for f in self.schema(meta).fields
+        }
+        last_pid = int(meta.get("last-partition-id") or 999)
+        parsed = self._parse_partition_fields(
+            partition_by, by_name, dtypes, last_pid + 1
+        )
+        existing: dict[tuple, dict] = {}
+        used_names: dict[str, tuple] = {}
+        for sp in meta.get("partition-specs") or []:
+            for pf in sp.get("fields") or []:
+                key = (pf["source-id"], pf.get("transform"))
+                existing.setdefault(key, pf)
+                used_names.setdefault(pf["name"], key)
+        fields = []
+        next_id = last_pid
+        for pf in parsed:
+            key = (pf["source-id"], pf["transform"])
+            prior = existing.get(key)
+            if prior is not None:
+                fields.append(dict(prior))
+                continue
+            next_id += 1
+            name = pf["name"]
+            if used_names.get(name, key) != key:
+                name = f"{name}_{next_id}"
+            fields.append({**pf, "name": name, "field-id": next_id})
+            used_names[name] = key
+        specs = list(meta.get("partition-specs") or [])
+        new_spec_id = max((int(sp.get("spec-id") or 0) for sp in specs), default=-1) + 1
+        specs.append({"spec-id": new_spec_id, "fields": fields})
+        import time
+
+        new_meta = {
+            **meta,
+            "partition-specs": specs,
+            "default-spec-id": new_spec_id,
+            "last-partition-id": max(next_id, last_pid),
+            "last-updated-ms": int(time.time() * 1000),
+        }
+        self._write_metadata(new_meta)
+        return new_spec_id
+
+    def _write_metadata(self, new_meta: dict) -> None:
+        """Commit a new ``metadata.json`` version with O_EXCL (the same
+        concurrency contract as :meth:`_commit_snapshot`, for
+        metadata-only operations like :meth:`evolve_spec`)."""
+        try:
+            mfile = self._metadata_file()
+            stem = os.path.basename(mfile)[: -len(".metadata.json")]
+            if stem.startswith("v") and stem[1:].isdigit():
+                next_version, catalog_style = int(stem[1:]) + 1, False
+            else:
+                next_version, catalog_style = int(stem.split("-", 1)[0]) + 1, True
+        except (FileNotFoundError, ValueError):
+            next_version, catalog_style = 1, False
+        import uuid as _uuid
+
+        if catalog_style:
+            mname = f"{next_version:05d}-{_uuid.uuid4()}.metadata.json"
+        else:
+            mname = f"v{next_version}.metadata.json"
+        target = os.path.join(self.meta_dir, mname)
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise RuntimeError(
+                f"Iceberg commit {mname} was taken by a concurrent writer — retry"
+            ) from None
+        with os.fdopen(fd, "w") as fh:
+            json.dump(new_meta, fh)
+        if not catalog_style:
+            with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as fh:
+                fh.write(str(next_version))
 
     def _scan_with_pos(
         self, schema: T.StructType, cand: list[str], pos_deletes: list[str]

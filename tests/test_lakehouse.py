@@ -3010,3 +3010,37 @@ def test_iceberg_to_delta_convert_refuses_deletes(spark, tmp_path):
     assert dl.read().count() == 15
     # the converted table's own maintenance never touches source files
     assert dl.vacuum(retention_hours=0) == []
+
+
+def test_iceberg_spec_evolution_reuses_identical_field_ids(spark, tmp_path):
+    """evolve_spec is metadata-only (no new snapshot), reuses the
+    field-id of a spec field identical to a prior one (same source +
+    transform, per the spec's Partition Evolution rules), and assigns
+    a fresh id to genuinely new fields."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+    from ent_fins_lakehouse_spark.sources.readers import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "source")
+    t = IcebergTable(spark, str(tmp_path / "t"))
+    t.append(docs.filter(F.col("doc_id") % 2 == 0), partition_by=["lang"])
+    n_snaps_before = len(t.snapshots())
+    sid = t.evolve_spec(["truncate(16, doc_id)", "lang"])
+    assert sid == 1
+    meta = t.metadata()
+    assert len(t.snapshots()) == n_snaps_before, "evolution must not add a snapshot"
+    specs = {sp["spec-id"]: sp["fields"] for sp in meta["partition-specs"]}
+    assert meta["default-spec-id"] == 1
+    # the lang identity field keeps spec-0's field-id; truncate is new
+    lang0 = next(f for f in specs[0] if f["transform"] == "identity")
+    lang1 = next(f for f in specs[1] if f["transform"] == "identity")
+    assert lang0["field-id"] == lang1["field-id"]
+    trunc = next(f for f in specs[1] if f["transform"].startswith("truncate"))
+    assert trunc["field-id"] > lang0["field-id"]
+    # appends under the new compound spec stage and read back complete
+    t.append(docs.filter(F.col("doc_id") % 2 == 1),
+             partition_by=["truncate(16, doc_id)", "lang"])
+    assert t.read().count() == docs.count()
