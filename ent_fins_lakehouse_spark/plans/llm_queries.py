@@ -2827,3 +2827,249 @@ def q207_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor_id", "neg_id", F.col("rank").cast("long"), "cos_sim")
         .orderBy("anchor_id", "rank")
     )
+
+
+@query(
+    "q210_ccnet_bucketing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents WHERE trim(text) <> ''
+    ),
+    t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    tc AS (SELECT term, COUNT(*) AS tf FROM t2 GROUP BY term),
+    consts AS (
+      SELECT (SELECT COUNT(*) FROM t2) AS n_tok, (SELECT COUNT(*) FROM tc) AS v
+    ),
+    lp AS (
+      SELECT t2.doc_id,
+             CAST(ROUND(LN(CAST(tc.tf + 1 AS DOUBLE) / CAST(consts.n_tok + consts.v AS DOUBLE)), 4)
+                  AS DECIMAL(12,4)) AS lpv
+      FROM t2 JOIN tc USING (term) CROSS JOIN consts
+    ),
+    scored AS (
+      SELECT lp.doc_id, d.lang,
+             ROUND(CAST(SUM(lpv) AS DOUBLE) / COUNT(*), 4) AS avg_logp
+      FROM lp JOIN documents d USING (doc_id)
+      GROUP BY lp.doc_id, d.lang
+    ),
+    cuts AS (
+      SELECT lang,
+             ROUND(quantile_cont(avg_logp, 0.67), 4) AS head_cut,
+             ROUND(quantile_cont(avg_logp, 0.33), 4) AS mid_cut
+      FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.avg_logp,
+           CASE WHEN s.avg_logp >= c.head_cut THEN 'head'
+                WHEN s.avg_logp >= c.mid_cut THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s JOIN cuts c USING (lang)
+    ORDER BY s.doc_id
+    """,
+    tags=("llm", "quality"),
+)
+def q210_ccnet_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the q139 unigram-LM proxy, then split each
+    LANGUAGE's score distribution into head / middle / tail thirds —
+    the standard web-corpus triage where 'head' feeds pretraining
+    directly and 'tail' is dropped or re-filtered.
+
+    Scale design: CCNet's per-language thirds are NOT computed with
+    NTILE — a rank window partitioned by language is one reducer per
+    language (5 languages -> 5 tasks sorting 20 TB each at target
+    scale). Instead the per-language cutoffs are a tiny aggregate
+    (exact interpolated percentiles at test scale; the same shape
+    holds with approx_percentile on a real corpus) broadcast back onto
+    the scored stream, so bucket assignment is a map-side comparison.
+    Cutoffs and scores are rounded to 4dp on both sides, making the
+    >= comparisons hash-exact vs DuckDB's quantile_cont."""
+    from ent_fins_lakehouse_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.trim("text") != "")
+        .select("doc_id", F.explode(F.split(normalize_text("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tc = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    consts = tc.agg(F.sum("tf").alias("n_tok"), F.count("*").alias("v"))
+    lp = F.round(
+        F.log(
+            (F.col("tf").cast("double") + F.lit(1.0))
+            / (F.col("n_tok") + F.col("v")).cast("double")
+        ),
+        4,
+    ).cast("decimal(12,4)")
+    scored = (
+        toks.join(tc, "term")
+        .crossJoin(F.broadcast(consts))
+        .withColumn("lpv", lp)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("lpv").cast("double") / F.count("*"), 4).alias("avg_logp"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    cuts = scored.groupBy("lang").agg(
+        F.round(F.percentile("avg_logp", F.lit(0.67)), 4).alias("head_cut"),
+        F.round(F.percentile("avg_logp", F.lit(0.33)), 4).alias("mid_cut"),
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "avg_logp",
+            F.when(F.col("avg_logp") >= F.col("head_cut"), F.lit("head"))
+            .when(F.col("avg_logp") >= F.col("mid_cut"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q211_pmi_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos FROM (
+        SELECT doc_id, UNNEST(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term,
+               UNNEST(generate_series(1, len(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')))) AS pos
+        FROM documents WHERE trim(text) <> ''
+      ) WHERE term <> ''
+    ),
+    big AS (
+      SELECT a.doc_id, a.term AS w1, b.term AS w2
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS c_xy FROM big GROUP BY w1, w2),
+    uc AS (SELECT term, COUNT(*) AS c_x FROM toks GROUP BY term),
+    consts AS (
+      SELECT (SELECT COUNT(*) FROM big) AS n_bi, (SELECT COUNT(*) FROM toks) AS n_uni
+    )
+    SELECT w1, w2, c_xy,
+           ROUND(LN((CAST(c_xy AS DOUBLE) / n_bi)
+                    / ((CAST(u1.c_x AS DOUBLE) / n_uni) * (CAST(u2.c_x AS DOUBLE) / n_uni))), 4) AS pmi
+    FROM bc JOIN uc u1 ON bc.w1 = u1.term JOIN uc u2 ON bc.w2 = u2.term
+    CROSS JOIN consts
+    WHERE c_xy >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+    tags=("llm", "text"),
+)
+def q211_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining (Church & Hanks
+    1990): the top-50 adjacent word pairs whose co-occurrence most
+    exceeds independence — the classic phrase/multi-word-expression
+    extractor used to build tokenizer merge candidates and stop-phrase
+    lists over a pretraining corpus.
+
+    PMI = ln( P(xy) / (P(x)P(y)) ) with counts from one token stream:
+    bigram counts, unigram counts (joined twice: left word, right
+    word), and the two corpus totals as a 1-row broadcast cross join.
+    A c_xy >= 5 support floor removes the noisy singleton tail BEFORE
+    the unigram joins, so at 100 TB the joined bigram table is the
+    (much smaller) repeated-pair set, not the raw O(corpus) stream;
+    every join is a key-partitioned equi-join and the final top-50 is
+    a global limit over a tiny ranked set. 4dp rounding keeps the log
+    arithmetic hash-exact vs the oracle."""
+    from ent_fins_lakehouse_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(normalize_text("text"), " ")).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    wlead = W.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("w2", F.lead("term").over(wlead))
+        .filter(F.col("w2").isNotNull())
+        .select(F.col("term").alias("w1"), "w2")
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c_xy")).filter(F.col("c_xy") >= 5)
+    uc = toks.groupBy("term").agg(F.count("*").alias("c_x"))
+    consts = big.agg(F.count("*").alias("n_bi")).crossJoin(
+        toks.agg(F.count("*").alias("n_uni"))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_xy").cast("double") / F.col("n_bi"))
+            / (
+                (F.col("u1_c").cast("double") / F.col("n_uni"))
+                * (F.col("u2_c").cast("double") / F.col("n_uni"))
+            )
+        ),
+        4,
+    )
+    return (
+        bc.join(uc.select(F.col("term").alias("w1"), F.col("c_x").alias("u1_c")), "w1")
+        .join(uc.select(F.col("term").alias("w2"), F.col("c_x").alias("u2_c")), "w2")
+        .crossJoin(F.broadcast(consts))
+        .select("w1", "w2", "c_xy", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(50)
+    )
+
+
+@query(
+    "q212_k_anonymity",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, source,
+             CAST(FLOOR(n_chars / 500) AS BIGINT) * 500 AS size_bucket
+      FROM documents
+    ),
+    g AS (
+      SELECT lang, source, size_bucket, COUNT(*) AS group_n
+      FROM base GROUP BY lang, source, size_bucket
+    )
+    SELECT b.doc_id, b.lang,
+           CASE WHEN g.group_n >= 5 THEN b.source ELSE '*' END AS source_anon,
+           CASE WHEN g.group_n >= 5 THEN CAST(b.size_bucket AS VARCHAR) ELSE '*' END AS size_anon,
+           g.group_n
+    FROM base b JOIN g USING (lang, source, size_bucket)
+    ORDER BY b.doc_id
+    """,
+    tags=("llm", "privacy"),
+)
+def q212_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression (Sweeney 2002) over quasi-identifiers
+    (lang, source, 100-char size bucket): any combination shared by
+    fewer than k=5 documents is generalized to '*' before release —
+    the standard re-identification guard applied to training-corpus
+    metadata exports alongside q92's in-text PII redaction.
+
+    One hash aggregation over the quasi-identifier tuple produces the
+    equivalence-class sizes; assignment is a key-partitioned join back
+    (the class table is orders of magnitude smaller than the corpus —
+    AQE broadcasts it when it fits, and the join stays an equi-shuffle
+    when a high-cardinality identifier blows it up, which is exactly
+    the failure mode a forced broadcast would OOM on). No windows, no
+    sorts, two shuffles total at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.floor(F.col("n_chars") / 500) * 500).alias("size_bucket"),
+    )
+    g = base.groupBy("lang", "source", "size_bucket").agg(F.count("*").alias("group_n"))
+    keep = F.col("group_n") >= 5
+    return (
+        base.join(g, ["lang", "source", "size_bucket"])
+        .select(
+            "doc_id",
+            "lang",
+            F.when(keep, F.col("source")).otherwise(F.lit("*")).alias("source_anon"),
+            F.when(keep, F.col("size_bucket").cast("string"))
+            .otherwise(F.lit("*"))
+            .alias("size_anon"),
+            "group_n",
+        )
+        .orderBy("doc_id")
+    )

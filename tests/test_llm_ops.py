@@ -681,3 +681,42 @@ def test_dsir_weights_favor_target_domain(spark):
     # the corpus is ~44% en; an importance-resampled top-50 must be
     # heavily enriched toward the target domain
     assert n_en >= 30, f"only {n_en}/50 selected docs are in-domain"
+
+
+def test_ccnet_buckets_partition_each_language(spark):
+    """q210: every doc gets exactly one bucket; within each language the
+    head third must outscore the tail third, and all three buckets are
+    non-empty (the distributional contract CCNet downstreams rely on)."""
+    from ent_fins_lakehouse_spark.plans.registry import queries_map
+
+    from tests.conftest import SF_ORACLE
+
+    rows = queries_map()["q210_ccnet_bucketing"](spark, SF_ORACLE).collect()
+    assert len(rows) == len({r["doc_id"] for r in rows})
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {}).setdefault(r["bucket"], []).append(r["avg_logp"])
+    for lang, buckets in by_lang.items():
+        assert set(buckets) == {"head", "middle", "tail"}, (lang, set(buckets))
+        assert min(buckets["head"]) >= max(buckets["tail"]), lang
+
+
+def test_k_anonymity_released_groups_are_large(spark):
+    """q212: after suppression, every released (non-'*') quasi-identifier
+    combination must cover >= k documents — the k-anonymity guarantee
+    itself, checked on the operator's output."""
+    from collections import Counter
+
+    from ent_fins_lakehouse_spark.plans.registry import queries_map
+
+    from tests.conftest import SF_ORACLE
+
+    rows = queries_map()["q212_k_anonymity"](spark, SF_ORACLE).collect()
+    released = Counter(
+        (r["lang"], r["source_anon"], r["size_anon"])
+        for r in rows
+        if r["source_anon"] != "*"
+    )
+    assert released, "expected at least one released group at sf0.01"
+    assert min(released.values()) >= 5
+    assert any(r["source_anon"] == "*" for r in rows), "expected suppression"
