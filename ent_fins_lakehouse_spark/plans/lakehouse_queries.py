@@ -2910,3 +2910,61 @@ def q213_iceberg_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     except ValueError:
         pass
     return t.read().orderBy("doc_id")
+
+
+@query(
+    "q214_delta_generated_columns",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=("lakehouse", "delta", "interop"),
+)
+def q214_delta_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta GENERATED COLUMNS (protocol: 'Generated Columns',
+    writerVersion 4) on the public log: the table is created with
+    ``event_date GENERATED ALWAYS AS (CAST(ts AS DATE))`` as its
+    partition column — the canonical date-from-timestamp layout that
+    gives event-time queries partition pruning without the writer ever
+    supplying the column. Asserted in-line: an append WITHOUT the
+    column has it computed; an append carrying a value that disagrees
+    with the expression is refused (the O(write-size) validation scan,
+    like CHECK constraints); a date-equality scan_info prunes all but
+    one partition's files (ISO partitionValues compare
+    lexicographically = chronologically). At 100 TB the win is the
+    pruning: a one-day dashboard query reads one day's files, and
+    enforcement cost stays proportional to the write, never the
+    table."""
+    from ent_fins_lakehouse_spark.functions.numeric import dsum
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    t = DeltaLogTable(spark, _scratch("gencol") + "_t")
+    t.write(
+        ev.filter(F.col("event_id") % 2 == 0),
+        mode="overwrite",
+        partition_by=["event_date"],
+        generated_columns={"event_date": "CAST(ts AS DATE)"},
+    )
+    # second writer never mentions event_date — the table computes it
+    t.write(ev.filter(F.col("event_id") % 2 == 1), mode="append")
+    one_day = t.read().select(F.col("event_date").cast("string")).first()[0]
+    info = t.scan_info(f"event_date = '{one_day}'")
+    if info["n_pruned"] == 0:
+        raise AssertionError(f"generated partition column must prune: {info}")
+    try:
+        t.write(
+            ev.limit(1).withColumn("event_date", F.expr("DATE '1999-01-01'")),
+            mode="append",
+        )
+        raise AssertionError("value disagreeing with the expression must refuse")
+    except ValueError:
+        pass
+    return (
+        t.read()
+        .groupBy(F.col("event_date").cast("string").alias("event_date"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .orderBy("event_date")
+    )

@@ -1536,6 +1536,11 @@ class DeltaLogTable:
                     return float(v)
                 if isinstance(dt, T.StringType):
                     return v
+                if isinstance(dt, T.DateType):
+                    # hive partitionValues store ISO yyyy-MM-dd, where
+                    # lexicographic order IS chronological order — the
+                    # string range is sound against string literals
+                    return v
             except (TypeError, ValueError):
                 return None
             return None
@@ -1935,6 +1940,7 @@ class DeltaLogTable:
         mode: str = "append",
         partition_by: list[str] | None = None,
         txn: tuple[str, int] | None = None,
+        generated_columns: dict[str, str] | None = None,
     ) -> int:
         """Commit data in the PUBLIC Delta log format (closes the write
         half of the interop loop — engine output becomes consumable by
@@ -1970,9 +1976,32 @@ class DeltaLogTable:
         meta: dict | None = None
         cm_mode, cm_pmap = "none", {}
         committed_schema = None
+        gen_exprs: dict[str, str] = {}
+        if version == 0:
+            # GENERATED COLUMNS (protocol: 'Generated Columns',
+            # writerVersion 4): declared at creation, recorded as
+            # delta.generationExpression in the field metadata so any
+            # Delta writer sees the contract. Missing columns are
+            # computed here; supplied columns are validated below.
+            gen_exprs = dict(generated_columns or {})
+            for name, expr in gen_exprs.items():
+                if name not in df.columns:
+                    df = df.withColumn(name, F.expr(expr))
+        elif generated_columns is not None:
+            raise ValueError(
+                "generated_columns can only be declared at table creation"
+            )
         if version > 0:
             existing_adds, committed_schema, committed_parts, meta = self._snapshot()
             cm_mode, cm_pmap = self._mapping(meta, committed_schema)
+            gen_exprs = {
+                f.name: (f.metadata or {})["delta.generationExpression"]
+                for f in committed_schema.fields
+                if "delta.generationExpression" in (f.metadata or {})
+            }
+            for name, expr in gen_exprs.items():
+                if name not in df.columns:
+                    df = df.withColumn(name, F.expr(expr))
             if partition_by is None:
                 partition_by = committed_parts
             if mode == "append" or cm_mode != "none":
@@ -2003,13 +2032,41 @@ class DeltaLogTable:
 
         if self.exists():
             self._enforce_constraints(df, f"write(mode={mode})")
+        if gen_exprs:
+            # one O(write size) validation scan, like CHECK constraints:
+            # a supplied value that disagrees with its generation
+            # expression would silently corrupt the invariant readers
+            # and partition pruning rely on
+            pred = " OR ".join(
+                f"(NOT (({name}) <=> ({expr})))" for name, expr in gen_exprs.items()
+            )
+            bad = df.filter(pred).limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"write(mode={mode}) rejected: generated column value "
+                    f"disagrees with its expression ({gen_exprs}) in row "
+                    f"{bad[0].asDict()}"
+                )
         # metaData schemaString must stay LOGICAL; capture it before any
         # physical rename (for a mapped table the committed string — with
         # its mapping metadata — IS the logical schema and cannot have
         # changed, per the check above)
-        schema_json = (
-            meta["schemaString"] if cm_mode != "none" else df.schema.json()
-        )
+        if cm_mode != "none":
+            schema_json = meta["schemaString"]
+        elif gen_exprs:
+            # keep delta.generationExpression in the schema on creation
+            # AND overwrite — re-emitting metaData without it would
+            # silently drop the feature (same carry rule as
+            # configuration below)
+            base = json.loads(df.schema.json())
+            for fld in base["fields"]:
+                if fld["name"] in gen_exprs:
+                    md = dict(fld.get("metadata") or {})
+                    md["delta.generationExpression"] = gen_exprs[fld["name"]]
+                    fld["metadata"] = md
+            schema_json = json.dumps(base)
+        else:
+            schema_json = df.schema.json()
         stage_parts = part_cols
         if cm_mode != "none":
             # column-mapped table: data files carry PHYSICAL column names
@@ -2060,7 +2117,15 @@ class DeltaLogTable:
                 }
             )
         if version == 0:
-            actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        # generated columns gate writers at version 4
+                        "minWriterVersion": 4 if gen_exprs else 2,
+                    }
+                }
+            )
         if version == 0 or (
             mode == "overwrite"
             and meta is not None

@@ -3044,3 +3044,36 @@ def test_iceberg_spec_evolution_reuses_identical_field_ids(spark, tmp_path):
     t.append(docs.filter(F.col("doc_id") % 2 == 1),
              partition_by=["truncate(16, doc_id)", "lang"])
     assert t.read().count() == docs.count()
+
+
+def test_generated_columns_survive_overwrite(spark, tmp_path):
+    """A later overwrite must re-emit metaData WITH the
+    delta.generationExpression field metadata (dropping it would
+    silently disable generation for every future writer), and appends
+    after the overwrite still compute the column."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+    from ent_fins_lakehouse_spark.sources.readers import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "ts", "value")
+    t = DeltaLogTable(spark, str(tmp_path / "t"))
+    t.write(ev.limit(100), mode="overwrite", partition_by=["event_date"],
+            generated_columns={"event_date": "CAST(ts AS DATE)"})
+    t.write(ev.limit(10), mode="overwrite")
+    _, schema, _, meta = t._snapshot()
+    f = next(f for f in schema.fields if f.name == "event_date")
+    assert (f.metadata or {}).get("delta.generationExpression") == "CAST(ts AS DATE)"
+    t.write(ev.limit(5), mode="append")
+    got = t.read().selectExpr("count_if(event_date <=> CAST(ts AS DATE)) = count(*) AS ok").first()["ok"]
+    assert got
+    # generated_columns is a creation-time declaration only
+    try:
+        t.write(ev.limit(1), mode="append", generated_columns={"x": "1"})
+        raise AssertionError("post-creation generated_columns must refuse")
+    except ValueError:
+        pass
