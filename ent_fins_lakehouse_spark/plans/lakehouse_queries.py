@@ -2968,3 +2968,57 @@ def q214_delta_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
         .orderBy("event_date")
     )
+
+
+@query(
+    "q215_bloom_file_index",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(CAST(value AS DECIMAL(12,4)) AS DOUBLE) AS value
+    FROM events WHERE event_id IN (101, 333, 501, 750, 888)
+    ORDER BY event_id
+    """,
+    tags=("lakehouse", "delta", "skipping"),
+)
+def q215_bloom_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file BLOOM FILTER index for high-cardinality point lookups
+    (the Databricks Delta bloom-index shape, as an engine sidecar):
+    the table is written hash-shuffled so every file spans the whole
+    key domain — min/max range stats are PROVABLY useless (asserted:
+    zero files pruned pre-index) — then one distributed applyInPandas
+    pass builds an fpp=1% bloom per file, keyed by the add action.
+    Point probes then skip every file whose filter proves the key
+    absent (asserted: fewer files read than active), with
+    post-index appends simply carrying no entry (never skipped —
+    sound). At 100 TB this is the needle-in-haystack path: a key
+    lookup over randomly-ordered data reads ~1 file instead of all of
+    them, and the index build touches each row exactly once."""
+    from functools import reduce
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t = DeltaLogTable(spark, _scratch("bloom") + "_t")
+    t.write(
+        ev.repartition(8, F.md5(F.col("event_id").cast("string"))),
+        mode="overwrite",
+    )
+    pre = t.scan_info("event_id = 501")
+    if pre["n_pruned"] != 0:
+        raise AssertionError(f"range stats must be useless pre-index: {pre}")
+    t.create_bloom_index("event_id", fpp=0.01)
+    parts = []
+    for key in (101, 333, 501, 750, 888):
+        info = t.scan_info(f"event_id = {key}")
+        if info["n_read"] >= info["n_active"]:
+            raise AssertionError(f"bloom probe must skip files: {info}")
+        parts.append(t.read(where=f"event_id = {key}"))
+    out = reduce(lambda a, b: a.unionAll(b), parts)
+    return (
+        out.select(
+            "event_id",
+            "event_type",
+            F.col("value").cast("decimal(12,4)").cast("double").alias("value"),
+        )
+        .orderBy("event_id")
+    )

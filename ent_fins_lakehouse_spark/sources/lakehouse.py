@@ -1582,6 +1582,171 @@ class DeltaLogTable:
 
         return mode, {f.name: pname(f) for f in schema.fields}
 
+    # ---------------------------------------------- bloom file index
+
+    def create_bloom_index(self, col: str, fpp: float = 0.01) -> dict:
+        """Per-FILE Bloom filter index over ``col`` — the skipping
+        mechanism for HIGH-CARDINALITY point lookups, where min/max
+        range stats are useless (a file of randomly distributed keys
+        spans the whole domain, so every range overlaps every
+        equality probe). The Databricks Delta bloom-filter index has
+        the same shape; like it, the index is an engine-side sidecar
+        (``_bloom_index/<col>.json``), not part of the Delta spec —
+        readers that ignore it just skip less.
+
+        Scale design: the build is ONE distributed pass — rows tagged
+        with ``_metadata.file_path``, grouped per file (an
+        applyInPandas over the file key — the natural unit, since a
+        bloom is a per-file artifact), each task hashing its file's
+        values into an m-bit array sized from the ROW COUNT of that
+        file and the requested fpp. Only the finished bitsets (a few
+        KB per file) return to the driver. Files added after the
+        build carry no entry and are simply never skipped — sound,
+        and the index is rebuilt (or not) on the owner's cadence.
+        """
+        import base64
+        import math
+
+        from pyspark.sql import functions as SF
+
+        adds, schema, part_cols, meta = self._snapshot()
+        if col not in [f.name for f in schema.fields]:
+            raise ValueError(f"no column {col!r} in table schema")
+        if not 0.0 < fpp < 1.0:
+            raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+        paths = sorted(adds)
+        if not paths:
+            raise ValueError("cannot index an empty table")
+        # add-action paths are table-relative (absolute only for
+        # shallow clones) — resolve for the scan, key the index by the
+        # ADD KEY so _bloom_prune matches snapshot entries directly
+        by_abs = {
+            os.path.abspath(os.path.join(self.path, rel)): rel for rel in paths
+        }
+        df = (
+            self.spark.read.schema(schema)
+            .parquet(*sorted(by_abs))
+            .select(
+                SF.col("_metadata.file_path").alias("_bf_path"),
+                SF.col(col).cast("string").alias("_bf_val"),
+            )
+        )
+        ln2 = math.log(2.0)
+        ln_fpp = math.log(fpp)
+
+        def build(pdf):
+            import hashlib as _h
+
+            import numpy as _np
+            import pandas as _pd
+
+            vals = pdf["_bf_val"].dropna().unique()
+            n = max(len(vals), 1)
+            bits = max(64, int(math.ceil(-n * ln_fpp / (ln2 * ln2))))
+            bits = (bits + 7) & ~7
+            k = max(1, int(round(bits / n * ln2)))
+            arr = _np.zeros(bits, dtype=_np.bool_)
+            for v in vals:
+                d = _h.md5(v.encode("utf-8")).digest()
+                h1 = int.from_bytes(d[:8], "little")
+                h2 = int.from_bytes(d[8:], "little") | 1
+                for i in range(k):
+                    arr[(h1 + i * h2) % bits] = True
+            packed = _np.packbits(arr)
+            return _pd.DataFrame(
+                {
+                    "path": [pdf["_bf_path"].iloc[0]],
+                    "bits": [bits],
+                    "k": [k],
+                    "bitmap": [base64.b64encode(packed.tobytes()).decode()],
+                }
+            )
+
+        rows = (
+            df.groupBy("_bf_path")
+            .applyInPandas(build, "path string, bits long, k long, bitmap string")
+            .collect()
+        )
+        entries = {}
+        for r in rows:
+            ap = r["path"]
+            if ap.startswith("file:"):
+                ap = ap[len("file:"):]
+                while ap.startswith("//"):
+                    ap = ap[1:]
+            key = by_abs.get(os.path.abspath(ap))
+            if key is not None:
+                entries[key] = {
+                    "bits": r["bits"], "k": r["k"], "bitmap": r["bitmap"]
+                }
+        idx_dir = os.path.join(self.path, "_bloom_index")
+        os.makedirs(idx_dir, exist_ok=True)
+        with open(os.path.join(idx_dir, f"{col}.json"), "w") as fh:
+            json.dump({"column": col, "fpp": fpp, "files": entries}, fh)
+        return {"column": col, "n_files": len(entries)}
+
+    def _bloom_indexes(self) -> dict[str, dict]:
+        idx_dir = os.path.join(self.path, "_bloom_index")
+        out: dict[str, dict] = {}
+        if os.path.isdir(idx_dir):
+            for f in os.listdir(idx_dir):
+                if f.endswith(".json"):
+                    try:
+                        with open(os.path.join(idx_dir, f)) as fh:
+                            idx = json.load(fh)
+                        out[idx["column"]] = idx
+                    except (OSError, ValueError, KeyError):
+                        continue
+        return out
+
+    def _bloom_prune(self, where: str | None, cand: list[str]) -> tuple[list[str], int]:
+        """Drop candidate files whose bloom filter PROVES an equality
+        conjunct's literal is absent. Files without an index entry
+        (post-build appends) are always kept — sound."""
+        if not where:
+            return cand, 0
+        idxs = self._bloom_indexes()
+        if not idxs:
+            return cand, 0
+        from ent_fins_lakehouse_spark.sources.skipping import parse_conjuncts
+
+        cons = parse_conjuncts(where)
+        if not cons:
+            return cand, 0
+        import base64
+        import hashlib
+
+        import numpy as np
+
+        probes = [
+            (c, str(lit)) for c, op, lit in cons if op == "=" and c in idxs
+        ]
+        if not probes:
+            return cand, 0
+        keep: list[str] = []
+        dropped = 0
+        for p in cand:
+            ok = True
+            for col, lit in probes:
+                ent = (idxs[col].get("files") or {}).get(p)
+                if ent is None:
+                    continue
+                bits, k = int(ent["bits"]), int(ent["k"])
+                arr = np.unpackbits(
+                    np.frombuffer(base64.b64decode(ent["bitmap"]), dtype=np.uint8)
+                )[:bits]
+                d = hashlib.md5(lit.encode("utf-8")).digest()
+                h1 = int.from_bytes(d[:8], "little")
+                h2 = int.from_bytes(d[8:], "little") | 1
+                if not all(arr[(h1 + i * h2) % bits] for i in range(k)):
+                    ok = False
+                    break
+            if ok:
+                keep.append(p)
+            else:
+                dropped += 1
+        return keep, dropped
+
     def scan_info(self, where: str | None = None, version_as_of: int | None = None) -> dict:
         """How many data files a predicate scan reads vs skips via
         add-action stats (tests + EXPLAIN-style visibility — the
@@ -1592,7 +1757,13 @@ class DeltaLogTable:
         _, pmap = self._mapping(meta, schema)
         stats = self._file_stats_map(adds, schema, part_cols, pmap)
         cand, pruned = prune_dirs(where, stats, sorted(adds))
-        return {"n_active": len(adds), "n_read": len(cand), "n_pruned": len(pruned)}
+        cand, bloom_dropped = self._bloom_prune(where, cand)
+        return {
+            "n_active": len(adds),
+            "n_read": len(cand),
+            "n_pruned": len(pruned) + bloom_dropped,
+            "n_bloom_pruned": bloom_dropped,
+        }
 
     def read(
         self, version_as_of: int | None = None, where: str | None = None
@@ -1621,6 +1792,7 @@ class DeltaLogTable:
 
             stats = self._file_stats_map(adds, schema, part_cols, pmap)
             cand, _pruned = prune_dirs(where, stats, sorted(adds))
+            cand, _bloom_dropped = self._bloom_prune(where, cand)
             adds = {p: adds[p] for p in cand}
         if not adds:
             empty = self.spark.createDataFrame([], out_schema)
