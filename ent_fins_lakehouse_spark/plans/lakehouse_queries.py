@@ -3022,3 +3022,60 @@ def q215_bloom_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q216_delta_identity_columns",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, COUNT(*) AS n_distinct,
+           COUNT(*) AS above_start, COUNT(*) AS step_aligned
+    FROM events
+    """,
+    tags=("lakehouse", "delta"),
+)
+def q216_delta_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta IDENTITY COLUMNS (protocol: 'Identity Columns',
+    writerVersion 6): ``row_id BIGINT GENERATED ALWAYS AS IDENTITY
+    (START WITH 100 INCREMENT BY 10)`` — the surrogate-key generator.
+    Assignment is fully distributed: each partition numbers its rows
+    inside a disjoint reserved span above the high water mark (a
+    per-partition window — no global sort, no driver counter), so
+    values are UNIQUE and ascending-by-batch with gaps, exactly
+    Delta's contract for concurrent/partitioned writers. The high
+    water mark advances from the committed files' add-action stats —
+    zero extra scan — and persists in the re-emitted metaData, so the
+    second append provably allocates above the first (asserted).
+    Explicit values for the column are refused (GENERATED ALWAYS).
+    The oracle checks the invariants the feature guarantees:
+    row-count preserved, all ids distinct, at-or-above start,
+    step-aligned."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t = DeltaLogTable(spark, _scratch("ident") + "_t")
+    t.write(
+        ev.filter(F.col("event_id") % 2 == 0).repartition(4),
+        mode="overwrite",
+        identity_columns={"row_id": {"start": 100, "step": 10}},
+    )
+    hwm1 = t.read().agg(F.max("row_id")).first()[0]
+    t.write(ev.filter(F.col("event_id") % 2 == 1).repartition(3), mode="append")
+    full = t.read()
+    batch2_min = full.filter(F.col("event_id") % 2 == 1).agg(
+        F.min("row_id")
+    ).first()[0]
+    if batch2_min <= hwm1:
+        raise AssertionError(
+            f"append must allocate above the high water mark: {batch2_min} <= {hwm1}"
+        )
+    try:
+        t.write(ev.limit(1).withColumn("row_id", F.lit(1).cast("long")), mode="append")
+        raise AssertionError("explicit identity values must refuse")
+    except ValueError:
+        pass
+    return full.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("row_id").alias("n_distinct"),
+        F.count_if(F.col("row_id") >= 100).alias("above_start"),
+        F.count_if((F.col("row_id") - 100) % 10 == 0).alias("step_aligned"),
+    )

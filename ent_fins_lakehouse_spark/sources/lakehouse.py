@@ -1177,6 +1177,33 @@ def _dv_row_indexes_of(table_path: str, dv: dict) -> list[int]:
     return roaring64_rows(blob[off + 4 : off + 4 + size])
 
 
+def _assign_identity(df: DataFrame, name: str, spec: dict) -> DataFrame:
+    """Distributed IDENTITY assignment (protocol: 'Identity Columns'):
+    each input partition gets a disjoint reserved span above the high
+    water mark — a per-partition window (parallel; ordered only by the
+    partition-local monotonic id, never a global sort) numbers rows
+    densely inside the span. Values are unique and move in the step's
+    direction; gaps between partitions are EXPECTED (Delta's own
+    contract — concurrent and partitioned writers never produce
+    contiguous ids)."""
+    from pyspark.sql import Window as _W
+
+    step = int(spec["step"])
+    base = (
+        int(spec["hwm"]) if spec.get("hwm") is not None
+        else int(spec["start"]) - step
+    )
+    per_part = 1 << 33  # the monotonically_increasing_id partition span
+    tagged = df.withColumn("_id_part", F.spark_partition_id().cast("long")).withColumn(
+        "_id_mono", F.monotonically_increasing_id()
+    )
+    w = _W.partitionBy("_id_part").orderBy("_id_mono")
+    ordinal = F.col("_id_part") * F.lit(per_part) + F.row_number().over(w).cast("long")
+    return tagged.withColumn(
+        name, F.lit(base).cast("long") + F.lit(step).cast("long") * ordinal
+    ).drop("_id_part", "_id_mono")
+
+
 class DeltaLogTable:
     """Read-only interop with open-source Delta Lake tables.
 
@@ -2113,6 +2140,7 @@ class DeltaLogTable:
         partition_by: list[str] | None = None,
         txn: tuple[str, int] | None = None,
         generated_columns: dict[str, str] | None = None,
+        identity_columns: dict[str, dict] | None = None,
     ) -> int:
         """Commit data in the PUBLIC Delta log format (closes the write
         half of the interop loop — engine output becomes consumable by
@@ -2149,6 +2177,25 @@ class DeltaLogTable:
         cm_mode, cm_pmap = "none", {}
         committed_schema = None
         gen_exprs: dict[str, str] = {}
+        id_specs: dict[str, dict] = {}
+        if version == 0:
+            # IDENTITY COLUMNS (protocol: 'Identity Columns',
+            # writerVersion 6): GENERATED ALWAYS AS IDENTITY — the
+            # table assigns values; uniqueness and direction are
+            # guaranteed, contiguity is NOT (Delta's own contract:
+            # concurrent/partitioned writers get gaps).
+            for name, spec in (identity_columns or {}).items():
+                id_specs[name] = {
+                    "start": int(spec.get("start", 1)),
+                    "step": int(spec.get("step", 1)),
+                    "hwm": None,
+                }
+                if id_specs[name]["step"] == 0:
+                    raise ValueError("identity step must be nonzero")
+        elif identity_columns is not None:
+            raise ValueError(
+                "identity_columns can only be declared at table creation"
+            )
         if version == 0:
             # GENERATED COLUMNS (protocol: 'Generated Columns',
             # writerVersion 4): declared at creation, recorded as
@@ -2159,6 +2206,13 @@ class DeltaLogTable:
             for name, expr in gen_exprs.items():
                 if name not in df.columns:
                     df = df.withColumn(name, F.expr(expr))
+            for name, spec in id_specs.items():
+                if name in df.columns:
+                    raise ValueError(
+                        f"column {name!r} is GENERATED ALWAYS AS IDENTITY — "
+                        "explicit values are refused; the table assigns them"
+                    )
+                df = _assign_identity(df, name, spec)
         elif generated_columns is not None:
             raise ValueError(
                 "generated_columns can only be declared at table creation"
@@ -2174,8 +2228,27 @@ class DeltaLogTable:
             for name, expr in gen_exprs.items():
                 if name not in df.columns:
                     df = df.withColumn(name, F.expr(expr))
+            for f in committed_schema.fields:
+                md = f.metadata or {}
+                if "delta.identity.start" in md:
+                    id_specs[f.name] = {
+                        "start": int(md["delta.identity.start"]),
+                        "step": int(md["delta.identity.step"]),
+                        "hwm": (
+                            int(md["delta.identity.highWaterMark"])
+                            if "delta.identity.highWaterMark" in md
+                            else None
+                        ),
+                    }
             if partition_by is None:
                 partition_by = committed_parts
+            for name, spec in id_specs.items():
+                if name in df.columns:
+                    raise ValueError(
+                        f"column {name!r} is GENERATED ALWAYS AS IDENTITY — "
+                        "explicit values are refused; the table assigns them"
+                    )
+                df = _assign_identity(df, name, spec)
             if mode == "append" or cm_mode != "none":
                 # column-mapped overwrite reuses the committed mapping,
                 # so the incoming LOGICAL schema must match exactly too
@@ -2225,17 +2298,27 @@ class DeltaLogTable:
         # changed, per the check above)
         if cm_mode != "none":
             schema_json = meta["schemaString"]
-        elif gen_exprs:
-            # keep delta.generationExpression in the schema on creation
-            # AND overwrite — re-emitting metaData without it would
-            # silently drop the feature (same carry rule as
-            # configuration below)
+        elif gen_exprs or id_specs:
+            # keep delta.generationExpression / delta.identity.* in the
+            # schema on creation AND overwrite — re-emitting metaData
+            # without them would silently drop the feature (same carry
+            # rule as configuration below); the identity high water
+            # mark is patched in after staging, once the committed
+            # files' stats reveal the max assigned value
             base = json.loads(df.schema.json())
             for fld in base["fields"]:
+                md = dict(fld.get("metadata") or {})
                 if fld["name"] in gen_exprs:
-                    md = dict(fld.get("metadata") or {})
                     md["delta.generationExpression"] = gen_exprs[fld["name"]]
-                    fld["metadata"] = md
+                if fld["name"] in id_specs:
+                    sp = id_specs[fld["name"]]
+                    md["delta.identity.start"] = sp["start"]
+                    md["delta.identity.step"] = sp["step"]
+                    if sp.get("hwm") is not None:
+                        md["delta.identity.highWaterMark"] = sp["hwm"]
+                md["delta.identity.allowExplicitInsert" ] = False if fld["name"] in id_specs else md.get("delta.identity.allowExplicitInsert")
+                md = {k: v for k, v in md.items() if v is not None}
+                fld["metadata"] = md
             schema_json = json.dumps(base)
         else:
             schema_json = df.schema.json()
@@ -2263,6 +2346,38 @@ class DeltaLogTable:
             df = df.select(*cols)
             stage_parts = [cm_pmap[c] for c in part_cols]
         adds = self._stage_adds(df, stage_parts)
+        if id_specs:
+            # the committed files' stats already carry min/max for the
+            # identity column — the high water mark advances with ZERO
+            # extra scan over the data
+            base = json.loads(schema_json)
+            for name, sp in id_specs.items():
+                vals = []
+                for info in adds:
+                    try:
+                        js = json.loads(info["add"].get("stats") or "{}")
+                    except (TypeError, ValueError):
+                        js = {}
+                    v = (
+                        js.get("maxValues", {}).get(name)
+                        if sp["step"] > 0
+                        else js.get("minValues", {}).get(name)
+                    )
+                    if v is not None:
+                        vals.append(int(v))
+                if vals:
+                    new_hwm = max(vals) if sp["step"] > 0 else min(vals)
+                    prev = sp.get("hwm")
+                    if prev is None or (
+                        new_hwm > prev if sp["step"] > 0 else new_hwm < prev
+                    ):
+                        sp["hwm"] = new_hwm
+                for fld in base["fields"]:
+                    if fld["name"] == name and sp.get("hwm") is not None:
+                        md = dict(fld.get("metadata") or {})
+                        md["delta.identity.highWaterMark"] = sp["hwm"]
+                        fld["metadata"] = md
+            schema_json = json.dumps(base)
         now = int(time.time() * 1000)
 
         actions: list[dict] = [
@@ -2293,8 +2408,11 @@ class DeltaLogTable:
                 {
                     "protocol": {
                         "minReaderVersion": 1,
-                        # generated columns gate writers at version 4
-                        "minWriterVersion": 4 if gen_exprs else 2,
+                        # identity columns gate writers at version 6,
+                        # generated columns at 4
+                        "minWriterVersion": (
+                            6 if id_specs else 4 if gen_exprs else 2
+                        ),
                     }
                 }
             )
@@ -2302,6 +2420,10 @@ class DeltaLogTable:
             mode == "overwrite"
             and meta is not None
             and (meta.get("schemaString") != schema_json or list(meta.get("partitionColumns") or []) != part_cols)
+        ) or (
+            # identity appends re-emit metaData: the advanced high
+            # water mark is table state and must be durable
+            id_specs and meta is not None and meta.get("schemaString") != schema_json
         ):
             actions.append(
                 {

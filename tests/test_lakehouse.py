@@ -3077,3 +3077,30 @@ def test_generated_columns_survive_overwrite(spark, tmp_path):
         raise AssertionError("post-creation generated_columns must refuse")
     except ValueError:
         pass
+
+
+def test_identity_high_water_mark_survives_reopen(spark, tmp_path):
+    """The advanced high water mark must be durable table state: a
+    FRESH DeltaLogTable handle (new log replay) appending again still
+    allocates above everything previously assigned."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+    from ent_fins_lakehouse_spark.sources.readers import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "value")
+    path = str(tmp_path / "t")
+    t = DeltaLogTable(spark, path)
+    t.write(ev.limit(200).repartition(4), mode="overwrite",
+            identity_columns={"rid": {"start": 1, "step": 1}})
+    mx = t.read().agg(F.max("rid")).first()[0]
+    t2 = DeltaLogTable(spark, path)  # fresh handle, fresh replay
+    t2.write(ev.limit(100).repartition(2), mode="append")
+    r = t2.read()
+    assert r.count() == 300
+    assert r.select("rid").distinct().count() == 300
+    assert r.filter(F.col("rid") > mx).count() == 100
+    # protocol gates writers at version 6
+    assert t2._snapshot()[3] is not None
