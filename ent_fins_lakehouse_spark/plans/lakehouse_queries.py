@@ -3079,3 +3079,56 @@ def q216_delta_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("row_id") >= 100).alias("above_start"),
         F.count_if((F.col("row_id") - 100) % 10 == 0).alias("step_aligned"),
     )
+
+
+@query(
+    "q217_uniform_incremental_sync",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal FROM supplier
+    WHERE (s_suppkey % 3 = 0 OR s_suppkey % 3 = 1) AND s_suppkey <= 50
+    ORDER BY s_suppkey
+    """,
+    tags=("lakehouse", "delta", "iceberg", "interop"),
+)
+def q217_uniform_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniForm-style INCREMENTAL Delta→Iceberg sync (the XTable
+    incremental contract, one step past q172's one-shot conversion):
+    the Iceberg snapshot summary anchors the last-synced Delta
+    version, so a later sync translates ONLY the commits since then —
+    an append window becomes one Iceberg append snapshot carrying just
+    the new files with prior manifests reused untouched (sync cost is
+    O(new files), not O(table), the property that makes continuous
+    dual-format publication viable at 100 TB); a window containing
+    removals (DELETE + OPTIMIZE here) degrades to one REPLACE snapshot
+    over the current listing — still zero bytes of data copied, and
+    every earlier snapshot stays time-travelable (asserted). An
+    in-sync table returns None (asserted); the op chain is asserted
+    ['append', 'append', 'replace']."""
+    from ent_fins_lakehouse_spark.sources.iceberg import (
+        convert_delta_to_iceberg,
+        sync_delta_to_iceberg,
+    )
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    base = _scratch("unisync")
+    t = DeltaLogTable(spark, base + "_delta")
+    t.write(sup.filter(F.col("s_suppkey") % 3 == 0), mode="overwrite")
+    ice = convert_delta_to_iceberg(spark, t, base + "_ice")
+    if sync_delta_to_iceberg(spark, t, ice) is not None:
+        raise AssertionError("in-sync table must be a no-op")
+    t.write(sup.filter(F.col("s_suppkey") % 3 == 1), mode="append")
+    if sync_delta_to_iceberg(spark, t, ice) is None:
+        raise AssertionError("append window must produce a snapshot")
+    n_mid = ice.read().count()
+    t.delete("s_suppkey > 50")
+    t.optimize()
+    sync_delta_to_iceberg(spark, t, ice)
+    ops = [s["summary"]["operation"] for s in ice.snapshots()]
+    if ops != ["append", "append", "replace"]:
+        raise AssertionError(f"unexpected sync op chain: {ops}")
+    if ice.read(snapshot_id=2).count() != n_mid:
+        raise AssertionError("pre-replace snapshot must stay time-travelable")
+    return ice.read().orderBy("s_suppkey")

@@ -2415,42 +2415,7 @@ def convert_delta_to_iceberg(spark, delta_table, dest: str) -> "IcebergTable":
     itypes = {f["name"]: f["type"] for f in fields}
     packf = {"int": "<i", "long": "<q", "float": "<f", "double": "<d"}
 
-    entries = []
-    for rel, info in sorted(adds.items()):
-        full = os.path.abspath(os.path.join(delta_table.path, rel))
-        stats = json.loads(info.get("stats") or "null")
-        lo_kv, hi_kv = [], []
-        n_rows = None
-        if stats and "numRecords" in stats:
-            n_rows = int(stats["numRecords"])
-            mins = stats.get("minValues") or {}
-            maxs = stats.get("maxValues") or {}
-            for name, lo in mins.items():
-                t = itypes.get(name)
-                if t not in packf or name not in maxs:
-                    continue
-                if isinstance(lo, bool) or not isinstance(lo, (int, float)):
-                    continue
-                lo_kv.append({"key": ids[name], "value": _s.pack(packf[t], lo)})
-                hi_kv.append({"key": ids[name], "value": _s.pack(packf[t], maxs[name])})
-        if n_rows is None:
-            n_rows = pq.ParquetFile(full).metadata.num_rows
-        entries.append(
-            {
-                "status": 1,
-                "snapshot_id": 1,
-                "sequence_number": None,
-                "data_file": {
-                    "content": 0,
-                    "file_path": full,
-                    "file_format": "PARQUET",
-                    "record_count": n_rows,
-                    "file_size_in_bytes": os.path.getsize(full),
-                    "lower_bounds": lo_kv or None,
-                    "upper_bounds": hi_kv or None,
-                },
-            }
-        )
+    entries = _delta_file_entries(delta_table, adds, ids, itypes, 1)
 
     meta_dir = os.path.join(dest, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
@@ -2629,3 +2594,150 @@ def convert_iceberg_to_delta(spark, iceberg_table: "IcebergTable", dest: str):
     os.makedirs(dest, exist_ok=True)
     dl._commit_actions(0, actions)
     return dl
+
+
+def _delta_file_entries(
+    delta_table, adds: dict, ids: dict, itypes: dict, snap_id: int
+) -> list[dict]:
+    """Manifest entries pointing at a Delta table's own parquet files,
+    bounds re-encoded from the add-action stats (shared by
+    :func:`convert_delta_to_iceberg` and
+    :func:`sync_delta_to_iceberg`). Files without stats fall back to a
+    footer-metadata read (no data scan)."""
+    import struct as _s
+
+    import pyarrow.parquet as pq
+
+    packf = {"int": "<i", "long": "<q", "float": "<f", "double": "<d"}
+    entries = []
+    for rel, info in sorted(adds.items()):
+        full = os.path.abspath(os.path.join(delta_table.path, rel))
+        stats = json.loads(info.get("stats") or "null")
+        lo_kv, hi_kv = [], []
+        n_rows = None
+        if stats and "numRecords" in stats:
+            n_rows = int(stats["numRecords"])
+            mins = stats.get("minValues") or {}
+            maxs = stats.get("maxValues") or {}
+            for name, lo in mins.items():
+                t = itypes.get(name)
+                if t not in packf or name not in maxs:
+                    continue
+                if isinstance(lo, bool) or not isinstance(lo, (int, float)):
+                    continue
+                lo_kv.append({"key": ids[name], "value": _s.pack(packf[t], lo)})
+                hi_kv.append({"key": ids[name], "value": _s.pack(packf[t], maxs[name])})
+        if n_rows is None:
+            n_rows = pq.ParquetFile(full).metadata.num_rows
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": full,
+                    "file_format": "PARQUET",
+                    "record_count": n_rows,
+                    "file_size_in_bytes": os.path.getsize(full),
+                    "lower_bounds": lo_kv or None,
+                    "upper_bounds": hi_kv or None,
+                },
+            }
+        )
+    return entries
+
+
+def sync_delta_to_iceberg(spark, delta_table, iceberg_table: "IcebergTable") -> int | None:
+    """INCREMENTAL metadata-only sync of a previously-converted table
+    (the XTable incremental-sync contract): the last synced Delta
+    version is read from the current Iceberg snapshot's summary, and
+    only the commits SINCE then are translated — appends become one
+    Iceberg append snapshot carrying just the NEW files (prior
+    manifests are reused untouched); any removal in the window
+    (DELETE/OPTIMIZE rewrote files) degrades to one REPLACE snapshot
+    listing the current file set — still zero data copied, and old
+    snapshots stay time-travelable. Returns the new snapshot id, or
+    None when already in sync.
+
+    Refuses: a target whose current snapshot is not the last sync
+    (someone advanced the Iceberg side independently — one-way sync
+    cannot merge), schema drift since conversion, and the converter's
+    own preconditions (DVs / hive partitioning / column mapping)."""
+    import time
+    import uuid as _uuid
+
+    from ent_fins_lakehouse_spark.sources.avro_io import write_ocf
+
+    meta = iceberg_table.metadata()
+    snaps = list(meta.get("snapshots") or [])
+    cur_snap = next(
+        (s for s in snaps if s["snapshot-id"] == meta.get("current-snapshot-id")),
+        None,
+    )
+    if cur_snap is None or "delta-version" not in (cur_snap.get("summary") or {}):
+        raise ValueError(
+            "target is not a Delta-converted Iceberg table (or advanced "
+            "independently) — sync needs the delta-version anchor on the "
+            "current snapshot"
+        )
+    then = int(cur_snap["summary"]["delta-version"])
+    cur = delta_table.latest_version()
+    if cur == then:
+        return None
+    if cur < then:
+        raise ValueError(
+            f"Delta table is at version {cur}, behind the last sync {then}"
+        )
+    adds_now, schema, part_cols, dmeta = delta_table._snapshot()
+    if part_cols:
+        raise NotImplementedError(
+            "sync of a hive-partitioned Delta table needs a data rewrite"
+        )
+    if ((dmeta or {}).get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    ) != "none":
+        raise NotImplementedError("sync of a column-mapped Delta table is not supported")
+    if any(i["deletionVector"] for i in adds_now.values()):
+        raise NotImplementedError(
+            "table carries live deletion vectors — run optimize() first, then sync"
+        )
+    ice_schema = iceberg_table._ice_schema(meta)
+    ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    itypes = {f["name"]: f["type"] for f in ice_schema["fields"]}
+    if sorted(ids) != sorted(f.name for f in schema.fields):
+        raise NotImplementedError(
+            "Delta schema changed since conversion — re-convert instead of sync"
+        )
+    adds_then, _, _, _ = delta_table._snapshot(version_as_of=then)
+    new = {p: i for p, i in adds_now.items() if p not in adds_then}
+    gone = [p for p in adds_then if p not in adds_now]
+    now = int(time.time() * 1000)
+    seq = int(meta.get("last-sequence-number") or 0) + 1
+    snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+    if gone:
+        entries = _delta_file_entries(delta_table, adds_now, ids, itypes, snap_id)
+        rows = []
+        operation = "replace"
+    else:
+        entries = _delta_file_entries(delta_table, new, ids, itypes, snap_id)
+        rows = iceberg_table._prior_manifest_rows(meta, snaps)
+        operation = "append"
+    mpath = os.path.join(
+        iceberg_table.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro"
+    )
+    write_ocf(mpath, IcebergTable._MANIFEST_SCHEMA, entries)
+    rows.append(
+        {
+            "manifest_path": mpath,
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "added_snapshot_id": snap_id,
+        }
+    )
+    return iceberg_table._commit_snapshot(
+        meta, snaps, snap_id, seq, rows, operation, now,
+        summary_extra={"converted-from": "delta", "delta-version": str(cur)},
+    )
