@@ -3132,3 +3132,72 @@ def q217_uniform_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame
     if ice.read(snapshot_id=2).count() != n_mid:
         raise AssertionError("pre-replace snapshot must stay time-travelable")
     return ice.read().orderBy("s_suppkey")
+
+
+@query(
+    "q218_hll_sketch_rollup",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             COUNT(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1
+    )
+    SELECT day, n_exact, TRUE AS within_tol FROM daily
+    UNION ALL
+    SELECT 'TOTAL' AS day, COUNT(DISTINCT user_id) AS n_exact,
+           TRUE AS within_tol
+    FROM events
+    ORDER BY day
+    """,
+    tags=("lakehouse", "sketch", "incremental"),
+)
+def q218_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches as PERSISTED table state (Apache
+    DataSketches via Spark's hll_sketch_agg family): per-day user
+    sketches are built in one pass over events, persisted to a Delta
+    table as a binary column, and every later distinct-users question
+    — per day or across ANY day range — is answered by unioning the
+    KB-sized sketches, never rescanning the raw events. This is the
+    incremental-view pattern that makes 'distinct users last 90 days'
+    a metadata-sized query on a 100 TB event store: ingestion appends
+    one sketch row per (day, batch); re-aggregation is associative, so
+    the rollup shuffles sketch bytes, not user ids.
+
+    Correctness gate: the estimate must land within 2%% of the exact
+    per-day AND total distinct counts (lgConfigK=14 ≈ 0.8%% RSE) —
+    the ``within_tol`` column hash-checks that invariant against the
+    oracle's exact counts; a sketch regression flips it to false and
+    the driver flags the mismatch."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    daily = ev.groupBy(F.to_date("ts").cast("string").alias("day")).agg(
+        F.hll_sketch_agg(F.col("user_id"), F.lit(14)).alias("sk"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    t = DeltaLogTable(spark, _scratch("hll") + "_t")
+    t.write(daily, mode="overwrite")
+    sk = t.read()
+    per_day = sk.select(
+        "day",
+        "n_exact",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+            <= F.greatest(F.col("n_exact") * 0.02, F.lit(1.0))
+        ).alias("within_tol"),
+    )
+    total = sk.agg(
+        F.hll_union_agg("sk").alias("sk"),
+        # the exact total is NOT the sum of dailies (users repeat
+        # across days) — recomputed from raw once, for the gate only
+    ).crossJoin(
+        ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    ).select(
+        F.lit("TOTAL").alias("day"),
+        "n_exact",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+            <= F.greatest(F.col("n_exact") * 0.02, F.lit(1.0))
+        ).alias("within_tol"),
+    )
+    return per_day.unionAll(total).orderBy("day")
