@@ -122,7 +122,7 @@ def test_delta_log_file_skipping(spark, tmp_path):
             mode="append",
         )
     info = dl.scan_info("id >= 2500")
-    assert info == {"n_active": 3, "n_read": 1, "n_pruned": 2}
+    assert {k: info[k] for k in ("n_active", "n_read", "n_pruned")} == {"n_active": 3, "n_read": 1, "n_pruned": 2}
     got = dl.read(where="id >= 2500")
     assert got.count() == 500
     assert got.count() == dl.read().filter("id >= 2500").count()
