@@ -3201,3 +3201,296 @@ def q218_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("within_tol"),
     )
     return per_day.unionAll(total).orderBy("day")
+
+
+@query(
+    "q219_copy_into",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier ORDER BY s_suppkey
+    """,
+    tags=("lakehouse", "delta", "ingest"),
+)
+def q219_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``COPY INTO`` — idempotent file-level ingestion (the platform
+    verb behind the reference's re-runnable batch loads; the batch
+    sibling of `Auto Loader demo.py:69-76`'s incremental stream): the
+    same statement re-run loads each landing-zone file exactly once,
+    tracked in COPY INTO commitInfo actions on the public Delta log.
+    Sequence here: land part of supplier → COPY → COPY again (must be
+    a no-op) → land the rest → COPY (loads only the new files). Any
+    double-load would duplicate rows and hash-mismatch the oracle."""
+    import glob
+    import shutil
+    import uuid as _uuid
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    land = _scratch("copyland")
+    stage = _scratch("copystage")
+
+    def land_files(df: DataFrame, nparts: int) -> None:
+        df.repartition(nparts).write.mode("overwrite").parquet(stage)
+        for f in glob.glob(os.path.join(stage, "part-*.parquet")):
+            shutil.move(f, os.path.join(land, f"{_uuid.uuid4().hex}.parquet"))
+
+    land_files(sup.filter(F.col("s_suppkey") <= 50), 2)
+    t = DeltaLogTable(spark, _scratch("copyinto") + "_t")
+    m1 = t.copy_into(land, pattern="*.parquet")
+    m2 = t.copy_into(land, pattern="*.parquet")  # re-run: must skip all
+    if m1["n_loaded"] != 2 or m2["n_loaded"] != 0 or m2["n_skipped"] != 2:
+        raise AssertionError(f"COPY INTO idempotence broken: {m1} then {m2}")
+    land_files(sup.filter(F.col("s_suppkey") > 50), 3)
+    m3 = t.copy_into(land, pattern="*.parquet")
+    if m3["n_loaded"] != 3 or m3["n_skipped"] != 2:
+        raise AssertionError(f"COPY INTO incremental load broken: {m3}")
+    return t.read().select(*sup.columns).orderBy("s_suppkey")
+
+
+@query(
+    "q220_iceberg_refs",
+    oracle="""
+    WITH agg AS (
+      SELECT 'branch_audit' AS ref, COUNT(*) AS n,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      FROM supplier
+      UNION ALL
+      SELECT 'main_after_publish' AS ref, COUNT(*) AS n,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      FROM supplier
+      UNION ALL
+      SELECT 'tag_v1' AS ref, COUNT(*) AS n,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      FROM supplier WHERE s_suppkey <= 60
+    )
+    SELECT * FROM agg ORDER BY ref
+    """,
+    tags=("lakehouse", "iceberg", "refs"),
+)
+def q220_iceberg_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg named refs (spec v2 'Refs') — tags + branches + the
+    write-audit-publish flow: tag ``v1`` pins the first snapshot
+    forever; branch ``audit`` takes appends WITHOUT moving main
+    (readers of main are isolated from in-audit data); publishing is
+    ``fast_forward`` — a metadata-only commit. Snapshot expiration
+    pins every ref'd snapshot. This is how a 100 TB table takes
+    staging writes with zero copies: branch commits reuse the same
+    manifests/data files, isolation is a pointer, publish is O(1).
+
+    Gates (raise on violation): main sees only pre-branch rows while
+    the branch holds them all; expire_snapshots keeps the tagged snapshot; the result
+    hashes per-ref counts + DECIMAL balance sums vs the oracle."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    n_total = sup.count()
+    n_first = sup.filter(F.col("s_suppkey") <= 60).count()
+    t = IcebergTable(spark, _scratch("icerefs") + "_t")
+    t.append(sup.filter(F.col("s_suppkey") <= 60))
+    t.set_ref("v1", ref_type="tag")
+    t.set_ref("audit", ref_type="branch")
+    t.append(sup.filter(F.col("s_suppkey") > 60), branch="audit")
+    n_main = t.read().count()
+    n_branch = t.read(ref="audit").count()
+    if n_main != n_first or n_branch != n_total:
+        raise AssertionError(
+            f"branch isolation broken: main={n_main}, audit={n_branch}"
+        )
+    t.expire_snapshots(keep_last=1)
+    if t.read(ref="v1").count() != n_first:  # tag pinned through expiration
+        raise AssertionError("expire_snapshots dropped a tagged snapshot")
+    t.fast_forward("audit")
+
+    def agg(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("bal"),
+        ).select(F.lit(label).alias("ref"), "n", "bal")
+
+    return (
+        agg(t.read(ref="v1"), "tag_v1")
+        .unionAll(agg(t.read(ref="audit"), "branch_audit"))
+        .unionAll(agg(t.read(), "main_after_publish"))
+        .orderBy("ref")
+    )
+
+
+@query(
+    "q221_iceberg_month_year_partitioning",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-02-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-08-01 00:00:00'
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("lakehouse", "iceberg", "interop"),
+)
+def q221_iceberg_month_year_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``month(ts)``/``year(ts)`` temporal transforms —
+    completing the hidden-partitioning family (day: q202): ordinals
+    are months/years since 1970 (pure JVM exprs, negative-safe), and
+    the reader decodes each tuple into a conservative
+    [start, next-start) DATE-string bound on the SOURCE column, so
+    calendar-range scans prune with NO predicate rewriting. A 6-month
+    window over 6+ years of orders must read < the full file set on
+    BOTH layouts — the coarser year table prunes to ~1-2 files, the
+    month table to ~6; same aggregation result either way (asserted
+    by returning the month-table scan and gating the year table's
+    count equality)."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+    from ent_fins_lakehouse_spark.functions.numeric import dec
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    pred = (
+        "o_orderdate >= '1996-02-01 00:00:00' AND "
+        "o_orderdate < '1996-08-01 00:00:00'"
+    )
+    tm = IcebergTable(spark, _scratch("icemonth") + "_t")
+    tm.append(orders.repartition(8), partition_by=["month(o_orderdate)"])
+    ty = IcebergTable(spark, _scratch("iceyear") + "_t")
+    ty.append(orders.repartition(8), partition_by=["year(o_orderdate)"])
+    for t, unit in ((tm, "month"), (ty, "year")):
+        info = t.scan_info(pred)
+        if info["n_read"] >= info["n_active"]:
+            raise AssertionError(f"{unit} pruning did not engage: {info}")
+    n_year = ty.read(where=pred).count()
+    out = (
+        tm.read(where=pred)
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("month")
+    )
+    if n_year != tm.read(where=pred).count():
+        raise AssertionError("month- and year-layout scans disagree")
+    return out
+
+
+@query(
+    "q223_histogram_quantile_rollup",
+    oracle="""
+    WITH per AS (
+      SELECT source, COUNT(*) AS n,
+             CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS p50
+      FROM documents GROUP BY source
+    )
+    SELECT source, n, p50, TRUE AS within_tol FROM per
+    UNION ALL
+    SELECT 'TOTAL' AS source, COUNT(*) AS n,
+           CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS p50,
+           TRUE AS within_tol
+    FROM documents
+    ORDER BY source
+    """,
+    tags=("lakehouse", "sketch", "incremental"),
+)
+def q223_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histograms as PERSISTED quantile state —
+    q218's (HLL/distinct) twin for percentiles: per-source bin counts
+    over document length are built in one pass, persisted to a Delta
+    table as (source, bin, cnt) rows, and any later quantile question
+    — per source or for ANY source union — is answered by summing
+    KB-sized bin rows, never rescanning the corpus. Merging is
+    element-wise addition (associative/commutative), so incremental
+    ingest appends one histogram per (source, batch) and rollups
+    shuffle bin counts, not documents. Bin bounds ride in-plan as a
+    1-row broadcast cross join (no driver constant).
+
+    Correctness gate: the histogram's p50 estimate must land within
+    one bin width of the EXACT per-source and global medians (Spark's
+    exact ``percentile``, hash-checked against DuckDB's
+    ``quantile_cont``); ``within_tol`` flips false on any sketch
+    regression and the driver flags the mismatch."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    NBINS = 128
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    bounds = docs.agg(
+        F.min("n_chars").alias("lo"),
+        (F.max("n_chars") + 1).alias("hi"),  # half-open domain
+    )
+    binned = docs.crossJoin(F.broadcast(bounds)).select(
+        "source",
+        "lo",
+        "hi",
+        F.least(
+            F.lit(NBINS - 1),
+            F.floor(
+                (F.col("n_chars") - F.col("lo"))
+                * NBINS
+                / (F.col("hi") - F.col("lo"))
+            ),
+        ).alias("bin"),
+    )
+    hist = binned.groupBy("source", "lo", "hi", "bin").agg(
+        F.count("*").alias("cnt")
+    )
+    t = DeltaLogTable(spark, _scratch("histq") + "_t")
+    t.write(hist, mode="overwrite")
+    sk = t.read()
+
+    def estimate(h: DataFrame, key) -> DataFrame:
+        """p50 from bin counts: first bin where the running total
+        crosses n/2, estimated at the bin midpoint."""
+        agg = h.groupBy(key, "lo", "hi", "bin").agg(F.sum("cnt").alias("cnt"))
+        w = W.partitionBy(key).orderBy("bin")
+        tot = W.partitionBy(key)
+        return (
+            agg.withColumn("cum", F.sum("cnt").over(w))
+            .withColumn("n", F.sum("cnt").over(tot))
+            .filter(F.col("cum") >= F.col("n") / 2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col(key).alias("source"),
+                "n",
+                (
+                    F.col("lo")
+                    + (F.col("bin") + 0.5)
+                    * (F.col("hi") - F.col("lo"))
+                    / NBINS
+                ).alias("p50_est"),
+                ((F.col("hi") - F.col("lo")) / NBINS).alias("width"),
+            )
+        )
+
+    from pyspark.sql import Window as W  # noqa: F811 (local alias)
+
+    per_est = estimate(sk, "source")
+    tot_est = estimate(sk.withColumn("all", F.lit("TOTAL")), "all")
+    exact_per = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("p50")
+    )
+    exact_tot = docs.agg(
+        F.expr("percentile(n_chars, 0.5)").alias("p50")
+    ).select(F.lit("TOTAL").alias("source"), "p50")
+    est = per_est.unionAll(tot_est)
+    exact = exact_per.unionAll(exact_tot)
+    return (
+        est.join(exact, "source")
+        .select(
+            "source",
+            "n",
+            "p50",
+            (F.abs(F.col("p50_est") - F.col("p50")) <= F.col("width")).alias(
+                "within_tol"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -3073,3 +3073,273 @@ def q212_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q222_bpe_pair_stats",
+    oracle="""
+    WITH words AS (
+      SELECT w FROM (
+        SELECT UNNEST(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        FROM documents
+      ) WHERE len(w) >= 2
+    ),
+    wc AS (SELECT w, COUNT(*) AS cnt FROM words GROUP BY w),
+    ipairs AS (
+      SELECT w, cnt, UNNEST(generate_series(1, len(w) - 1)) AS i FROM wc
+    )
+    SELECT substring(w, CAST(i AS INT), 2) AS pair, SUM(cnt) AS freq
+    FROM ipairs
+    GROUP BY 1 ORDER BY freq DESC, pair LIMIT 30
+    """,
+    tags=("llm", "text", "tokenizer"),
+)
+def q222_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate statistics (Sennrich et al. 2016) — the
+    inner counting step of tokenizer training, the formulation that
+    scales: pairs are counted over DISTINCT words weighted by word
+    frequency (the classic BPE trick), so the explode runs over the
+    vocabulary (~10^5-10^6 rows even at 100 TB) instead of the raw
+    token stream (~10^11) — the corpus-sized work is one word-count
+    shuffle and everything after is vocabulary-sized. Adjacent-symbol
+    extraction is a pure JVM higher-order expression (transform over
+    sequence), no Python in the hot path; the top-30 is a global
+    limit over a tiny ranked aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        wc.select(
+            "cnt",
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(30)
+    )
+
+
+@query(
+    "q225_type_token_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT source, term FROM (
+        SELECT source, UNNEST(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+        FROM documents
+      ) WHERE term <> ''
+    ),
+    tc AS (SELECT source, term, COUNT(*) AS cnt FROM toks GROUP BY source, term)
+    SELECT source,
+           SUM(cnt) AS n_tokens,
+           COUNT(*) AS n_types,
+           SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_hapax,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS ttr,
+           ROUND(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_share
+    FROM tc GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "text", "quality"),
+)
+def q225_type_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity statistics per source — type-token ratio and
+    hapax-legomena share, the standard corpus-health gauges (a
+    machine-generated or boilerplate-heavy source shows collapsed TTR;
+    an OCR-noise source shows inflated hapax share). One token-count
+    shuffle keyed (source, term) — the same partial-agg shape as any
+    word count, linear at 100 TB — then a source-level rollup;
+    ratios rounded at 6dp in double on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "source", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.round(
+                F.col("n_types").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("ttr"),
+            F.round(
+                F.col("n_hapax").cast("double") / F.col("n_types").cast("double"), 6
+            ).alias("hapax_share"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q226_l_diversity",
+    oracle="""
+    WITH g AS (
+      SELECT lang, CAST(FLOOR(n_chars / 256) AS BIGINT) AS len_bucket,
+             COUNT(*) AS k_size,
+             COUNT(DISTINCT source) AS l_div
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT lang, len_bucket, k_size, l_div,
+           (k_size >= 3 AND l_div >= 2) AS releasable
+    FROM g ORDER BY lang, len_bucket
+    """,
+    tags=("llm", "privacy"),
+)
+def q226_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) on top of q212's
+    k-anonymity: a quasi-identifier group (lang, length bucket) is
+    releasable only if it is BOTH large enough (k >= 3) and its
+    sensitive attribute (source) takes >= 2 distinct values — k-anonymity
+    alone leaks when a whole group shares one sensitive value
+    (homogeneity attack). One grouped aggregation with a distinct count;
+    at 100 TB this is the same shuffle as any multi-key group-by, and
+    the distinct-count side can swap to approx_count_distinct when an
+    estimate suffices."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "lang", F.floor(F.col("n_chars") / 256).alias("len_bucket")
+        )
+        .agg(
+            F.count("*").alias("k_size"),
+            F.countDistinct("source").alias("l_div"),
+        )
+        .select(
+            "lang",
+            "len_bucket",
+            "k_size",
+            "l_div",
+            ((F.col("k_size") >= 3) & (F.col("l_div") >= 2)).alias("releasable"),
+        )
+        .orderBy("lang", "len_bucket")
+    )
+
+
+@query(
+    "q227_incremental_dedup_index",
+    oracle="""
+    WITH u AS (
+      SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest,
+             doc_id, source
+      FROM documents WHERE doc_id < 300 OR doc_id >= 200
+    ),
+    win AS (
+      SELECT digest, doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+      FROM u
+    )
+    SELECT digest, doc_id, source FROM win WHERE rn = 1 ORDER BY digest
+    """,
+    tags=("llm", "dedup", "incremental"),
+)
+def q227_incremental_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch incremental dedup — the PERSISTED fingerprint index
+    every continuously-ingesting corpus needs: each arriving batch is
+    deduped within itself (min doc_id per digest), anti-joined against
+    the index table of everything ever admitted, and only novel
+    digests are appended. Batch 2 overlaps batch 1 by 100 documents;
+    none of them may enter twice — a double-admit duplicates rows and
+    hash-mismatches the oracle (which states the order-invariant
+    equivalent: first-writer-wins == global min doc_id per digest,
+    exactly because batch order and doc_id order agree on the overlap).
+
+    At 100 TB the index is a digest-keyed Delta table; the anti-join
+    is digest-partitioned (32-byte keys, not documents), and ingest
+    cost is O(batch), never O(corpus) — the raw corpus is not
+    rescanned."""
+    from ent_fins_lakehouse_spark.operators.dedup import fingerprint
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = DeltaLogTable(spark, tempfile.mkdtemp(prefix="dedup_idx_") + "/t")
+
+    def ingest(batch: DataFrame) -> None:
+        w = W.partitionBy("digest").orderBy("doc_id")
+        batch_first = (
+            fingerprint(batch, "text", out_col="digest")
+            .select("digest", "doc_id", "source")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        novel = (
+            batch_first.join(idx.read().select("digest"), "digest", "left_anti")
+            if idx.exists()
+            else batch_first
+        )
+        idx.write(novel, mode="append")
+
+    ingest(docs.filter(F.col("doc_id") < 300))
+    ingest(docs.filter(F.col("doc_id") >= 200))
+    return idx.read().select("digest", "doc_id", "source").orderBy("digest")
+
+
+@query("q224_mmr_rerank", tags=("llm", "similarity"))
+def q224_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity-aware top-k every RAG retriever bolts onto a
+    similarity search: greedily pick argmax of
+    lambda*sim(query, d) - (1-lambda)*max_{s in S} sim(d, s).
+
+    Two-tier shape (the only one that survives scale): the DISTRIBUTED
+    exact top-50 candidate pool (one scan, broadcast query vector, JVM
+    dot products), then the O(k*pool) greedy selection on the driver
+    over the 50-row pool — bounded by construction, like every
+    re-ranker. Rows-only: the greedy argmax chain is not SQL; the
+    diversity invariant (MMR's selection is no less diverse than plain
+    top-k) is asserted in tests/test_llm_ops.py."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    pool_ids = [
+        r["vec_id"]
+        for r in cosine_topk(
+            emb.filter(F.col("vec_id") != 0), "embedding", list(qvec), 50, "vec_id"
+        ).collect()
+    ]
+    pool = (
+        emb.filter(F.col("vec_id").isin(pool_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    )  # bounded: exactly 50 rows (pool size), never O(corpus)
+    ids = np.array([r["vec_id"] for r in pool])
+    V = np.array([r["embedding"] for r in pool], dtype=np.float64)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    q = np.array(qvec, dtype=np.float64)
+    q /= np.linalg.norm(q)
+    rel = V @ q
+    lam, k = 0.7, 10
+    chosen: list[int] = []
+    cand = list(range(len(ids)))
+    max_sim = np.zeros(len(ids))
+    for _ in range(k):
+        scores = lam * rel - (1 - lam) * max_sim
+        best = max(cand, key=lambda i: (scores[i], -ids[i]))
+        chosen.append(best)
+        cand.remove(best)
+        max_sim = np.maximum(max_sim, V @ V[best])
+    out = [
+        (int(rank), int(ids[i]), float(round(rel[i], 6)))
+        for rank, i in enumerate(chosen)
+    ]
+    return spark.createDataFrame(out, "rank INT, vec_id INT, relevance DOUBLE")

@@ -2141,6 +2141,7 @@ class DeltaLogTable:
         txn: tuple[str, int] | None = None,
         generated_columns: dict[str, str] | None = None,
         identity_columns: dict[str, dict] | None = None,
+        op_info: tuple[str, dict] | None = None,
     ) -> int:
         """Commit data in the PUBLIC Delta log format (closes the write
         half of the interop loop — engine output becomes consumable by
@@ -2384,10 +2385,14 @@ class DeltaLogTable:
             {
                 "commitInfo": {
                     "timestamp": now,
-                    "operation": "WRITE",
+                    # op_info lets verbs built ON write() (COPY INTO)
+                    # record their own operation + parameters so log
+                    # replay can recover verb-level state
+                    "operation": op_info[0] if op_info else "WRITE",
                     "operationParameters": {
                         "mode": mode.capitalize(),
                         "partitionBy": json.dumps(part_cols),
+                        **(op_info[1] if op_info else {}),
                     },
                     "engineInfo": "ent_fins_lakehouse_spark/delta-shim",
                 }
@@ -2456,6 +2461,85 @@ class DeltaLogTable:
 
         self._commit_actions(version, actions)
         return version
+
+    def copy_into(
+        self,
+        source_dir: str,
+        fmt: str = "parquet",
+        pattern: str = "*",
+        schema=None,
+    ) -> dict:
+        """``COPY INTO`` — idempotent FILE-level ingestion (the
+        Databricks SQL verb the reference's platform ships for
+        re-runnable loads; cross-check `Auto Loader demo.py`'s batch
+        alternative): every source file is loaded exactly once, however
+        many times the statement re-runs. File identity is
+        (name, size); the loaded set is recorded in each COPY INTO
+        commit's ``commitInfo.operationParameters["copyInto.files"]``
+        and recovered by replaying the JSON log (control-plane read —
+        KBs of metadata, like Delta's own dedup log; files ingested
+        before the oldest surviving JSON commit would be forgotten, so
+        log-retention must exceed the re-run horizon, COPY INTO's own
+        documented contract).
+
+        At 100 TB this is the landing-zone pattern: a scheduler re-runs
+        the same statement hourly; only new files are read (one
+        distributed ``spark.read`` over exactly the new paths), and a
+        failed run re-ingests nothing it already committed."""
+        import glob as _glob
+
+        files = sorted(
+            p
+            for p in _glob.glob(os.path.join(source_dir, pattern))
+            if os.path.isfile(p) and not os.path.basename(p).startswith(("_", "."))
+        )
+        ident = {p: f"{os.path.basename(p)}:{os.path.getsize(p)}" for p in files}
+        loaded: set[str] = set()
+        try:
+            versions = self._json_versions()
+        except FileNotFoundError:
+            versions = {}
+        for _, vpath in sorted(versions.items()):
+            with open(vpath) as fh:
+                for line in fh:
+                    act = json.loads(line)
+                    ci = act.get("commitInfo")
+                    if ci and ci.get("operation") == "COPY INTO":
+                        params = ci.get("operationParameters") or {}
+                        loaded.update(json.loads(params.get("copyInto.files") or "[]"))
+        new = [p for p in files if ident[p] not in loaded]
+        if not new:
+            return {
+                "n_listed": len(files),
+                "n_skipped": len(files),
+                "n_loaded": 0,
+                "version": max(versions) if versions else -1,
+            }
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        if fmt == "parquet":
+            df = reader.parquet(*new)
+        elif fmt == "json":
+            df = reader.json(new)
+        elif fmt == "csv":
+            df = reader.option("header", "true").csv(new)
+        else:
+            raise NotImplementedError(f"COPY INTO source format {fmt!r}")
+        version = self.write(
+            df,
+            mode="append",
+            op_info=(
+                "COPY INTO",
+                {"copyInto.files": json.dumps(sorted(ident[p] for p in new))},
+            ),
+        )
+        return {
+            "n_listed": len(files),
+            "n_skipped": len(files) - len(new),
+            "n_loaded": len(new),
+            "version": version,
+        }
 
     def _stage_adds(self, df: DataFrame, part_cols: list[str]) -> list[dict]:
         """Write ``df``'s rows as new parquet data files under the

@@ -3104,3 +3104,143 @@ def test_identity_high_water_mark_survives_reopen(spark, tmp_path):
     assert r.filter(F.col("rid") > mx).count() == 100
     # protocol gates writers at version 6
     assert t2._snapshot()[3] is not None
+
+
+# ------------------------------------------------------- COPY INTO (r6)
+
+
+def test_copy_into_idempotent_and_incremental(spark, tmp_path):
+    """COPY INTO loads each landing file exactly once across re-runs;
+    new files are picked up; identity is (name, size)."""
+    import glob
+    import shutil
+    import uuid
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    land = tmp_path / "land"
+    land.mkdir()
+
+    def land_df(df):
+        st = str(tmp_path / f"st{uuid.uuid4().hex[:6]}")
+        df.coalesce(1).write.mode("overwrite").parquet(st)
+        (f,) = glob.glob(st + "/part-*.parquet")
+        shutil.move(f, str(land / f"{uuid.uuid4().hex}.parquet"))
+
+    land_df(spark.range(0, 100).selectExpr("id", "id * 2 AS v"))
+    land_df(spark.range(100, 200).selectExpr("id", "id * 2 AS v"))
+    t = DeltaLogTable(spark, str(tmp_path / "t"))
+    m1 = t.copy_into(str(land), pattern="*.parquet")
+    assert (m1["n_listed"], m1["n_loaded"], m1["n_skipped"]) == (2, 2, 0)
+    assert t.read().count() == 200
+    # re-run: no-op, no new commit
+    v = t.latest_version()
+    m2 = t.copy_into(str(land), pattern="*.parquet")
+    assert m2["n_loaded"] == 0 and t.latest_version() == v
+    assert t.read().count() == 200
+    # a new file arrives -> only it is loaded
+    land_df(spark.range(200, 250).selectExpr("id", "id * 2 AS v"))
+    m3 = t.copy_into(str(land), pattern="*.parquet")
+    assert m3["n_loaded"] == 1 and m3["n_skipped"] == 2
+    assert t.read().count() == 250
+    assert t.read().selectExpr("SUM(id)").first()[0] == sum(range(250))
+
+
+# ---------------------------------------------------- Iceberg refs (r6)
+
+
+def test_iceberg_refs_tags_branches(spark, tmp_path):
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "i"))
+    t.append(spark.range(0, 50).selectExpr("id", "id * 2 AS v"))
+    t.set_ref("v1", ref_type="tag")
+    t.set_ref("wip", ref_type="branch")
+    t.append(spark.range(50, 80).selectExpr("id", "id * 2 AS v"), branch="wip")
+    # branch isolation: main untouched, branch sees all
+    assert t.read().count() == 50
+    assert t.read(ref="wip").count() == 80
+    assert t.read(ref="v1").count() == 50
+    assert t.refs()["wip"]["type"] == "branch"
+    # a second branch commit stacks on the branch head
+    t.append(spark.range(80, 90).selectExpr("id", "id * 2 AS v"), branch="wip")
+    assert t.read(ref="wip").count() == 90
+    assert t.read().count() == 50
+    # publish: main fast-forwards to the branch head
+    t.fast_forward("wip")
+    assert t.read().count() == 90
+    # tag still pins the original snapshot
+    assert t.read(ref="v1").count() == 50
+
+
+def test_iceberg_refs_guards(spark, tmp_path):
+    import pytest
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "i"))
+    t.append(spark.range(10).selectExpr("id"))
+    with pytest.raises(ValueError, match="branch.*does not exist"):
+        t.append(spark.range(5).selectExpr("id"), branch="nope")
+    with pytest.raises(ValueError, match="'main'"):
+        t.set_ref("main")
+    with pytest.raises(ValueError, match="not in"):
+        t.read(ref="ghost")
+    t.set_ref("tagged", ref_type="tag")
+    t.drop_ref("tagged")
+    with pytest.raises(ValueError):
+        t.read(ref="tagged")
+    # divergent branch cannot fast-forward: branch from snap1, then
+    # main advances independently
+    t.set_ref("b", snapshot_id=t.snapshots()[0]["snapshot-id"], ref_type="branch")
+    t.append(spark.range(10, 20).selectExpr("id"))  # main moves
+    t.append(spark.range(20, 25).selectExpr("id"), branch="b")  # b diverges
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.fast_forward("b")
+
+
+def test_iceberg_expire_keeps_refd_snapshots(spark, tmp_path):
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "i"))
+    t.append(spark.range(0, 10).selectExpr("id"))
+    t.set_ref("keepme", ref_type="tag")
+    for lo in (10, 20, 30):
+        t.append(spark.range(lo, lo + 10).selectExpr("id"))
+    t.expire_snapshots(keep_last=1)
+    # tagged snapshot survived expiration and still reads
+    assert t.read(ref="keepme").count() == 10
+    assert t.read().count() == 40
+
+
+# --------------------------------------- month/year transforms (r6)
+
+
+def test_iceberg_month_year_transforms(spark, tmp_path):
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    df = spark.sql(
+        """
+        SELECT id,
+               TIMESTAMP '1969-06-15 12:00:00' + make_interval(0, CAST(id AS INT))
+                 AS ts
+        FROM range(0, 24)
+        """
+    )  # 24 monthly rows spanning 1969-06 .. 1971-05 (pre-1970 included)
+    t = IcebergTable(spark, str(tmp_path / "m"))
+    t.append(df.repartition(4), partition_by=["month(ts)"])
+    # every row returns; month filter prunes
+    assert t.read().count() == 24
+    info = t.scan_info("ts >= '1971-01-01 00:00:00'")
+    assert info["n_read"] < info["n_active"]
+    got = t.read(where="ts >= '1971-01-01 00:00:00'")
+    assert got.count() == df.filter("ts >= '1971-01-01 00:00:00'").count()
+    # pre-1970 rows land in negative ordinals and read back intact
+    assert t.read(where="ts < '1970-01-01 00:00:00'").count() == 7
+
+    ty = IcebergTable(spark, str(tmp_path / "y"))
+    ty.append(df.repartition(4), partition_by=["year(ts)"])
+    assert ty.read().count() == 24
+    yi = ty.scan_info("ts >= '1971-01-01 00:00:00'")
+    assert yi["n_read"] < yi["n_active"]
+    assert ty.read(where="ts >= '1971-01-01 00:00:00'").count() == 5

@@ -720,3 +720,42 @@ def test_k_anonymity_released_groups_are_large(spark):
     assert released, "expected at least one released group at sf0.01"
     assert min(released.values()) >= 5
     assert any(r["source_anon"] == "*" for r in rows), "expected suppression"
+
+
+def test_mmr_rerank_diversity_invariant(spark):
+    """MMR's picks must be no LESS diverse than plain cosine top-k
+    (lower mean pairwise similarity), share the same #1 (at rank 0 the
+    diversity term is zero), and preserve pool membership."""
+    import numpy as np
+
+    from ent_fins_lakehouse_spark.operators.similarity import cosine_topk
+    from ent_fins_lakehouse_spark.plans.llm_queries import q224_mmr_rerank
+    from ent_fins_lakehouse_spark.sources.readers import load_table
+
+    out = q224_mmr_rerank(spark, SF_SMOKE).collect()
+    assert [r["rank"] for r in out] == list(range(10))
+    sel = [r["vec_id"] for r in out]
+    assert len(set(sel)) == 10
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    plain = [
+        r["vec_id"]
+        for r in cosine_topk(
+            emb.filter(F.col("vec_id") != 0), "embedding", qvec, 10, "vec_id"
+        ).collect()
+    ]
+    assert sel[0] == plain[0]  # rank-0 pick is pure relevance
+
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.filter(F.col("vec_id").isin(sel + plain)).collect()
+    }
+
+    def mean_pairwise(ids):
+        V = np.array([vecs[i] / np.linalg.norm(vecs[i]) for i in ids])
+        S = V @ V.T
+        n = len(ids)
+        return (S.sum() - n) / (n * (n - 1))
+
+    assert mean_pairwise(sel) <= mean_pairwise(plain) + 1e-12
