@@ -82,6 +82,10 @@ HEADLINE = [
     "q199_passage_chunking",
     "q203_fim_transform",
     "q204_mlm_masking",
+    # idempotent ingest + tokenizer/dedup curation (r6 session)
+    "q219_copy_into",
+    "q222_bpe_pair_stats",
+    "q227_incremental_dedup_index",
 ]
 
 
