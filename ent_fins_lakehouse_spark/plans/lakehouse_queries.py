@@ -3232,20 +3232,25 @@ def q219_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     land = _scratch("copyland")
     stage = _scratch("copystage")
 
-    def land_files(df: DataFrame, nparts: int) -> None:
+    def land_files(df: DataFrame, nparts: int) -> int:
+        """Land df as parquet files; returns how many actually landed
+        (AQE may coalesce below nparts at small scale)."""
         df.repartition(nparts).write.mode("overwrite").parquet(stage)
+        moved = 0
         for f in glob.glob(os.path.join(stage, "part-*.parquet")):
             shutil.move(f, os.path.join(land, f"{_uuid.uuid4().hex}.parquet"))
+            moved += 1
+        return moved
 
-    land_files(sup.filter(F.col("s_suppkey") <= 50), 2)
+    n_a = land_files(sup.filter(F.col("s_suppkey") <= 50), 2)
     t = DeltaLogTable(spark, _scratch("copyinto") + "_t")
     m1 = t.copy_into(land, pattern="*.parquet")
     m2 = t.copy_into(land, pattern="*.parquet")  # re-run: must skip all
-    if m1["n_loaded"] != 2 or m2["n_loaded"] != 0 or m2["n_skipped"] != 2:
+    if m1["n_loaded"] != n_a or m2["n_loaded"] != 0 or m2["n_skipped"] != n_a:
         raise AssertionError(f"COPY INTO idempotence broken: {m1} then {m2}")
-    land_files(sup.filter(F.col("s_suppkey") > 50), 3)
+    n_b = land_files(sup.filter(F.col("s_suppkey") > 50), 3)
     m3 = t.copy_into(land, pattern="*.parquet")
-    if m3["n_loaded"] != 3 or m3["n_skipped"] != 2:
+    if m3["n_loaded"] != n_b or m3["n_skipped"] != n_a:
         raise AssertionError(f"COPY INTO incremental load broken: {m3}")
     return t.read().select(*sup.columns).orderBy("s_suppkey")
 
@@ -3494,3 +3499,77 @@ def q223_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q231_analyze_table_stats",
+    oracle="""
+    WITH s AS (
+      SELECT 'c_mktsegment' AS col_name,
+             SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+             COUNT(DISTINCT c_mktsegment) AS ndv_exact,
+             CAST(MIN(c_mktsegment) AS VARCHAR) AS min_value,
+             CAST(MAX(c_mktsegment) AS VARCHAR) AS max_value
+      FROM customer
+      UNION ALL
+      SELECT 'c_nationkey',
+             SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT c_nationkey),
+             CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR)
+      FROM customer
+      UNION ALL
+      SELECT '__table__', 0, COUNT(*), NULL, NULL FROM customer
+    )
+    SELECT col_name, n_nulls, ndv_exact, TRUE AS within_tol,
+           min_value, max_value
+    FROM s ORDER BY col_name
+    """,
+    tags=("lakehouse", "catalog", "stats"),
+)
+def q231_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS`` — the
+    CBO-stats verb (Spark/Databricks parity) through the SQL facade:
+    one distributed pass computes rowCount + per-column nullCount /
+    HLL ndv / min / max, persisted as a version-stamped sidecar so
+    later writes mark them stale (asserted in tests). The returned
+    relation hash-checks the EXACT stats (nulls, min, max, rowCount)
+    and gates the HLL ndv within 5% of exact via ``within_tol`` —
+    identical to how Spark's own ANALYZE trades a per-column exact
+    distinct shuffle for one sketch pass at scale."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
+
+    cust = load_table(spark, sf_dir, "customer")
+    t = LakeTable(spark, _scratch("analyze"))
+    t.write(cust, mode="overwrite")
+    stats = t.analyze(["c_nationkey", "c_mktsegment"])
+    got = t.stats()
+    if got is None or not got["fresh"] or got["rowCount"] != stats["rowCount"]:
+        raise AssertionError(f"stats sidecar broken: {got}")
+    exact = (
+        cust.groupBy()
+        .agg(
+            F.countDistinct("c_nationkey").alias("nk"),
+            F.countDistinct("c_mktsegment").alias("mk"),
+            F.count("*").alias("n"),
+        )
+        .first()
+    )
+    rows = []
+    for col, nd_exact in (("c_nationkey", exact["nk"]), ("c_mktsegment", exact["mk"])):
+        cs = stats["columns"][col]
+        rows.append(
+            (
+                col,
+                cs["nullCount"],
+                nd_exact,
+                abs(cs["ndv"] - nd_exact) <= max(1, int(0.05 * nd_exact)),
+                cs["min"],
+                cs["max"],
+            )
+        )
+    rows.append(("__table__", 0, stats["rowCount"], True, None, None))
+    return spark.createDataFrame(
+        rows,
+        "col_name STRING, n_nulls LONG, ndv_exact LONG, within_tol BOOLEAN, "
+        "min_value STRING, max_value STRING",
+    ).orderBy("col_name")

@@ -3343,3 +3343,126 @@ def q224_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         for rank, i in enumerate(chosen)
     ]
     return spark.createDataFrame(out, "rank INT, vec_id INT, relevance DOUBLE")
+
+
+@query("q229_bpe_train", tags=("llm", "tokenizer"))
+def q229_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016) — 12
+    merge rules learned over the corpus: one corpus-sized word-count
+    shuffle, then every iteration is vocabulary-sized (JVM pair
+    explode + hash agg, a ONE-row driver collect for the argmax merge,
+    an Arrow-batched rewrite of only the words containing the pair).
+    State localCheckpoints between iterations so the loop doesn't
+    stack lineage. Deterministic (ties break lexicographically) but
+    iterative — not SQL; tests/test_llm_ops.py replays the exact
+    Sennrich reference algorithm in pure Python on the same corpus
+    and asserts rule-for-rule equality."""
+    from ent_fins_lakehouse_spark.operators.tokenizer import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, 12)
+    return spark.createDataFrame(
+        [(m["rank"], m["left"], m["right"], m["freq"]) for m in merges],
+        "rank INT, left STRING, right STRING, freq LONG",
+    ).orderBy("rank")
+
+
+@query("q230_bpe_encode_stats", tags=("llm", "tokenizer"))
+def q230_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING at corpus scale — the trained merge table applied
+    in rank order over the DISTINCT-word table only (one Arrow pass,
+    ~vocabulary rows); corpus-level token statistics come from the
+    frequency weights, the corpus text is never re-tokenized. Returns
+    the top-25 learned tokens by corpus frequency plus a TOTALS row
+    (corpus token count vs raw symbol count — the compression the 12
+    merges bought). Deterministic; invariants (every token's corpus
+    frequency ≥ its merge freq, totals shrink by exactly the merge
+    freqs) are asserted in tests/test_llm_ops.py."""
+    from ent_fins_lakehouse_spark.operators.tokenizer import (
+        bpe_encode_vocab,
+        bpe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, 12)
+    enc = bpe_encode_vocab(docs, merges)
+    tok = (
+        enc.select("cnt", F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("freq"))
+    )
+    top = (
+        tok.filter(F.length("token") > 1)  # multi-char (learned) tokens
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(25)
+        .select("token", "freq")
+    )
+    totals = enc.agg(
+        F.sum(F.col("cnt") * F.size("tokens")).alias("freq")
+    ).select(F.lit("__TOTAL_TOKENS__").alias("token"), "freq")
+    return top.unionAll(totals).orderBy("token")
+
+
+@query(
+    "q232_curriculum_schedule",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(quantile_cont(n_chars, 0.25) AS DOUBLE) AS p25,
+             CAST(quantile_cont(n_chars, 0.50) AS DOUBLE) AS p50,
+             CAST(quantile_cont(n_chars, 0.75) AS DOUBLE) AS p75
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             (CASE WHEN n_chars > p25 THEN 1 ELSE 0 END
+              + CASE WHEN n_chars > p50 THEN 1 ELSE 0 END
+              + CASE WHEN n_chars > p75 THEN 1 ELSE 0 END) AS difficulty_bin,
+             CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
+             SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+      FROM documents CROSS JOIN b
+    )
+    SELECT doc_id, difficulty_bin, shard,
+           ROW_NUMBER() OVER (
+             PARTITION BY difficulty_bin, shard ORDER BY h, doc_id
+           ) AS pos_in_shard
+    FROM s ORDER BY difficulty_bin, shard, pos_in_shard
+    """,
+    tags=("llm", "curriculum"),
+)
+def q232_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data schedule (Bengio et al. 2009, as production
+    pipelines run it): documents are quartile-binned by difficulty
+    (length proxy; the quartile boundaries ride in-plan as a 1-row
+    broadcast cross join), md5-shuffled WITHIN each bin for
+    deterministic, engine-portable randomization, and positioned by a
+    window partitioned on (bin, shard) — consumers stream shards in
+    bin-major order to get easy→hard batches with stable shuffling
+    across reruns and cluster sizes.
+
+    The scale property: NO global sort anywhere — binning is a
+    broadcast compare, the shuffle key is a hash, and the only window
+    partitions on (bin, shard), so every partition is ~corpus/32 and
+    the schedule materializes with one exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.agg(
+        F.expr("percentile(n_chars, 0.25)").alias("p25"),
+        F.expr("percentile(n_chars, 0.50)").alias("p50"),
+        F.expr("percentile(n_chars, 0.75)").alias("p75"),
+    )
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    s = docs.crossJoin(F.broadcast(b)).select(
+        "doc_id",
+        (
+            (F.col("n_chars") > F.col("p25")).cast("int")
+            + (F.col("n_chars") > F.col("p50")).cast("int")
+            + (F.col("n_chars") > F.col("p75")).cast("int")
+        ).alias("difficulty_bin"),
+        (F.conv(h, 16, 10).cast("long") % 8).alias("shard"),
+        h.alias("h"),
+    )
+    w = W.partitionBy("difficulty_bin", "shard").orderBy("h", "doc_id")
+    return (
+        s.withColumn("pos_in_shard", F.row_number().over(w))
+        .drop("h")
+        .orderBy("difficulty_bin", "shard", "pos_in_shard")
+    )

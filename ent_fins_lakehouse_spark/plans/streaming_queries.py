@@ -1041,3 +1041,52 @@ def q208_delta_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(*sup.columns, "_change_type", F.col("_commit_version").cast("int"))
         .orderBy("_commit_version", "s_suppkey")
     )
+
+
+@query("q228_stream_heavy_hitters", tags=("streaming", "stateful", "sketch"))
+def q228_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters — space-saving top-k per event type as
+    a custom stateful operator (applyInPandasWithState), the
+    constant-memory answer to 'who are the top users right now' that a
+    streaming groupBy(user).count() cannot give without unbounded
+    state: each event_type key carries a fixed 32-entry summary (KBs,
+    independent of user cardinality), batches pre-aggregate with
+    value_counts before touching it, and emissions carry the
+    space-saving (est, err) bounds. Multi-batch over 3 landing files;
+    the final answer is the last emission per type. Rows-only: the
+    summary is an approximation — est>=true / est-err<=true / top-1
+    agreement vs exact counts are asserted in tests/test_streaming.py
+    on both this feed and a planted-skew stream."""
+    from ent_fins_lakehouse_spark.streaming.stateful import heavy_hitters_stream
+
+    root = tempfile.mkdtemp(prefix="stream_hh_")
+    src = _events_as_json_waves(spark, sf_dir, root)
+    target = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+
+    stream = ingest_file_stream(
+        spark, src, EVENTS_JSON_SCHEMA, fmt="json", max_files_per_trigger=1
+    ).select("event_type", "user_id")
+    hh = heavy_hitters_stream(stream)
+
+    def _append_batch(bdf: DataFrame, _bid: int) -> None:
+        bdf.write.mode("append").parquet(target)
+
+    q = (
+        hh.writeStream.trigger(availableNow=True)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(_append_batch)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.schema(
+        "event_type STRING, rank INT, user_id LONG, est LONG, err LONG, n_seen LONG"
+    ).parquet(target)
+    w = W.partitionBy("event_type", "rank").orderBy(F.desc("n_seen"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("event_type", "rank")
+    )

@@ -185,6 +185,11 @@ class LakehouseSession:
         r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+DROP\s+CONSTRAINT\s+(?P<name>\w+)\s*$",
         re.IGNORECASE,
     )
+    _ANALYZE = re.compile(
+        r"ANALYZE\s+TABLE\s+(?P<target>[\w.]+)\s+COMPUTE\s+STATISTICS"
+        r"(?:\s+FOR\s+COLUMNS\s+(?P<cols>[\w, ]+))?\s*$",
+        re.IGNORECASE,
+    )
     _SHOW_DB = re.compile(r"SHOW\s+DATABASES\s*$", re.IGNORECASE)
     _SHOW_TBL = re.compile(r"SHOW\s+TABLES(?:\s+IN\s+(?P<db>\w+))?\s*$", re.IGNORECASE)
     _SELECT_TBL = re.compile(
@@ -234,6 +239,17 @@ class LakehouseSession:
             return None
         if m := self._HISTORY.match(s):
             return self.catalog._resolve(m["target"]).history()
+        if m := self._ANALYZE.match(s):
+            cols = [c.strip() for c in (m["cols"] or "").split(",") if c.strip()]
+            stats = self.catalog._resolve(m["target"]).analyze(cols or None)
+            rows = [("", "rowCount", str(stats["rowCount"]))] + [
+                (c, k, str(v))
+                for c, cs in stats["columns"].items()
+                for k, v in cs.items()
+            ]
+            return self.spark.createDataFrame(
+                rows, "col_name STRING, stat STRING, value STRING"
+            )
         if m := self._CREATE_DB.match(s):
             self.catalog.create_database(m["name"], if_not_exists=bool(m["ine"]))
             return None

@@ -54,3 +54,85 @@ def user_stats_stream(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------- r6:
+# streaming heavy hitters (space-saving, Metwally et al. 2005)
+
+HH_OUTPUT = "event_type STRING, rank INT, user_id LONG, est LONG, err LONG, n_seen LONG"
+HH_STATE = "ks ARRAY<LONG>, cs ARRAY<LONG>, es ARRAY<LONG>, n LONG"
+
+HH_CAPACITY = 32
+HH_TOPK = 5
+
+
+def _heavy_hitters_fn(key, pdfs: Iterable[pd.DataFrame], state):
+    """Space-saving top-k per stream key: a fixed m-entry summary —
+    increment tracked keys; insert new keys while room; otherwise the
+    minimum-count entry is EVICTED and the newcomer inherits its count
+    as both estimate floor and error bound. Guarantees (classic):
+    ``est >= true``, ``est - err <= true``, and every key with true
+    count > n/m is present. State is three parallel arrays + the
+    stream length — KBs per key, independent of cardinality, which is
+    the whole point at 100 TB: per-key state stays bounded while the
+    user domain is unbounded.
+
+    Batches are PRE-AGGREGATED with value_counts before touching the
+    summary, so the Python loop runs over per-batch distinct keys,
+    not rows (the mergeable space-saving increment: bulk-add c, evict
+    with inherited error)."""
+    if state.exists:
+        ks, cs, es, n = state.get
+        ks, cs, es = list(ks), list(cs), list(es)
+    else:
+        ks, cs, es, n = [], [], [], 0
+    pos = {kk: i for i, kk in enumerate(ks)}
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        vc = pdf["user_id"].value_counts()
+        n += int(vc.sum())
+        for u, c in vc.items():
+            u, c = int(u), int(c)
+            i = pos.get(u)
+            if i is not None:
+                cs[i] += c
+            elif len(ks) < HH_CAPACITY:
+                pos[u] = len(ks)
+                ks.append(u)
+                cs.append(c)
+                es.append(0)
+            else:
+                i = min(range(len(cs)), key=cs.__getitem__)
+                pos.pop(ks[i], None)
+                pos[u] = i
+                es[i] = cs[i]
+                cs[i] += c
+                ks[i] = u
+    state.update((ks, cs, es, n))
+    order = sorted(range(len(ks)), key=lambda i: (-cs[i], ks[i]))[:HH_TOPK]
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * len(order),
+            "rank": list(range(len(order))),
+            "user_id": [ks[i] for i in order],
+            "est": [cs[i] for i in order],
+            "err": [es[i] for i in order],
+            "n_seen": [n] * len(order),
+        }
+    )
+
+
+def heavy_hitters_stream(events_stream: DataFrame) -> DataFrame:
+    """Top users per event type over an unbounded stream, in constant
+    state per key. Update mode — downstream keeps the latest emission
+    per (event_type)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events_stream.groupBy("event_type").applyInPandasWithState(
+        _heavy_hitters_fn,
+        outputStructType=HH_OUTPUT,
+        stateStructType=HH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -3244,3 +3244,45 @@ def test_iceberg_month_year_transforms(spark, tmp_path):
     yi = ty.scan_info("ts >= '1971-01-01 00:00:00'")
     assert yi["n_read"] < yi["n_active"]
     assert ty.read(where="ts >= '1971-01-01 00:00:00'").count() == 5
+
+
+# ------------------------------------------------------ ANALYZE (r6)
+
+
+def test_analyze_table_stats_and_staleness(spark, tmp_path):
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+    from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.range(0, 1000).selectExpr(
+            "id", "CAST(id % 7 AS INT) AS g", "CASE WHEN id % 10 = 0 THEN NULL ELSE id END AS v"
+        ),
+        mode="overwrite",
+    )
+    stats = t.analyze(["g", "v"])
+    assert stats["rowCount"] == 1000
+    assert stats["sizeInBytes"] > 0
+    assert stats["columns"]["g"]["nullCount"] == 0
+    assert stats["columns"]["v"]["nullCount"] == 100
+    assert abs(stats["columns"]["g"]["ndv"] - 7) <= 1
+    assert stats["columns"]["g"]["min"] == "0" and stats["columns"]["g"]["max"] == "6"
+    got = t.stats()
+    assert got["fresh"] is True
+    # a later write invalidates: stats still readable, marked stale
+    t.insert_into(spark.range(1000, 1100).selectExpr("id", "CAST(1 AS INT) AS g", "id AS v"))
+    got = t.stats()
+    assert got["fresh"] is False and got["rowCount"] == 1000
+    # re-analyze refreshes
+    t.analyze()
+    assert t.stats()["fresh"] is True and t.stats()["rowCount"] == 1100
+
+    # the SQL facade verb
+    lh = LakehouseSession(spark, str(tmp_path / "wh"))
+    lh.sql("CREATE DATABASE db1")
+    lh.sql("USE db1")
+    lh.catalog.create_table("db1.c", spark.range(50).selectExpr("id", "id % 3 AS k"))
+    out = lh.sql("ANALYZE TABLE db1.c COMPUTE STATISTICS FOR COLUMNS k")
+    rows = {(r["col_name"], r["stat"]): r["value"] for r in out.collect()}
+    assert rows[("", "rowCount")] == "50"
+    assert rows[("k", "min")] == "0" and rows[("k", "max")] == "2"

@@ -759,3 +759,86 @@ def test_mmr_rerank_diversity_invariant(spark):
         return (S.sum() - n) / (n * (n - 1))
 
     assert mean_pairwise(sel) <= mean_pairwise(plain) + 1e-12
+
+
+def _reference_bpe(word_counts: dict[str, int], n_merges: int):
+    """Sennrich et al. 2016 reference implementation (pure Python):
+    the ground truth the distributed trainer must reproduce
+    rule-for-rule."""
+    vocab = {w: list(w) + ["</w>"] for w in word_counts}
+    merges = []
+    for rank in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            c = word_counts[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        (l, r), freq = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if freq <= 1:
+            break
+        merges.append((rank, l, r, freq))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_train_matches_reference(spark, docs):
+    import re
+
+    from ent_fins_lakehouse_spark.plans.llm_queries import q229_bpe_train
+
+    got = [
+        (r["rank"], r["left"], r["right"], r["freq"])
+        for r in q229_bpe_train(spark, SF_SMOKE).collect()
+    ]
+    wc: dict[str, int] = {}
+    for r in docs.select("text").collect():
+        for w in re.split(r"[^a-z]+", r["text"].lower()):
+            if len(w) >= 2:
+                wc[w] = wc.get(w, 0) + 1
+    want, _ = _reference_bpe(wc, 12)
+    assert got == want
+
+
+def test_bpe_encode_stats_invariants(spark, docs):
+    import re
+
+    from ent_fins_lakehouse_spark.plans.llm_queries import (
+        q229_bpe_train,
+        q230_bpe_encode_stats,
+    )
+
+    rows = q230_bpe_encode_stats(spark, SF_SMOKE).collect()
+    by_tok = {r["token"]: r["freq"] for r in rows}
+    total = by_tok.pop("__TOTAL_TOKENS__")
+    merges = {
+        (r["left"], r["right"]): r["freq"]
+        for r in q229_bpe_train(spark, SF_SMOKE).collect()
+    }
+    # raw symbol count = sum over words of (len + 1 for </w>)
+    raw = 0
+    for r in docs.select("text").collect():
+        for w in re.split(r"[^a-z]+", r["text"].lower()):
+            if len(w) >= 2:
+                raw += len(w) + 1
+    # each merge with frequency f removes exactly f symbols — BUT only
+    # merges applied at TRAIN time; the greedy re-encode can apply a
+    # rule more or fewer times, so assert the loose direction plus
+    # shrinkage
+    assert total < raw
+    assert total >= raw - sum(merges.values()) - len(merges)
+    # every reported multi-char token is a concatenation of some
+    # merge rule
+    built = {l + r for (l, r) in merges} | {"</w>"}  # </w> is a base symbol
+    for tok in by_tok:
+        assert tok in built, f"token {tok!r} not from a learned merge"

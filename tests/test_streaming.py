@@ -392,3 +392,91 @@ def test_iceberg_stream_sink_idempotence(spark, tmp_path):
     sink.write_batch(spark.range(9, 10).selectExpr("id"), 2)
     assert t.read().count() == 10
     assert t.txn_version("other-app") == -1
+
+
+def test_stream_heavy_hitters_bounds(spark):
+    """Space-saving guarantees on the events feed: est >= true,
+    est - err <= true, and the per-type top-1 agrees with exact
+    counts (its true count is far above the n/m error ceiling)."""
+    from ent_fins_lakehouse_spark.plans.streaming_queries import (
+        q228_stream_heavy_hitters,
+    )
+    from ent_fins_lakehouse_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    out = q228_stream_heavy_hitters(spark, SF_SMOKE).collect()
+    assert out, "no heavy-hitter emissions"
+    exact = {
+        (r["event_type"], r["user_id"]): r["n"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    tops = {}
+    for r in out:
+        true = exact.get((r["event_type"], r["user_id"]), 0)
+        assert r["est"] >= true, f"underestimate: {r} vs {true}"
+        assert r["est"] - r["err"] <= true, f"bound violated: {r} vs {true}"
+        if r["rank"] == 0:
+            tops[r["event_type"]] = r["user_id"]
+    for et, uid in tops.items():
+        best = max(
+            (n, -u) for (t, u), n in exact.items() if t == et
+        )
+        assert exact[(et, uid)] == best[0], f"top-1 mismatch for {et}"
+
+
+def test_stream_heavy_hitters_planted_skew(spark, tmp_path):
+    """A key with true count > n/m MUST be present (the space-saving
+    admission guarantee), exercised on a deliberately skewed stream
+    split across microbatches."""
+    import json
+
+    from ent_fins_lakehouse_spark.streaming.stateful import (
+        HH_CAPACITY,
+        heavy_hitters_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # 3 waves; user 7 dominates (600 of ~1400 events), 200 distinct
+    # tail users churn the 32-entry summary
+    rows_per_wave = []
+    for wave in range(3):
+        rows = [{"event_type": "click", "user_id": 7}] * 200
+        rows += [
+            {"event_type": "click", "user_id": 100 + ((wave * 97 + i) % 200)}
+            for i in range(270)
+        ]
+        rows_per_wave.append(rows)
+    for i, rows in enumerate(rows_per_wave):
+        with open(src / f"wave{i}.json", "w") as fh:
+            fh.write("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("event_type STRING, user_id LONG")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    target, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        heavy_hitters_stream(stream)
+        .writeStream.trigger(availableNow=True)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda bdf, _b: bdf.write.mode("append").parquet(target))
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.schema(
+        "event_type STRING, rank INT, user_id LONG, est LONG, err LONG, n_seen LONG"
+    ).parquet(target)
+    final = (
+        out.orderBy(F.desc("n_seen"), "rank")
+        .filter(F.col("rank") == 0)
+        .first()
+    )
+    n_total = sum(len(r) for r in rows_per_wave)
+    assert 600 > n_total / HH_CAPACITY  # the guarantee applies
+    assert final["user_id"] == 7 and final["est"] >= 600
+    assert final["est"] - final["err"] <= 600

@@ -60,6 +60,14 @@ PROBE_QUERIES = [
     "q174_bm25_topk",
     "q175_span_dedup_stats",
     "q178_pagerank",
+    # r6 session: ingest + tokenizer + curation + streaming sketch
+    "q219_copy_into",
+    "q222_bpe_pair_stats",
+    "q225_type_token_stats",
+    "q227_incremental_dedup_index",
+    "q228_stream_heavy_hitters",
+    "q229_bpe_train",
+    "q232_curriculum_schedule",
 ]
 
 # per-table key columns to offset per copy (fact->dim links stay valid
