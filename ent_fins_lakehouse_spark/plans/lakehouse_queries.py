@@ -3573,3 +3573,268 @@ def q231_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "col_name STRING, n_nulls LONG, ndv_exact LONG, within_tol BOOLEAN, "
         "min_value STRING, max_value STRING",
     ).orderBy("col_name")
+
+
+@query(
+    "q234_dlt_expectations",
+    oracle="""
+    WITH flags AS (
+      SELECT *,
+        COALESCE(l_quantity BETWEEN 1 AND 50, FALSE) AS p_qty,
+        COALESCE(l_extendedprice > 0, FALSE) AS p_price,
+        COALESCE(l_discount BETWEEN 0 AND 0.1, FALSE) AS p_disc,
+        COALESCE(l_shipdate IS NOT NULL, FALSE) AS p_ship
+      FROM lineitem
+    ),
+    m AS (
+      SELECT 'valid_qty' AS rule, 'drop' AS action,
+             SUM(CASE WHEN NOT p_qty THEN 1 ELSE 0 END) AS n_violations,
+             COUNT(*) AS n_rows FROM flags
+      UNION ALL
+      SELECT 'positive_price', 'drop',
+             SUM(CASE WHEN NOT p_price THEN 1 ELSE 0 END), COUNT(*) FROM flags
+      UNION ALL
+      SELECT 'sane_discount', 'warn',
+             SUM(CASE WHEN NOT p_disc THEN 1 ELSE 0 END), COUNT(*) FROM flags
+      UNION ALL
+      SELECT 'shipdate_present', 'fail',
+             SUM(CASE WHEN NOT p_ship THEN 1 ELSE 0 END), COUNT(*) FROM flags
+      UNION ALL
+      SELECT '__clean__', '',
+             COUNT(*) FILTER (WHERE p_qty AND p_price), COUNT(*) FROM flags
+      UNION ALL
+      SELECT '__quarantine__', '',
+             COUNT(*) FILTER (WHERE NOT (p_qty AND p_price)), COUNT(*) FROM flags
+    )
+    SELECT * FROM m ORDER BY rule
+    """,
+    tags=("lakehouse", "quality", "expectations"),
+)
+def q234_dlt_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline data-quality expectations — the Delta Live Tables
+    surface (`@dlt.expect` / `expect_or_drop` / `expect_or_fail`) the
+    reference's platform layers over exactly this kind of medallion
+    cleanup (`01-Fraud-Delta.py:59-80`'s bronze→silver cell): three
+    enforcement levels over lineitem in ONE metrics aggregation pass
+    (all rules as summed predicates — no per-rule scan) plus a
+    clean/quarantine split carrying per-row violation lists. DLT null
+    semantics (NULL = violation), unlike CHECK constraints (q181).
+    The fail-level rule passes here; its abort path is exercised in
+    tests/test_lakehouse.py."""
+    from ent_fins_lakehouse_spark.operators.expectations import (
+        Expectation,
+        apply_expectations,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    clean, quarantine, metrics = apply_expectations(
+        li,
+        [
+            Expectation("valid_qty", "l_quantity BETWEEN 1 AND 50", "drop"),
+            Expectation("positive_price", "l_extendedprice > 0", "drop"),
+            Expectation("sane_discount", "l_discount BETWEEN 0 AND 0.1", "warn"),
+            Expectation("shipdate_present", "l_shipdate IS NOT NULL", "fail"),
+        ],
+    )
+    extras = spark.createDataFrame(
+        [
+            ("__clean__", "", clean.count(), li.count()),
+            ("__quarantine__", "", quarantine.count(), li.count()),
+        ],
+        "rule STRING, action STRING, n_violations LONG, n_rows LONG",
+    )
+    return metrics.unionAll(extras).orderBy("rule")
+
+
+@query(
+    "q235_fsck_repair",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal,
+           CAST(s_suppkey % 4 AS INT) AS p
+    FROM supplier WHERE s_suppkey % 4 <> 3
+    ORDER BY s_suppkey
+    """,
+    tags=("lakehouse", "delta", "repair"),
+)
+def q235_fsck_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``FSCK REPAIR TABLE`` — recovery from out-of-band file loss
+    (lifecycle policies, foreign VACUUMs): a partition's data file is
+    deleted from storage behind the log's back; FSCK probes existence
+    (control-plane listing, no data read) and commits ``remove``
+    actions for the dangling adds in one version, after which reads
+    succeed on the surviving data. Dry-run first (must report, not
+    mutate), then repair; the log history keeps the pre-loss version
+    for audit. Hash-checked: the repaired table equals supplier minus
+    the lost partition exactly."""
+    import glob
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal",
+        (F.col("s_suppkey") % 4).cast("int").alias("p"),
+    )
+    t = DeltaLogTable(spark, _scratch("fsck") + "_t")
+    t.write(sup, mode="append", partition_by=["p"])
+    # lose partition p=3 out-of-band
+    lost = glob.glob(os.path.join(t.path, "p=3", "*.parquet"))
+    if not lost:
+        raise AssertionError("expected hive-partitioned files under p=3")
+    for f in lost:
+        os.remove(f)
+    dry = t.fsck_repair(dry_run=True)
+    if dry["n_missing"] != len(lost) or t.latest_version() != 0:
+        raise AssertionError(f"dry-run must not commit: {dry}")
+    rep = t.fsck_repair()
+    if rep["n_missing"] != len(lost) or rep.get("version") != 1:
+        raise AssertionError(f"repair accounting wrong: {rep}")
+    post = t.fsck_repair(dry_run=True)
+    if post["n_missing"] != 0:
+        raise AssertionError(f"repair left dangling entries: {post}")
+    return t.read().select("s_suppkey", "s_name", "s_acctbal", "p").orderBy("s_suppkey")
+
+
+@query(
+    "q238_append_only_table",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal FROM supplier
+    UNION ALL
+    SELECT s_suppkey + 100000, s_name, s_acctbal FROM supplier
+    WHERE s_suppkey < 10
+    ORDER BY s_suppkey
+    """,
+    tags=("lakehouse", "delta", "governance"),
+)
+def q238_append_only_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``delta.appendOnly=true`` (protocol: 'Append-only Tables') —
+    the immutable-ledger contract a FRAUD lakehouse needs on its audit
+    tables: with the property set, appends flow but DELETE / UPDATE /
+    MERGE / overwrite / RESTORE are refused at the COMMIT layer (not
+    by convention); unsetting via ALTER TABLE TBLPROPERTIES restores
+    mutability. Every refusal is asserted to raise; the final state
+    hash-checks that the refused operations truly left no trace."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    t = DeltaLogTable(spark, _scratch("appendonly") + "_t")
+    t.write(sup, mode="append")
+    t.set_property("delta.appendOnly", "true")
+    extra = sup.filter(F.col("s_suppkey") < 10).withColumn(
+        "s_suppkey", F.col("s_suppkey") + 100000
+    )
+    t.write(extra, mode="append")  # appends still flow
+    for op, fn in (
+        ("DELETE", lambda: t.delete("s_suppkey = 1")),
+        ("UPDATE", lambda: t.update({"s_acctbal": "0.0"}, "s_suppkey = 1")),
+        ("MERGE", lambda: t.merge(extra, on=["s_suppkey"])),
+        ("overwrite", lambda: t.write(extra, mode="overwrite")),
+        ("RESTORE", lambda: t.restore(0)),
+    ):
+        try:
+            fn()
+        except ValueError as e:
+            if "append-only" not in str(e):
+                raise AssertionError(f"{op}: wrong refusal: {e}") from e
+        else:
+            raise AssertionError(f"{op} must be refused on an append-only table")
+    if t.read().count() != sup.count() + extra.count():
+        raise AssertionError("refused operations mutated the table")
+    # unset -> mutable again (and the delete takes effect)
+    t.set_property("delta.appendOnly", None)
+    t.delete("s_suppkey = 100001")
+    t.write(
+        extra.filter(F.col("s_suppkey") == 100001), mode="append"
+    )  # restore the row so the oracle stays order-invariant
+    return t.read().orderBy("s_suppkey")
+
+
+@query(
+    "q240_iceberg_partitions_table",
+    oracle="""
+    SELECT CAST(o_custkey % 8 AS BIGINT) AS bucket,
+           COUNT(*) AS record_count
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    tags=("lakehouse", "iceberg", "metadata"),
+)
+def q240_iceberg_partitions_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``<table>.partitions`` metadata table — per-partition row /
+    file / byte accounting decoded from Avro manifests ONLY: the
+    layout-audit query (skew inspection, small-file detection,
+    compaction targeting) answered from KBs of metadata however large
+    the data. Hash-checked: manifest-derived per-partition record
+    counts must equal the data-side group-by exactly (footer-sourced
+    counts, not estimates)."""
+    import json as _json
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        (F.col("o_custkey") % 8).alias("bucket"),
+    )
+    t = IcebergTable(spark, _scratch("icepart") + "_t")
+    t.append(orders.repartition(8), partition_by=["bucket"])
+    parts = t.partitions_df()
+    n_files = parts.agg(F.sum("file_count")).first()[0]
+    if n_files < 8:
+        raise AssertionError(f"expected >=8 partitioned files, saw {n_files}")
+    get_bucket = F.udf(lambda s: int(_json.loads(s)["bucket"]), "long")
+    return (
+        parts.select(
+            get_bucket("partition").alias("bucket"),
+            "record_count",
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q241_cross_format_federation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("lakehouse", "interop", "federation"),
+)
+def q241_cross_format_federation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One query over THREE table formats — orders in public-format
+    Delta, customers in Iceberg v2, nations in raw parquet — joined in
+    a single plan: the lakehouse-federation claim made concrete (a
+    migration in flight never blocks analytics). Each source is just a
+    DataFrame; Catalyst broadcasts the two small sides into the
+    Delta-backed fact scan like any other join. Hash-checked against
+    the single-format oracle — formats must not change answers."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    dt = DeltaLogTable(spark, _scratch("fed_delta") + "_t")
+    dt.write(orders.select("o_orderkey", "o_custkey", "o_totalprice"), mode="append")
+    it = IcebergTable(spark, _scratch("fed_ice") + "_t")
+    it.append(cust.select("c_custkey", "c_nationkey"))
+
+    o = dt.read()
+    c = it.read()
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nation), c.c_nationkey == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("nation")
+    )

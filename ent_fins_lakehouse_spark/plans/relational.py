@@ -2912,3 +2912,184 @@ def q141_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q236_time_weighted_avg",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, value,
+             epoch_us(ts) AS t_us,
+             LEAD(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS nxt_us
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           SUM(nxt_us - t_us) AS span_us,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4)) * (nxt_us - t_us)) AS DOUBLE)
+                 / CAST(SUM(nxt_us - t_us) AS DOUBLE), 6) AS twa
+    FROM s WHERE nxt_us IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("relational", "temporal"),
+)
+def q236_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user — the irregular-time-series
+    aggregate (sensor/price/telemetry rollups) a plain AVG gets wrong:
+    each reading holds until the next (zero-order hold), so its weight
+    is the interval length, not 1. One partitioned window (lead) + one
+    grouped aggregation — no self-join; weights are exact integer
+    microseconds and the weighted sum runs in DECIMAL, so the hash
+    matches the oracle bit-for-bit. At 100 TB this is the hypertable
+    `time_weight` pattern: both the window and the agg key on user_id,
+    so AQE plans ONE exchange for the pair."""
+    from ent_fins_lakehouse_spark.sources.readers import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("t_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("nxt_us"),
+    ).filter(F.col("nxt_us").isNotNull())
+    dt = F.col("nxt_us") - F.col("t_us")
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum(dt).alias("span_us"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)") * dt).cast("double")
+                / F.sum(dt).cast("double"),
+                6,
+            ).alias("twa"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q237_last_touch_attribution",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS channel
+      FROM events
+    )
+    SELECT COALESCE(channel, 'direct') AS channel,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS revenue
+    FROM s WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("relational", "events", "attribution"),
+)
+def q237_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the
+    most recent PRECEDING non-purchase event of the same user
+    ('direct' when none) — the canonical sessionless attribution
+    model. One user-partitioned window (last + IGNORE NULLS over
+    unbounded-preceding) feeding one channel aggregation; the window
+    and nothing else orders by event time, so at 100 TB the plan is
+    one user_id exchange with in-partition sorts, no self-join of
+    events to events (the naive formulation that dies at scale).
+    DECIMAL-summed revenue keeps the hash exact."""
+    from ent_fins_lakehouse_spark.sources.readers import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    s = ev.withColumn(
+        "channel",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        s.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(14,4)")).cast("double").alias("revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+@query(
+    "q239_benford_fraud_screen",
+    oracle="""
+    WITH d AS (
+      SELECT l_suppkey,
+             CAST(SUBSTRING(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS fd
+      FROM lineitem WHERE l_extendedprice >= 1
+    ),
+    obs AS (
+      SELECT l_suppkey, fd, COUNT(*) AS n FROM d GROUP BY 1, 2
+    ),
+    tot AS (SELECT l_suppkey, SUM(n) AS n_tot FROM obs GROUP BY 1),
+    chi AS (
+      SELECT o.l_suppkey,
+             SUM(POWER(CAST(o.n AS DOUBLE) / t.n_tot
+                       - LOG10(1.0 + 1.0 / o.fd), 2)
+                 / LOG10(1.0 + 1.0 / o.fd)) AS stat,
+             MAX(t.n_tot) AS n_prices
+      FROM obs o JOIN tot t USING (l_suppkey)
+      GROUP BY o.l_suppkey
+    )
+    SELECT l_suppkey, n_prices, ROUND(stat, 6) AS benford_dev
+    FROM chi WHERE n_prices >= 50
+    ORDER BY benford_dev DESC, l_suppkey LIMIT 25
+    """,
+    tags=("relational", "fraud"),
+)
+def q239_benford_fraud_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law fraud screen — the reference IS a fraud lakehouse
+    (`01-Fraud-Delta.py`); this is the classic forensic-accounting
+    test over its price data: per supplier, the first-digit
+    distribution of extended prices vs Benford's log10(1 + 1/d)
+    expectation, scored by a chi-square-shaped deviation; suppliers
+    with fabricated/rounded pricing float to the top. Two hash
+    aggregations (supplier×digit, then supplier) — no window, no
+    self-join; a 50-price support floor keeps small-sample noise out,
+    and 6dp rounding keeps the float pipeline hash-exact."""
+    from ent_fins_lakehouse_spark.sources.readers import load_table as _lt
+
+    li = _lt(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") >= 1)
+    d = li.select(
+        "l_suppkey",
+        F.substring(F.floor("l_extendedprice").cast("bigint").cast("string"), 1, 1)
+        .cast("int")
+        .alias("fd"),
+    )
+    obs = (
+        d.groupBy("l_suppkey", "fd")
+        .agg(F.count("*").alias("n"))
+        .withColumn("n_tot", F.sum("n").over(W.partitionBy("l_suppkey")))
+    )
+    exp = F.log10(1.0 + 1.0 / F.col("fd"))
+    per = obs.groupBy("l_suppkey").agg(
+        F.sum(
+            F.pow(F.col("n").cast("double") / F.col("n_tot") - exp, 2) / exp
+        ).alias("stat"),
+        F.max("n_tot").alias("n_prices"),
+    )
+    return (
+        per.filter(F.col("n_prices") >= 50)
+        .select("l_suppkey", "n_prices", F.round("stat", 6).alias("benford_dev"))
+        .orderBy(F.desc("benford_dev"), F.asc("l_suppkey"))
+        .limit(25)
+    )

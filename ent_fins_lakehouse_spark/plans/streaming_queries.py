@@ -1090,3 +1090,87 @@ def q228_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rn")
         .orderBy("event_type", "rank")
     )
+
+
+@query("q233_stream_state_ttl", tags=("streaming", "stateful"))
+def q233_stream_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State TTL / inactivity finalization (ProcessingTimeTimeout —
+    the applyInPandasWithState surface q45/q228 don't exercise): users
+    stream in three DISJOINT waves (wave k = user_id % 3 == k); after
+    a user's wave passes, the next microbatch fires their timeout,
+    emits the FINAL session row and CLEARS their state — the state
+    store holds only currently-ACTIVE keys, which is what makes an
+    unbounded key domain survivable. Post-data timeout batches
+    finalize the last wave too, so every user ends finalized exactly
+    once.
+
+    Termination note (documented Spark behavior): availableNow keeps
+    scheduling empty batches while processing-time timeouts are in
+    play, so the harness polls the sink for the deterministic
+    completion condition (all users finalized) and then stops the
+    query — the pattern any TTL consumer needs. Rows-only: emission
+    batching is runtime-dependent; totals are checked against batch
+    aggregates in tests/test_streaming.py."""
+    import json as _json
+    import time as _time
+
+    from ent_fins_lakehouse_spark.streaming.stateful import inactivity_sessions_stream
+
+    root = tempfile.mkdtemp(prefix="stream_ttl_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "value")
+        .filter(F.col("user_id") < 60)
+    )
+    rows = ev.collect()  # bounded fixture staging (sf0.01: ~4k rows)
+    users = {r["user_id"] for r in rows}
+    for k in range(3):
+        with open(os.path.join(src, f"wave{k}.json"), "w") as fh:
+            for r in rows:
+                if r["user_id"] % 3 == k:
+                    fh.write(
+                        _json.dumps({"user_id": r["user_id"], "value": r["value"]})
+                        + "\n"
+                    )
+    target, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+    stream = (
+        spark.readStream.schema("user_id LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        inactivity_sessions_stream(stream)
+        .writeStream.trigger(availableNow=True)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda bdf, _b: bdf.write.mode("append").parquet(target))
+        .start()
+    )
+    schema = "user_id LONG, n_events LONG, total_value DOUBLE, finalized BOOLEAN"
+
+    def n_final() -> int:
+        try:
+            return (
+                spark.read.schema(schema)
+                .parquet(target)
+                .filter(F.col("finalized"))
+                .select("user_id")
+                .distinct()
+                .count()
+            )
+        except Exception:
+            return 0  # sink not created yet
+
+    deadline = _time.time() + 120
+    while n_final() < len(users) and _time.time() < deadline:
+        _time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+    out = spark.read.schema(schema).parquet(target)
+    return (
+        out.filter(F.col("finalized"))
+        .select("user_id", "n_events", F.round("total_value", 4).alias("total_value"))
+        .orderBy("user_id")
+    )

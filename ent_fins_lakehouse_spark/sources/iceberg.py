@@ -1210,6 +1210,41 @@ class IcebergTable:
             "file_size_in_bytes LONG, sequence_number LONG",
         )
 
+    def partitions_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """The ``<table>.partitions`` metadata table: per partition
+        tuple — record count, file count, total bytes — aggregated
+        from manifest entries ONLY (the layout-audit query that would
+        otherwise be a full groupBy scan of the data; here it reads
+        KBs of Avro however large the table)."""
+        from ent_fins_lakehouse_spark.sources.avro_io import read_ocf
+
+        meta = self.metadata()
+        snaps = meta.get("snapshots") or []
+        sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
+        agg: dict[str, list[int]] = {}
+        snap = next((s for s in snaps if s["snapshot-id"] == sid), None)
+        if snap is not None:
+            _, manifests = read_ocf(self._resolve(snap["manifest-list"]))
+            for m in manifests:
+                _, entries = read_ocf(self._resolve(m["manifest_path"]))
+                for e in entries:
+                    if e.get("status") == 2:
+                        continue
+                    df_rec = e["data_file"]
+                    if int(df_rec.get("content") or 0) != 0:
+                        continue  # delete files don't belong to data partitions
+                    pv = df_rec.get("partition")
+                    key = json.dumps(pv, sort_keys=True, default=str) if pv else "{}"
+                    got = agg.setdefault(key, [0, 0, 0])
+                    got[0] += int(df_rec.get("record_count") or 0)
+                    got[1] += 1
+                    got[2] += int(df_rec.get("file_size_in_bytes") or 0)
+        return self.spark.createDataFrame(
+            [(k, *v) for k, v in sorted(agg.items())],
+            "partition STRING, record_count LONG, file_count LONG, "
+            "total_size_bytes LONG",
+        )
+
     def txn_version(self, app_id: str) -> int:
         """Latest committed batch id for an idempotent writer, read
         from snapshot summaries (the Flink-connector pattern: commit

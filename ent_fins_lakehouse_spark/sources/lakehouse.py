@@ -2297,6 +2297,8 @@ class DeltaLogTable:
             )
         if version > 0:
             existing_adds, committed_schema, committed_parts, meta = self._snapshot()
+            if mode == "overwrite":
+                self._enforce_append_only(meta, "overwrite")
             cm_mode, cm_pmap = self._mapping(meta, committed_schema)
             gen_exprs = {
                 f.name: (f.metadata or {})["delta.generationExpression"]
@@ -2539,6 +2541,57 @@ class DeltaLogTable:
         self._commit_actions(version, actions)
         return version
 
+    def fsck_repair(self, dry_run: bool = False) -> dict:
+        """``FSCK REPAIR TABLE`` (Delta parity): drop add-entries whose
+        data files no longer exist on storage — the recovery verb for
+        out-of-band deletions (lifecycle policies, manual cleanup, a
+        VACUUM from another system) that otherwise fail every read
+        with FileNotFound. Control-plane only: an existence probe per
+        active file (metadata listing at scale, no data read) and ONE
+        commit of ``remove`` actions for the dangling entries.
+        Returns ``{"n_active", "n_missing", "version" | "missing"}``."""
+        import time
+
+        adds, schema, *_ = self._snapshot()
+        missing = {
+            p: info
+            for p, info in adds.items()
+            if not os.path.exists(os.path.join(self.path, p))
+        }
+        if dry_run or not missing:
+            return {
+                "n_active": len(adds),
+                "n_missing": len(missing),
+                "missing": sorted(missing),
+            }
+        now = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "FSCK",
+                    "operationParameters": {
+                        "files": json.dumps(sorted(missing))
+                    },
+                    "engineInfo": "ent_fins_lakehouse_spark/delta-shim",
+                }
+            }
+        ]
+        actions.extend(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                    "partitionValues": info.get("partitionValues") or {},
+                }
+            }
+            for p, info in sorted(missing.items())
+        )
+        version = self.latest_version() + 1
+        self._commit_actions(version, actions)
+        return {"n_active": len(adds), "n_missing": len(missing), "version": version}
+
     def copy_into(
         self,
         source_dir: str,
@@ -2772,6 +2825,7 @@ class DeltaLogTable:
         import zlib
 
         adds, schema, part_cols, _meta = self._snapshot()
+        self._enforce_append_only(_meta, "DELETE")
         if ((_meta or {}).get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
         ) != "none":
@@ -3030,6 +3084,7 @@ class DeltaLogTable:
         ``{"files_rewritten", "rows_updated"}``."""
         import time
 
+        self._enforce_append_only(self._snapshot()[3], "UPDATE")
         df, adds, schema, part_cols, rel_of = self._read_with_fp()
         cols = [f.name for f in schema.fields]
         unknown = set(assignments) - set(cols)
@@ -3113,6 +3168,7 @@ class DeltaLogTable:
         import time
 
         df, adds, schema, part_cols, rel_of = self._read_with_fp()
+        self._enforce_append_only(self._snapshot()[3], "MERGE")
         want = {f.name: f.dataType for f in schema.fields}
         have = {f.name: f.dataType for f in source.schema.fields}
         if sorted(have) != sorted(want) or any(have[n] != t for n, t in want.items()):
@@ -3256,6 +3312,7 @@ class DeltaLogTable:
         base = self.latest_version()
         if version == base:
             return {"restored_to": version, "files_added": 0, "files_removed": 0}
+        self._enforce_append_only(self._snapshot()[3], "RESTORE")
         t_adds, t_schema, t_parts, t_meta = self._snapshot(version)
         c_adds, _, _, c_meta = self._snapshot()
         missing = [
@@ -3423,6 +3480,36 @@ class DeltaLogTable:
             raise ValueError(f"no constraint {name!r} on {self.path}")
         _, _, _, meta = self._snapshot()
         self._commit_constraint_meta(meta, {}, drop=f"delta.constraints.{name}")
+
+    def set_property(self, key: str, value: str | None) -> None:
+        """``ALTER TABLE SET/UNSET TBLPROPERTIES`` — table
+        configuration as a metaData commit (``delta.appendOnly``,
+        retention knobs, …). ``value=None`` unsets."""
+        *_, meta = self._snapshot()
+        if meta is None:
+            raise ValueError(f"table {self.path} does not exist")
+        if value is None:
+            self._commit_constraint_meta(meta, {}, drop=key)
+        else:
+            self._commit_constraint_meta(meta, {key: str(value)}, drop=None)
+
+    def properties(self) -> dict:
+        *_, meta = self._snapshot()
+        return dict((meta or {}).get("configuration") or {})
+
+    def _enforce_append_only(self, meta: dict | None, op: str) -> None:
+        """``delta.appendOnly=true`` (protocol: 'Append-only Tables'):
+        a table property that REFUSES every operation removing or
+        rewriting data — DELETE / UPDATE / MERGE / overwrite /
+        RESTORE — while appends flow. The immutable-audit-log contract
+        (regulatory ledgers, event sourcing) enforced at the commit
+        layer, not by convention."""
+        cfg = (meta or {}).get("configuration") or {}
+        if str(cfg.get("delta.appendOnly", "false")).lower() == "true":
+            raise ValueError(
+                f"{op} rejected: table {self.path} is append-only "
+                "(delta.appendOnly=true); unset the property to mutate"
+            )
 
     def _commit_constraint_meta(self, meta: dict, add_cfg: dict, drop: str | None) -> None:
         import time

@@ -136,3 +136,62 @@ def heavy_hitters_stream(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------- r6:
+# inactivity finalization via processing-time state TTL
+
+INACT_OUTPUT = "user_id LONG, n_events LONG, total_value DOUBLE, finalized BOOLEAN"
+INACT_STATE = "n LONG, total DOUBLE"
+
+
+def _inactivity_fn(key, pdfs: Iterable[pd.DataFrame], state):
+    """Session finalization on inactivity — the state-TTL pattern
+    (abandoned carts, closed tickets, quiet sensors): every batch with
+    data for the key updates running totals and re-arms a
+    processing-time timeout; when a batch passes with NO data for the
+    key, the expired callback emits the FINAL row and clears state —
+    bounding the state store to currently-active keys, the property
+    that keeps an unbounded key domain viable."""
+    if state.hasTimedOut:
+        n, total = state.get
+        state.remove()  # free the slot: state size tracks ACTIVE keys
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "finalized": [True],
+            }
+        )
+        return
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    state.setTimeoutDuration(1)  # 1 ms: any later batch finalizes idle keys
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "finalized": [False],
+        }
+    )
+
+
+def inactivity_sessions_stream(events_stream: DataFrame) -> DataFrame:
+    """Per-user running totals that FINALIZE when the user goes quiet
+    (processing-time state TTL). Update mode."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _inactivity_fn,
+        outputStructType=INACT_OUTPUT,
+        stateStructType=INACT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -3286,3 +3286,43 @@ def test_analyze_table_stats_and_staleness(spark, tmp_path):
     rows = {(r["col_name"], r["stat"]): r["value"] for r in out.collect()}
     assert rows[("", "rowCount")] == "50"
     assert rows[("k", "min")] == "0" and rows[("k", "max")] == "2"
+
+
+# --------------------------------------------------- expectations (r6)
+
+
+def test_expectations_actions_and_null_semantics(spark):
+    from ent_fins_lakehouse_spark.operators.expectations import (
+        Expectation,
+        ExpectationError,
+        apply_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 99.0)], "id INT, v DOUBLE"
+    )
+    clean, quar, metrics = apply_expectations(
+        df,
+        [
+            Expectation("v_positive", "v > 0", "drop"),
+            Expectation("v_small", "v < 50", "warn"),
+        ],
+    )
+    m = {r["rule"]: r for r in metrics.collect()}
+    # NULL is a violation (DLT semantics, not CHECK)
+    assert m["v_positive"]["n_violations"] == 2
+    assert m["v_small"]["n_violations"] == 2  # NULL + 99.0
+    assert m["v_positive"]["n_rows"] == 4
+    assert sorted(r["id"] for r in clean.collect()) == [1, 4]  # warn passes through
+    qrows = {r["id"]: r["_violations"] for r in quar.collect()}
+    assert qrows == {2: ["v_positive"], 3: ["v_positive"]}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ExpectationError, match="v_positive"):
+        apply_expectations(df, [Expectation("v_positive", "v > 0", "fail")])
+    # warn-only: nothing quarantined
+    c2, q2, _ = apply_expectations(df, [Expectation("w", "v > 0", "warn")])
+    assert c2.count() == 4 and q2.count() == 0
+    with _pytest.raises(ValueError, match="action"):
+        Expectation("x", "v > 0", "explode")

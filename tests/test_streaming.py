@@ -480,3 +480,29 @@ def test_stream_heavy_hitters_planted_skew(spark, tmp_path):
     assert 600 > n_total / HH_CAPACITY  # the guarantee applies
     assert final["user_id"] == 7 and final["est"] >= 600
     assert final["est"] - final["err"] <= 600
+
+
+def test_stream_state_ttl_finalization(spark):
+    """Every user finalizes exactly once with totals equal to the
+    batch aggregate; the state store is empty at stop (all sessions
+    closed)."""
+    from ent_fins_lakehouse_spark.plans.streaming_queries import (
+        q233_stream_state_ttl,
+    )
+    from ent_fins_lakehouse_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    out = q233_stream_state_ttl(spark, SF_SMOKE).collect()
+    exact = {
+        r["user_id"]: (r["n"], r["tot"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("user_id") < 60)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tot"))
+        .collect()
+    }
+    assert len(out) == len(exact)  # exactly once per user
+    for r in out:
+        n, tot = exact[r["user_id"]]
+        assert r["n_events"] == n
+        assert abs(r["total_value"] - tot) < 1e-3
