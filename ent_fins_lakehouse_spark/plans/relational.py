@@ -3093,3 +3093,379 @@ def q239_benford_fraud_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("benford_dev"), F.asc("l_suppkey"))
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust time-series analytics: EWMA, MAD outliers, CUSUM changepoint,
+# KMV (theta-style) sketch set algebra, graph triangle counting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q242_ewma_smoothing",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           list_reduce(list(value ORDER BY ts, event_id),
+                       (acc, x) -> 0.3 * x + 0.7 * acc) AS ewma
+    FROM events
+    GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("relational", "temporal"),
+)
+def q242_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user (alpha = 0.3) —
+    the telemetry/price smoother whose recursion y_i = a*x_i +
+    (1-a)*y_{i-1} plain window functions cannot express. Spark-first
+    formulation: one hash aggregation collects each user's series as
+    an array (sorted by a JVM-side ``array_sort`` on (ts, event_id)),
+    then the fold runs INSIDE codegen via the ``aggregate``
+    higher-order function — no Python UDF, no per-row state store.
+    The oracle runs the byte-identical left fold via DuckDB's
+    ``list_reduce``, so the doubles hash bit-for-bit with NO rounding.
+    100 TB design: state is one array per user, bounded by per-user
+    history (the same contract as any per-entity stateful op); the
+    single exchange is the user_id hash shuffle, and skewed users can
+    be range-chunked with a re-fold of chunk results because the EWMA
+    fold composes: y over (A ++ B) = fold(B, init=fold(A))."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    a = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    return (
+        ev.groupBy("user_id")
+        .agg(a.alias("a"))
+        .select(
+            "user_id",
+            F.size("a").alias("n_events"),
+            F.expr(
+                "aggregate(slice(transform(a, s -> s.value), 2, greatest(size(a)-1, 0)),"
+                " CAST(a[0].value AS DOUBLE), (acc, x) -> 0.3D * x + 0.7D * acc)"
+            ).alias("ewma"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q243_mad_anomaly_screen",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med,
+             ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n_events,
+           ROUND(MAX(d.med), 6) AS med,
+           ROUND(MAX(m.mad), 6) AS mad,
+           SUM(CASE WHEN d.adev > 3.5 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS n_anomalies,
+           ROUND(MAX(d.adev / (1.4826 * m.mad)), 6) AS max_robust_z
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+    tags=("relational", "quality"),
+)
+def q243_mad_anomaly_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier screen per event type — the
+    fraud-telemetry anomaly gate that survives heavy tails where
+    mean/stddev z-scores break (a single 1e9 reading inflates sigma
+    until nothing is anomalous). Two exact-median aggregations
+    (value, then absolute deviation) with the per-type constants
+    broadcast back — event_type is low-cardinality, so both joins are
+    broadcast hash joins and the only exchanges are the two partial
+    aggregations. The 1.4826 factor makes MAD sigma-consistent under
+    normality; 3.5 is the standard Iglewicz-Hodgdon cutoff. At 100 TB
+    exact medians per LOW-CARDINALITY key are a sort-free
+    ``percentile`` partial-agg; for high-cardinality keys the engine's
+    sketch path (q223 fixed-bin histograms / q49 exact percentiles)
+    is the scale tier."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    d = dev.join(F.broadcast(mad), "event_type")
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3.5 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_anomalies"),
+            F.round(F.max(F.col("adev") / (1.4826 * F.col("mad"))), 6).alias("max_robust_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q245_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             SUM(CAST(value AS DECIMAL(18,4))) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, d, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i,
+             SUM(v) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(v) OVER (PARTITION BY event_type) AS tot,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ),
+    stat AS (
+      SELECT event_type, d, n,
+             CAST(n AS DECIMAL(38,4)) * cum - CAST(i AS DECIMAL(38,4)) * tot AS dev,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY ABS(CAST(n AS DECIMAL(38,4)) * cum - CAST(i AS DECIMAL(38,4)) * tot) DESC, d
+             ) AS rk
+      FROM s
+    )
+    SELECT event_type, d AS changepoint_day, n AS n_days,
+           ROUND(CAST(ABS(dev) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+             AS cusum_stat
+    FROM stat WHERE rk = 1 ORDER BY event_type
+    """,
+    tags=("relational", "temporal"),
+)
+def q245_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint per event type: the day k maximizing
+    |S_k - (k/n) * S_n| over the daily-sum series — where the running
+    total diverges most from the fitted constant rate — is the
+    level-shift estimate (Page's statistic with the per-day
+    normalization folded out). Everything before the final argmax is
+    DECIMAL-exact: daily sums, the cumulative window, and the
+    deviation n*cum_k - k*tot are integer-scaled decimals, so the
+    argmax ordering (and hence the reported day) cannot be flipped by
+    float summation order; only the REPORTED statistic is cast to
+    double at the end. One exchange on event_type drives the daily
+    rollup, both windows, and the argmax — AQE plans them as one
+    partitioning. At 100 TB the daily pre-aggregation is what keeps
+    the window input small: the windows run over (key x days), not
+    raw events."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("d"), "value"
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("v")
+    )
+    wo = W.partitionBy("event_type").orderBy("d")
+    wa = W.partitionBy("event_type")
+    s = daily.select(
+        "event_type",
+        "d",
+        F.row_number().over(wo).alias("i"),
+        F.sum("v").over(wo.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum"),
+        F.sum("v").over(wa).alias("tot"),
+        F.count("*").over(wa).alias("n"),
+    )
+    dev = F.col("n").cast("decimal(38,4)") * F.col("cum") - F.col("i").cast(
+        "decimal(38,4)"
+    ) * F.col("tot")
+    stat = s.select(
+        "event_type",
+        "d",
+        "n",
+        dev.alias("dev"),
+        F.row_number().over(wo.orderBy(F.abs(dev).desc(), F.asc("d"))).alias("rk"),
+    )
+    return (
+        stat.filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("changepoint_day"),
+            F.col("n").alias("n_days"),
+            F.round(
+                F.abs(F.col("dev")).cast("double")
+                / (F.col("n").cast("double") * F.col("n").cast("double")),
+                6,
+            ).alias("cusum_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q244_kmv_sketch_intersection",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || SUBSTRING(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM events
+    ),
+    rk AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS r
+      FROM d
+    ),
+    sk AS (SELECT event_type, h FROM rk WHERE r <= 128),
+    th AS (
+      SELECT event_type, COUNT(*) AS cnt,
+             CASE WHEN COUNT(*) >= 128 THEN MAX(h)
+                  ELSE 1152921504606846976 END AS theta
+      FROM sk GROUP BY event_type
+    ),
+    pair AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             LEAST(ta.theta, tb.theta) AS theta_i,
+             ta.cnt AS cnt_a, tb.cnt AS cnt_b,
+             ta.theta AS theta_a, tb.theta AS theta_b,
+             COUNT(*) FILTER (WHERE a.h < LEAST(ta.theta, tb.theta)) AS n_common
+      FROM sk a
+      JOIN sk b ON a.h = b.h AND a.event_type < b.event_type
+      JOIN th ta ON ta.event_type = a.event_type
+      JOIN th tb ON tb.event_type = b.event_type
+      GROUP BY 1, 2, 3, 4, 5, 6, 7
+    )
+    SELECT type_a, type_b,
+           ROUND(CASE WHEN cnt_a >= 128
+                 THEN 127.0 * 1152921504606846976 / theta_a
+                 ELSE CAST(cnt_a AS DOUBLE) END, 4) AS est_a,
+           ROUND(CASE WHEN cnt_b >= 128
+                 THEN 127.0 * 1152921504606846976 / theta_b
+                 ELSE CAST(cnt_b AS DOUBLE) END, 4) AS est_b,
+           ROUND(CAST(n_common AS DOUBLE) * 1152921504606846976 / theta_i, 4)
+             AS est_common
+    FROM pair ORDER BY type_a, type_b
+    """,
+    tags=("relational", "sketch"),
+)
+def q244_kmv_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra via KMV (k-minimum-values, k=128):
+    per event type, the k smallest md5 hashes of user_id form a
+    mergeable distinct-count sketch (est = (k-1)/theta, Beyer et al.
+    2007); pairwise INTERSECTION cardinalities come from the common
+    hashes below theta_int = min(theta_a, theta_b) — the operation HLL
+    sketches (q90/q218) cannot do without inclusion-exclusion blowup.
+    Everything except the final estimate division is 60-bit integer
+    arithmetic (deterministic md5 prefix), so Spark and the oracle
+    agree bit-for-bit. 100 TB design: the sketch build is one partial
+    top-k aggregation per key — each executor keeps its k smallest
+    locally, the merge is k-way min (the same monoid the oracle's
+    ROW_NUMBER expresses at small scale); pairwise joins then touch
+    only k rows per key, independent of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    K, FULL = 128, 1152921504606846976  # 2^60
+    d = ev.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    ).distinct()
+    rk = d.withColumn("r", F.row_number().over(W.partitionBy("event_type").orderBy("h")))
+    sk = rk.filter(F.col("r") <= K).select("event_type", "h")
+    th = sk.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.when(F.count("*") >= K, F.max("h")).otherwise(F.lit(FULL)).alias("theta"),
+    )
+    a = sk.alias("a")
+    b = sk.alias("b")
+    ta = th.alias("ta")
+    tb = th.alias("tb")
+    pair = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.event_type") < F.col("b.event_type")))
+        .join(F.broadcast(ta), F.col("ta.event_type") == F.col("a.event_type"))
+        .join(F.broadcast(tb), F.col("tb.event_type") == F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.least("ta.theta", "tb.theta").alias("theta_i"),
+            F.col("ta.cnt").alias("cnt_a"),
+            F.col("tb.cnt").alias("cnt_b"),
+            F.col("ta.theta").alias("theta_a"),
+            F.col("tb.theta").alias("theta_b"),
+            F.col("a.h").alias("h"),
+        )
+        .groupBy("type_a", "type_b", "theta_i", "cnt_a", "cnt_b", "theta_a", "theta_b")
+        .agg(F.sum(F.when(F.col("h") < F.col("theta_i"), 1).otherwise(0)).alias("n_common"))
+    )
+    est = lambda cnt, theta: F.when(  # noqa: E731
+        cnt >= K, F.lit(127.0) * FULL / theta.cast("double")
+    ).otherwise(cnt.cast("double"))
+    return pair.select(
+        "type_a",
+        "type_b",
+        F.round(est(F.col("cnt_a"), F.col("theta_a")), 4).alias("est_a"),
+        F.round(est(F.col("cnt_b"), F.col("theta_b")), 4).alias("est_b"),
+        F.round(
+            F.col("n_common").cast("double") * FULL / F.col("theta_i").cast("double"), 4
+        ).alias("est_common"),
+    ).orderBy("type_a", "type_b")
+
+
+@query(
+    "q246_triangle_count",
+    oracle="""
+    WITH pe AS (
+      SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM pe e1 JOIN pe e2 ON e2.s1 = e1.s2
+                 JOIN pe e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+    )
+    SELECT (SELECT COUNT(DISTINCT s) FROM (
+              SELECT s1 AS s FROM pe UNION SELECT s2 FROM pe)) AS n_nodes,
+           (SELECT COUNT(*) FROM pe) AS n_edges,
+           n_triangles
+    FROM tri
+    """,
+    tags=("relational", "graph"),
+)
+def q246_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the supplier co-occurrence graph (edge =
+    two suppliers fulfilling lines of the same order) — the clustering
+    primitive behind fraud-ring and collusion detection. Edges come
+    from an order-local self-join (expansion bounded by order width,
+    ~7 lines, so it is linear in lineitem, not quadratic in
+    suppliers); triangles are enumerated ONCE each via the oriented
+    s1<s2<s3 wedge-close join — the standard distributed formulation
+    (node-iterator on the DAG orientation) whose join keys are
+    graph-degree-bounded. 100 TB design: orient edges by degree
+    (low-degree endpoint first) to cap wedge fan-out at sqrt(m) per
+    node, and the two equi-joins shuffle on supplier key — no
+    broadcast of the full edge set is assumed."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pe = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2"))
+        .distinct()
+    )
+    e1 = pe.alias("e1")
+    e2 = pe.alias("e2")
+    e3 = pe.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.s1") == F.col("e1.s2"))
+        .join(
+            e3,
+            (F.col("e3.s1") == F.col("e1.s1")) & (F.col("e3.s2") == F.col("e2.s2")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    nodes = (
+        pe.select(F.col("s1").alias("s"))
+        .union(pe.select(F.col("s2").alias("s")))
+        .agg(F.countDistinct("s").alias("n_nodes"))
+    )
+    edges = pe.agg(F.count("*").alias("n_edges"))
+    return nodes.crossJoin(edges).crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
