@@ -3838,3 +3838,84 @@ def q241_cross_format_federation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@query(
+    "q247_delta_row_tracking",
+    oracle="""
+    WITH b1 AS (
+      SELECT o_orderkey,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid,
+             1 AS dcv
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    b2 AS (
+      SELECT o_orderkey,
+             (SELECT COUNT(*) FROM b1)
+               + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid,
+             2 AS dcv
+      FROM orders WHERE o_orderkey % 3 = 1
+    ),
+    allr AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+    SELECT dcv AS _row_commit_version,
+           COUNT(*) AS n_rows,
+           MIN(rid) AS min_row_id,
+           MAX(rid) AS max_row_id,
+           SUM(rid * o_orderkey) AS checksum
+    FROM allr WHERE o_orderkey % 9 <> 0
+    GROUP BY dcv ORDER BY dcv
+    """,
+    tags=("lakehouse", "delta", "interop"),
+)
+def q247_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ROW TRACKING on the public log (spec: 'Row Tracking'):
+    ``enable_row_tracking()`` upgrades the protocol to writer v7 with
+    the ``rowTracking``/``domainMetadata`` features and backfills
+    ``baseRowId`` over the live files; every subsequent commit assigns
+    fresh ids above the ``delta.rowTracking`` domain-metadata high
+    water mark, and ``read_with_row_ids()`` materializes ``_row_id =
+    baseRowId + row_index`` through a broadcast file→base map — fully
+    distributed, one map row per data file. The fixture builds two
+    single-file sorted appends (so the id↔key mapping is
+    deterministic), then DV-deletes a slice: surviving rows MUST keep
+    their ids (the oracle recomputes them from first principles, and
+    the ``checksum = Σ rid·key`` catches any misalignment a count
+    would miss). 100 TB design: row-id assignment is control-plane
+    (per-add arithmetic at commit time), the read-side map is one
+    broadcast row per file, and DV deletes never renumber."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    ords = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    dl = DeltaLogTable(spark, _scratch("rowtrack"))
+    dl.write(
+        ords.filter(F.col("o_orderkey") % 3 == 0).coalesce(1).sortWithinPartitions("o_orderkey"),
+        mode="append",
+    )
+    dl.enable_row_tracking()
+    dl.write(
+        ords.filter(F.col("o_orderkey") % 3 == 1).coalesce(1).sortWithinPartitions("o_orderkey"),
+        mode="append",
+    )
+    pre = dl.read_with_row_ids().select("o_orderkey", "_row_id")
+    dl.delete("o_orderkey % 9 = 0")
+    post = dl.read_with_row_ids()
+    # survivors keep their ids under the DV delete — joined equality,
+    # not just counts (renumbering would shift every later id)
+    moved = (
+        post.select("o_orderkey", "_row_id")
+        .join(pre.withColumnRenamed("_row_id", "_pre_id"), "o_orderkey")
+        .filter(F.col("_row_id") != F.col("_pre_id"))
+        .count()
+    )
+    if moved:
+        raise AssertionError(f"{moved} surviving rows were renumbered by a DV delete")
+    return (
+        post.groupBy("_row_commit_version")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("_row_id").alias("min_row_id"),
+            F.max("_row_id").alias("max_row_id"),
+            F.sum(F.col("_row_id") * F.col("o_orderkey")).alias("checksum"),
+        )
+        .orderBy("_row_commit_version")
+    )

@@ -1439,6 +1439,7 @@ class DeltaLogTable:
         meta: dict | None = None
         proto: dict | None = None
         txns: dict[str, int] = {}
+        domains: dict[str, str] = {}
         start = 0
         cp = self._checkpoint()
         if cp and cp[0] <= target:
@@ -1468,16 +1469,29 @@ class DeltaLogTable:
                         dv = None
                         if "deletionVector" in (a.__fields__ or []) and a["deletionVector"]:
                             dv = a["deletionVector"].asDict()
+                        flds = a.__fields__ or []
                         adds[a["path"]] = {
                             "partitionValues": dict(a["partitionValues"] or {}),
                             "deletionVector": dv,
                             # checkpoints don't carry stats — pruning just
                             # sees "no stats" for these files (sound)
                             "stats": None,
+                            "baseRowId": a["baseRowId"] if "baseRowId" in flds else None,
+                            "defaultRowCommitVersion": (
+                                a["defaultRowCommitVersion"]
+                                if "defaultRowCommitVersion" in flds
+                                else None
+                            ),
                         }
                     tx = r["txn"] if "txn" in cols else None
                     if tx is not None and tx["appId"]:
                         txns[tx["appId"]] = int(tx["version"])
+                    dm = r["domainMetadata"] if "domainMetadata" in cols else None
+                    if dm is not None and dm["domain"]:
+                        if dm["removed"]:
+                            domains.pop(dm["domain"], None)
+                        else:
+                            domains[dm["domain"]] = dm["configuration"]
                     # V2 checkpoints (spec: 'V2 Spec Checkpoint'): the
                     # top-level file carries checkpointMetadata + sidecar
                     # actions; the add actions live in the referenced
@@ -1524,11 +1538,19 @@ class DeltaLogTable:
                             "partitionValues": a.get("partitionValues") or {},
                             "deletionVector": a.get("deletionVector"),
                             "stats": a.get("stats"),
+                            "baseRowId": a.get("baseRowId"),
+                            "defaultRowCommitVersion": a.get("defaultRowCommitVersion"),
                         }
                     elif "remove" in act:
                         adds.pop(act["remove"]["path"], None)
                     elif "txn" in act:
                         txns[act["txn"]["appId"]] = int(act["txn"]["version"])
+                    elif "domainMetadata" in act:
+                        dm = act["domainMetadata"]
+                        if dm.get("removed"):
+                            domains.pop(dm["domain"], None)
+                        else:
+                            domains[dm["domain"]] = dm.get("configuration")
         if schema_str is None:
             raise ValueError(f"no metaData action found in {self.log_path}")
         # latest txn version per appId (spec: 'Transaction Identifiers')
@@ -1538,6 +1560,34 @@ class DeltaLogTable:
         # verbatim (a synthesized protocol would downgrade feature
         # gates like columnMapping's (2,5) — ADVICE r5)
         self._last_protocol = proto
+        # domain metadata (spec: 'Domain Metadata') — engine-owned
+        # key/value state; delta.rowTracking carries the row-id high
+        # water mark that fresh-id assignment in _commit_actions bumps
+        self._last_domains = domains
+        cfg = (meta or {}).get("configuration") or {}
+        self._rt_enabled = cfg.get("delta.enableRowTracking") == "true"
+        hwm = -1
+        if "delta.rowTracking" in domains:
+            try:
+                hwm = int(
+                    json.loads(domains["delta.rowTracking"]).get("rowIdHighWaterMark", -1)
+                )
+            except (TypeError, ValueError):
+                hwm = -1
+        if hwm < 0:
+            # fallback (e.g. foreign log without the domain action):
+            # derive from the visible adds; sound because row ids are
+            # monotone and removes never lower the watermark below a
+            # live file's span
+            for info in adds.values():
+                if info.get("baseRowId") is None:
+                    continue
+                try:
+                    n = int(json.loads(info.get("stats") or "{}").get("numRecords"))
+                except (TypeError, ValueError):
+                    continue
+                hwm = max(hwm, int(info["baseRowId"]) + n - 1)
+        self._rt_hwm = hwm
         schema = T.StructType.fromJson(json.loads(schema_str))
         return adds, schema, part_cols, meta
 
@@ -2781,7 +2831,48 @@ class DeltaLogTable:
 
     def _commit_actions(self, version: int, actions: list[dict]) -> None:
         """O_EXCL optimistic commit of one versioned action file (+
-        auto-checkpoint on the every-10-commits cadence)."""
+        auto-checkpoint on the every-10-commits cadence).
+
+        ROW TRACKING (spec: 'Row Tracking'): when the table has
+        ``delta.enableRowTracking=true`` (``_rt_enabled`` is refreshed
+        by the ``_snapshot()`` every committing verb performs first),
+        every add action that does not already carry a ``baseRowId``
+        gets FRESH row ids here — ``baseRowId`` = high-water-mark + 1,
+        ``defaultRowCommitVersion`` = this commit — and the advanced
+        watermark is committed as the ``delta.rowTracking``
+        domainMetadata action. Centralizing the assignment makes every
+        verb built on this method (write / COPY INTO / update / merge /
+        optimize) row-tracked for free; DV-based DELETE keeps files in
+        place, so surviving rows keep their ids naturally."""
+        if getattr(self, "_rt_enabled", False):
+            hwm = int(getattr(self, "_rt_hwm", -1))
+            assigned = False
+            for act in actions:
+                a = act.get("add")
+                if a is None or a.get("baseRowId") is not None:
+                    continue
+                try:
+                    n = int(json.loads(a.get("stats") or "{}").get("numRecords"))
+                except (TypeError, ValueError):
+                    raise ValueError(
+                        "row tracking requires numRecords stats on every add "
+                        f"action (missing for {a.get('path')!r})"
+                    ) from None
+                a["baseRowId"] = hwm + 1
+                a["defaultRowCommitVersion"] = version
+                hwm += n
+                assigned = True
+            if assigned:
+                actions.append(
+                    {
+                        "domainMetadata": {
+                            "domain": "delta.rowTracking",
+                            "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+                            "removed": False,
+                        }
+                    }
+                )
+                self._rt_hwm = hwm
         os.makedirs(self.log_path, exist_ok=True)
         target = os.path.join(self.log_path, f"{version:020d}.json")
         try:
@@ -2970,6 +3061,13 @@ class DeltaLogTable:
             # silently disable file skipping on every later read
             if info.get("stats"):
                 add_act["stats"] = info["stats"]
+            # row tracking: the file keeps its rows in place, so the
+            # survivors' ids MUST stay stable — carry the original
+            # baseRowId through the DV re-add (fresh-id assignment in
+            # _commit_actions skips adds that already have one)
+            if info.get("baseRowId") is not None:
+                add_act["baseRowId"] = info["baseRowId"]
+                add_act["defaultRowCommitVersion"] = info.get("defaultRowCommitVersion")
             new_adds.append({"add": add_act})
         if not new_adds:
             return {"rows_deleted": 0, "files_touched": 0}
@@ -3624,6 +3722,196 @@ class DeltaLogTable:
         new_meta = {**meta, "schemaString": json.dumps(base), "configuration": cfg}
         return self._commit_meta(new_meta, "UPGRADE COLUMN MAPPING", proto)
 
+    #: legacy writer-version → implied table features, used when a
+    #: protocol must upgrade to writer version 7 (which requires every
+    #: previously-implicit feature to be spelled out in writerFeatures)
+    _LEGACY_WRITER_FEATURES = {
+        2: ("appendOnly", "invariants"),
+        3: ("checkConstraints",),
+        4: ("changeDataFeed", "generatedColumns"),
+        5: ("columnMapping",),
+        6: ("identityColumns",),
+    }
+
+    def enable_row_tracking(self) -> int | None:
+        """Upgrade the table to ROW TRACKING (spec: 'Row Tracking'):
+        sets ``delta.enableRowTracking=true``, upgrades the protocol to
+        writer version 7 with the ``rowTracking`` + ``domainMetadata``
+        features (spelling out the legacy features the old writer
+        version implied, as the spec requires), and BACKFILLS the
+        current snapshot — every live file is re-added (dataChange =
+        false) so :meth:`_commit_actions` assigns it a ``baseRowId``;
+        the ``delta.rowTracking`` domain metadata records the high
+        water mark. After this commit every row has a durable id
+        ``baseRowId + position``; DV deletes preserve survivors' ids,
+        while rewriting verbs (update/merge/optimize) assign FRESH ids
+        to rewritten files — the spec's non-materialized behavior (id
+        stability across rewrites requires materialized row-id columns,
+        which the shim does not write). Readers need no new feature:
+        row ids are derivable from the add actions. No-op when already
+        enabled."""
+        import time
+
+        adds, schema, part_cols, meta = self._snapshot()
+        cfg = dict((meta or {}).get("configuration") or {})
+        if cfg.get("delta.enableRowTracking") == "true":
+            return None
+        for p, info in adds.items():
+            try:
+                int(json.loads(info.get("stats") or "{}").get("numRecords"))
+            except (TypeError, ValueError):
+                raise ValueError(
+                    "cannot enable row tracking: add action for "
+                    f"{p!r} has no numRecords stats to derive row spans from"
+                ) from None
+        cfg["delta.enableRowTracking"] = "true"
+        proto = dict(
+            getattr(self, "_last_protocol", None)
+            or {"minReaderVersion": 1, "minWriterVersion": 2}
+        )
+        feats = set(proto.get("writerFeatures") or [])
+        old_wv = int(proto.get("minWriterVersion") or 2)
+        if old_wv < 7:
+            for v, names in self._LEGACY_WRITER_FEATURES.items():
+                if v <= old_wv:
+                    feats |= set(names)
+        feats |= {"rowTracking", "domainMetadata"}
+        new_proto = {
+            "minReaderVersion": int(proto.get("minReaderVersion") or 1),
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(feats),
+        }
+        if proto.get("readerFeatures") is not None:
+            new_proto["readerFeatures"] = sorted(set(proto["readerFeatures"]))
+        now = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "UPGRADE ROW TRACKING",
+                    "engineInfo": "ent_fins_lakehouse_spark/delta-shim",
+                }
+            },
+            {"protocol": new_proto},
+            {"metaData": {**meta, "configuration": cfg}},
+        ]
+        for p in sorted(adds):
+            info = adds[p]
+            full = os.path.join(self.path, p)
+            try:
+                size = os.path.getsize(full)
+            except OSError:
+                size = 0
+            add = {
+                "path": p,
+                "partitionValues": info.get("partitionValues") or {},
+                "size": size,
+                "modificationTime": now,
+                "dataChange": False,
+                "stats": info.get("stats"),
+            }
+            if info.get("deletionVector"):
+                add["deletionVector"] = info["deletionVector"]
+            actions.append({"add": add})
+        # flip the cached gate so _commit_actions assigns ids to the
+        # backfill re-adds inside this very commit
+        self._rt_enabled = True
+        self._rt_hwm = -1
+        v = self.latest_version() + 1
+        self._commit_actions(v, actions)
+        return v
+
+    def read_with_row_ids(self, version_as_of: int | None = None) -> DataFrame:
+        """Snapshot with the row-tracking columns materialized:
+        ``_row_id`` (= the file's ``baseRowId`` + parquet row index,
+        after DV masking — deleted rows' ids never resurface) and
+        ``_row_commit_version`` (the file's defaultRowCommitVersion).
+        Fully distributed: data files are scanned in bulk groups with
+        the parquet ``_metadata`` columns attached and the per-file
+        (baseRowId, commitVersion) map — control-plane sized, one row
+        per live file — is broadcast-joined on file path; no
+        driver-side row materialization at any scale."""
+        adds, schema, part_cols, meta = self._snapshot(version_as_of)
+        cfg = (meta or {}).get("configuration") or {}
+        if cfg.get("delta.enableRowTracking") != "true":
+            raise ValueError(
+                "row tracking is not enabled on this table "
+                "(delta.enableRowTracking != true) — call enable_row_tracking()"
+            )
+        if cfg.get("delta.columnMapping.mode", "none") != "none":
+            raise NotImplementedError(
+                "read_with_row_ids on column-mapped Delta tables is not "
+                "supported by the shim"
+            )
+        missing = [p for p, i in adds.items() if i.get("baseRowId") is None]
+        if missing:
+            raise ValueError(
+                f"files without baseRowId under row tracking: {missing[:3]} — "
+                "log written by a non-row-tracking writer?"
+            )
+        data_fields = [f for f in schema.fields if f.name not in part_cols]
+        phys = T.StructType([T.StructField(f.name, f.dataType) for f in data_fields])
+        types = {f.name: f.dataType for f in schema.fields}
+        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+        out_cols = [f.name for f in schema.fields] + ["_row_id", "_row_commit_version"]
+        if not adds:
+            return self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        *schema.fields,
+                        T.StructField("_row_id", T.LongType()),
+                        T.StructField("_row_commit_version", T.LongType()),
+                    ]
+                ),
+            )
+        groups: dict[tuple, list[str]] = {}
+        pv_of: dict[tuple, dict] = {}
+        dv_files: list[tuple[str, dict]] = []
+        rid_rows = []
+        for p, info in sorted(adds.items()):
+            full = os.path.abspath(os.path.join(self.path, p))
+            pv = info["partitionValues"]
+            key = tuple(pv.get(c) for c in part_cols)
+            groups.setdefault(key, []).append(full)
+            pv_of[key] = pv
+            if info["deletionVector"]:
+                dv_files.append((full, info["deletionVector"]))
+            rid_rows.append(
+                (full, int(info["baseRowId"]), int(info["defaultRowCommitVersion"] or 0))
+            )
+        parts = []
+        for key in sorted(
+            groups, key=lambda k: tuple("" if v is None else str(v) for v in k)
+        ):
+            df = (
+                self.spark.read.schema(phys)
+                .parquet(*sorted(groups[key]))
+                .select(
+                    "*",
+                    norm(F.col("_metadata.file_path")).alias("_fp"),
+                    F.col("_metadata.row_index").alias("_ri"),
+                )
+            )
+            pv = pv_of[key]
+            for c in part_cols:
+                df = df.withColumn(c, F.lit(pv.get(c)).cast(types[c]))
+            parts.append(df.select(*[f.name for f in schema.fields], "_fp", "_ri"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if dv_files:
+            out = out.join(self._dv_deleted_df(dv_files), ["_fp", "_ri"], "left_anti")
+        rid_map = self.spark.createDataFrame(
+            rid_rows, "_fp string, _rt_base long, _rt_dcv long"
+        )
+        return (
+            out.join(F.broadcast(rid_map), "_fp")
+            .withColumn("_row_id", F.col("_rt_base") + F.col("_ri"))
+            .withColumn("_row_commit_version", F.col("_rt_dcv"))
+            .select(*out_cols)
+        )
+
     def rename_column(self, old: str, new: str) -> int:
         """ALTER TABLE … RENAME COLUMN old TO new — metadata-only (the
         point of column mapping: no data file is touched; the field
@@ -3902,6 +4190,10 @@ class DeltaLogTable:
                 ("createdTime", pa.int64()),
             ]
         )
+        domains = dict(getattr(self, "_last_domains", {}) or {})
+        has_rt = bool(domains) or any(
+            info.get("baseRowId") is not None for info in adds.values()
+        )
         add_fields = [
             ("path", pa.string()),
             ("partitionValues", pa.map_(pa.string(), pa.string())),
@@ -3909,6 +4201,13 @@ class DeltaLogTable:
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
         ]
+        if has_rt:
+            # row tracking state must survive the bootstrap: baseRowId/
+            # defaultRowCommitVersion per add, domainMetadata rows below
+            add_fields += [
+                ("baseRowId", pa.int64()),
+                ("defaultRowCommitVersion", pa.int64()),
+            ]
         if has_dv:
             add_fields.append(
                 ("deletionVector", pa.struct([
@@ -3964,6 +4263,9 @@ class DeltaLogTable:
                 "modificationTime": 0,
                 "dataChange": False,
             }
+            if has_rt:
+                a["baseRowId"] = info.get("baseRowId")
+                a["defaultRowCommitVersion"] = info.get("defaultRowCommitVersion")
             if has_dv:
                 dv = info.get("deletionVector")
                 a["deletionVector"] = (
@@ -3998,6 +4300,29 @@ class DeltaLogTable:
             for app_id in sorted(txns):
                 rows.append(
                     {"txn": {"appId": app_id, "version": txns[app_id], "lastUpdated": 0}}
+                )
+        if domains:
+            fields.append(
+                (
+                    "domainMetadata",
+                    pa.struct(
+                        [
+                            ("domain", pa.string()),
+                            ("configuration", pa.string()),
+                            ("removed", pa.bool_()),
+                        ]
+                    ),
+                )
+            )
+            for dom in sorted(domains):
+                rows.append(
+                    {
+                        "domainMetadata": {
+                            "domain": dom,
+                            "configuration": domains[dom],
+                            "removed": False,
+                        }
+                    }
                 )
         table = pa.Table.from_pylist(rows, schema=pa.schema(fields))
         cp_path = os.path.join(self.log_path, f"{version:020d}.checkpoint.parquet")

@@ -3326,3 +3326,78 @@ def test_expectations_actions_and_null_semantics(spark):
     assert c2.count() == 4 and q2.count() == 0
     with _pytest.raises(ValueError, match="action"):
         Expectation("x", "v > 0", "explode")
+
+
+# ------------------------------------------------------------- row tracking
+
+
+def test_delta_row_tracking_lifecycle(spark, tmp_path):
+    """Row tracking (spec: 'Row Tracking'): enable backfills baseRowId,
+    appends assign fresh ids above the domain-metadata high water mark,
+    DV deletes keep survivor ids, rewrites (update) assign fresh ids,
+    and the state survives a checkpoint bootstrap."""
+    import json
+    import os
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "rt")
+    df = spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(20)], "id INT, v DOUBLE"
+    ).coalesce(1).sortWithinPartitions("id")
+    dl = DeltaLogTable(spark, td)
+    dl.write(df.filter("id < 10"), mode="append")
+
+    # not enabled yet -> read_with_row_ids refuses
+    import pytest
+
+    with pytest.raises(ValueError, match="enableRowTracking"):
+        dl.read_with_row_ids()
+
+    v = dl.enable_row_tracking()
+    assert v == 1
+    assert dl.enable_row_tracking() is None  # idempotent
+
+    # protocol: writer v7 with rowTracking + domainMetadata + the
+    # legacy features the old writer version implied
+    with open(os.path.join(td, "_delta_log", f"{v:020d}.json")) as fh:
+        acts = [json.loads(line) for line in fh if line.strip()]
+    (proto,) = [a["protocol"] for a in acts if "protocol" in a]
+    assert proto["minWriterVersion"] == 7
+    assert {"rowTracking", "domainMetadata", "appendOnly", "invariants"} <= set(
+        proto["writerFeatures"]
+    )
+    dms = [a["domainMetadata"] for a in acts if "domainMetadata" in a]
+    assert dms and dms[0]["domain"] == "delta.rowTracking"
+    assert json.loads(dms[0]["configuration"])["rowIdHighWaterMark"] == 9
+
+    # backfilled ids follow file row order
+    got = {r["id"]: (r["_row_id"], r["_row_commit_version"]) for r in dl.read_with_row_ids().collect()}
+    assert got == {i: (i, 1) for i in range(10)}
+
+    # append -> fresh ids above the watermark, stamped with its commit
+    dl.write(df.filter("id >= 10"), mode="append")
+    got = {r["id"]: (r["_row_id"], r["_row_commit_version"]) for r in dl.read_with_row_ids().collect()}
+    assert got[10] == (10, 2) and got[19] == (19, 2)
+
+    # DV delete: survivors keep ids, deleted ids vanish
+    dl.delete("id % 4 = 0")
+    post = {r["id"]: r["_row_id"] for r in dl.read_with_row_ids().collect()}
+    assert all(post[i] == i for i in post) and 0 not in post and 4 not in post
+
+    # update rewrites files -> fresh ids BEYOND the old watermark
+    dl.update({"v": "v + 1"}, "id = 7")
+    df2 = dl.read_with_row_ids()
+    fresh = {r["id"]: r["_row_id"] for r in df2.filter("id % 4 <> 0 AND id < 10").collect()}
+    assert all(rid >= 20 for rid in fresh.values())  # rewritten file renumbered
+    stable = {r["id"]: r["_row_id"] for r in df2.filter("id >= 10").collect()}
+    assert all(stable[i] == i for i in stable)  # untouched file unchanged
+
+    # checkpoint bootstrap preserves ids + watermark
+    dl.checkpoint()
+    dl2 = DeltaLogTable(spark, td)
+    again = {r["id"]: r["_row_id"] for r in dl2.read_with_row_ids().collect()}
+    assert again == {r["id"]: r["_row_id"] for r in df2.collect()}
+    dl2.write(df.filter("id = 0").selectExpr("id", "v"), mode="append")
+    hwm_after = dl2._rt_hwm
+    assert hwm_after > max(again.values())
