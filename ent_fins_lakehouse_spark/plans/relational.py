@@ -3469,3 +3469,265 @@ def q246_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pe.agg(F.count("*").alias("n_edges"))
     return nodes.crossJoin(edges).crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+
+
+@query(
+    "q248_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE r AS (
+      SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM customer
+      UNION ALL
+      SELECT node, cur // 10, depth + 1 FROM r WHERE cur >= 10
+    )
+    SELECT depth,
+           COUNT(*) AS n_nodes,
+           SUM(node) AS sum_keys,
+           MIN(cur) AS min_root,
+           MAX(cur) AS max_root
+    FROM r WHERE cur < 10
+    GROUP BY depth ORDER BY depth
+    """,
+    tags=("relational", "graph", "iterative"),
+)
+def q248_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive hierarchy traversal (org-chart / bill-of-materials
+    shape) — the WITH RECURSIVE workload Spark SQL lacks, expressed as
+    the standard iterative-dataflow fixpoint: a frontier DataFrame is
+    repeatedly self-advanced (child → parent hop per iteration) until
+    every path reaches a root, accumulating finished paths per level.
+    The synthetic forest is a pure key function (parent = key div 10,
+    roots < 10) so the oracle can state it recursively. Driver loop
+    depth is the TREE depth (log₁₀ of the key domain, 5 hops at sf1),
+    not the row count — each iteration is one distributed projection +
+    filter, no joins at all for this parent function; a real edge
+    table would make each hop a broadcast/shuffle join, same loop.
+    100 TB design: frontier shrinks monotonically, results union
+    lazily, and the loop carries `localCheckpoint` truncation when
+    depth grows past a handful of plan nestings (the q178 PageRank
+    lesson)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("node"),
+        F.col("c_custkey").alias("cur"),
+        F.lit(0).alias("depth"),
+    )
+    finished = []
+    frontier = cust
+    for _hop in range(12):  # bound >= tree depth at any sane SF
+        finished.append(frontier.filter(F.col("cur") < 10))
+        frontier = frontier.filter(F.col("cur") >= 10).select(
+            "node",
+            F.expr("cur div 10").alias("cur"),
+            (F.col("depth") + 1).alias("depth"),
+        )
+        if _hop >= 2 and _hop % 3 == 0:
+            frontier = frontier.localCheckpoint(eager=False)
+        if frontier.isEmpty():
+            break
+    done = finished[0]
+    for f in finished[1:]:
+        done = done.unionByName(f)
+    return (
+        done.groupBy("depth")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum("node").alias("sum_keys"),
+            F.min("cur").alias("min_root"),
+            F.max("cur").alias("max_root"),
+        )
+        .orderBy("depth")
+    )
+
+
+@query(
+    "q249_chi_square_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT o.lang, o.source, o.o,
+             SUM(o.o) OVER (PARTITION BY o.lang) AS row_tot,
+             SUM(o.o) OVER (PARTITION BY o.source) AS col_tot,
+             SUM(o.o) OVER () AS n
+      FROM obs o
+    ),
+    cell AS (
+      SELECT ROUND(POWER(o - CAST(row_tot AS DOUBLE) * col_tot / n, 2)
+                   / (CAST(row_tot AS DOUBLE) * col_tot / n), 6) AS stat
+      FROM tot
+    )
+    SELECT (SELECT COUNT(DISTINCT lang) FROM documents) AS n_langs,
+           (SELECT COUNT(DISTINCT source) FROM documents) AS n_sources,
+           ((SELECT COUNT(DISTINCT lang) FROM documents) - 1)
+             * ((SELECT COUNT(DISTINCT source) FROM documents) - 1) AS dof,
+           CAST(SUM(CAST(stat AS DECIMAL(24,6))) AS DOUBLE) AS chi_square
+    FROM cell
+    """,
+    tags=("relational", "stats"),
+)
+def q249_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test between two categorical
+    columns (is language distribution independent of source? — the
+    bias screen a corpus audit runs before mixing). One contingency
+    hash-agg; marginals via windows OVER the tiny cell table (cells =
+    |lang|×|source|, control-plane sized at any corpus scale — the
+    raw table is touched exactly once). Per-cell statistics round to
+    6dp and the total sums in DECIMAL, so the chi-square value itself
+    is order-insensitive and hash-exact."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source")
+    obs = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    tot = obs.select(
+        "o",
+        F.sum("o").over(W.partitionBy("lang")).alias("row_tot"),
+        F.sum("o").over(W.partitionBy("source")).alias("col_tot"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    e = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    cell = tot.select(F.round(F.pow(F.col("o") - e, 2) / e, 6).alias("stat"))
+    dims = docs.agg(
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    chi = cell.agg(
+        F.sum(F.col("stat").cast("decimal(24,6)")).cast("double").alias("chi_square")
+    )
+    return dims.crossJoin(chi).select(
+        "n_langs",
+        "n_sources",
+        ((F.col("n_langs") - 1) * (F.col("n_sources") - 1)).alias("dof"),
+        "chi_square",
+    )
+
+
+@query(
+    "q250_grouped_ols_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+             SUM(CAST(value AS DECIMAL(18,4))) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(CAST(x AS DECIMAL(38,4)) * x) AS sxx,
+             SUM(y) AS sy, SUM(CAST(x AS DECIMAL(38,4)) * y) AS sxy
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS intercept
+    FROM s ORDER BY event_type
+    """,
+    tags=("relational", "stats", "temporal"),
+)
+def q250_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key least-squares trend (is each event type's daily volume
+    rising?) via the closed-form normal equations — the scalable
+    formulation of grouped regression: ONE aggregation computing the
+    five sufficient statistics (n, Σx, Σx², Σy, Σxy); no ML library,
+    no per-group iteration, no data movement beyond the grouped
+    partial agg. Every sum runs in DECIMAL over integer day ordinals
+    and exact 4dp sums, so numerator and denominator are exact on
+    both engines and the final double division is bit-identical.
+    At 100 TB this shape extends to any GLM sufficient-statistic
+    family (the classic map-side-combine regression)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("d"), "value"
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("y")
+    ).select(
+        "event_type", F.datediff("d", F.lit("1970-01-01")).cast("bigint").alias("x"), "y"
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,4)") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,4)") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+            6,
+        ).alias("intercept"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q251_gini_concentration",
+    oracle="""
+    WITH cust AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT c_nationkey, y,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_nationkey ORDER BY y, o_custkey
+             ) AS i,
+             COUNT(*) OVER (PARTITION BY c_nationkey) AS n,
+             SUM(y) OVER (PARTITION BY c_nationkey) AS tot
+      FROM cust
+    )
+    SELECT c_nationkey, MAX(n) AS n_customers,
+           ROUND(CAST(2 * SUM(CAST(i AS DECIMAL(38,2)) * y) AS DOUBLE)
+                   / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(tot) AS DOUBLE))
+                 - (CAST(MAX(n) AS DOUBLE) + 1) / CAST(MAX(n) AS DOUBLE),
+                 6) AS gini
+    FROM rk GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    tags=("relational", "stats"),
+)
+def q251_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration per nation — the
+    inequality gauge behind customer-concentration risk (one whale =
+    fragile book of business). Standard rank formulation G =
+    2·Σ i·yᵢ / (n·Σy) − (n+1)/n over the per-customer totals sorted
+    ascending; the rank window and both marginal windows share ONE
+    nation-key partitioning, and Σ i·yᵢ runs in DECIMAL so the only
+    doubles are the final (identical) divisions. The window input is
+    the per-customer AGGREGATE (orders touched once in the grouped
+    partial agg), so the sort is over customers-per-nation, never raw
+    orders."""
+    ords = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per = (
+        ords.join(cust, ords.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"))
+    )
+    wp = W.partitionBy("c_nationkey")
+    rk = per.select(
+        "c_nationkey",
+        "y",
+        F.row_number().over(wp.orderBy("y", "o_custkey")).alias("i"),
+        F.count("*").over(wp).alias("n"),
+        F.sum("y").over(wp).alias("tot"),
+    )
+    return (
+        rk.groupBy("c_nationkey")
+        .agg(
+            F.max("n").alias("n_customers"),
+            F.round(
+                (2 * F.sum(F.col("i").cast("decimal(38,2)") * F.col("y"))).cast("double")
+                / (F.max("n").cast("double") * F.max("tot").cast("double"))
+                - (F.max("n").cast("double") + 1) / F.max("n").cast("double"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("c_nationkey")
+    )
