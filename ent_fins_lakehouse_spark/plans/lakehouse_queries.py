@@ -3861,7 +3861,7 @@ def q241_cross_format_federation(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_rows,
            MIN(rid) AS min_row_id,
            MAX(rid) AS max_row_id,
-           SUM(rid * o_orderkey) AS checksum
+           SUM(CAST(rid * o_orderkey AS DECIMAL(38,0))) AS checksum
     FROM allr WHERE o_orderkey % 9 <> 0
     GROUP BY dcv ORDER BY dcv
     """,
@@ -3915,7 +3915,12 @@ def q247_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
             F.min("_row_id").alias("min_row_id"),
             F.max("_row_id").alias("max_row_id"),
-            F.sum(F.col("_row_id") * F.col("o_orderkey")).alias("checksum"),
+            # DECIMAL(38,0) accumulation: at sf10+ the BIGINT product sum
+            # would wrap silently in non-ANSI Spark while DuckDB promotes
+            # SUM(BIGINT) to HUGEINT — keep both sides decimal-exact.
+            F.sum(
+                (F.col("_row_id") * F.col("o_orderkey")).cast("decimal(38,0)")
+            ).alias("checksum"),
         )
         .orderBy("_row_commit_version")
     )

@@ -3165,7 +3165,7 @@ def q242_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(MAX(d.med), 6) AS med,
            ROUND(MAX(m.mad), 6) AS mad,
            SUM(CASE WHEN d.adev > 3.5 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS n_anomalies,
-           ROUND(MAX(d.adev / (1.4826 * m.mad)), 6) AS max_robust_z
+           ROUND(MAX(d.adev / NULLIF(1.4826 * m.mad, 0)), 6) AS max_robust_z
     FROM dev d JOIN mad m USING (event_type)
     GROUP BY d.event_type ORDER BY d.event_type
     """,
@@ -3201,7 +3201,15 @@ def q243_mad_anomaly_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.col("adev") > 3.5 * 1.4826 * F.col("mad"), 1).otherwise(0)
             ).alias("n_anomalies"),
-            F.round(F.max(F.col("adev") / (1.4826 * F.col("mad"))), 6).alias("max_robust_z"),
+            F.round(
+                F.max(
+                    F.when(
+                        F.col("mad") != 0,
+                        F.col("adev") / (1.4826 * F.col("mad")),
+                    )
+                ),
+                6,
+            ).alias("max_robust_z"),
         )
         .orderBy("event_type")
     )
@@ -3226,10 +3234,10 @@ def q243_mad_anomaly_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     stat AS (
       SELECT event_type, d, n,
-             CAST(n AS DECIMAL(38,4)) * cum - CAST(i AS DECIMAL(38,4)) * tot AS dev,
+             CAST(n AS DECIMAL(9,0)) * cum - CAST(i AS DECIMAL(9,0)) * tot AS dev,
              ROW_NUMBER() OVER (
                PARTITION BY event_type
-               ORDER BY ABS(CAST(n AS DECIMAL(38,4)) * cum - CAST(i AS DECIMAL(38,4)) * tot) DESC, d
+               ORDER BY ABS(CAST(n AS DECIMAL(9,0)) * cum - CAST(i AS DECIMAL(9,0)) * tot) DESC, d
              ) AS rk
       FROM s
     )
@@ -3271,8 +3279,11 @@ def q245_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").over(wa).alias("tot"),
         F.count("*").over(wa).alias("n"),
     )
-    dev = F.col("n").cast("decimal(38,4)") * F.col("cum") - F.col("i").cast(
-        "decimal(38,4)"
+    # decimal(9,0) x decimal(28,4) -> decimal(38,4) exactly (p1+p2+1 = 38),
+    # so no allowPrecisionLoss rounding can perturb the argmax ordering;
+    # n/i are day counts per key, far below 10^9.
+    dev = F.col("n").cast("decimal(9,0)") * F.col("cum") - F.col("i").cast(
+        "decimal(9,0)"
     ) * F.col("tot")
     stat = s.select(
         "event_type",

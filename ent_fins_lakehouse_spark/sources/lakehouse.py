@@ -1473,9 +1473,11 @@ class DeltaLogTable:
                         adds[a["path"]] = {
                             "partitionValues": dict(a["partitionValues"] or {}),
                             "deletionVector": dv,
-                            # checkpoints don't carry stats — pruning just
-                            # sees "no stats" for these files (sound)
-                            "stats": None,
+                            # stats survive the bootstrap when the
+                            # checkpoint carries them (ours do); foreign
+                            # checkpoints without the column just see
+                            # "no stats" — pruning stays sound
+                            "stats": a["stats"] if "stats" in flds else None,
                             "baseRowId": a["baseRowId"] if "baseRowId" in flds else None,
                             "defaultRowCommitVersion": (
                                 a["defaultRowCommitVersion"]
@@ -1578,18 +1580,41 @@ class DeltaLogTable:
             # fallback (e.g. foreign log without the domain action):
             # derive from the visible adds; sound because row ids are
             # monotone and removes never lower the watermark below a
-            # live file's span
-            for info in adds.values():
+            # live file's span. Checkpoint-bootstrapped adds may lack
+            # stats — read numRecords from the parquet footer then
+            # (control-plane, one footer per row-tracked file) rather
+            # than silently yielding hwm=-1 and risking duplicate
+            # baseRowIds on the next commit (ADVICE r6).
+            for p, info in adds.items():
                 if info.get("baseRowId") is None:
                     continue
                 try:
                     n = int(json.loads(info.get("stats") or "{}").get("numRecords"))
                 except (TypeError, ValueError):
-                    continue
+                    n = self._footer_num_records(p)
+                    if n is None:
+                        raise ValueError(
+                            "cannot derive the row-id high water mark: add "
+                            f"action for {p!r} has a baseRowId but neither "
+                            "numRecords stats nor a readable parquet footer"
+                        ) from None
                 hwm = max(hwm, int(info["baseRowId"]) + n - 1)
         self._rt_hwm = hwm
         schema = T.StructType.fromJson(json.loads(schema_str))
         return adds, schema, part_cols, meta
+
+    def _footer_num_records(self, rel_path: str) -> int | None:
+        """Row count from a data file's parquet footer — the stats
+        backstop for checkpoint-bootstrapped adds (checkpoints written
+        by foreign engines may omit the ``stats`` column). One footer
+        read per file, control-plane sized; returns None when the file
+        is unreadable."""
+        import pyarrow.parquet as pq
+
+        try:
+            return int(pq.ParquetFile(os.path.join(self.path, rel_path)).metadata.num_rows)
+        except Exception:
+            return None
 
     # ------------------------------------------------- deletion vectors
 
@@ -3760,10 +3785,18 @@ class DeltaLogTable:
             try:
                 int(json.loads(info.get("stats") or "{}").get("numRecords"))
             except (TypeError, ValueError):
-                raise ValueError(
-                    "cannot enable row tracking: add action for "
-                    f"{p!r} has no numRecords stats to derive row spans from"
-                ) from None
+                # checkpoint-bootstrapped adds may carry stats=None —
+                # backfill numRecords from the parquet footer so tables
+                # whose files predate the last auto-checkpoint can still
+                # be upgraded (ADVICE r6)
+                n = self._footer_num_records(p)
+                if n is None:
+                    raise ValueError(
+                        "cannot enable row tracking: add action for "
+                        f"{p!r} has no numRecords stats and no readable "
+                        "parquet footer to derive row spans from"
+                    ) from None
+                info["stats"] = json.dumps({"numRecords": n})
         cfg["delta.enableRowTracking"] = "true"
         proto = dict(
             getattr(self, "_last_protocol", None)
@@ -4200,6 +4233,10 @@ class DeltaLogTable:
             ("size", pa.int64()),
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
+            # spec: checkpoint add rows may carry stats as a JSON string
+            # — writing them keeps file pruning AND the row-id hwm
+            # fallback working after a bootstrap (ADVICE r6)
+            ("stats", pa.string()),
         ]
         if has_rt:
             # row tracking state must survive the bootstrap: baseRowId/
@@ -4262,6 +4299,7 @@ class DeltaLogTable:
                 "size": 0,
                 "modificationTime": 0,
                 "dataChange": False,
+                "stats": info.get("stats"),
             }
             if has_rt:
                 a["baseRowId"] = info.get("baseRowId")

@@ -3401,3 +3401,72 @@ def test_delta_row_tracking_lifecycle(spark, tmp_path):
     dl2.write(df.filter("id = 0").selectExpr("id", "v"), mode="append")
     hwm_after = dl2._rt_hwm
     assert hwm_after > max(again.values())
+
+
+def test_delta_row_tracking_checkpoint_without_stats(spark, tmp_path):
+    """ADVICE r6: a checkpoint bootstrap used to load adds with
+    stats=None, so (a) enable_row_tracking() refused on any table whose
+    files predate the checkpoint, and (b) the no-domain hwm fallback
+    silently yielded -1 (duplicate baseRowIds on the next commit).
+    Both paths must now backfill numRecords from the parquet footers.
+    The engine's own checkpoints carry stats; this strips the column
+    to simulate a foreign (stats-less) checkpoint."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    def strip_checkpoint_columns(td, drop):
+        import pyarrow as _pa
+
+        cp = sorted(_glob.glob(_os.path.join(td, "_delta_log", "*.checkpoint.parquet")))[-1]
+        t = _pq.read_table(cp)
+        cols, names = [], []
+        for name in t.column_names:
+            if name in drop:
+                continue
+            col = t.column(name)
+            if name == "add" and "stats" in drop:
+                typ = col.type
+                keep_idx = [i for i in range(typ.num_fields) if typ.field(i).name != "stats"]
+                combined = col.combine_chunks()
+                col = _pa.StructArray.from_arrays(
+                    [combined.field(typ.field(i).name) for i in keep_idx],
+                    fields=[typ.field(i) for i in keep_idx],
+                )
+            cols.append(col)
+            names.append(name)
+        _pq.write_table(_pa.table(dict(zip(names, cols))), cp)
+
+    # (a) enable_row_tracking after a stats-less checkpoint bootstrap
+    td = str(tmp_path / "rtcp")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(12)], "id INT, v DOUBLE"
+    ).coalesce(1).sortWithinPartitions("id")
+    dl = DeltaLogTable(spark, td)
+    dl.write(df.filter("id < 6"), mode="append")
+    dl.write(df.filter("id >= 6"), mode="append")
+    dl.checkpoint()
+    strip_checkpoint_columns(td, {"stats"})
+    dl2 = DeltaLogTable(spark, td)
+    assert all(info.get("stats") is None for info in dl2._snapshot()[0].values())
+    v = dl2.enable_row_tracking()  # footer-backfilled numRecords
+    assert v is not None
+    got = {r["id"]: r["_row_id"] for r in dl2.read_with_row_ids().collect()}
+    assert sorted(got.values()) == list(range(12))
+
+    # (b) hwm fallback: checkpoint WITH baseRowIds but stripped of both
+    # stats and the delta.rowTracking domain -> appends must still
+    # allocate above the footer-derived watermark, not restart at 0
+    dl2.checkpoint()
+    strip_checkpoint_columns(td, {"stats", "domainMetadata"})
+    dl3 = DeltaLogTable(spark, td)
+    dl3._snapshot()
+    assert dl3._rt_hwm == 11
+    dl3.write(df.filter("id < 2").selectExpr("id + 100 AS id", "v"), mode="append")
+    ids = [r["_row_id"] for r in dl3.read_with_row_ids().collect()]
+    assert len(ids) == len(set(ids)) == 14  # no duplicate row ids
+    assert {r["_row_id"] for r in dl3.read_with_row_ids().filter("id >= 100").collect()} == {12, 13}
