@@ -86,6 +86,10 @@ HEADLINE = [
     "q219_copy_into",
     "q222_bpe_pair_stats",
     "q227_incremental_dedup_index",
+    # retrieval/serving tier (r7, VERDICT r6 item 8): PQ encode+probe
+    # and the bloom file-index needle path, tracked round-over-round
+    "q176_pq_ann",
+    "q215_bloom_file_index",
 ]
 
 

@@ -4039,3 +4039,62 @@ def q253_iceberg_copy_on_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     if pos or eq:
         raise AssertionError("CoW delete must not stage delete files")
     return t.read().orderBy("o_orderkey")
+
+
+@query(
+    "q254_delta_v2_checkpoint_write",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+    FROM orders ORDER BY o_orderkey
+    """,
+    tags=("lakehouse", "delta", "interop"),
+)
+def q254_delta_v2_checkpoint_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta V2 SPEC CHECKPOINT writes (VERDICT r6 item 3, closing the
+    read-only half q197 left): with ``delta.checkpointPolicy=v2`` the
+    engine's own ``checkpoint()`` emits the UUID-named top-level file
+    (checkpointMetadata + sidecar actions, protocol carried verbatim
+    with the v2Checkpoint table feature) and puts the add actions in a
+    ``_delta_log/_sidecars/`` parquet — no silent classic downgrade
+    for Delta 3.x peers. The fixture proves the shape is REAL: the
+    pre-checkpoint JSON commits are deleted (as log retention does),
+    so the final read MUST bootstrap through the v2 checkpoint +
+    sidecar, replay only the post-checkpoint commit, and still
+    hash-match the oracle. Stats ride the sidecar, so file skipping
+    keeps working after the bootstrap."""
+    import glob as _glob
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    td = _scratch("v2cpw") + "_t"
+    dl = DeltaLogTable(spark, td)
+    dl.write(ords.filter(F.col("o_orderkey") % 3 == 0).repartition(2), mode="append")
+    dl.set_property("delta.checkpointPolicy", "v2")
+    dl.write(ords.filter(F.col("o_orderkey") % 3 == 1).repartition(2), mode="append")
+    cp = dl.checkpoint()
+    if len(os.path.basename(cp).split(".")) != 4:
+        raise AssertionError(f"expected a UUID-named V2 checkpoint, got {cp}")
+    if not _glob.glob(os.path.join(td, "_delta_log", "_sidecars", "*.parquet")):
+        raise AssertionError("V2 checkpoint wrote no sidecar files")
+    # log retention: the JSON commits covered by the checkpoint vanish
+    cp_version = int(os.path.basename(cp).split(".")[0])
+    for v in range(cp_version + 1):
+        p = os.path.join(td, "_delta_log", f"{v:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    dl2 = DeltaLogTable(spark, td)
+    dl2.write(ords.filter(F.col("o_orderkey") % 3 == 2).repartition(2), mode="append")
+    return (
+        DeltaLogTable(spark, td)
+        .read()
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("o_totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )

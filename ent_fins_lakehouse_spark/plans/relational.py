@@ -3742,3 +3742,319 @@ def q251_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "q255_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             SUM(CAST(value AS DECIMAL(18,4))) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, d, v,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(v) OVER (PARTITION BY event_type) AS sv
+      FROM daily
+    ),
+    dv AS (
+      SELECT event_type, d, n,
+             CAST(CAST(n AS DECIMAL(9,0)) * v - sv AS DECIMAL(18,4)) AS dev
+      FROM s
+    ),
+    lagd AS (
+      SELECT event_type, n, dev,
+             LEAD(dev, 1) OVER w AS dev1,
+             LEAD(dev, 2) OVER w AS dev2,
+             LEAD(dev, 3) OVER w AS dev3
+      FROM dv
+      WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    )
+    SELECT event_type, MAX(n) AS n_days,
+           ROUND(CAST(SUM(dev * dev1) AS DOUBLE) / CAST(SUM(dev * dev) AS DOUBLE), 6) AS acf1,
+           ROUND(CAST(SUM(dev * dev2) AS DOUBLE) / CAST(SUM(dev * dev) AS DOUBLE), 6) AS acf2,
+           ROUND(CAST(SUM(dev * dev3) AS DOUBLE) / CAST(SUM(dev * dev) AS DOUBLE), 6) AS acf3
+    FROM lagd GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("relational", "timeseries"),
+)
+def q255_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation (lags 1-3) of each event type's daily
+    volume — the seasonality probe behind anomaly baselining (a daily
+    cycle shows as high acf1, weekly as acf7). DECIMAL-exact via the
+    n·v − Σv trick (scaling deviations by n keeps every intermediate an
+    exact decimal; the common n² factor cancels in the ratio), so
+    float summation order cannot drift the hash — the same device as
+    q245. One event_type exchange drives the rollup, both window
+    passes and the final aggregation; the daily pre-aggregation keeps
+    the window input at (keys × days), not raw events, at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("d"), "value"
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("v")
+    )
+    wa = W.partitionBy("event_type")
+    wo = wa.orderBy("d")
+    # dev = n*(v - mean), exactly: decimal(9,0) x decimal(18,4) -> (28,4)
+    # with no precision loss; the common n^2 factor cancels in the ratio
+    dv = daily.select(
+        "event_type",
+        "d",
+        F.count("*").over(wa).alias("n"),
+        (
+            F.count("*").over(wa).cast("decimal(9,0)") * F.col("v")
+            - F.sum("v").over(wa)
+        )
+        .cast("decimal(18,4)")
+        .alias("dev"),
+    )
+    lagd = dv.select(
+        "event_type",
+        "n",
+        "dev",
+        F.lead("dev", 1).over(wo).alias("dev1"),
+        F.lead("dev", 2).over(wo).alias("dev2"),
+        F.lead("dev", 3).over(wo).alias("dev3"),
+    )
+    den = F.sum(F.col("dev") * F.col("dev")).cast("double")
+    return (
+        lagd.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_days"),
+            F.round(F.sum(F.col("dev") * F.col("dev1")).cast("double") / den, 6).alias("acf1"),
+            F.round(F.sum(F.col("dev") * F.col("dev2")).cast("double") / den, 6).alias("acf2"),
+            F.round(F.sum(F.col("dev") * F.col("dev3")).cast("double") / den, 6).alias("acf3"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q256_psi_drift",
+    oracle="""
+    WITH binned AS (
+      SELECT event_type,
+             CAST(FLOOR(ABS(value)) AS BIGINT) % 10 AS bin,
+             CASE WHEN DAY(CAST(ts AS DATE)) % 2 = 0 THEN 0 ELSE 1 END AS period
+      FROM events
+    ),
+    grid AS (
+      SELECT DISTINCT b.event_type, g.bin
+      FROM binned b CROSS JOIN (SELECT UNNEST(RANGE(10)) AS bin) g
+    ),
+    cnt AS (
+      SELECT g.event_type, g.bin,
+             COALESCE(SUM(CASE WHEN x.period = 0 THEN 1 END), 0) AS ca,
+             COALESCE(SUM(CASE WHEN x.period = 1 THEN 1 END), 0) AS cb
+      FROM grid g
+      LEFT JOIN binned x ON x.event_type = g.event_type AND x.bin = g.bin
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, bin, ca, cb,
+             SUM(ca) OVER (PARTITION BY event_type) AS ta,
+             SUM(cb) OVER (PARTITION BY event_type) AS tb
+      FROM cnt
+    ),
+    term AS (
+      SELECT event_type, ta, tb,
+             CAST(ROUND(
+               ((ca + 1.0) / (ta + 10.0) - (cb + 1.0) / (tb + 10.0))
+               * LN(((ca + 1.0) / (ta + 10.0)) / ((cb + 1.0) / (tb + 10.0))),
+               10) AS DECIMAL(18,10)) AS t
+      FROM tot
+    )
+    SELECT event_type, MAX(ta) AS n_even_days, MAX(tb) AS n_odd_days,
+           ROUND(CAST(SUM(t) AS DOUBLE), 6) AS psi
+    FROM term GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("relational", "quality", "drift"),
+)
+def q256_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type — the standard
+    model-monitoring drift gate (PSI > 0.2 = retrain): value
+    distributions over 10 fixed bins compared between two periods
+    (even vs odd day-of-month — a deterministic split), with Laplace
+    smoothing so empty bins stay finite. The double math (ratios, ln)
+    is IEEE-deterministic; each bin's term is rounded to a
+    DECIMAL(18,10) BEFORE the sum so the 10-term aggregation is exact
+    and summation order cannot drift the hash. One hash-agg over
+    (type, bin, period) is the only corpus-sized exchange; the
+    10-bin-per-type grid is control-plane."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.floor(F.abs(F.col("value"))).cast("long") % 10).alias("bin"),
+        F.when(F.dayofmonth(F.col("ts").cast("date")) % 2 == 0, 0)
+        .otherwise(1)
+        .alias("period"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(10).select(F.col("id").alias("bin")))
+    )
+    cnt = (
+        grid.join(ev, ["event_type", "bin"], "left")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("period") == 0, 1)), F.lit(0)).alias("ca"),
+            F.coalesce(F.sum(F.when(F.col("period") == 1, 1)), F.lit(0)).alias("cb"),
+        )
+    )
+    wa = W.partitionBy("event_type")
+    tot = cnt.select(
+        "event_type",
+        "ca",
+        "cb",
+        F.sum("ca").over(wa).alias("ta"),
+        F.sum("cb").over(wa).alias("tb"),
+    )
+    pa = (F.col("ca") + 1.0) / (F.col("ta") + 10.0)
+    pb = (F.col("cb") + 1.0) / (F.col("tb") + 10.0)
+    term = tot.select(
+        "event_type",
+        "ta",
+        "tb",
+        F.round((pa - pb) * F.log(pa / pb), 10).cast("decimal(18,10)").alias("t"),
+    )
+    return (
+        term.groupBy("event_type")
+        .agg(
+            F.max("ta").alias("n_even_days"),
+            F.max("tb").alias("n_odd_days"),
+            F.round(F.sum("t").cast("double"), 6).alias("psi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q257_trimmed_robust_mean",
+    oracle="""
+    WITH lim AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_kept,
+           ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*), 6) AS trimmed_mean,
+           ROUND(MAX(l.lo), 6) AS p05,
+           ROUND(MAX(l.hi), 6) AS p95
+    FROM events e JOIN lim l USING (event_type)
+    WHERE e.value >= l.lo AND e.value <= l.hi
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    tags=("relational", "quality"),
+)
+def q257_trimmed_robust_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-95% trimmed mean per event type — the robust central-tendency
+    gate that survives the fat-tailed payment values a plain AVG
+    cannot (one 1e9 reading moves the mean arbitrarily; the trimmed
+    mean moves by at most the trim fraction). Two passes sharing one
+    event_type exchange: exact interpolated percentiles (the q49
+    primitive), then a broadcast join of the per-type [lo, hi] clamps
+    and a DECIMAL-exact sum over the kept rows. At 100 TB the
+    percentile pass is the scale knob — swap in percentile_approx/KLL
+    (q223's sketch tier) and the trim becomes one linear pass."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    pct = F.percentile("value", F.lit([0.05, 0.95]))
+    lim = ev.groupBy("event_type").agg(
+        pct.getItem(0).alias("lo"), pct.getItem(1).alias("hi")
+    )
+    kept = ev.join(F.broadcast(lim), "event_type").filter(
+        (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi"))
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("trimmed_mean"),
+            F.round(F.max("lo"), 6).alias("p05"),
+            F.round(F.max("hi"), 6).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q258_order_reconciliation_audit",
+    oracle="""
+    WITH recomputed AS (
+      SELECT l_orderkey,
+             ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))
+                       * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(5,4)))), 2) AS r
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_orders,
+           SUM(CASE WHEN r.r IS NULL THEN 1 ELSE 0 END) AS n_no_lines,
+           SUM(CASE WHEN r.r IS NOT NULL
+                     AND r.r <> CAST(o.o_totalprice AS DECIMAL(18,2))
+                    THEN 1 ELSE 0 END) AS n_mismatch,
+           ROUND(CAST(MAX(CASE WHEN r.r IS NOT NULL
+                     THEN ABS(r.r - CAST(o.o_totalprice AS DECIMAL(18,2)))
+                     END) AS DOUBLE), 2) AS max_abs_diff
+    FROM orders o LEFT JOIN recomputed r ON o.o_orderkey = r.l_orderkey
+    GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+    """,
+    tags=("relational", "audit", "quality"),
+)
+def q258_order_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential/financial reconciliation audit — the ledger-grade
+    consistency check a fraud lakehouse runs nightly: recompute every
+    order's total from its line items (price x (1-discount) x (1+tax),
+    DECIMAL end-to-end so the comparison is exact, never
+    float-epsilon), then report per order status how many orders have
+    no lines at all and how many totals disagree with the recomputed
+    sum, plus the worst deviation. One lineitem hash-agg + one
+    orderkey join — both partial-aggregated map-side; at 100 TB the
+    join co-locates if both tables bucket on orderkey (the engine's
+    bucketed-write path)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_tax"
+    )
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    one = F.lit(1).cast("decimal(5,4)")
+    recomputed = li.groupBy("l_orderkey").agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (one - F.col("l_discount").cast("decimal(5,4)"))
+                * (one + F.col("l_tax").cast("decimal(5,4)"))
+            ),
+            2,
+        ).alias("r")
+    )
+    tp = F.col("o_totalprice").cast("decimal(18,2)")
+    joined = ords.join(
+        recomputed, ords.o_orderkey == recomputed.l_orderkey, "left"
+    )
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(F.col("r").isNull(), 1).otherwise(0)).alias("n_no_lines"),
+            F.sum(
+                F.when(F.col("r").isNotNull() & (F.col("r") != tp), 1).otherwise(0)
+            ).alias("n_mismatch"),
+            F.round(
+                F.max(
+                    F.when(F.col("r").isNotNull(), F.abs(F.col("r") - tp))
+                ).cast("double"),
+                2,
+            ).alias("max_abs_diff"),
+        )
+        .orderBy("o_orderstatus")
+    )

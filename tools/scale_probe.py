@@ -305,6 +305,25 @@ def interop_probe(spark, sf_dir: str, scratch: str, n_files: int = 32) -> dict[s
         ),
     )
 
+    # r7: Iceberg copy-on-write DML + rewrite_manifests — after CoW
+    # replaces the files a position delete pointed at and the dangling
+    # delete manifests are dropped, the read must return to a plain
+    # scan (flat vs the pre-DML read)
+    ct = IcebergTable(spark, os.path.join(scratch, "iceberg_cow"))
+    timed("cow_append", lambda: ct.append(orders_ranged))
+    timed("cow_mor_delete", lambda: ct.delete("o_orderkey % 10 = 3"))
+    timed("cow_read_with_deletes", lambda: sink(ct.read()))
+    timed(
+        "cow_update",
+        lambda: ct.update(
+            {"o_totalprice": "o_totalprice + 1.0"},
+            "o_orderkey % 2 = 0",
+            mode="cow",
+        ),
+    )
+    timed("cow_rewrite_manifests", lambda: ct.rewrite_manifests())
+    timed("cow_read_after_rewrite", lambda: sink(ct.read()))
+
     # r7: bloom file-index build + point probe on a hash-shuffled layout
     # (range stats prune nothing by construction — the needle path the
     # index exists for). Build must track data size; probe cost must
