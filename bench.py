@@ -95,6 +95,16 @@ HEADLINE = [
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # debugging hook (unset in driver runs): restrict the headline to a
+    # comma-separated subset — used to A/B the warmup-size hypothesis
+    # when attributing round-over-round drift (VERDICT r6 item 2)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        subset = [q for q in only.split(",") if q]
+        unknown = set(subset) - set(HEADLINE)
+        if unknown:
+            raise SystemExit(f"unknown bench queries: {sorted(unknown)}")
+        HEADLINE[:] = subset
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:

@@ -406,6 +406,44 @@ def cosine_pairs_blockwise_numpy(
     return out
 
 
+def _lloyd_kmeans(X, k: int, seed: int, iters: int = 25) -> list[list[float]]:
+    """Deterministic k-means++ / Lloyd's over a numpy sample — the
+    codebook trainer. Vectorized distance expansion (‖x‖²−2x·c+‖c‖²);
+    empty clusters reseed from the data, same seed → same centroids."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    n = len(X)
+    if n == 0:
+        return [[0.0] * X.shape[1] for _ in range(k)]
+    centers = np.empty((min(k, n), X.shape[1]), dtype=np.float64)
+    centers[0] = X[rng.randint(n)]
+    d2 = ((X - centers[0]) ** 2).sum(1)
+    for j in range(1, len(centers)):
+        s = d2.sum()
+        probs = d2 / s if s > 0 else np.full(n, 1.0 / n)
+        centers[j] = X[rng.choice(n, p=probs)]
+        d2 = np.minimum(d2, ((X - centers[j]) ** 2).sum(1))
+    if len(centers) < k:  # fewer points than centroids: pad by repeat
+        centers = np.vstack([centers] * ((k // len(centers)) + 1))[:k]
+    xx = (X**2).sum(1)[:, None]
+    for _ in range(iters):
+        d = xx - 2.0 * (X @ centers.T) + (centers**2).sum(1)[None, :]
+        a = d.argmin(1)
+        newc = centers.copy()
+        for j in range(k):
+            mask = a == j
+            if mask.any():
+                newc[j] = X[mask].mean(0)
+            else:
+                newc[j] = X[rng.randint(n)]
+        if np.allclose(newc, centers, atol=1e-12):
+            centers = newc
+            break
+        centers = newc
+    return [[float(v) for v in c] for c in centers]
+
+
 def build_pq_codebooks(
     df: DataFrame,
     vec_col: str,
@@ -413,30 +451,41 @@ def build_pq_codebooks(
     k: int = 16,
     seed: int = 42,
     train_fraction: float = 1.0,
+    sample_cap: int = 100_000,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks: the vector space splits into
     ``m`` contiguous subspaces and each learns ``k`` KMeans centroids.
     A vector then compresses to ``m`` small codes (m=8, k=16 → 8×4
     bits = 4 bytes for a 64-dim float vector, 64×) — the compression
     tier beyond scalar int8 (8×, ``quantize_int8``), at the cost of a
-    rerank pass for exactness. Training runs on a ``train_fraction``
-    sample: codebooks are index METADATA learned once from a sample,
-    not a per-query cost (at 100 TB you train on ~10⁶ rows and encode
-    the corpus in one distributed pass)."""
-    from pyspark.ml.clustering import KMeans
+    rerank pass for exactness.
+
+    Scale design: codebooks are KB-sized index METADATA learned ONCE
+    from a bounded sample (``sample_cap`` rows collected to the
+    driver, the standard PQ training recipe — FAISS trains on ~10⁵-10⁶
+    sampled vectors regardless of corpus size), then the CORPUS
+    encodes in one distributed pass (:func:`pq_encode`). All m
+    subspace fits run as vectorized numpy Lloyd's on that one sample —
+    no per-fit Spark job fan-out; deterministic under ``seed``."""
+    import numpy as np
 
     dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     if dim % m:
         raise ValueError(f"vector dim {dim} not divisible into {m} subspaces")
     sub = dim // m
-    train = df.sample(train_fraction, seed=seed) if train_fraction < 1.0 else df
-    books: list[list[list[float]]] = []
-    for i in range(m):
-        sl = train.select(F.slice(F.col(vec_col), i * sub + 1, sub).alias("s"))
-        feats = _to_ml_vectors(sl, "s")
-        model = KMeans(k=k, seed=seed + i, featuresCol="_v", predictionCol="_c").fit(feats)
-        books.append([list(map(float, c)) for c in model.clusterCenters()])
-    return books
+    train = df.select(F.col(vec_col).alias("_vec"))
+    if train_fraction < 1.0:
+        train = train.sample(train_fraction, seed=seed)
+    n = train.count()
+    if n > sample_cap:
+        # bounded, seed-deterministic sample — never collect the corpus
+        train = train.sample(min(1.0, 1.05 * sample_cap / n), seed=seed).limit(
+            sample_cap
+        )
+    X = np.asarray([r["_vec"] for r in train.collect()], dtype=np.float64)
+    return [
+        _lloyd_kmeans(X[:, i * sub : (i + 1) * sub], k, seed + i) for i in range(m)
+    ]
 
 
 def pq_encode(df: DataFrame, vec_col: str, books: list[list[list[float]]]) -> DataFrame:
