@@ -575,3 +575,30 @@ def pq_topk(
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def assign_ivf_clusters(
+    df: DataFrame, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """INCREMENTAL IVF assignment: tag rows with the nearest EXISTING
+    centroid (squared Euclidean, KMeans' metric) so new batches append
+    into a partitioned serving layout WITHOUT retraining the coarse
+    quantizer — the index-maintenance half of build-once/probe-many.
+    Pure JVM codegen: the centroid matrix embeds as array literals and
+    each distance is one ``zip_with``+``aggregate`` fold; no Python in
+    the scan. Centroid drift from accumulated appends is repaired by a
+    periodic rebuild (``build_ivf_index``), as in any IVF system."""
+    v = F.col(vec_col).cast("array<double>")
+    dists = []
+    for c in centroids:
+        clit = F.array(*[F.lit(float(x)) for x in c])
+        dists.append(
+            F.aggregate(
+                F.zip_with(v, clit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    darr = F.array(*dists)
+    best = F.array_position(darr, F.array_min(darr)) - 1
+    return df.withColumn("ivf_cluster", best.cast("int"))

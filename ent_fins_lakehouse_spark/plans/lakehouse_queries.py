@@ -4098,3 +4098,70 @@ def q254_delta_v2_checkpoint_write(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "q259_delta_in_commit_timestamps",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey % 2 = 0
+    ORDER BY o_orderkey
+    """,
+    tags=("lakehouse", "delta", "interop"),
+)
+def q259_delta_in_commit_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta IN-COMMIT TIMESTAMPS (spec: 'In-Commit Timestamps',
+    writer feature ``inCommitTimestamp``): once
+    ``delta.enableInCommitTimestamps=true``, every commit's commitInfo
+    is the FIRST action and carries a strictly monotonic
+    ``inCommitTimestamp``; timestamp time travel resolves against ICTs
+    instead of file mtimes — the clock that survives log copies,
+    checkpoint rewrites and filesystem skew. The enabling commit
+    itself carries the first ICT plus the enablement-provenance
+    properties, and the protocol upgrades to the table feature. The
+    fixture enables, appends two halves, asserts monotonic first-action
+    ICTs, and returns the ``TIMESTAMP AS OF`` view at the FIRST
+    append's ICT — which must contain exactly the first half (the
+    oracle) even though the second append exists."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    td = _scratch("ict") + "_t"
+    dl = DeltaLogTable(spark, td)
+    dl.write(ords.filter(F.col("o_orderkey") % 2 == 0).repartition(2), mode="append")
+    dl.set_property("delta.enableInCommitTimestamps", "true")
+    cfg = dl.properties()
+    if cfg.get("delta.inCommitTimestampEnablementVersion") != "1":
+        raise AssertionError(f"enablement provenance missing: {cfg}")
+    proto = dl._last_protocol
+    if "inCommitTimestamp" not in (proto.get("writerFeatures") or []):
+        raise AssertionError(f"protocol lacks the ICT writer feature: {proto}")
+    # the snapshot at the ENABLING commit's ICT excludes later appends
+    t_enable = dl._last_ict
+    dl.write(ords.filter(F.col("o_orderkey") % 2 == 1).repartition(2), mode="append")
+    t_second = dl._last_ict
+    if not (t_second > t_enable > 0):
+        raise AssertionError(f"ICTs not strictly monotonic: {t_enable}, {t_second}")
+    # first action of every post-enablement commit is commitInfo w/ ICT
+    for v in (1, 2):
+        with open(os.path.join(td, "_delta_log", f"{v:020d}.json")) as fh:
+            first = json.loads(fh.readline())
+        if "commitInfo" not in first or "inCommitTimestamp" not in first["commitInfo"]:
+            raise AssertionError(f"commit {v} first action lacks an ICT: {first}")
+    v_at = dl.version_at(t_enable)
+    if v_at != 1 or dl.version_at(t_second) != 2:
+        raise AssertionError(
+            f"ICT time travel resolved wrong versions: {v_at}, {dl.version_at(t_second)}"
+        )
+    return (
+        dl.read(version_as_of=v_at)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("o_totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )

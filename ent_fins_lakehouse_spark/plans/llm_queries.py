@@ -3466,3 +3466,95 @@ def q232_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("h")
         .orderBy("difficulty_bin", "shard", "pos_in_shard")
     )
+
+
+@query("q262_ivf_incremental_append", oracle=None, tags=("llm", "similarity", "layout"))
+def q262_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL maintenance of the IVF serving layout (the gap
+    between q188's build-once index and a live corpus): a new vector
+    batch is assigned to the nearest EXISTING centroids
+    (:func:`assign_ivf_clusters`, JVM-side — no retrain, no rebuild),
+    PQ-encoded with the EXISTING codebooks, and appended into the
+    hive-partitioned layout — so index maintenance costs O(batch), not
+    O(corpus), and probes keep their PartitionFilters pruning
+    (enforced). The fixture appends exact clones of the first 50
+    vectors under new ids and probes with vector 7: its clone MUST
+    land in the probed cells and tie the original's cosine (asserted),
+    proving the appended rows are served through the same pruned path.
+    Rows-only (KMeans); assignment/probe invariants asserted inline
+    and in tests/test_llm_ops.py."""
+    import math
+
+    from ent_fins_lakehouse_spark.operators.similarity import (
+        assign_ivf_clusters,
+        build_ivf_index,
+        build_pq_codebooks,
+        pq_encode,
+        _dot,
+        _norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="ivfinc_") + "/layout"
+    indexed, centroids = build_ivf_index(emb, "embedding", n_clusters=8)
+    books = build_pq_codebooks(emb, "embedding", m=8, k=16)
+    base = pq_encode(indexed, "embedding", books)
+    base = base.withColumn(
+        "pq_codes", F.when(F.col("pq_norm") > 0, F.col("pq_codes"))
+    )
+    base.write.mode("overwrite").partitionBy("ivf_cluster").parquet(path)
+
+    # incremental batch: clones of the first 50 vectors, new ids —
+    # assigned + encoded with the EXISTING index metadata, appended
+    new = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    assigned = assign_ivf_clusters(new, "embedding", centroids)
+    enc_new = pq_encode(assigned, "embedding", books)
+    enc_new = enc_new.withColumn(
+        "pq_codes", F.when(F.col("pq_norm") > 0, F.col("pq_codes"))
+    )
+    enc_new.write.mode("append").partitionBy("ivf_cluster").parquet(path)
+
+    # a clone must share its original's cell (same centroids, same rows)
+    cells = {
+        r["vec_id"]: r["ivf_cluster"]
+        for r in spark.read.parquet(path)
+        .filter(F.col("vec_id").isin(7, 1_000_007))
+        .select("vec_id", "ivf_cluster")
+        .collect()
+    }
+    if cells[7] != cells[1_000_007]:
+        raise AssertionError(f"clone landed in a different cell: {cells}")
+
+    qvec = list(emb.filter(F.col("vec_id") == 7).select("embedding").head()[0])
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / ((math.sqrt(sum(x * x for x in a)) or 1.0) * (math.sqrt(sum(x * x for x in b)) or 1.0))
+
+    ranked = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i], qvec))
+    probe = ranked[:4]
+    scan = spark.read.parquet(path).filter(F.col("ivf_cluster").isin(probe))
+    _require_partition_pruned(scan, "ivf_cluster")
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    out = (
+        scan.select(
+            "vec_id",
+            (
+                _dot(F.col("embedding").cast("array<double>"), qlit)
+                / (_norm(F.col("embedding").cast("array<double>")) * _norm(qlit))
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+    top = out.limit(2).collect()
+    ids = {r["vec_id"] for r in top}
+    if not {7, 1_000_007} <= ids:
+        raise AssertionError(f"appended clone not served at top: {ids}")
+    if abs(top[0]["cosine_sim"] - top[1]["cosine_sim"]) > 1e-9:
+        raise AssertionError("clone cosine must tie the original")
+    return out

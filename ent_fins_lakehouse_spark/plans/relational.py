@@ -4058,3 +4058,146 @@ def q258_order_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q260_pivot_unpivot",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CASE WHEN dayofweek(CAST(ts AS TIMESTAMP)) = 0
+                    THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS dow_sun,
+           CAST(SUM(CASE WHEN dayofweek(CAST(ts AS TIMESTAMP)) = 1
+                    THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS dow_mon,
+           CAST(SUM(CASE WHEN dayofweek(CAST(ts AS TIMESTAMP)) = 2
+                    THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS dow_tue,
+           CAST(SUM(CASE WHEN dayofweek(CAST(ts AS TIMESTAMP)) = 3
+                    THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS dow_wed,
+           CAST(SUM(CASE WHEN dayofweek(CAST(ts AS TIMESTAMP)) = 4
+                    THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS dow_thu,
+           CAST(SUM(CASE WHEN dayofweek(CAST(ts AS TIMESTAMP)) = 5
+                    THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS dow_fri,
+           CAST(SUM(CASE WHEN dayofweek(CAST(ts AS TIMESTAMP)) = 6
+                    THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS dow_sat
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("relational", "pivot"),
+)
+def q260_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT + UNPIVOT round-trip — the reshaping surface
+    (``groupBy().pivot()`` / ``DataFrame.unpivot``): event volumes
+    pivot into an event_type × day-of-week matrix (DECIMAL sums so the
+    wide cells hash exactly), then unpivot back to long form, which
+    must recover exactly the long aggregate's non-null cells
+    (asserted). Pivot with an EXPLICIT value list is one partial-agg
+    exchange — no extra distinct-values scan, the 100 TB shape;
+    unpivot is a zero-shuffle map-side explode. Spark's 1=Sunday
+    dayofweek is normalized to DuckDB's 0=Sunday."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    names = ["dow_sun", "dow_mon", "dow_tue", "dow_wed", "dow_thu", "dow_fri", "dow_sat"]
+    wide = (
+        ev.groupBy("event_type")
+        .pivot("dow", list(range(7)))
+        .agg(F.sum("v"))
+        .select(
+            "event_type",
+            *[F.col(str(i)).alias(n) for i, n in enumerate(names)],
+        )
+    )
+    # round-trip proof: unpivot recovers exactly the long-form cells
+    long_back = wide.unpivot("event_type", names, "dow_name", "total")
+    n_cells = ev.groupBy("event_type", "dow").count().count()
+    n_back = long_back.filter(F.col("total").isNotNull()).count()
+    if n_back != n_cells:
+        raise AssertionError(f"unpivot lost cells: {n_back} != {n_cells}")
+    return wide.select(
+        "event_type", *[F.col(n).cast("double").alias(n) for n in names]
+    ).orderBy("event_type")
+
+
+@query(
+    "q261_mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             SUM(CAST(value AS DECIMAL(18,4))) AS v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY CAST(ts AS DATE)) AS i
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn,
+             CAST(b.v - a.v AS DOUBLE) / (b.i - a.i) AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND b.i > a.i
+    )
+    SELECT p.event_type,
+           MAX(n.n) AS n_days,
+           SUM(p.sgn) AS s_stat,
+           ROUND(CAST(SUM(p.sgn) AS DOUBLE)
+                 / (CAST(MAX(n.n) AS DOUBLE) * (MAX(n.n) - 1) / 2), 6) AS tau,
+           ROUND(quantile_cont(p.slope, 0.5), 6) AS sen_slope
+    FROM pairs p
+    JOIN (SELECT event_type, COUNT(*) AS n FROM daily GROUP BY 1) n
+      ON p.event_type = n.event_type
+    GROUP BY p.event_type ORDER BY p.event_type
+    """,
+    tags=("relational", "timeseries", "robust"),
+)
+def q261_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test + Sen's slope per event type —
+    the nonparametric trend detector robust to outliers and
+    non-normality (the regulatory standard for environmental/financial
+    drift where q250's OLS assumptions fail). The S statistic is PURE
+    INTEGER pair counting (hash-exact by construction); Kendall's tau
+    normalizes it; Sen's slope is the median pairwise slope (exact
+    interpolated median, the q49 primitive). The O(n²) self-join runs
+    per key over the DAILY series — bounded by the date range (n≈60),
+    NOT the event count, so at 100 TB the pair count is unchanged; the
+    daily pre-aggregation is the only corpus-sized pass."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("d"), "value"
+    )
+    daily = (
+        ev.groupBy("event_type", "d")
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("v"))
+        .select(
+            "event_type",
+            "v",
+            F.row_number().over(W.partitionBy("event_type").orderBy("d")).alias("i"),
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type")) & (F.col("b.i") > F.col("a.i")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.when(F.col("b.v") > F.col("a.v"), 1)
+        .when(F.col("b.v") < F.col("a.v"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+        (
+            (F.col("b.v") - F.col("a.v")).cast("double")
+            / (F.col("b.i") - F.col("a.i"))
+        ).alias("slope"),
+    )
+    n = daily.groupBy("event_type").agg(F.count("*").alias("n"))
+    return (
+        pairs.join(F.broadcast(n), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_days"),
+            F.sum("sgn").alias("s_stat"),
+            F.round(
+                F.sum("sgn").cast("double")
+                / (F.max("n").cast("double") * (F.max("n") - 1) / 2),
+                6,
+            ).alias("tau"),
+            F.round(F.percentile("slope", F.lit(0.5)), 6).alias("sen_slope"),
+        )
+        .orderBy("event_type")
+    )

@@ -1404,7 +1404,11 @@ class DeltaLogTable:
                         continue
                     act = json.loads(line)
                     if "commitInfo" in act:
-                        t = act["commitInfo"].get("timestamp")
+                        # ICT wins when present (spec: 'In-Commit
+                        # Timestamps' — mtimes/timestamp fields are
+                        # unreliable once a log is moved or rewritten)
+                        ci = act["commitInfo"]
+                        t = ci.get("inCommitTimestamp") or ci.get("timestamp")
                     break  # commitInfo is the first action by convention
             if t is None:
                 t = int(os.path.getmtime(path) * 1000)
@@ -1440,6 +1444,7 @@ class DeltaLogTable:
         proto: dict | None = None
         txns: dict[str, int] = {}
         domains: dict[str, str] = {}
+        last_ict = -1
         start = 0
         cp = self._checkpoint()
         if cp and cp[0] <= target:
@@ -1553,6 +1558,13 @@ class DeltaLogTable:
                             domains.pop(dm["domain"], None)
                         else:
                             domains[dm["domain"]] = dm.get("configuration")
+                    elif "commitInfo" in act:
+                        # in-commit timestamps (spec: 'In-Commit
+                        # Timestamps'): track the latest ICT so the
+                        # next commit stays strictly monotonic
+                        ict = act["commitInfo"].get("inCommitTimestamp")
+                        if ict is not None:
+                            last_ict = max(last_ict, int(ict))
         if schema_str is None:
             raise ValueError(f"no metaData action found in {self.log_path}")
         # latest txn version per appId (spec: 'Transaction Identifiers')
@@ -1568,6 +1580,8 @@ class DeltaLogTable:
         self._last_domains = domains
         cfg = (meta or {}).get("configuration") or {}
         self._rt_enabled = cfg.get("delta.enableRowTracking") == "true"
+        self._ict_enabled = cfg.get("delta.enableInCommitTimestamps") == "true"
+        self._last_ict = last_ict
         hwm = -1
         if "delta.rowTracking" in domains:
             try:
@@ -2964,6 +2978,30 @@ class DeltaLogTable:
                     }
                 )
                 self._rt_hwm = hwm
+        if getattr(self, "_ict_enabled", False):
+            # in-commit timestamps (spec: 'In-Commit Timestamps'):
+            # commitInfo MUST be the first action and carry a strictly
+            # monotonic inCommitTimestamp; readers use it for timestamp
+            # time travel instead of file mtimes (which log moves and
+            # checkpoint rewrites can perturb)
+            import time as _time
+
+            ict = getattr(self, "_ict_forced", None)
+            if ict is None:
+                ict = max(
+                    int(_time.time() * 1000),
+                    int(getattr(self, "_last_ict", -1)) + 1,
+                )
+            else:
+                del self._ict_forced
+            ci = next((a for a in actions if "commitInfo" in a), None)
+            if ci is None:
+                ci = {"commitInfo": {"timestamp": ict}}
+            else:
+                actions.remove(ci)
+            ci["commitInfo"]["inCommitTimestamp"] = ict
+            actions.insert(0, ci)
+            self._last_ict = ict
         os.makedirs(self.log_path, exist_ok=True)
         target = os.path.join(self.log_path, f"{version:020d}.json")
         try:
@@ -3677,6 +3715,35 @@ class DeltaLogTable:
         *_, meta = self._snapshot()
         if meta is None:
             raise ValueError(f"table {self.path} does not exist")
+        if (
+            key == "delta.enableInCommitTimestamps"
+            and str(value).lower() == "true"
+        ):
+            # spec 'In-Commit Timestamps': the ENABLING commit itself
+            # must carry the first ICT, the protocol gains the writer
+            # feature, and provenance properties pin where the
+            # monotonic clock began (earlier commits keep mtime rules)
+            import time as _time
+
+            self._last_protocol = self._feature_protocol(
+                writer_feats={"inCommitTimestamp"}
+            )
+            ict = max(
+                int(_time.time() * 1000), int(getattr(self, "_last_ict", -1)) + 1
+            )
+            v_next = self.latest_version() + 1
+            self._ict_enabled = True
+            self._ict_forced = ict
+            self._commit_constraint_meta(
+                meta,
+                {
+                    "delta.enableInCommitTimestamps": "true",
+                    "delta.inCommitTimestampEnablementVersion": str(v_next),
+                    "delta.inCommitTimestampEnablementTimestamp": str(ict),
+                },
+                drop=None,
+            )
+            return
         if key == "delta.checkpointPolicy" and value == "v2":
             # the v2 checkpoint shape is a READER-visible capability —
             # spec requires the v2Checkpoint table feature (reader v3 /

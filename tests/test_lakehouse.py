@@ -3668,3 +3668,50 @@ def test_sql_facade_iceberg_location_routing(spark, tmp_path):
     m = lh.catalog._resolve("default.m")
     assert isinstance(m, IcebergFacadeTable)
     assert m.read().count() == 10
+
+
+def test_delta_in_commit_timestamps_survive_mtime_skew(spark, tmp_path):
+    """In-commit timestamps make timestamp time travel independent of
+    file mtimes: scrambling every JSON commit's mtime (as a log copy
+    would) must not change version_at resolution, and ICTs stay
+    strictly monotonic across reopens."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "ict")
+    dl = DeltaLogTable(spark, td)
+    df = spark.range(30).select(F.col("id").cast("long"))
+    dl.write(df.filter("id < 10"), mode="append")
+    dl.set_property("delta.enableInCommitTimestamps", "true")
+    t1 = dl._last_ict
+    dl.write(df.filter("id >= 10 AND id < 20"), mode="append")
+    t2 = dl._last_ict
+    dl.write(df.filter("id >= 20"), mode="append")
+    t3 = dl._last_ict
+    assert t3 > t2 > t1 > 0
+
+    # scramble mtimes: pre-ICT rules would now misresolve
+    log = _os.path.join(td, "_delta_log")
+    now = _time.time()
+    for i, f in enumerate(sorted(_os.listdir(log))):
+        if f.endswith(".json"):
+            _os.utime(_os.path.join(log, f), (now - i * 1000, now - i * 1000))
+
+    assert dl.version_at(t1) == 1
+    assert dl.version_at(t2) == 2
+    assert dl.version_at(t3) == 3
+    assert dl.read(version_as_of=dl.version_at(t2)).count() == 20
+
+    # reopen: the monotonic clock continues above the replayed max
+    dl2 = DeltaLogTable(spark, td)
+    dl2.write(df.filter("id < 5").selectExpr("id + 100 AS id"), mode="append")
+    assert dl2._last_ict > t3
+    # enabling is idempotent-safe on a fresh handle: ICT still applied
+    with open(_os.path.join(log, f"{4:020d}.json")) as fh:
+        first = _json.loads(fh.readline())
+    assert first["commitInfo"]["inCommitTimestamp"] == dl2._last_ict

@@ -842,3 +842,33 @@ def test_bpe_encode_stats_invariants(spark, docs):
     built = {l + r for (l, r) in merges} | {"</w>"}  # </w> is a base symbol
     for tok in by_tok:
         assert tok in built, f"token {tok!r} not from a learned merge"
+
+
+def test_assign_ivf_clusters_matches_training_assignment(spark):
+    """Incremental IVF assignment must agree with KMeans' own
+    assignment: re-assigning the TRAINING vectors through
+    assign_ivf_clusters reproduces every ivf_cluster id (same metric,
+    same centroids), and the expression stays JVM-side (no python
+    UDF in the plan)."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.operators.similarity import (
+        assign_ivf_clusters,
+        build_ivf_index,
+    )
+    from ent_fins_lakehouse_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    indexed, centroids = build_ivf_index(emb, "embedding", n_clusters=4)
+    re_assigned = assign_ivf_clusters(
+        emb.select("vec_id", "embedding"), "embedding", centroids
+    )
+    joined = indexed.select("vec_id", F.col("ivf_cluster").alias("train_c")).join(
+        re_assigned.select("vec_id", F.col("ivf_cluster").alias("inc_c")), "vec_id"
+    )
+    diff = joined.filter(F.col("train_c") != F.col("inc_c")).count()
+    # ties on exact-equal distances may break differently; none exist
+    # in the fixture, so assignments must agree exactly
+    assert diff == 0
+    plan = re_assigned._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
