@@ -4165,3 +4165,58 @@ def q259_delta_in_commit_timestamps(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "q264_iceberg_cherry_pick",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey FROM supplier
+    ORDER BY s_suppkey
+    """,
+    tags=("lakehouse", "iceberg", "wap"),
+)
+def q264_iceberg_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg CHERRY-PICK — the WAP publish verb for when MAIN HAS
+    MOVED ON (where q-refs' fast_forward refuses: the branch no longer
+    descends from head): a batch staged on an audit branch is
+    published onto the advanced main by re-committing its added data
+    manifests under a fresh snapshot id/sequence — metadata-only, the
+    manifest files reused verbatim. The fixture: main gets the first
+    third, a WAP branch stages the second third (invisible to main —
+    asserted), main independently appends the last third (so
+    fast_forward would refuse — asserted), then cherry_pick publishes
+    the staged batch; main now serves ALL rows, and a non-append
+    snapshot refuses to cherry-pick (asserted)."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    t = IcebergTable(spark, _scratch("cherry") + "_t")
+    t.append(sup.filter(F.col("s_suppkey") % 3 == 0))
+    t.set_ref("wap", ref_type="branch")
+    staged = t.append(sup.filter(F.col("s_suppkey") % 3 == 1), branch="wap")
+    n_main = t.read().count()
+    t.append(sup.filter(F.col("s_suppkey") % 3 == 2))  # main advances
+    if t.read().count() <= n_main:
+        raise AssertionError("main append not visible")
+    try:
+        t.fast_forward("wap")
+        raise AssertionError("fast_forward must refuse a diverged branch")
+    except ValueError:
+        pass
+    published = t.cherry_pick(staged)
+    # a row-level (delete) snapshot must REFUSE to cherry-pick: commit
+    # a real delete AFTER the publish and assert; the returned view is
+    # the pre-delete published snapshot (time travel)
+    t2 = IcebergTable(spark, t.path)
+    t2.delete("s_suppkey % 7 = 3")
+    del_snap = t2.metadata()["current-snapshot-id"]
+    if del_snap == published:
+        raise AssertionError("delete committed no snapshot")
+    try:
+        t2.cherry_pick(del_snap)
+        raise AssertionError("cherry-pick of a delete snapshot must refuse")
+    except NotImplementedError:
+        pass
+    return t2.read(snapshot_id=published).orderBy("s_suppkey")

@@ -4201,3 +4201,75 @@ def q261_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q263_holt_double_smoothing",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id HAVING COUNT(*) >= 2
+    ),
+    f AS (
+      SELECT user_id, len(vals) AS n,
+             list_reduce(
+               list_transform(vals, x -> [x, NULL]),
+               (acc, x) -> CASE WHEN acc[2] IS NULL
+                 THEN [x[1], x[1] - acc[1]]
+                 ELSE [0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+                       0.25 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+                         + 0.75 * acc[2]] END
+             ) AS st
+      FROM s
+    )
+    SELECT user_id, n AS n_events,
+           st[1] AS level, st[2] AS trend,
+           st[1] + st[2] AS forecast_1
+    FROM f ORDER BY user_id
+    """,
+    tags=("relational", "temporal"),
+)
+def q263_holt_double_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt DOUBLE exponential smoothing per user (alpha=0.5,
+    beta=0.25) — the trend-aware extension of q242's EWMA, whose
+    2-element (level, trend) recursion windows cannot express. Same
+    Spark-first device: collect+sort each user's series JVM-side, fold
+    INSIDE codegen via ``aggregate`` — here with a 2-slot ARRAY
+    accumulator, the NULL trend slot marking the not-yet-initialized
+    state (l₂=x₂, b₂=x₂−x₁ classic init). The oracle runs the
+    byte-identical fold via DuckDB ``list_reduce`` with the SAME
+    NULL-flag encoding and the SAME recomputed-l' operation order, so
+    the doubles hash bit-for-bit with NO rounding. One user_id
+    exchange; per-user state bounded by history; the fold composes
+    for chunked skewed keys just like q242. ``forecast_1`` = l + b is
+    the one-step-ahead prediction — the anomaly baseline."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    a = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    return (
+        ev.groupBy("user_id")
+        .agg(a.alias("a"))
+        .filter(F.size("a") >= 2)
+        .select(
+            "user_id",
+            F.size("a").alias("n_events"),
+            F.expr(
+                "aggregate("
+                " slice(transform(a, s -> CAST(s.value AS DOUBLE)), 2, greatest(size(a)-1, 0)),"
+                " array(CAST(a[0].value AS DOUBLE), CAST(NULL AS DOUBLE)),"
+                " (acc, x) -> CASE WHEN acc[1] IS NULL"
+                "   THEN array(x, x - acc[0])"
+                "   ELSE array(0.5D * x + 0.5D * (acc[0] + acc[1]),"
+                "              0.25D * ((0.5D * x + 0.5D * (acc[0] + acc[1])) - acc[0])"
+                "                + 0.75D * acc[1]) END"
+                ")"
+            ).alias("st"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.col("st")[0].alias("level"),
+            F.col("st")[1].alias("trend"),
+            (F.col("st")[0] + F.col("st")[1]).alias("forecast_1"),
+        )
+        .orderBy("user_id")
+    )

@@ -2696,6 +2696,64 @@ class IcebergTable:
             "deletes_materialized": len(pos_deletes) + len(eq_deletes),
         }
 
+    def cherry_pick(self, snapshot_id: int) -> int:
+        """cherry_pick_snapshot — publish one (typically WAP-staged)
+        APPEND snapshot onto the CURRENT main head even after main has
+        advanced past the staging point (where :meth:`fast_forward`
+        refuses): the snapshot's added data manifests are re-committed
+        under a fresh snapshot id and sequence number. Metadata-only —
+        the manifest files are REUSED verbatim (their entries inherit
+        the new sequence number, the spec's inheritance rule); zero
+        data movement. Only append snapshots are cherry-pickable
+        (row-level changes could conflict with main's history —
+        Iceberg's own restriction)."""
+        import time
+        import uuid as _uuid  # noqa: F401  (symmetry with sibling verbs)
+
+        from ent_fins_lakehouse_spark.sources.avro_io import read_ocf
+
+        meta = self.metadata()
+        snaps = list(meta.get("snapshots") or [])
+        snap = next((s for s in snaps if s["snapshot-id"] == snapshot_id), None)
+        if snap is None:
+            raise ValueError(f"snapshot {snapshot_id} not in {self.meta_dir}")
+        op = (snap.get("summary") or {}).get("operation")
+        if op != "append":
+            raise NotImplementedError(
+                f"cherry-pick of a {op!r} snapshot is not supported — only "
+                "append snapshots re-apply cleanly onto an advanced main"
+            )
+        if meta.get("current-snapshot-id") == snapshot_id:
+            return snapshot_id  # already published
+        _, src_rows = read_ocf(self._resolve(snap["manifest-list"]))
+        added = [
+            r
+            for r in src_rows
+            if (r.get("added_snapshot_id") or 0) == snapshot_id
+            and (r.get("content") or 0) == 0
+        ]
+        if not added:
+            raise ValueError(f"snapshot {snapshot_id} added no data manifests")
+        now = int(time.time() * 1000)
+        seq = int(meta.get("last-sequence-number") or 0) + 1
+        new_id = max(s["snapshot-id"] for s in snaps) + 1
+        rows = self._prior_manifest_rows(meta, snaps) + [
+            {
+                "manifest_path": r["manifest_path"],
+                "manifest_length": r.get("manifest_length") or 0,
+                "partition_spec_id": r.get("partition_spec_id") or 0,
+                "content": 0,
+                "sequence_number": seq,
+                "added_snapshot_id": new_id,
+            }
+            for r in added
+        ]
+        self._commit_snapshot(
+            meta, snaps, new_id, seq, rows, "append", now,
+            summary_extra={"source-snapshot-id": str(snapshot_id)},
+        )
+        return new_id
+
     def rewrite_manifests(self) -> dict:
         """rewrite_manifests — Iceberg's manifest-maintenance verb:
         consolidates the current snapshot's live data entries into ONE
