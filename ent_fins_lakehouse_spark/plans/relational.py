@@ -4273,3 +4273,163 @@ def q263_holt_double_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q265_retention_cohorts",
+    oracle="""
+    WITH firstw AS (
+      SELECT user_id,
+             MIN(CAST(ts AS DATE)) AS first_d
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT e.user_id,
+             f.first_d,
+             CAST((CAST(e.ts AS DATE) - f.first_d) // 7 AS BIGINT) AS week_offset
+      FROM events e JOIN firstw f USING (user_id)
+    ),
+    size_ AS (
+      SELECT first_d, COUNT(*) AS cohort_size
+      FROM firstw GROUP BY first_d
+    )
+    SELECT a.first_d AS cohort_day,
+           a.week_offset,
+           MAX(s.cohort_size) AS cohort_size,
+           COUNT(*) AS n_active,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(s.cohort_size), 6) AS retention
+    FROM act a JOIN size_ s USING (first_d)
+    GROUP BY a.first_d, a.week_offset
+    ORDER BY cohort_day, week_offset
+    """,
+    tags=("relational", "product-analytics"),
+)
+def q265_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix — the product-analytics staple: users
+    cohorted by FIRST-activity day, each cohort's week-N retention =
+    distinct users active N weeks later / cohort size. Two exchanges
+    total: one user_id agg finds first activity, the (user, week)
+    distinct+rollup reuses the join output; cohort sizes broadcast
+    back (cohort count is date-range-bounded, control-plane at any
+    corpus size). Day/offset arithmetic is pure integer date math —
+    hash-exact; only the final rate is a (deterministic) double
+    division. At 100 TB the first-activity table is the thing to
+    persist (slowly-growing dimension); each day's increment touches
+    only that day's events."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    firstw = ev.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    act = (
+        ev.join(firstw, "user_id")
+        .select(
+            "user_id",
+            "first_d",
+            F.floor(F.datediff(F.col("d"), F.col("first_d")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    size_ = firstw.groupBy("first_d").agg(F.count("*").alias("cohort_size"))
+    return (
+        act.join(F.broadcast(size_), "first_d")
+        .groupBy(F.col("first_d").alias("cohort_day"), "week_offset")
+        .agg(
+            F.max("cohort_size").alias("cohort_size"),
+            F.count("*").alias("n_active"),
+            F.round(
+                F.count("*").cast("double") / F.max("cohort_size"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_day", "week_offset")
+    )
+
+
+@query(
+    "q266_weight_of_evidence",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    b AS (
+      SELECT seg,
+             COUNT(*) AS n,
+             SUM(bad) AS n_bad,
+             COUNT(*) - SUM(bad) AS n_good
+      FROM j GROUP BY seg
+    ),
+    t AS (
+      SELECT seg, n, n_bad, n_good,
+             SUM(n_bad) OVER () AS tot_bad,
+             SUM(n_good) OVER () AS tot_good
+      FROM b
+    ),
+    w AS (
+      SELECT seg, n, n_bad,
+             ROUND(LN(((n_good + 0.5) / (tot_good + 0.5))
+                      / ((n_bad + 0.5) / (tot_bad + 0.5))), 6) AS woe,
+             CAST(ROUND(((n_good + 0.5) / (tot_good + 0.5)
+                         - (n_bad + 0.5) / (tot_bad + 0.5))
+                        * LN(((n_good + 0.5) / (tot_good + 0.5))
+                             / ((n_bad + 0.5) / (tot_bad + 0.5))),
+                   10) AS DECIMAL(18,10)) AS ivc
+      FROM t
+    )
+    SELECT seg, n, n_bad, woe,
+           ROUND(CAST(ivc AS DOUBLE), 6) AS iv_contrib,
+           ROUND(CAST(SUM(ivc) OVER () AS DOUBLE), 6) AS iv_total
+    FROM w ORDER BY seg
+    """,
+    tags=("relational", "risk", "ml-features"),
+)
+def q266_weight_of_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information Value binning — the
+    credit-scoring feature-engineering standard (the reference is a
+    LENDING lakehouse: WoE encodes a categorical against the bad-rate
+    monotonically, IV ranks predictors before model fit): per market
+    segment, WoE = ln(good-share / bad-share) with 0.5 Laplace
+    smoothing, IV = Σ (good-share − bad-share)·WoE. One
+    broadcast-joined fact scan + one segment agg; the window totals
+    run over the segment-count rows (control-plane). Per-term decimal
+    rounding before the IV sum keeps the hash order-proof (q256's
+    device); ratios/ln are IEEE-deterministic."""
+    ords = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("bad"),
+    )
+    b = j.groupBy("seg").agg(
+        F.count("*").alias("n"),
+        F.sum("bad").alias("n_bad"),
+        (F.count("*") - F.sum("bad")).alias("n_good"),
+    )
+    wa = W.partitionBy()
+    t = b.select(
+        "seg",
+        "n",
+        "n_bad",
+        "n_good",
+        F.sum("n_bad").over(wa).alias("tot_bad"),
+        F.sum("n_good").over(wa).alias("tot_good"),
+    )
+    pg = (F.col("n_good") + 0.5) / (F.col("tot_good") + 0.5)
+    pb = (F.col("n_bad") + 0.5) / (F.col("tot_bad") + 0.5)
+    w = t.select(
+        "seg",
+        "n",
+        "n_bad",
+        F.round(F.log(pg / pb), 6).alias("woe"),
+        F.round((pg - pb) * F.log(pg / pb), 10).cast("decimal(18,10)").alias("ivc"),
+    )
+    return w.select(
+        "seg",
+        "n",
+        "n_bad",
+        "woe",
+        F.round(F.col("ivc").cast("double"), 6).alias("iv_contrib"),
+        F.round(F.sum("ivc").over(W.partitionBy()).cast("double"), 6).alias("iv_total"),
+    ).orderBy("seg")
