@@ -169,3 +169,45 @@ def sample_frames(
             )
 
     return df.mapInPandas(do_sample, schema=FRAME_SCHEMA)
+
+
+#: fake decode rate for the duration stand-in: 4 ms of audio per
+#: payload byte (a real decoder would read the container header)
+AUDIO_MS_PER_BYTE = 4
+
+
+def segment_audio(df: DataFrame, segment_ms: int = 4000) -> DataFrame:
+    """Split audio payloads into fixed-duration segments — the
+    chunking stage of a speech/ASR ingestion pipeline (1→N rows).
+
+    Spark-first: this is NOT a UDF — the duration model (bytes →
+    milliseconds, here the deterministic ``AUDIO_MS_PER_BYTE``
+    stand-in for a container-header read), the segment lattice
+    (``sequence`` + ``explode``), the time bounds and the payload
+    SLICES (binary ``substring``) all run as JVM expressions in
+    whole-stage codegen — zero Python in the scan, at any corpus
+    size. A real decoder would only replace the duration model and
+    re-encode step behind the same schema. Output:
+    ``doc_id, seg_no, start_ms, end_ms, seg_payload``; slices
+    reassemble to the exact original payload (asserted in tests)."""
+    dur = F.length("payload") * F.lit(AUDIO_MS_PER_BYTE)
+    n_seg = F.ceil(dur / F.lit(segment_ms)).cast("long")
+    seg = df.select(
+        "doc_id",
+        "payload",
+        dur.alias("_dur"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.greatest(n_seg - 1, F.lit(0)))
+        ).alias("seg_no"),
+    ).filter((F.col("seg_no") == 0) | (F.col("seg_no") * segment_ms < F.col("_dur")))
+    start = F.col("seg_no") * segment_ms
+    end = F.least(F.col("_dur"), start + segment_ms)
+    return seg.select(
+        "doc_id",
+        "seg_no",
+        start.alias("start_ms"),
+        end.alias("end_ms"),
+        F.expr("substring(payload, CAST(seg_no AS INT) * " +
+               f"{segment_ms // AUDIO_MS_PER_BYTE} + 1, " +
+               f"{segment_ms // AUDIO_MS_PER_BYTE})").alias("seg_payload"),
+    )

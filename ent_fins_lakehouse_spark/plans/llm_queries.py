@@ -3558,3 +3558,57 @@ def q262_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     if abs(top[0]["cosine_sim"] - top[1]["cosine_sim"]) > 1e-9:
         raise AssertionError("clone cosine must tie the original")
     return out
+
+
+@query(
+    "q267_audio_segmentation",
+    oracle="""
+    WITH env AS (
+      SELECT doc_id, octet_length(encode(text)) * 4 AS dur
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, dur,
+             UNNEST(range(CAST(greatest(ceil(dur / 4000.0), 1) AS BIGINT))) AS seg_no
+      FROM env
+    )
+    SELECT doc_id, seg_no,
+           seg_no * 4000 AS start_ms,
+           least(dur, seg_no * 4000 + 4000) AS end_ms,
+           CAST((least(dur, seg_no * 4000 + 4000) - seg_no * 4000) // 4 AS BIGINT)
+             AS seg_bytes
+    FROM seg
+    WHERE seg_no = 0 OR seg_no * 4000 < dur
+    ORDER BY doc_id, seg_no
+    """,
+    tags=("llm", "multimodal"),
+)
+def q267_audio_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation over multimodal binary payloads — the ASR
+    ingestion chunking stage, entirely in JVM codegen (sequence +
+    explode + binary substring; the deterministic bytes→ms duration
+    model stands in for a container-header read, the only piece a real
+    decoder would replace): each payload splits into 4-second
+    segments with exact time bounds and byte slices. 1→N explode is
+    map-side (zero shuffle); segment counts are payload-proportional.
+    The oracle reconstructs the full lattice arithmetically; slice
+    CONTENT reassembly (concat of slices == original payload) is
+    asserted in tests/test_llm_ops.py."""
+    from ent_fins_lakehouse_spark.operators.multimodal import (
+        segment_audio,
+        to_binary_column,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    env = to_binary_column(docs, "text", "doc_id")
+    return (
+        segment_audio(env.select("doc_id", "payload"), segment_ms=4000)
+        .select(
+            "doc_id",
+            "seg_no",
+            "start_ms",
+            "end_ms",
+            F.length("seg_payload").cast("long").alias("seg_bytes"),
+        )
+        .orderBy("doc_id", "seg_no")
+    )

@@ -872,3 +872,37 @@ def test_assign_ivf_clusters_matches_training_assignment(spark):
     assert diff == 0
     plan = re_assigned._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_segment_audio_slices_reassemble(spark):
+    """Audio segmentation must be lossless: concatenating each doc's
+    segment payloads in seg_no order reproduces the original payload
+    byte-for-byte, and the time lattice tiles [0, duration) without
+    gaps or overlaps. The plan stays JVM-side (no python eval)."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.operators.multimodal import (
+        AUDIO_MS_PER_BYTE,
+        segment_audio,
+        to_binary_column,
+    )
+    from ent_fins_lakehouse_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    env = to_binary_column(docs, "text", "doc_id").select("doc_id", "payload")
+    seg = segment_audio(env, segment_ms=1000)
+    plan = seg._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    rows = seg.orderBy("doc_id", "seg_no").collect()
+    orig = {r["doc_id"]: bytes(r["payload"]) for r in env.collect()}
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], b"")
+        assert r["start_ms"] == r["seg_no"] * 1000  # lattice aligned
+        got[r["doc_id"]] += bytes(r["seg_payload"] or b"")
+    for did, b in orig.items():
+        assert got[did] == b, f"doc {did} lost bytes in segmentation"
+        n_rows = sum(1 for r in rows if r["doc_id"] == did)
+        import math
+        assert n_rows == max(1, math.ceil(len(b) * AUDIO_MS_PER_BYTE / 1000))
