@@ -4220,3 +4220,71 @@ def q264_iceberg_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     except NotImplementedError:
         pass
     return t2.read(snapshot_id=published).orderBy("s_suppkey")
+
+
+@query(
+    "q268_incremental_join_view",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_orderkey
+    """,
+    tags=("lakehouse", "incremental", "materialized-view"),
+)
+def q268_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN materialized view with BOTH
+    sides changing — the delta-join identity Δ(A⋈B) = ΔA⋈B_old ∪
+    A_new⋈ΔB (q140 covered the aggregate-rollup case; this is the
+    enrichment-view case every serving layer runs): the view persists
+    as a lake table, each increment appends only the delta joins —
+    O(Δ) work per refresh, never a recompute — and the final view
+    hash-matches the full join recomputed from scratch (the oracle).
+    Both delta joins broadcast the smaller side; the view table's
+    commit log gives the refresh exactly-once semantics via the
+    engine's txn watermark if driven from a stream (q77)."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
+
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    # initial state: even customers and their orders
+    c0 = cust.filter(F.col("c_custkey") % 2 == 0)
+    a0 = ords.join(c0.select("c_custkey"), ords.o_custkey == F.col("c_custkey")).drop(
+        "c_custkey"
+    )
+    mv = LakeTable(spark, _scratch("joinmv"))
+    mv.write(
+        a0.join(F.broadcast(c0), a0.o_custkey == c0.c_custkey).select(
+            "o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice"
+        ),
+        mode="overwrite",
+    )
+    # increment: the odd customers arrive (ΔB) along with their orders (ΔA)
+    c1 = cust.filter(F.col("c_custkey") % 2 == 1)
+    a1 = ords.join(c1.select("c_custkey"), ords.o_custkey == F.col("c_custkey")).drop(
+        "c_custkey"
+    )
+    # ΔA ⋈ B_old is empty here by construction (new orders reference new
+    # customers), but the identity is applied in full — both terms land
+    inc1 = a1.join(F.broadcast(c0), a1.o_custkey == c0.c_custkey)
+    a_new = a0.unionByName(a1)
+    inc2 = a_new.join(F.broadcast(c1), a_new.o_custkey == c1.c_custkey)
+    delta = inc1.unionByName(inc2).select(
+        "o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+    mv.insert_into(delta)
+    return (
+        mv.read()
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("o_totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -4433,3 +4433,56 @@ def q266_weight_of_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ivc").cast("double"), 6).alias("iv_contrib"),
         F.round(F.sum("ivc").over(W.partitionBy()).cast("double"), 6).alias("iv_total"),
     ).orderBy("seg")
+
+
+@query(
+    "q269_try_function_suite",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS n,
+           SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS n_div_null,
+           ROUND(CAST(SUM(CAST(CASE WHEN c_custkey % 3 = 0 THEN NULL
+                    ELSE c_acctbal / (c_custkey % 3) END AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS safe_div_sum,
+           SUM(TRY_CAST(SUBSTRING(c_name, 10) AS BIGINT)) AS id_sum,
+           SUM(CASE WHEN TRY_CAST(c_mktsegment AS INTEGER) IS NULL
+                    THEN 1 ELSE 0 END) AS n_uncastable
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    tags=("relational", "functions", "ansi-safe"),
+)
+def q269_try_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe ``try_*`` function family — the error-tolerant lane a
+    production pipeline needs under ANSI mode (Spark 4's default:
+    div-by-zero and bad casts THROW; try_divide/try_cast return NULL
+    instead, matching DuckDB's TRY_CAST / guarded-division semantics):
+    per nation, a guarded ratio over a modulus that hits zero, a
+    numeric tail extracted from the customer name via try_cast (always
+    parses), and a deliberately uncastable string column (never
+    parses). All three NULL behaviors are aggregated and hash-checked;
+    sums go through DECIMAL per the repo convention. Pure codegen
+    expressions — the try variants compile to null-safe branches, no
+    exception handling at runtime."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    safe_div = F.try_divide(F.col("c_acctbal"), F.col("c_custkey") % 3)
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("c_custkey") % 3 == 0, 1).otherwise(0)).alias(
+                "n_div_null"
+            ),
+            F.round(
+                F.sum(safe_div.cast("decimal(18,4)")).cast("double"), 4
+            ).alias("safe_div_sum"),
+            F.sum(
+                F.expr("try_cast(substring(c_name, 10) AS BIGINT)")
+            ).alias("id_sum"),
+            F.sum(
+                F.when(F.expr("try_cast(c_mktsegment AS INT)").isNull(), 1).otherwise(0)
+            ).alias("n_uncastable"),
+        )
+        .orderBy("c_nationkey")
+    )
