@@ -77,7 +77,11 @@ class IcebergFacadeTable:
         self._t.rename_column(old, new)
 
     def __getattr__(self, name):
-        # surface the rest of the Iceberg verbs (compact, refs, …)
+        # surface the rest of the Iceberg verbs (compact, refs, …);
+        # guard the delegate attr itself so a half-constructed copy
+        # can't recurse
+        if name == "_t":
+            raise AttributeError(name)
         return getattr(self._t, name)
 
 
