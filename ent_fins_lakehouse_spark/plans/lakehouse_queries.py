@@ -4288,3 +4288,104 @@ def q268_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "q272_delta_clustered_table",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(CAST(value AS DECIMAL(12,4)) AS DOUBLE) AS value
+    FROM events WHERE event_id BETWEEN 400 AND 460
+    ORDER BY event_id
+    """,
+    tags=("lakehouse", "delta", "clustering"),
+)
+def q272_delta_clustered_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CLUSTERED TABLES (spec: 'Clustered Table' — the liquid
+    clustering surface): ``set_clustering`` declares the layout target
+    as the ``delta.clustering`` domain + ``clustering`` writer feature
+    (metadata-only), and a BARE ``optimize()`` — no columns passed —
+    reads the declaration and clusters the rewrite on it, exactly how
+    engines maintain liquid-clustered tables without per-job layout
+    hints. The fixture writes hash-shuffled (range stats provably
+    useless — asserted zero pruning), declares clustering on
+    event_id, bare-OPTIMIZEs, then asserts a range probe now PRUNES
+    files and hash-matches the oracle. At 100 TB this is incremental
+    layout maintenance: each OPTIMIZE pass needs only the declaration,
+    so clustering policy lives with the TABLE, not the pipeline."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t = DeltaLogTable(spark, _scratch("clustered") + "_t")
+    t.write(
+        ev.repartition(8, F.md5(F.col("event_id").cast("string"))),
+        mode="overwrite",
+    )
+    pre = t.scan_info("event_id >= 400 AND event_id <= 460")
+    if pre["n_pruned"] != 0:
+        raise AssertionError(f"hash layout must not prune pre-optimize: {pre}")
+    t.set_clustering(["event_id"])
+    if t.clustering_columns() != ["event_id"]:
+        raise AssertionError("clustering declaration not readable back")
+    proto = t._last_protocol
+    if "clustering" not in (proto.get("writerFeatures") or []):
+        raise AssertionError(f"protocol lacks the clustering feature: {proto}")
+    t.optimize()  # bare: must pick up the declared clustering columns
+    post = t.scan_info("event_id >= 400 AND event_id <= 460")
+    if post["n_pruned"] == 0 or post["n_read"] >= post["n_active"]:
+        raise AssertionError(f"bare OPTIMIZE did not cluster on event_id: {post}")
+    return (
+        t.read(where="event_id >= 400 AND event_id <= 460")
+        .select(
+            "event_id",
+            "event_type",
+            F.col("value").cast("decimal(12,4)").cast("double").alias("value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q273_delta_column_defaults",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           CASE WHEN s_suppkey % 2 = 0 THEN NULL ELSE 'standard' END AS tier,
+           CASE WHEN s_suppkey % 2 = 0 THEN NULL
+                WHEN s_suppkey % 3 = 0 THEN 250 ELSE 100 END AS credit_limit
+    FROM supplier ORDER BY s_suppkey
+    """,
+    tags=("lakehouse", "delta", "schema-evolution"),
+)
+def q273_delta_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta COLUMN DEFAULTS (spec: 'Default Columns', writer feature
+    ``allowColumnDefaults``): ``ADD COLUMN … DEFAULT expr`` records the
+    SQL expression as the field's ``CURRENT_DEFAULT`` metadata and
+    upgrades the protocol; writes that OMIT the column fill the
+    default, writes that supply it win, and rows written BEFORE the
+    declaration keep reading NULL — Delta's future-writes-only
+    contract, asserted by the oracle's CASE reconstruction (even
+    suppkeys landed pre-declaration → NULL; odd ones post-declaration
+    → defaulted 'standard'/100 unless explicitly 250). Defaults are
+    pure metadata — zero data rewrite at declaration time."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    t = DeltaLogTable(spark, _scratch("coldef") + "_t")
+    t.write(sup.filter(F.col("s_suppkey") % 2 == 0), mode="append")
+    t.add_column("tier", "string", default="'standard'")
+    t.add_column("credit_limit", "int", default="100")
+    proto = t._last_protocol
+    if "allowColumnDefaults" not in (proto.get("writerFeatures") or []):
+        raise AssertionError(f"protocol lacks allowColumnDefaults: {proto}")
+    # batch B omits BOTH new columns -> defaults fill
+    t.write(
+        sup.filter((F.col("s_suppkey") % 2 == 1) & (F.col("s_suppkey") % 3 != 0)),
+        mode="append",
+    )
+    # batch C supplies credit_limit explicitly -> explicit value wins
+    t.write(
+        sup.filter((F.col("s_suppkey") % 2 == 1) & (F.col("s_suppkey") % 3 == 0))
+        .withColumn("credit_limit", F.lit(250)),
+        mode="append",
+    )
+    return t.read().orderBy("s_suppkey")

@@ -4486,3 +4486,125 @@ def q269_try_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "q270_variant_semistructured",
+    oracle="""
+    WITH j AS (
+      SELECT event_id,
+             '{"event": {"type": "' || event_type ||
+             '", "user": ' || CAST(user_id AS VARCHAR) ||
+             ', "amount": ' || CAST(ROUND(CAST(value AS DECIMAL(18,4)), 4) AS VARCHAR) ||
+             '}, "tags": [' || CAST(event_id % 5 AS VARCHAR) || ', ' ||
+             CAST(event_id % 7 AS VARCHAR) || ']}' AS payload
+      FROM events
+    )
+    SELECT json_extract_string(payload, '$.event.type') AS etype,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract(payload, '$.event.user') AS BIGINT)) AS user_sum,
+           ROUND(CAST(SUM(CAST(json_extract(payload, '$.event.amount')
+                    AS DECIMAL(18,4))) AS DOUBLE), 4) AS amount_sum,
+           SUM(CAST(json_extract(payload, '$.tags[1]') AS BIGINT)) AS tag2_sum,
+           SUM(CASE WHEN json_extract(payload, '$.missing.path') IS NULL
+                    THEN 1 ELSE 0 END) AS n_missing
+    FROM j GROUP BY etype ORDER BY etype
+    """,
+    tags=("relational", "semistructured", "variant"),
+)
+def q270_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through Spark 4's VARIANT type — the
+    open-format answer to schemaless JSON columns (parse once into the
+    binary variant encoding, then ``variant_get`` path extraction runs
+    as typed codegen, not per-row string parsing): events are wrapped
+    into nested JSON (the fixture's stand-in for an upstream producer),
+    ``parse_json`` ingests them, and typed path extraction (string,
+    bigint through a nested object, decimal, array index, and a
+    MISSING path yielding NULL not error) aggregates per type. The
+    oracle runs the same paths through DuckDB's JSON extraction. At
+    100 TB the variant column is the landing-zone pattern: parse at
+    ingest, prune+extract at query, no reparse per access."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "user_id", "value")
+    payload = F.concat(
+        F.lit('{"event": {"type": "'),
+        F.col("event_type"),
+        F.lit('", "user": '),
+        F.col("user_id").cast("string"),
+        F.lit(', "amount": '),
+        F.round(F.col("value").cast("decimal(18,4)"), 4).cast("string"),
+        F.lit('}, "tags": ['),
+        (F.col("event_id") % 5).cast("string"),
+        F.lit(", "),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit("]}"),
+    )
+    v = ev.select(F.parse_json(payload).alias("v"))
+    return (
+        v.groupBy(
+            F.variant_get(F.col("v"), "$.event.type", "string").alias("etype")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.variant_get(F.col("v"), "$.event.user", "bigint")
+            ).alias("user_sum"),
+            F.round(
+                F.sum(
+                    F.variant_get(F.col("v"), "$.event.amount", "decimal(18,4)")
+                ).cast("double"),
+                4,
+            ).alias("amount_sum"),
+            F.sum(
+                F.variant_get(F.col("v"), "$.tags[1]", "bigint")
+            ).alias("tag2_sum"),
+            F.sum(
+                F.when(
+                    F.variant_get(F.col("v"), "$.missing.path", "string").isNull(), 1
+                ).otherwise(0)
+            ).alias("n_missing"),
+        )
+        .orderBy("etype")
+    )
+
+
+@query(
+    "q271_lateral_topk_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice
+                  FROM orders
+                  WHERE o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey
+                  LIMIT 2) o
+    WHERE c.c_custkey <= 200
+    ORDER BY c.c_custkey, o.o_orderkey
+    """,
+    tags=("relational", "sql", "lateral"),
+)
+def q271_lateral_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery join — the per-row-subquery SQL
+    surface (top-2 orders PER customer, the shape analysts write
+    before learning window functions): Spark's Catalyst DECORRELATES
+    the lateral into a ranked join (DomainJoin → window + filter), so
+    what reads as a nested loop executes as one shuffle — the plan you
+    want at 100 TB, not N subquery executions. Registered via temp
+    views and run through ``spark.sql`` to exercise the SQL entry path
+    end-to-end; DuckDB executes the identical statement."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("q271_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q271_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+        FROM q271_customer c,
+             LATERAL (SELECT o_orderkey, o_totalprice
+                      FROM q271_orders
+                      WHERE o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey
+                      LIMIT 2) o
+        WHERE c.c_custkey <= 200
+        ORDER BY c.c_custkey, o.o_orderkey
+        """
+    )

@@ -2463,6 +2463,15 @@ class DeltaLogTable:
             for name, expr in gen_exprs.items():
                 if name not in df.columns:
                     df = df.withColumn(name, F.expr(expr))
+            # COLUMN DEFAULTS (spec: 'Default Columns'): a write that
+            # omits a defaulted column gets CURRENT_DEFAULT filled in —
+            # future-writes-only semantics; old files still read NULL
+            for f in committed_schema.fields:
+                md = f.metadata or {}
+                if "CURRENT_DEFAULT" in md and f.name not in df.columns:
+                    df = df.withColumn(
+                        f.name, F.expr(md["CURRENT_DEFAULT"]).cast(f.dataType)
+                    )
             for f in committed_schema.fields:
                 md = f.metadata or {}
                 if "delta.identity.start" in md:
@@ -4136,13 +4145,20 @@ class DeltaLogTable:
         }
         return self._commit_meta(new_meta, "RENAME COLUMN")
 
-    def add_column(self, name: str, dtype) -> int:
+    def add_column(self, name: str, dtype, default: str | None = None) -> int:
         """ALTER TABLE … ADD COLUMN (nullable) — metadata-only. Files
         written before the change simply lack the physical column, so
         reads return NULL for them (the explicit-schema parquet scan
         fills missing columns). On a mapped table the new field gets a
         fresh id and an opaque ``col-<uuid>`` physical name (delta-spark's
-        own scheme), never colliding with any historical name."""
+        own scheme), never colliding with any historical name.
+
+        ``default`` declares a COLUMN DEFAULT (spec: 'Default Columns',
+        writer feature ``allowColumnDefaults``): the SQL expression is
+        recorded as the field's ``CURRENT_DEFAULT`` metadata and every
+        later :meth:`write` that omits the column fills it — Delta's
+        contract exactly: defaults apply to FUTURE writes only,
+        existing rows keep reading NULL."""
         import uuid as _uuid
 
         if isinstance(dtype, str):
@@ -4161,9 +4177,16 @@ class DeltaLogTable:
                 "delta.columnMapping.physicalName": f"col-{_uuid.uuid4().hex[:8]}",
             }
             cfg["delta.columnMapping.maxColumnId"] = str(next_id)
+        proto = None
+        if default is not None:
+            fld.setdefault("metadata", {})["CURRENT_DEFAULT"] = default
+            proto = self._feature_protocol(writer_feats={"allowColumnDefaults"})
         base["fields"].append(fld)
         new_meta = {**meta, "schemaString": json.dumps(base), "configuration": cfg}
-        return self._commit_meta(new_meta, "ADD COLUMNS")
+        v = self._commit_meta(new_meta, "ADD COLUMNS", proto=proto)
+        if proto is not None:
+            self._last_protocol = proto
+        return v
 
     def drop_column(self, name: str) -> int:
         """ALTER TABLE … DROP COLUMN — metadata-only removal. Requires
@@ -4190,6 +4213,64 @@ class DeltaLogTable:
         base["fields"] = [f for f in base["fields"] if f["name"] != name]
         new_meta = {**meta, "schemaString": json.dumps(base)}
         return self._commit_meta(new_meta, "DROP COLUMNS")
+
+    def set_clustering(self, cols: list[str]) -> int:
+        """ALTER TABLE … CLUSTER BY — the CLUSTERED TABLE declaration
+        (spec: 'Clustered Table', Delta's liquid-clustering metadata):
+        upgrades the protocol to the ``clustering`` + ``domainMetadata``
+        writer features and commits the clustering columns as the
+        ``delta.clustering`` domain, so a bare :meth:`optimize` (and
+        any engine's clustering maintenance) knows the layout target.
+        Declarative only — no data moves until OPTIMIZE runs; the
+        domain survives checkpoints like all engine domains."""
+        import time
+
+        adds, schema, part_cols, meta = self._snapshot()
+        unknown = [c for c in cols if c not in [f.name for f in schema.fields]]
+        if unknown:
+            raise ValueError(f"clustering columns {unknown} not in table schema")
+        proto = self._feature_protocol(
+            writer_feats={"clustering", "domainMetadata"}
+        )
+        v = self.latest_version() + 1
+        self._commit_actions(
+            v,
+            [
+                {
+                    "commitInfo": {
+                        "timestamp": int(time.time() * 1000),
+                        "operation": "CLUSTER BY",
+                        "engineInfo": "ent_fins_lakehouse_spark/delta-shim",
+                    }
+                },
+                {"protocol": proto},
+                {"metaData": meta},
+                {
+                    "domainMetadata": {
+                        "domain": "delta.clustering",
+                        "configuration": json.dumps(
+                            {"clusteringColumns": [[c] for c in cols]}
+                        ),
+                        "removed": False,
+                    }
+                },
+            ],
+        )
+        self._last_protocol = proto
+        return v
+
+    def clustering_columns(self) -> list[str]:
+        """The table's declared clustering columns (empty when not a
+        clustered table). Reads the ``delta.clustering`` domain from
+        the snapshot's domain-metadata state."""
+        self._snapshot()
+        dom = (getattr(self, "_last_domains", {}) or {}).get("delta.clustering")
+        if not dom:
+            return []
+        try:
+            return [c[0] for c in json.loads(dom).get("clusteringColumns", []) if c]
+        except (ValueError, TypeError, IndexError):
+            return []
 
     def optimize(
         self,
@@ -4225,6 +4306,11 @@ class DeltaLogTable:
         if cluster_by and zorder_by:
             raise ValueError("pass cluster_by OR zorder_by, not both")
         adds, schema, part_cols, meta = self._snapshot()
+        if not cluster_by and not zorder_by:
+            # clustered table (spec: 'Clustered Table'): a bare OPTIMIZE
+            # clusters on the table's declared clustering columns — the
+            # liquid-clustering contract (set_clustering)
+            cluster_by = self.clustering_columns() or None
         if ((meta or {}).get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
         ) != "none":
