@@ -4608,3 +4608,119 @@ def q271_lateral_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.c_custkey, o.o_orderkey
         """
     )
+
+
+@query(
+    "q274_sliding_window_agg",
+    oracle="""
+    WITH hr AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h,
+             CAST(value AS DECIMAL(18,4)) AS v
+      FROM events
+    ),
+    contrib AS (
+      SELECT event_type,
+             h - to_hours(off) AS w_start,
+             v
+      FROM hr, (SELECT UNNEST(range(2)) AS off)
+    )
+    SELECT event_type,
+           w_start,
+           w_start + INTERVAL 2 HOUR AS w_end,
+           COUNT(*) AS n,
+           CAST(SUM(v) AS DOUBLE) AS total
+    FROM contrib
+    GROUP BY event_type, w_start
+    ORDER BY event_type, w_start
+    """,
+    tags=("relational", "temporal", "window"),
+)
+def q274_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING (overlapping) time windows — ``F.window(ts, '2 hours',
+    '1 hour')``, the dashboard smoothing shape tumbling windows can't
+    give (each event lands in TWO windows; a 2h metric refreshes every
+    1h): one hash aggregation where the window expression explodes
+    each row into its covering windows map-side — no self-join, no
+    window function, the same plan streaming uses with a watermark
+    (q42's sibling). The oracle reconstructs the lattice with an
+    explicit slide-offset UNNEST. DECIMAL sums; window bounds are
+    exact timestamps."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", F.col("value").cast("decimal(18,4)").alias("v")
+    )
+    return (
+        ev.groupBy("event_type", F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("v").cast("double").alias("total"))
+        .select(
+            "event_type",
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n",
+            "total",
+        )
+        .orderBy("event_type", "w_start")
+    )
+
+
+@query(
+    "q275_map_higher_order_functions",
+    oracle="""
+    WITH m AS (
+      SELECT p_partkey,
+             p_retailprice,
+             MAP {'base': CAST(p_retailprice AS DECIMAL(12,2)),
+                  'tax': CAST(ROUND(CAST(p_retailprice AS DECIMAL(12,2)) * 0.08, 2) AS DECIMAL(12,2)),
+                  'ship': CAST(CASE WHEN p_size > 25 THEN 12.50 ELSE 4.25 END AS DECIMAL(12,2))} AS charges
+      FROM part
+    )
+    SELECT p_partkey,
+           CAST(charges['base'][1] + charges['tax'][1] + charges['ship'][1] AS DOUBLE) AS total,
+           CAST(len(map_keys(charges)) AS INT) AS n_charges,
+           CAST((charges['tax'][1] >= 10.0) AS BOOLEAN) AS big_tax,
+           CAST(charges['base'][1] * 2 AS DOUBLE) AS doubled_base
+    FROM m
+    WHERE p_partkey <= 400
+    ORDER BY p_partkey
+    """,
+    tags=("relational", "functions", "map"),
+)
+def q275_map_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP higher-order functions — the map half of the lambda surface
+    (q102 covered arrays): a per-part charge map is built with
+    ``create_map``, then ``transform_values`` doubles amounts,
+    ``map_filter`` selects large entries, ``map_zip_with`` would merge
+    maps — all pure codegen lambdas over the map type, the shape
+    metadata/attribute columns take at scale (one map column instead
+    of N sparse columns; lambdas prune entries without exploding).
+    The oracle evaluates the same charge algebra through DuckDB's map
+    subscripts — the HOF results are projected to scalars so both
+    engines hash plain columns."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    base = F.col("p_retailprice").cast("decimal(12,2)")
+    charges = F.create_map(
+        F.lit("base"), base,
+        F.lit("tax"), F.round(base * F.lit(0.08), 2).cast("decimal(12,2)"),
+        F.lit("ship"), F.when(F.col("p_size") > 25, F.lit(12.50)).otherwise(F.lit(4.25)).cast("decimal(12,2)"),
+    )
+    m = part.filter(F.col("p_partkey") <= 400).withColumn("charges", charges)
+    doubled = F.transform_values(F.col("charges"), lambda k, v: v * 2)
+    big = F.map_filter(F.col("charges"), lambda k, v: v >= 10.0)
+    return (
+        m.select(
+            "p_partkey",
+            # DECIMAL-exact sum of the map entries (a double fold would
+            # drift a ulp vs the oracle's exact decimal addition)
+            (
+                F.element_at("charges", F.lit("base"))
+                + F.element_at("charges", F.lit("tax"))
+                + F.element_at("charges", F.lit("ship"))
+            ).cast("double").alias("total"),
+            F.size(F.map_keys("charges")).alias("n_charges"),
+            F.array_contains(F.map_keys(big), "tax").alias("big_tax"),
+            F.element_at(doubled, "base").cast("double").alias("doubled_base"),
+        )
+        .orderBy("p_partkey")
+    )
