@@ -4724,3 +4724,121 @@ def q275_map_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("p_partkey")
     )
+
+
+@query(
+    "q276_embedded_csv_parsing",
+    oracle="""
+    WITH lines AS (
+      SELECT s_suppkey,
+             CAST(s_suppkey AS VARCHAR) || ',' || s_name || ',' ||
+             CAST(s_nationkey AS VARCHAR) || ',' ||
+             CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS line
+      FROM supplier
+    ),
+    parsed AS (
+      SELECT s_suppkey,
+             string_split(line, ',') AS f,
+             map_from_entries([
+               ('id', string_split(line, ',')[1]),
+               ('nation', string_split(line, ',')[3])
+             ]) AS kv
+      FROM lines
+    )
+    SELECT s_suppkey,
+           CAST(f[1] AS BIGINT) AS id,
+           f[2] AS name,
+           CAST(f[3] AS BIGINT) AS nation,
+           CAST(CAST(f[4] AS DECIMAL(12,2)) AS DOUBLE) AS acctbal,
+           CAST(kv['nation'][1] AS BIGINT) AS kv_nation
+    FROM parsed ORDER BY s_suppkey
+    """,
+    tags=("relational", "functions", "ingest"),
+)
+def q276_embedded_csv_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded delimited-string parsing — the landing-zone pattern
+    where a STRING column carries CSV lines (message queues, legacy
+    feeds): ``from_csv`` parses each line against a declared schema in
+    ONE codegen pass (typed struct out — no regex, no UDF, no
+    per-field split), and ``str_to_map`` covers the key-value flavor.
+    The round-trip is built from supplier rows so the oracle can
+    reconstruct the same fields via ``string_split``. At 100 TB this
+    is parse-at-query over raw string lakes — the step before
+    promoting a feed to typed parquet."""
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    line = F.concat_ws(
+        ",",
+        F.col("s_suppkey").cast("string"),
+        F.col("s_name"),
+        F.col("s_nationkey").cast("string"),
+        F.col("s_acctbal").cast("decimal(12,2)").cast("string"),
+    )
+    kv_str = F.concat(
+        F.lit("id:"), F.col("s_suppkey").cast("string"),
+        F.lit(",nation:"), F.col("s_nationkey").cast("string"),
+    )
+    parsed = sup.select(
+        "s_suppkey",
+        F.from_csv(
+            line, "id BIGINT, name STRING, nation BIGINT, acctbal DECIMAL(12,2)"
+        ).alias("r"),
+        F.str_to_map(kv_str, F.lit(","), F.lit(":")).alias("kv"),
+    )
+    return parsed.select(
+        "s_suppkey",
+        F.col("r.id").alias("id"),
+        F.col("r.name").alias("name"),
+        F.col("r.nation").alias("nation"),
+        F.col("r.acctbal").cast("double").alias("acctbal"),
+        F.element_at("kv", "nation").cast("bigint").alias("kv_nation"),
+    ).orderBy("s_suppkey")
+
+
+@query(
+    "q277_observed_metrics",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_large,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           MAX(o_custkey) AS max_custkey
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("relational", "observability"),
+)
+def q277_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OBSERVED METRICS (``df.observe`` + ``Observation``) — pipeline
+    observability for free: data-quality counters ride the SAME job
+    as the transformation (one scan — no second metrics pass over
+    100 TB), collected through the query-listener channel, not the
+    result. The fixture observes row counts, a threshold counter, a
+    DECIMAL-exact sum and a distinct count while the pipeline writes
+    its real output to a noop sink; the observed values — returned
+    here as a one-row DataFrame — must hash-match the oracle's direct
+    aggregation, proving the metrics channel reports exactly what a
+    dedicated scan would."""
+    from pyspark.sql import Observation
+
+    ords = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    obs = Observation("q277")
+    observed = ords.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)).alias(
+            "n_large"
+        ),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+            "total_price"
+        ),
+        F.max(F.col("o_custkey")).alias("max_custkey"),
+    )
+    # the pipeline's real work runs once; metrics piggyback on the job
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_large"], m["total_price"], m["max_custkey"])],
+        "n_rows LONG, n_large LONG, total_price DOUBLE, max_custkey LONG",
+    )
