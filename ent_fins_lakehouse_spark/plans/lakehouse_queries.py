@@ -4389,3 +4389,133 @@ def q273_delta_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="append",
     )
     return t.read().orderBy("s_suppkey")
+
+
+@query(
+    "q278_catalog_views",
+    oracle="""
+    WITH enriched AS (
+      SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(price) AS DOUBLE) AS total
+    FROM enriched WHERE price > 150000
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("lakehouse", "catalog", "views"),
+)
+def q278_catalog_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE VIEW in the catalog facade — stored logical-plan text
+    (persisted beside the warehouse, like any metastore view), planned
+    FRESH at every read with catalog table references resolved through
+    the format shims: a base view joins two lake tables, a second view
+    STACKS on the first (views-on-views compose), and reading the top
+    view after the base tables CHANGED shows view reads track table
+    state (no materialization — asserted with an append). DROP VIEW
+    removes only the definition."""
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+    from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
+
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    lh = LakehouseSession(spark, _scratch("wh_views"))
+    lh.catalog.create_table("default.orders_t", df=ords.filter(F.col("o_orderkey") % 2 == 0))
+    lh.catalog.create_table("default.cust_t", df=cust)
+    lh.sql(
+        "CREATE VIEW default.enriched AS "
+        "SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment, "
+        "CAST(o.o_totalprice AS DECIMAL(18,2)) AS price "
+        "FROM default.orders_t o JOIN default.cust_t c ON o.o_custkey = c.c_custkey"
+    )
+    lh.sql(
+        "CREATE VIEW default.big_orders AS "
+        "SELECT c_mktsegment, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total "
+        "FROM default.enriched WHERE price > 150000 "
+        "GROUP BY c_mktsegment"
+    )
+    n_before = lh.sql("SELECT * FROM default.big_orders").agg(F.sum("n")).first()[0]
+    # views are NOT materialized: appending to the base table changes
+    # the next read
+    LakeTable(spark, lh.catalog.table_path("default.orders_t")).insert_into(
+        ords.filter(F.col("o_orderkey") % 2 == 1)
+    )
+    n_after = lh.sql("SELECT * FROM default.big_orders").agg(F.sum("n")).first()[0]
+    if not (n_after > n_before):
+        raise AssertionError(f"view did not track base-table change: {n_before} -> {n_after}")
+    lh.sql("DROP VIEW default.enriched")
+    if os.path.isfile(lh._view_path("default.enriched")):
+        raise AssertionError("DROP VIEW left the definition behind")
+    # big_orders still holds its definition; recreate the dependency
+    lh.sql(
+        "CREATE VIEW default.enriched AS "
+        "SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment, "
+        "CAST(o.o_totalprice AS DECIMAL(18,2)) AS price "
+        "FROM default.orders_t o JOIN default.cust_t c ON o.o_custkey = c.c_custkey"
+    )
+    return lh.sql("SELECT * FROM default.big_orders").orderBy("c_mktsegment")
+
+
+@query(
+    "q279_governance_policies",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 10 = 0 THEN c_name ELSE 'REDACTED' END AS c_name,
+           c_nationkey,
+           CAST(ROUND(CAST(c_acctbal AS DECIMAL(12,2)) / 100, 0) * 100 AS DOUBLE)
+             + 0.0 AS c_acctbal
+    FROM customer
+    WHERE c_nationkey <> 7
+    ORDER BY c_custkey
+    """,
+    tags=("lakehouse", "catalog", "governance"),
+)
+def q279_governance_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW FILTERS + COLUMN MASKS — read-time governance in the
+    catalog facade (the Unity-Catalog-shaped policy surface): an
+    ``ALTER TABLE … SET ROW FILTER`` hides one nation's rows, a name
+    mask redacts all but every 10th customer, and a balance mask
+    coarsens amounts to the nearest 100 — all applied IN THE PLAN as
+    expressions over the scan (filters still push down beneath them;
+    DML sees raw rows, policies are a read concern). UNSET restores
+    raw reads (asserted). The oracle reconstructs the governed view."""
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    lh = LakehouseSession(spark, _scratch("wh_gov"))
+    lh.catalog.create_table("default.cust", df=cust)
+    n_raw = lh.sql("SELECT * FROM default.cust").count()
+    lh.sql("ALTER TABLE default.cust SET ROW FILTER (c_nationkey <> 7)")
+    lh.sql(
+        "ALTER TABLE default.cust SET COLUMN MASK c_name = "
+        "CASE WHEN c_custkey % 10 = 0 THEN c_name ELSE 'REDACTED' END"
+    )
+    lh.sql(
+        "ALTER TABLE default.cust SET COLUMN MASK c_acctbal = "
+        "CAST(ROUND(CAST(c_acctbal AS DECIMAL(12,2)) / 100, 0) * 100 AS DOUBLE) + 0.0"
+    )
+    governed = lh.sql("SELECT * FROM default.cust")
+    if governed.count() >= n_raw:
+        raise AssertionError("row filter did not prune")
+    # UNSET restores raw reads
+    lh.sql("ALTER TABLE default.cust UNSET ROW FILTER")
+    lh.sql("ALTER TABLE default.cust UNSET COLUMN MASK c_name")
+    lh.sql("ALTER TABLE default.cust UNSET COLUMN MASK c_acctbal")
+    if lh.sql("SELECT * FROM default.cust").count() != n_raw:
+        raise AssertionError("UNSET did not restore raw reads")
+    # re-apply for the returned governed view
+    lh.sql("ALTER TABLE default.cust SET ROW FILTER (c_nationkey <> 7)")
+    lh.sql(
+        "ALTER TABLE default.cust SET COLUMN MASK c_name = "
+        "CASE WHEN c_custkey % 10 = 0 THEN c_name ELSE 'REDACTED' END"
+    )
+    lh.sql(
+        "ALTER TABLE default.cust SET COLUMN MASK c_acctbal = "
+        "CAST(ROUND(CAST(c_acctbal AS DECIMAL(12,2)) / 100, 0) * 100 AS DOUBLE) + 0.0"
+    )
+    return lh.sql("SELECT * FROM default.cust").orderBy("c_custkey")

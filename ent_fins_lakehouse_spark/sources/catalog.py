@@ -21,6 +21,7 @@ import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
 
@@ -285,12 +286,141 @@ class LakehouseSession:
         re.IGNORECASE,
     )
 
+    _CREATE_VIEW = re.compile(
+        r"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?P<name>[\w.]+)\s+AS\s+(?P<select>SELECT\s.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DROP_VIEW = re.compile(
+        r"DROP\s+VIEW\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s*$", re.IGNORECASE
+    )
+    _SET_ROW_FILTER = re.compile(
+        r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+SET\s+ROW\s+FILTER\s*\(\s*(?P<expr>.+?)\s*\)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _UNSET_ROW_FILTER = re.compile(
+        r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+UNSET\s+ROW\s+FILTER\s*$", re.IGNORECASE
+    )
+    _SET_MASK = re.compile(
+        r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+SET\s+COLUMN\s+MASK\s+(?P<col>\w+)\s*=\s*(?P<expr>.+?)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _UNSET_MASK = re.compile(
+        r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+UNSET\s+COLUMN\s+MASK\s+(?P<col>\w+)\s*$",
+        re.IGNORECASE,
+    )
+
     def __init__(self, spark: SparkSession, warehouse_dir: str):
         self.spark = spark
         self.catalog = LakehouseCatalog(spark, warehouse_dir)
 
+    # -------------------------------------------- views + governance
+
+    def _view_path(self, qualified: str) -> str:
+        return os.path.join(self.catalog.table_path(qualified), "_view.sql")
+
+    def _policies_path(self, qualified: str) -> str:
+        return os.path.join(self.catalog.table_path(qualified), "_policies.json")
+
+    def _load_policies(self, qualified: str) -> dict:
+        import json as _json
+
+        p = self._policies_path(qualified)
+        if os.path.isfile(p):
+            with open(p) as fh:
+                return _json.load(fh)
+        return {}
+
+    def _save_policies(self, qualified: str, pol: dict) -> None:
+        import json as _json
+
+        path = self._policies_path(qualified)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        if pol:
+            with open(path, "w") as fh:
+                _json.dump(pol, fh)
+        elif os.path.isfile(path):
+            os.remove(path)
+
+    def _run_sql_with_catalog(self, select: str) -> DataFrame:
+        """Plan a SELECT whose FROM/JOIN clauses may name catalog
+        tables or stored views: each ``db.table`` reference resolves
+        through the format shims (policies applied), registers as a
+        temp view, and the rewritten statement plans through Spark SQL
+        — the stored-VIEW execution path."""
+        refs = set(
+            re.findall(
+                r"(?:FROM|JOIN)\s+([A-Za-z_]\w*\.[A-Za-z_]\w*)", select, re.IGNORECASE
+            )
+        )
+        out_sql = select
+        for q in sorted(refs):
+            if os.path.isfile(self._view_path(q)):
+                with open(self._view_path(q)) as fh:
+                    df = self._run_sql_with_catalog(fh.read())
+            elif os.path.isdir(self.catalog.table_path(q)):
+                df = self._apply_policies(q, self.catalog._resolve(q).read())
+            else:
+                continue
+            alias = "_lh_" + q.replace(".", "_")
+            df.createOrReplaceTempView(alias)
+            out_sql = re.sub(rf"\b{re.escape(q)}\b", alias, out_sql)
+        return self.spark.sql(out_sql)
+
+    def _apply_policies(self, qualified: str, df: DataFrame) -> DataFrame:
+        """Read-time governance (the Unity-Catalog-shaped surface):
+        the stored ROW FILTER prunes rows and COLUMN MASKS rewrite
+        values IN THE PLAN — pure expressions over the scan, so
+        filters still push down beneath them; writers always see raw
+        rows (policies are a read-path concern)."""
+        pol = self._load_policies(qualified)
+        if not pol:
+            return df
+        if pol.get("row_filter"):
+            df = df.filter(F.expr(pol["row_filter"]))
+        for col, expr in (pol.get("masks") or {}).items():
+            if col in df.columns:
+                df = df.withColumn(col, F.expr(expr))
+        return df
+
     def sql(self, stmt: str) -> DataFrame | None:
         s = stmt.strip().rstrip(";")
+        if m := self._CREATE_VIEW.match(s):
+            vp = self._view_path(m["name"])
+            os.makedirs(os.path.dirname(vp), exist_ok=True)
+            with open(vp, "w") as fh:
+                fh.write(m["select"])
+            return None
+        if m := self._DROP_VIEW.match(s):
+            vp = self._view_path(m["name"])
+            if not os.path.isfile(vp):
+                if m["ie"]:
+                    return None
+                raise ValueError(f"view {m['name']} does not exist")
+            shutil.rmtree(os.path.dirname(vp))
+            return None
+        if m := self._SET_ROW_FILTER.match(s):
+            pol = self._load_policies(m["target"])
+            pol["row_filter"] = m["expr"]
+            self._save_policies(m["target"], pol)
+            return None
+        if self._UNSET_ROW_FILTER.match(s):
+            m = self._UNSET_ROW_FILTER.match(s)
+            pol = self._load_policies(m["target"])
+            pol.pop("row_filter", None)
+            self._save_policies(m["target"], pol)
+            return None
+        if m := self._SET_MASK.match(s):
+            pol = self._load_policies(m["target"])
+            pol.setdefault("masks", {})[m["col"]] = m["expr"]
+            self._save_policies(m["target"], pol)
+            return None
+        if m := self._UNSET_MASK.match(s):
+            pol = self._load_policies(m["target"])
+            (pol.get("masks") or {}).pop(m["col"], None)
+            if not pol.get("masks"):
+                pol.pop("masks", None)
+            self._save_policies(m["target"], pol)
+            return None
         if m := self._MERGE.match(s):
             target = self.catalog._resolve(m["target"])
             source = self.spark.table(m["source"])
@@ -407,12 +537,19 @@ class LakehouseSession:
             db = m["db"] or self.catalog.current_database
             return self.spark.createDataFrame([(db, t) for t in self.catalog.tables(db)], "database STRING, tableName STRING")
         if m := self._SELECT_TBL.match(s):
+            if os.path.isfile(self._view_path(m["target"])):
+                # stored view: re-plan the saved SELECT with catalog
+                # table references resolved (views-on-views compose;
+                # underlying tables' policies apply on their reads)
+                with open(self._view_path(m["target"])) as fh:
+                    return self._run_sql_with_catalog(fh.read())
             if os.path.isdir(self.catalog.table_path(m["target"])) or "." in m["target"]:
                 v = int(m["v"]) if m["v"] else None
                 try:
-                    return self.catalog._resolve(m["target"]).read(
+                    out = self.catalog._resolve(m["target"]).read(
                         version_as_of=v, timestamp_as_of=m["ts"]
                     )
+                    return self._apply_policies(m["target"], out)
                 except ValueError:
                     pass  # not a lake table — fall through to spark.sql
         return self.spark.sql(s)
