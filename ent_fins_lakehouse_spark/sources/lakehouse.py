@@ -4214,6 +4214,32 @@ class DeltaLogTable:
         new_meta = {**meta, "schemaString": json.dumps(base)}
         return self._commit_meta(new_meta, "DROP COLUMNS")
 
+    def write_with_retry(
+        self, df: DataFrame, retries: int = 3, mode: str = "append", **kw
+    ) -> int:
+        """Optimistic-concurrency retry loop around :meth:`write` — the
+        production pattern for concurrent appenders: a loser's
+        :class:`ConcurrentWriteError` means its staged files are
+        invisible (never referenced by any commit), so the safe move is
+        simply to re-run the write, which re-reads the now-advanced
+        latest version and re-stages. Blind APPENDS always commute, so
+        retrying is semantically safe; for read-modify-write verbs
+        (MERGE/UPDATE) the caller must re-derive its change set from
+        the new snapshot instead — those intentionally have no blanket
+        retry. Returns the committed version."""
+        if mode != "append":
+            raise ValueError(
+                "write_with_retry is append-only (other modes are "
+                "read-modify-write and must re-derive their input)"
+            )
+        last: ConcurrentWriteError | None = None
+        for _ in range(retries + 1):
+            try:
+                return self.write(df, mode="append", **kw)
+            except ConcurrentWriteError as e:
+                last = e
+        raise last
+
     def set_clustering(self, cols: list[str]) -> int:
         """ALTER TABLE … CLUSTER BY — the CLUSTERED TABLE declaration
         (spec: 'Clustered Table', Delta's liquid-clustering metadata):

@@ -3715,3 +3715,58 @@ def test_delta_in_commit_timestamps_survive_mtime_skew(spark, tmp_path):
     with open(_os.path.join(log, f"{4:020d}.json")) as fh:
         first = _json.loads(fh.readline())
     assert first["commitInfo"]["inCommitTimestamp"] == dl2._last_ict
+
+
+def test_delta_write_with_retry_under_contention(spark, tmp_path):
+    """Optimistic-concurrency retry: a competing commit stealing the
+    target version makes plain write() lose with ConcurrentWriteError;
+    write_with_retry re-reads the advanced log and lands the append on
+    the next version. The loser's first-attempt staged files stay
+    unreferenced (VACUUM fodder), rows are never duplicated."""
+    import json as _json
+    import os as _os
+
+    import pytest
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import (
+        ConcurrentWriteError,
+        DeltaLogTable,
+    )
+
+    td = str(tmp_path / "retry")
+    dl = DeltaLogTable(spark, td)
+    df = spark.range(20).selectExpr("id", "id * 2 AS v")
+    dl.write(df.filter("id < 10"), mode="append")
+
+    real_commit = DeltaLogTable._commit_actions
+    stolen = {"done": False}
+
+    def stealing_commit(self, version, actions):
+        # a concurrent writer wins version `version` just before us —
+        # once
+        if not stolen["done"]:
+            stolen["done"] = True
+            target = _os.path.join(self.log_path, f"{version:020d}.json")
+            with open(target, "w") as fh:
+                fh.write(
+                    _json.dumps(
+                        {"commitInfo": {"timestamp": 0, "operation": "WRITE"}}
+                    )
+                    + "\n"
+                )
+        return real_commit(self, version, actions)
+
+    DeltaLogTable._commit_actions = stealing_commit
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            dl.write(df.filter("id >= 10"), mode="append")
+        stolen["done"] = False
+        v = dl.write_with_retry(df.filter("id >= 10"))
+    finally:
+        DeltaLogTable._commit_actions = real_commit
+    assert dl.read().count() == 20
+    assert sorted(r["id"] for r in dl.read().collect()) == list(range(20))
+    assert v == dl.latest_version()
+    # overwrite refuses the blanket retry (read-modify-write)
+    with pytest.raises(ValueError, match="append-only"):
+        dl.write_with_retry(df, mode="overwrite")
