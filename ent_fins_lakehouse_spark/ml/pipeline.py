@@ -126,12 +126,40 @@ def crossvalidate(
     return cv.fit(df)
 
 
+def _strip_training_summaries(model) -> None:
+    """Clear per-stage training summaries (see :func:`score`): Scala's
+    ``private[x]`` compiles to public bytecode, so the JVM models'
+    ``setSummary(None)`` is callable through py4j."""
+    from pyspark import SparkContext
+
+    jvm = SparkContext._active_spark_context._jvm
+    stages = getattr(model, "stages", None) or [model]
+    for st in stages:
+        jo = getattr(st, "_java_obj", None)
+        if jo is None:
+            continue
+        try:
+            if jo.hasSummary():
+                jo.setSummary(jvm.scala.Option.empty())
+        except Exception:
+            continue  # stage type without a summary surface
+
+
 def score(model, df: DataFrame, id_cols: list[str], label_col: str = "label") -> DataFrame:
     """M10 + U1 done right: model.transform, then project the
     probability vector with ``vector_to_array`` — replaces the
     reference's ``pred.rdd.map(extract).toDF(...)`` row-level escape
     hatch (`03-Fraud-ML.py:189-195`) with a JVM-side narrow map.
-    Returns (ids..., label, prediction, p0, p1)."""
+    Returns (ids..., label, prediction, p0, p1).
+
+    Training summaries are STRIPPED before transform: the summary pins
+    the fitting-time SparkSession into the scoring UDF's closure
+    (LogisticRegressionModel.copy carries it, so copy() doesn't help),
+    and a session whose ObservationManager has been instantiated by any
+    ``df.observe`` is no longer closure-serializable — scoring must not
+    depend on unrelated session history. We don't use summaries (AUC
+    comes from the evaluator), so dropping them loses nothing."""
+    _strip_training_summaries(model)
     pred = model.transform(df)
     prob = vector_to_array("probability")
     return pred.select(
