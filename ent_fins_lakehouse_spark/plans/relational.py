@@ -4842,3 +4842,61 @@ def q277_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["n_large"], m["total_price"], m["max_custkey"])],
         "n_rows LONG, n_large LONG, total_price DOUBLE, max_custkey LONG",
     )
+
+
+@query(
+    "q280_mean_family",
+    oracle="""
+    WITH pos AS (
+      SELECT event_type, value FROM events WHERE value > 0
+    ),
+    t AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS amean,
+             SUM(CAST(ROUND(LN(value), 10) AS DECIMAL(18,10))) AS logsum,
+             SUM(CAST(ROUND(1.0 / value, 10) AS DECIMAL(18,10))) AS invsum
+      FROM pos GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(amean, 6) AS arithmetic_mean,
+           ROUND(EXP(CAST(logsum AS DOUBLE) / n), 6) AS geometric_mean,
+           ROUND(n / CAST(invsum AS DOUBLE), 6) AS harmonic_mean
+    FROM t ORDER BY event_type
+    """,
+    tags=("relational", "stats"),
+)
+def q280_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pythagorean mean family per event type — arithmetic (DECIMAL
+    sum), geometric (exp of the mean log — the right average for
+    multiplicative quantities like growth rates), harmonic (the right
+    average for rates; always ≤ geometric ≤ arithmetic). Per-term
+    rounding to DECIMAL(18,10) before the log/reciprocal sums makes
+    the aggregation order-proof (the q256 device) while ln/exp stay
+    IEEE-deterministic; one hash aggregation, zero windows."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").filter(
+        F.col("value") > 0
+    )
+    t = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double") / F.count("*")
+        ).alias("amean"),
+        F.sum(
+            F.round(F.log(F.col("value")), 10).cast("decimal(18,10)")
+        ).alias("logsum"),
+        F.sum(
+            F.round(F.lit(1.0) / F.col("value"), 10).cast("decimal(18,10)")
+        ).alias("invsum"),
+    )
+    return t.select(
+        "event_type",
+        "n",
+        F.round("amean", 6).alias("arithmetic_mean"),
+        F.round(F.exp(F.col("logsum").cast("double") / F.col("n")), 6).alias(
+            "geometric_mean"
+        ),
+        F.round(F.col("n") / F.col("invsum").cast("double"), 6).alias(
+            "harmonic_mean"
+        ),
+    ).orderBy("event_type")
