@@ -189,7 +189,19 @@ def segment_audio(df: DataFrame, segment_ms: int = 4000) -> DataFrame:
     size. A real decoder would only replace the duration model and
     re-encode step behind the same schema. Output:
     ``doc_id, seg_no, start_ms, end_ms, seg_payload``; slices
-    reassemble to the exact original payload (asserted in tests)."""
+    reassemble to the exact original payload (asserted in tests).
+
+    ``segment_ms`` must be a positive multiple of
+    ``AUDIO_MS_PER_BYTE`` — otherwise the byte lattice derived by
+    integer division would drift from the millisecond lattice and
+    the slices would no longer reassemble losslessly."""
+    if segment_ms <= 0 or segment_ms % AUDIO_MS_PER_BYTE != 0:
+        raise ValueError(
+            f"segment_ms must be a positive multiple of "
+            f"AUDIO_MS_PER_BYTE={AUDIO_MS_PER_BYTE}; got {segment_ms} — "
+            f"a non-aligned segment would make the byte lattice drift "
+            f"from the ms lattice and break lossless reassembly"
+        )
     dur = F.length("payload") * F.lit(AUDIO_MS_PER_BYTE)
     n_seg = F.ceil(dur / F.lit(segment_ms)).cast("long")
     seg = df.select(

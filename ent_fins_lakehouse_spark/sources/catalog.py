@@ -341,12 +341,17 @@ class LakehouseSession:
         elif os.path.isfile(path):
             os.remove(path)
 
-    def _run_sql_with_catalog(self, select: str) -> DataFrame:
+    def _run_sql_with_catalog(
+        self, select: str, _expanding: frozenset = frozenset()
+    ) -> DataFrame:
         """Plan a SELECT whose FROM/JOIN clauses may name catalog
         tables or stored views: each ``db.table`` reference resolves
         through the format shims (policies applied), registers as a
         temp view, and the rewritten statement plans through Spark SQL
-        — the stored-VIEW execution path."""
+        — the stored-VIEW execution path. ``_expanding`` carries the
+        set of view names currently being expanded so a cyclic
+        definition (A→A or A→B→A) raises a clear planning error
+        instead of a Python RecursionError."""
         refs = set(
             re.findall(
                 r"(?:FROM|JOIN)\s+([A-Za-z_]\w*\.[A-Za-z_]\w*)", select, re.IGNORECASE
@@ -355,8 +360,15 @@ class LakehouseSession:
         out_sql = select
         for q in sorted(refs):
             if os.path.isfile(self._view_path(q)):
+                if q in _expanding:
+                    raise ValueError(
+                        f"cyclic view reference: {q} is already being "
+                        f"expanded (chain: {sorted(_expanding)})"
+                    )
                 with open(self._view_path(q)) as fh:
-                    df = self._run_sql_with_catalog(fh.read())
+                    df = self._run_sql_with_catalog(
+                        fh.read(), _expanding | {q}
+                    )
             elif os.path.isdir(self.catalog.table_path(q)):
                 df = self._apply_policies(q, self.catalog._resolve(q).read())
             else:
@@ -386,7 +398,20 @@ class LakehouseSession:
         s = stmt.strip().rstrip(";")
         if m := self._CREATE_VIEW.match(s):
             vp = self._view_path(m["name"])
-            os.makedirs(os.path.dirname(vp), exist_ok=True)
+            tdir = os.path.dirname(vp)
+            # A view must never shadow a real table: the directory
+            # holding _view.sql is table_path(name), so if table data
+            # (any lakehouse log/metadata) already lives there, refuse
+            # — otherwise a later DROP VIEW could delete table files.
+            if any(
+                os.path.exists(os.path.join(tdir, marker))
+                for marker in ("_txn_log", "_delta_log", "metadata", "_location")
+            ):
+                raise ValueError(
+                    f"cannot CREATE VIEW {m['name']}: a table already "
+                    f"exists at {tdir}"
+                )
+            os.makedirs(tdir, exist_ok=True)
             with open(vp, "w") as fh:
                 fh.write(m["select"])
             return None
@@ -396,7 +421,16 @@ class LakehouseSession:
                 if m["ie"]:
                     return None
                 raise ValueError(f"view {m['name']} does not exist")
-            shutil.rmtree(os.path.dirname(vp))
+            # Remove only the view definition file — never rmtree the
+            # parent, which is table_path(name) and could hold table
+            # data if a name collision slipped through.
+            os.remove(vp)
+            vdir = os.path.dirname(vp)
+            try:
+                if not os.listdir(vdir):
+                    os.rmdir(vdir)
+            except OSError:
+                pass
             return None
         if m := self._SET_ROW_FILTER.match(s):
             pol = self._load_policies(m["target"])

@@ -1853,9 +1853,12 @@ class IcebergTable:
         affected = {r["file_path"] for r in per_file}
         rows_deleted = sum(r["count"] for r in per_file)
         cols = [f.name for f in schema.fields]
+        # NULL-safe survivor filter: rows where the predicate evaluates
+        # to NULL are NOT matches, so they must survive the rewrite —
+        # plain NOT (pred) would drop them (three-valued logic).
         survivors = (
             self._scan_with_pos(schema, sorted(affected), pos_deletes)
-            .filter(f"NOT ({predicate})")
+            .filter(f"NOT coalesce(({predicate}), false)")
             .select(*cols)
         )
         now = int(time.time() * 1000)
@@ -2153,9 +2156,12 @@ class IcebergTable:
             rows_updated = sum(r["count"] for r in per_file)
             new_df = updated
             if predicate:
+                # NULL-safe survivors: predicate-NULL rows are non-matches
+                # and must be carried forward unchanged (same as the MoR
+                # path, which only touches rows where the predicate is TRUE)
                 new_df = (
                     self._scan_with_pos(schema, sorted(affected), pos_deletes)
-                    .filter(f"NOT ({predicate})")
+                    .filter(f"NOT coalesce(({predicate}), false)")
                     .select(*cols)
                     .unionByName(updated)
                 )
@@ -2831,13 +2837,23 @@ class IcebergTable:
         dropped = 0
         for r in delete_rows:
             _, entries = read_ocf(self._resolve(r["manifest_path"]))
+            live_entries = [e for e in entries if e.get("status") != 2]
             dpaths = [
-                self._resolve(e["data_file"]["file_path"])
-                for e in entries
-                if e.get("status") != 2
+                self._resolve(e["data_file"]["file_path"]) for e in live_entries
             ]
             if not dpaths:
                 dropped += 1
+                continue
+            # Equality-delete files carry entry-level data_file.content=2
+            # even though the manifest-LIST row is content=1; they have
+            # no (file_path, pos) payload, so the dangling-reference scan
+            # below would read NULLs and wrongly drop a live manifest —
+            # carry any manifest holding eq-delete entries forward verbatim.
+            if any(
+                int((e.get("data_file") or {}).get("content") or 0) == 2
+                for e in live_entries
+            ):
+                rows.append(r)
                 continue
             if (r.get("content") or 0) == 1:
                 # which data files do this manifest's position-delete

@@ -214,16 +214,17 @@ class LakeTable:
             v = self.latest_version() + 1
             # Rewriting ops (remove-carrying: delete/merge/optimize/
             # overwrite) planned their remove set against a snapshot; a
-            # commit that landed since then invalidates that plan even
-            # though the O_EXCL create would succeed at latest+1 — the
+            # commit that landed since then MAY invalidate that plan even
+            # though the O_EXCL create would succeed at latest+1 — a
             # stale remove set would resurrect deleted rows / duplicate
-            # data. Revalidate the read snapshot at commit time.
+            # data. Revalidate the read snapshot at commit time: on a
+            # LOGICAL non-conflict (every intervening commit is a blind
+            # append that removed nothing and changed no schema — the
+            # Delta WriteSerializable contract), rebase and commit atop
+            # the winners; raise only on true overlap.
             if base_version is not None and v != base_version + 1:
-                raise ConcurrentWriteError(
-                    f"snapshot changed under {operation}: planned against "
-                    f"version {base_version}, latest is now {v - 1} — "
-                    f"re-plan against the current snapshot"
-                )
+                self._check_logical_conflict(operation, remove, schema, base_version, v - 1)
+                base_version = v - 1  # rebased over disjoint appends
             try:
                 self._try_commit(
                     Commit(
@@ -238,13 +239,76 @@ class LakeTable:
                 )
                 return v
             except ConcurrentWriteError:
-                # lost the race — blind appends can safely go on top of
-                # the new snapshot; rewriting ops re-raise for the
-                # caller to re-plan against the winner's snapshot
-                if remove or operation in ("overwrite", "delete", "merge", "optimize"):
+                # lost the O_EXCL race — blind appends always retry on
+                # top of the new snapshot; snapshot-planned ops loop
+                # back so the logical conflict check above decides
+                # rebase-vs-raise against the winner's commits; other
+                # remove-carrying ops (no base_version) re-raise for
+                # the caller to re-plan
+                if base_version is None and (
+                    remove or operation in ("overwrite", "delete", "merge", "optimize")
+                ):
                     raise
                 continue
         raise ConcurrentWriteError(f"gave up committing to {self.path} after {retries} retries")
+
+    #: snapshot-planned operations that may rebase over concurrent
+    #: blind appends (Delta's WriteSerializable conflict matrix:
+    #: INSERT cannot conflict with UPDATE/DELETE/MERGE/OPTIMIZE —
+    #: the appended files are disjoint from the op's remove set, and
+    #: their rows are simply not subject to this op's predicate).
+    #: ``overwrite``/``restore`` are excluded: they logically replace
+    #: the WHOLE table, so a concurrent append IS a true conflict
+    #: (rebasing would silently keep rows the overwrite should drop).
+    _REBASE_SAFE_OPS = frozenset({"delete", "update", "merge", "optimize"})
+
+    def _check_logical_conflict(
+        self,
+        operation: str,
+        remove: list[str],
+        schema: T.StructType | None,
+        base_version: int,
+        latest: int,
+    ) -> None:
+        """Delta-style logical conflict detection (the commit lost the
+        physical version race): diff the winners' commits — versions
+        ``base_version+1 .. latest`` — against this op's remove set.
+
+        Rebase is allowed iff the op is in :data:`_REBASE_SAFE_OPS` and
+        EVERY intervening commit (a) removed nothing (blind append),
+        and (b) did not change the table schema. Then the op's planned
+        remove set is still fully live, its rewritten files carry
+        exactly the rows it read, and the appended rows survive
+        untouched — WriteSerializable semantics, matching delta-spark's
+        default isolation for the reference's batch+stream concurrency
+        demo (`Instructor/01-Fraud-Delta.py:165-209`). Anything else —
+        an intervening DELETE/MERGE/OPTIMIZE/overwrite, any removed
+        file, any schema evolution — raises ConcurrentWriteError for
+        the caller to re-plan."""
+        if operation not in self._REBASE_SAFE_OPS:
+            raise ConcurrentWriteError(
+                f"snapshot changed under {operation}: planned against "
+                f"version {base_version}, latest is now {latest} — "
+                f"re-plan against the current snapshot"
+            )
+        ours = json.dumps(schema.jsonValue()) if schema else ""
+        for c in self._read_commits(up_to=latest):
+            if c.version <= base_version:
+                continue
+            if c.remove:
+                overlap = sorted(set(c.remove) & set(remove))
+                raise ConcurrentWriteError(
+                    f"true conflict under {operation}: concurrent "
+                    f"{c.operation} (version {c.version}) removed files"
+                    + (f" overlapping this op's remove set: {overlap[:3]}" if overlap else "")
+                    + " — re-plan against the current snapshot"
+                )
+            if c.schema_json and ours and c.schema_json != ours:
+                raise ConcurrentWriteError(
+                    f"true conflict under {operation}: concurrent "
+                    f"{c.operation} (version {c.version}) evolved the "
+                    f"table schema — re-plan against the current snapshot"
+                )
 
     # --------------------------------------------------------------- write
 

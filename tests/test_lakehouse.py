@@ -3770,3 +3770,252 @@ def test_delta_write_with_retry_under_contention(spark, tmp_path):
     # overwrite refuses the blanket retry (read-modify-write)
     with pytest.raises(ValueError, match="append-only"):
         dl.write_with_retry(df, mode="overwrite")
+
+
+def test_iceberg_rewrite_manifests_keeps_eq_delete_manifests(spark, tmp_path):
+    """ADVICE r7 (high): rewrite_manifests must NOT treat an
+    equality-delete manifest (entry-level data_file.content=2 under a
+    manifest-list row with content=1) as position deletes — reading it
+    with the (file_path, pos) schema yields NULL refs, which looked
+    'dangling' and dropped the LIVE manifest, resurrecting deleted
+    rows."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "eqrm"))
+    t.append(spark.range(0, 40).selectExpr("id", "id AS v"))
+    t.delete_eq(spark.range(30, 40).selectExpr("id"), keys=["id"])
+    assert t.read().count() == 30
+    res = t.rewrite_manifests()
+    # the eq-delete manifest survives the rewrite verbatim
+    _, _, eq = t._files()
+    assert len(eq) >= 1
+    got = sorted(r["id"] for r in t.read().collect())
+    assert got == list(range(30))  # no resurrection
+    # and a genuinely dangling POSITION-delete manifest is still dropped
+    assert "delete_manifests_dropped" in res
+
+
+def test_iceberg_cow_delete_null_predicate_keeps_null_rows(spark, tmp_path):
+    """ADVICE r7 (high): copy-on-write DELETE with a predicate that is
+    NULL for some rows (nullable column) must keep those rows — NOT
+    (pred) is NULL for them, so a plain filter silently dropped them."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30), (4, None), (5, 50)], "id long, v long"
+    )
+    t = IcebergTable(spark, str(tmp_path / "cownull"))
+    t.append(df)
+    res = t.delete("v > 20", mode="cow")
+    assert res["rows_deleted"] == 2  # ids 3, 5
+    got = {(r.id, r.v) for r in t.read().collect()}
+    assert got == {(1, 10), (2, None), (4, None)}  # NULL rows survive
+    # parity with MoR on the same data
+    t2 = IcebergTable(spark, str(tmp_path / "mornull"))
+    t2.append(df)
+    t2.delete("v > 20", mode="mor")
+    assert {(r.id, r.v) for r in t2.read().collect()} == got
+
+
+def test_iceberg_cow_update_null_predicate_keeps_null_rows(spark, tmp_path):
+    """Same three-valued-logic hole in UPDATE mode='cow': survivor scan
+    must carry predicate-NULL rows forward unchanged."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id long, v long"
+    )
+    t = IcebergTable(spark, str(tmp_path / "upnull"))
+    t.append(df)
+    res = t.update({"v": "v + 1"}, "v >= 30", mode="cow")
+    assert res["rows_updated"] == 1
+    got = {(r.id, r.v) for r in t.read().collect()}
+    assert got == {(1, 10), (2, None), (3, 31)}
+
+
+def test_catalog_view_cannot_shadow_or_delete_table(spark, tmp_path):
+    """ADVICE r7 (medium): CREATE VIEW refuses a name that collides
+    with an existing table, and DROP VIEW removes only _view.sql —
+    never the directory (which is table_path(name))."""
+    import os
+
+    import pytest as _pytest
+
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+
+    lh = LakehouseSession(spark, str(tmp_path / "vwh"))
+    lh.sql("CREATE DATABASE vdb")
+    lh.catalog.create_table("vdb.t1", df=spark.range(5).withColumnRenamed("id", "k"))
+    with _pytest.raises(ValueError, match="table already|already exists"):
+        lh.sql("CREATE VIEW vdb.t1 AS SELECT 1 AS one")
+    # table untouched and still readable
+    assert lh.sql("SELECT * FROM vdb.t1").count() == 5
+    # a legit view round-trips, and DROP leaves sibling files alone
+    lh.sql("CREATE VIEW vdb.v1 AS SELECT k FROM vdb.t1 WHERE k > 1")
+    assert lh.sql("SELECT * FROM vdb.v1").count() == 3
+    vdir = os.path.dirname(lh._view_path("vdb.v1"))
+    sentinel = os.path.join(vdir, "unrelated.txt")
+    with open(sentinel, "w") as fh:
+        fh.write("keep me")
+    lh.sql("DROP VIEW vdb.v1")
+    assert not os.path.isfile(lh._view_path("vdb.v1"))
+    assert os.path.isfile(sentinel)  # rmtree would have killed this
+    assert lh.sql("SELECT * FROM vdb.t1").count() == 5
+
+
+def test_catalog_cyclic_view_raises(spark, tmp_path):
+    """ADVICE r7 (low): self- or mutually-referencing stored views get
+    a clear planning error, not RecursionError."""
+    import pytest as _pytest
+
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+
+    lh = LakehouseSession(spark, str(tmp_path / "cycwh"))
+    lh.sql("CREATE DATABASE c")
+    lh.sql("CREATE VIEW c.a AS SELECT * FROM c.b")
+    lh.sql("CREATE VIEW c.b AS SELECT * FROM c.a")
+    with _pytest.raises(ValueError, match="cyclic view reference"):
+        lh.sql("SELECT * FROM c.a")
+
+
+def test_merge_rebases_over_concurrent_blind_appends(spark, tmp_path):
+    """VERDICT r7 item 1: a MERGE whose commit loses the version race
+    to interleaved blind appends must REBASE and commit (Delta
+    WriteSerializable: INSERT cannot conflict with MERGE) instead of
+    starving — the reference's batch+stream concurrency shape
+    (`Instructor/01-Fraud-Delta.py:165-209`). The appended rows
+    survive untouched and the merge's effect lands exactly once."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "rb"))
+    t.write(spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k INT, v INT"))
+    src = spark.createDataFrame([(2, 200), (4, 400)], "k INT, v INT")
+
+    real = LakeTable._try_commit
+    state = {"injected": 0}
+
+    def inject_appends(self, commit):
+        # before the merge's first two commit attempts, a concurrent
+        # appender lands a blind append — the merge's planned version
+        # is stolen twice, then it must rebase and win
+        if commit.operation == "merge" and state["injected"] < 2:
+            state["injected"] += 1
+            other = LakeTable(self.spark, self.path)
+            other.write(
+                self.spark.createDataFrame(
+                    [(100 + state["injected"], -1)], "k INT, v INT"
+                ),
+                mode="append",
+            )
+        return real(self, commit)
+
+    LakeTable._try_commit = inject_appends
+    try:
+        t.merge(src, on=["k"])
+    finally:
+        LakeTable._try_commit = real
+    assert state["injected"] == 2
+    out = {r["k"]: r["v"] for r in t.read().collect()}
+    assert out == {1: 10, 2: 200, 3: 30, 4: 400, 101: -1, 102: -1}
+
+
+def test_rewrite_refuses_on_true_remove_overlap(spark, tmp_path):
+    """The rebase path must still refuse a GENUINE conflict: a
+    concurrent DELETE that removed files overlapping this op's remove
+    set raises ConcurrentWriteError (no silent resurrection)."""
+    import pytest as _pytest
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import (
+        ConcurrentWriteError,
+        LakeTable,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "tc"))
+    t.write(spark.createDataFrame([(i, i * 10) for i in range(8)], "k INT, v INT"))
+
+    real = LakeTable._try_commit
+    state = {"injected": False}
+
+    def inject_delete(self, commit):
+        if commit.operation == "delete" and not state["injected"]:
+            state["injected"] = True
+            LakeTable(self.spark, self.path).delete("k >= 6")
+        return real(self, commit)
+
+    LakeTable._try_commit = inject_delete
+    try:
+        with _pytest.raises(ConcurrentWriteError, match="true conflict|removed files"):
+            t.delete("k < 2")
+    finally:
+        LakeTable._try_commit = real
+    # the winner's delete landed; the loser's did not
+    assert sorted(r["k"] for r in t.read().collect()) == [0, 1, 2, 3, 4, 5]
+
+
+def test_overwrite_still_refuses_concurrent_append(spark, tmp_path):
+    """overwrite logically replaces the WHOLE table — rebasing over a
+    concurrent append would silently keep rows the overwrite should
+    drop, so it must still raise."""
+    import pytest as _pytest
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import (
+        ConcurrentWriteError,
+        LakeTable,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "ow"))
+    t.write(spark.createDataFrame([(1, 1)], "k INT, v INT"))
+
+    real = LakeTable._try_commit
+    state = {"injected": False}
+
+    def inject_append(self, commit):
+        if commit.operation == "overwrite" and not state["injected"]:
+            state["injected"] = True
+            LakeTable(self.spark, self.path).write(
+                self.spark.createDataFrame([(99, 99)], "k INT, v INT"),
+                mode="append",
+            )
+        return real(self, commit)
+
+    LakeTable._try_commit = inject_append
+    try:
+        with _pytest.raises(ConcurrentWriteError, match="snapshot changed"):
+            t.write(spark.createDataFrame([(2, 2)], "k INT, v INT"), mode="overwrite")
+    finally:
+        LakeTable._try_commit = real
+
+
+def test_rewrite_refuses_on_concurrent_schema_evolution(spark, tmp_path):
+    """An intervening append that EVOLVED the schema is a true
+    conflict for a snapshot-planned op — its rewritten files carry the
+    old schema and would fork the table."""
+    import pytest as _pytest
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import (
+        ConcurrentWriteError,
+        LakeTable,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "se"))
+    t.write(spark.createDataFrame([(1, 1), (2, 2)], "k INT, v INT"))
+
+    real = LakeTable._try_commit
+    state = {"injected": False}
+
+    def inject_evolving_append(self, commit):
+        if commit.operation == "delete" and not state["injected"]:
+            state["injected"] = True
+            LakeTable(self.spark, self.path).write(
+                self.spark.createDataFrame([(3, 3, "x")], "k INT, v INT, extra STRING"),
+                mode="append",
+                merge_schema=True,
+            )
+        return real(self, commit)
+
+    LakeTable._try_commit = inject_evolving_append
+    try:
+        with _pytest.raises(ConcurrentWriteError, match="schema"):
+            t.delete("k = 1")
+    finally:
+        LakeTable._try_commit = real

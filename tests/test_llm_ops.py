@@ -906,3 +906,20 @@ def test_segment_audio_slices_reassemble(spark):
         n_rows = sum(1 for r in rows if r["doc_id"] == did)
         import math
         assert n_rows == max(1, math.ceil(len(b) * AUDIO_MS_PER_BYTE / 1000))
+
+
+def test_segment_audio_rejects_unaligned_segment_ms(spark):
+    """ADVICE r7 (low): a segment_ms not divisible by AUDIO_MS_PER_BYTE
+    would drift the byte lattice off the ms lattice and break lossless
+    reassembly — refused loudly instead."""
+    import pytest as _pytest
+
+    from ent_fins_lakehouse_spark.operators.multimodal import segment_audio
+
+    env = spark.createDataFrame([("d1", b"x" * 100)], "doc_id string, payload binary")
+    with _pytest.raises(ValueError, match="multiple of"):
+        segment_audio(env, segment_ms=4001)
+    with _pytest.raises(ValueError, match="multiple of"):
+        segment_audio(env, segment_ms=0)
+    # aligned value still works
+    assert segment_audio(env, segment_ms=8).count() > 0
