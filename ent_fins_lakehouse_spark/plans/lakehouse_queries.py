@@ -4518,3 +4518,102 @@ def q279_governance_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(ROUND(CAST(c_acctbal AS DECIMAL(12,2)) / 100, 0) * 100 AS DOUBLE) + 0.0"
     )
     return lh.sql("SELECT * FROM default.cust").orderBy("c_custkey")
+
+
+@query(
+    "q281_iceberg_hour_partitioning",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 06:00:00'
+      AND ts <  TIMESTAMP '2024-01-10 12:00:00'
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("lakehouse", "iceberg", "interop"),
+)
+def q281_iceberg_hour_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``hour(ts)`` temporal transform (VERDICT r7 item 2) —
+    the spec's fourth temporal member and the default layout for
+    high-rate event tables: rows land in hours-since-epoch ordinal
+    partitions (the same negative-safe JVM floor division as ``day``,
+    q202), and the reader decodes each tuple into a conservative
+    [hour, next-hour) timestamp-string bound on the SOURCE column, so
+    a dashboard's 6-hour window scans exactly the overlapping hour
+    partitions — at 100 TB of events the difference between reading
+    6 hours and reading years. Pruning is asserted in-plan: the
+    window scan must read fewer files than the active set."""
+    from ent_fins_lakehouse_spark.functions.numeric import dec
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "value")
+        .filter("ts >= '2024-01-10 00:00:00' AND ts < '2024-01-12 00:00:00'")
+    )
+    t = IcebergTable(spark, _scratch("icehour") + "_t")
+    t.append(ev.repartition(8), partition_by=["hour(ts)"])
+    pred = "ts >= '2024-01-10 06:00:00' AND ts < '2024-01-10 12:00:00'"
+    info = t.scan_info(pred)
+    if info["n_read"] >= info["n_active"]:
+        raise AssertionError(f"hour pruning did not engage: {info}")
+    return (
+        t.read(where=pred)
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .orderBy("hour")
+    )
+
+
+@query(
+    "q282_iceberg_string_bucket_partitioning",
+    oracle="""
+    SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS uid, lang, source, n_chars
+    FROM documents
+    WHERE doc_id IN (3, 17, 41, 88, 120)
+    ORDER BY uid
+    """,
+    tags=("lakehouse", "iceberg", "interop"),
+)
+def q282_iceberg_string_bucket_partitioning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg ``bucket[n]`` over STRING keys (VERDICT r7 item 3) —
+    the uuid/doc-id serving-key shape q198 couldn't hold: string
+    values hash by murmur3_x86_32 of their raw UTF-8 bytes (spec
+    'Bucket Transform Details', bit-exact vs the Appendix B test
+    vector hash("iceberg")=1210000089, asserted in tests), vectorized
+    in the same Arrow-batch write UDF by grouping each batch on byte
+    length (uniform-length keys — the common case — run as one numpy
+    pass). An equality predicate on the source column rewrites
+    through the transform to an ordinal equality, so each point
+    lookup reads only its bucket's files — at 100 TB, 1/32nd of the
+    table per lookup with zero clustering maintenance. Every lookup
+    here is asserted to prune."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("uid"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    t = IcebergTable(spark, _scratch("icestrbucket") + "_t")
+    t.append(docs.repartition(4), partition_by=["bucket(32, uid)"])
+    parts = []
+    for k in (3, 17, 41, 88, 120):
+        pred = f"uid = 'doc-{k}'"
+        info = t.scan_info(pred)
+        if info["n_read"] >= info["n_active"]:
+            raise AssertionError(
+                f"string-bucket pruning did not engage for doc-{k}: {info}"
+            )
+        parts.append(t.read(where=pred))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("uid")

@@ -178,15 +178,82 @@ def _murmur3_bucket_np(vals, n: int):
     return ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype(np.int32)
 
 
+def _murmur3_bucket_bytes_np(vals, n: int):
+    """Iceberg ``bucket[n]`` over string/binary values, vectorized:
+    murmur3_x86_32 (seed 0) of the raw UTF-8 bytes (spec: 'Bucket
+    Transform Details' — strings hash their UTF-8 encoding with NO
+    length prefix or padding), then ``(hash & Integer.MAX_VALUE) % n``.
+    Bit-exact vs the spec's Appendix B test vector
+    (hash("iceberg") = 1210000089, asserted in tests).
+
+    Variable lengths vectorize by grouping the batch on byte length —
+    each group is a dense (m, L) uint8 matrix processed 4 bytes per
+    step, so a batch of uniform-length keys (uuid/doc_id serving keys,
+    the common shape) runs as ONE numpy pass."""
+    import numpy as np
+
+    arrs = [
+        v.encode("utf-8") if isinstance(v, str) else bytes(v) for v in vals
+    ]
+    out = np.empty(len(arrs), dtype=np.int32)
+    c1, c2 = np.uint32(0xCC9E2D51), np.uint32(0x1B873593)
+    by_len: dict[int, list[int]] = {}
+    for i, b in enumerate(arrs):
+        by_len.setdefault(len(b), []).append(i)
+    for L, idxs in by_len.items():
+        mat = np.frombuffer(
+            b"".join(arrs[i] for i in idxs), dtype=np.uint8
+        ).reshape(len(idxs), L) if L else np.zeros((len(idxs), 0), dtype=np.uint8)
+        m = mat.shape[0]
+        h = np.zeros(m, dtype=np.uint32)
+        with np.errstate(over="ignore"):
+            for blk in range(L // 4):
+                cols = mat[:, blk * 4 : blk * 4 + 4].astype(np.uint32)
+                k = (
+                    cols[:, 0]
+                    | (cols[:, 1] << np.uint32(8))
+                    | (cols[:, 2] << np.uint32(16))
+                    | (cols[:, 3] << np.uint32(24))
+                )
+                k = k * c1
+                k = (k << np.uint32(15)) | (k >> np.uint32(17))
+                k = k * c2
+                h = h ^ k
+                h = (h << np.uint32(13)) | (h >> np.uint32(19))
+                h = h * np.uint32(5) + np.uint32(0xE6546B64)
+            tail = L & 3
+            if tail:
+                k1 = np.zeros(m, dtype=np.uint32)
+                for j in range(tail - 1, -1, -1):
+                    k1 = (k1 << np.uint32(8)) | mat[:, (L // 4) * 4 + j].astype(
+                        np.uint32
+                    )
+                k1 = k1 * c1
+                k1 = (k1 << np.uint32(15)) | (k1 >> np.uint32(17))
+                k1 = k1 * c2
+                h = h ^ k1
+            h = h ^ np.uint32(L)
+            h = h ^ (h >> np.uint32(16))
+            h = h * np.uint32(0x85EBCA6B)
+            h = h ^ (h >> np.uint32(13))
+            h = h * np.uint32(0xC2B2AE35)
+            h = h ^ (h >> np.uint32(16))
+        out[idxs] = ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype(np.int32)
+    return out
+
+
 def _bucket_value(v, n: int) -> int:
     """Driver-side single-value bucket (for predicate rewriting)."""
+    if isinstance(v, (str, bytes)):
+        return int(_murmur3_bucket_bytes_np([v], n)[0])
     return int(_murmur3_bucket_np([int(v)], n)[0])
 
 
 def _bucket_udf(n: int):
     """Vectorized Arrow-batched bucket transform for the write path
-    (Pandas UDF — numpy murmur3 over int64 batches; nulls map to the
-    null partition per the spec)."""
+    (Pandas UDF — numpy murmur3 over int64 or UTF-8-byte batches,
+    dispatched on the batch dtype; nulls map to the null partition
+    per the spec)."""
     import pandas as pd
 
     # no type annotations: `from __future__ import annotations` turns
@@ -195,9 +262,11 @@ def _bucket_udf(n: int):
         out = pd.Series([pd.NA] * len(s), dtype="Int32")
         mask = s.notna()
         if mask.any():
-            out[mask] = _murmur3_bucket_np(
-                s[mask].astype("int64").to_numpy(), n
-            )
+            vals = s[mask]
+            if pd.api.types.is_integer_dtype(vals.dtype):
+                out[mask] = _murmur3_bucket_np(vals.astype("int64").to_numpy(), n)
+            else:
+                out[mask] = _murmur3_bucket_bytes_np(vals.tolist(), n)
         return out
 
     f.__annotations__ = {"s": pd.Series, "return": pd.Series}
@@ -211,6 +280,7 @@ _TRUNC_TRANSFORM = re.compile(r"^truncate\[(\d+)\]$")
 _DAY_SPEC = re.compile(r"^\s*day\s*\(\s*(\w+)\s*\)\s*$", re.IGNORECASE)
 _MONTH_SPEC = re.compile(r"^\s*month\s*\(\s*(\w+)\s*\)\s*$", re.IGNORECASE)
 _YEAR_SPEC = re.compile(r"^\s*year\s*\(\s*(\w+)\s*\)\s*$", re.IGNORECASE)
+_HOUR_SPEC = re.compile(r"^\s*hour\s*\(\s*(\w+)\s*\)\s*$", re.IGNORECASE)
 
 
 def _canonical_spec(pf: dict, names: dict[int, str]) -> str:
@@ -224,7 +294,7 @@ def _canonical_spec(pf: dict, names: dict[int, str]) -> str:
     m = _TRUNC_TRANSFORM.match(pf.get("transform") or "")
     if m:
         return f"truncate({m.group(1)}, {col})"
-    if (pf.get("transform") or "") in ("day", "month", "year"):
+    if (pf.get("transform") or "") in ("hour", "day", "month", "year"):
         return f"{pf['transform']}({col})"
     return col
 
@@ -391,7 +461,7 @@ class IcebergTable:
             time_parts = {
                 pf["name"]: (names.get(pf["source-id"]), pf["transform"])
                 for pf in pfs
-                if (pf.get("transform") or "") in ("day", "month", "year")
+                if (pf.get("transform") or "") in ("hour", "day", "month", "year")
             }
             got = (ident_parts, bucket_parts, trunc_parts, time_parts)
             _maps_cache[spec_id] = got
@@ -446,7 +516,15 @@ class IcebergTable:
                             v = int(v)
                             # ordinal → the covered [start, next-start)
                             # ISO range (spec 'Partition Transforms':
-                            # day/month/year ordinals from 1970)
+                            # hour/day/month/year ordinals from 1970)
+                            if unit == "hour":
+                                t0 = _dt.datetime(1970, 1, 1) + _dt.timedelta(hours=v)
+                                t1 = t0 + _dt.timedelta(hours=1)
+                                bounds[src] = [
+                                    t0.strftime("%Y-%m-%d %H:%M:%S"),
+                                    t1.strftime("%Y-%m-%d %H:%M:%S"),
+                                ]
+                                continue
                             if unit == "day":
                                 d0 = _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
                                 d1 = d0 + _dt.timedelta(days=1)
@@ -518,7 +596,8 @@ class IcebergTable:
         extra = [
             f"{buckets[col][0]} = {_bucket_value(lit, buckets[col][1])}"
             for col, op, lit in cons
-            if op == "=" and col in buckets and isinstance(lit, int)
+            if op == "=" and col in buckets and isinstance(lit, (int, str))
+            and not isinstance(lit, bool)
         ]
         if not extra:
             return where
@@ -820,15 +899,15 @@ class IcebergTable:
                     {"name": pf["name"], "type": ["null", self._PART_AVRO[t]]}
                 )
                 continue
-            if (pf.get("transform") or "") in ("day", "month", "year"):
-                # day/month/year ordinals (since epoch) ride as ints
+            if (pf.get("transform") or "") in ("hour", "day", "month", "year"):
+                # hour/day/month/year ordinals (since epoch) ride as ints
                 pfields.append({"name": pf["name"], "type": ["null", "int"]})
                 continue
             if pf.get("transform") != "identity" or t not in self._PART_AVRO:
                 raise NotImplementedError(
                     f"append to table partitioned by {pf.get('transform')}"
                     f"({t}) — only identity, bucket[n], truncate[w] and "
-                    "day/month/year over supported source types"
+                    "hour/day/month/year over supported source types"
                 )
             pfields.append(
                 {"name": pf["name"], "type": ["null", self._PART_AVRO[t]]}
@@ -883,7 +962,7 @@ class IcebergTable:
                 pf_info.append((pf["name"], src, "bucket", int(m.group(1))))
             elif m := _TRUNC_TRANSFORM.match(tr):
                 pf_info.append((pf["name"], src, "truncate", int(m.group(1))))
-            elif tr in ("day", "month", "year"):
+            elif tr in ("hour", "day", "month", "year"):
                 pf_info.append((pf["name"], src, tr, None))
             else:
                 pf_info.append((pf["name"], src, "identity", None))
@@ -895,7 +974,7 @@ class IcebergTable:
             (src, kind, _w) = next(
                 (sc, k, w) for n, sc, k, w in pf_info if n == pf_name
             )
-            if kind in ("bucket", "day", "month", "year"):
+            if kind in ("bucket", "hour", "day", "month", "year"):
                 return int(s)
             dt = spark_types[src]
             if isinstance(dt, (T.IntegerType, T.LongType)):
@@ -927,6 +1006,13 @@ class IcebergTable:
                     # the data files, exactly the spec's data layout
                     if kind == "bucket":
                         expr = _bucket_udf(w)(F.col(src))
+                    elif kind == "hour":
+                        # hours since epoch (spec 'Partition
+                        # Transforms'); same negative-safe JVM floor
+                        # division as day
+                        expr = F.floor(
+                            F.col(src).cast("double") / F.lit(3600.0)
+                        ).cast("int")
                     elif kind == "day":
                         # days since epoch (spec 'Partition Transforms');
                         # floor division handles pre-1970 instants
@@ -1481,6 +1567,30 @@ class IcebergTable:
         table creation and :meth:`evolve_spec`."""
         part_fields: list[dict] = []
         for i, c in enumerate(partition_by or []):
+            hm = _HOUR_SPEC.match(c)
+            if hm:
+                src = hm.group(1)
+                if src not in by_name:
+                    raise ValueError(f"partition column {src!r} not in dataframe")
+                # spec 'Partition Transforms': hour applies to
+                # timestamps only — a date has no hour component
+                if not isinstance(dtypes[src], T.TimestampType) and not isinstance(
+                    dtypes[src], T.TimestampNTZType
+                ):
+                    raise NotImplementedError(
+                        f"hour transform over {dtypes[src].simpleString()} — "
+                        "only timestamp sources are supported (spec: hour "
+                        "is undefined for dates)"
+                    )
+                part_fields.append(
+                    {
+                        "name": f"{src}_hour",
+                        "transform": "hour",
+                        "source-id": by_name[src],
+                        "field-id": first_field_id + i,
+                    }
+                )
+                continue
             dm = _DAY_SPEC.match(c)
             if dm:
                 src = dm.group(1)
@@ -1548,10 +1658,12 @@ class IcebergTable:
                 n, src = int(bm.group(1)), bm.group(2)
                 if src not in by_name:
                     raise ValueError(f"partition column {src!r} not in dataframe")
-                if not isinstance(dtypes[src], (T.IntegerType, T.LongType)):
+                if not isinstance(
+                    dtypes[src], (T.IntegerType, T.LongType, T.StringType)
+                ):
                     raise NotImplementedError(
                         f"bucket transform over {dtypes[src].simpleString()} — "
-                        "only int/long sources are supported"
+                        "only int/long/string sources are supported"
                     )
                 if n <= 0:
                     raise ValueError(f"bucket width must be positive, got {n}")

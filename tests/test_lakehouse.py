@@ -4019,3 +4019,100 @@ def test_rewrite_refuses_on_concurrent_schema_evolution(spark, tmp_path):
             t.delete("k = 1")
     finally:
         LakeTable._try_commit = real
+
+
+def test_iceberg_hour_transform_roundtrip_and_pruning(spark, tmp_path):
+    """hour(ts): hours-since-epoch ordinals on the write path, tuples
+    decoded to [hour, next-hour) timestamp bounds for pruning; date
+    sources are refused (spec: hour is undefined for dates)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    df = spark.createDataFrame(
+        [(i, f"2024-03-01 {i % 24:02d}:30:00") for i in range(96)],
+        "id long, ts_s string",
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"))
+    t = IcebergTable(spark, str(tmp_path / "ihr"))
+    t.append(df.repartition(4), partition_by=["hour(ts)"])
+    assert t.read().count() == 96
+    # a 3-hour window must prune to fewer files than the active set
+    pred = "ts >= '2024-03-01 05:00:00' AND ts < '2024-03-01 08:00:00'"
+    info = t.scan_info(pred)
+    assert info["n_read"] < info["n_active"], info
+    got = sorted(r["id"] for r in t.read(where=pred).collect())
+    assert got == sorted(i for i in range(96) if i % 24 in (5, 6, 7))
+    # ordinal check: 2024-03-01 05:30 UTC = 474,917 hours since epoch
+    import datetime as _dt
+
+    expect_ord = int(
+        (_dt.datetime(2024, 3, 1, 5) - _dt.datetime(1970, 1, 1)).total_seconds()
+        // 3600
+    )
+    parts = {
+        pv["ts_hour"]
+        for pv in (
+            e["data_file"]["partition"]
+            for m in [t]
+            for e in _iceberg_all_entries(t)
+        )
+    }
+    assert expect_ord in parts
+    # hour over a DATE source is refused
+    ddf = spark.createDataFrame([("2024-03-01",)], "d_s string").select(
+        F.col("d_s").cast("date").alias("d")
+    )
+    t2 = IcebergTable(spark, str(tmp_path / "ihr2"))
+    with _pytest.raises(NotImplementedError, match="hour transform"):
+        t2.append(ddf, partition_by=["hour(d)"])
+
+
+def _iceberg_all_entries(t):
+    from ent_fins_lakehouse_spark.sources.avro_io import read_ocf
+
+    meta = t.metadata()
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, mrows = read_ocf(t._resolve(snap["manifest-list"]))
+    out = []
+    for r in mrows:
+        _, entries = read_ocf(t._resolve(r["manifest_path"]))
+        out.extend(e for e in entries if e.get("status") != 2)
+    return out
+
+
+def test_iceberg_string_bucket_spec_vector_and_pruning(spark, tmp_path):
+    """bucket[n] over strings: murmur3 of the UTF-8 bytes, bit-exact
+    vs the spec's Appendix B vector (hash('iceberg') = 1210000089);
+    point lookups rewrite through the transform and prune."""
+    from ent_fins_lakehouse_spark.sources.iceberg import (
+        IcebergTable,
+        _bucket_value,
+        _murmur3_bucket_bytes_np,
+    )
+
+    # spec test vector, recovered exactly with n > hash
+    assert int(_murmur3_bucket_bytes_np(["iceberg"], 2**31 - 1)[0]) == 1210000089
+    # utf-8 multibyte and empty string don't crash and are stable
+    assert _bucket_value("", 8) == _bucket_value(b"", 8)
+    assert _bucket_value("héllo", 8) == _bucket_value("héllo".encode(), 8)
+
+    df = spark.createDataFrame(
+        [(f"key-{i:04d}", i) for i in range(200)], "k string, v long"
+    )
+    t = IcebergTable(spark, str(tmp_path / "sb"))
+    t.append(df.repartition(4), partition_by=["bucket(8, k)"])
+    assert t.read().count() == 200
+    info = t.scan_info("k = 'key-0042'")
+    assert info["n_read"] < info["n_active"], info
+    got = t.read(where="k = 'key-0042'").collect()
+    assert len(got) == 1 and got[0]["v"] == 42
+    # the file's partition ordinal equals the spec transform of the key
+    ords = {
+        e["data_file"]["partition"]["k_bucket"] for e in _iceberg_all_entries(t)
+    }
+    assert _bucket_value("key-0042", 8) in ords
