@@ -1388,6 +1388,11 @@ class DeltaLogTable:
         # + sidecar files), not how data files are interpreted — and
         # _snapshot() consumes both (spec: 'V2 Spec Checkpoint')
         "v2Checkpoint",
+        # variant columns round-trip natively through Spark 4's parquet
+        # reader/writer (the schemaString carries type "variant");
+        # both the preview and final feature names gate the same shape
+        "variantType-preview",
+        "variantType",
     }
 
     def __init__(self, spark: SparkSession, path: str):
@@ -1406,6 +1411,27 @@ class DeltaLogTable:
             stem, ext = os.path.splitext(f)
             if ext == ".json" and stem.isdigit():
                 out[int(stem)] = os.path.join(self.log_path, f)
+        return out
+
+    def _compaction_files(self) -> dict[int, tuple[int, str]]:
+        """Minor log-compaction files (``{start}.{end}.compacted.json``,
+        spec: 'Log Compaction Files') keyed by start version → (end,
+        path); when several share a start, the widest wins."""
+        out: dict[int, tuple[int, str]] = {}
+        if not os.path.isdir(self.log_path):
+            return out
+        for f in os.listdir(self.log_path):
+            if not f.endswith(".compacted.json"):
+                continue
+            parts = f[: -len(".compacted.json")].split(".")
+            if len(parts) != 2 or not all(p.isdigit() for p in parts):
+                continue
+            s, e = int(parts[0]), int(parts[1])
+            if s > e:
+                continue
+            cur = out.get(s)
+            if cur is None or e > cur[0]:
+                out[s] = (e, os.path.join(self.log_path, f))
         return out
 
     def _checkpoint(self) -> tuple[int, list[str]] | None:
@@ -1448,6 +1474,9 @@ class DeltaLogTable:
         cp = self._checkpoint()
         if cp:
             cands.append(cp[0])
+        # a compaction's end version counts: its covered JSONs may have
+        # been cleaned by a peer's log maintenance
+        cands.extend(e for e, _ in self._compaction_files().values())
         if not cands:
             raise ValueError(f"no Delta log at {self.log_path}")
         return max(cands)
@@ -1583,14 +1612,29 @@ class DeltaLogTable:
                 )
             start = cp[0] + 1
         versions = self._json_versions()
-        missing = [v for v in range(start, target + 1) if v not in versions]
-        if missing:
-            raise ValueError(
-                f"Delta log versions {missing} missing under {self.log_path} "
-                "(cleaned up past the checkpoint?)"
-            )
-        for v in range(start, target + 1):
-            with open(versions[v]) as fh:
+        # minor log compactions (spec: 'Log Compaction Files',
+        # ``{start}.{end}.compacted.json``): when one starts exactly at
+        # the next version to replay and ends at or before the target,
+        # consume it INSTEAD of the individual JSON commits — one file
+        # read replaces N, and peers may have cleaned the covered JSONs
+        compactions = self._compaction_files()
+        replay_paths: list[str] = []
+        v = start
+        while v <= target:
+            c = compactions.get(v)
+            if c is not None and c[0] <= target:
+                replay_paths.append(c[1])
+                v = c[0] + 1
+            elif v in versions:
+                replay_paths.append(versions[v])
+                v += 1
+            else:
+                raise ValueError(
+                    f"Delta log version {v} missing under {self.log_path} "
+                    "(cleaned up past the checkpoint?)"
+                )
+        for rp in replay_paths:
+            with open(rp) as fh:
                 for line in fh:
                     line = line.strip()
                     if not line:
@@ -1645,6 +1689,7 @@ class DeltaLogTable:
         cfg = (meta or {}).get("configuration") or {}
         self._rt_enabled = cfg.get("delta.enableRowTracking") == "true"
         self._ict_enabled = cfg.get("delta.enableInCommitTimestamps") == "true"
+        self._logcompact_enabled = cfg.get("delta.enableLogCompaction") == "true"
         self._last_ict = last_ict
         hwm = -1
         if "delta.rowTracking" in domains:
@@ -2715,19 +2760,56 @@ class DeltaLogTable:
                     }
                 }
             )
+        # a variant column anywhere in the schema gates the table on the
+        # variantType-preview READER+WRITER feature (spec: 'Variant Data
+        # Type') — readers that don't understand the binary encoding
+        # must refuse rather than misread
+        has_variant = '"variant"' in schema_json
         if version == 0:
-            actions.append(
-                {
-                    "protocol": {
-                        "minReaderVersion": 1,
-                        # identity columns gate writers at version 6,
-                        # generated columns at 4
-                        "minWriterVersion": (
-                            6 if id_specs else 4 if gen_exprs else 2
-                        ),
+            if has_variant:
+                base_wv = 6 if id_specs else 4 if gen_exprs else 2
+                wf = {"variantType-preview"}
+                for wv, names in self._LEGACY_WRITER_FEATURES.items():
+                    if wv <= base_wv:
+                        wf |= set(names)
+                actions.append(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 3,
+                            "minWriterVersion": 7,
+                            "readerFeatures": ["variantType-preview"],
+                            "writerFeatures": sorted(wf),
+                        }
                     }
-                }
+                )
+            else:
+                actions.append(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 1,
+                            # identity columns gate writers at version 6,
+                            # generated columns at 4
+                            "minWriterVersion": (
+                                6 if id_specs else 4 if gen_exprs else 2
+                            ),
+                        }
+                    }
+                )
+        elif has_variant:
+            prior = getattr(self, "_last_protocol", None) or {}
+            prior_feats = set(prior.get("readerFeatures") or []) | set(
+                prior.get("writerFeatures") or []
             )
+            if not ({"variantType-preview", "variantType"} & prior_feats):
+                # schema-changing overwrite introducing the first variant
+                # column: upgrade the protocol in the same commit
+                actions.append(
+                    {
+                        "protocol": self._feature_protocol(
+                            {"variantType-preview"}, {"variantType-preview"}
+                        )
+                    }
+                )
         if version == 0 or (
             mode == "overwrite"
             and meta is not None
@@ -2953,8 +3035,7 @@ class DeltaLogTable:
         finally:
             shutil.rmtree(st, ignore_errors=True)
 
-    @staticmethod
-    def _file_stats(path: str) -> str:
+    def _file_stats(self, path: str) -> str:
         """Per-file stats JSON for the add action (spec: 'Per-file
         Statistics') — numRecords always; minValues / maxValues /
         nullCount for numeric, boolean, date and timestamp columns.
@@ -2967,7 +3048,17 @@ class DeltaLogTable:
 
         import pyarrow.parquet as pq
 
-        md = pq.ParquetFile(path).metadata
+        try:
+            md = pq.ParquetFile(path).metadata
+        except OSError:
+            # footer holds a logical type this pyarrow can't parse
+            # (e.g. VARIANT) — stats are an optimization; fall back to
+            # numRecords via Spark's own parquet reader, never fail the
+            # write
+            n = self.spark.read.parquet(path).count()
+            return json.dumps(
+                {"numRecords": n, "minValues": {}, "maxValues": {}, "nullCount": {}}
+            )
         num_records = md.num_rows
         mins: dict = {}
         maxs: dict = {}
@@ -3090,6 +3181,98 @@ class DeltaLogTable:
                 fh.write(json.dumps(a) + "\n")
         if (version + 1) % self.CHECKPOINT_INTERVAL == 0:
             self.checkpoint(version)
+        elif (
+            getattr(self, "_logcompact_enabled", False)
+            and (version + 1) % self.LOG_COMPACTION_INTERVAL == 0
+        ):
+            # minor log compaction between checkpoints: one file
+            # summarizing the last LOG_COMPACTION_INTERVAL commits so
+            # long logs replay O(compactions), not O(commits); best
+            # effort — a failed compaction never fails the commit
+            try:
+                self.compact_log(
+                    version - self.LOG_COMPACTION_INTERVAL + 1, version
+                )
+            except (OSError, ValueError):
+                pass
+
+    #: minor-log-compaction cadence when delta.enableLogCompaction=true
+    #: (between CHECKPOINT_INTERVAL checkpoints)
+    LOG_COMPACTION_INTERVAL = 5
+
+    def compact_log(self, start: int, end: int) -> str:
+        """Minor log compaction (spec: 'Log Compaction Files'): write
+        ``{start}.{end}.compacted.json`` holding the RECONCILED actions
+        of the covered JSON commits — surviving ``add``s (file removed
+        in-range → its tombstone ``remove`` instead), latest
+        ``metaData``/``protocol``, latest ``txn`` per appId, latest
+        ``domainMetadata`` per domain — so replay consumes one file in
+        place of N and tolerates peers cleaning the covered JSONs.
+        A trailing ``commitInfo`` carries the range's max
+        inCommitTimestamp so ICT monotonicity survives compaction-path
+        replays. Idempotent for a fixed range; peers' compactions with
+        the same name are equivalent by construction."""
+        versions = self._json_versions()
+        missing = [v for v in range(start, end + 1) if v not in versions]
+        if missing:
+            raise ValueError(
+                f"cannot compact log range [{start}, {end}]: versions "
+                f"{missing} missing under {self.log_path}"
+            )
+        adds: dict[str, dict] = {}
+        removes: dict[str, dict] = {}
+        meta_act: dict | None = None
+        proto_act: dict | None = None
+        txns: dict[str, dict] = {}
+        domains: dict[str, dict] = {}
+        max_ict: int | None = None
+        for v in range(start, end + 1):
+            with open(versions[v]) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    act = json.loads(line)
+                    if "add" in act:
+                        p = act["add"]["path"]
+                        adds[p] = act
+                        removes.pop(p, None)
+                    elif "remove" in act:
+                        p = act["remove"]["path"]
+                        adds.pop(p, None)
+                        removes[p] = act
+                    elif "metaData" in act:
+                        meta_act = act
+                    elif "protocol" in act:
+                        proto_act = act
+                    elif "txn" in act:
+                        txns[act["txn"]["appId"]] = act
+                    elif "domainMetadata" in act:
+                        domains[act["domainMetadata"]["domain"]] = act
+                    elif "commitInfo" in act:
+                        ict = act["commitInfo"].get("inCommitTimestamp")
+                        if ict is not None:
+                            max_ict = max(max_ict or 0, int(ict))
+        out: list[dict] = []
+        if proto_act:
+            out.append(proto_act)
+        if meta_act:
+            out.append(meta_act)
+        out.extend(txns[k] for k in sorted(txns))
+        out.extend(domains[k] for k in sorted(domains))
+        out.extend(removes[k] for k in sorted(removes))
+        out.extend(adds[k] for k in sorted(adds))
+        if max_ict is not None:
+            out.append({"commitInfo": {"inCommitTimestamp": max_ict}})
+        target = os.path.join(
+            self.log_path, f"{start:020d}.{end:020d}.compacted.json"
+        )
+        tmp = target + ".tmp"
+        with open(tmp, "w") as fh:
+            for a in out:
+                fh.write(json.dumps(a) + "\n")
+        os.replace(tmp, target)
+        return target
 
     def delete(self, predicate: str) -> dict:
         """Soft delete via deletion vectors — the public-format DV

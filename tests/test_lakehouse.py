@@ -4116,3 +4116,105 @@ def test_iceberg_string_bucket_spec_vector_and_pruning(spark, tmp_path):
         e["data_file"]["partition"]["k_bucket"] for e in _iceberg_all_entries(t)
     }
     assert _bucket_value("key-0042", 8) in ords
+
+
+def test_delta_variant_write_read_roundtrip(spark, tmp_path):
+    """VERDICT r7 item 4: a variant column committed through the
+    public-log writer gates the protocol on variantType-preview
+    (reader v3 / writer v7), restores typed on read, and supports
+    variant_get extraction + appends; footer stats fall back to
+    numRecords (pyarrow can't parse the VARIANT logical type)."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    dl = DeltaLogTable(spark, str(tmp_path / "vt"))
+    df = spark.range(10).select(
+        "id",
+        F.parse_json(
+            F.concat(
+                F.lit('{"a": '), F.col("id").cast("string"), F.lit(', "t": ["x","y"]}')
+            )
+        ).alias("v"),
+    )
+    dl.write(df, mode="append")
+    with open(
+        _os.path.join(str(tmp_path / "vt"), "_delta_log", f"{0:020d}.json")
+    ) as fh:
+        lines = [_json.loads(ln) for ln in fh]
+    proto = next(ln["protocol"] for ln in lines if "protocol" in ln)
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert "variantType-preview" in proto["readerFeatures"]
+    assert "variantType-preview" in proto["writerFeatures"]
+    adds = [ln["add"] for ln in lines if "add" in ln]
+    # fallback stats: numRecords present and summing to the row count
+    assert sum(_json.loads(a["stats"])["numRecords"] for a in adds) == 10
+    back = dl.read()
+    assert back.schema["v"].dataType.typeName() == "variant"
+    got = (
+        back.select(
+            "id",
+            F.variant_get("v", "$.a", "bigint").alias("a"),
+            F.variant_get("v", "$.t[1]", "string").alias("t1"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    assert [(r["id"], r["a"], r["t1"]) for r in got] == [
+        (i, i, "y") for i in range(10)
+    ]
+    # append keeps working against the committed variant schema
+    dl.write(df, mode="append")
+    assert dl.read().count() == 20
+
+
+def test_delta_log_compaction_bootstrap(spark, tmp_path):
+    """VERDICT r7 item 5: minor log compaction
+    ({start}.{end}.compacted.json). Emitted on the 5-commit cadence
+    under delta.enableLogCompaction, preferred during replay, and the
+    covered JSON commits can be deleted (peer log maintenance) with
+    the snapshot surviving byte-identically."""
+    import glob as _glob
+    import os as _os
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "lc")
+    dl = DeltaLogTable(spark, td)
+    dl.write(spark.range(0, 5).selectExpr("id", "id * 2 AS v"), mode="append")
+    dl.set_property("delta.enableLogCompaction", "true")
+    for i in range(1, 7):
+        dl.write(
+            spark.range(i * 100, i * 100 + 3).selectExpr("id", "id * 2 AS v"),
+            mode="append",
+        )
+    # versions 0..7 exist; the (v+1)%5==0 cadence fired at version 4
+    comps = _glob.glob(_os.path.join(td, "_delta_log", "*.compacted.json"))
+    assert comps, "no compaction emitted on cadence"
+    name = _os.path.basename(comps[0])
+    assert name == f"{0:020d}.{4:020d}.compacted.json"
+    before = sorted((r["id"], r["v"]) for r in dl.read().collect())
+    # a peer cleans the covered JSON commits — replay must route
+    # through the compaction file
+    for v in range(0, 5):
+        _os.remove(_os.path.join(td, "_delta_log", f"{v:020d}.json"))
+    dl2 = DeltaLogTable(spark, td)
+    after = sorted((r["id"], r["v"]) for r in dl2.read().collect())
+    assert after == before
+    # and the table still accepts writes on top
+    dl2.write(spark.createDataFrame([(999, 0)], "id long, v long"), mode="append")
+    assert dl2.read().count() == len(before) + 1
+    # a remove inside a compacted range must not resurrect: delete,
+    # compact explicitly, clean, re-read
+    dl2.delete("id >= 600")
+    v_now = dl2.latest_version()
+    dl2.compact_log(5, v_now)
+    want = sorted((r["id"], r["v"]) for r in dl2.read().collect())
+    for v in range(5, v_now + 1):
+        _os.remove(_os.path.join(td, "_delta_log", f"{v:020d}.json"))
+    dl3 = DeltaLogTable(spark, td)
+    got = sorted((r["id"], r["v"]) for r in dl3.read().collect())
+    assert got == want and all(i < 600 for i, _ in got)
