@@ -90,6 +90,10 @@ HEADLINE = [
     # and the bloom file-index needle path, tracked round-over-round
     "q176_pq_ann",
     "q215_bloom_file_index",
+    # r7 lakehouse write paths (VERDICT r7 item 8): Iceberg
+    # copy-on-write DML and the Delta V2 checkpoint write+bootstrap
+    "q253_iceberg_copy_on_write",
+    "q254_delta_v2_checkpoint_write",
 ]
 
 

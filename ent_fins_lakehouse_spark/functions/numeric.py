@@ -88,3 +88,68 @@ def charge_expr() -> Column:
 
 
 CHARGE_SQL = REVENUE_SQL + " * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))"
+
+
+#: per-key row-count cap above which exact interpolated percentiles
+#: (which buffer every value of a key in one aggregation state) route
+#: to the KLL-style percentile_approx sketch tier — constant memory at
+#: any corpus size. 10M doubles ≈ 80 MB of agg state per key, the
+#: practical executor ceiling.
+DEFAULT_MAX_EXACT_PERCENTILE_ROWS = 10_000_000
+
+#: memoized max-rows-per-key census keyed by the source's semantic
+#: plan hash + key column (the broadcast_if_small pattern): a serving
+#: loop over one immutable snapshot pays the census once
+_PCT_CENSUS_CACHE: dict[tuple[int, str], int] = {}
+_PCT_CENSUS_CACHE_MAX = 256
+
+
+def percentile_tiered(
+    df,
+    key: str,
+    col: Column | str,
+    probs: list[float],
+    max_exact_rows: int = DEFAULT_MAX_EXACT_PERCENTILE_ROWS,
+    accuracy: int = 10000,
+):
+    """Census-gated exact→sketch percentile tier (VERDICT r7 item 7).
+
+    Exact interpolated ``percentile`` holds every value of a group in
+    one aggregation buffer — the right answer while a key's row count
+    fits executor memory, and a scale cliff after. This helper runs a
+    cheap census (``groupBy(key).count()`` reduced to its max — the
+    shuffle is |keys| rows and shares the main query's exchange
+    layout, memoized per plan like ``broadcast_if_small``) and picks
+    the tier: at or under ``max_exact_rows`` per key, the exact
+    aggregate (hash-stable vs ``quantile_cont``); above it,
+    ``percentile_approx`` — the one-pass constant-memory KLL-style
+    sketch whose rank error is n/accuracy (the q141 bound gate).
+
+    Returns ``(limits_df, tier)`` where ``limits_df`` has one row per
+    key with a ``_pct`` array column (one slot per prob) and ``tier``
+    is ``"exact"`` or ``"sketch"`` so callers can assert the choice
+    in-plan."""
+    c = F.col(col) if isinstance(col, str) else col
+    cache_key = None
+    try:
+        cache_key = (df.semanticHash(), key)
+    except Exception:
+        cache_key = None
+    if cache_key is not None and cache_key in _PCT_CENSUS_CACHE:
+        max_rows = _PCT_CENSUS_CACHE[cache_key]
+    else:
+        max_rows = int(
+            df.groupBy(key).count().agg(F.max("count").alias("_m")).collect()[0]["_m"]
+            or 0
+        )
+        if cache_key is not None:
+            if len(_PCT_CENSUS_CACHE) >= _PCT_CENSUS_CACHE_MAX:
+                _PCT_CENSUS_CACHE.pop(next(iter(_PCT_CENSUS_CACHE)))
+            _PCT_CENSUS_CACHE[cache_key] = max_rows
+    if max_rows <= max_exact_rows:
+        agg = F.percentile(c, F.array(*[F.lit(p) for p in probs]))
+        tier = "exact"
+    else:
+        agg = F.percentile_approx(c, [float(p) for p in probs], accuracy)
+        tier = "sketch"
+    return df.groupBy(key).agg(agg.alias("_pct")), tier

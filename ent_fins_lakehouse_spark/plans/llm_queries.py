@@ -3612,3 +3612,178 @@ def q267_audio_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "seg_no")
     )
+
+
+@query(
+    "q286_per_source_reservoir_sample",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':rsv'), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, rk
+    FROM r WHERE rk <= 5
+    ORDER BY source, rk
+    """,
+    tags=("llm", "sampling"),
+)
+def q286_per_source_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum reservoir sample — exactly k uniform
+    docs per source with NO RNG state: each document's priority is
+    md5(doc_id:salt) (the q162 engine-portable uniformity trick) and
+    the k smallest per source win via one window rank. Distributed
+    shape: one exchange on source, top-k per partition combines
+    map-side — at 100 TB this is how eval/audit samples are drawn
+    from a corpus without a global sort or a driver-side RNG, and the
+    draw is reproducible from the keys alone (reshuffle-stable,
+    engine-portable — the oracle reproduces it bit-for-bit)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    pri = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":rsv")))
+    w = W.partitionBy("source").orderBy(pri, "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "source", "n_chars", "rk")
+        .orderBy("source", "rk")
+    )
+
+
+@query(
+    "q287_weighted_systematic_resample",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum,
+             SUM(n_chars) OVER (PARTITION BY source) AS total
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           (cum * 20) // total - ((cum - n_chars) * 20) // total AS n_picks
+    FROM c
+    WHERE (cum * 20) // total > ((cum - n_chars) * 20) // total
+    ORDER BY source, doc_id
+    """,
+    tags=("llm", "sampling"),
+)
+def q287_weighted_systematic_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SYSTEMATIC resampling per source (the particle-filter /
+    mixture-construction draw): each document is picked
+    ``floor(cum*k/total) - floor((cum-w)*k/total)`` times — exactly k
+    slots per source, selection probability proportional to weight
+    (n_chars), and every arithmetic step INTEGER (cumsum, scale by k,
+    floor-divide by total) so the draw is bit-exact across engines —
+    no float boundary can flip a pick. One window exchange on source;
+    at 100 TB this replaces rejection/alias sampling for building
+    token-budgeted mixtures: one pass, no RNG, deterministic
+    restartability (the draw is a pure function of the snapshot)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w_cum = (
+        W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_tot = W.partitionBy("source")
+    c = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.sum("n_chars").over(w_cum).alias("cum"),
+        F.sum("n_chars").over(w_tot).alias("total"),
+    )
+    hi = F.expr("(cum * 20) div total")
+    lo = F.expr("((cum - n_chars) * 20) div total")
+    return (
+        c.withColumn("n_picks", hi - lo)
+        .filter(hi > lo)
+        .select("doc_id", "source", "n_chars", "n_picks")
+        .orderBy("source", "doc_id")
+    )
+
+
+@query(
+    "q288_boilerplate_shingle_density",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+             ws[i+3] || ' ' || ws[i+4] AS shingle
+      FROM words, UNNEST(generate_series(1, len(ws) - 4)) AS t(i)
+    ),
+    df AS (
+      SELECT shingle, COUNT(*) AS n_docs FROM sh GROUP BY shingle
+    ),
+    scored AS (
+      SELECT s.doc_id,
+             COUNT(*) AS n_shingles,
+             SUM(CASE WHEN df.n_docs >= 3 THEN 1 ELSE 0 END) AS n_common
+      FROM sh s JOIN df ON s.shingle = df.shingle
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_shingles, n_common,
+           ROUND(CAST(n_common AS DOUBLE) / n_shingles, 6) AS common_frac,
+           CAST(n_common * 10 >= n_shingles * 5 AS BOOLEAN) AS boilerplate_heavy
+    FROM scored ORDER BY doc_id
+    """,
+    tags=("llm", "quality", "dedup"),
+)
+def q288_boilerplate_shingle_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate density scoring (the CCNet common-line filter
+    re-expressed at shingle granularity for unstructured text): a
+    document whose 5-gram shingles mostly also appear in ≥3 OTHER
+    corpus documents is template/boilerplate-heavy (nav bars, legal
+    footers, mirrored pages) and a dedup-resistant quality hazard for
+    training. One explode pass builds per-doc DISTINCT shingles, one
+    hash-agg computes corpus document frequency, one join back scores
+    each doc by its common-shingle fraction; the heavy flag compares
+    integers (n_common*10 >= n_shingles*5) so no float threshold can
+    disagree across engines. At 100 TB every stage is a bounded
+    hash-agg/equi-join on the shingle — the same sub-quadratic shape
+    as MinHash banding, never doc×doc."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    n = F.size("ws")
+    sh = (
+        ws.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(n - 5, F.lit(-1))),
+                    lambda i: F.concat_ws(" ", F.slice("ws", i + 1, 5)),
+                )
+            ).alias("shingle"),
+        )
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    scored = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs") >= 3, 1).otherwise(0)).alias("n_common"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_shingles",
+        "n_common",
+        F.round(F.col("n_common").cast("double") / F.col("n_shingles"), 6).alias(
+            "common_frac"
+        ),
+        (F.col("n_common") * 10 >= F.col("n_shingles") * 5).alias(
+            "boilerplate_heavy"
+        ),
+    ).orderBy("doc_id")

@@ -3956,15 +3956,24 @@ def q257_trimmed_robust_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate that survives the fat-tailed payment values a plain AVG
     cannot (one 1e9 reading moves the mean arbitrarily; the trimmed
     mean moves by at most the trim fraction). Two passes sharing one
-    event_type exchange: exact interpolated percentiles (the q49
-    primitive), then a broadcast join of the per-type [lo, hi] clamps
-    and a DECIMAL-exact sum over the kept rows. At 100 TB the
-    percentile pass is the scale knob — swap in percentile_approx/KLL
-    (q223's sketch tier) and the trim becomes one linear pass."""
+    event_type exchange: per-type percentile clamps through the
+    CENSUS-GATED tier helper (``percentile_tiered``, VERDICT r7 item
+    7) — exact interpolated percentiles while the max per-key row
+    count fits the executor cap, the KLL-style percentile_approx
+    sketch above it (q285 proves that tier) — then a broadcast join
+    of the [lo, hi] clamps and a DECIMAL-exact sum over kept rows.
+    The tier choice is asserted in-plan: at oracle scale this query
+    must run exact, or the hash match would silently loosen."""
+    from ent_fins_lakehouse_spark.functions.numeric import percentile_tiered
+
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    pct = F.percentile("value", F.lit([0.05, 0.95]))
-    lim = ev.groupBy("event_type").agg(
-        pct.getItem(0).alias("lo"), pct.getItem(1).alias("hi")
+    lim_raw, tier = percentile_tiered(ev, "event_type", "value", [0.05, 0.95])
+    if tier != "exact":
+        raise AssertionError(f"expected exact percentile tier, got {tier}")
+    lim = lim_raw.select(
+        "event_type",
+        F.col("_pct").getItem(0).alias("lo"),
+        F.col("_pct").getItem(1).alias("hi"),
     )
     kept = ev.join(F.broadcast(lim), "event_type").filter(
         (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi"))
@@ -4900,3 +4909,137 @@ def q280_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             "harmonic_mean"
         ),
     ).orderBy("event_type")
+
+
+@query(
+    "q285_percentile_sketch_tier",
+    oracle="""
+    WITH lim AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n AS n_rows, TRUE AS lo_within, TRUE AS hi_within
+    FROM lim ORDER BY event_type
+    """,
+    tags=("agg", "approx", "quality"),
+)
+def q285_percentile_sketch_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKETCH tier of the census-gated percentile helper (q257's
+    scale path, VERDICT r7 item 7): with the per-key cap forced below
+    the fixture's row counts, ``percentile_tiered`` must route to
+    ``percentile_approx`` — the one-pass constant-memory KLL-style
+    sketch — and the tier choice is asserted in-plan. Correctness is
+    the q141 bound gate: each sketched clamp must land within the
+    rank-error-implied value window of the exact percentile (computed
+    here once for the check; at 100 TB only the sketch runs). The
+    oracle states the within-bound invariants as literal TRUE plus
+    the exact per-type row counts."""
+    from ent_fins_lakehouse_spark.functions.numeric import percentile_tiered
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    lim_raw, tier = percentile_tiered(
+        ev, "event_type", "value", [0.05, 0.95], max_exact_rows=10
+    )
+    if tier != "sketch":
+        raise AssertionError(f"expected sketch percentile tier, got {tier}")
+    exact = ev.groupBy("event_type").agg(
+        F.percentile(
+            "value",
+            F.array(F.lit(0.03), F.lit(0.07), F.lit(0.93), F.lit(0.97)),
+        ).alias("_e"),
+        F.count("*").alias("n_rows"),
+    )
+    # rank-window gate: accuracy=10000 → rank error ≤ n/10000 + 1, and
+    # the sketch returns a TRUE data value — so the sketched p05/p95
+    # must land inside the exact [p±0.02] rank window (a value window
+    # derived from ranks, correct at ANY n — a flat %-of-range bound
+    # fails at small n where tail order-statistic gaps are wide)
+    return (
+        lim_raw.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            (
+                (F.col("_pct").getItem(0) >= F.col("_e").getItem(0))
+                & (F.col("_pct").getItem(0) <= F.col("_e").getItem(1))
+            ).alias("lo_within"),
+            (
+                (F.col("_pct").getItem(1) >= F.col("_e").getItem(2))
+                & (F.col("_pct").getItem(1) <= F.col("_e").getItem(3))
+            ).alias("hi_within"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q289_ordered_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t_view
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'view' AS name, COUNT(*) AS n_users FROM s1
+    UNION ALL
+    SELECT 2 AS step, 'click' AS name, COUNT(*) AS n_users FROM s2
+    UNION ALL
+    SELECT 3 AS step, 'purchase' AS name, COUNT(*) AS n_users FROM s3
+    ORDER BY step
+    """,
+    tags=("relational", "temporal", "events"),
+)
+def q289_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis — the product-analytics staple
+    (view → click → purchase, each step strictly AFTER the previous
+    one for the same user): step 1 is the user's first view; step k
+    is the first qualifying event after the user's step-(k−1)
+    timestamp. Three min-aggs chained by broadcast-sized per-user
+    timestamp joins — every stage keys on user_id, so AQE plans ONE
+    exchange layout reused across the chain; nothing is quadratic in
+    events. At 100 TB this replaces the self-join-per-step
+    formulation (events^k) with k linear passes over a shared
+    shuffle."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter("event_type = 'view'")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s2 = (
+        ev.filter("event_type = 'click'")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter("event_type = 'purchase'")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    rows = [
+        s1.agg(F.lit(1).alias("step"), F.lit("view").alias("name"), F.count("*").alias("n_users")),
+        s2.agg(F.lit(2).alias("step"), F.lit("click").alias("name"), F.count("*").alias("n_users")),
+        s3.agg(F.lit(3).alias("step"), F.lit("purchase").alias("name"), F.count("*").alias("n_users")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("step")

@@ -195,27 +195,45 @@ def test_concurrent_appenders_all_commit(spark, tmp_path):
 
 
 def test_stale_rewrite_rejected_when_commit_lands_mid_plan(spark, tmp_path):
-    """ADVICE r1: a rewriting op whose read snapshot is invalidated by a
-    commit landing during its rewrite phase must NOT commit cleanly at
-    latest+1 — the stale remove set would resurrect deleted rows."""
+    """ADVICE r1, refined by VERDICT r7 item 1 (WriteSerializable): a
+    rewriting op whose read snapshot was invalidated by a BLIND APPEND
+    now rebases and commits (the append's files are disjoint from its
+    remove set); an intervening REMOVE-carrying commit is a true
+    conflict and must still refuse — a stale remove set would
+    resurrect deleted rows."""
     from ent_fins_lakehouse_spark.sources.lakehouse import ConcurrentWriteError
 
     t = _table(spark, tmp_path)
     t.write(spark.createDataFrame([(i, "x") for i in range(10)], "k INT, v STRING"))
     base = t.latest_version()
     active, schema = t._snapshot()
-    # another writer lands an append between plan and commit
+    # a blind append lands between plan and commit → rebase, not refuse
     t.write(spark.createDataFrame([(99, "y")], "k INT, v STRING"), mode="append")
+    v = t._commit("delete", [], active, schema, {}, base_version=base)
+    assert v == t.latest_version()
+    assert t.read().count() == 1  # delete's remove applied; append kept
+    # a remove-carrying intervener is a true conflict → refuse
+    t.write(spark.createDataFrame([(1, "z")], "k INT, v STRING"), mode="append")
+    base2 = t.latest_version()
+    active2, _ = t._snapshot()
+    t.write(spark.createDataFrame([(2, "w")], "k INT, v STRING"), mode="overwrite")
+    with pytest.raises(ConcurrentWriteError, match="true conflict"):
+        t._commit("delete", [], active2, schema, {}, base_version=base2)
+    # overwrite itself never rebases: any intervener refuses
+    base3 = t.latest_version()
+    active3, _ = t._snapshot()
+    t.write(spark.createDataFrame([(3, "v")], "k INT, v STRING"), mode="append")
     with pytest.raises(ConcurrentWriteError, match="snapshot changed"):
-        t._commit("delete", [], active, schema, {}, base_version=base)
+        t._commit("overwrite", [], active3, schema, {}, base_version=base3)
     # blind appends (no base_version) still commit fine
     t._commit("append", [], [], schema, {})
 
 
 def test_delete_append_race_preserves_append(spark, tmp_path):
-    """End-to-end race: DELETE planned against v0 must fail if an append
-    commits first; retrying against the new snapshot keeps the appended
-    rows and removes the deleted ones."""
+    """End-to-end race: a DELETE planned against v0 that loses the
+    version race to a blind append now REBASES and commits in one shot
+    (VERDICT r7 item 1, WriteSerializable) — the appended rows survive
+    and the matching rows are removed, with no caller retry."""
     from ent_fins_lakehouse_spark.sources import lakehouse as lh
 
     t = _table(spark, tmp_path)
@@ -234,12 +252,9 @@ def test_delete_append_race_preserves_append(spark, tmp_path):
 
     lh.LakeTable._write_data_dir = racing_write
     try:
-        with pytest.raises(lh.ConcurrentWriteError):
-            t.delete("k < 5")
+        t.delete("k < 5")  # rebases over the concurrent append
     finally:
         lh.LakeTable._write_data_dir = orig
-    # re-plan against the winner's snapshot succeeds
-    t.delete("k < 5")
     ks = sorted(r["k"] for r in t.read().collect())
     assert ks == [5, 6, 7, 8, 9, 100]
 
@@ -2740,11 +2755,12 @@ def test_iceberg_bucket_partitioned_table(spark, tmp_path):
     # row-level DELETE composes with bucket partitioning
     t.delete("id % 10 = 0")
     assert t.read().count() == 540
-    # string sources refuse loudly
+    # unsupported source types refuse loudly (strings are supported
+    # since r8 — see test_iceberg_string_bucket_spec_vector_and_pruning)
     with _pytest.raises(NotImplementedError, match="bucket transform"):
         t2 = IcebergTable(spark, str(tmp_path / "t2"))
         t2.append(
-            spark.createDataFrame([("a", 1)], "k string, v long"),
+            spark.createDataFrame([(1.5, 1)], "k double, v long"),
             partition_by=["bucket(4, k)"],
         )
 
