@@ -4746,3 +4746,208 @@ def q284_delta_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q290_delta_version_checksum",
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, TRUE, 1), (1, TRUE, 2), (2, TRUE, 3)
+    ) AS t(version, validated, num_files)
+    ORDER BY version
+    """,
+    tags=("lakehouse", "delta", "interop", "audit"),
+)
+def q290_delta_version_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta VERSION CHECKSUM sidecars ({version}.crc — delta-spark's
+    VersionChecksum shape): every commit writes a one-line JSON with
+    the post-commit snapshot's numFiles / tableSizeBytes / metadata /
+    protocol, maintained INCREMENTALLY from the verb's own replay (no
+    extra log scan, no Spark job), and `validate_checksum` cross-checks
+    a version's .crc against a fresh replay — the cheap state-audit
+    that catches truncated logs, lost add actions, and out-of-band
+    file pruning before they surface as silent wrong answers. Three
+    single-file commits give deterministic file counts; each version's
+    validation result is returned and must match the literal oracle.
+    At 100 TB this validation is KBs of JSON per version — the log
+    audits itself without touching data."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    dl = DeltaLogTable(spark, _scratch("vcrc") + "_t")
+    for m in range(3):
+        dl.write(
+            orders.filter(f"o_orderkey % 3 = {m}").coalesce(1), mode="append"
+        )
+    rows = []
+    for v in range(3):
+        res = DeltaLogTable(spark, dl.path).validate_checksum(v)
+        rows.append((v, bool(res["validated"]), int(res["numFiles"])))
+    return spark.createDataFrame(
+        rows, "version int, validated boolean, num_files int"
+    ).orderBy("version")
+
+
+@query(
+    "q292_delta_reorg_purge",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS bal
+    FROM customer
+    WHERE c_custkey > 300
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    tags=("lakehouse", "delta", "maintenance", "dv"),
+)
+def q292_delta_reorg_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REORG TABLE … APPLY (PURGE) — the surgical deletion-vector GC:
+    a 6-file range-clustered table takes a stats-prunable DV delete
+    (``c_custkey <= 300`` masks rows in ONE file), then PURGE rewrites
+    ONLY the DV-carrying file — the five clean files keep their add
+    actions untouched (asserted by path), the purged snapshot carries
+    zero DVs (asserted), and the read-back hash-matches the oracle.
+    optimize() would rewrite all 6; at 100 TB with 0.1% of files DV'd
+    that difference is the whole verb: PURGE is O(DV'd bytes), commits
+    dataChange=false, and makes metadata-only UniForm/Iceberg
+    conversion affordable on tables with soft deletes."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    dl = DeltaLogTable(spark, _scratch("purge") + "_t")
+    dl.write(cust.repartitionByRange(6, "c_custkey"), mode="append")
+    res = dl.delete("c_custkey <= 300")
+    if res["files_touched"] < 1:
+        raise AssertionError(f"DV delete touched no file: {res}")
+    adds_before, *_ = dl._snapshot()
+    clean_before = {p for p, i in adds_before.items() if not i["deletionVector"]}
+    dvd_before = {p for p, i in adds_before.items() if i["deletionVector"]}
+    pr = dl.reorg_purge()
+    if pr["files_purged"] != len(dvd_before) or pr["rows_purged"] != res["rows_deleted"]:
+        raise AssertionError(f"purge scope wrong: {pr} vs dv files {dvd_before}")
+    adds_after, *_ = dl._snapshot()
+    if any(i["deletionVector"] for i in adds_after.values()):
+        raise AssertionError("purged snapshot still carries deletion vectors")
+    if not clean_before <= set(adds_after):
+        raise AssertionError("REORG PURGE rewrote clean files (must be surgical)")
+    if dvd_before & set(adds_after):
+        raise AssertionError("REORG PURGE kept a DV'd file in the snapshot")
+    return (
+        dl.read()
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "q293_iceberg_rollback",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+    FROM orders
+    WHERE o_orderkey % 3 < 2
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakehouse", "iceberg", "time-travel", "maintenance"),
+)
+def q293_iceberg_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg rollback_to_snapshot / set_current_snapshot — the undo
+    verb (Delta RESTORE's cross-format twin, q179 family): three
+    appends, roll the head BACK to the second snapshot (metadata-only,
+    ancestor-checked), and the read hash-matches the first two chunks.
+    The snapshots list is untouched — the rolled-past snapshot is
+    still readable AS OF and re-publishable with set_current_snapshot
+    (asserted round-trip) — and a rollback to a non-ancestor refuses.
+    At 100 TB undoing a bad write is one metadata.json commit, zero
+    data movement."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = IcebergTable(spark, _scratch("rollb") + "_t")
+    sids = [
+        t.append(orders.filter(f"o_orderkey % 3 = {m}")) for m in range(3)
+    ]
+    n_all = t.read().count()
+    t.rollback_to(snapshot_id=sids[1])
+    if len(t.snapshots()) != 3:
+        raise AssertionError("rollback must not drop snapshots from the log")
+    # the rolled-past snapshot stays readable and re-publishable
+    if t.read(snapshot_id=sids[2]).count() != n_all:
+        raise AssertionError("rolled-past snapshot no longer readable AS OF")
+    t.set_current_snapshot(sids[2])
+    if t.read().count() != n_all:
+        raise AssertionError("set_current_snapshot did not republish")
+    t.rollback_to(snapshot_id=sids[1])
+    try:
+        t.rollback_to(snapshot_id=sids[2])
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("rollback to a non-ancestor must refuse")
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q294_delta_hilbert_clustering",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_suppkey <= 40
+    ORDER BY l_orderkey, l_partkey, l_suppkey, l_quantity, l_extendedprice
+    """,
+    tags=("lakehouse", "delta", "clustering", "interop"),
+)
+def q294_delta_hilbert_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE … hilbert_by — HILBERT-curve multi-dimensional
+    clustering (the curve behind liquid clustering; q180's Z-order
+    sibling): bucket ordinals compute JVM-side, the bucket tuple maps
+    to its curve index via one Arrow-batched vectorized Skilling
+    transform (write-path only), and files range-partition + sort on
+    it. Unlike Morton, consecutive curve positions are always grid
+    neighbors — no Z-shaped jumps — so the same file count covers
+    tighter (orderkey × suppkey) hyper-rectangles; stats pruning on
+    EITHER column is asserted before the hash check. At 100 TB the
+    curve choice is free at write time and pays on every read."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    dl = DeltaLogTable(spark, _scratch("dlh"))
+    dl.write(li.repartition(16), mode="append")
+    dl.optimize(target_files=16, hilbert_by=["l_orderkey", "l_suppkey"])
+    q_ok, q_sk = (
+        int(li.approxQuantile(c, [0.05], 0.01)[0])
+        for c in ("l_orderkey", "l_suppkey")
+    )
+    for pred in (f"l_orderkey <= {q_ok}", f"l_suppkey <= {q_sk}"):
+        info = dl.scan_info(pred)
+        if info["n_pruned"] < 4:
+            raise AssertionError(f"hilbert clustering must prune on {pred}: {info}")
+    return dl.read(where="l_suppkey <= 40").orderBy(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )

@@ -3787,3 +3787,68 @@ def q288_boilerplate_shingle_density(spark: SparkSession, sf_dir: str) -> DataFr
             "boilerplate_heavy"
         ),
     ).orderBy("doc_id")
+
+
+@query(
+    "q291_unigram_entropy_quality",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, word, COUNT(*) AS c
+      FROM w WHERE word <> '' GROUP BY doc_id, word
+    ),
+    terms AS (
+      SELECT doc_id,
+             SUM(c) AS n,
+             SUM(CAST(ROUND(c * log2(c), 4) AS DECIMAL(18,4))) AS clogc
+      FROM wc GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_words,
+           ROUND(log2(CAST(n AS DOUBLE))
+                 - CAST(clogc AS DOUBLE) / CAST(n AS DOUBLE), 4) AS entropy_bits,
+           CAST(ROUND(log2(CAST(n AS DOUBLE))
+                 - CAST(clogc AS DOUBLE) / CAST(n AS DOUBLE), 4) * 10000 >= 30000
+                AS BOOLEAN) AS passes_gate
+    FROM terms ORDER BY doc_id
+    """,
+    tags=("llm", "quality"),
+)
+def q291_unigram_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram ENTROPY — the information-density quality
+    signal that catches what length/stopword heuristics miss:
+    keyword-stuffed spam and template pages have low word entropy,
+    natural prose is high. Computed with the numerically order-proof
+    identity H = log2(n) − (Σ c·log2 c)/n over per-doc word counts,
+    with each c·log2(c) term ROUNDED INTO DECIMAL before the sum —
+    summation order cannot drift the hash across engines (the repo's
+    float discipline). The gate compares scaled integers. One explode
+    + two hash-aggs, all keyed on doc_id — a single exchange at any
+    corpus size; composes with the Gopher gates (q114/q127 family) as
+    another linear-pass column."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    terms = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.round(F.col("c") * F.log2("c"), 4).cast("decimal(18,4)")
+        ).alias("clogc"),
+    )
+    ent = F.round(
+        F.log2(F.col("n").cast("double"))
+        - F.col("clogc").cast("double") / F.col("n").cast("double"),
+        4,
+    )
+    return terms.select(
+        "doc_id",
+        F.col("n").alias("n_words"),
+        ent.alias("entropy_bits"),
+        ((ent * 10000).cast("long") >= 30000).alias("passes_gate"),
+    ).orderBy("doc_id")

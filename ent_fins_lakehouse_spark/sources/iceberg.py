@@ -706,6 +706,57 @@ class IcebergTable:
         self._write_metadata({**meta, "current-snapshot-id": target})
         return target
 
+    def rollback_to(
+        self, snapshot_id: int | None = None, timestamp_ms: int | None = None
+    ) -> int:
+        """``rollback_to_snapshot`` / ``rollback_to_timestamp`` —
+        Iceberg's undo verb (the Delta RESTORE twin, cross-format):
+        move the main head BACK to an ancestor snapshot. Metadata-only
+        — the snapshots list is untouched, so the rolled-past
+        snapshots stay time-travelable (and re-publishable with
+        :meth:`set_current_snapshot`); at 100 TB the undo of a bad
+        write is one metadata.json commit, zero data movement. The
+        target must be an ancestor of the current snapshot (Iceberg's
+        own restriction — arbitrary moves are
+        :meth:`set_current_snapshot`)."""
+        if (snapshot_id is None) == (timestamp_ms is None):
+            raise ValueError("pass exactly one of snapshot_id / timestamp_ms")
+        if timestamp_ms is not None:
+            snapshot_id = self.snapshot_at(timestamp_ms)
+        meta = self.metadata()
+        cur = meta.get("current-snapshot-id")
+        by_id = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
+        if snapshot_id not in by_id:
+            raise ValueError(f"snapshot {snapshot_id} not in {self.meta_dir}")
+        walk, seen = cur, set()
+        while walk is not None and walk not in seen:
+            if walk == snapshot_id:
+                break
+            seen.add(walk)
+            walk = by_id.get(walk, {}).get("parent-snapshot-id")
+        else:
+            raise ValueError(
+                f"snapshot {snapshot_id} is not an ancestor of the current "
+                f"snapshot ({cur}) — use set_current_snapshot for "
+                "arbitrary moves"
+            )
+        if cur != snapshot_id:
+            self._write_metadata({**meta, "current-snapshot-id": int(snapshot_id)})
+        return int(snapshot_id)
+
+    def set_current_snapshot(self, snapshot_id: int) -> int:
+        """``set_current_snapshot`` — arbitrary head move (redo after a
+        rollback, or pinning any historical snapshot). Metadata-only;
+        the snapshot must exist in the log."""
+        meta = self.metadata()
+        if all(
+            s["snapshot-id"] != snapshot_id for s in meta.get("snapshots") or []
+        ):
+            raise ValueError(f"snapshot {snapshot_id} not in {self.meta_dir}")
+        if meta.get("current-snapshot-id") != snapshot_id:
+            self._write_metadata({**meta, "current-snapshot-id": int(snapshot_id)})
+        return int(snapshot_id)
+
     def _read_schema_for(self, sample_path: str, schema: T.StructType) -> T.StructType:
         """Schema-evolution-safe read schema: if the data files carry
         parquet FIELD IDS (every real Iceberg writer embeds them —
@@ -3168,8 +3219,8 @@ def convert_delta_to_iceberg(spark, delta_table, dest: str) -> "IcebergTable":
         raise NotImplementedError("converting a column-mapped Delta table is not supported")
     if any(i["deletionVector"] for i in adds.values()):
         raise NotImplementedError(
-            "table carries live deletion vectors — run optimize() first to "
-            "materialize them, then convert"
+            "table carries live deletion vectors — run reorg_purge() first "
+            "(rewrites ONLY the DV'd files), then convert"
         )
 
     now = int(time.time() * 1000)
@@ -3468,7 +3519,7 @@ def sync_delta_to_iceberg(spark, delta_table, iceberg_table: "IcebergTable") -> 
         raise NotImplementedError("sync of a column-mapped Delta table is not supported")
     if any(i["deletionVector"] for i in adds_now.values()):
         raise NotImplementedError(
-            "table carries live deletion vectors — run optimize() first, then sync"
+            "table carries live deletion vectors — run reorg_purge() first, then sync"
         )
     ice_schema = iceberg_table._ice_schema(meta)
     ids = {f["name"]: f["id"] for f in ice_schema["fields"]}

@@ -291,7 +291,15 @@ class LakeTable:
                 f"version {base_version}, latest is now {latest} — "
                 f"re-plan against the current snapshot"
             )
-        ours = json.dumps(schema.jsonValue()) if schema else ""
+        def _shape(schema_json: str) -> list[tuple[str, object]]:
+            # (name, type) pairs only: nullability and metadata don't
+            # change how the op's rewritten files are interpreted, and
+            # writers legitimately disagree on them (range() emits
+            # non-nullable, createDataFrame nullable)
+            d = json.loads(schema_json)
+            return [(f["name"], f["type"]) for f in d.get("fields") or []]
+
+        ours = _shape(json.dumps(schema.jsonValue())) if schema else None
         for c in self._read_commits(up_to=latest):
             if c.version <= base_version:
                 continue
@@ -303,7 +311,7 @@ class LakeTable:
                     + (f" overlapping this op's remove set: {overlap[:3]}" if overlap else "")
                     + " — re-plan against the current snapshot"
                 )
-            if c.schema_json and ours and c.schema_json != ours:
+            if c.schema_json and ours is not None and _shape(c.schema_json) != ours:
                 raise ConcurrentWriteError(
                     f"true conflict under {operation}: concurrent "
                     f"{c.operation} (version {c.version}) evolved the "
@@ -1241,15 +1249,11 @@ class LakeTable:
         return out
 
 
-def _zvalue(df: DataFrame, cols: list[str], bits: int = 8) -> F.Column:
-    """Morton z-value column over numeric ``cols``: each column maps
-    to a ``2^bits``-bucket id over its observed [min, max] (one
-    bounded driver agg — index-building metadata, like any clustering
-    stats pass), and the bucket bits interleave JVM-side with
-    shift/mask expressions (bit j of column k lands at j·m+k). Rows
-    sorted by the z-value cluster into hyper-rectangles, which is what
-    makes per-file min/max stats selective on EVERY z-ordered column.
-    NULLs bucket to 0 (lowest corner)."""
+def _cluster_buckets(df: DataFrame, cols: list[str], bits: int) -> list[F.Column]:
+    """``2^bits``-bucket ordinals per clustering column over its
+    observed [min, max] (one bounded driver agg — index-building
+    metadata, like any clustering stats pass). NULLs bucket to 0
+    (lowest corner). Shared by Z-ORDER and Hilbert clustering."""
     n_buckets = 1 << bits
     row = df.agg(
         *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(cols)],
@@ -1260,16 +1264,89 @@ def _zvalue(df: DataFrame, cols: list[str], bits: int = 8) -> F.Column:
         mn, mx = row[f"mn_{i}"], row[f"mx_{i}"]
         if mn is None or mx is None or not isinstance(mn, (int, float)) or mn >= mx:
             raise ValueError(
-                f"zorder column {c!r} needs a numeric range (got [{mn}, {mx}])"
+                f"clustering column {c!r} needs a numeric range (got [{mn}, {mx}])"
             )
         b = F.width_bucket(F.col(c).cast("double"), F.lit(float(mn)), F.lit(float(mx)), F.lit(n_buckets)) - 1
         buckets.append(F.coalesce(F.least(b, F.lit(n_buckets - 1)), F.lit(0)).cast("long"))
+    return buckets
+
+
+def _zvalue(df: DataFrame, cols: list[str], bits: int = 8) -> F.Column:
+    """Morton z-value column over numeric ``cols``: bucket bits
+    interleave JVM-side with shift/mask expressions (bit j of column k
+    lands at j·m+k). Rows sorted by the z-value cluster into
+    hyper-rectangles, which is what makes per-file min/max stats
+    selective on EVERY z-ordered column."""
+    buckets = _cluster_buckets(df, cols, bits)
     m = len(cols)
     z = F.lit(0).cast("long")
     for j in range(bits):
         for k, b in enumerate(buckets):
             z = z + F.shiftleft(F.shiftright(b, j).bitwiseAND(F.lit(1)), j * m + k)
     return z
+
+
+def _hilbert_axes_to_index(coords: list, bits: int):
+    """Vectorized Skilling transpose (public-domain algorithm from
+    'Programming the Hilbert curve', J. Skilling, AIP 2004): map
+    arrays of d-dimensional ``bits``-bit bucket ordinals to their
+    Hilbert-curve index. Pure numpy bit ops over the whole batch — no
+    per-row Python."""
+    import numpy as np
+
+    X = [c.astype(np.uint64).copy() for c in coords]
+    n = len(X)
+    one = np.uint64(1)
+    M = one << np.uint64(bits - 1)
+    Q = M
+    while Q > one:  # inverse undo excess work
+        P = Q - one
+        for i in range(n):
+            mask = (X[i] & Q) != 0
+            X[0] = np.where(mask, X[0] ^ P, X[0])  # invert
+            t = np.where(mask, np.uint64(0), (X[0] ^ X[i]) & P)  # exchange
+            X[0] ^= t
+            X[i] ^= t
+        Q >>= one
+    for i in range(1, n):  # Gray encode
+        X[i] ^= X[i - 1]
+    t = np.zeros_like(X[0])
+    Q = M
+    while Q > one:
+        t = np.where((X[n - 1] & Q) != 0, t ^ (Q - one), t)
+        Q >>= one
+    for i in range(n):
+        X[i] ^= t
+    # interleave the TRANSPOSED form: bit q of X[i] → index bit
+    # q·n + (n-1-i) (X[0] carries the most significant bit per level)
+    h = np.zeros_like(X[0])
+    for q in range(bits):
+        for i in range(n):
+            bit = (X[i] >> np.uint64(q)) & one
+            h |= bit << np.uint64(q * n + (n - 1 - i))
+    return h.astype(np.int64)
+
+
+def _hilbert_value(df: DataFrame, cols: list[str], bits: int = 8) -> F.Column:
+    """Hilbert-curve clustering value over numeric ``cols`` — the
+    curve behind Databricks liquid clustering: unlike Morton/Z-order,
+    consecutive curve positions are always GRID NEIGHBORS (no Z-shape
+    jumps across the space), so equal-size file cuts cover tighter
+    hyper-rectangles and per-file min/max stats prune better at the
+    same file count. Buckets compute JVM-side; the bucket tuple maps
+    to its curve index in one Arrow-batched vectorized pandas UDF
+    (write-path only — reads never pay it)."""
+    import pandas as pd
+
+    buckets = _cluster_buckets(df, cols, bits)
+
+    # no type annotations: `from __future__ import annotations` turns
+    # them into strings, which pandas_udf's signature inference rejects
+    def _hv(*bs):
+        arrs = [b.to_numpy(dtype="int64").astype("uint64") for b in bs]
+        return pd.Series(_hilbert_axes_to_index(arrs, bits))
+
+    return F.pandas_udf(_hv, "long", F.PandasUDFType.SCALAR)(*buckets)
 
 
 def _dv_row_indexes_of(table_path: str, dv: dict) -> list[int]:
@@ -1576,6 +1653,7 @@ class DeltaLogTable:
                             # checkpoints without the column just see
                             # "no stats" — pruning stays sound
                             "stats": a["stats"] if "stats" in flds else None,
+                            "size": a["size"] if "size" in flds else None,
                             "baseRowId": a["baseRowId"] if "baseRowId" in flds else None,
                             "defaultRowCommitVersion": (
                                 a["defaultRowCommitVersion"]
@@ -1653,6 +1731,7 @@ class DeltaLogTable:
                             "partitionValues": a.get("partitionValues") or {},
                             "deletionVector": a.get("deletionVector"),
                             "stats": a.get("stats"),
+                            "size": a.get("size"),
                             "baseRowId": a.get("baseRowId"),
                             "defaultRowCommitVersion": a.get("defaultRowCommitVersion"),
                         }
@@ -1682,6 +1761,12 @@ class DeltaLogTable:
         # verbatim (a synthesized protocol would downgrade feature
         # gates like columnMapping's (2,5) — ADVICE r5)
         self._last_protocol = proto
+        # per-file sizes + latest metaData, kept for the version
+        # checksum (.crc) writer — incremental state, no extra replay
+        self._snap_sizes = {
+            p: int(info.get("size") or 0) for p, info in adds.items()
+        }
+        self._last_meta = meta
         # domain metadata (spec: 'Domain Metadata') — engine-owned
         # key/value state; delta.rowTracking carries the row-id high
         # water mark that fresh-id assignment in _commit_actions bumps
@@ -3179,6 +3264,7 @@ class DeltaLogTable:
         with os.fdopen(fd, "w") as fh:
             for a in actions:
                 fh.write(json.dumps(a) + "\n")
+        self._write_version_checksum(version, actions)
         if (version + 1) % self.CHECKPOINT_INTERVAL == 0:
             self.checkpoint(version)
         elif (
@@ -3199,6 +3285,85 @@ class DeltaLogTable:
     #: minor-log-compaction cadence when delta.enableLogCompaction=true
     #: (between CHECKPOINT_INTERVAL checkpoints)
     LOG_COMPACTION_INTERVAL = 5
+
+    def _write_version_checksum(self, version: int, actions: list[dict]) -> None:
+        """Version checksum sidecar (``{version}.crc``, delta-spark's
+        VersionChecksum shape): one JSON line with the post-commit
+        snapshot's ``tableSizeBytes`` / ``numFiles`` plus the latest
+        ``metadata`` / ``protocol``, maintained INCREMENTALLY from the
+        pre-commit sizes the verb's own ``_snapshot()`` tracked — no
+        extra replay, no Spark job. Best effort: a handle that never
+        replayed an existing log (``_snap_sizes`` unknown at version >
+        0) skips rather than writing a wrong checksum; readers treat an
+        absent .crc as 'not validated', exactly like delta-spark."""
+        sizes = dict(getattr(self, "_snap_sizes", None) or {})
+        if not sizes and version > 0 and not hasattr(self, "_snap_sizes"):
+            return
+        meta = getattr(self, "_last_meta", None)
+        proto = getattr(self, "_last_protocol", None)
+        for act in actions:
+            if "add" in act:
+                sizes[act["add"]["path"]] = int(act["add"].get("size") or 0)
+            elif "remove" in act:
+                sizes.pop(act["remove"]["path"], None)
+            elif "metaData" in act:
+                meta = act["metaData"]
+            elif "protocol" in act:
+                proto = act["protocol"]
+        crc = {
+            "tableSizeBytes": sum(sizes.values()),
+            "numFiles": len(sizes),
+            "numMetadata": 1,
+            "numProtocol": 1,
+        }
+        if meta is not None:
+            crc["metadata"] = meta
+        if proto is not None:
+            crc["protocol"] = proto
+        tmp = os.path.join(self.log_path, f".{version:020d}.crc.tmp")
+        try:
+            with open(tmp, "w") as fh:
+                fh.write(json.dumps(crc) + "\n")
+            os.replace(tmp, os.path.join(self.log_path, f"{version:020d}.crc"))
+        except OSError:
+            return  # the checksum is advisory; never fail the commit
+        self._snap_sizes = sizes
+        self._last_meta = meta
+        self._last_protocol = proto
+
+    def validate_checksum(self, version: int | None = None) -> dict:
+        """Cross-check a committed ``{version}.crc`` against a fresh
+        log replay — the state-validation verb (detects a truncated or
+        hand-edited log, a lost add action, out-of-band file pruning of
+        the JSON commits). Returns ``{"validated": False}`` when no
+        .crc exists for the version (foreign writers may not emit
+        them); raises ``ValueError`` on a genuine mismatch."""
+        if version is None:
+            version = self.latest_version()
+        p = os.path.join(self.log_path, f"{version:020d}.crc")
+        if not os.path.isfile(p):
+            return {"validated": False, "version": version}
+        with open(p) as fh:
+            crc = json.loads(fh.readline())
+        adds, *_ = self._snapshot(version)
+        n_files = len(adds)
+        size = sum(int(info.get("size") or 0) for info in adds.values())
+        ok_files = int(crc.get("numFiles", -1)) == n_files
+        ok_size = int(crc.get("tableSizeBytes", -1)) == size
+        if not (ok_files and ok_size):
+            raise ValueError(
+                f"version checksum mismatch at {version}: crc says "
+                f"numFiles={crc.get('numFiles')} tableSizeBytes="
+                f"{crc.get('tableSizeBytes')}, replay computed "
+                f"numFiles={n_files} tableSizeBytes={size} — the log "
+                f"was modified out-of-band"
+            )
+        return {
+            "validated": True,
+            "version": version,
+            "numFiles": n_files,
+            "tableSizeBytes": size,
+        }
 
     def compact_log(self, start: int, end: int) -> str:
         """Minor log compaction (spec: 'Log Compaction Files'): write
@@ -4550,6 +4715,7 @@ class DeltaLogTable:
         target_files: int = 8,
         cluster_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        hilbert_by: list[str] | None = None,
     ) -> dict:
         """OPTIMIZE (bin-packing compaction) in the PUBLIC log format
         (the verb behind `02-Fraud-Performance.py`'s OPTIMIZE cell,
@@ -4570,16 +4736,20 @@ class DeltaLogTable:
         bits INTERLEAVE into a z-value, and files range-partition +
         sort on it — every file then covers a small hyper-rectangle,
         so add-action min/max stats prune predicates on ANY of the
-        z-ordered columns, not just the leading one.
+        z-ordered columns, not just the leading one. ``hilbert_by``
+        clusters on the HILBERT curve instead (the liquid-clustering
+        curve): consecutive curve positions are always grid neighbors,
+        so equal-size file cuts cover tighter hyper-rectangles than
+        Morton's Z-shaped jumps — same write cost, better pruning.
 
         Returns ``{"files_before", "files_after", "dvs_materialized"}``.
         """
         import time
 
-        if cluster_by and zorder_by:
-            raise ValueError("pass cluster_by OR zorder_by, not both")
+        if sum(1 for x in (cluster_by, zorder_by, hilbert_by) if x) > 1:
+            raise ValueError("pass cluster_by OR zorder_by OR hilbert_by, not several")
         adds, schema, part_cols, meta = self._snapshot()
-        if not cluster_by and not zorder_by:
+        if not cluster_by and not zorder_by and not hilbert_by:
             # clustered table (spec: 'Clustered Table'): a bare OPTIMIZE
             # clusters on the table's declared clustering columns — the
             # liquid-clustering contract (set_clustering)
@@ -4593,12 +4763,14 @@ class DeltaLogTable:
             )
         n_dvs = sum(1 for i in adds.values() if i["deletionVector"])
         df = self.read()
-        if zorder_by:
-            missing = [c for c in zorder_by if c not in df.columns]
+        if zorder_by or hilbert_by:
+            curve_cols = zorder_by or hilbert_by
+            missing = [c for c in curve_cols if c not in df.columns]
             if missing:
-                raise ValueError(f"zorder_by columns {missing} not in table")
+                raise ValueError(f"clustering columns {missing} not in table")
+            curve = _zvalue(df, curve_cols) if zorder_by else _hilbert_value(df, curve_cols)
             df = (
-                df.withColumn("_z", _zvalue(df, zorder_by))
+                df.withColumn("_z", curve)
                 .repartitionByRange(target_files, "_z")
                 .sortWithinPartitions("_z")
                 .drop("_z")
@@ -4625,6 +4797,8 @@ class DeltaLogTable:
                     "operationParameters": {
                         "targetFiles": target_files,
                         "clusterBy": list(cluster_by or []),
+                        "zOrderBy": list(zorder_by or []),
+                        "hilbertBy": list(hilbert_by or []),
                     },
                     "engineInfo": "ent_fins_lakehouse_spark/delta-shim",
                 }
@@ -4647,6 +4821,119 @@ class DeltaLogTable:
             "files_before": len(adds),
             "files_after": len(new_adds),
             "dvs_materialized": n_dvs,
+        }
+
+    def reorg_purge(self) -> dict:
+        """REORG TABLE … APPLY (PURGE) — the SURGICAL deletion-vector
+        garbage collector (delta-spark's REORG verb): rewrite ONLY the
+        files that carry a deletion vector, physically dropping the
+        masked rows; every clean file is untouched and keeps its add
+        action byte-for-byte. :meth:`optimize` also materializes DVs
+        but rewrites the WHOLE table; at 100 TB with 0.1% of files
+        DV'd, PURGE touches 0.1% of the bytes — it is the verb that
+        makes :func:`convert_delta_to_iceberg` / :meth:`sync_uniform`
+        affordable on a table with soft deletes. Committed like
+        OPTIMIZE: remove(old)+add(new) with ``dataChange=false`` —
+        readers see identical rows, streams skip the commit, time
+        travel still serves the DV'd layout.
+
+        Spark-first shape: the affected files scan in ONE multi-path
+        branch per partition tuple with the parquet ``file_path`` /
+        ``row_index`` metadata columns; masked rows drop via a single
+        distributed left-anti join against executor-decoded DV rows
+        (the big-DV read path's plan — bounded no matter how many rows
+        the bitmaps mask). Returns ``{"files_purged", "files_after",
+        "rows_purged"}``."""
+        import time
+
+        adds, schema, part_cols, meta = self._snapshot()
+        if ((meta or {}).get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        ) != "none":
+            raise NotImplementedError(
+                "REORG PURGE on column-mapped Delta tables is not supported "
+                "by the shim (files need physical column names)"
+            )
+        dv_adds = {p: info for p, info in adds.items() if info["deletionVector"]}
+        if not dv_adds:
+            return {"files_purged": 0, "files_after": 0, "rows_purged": 0}
+        rows_purged = sum(
+            int(info["deletionVector"].get("cardinality") or 0)
+            for info in dv_adds.values()
+        )
+        data_fields = [f for f in schema.fields if f.name not in part_cols]
+        phys = T.StructType([T.StructField(f.name, f.dataType) for f in data_fields])
+        types = {f.name: f.dataType for f in schema.fields}
+        groups: dict[tuple, list[str]] = {}
+        pv_of: dict[tuple, dict] = {}
+        dv_files: list[tuple[str, dict]] = []
+        for p, info in sorted(dv_adds.items()):
+            full = os.path.join(self.path, p)
+            pv = info["partitionValues"]
+            key = tuple(pv.get(c) for c in part_cols)
+            groups.setdefault(key, []).append(full)
+            pv_of[key] = pv
+            dv_files.append((os.path.abspath(full), info["deletionVector"]))
+        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+        parts: list[DataFrame] = []
+        for key in sorted(
+            groups, key=lambda k: tuple("" if v is None else str(v) for v in k)
+        ):
+            df = (
+                self.spark.read.schema(phys)
+                .parquet(*sorted(groups[key]))
+                .select(
+                    *[F.col(f.name) for f in data_fields],
+                    norm(F.col("_metadata.file_path")).alias("_fp"),
+                    F.col("_metadata.row_index").alias("_ri"),
+                )
+            )
+            pv = pv_of[key]
+            for c in part_cols:
+                df = df.withColumn(c, F.lit(pv.get(c)).cast(types[c]))
+            parts.append(df)
+        clean = parts[0]
+        for df in parts[1:]:
+            clean = clean.unionByName(df)
+        clean = (
+            clean.join(
+                self._dv_deleted_df(dv_files), ["_fp", "_ri"], "left_anti"
+            )
+            .drop("_fp", "_ri")
+            .select(*[f.name for f in schema.fields])
+        )
+        new_adds = self._stage_adds(clean, part_cols)
+        now = int(time.time() * 1000)
+        for a in new_adds:
+            a["add"]["dataChange"] = False
+        version = self.latest_version() + 1
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "REORG",
+                    "operationParameters": {"applyPurge": True},
+                    "engineInfo": "ent_fins_lakehouse_spark/delta-shim",
+                }
+            },
+            *[
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now,
+                        "dataChange": False,
+                        "partitionValues": info["partitionValues"],
+                    }
+                }
+                for p, info in sorted(dv_adds.items())
+            ],
+            *new_adds,
+        ]
+        self._commit_actions(version, actions)
+        return {
+            "files_purged": len(dv_adds),
+            "files_after": len(new_adds),
+            "rows_purged": rows_purged,
         }
 
     def vacuum(self, retention_hours: float = 168.0, dry_run: bool = False) -> list[str]:
@@ -4818,7 +5105,7 @@ class DeltaLogTable:
             a = {
                 "path": p,
                 "partitionValues": list((info.get("partitionValues") or {}).items()),
-                "size": 0,
+                "size": info.get("size") or 0,
                 "modificationTime": 0,
                 "dataChange": False,
                 "stats": info.get("stats"),

@@ -4234,3 +4234,181 @@ def test_delta_log_compaction_bootstrap(spark, tmp_path):
     dl3 = DeltaLogTable(spark, td)
     got = sorted((r["id"], r["v"]) for r in dl3.read().collect())
     assert got == want and all(i < 600 for i, _ in got)
+
+
+def test_delta_version_checksum_crc(spark, tmp_path):
+    """{version}.crc version-checksum sidecars (delta-spark's
+    VersionChecksum): written incrementally per commit, validated
+    against a fresh replay, and a hand-edited log raises a mismatch."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "crc")
+    dl = DeltaLogTable(spark, td)
+    dl.write(spark.range(10).selectExpr("id", "id AS v"), mode="append")
+    dl.write(spark.range(10, 20).selectExpr("id", "id AS v"), mode="append")
+    log = _os.path.join(td, "_delta_log")
+    assert _os.path.isfile(_os.path.join(log, f"{0:020d}.crc"))
+    assert _os.path.isfile(_os.path.join(log, f"{1:020d}.crc"))
+    with open(_os.path.join(log, f"{1:020d}.crc")) as fh:
+        crc = _json.loads(fh.readline())
+    assert crc["numFiles"] >= 2 and crc["tableSizeBytes"] > 0
+    assert crc["metadata"]["schemaString"]
+    res = dl.validate_checksum()
+    assert res["validated"] and res["numFiles"] == crc["numFiles"]
+    # DV delete keeps files in place; crc still tracks the re-adds
+    dl.delete("id < 3")
+    res2 = DeltaLogTable(spark, td).validate_checksum()
+    assert res2["validated"]
+    # a hand-edited log (dropped add action) must raise on validate
+    v1 = _os.path.join(log, f"{1:020d}.json")
+    with open(v1) as fh:
+        lines = fh.readlines()
+    kept = [ln for ln in lines if "\"add\"" not in ln]
+    assert len(kept) < len(lines)
+    with open(v1, "w") as fh:
+        fh.writelines(kept)
+    with _pytest.raises(ValueError, match="checksum mismatch"):
+        DeltaLogTable(spark, td).validate_checksum(1)
+    # absent .crc (foreign writer) → not validated, no error
+    _os.remove(_os.path.join(log, f"{0:020d}.crc"))
+    assert DeltaLogTable(spark, td).validate_checksum(0) == {
+        "validated": False,
+        "version": 0,
+    }
+
+
+def test_delta_reorg_purge(spark, tmp_path):
+    """REORG PURGE rewrites ONLY DV-carrying files; clean files keep
+    their add actions; time travel still serves the DV'd layout."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "purge")
+    dl = DeltaLogTable(spark, td)
+    df = spark.range(1000).selectExpr("id", "id % 7 AS v")
+    dl.write(df.repartitionByRange(5, "id"), mode="append")
+    assert dl.reorg_purge() == {
+        "files_purged": 0,
+        "files_after": 0,
+        "rows_purged": 0,
+    }  # no DVs → no-op, no commit
+    v_before = dl.latest_version()
+    res = dl.delete("id < 150")
+    adds, *_ = dl._snapshot()
+    clean = {p for p, i in adds.items() if not i["deletionVector"]}
+    assert 0 < len(clean) < len(adds)
+    pr = dl.reorg_purge()
+    assert pr["rows_purged"] == res["rows_deleted"] == 150
+    assert pr["files_purged"] == len(adds) - len(clean)
+    adds2, *_ = dl._snapshot()
+    assert clean <= set(adds2)
+    assert not any(i["deletionVector"] for i in adds2.values())
+    got = sorted(r["id"] for r in dl.read().collect())
+    assert got == list(range(150, 1000))
+    # dataChange=false: time travel to the DV'd version still masks
+    old = dl.read(version_as_of=v_before + 1)
+    assert old.count() == 850
+    # and the pre-delete version is intact
+    assert dl.read(version_as_of=v_before).count() == 1000
+
+
+def test_delta_reorg_purge_partitioned(spark, tmp_path):
+    """PURGE on a hive-partitioned table re-attaches partition values
+    and stages rewrites back into the right directories."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "purgep")
+    dl = DeltaLogTable(spark, td)
+    df = spark.range(400).selectExpr("id", "id % 4 AS p")
+    dl.write(df, mode="append", partition_by=["p"])
+    dl.delete("id < 100 AND p = 1")
+    pr = dl.reorg_purge()
+    assert pr["files_purged"] >= 1 and pr["rows_purged"] == 25
+    adds, *_ = dl._snapshot()
+    assert not any(i["deletionVector"] for i in adds.values())
+    got = dl.read().groupBy("p").count().orderBy("p").collect()
+    assert [(r["p"], r["count"]) for r in got] == [(0, 100), (1, 75), (2, 100), (3, 100)]
+
+
+def test_iceberg_rollback_and_set_current(spark, tmp_path):
+    """rollback_to is ancestor-checked and metadata-only; rolled-past
+    snapshots survive and re-publish via set_current_snapshot; a
+    rollback_to_timestamp resolves through snapshot_at."""
+    import pytest as _pytest
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "rb"))
+    s1 = t.append(spark.range(10).selectExpr("id", "id * 2 AS v"))
+    s2 = t.append(spark.range(10, 20).selectExpr("id", "id * 2 AS v"))
+    s3 = t.append(spark.range(20, 30).selectExpr("id", "id * 2 AS v"))
+    assert t.rollback_to(snapshot_id=s2) == s2
+    assert t.read().count() == 20
+    assert len(t.snapshots()) == 3  # log untouched
+    assert t.read(snapshot_id=s3).count() == 30
+    # idempotent rollback to the current head
+    assert t.rollback_to(snapshot_id=s2) == s2
+    # non-ancestor (forward) rollback refuses
+    with _pytest.raises(ValueError, match="not an ancestor"):
+        t.rollback_to(snapshot_id=s3)
+    # arbitrary move re-publishes
+    assert t.set_current_snapshot(s3) == s3
+    assert t.read().count() == 30
+    # timestamp-based rollback resolves via snapshot_at
+    ts2 = next(s for s in t.snapshots() if s["snapshot-id"] == s2)["timestamp-ms"]
+    assert t.rollback_to(timestamp_ms=ts2) == s2
+    with _pytest.raises(ValueError, match="exactly one"):
+        t.rollback_to()
+    with _pytest.raises(ValueError, match="not in"):
+        t.set_current_snapshot(999)
+    assert t.rollback_to(snapshot_id=s1) == s1
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(10))
+
+
+def test_hilbert_index_properties():
+    """The vectorized Skilling transform is a true Hilbert curve:
+    over the full 2^bits × 2^bits grid the indexes are a permutation
+    of 0..N-1 and CONSECUTIVE indexes are grid neighbors (Manhattan
+    distance exactly 1) — the property Morton/Z-order lacks."""
+    import numpy as np
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import _hilbert_axes_to_index
+
+    for n_dims, bits in ((2, 3), (3, 2), (2, 5)):
+        side = 1 << bits
+        grids = np.meshgrid(*[np.arange(side)] * n_dims, indexing="ij")
+        coords = [g.ravel().astype("uint64") for g in grids]
+        h = _hilbert_axes_to_index(coords, bits)
+        n = side**n_dims
+        assert sorted(h.tolist()) == list(range(n)), (n_dims, bits)
+        order = np.argsort(h)
+        pts = np.stack([c[order].astype("int64") for c in coords], axis=1)
+        steps = np.abs(np.diff(pts, axis=0)).sum(axis=1)
+        assert (steps == 1).all(), (n_dims, bits, int(steps.max()))
+
+
+def test_delta_optimize_hilbert(spark, tmp_path):
+    """OPTIMIZE … hilbert_by clusters both dimensions: stats prune
+    selective predicates on EITHER column, and the rows are unchanged."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "hil")
+    dl = DeltaLogTable(spark, td)
+    df = spark.range(20000).selectExpr(
+        "id AS a", "CAST(pmod(id * 2654435761, 20000) AS LONG) AS b"
+    )
+    dl.write(df.repartition(8), mode="append")
+    dl.optimize(target_files=16, hilbert_by=["a", "b"])
+    for pred in ("a <= 1000", "b <= 1000"):
+        info = dl.scan_info(pred)
+        assert info["n_pruned"] >= 8, (pred, info)
+    got = dl.read().selectExpr("sum(a) s", "sum(b) t", "count(*) n").first()
+    assert (got["s"], got["n"]) == (20000 * 19999 // 2, 20000)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not several"):
+        dl.optimize(zorder_by=["a"], hilbert_by=["b"])
