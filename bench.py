@@ -94,6 +94,12 @@ HEADLINE = [
     # copy-on-write DML and the Delta V2 checkpoint write+bootstrap
     "q253_iceberg_copy_on_write",
     "q254_delta_v2_checkpoint_write",
+    # r8 maintenance + quality additions: surgical DV purge,
+    # Hilbert clustering (write-path curve cost tracked vs q180's
+    # Z-order), and the entropy quality gate's explode+agg pass
+    "q292_delta_reorg_purge",
+    "q294_delta_hilbert_clustering",
+    "q291_unigram_entropy_quality",
 ]
 
 
