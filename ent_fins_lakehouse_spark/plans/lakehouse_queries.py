@@ -4795,7 +4795,7 @@ def q290_delta_version_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_nationkey,
            COUNT(*) AS n,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS bal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS bal
     FROM customer
     WHERE c_custkey > 300
     GROUP BY c_nationkey
@@ -4844,6 +4844,7 @@ def q292_delta_reorg_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
             .cast("decimal(18,2)")
+            .cast("double")
             .alias("bal"),
         )
         .orderBy("c_nationkey")
@@ -4855,7 +4856,7 @@ def q292_delta_reorg_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
     FROM orders
     WHERE o_orderkey % 3 < 2
     GROUP BY o_orderstatus
@@ -4906,6 +4907,7 @@ def q293_iceberg_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
             .cast("decimal(18,2)")
+            .cast("double")
             .alias("total"),
         )
         .orderBy("o_orderstatus")

@@ -3852,3 +3852,143 @@ def q291_unigram_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ent.alias("entropy_bits"),
         ((ent * 10000).cast("long") >= 30000).alias("passes_gate"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q295_sft_chat_format",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id,
+             '<|system|>' || chr(10) || 'You are a concise assistant.'
+               || chr(10) || '<|user|>' || chr(10)
+               || 'Summarize this ' || lang || ' document in one sentence.'
+               || chr(10) || substring(text, 1, 200)
+               || chr(10) || '<|assistant|>' || chr(10) AS prefix,
+             text
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+             len(regexp_extract_all(prefix || text || '<|end|>', '{TOKEN_PATTERN}')) AS n_tokens_total,
+             len(regexp_extract_all(prefix, '{TOKEN_PATTERN}')) AS n_tokens_prompt
+      FROM r
+    )
+    SELECT doc_id, n_tokens_total, n_tokens_prompt,
+           n_tokens_total - n_tokens_prompt AS n_tokens_label,
+           n_tokens_total <= 512 AS fits_budget
+    FROM t ORDER BY doc_id
+    """,
+    tags=("llm", "sft", "formatting"),
+)
+def q295_sft_chat_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat-template rendering + loss-mask arithmetic — the
+    formatting pass between curated documents and a supervised
+    fine-tuning run: each document renders into a chat transcript
+    (system/user/assistant markers), and the PROMPT-PREFIX token count
+    is computed separately from the total so the trainer can mask the
+    loss on everything before the assistant turn (the label-masking
+    contract). Token counts use the engine's BPE-ish regex (q56's
+    TOKEN_PATTERN) on BOTH engines, so the budget gate compares
+    integers. One map-only JVM pass — concat/substring/regexp all
+    codegen; no shuffle except the presentation sort. At 100 TB this
+    is a pure scan-transform-write stage."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    nl = F.lit("\n")
+    prefix = F.concat(
+        F.lit("<|system|>"), nl, F.lit("You are a concise assistant."), nl,
+        F.lit("<|user|>"), nl,
+        F.lit("Summarize this "), F.col("lang"),
+        F.lit(" document in one sentence."), nl,
+        F.substring("text", 1, 200), nl,
+        F.lit("<|assistant|>"), nl,
+    )
+    rendered = F.concat(prefix, F.col("text"), F.lit("<|end|>"))
+    out = docs.select(
+        "doc_id",
+        token_count(rendered).alias("n_tokens_total"),
+        token_count(prefix).alias("n_tokens_prompt"),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens_total",
+        "n_tokens_prompt",
+        (F.col("n_tokens_total") - F.col("n_tokens_prompt")).alias("n_tokens_label"),
+        (F.col("n_tokens_total") <= 512).alias("fits_budget"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q296_dpo_pair_mining",
+    oracle="""
+    WITH scored AS (
+      SELECT source, lang, doc_id,
+             CAST(floor(10000.0 * len(list_distinct(string_split(lower(text), ' ')))
+                        / len(string_split(lower(text), ' '))) AS BIGINT) AS ttr
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, lang, doc_id, ttr,
+             ROW_NUMBER() OVER (PARTITION BY source, lang ORDER BY ttr DESC, doc_id) AS rn_top,
+             ROW_NUMBER() OVER (PARTITION BY source, lang ORDER BY ttr ASC, doc_id) AS rn_bot
+      FROM scored
+    )
+    SELECT c.source, c.lang,
+           c.doc_id AS chosen_doc, r.doc_id AS rejected_doc,
+           c.ttr - r.ttr AS margin
+    FROM ranked c JOIN ranked r
+      ON c.source = r.source AND c.lang = r.lang
+     AND c.rn_top = 1 AND r.rn_bot = 1
+    WHERE c.doc_id <> r.doc_id AND c.ttr - r.ttr >= 500
+    ORDER BY c.source, c.lang
+    """,
+    tags=("llm", "preference", "dpo"),
+)
+def q296_dpo_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining for DPO/RLHF-style training: within each
+    (source, lang) stratum the highest- and lowest-quality documents
+    pair as chosen/rejected, gated on a minimum quality margin so
+    near-tie pairs (no learning signal) drop. Quality is the
+    type-token ratio as a SCALED INTEGER (floor(10000·distinct/total))
+    so ranking and margin arithmetic are hash-exact across engines;
+    ties break on doc_id for a deterministic pair. Two window
+    functions over ONE (source, lang) exchange — at 100 TB this is a
+    single shuffle keyed by stratum, never doc×doc."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    words = F.split(F.lower("text"), " ")
+    scored = docs.select(
+        "source",
+        "lang",
+        "doc_id",
+        F.floor(
+            10000.0 * F.size(F.array_distinct(words)) / F.size(words)
+        ).cast("long").alias("ttr"),
+    )
+    w_top = W.partitionBy("source", "lang").orderBy(F.desc("ttr"), F.asc("doc_id"))
+    w_bot = W.partitionBy("source", "lang").orderBy(F.asc("ttr"), F.asc("doc_id"))
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w_top).alias("rn_top"),
+        F.row_number().over(w_bot).alias("rn_bot"),
+    )
+    c = ranked.filter("rn_top = 1").select(
+        "source", "lang",
+        F.col("doc_id").alias("chosen_doc"), F.col("ttr").alias("c_ttr"),
+    )
+    r = ranked.filter("rn_bot = 1").select(
+        "source", "lang",
+        F.col("doc_id").alias("rejected_doc"), F.col("ttr").alias("r_ttr"),
+    )
+    return (
+        c.join(r, ["source", "lang"])
+        .filter(
+            (F.col("chosen_doc") != F.col("rejected_doc"))
+            & ((F.col("c_ttr") - F.col("r_ttr")) >= 500)
+        )
+        .select(
+            "source", "lang", "chosen_doc", "rejected_doc",
+            (F.col("c_ttr") - F.col("r_ttr")).alias("margin"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -1766,6 +1766,11 @@ class DeltaLogTable:
         self._snap_sizes = {
             p: int(info.get("size") or 0) for p, info in adds.items()
         }
+        #: log version this handle's checksum state reflects — the crc
+        #: writer refuses to emit from a STALE replay (another writer
+        #: may have committed since; a checksum built on old sizes
+        #: would later fail validation spuriously)
+        self._snap_version = target
         self._last_meta = meta
         # domain metadata (spec: 'Domain Metadata') — engine-owned
         # key/value state; delta.rowTracking carries the row-id high
@@ -3292,13 +3297,15 @@ class DeltaLogTable:
         snapshot's ``tableSizeBytes`` / ``numFiles`` plus the latest
         ``metadata`` / ``protocol``, maintained INCREMENTALLY from the
         pre-commit sizes the verb's own ``_snapshot()`` tracked — no
-        extra replay, no Spark job. Best effort: a handle that never
-        replayed an existing log (``_snap_sizes`` unknown at version >
-        0) skips rather than writing a wrong checksum; readers treat an
-        absent .crc as 'not validated', exactly like delta-spark."""
-        sizes = dict(getattr(self, "_snap_sizes", None) or {})
-        if not sizes and version > 0 and not hasattr(self, "_snap_sizes"):
+        extra replay, no Spark job. Best effort: a handle whose replay
+        state is ABSENT or STALE for ``version - 1`` (it never replayed
+        the log, its last replay was a time-travel read, or another
+        writer committed since) skips rather than writing a wrong
+        checksum; readers treat an absent .crc as 'not validated',
+        exactly like delta-spark."""
+        if version > 0 and getattr(self, "_snap_version", None) != version - 1:
             return
+        sizes = dict(getattr(self, "_snap_sizes", None) or {})
         meta = getattr(self, "_last_meta", None)
         proto = getattr(self, "_last_protocol", None)
         for act in actions:
@@ -3328,6 +3335,7 @@ class DeltaLogTable:
         except OSError:
             return  # the checksum is advisory; never fail the commit
         self._snap_sizes = sizes
+        self._snap_version = version
         self._last_meta = meta
         self._last_protocol = proto
 

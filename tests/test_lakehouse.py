@@ -4412,3 +4412,39 @@ def test_delta_optimize_hilbert(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not several"):
         dl.optimize(zorder_by=["a"], hilbert_by=["b"])
+
+
+def test_delta_version_checksum_stale_handle(spark, tmp_path):
+    """Every DML verb replays immediately before committing, so
+    interleaved handles still emit CORRECT .crc files; the stale-state
+    guard only suppresses the checksum when a commit lands without a
+    fresh replay (the replay-to-commit race window)."""
+    import os as _os
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "crcstale")
+    a = DeltaLogTable(spark, td)
+    a.write(spark.range(10).selectExpr("id", "id AS v"), mode="append")   # v0
+    b = DeltaLogTable(spark, td)
+    b.write(spark.range(10, 20).selectExpr("id", "id AS v"), mode="append")  # v1
+    a.write(spark.range(20, 30).selectExpr("id", "id AS v"), mode="append")  # v2
+    log = _os.path.join(td, "_delta_log")
+    for v in range(3):
+        assert DeltaLogTable(spark, td).validate_checksum(v)["validated"], v
+    # simulate the race: a's checksum state is at v2, but a concurrent
+    # writer owns v3 — a version-4 commit from the stale state must
+    # NOT emit a crc (it would be built on sizes missing v3's adds)
+    assert a._snap_version == 2
+    a._write_version_checksum(4, [])
+    assert not _os.path.isfile(_os.path.join(log, f"{4:020d}.crc"))
+    # time-travel replay moves the state backwards; a direct commit
+    # from it must also skip
+    b.read(version_as_of=0).count()
+    assert b._snap_version == 0
+    b._write_version_checksum(3, [])
+    assert not _os.path.isfile(_os.path.join(log, f"{3:020d}.crc"))
+    # but a real verb replays fresh first: its commit carries the crc
+    b.delete("id < 5")
+    v = DeltaLogTable(spark, td).latest_version()
+    assert DeltaLogTable(spark, td).validate_checksum(v)["validated"]
