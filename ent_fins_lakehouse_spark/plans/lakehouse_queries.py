@@ -4953,3 +4953,60 @@ def q294_delta_hilbert_clustering(spark: SparkSession, sf_dir: str) -> DataFrame
     return dl.read(where="l_suppkey <= 40").orderBy(
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
     )
+
+
+@query(
+    "q297_iceberg_add_files",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("lakehouse", "iceberg", "migration", "interop"),
+)
+def q297_iceberg_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """system.add_files — the migration on-ramp: half of orders lives
+    as a LEGACY plain-parquet directory and registers into a fresh
+    Iceberg table METADATA-ONLY (files referenced in place — zero data
+    copied, asserted by path); the other half arrives through the
+    native append writer. The combined read must hash-match the full
+    orders oracle, and a selective key-range scan file-skips on the
+    imported files' FOOTER-sourced bounds (asserted) exactly like
+    native writes. At 100 TB onboarding a legacy lake is a
+    control-plane footer pass, not a rewrite."""
+    import os as _os
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = _scratch("addf")
+    legacy = _os.path.join(base, "legacy")
+    orders.filter("o_orderkey % 2 = 0").repartitionByRange(
+        4, "o_orderkey"
+    ).write.parquet(legacy)
+    t = IcebergTable(spark, _os.path.join(base, "ice"))
+    t.add_files(legacy)
+    if not all(p.startswith(_os.path.abspath(legacy)) for p in t.data_files()):
+        raise AssertionError("add_files must reference files in place")
+    t.append(orders.filter("o_orderkey % 2 = 1"))
+    lo = int(orders.approxQuantile("o_orderkey", [0.05], 0.01)[0])
+    info = t.scan_info(f"o_orderkey <= {lo}")
+    if info["n_pruned"] < 2:
+        raise AssertionError(f"imported footer bounds must file-skip: {info}")
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -2865,6 +2865,169 @@ class IcebergTable:
             "deletes_materialized": len(pos_deletes) + len(eq_deletes),
         }
 
+    def add_files(self, source_dir: str) -> int:
+        """``system.add_files`` — the Iceberg MIGRATION on-ramp:
+        register a directory of EXISTING parquet files into the table
+        as one append snapshot, metadata-only (zero bytes of data
+        copied or rewritten; the files stay where they are and are
+        referenced by absolute path, the same mechanism as
+        :func:`convert_delta_to_iceberg`). Manifest entries are built
+        from the parquet FOOTERS — record counts and little-endian
+        numeric bounds — so imported files file-skip exactly like
+        native writes. Creates the table from the files' schema when
+        none exists. At 100 TB this is the entire point of the
+        procedure: onboarding a legacy parquet lake is a control-plane
+        pass over footers, not a petabyte rewrite.
+
+        Refused loudly: hive-partitioned source layouts (their files
+        DROP the partition columns; Iceberg requires complete rows —
+        rewrite through :meth:`append` instead), schema mismatches,
+        and partitioned targets (imported files carry no partition
+        tuple)."""
+        import struct as _s
+        import time
+        import uuid as _uuid
+
+        import pyarrow.parquet as pq
+
+        from ent_fins_lakehouse_spark.sources.avro_io import write_ocf
+
+        files = sorted(
+            os.path.join(source_dir, f)
+            for f in os.listdir(source_dir)
+            if f.endswith(".parquet")
+        )
+        subdirs = [
+            f for f in os.listdir(source_dir)
+            if os.path.isdir(os.path.join(source_dir, f)) and "=" in f
+        ]
+        if subdirs:
+            raise NotImplementedError(
+                f"add_files: {source_dir} is hive-partitioned ({subdirs[:2]} …) — "
+                "hive layouts drop partition columns from the data files; "
+                "Iceberg requires complete rows. Rewrite through append()."
+            )
+        if not files:
+            raise ValueError(f"add_files: no parquet files under {source_dir}")
+        src_schema = self.spark.read.parquet(source_dir).schema
+        now = int(time.time() * 1000)
+        exists = self.exists() and bool(
+            [f for f in os.listdir(self.meta_dir) if f.endswith(".metadata.json")]
+        ) if os.path.isdir(self.meta_dir) else False
+        if exists:
+            meta = self.metadata()
+            ice_schema = self._ice_schema(meta)
+            want = {f.name: f.dataType for f in self.schema(meta).fields}
+            have = {f.name: f.dataType for f in src_schema.fields}
+            if sorted(have) != sorted(want) or any(have[n] != t for n, t in want.items()):
+                raise ValueError(
+                    f"add_files schema {src_schema.simpleString()} does not "
+                    f"match table schema {self.schema(meta).simpleString()}"
+                )
+            if self.partition_fields(meta):
+                raise NotImplementedError(
+                    "add_files into a partitioned table — imported files "
+                    "carry no partition tuple; use append()"
+                )
+            snaps = list(meta.get("snapshots") or [])
+            seq = int(meta.get("last-sequence-number") or 0) + 1
+            snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+        else:
+            os.makedirs(self.meta_dir, exist_ok=True)
+            fields = [
+                {"id": i + 1, "name": f.name, "required": False,
+                 "type": _spark_to_iceberg(f.dataType)}
+                for i, f in enumerate(src_schema.fields)
+            ]
+            ice_schema = {"schema-id": 0, "type": "struct", "fields": fields}
+            meta = {
+                "format-version": 2,
+                "table-uuid": str(_uuid.uuid4()),
+                "location": self.path,
+                "last-sequence-number": 0,
+                "last-updated-ms": now,
+                "last-column-id": len(fields),
+                "schemas": [ice_schema],
+                "current-schema-id": 0,
+                "default-spec-id": 0,
+                "partition-specs": [{"spec-id": 0, "fields": []}],
+                "last-partition-id": 999,
+                "default-sort-order-id": 0,
+                "sort-orders": [{"order-id": 0, "fields": []}],
+                "current-snapshot-id": -1,
+                "snapshots": [],
+            }
+            snaps = []
+            seq, snap_id = 1, 1
+        ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
+        itypes = {
+            f["name"]: f["type"]
+            for f in ice_schema["fields"]
+            if isinstance(f["type"], str)
+        }
+        packf = {"int": "<i", "long": "<q", "float": "<f", "double": "<d"}
+        entries = []
+        for fp in files:
+            full = os.path.abspath(fp)
+            md = pq.ParquetFile(full).metadata
+            mins: dict[str, object] = {}
+            maxs: dict[str, object] = {}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    stt = col.statistics
+                    if stt is None or not stt.has_min_max or "." in name:
+                        continue
+                    if itypes.get(name) not in packf:
+                        continue  # strings: footers may truncate
+                    mins[name] = stt.min if name not in mins else min(mins[name], stt.min)
+                    maxs[name] = stt.max if name not in maxs else max(maxs[name], stt.max)
+            lo_kv = [
+                {"key": ids[n], "value": _s.pack(packf[itypes[n]], v)}
+                for n, v in mins.items()
+            ]
+            hi_kv = [
+                {"key": ids[n], "value": _s.pack(packf[itypes[n]], maxs[n])}
+                for n in mins
+            ]
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    "sequence_number": None,  # inherited from the list row
+                    "data_file": {
+                        "content": 0,
+                        "file_path": full,
+                        "file_format": "PARQUET",
+                        "record_count": md.num_rows,
+                        "file_size_in_bytes": os.path.getsize(full),
+                        "lower_bounds": lo_kv or None,
+                        "upper_bounds": hi_kv or None,
+                    },
+                }
+            )
+        mpath = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
+        write_ocf(mpath, self._manifest_schema([], ice_schema), entries)
+        rows = self._prior_manifest_rows(meta, snaps)
+        rows.append(
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": int(meta.get("default-spec-id") or 0),
+                "content": 0,
+                "sequence_number": seq,
+                "added_snapshot_id": snap_id,
+            }
+        )
+        return self._commit_snapshot(
+            meta, snaps, snap_id, seq, rows, "append", now,
+            summary_extra={
+                "added-data-files": str(len(files)),
+                "source-dir": source_dir,
+            },
+        )
+
     def cherry_pick(self, snapshot_id: int) -> int:
         """cherry_pick_snapshot — publish one (typically WAP-staged)
         APPEND snapshot onto the CURRENT main head even after main has

@@ -4448,3 +4448,48 @@ def test_delta_version_checksum_stale_handle(spark, tmp_path):
     b.delete("id < 5")
     v = DeltaLogTable(spark, td).latest_version()
     assert DeltaLogTable(spark, td).validate_checksum(v)["validated"]
+
+
+def test_iceberg_add_files(spark, tmp_path):
+    """add_files registers existing parquet files metadata-only: zero
+    data movement, footer-sourced bounds file-skip, schema guarded,
+    hive layouts refused."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    legacy = str(tmp_path / "legacy")
+    spark.range(1000).selectExpr("id", "id * 3 AS v").repartitionByRange(
+        4, "id"
+    ).write.parquet(legacy)
+    t = IcebergTable(spark, str(tmp_path / "ice"))
+    s1 = t.add_files(legacy)
+    # files referenced in place — nothing copied under the table dir
+    assert all(p.startswith(_os.path.abspath(legacy)) for p in t.data_files())
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(1000))
+    # footer bounds prune a selective range scan
+    info = t.scan_info("id <= 100")
+    assert info["n_pruned"] >= 2, info
+    # a second import into the EXISTING table appends
+    legacy2 = str(tmp_path / "legacy2")
+    spark.range(1000, 1500).selectExpr("id", "id * 3 AS v").coalesce(1).write.parquet(legacy2)
+    s2 = t.add_files(legacy2)
+    assert s2 == s1 + 1
+    assert t.read().count() == 1500
+    # native appends compose on top
+    t.append(spark.range(1500, 1600).selectExpr("id", "id * 3 AS v"))
+    assert t.read().count() == 1600
+    # schema mismatch refused
+    bad = str(tmp_path / "bad")
+    spark.range(5).selectExpr("id", "CAST(id AS STRING) AS v").write.parquet(bad)
+    with _pytest.raises(ValueError, match="schema"):
+        t.add_files(bad)
+    # hive-partitioned source refused
+    hive = str(tmp_path / "hive")
+    spark.range(20).selectExpr("id", "id * 3 AS v", "id % 2 AS p").write.partitionBy(
+        "p"
+    ).parquet(hive)
+    with _pytest.raises(NotImplementedError, match="hive-partitioned"):
+        t.add_files(hive)
