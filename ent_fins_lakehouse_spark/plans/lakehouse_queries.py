@@ -5010,3 +5010,70 @@ def q297_iceberg_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q298_delta_merge_schema_evolution",
+    oracle="""
+    WITH merged AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey <= 200 THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal,
+             CASE WHEN c_custkey <= 200 THEN 'priority' ELSE NULL END AS tier
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000, c_acctbal + 1000.0, 'priority'
+      FROM customer
+      WHERE c_custkey > (SELECT MAX(c_custkey) - 150 FROM customer)
+    )
+    SELECT COALESCE(tier, 'untouched') AS tier,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS bal
+    FROM merged
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("lakehouse", "delta", "merge", "schema-evolution"),
+)
+def q298_delta_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE … WITH SCHEMA EVOLUTION in the public log: the source
+    carries a NEW ``tier`` column — the evolved metaData action commits
+    ATOMICALLY with the rewritten/inserted files, rows in UNTOUCHED
+    files read NULL for the new column (the Delta add-column contract:
+    old files stay valid, no rewrite), and time travel still serves
+    the pre-evolution schema. The merge itself stays file-surgical:
+    only files holding matched keys rewrite. The read-back aggregate
+    by tier hash-matches the relational oracle."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    dl = DeltaLogTable(spark, _scratch("mse") + "_t")
+    dl.write(cust.repartitionByRange(8, "c_custkey"), mode="append")
+    hi = int(cust.agg(F.max("c_custkey")).first()[0]) - 150
+    src = (
+        cust.filter(f"c_custkey <= 200 OR c_custkey > {hi}")
+        .select(
+            F.when(F.col("c_custkey") > hi, F.col("c_custkey") + 1000000)
+            .otherwise(F.col("c_custkey"))
+            .alias("c_custkey"),
+            (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+            F.lit("priority").alias("tier"),
+        )
+    )
+    res = dl.merge(src, on=["c_custkey"], with_schema_evolution=True)
+    adds, *_ = dl._snapshot()
+    if not (0 < res["files_rewritten"] < 8):
+        raise AssertionError(f"evolved merge must stay file-surgical: {res}")
+    old = dl.read(version_as_of=0)
+    if "tier" in old.columns:
+        raise AssertionError("time travel must serve the pre-evolution schema")
+    return (
+        dl.read()
+        .groupBy(F.coalesce("tier", F.lit("untouched")).alias("tier"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("bal"),
+        )
+        .orderBy("tier")
+    )

@@ -3805,6 +3805,7 @@ class DeltaLogTable:
         matched_update: dict[str, str] | None = None,
         not_matched_by_source_delete: bool = False,
         not_matched_by_source_condition: str | None = None,
+        with_schema_evolution: bool = False,
     ) -> dict:
         """MERGE INTO … USING source ON keys, committed to the PUBLIC
         Delta log — the reference's single most important operation
@@ -3820,14 +3821,57 @@ class DeltaLogTable:
         are rewritten (``remove``+``add`` actions), inserts and updated
         rows land in new staged files. Joins are Spark-planned — no
         forced broadcast; AQE picks broadcast when the source is small.
-        Returns ``{"files_rewritten"}``."""
+        Returns ``{"files_rewritten"}``.
+
+        ``with_schema_evolution=True`` (delta-spark's
+        ``WITH SCHEMA EVOLUTION`` clause): NEW source columns are added
+        to the table schema in the same commit — rewritten target rows
+        carry NULL for them, the evolved ``metaData`` action lands
+        atomically with the data, and untouched files stay valid (their
+        missing column reads as NULL, the Delta add-column contract).
+        Evolution only ADDS columns: overlapping columns must keep
+        their types, and a source MISSING target columns still
+        refuses."""
         import time
+        import uuid as _uuid
 
         df, adds, schema, part_cols, rel_of = self._read_with_fp()
-        self._enforce_append_only(self._snapshot()[3], "MERGE")
+        _meta = self._snapshot()[3]
+        self._enforce_append_only(_meta, "MERGE")
         want = {f.name: f.dataType for f in schema.fields}
         have = {f.name: f.dataType for f in source.schema.fields}
-        if sorted(have) != sorted(want) or any(have[n] != t for n, t in want.items()):
+        evolved_fields: list[T.StructField] = []
+        if with_schema_evolution:
+            if ((_meta or {}).get("configuration") or {}).get(
+                "delta.columnMapping.mode", "none"
+            ) != "none":
+                raise NotImplementedError(
+                    "MERGE WITH SCHEMA EVOLUTION on a column-mapped table "
+                    "is not supported by the shim (new fields need mapping ids)"
+                )
+            bad = [n for n in have if n in want and have[n] != want[n]]
+            if bad:
+                raise ValueError(
+                    f"schema evolution cannot change column types for {bad} "
+                    f"(source {source.schema.simpleString()} vs table "
+                    f"{schema.simpleString()})"
+                )
+            missing = [n for n in want if n not in have]
+            if missing:
+                raise ValueError(
+                    f"merge source is missing table columns {missing} — "
+                    "schema evolution only ADDS columns"
+                )
+            evolved_fields = [
+                T.StructField(f.name, f.dataType, True)
+                for f in source.schema.fields
+                if f.name not in want
+            ]
+            for f in evolved_fields:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            schema = T.StructType(list(schema.fields) + evolved_fields)
+            want = {f.name: f.dataType for f in schema.fields}
+        elif sorted(have) != sorted(want) or any(have[n] != t for n, t in want.items()):
             raise ValueError(
                 f"merge source schema {source.schema.simpleString()} does not "
                 f"match table schema {schema.simpleString()}"
@@ -3938,6 +3982,25 @@ class DeltaLogTable:
                     "engineInfo": "ent_fins_lakehouse_spark/delta-shim",
                 }
             },
+            # WITH SCHEMA EVOLUTION: the evolved metaData commits
+            # ATOMICALLY with the rewritten/inserted files — untouched
+            # files stay valid (their missing columns read as NULL)
+            *(
+                [
+                    {
+                        "metaData": {
+                            "id": (_meta or {}).get("id") or str(_uuid.uuid4()),
+                            "format": {"provider": "parquet", "options": {}},
+                            "schemaString": json.dumps(schema.jsonValue()),
+                            "partitionColumns": part_cols,
+                            "configuration": (_meta or {}).get("configuration") or {},
+                            "createdTime": (_meta or {}).get("createdTime") or now,
+                        }
+                    }
+                ]
+                if evolved_fields
+                else []
+            ),
             *[
                 {
                     "remove": {

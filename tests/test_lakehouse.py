@@ -4493,3 +4493,60 @@ def test_iceberg_add_files(spark, tmp_path):
     ).parquet(hive)
     with _pytest.raises(NotImplementedError, match="hive-partitioned"):
         t.add_files(hive)
+
+
+def test_delta_merge_with_schema_evolution(spark, tmp_path):
+    """MERGE … WITH SCHEMA EVOLUTION: new source columns land in the
+    table schema atomically with the merge; untouched files read NULL
+    for them; strict mode and type changes still refuse."""
+    import pytest as _pytest
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "mse")
+    dl = DeltaLogTable(spark, td)
+    dl.write(
+        spark.range(100).selectExpr("id", "id * 2 AS v").repartitionByRange(4, "id"),
+        mode="append",
+    )
+    src = spark.range(90, 120).selectExpr(
+        "id", "id * 10 AS v", "concat('t', id) AS tag"
+    )
+    # strict mode refuses the extra column
+    with _pytest.raises(ValueError, match="does not match"):
+        dl.merge(src, on=["id"])
+    res = dl.merge(src, on=["id"], with_schema_evolution=True)
+    assert res["files_rewritten"] >= 1
+    fresh = DeltaLogTable(spark, td)
+    got = fresh.read()
+    assert [f.name for f in got.schema.fields] == ["id", "v", "tag"]
+    rows = {r["id"]: (r["v"], r["tag"]) for r in got.collect()}
+    assert len(rows) == 120
+    assert rows[0] == (0, None)        # untouched file: NULL new column
+    assert rows[95] == (950, "t95")    # matched: updated + tagged
+    assert rows[110] == (1100, "t110") # inserted
+    # time travel still serves the pre-evolution schema
+    old = fresh.read(version_as_of=0)
+    assert [f.name for f in old.schema.fields] == ["id", "v"]
+    # a second evolved merge composes (source now matches — no-op evolution)
+    dl2 = DeltaLogTable(spark, td)
+    dl2.merge(
+        spark.range(120, 125).selectExpr("id", "id AS v", "'x' AS tag"),
+        on=["id"],
+        with_schema_evolution=True,
+    )
+    assert DeltaLogTable(spark, td).read().count() == 125
+    # type change refused even under evolution
+    with _pytest.raises(ValueError, match="cannot change column types"):
+        dl2.merge(
+            spark.range(5).selectExpr("id", "CAST(id AS STRING) AS v", "'x' AS tag"),
+            on=["id"],
+            with_schema_evolution=True,
+        )
+    # missing target column refused (evolution only ADDS)
+    with _pytest.raises(ValueError, match="missing table columns"):
+        dl2.merge(
+            spark.range(5).selectExpr("id", "'x' AS tag"),
+            on=["id"],
+            with_schema_evolution=True,
+        )
