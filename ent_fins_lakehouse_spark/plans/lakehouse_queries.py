@@ -5077,3 +5077,65 @@ def q298_delta_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("tier")
     )
+
+
+@query(
+    "q299_iceberg_schema_evolution",
+    oracle="""
+    WITH both_halves AS (
+      SELECT o_orderkey, o_totalprice, NULL AS channel
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 4 = 1 THEN 'web' ELSE 'store' END AS channel
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT COALESCE(channel, 'legacy') AS channel,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+    FROM both_halves
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("lakehouse", "iceberg", "schema-evolution"),
+)
+def q299_iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ADD/DROP COLUMN — metadata-only schema evolution by
+    FIELD ID (the spec's never-reuse rule): half of orders lands, a
+    ``channel`` column is added (fresh id, old files read NULL — no
+    rewrite, asserted by file count), the other half appends WITH the
+    column, and a junk column is added then dropped to prove dropped
+    ids are never resurrected. The aggregate over old-NULL vs new
+    values hash-matches the oracle. At 100 TB schema changes are one
+    metadata.json commit."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t = IcebergTable(spark, _scratch("icevo") + "_t")
+    t.append(orders.filter("o_orderkey % 2 = 0"))
+    n_files = len(t.data_files())
+    t.add_column("junk", "long")
+    t.add_column("channel", "string")
+    t.drop_column("junk")
+    if len(t.data_files()) != n_files:
+        raise AssertionError("schema evolution must not rewrite data files")
+    t.append(
+        orders.filter("o_orderkey % 2 = 1").select(
+            "o_orderkey",
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 4 == 1, F.lit("web"))
+            .otherwise(F.lit("store"))
+            .alias("channel"),
+        )
+    )
+    return (
+        t.read()
+        .groupBy(F.coalesce("channel", F.lit("legacy")).alias("channel"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("channel")
+    )

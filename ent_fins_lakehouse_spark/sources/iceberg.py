@@ -2826,6 +2826,75 @@ class IcebergTable:
             with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as fh:
                 fh.write(str(nv))
 
+    def add_column(self, name: str, dtype) -> int:
+        """ALTER TABLE … ADD COLUMN — metadata-only schema evolution
+        (spec: 'Schema Evolution'): the new OPTIONAL field gets a FRESH
+        field id (``last-column-id + 1`` — ids are never reused, the
+        spec's correctness rule) in a NEW schema version; existing data
+        files are untouched and read NULL for it, appends after the
+        change carry it. Returns the new field id."""
+        meta = self.metadata()
+        sch = self._ice_schema(meta)
+        if name in [f["name"] for f in sch["fields"]]:
+            raise ValueError(f"column {name!r} already exists")
+        fid = int(meta.get("last-column-id") or len(sch["fields"])) + 1
+        itype = (
+            _spark_to_iceberg(dtype)
+            if not isinstance(dtype, str)
+            else _spark_to_iceberg(T._parse_datatype_string(dtype))
+        )
+        new_sid = max(s.get("schema-id", 0) for s in meta.get("schemas") or [sch]) + 1
+        new_schema = {
+            **sch,
+            "schema-id": new_sid,
+            "fields": [*sch["fields"], {"id": fid, "name": name, "required": False, "type": itype}],
+        }
+        self._write_metadata(
+            {
+                **meta,
+                "schemas": [*(meta.get("schemas") or [sch]), new_schema],
+                "current-schema-id": new_sid,
+                "last-column-id": fid,
+            }
+        )
+        return fid
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE … DROP COLUMN — metadata-only (spec: 'Schema
+        Evolution'): the field leaves the CURRENT schema version; data
+        files still carry the bytes but reads project them away, and
+        the field id is never reused (``last-column-id`` stays), so a
+        later add_column cannot resurrect old values — the spec's
+        safety rule. Refused for partition-spec source columns (the
+        layout references them). Returns the dropped field id."""
+        meta = self.metadata()
+        sch = self._ice_schema(meta)
+        fld = next((f for f in sch["fields"] if f["name"] == name), None)
+        if fld is None:
+            raise ValueError(f"no column {name!r} in {[f['name'] for f in sch['fields']]}")
+        if len(sch["fields"]) == 1:
+            raise ValueError("cannot drop the only column")
+        for spec in meta.get("partition-specs") or []:
+            if any(pf.get("source-id") == fld["id"] for pf in spec.get("fields") or []):
+                raise ValueError(
+                    f"column {name!r} is a partition source (spec "
+                    f"{spec.get('spec-id')}) — evolve the spec first"
+                )
+        new_sid = max(s.get("schema-id", 0) for s in meta.get("schemas") or [sch]) + 1
+        new_schema = {
+            **sch,
+            "schema-id": new_sid,
+            "fields": [f for f in sch["fields"] if f["name"] != name],
+        }
+        self._write_metadata(
+            {
+                **meta,
+                "schemas": [*(meta.get("schemas") or [sch]), new_schema],
+                "current-schema-id": new_sid,
+            }
+        )
+        return int(fld["id"])
+
     def compact(self, target_files: int = 8, sort_by: list[str] | None = None) -> dict:
         """rewrite_data_files — Iceberg's compaction verb (OPTIMIZE's
         cross-format twin): the current snapshot rewrites into

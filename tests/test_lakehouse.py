@@ -4550,3 +4550,40 @@ def test_delta_merge_with_schema_evolution(spark, tmp_path):
             on=["id"],
             with_schema_evolution=True,
         )
+
+
+def test_iceberg_add_drop_column(spark, tmp_path):
+    """Iceberg schema evolution: add_column gives old rows NULL with a
+    FRESH never-reused field id; drop_column projects away without
+    touching data; partition sources refuse to drop."""
+    import pytest as _pytest
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "evo"))
+    t.append(spark.range(10).selectExpr("id", "id * 2 AS v"))
+    fid = t.add_column("tag", "string")
+    assert fid == 3
+    with _pytest.raises(ValueError, match="already exists"):
+        t.add_column("tag", "string")
+    t.append(
+        spark.range(10, 15).selectExpr("id", "id * 2 AS v", "concat('t', id) AS tag")
+    )
+    rows = {r["id"]: r["tag"] for r in t.read().collect()}
+    assert rows[0] is None and rows[12] == "t12" and len(rows) == 15
+    # drop the middle column: data files untouched, reads project away
+    n_files = len(t.data_files())
+    t.drop_column("v")
+    assert [f.name for f in t.read().schema.fields] == ["id", "tag"]
+    assert len(t.data_files()) == n_files
+    # a re-added same-name column gets a FRESH id and NULLs everywhere
+    fid2 = t.add_column("v", "long")
+    assert fid2 == 4
+    assert all(r["v"] is None for r in t.read().collect())
+    # partition source refuses
+    t2 = IcebergTable(spark, str(tmp_path / "evo2"))
+    t2.append(
+        spark.range(10).selectExpr("id", "id % 2 AS p"), partition_by=["p"]
+    )
+    with _pytest.raises(ValueError, match="partition source"):
+        t2.drop_column("p")
