@@ -5139,3 +5139,56 @@ def q299_iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "q300_delta_type_widening",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CAST(CAST(l_quantity AS INT) AS BIGINT)) AS qty,
+           MAX(CAST(CAST(l_extendedprice AS REAL) AS DOUBLE)) AS max_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    tags=("lakehouse", "delta", "schema-evolution", "interop"),
+)
+def q300_delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """typeWidening (Delta 3.x table feature): a table written with
+    NARROW types (int quantity, float price) widens to long/double
+    METADATA-ONLY — zero files rewritten (asserted by add-set), the
+    narrow physical encodings up-cast at scan time (Spark's parquet
+    reader does the spec's value-preserving promotions natively), the
+    protocol gates readers on the feature, and the schema field
+    carries the delta.typeChanges audit trail. Aggregates over the
+    widened columns hash-match the oracle computing through the same
+    narrow→wide cast chain. At 100 TB a type migration is one
+    metadata.json commit instead of a full rewrite."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("int").alias("l_quantity"),
+        F.col("l_extendedprice").cast("float").alias("l_extendedprice"),
+        "l_linestatus",
+    )
+    dl = DeltaLogTable(spark, _scratch("widen") + "_t")
+    dl.write(li.repartition(4), mode="append")
+    files_before = set(dl._snapshot()[0])
+    dl.widen_column_type("l_quantity", "long")
+    dl.widen_column_type("l_extendedprice", "double")
+    fresh = DeltaLogTable(spark, dl.path)
+    adds, schema, *_ = fresh._snapshot()
+    if set(adds) != files_before:
+        raise AssertionError("type widening must not rewrite any file")
+    if [f.dataType.simpleString() for f in schema.fields][:2] != ["bigint", "double"]:
+        raise AssertionError(f"schema did not widen: {schema.simpleString()}")
+    return (
+        fresh.read()
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("qty"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_linestatus")
+    )

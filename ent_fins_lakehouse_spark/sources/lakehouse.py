@@ -1470,6 +1470,12 @@ class DeltaLogTable:
         # both the preview and final feature names gate the same shape
         "variantType-preview",
         "variantType",
+        # type widening keeps narrow physical encodings under a wider
+        # logical schema; Spark 4's parquet reader up-casts the spec's
+        # value-preserving promotions at scan time (probed empirically:
+        # int32→long, float→double, decimal precision growth)
+        "typeWidening",
+        "typeWidening-preview",
     }
 
     def __init__(self, spark: SparkSession, path: str):
@@ -3174,7 +3180,13 @@ class DeltaLogTable:
                     nulls[name] = nulls.get(name, 0) + st.null_count
                 if not st.has_min_max:
                     continue
-                lo, hi = jsonable(st.min), jsonable(st.max)
+                try:
+                    lo, hi = jsonable(st.min), jsonable(st.max)
+                except Exception:
+                    # pyarrow cannot decode statistics for some logical
+                    # types (e.g. DECIMAL) — stats are an optimization,
+                    # never fail the write over them
+                    continue
                 if lo is None or hi is None:
                     continue
                 mins[name] = lo if name not in mins else min(mins[name], lo)
@@ -4696,6 +4708,79 @@ class DeltaLogTable:
         base["fields"] = [f for f in base["fields"] if f["name"] != name]
         new_meta = {**meta, "schemaString": json.dumps(base)}
         return self._commit_meta(new_meta, "DROP COLUMNS")
+
+    #: widenings the typeWidening table feature permits (spec: 'Type
+    #: Widening'): strictly value-preserving primitive promotions. The
+    #: decimal rule (precision may grow, scale fixed) is checked apart.
+    _TYPE_WIDENINGS = {
+        ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+        ("short", "integer"), ("short", "long"),
+        ("integer", "long"),
+        ("float", "double"),
+        ("date", "timestamp_ntz"),
+    }
+
+    def widen_column_type(self, name: str, new_type) -> int:
+        """ALTER TABLE … ALTER COLUMN … TYPE — the ``typeWidening``
+        table feature (Delta 3.x): change a column to a STRICTLY WIDER
+        type metadata-only. Existing files keep their narrow physical
+        encoding — Spark's parquet reader up-casts value-preserving
+        promotions (int32→long, float→double, decimal precision
+        growth) at scan time, so zero data rewrites at any table size.
+        The schema field records the change history in its
+        ``delta.typeChanges`` metadata (the spec's audit trail) and the
+        protocol gates on the reader+writer feature so old readers
+        can't silently mis-decode. Narrowings and lossy changes refuse."""
+        if isinstance(new_type, str):
+            new_type = T._parse_datatype_string(new_type)
+        _, schema, part_cols, meta = self._snapshot()
+        fld = next((f for f in schema.fields if f.name == name), None)
+        if fld is None:
+            raise ValueError(f"no column {name!r} in {[f.name for f in schema.fields]}")
+        old_t, new_t = fld.dataType, new_type
+        ok = (old_t.typeName(), new_t.typeName()) in self._TYPE_WIDENINGS or (
+            isinstance(old_t, T.DecimalType)
+            and isinstance(new_t, T.DecimalType)
+            and new_t.scale == old_t.scale
+            and new_t.precision > old_t.precision
+        )
+        if old_t == new_t:
+            raise ValueError(f"column {name!r} already has type {new_t.simpleString()}")
+        if not ok:
+            raise ValueError(
+                f"{old_t.simpleString()} → {new_t.simpleString()} is not a "
+                "value-preserving widening (typeWidening permits "
+                "byte/short/int→long, float→double, decimal precision growth)"
+            )
+        if name in part_cols:
+            raise ValueError(f"cannot widen partition column {name!r}")
+        base = json.loads(meta["schemaString"])
+        version = self.latest_version() + 1
+        for f in base["fields"]:
+            if f["name"] == name:
+                # schemaString primitives are simple strings
+                # ("long", "double", "decimal(12,2)")
+                f["type"] = (
+                    new_t.simpleString()
+                    if isinstance(new_t, T.DecimalType)
+                    else new_t.typeName()
+                )
+                md = dict(f.get("metadata") or {})
+                md.setdefault("delta.typeChanges", []).append(
+                    {
+                        "fromType": old_t.simpleString(),
+                        "toType": new_t.simpleString(),
+                        "tableVersion": version,
+                    }
+                )
+                f["metadata"] = md
+        proto = self._feature_protocol(
+            reader_feats={"typeWidening"}, writer_feats={"typeWidening"}
+        )
+        new_meta = {**meta, "schemaString": json.dumps(base)}
+        v = self._commit_meta(new_meta, "CHANGE COLUMN", proto=proto)
+        self._last_protocol = proto
+        return v
 
     def write_with_retry(
         self, df: DataFrame, retries: int = 3, mode: str = "append", **kw

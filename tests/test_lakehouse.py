@@ -4587,3 +4587,60 @@ def test_iceberg_add_drop_column(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="partition source"):
         t2.drop_column("p")
+
+
+def test_delta_type_widening(spark, tmp_path):
+    """typeWidening: metadata-only widen, old narrow files up-cast at
+    scan time, appends land wide, protocol gated, narrowings refuse."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "widen")
+    dl = DeltaLogTable(spark, td)
+    dl.write(
+        spark.range(100).selectExpr(
+            "CAST(id AS INT) AS id", "CAST(id AS FLOAT) AS x",
+            "CAST(id AS DECIMAL(5,2)) AS d"
+        ),
+        mode="append",
+    )
+    n_files = len(dl._snapshot()[0])
+    dl.widen_column_type("id", "long")
+    dl.widen_column_type("x", "double")
+    dl.widen_column_type("d", "decimal(12,2)")
+    fresh = DeltaLogTable(spark, td)
+    adds, schema, *_ = fresh._snapshot()
+    assert len(adds) == n_files  # zero rewrites
+    assert [f.dataType.simpleString() for f in schema.fields] == [
+        "bigint", "double", "decimal(12,2)",
+    ]
+    got = fresh.read().selectExpr("sum(id) s", "sum(x) sx", "max(d) m").first()
+    assert got["s"] == 4950 and got["m"] is not None
+    # appends land with the wide type and coexist with narrow files
+    fresh.write(
+        spark.range(100, 110).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS x", "CAST(id AS DECIMAL(12,2)) AS d"
+        ),
+        mode="append",
+    )
+    assert DeltaLogTable(spark, td).read().count() == 110
+    # protocol carries the feature; typeChanges audit trail recorded
+    with open(_os.path.join(td, "_delta_log", f"{1:020d}.json")) as fh:
+        acts = [_json.loads(l) for l in fh]
+    protos = [a["protocol"] for a in acts if "protocol" in a]
+    assert protos and "typeWidening" in (protos[0].get("readerFeatures") or [])
+    metas = [a["metaData"] for a in acts if "metaData" in a]
+    f0 = _json.loads(metas[0]["schemaString"])["fields"][0]
+    tc = f0["metadata"]["delta.typeChanges"]
+    assert tc[0]["fromType"] == "int" and tc[0]["toType"] == "bigint"
+    # narrowing / lossy / partition-column changes refuse
+    with _pytest.raises(ValueError, match="not a value-preserving"):
+        DeltaLogTable(spark, td).widen_column_type("id", "int")
+    with _pytest.raises(ValueError, match="not a value-preserving"):
+        DeltaLogTable(spark, td).widen_column_type("x", "decimal(20,4)")
+    with _pytest.raises(ValueError, match="already has type"):
+        DeltaLogTable(spark, td).widen_column_type("id", "long")
