@@ -5192,3 +5192,58 @@ def q300_delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@query(
+    "q301_iceberg_type_promotion",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CAST(CAST(l_quantity AS INT) AS BIGINT)) AS qty,
+           MAX(CAST(CAST(l_extendedprice AS REAL) AS DOUBLE)) AS max_price,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_orderkey <= 2000
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    tags=("lakehouse", "iceberg", "schema-evolution", "interop"),
+)
+def q301_iceberg_type_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg type PROMOTION (q300's cross-format twin): int→long and
+    float→double by field id, metadata-only — zero files rewritten
+    (asserted). The subtle half is PRUNING: manifests written before
+    the promotion carry 4-byte bounds under a now-8-byte column type;
+    the bound decoder dispatches on payload width, so the stats-pruned
+    key-range scan stays correct across the promotion (asserted
+    against a post-promotion predicate). The filtered aggregate
+    hash-matches the oracle computing through the same narrow→wide
+    cast chain."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("int").alias("l_quantity"),
+        F.col("l_extendedprice").cast("float").alias("l_extendedprice"),
+        "l_linestatus",
+    )
+    t = IcebergTable(spark, _scratch("icepromo") + "_t")
+    t.append(li.repartitionByRange(6, "l_orderkey"))
+    n_files = len(t.data_files())
+    t.promote_column_type("l_quantity", "long")
+    t.promote_column_type("l_extendedprice", "double")
+    if len(t.data_files()) != n_files:
+        raise AssertionError("type promotion must not rewrite data files")
+    info = t.scan_info("l_orderkey <= 2000")
+    if info["n_pruned"] < 2:
+        raise AssertionError(
+            f"narrow pre-promotion bounds must still prune: {info}"
+        )
+    return (
+        t.read(where="l_orderkey <= 2000")
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("qty"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_linestatus")
+    )

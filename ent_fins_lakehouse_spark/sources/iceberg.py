@@ -106,14 +106,18 @@ def _decode_bound(ftype: str, b) -> object | None:
     if isinstance(b, str):
         b = b.encode("latin-1")  # avro readers may surface bytes as str
     try:
+        # after type PROMOTION (spec: 'Schema Evolution') bounds written
+        # under the old narrow type remain in manifests — dispatch on
+        # payload width so int-width bounds decode under a long column
+        # and float-width under a double column
         if ftype == "int":
             return _s.unpack("<i", b)[0]
         if ftype == "long":
-            return _s.unpack("<q", b)[0]
+            return _s.unpack("<i" if len(b) == 4 else "<q", b)[0]
         if ftype == "float":
             return _s.unpack("<f", b)[0]
         if ftype == "double":
-            return _s.unpack("<d", b)[0]
+            return _s.unpack("<f" if len(b) == 4 else "<d", b)[0]
         if ftype == "string":
             return b.decode("utf-8")
     except (ValueError, UnicodeDecodeError, _s.error):
@@ -2894,6 +2898,56 @@ class IcebergTable:
             }
         )
         return int(fld["id"])
+
+    #: promotions the Iceberg spec permits (spec: 'Schema Evolution').
+    _TYPE_PROMOTIONS = {("int", "long"), ("float", "double")}
+
+    def promote_column_type(self, name: str, new_type: str) -> None:
+        """ALTER TABLE … ALTER COLUMN TYPE — Iceberg type PROMOTION
+        (spec: 'Schema Evolution'; Delta typeWidening's cross-format
+        twin): the field keeps its id and takes the wider type in a new
+        schema version, metadata-only. Existing files keep the narrow
+        physical encoding (Spark up-casts at scan time) and their
+        manifests keep narrow-width bounds, which the bound decoder
+        handles by payload width — pruning stays correct across the
+        promotion. decimal(p,s)→decimal(p',s) with p'>p also allowed."""
+        import re as _re
+
+        meta = self.metadata()
+        sch = self._ice_schema(meta)
+        fld = next((f for f in sch["fields"] if f["name"] == name), None)
+        if fld is None:
+            raise ValueError(f"no column {name!r} in {[f['name'] for f in sch['fields']]}")
+        old_t = fld["type"]
+        ok = (old_t, new_type) in self._TYPE_PROMOTIONS
+        if not ok and isinstance(old_t, str):
+            mo = _re.match(r"decimal\((\d+),\s*(\d+)\)", old_t)
+            mn = _re.match(r"decimal\((\d+),\s*(\d+)\)", new_type)
+            ok = bool(
+                mo and mn and mo.group(2) == mn.group(2)
+                and int(mn.group(1)) > int(mo.group(1))
+            )
+        if not ok:
+            raise ValueError(
+                f"{old_t} → {new_type} is not a spec promotion (int→long, "
+                "float→double, decimal precision growth)"
+            )
+        new_sid = max(s.get("schema-id", 0) for s in meta.get("schemas") or [sch]) + 1
+        new_schema = {
+            **sch,
+            "schema-id": new_sid,
+            "fields": [
+                {**f, "type": new_type} if f["name"] == name else f
+                for f in sch["fields"]
+            ],
+        }
+        self._write_metadata(
+            {
+                **meta,
+                "schemas": [*(meta.get("schemas") or [sch]), new_schema],
+                "current-schema-id": new_sid,
+            }
+        )
 
     def compact(self, target_files: int = 8, sort_by: list[str] | None = None) -> dict:
         """rewrite_data_files — Iceberg's compaction verb (OPTIMIZE's

@@ -4644,3 +4644,36 @@ def test_delta_type_widening(spark, tmp_path):
         DeltaLogTable(spark, td).widen_column_type("x", "decimal(20,4)")
     with _pytest.raises(ValueError, match="already has type"):
         DeltaLogTable(spark, td).widen_column_type("id", "long")
+
+
+def test_iceberg_type_promotion(spark, tmp_path):
+    """Iceberg type promotion: metadata-only int→long / float→double;
+    narrow-width manifest bounds still prune correctly after the
+    promotion (the decoder dispatches on payload width)."""
+    import pytest as _pytest
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "promo"))
+    t.append(
+        spark.range(1000).selectExpr(
+            "CAST(id AS INT) AS id", "CAST(id AS FLOAT) AS x"
+        ).repartitionByRange(4, "id")
+    )
+    n_files = len(t.data_files())
+    t.promote_column_type("id", "long")
+    t.promote_column_type("x", "double")
+    assert len(t.data_files()) == n_files
+    assert t.read().selectExpr("sum(id) s").first()["s"] == 499500
+    # narrow (4-byte) bounds written pre-promotion still prune
+    info = t.scan_info("id <= 100")
+    assert info["n_pruned"] >= 2, info
+    # appends land wide and coexist; pruning spans both widths
+    t.append(spark.range(1000, 2000).selectExpr("id", "CAST(id AS DOUBLE) AS x"))
+    assert t.read().count() == 2000
+    info2 = t.scan_info("id <= 100")
+    assert info2["n_pruned"] >= 3, info2
+    with _pytest.raises(ValueError, match="not a spec promotion"):
+        t.promote_column_type("id", "int")
+    with _pytest.raises(ValueError, match="no column"):
+        t.promote_column_type("nope", "long")
