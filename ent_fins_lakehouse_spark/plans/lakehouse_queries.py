@@ -5015,15 +5015,20 @@ def q297_iceberg_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q298_delta_merge_schema_evolution",
     oracle="""
-    WITH merged AS (
+    WITH b AS (
+      SELECT CAST(FLOOR(MAX(c_custkey) / 8.0) AS BIGINT) AS lo,
+             CAST(FLOOR(7 * MAX(c_custkey) / 8.0) AS BIGINT) AS hi
+      FROM customer
+    ),
+    merged AS (
       SELECT c_custkey,
-             CASE WHEN c_custkey <= 200 THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal,
-             CASE WHEN c_custkey <= 200 THEN 'priority' ELSE NULL END AS tier
+             CASE WHEN c_custkey <= (SELECT lo FROM b) THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal,
+             CASE WHEN c_custkey <= (SELECT lo FROM b) THEN 'priority' ELSE NULL END AS tier
       FROM customer
       UNION ALL
       SELECT c_custkey + 1000000, c_acctbal + 1000.0, 'priority'
       FROM customer
-      WHERE c_custkey > (SELECT MAX(c_custkey) - 150 FROM customer)
+      WHERE c_custkey > (SELECT hi FROM b)
     )
     SELECT COALESCE(tier, 'untouched') AS tier,
            COUNT(*) AS n,
@@ -5047,9 +5052,10 @@ def q298_delta_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataF
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     dl = DeltaLogTable(spark, _scratch("mse") + "_t")
     dl.write(cust.repartitionByRange(8, "c_custkey"), mode="append")
-    hi = int(cust.agg(F.max("c_custkey")).first()[0]) - 150
+    maxk = int(cust.agg(F.max("c_custkey")).first()[0])
+    lo, hi = maxk // 8, 7 * maxk // 8
     src = (
-        cust.filter(f"c_custkey <= 200 OR c_custkey > {hi}")
+        cust.filter(f"c_custkey <= {lo} OR c_custkey > {hi}")
         .select(
             F.when(F.col("c_custkey") > hi, F.col("c_custkey") + 1000000)
             .otherwise(F.col("c_custkey"))
@@ -5202,7 +5208,7 @@ def q300_delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(CAST(CAST(l_extendedprice AS REAL) AS DOUBLE)) AS max_price,
            COUNT(*) AS n
     FROM lineitem
-    WHERE l_orderkey <= 2000
+    WHERE l_orderkey <= (SELECT CAST(FLOOR(MAX(l_orderkey) / 4.0) AS BIGINT) FROM lineitem)
     GROUP BY l_linestatus ORDER BY l_linestatus
     """,
     tags=("lakehouse", "iceberg", "schema-evolution", "interop"),
@@ -5232,13 +5238,14 @@ def q301_iceberg_type_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.promote_column_type("l_extendedprice", "double")
     if len(t.data_files()) != n_files:
         raise AssertionError("type promotion must not rewrite data files")
-    info = t.scan_info("l_orderkey <= 2000")
+    cut = int(li.agg(F.max("l_orderkey")).first()[0]) // 4
+    info = t.scan_info(f"l_orderkey <= {cut}")
     if info["n_pruned"] < 2:
         raise AssertionError(
             f"narrow pre-promotion bounds must still prune: {info}"
         )
     return (
-        t.read(where="l_orderkey <= 2000")
+        t.read(where=f"l_orderkey <= {cut}")
         .groupBy("l_linestatus")
         .agg(
             F.sum("l_quantity").alias("qty"),
