@@ -5254,3 +5254,133 @@ def q301_iceberg_type_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@query(
+    "q302_delta_cdf_dml",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR(MAX(c_custkey) / 4.0) AS BIGINT) AS lo,
+             CAST(FLOOR(MAX(c_custkey) / 2.0) AS BIGINT) AS mid,
+             CAST(FLOOR(3 * MAX(c_custkey) / 4.0) AS BIGINT) AS hi
+      FROM customer
+    ),
+    upd AS (SELECT * FROM customer WHERE c_custkey <= (SELECT lo FROM b)),
+    mrg AS (SELECT * FROM customer
+            WHERE c_custkey > (SELECT lo FROM b)
+              AND c_custkey <= (SELECT mid FROM b)),
+    tl AS (SELECT * FROM customer WHERE c_custkey > (SELECT hi FROM b))
+    SELECT * FROM (
+      SELECT 'update' AS op, 'update_preimage' AS change_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      FROM upd
+      UNION ALL
+      SELECT 'update', 'update_postimage', COUNT(*),
+             CAST(SUM(CAST(c_acctbal + 100 AS DECIMAL(18,2))) AS DOUBLE)
+      FROM upd
+      UNION ALL
+      SELECT 'merge', 'update_preimage', COUNT(*),
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      FROM mrg
+      UNION ALL
+      SELECT 'merge', 'update_postimage', COUNT(*),
+             CAST(SUM(CAST(c_acctbal + 500 AS DECIMAL(18,2))) AS DOUBLE)
+      FROM mrg
+      UNION ALL
+      SELECT 'merge', 'insert', COUNT(*),
+             CAST(SUM(CAST(c_acctbal + 1000 AS DECIMAL(18,2))) AS DOUBLE)
+      FROM tl
+      UNION ALL
+      SELECT 'delete', 'delete', COUNT(*),
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      FROM tl
+    ) ORDER BY op, change_type
+    """,
+    tags=("lakehouse", "delta", "cdf", "dml"),
+)
+def q302_delta_cdf_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed WRITES for the public Delta log (spec 'Add CDC
+    File' / 'Change Data Feed'): with ``delta.enableChangeDataFeed``
+    set, UPDATE / MERGE / DELETE commits carry explicit ``cdc``
+    actions pointing at ``_change_data/`` parquet — updates surface as
+    update_preimage/update_postimage PAIRS (the shape the synthesized
+    snapshot-diff feed can never produce), merges additionally emit
+    insert rows, DV deletes emit exactly the newly-masked rows. The
+    reference streams table changes downstream
+    (`Instructor/02-Fraud-DLT.py` CDC flows); explicit cdc files are
+    how delta-spark serves that at O(rows changed), not O(table).
+
+    Gates (raise on violation): every DML commit carries >=1 cdc
+    action; the protocol carries the changeDataFeed writer feature;
+    the UPDATE commit's feed holds ONLY update_* rows (cdc preferred
+    over add/remove synthesis). Result: per (op, change_type) row
+    counts + DECIMAL-exact balance sums vs the oracle's restatement
+    over the base table."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    maxk = int(cust.agg(F.max("c_custkey")).first()[0])
+    lo, mid, hi = maxk // 4, maxk // 2, (3 * maxk) // 4
+    dl = DeltaLogTable(spark, _scratch("cdfdml") + "_t")
+    dl.write(cust.repartitionByRange(8, "c_custkey"), mode="append")
+    dl.set_property("delta.enableChangeDataFeed", "true")
+
+    v_upd = dl.latest_version() + 1
+    dl.update({"c_acctbal": "c_acctbal + 100"}, f"c_custkey <= {lo}")
+    v_mrg = dl.latest_version() + 1
+    src = (
+        cust.filter(f"c_custkey > {lo} AND c_custkey <= {mid}")
+        .withColumn("c_acctbal", F.col("c_acctbal") + 500)
+        .unionByName(
+            cust.filter(f"c_custkey > {hi}").select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                "c_mktsegment",
+                (F.col("c_acctbal") + 1000).alias("c_acctbal"),
+            )
+        )
+    )
+    dl.merge(src, on=["c_custkey"])
+    v_del = dl.latest_version() + 1
+    dl.delete(f"c_custkey > {hi} AND c_custkey <= {maxk}")
+
+    for v in (v_upd, v_mrg, v_del):
+        with open(os.path.join(dl.log_path, f"{v:020d}.json")) as fh:
+            acts = [json.loads(line) for line in fh if line.strip()]
+        if not any("cdc" in a for a in acts):
+            raise AssertionError(f"DML commit {v} carries no cdc action")
+    proto = getattr(dl, "_last_protocol", None) or {}
+    feats = set(proto.get("writerFeatures") or [])
+    if "changeDataFeed" not in feats:
+        raise AssertionError(f"changeDataFeed feature missing: {proto}")
+    upd_types = {
+        r["_change_type"]
+        for r in dl.read_changes(v_upd, v_upd)
+        .select("_change_type")
+        .distinct()
+        .collect()
+    }
+    if upd_types != {"update_preimage", "update_postimage"}:
+        raise AssertionError(
+            f"UPDATE feed must be cdc-sourced update_* pairs, got {upd_types}"
+        )
+
+    return (
+        dl.read_changes(v_upd, v_del)
+        .select(
+            F.when(F.col("_commit_version") == v_upd, "update")
+            .when(F.col("_commit_version") == v_mrg, "merge")
+            .otherwise("delete")
+            .alias("op"),
+            F.col("_change_type").alias("change_type"),
+            F.col("c_acctbal").cast("decimal(18,2)").alias("_bal"),
+        )
+        .groupBy("op", "change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_bal").cast("double").alias("bal"),
+        )
+        .orderBy("op", "change_type")
+    )

@@ -2504,6 +2504,19 @@ class DeltaLogTable:
                             F.lit(v).alias("_commit_version"),
                         )
                     )
+                # the cdc files carry this commit's changes, but its
+                # add/remove actions still move the live-file/DV state
+                # later SYNTHESIZED commits diff against
+                for a in acts:
+                    if "add" in a:
+                        ad = a["add"]
+                        dv = ad.get("deletionVector")
+                        live_paths.add(ad["path"])
+                        prior_dv[ad["path"]] = (
+                            set(self._dv_row_indexes(dv)) if dv else set()
+                        )
+                    elif "remove" in a:
+                        live_paths.discard(a["remove"]["path"])
                 continue
             for a in acts:
                 if "add" in a and a["add"].get("dataChange"):
@@ -3131,6 +3144,93 @@ class DeltaLogTable:
         finally:
             shutil.rmtree(st, ignore_errors=True)
 
+    @staticmethod
+    def _cdf_on(meta: dict | None) -> bool:
+        """True when ``delta.enableChangeDataFeed`` is set on the table."""
+        return str(
+            ((meta or {}).get("configuration") or {}).get(
+                "delta.enableChangeDataFeed", "false"
+            )
+        ).lower() == "true"
+
+    def _stage_cdc(self, df: DataFrame, part_cols: list[str]) -> list[dict]:
+        """Write change rows (table columns + ``_change_type``) as
+        parquet under ``_change_data/`` and return ``cdc`` actions
+        (spec 'Add CDC File'): when a commit carries cdc actions, CDF
+        readers consume those files VERBATIM instead of synthesizing
+        from add/remove — the only shape under which an UPDATE/MERGE
+        surfaces as update_preimage/update_postimage pairs rather than
+        delete+insert. ``dataChange=false``: cdc files are change
+        metadata, never table data. Files partition like the table
+        (partition values live on the ACTION, not in the file), so a
+        partition-pruned CDF read skips whole change files exactly as
+        a data read skips data files. At 100 TB the cdc payload is
+        O(rows changed), not O(table) — the reason delta-spark's CDF
+        beats adjacent-snapshot diffing for selective DML."""
+        import glob
+        import shutil
+        import tempfile
+        import urllib.parse
+        import uuid as _uuid
+
+        st = tempfile.mkdtemp(prefix="deltacdc_")
+        try:
+            w = df.write.mode("overwrite")
+            if part_cols:
+                w = w.partitionBy(*part_cols)
+            w.parquet(st)
+            out: list[dict] = []
+            for fpath in sorted(
+                glob.glob(os.path.join(st, "**", "*.parquet"), recursive=True)
+            ):
+                rel_dir = os.path.relpath(os.path.dirname(fpath), st)
+                pv: dict[str, str | None] = {}
+                if rel_dir != ".":
+                    for comp in rel_dir.split(os.sep):
+                        k, _, val = comp.partition("=")
+                        pv[k] = (
+                            None
+                            if val == "__HIVE_DEFAULT_PARTITION__"
+                            else urllib.parse.unquote(val)
+                        )
+                name = f"cdc-{_uuid.uuid4().hex}.snappy.parquet"
+                rel = os.path.join(
+                    "_change_data", name if rel_dir == "." else os.path.join(rel_dir, name)
+                )
+                dest = os.path.join(self.path, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                shutil.move(fpath, dest)
+                out.append(
+                    {
+                        "cdc": {
+                            "path": rel.replace(os.sep, "/"),
+                            "partitionValues": pv,
+                            "size": os.path.getsize(dest),
+                            "dataChange": False,
+                        }
+                    }
+                )
+            return out
+        finally:
+            shutil.rmtree(st, ignore_errors=True)
+
+    def _cdc_protocol_actions(self) -> list[dict]:
+        """Protocol upgrade to the ``changeDataFeed`` writer feature,
+        or ``[]`` when the log already carries it (enablement via
+        :meth:`set_property` commits it; a legacy minWriterVersion>=4
+        protocol implies it; peer-written tables may carry only the
+        table property, so DML double-checks)."""
+        proto = getattr(self, "_last_protocol", None) or {}
+        wf = proto.get("writerFeatures")
+        if wf is not None:
+            if "changeDataFeed" in wf:
+                return []
+        elif int(proto.get("minWriterVersion") or 0) >= 4:
+            return []
+        return [
+            {"protocol": self._feature_protocol(writer_feats={"changeDataFeed"})}
+        ]
+
     def _file_stats(self, path: str) -> str:
         """Per-file stats JSON for the add action (spec: 'Per-file
         Statistics') — numRecords always; minValues / maxValues /
@@ -3641,6 +3741,43 @@ class DeltaLogTable:
             new_adds.append({"add": add_act})
         if not new_adds:
             return {"rows_deleted": 0, "files_touched": 0}
+        # change data feed: emit the newly-masked rows as explicit cdc
+        # delete files — the predicate-matched scan minus rows a PRIOR
+        # DV already masked (those were emitted by the commit that
+        # masked them)
+        cdc_actions: list[dict] = []
+        if self._cdf_on(_meta):
+            del_rows = scan.filter(predicate)
+            dvf = [(full, json.loads(d)) for full, d in sorted(desc_of.items())]
+            if dvf:
+                masked = (
+                    self._dv_deleted_df(dvf)
+                    .withColumnRenamed("_fp", "_dv_fp")
+                    .withColumnRenamed("_ri", "_dv_ri")
+                )
+                del_rows = del_rows.join(masked, ["_dv_fp", "_dv_ri"], "left_anti")
+            cdc_actions = self._stage_cdc(
+                del_rows.select(*[f.name for f in schema.fields]).withColumn(
+                    "_change_type", F.lit("delete")
+                ),
+                part_cols,
+            )
+        if cdc_actions:
+            proto_action = {
+                "protocol": self._feature_protocol(
+                    reader_feats={"deletionVectors"},
+                    writer_feats={"deletionVectors", "changeDataFeed"},
+                )
+            }
+        else:
+            proto_action = {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            }
         actions: list[dict] = [
             {
                 "commitInfo": {
@@ -3650,14 +3787,8 @@ class DeltaLogTable:
                     "engineInfo": "ent_fins_lakehouse_spark/delta-shim",
                 }
             },
-            {
-                "protocol": {
-                    "minReaderVersion": 3,
-                    "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
-                    "writerFeatures": ["deletionVectors"],
-                }
-            },
+            proto_action,
+            *cdc_actions,
             *new_adds,
         ]
         self._commit_actions(version, actions)
@@ -3752,7 +3883,8 @@ class DeltaLogTable:
         ``{"files_rewritten", "rows_updated"}``."""
         import time
 
-        self._enforce_append_only(self._snapshot()[3], "UPDATE")
+        _meta = self._snapshot()[3]
+        self._enforce_append_only(_meta, "UPDATE")
         df, adds, schema, part_cols, rel_of = self._read_with_fp()
         cols = [f.name for f in schema.fields]
         unknown = set(assignments) - set(cols)
@@ -3779,6 +3911,27 @@ class DeltaLogTable:
             ]
         )
         self._enforce_constraints(rewritten, "update")
+        # change data feed: the update's own plan already isolates the
+        # changed rows — emit them as explicit cdc files (preimage with
+        # the original values, postimage with the assignments applied)
+        # so CDF readers never pay the snapshot-diff synthesis
+        cdc_actions: list[dict] = []
+        if self._cdf_on(_meta):
+            upd = sub.filter(pred)
+            pre = upd.select(*cols).withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            post = upd.select(
+                *[
+                    (
+                        F.expr(assignments[c]).cast(schema[c].dataType)
+                        if c in assignments
+                        else F.col(c)
+                    ).alias(c)
+                    for c in cols
+                ]
+            ).withColumn("_change_type", F.lit("update_postimage"))
+            cdc_actions = self._stage_cdc(pre.unionByName(post), part_cols)
         new_adds = self._stage_adds(rewritten, part_cols)
         now = int(time.time() * 1000)
         version = self.latest_version() + 1
@@ -3791,6 +3944,8 @@ class DeltaLogTable:
                     "engineInfo": "ent_fins_lakehouse_spark/delta-shim",
                 }
             },
+            *(self._cdc_protocol_actions() if cdc_actions else []),
+            *cdc_actions,
             *[
                 {
                     "remove": {
@@ -3979,6 +4134,67 @@ class DeltaLogTable:
             parts.append(source.join(full.select(*on).distinct(), on=on, how="left_anti"))
         if not parts:
             return {"files_rewritten": 0}
+        # change data feed: re-derive each clause's row set with the
+        # SAME joins the merge plan uses, labeled per spec —
+        # update_preimage/update_postimage for matched updates, delete
+        # for NOT MATCHED BY SOURCE, insert for not-matched source rows
+        cdc_parts: list[DataFrame] = []
+        if self._cdf_on(_meta):
+            if do_update and tdf is not None:
+                if matched_update is not None:
+                    j = tdf.alias("t").join(source.alias("s"), on=on, how="inner")
+                    if matched_condition:
+                        j = j.filter(F.expr(matched_condition))
+                    cdc_parts.append(
+                        j.select(
+                            *[F.col(f"t.{f.name}").alias(f.name) for f in schema.fields]
+                        ).withColumn("_change_type", F.lit("update_preimage"))
+                    )
+                    cdc_parts.append(
+                        j.select(
+                            *[
+                                F.expr(matched_update[f.name]).cast(f.dataType).alias(f.name)
+                                if f.name in matched_update
+                                else F.col(f"t.{f.name}").alias(f.name)
+                                for f in schema.fields
+                            ]
+                        ).withColumn("_change_type", F.lit("update_postimage"))
+                    )
+                else:
+                    cdc_parts.append(
+                        tdf.join(upd_keys, on=on, how="left_semi").withColumn(
+                            "_change_type", F.lit("update_preimage")
+                        )
+                    )
+                    post = source.join(
+                        full.select(*on).distinct(), on=on, how="left_semi"
+                    )
+                    if matched_condition:
+                        post = post.join(upd_keys, on=on, how="left_semi")
+                    cdc_parts.append(
+                        post.withColumn("_change_type", F.lit("update_postimage"))
+                    )
+            if not_matched_by_source_delete and tdf is not None:
+                deleted = tdf.join(keys, on=on, how="left_anti")
+                if not_matched_by_source_condition:
+                    deleted = deleted.alias("t").filter(
+                        F.expr(not_matched_by_source_condition)
+                    )
+                cdc_parts.append(
+                    deleted.withColumn("_change_type", F.lit("delete"))
+                )
+            if when_not_matched_insert_all:
+                cdc_parts.append(
+                    source.join(
+                        full.select(*on).distinct(), on=on, how="left_anti"
+                    ).withColumn("_change_type", F.lit("insert"))
+                )
+        cdc_actions: list[dict] = []
+        if cdc_parts:
+            cdc_df = cdc_parts[0]
+            for p in cdc_parts[1:]:
+                cdc_df = cdc_df.unionByName(p)
+            cdc_actions = self._stage_cdc(cdc_df, part_cols)
         combined = parts[0]
         for p in parts[1:]:
             combined = combined.unionByName(p)
@@ -4013,6 +4229,8 @@ class DeltaLogTable:
                 if evolved_fields
                 else []
             ),
+            *(self._cdc_protocol_actions() if cdc_actions else []),
+            *cdc_actions,
             *[
                 {
                     "remove": {
@@ -4248,6 +4466,17 @@ class DeltaLogTable:
                 drop=None,
             )
             return
+        if (
+            key == "delta.enableChangeDataFeed"
+            and str(value).lower() == "true"
+        ):
+            # spec 'Change Data Feed': enabling the property gates
+            # writers on the changeDataFeed table feature; from here
+            # UPDATE/MERGE/DELETE commits carry explicit cdc actions
+            # under _change_data/
+            self._last_protocol = self._feature_protocol(
+                writer_feats={"changeDataFeed"}
+            )
         if key == "delta.checkpointPolicy" and value == "v2":
             # the v2 checkpoint shape is a READER-visible capability —
             # spec requires the v2Checkpoint table feature (reader v3 /

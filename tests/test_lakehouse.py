@@ -4677,3 +4677,105 @@ def test_iceberg_type_promotion(spark, tmp_path):
         t.promote_column_type("id", "int")
     with _pytest.raises(ValueError, match="no column"):
         t.promote_column_type("nope", "long")
+
+
+def test_delta_cdc_writes_partitioned(spark, tmp_path):
+    """CDC emission on a PARTITIONED table: cdc files are hive-split
+    like data files, partition values live on the action, and the feed
+    restores them as typed columns — including an update that MIGRATES
+    a row across partitions (preimage in the old partition, postimage
+    in the new)."""
+    import json
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "cdcpart")
+    df = spark.createDataFrame(
+        [(i, "a" if i < 5 else "b", float(i)) for i in range(10)],
+        "id BIGINT, seg STRING, bal DOUBLE",
+    )
+    dl = DeltaLogTable(spark, td)
+    dl.write(df, mode="append", partition_by=["seg"])
+    dl.set_property("delta.enableChangeDataFeed", "true")
+    v = dl.latest_version() + 1
+    # id=3 migrates partition a -> b and doubles its balance
+    dl.update({"seg": "'b'", "bal": "bal * 2"}, "id = 3")
+
+    with open(os.path.join(td, "_delta_log", f"{v:020d}.json")) as fh:
+        acts = [json.loads(line) for line in fh if line.strip()]
+    cdc = [a["cdc"] for a in acts if "cdc" in a]
+    assert cdc, "partitioned UPDATE must emit cdc actions"
+    assert all(c["path"].startswith("_change_data/") for c in cdc)
+    assert {c["partitionValues"]["seg"] for c in cdc} == {"a", "b"}
+
+    ch = sorted(
+        (r["_change_type"], r["seg"], r["bal"])
+        for r in dl.read_changes(v, v).collect()
+    )
+    assert ch == [("update_postimage", "b", 6.0), ("update_preimage", "a", 3.0)]
+
+
+def test_delta_cdc_then_synthesized_commit(spark, tmp_path):
+    """A cdc-bearing commit REWRITES files; a later commit without cdc
+    actions must synthesize its changes against the post-rewrite live
+    set (the cdc branch still advances live-file/DV tracking)."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "cdcsynth")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(8)], "id BIGINT, bal DOUBLE"
+    )
+    dl = DeltaLogTable(spark, td)
+    dl.write(df, mode="append")
+    dl.set_property("delta.enableChangeDataFeed", "true")
+    v_upd = dl.latest_version() + 1
+    dl.update({"bal": "bal + 100"}, "id < 3")  # cdc commit, rewrites files
+    dl.set_property("delta.enableChangeDataFeed", None)  # CDF off again
+    v_del = dl.latest_version() + 1
+    dl.delete("id IN (1, 6)")  # DV commit, NO cdc -> synthesized feed
+
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["bal"])
+        for r in dl.read_changes(v_upd).collect()
+    )
+    expect = sorted(
+        [(v_upd, "update_preimage", i, float(i)) for i in range(3)]
+        + [(v_upd, "update_postimage", i, float(i) + 100) for i in range(3)]
+        + [(v_del, "delete", 1, 101.0), (v_del, "delete", 6, 6.0)]
+    )
+    assert got == expect
+
+
+def test_delta_cdc_merge_delete_clause(spark, tmp_path):
+    """MERGE with NOT MATCHED BY SOURCE DELETE emits cdc delete rows
+    for the dropped targets alongside the update pair and inserts."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "cdcmrgdel")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], "id BIGINT, bal DOUBLE"
+    )
+    dl = DeltaLogTable(spark, td)
+    dl.write(df, mode="append")
+    dl.set_property("delta.enableChangeDataFeed", "true")
+    src = spark.createDataFrame(
+        [(2, 200.0), (3, 300.0), (9, 900.0)], "id BIGINT, bal DOUBLE"
+    )
+    v = dl.latest_version() + 1
+    dl.merge(src, on=["id"], not_matched_by_source_delete=True)
+
+    got = sorted(
+        (r["_change_type"], r["id"], r["bal"])
+        for r in dl.read_changes(v, v).collect()
+    )
+    expect = sorted(
+        [("update_preimage", 2, 2.0), ("update_preimage", 3, 3.0),
+         ("update_postimage", 2, 200.0), ("update_postimage", 3, 300.0),
+         ("insert", 9, 900.0)]
+        + [("delete", i, float(i)) for i in (0, 1, 4, 5)]
+    )
+    assert got == expect
+    # end state matches the clauses
+    assert sorted((r["id"], r["bal"]) for r in dl.read().collect()) == [
+        (2, 200.0), (3, 300.0), (9, 900.0)
+    ]
