@@ -5043,3 +5043,257 @@ def q289_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("step")
+
+
+@query(
+    "q303_bfs_shortest_path",
+    oracle="""
+    WITH RECURSIVE
+    e AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    e2 AS (
+      SELECT c AS src, -p AS dst FROM e
+      UNION ALL
+      SELECT -p AS src, c AS dst FROM e
+    ),
+    bfs(node, depth) AS (
+      SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
+      UNION
+      SELECT e2.dst, b.depth + 1
+      FROM bfs b JOIN e2 ON e2.src = b.node
+      WHERE b.depth < 4
+    ),
+    dist AS (SELECT node, MIN(depth) AS depth FROM bfs GROUP BY node)
+    SELECT depth, COUNT(*) AS n_nodes, SUM(node) AS sum_nodes
+    FROM dist GROUP BY depth ORDER BY depth
+    """,
+    tags=("relational", "graph", "iterative"),
+)
+def q303_bfs_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS shortest path over a REAL edge table — the
+    customer↔part co-purchase bipartite graph (part nodes negated to
+    disjoint the id spaces), 4 hops from customer 1, min-distance per
+    node. The frontier-expansion loop Spark SQL lacks WITH RECURSIVE
+    for: each level is one shuffle join frontier⨝edges, a distinct,
+    and an anti-join against the visited set, so a node is expanded
+    exactly once (the oracle's recursive UNION re-expands per depth —
+    same answer, more work: the Spark side IS the scalable form).
+    Pregel-loop hygiene per q178: edges persist across iterations,
+    each level localCheckpoints to cut lineage. At 100 TB the edge
+    table would be bucketed on src so every hop is co-partitioned;
+    frontier size is bounded by the node count, never the edge count.
+    All-integer output (counts + id sums) — hash-exact by
+    construction."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    e2 = e.select(F.col("c").alias("src"), (-F.col("p")).alias("dst")).unionByName(
+        e.select((-F.col("p")).alias("src"), F.col("c").alias("dst"))
+    )
+    e2 = e2.persist()
+    frontier = spark.createDataFrame([(1, 0)], "node bigint, depth int")
+    visited = frontier
+    for d in range(1, 5):
+        nxt = (
+            frontier.join(e2, frontier.node == e2.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(d).alias("depth"))
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+        if nxt.isEmpty():
+            break
+    e2.unpersist(blocking=False)
+    return (
+        visited.groupBy("depth")
+        .agg(F.count("*").alias("n_nodes"), F.sum("node").alias("sum_nodes"))
+        .orderBy("depth")
+    )
+
+
+@query(
+    "q304_kaplan_meier",
+    oracle="""
+    WITH base AS (
+      SELECT o.o_orderkey,
+             date_diff('day', o.o_orderdate, MIN(l.l_shipdate)) AS dur,
+             date_diff('day', o.o_orderdate, TIMESTAMP '1998-06-01') AS cens
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate < TIMESTAMP '1998-06-01'
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    obs AS (
+      SELECT CASE WHEN dur <= cens THEN dur ELSE cens END AS t,
+             CASE WHEN dur <= cens THEN 1 ELSE 0 END AS ev
+      FROM base
+    ),
+    agg AS (
+      SELECT t, SUM(ev) AS d, COUNT(*) AS c FROM obs GROUP BY t
+    ),
+    km1 AS (
+      SELECT t, d,
+             SUM(c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING) AS n_risk
+      FROM agg
+    ),
+    km AS (
+      SELECT t, d, n_risk,
+             SUM(CAST(ROUND(LN(1.0 - CAST(d AS DOUBLE) / n_risk), 10)
+                 AS DECIMAL(18,10))) OVER (ORDER BY t) AS logsum
+      FROM km1
+    )
+    SELECT t, d AS n_events, n_risk,
+           ROUND(EXP(CAST(logsum AS DOUBLE)), 6) AS survival
+    FROM km WHERE d > 0 AND d < n_risk ORDER BY t
+    """,
+    tags=("relational", "stats", "survival"),
+)
+def q304_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve with right-censoring — time from
+    order placement to FIRST shipment, administratively censored at a
+    fixed observation-window end (orders placed close to it may not
+    have shipped yet: genuinely censored subjects, not a degenerate
+    all-events curve). S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) via the log-sum
+    identity with the q280 per-term DECIMAL(18,10) rounding, so the
+    running product is order-proof and engine-exact; at-risk counts
+    come from ONE descending cumulative window over the per-day event
+    histogram — the whole estimator is two hash aggregations plus two
+    windows over ≤ a few hundred distinct day values, independent of
+    row count (the 100 TB shape: the heavy lifting is the per-subject
+    min-shipdate agg, one shuffle on o_orderkey)."""
+    W_END = "1998-06-01"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    ).filter(F.col("o_orderdate") < F.lit(W_END).cast("timestamp"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    base = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            F.datediff("first_ship", "o_orderdate").alias("dur"),
+            F.datediff(
+                F.lit(W_END).cast("timestamp"), F.col("o_orderdate")
+            ).alias("cens"),
+        )
+    )
+    obs = base.select(
+        F.when(F.col("dur") <= F.col("cens"), F.col("dur"))
+        .otherwise(F.col("cens"))
+        .alias("t"),
+        F.when(F.col("dur") <= F.col("cens"), 1).otherwise(0).alias("ev"),
+    )
+    agg = obs.groupBy("t").agg(F.sum("ev").alias("d"), F.count("*").alias("c"))
+    w_desc = W.orderBy("t").rowsBetween(W.currentRow, W.unboundedFollowing)
+    w_asc = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    km = agg.withColumn("n_risk", F.sum("c").over(w_desc)).withColumn(
+        "logsum",
+        F.sum(
+            F.round(
+                F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")), 10
+            ).cast("decimal(18,10)")
+        ).over(w_asc),
+    )
+    return (
+        km.filter((F.col("d") > 0) & (F.col("d") < F.col("n_risk")))
+        .select(
+            "t",
+            F.col("d").alias("n_events"),
+            "n_risk",
+            F.round(F.exp(F.col("logsum").cast("double")), 6).alias("survival"),
+        )
+        .orderBy("t")
+    )
+
+
+@query(
+    "q305_market_basket_lift",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n_tot AS (SELECT COUNT(DISTINCT okey) AS n FROM basket),
+    sup AS (SELECT brand, COUNT(*) AS n_b FROM basket GROUP BY brand),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS pair_n
+      FROM basket a JOIN basket b
+        ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    )
+    SELECT brand_a, brand_b, pair_n,
+           ROUND(CAST(pair_n AS DOUBLE) * (SELECT n FROM n_tot)
+                 / (sa.n_b * sb.n_b), 6) AS lift
+    FROM pairs
+    JOIN sup sa ON sa.brand = pairs.brand_a
+    JOIN sup sb ON sb.brand = pairs.brand_b
+    ORDER BY lift DESC, brand_a, brand_b LIMIT 10
+    """,
+    tags=("relational", "stats", "basket"),
+)
+def q305_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining (support / lift) at the brand
+    granularity: baskets are orders' DISTINCT brand sets, candidate
+    pairs come from a SELF-JOIN WITHIN basket (co-partitioned on the
+    order key — per-basket k² with k ≤ ~7 distinct brands per TPC-H
+    order, never basket×basket), lift = P(ab)/(P(a)P(b)) from two
+    bounded aggregates. The brand census (|brands|² ≤ 625 pairs) keeps
+    the result and the lift join broadcast-sized at ANY corpus scale —
+    the same bounded-census device as the dedup family. Lift doubles
+    are identical IEEE divisions on both engines; ROUND(6) displays
+    them."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    basket = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    basket = basket.persist()
+    n_tot = basket.select("okey").distinct().count()
+    sup = basket.groupBy("brand").agg(F.count("*").alias("n_b"))
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count("*").alias("pair_n"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(sup.select(F.col("brand").alias("brand_a"), F.col("n_b").alias("na"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(sup.select(F.col("brand").alias("brand_b"), F.col("n_b").alias("nb"))),
+            "brand_b",
+        )
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_n",
+            F.round(
+                F.col("pair_n").cast("double") * F.lit(n_tot) / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
+        .limit(10)
+    )
+    basket.unpersist(blocking=False)
+    return out

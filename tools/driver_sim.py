@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import math
+import re
 import sys
 import time
 
@@ -69,7 +70,7 @@ def main() -> int:
     qmap, omap = e.queries(), e.oracle_sql()
     failed = []
     for name, fn in sorted(qmap.items()):
-        if args.only and args.only not in name:
+        if args.only and not re.search(args.only, name):
             continue
         t0 = time.time()
         try:
