@@ -5297,3 +5297,117 @@ def q305_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     basket.unpersist(blocking=False)
     return out
+
+
+@query(
+    "q306_gaps_and_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    isl AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-01', day)
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM days
+    ),
+    runs AS (
+      SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY user_id, grp
+    )
+    SELECT len AS streak_days,
+           COUNT(*) AS n_streaks,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM runs GROUP BY len ORDER BY len
+    """,
+    tags=("relational", "window", "sessionize"),
+)
+def q306_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands — consecutive-day activity streaks per user
+    (the engagement-streak / uptime-run workload): the classic
+    ``ordinal − ROW_NUMBER()`` device tags every maximal run of
+    consecutive days with a constant group key, turning run detection
+    into one hash aggregation; no self-joins, no iterative logic. The
+    day ordinal is an epoch day-diff (pure integer), so group keys —
+    and the whole result — are engine-exact integers. Scale shape: one
+    exchange on user_id shared by the window and both aggregations
+    (Catalyst reuses it), per-user day lists are bounded by the
+    calendar, and the streak histogram is tiny at any corpus size."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    isl = ev.select(
+        "user_id",
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+        ).alias("grp"),
+    )
+    runs = isl.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return (
+        runs.groupBy(F.col("len").alias("streak_days"))
+        .agg(
+            F.count("*").alias("n_streaks"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("streak_days")
+    )
+
+
+@query(
+    "q307_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_quantity AS BIGINT) AS v,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS wt
+      FROM lineitem
+    ),
+    agg AS (SELECT flag, v, SUM(wt) AS wt FROM w GROUP BY flag, v),
+    cum AS (
+      SELECT flag, v, wt,
+             SUM(wt) OVER (PARTITION BY flag ORDER BY v) AS cw,
+             SUM(wt) OVER (PARTITION BY flag) AS tot
+      FROM agg
+    )
+    SELECT flag, MIN(v) AS weighted_median,
+           MAX(tot) AS total_weight_cents
+    FROM cum WHERE 2 * cw >= tot GROUP BY flag ORDER BY flag
+    """,
+    tags=("relational", "stats", "window"),
+)
+def q307_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per group — the 50% point of the revenue-
+    weighted quantity distribution (where percentile_approx and exact
+    unweighted percentiles both miss): weights are DECIMAL-exact
+    integer cents, the candidate set collapses to one row per DISTINCT
+    value first (bounded: |quantities| ≤ 50 per flag), and the median
+    is the smallest value whose running weight reaches half the total
+    — the ``2·cum ≥ tot`` ALL-INTEGER comparison, so no float boundary
+    can flip the pick between engines (the q287 device). Scale shape:
+    one hash agg over the raw rows does the heavy lifting; the windows
+    run on the collapsed per-(flag, value) table, KBs at any SF."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("bigint").alias("v"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("wt"),
+    )
+    agg = li.groupBy("flag", "v").agg(F.sum("wt").alias("wt"))
+    cum = agg.select(
+        "flag",
+        "v",
+        F.sum("wt")
+        .over(W.partitionBy("flag").orderBy("v"))
+        .alias("cw"),
+        F.sum("wt").over(W.partitionBy("flag")).alias("tot"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tot"))
+        .groupBy("flag")
+        .agg(
+            F.min("v").alias("weighted_median"),
+            F.max("tot").alias("total_weight_cents"),
+        )
+        .orderBy("flag")
+    )

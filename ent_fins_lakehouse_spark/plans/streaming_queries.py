@@ -1196,3 +1196,138 @@ def q233_stream_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", F.round("total_value", 4).alias("total_value"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "q308_stream_stream_full_outer_join",
+    oracle="""
+    WITH mx AS (
+      SELECT LEAST(
+        (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        (SELECT max(ts) FROM events WHERE event_type = 'purchase')) AS m
+    ),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+    cj AS (
+      SELECT c.user_id, c.ts AS c_ts, p.value AS p_value
+      FROM c LEFT JOIN p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE
+    ),
+    pj AS (
+      SELECT p.user_id, p.ts AS p_ts, c.ts AS c_ts
+      FROM p LEFT JOIN c
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE
+    ),
+    per_user AS (
+      SELECT user_id,
+             COUNT(p_value) AS n_matched,
+             CAST(SUM(CASE WHEN p_value IS NULL
+                            AND c_ts + INTERVAL 61 MINUTE < (SELECT m FROM mx)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_click_orphans,
+             CAST(0 AS BIGINT) AS n_purchase_orphans
+      FROM cj GROUP BY user_id
+      UNION ALL
+      SELECT user_id, 0, 0,
+             CAST(SUM(CASE WHEN c_ts IS NULL
+                            AND p_ts + INTERVAL 1 MINUTE < (SELECT m FROM mx)
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM pj GROUP BY user_id
+    )
+    SELECT user_id,
+           SUM(n_matched) AS n_matched,
+           SUM(n_click_orphans) AS n_click_orphans,
+           SUM(n_purchase_orphans) AS n_purchase_orphans
+    FROM per_user GROUP BY user_id
+    HAVING SUM(n_matched) > 0 OR SUM(n_click_orphans) > 0
+        OR SUM(n_purchase_orphans) > 0
+    ORDER BY user_id
+    """,
+    tags=("streaming", "join"),
+)
+def q308_stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join — q200's two-sided completion:
+    unconverted clicks AND unattributed purchases both emit with a
+    null other side once the watermark proves no match can arrive.
+    The eviction cutoffs differ per side because the join condition
+    bounds them differently (Spark derives each side's state watermark
+    from the time-interval condition): a click can match purchases up
+    to ``c_ts + 60m``, so its orphan emits when the global watermark
+    (``min(max_c, max_p) − 1m delay``) passes ``c_ts + 60m``; a
+    purchase can only match clicks AT OR BEFORE ``p_ts``, so its
+    orphan emits as soon as the watermark passes ``p_ts`` itself. The
+    oracle restates both cutoffs exactly, including the held-back
+    tails. State stays bounded by (condition span + delay) per side —
+    the unbounded-stream property; matched pairs and both orphan
+    classes settle into one per-user row."""
+    root = tempfile.mkdtemp(prefix="stream_ss_full_")
+    src = _events_as_json_waves(spark, sf_dir, root)
+    out = os.path.join(root, "pairs")
+    ckpt = os.path.join(root, "ckpt")
+
+    def side(event_type: str, alias: str):
+        return (
+            spark.readStream.schema(EVENTS_JSON_SCHEMA)
+            .json(src)
+            .withColumn("ts", F.to_timestamp("ts"))
+            .filter(F.col("event_type") == event_type)
+            .withWatermark("ts", "1 minute")
+            .select(
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("ts").alias(f"{alias}_ts"),
+                F.col("value").alias(f"{alias}_value"),
+            )
+        )
+
+    clicks, purchases = side("click", "c"), side("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 60 MINUTES"
+        ),
+        "full_outer",
+    )
+    (
+        joined.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .format("parquet")
+        .option("path", out)
+        .start()
+        .awaitTermination()
+    )
+    pairs = spark.read.parquet(out)
+    return (
+        pairs.select(
+            F.coalesce("c_user", "p_user").alias("user_id"),
+            "c_ts",
+            "p_ts",
+            "p_value",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(
+                F.when(F.col("c_ts").isNotNull() & F.col("p_ts").isNotNull(), 1)
+            ).alias("n_matched"),
+            F.sum(
+                F.when(
+                    F.col("c_ts").isNotNull() & F.col("p_ts").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_click_orphans"),
+            F.sum(
+                F.when(
+                    F.col("p_ts").isNotNull() & F.col("c_ts").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_purchase_orphans"),
+        )
+        .filter(
+            (F.col("n_matched") > 0)
+            | (F.col("n_click_orphans") > 0)
+            | (F.col("n_purchase_orphans") > 0)
+        )
+        .orderBy("user_id")
+    )
