@@ -100,6 +100,11 @@ HEADLINE = [
     "q292_delta_reorg_purge",
     "q294_delta_hilbert_clustering",
     "q291_unigram_entropy_quality",
+    # r8 session 2: CDF emission (DML write path incl. cdc staging),
+    # iterative BFS over a real edge table, within-basket self-join
+    "q302_delta_cdf_dml",
+    "q303_bfs_shortest_path",
+    "q305_market_basket_lift",
 ]
 
 

@@ -5259,7 +5259,9 @@ def q305_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     basket = basket.persist()
-    n_tot = basket.select("okey").distinct().count()
+    # basket count enters the plan as a broadcast 1-row cross join —
+    # no driver action, the whole query stays one job
+    tot = basket.select("okey").distinct().agg(F.count("*").alias("n_tot"))
     sup = basket.groupBy("brand").agg(F.count("*").alias("n_b"))
     a = basket.alias("a")
     b = basket.alias("b")
@@ -5283,12 +5285,13 @@ def q305_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(sup.select(F.col("brand").alias("brand_b"), F.col("n_b").alias("nb"))),
             "brand_b",
         )
+        .crossJoin(F.broadcast(tot))
         .select(
             "brand_a",
             "brand_b",
             "pair_n",
             F.round(
-                F.col("pair_n").cast("double") * F.lit(n_tot) / (F.col("na") * F.col("nb")),
+                F.col("pair_n").cast("double") * F.col("n_tot") / (F.col("na") * F.col("nb")),
                 6,
             ).alias("lift"),
         )
@@ -5410,4 +5413,215 @@ def q307_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tot").alias("total_weight_cents"),
         )
         .orderBy("flag")
+    )
+
+
+@query(
+    "q309_ks_two_sample",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_c,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    g AS (SELECT x, SUM(is_c) AS c, SUM(is_p) AS p FROM v GROUP BY x),
+    cum AS (
+      SELECT SUM(c) OVER (ORDER BY x) AS cc,
+             SUM(p) OVER (ORDER BY x) AS cp,
+             SUM(c) OVER () AS n1,
+             SUM(p) OVER () AS n2
+      FROM g
+    )
+    SELECT MAX(n1) AS n_click, MAX(n2) AS n_purchase,
+           MAX(ABS(cc * n2 - cp * n1)) AS d_scaled,
+           ROUND(CAST(MAX(ABS(cc * n2 - cp * n1)) AS DOUBLE)
+                 / (MAX(n1) * MAX(n2)), 6) AS ks_stat
+    FROM cum
+    """,
+    tags=("relational", "stats"),
+)
+def q309_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic — are click and
+    purchase values drawn from the same distribution? (the drift /
+    A-B-test gate PSI (q256) approximates with bins; KS is the exact
+    sup-norm). The ECDF difference is compared CROSS-MULTIPLIED:
+    ``|cc·n₂ − cp·n₁|`` stays in BIGINT, so the maximum is found over
+    exact integers and only the final normalization divides — no float
+    ECDF can tie-break differently across engines. Values collapse to
+    integer cents first (one hash agg), so the window runs over
+    distinct values, not rows. Scale: the cumulative window is a
+    single ordered pass over the value histogram — at 100 TB you'd
+    range-partition the histogram and prefix-sum per range (the
+    standard distributed scan), but the histogram itself is bounded by
+    the value domain, not the corpus."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("x"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_c"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+    )
+    g = ev.groupBy("x").agg(F.sum("is_c").alias("c"), F.sum("is_p").alias("p"))
+    w_cum = W.orderBy("x").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cum = g.select(
+        F.sum("c").over(w_cum).alias("cc"),
+        F.sum("p").over(w_cum).alias("cp"),
+        F.sum("c").over(w_all).alias("n1"),
+        F.sum("p").over(w_all).alias("n2"),
+    )
+    return cum.agg(
+        F.max("n1").alias("n_click"),
+        F.max("n2").alias("n_purchase"),
+        F.max(F.abs(F.col("cc") * F.col("n2") - F.col("cp") * F.col("n1"))).alias(
+            "d_scaled"
+        ),
+        F.round(
+            F.max(F.abs(F.col("cc") * F.col("n2") - F.col("cp") * F.col("n1")))
+            .cast("double")
+            / (F.max("n1") * F.max("n2")),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+@query(
+    "q310_time_decay_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, event_type, ts
+      FROM events WHERE event_type IN ('view', 'click', 'signup')
+    ),
+    cred AS (
+      SELECT t.event_type,
+             1000000 // CAST(POWER(2, date_diff('day', t.ts, p.p_ts))
+                             AS BIGINT) AS w
+      FROM p JOIN touch t
+        ON t.user_id = p.user_id
+       AND t.ts <= p.p_ts
+       AND t.ts > p.p_ts - INTERVAL 7 DAY
+    )
+    SELECT event_type,
+           COUNT(*) AS n_touches,
+           SUM(w) AS credit_units,
+           ROUND(CAST(SUM(w) AS DOUBLE)
+                 / (SELECT SUM(w) FROM cred), 6) AS credit_share
+    FROM cred GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("relational", "attribution", "join"),
+)
+def q310_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution with time decay (q237's last-touch
+    generalized): every view/click/signup in the 7 days before a
+    purchase earns credit HALVED per whole day of distance — and the
+    halving is INTEGER (1000000 div 2^days), so credit sums are exact
+    across engines and aggregation orders; only the final share
+    normalizes in double. The purchase×touch pairing is a per-user
+    time-bounded range join (the q27 device: equi-join on user_id
+    first, the 7-day band as a post-filter — bounded by per-user
+    activity in the window, never events²). One hash agg per channel
+    ends it; the share denominator is a 1-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter("event_type = 'purchase'").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click", "signup")).select(
+        "user_id", "event_type", "ts"
+    )
+    cred = (
+        p.join(touch, "user_id")
+        .filter(
+            (F.col("ts") <= F.col("p_ts"))
+            & (F.col("ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
+        )
+        .select(
+            "event_type",
+            F.expr(
+                "1000000 div CAST(pow(2, datediff(p_ts, ts)) AS BIGINT)"
+            ).alias("w"),
+        )
+    )
+    cred = cred.persist()
+    tot = cred.agg(F.sum("w").alias("tot"))
+    out = (
+        cred.groupBy("event_type")
+        .agg(F.count("*").alias("n_touches"), F.sum("w").alias("credit_units"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_touches",
+            "credit_units",
+            F.round(F.col("credit_units").cast("double") / F.col("tot"), 6).alias(
+                "credit_share"
+            ),
+        )
+        .orderBy("event_type")
+    )
+    return out
+
+
+@query(
+    "q311_rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate), TIMESTAMP '1998-12-31') AS rec,
+             COUNT(*) AS freq,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT NTILE(5) OVER (ORDER BY rec, o_custkey) AS r_q,
+             NTILE(5) OVER (ORDER BY freq, o_custkey) AS f_q,
+             NTILE(5) OVER (ORDER BY mon, o_custkey) AS m_q,
+             mon
+      FROM rfm
+    )
+    SELECT r_q, f_q, m_q,
+           COUNT(*) AS n_customers,
+           CAST(SUM(mon) AS DOUBLE) AS total_monetary
+    FROM scored GROUP BY r_q, f_q, m_q
+    ORDER BY r_q, f_q, m_q
+    """,
+    tags=("relational", "window", "segmentation"),
+)
+def q311_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary
+    quintiles via NTILE over a DETERMINISTIC total order (metric,
+    custkey): NTILE splits by row position, so an underspecified order
+    would let tie rows swap buckets between engines; the custkey
+    tiebreak pins every row. Monetary sums in DECIMAL. Scale shape:
+    one hash agg per customer, then three window passes over the
+    per-customer table (each a sort exchange on a constant — at 100 TB
+    you'd replace global NTILE with percentile-bound bucketing from
+    q285's sketch tier, the documented swap); the 5³ segment grid is
+    the output."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    rfm = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("1998-12-31").cast("timestamp"), F.max("o_orderdate")
+        ).alias("rec"),
+        F.count("*").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon"),
+    )
+    scored = rfm.select(
+        F.ntile(5).over(W.orderBy("rec", "o_custkey")).alias("r_q"),
+        F.ntile(5).over(W.orderBy("freq", "o_custkey")).alias("f_q"),
+        F.ntile(5).over(W.orderBy("mon", "o_custkey")).alias("m_q"),
+        "mon",
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("mon").cast("double").alias("total_monetary"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
     )

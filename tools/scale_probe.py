@@ -70,6 +70,13 @@ PROBE_QUERIES = [
     "q228_stream_heavy_hitters",
     "q229_bpe_train",
     "q232_curriculum_schedule",
+    # r8 session 2: CDF DML, graph BFS, survival, basket, islands, median
+    "q302_delta_cdf_dml",
+    "q303_bfs_shortest_path",
+    "q304_kaplan_meier",
+    "q305_market_basket_lift",
+    "q306_gaps_and_islands",
+    "q307_weighted_median",
 ]
 
 # per-table key columns to offset per copy (fact->dim links stay valid
