@@ -5384,3 +5384,154 @@ def q302_delta_cdf_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("op", "change_type")
     )
+
+
+@query(
+    "q312_scd2_point_in_time_join",
+    oracle="""
+    SELECT CASE
+             WHEN c.c_custkey % 6 = 0
+                  AND o.o_orderdate >= TIMESTAMP '1997-03-01'
+               THEN 'SEG_CHANGE_B'
+             WHEN c.c_custkey % 3 = 0
+                  AND o.o_orderdate >= TIMESTAMP '1995-06-01'
+               THEN 'SEG_CHANGE_A'
+             ELSE c.c_mktsegment
+           END AS segment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("lakehouse", "temporal", "scd2", "join"),
+)
+def q312_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time fact↔dimension join against a LIVE SCD2 table —
+    the query side of q173's maintenance side: every order joins the
+    dimension version that was CURRENT at order time
+    (``valid_from ≤ o_orderdate < valid_to``, open-ended for the
+    current version), the as-of-the-fact semantics behind auditable
+    revenue attribution (and exactly what training-data snapshots need
+    to avoid feature leakage). The dimension is built through three
+    real :func:`operators.temporal.scd2_apply` MERGE batches
+    (1992 bootstrap; %3 keys → SEG_CHANGE_A at 1995-06-01; %6 keys →
+    SEG_CHANGE_B at 1997-03-01), so the differential proves the stored
+    interval history reproduces the oracle's closed-form segment
+    function — any off-by-one in interval closing would flip rows at
+    the effective-date boundaries. Scale: equi-join on the key carries
+    the plan; the interval predicate is a post-filter over each key's
+    ≤3 versions (bounded), never a time-range blowup."""
+    from ent_fins_lakehouse_spark.operators.temporal import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    t = LakeTable(spark, _scratch("scd2pit"))
+    scd2_apply(t, cust, ["c_custkey"], ["c_mktsegment"], "1992-01-01")
+    b1 = cust.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("SEG_CHANGE_A")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    scd2_apply(t, b1, ["c_custkey"], ["c_mktsegment"], "1995-06-01")
+    b2 = cust.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 6 == 0, F.lit("SEG_CHANGE_B"))
+        .when(F.col("c_custkey") % 3 == 0, F.lit("SEG_CHANGE_A"))
+        .otherwise(F.col("c_mktsegment")),
+    )
+    scd2_apply(t, b2, ["c_custkey"], ["c_mktsegment"], "1997-03-01")
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    dim = t.read()
+    return (
+        orders.join(dim, orders.o_custkey == dim.c_custkey)
+        .filter(
+            (F.to_date("o_orderdate") >= F.col("valid_from"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.to_date("o_orderdate") < F.col("valid_to"))
+            )
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "q313_iceberg_ndv_statistics",
+    oracle="""
+    SELECT 'l_orderkey' AS col, COUNT(DISTINCT l_orderkey) AS exact_ndv,
+           TRUE AS within_bound
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_partkey', COUNT(DISTINCT l_partkey), TRUE FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', COUNT(DISTINCT l_returnflag), TRUE FROM lineitem
+    UNION ALL
+    SELECT 'l_suppkey', COUNT(DISTINCT l_suppkey), TRUE FROM lineitem
+    ORDER BY col
+    """,
+    tags=("lakehouse", "iceberg", "stats", "sketch"),
+)
+def q313_iceberg_ndv_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg table-statistics files (spec 'Table statistics'; the
+    Puffin theta-sketch NDV blobs, as a KMV sketch with the same
+    contract): one distributed pass hashes every requested column,
+    keeps per-partition k-minima on the EXECUTORS (Arrow batches,
+    bounded k·partitions·columns rows out), and commits per-column NDV
+    estimates to a ``metadata/stats-<snapshot>.json`` sidecar
+    referenced from table metadata pinned to the snapshot id — the CBO
+    input (join order, broadcast threshold) at KB cost regardless of
+    table size.
+
+    Gates: the estimates round-trip through ``ndv_estimates()``
+    byte-identically; a low-cardinality column (< k distinct) is EXACT
+    by construction; high-cardinality estimates must sit within 5
+    relative standard errors (≈15.7% at k=1024) of the exact NDV —
+    raise on violation, so the differential's TRUE flags are earned,
+    not asserted."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"
+    )
+    t = IcebergTable(spark, _scratch("icendv") + "_t")
+    t.append(li.repartition(8))
+    cols = ["l_orderkey", "l_partkey", "l_returnflag", "l_suppkey"]
+    k = 1024
+    written = t.write_ndv_stats(cols, k=k)
+    reread = t.ndv_estimates()
+    if written != reread:
+        raise AssertionError(f"stats round-trip drifted: {written} vs {reread}")
+    exact = {
+        c: int(n)
+        for c, n in zip(
+            cols, li.agg(*[F.countDistinct(c).alias(c) for c in cols]).first()
+        )
+    }
+    if reread["l_returnflag"] != exact["l_returnflag"]:
+        raise AssertionError(
+            f"low-cardinality NDV must be exact: {reread['l_returnflag']} "
+            f"vs {exact['l_returnflag']}"
+        )
+    tol = 5.0 / (k - 2) ** 0.5
+    rows = []
+    for c in cols:
+        err = abs(reread[c] - exact[c]) / max(exact[c], 1)
+        if exact[c] >= k and err > tol:
+            raise AssertionError(
+                f"NDV estimate for {c} off by {err:.3f} (> {tol:.3f}): "
+                f"{reread[c]} vs exact {exact[c]}"
+            )
+        rows.append((c, exact[c], True))
+    return spark.createDataFrame(
+        rows, "col STRING, exact_ndv LONG, within_bound BOOLEAN"
+    ).orderBy("col")

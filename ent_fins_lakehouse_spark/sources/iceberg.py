@@ -1444,6 +1444,117 @@ class IcebergTable:
             "total_size_bytes LONG",
         )
 
+    def write_ndv_stats(self, columns: list[str], k: int = 1024) -> dict:
+        """Table statistics files (Iceberg spec 'Table statistics' —
+        the Puffin ``apache-datasketches-theta-v1`` NDV blobs, here a
+        KMV sketch with the same contract): per-column distinct-value
+        ESTIMATES computed in ONE distributed pass, serialized to a
+        sidecar under ``metadata/`` and referenced from table metadata
+        ``statistics`` pinned to the CURRENT snapshot id — the
+        cost-based-optimizer input (join reordering, broadcast
+        decisions) that costs KBs to keep however large the table.
+
+        Sketch: k-minimum-values over ``xxhash64`` normalized to
+        [0, 1); NDV ≈ (k−1)/kth-min with relative standard error
+        ≈ 1/√(k−2) (~3.1% at k=1024); exact below k distinct hashes
+        (NULL hashes like any other value — one NDV unit, the sketch
+        convention). Distributed shape: ONE scan hashes every column
+        JVM-side, an Arrow ``mapInPandas`` pass keeps each
+        partition's k smallest DISTINCT hashes per column (bounded
+        k·partitions·columns rows leave the executors), and a final
+        per-column top-k over that sliver picks the global minima —
+        no global distinct, no per-column job. Returns
+        ``{column: estimate}``."""
+        from pyspark.sql import Window as _W
+
+        meta = self.metadata()
+        sid = meta.get("current-snapshot-id")
+        if sid in (None, -1):
+            raise ValueError("write_ndv_stats needs a current snapshot")
+        df = self.read()
+        missing = [c for c in columns if c not in df.columns]
+        if missing:
+            raise ValueError(f"ndv stats over unknown columns {missing}")
+        cols = list(columns)
+        hashed = df.select(
+            *[
+                ((F.xxhash64(F.col(c)).cast("double") / F.lit(float(2**64))) + 0.5).alias(c)
+                for c in cols
+            ]
+        )
+        kk = int(k)
+
+        def minima(batches):
+            import numpy as np
+            import pandas as pd
+
+            best: dict = {c: None for c in cols}
+            for pdf in batches:
+                for c in cols:
+                    v = pdf[c].to_numpy()
+                    cur = v if best[c] is None else np.concatenate([best[c], v])
+                    cur = np.unique(cur)  # sorted distinct
+                    best[c] = cur[:kk]
+            out_c: list = []
+            out_u: list = []
+            for c in cols:
+                if best[c] is not None:
+                    out_c.extend([c] * len(best[c]))
+                    out_u.extend(float(x) for x in best[c])
+            yield pd.DataFrame({"col": out_c, "u": out_u})
+
+        mins = hashed.mapInPandas(minima, "col string, u double")
+        w = _W.partitionBy("col").orderBy("u")
+        ranked = (
+            mins.distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= kk)
+            .groupBy("col")
+            .agg(F.max("u").alias("kth"), F.count("*").alias("n"))
+        )
+        stats: dict[str, dict] = {}
+        for r in ranked.collect():
+            n, kth = int(r["n"]), float(r["kth"] or 1.0)
+            est = n if n < kk else int(round((kk - 1) / kth))
+            stats[r["col"]] = {"ndv": est, "k": kk, "n_mins": n, "kth": kth}
+        for c in cols:  # columns absent from an empty scan
+            stats.setdefault(c, {"ndv": 0, "k": kk, "n_mins": 0, "kth": 1.0})
+        path = os.path.join(self.meta_dir, f"stats-{sid}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"snapshot-id": int(sid), "ndv": stats}, fh)
+        os.replace(tmp, path)
+        entries = [
+            s for s in (meta.get("statistics") or [])
+            if s.get("snapshot-id") != sid
+        ]
+        entries.append(
+            {
+                "snapshot-id": int(sid),
+                "statistics-path": path,
+                "file-size-in-bytes": os.path.getsize(path),
+            }
+        )
+        self._write_metadata({**meta, "statistics": entries})
+        return {c: v["ndv"] for c, v in stats.items()}
+
+    def ndv_estimates(self, snapshot_id: int | None = None) -> dict:
+        """NDV estimates from the statistics file pinned to the given
+        (default current) snapshot — a metadata read, no data scan.
+        Raises when no statistics file covers the snapshot (stats are
+        snapshot-scoped: a new commit needs a new stats pass)."""
+        meta = self.metadata()
+        sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
+        entry = next(
+            (s for s in (meta.get("statistics") or []) if s.get("snapshot-id") == sid),
+            None,
+        )
+        if entry is None:
+            raise ValueError(f"no statistics file for snapshot {sid}")
+        with open(entry["statistics-path"]) as fh:
+            blob = json.load(fh)
+        return {c: int(v["ndv"]) for c, v in blob["ndv"].items()}
+
     def txn_version(self, app_id: str) -> int:
         """Latest committed batch id for an idempotent writer, read
         from snapshot summaries (the Flink-connector pattern: commit

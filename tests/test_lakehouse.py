@@ -4779,3 +4779,29 @@ def test_delta_cdc_merge_delete_clause(spark, tmp_path):
     assert sorted((r["id"], r["bal"]) for r in dl.read().collect()) == [
         (2, 200.0), (3, 300.0), (9, 900.0)
     ]
+
+
+def test_iceberg_ndv_stats_snapshot_scoped(spark, tmp_path):
+    """Statistics files pin to a snapshot: readable at the snapshot
+    they were written for, refused after a new commit until a fresh
+    stats pass; low-cardinality columns are exact."""
+    import pytest as _pytest
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "ndvstats"))
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(500)], "id BIGINT, bucket BIGINT"
+    )
+    t.append(df)
+    est = t.write_ndv_stats(["id", "bucket"], k=1024)
+    assert est["bucket"] == 7  # < k distinct -> exact
+    assert est["id"] == 500
+    assert t.ndv_estimates() == est
+    sid_v1 = t.metadata()["current-snapshot-id"]
+    t.append(spark.createDataFrame([(1000, 9)], "id BIGINT, bucket BIGINT"))
+    with _pytest.raises(ValueError, match="no statistics file"):
+        t.ndv_estimates()
+    assert t.ndv_estimates(snapshot_id=sid_v1) == est  # old pin still serves
+    est2 = t.write_ndv_stats(["id", "bucket"], k=1024)
+    assert est2["bucket"] == 8 and est2["id"] == 501
