@@ -3992,3 +3992,95 @@ def q296_dpo_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+@query(
+    "q314_zipf_law_fit",
+    oracle="""
+    WITH toks AS (
+      SELECT UNNEST(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+      FROM documents WHERE trim(text) <> ''
+    ),
+    freq AS (
+      SELECT token, COUNT(*) AS n FROM toks WHERE token <> ''
+      GROUP BY token
+    ),
+    ranked AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
+      FROM freq
+    ),
+    pts AS (
+      SELECT CAST(ROUND(LN(rank), 8) AS DECIMAL(14,8)) AS x,
+             CAST(ROUND(LN(n), 8) AS DECIMAL(14,8)) AS y
+      FROM ranked WHERE rank <= 500
+    ),
+    s AS (
+      SELECT COUNT(*) AS m, SUM(x) AS sx, SUM(x * x) AS sxx,
+             SUM(y) AS sy, SUM(x * y) AS sxy
+      FROM pts
+    )
+    SELECT m AS n_ranks,
+           ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+                 / CAST(m * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+           ROUND((CAST(sy AS DOUBLE) - CAST(m * sxy - sx * sy AS DOUBLE)
+                    / CAST(m * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / CAST(m AS DOUBLE), 6) AS log_intercept
+    FROM s
+    """,
+    tags=("llm", "text", "stats"),
+)
+def q314_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus rank-frequency curve — the
+    corpus-health diagnostic (natural text sits near slope −1;
+    template/boilerplate-heavy or synthetic corpora bend it): OLS of
+    log-frequency on log-rank over the top 500 ranks, the q250
+    closed-form normal equations with q280's per-term
+    DECIMAL-rounding so both engines sum identical exact terms in any
+    order. Ranks come from ONE window over the VOCABULARY (bounded by
+    distinct tokens, not corpus rows; tie-broken by token so rank
+    assignment is total). The heavy part — explode + token count — is
+    the same map-side-combining shape as q64; everything after runs on
+    ≤ |vocab| rows."""
+    from ent_fins_lakehouse_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.filter(F.trim("text") != "")
+        .select(F.explode(F.split(normalize_text("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    ranked = freq.select(
+        "n",
+        F.row_number().over(W.orderBy(F.desc("n"), F.asc("token"))).alias("rank"),
+    ).filter(F.col("rank") <= 500)
+    pts = ranked.select(
+        F.round(F.log("rank"), 8).cast("decimal(14,8)").alias("x"),
+        F.round(F.log("n"), 8).cast("decimal(14,8)").alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return s.select(
+        F.col("m").alias("n_ranks"),
+        F.round(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+            6,
+        ).alias("zipf_slope"),
+        F.round(
+            (
+                F.col("sy").cast("double")
+                - (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+                / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+                * F.col("sx").cast("double")
+            )
+            / F.col("m").cast("double"),
+            6,
+        ).alias("log_intercept"),
+    )

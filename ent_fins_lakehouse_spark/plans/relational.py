@@ -5258,9 +5258,9 @@ def q305_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
     )
-    basket = basket.persist()
     # basket count enters the plan as a broadcast 1-row cross join —
-    # no driver action, the whole query stays one job
+    # no driver action, one job; the basket exchange feeding sup/tot/
+    # pairs is shared via Spark's ReusedExchange, no persist needed
     tot = basket.select("okey").distinct().agg(F.count("*").alias("n_tot"))
     sup = basket.groupBy("brand").agg(F.count("*").alias("n_b"))
     a = basket.alias("a")
@@ -5298,7 +5298,6 @@ def q305_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
         .limit(10)
     )
-    basket.unpersist(blocking=False)
     return out
 
 
@@ -5546,7 +5545,6 @@ def q310_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
     )
-    cred = cred.persist()
     tot = cred.agg(F.sum("w").alias("tot"))
     out = (
         cred.groupBy("event_type")
