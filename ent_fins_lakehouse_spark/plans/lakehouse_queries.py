@@ -5535,3 +5535,116 @@ def q313_iceberg_ndv_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "col STRING, exact_ndv LONG, within_bound BOOLEAN"
     ).orderBy("col")
+
+
+@query(
+    "q315_iceberg_cow_over_eq_deletes",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR(MAX(c_custkey) / 4.0) AS BIGINT) AS q1,
+             CAST(FLOOR(MAX(c_custkey) / 2.0) AS BIGINT) AS q2,
+             CAST(FLOOR(3 * MAX(c_custkey) / 4.0) AS BIGINT) AS q3
+      FROM customer
+    ),
+    state AS (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey <= (SELECT q1 FROM b)
+                    THEN c_acctbal + 100
+                  WHEN c_custkey <= (SELECT q2 FROM b)
+                    THEN c_acctbal + 500
+                  ELSE c_acctbal END AS bal
+      FROM customer WHERE c_custkey <= (SELECT q3 FROM b)
+      UNION ALL
+      SELECT c_custkey, c_acctbal + 5000
+      FROM customer
+      WHERE c_custkey > (SELECT q3 FROM b) AND c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_acctbal + 1000
+      FROM customer
+      WHERE c_custkey > (SELECT q1 FROM b) AND c_custkey <= (SELECT q2 FROM b)
+    )
+    SELECT CASE WHEN k > 1000000 THEN 'merge_inserted'
+                WHEN k <= (SELECT q1 FROM b) THEN 'updated'
+                WHEN k <= (SELECT q2 FROM b) THEN 'merged'
+                WHEN k <= (SELECT q3 FROM b) THEN 'untouched'
+                ELSE 'reinserted' END AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+    FROM state GROUP BY 1 ORDER BY 1
+    """,
+    tags=("lakehouse", "iceberg", "dml", "cdc"),
+)
+def q315_iceberg_cow_over_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DML on an Iceberg table CARRYING equality deletes
+    — the Flink-ingest + Spark-maintenance composition that
+    merge-on-read DML must refuse (pos/eq sequence interplay) but CoW
+    handles exactly: the DML scans read THROUGH the eq deletes with
+    the spec's sequence rule (a delete at sequence S masks only data
+    files with sequence < S), rewritten files leave every prior
+    delete's scope via their HIGHER sequence, untouched files keep
+    their lower sequence and stay masked by the carried-forward delete
+    manifests — eq-deleted rows can never resurrect.
+
+    Arc: append customers → delete_eq the top quartile (CDC delete) →
+    re-append every 10th of those keys at +5000 (later sequence, NOT
+    masked) → UPDATE mode='cow' (+100, bottom quartile) → MERGE
+    mode='cow' (+500 matched second quartile, shifted-key inserts).
+    The final table hash-matches the oracle's closed-form restatement;
+    both MoR verbs are asserted to still refuse."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    maxk = int(cust.agg(F.max("c_custkey")).first()[0])
+    q1, q2, q3 = maxk // 4, maxk // 2, (3 * maxk) // 4
+    t = IcebergTable(spark, _scratch("iceeqcow") + "_t")
+    t.append(cust.repartitionByRange(6, "c_custkey"))
+    t.delete_eq(
+        cust.filter(f"c_custkey > {q3}").select("c_custkey"), ["c_custkey"]
+    )
+    t.append(
+        cust.filter(f"c_custkey > {q3} AND c_custkey % 10 = 0").withColumn(
+            "c_acctbal", F.col("c_acctbal") + 5000
+        )
+    )
+    try:
+        t.update({"c_acctbal": "c_acctbal + 1"}, f"c_custkey <= {q1}", mode="mor")
+        raise AssertionError("MoR UPDATE over eq deletes must refuse")
+    except NotImplementedError:
+        pass
+    got = t.update(
+        {"c_acctbal": "c_acctbal + 100"}, f"c_custkey <= {q1}", mode="cow"
+    )
+    n_q1 = cust.filter(f"c_custkey <= {q1}").count()
+    if got["rows_updated"] != n_q1:
+        raise AssertionError(f"expected {n_q1} rows updated, got {got}")
+    src = (
+        cust.filter(f"c_custkey > {q1} AND c_custkey <= {q2}")
+        .withColumn("c_acctbal", F.col("c_acctbal") + 500)
+        .unionByName(
+            cust.filter(f"c_custkey > {q1} AND c_custkey <= {q2}").select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                (F.col("c_acctbal") + 1000).alias("c_acctbal"),
+            )
+        )
+    )
+    t.merge(src, on=["c_custkey"], mode="cow")
+    return (
+        t.read()
+        .select(
+            F.when(F.col("c_custkey") > 1000000, "merge_inserted")
+            .when(F.col("c_custkey") <= q1, "updated")
+            .when(F.col("c_custkey") <= q2, "merged")
+            .when(F.col("c_custkey") <= q3, "untouched")
+            .otherwise("reinserted")
+            .alias("bucket"),
+            "c_acctbal",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("bal"),
+        )
+        .orderBy("bucket")
+    )

@@ -1949,22 +1949,59 @@ class IcebergTable:
                 fh.write(str(next_version))
 
     def _scan_with_pos(
-        self, schema: T.StructType, cand: list[str], pos_deletes: list[str]
+        self,
+        schema: T.StructType,
+        cand: list[str],
+        pos_deletes: list[str],
+        eq_deletes: list[tuple[str, int, list[int]]] | None = None,
+        seq_of: dict[str, int] | None = None,
     ) -> DataFrame:
         """Scan candidate data files with ``file_path``/``pos`` columns
         attached (parquet ``_metadata``), prior position deletes
         anti-joined away. Shared by :meth:`delete`, :meth:`update`,
-        :meth:`merge`."""
+        :meth:`merge`.
+
+        With ``eq_deletes`` (and ``seq_of``: data path → sequence
+        number), equality deletes are ALSO applied with the spec's
+        sequence semantics — a delete file at sequence S masks only
+        rows in data files with sequence < S — which is what lets
+        copy-on-write DML run on tables carrying equality deletes:
+        rewritten rows were read through the deletes, and the new
+        files' HIGHER sequence takes them out of every prior delete's
+        scope, while untouched files keep their lower sequence and
+        stay masked by the carried-forward delete manifests."""
         norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
-        scan = (
-            self.spark.read.schema(self._read_schema_for(sorted(cand)[0], schema))
-            .parquet(*sorted(cand))
-            .select(
-                "*",
-                norm(F.col("_metadata.file_path")).alias("file_path"),
-                F.col("_metadata.row_index").alias("pos"),
+        read_schema = self._read_schema_for(sorted(cand)[0], schema)
+        need_seq = bool(eq_deletes)
+        if need_seq:
+            if seq_of is None:
+                raise ValueError("eq-aware scan needs seq_of (path -> sequence)")
+            parts = []
+            for seq in sorted({seq_of[p] for p in cand}):
+                paths = sorted(p for p in cand if seq_of[p] == seq)
+                parts.append(
+                    self.spark.read.schema(read_schema)
+                    .parquet(*paths)
+                    .select(
+                        "*",
+                        norm(F.col("_metadata.file_path")).alias("file_path"),
+                        F.col("_metadata.row_index").alias("pos"),
+                        F.lit(seq).alias("_seq"),
+                    )
+                )
+            scan = parts[0]
+            for p in parts[1:]:
+                scan = scan.unionByName(p)
+        else:
+            scan = (
+                self.spark.read.schema(read_schema)
+                .parquet(*sorted(cand))
+                .select(
+                    "*",
+                    norm(F.col("_metadata.file_path")).alias("file_path"),
+                    F.col("_metadata.row_index").alias("pos"),
+                )
             )
-        )
         if pos_deletes:
             prior = (
                 self.spark.read.schema("file_path STRING, pos LONG")
@@ -1972,6 +2009,27 @@ class IcebergTable:
                 .select(norm(F.col("file_path")).alias("file_path"), "pos")
             )
             scan = scan.join(prior, ["file_path", "pos"], "left_anti")
+        if need_seq:
+            id_names = self.field_names_by_id()
+            for path, seq, ids in eq_deletes:
+                try:
+                    ecols = [id_names[i] for i in ids]
+                except KeyError as e:
+                    raise NotImplementedError(
+                        f"equality delete {path} references unknown field id {e}"
+                    ) from None
+                eq_schema = T.StructType([schema[c] for c in ecols])
+                del_df = (
+                    self.spark.read.schema(eq_schema)
+                    .parquet(path)
+                    .select(*[F.col(c).alias(f"_eq_{c}") for c in ecols])
+                    .distinct()
+                )
+                cond = [scan["_seq"] < F.lit(seq)] + [
+                    scan[c].eqNullSafe(del_df[f"_eq_{c}"]) for c in ecols
+                ]
+                scan = scan.join(del_df, on=cond, how="left_anti")
+            scan = scan.drop("_seq")
         return scan
 
     def _stage_pos_delete_entries(
@@ -2062,17 +2120,22 @@ class IcebergTable:
         meta = self.metadata()
         schema = self.schema(meta)
         data, pos_deletes, eq_deletes = self._files()
-        if eq_deletes:
+        if eq_deletes and mode != "cow":
             raise NotImplementedError(
                 "position-delete writes on tables carrying equality deletes "
-                "are not supported (sequence interplay)"
+                "are not supported (sequence interplay) — use mode='cow' "
+                "or compact() first"
             )
         stats = {p: b for p, _, b in data}
         cand, _ = prune_dirs(predicate, stats, [p for p, _, _ in data])
         if not cand:
             return {"rows_deleted": 0, "files_touched": 0}
         if mode == "cow":
-            return self._delete_cow(meta, schema, cand, pos_deletes, predicate)
+            seq_of = {p: s for p, s, _ in data}
+            return self._delete_cow(
+                meta, schema, cand, pos_deletes, predicate,
+                eq_deletes=eq_deletes, seq_of=seq_of,
+            )
         matched = self._scan_with_pos(schema, cand, pos_deletes).filter(
             predicate
         ).select("file_path", "pos")
@@ -2108,6 +2171,8 @@ class IcebergTable:
         cand: list[str],
         pos_deletes: list[str],
         predicate: str,
+        eq_deletes: list | None = None,
+        seq_of: dict | None = None,
     ) -> dict:
         """Copy-on-write DELETE: rewrite every file containing a match
         as survivors-only, drop the old files from the manifests in one
@@ -2120,7 +2185,7 @@ class IcebergTable:
         # one distributed job: which candidate files actually contain
         # matches, and how many rows each loses
         per_file = (
-            self._scan_with_pos(schema, cand, pos_deletes)
+            self._scan_with_pos(schema, cand, pos_deletes, eq_deletes, seq_of)
             .filter(predicate)
             .groupBy("file_path")
             .count()
@@ -2135,7 +2200,9 @@ class IcebergTable:
         # to NULL are NOT matches, so they must survive the rewrite —
         # plain NOT (pred) would drop them (three-valued logic).
         survivors = (
-            self._scan_with_pos(schema, sorted(affected), pos_deletes)
+            self._scan_with_pos(
+                schema, sorted(affected), pos_deletes, eq_deletes, seq_of
+            )
             .filter(f"NOT coalesce(({predicate}), false)")
             .select(*cols)
         )
@@ -2389,11 +2456,13 @@ class IcebergTable:
         if unknown:
             raise ValueError(f"UPDATE SET targets unknown columns {sorted(unknown)}")
         data, pos_deletes, eq_deletes = self._files()
-        if eq_deletes:
+        if eq_deletes and mode != "cow":
             raise NotImplementedError(
-                "UPDATE on tables carrying equality deletes is not supported "
-                "(sequence interplay)"
+                "merge-on-read UPDATE on tables carrying equality deletes "
+                "is not supported (sequence interplay) — use mode='cow' "
+                "or compact() first"
             )
+        seq_of = {p: s for p, s, _ in data}
         if predicate:
             stats = {p: b for p, _, b in data}
             cand, _ = prune_dirs(predicate, stats, [p for p, _, _ in data])
@@ -2401,7 +2470,7 @@ class IcebergTable:
             cand = [p for p, _, _ in data]
         if not cand:
             return {"rows_updated": 0, "snapshot_id": meta.get("current-snapshot-id")}
-        scan = self._scan_with_pos(schema, cand, pos_deletes)
+        scan = self._scan_with_pos(schema, cand, pos_deletes, eq_deletes, seq_of)
         matched = scan.filter(predicate) if predicate else scan
         now = int(time.time() * 1000)
         seq = int(meta.get("last-sequence-number") or 0) + 1
@@ -2438,7 +2507,9 @@ class IcebergTable:
                 # and must be carried forward unchanged (same as the MoR
                 # path, which only touches rows where the predicate is TRUE)
                 new_df = (
-                    self._scan_with_pos(schema, sorted(affected), pos_deletes)
+                    self._scan_with_pos(
+                        schema, sorted(affected), pos_deletes, eq_deletes, seq_of
+                    )
                     .filter(f"NOT coalesce(({predicate}), false)")
                     .select(*cols)
                     .unionByName(updated)
@@ -2546,11 +2617,13 @@ class IcebergTable:
             )
         source = source.select(cols)
         data, pos_deletes, eq_deletes = self._files()
-        if eq_deletes:
+        if eq_deletes and mode != "cow":
             raise NotImplementedError(
-                "MERGE on tables carrying equality deletes is not supported "
-                "(sequence interplay)"
+                "merge-on-read MERGE on tables carrying equality deletes "
+                "is not supported (sequence interplay) — use mode='cow' "
+                "or compact() first"
             )
+        seq_of = {p: s for p, s, _ in data}
         cand = [p for p, _, _ in data]
         if not cand:
             n = self.append(source)
@@ -2567,7 +2640,7 @@ class IcebergTable:
                 raise ValueError(f"UPDATE SET targets unknown columns {sorted(unknown)}")
             if set(matched_update) & set(on):
                 raise ValueError("UPDATE SET cannot reassign MERGE key columns")
-        target = self._scan_with_pos(schema, cand, pos_deletes)
+        target = self._scan_with_pos(schema, cand, pos_deletes, eq_deletes, seq_of)
         tkeys = target.select(*on).distinct()
         if do_update:
             # one target row matching multiple source rows is a
@@ -2668,7 +2741,9 @@ class IcebergTable:
                 }
                 if affected:
                     survivors = (
-                        self._scan_with_pos(schema, sorted(affected), pos_deletes)
+                        self._scan_with_pos(
+                            schema, sorted(affected), pos_deletes, eq_deletes, seq_of
+                        )
                         .join(del_df, ["file_path", "pos"], "left_anti")
                         .select(*cols)
                     )

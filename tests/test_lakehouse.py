@@ -4805,3 +4805,56 @@ def test_iceberg_ndv_stats_snapshot_scoped(spark, tmp_path):
     assert t.ndv_estimates(snapshot_id=sid_v1) == est  # old pin still serves
     est2 = t.write_ndv_stats(["id", "bucket"], k=1024)
     assert est2["bucket"] == 8 and est2["id"] == 501
+
+
+def test_iceberg_cow_dml_over_equality_deletes(spark, tmp_path):
+    """Copy-on-write DML on a table carrying equality deletes: the
+    scans read THROUGH the deletes (sequence semantics), rewritten
+    files leave every prior delete's scope via their higher sequence,
+    and untouched files stay masked — eq-deleted rows must never
+    resurrect. Merge-on-read still refuses."""
+    import pytest as _pytest
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    def rows(t):
+        return sorted((r["id"], r["v"]) for r in t.read().collect())
+
+    def fresh(name):
+        t = IcebergTable(spark, str(tmp_path / name))
+        # seq1: ids 0..9 (v=id); seq2: eq-delete ids {2,3,4};
+        # seq3: id=3 re-inserted with v=333 (NOT masked: seq3 > seq2)
+        t.append(spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "id BIGINT, v DOUBLE"))
+        t.delete_eq(spark.createDataFrame([(2,), (3,), (4,)], "id BIGINT"), ["id"])
+        t.append(spark.createDataFrame([(3, 333.0)], "id BIGINT, v DOUBLE"))
+        assert rows(t) == [(0, 0.0), (1, 1.0), (3, 333.0), (5, 5.0),
+                           (6, 6.0), (7, 7.0), (8, 8.0), (9, 9.0)]
+        return t
+
+    # UPDATE cow: bump v for id >= 7; eq-deleted 2/4 must stay gone
+    t = fresh("equpd")
+    with _pytest.raises(NotImplementedError, match="mode='cow'"):
+        t.update({"v": "v + 1"}, "id >= 7", mode="mor")
+    got = t.update({"v": "v + 100"}, "id >= 7", mode="cow")
+    assert got["rows_updated"] == 3
+    assert rows(t) == [(0, 0.0), (1, 1.0), (3, 333.0), (5, 5.0),
+                       (6, 6.0), (7, 107.0), (8, 108.0), (9, 109.0)]
+
+    # DELETE cow: drop id in (0, 1); survivors of the rewritten file
+    # must NOT include eq-deleted 2/4
+    t = fresh("eqdel")
+    got = t.delete("id <= 1", mode="cow")
+    assert got["rows_deleted"] == 2
+    assert rows(t) == [(3, 333.0), (5, 5.0), (6, 6.0), (7, 7.0),
+                       (8, 8.0), (9, 9.0)]
+
+    # MERGE cow: update id=5, insert id=20; 2/4 stay gone, 3 keeps 333
+    t = fresh("eqmrg")
+    src = spark.createDataFrame([(5, 555.0), (20, 20.0)], "id BIGINT, v DOUBLE")
+    with _pytest.raises(NotImplementedError, match="mode='cow'"):
+        t.merge(src, on=["id"], mode="mor")
+    got = t.merge(src, on=["id"], mode="cow")
+    assert got["rows_updated"] == 1 and got["rows_inserted"] == 1
+    assert rows(t) == [(0, 0.0), (1, 1.0), (3, 333.0), (5, 555.0),
+                       (6, 6.0), (7, 7.0), (8, 8.0), (9, 9.0), (20, 20.0)]
