@@ -5648,3 +5648,105 @@ def q315_iceberg_cow_over_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q316_delta_dml_on_mapped_table",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR(MAX(c_custkey) / 4.0) AS BIGINT) AS lo,
+             CAST(FLOOR(MAX(c_custkey) / 2.0) AS BIGINT) AS mid,
+             CAST(FLOOR(3 * MAX(c_custkey) / 4.0) AS BIGINT) AS hi
+      FROM customer
+    ),
+    state AS (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey <= (SELECT lo FROM b) THEN c_acctbal + 100
+                  WHEN c_custkey <= (SELECT mid FROM b) THEN c_acctbal + 500
+                  ELSE c_acctbal END AS bal
+      FROM customer WHERE c_custkey <= (SELECT hi FROM b)
+      UNION ALL
+      SELECT c_custkey + 1000000, c_acctbal + 1000
+      FROM customer WHERE c_custkey > (SELECT hi FROM b)
+    )
+    SELECT CASE WHEN k > 1000000 THEN 'inserted'
+                WHEN k <= (SELECT lo FROM b) THEN 'updated'
+                WHEN k <= (SELECT mid FROM b) THEN 'merged'
+                ELSE 'untouched' END AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+    FROM state GROUP BY 1 ORDER BY 1
+    """,
+    tags=("lakehouse", "delta", "column-mapping", "dml", "cdf"),
+)
+def q316_delta_dml_on_mapped_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DML + change data feed THROUGH column mapping — the lifecycle a
+    renamed production table actually lives: RENAME COLUMN upgrades
+    the table to name mode (metadata-only; fields keep their physical
+    names), then UPDATE / MERGE / DV-DELETE run with LOGICAL names in
+    predicates and assignments while every rewritten data file, cdc
+    file, hive dir and stats blob carries PHYSICAL names per the spec
+    — so delta-spark and DuckDB keep reading the table mid-history.
+    CDF stays on for the whole arc; the DELETE commit's feed is
+    asserted cdc-sourced and delete-only. The final state hash-matches
+    the oracle's closed form over the base table."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    maxk = int(cust.agg(F.max("c_custkey")).first()[0])
+    lo, mid, hi = maxk // 4, maxk // 2, (3 * maxk) // 4
+    dl = DeltaLogTable(spark, _scratch("cmdml") + "_t")
+    dl.write(cust.repartitionByRange(6, "c_custkey"), mode="append")
+    dl.rename_column("c_acctbal", "balance")  # upgrades to name mode
+    dl.set_property("delta.enableChangeDataFeed", "true")
+
+    dl.update({"balance": "balance + 100"}, f"c_custkey <= {lo}")
+    src = (
+        cust.filter(f"c_custkey > {lo} AND c_custkey <= {mid}")
+        .withColumn("balance", F.col("c_acctbal") + 500)
+        .drop("c_acctbal")
+        .unionByName(
+            cust.filter(f"c_custkey > {hi}").select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                "c_mktsegment",
+                (F.col("c_acctbal") + 1000).alias("balance"),
+            )
+        )
+        .select("c_custkey", "c_mktsegment", "balance")
+    )
+    dl.merge(src, on=["c_custkey"])
+    v_del = dl.latest_version() + 1
+    dl.delete(f"c_custkey > {hi} AND c_custkey <= {maxk}")
+
+    feed_types = {
+        r["_change_type"]
+        for r in dl.read_changes(v_del, v_del)
+        .select("_change_type")
+        .distinct()
+        .collect()
+    }
+    if feed_types != {"delete"}:
+        raise AssertionError(
+            f"mapped DV-delete feed must be cdc delete rows, got {feed_types}"
+        )
+    return (
+        dl.read()
+        .select(
+            F.when(F.col("c_custkey") > 1000000, "inserted")
+            .when(F.col("c_custkey") <= lo, "updated")
+            .when(F.col("c_custkey") <= mid, "merged")
+            .otherwise("untouched")
+            .alias("bucket"),
+            "balance",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("balance").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("bal"),
+        )
+        .orderBy("bucket")
+    )

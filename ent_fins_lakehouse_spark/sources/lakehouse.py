@@ -3090,19 +3090,27 @@ class DeltaLogTable:
             "version": version,
         }
 
-    def _stage_adds(self, df: DataFrame, part_cols: list[str]) -> list[dict]:
+    def _stage_adds(
+        self, df: DataFrame, part_cols: list[str], pmap: dict | None = None
+    ) -> list[dict]:
         """Write ``df``'s rows as new parquet data files under the
         table dir (staged through a scratch dir so the table only ever
         gains fully-written, collision-free-named files) and return the
         corresponding ``add`` actions — hive ``partitionValues``, size,
         footer-sourced per-file stats. Shared by :meth:`write`,
-        :meth:`update` and :meth:`merge`; the caller owns the commit."""
+        :meth:`update` and :meth:`merge`; the caller owns the commit.
+        With ``pmap`` (name-mode column mapping), logical columns are
+        renamed to their PHYSICAL names before the write, so data files
+        and hive dirs carry physical names per the spec."""
         import glob
         import shutil
         import tempfile
         import urllib.parse
         import uuid as _uuid
 
+        if pmap and any(pmap[c] != c for c in df.columns if c in pmap):
+            df = df.select(*[F.col(c).alias(pmap.get(c, c)) for c in df.columns])
+            part_cols = [pmap.get(c, c) for c in part_cols]
         st = tempfile.mkdtemp(prefix="deltaw_")
         try:
             w = df.write.mode("overwrite")
@@ -3153,7 +3161,9 @@ class DeltaLogTable:
             )
         ).lower() == "true"
 
-    def _stage_cdc(self, df: DataFrame, part_cols: list[str]) -> list[dict]:
+    def _stage_cdc(
+        self, df: DataFrame, part_cols: list[str], pmap: dict | None = None
+    ) -> list[dict]:
         """Write change rows (table columns + ``_change_type``) as
         parquet under ``_change_data/`` and return ``cdc`` actions
         (spec 'Add CDC File'): when a commit carries cdc actions, CDF
@@ -3173,6 +3183,9 @@ class DeltaLogTable:
         import urllib.parse
         import uuid as _uuid
 
+        if pmap and any(pmap[c] != c for c in df.columns if c in pmap):
+            df = df.select(*[F.col(c).alias(pmap.get(c, c)) for c in df.columns])
+            part_cols = [pmap.get(c, c) for c in part_cols]
         st = tempfile.mkdtemp(prefix="deltacdc_")
         try:
             w = df.write.mode("overwrite")
@@ -3587,13 +3600,19 @@ class DeltaLogTable:
 
         adds, schema, part_cols, _meta = self._snapshot()
         self._enforce_append_only(_meta, "DELETE")
-        if ((_meta or {}).get("configuration") or {}).get(
+        cm_mode = ((_meta or {}).get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
-        ) != "none":
+        )
+        if cm_mode not in ("none", "name"):
             raise NotImplementedError(
-                "DV deletes on column-mapped tables are not supported by the shim"
+                f"DV deletes on columnMapping.mode={cm_mode!r} tables are not "
+                "supported by the shim ('name' mode is)"
             )
-        phys = T.StructType([f for f in schema.fields if f.name not in part_cols])
+        _, _del_pmap = self._mapping(_meta, schema)
+        data_fields = [f for f in schema.fields if f.name not in part_cols]
+        phys = T.StructType(
+            [T.StructField(_del_pmap[f.name], f.dataType) for f in data_fields]
+        )
         types = {f.name: f.dataType for f in schema.fields}
         version = self.latest_version() + 1
         now = int(time.time() * 1000)
@@ -3619,7 +3638,9 @@ class DeltaLogTable:
         # sidecar bitmaps).
         grouped: dict[tuple, list[str]] = {}
         for p in cand:
-            key = tuple(adds[p]["partitionValues"].get(c) for c in part_cols)
+            key = tuple(
+                adds[p]["partitionValues"].get(_del_pmap[c]) for c in part_cols
+            )
             grouped.setdefault(key, []).append(os.path.join(self.path, p))
         norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
         parts = []
@@ -3630,7 +3651,10 @@ class DeltaLogTable:
                 self.spark.read.schema(phys)
                 .parquet(*sorted(paths))
                 .select(
-                    "*",
+                    *[
+                        F.col(_del_pmap[f.name]).alias(f.name)
+                        for f in data_fields
+                    ],
                     norm(F.col("_metadata.file_path")).alias("_dv_fp"),
                     F.col("_metadata.row_index").alias("_dv_ri"),
                 )
@@ -3761,6 +3785,7 @@ class DeltaLogTable:
                     "_change_type", F.lit("delete")
                 ),
                 part_cols,
+                _del_pmap,
             )
         if cdc_actions:
             proto_action = {
@@ -3801,20 +3826,29 @@ class DeltaLogTable:
         ``_fp`` (normalized absolute data-file path) — the row→file
         attribution :meth:`update` / :meth:`merge` need to rewrite only
         touched files. Deletion vectors are applied with the same
-        bounded anti-join as :meth:`read`. Column-mapped tables are
-        refused (rewritten files would carry logical names).
+        bounded anti-join as :meth:`read`. Name-mode column-mapped
+        tables read through the logical→physical map and the caller
+        stages rewrites back under PHYSICAL names (the returned
+        ``pmap``); id mode is refused (our writer does not emit parquet
+        field ids).
 
-        Returns ``(df, adds, schema, part_cols, abs_path→rel_path)``.
+        Returns ``(df, adds, schema, part_cols, abs_path→rel_path,
+        pmap)``.
         """
         adds, schema, part_cols, meta = self._snapshot()
-        if ((meta or {}).get("configuration") or {}).get(
+        cm_mode = ((meta or {}).get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
-        ) != "none":
+        )
+        if cm_mode not in ("none", "name"):
             raise NotImplementedError(
-                "DML on column-mapped Delta tables is not supported by the shim"
+                f"DML on columnMapping.mode={cm_mode!r} Delta tables is not "
+                "supported by the shim ('name' mode is)"
             )
+        _, pmap = self._mapping(meta, schema)
         data_fields = [f for f in schema.fields if f.name not in part_cols]
-        phys = T.StructType([T.StructField(f.name, f.dataType) for f in data_fields])
+        phys = T.StructType(
+            [T.StructField(pmap[f.name], f.dataType) for f in data_fields]
+        )
         types = {f.name: f.dataType for f in schema.fields}
         norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
         rel_of = {os.path.abspath(os.path.join(self.path, p)): p for p in adds}
@@ -3823,14 +3857,14 @@ class DeltaLogTable:
                 [],
                 T.StructType([*schema.fields, T.StructField("_fp", T.StringType())]),
             )
-            return empty, adds, schema, part_cols, rel_of
+            return empty, adds, schema, part_cols, rel_of, pmap
         groups: dict[tuple, list[str]] = {}
         pv_of: dict[tuple, dict] = {}
         dv_files: list[tuple[str, dict]] = []
         for p, info in sorted(adds.items()):
             full = os.path.abspath(os.path.join(self.path, p))
             pv = info["partitionValues"]
-            key = tuple(pv.get(c) for c in part_cols)
+            key = tuple(pv.get(pmap[c]) for c in part_cols)
             groups.setdefault(key, []).append(full)
             pv_of[key] = pv
             if info["deletionVector"]:
@@ -3843,21 +3877,21 @@ class DeltaLogTable:
                 self.spark.read.schema(phys)
                 .parquet(*sorted(groups[key]))
                 .select(
-                    "*",
+                    *[F.col(pmap[f.name]).alias(f.name) for f in data_fields],
                     norm(F.col("_metadata.file_path")).alias("_fp"),
                     F.col("_metadata.row_index").alias("_ri"),
                 )
             )
             pv = pv_of[key]
             for c in part_cols:
-                df = df.withColumn(c, F.lit(pv.get(c)).cast(types[c]))
+                df = df.withColumn(c, F.lit(pv.get(pmap[c])).cast(types[c]))
             parts.append(df.select(*[f.name for f in schema.fields], "_fp", "_ri"))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         if dv_files:
             out = out.join(self._dv_deleted_df(dv_files), ["_fp", "_ri"], "left_anti")
-        return out.drop("_ri"), adds, schema, part_cols, rel_of
+        return out.drop("_ri"), adds, schema, part_cols, rel_of, pmap
 
     def _only_files(self, df: DataFrame, fps: list[str]) -> DataFrame:
         """Restrict ``df`` (carrying ``_fp``) to the given files —
@@ -3885,7 +3919,7 @@ class DeltaLogTable:
 
         _meta = self._snapshot()[3]
         self._enforce_append_only(_meta, "UPDATE")
-        df, adds, schema, part_cols, rel_of = self._read_with_fp()
+        df, adds, schema, part_cols, rel_of, pmap = self._read_with_fp()
         cols = [f.name for f in schema.fields]
         unknown = set(assignments) - set(cols)
         if unknown:
@@ -3931,8 +3965,8 @@ class DeltaLogTable:
                     for c in cols
                 ]
             ).withColumn("_change_type", F.lit("update_postimage"))
-            cdc_actions = self._stage_cdc(pre.unionByName(post), part_cols)
-        new_adds = self._stage_adds(rewritten, part_cols)
+            cdc_actions = self._stage_cdc(pre.unionByName(post), part_cols, pmap)
+        new_adds = self._stage_adds(rewritten, part_cols, pmap)
         now = int(time.time() * 1000)
         version = self.latest_version() + 1
         actions: list[dict] = [
@@ -4002,7 +4036,7 @@ class DeltaLogTable:
         import time
         import uuid as _uuid
 
-        df, adds, schema, part_cols, rel_of = self._read_with_fp()
+        df, adds, schema, part_cols, rel_of, pmap = self._read_with_fp()
         _meta = self._snapshot()[3]
         self._enforce_append_only(_meta, "MERGE")
         want = {f.name: f.dataType for f in schema.fields}
@@ -4194,11 +4228,11 @@ class DeltaLogTable:
             cdc_df = cdc_parts[0]
             for p in cdc_parts[1:]:
                 cdc_df = cdc_df.unionByName(p)
-            cdc_actions = self._stage_cdc(cdc_df, part_cols)
+            cdc_actions = self._stage_cdc(cdc_df, part_cols, pmap)
         combined = parts[0]
         for p in parts[1:]:
             combined = combined.unionByName(p)
-        new_adds = self._stage_adds(combined, part_cols)
+        new_adds = self._stage_adds(combined, part_cols, pmap)
         now = int(time.time() * 1000)
         version = self.latest_version() + 1
         actions: list[dict] = [

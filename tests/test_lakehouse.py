@@ -4858,3 +4858,94 @@ def test_iceberg_cow_dml_over_equality_deletes(spark, tmp_path):
     assert got["rows_updated"] == 1 and got["rows_inserted"] == 1
     assert rows(t) == [(0, 0.0), (1, 1.0), (3, 333.0), (5, 555.0),
                        (6, 6.0), (7, 7.0), (8, 8.0), (9, 9.0), (20, 20.0)]
+
+
+def _name_mapped_table(spark, tmp_path, name):
+    """A name-mode column-mapped table (logical renamed_id/v over
+    physical col-aaa/col-bbb) with 6 rows, built the way a renaming
+    writer leaves it."""
+    import glob as _glob
+    import json as _json
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / name)
+    os.makedirs(td)
+    pdf = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(6)], "`col-aaa` BIGINT, `col-bbb` STRING"
+    )
+    st = str(tmp_path / f"{name}_stage")
+    pdf.coalesce(1).write.parquet(st)
+    (f,) = _glob.glob(os.path.join(st, "part-*.parquet"))
+    fname = f"part-{_uuid.uuid4().hex}.snappy.parquet"
+    _shutil.move(f, os.path.join(td, fname))
+    schema_str = _json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "renamed_id", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 1,
+                              "delta.columnMapping.physicalName": "col-aaa"}},
+                {"name": "v", "type": "string", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 2,
+                              "delta.columnMapping.physicalName": "col-bbb"}},
+            ],
+        }
+    )
+    log = os.path.join(td, "_delta_log")
+    os.makedirs(log)
+    import json as _j
+
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write(_j.dumps(
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        fh.write(_j.dumps({"metaData": {
+            "id": name, "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_str, "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+            "createdTime": 0}}) + "\n")
+        fh.write(_j.dumps({"add": {
+            "path": fname, "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True}}) + "\n")
+    return DeltaLogTable(spark, td)
+
+
+def test_delta_dml_on_name_mapped_table(spark, tmp_path):
+    """UPDATE / MERGE / DV-DELETE on a name-mode column-mapped table:
+    predicates and assignments use LOGICAL names, rewritten files carry
+    PHYSICAL names (spec), and reads keep resolving."""
+    import json as _json
+
+    # UPDATE: rewrite one file, physical names on disk
+    t = _name_mapped_table(spark, tmp_path, "cmupd")
+    got = t.update({"v": "concat(v, '!')"}, "renamed_id >= 4")
+    assert got["rows_updated"] == 2
+    assert sorted((r["renamed_id"], r["v"]) for r in t.read().collect()) == [
+        (0, "r0"), (1, "r1"), (2, "r2"), (3, "r3"), (4, "r4!"), (5, "r5!")
+    ]
+    # the rewritten add's stats must be keyed by PHYSICAL names
+    adds, *_ = t._snapshot()
+    new_rel = [p for p in adds if adds[p].get("stats")]
+    assert any(
+        "col-aaa" in _json.loads(adds[p]["stats"]).get("minValues", {})
+        for p in new_rel
+    ), "rewritten file stats must use physical column names"
+
+    # MERGE: update + insert through the mapping
+    t = _name_mapped_table(spark, tmp_path, "cmmrg")
+    src = spark.createDataFrame(
+        [(2, "upd2"), (9, "new9")], "renamed_id BIGINT, v STRING"
+    )
+    t.merge(src, on=["renamed_id"])
+    assert sorted((r["renamed_id"], r["v"]) for r in t.read().collect()) == [
+        (0, "r0"), (1, "r1"), (2, "upd2"), (3, "r3"), (4, "r4"), (5, "r5"),
+        (9, "new9"),
+    ]
+
+    # DV DELETE: logical predicate, bitmap sidecar, mapped read-back
+    t = _name_mapped_table(spark, tmp_path, "cmdel")
+    got = t.delete("renamed_id IN (1, 3)")
+    assert got["rows_deleted"] == 2
+    assert sorted(r["renamed_id"] for r in t.read().collect()) == [0, 2, 4, 5]
