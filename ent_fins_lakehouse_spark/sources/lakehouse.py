@@ -4042,14 +4042,8 @@ class DeltaLogTable:
         want = {f.name: f.dataType for f in schema.fields}
         have = {f.name: f.dataType for f in source.schema.fields}
         evolved_fields: list[T.StructField] = []
+        _evolved_cfg: dict | None = None
         if with_schema_evolution:
-            if ((_meta or {}).get("configuration") or {}).get(
-                "delta.columnMapping.mode", "none"
-            ) != "none":
-                raise NotImplementedError(
-                    "MERGE WITH SCHEMA EVOLUTION on a column-mapped table "
-                    "is not supported by the shim (new fields need mapping ids)"
-                )
             bad = [n for n in have if n in want and have[n] != want[n]]
             if bad:
                 raise ValueError(
@@ -4063,11 +4057,31 @@ class DeltaLogTable:
                     f"merge source is missing table columns {missing} — "
                     "schema evolution only ADDS columns"
                 )
-            evolved_fields = [
-                T.StructField(f.name, f.dataType, True)
-                for f in source.schema.fields
-                if f.name not in want
-            ]
+            # on a name-mapped table every NEW field needs a fresh
+            # mapping id + an opaque physical name (the add_column
+            # scheme), and maxColumnId advances in the SAME commit
+            cfg = dict((_meta or {}).get("configuration") or {})
+            mapped = cfg.get("delta.columnMapping.mode", "none") != "none"
+            next_id = self._max_mapping_id(_meta)
+            import uuid as _uuid_se
+
+            for f in source.schema.fields:
+                if f.name in want:
+                    continue
+                md = None
+                if mapped:
+                    next_id += 1
+                    md = {
+                        "delta.columnMapping.id": next_id,
+                        "delta.columnMapping.physicalName": f"col-{_uuid_se.uuid4().hex[:8]}",
+                    }
+                    pmap[f.name] = md["delta.columnMapping.physicalName"]
+                evolved_fields.append(
+                    T.StructField(f.name, f.dataType, True, md)
+                )
+            if mapped and evolved_fields:
+                cfg["delta.columnMapping.maxColumnId"] = str(next_id)
+                _evolved_cfg = cfg
             for f in evolved_fields:
                 df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
             schema = T.StructType(list(schema.fields) + evolved_fields)
@@ -4255,7 +4269,11 @@ class DeltaLogTable:
                             "format": {"provider": "parquet", "options": {}},
                             "schemaString": json.dumps(schema.jsonValue()),
                             "partitionColumns": part_cols,
-                            "configuration": (_meta or {}).get("configuration") or {},
+                            "configuration": (
+                                _evolved_cfg
+                                if _evolved_cfg is not None
+                                else (_meta or {}).get("configuration") or {}
+                            ),
                             "createdTime": (_meta or {}).get("createdTime") or now,
                         }
                     }
@@ -4877,6 +4895,25 @@ class DeltaLogTable:
             .select(*out_cols)
         )
 
+    @staticmethod
+    def _max_mapping_id(meta: dict | None) -> int:
+        """Highest column-mapping id in use: the recorded
+        ``maxColumnId`` OR the max id on any schema field — peer
+        writers sometimes omit the config key, and a fresh id below an
+        existing field's id would alias two columns."""
+        cfg = (meta or {}).get("configuration") or {}
+        best = int(cfg.get("delta.columnMapping.maxColumnId") or 0)
+        try:
+            for fld in json.loads((meta or {}).get("schemaString") or "{}").get(
+                "fields", []
+            ):
+                best = max(
+                    best, int((fld.get("metadata") or {}).get("delta.columnMapping.id") or 0)
+                )
+        except (ValueError, TypeError):
+            pass
+        return best
+
     def rename_column(self, old: str, new: str) -> int:
         """ALTER TABLE … RENAME COLUMN old TO new — metadata-only (the
         point of column mapping: no data file is touched; the field
@@ -4929,7 +4966,7 @@ class DeltaLogTable:
         base = json.loads(meta["schemaString"])
         fld = json.loads(T.StructField(name, dtype, True).json())
         if mapped:
-            next_id = int(cfg.get("delta.columnMapping.maxColumnId") or 0) + 1
+            next_id = self._max_mapping_id(meta) + 1
             fld["metadata"] = {
                 "delta.columnMapping.id": next_id,
                 "delta.columnMapping.physicalName": f"col-{_uuid.uuid4().hex[:8]}",

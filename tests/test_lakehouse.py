@@ -1622,11 +1622,12 @@ def test_delta_log_dml_refuses_column_mapped(spark, tmp_path):
 
     for f in _glob.glob(_os.path.join(td, "*.parquet")):
         assert _pq.ParquetFile(f).schema_arrow.names == ["col-x"]
-    # … while rewrite-based DML still refuses loudly
-    with pytest.raises(NotImplementedError, match="column-mapped"):
-        dl.update({"x": "x + 1"})
-    with pytest.raises(NotImplementedError, match="column-mapped"):
-        dl.merge(df, on=["x"])
+    # … and rewrite-based DML now follows (r8): logical names in the
+    # verb, physical names in the rewritten files
+    dl.update({"x": "x + 10"})
+    assert [r.x for r in dl.read().collect()] == [11]
+    for f in _glob.glob(_os.path.join(td, "*.parquet")):
+        assert _pq.ParquetFile(f).schema_arrow.names == ["col-x"]
 
 
 def test_delta_checkpoint_preserves_protocol_verbatim(spark, tmp_path):
@@ -4949,3 +4950,35 @@ def test_delta_dml_on_name_mapped_table(spark, tmp_path):
     got = t.delete("renamed_id IN (1, 3)")
     assert got["rows_deleted"] == 2
     assert sorted(r["renamed_id"] for r in t.read().collect()) == [0, 2, 4, 5]
+
+
+def test_delta_merge_schema_evolution_on_mapped_table(spark, tmp_path):
+    """MERGE WITH SCHEMA EVOLUTION on a name-mapped table: the new
+    source column gets a FRESH mapping id + opaque physical name in
+    the same commit (maxColumnId advances), untouched rows read NULL
+    for it, and the staged files carry the physical name."""
+    import json as _json
+
+    t = _name_mapped_table(spark, tmp_path, "cmevo")
+    src = spark.createDataFrame(
+        [(1, "upd1", "gold"), (8, "new8", "silver")],
+        "renamed_id BIGINT, v STRING, tier STRING",
+    )
+    t.merge(src, on=["renamed_id"], with_schema_evolution=True)
+    got = sorted(
+        (r["renamed_id"], r["v"], r["tier"]) for r in t.read().collect()
+    )
+    assert got == [
+        (0, "r0", None), (1, "upd1", "gold"), (2, "r2", None),
+        (3, "r3", None), (4, "r4", None), (5, "r5", None),
+        (8, "new8", "silver"),
+    ]
+    *_, meta = t._snapshot()
+    fields = {f["name"]: f for f in _json.loads(meta["schemaString"])["fields"]}
+    md = fields["tier"].get("metadata") or {}
+    assert md.get("delta.columnMapping.id") == 3
+    phys = md.get("delta.columnMapping.physicalName", "")
+    assert phys.startswith("col-") and phys != "tier"
+    assert meta["configuration"]["delta.columnMapping.maxColumnId"] == "3"
+    # time travel serves the pre-evolution schema
+    assert "tier" not in t.read(version_as_of=0).columns

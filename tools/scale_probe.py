@@ -77,6 +77,15 @@ PROBE_QUERIES = [
     "q305_market_basket_lift",
     "q306_gaps_and_islands",
     "q307_weighted_median",
+    # r8 session 2b: stats/attribution/segmentation + lakehouse DML paths
+    "q309_ks_two_sample",
+    "q310_time_decay_attribution",
+    "q311_rfm_segmentation",
+    "q312_scd2_point_in_time_join",
+    "q313_iceberg_ndv_statistics",
+    "q314_zipf_law_fit",
+    "q315_iceberg_cow_over_eq_deletes",
+    "q316_delta_dml_on_mapped_table",
 ]
 
 # per-table key columns to offset per copy (fact->dim links stay valid
