@@ -1980,6 +1980,14 @@ class DeltaLogTable:
 
         return mode, {f.name: pname(f) for f in schema.fields}
 
+    @staticmethod
+    def _field_ids(meta: dict | None, schema) -> dict:
+        """logical name -> column-mapping field id (id mode)."""
+        return {
+            f.name: int((f.metadata or {})["delta.columnMapping.id"])
+            for f in schema.fields
+        }
+
     # ---------------------------------------------- bloom file index
 
     def create_bloom_index(self, col: str, fpp: float = 0.01) -> dict:
@@ -3090,8 +3098,38 @@ class DeltaLogTable:
             "version": version,
         }
 
+    def _to_physical(
+        self, df: DataFrame, part_cols: list[str], pmap: dict | None, fid_of: dict | None
+    ) -> tuple[DataFrame, list[str]]:
+        """Rename logical columns to their PHYSICAL names for staging
+        (name/id column mapping); in id mode additionally attach
+        ``parquet.field.id`` metadata so the written files match by
+        FIELD ID (Spark's native fieldId write support)."""
+        if fid_of:
+            self.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+            df = df.select(
+                *[
+                    F.col(c).alias(
+                        (pmap or {}).get(c, c),
+                        metadata={"parquet.field.id": fid_of[c]},
+                    )
+                    if c in (fid_of or {})
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+            return df, [(pmap or {}).get(c, c) for c in part_cols]
+        if pmap and any(pmap[c] != c for c in df.columns if c in pmap):
+            df = df.select(*[F.col(c).alias(pmap.get(c, c)) for c in df.columns])
+            part_cols = [pmap.get(c, c) for c in part_cols]
+        return df, part_cols
+
     def _stage_adds(
-        self, df: DataFrame, part_cols: list[str], pmap: dict | None = None
+        self,
+        df: DataFrame,
+        part_cols: list[str],
+        pmap: dict | None = None,
+        fid_of: dict | None = None,
     ) -> list[dict]:
         """Write ``df``'s rows as new parquet data files under the
         table dir (staged through a scratch dir so the table only ever
@@ -3108,9 +3146,7 @@ class DeltaLogTable:
         import urllib.parse
         import uuid as _uuid
 
-        if pmap and any(pmap[c] != c for c in df.columns if c in pmap):
-            df = df.select(*[F.col(c).alias(pmap.get(c, c)) for c in df.columns])
-            part_cols = [pmap.get(c, c) for c in part_cols]
+        df, part_cols = self._to_physical(df, part_cols, pmap, fid_of)
         st = tempfile.mkdtemp(prefix="deltaw_")
         try:
             w = df.write.mode("overwrite")
@@ -3162,7 +3198,11 @@ class DeltaLogTable:
         ).lower() == "true"
 
     def _stage_cdc(
-        self, df: DataFrame, part_cols: list[str], pmap: dict | None = None
+        self,
+        df: DataFrame,
+        part_cols: list[str],
+        pmap: dict | None = None,
+        fid_of: dict | None = None,
     ) -> list[dict]:
         """Write change rows (table columns + ``_change_type``) as
         parquet under ``_change_data/`` and return ``cdc`` actions
@@ -3183,9 +3223,7 @@ class DeltaLogTable:
         import urllib.parse
         import uuid as _uuid
 
-        if pmap and any(pmap[c] != c for c in df.columns if c in pmap):
-            df = df.select(*[F.col(c).alias(pmap.get(c, c)) for c in df.columns])
-            part_cols = [pmap.get(c, c) for c in part_cols]
+        df, part_cols = self._to_physical(df, part_cols, pmap, fid_of)
         st = tempfile.mkdtemp(prefix="deltacdc_")
         try:
             w = df.write.mode("overwrite")
@@ -3603,16 +3641,29 @@ class DeltaLogTable:
         cm_mode = ((_meta or {}).get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
         )
-        if cm_mode not in ("none", "name"):
+        if cm_mode not in ("none", "name", "id"):
             raise NotImplementedError(
                 f"DV deletes on columnMapping.mode={cm_mode!r} tables are not "
-                "supported by the shim ('name' mode is)"
+                "supported by the shim"
             )
         _, _del_pmap = self._mapping(_meta, schema)
+        _del_fids = self._field_ids(_meta, schema) if cm_mode == "id" else None
         data_fields = [f for f in schema.fields if f.name not in part_cols]
-        phys = T.StructType(
-            [T.StructField(_del_pmap[f.name], f.dataType) for f in data_fields]
-        )
+        if _del_fids:
+            self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            phys = T.StructType(
+                [
+                    T.StructField(
+                        f.name, f.dataType, True,
+                        {"parquet.field.id": _del_fids[f.name]},
+                    )
+                    for f in data_fields
+                ]
+            )
+        else:
+            phys = T.StructType(
+                [T.StructField(_del_pmap[f.name], f.dataType) for f in data_fields]
+            )
         types = {f.name: f.dataType for f in schema.fields}
         version = self.latest_version() + 1
         now = int(time.time() * 1000)
@@ -3651,10 +3702,14 @@ class DeltaLogTable:
                 self.spark.read.schema(phys)
                 .parquet(*sorted(paths))
                 .select(
-                    *[
-                        F.col(_del_pmap[f.name]).alias(f.name)
-                        for f in data_fields
-                    ],
+                    *(
+                        [F.col(f.name) for f in data_fields]
+                        if _del_fids
+                        else [
+                            F.col(_del_pmap[f.name]).alias(f.name)
+                            for f in data_fields
+                        ]
+                    ),
                     norm(F.col("_metadata.file_path")).alias("_dv_fp"),
                     F.col("_metadata.row_index").alias("_dv_ri"),
                 )
@@ -3786,6 +3841,7 @@ class DeltaLogTable:
                 ),
                 part_cols,
                 _del_pmap,
+                _del_fids,
             )
         if cdc_actions:
             proto_action = {
@@ -3839,16 +3895,30 @@ class DeltaLogTable:
         cm_mode = ((meta or {}).get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
         )
-        if cm_mode not in ("none", "name"):
+        if cm_mode not in ("none", "name", "id"):
             raise NotImplementedError(
                 f"DML on columnMapping.mode={cm_mode!r} Delta tables is not "
-                "supported by the shim ('name' mode is)"
+                "supported by the shim"
             )
         _, pmap = self._mapping(meta, schema)
+        fid_of = self._field_ids(meta, schema) if cm_mode == "id" else None
         data_fields = [f for f in schema.fields if f.name not in part_cols]
-        phys = T.StructType(
-            [T.StructField(pmap[f.name], f.dataType) for f in data_fields]
-        )
+        if cm_mode == "id":
+            # resolve by parquet FIELD ID (same mechanism as read())
+            self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            phys = T.StructType(
+                [
+                    T.StructField(
+                        f.name, f.dataType, True,
+                        {"parquet.field.id": fid_of[f.name]},
+                    )
+                    for f in data_fields
+                ]
+            )
+        else:
+            phys = T.StructType(
+                [T.StructField(pmap[f.name], f.dataType) for f in data_fields]
+            )
         types = {f.name: f.dataType for f in schema.fields}
         norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
         rel_of = {os.path.abspath(os.path.join(self.path, p)): p for p in adds}
@@ -3857,7 +3927,7 @@ class DeltaLogTable:
                 [],
                 T.StructType([*schema.fields, T.StructField("_fp", T.StringType())]),
             )
-            return empty, adds, schema, part_cols, rel_of, pmap
+            return empty, adds, schema, part_cols, rel_of, pmap, fid_of
         groups: dict[tuple, list[str]] = {}
         pv_of: dict[tuple, dict] = {}
         dv_files: list[tuple[str, dict]] = []
@@ -3869,6 +3939,11 @@ class DeltaLogTable:
             pv_of[key] = pv
             if info["deletionVector"]:
                 dv_files.append((full, info["deletionVector"]))
+        lsel = (
+            [F.col(f.name) for f in data_fields]
+            if cm_mode == "id"
+            else [F.col(pmap[f.name]).alias(f.name) for f in data_fields]
+        )
         parts = []
         for key in sorted(
             groups, key=lambda k: tuple("" if v is None else str(v) for v in k)
@@ -3877,7 +3952,7 @@ class DeltaLogTable:
                 self.spark.read.schema(phys)
                 .parquet(*sorted(groups[key]))
                 .select(
-                    *[F.col(pmap[f.name]).alias(f.name) for f in data_fields],
+                    *lsel,
                     norm(F.col("_metadata.file_path")).alias("_fp"),
                     F.col("_metadata.row_index").alias("_ri"),
                 )
@@ -3891,7 +3966,7 @@ class DeltaLogTable:
             out = out.unionByName(p)
         if dv_files:
             out = out.join(self._dv_deleted_df(dv_files), ["_fp", "_ri"], "left_anti")
-        return out.drop("_ri"), adds, schema, part_cols, rel_of, pmap
+        return out.drop("_ri"), adds, schema, part_cols, rel_of, pmap, fid_of
 
     def _only_files(self, df: DataFrame, fps: list[str]) -> DataFrame:
         """Restrict ``df`` (carrying ``_fp``) to the given files —
@@ -3919,7 +3994,7 @@ class DeltaLogTable:
 
         _meta = self._snapshot()[3]
         self._enforce_append_only(_meta, "UPDATE")
-        df, adds, schema, part_cols, rel_of, pmap = self._read_with_fp()
+        df, adds, schema, part_cols, rel_of, pmap, fid_of = self._read_with_fp()
         cols = [f.name for f in schema.fields]
         unknown = set(assignments) - set(cols)
         if unknown:
@@ -3965,8 +4040,8 @@ class DeltaLogTable:
                     for c in cols
                 ]
             ).withColumn("_change_type", F.lit("update_postimage"))
-            cdc_actions = self._stage_cdc(pre.unionByName(post), part_cols, pmap)
-        new_adds = self._stage_adds(rewritten, part_cols, pmap)
+            cdc_actions = self._stage_cdc(pre.unionByName(post), part_cols, pmap, fid_of)
+        new_adds = self._stage_adds(rewritten, part_cols, pmap, fid_of)
         now = int(time.time() * 1000)
         version = self.latest_version() + 1
         actions: list[dict] = [
@@ -4036,7 +4111,7 @@ class DeltaLogTable:
         import time
         import uuid as _uuid
 
-        df, adds, schema, part_cols, rel_of, pmap = self._read_with_fp()
+        df, adds, schema, part_cols, rel_of, pmap, fid_of = self._read_with_fp()
         _meta = self._snapshot()[3]
         self._enforce_append_only(_meta, "MERGE")
         want = {f.name: f.dataType for f in schema.fields}
@@ -4076,6 +4151,8 @@ class DeltaLogTable:
                         "delta.columnMapping.physicalName": f"col-{_uuid_se.uuid4().hex[:8]}",
                     }
                     pmap[f.name] = md["delta.columnMapping.physicalName"]
+                    if fid_of is not None:  # id mode: new field, new id
+                        fid_of[f.name] = next_id
                 evolved_fields.append(
                     T.StructField(f.name, f.dataType, True, md)
                 )
@@ -4242,11 +4319,11 @@ class DeltaLogTable:
             cdc_df = cdc_parts[0]
             for p in cdc_parts[1:]:
                 cdc_df = cdc_df.unionByName(p)
-            cdc_actions = self._stage_cdc(cdc_df, part_cols, pmap)
+            cdc_actions = self._stage_cdc(cdc_df, part_cols, pmap, fid_of)
         combined = parts[0]
         for p in parts[1:]:
             combined = combined.unionByName(p)
-        new_adds = self._stage_adds(combined, part_cols, pmap)
+        new_adds = self._stage_adds(combined, part_cols, pmap, fid_of)
         now = int(time.time() * 1000)
         version = self.latest_version() + 1
         actions: list[dict] = [
