@@ -2429,22 +2429,40 @@ class DeltaLogTable:
         mode = ((meta or {}).get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
         )
-        if mode not in ("none", "name"):
+        if mode not in ("none", "name", "id"):
             raise NotImplementedError(
                 f"Delta column mapping mode {mode!r} is not supported by the "
-                "change feed ('name' mode is)"
+                "change feed"
             )
 
         def pname(f: T.StructField) -> str:
-            if mode == "name":
+            if mode in ("name", "id"):
                 return (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
             return f.name
 
         pmap = {f.name: pname(f) for f in schema.fields}
         data_fields = [f for f in schema.fields if f.name not in part_cols]
-        phys = T.StructType(
-            [T.StructField(pmap[f.name], f.dataType) for f in data_fields]
-        )
+        if mode == "id":
+            # resolve by parquet FIELD ID (read() / _read_with_fp's
+            # mechanism); scans return logical names directly
+            self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            phys = T.StructType(
+                [
+                    T.StructField(
+                        f.name, f.dataType, True,
+                        {
+                            "parquet.field.id": int(
+                                (f.metadata or {})["delta.columnMapping.id"]
+                            )
+                        },
+                    )
+                    for f in data_fields
+                ]
+            )
+        else:
+            phys = T.StructType(
+                [T.StructField(pmap[f.name], f.dataType) for f in data_fields]
+            )
         types = {f.name: f.dataType for f in schema.fields}
 
         def attach(df: DataFrame, pv: dict, ctype: str, v: int) -> DataFrame:
@@ -2467,6 +2485,8 @@ class DeltaLogTable:
                 if dv_keep is not None:
                     df = self._keep_indexes(df, "_ri", dv_keep)
                 df = df.drop("_ri")
+            if mode == "id":
+                return df.select(*[f.name for f in data_fields])
             return df.select(
                 *[F.col(pmap[f.name]).alias(f.name) for f in data_fields]
             )
@@ -2495,7 +2515,14 @@ class DeltaLogTable:
                         os.path.join(self.path, c["path"])
                     )
                     df = df.select(
-                        *[F.col(pmap[f.name]).alias(f.name) for f in data_fields],
+                        *(
+                            [F.col(f.name) for f in data_fields]
+                            if mode == "id"
+                            else [
+                                F.col(pmap[f.name]).alias(f.name)
+                                for f in data_fields
+                            ]
+                        ),
                         "_change_type",
                     )
                     for pc in part_cols:

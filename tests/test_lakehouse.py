@@ -5077,3 +5077,17 @@ def test_delta_dml_on_id_mapped_table(spark, tmp_path):
     got = t.delete("renamed_id IN (1, 3)")
     assert got["rows_deleted"] == 2
     assert sorted(r["renamed_id"] for r in t.read().collect()) == [0, 2, 4, 5]
+
+
+def test_delta_cdf_on_id_mapped_table(spark, tmp_path):
+    """CDF over an id-mode table: DML emits cdc files WITH field ids,
+    and the feed resolves them back to logical names by id."""
+    t = _id_mapped_table(spark, tmp_path, "idcdf")
+    t.set_property("delta.enableChangeDataFeed", "true")
+    v = t.latest_version() + 1
+    t.update({"v": "upper(v)"}, "renamed_id = 2")
+    got = sorted(
+        (r["_change_type"], r["renamed_id"], r["v"])
+        for r in t.read_changes(v, v).collect()
+    )
+    assert got == [("update_postimage", 2, "R2"), ("update_preimage", 2, "r2")]
