@@ -5750,3 +5750,88 @@ def q316_delta_dml_on_mapped_table(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q317_iceberg_eq_delete_changes",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR(MAX(c_custkey) / 4.0) AS BIGINT) AS lo,
+             CAST(FLOOR(MAX(c_custkey) / 2.0) AS BIGINT) AS mid,
+             CAST(FLOOR(3 * MAX(c_custkey) / 4.0) AS BIGINT) AS hi
+      FROM customer
+    ),
+    mrg AS (SELECT * FROM customer
+            WHERE c_custkey > (SELECT lo FROM b)
+              AND c_custkey <= (SELECT mid FROM b)),
+    ins AS (SELECT * FROM customer WHERE c_custkey > (SELECT hi FROM b)),
+    del AS (SELECT * FROM customer WHERE c_custkey <= (SELECT lo FROM b))
+    SELECT * FROM (
+      SELECT 'upsert' AS op, 'delete' AS change_type, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      FROM mrg
+      UNION ALL
+      SELECT 'upsert', 'insert', COUNT(*) + (SELECT COUNT(*) FROM ins),
+             CAST(SUM(CAST(c_acctbal + 500 AS DECIMAL(18,2)))
+                  + (SELECT SUM(CAST(c_acctbal + 1000 AS DECIMAL(18,2)))
+                     FROM ins) AS DOUBLE)
+      FROM mrg
+      UNION ALL
+      SELECT 'cdc_delete', 'delete', COUNT(*),
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      FROM del
+    ) ORDER BY op, change_type
+    """,
+    tags=("lakehouse", "iceberg", "cdc", "streaming"),
+)
+def q317_iceberg_eq_delete_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental read over EQUALITY-delete snapshots — the Flink CDC
+    ingest shape made streamable: an ``upsert_eq`` snapshot emits its
+    matched OLD rows as deletes plus its new data file as inserts (the
+    CDC pair), a ``delete_eq`` emits exactly the PARENT snapshot's
+    visible rows matching the key tuples — computed as one null-safe
+    semi-join of the parent read against the (distinct, KB-sized)
+    delete-key file, so the feed's cost tracks the CHANGE, never the
+    table. The feed's per-(snapshot, change_type) accounting
+    hash-matches the oracle's closed form; end state equals feed
+    replay by construction (tested row-for-row in pytest)."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    maxk = int(cust.agg(F.max("c_custkey")).first()[0])
+    lo, mid, hi = maxk // 4, maxk // 2, (3 * maxk) // 4
+    t = IcebergTable(spark, _scratch("iceeqcdc") + "_t")
+    t.append(cust.repartitionByRange(4, "c_custkey"))
+    s0 = t.metadata()["current-snapshot-id"]
+    src = (
+        cust.filter(f"c_custkey > {lo} AND c_custkey <= {mid}")
+        .withColumn("c_acctbal", F.col("c_acctbal") + 500)
+        .unionByName(
+            cust.filter(f"c_custkey > {hi}").select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                (F.col("c_acctbal") + 1000).alias("c_acctbal"),
+            )
+        )
+    )
+    t.upsert_eq(src, ["c_custkey"])
+    s1 = t.metadata()["current-snapshot-id"]
+    t.delete_eq(
+        cust.filter(f"c_custkey <= {lo}").select("c_custkey"), ["c_custkey"]
+    )
+
+    return (
+        t.read_changes(s0)
+        .select(
+            F.when(F.col("_commit_snapshot") == s1, "upsert")
+            .otherwise("cdc_delete")
+            .alias("op"),
+            F.col("_change_type").alias("change_type"),
+            F.col("c_acctbal").cast("decimal(18,2)").alias("_bal"),
+        )
+        .groupBy("op", "change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_bal").cast("double").alias("bal"),
+        )
+        .orderBy("op", "change_type")
+    )

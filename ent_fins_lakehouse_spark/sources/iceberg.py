@@ -2878,10 +2878,15 @@ class IcebergTable:
         manifests were added by an in-range snapshot emit their rows as
         ``_change_type='insert'``; position-delete files added in range
         emit the masked rows (resolved back through the data files via
-        a row-index join) as ``_change_type='delete'``. Each row
-        carries ``_commit_snapshot``. REPLACE snapshots (compaction)
-        are skipped — they rearrange rows, they don't change them.
-        Equality deletes in range are refused loudly."""
+        a row-index join) as ``_change_type='delete'``; EQUALITY delete
+        files added in range emit the rows they mask — exactly the
+        PARENT snapshot's visible rows matching the key tuples
+        (null-safe), since every pre-existing data file has a lower
+        sequence than the new delete. An ``upsert_eq`` snapshot thus
+        emits its matched old rows as deletes AND its new file as
+        inserts, the CDC pair. Each row carries ``_commit_snapshot``.
+        REPLACE snapshots (compaction) are skipped — they rearrange
+        rows, they don't change them."""
         snaps = sorted(self.snapshots(), key=lambda s: s["snapshot-id"])
         ids = [s["snapshot-id"] for s in snaps]
         if from_snapshot not in ids:
@@ -2905,6 +2910,7 @@ class IcebergTable:
             _, mrows = read_ocf(self._resolve(s["manifest-list"]))
             added_data: list[str] = []
             added_deletes: list[str] = []
+            added_eq: list[tuple[str, list[int]]] = []
             for m in mrows:
                 if (m.get("added_snapshot_id") or 0) != sid:
                     continue
@@ -2920,8 +2926,33 @@ class IcebergTable:
                     elif content == 1:
                         added_deletes.append(path)
                     else:
-                        raise NotImplementedError(
-                            "read_changes over equality deletes is not supported"
+                        ids_ = rec.get("equality_ids")
+                        if not ids_:
+                            raise ValueError(
+                                f"equality delete {path} carries no equality_ids"
+                            )
+                        added_eq.append((path, list(ids_)))
+            if added_eq:
+                parent = s.get("parent-snapshot-id")
+                if parent is not None:
+                    prior_df = self.read(snapshot_id=int(parent))
+                    id_names = self.field_names_by_id()
+                    for path, eids in added_eq:
+                        cols = [id_names[i] for i in eids]
+                        eq_schema = T.StructType([schema[c] for c in cols])
+                        kdf = (
+                            self.spark.read.schema(eq_schema)
+                            .parquet(path)
+                            .distinct()
+                            .select(*[F.col(c).alias(f"_eq_{c}") for c in cols])
+                        )
+                        cond = [
+                            prior_df[c].eqNullSafe(kdf[f"_eq_{c}"]) for c in cols
+                        ]
+                        parts.append(
+                            prior_df.join(kdf, on=cond, how="left_semi")
+                            .withColumn("_change_type", F.lit("delete"))
+                            .withColumn("_commit_snapshot", F.lit(sid))
                         )
             if added_data:
                 parts.append(

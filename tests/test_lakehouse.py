@@ -5091,3 +5091,37 @@ def test_delta_cdf_on_id_mapped_table(spark, tmp_path):
         for r in t.read_changes(v, v).collect()
     )
     assert got == [("update_postimage", 2, "R2"), ("update_preimage", 2, "r2")]
+
+
+def test_iceberg_read_changes_over_eq_deletes(spark, tmp_path):
+    """Incremental read over equality-delete snapshots: an upsert_eq
+    emits its matched OLD rows as deletes plus its new file as inserts
+    (the CDC pair); a delete_eq emits exactly the parent-visible rows
+    matching the keys — never already-deleted ones."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "eqcdc"))
+    t.append(spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], "id BIGINT, v DOUBLE"))
+    s0 = t.metadata()["current-snapshot-id"]
+    # upsert: update id=2, insert id=9
+    t.upsert_eq(spark.createDataFrame(
+        [(2, 222.0), (9, 9.0)], "id BIGINT, v DOUBLE"), ["id"])
+    s1 = t.metadata()["current-snapshot-id"]
+    # CDC delete of ids {2, 4} — id=2 deletes its UPSERTED row (222.0)
+    t.delete_eq(spark.createDataFrame([(2,), (4,)], "id BIGINT"), ["id"])
+    s2 = t.metadata()["current-snapshot-id"]
+
+    ch = sorted(
+        (r["_commit_snapshot"], r["_change_type"], r["id"], r["v"])
+        for r in t.read_changes(s0).collect()
+    )
+    assert ch == sorted([
+        (s1, "delete", 2, 2.0),        # matched old row
+        (s1, "insert", 2, 222.0),      # its replacement
+        (s1, "insert", 9, 9.0),        # brand-new key
+        (s2, "delete", 2, 222.0),      # the upserted version, not 2.0
+        (s2, "delete", 4, 4.0),
+    ])
+    # end state consistent with the feed
+    assert sorted(r["id"] for r in t.read().collect()) == [0, 1, 3, 5, 9]
