@@ -79,6 +79,27 @@ def make_delta_stream_source():
             raise ValueError(f"no Delta metaData under {table_path}/_delta_log")
         return meta
 
+    def col_mapping(meta: dict) -> tuple:
+        """((logical, physical, field_id|None), …) under column
+        mapping, or () for an unmapped table. Field ids are carried
+        only in id mode (resolution by parquet field id)."""
+        mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if mode == "none":
+            return ()
+        if mode not in ("name", "id"):
+            raise NotImplementedError(
+                f"streaming over column mapping mode {mode!r} is not supported"
+            )
+        out = []
+        for f in json.loads(meta["schemaString"])["fields"]:
+            md = f.get("metadata") or {}
+            phys = md.get("delta.columnMapping.physicalName", f["name"])
+            fid = md.get("delta.columnMapping.id") if mode == "id" else None
+            out.append((f["name"], phys, int(fid) if fid is not None else None))
+        return tuple(out)
+
     class FilePartition(InputPartition):
         def __init__(
             self,
@@ -91,11 +112,15 @@ def make_delta_stream_source():
             commit_version: int | None = None,
             kept: tuple = (),
             file_has_ctype: bool = False,
+            colmap: tuple = (),
         ):
             self.abs_path = abs_path
             self.pv = pv
             self.schema_json = schema_json
             self.part_cols = part_cols
+            # column mapping: ((logical, physical, field_id|None), …);
+            # workers resolve physical arrow columns back to logical
+            self.colmap = colmap
             # file-local row indexes masked by a deletion vector
             # (initial snapshot only; decoded driver-side, filtered
             # executor-side with numpy — no repo import on workers)
@@ -163,12 +188,7 @@ def make_delta_stream_source():
             )
 
             meta = table_meta(self.table_path)
-            if ((meta.get("configuration") or {}).get(
-                "delta.columnMapping.mode", "none"
-            )) != "none":
-                raise RuntimeError(
-                    "streaming CDF over column-mapped tables is not supported"
-                )
+            cmap = col_mapping(meta)
             part_cols = list(meta.get("partitionColumns") or [])
             schema_json = meta["schemaString"]
             vs = version_files(self.table_path)
@@ -198,8 +218,24 @@ def make_delta_stream_source():
                                 part_cols,
                                 commit_version=v,
                                 file_has_ctype=True,
+                                colmap=cmap,
                             )
                         )
+                    # cdc carries the changes, but add/remove still move
+                    # the live-file/DV state later synthesized commits
+                    # diff against (the batch read_changes rule)
+                    for a in acts:
+                        if "add" in a:
+                            ad = a["add"]
+                            dv = ad.get("deletionVector")
+                            live.add(ad["path"])
+                            prior_dv[ad["path"]] = (
+                                set(_dv_row_indexes_of(self.table_path, dv))
+                                if dv
+                                else set()
+                            )
+                        elif "remove" in a:
+                            live.discard(a["remove"]["path"])
                     continue
                 for a in acts:
                     if "add" in a and a["add"].get("dataChange", True):
@@ -223,6 +259,7 @@ def make_delta_stream_source():
                                         ctype="delete",
                                         commit_version=v,
                                         kept=tuple(sorted(newly)),
+                                        colmap=cmap,
                                     )
                                 )
                         else:
@@ -235,6 +272,7 @@ def make_delta_stream_source():
                                     deleted=tuple(sorted(new_dv)),
                                     ctype="insert",
                                     commit_version=v,
+                                    colmap=cmap,
                                 )
                             )
                             live.add(ad["path"])
@@ -256,6 +294,7 @@ def make_delta_stream_source():
                                 deleted=tuple(sorted(prior_dv.get(rm["path"], ()))),
                                 ctype="delete",
                                 commit_version=v,
+                                colmap=cmap,
                             )
                         )
                         live.discard(rm["path"])
@@ -272,6 +311,7 @@ def make_delta_stream_source():
             meta = table_meta(self.table_path)
             part_cols = list(meta.get("partitionColumns") or [])
             schema_json = meta["schemaString"]
+            cmap = col_mapping(meta)
             vs = version_files(self.table_path)
             parts = []
             if lo < 0:
@@ -312,6 +352,7 @@ def make_delta_stream_source():
                             schema_json,
                             part_cols,
                             deleted,
+                            colmap=cmap,
                         )
                     )
                 return parts or [FilePartition("", {}, "", [])]
@@ -349,6 +390,7 @@ def make_delta_stream_source():
                             a.get("partitionValues") or {},
                             schema_json,
                             part_cols,
+                            colmap=cmap,
                         )
                     )
             return parts or [FilePartition("", {}, "", [])]
@@ -395,6 +437,24 @@ def make_delta_stream_source():
                 cdf = getattr(partition, "commit_version", None) is not None
                 off = 0
                 pf = pq.ParquetFile(partition.abs_path)
+                # column mapping: build arrow-column-name → logical-name
+                # resolution — by parquet FIELD ID when present (id
+                # mode), else by physical name (name mode)
+                log_of: dict = {}
+                cmap = getattr(partition, "colmap", ()) or ()
+                if cmap:
+                    fid_to_arrow: dict = {}
+                    sch = pf.schema_arrow
+                    for i in range(len(sch.names)):
+                        fld = sch.field(i)
+                        raw = (fld.metadata or {}).get(b"PARQUET:field_id")
+                        if raw is not None:
+                            fid_to_arrow[int(raw)] = fld.name
+                    for logical, phys, fid in cmap:
+                        if fid is not None and fid in fid_to_arrow:
+                            log_of[fid_to_arrow[fid]] = logical
+                        else:
+                            log_of[phys] = logical
                 for batch in pf.iter_batches():
                     n_in = batch.num_rows
                     idx = np.arange(off, off + n_in, dtype="int64")
@@ -409,11 +469,17 @@ def make_delta_stream_source():
                     if batch.num_rows == 0:
                         continue
                     by_name = {
-                        n: batch.column(i) for i, n in enumerate(batch.schema.names)
+                        log_of.get(n, n): batch.column(i)
+                        for i, n in enumerate(batch.schema.names)
                     }
+                    phys_of = {lg: ph for lg, ph, _ in cmap}
                     for c in partition.part_cols:
+                        # partitionValues are keyed by PHYSICAL name
+                        # under column mapping
                         by_name[c] = pa_typed(
-                            spark_schema[c], partition.pv.get(c), batch.num_rows
+                            spark_schema[c],
+                            partition.pv.get(phys_of.get(c, c)),
+                            batch.num_rows,
                         )
                     # emit in the DECLARED schema's field order — the
                     # data-source contract maps columns positionally
@@ -448,13 +514,7 @@ def make_delta_stream_source():
 
         def schema(self):
             meta = table_meta(self.options["path"])
-            mode = (meta.get("configuration") or {}).get(
-                "delta.columnMapping.mode", "none"
-            )
-            if mode != "none":
-                raise NotImplementedError(
-                    "streaming from column-mapped Delta tables is not supported"
-                )
+            col_mapping(meta)  # raises on unsupported mapping modes
             base = T.StructType.fromJson(json.loads(meta["schemaString"]))
             if self.options.get("readchangefeed", "false").lower() == "true":
                 return T.StructType(

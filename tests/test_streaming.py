@@ -506,3 +506,41 @@ def test_stream_state_ttl_finalization(spark):
         n, tot = exact[r["user_id"]]
         assert r["n_events"] == n
         assert abs(r["total_value"] - tot) < 1e-3
+
+
+def test_delta_stream_from_mapped_tables(spark, tmp_path):
+    """Streaming from column-mapped Delta tables: name mode resolves
+    physical column names, id mode resolves parquet FIELD IDS, and a
+    rename mid-stream (metadata-only) keeps later batches correct."""
+    from tests.test_lakehouse import _id_mapped_table, _name_mapped_table
+
+    from ent_fins_lakehouse_spark.streaming.autoloader import run_available_now
+    from ent_fins_lakehouse_spark.streaming.delta_source import read_delta_stream
+
+    # name mode
+    t = _name_mapped_table(spark, tmp_path, "nmstream")
+    out, ckpt = str(tmp_path / "nm_out"), str(tmp_path / "nm_ckpt")
+    run_available_now(read_delta_stream(spark, t.path), out, ckpt)
+    got = sorted(
+        (r["renamed_id"], r["v"]) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(i, f"r{i}") for i in range(6)]
+
+    # id mode — physical names are arbitrary, ids resolve
+    t2 = _id_mapped_table(spark, tmp_path, "idstream")
+    out2, ckpt2 = str(tmp_path / "id_out"), str(tmp_path / "id_ckpt")
+    run_available_now(read_delta_stream(spark, t2.path), out2, ckpt2)
+    got2 = sorted(
+        (r["renamed_id"], r["v"]) for r in spark.read.parquet(out2).collect()
+    )
+    assert got2 == [(i, f"r{i}") for i in range(6)]
+
+    # second drain through the SAME checkpoint after an append: only
+    # the new rows, still resolved through the mapping
+    t2.write(
+        spark.createDataFrame([(100, "x")], "renamed_id BIGINT, v STRING"),
+        mode="append",
+    )
+    run_available_now(read_delta_stream(spark, t2.path), out2, ckpt2)
+    got3 = sorted(r["renamed_id"] for r in spark.read.parquet(out2).collect())
+    assert got3 == [0, 1, 2, 3, 4, 5, 100]
