@@ -2243,8 +2243,9 @@ class DeltaLogTable:
         adds, schema, part_cols, meta = self._snapshot(version_as_of)
         # column mapping (spec: 'Column Mapping'): 'name' mode stores
         # each logical field's physical parquet name in the schema
-        # field metadata — scan physical, project back to logical.
-        # 'id' mode (parquet field-id resolution) is refused.
+        # field metadata — scan physical, project back to logical;
+        # 'id' mode resolves by parquet FIELD ID (Spark's native
+        # fieldId read support).
         # partitionValues are keyed by PHYSICAL name in both mapped modes
         mode, pmap = self._mapping(meta, schema)
         if mode not in ("none", "name", "id"):
