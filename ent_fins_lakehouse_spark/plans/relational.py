@@ -5623,3 +5623,113 @@ def q311_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+@query(
+    "q318_cumulative_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+    ),
+    daily AS (SELECT day, COUNT(*) AS new_users FROM first_seen GROUP BY day),
+    all_days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    SELECT d.day, COALESCE(n.new_users, 0) AS new_users,
+           SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day) AS cumulative_users
+    FROM all_days d LEFT JOIN daily n ON n.day = d.day
+    ORDER BY d.day
+    """,
+    tags=("relational", "window", "growth"),
+)
+def q318_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the growth-curve query that
+    CANNOT be a windowed COUNT(DISTINCT) (unsupported in window frames
+    and quadratic if emulated): each user collapses to a FIRST-SEEN
+    day first (one hash agg), daily new-user counts cumulative-sum
+    over the calendar — the classic reformulation that turns an
+    O(days·users) rescan into one agg + one window over the day
+    histogram. All-integer; the left join against the active-day spine
+    keeps zero-new-user days in the curve. At 100 TB the heavy part is
+    the per-user MIN, one shuffle on user_id; the window runs over ≤
+    calendar-many rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    daily = first_seen.groupBy("day").agg(F.count("*").alias("new_users"))
+    spine = ev.select("day").distinct()
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        spine.join(daily, "day", "left")
+        .select("day", F.coalesce("new_users", F.lit(0)).alias("new_users"))
+        .withColumn("cumulative_users", F.sum("new_users").over(w))
+        .orderBy("day")
+    )
+
+
+@query(
+    "q319_revenue_bridge",
+    oracle="""
+    WITH yearly AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+             COUNT(*) AS vol
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT yr, rev, vol,
+             LAG(rev) OVER (ORDER BY yr) AS rev0,
+             LAG(vol) OVER (ORDER BY yr) AS vol0
+      FROM yearly
+    )
+    SELECT yr,
+           CAST(rev AS DOUBLE) AS revenue,
+           ROUND(CAST(rev - rev0 AS DOUBLE), 2) AS delta_total,
+           ROUND((vol - vol0) * (CAST(rev0 AS DOUBLE) / vol0), 6) AS volume_effect,
+           ROUND((CAST(rev AS DOUBLE) / vol - CAST(rev0 AS DOUBLE) / vol0) * vol, 6)
+             AS price_effect
+    FROM lagged WHERE rev0 IS NOT NULL ORDER BY yr
+    """,
+    tags=("relational", "window", "finance"),
+)
+def q319_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume revenue bridge (the FP&A waterfall): each year's
+    revenue delta decomposes into a VOLUME effect (order-count change
+    at the prior year's average ticket) and a PRICE effect (average-
+    ticket change at this year's volume) — the standard two-factor
+    identity, volume_effect + price_effect = delta exactly. Revenue
+    sums in DECIMAL (order-proof); the two divisions are identical
+    IEEE operations on both engines, displayed at 6 dp. One hash agg
+    to the per-year table, one LAG window over a handful of rows —
+    nothing scales with the order count but the first agg."""
+    yearly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+            F.count("*").alias("vol"),
+        )
+    )
+    w = W.orderBy("yr")
+    lagged = yearly.select(
+        "yr", "rev", "vol",
+        F.lag("rev").over(w).alias("rev0"),
+        F.lag("vol").over(w).alias("vol0"),
+    ).filter(F.col("rev0").isNotNull())
+    return lagged.select(
+        "yr",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round((F.col("rev") - F.col("rev0")).cast("double"), 2).alias("delta_total"),
+        F.round(
+            (F.col("vol") - F.col("vol0"))
+            * (F.col("rev0").cast("double") / F.col("vol0")),
+            6,
+        ).alias("volume_effect"),
+        F.round(
+            (
+                F.col("rev").cast("double") / F.col("vol")
+                - F.col("rev0").cast("double") / F.col("vol0")
+            )
+            * F.col("vol"),
+            6,
+        ).alias("price_effect"),
+    ).orderBy("yr")
