@@ -86,6 +86,9 @@ PROBE_QUERIES = [
     "q314_zipf_law_fit",
     "q315_iceberg_cow_over_eq_deletes",
     "q316_delta_dml_on_mapped_table",
+    "q317_iceberg_eq_delete_changes",
+    "q318_cumulative_distinct_users",
+    "q319_revenue_bridge",
 ]
 
 # per-table key columns to offset per copy (fact->dim links stay valid
