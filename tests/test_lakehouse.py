@@ -5125,3 +5125,61 @@ def test_iceberg_read_changes_over_eq_deletes(spark, tmp_path):
     ])
     # end state consistent with the feed
     assert sorted(r["id"] for r in t.read().collect()) == [0, 1, 3, 5, 9]
+
+
+def test_delta_cdc_feed_replays_to_table_state(spark, tmp_path):
+    """CDC soundness invariant: applying the change feed (remove
+    preimages+deletes, add postimages+inserts, multiset semantics) to
+    the pre-DML snapshot must reproduce the final table EXACTLY, for a
+    seeded random sequence of UPDATE / MERGE / DV-DELETE commits."""
+    import random
+    from collections import Counter
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    rng = random.Random(7)
+    dl = DeltaLogTable(spark, str(tmp_path / "cdcreplay"))
+    dl.write(
+        spark.createDataFrame(
+            [(i, float(i * 10)) for i in range(20)], "id BIGINT, bal DOUBLE"
+        ),
+        mode="append",
+    )
+    dl.set_property("delta.enableChangeDataFeed", "true")
+    start = dl.latest_version() + 1
+    next_key = 100
+    for _ in range(6):
+        op = rng.choice(["update", "merge", "delete"])
+        lo = rng.randrange(0, 120)
+        hi = lo + rng.randrange(1, 12)
+        if op == "update":
+            dl.update({"bal": "bal + 1"}, f"id >= {lo} AND id < {hi}")
+        elif op == "delete":
+            dl.delete(f"id >= {lo} AND id < {hi}")
+        else:
+            live = [r["id"] for r in dl.read().select("id").collect()]
+            upd = rng.sample(live, min(3, len(live)))
+            rows = [(k, float(rng.randrange(1000))) for k in upd]
+            rows += [(next_key + j, float(j)) for j in range(2)]
+            next_key += 10
+            dl.merge(
+                spark.createDataFrame(rows, "id BIGINT, bal DOUBLE"), on=["id"]
+            )
+
+    base = Counter(
+        (r["id"], r["bal"])
+        for r in dl.read(version_as_of=start - 1).collect()
+    )
+    feed = [
+        (r["_commit_version"], r["_change_type"], r["id"], r["bal"])
+        for r in dl.read_changes(start).collect()
+    ]
+    for v in sorted({f[0] for f in feed}):
+        for _, ctype, k, bal in [f for f in feed if f[0] == v]:
+            if ctype in ("update_preimage", "delete"):
+                assert base[(k, bal)] > 0, (v, ctype, k, bal)
+                base[(k, bal)] -= 1
+            elif ctype in ("update_postimage", "insert"):
+                base[(k, bal)] += 1
+    final = Counter((r["id"], r["bal"]) for r in dl.read().collect())
+    assert +base == +final
