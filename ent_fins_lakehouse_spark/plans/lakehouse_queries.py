@@ -5835,3 +5835,58 @@ def q317_iceberg_eq_delete_changes(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("op", "change_type")
     )
+
+
+@query(
+    "q320_delta_timestamp_ntz",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ntz,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1 LIMIT 200
+    """,
+    tags=("lakehouse", "delta", "types"),
+)
+def q320_delta_timestamp_ntz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP_NTZ persistence in the public Delta log (spec
+    'TimestampNTZ' table feature): wall-clock timestamps with NO UTC
+    adjustment — the type every peer warehouse hands over when the
+    instant-vs-wall distinction matters — commit through the writer
+    with the timestampNtz READER+WRITER feature gated in the SAME
+    version (readers that would misread the parquet isAdjustedToUTC
+    flag must refuse), round-trip typed, and aggregate identically to
+    the oracle's (ntz-native) DuckDB run. Gates: the schemaString
+    carries timestamp_ntz; the protocol carries the feature on both
+    sides; the read-back dtype IS TimestampNTZType."""
+    from pyspark.sql import types as T
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("ts").cast("timestamp_ntz").alias("ts_ntz"),
+        "value",
+    )
+    dl = DeltaLogTable(spark, _scratch("ntz") + "_t")
+    dl.write(ev, mode="append")
+    proto = getattr(dl, "_last_protocol", None) or {}
+    for side in ("readerFeatures", "writerFeatures"):
+        if "timestampNtz" not in set(proto.get(side) or []):
+            raise AssertionError(f"timestampNtz missing from {side}: {proto}")
+    back = dl.read()
+    if not isinstance(back.schema["ts_ntz"].dataType, T.TimestampNTZType):
+        raise AssertionError(
+            f"ts_ntz must read back as TIMESTAMP_NTZ, got {back.schema['ts_ntz']}"
+        )
+    return (
+        back.groupBy(F.date_trunc("hour", "ts_ntz").alias("hour_ntz"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
+        )
+        .orderBy("hour_ntz")
+        .limit(200)
+    )

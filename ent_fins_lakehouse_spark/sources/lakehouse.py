@@ -2905,15 +2905,22 @@ class DeltaLogTable:
                     }
                 }
             )
-        # a variant column anywhere in the schema gates the table on the
-        # variantType-preview READER+WRITER feature (spec: 'Variant Data
-        # Type') — readers that don't understand the binary encoding
-        # must refuse rather than misread
+        # TYPE-gated table features (spec: 'Variant Data Type',
+        # 'TimestampNTZ'): a variant or timestamp_ntz column anywhere in
+        # the schema gates the table on the matching READER+WRITER
+        # feature — readers that don't understand the encoding must
+        # refuse rather than misread
         has_variant = '"variant"' in schema_json
+        has_ntz = '"timestamp_ntz"' in schema_json
+        type_feats = set()
+        if has_variant:
+            type_feats.add("variantType-preview")
+        if has_ntz:
+            type_feats.add("timestampNtz")
         if version == 0:
-            if has_variant:
+            if type_feats:
                 base_wv = 6 if id_specs else 4 if gen_exprs else 2
-                wf = {"variantType-preview"}
+                wf = set(type_feats)
                 for wv, names in self._LEGACY_WRITER_FEATURES.items():
                     if wv <= base_wv:
                         wf |= set(names)
@@ -2922,7 +2929,7 @@ class DeltaLogTable:
                         "protocol": {
                             "minReaderVersion": 3,
                             "minWriterVersion": 7,
-                            "readerFeatures": ["variantType-preview"],
+                            "readerFeatures": sorted(type_feats),
                             "writerFeatures": sorted(wf),
                         }
                     }
@@ -2940,20 +2947,23 @@ class DeltaLogTable:
                         }
                     }
                 )
-        elif has_variant:
+        elif type_feats:
             prior = getattr(self, "_last_protocol", None) or {}
             prior_feats = set(prior.get("readerFeatures") or []) | set(
                 prior.get("writerFeatures") or []
             )
-            if not ({"variantType-preview", "variantType"} & prior_feats):
-                # schema-changing overwrite introducing the first variant
-                # column: upgrade the protocol in the same commit
+            missing = set()
+            if has_variant and not (
+                {"variantType-preview", "variantType"} & prior_feats
+            ):
+                missing.add("variantType-preview")
+            if has_ntz and "timestampNtz" not in prior_feats:
+                missing.add("timestampNtz")
+            if missing:
+                # schema-changing write introducing the first variant /
+                # ntz column: upgrade the protocol in the same commit
                 actions.append(
-                    {
-                        "protocol": self._feature_protocol(
-                            {"variantType-preview"}, {"variantType-preview"}
-                        )
-                    }
+                    {"protocol": self._feature_protocol(missing, missing)}
                 )
         if version == 0 or (
             mode == "overwrite"
