@@ -1564,6 +1564,27 @@ class DeltaLogTable:
             raise ValueError(f"no Delta log at {self.log_path}")
         return max(cands)
 
+    def _commit_time_ms(self, version: int) -> int:
+        """A commit's effective timestamp: its in-commit timestamp when
+        present (spec: 'In-Commit Timestamps' — mtimes/timestamp fields
+        are unreliable once a log is moved or rewritten), else the
+        commitInfo timestamp, else the log file's mtime."""
+        path = self._json_versions()[version]
+        t = None
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                act = json.loads(line)
+                if "commitInfo" in act:
+                    ci = act["commitInfo"]
+                    t = ci.get("inCommitTimestamp") or ci.get("timestamp")
+                break  # commitInfo is the first action by convention
+        if t is None:
+            t = int(os.path.getmtime(path) * 1000)
+        return int(t)
+
     def version_at(self, timestamp) -> int:
         """Timestamp time travel (Delta's rule: a commit's time is its
         commitInfo timestamp when present, else the log file's
@@ -1571,24 +1592,8 @@ class DeltaLogTable:
         Delta itself."""
         ms = _parse_ts_ms(timestamp)
         best = None
-        for v, path in sorted(self._json_versions().items()):
-            t = None
-            with open(path) as fh:
-                for line in fh:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    act = json.loads(line)
-                    if "commitInfo" in act:
-                        # ICT wins when present (spec: 'In-Commit
-                        # Timestamps' — mtimes/timestamp fields are
-                        # unreliable once a log is moved or rewritten)
-                        ci = act["commitInfo"]
-                        t = ci.get("inCommitTimestamp") or ci.get("timestamp")
-                    break  # commitInfo is the first action by convention
-            if t is None:
-                t = int(os.path.getmtime(path) * 1000)
-            if t <= ms:
+        for v in sorted(self._json_versions()):
+            if self._commit_time_ms(v) <= ms:
                 best = v
         if best is None:
             raise ValueError(f"no commit at or before {timestamp!r} in {self.log_path}")
@@ -2402,6 +2407,40 @@ class DeltaLogTable:
         return out.filter(where) if where else out
 
     # ------------------------------------------------------------- changes
+
+    def read_changes_by_timestamp(self, starting, ending=None) -> DataFrame:
+        """delta-spark's ``table_changes(<table>, <startingTimestamp>
+        [, <endingTimestamp>])`` variant: timestamps resolve to commit
+        versions by the time-travel rule (in-commit timestamp when
+        present, else commitInfo timestamp, else log mtime) and the
+        feed delegates to :meth:`read_changes`. ``starting`` maps to
+        the FIRST commit at-or-after it (delta-spark's >= rule — a
+        commit stamped exactly at the boundary is included);
+        ``ending`` to the last commit at-or-before it."""
+        ms = _parse_ts_ms(starting)
+        lo = None
+        for v in sorted(self._json_versions()):
+            if self._commit_time_ms(v) >= ms:
+                lo = v
+                break
+        if lo is None:
+            raise ValueError(
+                f"no commit at or after {starting!r} in {self.log_path}"
+            )
+        hi = self.version_at(ending) if ending is not None else None
+        if hi is not None and hi < lo:
+            _, schema, *_ = self._snapshot()
+            return self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        *schema.fields,
+                        T.StructField("_change_type", T.StringType()),
+                        T.StructField("_commit_version", T.IntegerType(), False),
+                    ]
+                ),
+            )
+        return self.read_changes(lo, hi)
 
     def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Change data feed over the public log (table columns +

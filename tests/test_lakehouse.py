@@ -5183,3 +5183,33 @@ def test_delta_cdc_feed_replays_to_table_state(spark, tmp_path):
                 base[(k, bal)] += 1
     final = Counter((r["id"], r["bal"]) for r in dl.read().collect())
     assert +base == +final
+
+
+def test_delta_cdf_by_timestamp(spark, tmp_path):
+    """table_changes-by-timestamp: starting maps to the FIRST commit
+    at-or-after (boundary included, delta-spark's >= rule), ending to
+    the last at-or-before; an empty window returns an empty typed
+    frame."""
+    import json as _json
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    dl = DeltaLogTable(spark, str(tmp_path / "cdfts"))
+    dl.write(spark.createDataFrame([(1,), (2,)], "id INT"), mode="append")
+    dl.write(spark.createDataFrame([(3,)], "id INT"), mode="append")
+    dl.write(spark.createDataFrame([(4,)], "id INT"), mode="append")
+    t1, t2 = dl._commit_time_ms(1), dl._commit_time_ms(2)
+
+    got = sorted(
+        r["id"] for r in dl.read_changes_by_timestamp(t1).collect()
+    )
+    assert got == [3, 4]  # boundary commit v1 included
+    got = sorted(
+        r["id"] for r in dl.read_changes_by_timestamp(t1, t1).collect()
+    ) if t1 < t2 else None
+    if got is not None:
+        assert got == [3]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at or after"):
+        dl.read_changes_by_timestamp(t2 + 10_000)
