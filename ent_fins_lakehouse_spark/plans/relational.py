@@ -5733,3 +5733,85 @@ def q319_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("price_effect"),
     ).orderBy("yr")
+
+
+@query(
+    "q321_multiset_set_ops",
+    oracle="""
+    WITH a AS (SELECT l_partkey AS k FROM lineitem WHERE l_linenumber <= 2),
+         b AS (SELECT l_partkey AS k FROM lineitem WHERE l_linenumber >= 2)
+    SELECT 'intersect_all' AS op, COUNT(*) AS n, SUM(k) AS sum_k
+    FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+    UNION ALL
+    SELECT 'except_all', COUNT(*), SUM(k)
+    FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    UNION ALL
+    SELECT 'union_all', COUNT(*), SUM(k)
+    FROM (SELECT k FROM a UNION ALL SELECT k FROM b)
+    ORDER BY op
+    """,
+    tags=("relational", "setops"),
+)
+def q321_multiset_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET set operations — intersectAll / exceptAll (q14/q15's
+    bag-semantics halves): duplicates carry their multiplicities
+    (INTERSECT ALL keeps min(m,n) copies, EXCEPT ALL max(m−n, 0)),
+    which is what reconciliation workloads actually need (distinct set
+    ops silently collapse legitimate duplicate facts). Spark plans
+    both as a single hash aggregation on (value, count) with a
+    generate — one shuffle each, no join; summed-key accounting makes
+    the result hash-exact."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_linenumber")
+    a = li.filter("l_linenumber <= 2").select(F.col("l_partkey").alias("k"))
+    b = li.filter("l_linenumber >= 2").select(F.col("l_partkey").alias("k"))
+
+    def acc(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("op"),
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+        ).select("op", "n", "sum_k")
+
+    return (
+        acc(a.intersectAll(b), "intersect_all")
+        .unionByName(acc(a.exceptAll(b), "except_all"))
+        .unionByName(acc(a.unionAll(b), "union_all"))
+        .orderBy("op")
+    )
+
+
+@query(
+    "q322_modern_aggregates",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE value > 100) AS n_big,
+           BOOL_AND(value > 0) AS all_positive,
+           BOOL_OR(value > 300) AS any_huge,
+           MODE(CASE WHEN value <= 200 THEN 0 ELSE 1 END) AS mode_bucket,
+           MIN(user_id) AS first_user
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("relational", "agg", "functions"),
+)
+def q322_modern_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern aggregate surface in one hash agg — count_if
+    (FILTERed count), bool_and/bool_or (predicate folding, the
+    data-quality assertion shape), mode() (most frequent value; keyed
+    on a two-bucket split whose majority side strictly dominates in
+    every group, so engine tie rules never engage), plus a
+    deterministic MIN where any_value would be nondeterministic.
+    All-integer/boolean outputs — hash-exact."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "user_id")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_if(F.col("value") > 100).alias("n_big"),
+            F.bool_and(F.col("value") > 0).alias("all_positive"),
+            F.bool_or(F.col("value") > 300).alias("any_huge"),
+            F.mode(
+                F.when(F.col("value") <= 200, 0).otherwise(1)
+            ).alias("mode_bucket"),
+            F.min("user_id").alias("first_user"),
+        )
+        .orderBy("event_type")
+    )
