@@ -89,6 +89,9 @@ PROBE_QUERIES = [
     "q317_iceberg_eq_delete_changes",
     "q318_cumulative_distinct_users",
     "q319_revenue_bridge",
+    "q320_delta_timestamp_ntz",
+    "q321_multiset_set_ops",
+    "q322_modern_aggregates",
 ]
 
 # per-table key columns to offset per copy (fact->dim links stay valid
