@@ -132,7 +132,13 @@ def percentile_tiered(
     c = F.col(col) if isinstance(col, str) else col
     cache_key = None
     try:
-        cache_key = (df.semanticHash(), key)
+        # the plan hash alone is NOT append-safe: a path-backed scan
+        # keeps its semanticHash when new files land under the path,
+        # and a stale "small" census would route a now-huge key to the
+        # exact tier (the scale cliff the gate exists to prevent).
+        # Fold the CURRENT input-file list into the key — driver-side
+        # metadata, no scan — so any append/compaction re-censuses.
+        cache_key = (df.semanticHash(), key, hash(tuple(sorted(df.inputFiles()))))
     except Exception:
         cache_key = None
     if cache_key is not None and cache_key in _PCT_CENSUS_CACHE:

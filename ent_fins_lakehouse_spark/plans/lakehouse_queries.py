@@ -4667,7 +4667,6 @@ def q283_delta_variant_persistence(spark: SparkSession, sf_dir: str) -> DataFram
     )
     dl = DeltaLogTable(spark, _scratch("dvar") + "_t")
     dl.write(ev.select("event_id", F.parse_json(payload).alias("v")), mode="append")
-    proto = getattr(dl, "_last_protocol", None) or {}
     back = dl.read()
     proto = getattr(dl, "_last_protocol", None) or {}
     if "variantType-preview" not in (proto.get("readerFeatures") or []):

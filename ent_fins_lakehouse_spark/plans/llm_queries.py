@@ -3758,10 +3758,17 @@ def q288_boilerplate_shingle_density(spark: SparkSession, sf_dir: str) -> DataFr
         ws.select(
             "doc_id",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(n - 5, F.lit(-1))),
-                    lambda i: F.concat_ws(" ", F.slice("ws", i + 1, 5)),
-                )
+                # sub-5-word docs yield NO shingles: sequence(0, -1)
+                # would be the DESCENDING [0, -1] (Spark defaults step
+                # to -1 when start > stop) and slice would crash at
+                # index 0 — guard with an empty lattice instead
+                F.when(
+                    n >= 5,
+                    F.transform(
+                        F.sequence(F.lit(0), n - 5),
+                        lambda i: F.concat_ws(" ", F.slice("ws", i + 1, 5)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
             ).alias("shingle"),
         )
         .filter(F.col("shingle") != "")

@@ -303,6 +303,20 @@ class LakeTable:
         for c in self._read_commits(up_to=latest):
             if c.version <= base_version:
                 continue
+            # only DATA-adding appends are rebase-safe winners. A
+            # metadata commit (add/drop_constraint, restore, …) changes
+            # the table CONTRACT this op validated against — e.g. a
+            # concurrent ADD CONSTRAINT must invalidate an update whose
+            # rows were checked against the old constraint set
+            # (delta-spark's conflict matrix: metadata updates conflict
+            # with every concurrent txn). Same rule as Delta's
+            # WriteSerializable: rebase over blind APPENDS only.
+            if c.operation not in ("append", "insert") or not c.add:
+                raise ConcurrentWriteError(
+                    f"true conflict under {operation}: concurrent "
+                    f"{c.operation} (version {c.version}) is not a blind "
+                    "append — re-plan against the current snapshot"
+                )
             if c.remove:
                 overlap = sorted(set(c.remove) & set(remove))
                 raise ConcurrentWriteError(
@@ -1564,12 +1578,15 @@ class DeltaLogTable:
             raise ValueError(f"no Delta log at {self.log_path}")
         return max(cands)
 
-    def _commit_time_ms(self, version: int) -> int:
+    def _commit_time_ms(self, version: int, versions: dict | None = None) -> int:
         """A commit's effective timestamp: its in-commit timestamp when
         present (spec: 'In-Commit Timestamps' — mtimes/timestamp fields
         are unreliable once a log is moved or rewritten), else the
-        commitInfo timestamp, else the log file's mtime."""
-        path = self._json_versions()[version]
+        commitInfo timestamp, else the log file's mtime. Callers
+        looping over many versions pass the ``_json_versions()`` map
+        once — per-call relisting would be O(V²) directory scans on a
+        long streaming log."""
+        path = (versions if versions is not None else self._json_versions())[version]
         t = None
         with open(path) as fh:
             for line in fh:
@@ -1592,8 +1609,9 @@ class DeltaLogTable:
         Delta itself."""
         ms = _parse_ts_ms(timestamp)
         best = None
-        for v in sorted(self._json_versions()):
-            if self._commit_time_ms(v) <= ms:
+        versions = self._json_versions()
+        for v in sorted(versions):
+            if self._commit_time_ms(v, versions) <= ms:
                 best = v
         if best is None:
             raise ValueError(f"no commit at or before {timestamp!r} in {self.log_path}")
@@ -2419,8 +2437,9 @@ class DeltaLogTable:
         ``ending`` to the last commit at-or-before it."""
         ms = _parse_ts_ms(starting)
         lo = None
-        for v in sorted(self._json_versions()):
-            if self._commit_time_ms(v) >= ms:
+        versions = self._json_versions()
+        for v in sorted(versions):
+            if self._commit_time_ms(v, versions) >= ms:
                 lo = v
                 break
         if lo is None:
@@ -2594,7 +2613,20 @@ class DeltaLogTable:
                         live_paths.discard(a["remove"]["path"])
                 continue
             for a in acts:
-                if "add" in a and a["add"].get("dataChange"):
+                if "add" in a and not a["add"].get("dataChange"):
+                    # dataChange=false (OPTIMIZE/REORG): no rows to
+                    # emit, but the file set MOVES — track it, or a
+                    # later DV delete on a compacted file would be
+                    # synthesized as a whole-file 'insert'
+                    ad = a["add"]
+                    live_paths.add(ad["path"])
+                    dv = ad.get("deletionVector")
+                    prior_dv[ad["path"]] = (
+                        set(self._dv_row_indexes(dv)) if dv else set()
+                    )
+                elif "remove" in a and not a["remove"].get("dataChange", True):
+                    live_paths.discard(a["remove"]["path"])
+                elif "add" in a and a["add"].get("dataChange"):
                     ad = a["add"]
                     pv = ad.get("partitionValues") or {}
                     dv = ad.get("deletionVector")
@@ -3201,22 +3233,22 @@ class DeltaLogTable:
             part_cols = [pmap.get(c, c) for c in part_cols]
         return df, part_cols
 
-    def _stage_adds(
+    def _stage_parquet(
         self,
         df: DataFrame,
         part_cols: list[str],
-        pmap: dict | None = None,
-        fid_of: dict | None = None,
-    ) -> list[dict]:
-        """Write ``df``'s rows as new parquet data files under the
-        table dir (staged through a scratch dir so the table only ever
-        gains fully-written, collision-free-named files) and return the
-        corresponding ``add`` actions — hive ``partitionValues``, size,
-        footer-sourced per-file stats. Shared by :meth:`write`,
-        :meth:`update` and :meth:`merge`; the caller owns the commit.
-        With ``pmap`` (name-mode column mapping), logical columns are
-        renamed to their PHYSICAL names before the write, so data files
-        and hive dirs carry physical names per the spec."""
+        pmap: dict | None,
+        fid_of: dict | None,
+        subdir: str,
+        name_prefix: str,
+    ) -> list[tuple[str, dict, str]]:
+        """Shared staging engine for data AND cdc files: write ``df``
+        through a scratch dir (the table only ever gains fully-written,
+        collision-free-named files), hive-split on ``part_cols``,
+        physical-renamed/field-id-stamped via :meth:`_to_physical`, and
+        move every file under ``subdir`` (``""`` = table root). Returns
+        ``(rel_path, partitionValues, dest_abs)`` per staged file; the
+        caller shapes the action dicts (add vs cdc)."""
         import glob
         import shutil
         import tempfile
@@ -3224,13 +3256,13 @@ class DeltaLogTable:
         import uuid as _uuid
 
         df, part_cols = self._to_physical(df, part_cols, pmap, fid_of)
-        st = tempfile.mkdtemp(prefix="deltaw_")
+        st = tempfile.mkdtemp(prefix=f"delta_{name_prefix}_")
         try:
             w = df.write.mode("overwrite")
             if part_cols:
                 w = w.partitionBy(*part_cols)
             w.parquet(st)
-            adds: list[dict] = []
+            out: list[tuple[str, dict, str]] = []
             for fpath in sorted(
                 glob.glob(os.path.join(st, "**", "*.parquet"), recursive=True)
             ):
@@ -3244,26 +3276,47 @@ class DeltaLogTable:
                             if val == "__HIVE_DEFAULT_PARTITION__"
                             else urllib.parse.unquote(val)
                         )
-                name = f"part-{_uuid.uuid4().hex}.snappy.parquet"
+                name = f"{name_prefix}-{_uuid.uuid4().hex}.snappy.parquet"
                 rel = name if rel_dir == "." else os.path.join(rel_dir, name)
+                if subdir:
+                    rel = os.path.join(subdir, rel)
                 dest = os.path.join(self.path, rel)
                 os.makedirs(os.path.dirname(dest), exist_ok=True)
                 shutil.move(fpath, dest)
-                adds.append(
-                    {
-                        "add": {
-                            "path": rel.replace(os.sep, "/"),
-                            "partitionValues": pv,
-                            "size": os.path.getsize(dest),
-                            "modificationTime": int(os.path.getmtime(dest) * 1000),
-                            "dataChange": True,
-                            "stats": self._file_stats(dest),
-                        }
-                    }
-                )
-            return adds
+                out.append((rel.replace(os.sep, "/"), pv, dest))
+            return out
         finally:
             shutil.rmtree(st, ignore_errors=True)
+
+    def _stage_adds(
+        self,
+        df: DataFrame,
+        part_cols: list[str],
+        pmap: dict | None = None,
+        fid_of: dict | None = None,
+    ) -> list[dict]:
+        """Write ``df``'s rows as new parquet data files under the
+        table dir and return the corresponding ``add`` actions — hive
+        ``partitionValues``, size, footer-sourced per-file stats.
+        Shared by :meth:`write`, :meth:`update` and :meth:`merge`; the
+        caller owns the commit. With ``pmap`` (column mapping), files
+        and hive dirs carry PHYSICAL names per the spec (plus field
+        ids under ``fid_of``)."""
+        return [
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": pv,
+                    "size": os.path.getsize(dest),
+                    "modificationTime": int(os.path.getmtime(dest) * 1000),
+                    "dataChange": True,
+                    "stats": self._file_stats(dest),
+                }
+            }
+            for rel, pv, dest in self._stage_parquet(
+                df, part_cols, pmap, fid_of, "", "part"
+            )
+        ]
 
     @staticmethod
     def _cdf_on(meta: dict | None) -> bool:
@@ -3289,58 +3342,25 @@ class DeltaLogTable:
         surfaces as update_preimage/update_postimage pairs rather than
         delete+insert. ``dataChange=false``: cdc files are change
         metadata, never table data. Files partition like the table
-        (partition values live on the ACTION, not in the file), so a
-        partition-pruned CDF read skips whole change files exactly as
-        a data read skips data files. At 100 TB the cdc payload is
+        (partition values live on the ACTION, not in the file) via the
+        SAME staging engine as the data files (:meth:`_stage_parquet`),
+        so a partition-pruned CDF read skips whole change files exactly
+        as a data read skips data files. At 100 TB the cdc payload is
         O(rows changed), not O(table) — the reason delta-spark's CDF
         beats adjacent-snapshot diffing for selective DML."""
-        import glob
-        import shutil
-        import tempfile
-        import urllib.parse
-        import uuid as _uuid
-
-        df, part_cols = self._to_physical(df, part_cols, pmap, fid_of)
-        st = tempfile.mkdtemp(prefix="deltacdc_")
-        try:
-            w = df.write.mode("overwrite")
-            if part_cols:
-                w = w.partitionBy(*part_cols)
-            w.parquet(st)
-            out: list[dict] = []
-            for fpath in sorted(
-                glob.glob(os.path.join(st, "**", "*.parquet"), recursive=True)
-            ):
-                rel_dir = os.path.relpath(os.path.dirname(fpath), st)
-                pv: dict[str, str | None] = {}
-                if rel_dir != ".":
-                    for comp in rel_dir.split(os.sep):
-                        k, _, val = comp.partition("=")
-                        pv[k] = (
-                            None
-                            if val == "__HIVE_DEFAULT_PARTITION__"
-                            else urllib.parse.unquote(val)
-                        )
-                name = f"cdc-{_uuid.uuid4().hex}.snappy.parquet"
-                rel = os.path.join(
-                    "_change_data", name if rel_dir == "." else os.path.join(rel_dir, name)
-                )
-                dest = os.path.join(self.path, rel)
-                os.makedirs(os.path.dirname(dest), exist_ok=True)
-                shutil.move(fpath, dest)
-                out.append(
-                    {
-                        "cdc": {
-                            "path": rel.replace(os.sep, "/"),
-                            "partitionValues": pv,
-                            "size": os.path.getsize(dest),
-                            "dataChange": False,
-                        }
-                    }
-                )
-            return out
-        finally:
-            shutil.rmtree(st, ignore_errors=True)
+        return [
+            {
+                "cdc": {
+                    "path": rel,
+                    "partitionValues": pv,
+                    "size": os.path.getsize(dest),
+                    "dataChange": False,
+                }
+            }
+            for rel, pv, dest in self._stage_parquet(
+                df, part_cols, pmap, fid_of, "_change_data", "cdc"
+            )
+        ]
 
     def _cdc_protocol_actions(self) -> list[dict]:
         """Protocol upgrade to the ``changeDataFeed`` writer feature,

@@ -238,7 +238,23 @@ def make_delta_stream_source():
                             live.discard(a["remove"]["path"])
                     continue
                 for a in acts:
-                    if "add" in a and a["add"].get("dataChange", True):
+                    if "add" in a and not a["add"].get("dataChange", True):
+                        # dataChange=false (OPTIMIZE/REORG): nothing to
+                        # emit, but the file set moves — track it (the
+                        # batch read_changes rule), else a later DV
+                        # delete on a compacted file synthesizes as a
+                        # whole-file 'insert'
+                        ad = a["add"]
+                        dv = ad.get("deletionVector")
+                        live.add(ad["path"])
+                        prior_dv[ad["path"]] = (
+                            set(_dv_row_indexes_of(self.table_path, dv))
+                            if dv
+                            else set()
+                        )
+                    elif "remove" in a and not a["remove"].get("dataChange", True):
+                        live.discard(a["remove"]["path"])
+                    elif "add" in a and a["add"].get("dataChange", True):
                         ad = a["add"]
                         pv = ad.get("partitionValues") or {}
                         dv = ad.get("deletionVector")

@@ -5213,3 +5213,49 @@ def test_delta_cdf_by_timestamp(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="at or after"):
         dl.read_changes_by_timestamp(t2 + 10_000)
+
+
+def test_rebase_refuses_concurrent_metadata_commit(spark, tmp_path):
+    """Only blind DATA appends are rebase-safe winners: a concurrent
+    metadata commit (ADD CONSTRAINT — empty add/remove) changes the
+    table contract the op validated against and must refuse the
+    rebase, not be silently rebased over (the delta-spark conflict
+    matrix: metadata updates conflict with every concurrent txn)."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import (
+        ConcurrentWriteError,
+        LakeTable,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "metaconflict"))
+    t.write(spark.createDataFrame([(i, i * 1.0) for i in range(8)], "k INT, v DOUBLE"))
+    base = t.latest_version()
+    active, schema = t._snapshot()
+    # a constraint lands between plan and commit
+    t.add_constraint("nonneg", "v >= 0")
+    with pytest.raises(ConcurrentWriteError, match="not a blind append"):
+        t._commit("update", [], active, schema, {}, base_version=base)
+
+
+def test_cdf_tracks_datachange_false_rewrites(spark, tmp_path):
+    """A dataChange=false OPTIMIZE between two CDF-relevant commits
+    moves rows into new files WITHOUT emitting changes; a later DV
+    delete on a compacted file must synthesize as row 'delete's of the
+    newly-masked rows — never as a whole-file 'insert'."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    dl = DeltaLogTable(spark, str(tmp_path / "cdfoptim"))
+    dl.write(
+        spark.createDataFrame([(i, float(i)) for i in range(4)], "id BIGINT, v DOUBLE"),
+        mode="append",
+    )
+    dl.write(
+        spark.createDataFrame([(i, float(i)) for i in range(4, 8)], "id BIGINT, v DOUBLE"),
+        mode="append",
+    )
+    start = dl.latest_version() + 1
+    dl.optimize()                    # v: dataChange=false remove+add
+    dl.delete("id IN (2, 6)")        # v+1: DV on the compacted file
+    got = sorted(
+        (r["_change_type"], r["id"]) for r in dl.read_changes(start).collect()
+    )
+    assert got == [("delete", 2), ("delete", 6)], got
