@@ -253,11 +253,14 @@ def _bucket_value(v, n: int) -> int:
     return int(_murmur3_bucket_np([int(v)], n)[0])
 
 
-def _bucket_udf(n: int):
+def _bucket_udf(n: int, kind: str = "int"):
     """Vectorized Arrow-batched bucket transform for the write path
-    (Pandas UDF — numpy murmur3 over int64 or UTF-8-byte batches,
-    dispatched on the batch dtype; nulls map to the null partition
-    per the spec)."""
+    (Pandas UDF — numpy murmur3 over int64 or UTF-8-byte batches).
+    ``kind`` comes from the DECLARED source type ('int' or 'str'), not
+    the batch dtype: an int64 batch CONTAINING A NULL arrives from
+    Arrow as float64, so dtype dispatch would misroute it to the
+    byte-hash path and crash on bytes(float). Nulls map to the null
+    partition per the spec."""
     import pandas as pd
 
     # no type annotations: `from __future__ import annotations` turns
@@ -267,7 +270,7 @@ def _bucket_udf(n: int):
         mask = s.notna()
         if mask.any():
             vals = s[mask]
-            if pd.api.types.is_integer_dtype(vals.dtype):
+            if kind == "int":
                 out[mask] = _murmur3_bucket_np(vals.astype("int64").to_numpy(), n)
             else:
                 out[mask] = _murmur3_bucket_bytes_np(vals.tolist(), n)
@@ -867,10 +870,8 @@ class IcebergTable:
                     f"equality delete {path} references unknown field id {e} "
                     "(nested or dropped columns are not supported)"
                 ) from None
-            eq_schema = T.StructType([schema[c] for c in cols])
             del_df = (
-                self.spark.read.schema(eq_schema)
-                .parquet(path)
+                self._read_eq_keys(path, list(ids), schema)
                 .select(*[F.col(c).alias(f"_eq_{c}") for c in cols])
                 .distinct()
             )
@@ -1060,7 +1061,14 @@ class IcebergTable:
                     # JVM exprs) — df.write.partitionBy keeps it OUT of
                     # the data files, exactly the spec's data layout
                     if kind == "bucket":
-                        expr = _bucket_udf(w)(F.col(src))
+                        src_kind = (
+                            "str"
+                            if isinstance(
+                                df.schema[src].dataType, (T.StringType,)
+                            )
+                            else "int"
+                        )
+                        expr = _bucket_udf(w, src_kind)(F.col(src))
                     elif kind == "hour":
                         # hours since epoch (spec 'Partition
                         # Transforms'); same negative-safe JVM floor
@@ -1739,14 +1747,16 @@ class IcebergTable:
                 if src not in by_name:
                     raise ValueError(f"partition column {src!r} not in dataframe")
                 # spec 'Partition Transforms': hour applies to
-                # timestamps only — a date has no hour component
-                if not isinstance(dtypes[src], T.TimestampType) and not isinstance(
-                    dtypes[src], T.TimestampNTZType
-                ):
+                # timestamps only — a date has no hour component. NTZ
+                # is refused like the other temporal transforms: the
+                # ordinal expr casts through double, which Spark
+                # rejects for TIMESTAMP_NTZ (and an ntz wall-clock has
+                # no epoch anchor without a zone)
+                if not isinstance(dtypes[src], T.TimestampType):
                     raise NotImplementedError(
                         f"hour transform over {dtypes[src].simpleString()} — "
-                        "only timestamp sources are supported (spec: hour "
-                        "is undefined for dates)"
+                        "only timestamp (with zone) sources are supported "
+                        "(spec: hour is undefined for dates)"
                     )
                 part_fields.append(
                     {
@@ -1948,6 +1958,45 @@ class IcebergTable:
             with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as fh:
                 fh.write(str(next_version))
 
+    def _read_eq_keys(
+        self, path: str, ids: list[int], schema: T.StructType
+    ) -> DataFrame:
+        """Read an equality-delete file's key tuples under the CURRENT
+        logical column names — rename-safe: columns resolve by parquet
+        FIELD ID when the file carries ids (our writer stamps them),
+        else by the current logical name, else POSITIONALLY in
+        ``equality_ids`` order (the order every writer emits; a
+        name-only read would silently return NULLs after a
+        rename_column and resurrect deleted rows)."""
+        import pyarrow.parquet as pq
+
+        id_names = self.field_names_by_id()
+        cols = [id_names[i] for i in ids]
+        fsch = pq.ParquetFile(path).schema_arrow
+        by_fid: dict[int, str] = {}
+        fnames = list(fsch.names)
+        for i in range(len(fnames)):
+            fld = fsch.field(i)
+            raw = (fld.metadata or {}).get(b"PARQUET:field_id")
+            if raw is not None:
+                by_fid[int(raw)] = fld.name
+        sel = []
+        for pos, (fid, cur) in enumerate(zip(ids, cols)):
+            if fid in by_fid:
+                src = by_fid[fid]
+            elif cur in fnames:
+                src = cur
+            else:
+                src = fnames[pos]  # positional: equality_ids order
+            sel.append((src, cur))
+        raw_df = self.spark.read.parquet(path)
+        return raw_df.select(
+            *[
+                F.col(src).cast(schema[cur].dataType).alias(cur)
+                for src, cur in sel
+            ]
+        )
+
     def _scan_with_pos(
         self,
         schema: T.StructType,
@@ -2018,10 +2067,8 @@ class IcebergTable:
                     raise NotImplementedError(
                         f"equality delete {path} references unknown field id {e}"
                     ) from None
-                eq_schema = T.StructType([schema[c] for c in ecols])
                 del_df = (
-                    self.spark.read.schema(eq_schema)
-                    .parquet(path)
+                    self._read_eq_keys(path, list(ids), schema)
                     .select(*[F.col(c).alias(f"_eq_{c}") for c in ecols])
                     .distinct()
                 )
@@ -2256,8 +2303,18 @@ class IcebergTable:
         st = tempfile.mkdtemp(prefix="iceeq_")
         entries: list[dict] = []
         try:
+            # stamp FIELD IDS into the delete file (spec: delete files
+            # carry the schema of the columns they name): key columns
+            # must stay resolvable after a rename_column, which changes
+            # the logical name but never the id
+            self.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
             (
-                keys_df.select(*key_cols)
+                keys_df.select(
+                    *[
+                        F.col(c).alias(c, metadata={"parquet.field.id": ids[c]})
+                        for c in key_cols
+                    ]
+                )
                 .distinct()
                 .repartitionByRange(1, *key_cols)
                 .sortWithinPartitions(*key_cols)
@@ -2905,8 +2962,20 @@ class IcebergTable:
         parts: list[DataFrame] = []
         for s in in_range:
             sid = s["snapshot-id"]
-            if (s.get("summary") or {}).get("operation") == "replace":
+            summ = s.get("summary") or {}
+            if summ.get("operation") == "replace":
                 continue
+            if summ.get("mode") == "copy-on-write":
+                # CoW DML rewrites affected files as survivors+updates:
+                # the added files are NOT inserts (they duplicate
+                # already-streamed rows) and the removed rows never
+                # appear as deletes — emitting them would corrupt feed
+                # replay. Use merge-on-read DML when the table feeds CDC.
+                raise NotImplementedError(
+                    f"read_changes over copy-on-write snapshot {sid} — CoW "
+                    "rewrites already-streamed rows; use mode='mor' DML for "
+                    "CDC-consumed tables, or read around the rewrite"
+                )
             _, mrows = read_ocf(self._resolve(s["manifest-list"]))
             added_data: list[str] = []
             added_deletes: list[str] = []
@@ -2939,10 +3008,8 @@ class IcebergTable:
                     id_names = self.field_names_by_id()
                     for path, eids in added_eq:
                         cols = [id_names[i] for i in eids]
-                        eq_schema = T.StructType([schema[c] for c in cols])
                         kdf = (
-                            self.spark.read.schema(eq_schema)
-                            .parquet(path)
+                            self._read_eq_keys(path, list(eids), schema)
                             .distinct()
                             .select(*[F.col(c).alias(f"_eq_{c}") for c in cols])
                         )
@@ -2955,9 +3022,14 @@ class IcebergTable:
                             .withColumn("_commit_snapshot", F.lit(sid))
                         )
             if added_data:
+                # rename-safe: resolve columns by field id when the
+                # files carry them (read()'s rule) — name resolution
+                # would NULL out columns renamed after the file landed
+                rs = self._read_schema_for(sorted(added_data)[0], schema)
                 parts.append(
-                    self.spark.read.schema(schema)
+                    self.spark.read.schema(rs)
                     .parquet(*sorted(added_data))
+                    .select(*[F.col(f.name) for f in schema.fields])
                     .withColumn("_change_type", F.lit("insert"))
                     .withColumn("_commit_snapshot", F.lit(sid))
                 )
@@ -2972,7 +3044,9 @@ class IcebergTable:
                 data, _, _ = self._files(sid)
                 all_data = sorted(p for p, _, _ in data)
                 rows = (
-                    self.spark.read.schema(schema)
+                    self.spark.read.schema(
+                        self._read_schema_for(all_data[0], schema)
+                    )
                     .parquet(*all_data)
                     .select(
                         "*",

@@ -291,15 +291,14 @@ class LakeTable:
                 f"version {base_version}, latest is now {latest} — "
                 f"re-plan against the current snapshot"
             )
-        def _shape(schema_json: str) -> list[tuple[str, object]]:
+        def _shape(schema_dict: dict) -> list[tuple[str, object]]:
             # (name, type) pairs only: nullability and metadata don't
             # change how the op's rewritten files are interpreted, and
             # writers legitimately disagree on them (range() emits
             # non-nullable, createDataFrame nullable)
-            d = json.loads(schema_json)
-            return [(f["name"], f["type"]) for f in d.get("fields") or []]
+            return [(f["name"], f["type"]) for f in schema_dict.get("fields") or []]
 
-        ours = _shape(json.dumps(schema.jsonValue())) if schema else None
+        ours = _shape(schema.jsonValue()) if schema else None
         for c in self._read_commits(up_to=latest):
             if c.version <= base_version:
                 continue
@@ -325,7 +324,7 @@ class LakeTable:
                     + (f" overlapping this op's remove set: {overlap[:3]}" if overlap else "")
                     + " — re-plan against the current snapshot"
                 )
-            if c.schema_json and ours is not None and _shape(c.schema_json) != ours:
+            if c.schema_json and ours is not None and _shape(json.loads(c.schema_json)) != ours:
                 raise ConcurrentWriteError(
                     f"true conflict under {operation}: concurrent "
                     f"{c.operation} (version {c.version}) evolved the "
@@ -2494,12 +2493,7 @@ class DeltaLogTable:
                 "change feed"
             )
 
-        def pname(f: T.StructField) -> str:
-            if mode in ("name", "id"):
-                return (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
-            return f.name
-
-        pmap = {f.name: pname(f) for f in schema.fields}
+        _, pmap = self._mapping(meta, schema)
         data_fields = [f for f in schema.fields if f.name not in part_cols]
         if mode == "id":
             # resolve by parquet FIELD ID (read() / _read_with_fp's
@@ -3940,22 +3934,21 @@ class DeltaLogTable:
                 _del_pmap,
                 _del_fids,
             )
-        if cdc_actions:
-            proto_action = {
-                "protocol": self._feature_protocol(
-                    reader_feats={"deletionVectors"},
-                    writer_feats={"deletionVectors", "changeDataFeed"},
-                )
-            }
-        else:
-            proto_action = {
-                "protocol": {
-                    "minReaderVersion": 3,
-                    "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
-                    "writerFeatures": ["deletionVectors"],
-                }
-            }
+        # _feature_protocol STARTS from the log's actual latest
+        # protocol, so existing feature gates (columnMapping,
+        # timestampNtz, variantType, …) survive the upgrade — a
+        # hardcoded protocol here would silently drop them and leave
+        # the metadata requiring features the protocol no longer lists
+        proto_action = {
+            "protocol": self._feature_protocol(
+                reader_feats={"deletionVectors"},
+                writer_feats=(
+                    {"deletionVectors", "changeDataFeed"}
+                    if cdc_actions
+                    else {"deletionVectors"}
+                ),
+            )
+        }
         actions: list[dict] = [
             {
                 "commitInfo": {
@@ -3979,14 +3972,14 @@ class DeltaLogTable:
         ``_fp`` (normalized absolute data-file path) — the row→file
         attribution :meth:`update` / :meth:`merge` need to rewrite only
         touched files. Deletion vectors are applied with the same
-        bounded anti-join as :meth:`read`. Name-mode column-mapped
-        tables read through the logical→physical map and the caller
-        stages rewrites back under PHYSICAL names (the returned
-        ``pmap``); id mode is refused (our writer does not emit parquet
-        field ids).
+        bounded anti-join as :meth:`read`. Column-mapped tables read
+        through the mapping — name mode by physical name, id mode by
+        parquet FIELD ID — and the caller stages rewrites back under
+        physical names (and field ids) via the returned ``pmap`` /
+        ``fid_of``.
 
         Returns ``(df, adds, schema, part_cols, abs_path→rel_path,
-        pmap)``.
+        pmap, fid_of)`` (``fid_of`` is None outside id mode).
         """
         adds, schema, part_cols, meta = self._snapshot()
         cm_mode = ((meta or {}).get("configuration") or {}).get(

@@ -5259,3 +5259,85 @@ def test_cdf_tracks_datachange_false_rewrites(spark, tmp_path):
         (r["_change_type"], r["id"]) for r in dl.read_changes(start).collect()
     )
     assert got == [("delete", 2), ("delete", 6)], got
+
+
+def test_iceberg_eq_deletes_survive_rename(spark, tmp_path):
+    """Equality-delete key files must keep masking after a
+    rename_column: keys resolve by FIELD ID (or positionally), never
+    by the current logical name alone — a name-based read would return
+    NULL keys and resurrect every deleted row (and CoW would bake the
+    resurrected rows into rewritten files)."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "eqrename"))
+    t.append(spark.createDataFrame(
+        [(i, float(i)) for i in range(8)], "k BIGINT, v DOUBLE"))
+    t.delete_eq(spark.createDataFrame([(2,), (5,)], "k BIGINT"), ["k"])
+    t.rename_column("k", "key")
+    assert sorted(r["key"] for r in t.read().collect()) == [0, 1, 3, 4, 6, 7]
+    # CoW through the renamed schema: still no resurrect
+    t.update({"v": "v + 100"}, "key >= 6", mode="cow")
+    got = sorted((r["key"], r["v"]) for r in t.read().collect())
+    assert got == [(0, 0.0), (1, 1.0), (3, 3.0), (4, 4.0),
+                   (6, 106.0), (7, 107.0)]
+
+
+def test_dv_delete_preserves_existing_protocol_features(spark, tmp_path):
+    """A DV DELETE on a table already gated on other features
+    (columnMapping via rename) must UPGRADE the protocol, not replace
+    it — dropping a feature the metadata still requires is a spec
+    violation peers would refuse."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    dl = DeltaLogTable(spark, str(tmp_path / "dvproto"))
+    dl.write(spark.createDataFrame([(i,) for i in range(6)], "id BIGINT"),
+             mode="append")
+    dl.rename_column("id", "rid")  # -> columnMapping feature
+    dl.delete("rid IN (1, 4)")
+    proto = getattr(dl, "_last_protocol", None) or {}
+    wf = set(proto.get("writerFeatures") or [])
+    rf = set(proto.get("readerFeatures") or [])
+    assert "deletionVectors" in wf and "deletionVectors" in rf
+    assert "columnMapping" in wf and "columnMapping" in rf, proto
+    assert sorted(r["rid"] for r in dl.read().collect()) == [0, 2, 3, 5]
+
+
+def test_iceberg_bucket_append_with_null_keys(spark, tmp_path):
+    """bucket[n] appends route on the DECLARED source type, not the
+    batch dtype: an int batch containing a NULL arrives from Arrow as
+    float64 and must still murmur3 as int64 (nulls land in the null
+    partition)."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "bucketnull"))
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (3, "c")], "k BIGINT, v STRING"
+    )
+    t.append(df.coalesce(1), partition_by=["bucket(4, k)"])
+    got = sorted(
+        ((r["k"], r["v"]) for r in t.read().collect()),
+        key=lambda x: (x[0] is None, x[0] or 0),
+    )
+    assert got == [(1, "a"), (3, "c"), (None, "b")]
+
+
+def test_iceberg_read_changes_refuses_cow_and_survives_rename(spark, tmp_path):
+    """read_changes: CoW snapshots refuse loudly (their added files
+    duplicate already-streamed rows); and post-rename incremental
+    inserts resolve by field id, never NULLing renamed columns."""
+    import pytest as _pytest
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "cowfeed"))
+    t.append(spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], "k BIGINT, v DOUBLE"))
+    s0 = t.metadata()["current-snapshot-id"]
+    t.rename_column("v", "val")
+    t.append(spark.createDataFrame([(10, 10.0)], "k BIGINT, val DOUBLE"))
+    ch = [(r["_change_type"], r["k"], r["val"])
+          for r in t.read_changes(s0).collect()]
+    assert ch == [("insert", 10, 10.0)]
+    t.delete("k <= 1", mode="cow")
+    with _pytest.raises(NotImplementedError, match="copy-on-write"):
+        t.read_changes(s0).collect()
