@@ -3700,10 +3700,23 @@ class IcebergTable:
             for p in sorted(dead):
                 if os.path.isfile(p):
                     os.remove(p)
+            # statistics files are snapshot-pinned (spec 'Table
+            # statistics'): entries for expired snapshots drop from
+            # the metadata and their sidecars delete with them
+            stats_keep = []
+            for e in meta.get("statistics") or []:
+                if e.get("snapshot-id") in keep:
+                    stats_keep.append(e)
+                else:
+                    sp = e.get("statistics-path")
+                    if sp and os.path.isfile(sp):
+                        os.remove(sp)
             new_meta = {
                 **meta,
                 "snapshots": [s for s in snaps if s["snapshot-id"] in keep],
             }
+            if meta.get("statistics") is not None:
+                new_meta["statistics"] = stats_keep
             mfile = self._metadata_file()
             stem = os.path.basename(mfile)[: -len(".metadata.json")]
             if stem.startswith("v") and stem[1:].isdigit():

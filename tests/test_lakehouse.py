@@ -5341,3 +5341,23 @@ def test_iceberg_read_changes_refuses_cow_and_survives_rename(spark, tmp_path):
     t.delete("k <= 1", mode="cow")
     with _pytest.raises(NotImplementedError, match="copy-on-write"):
         t.read_changes(s0).collect()
+
+
+def test_iceberg_expire_snapshots_gc_statistics(spark, tmp_path):
+    """expire_snapshots drops statistics entries pinned to expired
+    snapshots and deletes their sidecars; the current snapshot's stats
+    survive."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "expstats"))
+    t.append(spark.createDataFrame([(i,) for i in range(5)], "id BIGINT"))
+    t.write_ndv_stats(["id"])
+    old_entry = (t.metadata().get("statistics") or [])[0]
+    t.append(spark.createDataFrame([(9,)], "id BIGINT"))
+    est = t.write_ndv_stats(["id"])
+    t.expire_snapshots(keep_last=1)
+    stats = t.metadata().get("statistics") or []
+    assert len(stats) == 1
+    assert stats[0]["snapshot-id"] == t.metadata()["current-snapshot-id"]
+    assert not os.path.isfile(old_entry["statistics-path"])
+    assert t.ndv_estimates() == est  # current pin still serves
