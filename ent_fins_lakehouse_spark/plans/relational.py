@@ -5815,3 +5815,126 @@ def q322_modern_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q323_percent_of_parent_rollup",
+    oracle="""
+    WITH leaf AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    ),
+    reg AS (SELECT region, SUM(rev) AS reg_rev FROM leaf GROUP BY region),
+    tot AS (SELECT SUM(rev) AS total FROM leaf)
+    SELECT l.region, l.nation,
+           CAST(l.rev AS DOUBLE) AS revenue,
+           ROUND(CAST(l.rev AS DOUBLE) / CAST(g.reg_rev AS DOUBLE), 6)
+             AS share_of_region,
+           ROUND(CAST(g.reg_rev AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+             AS region_share_of_total
+    FROM leaf l JOIN reg g ON g.region = l.region CROSS JOIN tot t
+    ORDER BY l.region, l.nation
+    """,
+    tags=("relational", "rollup", "window"),
+)
+def q323_percent_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent hierarchical contribution (the drill-down
+    report behind every revenue tree): each nation's share of its
+    region and each region's share of the total, computed from ONE
+    leaf aggregation with two window re-aggregations over it — no
+    second scan, no self-join (the oracle restates them as joins; the
+    Spark side uses partition windows over the already-tiny leaf
+    table). DECIMAL leaf sums; the two shares are identical IEEE
+    divisions, displayed at 6 dp."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    leaf = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w_reg = W.partitionBy("region")
+    w_all = W.partitionBy()
+    return (
+        leaf.withColumn("reg_rev", F.sum("rev").over(w_reg))
+        .withColumn("total", F.sum("rev").over(w_all))
+        .select(
+            "region",
+            "nation",
+            F.col("rev").cast("double").alias("revenue"),
+            F.round(
+                F.col("rev").cast("double") / F.col("reg_rev").cast("double"), 6
+            ).alias("share_of_region"),
+            F.round(
+                F.col("reg_rev").cast("double") / F.col("total").cast("double"), 6
+            ).alias("region_share_of_total"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@query(
+    "q324_dau_mau_stickiness",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+             CAST(ts AS DATE) AS day,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1, 2
+    ),
+    monthly AS (
+      SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+             COUNT(DISTINCT user_id) AS mau
+      FROM events GROUP BY 1
+    )
+    SELECT d.month,
+           MAX(m.mau) AS mau,
+           CAST(SUM(d.dau) AS BIGINT) AS dau_days,
+           ROUND(CAST(SUM(d.dau) AS DOUBLE) / COUNT(*) / MAX(m.mau), 6)
+             AS stickiness
+    FROM daily d JOIN monthly m ON m.month = d.month
+    GROUP BY d.month ORDER BY d.month
+    """,
+    tags=("relational", "growth", "agg"),
+)
+def q324_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — the engagement ratio every
+    growth dashboard leads with: average daily distinct users over
+    monthly distinct users. Two distinct-aggregations (per day, per
+    month) over the same user exchange, joined on the month spine;
+    integer counts throughout, one final division. At 100 TB both
+    distincts are partial-aggregated per user_id before the count —
+    Catalyst's expand+two-phase distinct — so the shuffle carries
+    (period, user) pairs, never raw events."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("month", "ts")).alias("month"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    daily = ev.groupBy("month", "day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    monthly = ev.groupBy("month").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        daily.join(monthly, "month")
+        .groupBy("month")
+        .agg(
+            F.max("mau").alias("mau"),
+            F.sum("dau").cast("bigint").alias("dau_days"),
+            F.round(
+                F.sum("dau").cast("double") / F.count("*") / F.max("mau"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("month")
+    )

@@ -92,6 +92,8 @@ PROBE_QUERIES = [
     "q320_delta_timestamp_ntz",
     "q321_multiset_set_ops",
     "q322_modern_aggregates",
+    "q323_percent_of_parent_rollup",
+    "q324_dau_mau_stickiness",
 ]
 
 # per-table key columns to offset per copy (fact->dim links stay valid
