@@ -257,10 +257,12 @@ def _bucket_udf(n: int, kind: str = "int"):
     """Vectorized Arrow-batched bucket transform for the write path
     (Pandas UDF — numpy murmur3 over int64 or UTF-8-byte batches).
     ``kind`` comes from the DECLARED source type ('int' or 'str'), not
-    the batch dtype: an int64 batch CONTAINING A NULL arrives from
-    Arrow as float64, so dtype dispatch would misroute it to the
-    byte-hash path and crash on bytes(float). Nulls map to the null
-    partition per the spec."""
+    the batch dtype. Int sources arrive CAST TO STRING (see the call
+    site): an int64 Arrow batch containing a NULL converts to pandas
+    float64, and float64 cannot represent longs above 2^53 — hashing
+    through it would compute a silently WRONG bucket for large keys
+    (snowflake-id range); the string round-trip is exact for the full
+    int64 domain. Nulls map to the null partition per the spec."""
     import pandas as pd
 
     # no type annotations: `from __future__ import annotations` turns
@@ -271,7 +273,10 @@ def _bucket_udf(n: int, kind: str = "int"):
         if mask.any():
             vals = s[mask]
             if kind == "int":
-                out[mask] = _murmur3_bucket_np(vals.astype("int64").to_numpy(), n)
+                # string -> int64 is exact; float64 would round >2^53
+                out[mask] = _murmur3_bucket_np(
+                    vals.astype("int64").to_numpy(), n
+                )
             else:
                 out[mask] = _murmur3_bucket_bytes_np(vals.tolist(), n)
         return out
@@ -1061,14 +1066,16 @@ class IcebergTable:
                     # JVM exprs) — df.write.partitionBy keeps it OUT of
                     # the data files, exactly the spec's data layout
                     if kind == "bucket":
-                        src_kind = (
-                            "str"
-                            if isinstance(
-                                df.schema[src].dataType, (T.StringType,)
+                        if isinstance(df.schema[src].dataType, T.StringType):
+                            expr = _bucket_udf(w, "str")(F.col(src))
+                        else:
+                            # ints ship as STRINGS: exact for the full
+                            # int64 domain (a null in the batch would
+                            # otherwise force float64 and corrupt
+                            # buckets for keys above 2^53)
+                            expr = _bucket_udf(w, "int")(
+                                F.col(src).cast("string")
                             )
-                            else "int"
-                        )
-                        expr = _bucket_udf(w, src_kind)(F.col(src))
                     elif kind == "hour":
                         # hours since epoch (spec 'Partition
                         # Transforms'); same negative-safe JVM floor
@@ -1958,34 +1965,46 @@ class IcebergTable:
             with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as fh:
                 fh.write(str(next_version))
 
+    #: memoized per-file arrow schema probe for equality-delete files
+    #: (immutable once written): (field_id -> column name, column names)
+    _EQ_FILE_SCHEMA_CACHE: dict = {}
+
     def _read_eq_keys(
         self, path: str, ids: list[int], schema: T.StructType
     ) -> DataFrame:
         """Read an equality-delete file's key tuples under the CURRENT
         logical column names — rename-safe: columns resolve by parquet
-        FIELD ID when the file carries ids (our writer stamps them),
-        else by the current logical name, else POSITIONALLY in
-        ``equality_ids`` order (the order every writer emits; a
-        name-only read would silently return NULLs after a
-        rename_column and resurrect deleted rows)."""
+        FIELD ID when the file carries ids (our writer stamps them);
+        files WITHOUT ids resolve POSITIONALLY in ``equality_ids``
+        order (the order every writer emits). Name matching is
+        deliberately NOT a fallback: after a rename that reuses
+        another key's old name, a name match would cross-wire the key
+        tuples — positional is the only sound rule for legacy files.
+        The footer probe memoizes per path (delete files are
+        immutable), so repeated plans pay it once."""
         import pyarrow.parquet as pq
 
         id_names = self.field_names_by_id()
         cols = [id_names[i] for i in ids]
-        fsch = pq.ParquetFile(path).schema_arrow
-        by_fid: dict[int, str] = {}
-        fnames = list(fsch.names)
-        for i in range(len(fnames)):
-            fld = fsch.field(i)
-            raw = (fld.metadata or {}).get(b"PARQUET:field_id")
-            if raw is not None:
-                by_fid[int(raw)] = fld.name
+        cached = IcebergTable._EQ_FILE_SCHEMA_CACHE.get(path)
+        if cached is None:
+            fsch = pq.ParquetFile(path).schema_arrow
+            by_fid: dict[int, str] = {}
+            fnames = list(fsch.names)
+            for i in range(len(fnames)):
+                fld = fsch.field(i)
+                raw = (fld.metadata or {}).get(b"PARQUET:field_id")
+                if raw is not None:
+                    by_fid[int(raw)] = fld.name
+            if len(IcebergTable._EQ_FILE_SCHEMA_CACHE) >= 4096:
+                IcebergTable._EQ_FILE_SCHEMA_CACHE.clear()
+            cached = (by_fid, fnames)
+            IcebergTable._EQ_FILE_SCHEMA_CACHE[path] = cached
+        by_fid, fnames = cached
         sel = []
         for pos, (fid, cur) in enumerate(zip(ids, cols)):
-            if fid in by_fid:
-                src = by_fid[fid]
-            elif cur in fnames:
-                src = cur
+            if by_fid:
+                src = by_fid.get(fid, fnames[pos])
             else:
                 src = fnames[pos]  # positional: equality_ids order
             sel.append((src, cur))
@@ -3696,21 +3715,22 @@ class IcebergTable:
 
         live = refs(keep & {s["snapshot-id"] for s in snaps})
         dead = refs({s["snapshot-id"] for s in expired}) - live
+        # statistics files are snapshot-pinned (spec 'Table
+        # statistics'): entries for expired snapshots drop from the
+        # metadata and their sidecars delete with them — reported in
+        # files_deleted so dry_run lists EVERYTHING the real run removes
+        stats_keep = []
+        for e in meta.get("statistics") or []:
+            if e.get("snapshot-id") in keep:
+                stats_keep.append(e)
+            else:
+                sp = e.get("statistics-path")
+                if sp:
+                    dead.add(sp)
         if not dry_run:
             for p in sorted(dead):
                 if os.path.isfile(p):
                     os.remove(p)
-            # statistics files are snapshot-pinned (spec 'Table
-            # statistics'): entries for expired snapshots drop from
-            # the metadata and their sidecars delete with them
-            stats_keep = []
-            for e in meta.get("statistics") or []:
-                if e.get("snapshot-id") in keep:
-                    stats_keep.append(e)
-                else:
-                    sp = e.get("statistics-path")
-                    if sp and os.path.isfile(sp):
-                        os.remove(sp)
             new_meta = {
                 **meta,
                 "snapshots": [s for s in snaps if s["snapshot-id"] in keep],

@@ -5361,3 +5361,38 @@ def test_iceberg_expire_snapshots_gc_statistics(spark, tmp_path):
     assert stats[0]["snapshot-id"] == t.metadata()["current-snapshot-id"]
     assert not os.path.isfile(old_entry["statistics-path"])
     assert t.ndv_estimates() == est  # current pin still serves
+
+
+def test_iceberg_bucket_exact_above_2_53(spark, tmp_path):
+    """Bucket ordinals must be EXACT for the full int64 domain even
+    when a null in the batch forces the Arrow→pandas float64 path:
+    9007199254740993 (2^53+1) is unrepresentable in float64 and would
+    silently hash to the wrong bucket — the write path ships ints as
+    strings to stay exact, and the read-side predicate rewrite must
+    prune to the same bucket the write chose."""
+    from ent_fins_lakehouse_spark.sources.iceberg import (
+        IcebergTable,
+        _bucket_value,
+    )
+
+    big = 9007199254740993  # 2^53 + 1
+    t = IcebergTable(spark, str(tmp_path / "bigbucket"))
+    df = spark.createDataFrame(
+        [(big, "x"), (None, "n"), (1, "y")], "k BIGINT, v STRING"
+    )
+    t.append(df.coalesce(1), partition_by=["bucket(16, k)"])
+    # point lookup through the transform must find the row (prune to
+    # the exact bucket the writer recorded)
+    got = [r["v"] for r in t.read(where=f"k = {big}").collect()]
+    assert got == ["x"]
+    # the manifest partition tuple must equal the exact driver-side hash
+    from ent_fins_lakehouse_spark.sources.avro_io import read_ocf
+
+    snap = t.snapshots()[-1]
+    _, mrows = read_ocf(t._resolve(snap["manifest-list"]))
+    _, entries = read_ocf(t._resolve(mrows[0]["manifest_path"]))
+    buckets = {
+        (e["data_file"].get("partition") or {}).get("k_bucket")
+        for e in entries
+    }
+    assert _bucket_value(big, 16) in buckets
