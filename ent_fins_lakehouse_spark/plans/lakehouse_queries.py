@@ -5889,3 +5889,177 @@ def q320_delta_timestamp_ntz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hour_ntz")
         .limit(200)
     )
+
+
+@query(
+    "q325_delta_replace_where",
+    oracle="""
+    WITH repl AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(0.0 AS DOUBLE) AS o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 0
+    ), final AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority
+      FROM orders WHERE NOT coalesce(o_orderstatus = 'F', FALSE)
+      UNION ALL
+      SELECT * FROM repl
+    )
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total
+    FROM final
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+    tags=("lakehouse", "delta", "replace-where", "write"),
+)
+def q325_delta_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """replaceWhere — Delta's predicate-scoped overwrite
+    (``option("replaceWhere", pred)``), THE production backfill verb:
+    atomically (DELETE WHERE pred) + (INSERT new slice) in one commit,
+    with Delta's default enforcement that every incoming row satisfies
+    the predicate. Here the 'F' order slice is recomputed (a subset
+    survives with zeroed totals) while 'O'/'P' orders are untouched —
+    their files keep their add actions verbatim (stats-pruned, never
+    rewritten). Scale: a one-day backfill on a 100 TB table rewrites
+    that day's files only."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    dl = DeltaLogTable(spark, _scratch("rw") + "_t")
+    dl.write(orders.repartition(4), mode="append")
+    repl = orders.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 10 == 0)
+    ).withColumn("o_totalprice", F.lit(0.0))
+    dl.replace_where(repl, "o_orderstatus = 'F'")
+    return (
+        dl.read()
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@query(
+    "q326_delta_dynamic_partition_overwrite",
+    oracle="""
+    WITH reload AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(c_acctbal AS DOUBLE) + 1000.0 AS c_acctbal
+      FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ), final AS (
+      SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+      FROM customer WHERE c_mktsegment NOT IN ('BUILDING', 'MACHINERY')
+      UNION ALL
+      SELECT * FROM reload
+    )
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS bal
+    FROM final
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("lakehouse", "delta", "dynamic-overwrite", "write"),
+)
+def q326_delta_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite (Spark/Delta
+    ``partitionOverwriteMode=dynamic``): replace exactly the hive
+    partitions present in the incoming frame — the idempotent
+    daily-reload shape (re-running a partition's job replaces that
+    partition, never truncates the table the way static overwrite
+    would). Two of five segment partitions are reloaded with adjusted
+    balances; the other three keep their files (removes are
+    metadata-only: whole files keyed by partition tuple off the
+    add-action dict, no data scan). The replaced-partition set is read
+    off the staged adds' partitionValues — same hive encoding by
+    construction."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+    dl = DeltaLogTable(spark, _scratch("dpo") + "_t")
+    dl.write(cust, mode="append", partition_by=["c_mktsegment"])
+    reload_df = cust.filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).withColumn("c_acctbal", F.col("c_acctbal") + 1000.0)
+    res = dl.overwrite_dynamic_partitions(reload_df)
+    assert res["partitions_replaced"] == 2, res
+    return (
+        dl.read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q327_iceberg_metadata_tables",
+    oracle="""
+    SELECT 0 AS content, COUNT(*) AS record_count
+    FROM orders WHERE o_orderkey % 7 IN (0, 1)
+    UNION ALL
+    SELECT 1 AS content, COUNT(*) AS record_count
+    FROM orders WHERE o_orderkey % 70 = 0
+    ORDER BY content
+    """,
+    tags=("lakehouse", "iceberg", "metadata"),
+)
+def q327_iceberg_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``files`` / ``history`` / ``snapshots`` metadata tables
+    (Iceberg's ``SELECT * FROM tbl.files`` surface, completing q240's
+    ``partitions``): all three answer from KBs of Avro manifests +
+    metadata.json, never the data. The fixture exercises the full
+    lifecycle — two appends, a MoR position delete, a bad append,
+    rollback — then asserts history separates the current lineage from
+    the rolled-past snapshot (``is_current_ancestor=false``), the
+    snapshots table records the operation sequence, and the files
+    table's per-content record accounting is hash-exact vs the data:
+    data files keep their FULL record_count under merge-on-read (the
+    delete debt lives in content=1 rows — the audit that drives
+    compaction targeting)."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = IcebergTable(spark, _scratch("icemeta") + "_t")
+    t.append(orders.filter(F.col("o_orderkey") % 7 == 0).repartition(4))
+    t.append(orders.filter(F.col("o_orderkey") % 7 == 1).repartition(4))
+    t.delete("o_orderkey % 70 = 0", mode="mor")
+    good_head = t.snapshots()[-1]["snapshot-id"]
+    t.append(orders.filter(F.col("o_orderkey") % 7 == 2).limit(10).coalesce(1))
+    t.rollback_to(snapshot_id=good_head)
+
+    hist = t.history_df().collect()
+    # 4 commits + the rollback re-publication = 5 log entries
+    assert len(hist) == 5, hist
+    non_anc = [r for r in hist if not r["is_current_ancestor"]]
+    assert len(non_anc) == 1, hist
+    assert hist[-1]["snapshot_id"] == good_head, hist
+    ops = [r["operation"] for r in t.snapshots_df().orderBy("committed_at_ms", "snapshot_id").collect()]
+    assert ops == ["append", "append", "delete", "append"], ops
+
+    return (
+        t.files_df()
+        .groupBy("content")
+        .agg(F.sum("record_count").alias("record_count"))
+        .orderBy("content")
+    )

@@ -753,8 +753,28 @@ class IcebergTable:
                 "arbitrary moves"
             )
         if cur != snapshot_id:
-            self._write_metadata({**meta, "current-snapshot-id": int(snapshot_id)})
+            self._write_metadata(self._with_new_head(meta, int(snapshot_id)))
         return int(snapshot_id)
+
+    @staticmethod
+    def _with_new_head(meta: dict, snapshot_id: int) -> dict:
+        """Move ``current-snapshot-id`` and append the spec-required
+        ``snapshot-log`` entry (the history table records every time a
+        snapshot becomes current — including re-publication after a
+        rollback, per the spec's log semantics)."""
+        import time as _time
+
+        return {
+            **meta,
+            "current-snapshot-id": snapshot_id,
+            "snapshot-log": [
+                *(meta.get("snapshot-log") or []),
+                {
+                    "timestamp-ms": int(_time.time() * 1000),
+                    "snapshot-id": snapshot_id,
+                },
+            ],
+        }
 
     def set_current_snapshot(self, snapshot_id: int) -> int:
         """``set_current_snapshot`` — arbitrary head move (redo after a
@@ -766,7 +786,7 @@ class IcebergTable:
         ):
             raise ValueError(f"snapshot {snapshot_id} not in {self.meta_dir}")
         if meta.get("current-snapshot-id") != snapshot_id:
-            self._write_metadata({**meta, "current-snapshot-id": int(snapshot_id)})
+            self._write_metadata(self._with_new_head(meta, int(snapshot_id)))
         return int(snapshot_id)
 
     def _read_schema_for(self, sample_path: str, schema: T.StructType) -> T.StructType:
@@ -1317,7 +1337,16 @@ class IcebergTable:
             **(
                 {"refs": {**(meta.get("refs") or {}), branch: {"snapshot-id": snap_id, "type": "branch"}}}
                 if branch is not None
-                else {"current-snapshot-id": snap_id}
+                else {
+                    "current-snapshot-id": snap_id,
+                    # spec 'Table Metadata' snapshot-log: every time a
+                    # snapshot becomes current it gets a log entry —
+                    # the <table>.history metadata table reads THIS
+                    "snapshot-log": [
+                        *(meta.get("snapshot-log") or []),
+                        {"timestamp-ms": now, "snapshot-id": snap_id},
+                    ],
+                }
             ),
             "snapshots": [
                 *snaps,
@@ -1457,6 +1486,124 @@ class IcebergTable:
             [(k, *v) for k, v in sorted(agg.items())],
             "partition STRING, record_count LONG, file_count LONG, "
             "total_size_bytes LONG",
+        )
+
+    def files_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """The ``<table>.files`` metadata table: one row per LIVE
+        content file of the snapshot — data files (``content=0``),
+        position-delete files (1) and equality-delete files (2) — with
+        record count, size, partition tuple (JSON), sequence number
+        and spec id, decoded from the Avro manifests ONLY (KBs of
+        metadata however large the data; the small-file / delete-debt
+        audit that drives OPTIMIZE targeting). Spec divergence, by
+        design: column-level stats maps are omitted (they live in the
+        add-action stats the engine's pruner consumes)."""
+        from ent_fins_lakehouse_spark.sources.avro_io import read_ocf
+
+        meta = self.metadata()
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else meta.get("current-snapshot-id")
+        )
+        snap = next(
+            (s for s in meta.get("snapshots") or [] if s["snapshot-id"] == sid),
+            None,
+        )
+        rows: list[tuple] = []
+        if snap is not None:
+            _, manifests = read_ocf(self._resolve(snap["manifest-list"]))
+            for m in manifests:
+                m_seq = m.get("sequence_number") or 0
+                _, entries = read_ocf(self._resolve(m["manifest_path"]))
+                for e in entries:
+                    if e.get("status") == 2:
+                        continue
+                    d = e["data_file"]
+                    pv = d.get("partition")
+                    rows.append(
+                        (
+                            int(d.get("content") or 0),
+                            self._resolve(d["file_path"]),
+                            str(d.get("file_format") or "PARQUET"),
+                            json.dumps(pv, sort_keys=True, default=str)
+                            if pv
+                            else "{}",
+                            int(d.get("record_count") or 0),
+                            int(d.get("file_size_in_bytes") or 0),
+                            int(
+                                e.get("sequence_number")
+                                if e.get("sequence_number") is not None
+                                else m_seq
+                            ),
+                            int(m.get("partition_spec_id") or 0),
+                        )
+                    )
+        return self.spark.createDataFrame(
+            sorted(rows, key=lambda r: (r[0], r[1])),
+            "content INT, file_path STRING, file_format STRING, "
+            "partition STRING, record_count LONG, file_size_in_bytes LONG, "
+            "sequence_number LONG, spec_id INT",
+        )
+
+    def history_df(self) -> DataFrame:
+        """The ``<table>.history`` metadata table: one row per time a
+        snapshot became current (the ``snapshot-log``), with
+        ``is_current_ancestor`` telling overwritten lines of history
+        (rolled-past snapshots) from the current lineage — how an
+        auditor distinguishes 'data the table served at t' from 'data
+        on the current branch'. Peer-written logs without a
+        snapshot-log fall back to the snapshots list. Timestamps are
+        exposed as epoch-ms LONGs (session-timezone-proof), a
+        documented divergence from Iceberg's TIMESTAMP column."""
+        meta = self.metadata()
+        snaps = meta.get("snapshots") or []
+        by_id = {s["snapshot-id"]: s for s in snaps}
+        log = meta.get("snapshot-log") or [
+            {"timestamp-ms": s["timestamp-ms"], "snapshot-id": s["snapshot-id"]}
+            for s in snaps
+        ]
+        anc: set[int] = set()
+        cur = meta.get("current-snapshot-id")
+        while cur in by_id and cur not in anc:
+            anc.add(cur)
+            cur = by_id[cur].get("parent-snapshot-id")
+        rows = [
+            (
+                int(e["timestamp-ms"]),
+                int(e["snapshot-id"]),
+                by_id.get(e["snapshot-id"], {}).get("parent-snapshot-id"),
+                e["snapshot-id"] in anc,
+            )
+            for e in log
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "made_current_at_ms LONG, snapshot_id LONG, parent_id LONG, "
+            "is_current_ancestor BOOLEAN",
+        )
+
+    def snapshots_df(self) -> DataFrame:
+        """The ``<table>.snapshots`` metadata table: every snapshot in
+        the log — committed-at (epoch ms), id, parent, operation,
+        manifest-list path, summary (JSON) — the raw material for
+        retention decisions (:meth:`expire_snapshots`) and commit
+        forensics."""
+        rows = [
+            (
+                int(s["timestamp-ms"]),
+                int(s["snapshot-id"]),
+                s.get("parent-snapshot-id"),
+                str((s.get("summary") or {}).get("operation") or ""),
+                self._resolve(s["manifest-list"]),
+                json.dumps(s.get("summary") or {}, sort_keys=True),
+            )
+            for s in self.metadata().get("snapshots") or []
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "committed_at_ms LONG, snapshot_id LONG, parent_id LONG, "
+            "operation STRING, manifest_list STRING, summary STRING",
         )
 
     def write_ndv_stats(self, columns: list[str], k: int = 1024) -> dict:

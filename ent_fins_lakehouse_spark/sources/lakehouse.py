@@ -2693,10 +2693,21 @@ class DeltaLogTable:
         generated_columns: dict[str, str] | None = None,
         identity_columns: dict[str, dict] | None = None,
         op_info: tuple[str, dict] | None = None,
+        replace_where: str | None = None,
+        partition_overwrite: str = "static",
     ) -> int:
         """Commit data in the PUBLIC Delta log format (closes the write
         half of the interop loop — engine output becomes consumable by
         delta-spark, DuckDB's delta scanner, Polars, …).
+
+        ``replace_where`` (Delta's ``option("replaceWhere", pred)``)
+        scopes the overwrite to rows matching ``pred`` — see
+        :meth:`replace_where`. ``partition_overwrite="dynamic"``
+        (Delta's ``partitionOverwriteMode=dynamic``) replaces only the
+        partitions present in ``df`` — see
+        :meth:`overwrite_dynamic_partitions`. Both require
+        ``mode="overwrite"`` on an existing table and are mutually
+        exclusive.
 
         Emits newline-delimited JSON actions per PROTOCOL.md:
         ``commitInfo`` + (at creation) ``protocol``/``metaData`` +
@@ -2720,6 +2731,35 @@ class DeltaLogTable:
 
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be 'append' or 'overwrite', got {mode!r}")
+        if partition_overwrite not in ("static", "dynamic"):
+            raise ValueError(
+                "partition_overwrite must be 'static' or 'dynamic', "
+                f"got {partition_overwrite!r}"
+            )
+        if replace_where is not None or partition_overwrite == "dynamic":
+            if mode != "overwrite":
+                raise ValueError(
+                    "replace_where / dynamic partition overwrite require "
+                    "mode='overwrite'"
+                )
+            if replace_where is not None and partition_overwrite == "dynamic":
+                raise ValueError(
+                    "replace_where and partition_overwrite='dynamic' are "
+                    "mutually exclusive (Delta refuses the combination too)"
+                )
+            if (
+                partition_by is not None
+                or generated_columns is not None
+                or identity_columns is not None
+            ):
+                raise ValueError(
+                    "scoped overwrites target an EXISTING table: partitioning "
+                    "and column features are committed state and cannot be "
+                    "redeclared here"
+                )
+            if replace_where is not None:
+                return self.replace_where(df, replace_where, txn=txn)["version"]
+            return self.overwrite_dynamic_partitions(df, txn=txn)["version"]
         try:
             version = self.latest_version() + 1
         except (ValueError, FileNotFoundError):
@@ -3070,6 +3110,297 @@ class DeltaLogTable:
 
         self._commit_actions(version, actions)
         return version
+
+    def _conform_scoped_overwrite(
+        self, df: DataFrame, schema, meta: dict | None, verb: str
+    ) -> DataFrame:
+        """Shared admission control for the scoped-overwrite verbs
+        (:meth:`replace_where`, :meth:`overwrite_dynamic_partitions`):
+        exact logical-schema match (scoped overwrites never change the
+        schema — that is full-overwrite territory), CURRENT_DEFAULT
+        fill for omitted defaulted columns, generated columns computed
+        when missing and validated when supplied (same invariant as
+        :meth:`write`), identity tables refused (the high-water-mark
+        bookkeeping lives in :meth:`write`), CHECK constraints
+        enforced."""
+        for f in schema.fields:
+            md = f.metadata or {}
+            if "delta.identity.start" in md:
+                raise NotImplementedError(
+                    f"{verb} on a table with IDENTITY column {f.name!r} is "
+                    "not supported — use write(mode='overwrite')"
+                )
+            if "CURRENT_DEFAULT" in md and f.name not in df.columns:
+                df = df.withColumn(
+                    f.name, F.expr(md["CURRENT_DEFAULT"]).cast(f.dataType)
+                )
+        gen_exprs = {
+            f.name: (f.metadata or {})["delta.generationExpression"]
+            for f in schema.fields
+            if "delta.generationExpression" in (f.metadata or {})
+        }
+        for name, expr in gen_exprs.items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+        want = [(f.name, f.dataType) for f in schema.fields]
+        have = {f.name: f.dataType for f in df.schema.fields}
+        if sorted(have) != sorted(n for n, _ in want) or any(
+            have[n] != t for n, t in want
+        ):
+            raise ValueError(
+                f"{verb} requires the committed schema exactly: incoming "
+                f"{df.schema.simpleString()} != committed "
+                f"{schema.simpleString()} (schema changes belong to a full "
+                "overwrite)"
+            )
+        df = df.select(*[n for n, _ in want])
+        if gen_exprs:
+            pred = " OR ".join(
+                f"(NOT (({name}) <=> ({expr})))" for name, expr in gen_exprs.items()
+            )
+            bad = df.filter(pred).limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"{verb} rejected: generated column value disagrees with "
+                    f"its expression ({gen_exprs}) in row {bad[0].asDict()}"
+                )
+        self._enforce_constraints(df, verb)
+        return df
+
+    def replace_where(
+        self, df: DataFrame, predicate: str, txn: tuple[str, int] | None = None
+    ) -> dict:
+        """Predicate-scoped overwrite — Delta's
+        ``option("replaceWhere", pred).mode("overwrite")`` (the
+        production backfill verb: replace one day/region/slice
+        atomically, leave the rest of the table untouched). Semantics =
+        atomic (DELETE WHERE pred) + (INSERT df) in ONE commit, with
+        Delta's default constraint that every incoming row satisfies
+        the predicate (a row outside the slice would silently land in
+        data it claimed not to touch — refused up front).
+
+        Scale shape: candidate files prune on add-action stats first
+        (a one-day backfill touches that day's files, never the
+        table); only files actually holding matching rows are
+        rewritten — their non-matching rows carry through as new
+        files; untouched files keep their ``add`` actions. With CDF
+        enabled the commit carries explicit ``cdc`` files (deletes of
+        the replaced rows + inserts of the new ones), so the feed
+        never shows the carried-through survivor rows — the add/remove
+        synthesis would.
+
+        Returns ``{"version", "files_removed", "rows_deleted",
+        "rows_inserted"}``.
+        """
+        import time
+
+        if not self.exists():
+            raise ValueError(
+                f"replace_where requires an existing Delta table at {self.path} "
+                "(creation is a plain write)"
+            )
+        _, _, _, meta0 = self._snapshot()
+        self._enforce_append_only(meta0, "WRITE (replaceWhere)")
+        cur, adds, schema, part_cols, rel_of, pmap, fid_of = self._read_with_fp()
+        df = self._conform_scoped_overwrite(df, schema, meta0, "replaceWhere")
+        pred = F.expr(predicate)
+        outside = df.filter(
+            ~F.coalesce(pred.cast("boolean"), F.lit(False))
+        ).limit(1).collect()
+        if outside:
+            raise ValueError(
+                f"replaceWhere({predicate!r}) rejected: incoming row "
+                f"{outside[0].asDict()} does not satisfy the predicate "
+                "(Delta's default enforcement)"
+            )
+        # stats-based pruning: files whose [min,max]/partitionValues
+        # cannot match the predicate are never scanned
+        from ent_fins_lakehouse_spark.sources.skipping import prune_dirs
+
+        stats = self._file_stats_map(adds, schema, part_cols, pmap)
+        cand, _ = prune_dirs(predicate, stats, sorted(adds))
+        cand_fps = [os.path.abspath(os.path.join(self.path, p)) for p in cand]
+        sub = self._only_files(cur, cand_fps)
+        touched = sorted(
+            r["_fp"] for r in sub.filter(pred).select("_fp").distinct().collect()
+        )
+        cols = [f.name for f in schema.fields]
+        survivors = None
+        n_deleted = 0
+        if touched:
+            tsub = self._only_files(cur, touched)
+            n_deleted = tsub.filter(pred).count()
+            survivors = tsub.filter(
+                ~F.coalesce(pred.cast("boolean"), F.lit(False))
+            ).select(*cols)
+        n_inserted = df.count()
+        cdc_actions: list[dict] = []
+        if self._cdf_on(meta0):
+            feed = df.select(*cols).withColumn("_change_type", F.lit("insert"))
+            if touched:
+                feed = (
+                    self._only_files(cur, touched)
+                    .filter(pred)
+                    .select(*cols)
+                    .withColumn("_change_type", F.lit("delete"))
+                    .unionByName(feed)
+                )
+            cdc_actions = self._stage_cdc(feed, part_cols, pmap, fid_of)
+        staged = df if survivors is None else survivors.unionByName(df)
+        new_adds = self._stage_adds(staged, part_cols, pmap, fid_of)
+        now = int(time.time() * 1000)
+        version = self.latest_version() + 1
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "WRITE",
+                    "operationParameters": {
+                        "mode": "Overwrite",
+                        "predicate": predicate,
+                        "partitionBy": json.dumps(part_cols),
+                    },
+                    "engineInfo": "ent_fins_lakehouse_spark/delta-shim",
+                }
+            },
+            *(
+                [
+                    {
+                        "txn": {
+                            "appId": str(txn[0]),
+                            "version": int(txn[1]),
+                            "lastUpdated": now,
+                        }
+                    }
+                ]
+                if txn is not None
+                else []
+            ),
+            *(self._cdc_protocol_actions() if cdc_actions else []),
+            *cdc_actions,
+            *[
+                {
+                    "remove": {
+                        "path": rel_of[fp],
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                        "partitionValues": adds[rel_of[fp]]["partitionValues"],
+                    }
+                }
+                for fp in touched
+            ],
+            *new_adds,
+        ]
+        self._commit_actions(version, actions)
+        return {
+            "version": version,
+            "files_removed": len(touched),
+            "rows_deleted": n_deleted,
+            "rows_inserted": n_inserted,
+        }
+
+    def overwrite_dynamic_partitions(
+        self, df: DataFrame, txn: tuple[str, int] | None = None
+    ) -> dict:
+        """Dynamic partition overwrite — Delta/Spark's
+        ``partitionOverwriteMode=dynamic``: replace exactly the hive
+        partitions present in ``df``, leave every other partition's
+        files untouched (the idempotent daily-reload shape: re-running
+        a day's job replaces that day, never truncates the table the
+        way static overwrite would).
+
+        The incoming rows stage FIRST; the replaced-partition set is
+        then read off the staged ``add`` actions' ``partitionValues``
+        — the same hive encoding by construction, so no separate
+        value-stringification path can drift. Removes are metadata-only
+        (whole files keyed by partition tuple — the add-action dict,
+        no data scan). With CDF enabled no ``cdc`` files are staged:
+        whole-file removes/adds synthesize the exact feed (every
+        removed row IS a delete, every added row IS an insert), per
+        the spec's fallback.
+
+        Returns ``{"version", "partitions_replaced", "files_removed"}``.
+        """
+        import time
+
+        if not self.exists():
+            raise ValueError(
+                "dynamic partition overwrite requires an existing Delta table "
+                f"at {self.path} (creation is a plain write)"
+            )
+        adds, schema, part_cols, meta = self._snapshot()
+        self._enforce_append_only(meta, "WRITE (dynamic partition overwrite)")
+        if not part_cols:
+            raise ValueError(
+                "dynamic partition overwrite requires a partitioned table "
+                f"({self.path} has no partition columns)"
+            )
+        df = self._conform_scoped_overwrite(
+            df, schema, meta, "dynamic partition overwrite"
+        )
+        cm_mode = ((meta or {}).get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        _, pmap = self._mapping(meta, schema)
+        fid_of = self._field_ids(meta, schema) if cm_mode == "id" else None
+        new_adds = self._stage_adds(df, part_cols, pmap, fid_of)
+        pkeys = [pmap[c] for c in part_cols]
+        replaced = {
+            tuple(a["add"]["partitionValues"].get(k) for k in pkeys)
+            for a in new_adds
+        }
+        removes = [
+            rel
+            for rel, info in sorted(adds.items())
+            if tuple(info["partitionValues"].get(k) for k in pkeys) in replaced
+        ]
+        now = int(time.time() * 1000)
+        version = self.latest_version() + 1
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "WRITE",
+                    "operationParameters": {
+                        "mode": "Overwrite",
+                        "partitionBy": json.dumps(part_cols),
+                        "partitionOverwriteMode": "Dynamic",
+                    },
+                    "engineInfo": "ent_fins_lakehouse_spark/delta-shim",
+                }
+            },
+            *(
+                [
+                    {
+                        "txn": {
+                            "appId": str(txn[0]),
+                            "version": int(txn[1]),
+                            "lastUpdated": now,
+                        }
+                    }
+                ]
+                if txn is not None
+                else []
+            ),
+            *[
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                        "partitionValues": adds[rel]["partitionValues"],
+                    }
+                }
+                for rel in removes
+            ],
+            *new_adds,
+        ]
+        self._commit_actions(version, actions)
+        return {
+            "version": version,
+            "partitions_replaced": len(replaced),
+            "files_removed": len(removes),
+        }
 
     def fsck_repair(self, dry_run: bool = False) -> dict:
         """``FSCK REPAIR TABLE`` (Delta parity): drop add-entries whose

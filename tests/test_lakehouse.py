@@ -5396,3 +5396,204 @@ def test_iceberg_bucket_exact_above_2_53(spark, tmp_path):
         for e in entries
     }
     assert _bucket_value(big, 16) in buckets
+
+
+def test_delta_replace_where(spark, tmp_path):
+    """replaceWhere: atomic delete-matching + insert in ONE commit;
+    untouched files keep their add actions; partially-matching files
+    carry their survivors through; incoming rows outside the predicate
+    are refused (Delta's default enforcement)."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    dl = DeltaLogTable(spark, str(tmp_path / "rw"))
+    base = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(100)], "id LONG, g LONG, v DOUBLE"
+    )
+    dl.write(base.repartition(4), mode="append")
+    new = spark.createDataFrame(
+        [(1000 + i, 2, -1.0) for i in range(10)], "id LONG, g LONG, v DOUBLE"
+    )
+    res = dl.replace_where(new, "g = 2")
+    assert res["rows_deleted"] == 20 and res["rows_inserted"] == 10
+    out = dl.read()
+    assert out.count() == 90
+    g2 = {r["id"] for r in out.filter("g = 2").collect()}
+    assert g2 == {1000 + i for i in range(10)}
+    # survivors intact
+    assert out.filter("g = 1").count() == 20
+    # ONE commit for the whole operation
+    assert dl.latest_version() == 1
+    # enforcement: a row outside the predicate is refused up front
+    stray = spark.createDataFrame([(1, 3, 0.0)], "id LONG, g LONG, v DOUBLE")
+    with pytest.raises(ValueError, match="does not satisfy the predicate"):
+        dl.replace_where(stray, "g = 2")
+    assert dl.latest_version() == 1  # refused BEFORE committing anything
+
+
+def test_delta_replace_where_prunes_and_keeps_untouched_adds(spark, tmp_path):
+    """Files whose stats cannot match the predicate keep their add
+    actions verbatim (no rewrite, no remove) — the one-day-backfill
+    shape where a 100 TB table rewrites only that day's files."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    dl = DeltaLogTable(spark, str(tmp_path / "rwp"))
+    # three disjoint id ranges in three separate commits => three files
+    for lo in (0, 100, 200):
+        dl.write(
+            spark.createDataFrame(
+                [(lo + i, float(i)) for i in range(100)], "id LONG, v DOUBLE"
+            ).coalesce(1),
+            mode="append" ,
+        )
+    adds_before, _, _, _ = dl._snapshot()
+    new = spark.createDataFrame([(150, 0.5)], "id LONG, v DOUBLE")
+    res = dl.replace_where(new, "id >= 100 AND id < 200")
+    assert res["files_removed"] == 1 and res["rows_deleted"] == 100
+    adds_after, _, _, _ = dl._snapshot()
+    untouched = {p for p in adds_before if not p.startswith("_")}
+    kept = untouched & set(adds_after)
+    assert len(kept) == 2, "the two non-matching files must survive untouched"
+    assert dl.read().count() == 201
+
+
+def test_delta_replace_where_cdf(spark, tmp_path):
+    """With CDF on, the replaceWhere commit carries explicit cdc files:
+    deletes of the replaced rows + inserts of the new ones — and NOT
+    the carried-through survivor rows (which add/remove synthesis
+    would wrongly surface)."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    dl = DeltaLogTable(spark, str(tmp_path / "rwc"))
+    dl.write(
+        spark.createDataFrame(
+            [(i, i % 2) for i in range(10)], "id LONG, g LONG"
+        ).coalesce(1),
+        mode="append",
+    )
+    dl.set_property("delta.enableChangeDataFeed", "true")
+    v = dl.replace_where(
+        spark.createDataFrame([(100, 1), (101, 1)], "id LONG, g LONG"), "g = 1"
+    )["version"]
+    feed = dl.read_changes(v, v)
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_type == {"delete": 5, "insert": 2}
+    deleted = {r["id"] for r in feed.filter("_change_type = 'delete'").collect()}
+    assert deleted == {1, 3, 5, 7, 9}
+
+
+def test_delta_dynamic_partition_overwrite(spark, tmp_path):
+    """partitionOverwriteMode=dynamic: only the partitions present in
+    the incoming frame are replaced; the rest keep their files; a
+    repeated run is idempotent; unpartitioned tables are refused."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    dl = DeltaLogTable(spark, str(tmp_path / "dpo"))
+    base = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], float(i)) for i in range(30)],
+        "id LONG, k STRING, v DOUBLE",
+    )
+    dl.write(base, mode="append", partition_by=["k"])
+    new = spark.createDataFrame(
+        [(100, "b", 1.0), (101, "b", 2.0)], "id LONG, k STRING, v DOUBLE"
+    )
+    res = dl.overwrite_dynamic_partitions(new)
+    assert res["partitions_replaced"] == 1
+    out = dl.read()
+    assert out.filter("k = 'b'").count() == 2
+    assert out.filter("k = 'a'").count() == 10
+    assert out.filter("k = 'c'").count() == 10
+    # idempotent: the same load again replaces its own output
+    dl.write(new, mode="overwrite", partition_overwrite="dynamic")
+    assert dl.read().filter("k = 'b'").count() == 2
+    # CDF synthesis from add/remove is exact for whole-partition swaps
+    dl.set_property("delta.enableChangeDataFeed", "true")
+    v = dl.overwrite_dynamic_partitions(new)["version"]
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in dl.read_changes(v, v)
+        .groupBy("_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert by_type == {"delete": 2, "insert": 2}
+    # unpartitioned refusal
+    flat = DeltaLogTable(spark, str(tmp_path / "dpo_flat"))
+    flat.write(spark.createDataFrame([(1,)], "id LONG"), mode="append")
+    with pytest.raises(ValueError, match="requires a partitioned table"):
+        flat.overwrite_dynamic_partitions(spark.createDataFrame([(2,)], "id LONG"))
+
+
+def test_delta_scoped_overwrite_guards(spark, tmp_path):
+    """Admission control for the scoped overwrites: mode must be
+    overwrite, the two verbs are mutually exclusive, schema changes are
+    refused, and replaceWhere on a missing table is refused."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    dl = DeltaLogTable(spark, str(tmp_path / "sg"))
+    df = spark.createDataFrame([(1, "a")], "id LONG, k STRING")
+    with pytest.raises(ValueError, match="existing Delta table"):
+        dl.replace_where(df, "k = 'a'")
+    dl.write(df, mode="append")
+    with pytest.raises(ValueError, match="mode='overwrite'"):
+        dl.write(df, mode="append", replace_where="k = 'a'")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        dl.write(
+            df, mode="overwrite", replace_where="k = 'a'",
+            partition_overwrite="dynamic",
+        )
+    wider = spark.createDataFrame([(1, "a", 2.0)], "id LONG, k STRING, x DOUBLE")
+    with pytest.raises(ValueError, match="committed schema exactly"):
+        dl.replace_where(wider, "k = 'a'")
+
+
+def test_iceberg_metadata_tables(spark, tmp_path):
+    """files/history/snapshots metadata tables: manifest-only
+    accounting, snapshot-log maintenance across rollback +
+    re-publication, and the peer-log fallback (no snapshot-log key)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "meta"))
+    df = spark.createDataFrame([(i, i % 3) for i in range(30)], "id LONG, g LONG")
+    t.append(df.coalesce(2))
+    t.append(df.filter("id < 6").coalesce(1))
+    t.delete("id % 10 = 0", mode="mor")
+    head = t.snapshots()[-1]["snapshot-id"]
+    t.append(df.limit(1).coalesce(1))
+    t.rollback_to(snapshot_id=head)
+
+    files = {r["content"]: r for r in (
+        t.files_df().groupBy("content").agg(
+            F.sum("record_count").alias("rc"), F.count("*").alias("nf")
+        ).collect()
+    )}
+    assert files[0]["rc"] == 36 and files[0]["nf"] == 3   # MoR keeps full counts
+    assert files[1]["rc"] == 4                              # 0,10,20 + 0 again
+    hist = t.history_df().collect()
+    assert [r["is_current_ancestor"] for r in hist] == [True, True, True, False, True]
+    # re-publication entry points at the rolled-back-to head
+    assert hist[-1]["snapshot_id"] == head
+    snaps = t.snapshots_df().orderBy("committed_at_ms", "snapshot_id").collect()
+    assert [r["operation"] for r in snaps] == ["append", "append", "delete", "append"]
+    assert all(_json.loads(r["summary"])["operation"] == r["operation"] for r in snaps)
+    # parent lineage: each snapshot's parent is the previous one
+    assert snaps[1]["parent_id"] == snaps[0]["snapshot_id"]
+
+    # peer-written metadata without a snapshot-log: history falls back
+    # to the snapshots list (every entry, ancestor flags still correct)
+    meta = t.metadata()
+    meta.pop("snapshot-log", None)
+    t._write_metadata(meta)
+    fb = t.history_df().collect()
+    assert len(fb) == 4
+    assert [r["is_current_ancestor"] for r in fb] == [True, True, True, False]
