@@ -4091,3 +4091,124 @@ def q314_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("log_intercept"),
     )
+
+
+@query(
+    "q329_count_min_sketch",
+    oracle="""
+    WITH r AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    cells AS (
+      SELECT r.r,
+             CAST(('0x' || substr(md5(CAST(e.user_id AS VARCHAR) || ':cms:' || CAST(r.r AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS cell,
+             COUNT(*) AS n
+      FROM events e CROSS JOIN r GROUP BY 1, 2
+    ),
+    keys AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0),
+    probe AS (
+      SELECT k.user_id, r.r,
+             CAST(('0x' || substr(md5(CAST(k.user_id AS VARCHAR) || ':cms:' || CAST(r.r AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS cell
+      FROM keys k CROSS JOIN r
+    ),
+    est AS (
+      SELECT p.user_id, CAST(MIN(c.n) AS BIGINT) AS cms_est
+      FROM probe p JOIN cells c ON c.r = p.r AND c.cell = p.cell
+      GROUP BY p.user_id
+    ),
+    truth AS (
+      SELECT user_id, COUNT(*) AS true_n FROM events
+      WHERE user_id % 97 = 0 GROUP BY user_id
+    )
+    SELECT e.user_id, t.true_n, e.cms_est
+    FROM est e JOIN truth t ON t.user_id = e.user_id
+    ORDER BY e.user_id
+    """,
+    tags=("sketch", "frequency", "streaming-adjacent"),
+)
+def q329_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) — the mergeable
+    point-frequency sketch that completes the engine's sketch shelf
+    (HLL distinct q218, KMV set algebra q244, KLL-style quantiles
+    q223, heavy hitters q228): depth 4 × width 256 counters under
+    deterministic md5 row-hashes; estimate(k) = min over rows of the
+    cell k hashes to — always ≥ the true count, within εN with high
+    probability.
+
+    The defining algebraic property is proven in-plan: sketch(half A)
+    + sketch(half B) merged CELL-WISE equals sketch(all) exactly —
+    what makes CMS a distributed/streaming structure (per-partition
+    partial sketches sum into the global one; a 100 TB build is one
+    map-side-combined 1024-cell agg, KBs of state). Probes for the
+    deterministic key set return (true count, estimate) side by side,
+    hash-checked against the oracle computing the identical cells in
+    SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    rs = spark.range(4).select(F.col("id").cast("int").alias("r"))
+
+    def cell_of(key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            key_col.cast("string"),
+                            F.lit(":cms:"),
+                            F.col("r").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 256
+        )
+
+    def sketch(df):
+        return (
+            df.crossJoin(F.broadcast(rs))
+            .select("r", cell_of(F.col("user_id")).alias("cell"))
+            .groupBy("r", "cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    full = sketch(ev)
+    # mergeability: cell-wise sum of two partial sketches == the full
+    # sketch, exactly (the property that makes CMS distributable)
+    merged = (
+        sketch(ev.filter(F.col("event_id") % 2 == 0))
+        .unionByName(sketch(ev.filter(F.col("event_id") % 2 == 1)))
+        .groupBy("r", "cell")
+        .agg(F.sum("n").alias("n"))
+    )
+    diff = (
+        merged.withColumnRenamed("n", "nm")
+        .join(full.withColumnRenamed("n", "nf"), ["r", "cell"], "full")
+        .filter(~F.coalesce(F.col("nm") == F.col("nf"), F.lit(False)))
+        .count()
+    )
+    assert diff == 0, f"merged sketch diverges from full sketch in {diff} cells"
+
+    keys = (
+        ev.filter(F.col("user_id") % 97 == 0)
+        .select("user_id")
+        .distinct()
+    )
+    probe = keys.crossJoin(F.broadcast(rs)).select(
+        "user_id", "r", cell_of(F.col("user_id")).alias("cell")
+    )
+    est = (
+        probe.join(full, ["r", "cell"])
+        .groupBy("user_id")
+        .agg(F.min("n").cast("long").alias("cms_est"))
+    )
+    truth = (
+        ev.filter(F.col("user_id") % 97 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    return (
+        est.join(truth, "user_id")
+        .select("user_id", "true_n", "cms_est")
+        .orderBy("user_id")
+    )

@@ -5938,3 +5938,128 @@ def q324_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "q328_cuped_adjustment",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS coin,
+             CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                                    THEN CAST(value AS DECIMAL(18,4)) END), 0)
+                  AS DECIMAL(18,4)) AS x,
+             CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                                    THEN CAST(value AS DECIMAL(18,4)) END), 0)
+                  AS DECIMAL(18,4)) AS y
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT CASE WHEN coin = 0 THEN 'control' ELSE 'treatment' END AS variant,
+             x, y
+      FROM per_user
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx
+      FROM g
+    ),
+    byv AS (
+      SELECT variant, CAST(COUNT(*) AS DOUBLE) AS nv,
+             CAST(SUM(x) AS DOUBLE) AS sxv,
+             CAST(SUM(y) AS DOUBLE) AS syv
+      FROM g GROUP BY variant
+    )
+    SELECT variant,
+           CAST(nv AS BIGINT) AS n_users,
+           ROUND(syv / nv, 6) AS mean_post,
+           ROUND(syv / nv - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sxv / nv - sx / n), 6) AS mean_post_cuped,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS theta
+    FROM byv, tot ORDER BY variant
+    """,
+    tags=("relational", "stats", "experimentation"),
+)
+def q328_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013) — the standard
+    A/B-test adjustment: each user's post-period metric is shifted by
+    theta·(pre-period metric − its mean), where theta = cov(x,y)/var(x)
+    pooled over all users, removing the variance explained by
+    pre-experiment behavior. Variant assignment is the engine's
+    deterministic md5 coin (same user, same arm, any engine).
+
+    Exactness discipline: per-user x/y and all cross-moments accumulate
+    in DECIMAL (order-insensitive), and every double-precision formula
+    is the SAME expression text on both engines, so theta and the
+    adjusted means match bit-for-bit. Scale shape: one user-keyed
+    partial+final agg over events, two tiny aggregates (5 doubles
+    total) broadcast back — nothing driver-side, no second scan of the
+    raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    dec_v = F.col("value").cast("decimal(18,4)")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ts") < cutoff, dec_v)), F.lit(0)
+            )
+            .cast("decimal(18,4)")
+            .alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("ts") >= cutoff, dec_v)), F.lit(0)
+            )
+            .cast("decimal(18,4)")
+            .alias("y"),
+        )
+        .select(
+            F.when(
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+                == 0,
+                "control",
+            )
+            .otherwise("treatment")
+            .alias("variant"),
+            "x",
+            "y",
+        )
+    )
+    tot = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    byv = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("double").alias("nv"),
+        F.sum("x").cast("double").alias("sxv"),
+        F.sum("y").cast("double").alias("syv"),
+    )
+    return (
+        byv.crossJoin(F.broadcast(tot))
+        .select(
+            "variant",
+            F.expr("CAST(nv AS BIGINT)").alias("n_users"),
+            F.expr("ROUND(syv / nv, 6)").alias("mean_post"),
+            F.expr(
+                "ROUND(syv / nv - ((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+                " * (sxv / nv - sx / n), 6)"
+            ).alias("mean_post_cuped"),
+            F.expr(
+                "ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)"
+            ).alias("theta"),
+        )
+        .orderBy("variant")
+    )
