@@ -6063,3 +6063,89 @@ def q327_iceberg_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("record_count").alias("record_count"))
         .orderBy("content")
     )
+
+
+@query(
+    "q330_iceberg_sort_order",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 200
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakehouse", "iceberg", "sort-order", "file-skipping"),
+)
+def q330_iceberg_sort_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg SORT ORDERS (spec 'Sort Orders' / the
+    ``replace_sort_order`` API + ``rewrite_data_files`` sort strategy):
+    registering an order is a METADATA-ONLY commit; afterwards appends
+    sort rows within each staged file and stamp ``sort_order_id``
+    (data_file field 140), and compaction range-partitions on the
+    order's columns so rewritten files cover DISJOINT key ranges.
+
+    The fixture proves the whole contract: (1) hash-distributed files
+    all overlap on o_custkey, so a narrow range predicate reads EVERY
+    file; (2) replace_sort_order(["o_custkey"]) + compact() turns the
+    same scan_info probe into a 1-2 file read (asserted strictly
+    fewer); (3) a post-order append stamps the order id, visible in
+    the files metadata table; (4) the read-back aggregate over the
+    pruned range is hash-exact vs the raw parquet. At 100 TB this is
+    THE lever for key-range workloads: sorting is declared once in
+    metadata, every subsequent write tightens its own min/max bounds,
+    and no query-side change is needed — the manifests prune."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    t = IcebergTable(spark, _scratch("icesort") + "_t")
+    # unsorted baseline: hash distribution makes every file span the
+    # full o_custkey domain — min/max bounds are useless
+    t.append(orders.filter(F.col("o_orderkey") % 5 != 0).repartition(8))
+    before = t.scan_info("o_custkey BETWEEN 100 AND 200")
+    assert before["n_read"] == before["n_active"] == 8, before
+
+    oid = t.replace_sort_order(["o_custkey"])
+    assert oid >= 1, oid
+    meta = t.metadata()
+    assert int(meta["default-sort-order-id"]) == oid, meta["sort-orders"]
+    # idempotent re-registration returns the same id (spec equivalence)
+    assert t.replace_sort_order(["o_custkey"]) == oid
+
+    # appends after the order is set stamp sort_order_id on their files
+    t.append(orders.filter(F.col("o_orderkey") % 5 == 0).repartition(2))
+    stamped = (
+        t.files_df()
+        .filter(F.col("content") == 0)
+        .groupBy("sort_order_id")
+        .count()
+        .collect()
+    )
+    assert {r["sort_order_id"] for r in stamped} == {None, oid}, stamped
+
+    # rewrite_data_files with no explicit strategy picks up the table
+    # order: range-partition on o_custkey => disjoint per-file bounds
+    res = t.compact(target_files=8)
+    assert res["files_after"] <= 8, res
+    after = t.scan_info("o_custkey BETWEEN 100 AND 200")
+    assert after["n_read"] < before["n_read"], (before, after)
+    assert after["n_read"] <= 2, after
+    all_stamped = (
+        t.files_df().filter(F.col("content") == 0).collect()
+    )
+    assert all(r["sort_order_id"] == oid for r in all_stamped), all_stamped
+
+    return (
+        t.read(where="o_custkey BETWEEN 100 AND 200")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -925,6 +925,9 @@ class IcebergTable:
                     {"name": "file_format", "type": "string"},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    # spec field 140: id of the sort order the file's
+                    # rows were written under (null = unsorted / unknown)
+                    {"name": "sort_order_id", "type": ["null", "int"]},
                     {"name": "lower_bounds", "type": ["null", {
                         "type": "array", "items": {
                             "type": "record", "name": "k126", "fields": [
@@ -1006,6 +1009,7 @@ class IcebergTable:
         part_fields: list[dict],
         spec_cols: list[str],
         snap_id: int,
+        sort_order_id: int | None = None,
     ) -> list[dict]:
         """Stage ``df`` as parquet data files under ``data/`` and return
         content=0 manifest entries (footer-sourced record counts +
@@ -1190,6 +1194,7 @@ class IcebergTable:
                     "file_format": "PARQUET",
                     "record_count": md.num_rows,
                     "file_size_in_bytes": os.path.getsize(dest),
+                    "sort_order_id": sort_order_id,
                     "lower_bounds": lo_kv or None,
                     "upper_bounds": hi_kv or None,
                 }
@@ -1385,74 +1390,6 @@ class IcebergTable:
 
     # ------------------------------------------------ metadata tables
 
-    def snapshots_df(self) -> DataFrame:
-        """The ``<table>.snapshots`` metadata table (Iceberg's
-        introspection surface; Delta's DESCRIBE HISTORY twin): one row
-        per snapshot with id, parent, sequence number, commit time and
-        operation — a control-plane read of metadata.json only."""
-        rows = [
-            (
-                int(s["snapshot-id"]),
-                int(s["parent-snapshot-id"]) if s.get("parent-snapshot-id") is not None else None,
-                int(s.get("sequence-number") or 0),
-                int(s.get("timestamp-ms") or 0),
-                (s.get("summary") or {}).get("operation"),
-            )
-            for s in self.metadata().get("snapshots") or []
-        ]
-        return self.spark.createDataFrame(
-            rows,
-            "snapshot_id LONG, parent_id LONG, sequence_number LONG, "
-            "committed_at_ms LONG, operation STRING",
-        )
-
-    def history_df(self) -> DataFrame:
-        """DESCRIBE HISTORY, cross-format: snapshot lineage in commit
-        order with an ``is_current`` flag."""
-        cur = self.metadata().get("current-snapshot-id")
-        return self.snapshots_df().withColumn(
-            "is_current", F.col("snapshot_id") == F.lit(cur)
-        )
-
-    def files_df(self, snapshot_id: int | None = None) -> DataFrame:
-        """The ``<table>.files`` metadata table: one row per live
-        data/delete file of the snapshot — content kind, path, record
-        count, size, sequence number — decoded from the Avro manifests
-        (footers and data untouched)."""
-        from ent_fins_lakehouse_spark.sources.avro_io import read_ocf
-
-        meta = self.metadata()
-        snaps = meta.get("snapshots") or []
-        sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
-        rows = []
-        snap = next((s for s in snaps if s["snapshot-id"] == sid), None)
-        if snap is not None:
-            _, manifests = read_ocf(self._resolve(snap["manifest-list"]))
-            for m in manifests:
-                _, entries = read_ocf(self._resolve(m["manifest_path"]))
-                m_seq = m.get("sequence_number") or 0
-                for e in entries:
-                    if e.get("status") == 2:
-                        continue
-                    df_rec = e["data_file"]
-                    content = int(df_rec.get("content") or 0)
-                    rows.append(
-                        (
-                            {0: "data", 1: "position-deletes", 2: "equality-deletes"}[
-                                content
-                            ],
-                            df_rec["file_path"],
-                            int(df_rec.get("record_count") or 0),
-                            int(df_rec.get("file_size_in_bytes") or 0),
-                            int(e.get("sequence_number") or m_seq),
-                        )
-                    )
-        return self.spark.createDataFrame(
-            rows,
-            "content STRING, file_path STRING, record_count LONG, "
-            "file_size_in_bytes LONG, sequence_number LONG",
-        )
-
     def partitions_df(self, snapshot_id: int | None = None) -> DataFrame:
         """The ``<table>.partitions`` metadata table: per partition
         tuple — record count, file count, total bytes — aggregated
@@ -1537,13 +1474,14 @@ class IcebergTable:
                                 else m_seq
                             ),
                             int(m.get("partition_spec_id") or 0),
+                            d.get("sort_order_id"),
                         )
                     )
         return self.spark.createDataFrame(
             sorted(rows, key=lambda r: (r[0], r[1])),
             "content INT, file_path STRING, file_format STRING, "
             "partition STRING, record_count LONG, file_size_in_bytes LONG, "
-            "sequence_number LONG, spec_id INT",
+            "sequence_number LONG, spec_id INT, sort_order_id INT",
         )
 
     def history_df(self) -> DataFrame:
@@ -1832,9 +1770,18 @@ class IcebergTable:
             snaps = []
             seq, snap_id = 1, 1
         # staging (distributed write + footer-only stats) is shared
-        # with update()/merge() — see _stage_data_entries
+        # with update()/merge() — see _stage_data_entries. When the
+        # table carries a default sort order, sort WITHIN each task's
+        # partition (local sort, no extra shuffle) and stamp the
+        # order's id on the staged files (spec data_file field 140).
+        order_id, order_cols = (
+            self.default_sort_order(meta) if exists else (0, [])
+        )
+        if order_cols:
+            df = df.sortWithinPartitions(*order_cols)
         entries = self._stage_data_entries(
-            df, ice_schema, part_fields, spec_cols, snap_id
+            df, ice_schema, part_fields, spec_cols, snap_id,
+            sort_order_id=order_id if order_cols else None,
         )
         if branch is not None:
             if _replace:
@@ -2079,6 +2026,81 @@ class IcebergTable:
         }
         self._write_metadata(new_meta)
         return new_spec_id
+
+    def replace_sort_order(self, columns: list[str]) -> int:
+        """Sort-order EVOLUTION (spec: 'Sort Orders' / the
+        ``replace_sort_order`` API): register an identity-transform
+        ascending sort order over ``columns`` and make it the table
+        default — a METADATA-ONLY commit, no snapshot, no data rewrite.
+        Existing files keep their (null / old) ``sort_order_id``;
+        subsequent :meth:`append` writes sort rows WITHIN each staged
+        file and stamp the new id, and :meth:`compact` with no explicit
+        ``sort_by`` range-partitions on the order's columns so the
+        rewritten files cover DISJOINT ranges — the write-side contract
+        that turns min/max file skipping selective on the sort key.
+        Re-registering an identical order returns the existing id
+        (idempotent, as the spec's order-equivalence rule requires).
+        Returns the order id."""
+        import time
+
+        meta = self.metadata()
+        by_name = {f["name"]: f["id"] for f in self._ice_schema(meta)["fields"]}
+        unknown = [c for c in columns if c not in by_name]
+        if unknown:
+            raise ValueError(f"sort order references unknown columns {unknown}")
+        if not columns:
+            raise ValueError("sort order needs at least one column — "
+                             "order 0 is already the unsorted default")
+        fields = [
+            {
+                "transform": "identity",
+                "source-id": by_name[c],
+                "direction": "asc",
+                "null-order": "nulls-first",
+            }
+            for c in columns
+        ]
+        orders = list(meta.get("sort-orders") or [{"order-id": 0, "fields": []}])
+        for o in orders:
+            if (o.get("fields") or []) == fields:
+                if int(meta.get("default-sort-order-id") or 0) != int(o["order-id"]):
+                    self._write_metadata({
+                        **meta,
+                        "default-sort-order-id": int(o["order-id"]),
+                        "last-updated-ms": int(time.time() * 1000),
+                    })
+                return int(o["order-id"])
+        new_id = max(int(o.get("order-id") or 0) for o in orders) + 1
+        orders.append({"order-id": new_id, "fields": fields})
+        self._write_metadata({
+            **meta,
+            "sort-orders": orders,
+            "default-sort-order-id": new_id,
+            "last-updated-ms": int(time.time() * 1000),
+        })
+        return new_id
+
+    def default_sort_order(self, meta: dict | None = None) -> tuple[int, list[str]]:
+        """(order-id, column names) of the table's default sort order;
+        (0, []) when unsorted. Only identity transforms are produced by
+        :meth:`replace_sort_order`; orders written by other engines with
+        non-identity transforms are reported with their id but no
+        columns (writes then skip the sort rather than mis-sort)."""
+        meta = meta or self.metadata()
+        oid = int(meta.get("default-sort-order-id") or 0)
+        names = self.field_names_by_id(meta)
+        for o in meta.get("sort-orders") or []:
+            if int(o.get("order-id") or 0) == oid:
+                cols = []
+                for f in o.get("fields") or []:
+                    if (f.get("transform") or "identity") != "identity":
+                        return oid, []
+                    name = names.get(int(f.get("source-id") or -1))
+                    if name is None:
+                        return oid, []
+                    cols.append(name)
+                return oid, cols
+        return 0, []
 
     def _write_metadata(self, new_meta: dict) -> None:
         """Commit a new ``metadata.json`` version with O_EXCL (the same
@@ -3429,6 +3451,13 @@ class IcebergTable:
         names = self.field_names_by_id(meta)
         spec_cols = [names[pf["source-id"]] for pf in self.partition_fields(meta)]
         df = self.read()
+        if sort_by is None:
+            # rewrite_data_files' default strategy honors the table's
+            # registered sort order (replace_sort_order): range-partition
+            # on its columns so rewritten files cover disjoint ranges
+            _, order_cols = self.default_sort_order(meta)
+            if order_cols:
+                sort_by = order_cols
         if sort_by:
             df = df.repartitionByRange(
                 max(1, target_files), *sort_by

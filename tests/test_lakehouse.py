@@ -5597,3 +5597,74 @@ def test_iceberg_metadata_tables(spark, tmp_path):
     fb = t.history_df().collect()
     assert len(fb) == 4
     assert [r["is_current_ancestor"] for r in fb] == [True, True, True, False]
+
+
+def test_iceberg_sort_order_lifecycle(spark, tmp_path):
+    """Sort orders (spec 'Sort Orders'): replace_sort_order is a
+    metadata-only commit (no snapshot); appends after it sort within
+    each staged file and stamp sort_order_id; compact() with no
+    explicit strategy range-partitions on the order's columns so the
+    rewritten files carry disjoint min/max bounds; pre-order files
+    read back with a null sort_order_id (old-manifest interop)."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    df = spark.range(400).select(
+        F.col("id").cast("long"),
+        (F.col("id") % 37).alias("k"),
+        (F.col("id") * 3).alias("v"),
+    )
+    t = IcebergTable(spark, str(tmp_path / "iso"))
+    t.append(df.filter("id < 200").repartition(4))
+    n_snaps_before = len(t.snapshots())
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.replace_sort_order(["nope"])
+    with pytest.raises(ValueError, match="at least one column"):
+        t.replace_sort_order([])
+
+    oid = t.replace_sort_order(["k"])
+    assert oid == 1
+    # metadata-only: no new snapshot
+    assert len(t.snapshots()) == n_snaps_before
+    meta = t.metadata()
+    assert int(meta["default-sort-order-id"]) == oid
+    assert any(o["order-id"] == oid for o in meta["sort-orders"])
+    # idempotent re-registration
+    assert t.replace_sort_order(["k"]) == oid
+    # a DIFFERENT order gets a new id and becomes the default
+    oid2 = t.replace_sort_order(["k", "id"])
+    assert oid2 == oid + 1
+    assert t.replace_sort_order(["k"]) == oid  # switch back, same id
+
+    # append after the order: files stamped, rows sorted within files
+    t.append(df.filter("id >= 200").repartition(2))
+    fdf = t.files_df().filter(F.col("content") == 0)
+    ids = {r["sort_order_id"] for r in fdf.collect()}
+    assert ids == {None, oid}
+    # each stamped file is internally sorted on k
+    for r in fdf.filter(F.col("sort_order_id") == oid).collect():
+        ks = [
+            row["k"]
+            for row in spark.read.parquet(r["file_path"]).select("k").collect()
+        ]
+        assert ks == sorted(ks)
+
+    # compact() picks up the default order: disjoint per-file ranges
+    res = t.compact(target_files=4)
+    assert res["files_after"] <= 4
+    fdf2 = t.files_df().filter(F.col("content") == 0).collect()
+    assert all(r["sort_order_id"] == oid for r in fdf2)
+    ranges = []
+    for r in fdf2:
+        kcol = spark.read.parquet(r["file_path"]).select("k").collect()
+        ranges.append((min(x["k"] for x in kcol), max(x["k"] for x in kcol)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges  # disjoint (boundary duplicates allowed)
+
+    # content identical through the whole lifecycle
+    got = {(r["id"], r["k"], r["v"]) for r in t.read().collect()}
+    want = {(r["id"], r["k"], r["v"]) for r in df.collect()}
+    assert got == want
