@@ -4212,3 +4212,166 @@ def q329_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "true_n", "cms_est")
         .orderBy("user_id")
     )
+
+
+def _dhash_band_sql(j: int, elem: str) -> str:
+    """SQL for dHash band ``j`` (16 gradient bits over the 8x9 block-mean
+    grid), generated ONCE for both engines — ``elem`` is the element
+    accessor template (Spark ``element_at({arr}, {i})`` vs DuckDB
+    ``{arr}[{i}]``) so the bit layout is identical by construction.
+    The gradient compare is exact integer cross-multiplication
+    (sum_a * len_b > sum_b * len_a), never a float mean."""
+    terms = []
+    for k in range(16):
+        g = 16 * j + k
+        r, c = divmod(g, 8)
+        a, b = r * 9 + c + 1, r * 9 + c + 2
+        sa = elem.format(arr="s", i=a)
+        sb = elem.format(arr="s", i=b)
+        la = elem.format(arr="l", i=a)
+        lb = elem.format(arr="l", i=b)
+        terms.append(
+            f"(CASE WHEN {sa} * {lb} > {sb} * {la} THEN {1 << k} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _dhash_oracle() -> str:
+    bands = ",\n      ".join(
+        f"CAST({_dhash_band_sql(j, '{arr}[{i}]')} AS INT) AS b{j}" for j in range(4)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, translate(text, 'aes', 'bgy') AS text
+      FROM documents WHERE doc_id % 25 = 0
+    ),
+    rs AS (
+      SELECT doc_id,
+             CASE WHEN length(text) < 144 THEN rpad(text, 144, text)
+                  ELSE text END AS t
+      FROM base
+    ),
+    px AS (
+      SELECT doc_id,
+        list_transform(range(0, 72), i -> list_sum(list_transform(
+          range(CAST(floor(length(t) * i / 72) AS BIGINT) + 1,
+                CAST(floor(length(t) * (i + 1) / 72) AS BIGINT) + 1),
+          p -> ord(substr(t, CAST(p AS INT), 1))))) AS s,
+        list_transform(range(0, 72), i ->
+          CAST(floor(length(t) * (i + 1) / 72) AS BIGINT)
+          - CAST(floor(length(t) * i / 72) AS BIGINT)) AS l
+      FROM rs
+    ),
+    bands AS (SELECT doc_id, {bands} FROM px),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.b0 AS ab0, a.b1 AS ab1, a.b2 AS ab2, a.b3 AS ab3,
+             b.b0 AS bb0, b.b1 AS bb1, b.b2 AS bb2, b.b3 AS bb3
+      FROM bands a JOIN bands b
+        ON a.doc_id < b.doc_id
+       AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b,
+             CAST(bit_count(xor(ab0, bb0)) + bit_count(xor(ab1, bb1))
+                  + bit_count(xor(ab2, bb2)) + bit_count(xor(ab3, bb3))
+                  AS INT) AS hamming
+      FROM cand
+    ) WHERE hamming <= 6
+    ORDER BY id_a, id_b
+    """
+
+
+@query(
+    "q331_perceptual_hash_dedup",
+    oracle=_dhash_oracle(),
+    tags=("multimodal", "dedup", "lsh", "perceptual-hash"),
+)
+def q331_perceptual_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (dHash) near-duplicate detection over multimodal
+    payloads — the canonical image-dedup recipe (resize to a tiny
+    grayscale grid, hash the horizontal GRADIENT signs, compare by
+    hamming distance), expressed entirely in JVM codegen over the
+    engine's multimodal envelope bytes. The "decode+resize" stand-in
+    is area interpolation over the payload: 72 block SUMS + lengths
+    (8 rows x 9 cols), with each gradient bit an exact integer
+    cross-multiplication sum_a*len_b > sum_b*len_a — no float mean, so
+    both engines agree bit-for-bit. Payloads shorter than 144 bytes
+    cycle-pad (rpad(text, 144, text)), the multimodal fake_resize
+    convention.
+
+    dHash's contract — and this fixture proves BOTH halves: robust to
+    VALUE noise (the planted variants are re-encoding-style byte
+    perturbations, translate 'aes'->'bgy': hamming 0-4, found), NOT to
+    content shifts (an appended tail re-frames every block, hamming
+    ~32 = random — those pairs are correctly absent; that's MinHash's
+    q53 job, not dHash's).
+
+    Scale shape: hashing is one map-only pass (64 bits per payload);
+    candidates come from FOUR 16-bit banded equi-joins (never an
+    all-pairs compare — same blocking discipline as q53/q65); verify
+    is bit_count(xor) on the KB-sized candidate set. At 100 TB the
+    shuffle carries (band_value, 4x int) per doc, not payloads."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.unionByName(
+        docs.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.translate(F.col("text"), "aes", "bgy").alias("text"),
+        )
+    ).select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN length(text) < 144 THEN rpad(text, 144, text) "
+            "ELSE text END"
+        ).alias("t"),
+    )
+    sums = (
+        "transform(sequence(0, 71), i -> aggregate("
+        "  transform(sequence(cast(floor(length(t) * i / 72) as int) + 1,"
+        "                     cast(floor(length(t) * (i + 1) / 72) as int)),"
+        "            p -> ascii(substring(t, p, 1))),"
+        "  0L, (acc, x) -> acc + x))"
+    )
+    lens = (
+        "transform(sequence(0, 71), i -> "
+        "cast(floor(length(t) * (i + 1) / 72) as long) - "
+        "cast(floor(length(t) * i / 72) as long))"
+    )
+    d = base.select("doc_id", F.expr(sums).alias("s"), F.expr(lens).alias("l"))
+    for j in range(4):
+        d = d.withColumn(
+            f"b{j}",
+            F.expr(_dhash_band_sql(j, "element_at({arr}, {i})")).cast("int"),
+        )
+    # the 4 band-joins each reference d twice: persist the (KB-sized)
+    # band table once instead of recomputing the hash pass 8x
+    d = _swap_persist("q331_bands", d.drop("s", "l"))
+
+    # banded LSH: four 16-bit-band equi-joins (the scalable shape —
+    # never an OR-join / all-pairs compare), dedup multi-band hits
+    pairs = None
+    for j in range(4):
+        a, b = d.alias("a"), d.alias("b")
+        p = a.join(
+            b,
+            (F.col(f"a.b{j}") == F.col(f"b.b{j}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            *[F.col(f"a.b{i}").alias(f"ab{i}") for i in range(4)],
+            *[F.col(f"b.b{i}").alias(f"bb{i}") for i in range(4)],
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    ham = sum(
+        F.bit_count(F.col(f"ab{i}").bitwiseXOR(F.col(f"bb{i}"))) for i in range(4)
+    )
+    return (
+        pairs.distinct()
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= 6)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )

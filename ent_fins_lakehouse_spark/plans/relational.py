@@ -6063,3 +6063,170 @@ def q328_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+@query(
+    "q332_mann_kendall_trend",
+    oracle="""
+    WITH monthly AS (
+      SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mo,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CAST(SIGN(b.rev - a.rev) AS BIGINT) AS sgn,
+             CAST(b.rev - a.rev AS DOUBLE) / CAST(b.mo - a.mo AS DOUBLE)
+               AS slope
+      FROM monthly a JOIN monthly b ON b.mo > a.mo
+    ),
+    agg AS (
+      SELECT (SELECT COUNT(*) FROM monthly) AS n,
+             CAST(SUM(sgn) AS BIGINT) AS s_stat,
+             ROUND(CAST(median(slope) AS DOUBLE), 6) AS theil_sen_slope
+      FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_periods, s_stat, theil_sen_slope,
+           ROUND(CASE
+             WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(n*(n-1.0)*(2*n+5)/18.0)
+             WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(n*(n-1.0)*(2*n+5)/18.0)
+             ELSE 0.0 END, 6) AS z_score,
+           CASE
+             WHEN ABS(CASE
+               WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(n*(n-1.0)*(2*n+5)/18.0)
+               WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(n*(n-1.0)*(2*n+5)/18.0)
+               ELSE 0.0 END) > 1.96
+             THEN CASE WHEN s_stat > 0 THEN 'increasing' ELSE 'decreasing' END
+             ELSE 'no-trend' END AS trend
+    FROM agg
+    """,
+    tags=("relational", "stats", "trend"),
+)
+def q332_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test + Theil-Sen slope over monthly revenue —
+    the standard NON-parametric pair: S = sum of sign(rev_j - rev_i)
+    over all month pairs i<j (no distribution assumption), z from the
+    exact no-ties variance n(n-1)(2n+5)/18 (DECIMAL revenue makes ties
+    measure-zero), and the robust slope = MEDIAN of pairwise slopes
+    (resists outlier months that wreck least squares).
+
+    Exactness: revenue aggregates in DECIMAL; sign() is computed on
+    the exact decimal difference (integer-exact S); only the slopes
+    and z go through double, with the SAME expression text both
+    engines and a 6-dp round. Scale shape: the O(n^2) pair join runs
+    on the AGGREGATED month spine (~84 rows -> ~3.5k pairs), never on
+    raw orders — at 100 TB the only data-sized pass is the one
+    partial-aggregated groupBy."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mo")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    a, b = monthly.alias("a"), monthly.alias("b")
+    pairs = a.join(b, F.col("b.mo") > F.col("a.mo")).select(
+        F.signum((F.col("b.rev") - F.col("a.rev")).cast("double"))
+        .cast("long")
+        .alias("sgn"),
+        (
+            (F.col("b.rev") - F.col("a.rev")).cast("double")
+            / (F.col("b.mo") - F.col("a.mo")).cast("double")
+        ).alias("slope"),
+    )
+    n_periods = monthly.count()
+    agg = pairs.agg(
+        F.sum("sgn").cast("long").alias("s_stat"),
+        F.round(F.expr("CAST(percentile(slope, 0.5) AS DOUBLE)"), 6).alias(
+            "theil_sen_slope"
+        ),
+    ).withColumn("n", F.lit(n_periods).cast("long"))
+    z = (
+        "CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(n*(n-1.0)*(2*n+5)/18.0) "
+        "WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(n*(n-1.0)*(2*n+5)/18.0) "
+        "ELSE 0.0 END"
+    )
+    return agg.select(
+        F.col("n").alias("n_periods"),
+        "s_stat",
+        "theil_sen_slope",
+        F.round(F.expr(z), 6).alias("z_score"),
+        F.expr(
+            f"CASE WHEN ABS({z}) > 1.96 THEN "
+            "CASE WHEN s_stat > 0 THEN 'increasing' ELSE 'decreasing' END "
+            "ELSE 'no-trend' END"
+        ).alias("trend"),
+    )
+
+
+@query(
+    "q333_chi_square_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, EXTRACT(dow FROM ts) + 1 AS dow, COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, dow, o,
+             SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+             SUM(o) OVER (PARTITION BY dow) AS col_tot,
+             SUM(o) OVER () AS n
+      FROM obs
+    ),
+    cells AS (
+      SELECT event_type, dow, o,
+             CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+               / CAST(n AS DOUBLE) AS e
+      FROM tot
+    )
+    SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(COUNT(DISTINCT dow) AS BIGINT) AS n_dows,
+           CAST((COUNT(DISTINCT event_type) - 1)
+                * (COUNT(DISTINCT dow) - 1) AS BIGINT) AS dof,
+           ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2
+    FROM cells
+    """,
+    tags=("relational", "stats", "independence"),
+)
+def q333_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence: is event_type
+    distributed independently of day-of-week? Contingency counts O,
+    expected E = row_total * col_total / N under independence, chi2 =
+    sum (O-E)^2/E with dof = (r-1)(c-1) — the first screen every
+    behavioral-data audit runs before trusting a segmentation.
+
+    Day-of-week convention pinned explicitly: Spark's dayofweek() is
+    1=Sunday..7, DuckDB's EXTRACT(dow) is 0=Sunday..6 — the oracle
+    adds 1 so both engines bucket identically. All inputs to the
+    double formula are exact integer counts and the expression text is
+    identical on both sides, so chi2 matches to the bit before the
+    6-dp round. Scale shape: ONE hash agg over events (the |types| x 7
+    contingency), then window sums over the tiny cell table — nothing
+    after the first agg touches data-sized rows."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    tot = obs.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(W.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(W.partitionBy("dow")).alias("col_tot"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    cells = tot.withColumn(
+        "e",
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("n").cast("double"),
+    )
+    return cells.agg(
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.countDistinct("dow").cast("long").alias("n_dows"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+            6,
+        ).alias("chi2"),
+    )
