@@ -105,6 +105,11 @@ HEADLINE = [
     "q302_delta_cdf_dml",
     "q303_bfs_shortest_path",
     "q305_market_basket_lift",
+    # r9: Iceberg sort-order lifecycle (metadata commit + stamped
+    # append + range-disjoint rewrite) and the perceptual-hash
+    # multimodal dedup (block-mean dHash + 4-band LSH)
+    "q330_iceberg_sort_order",
+    "q331_perceptual_hash_dedup",
 ]
 
 

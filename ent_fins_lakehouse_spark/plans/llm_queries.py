@@ -4339,7 +4339,13 @@ def q331_perceptual_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(floor(length(t) * (i + 1) / 72) as long) - "
         "cast(floor(length(t) * i / 72) as long))"
     )
-    d = base.select("doc_id", F.expr(sums).alias("s"), F.expr(lens).alias("l"))
+    # the source fixture is a single small parquet file => one input
+    # split; spread the (CPU-bound) hash pass across the cluster —
+    # at 100 TB the scan has thousands of splits and this is a no-op
+    # cost-wise (tiny rows: id + text)
+    d = base.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", F.expr(sums).alias("s"), F.expr(lens).alias("l")
+    )
     for j in range(4):
         d = d.withColumn(
             f"b{j}",

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""r9 octave probe: scale behavior of the round-9 features.
+
+Measures, at 1x vs Nx replicated fixtures (scale_probe generator):
+- Iceberg sort-order lifecycle (q330 shape): replace_sort_order is a
+  metadata write (must be ~constant); the sorted compaction is one
+  range-partitioned rewrite (should track data ~linearly); the probe
+  scan's PRUNING FRACTION on the sort key must hold ~constant (the
+  whole point of the feature — disjoint per-file bounds at any scale).
+- Perceptual dHash dedup (q331 shape): hashing is one map-only pass
+  (linear); the 4-band LSH join must stay candidate-bounded (the
+  interleaved-salt generator keeps cross-copy texts dissimilar, so
+  candidates grow with the PLANTED pairs, not quadratically).
+
+Usage: python tools/r9_octaves.py [--factor 8] [--out /tmp/r9_octave]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=8)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/r9_octave")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from tools.scale_probe import replicate
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from ent_fins_lakehouse_spark.plans.llm_queries import q331_perceptual_hash_dedup
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+    from ent_fins_lakehouse_spark.sources.readers import load_table
+
+    big = os.path.join(args.out, f"x{args.factor}")
+    if not os.path.exists(os.path.join(big, "orders.parquet")):
+        os.makedirs(big, exist_ok=True)
+        replicate(spark, args.sf, big, args.factor, tables=["orders", "documents"])
+
+    def timed(fn):
+        t0 = time.time()
+        r = fn()
+        return time.time() - t0, r
+
+    results = {}
+
+    # ---- sort-order lifecycle: pruning fraction must hold at Nx ----
+    for tag, sfd, nfiles in (("1x", args.sf, 8), (f"{args.factor}x", big, 8 * args.factor)):
+        orders = load_table(spark, sfd, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        td = os.path.join(args.out, f"iso_{tag}")
+        shutil.rmtree(td, ignore_errors=True)
+        t = IcebergTable(spark, td)
+        t.append(orders.repartition(nfiles))
+        pred = "o_custkey BETWEEN 100 AND 200"
+        before = t.scan_info(pred)
+        mt, oid = timed(lambda: t.replace_sort_order(["o_custkey"]))
+        ct, _ = timed(lambda: t.compact(target_files=nfiles))
+        after = t.scan_info(pred)
+        st, n = timed(lambda: t.read(where=pred).count())
+        results[f"iso_meta_commit_s_{tag}"] = round(mt, 3)
+        results[f"iso_compact_s_{tag}"] = round(ct, 2)
+        results[f"iso_read_before_{tag}"] = f"{before['n_read']}/{before['n_active']}"
+        results[f"iso_read_after_{tag}"] = f"{after['n_read']}/{after['n_active']}"
+        results[f"iso_prune_frac_{tag}"] = round(after["n_pruned"] / after["n_active"], 3)
+        results[f"iso_probe_s_{tag}"] = round(st, 2)
+        assert after["n_read"] < before["n_read"]
+
+    # ---- dHash dedup: map-only hash + banded LSH ----
+    for tag, sfd in (("1x", args.sf), (f"{args.factor}x", big)):
+        wt, n = timed(lambda: q331_perceptual_hash_dedup(spark, sfd).count())
+        results[f"dhash_wall_s_{tag}"] = round(wt, 2)
+        results[f"dhash_pairs_{tag}"] = n
+
+    import json
+
+    print(json.dumps(results, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
