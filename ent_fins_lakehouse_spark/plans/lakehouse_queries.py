@@ -6149,3 +6149,79 @@ def q330_iceberg_sort_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q334_iceberg_rewrite_position_deletes",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderkey % 10 <> 3 AND o_orderkey % 10 <> 7
+      AND NOT (o_custkey BETWEEN 0 AND 99 AND o_orderkey % 10 = 1)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakehouse", "iceberg", "maintenance", "merge-on-read"),
+)
+def q334_iceberg_rewrite_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rewrite_position_delete_files — the delete-side maintenance verb
+    (completing compact = data files, rewrite_manifests = manifest
+    lists): after repeated merge-on-read DML the read plan unions MANY
+    small position-delete files; this rewrite consolidates them into
+    one sorted run and drops DANGLING rows (refs into data files a
+    later copy-on-write pass rewrote) — O(delete bytes), data files
+    untouched, prior snapshots still time-travel.
+
+    The fixture builds real delete debt: three MoR deletes (three
+    delete files), then a CoW update that rewrites the low-custkey
+    files (orphaning their delete refs). Asserts: files 3 -> 1,
+    dangling rows actually dropped, the data file set untouched
+    byte-for-byte, and the read-back BEFORE == AFTER == the oracle
+    (maintenance must be invisible to readers)."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    t = IcebergTable(spark, _scratch("icerpd") + "_t")
+    t.append(orders.repartitionByRange(6, "o_custkey"))
+    # three rounds of MoR DML => three small position-delete files
+    t.delete("o_orderkey % 10 = 3", mode="mor")
+    t.delete("o_orderkey % 10 = 7", mode="mor")
+    t.delete("o_custkey BETWEEN 0 AND 99 AND o_orderkey % 10 = 1", mode="mor")
+    _, pos_before, _ = t._files()
+    assert len(pos_before) >= 3, pos_before
+    # CoW update rewrites the low-custkey files: their delete refs dangle
+    t.update(
+        {"o_totalprice": "o_totalprice"}, "o_custkey BETWEEN 0 AND 99", mode="cow"
+    )
+    before_rows = {tuple(r) for r in t.read().collect()}
+    data_before = sorted(p for p, _, _ in t._files()[0])
+
+    res = t.rewrite_position_deletes()
+    assert res["delete_files_before"] >= 3, res
+    assert res["delete_files_after"] == 1, res
+    assert res["dangling_rows_dropped"] > 0, res
+
+    data_after = sorted(p for p, _, _ in t._files()[0])
+    assert data_after == data_before, "data files must be untouched"
+    after_rows = {tuple(r) for r in t.read().collect()}
+    assert after_rows == before_rows, "maintenance changed visible rows"
+    # idempotent: a second rewrite is a near-no-op (1 -> 1, no drops)
+    res2 = t.rewrite_position_deletes()
+    assert res2["delete_files_after"] <= 1, res2
+    assert res2["dangling_rows_dropped"] == 0, res2
+
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -3695,6 +3695,112 @@ class IcebergTable:
         )
         return new_id
 
+    def rewrite_position_deletes(self) -> dict:
+        """rewrite_position_delete_files — the delete-side maintenance
+        verb (Iceberg's Spark procedure of the same name), completing
+        the triad with :meth:`compact` (data files) and
+        :meth:`rewrite_manifests` (manifest lists): consolidate the
+        snapshot's many small position-delete files into ONE sorted
+        run of right-sized delete files, dropping DANGLING rows (rows
+        whose target data file is no longer live — left behind when
+        CoW DML or compaction rewrote the file) along the way. Data
+        files are untouched; committed as a REPLACE of the delete
+        manifests only, so prior snapshots still time-travel.
+
+        Why it matters at 100 TB: every MoR DELETE/MERGE adds delete
+        files, and the read-side anti-join unions ALL of them — after
+        thousands of micro-deletes the delete side of the join is
+        thousands of tiny files. This rewrite is O(delete bytes) (KBs
+        per million masked rows), never touches data, and restores the
+        one-file merge-friendly scan the spec's (file_path, pos)
+        ordering is designed for.
+
+        Equality-delete files (entry-level content=2) are carried
+        forward VERBATIM — consolidating them needs sequence-number
+        interplay this engine refuses elsewhere too. Returns
+        ``{"delete_files_before", "delete_files_after",
+        "dangling_rows_dropped", "rows_after"}``."""
+        import time
+        import uuid as _uuid
+
+        from ent_fins_lakehouse_spark.sources.avro_io import read_ocf, write_ocf
+
+        meta = self.metadata()
+        data, pos_deletes, eq_deletes = self._files()
+        if not pos_deletes:
+            return {
+                "delete_files_before": 0,
+                "delete_files_after": 0,
+                "dangling_rows_dropped": 0,
+                "duplicate_rows_dropped": 0,
+                "rows_after": 0,
+            }
+        live = {p for p, _, _ in data}
+        # one distributed pass over the delete files only: normalize
+        # paths, drop rows pointing at no-longer-live data files,
+        # dedupe (the same (file, pos) may be re-deleted), re-sort
+        pos_df = (
+            self.spark.read.schema("file_path STRING, pos LONG")
+            .parquet(*sorted(pos_deletes))
+            .select(
+                F.regexp_replace("file_path", "^file:/+", "/").alias("file_path"),
+                "pos",
+            )
+        )
+        n_before = pos_df.count()
+        # live-file filter as a broadcast semi-join (the live SET is
+        # file-count-sized; an IN-list literal would not plan at scale)
+        live_df = self.spark.createDataFrame(
+            [(p,) for p in sorted(live)], "file_path STRING"
+        )
+        kept_refs = pos_df.join(F.broadcast(live_df), "file_path", "left_semi")
+        n_live_refs = kept_refs.count()
+        kept = kept_refs.distinct()
+        now = int(time.time() * 1000)
+        snaps = list(meta.get("snapshots") or [])
+        seq = int(meta.get("last-sequence-number") or 0) + 1
+        snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+        entries, rows_after, _ = self._stage_pos_delete_entries(
+            kept, 1, snap_id
+        )
+        # prior manifests minus every pure position-delete manifest;
+        # eq-delete manifests (entry-level content=2) ride forward
+        rows: list[dict] = []
+        for r in self._prior_manifest_rows(meta, snaps):
+            if (r.get("content") or 0) == 1:
+                _, m_entries = read_ocf(self._resolve(r["manifest_path"]))
+                live_entries = [e for e in m_entries if e.get("status") != 2]
+                if not any(
+                    int((e.get("data_file") or {}).get("content") or 0) == 2
+                    for e in live_entries
+                ):
+                    continue  # a pure pos-delete manifest: superseded
+            rows.append(r)
+        if entries:
+            mpath = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
+            write_ocf(mpath, self._MANIFEST_SCHEMA, entries)
+            rows.append(
+                {
+                    "manifest_path": mpath,
+                    "manifest_length": os.path.getsize(mpath),
+                    "partition_spec_id": 0,
+                    "content": 1,
+                    "sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                }
+            )
+        self._commit_snapshot(
+            meta, snaps, snap_id, seq, rows, "replace", now,
+            summary_extra={"rewritten-delete-files": str(len(pos_deletes))},
+        )
+        return {
+            "delete_files_before": len(pos_deletes),
+            "delete_files_after": len(entries),
+            "dangling_rows_dropped": n_before - n_live_refs,
+            "duplicate_rows_dropped": n_live_refs - rows_after,
+            "rows_after": rows_after,
+        }
+
     def rewrite_manifests(self) -> dict:
         """rewrite_manifests — Iceberg's manifest-maintenance verb:
         consolidates the current snapshot's live data entries into ONE

@@ -5668,3 +5668,50 @@ def test_iceberg_sort_order_lifecycle(spark, tmp_path):
     got = {(r["id"], r["k"], r["v"]) for r in t.read().collect()}
     want = {(r["id"], r["k"], r["v"]) for r in df.collect()}
     assert got == want
+
+
+def test_iceberg_rewrite_position_deletes(spark, tmp_path):
+    """rewrite_position_delete_files: consolidates pos-delete files,
+    drops dangling refs after CoW rewrote their targets, never touches
+    data files, and carries EQUALITY-delete manifests forward verbatim
+    (their sequence interplay must not be disturbed)."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    df = spark.range(300).select(
+        F.col("id").cast("long"), (F.col("id") % 7).alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t = IcebergTable(spark, str(tmp_path / "irpd"))
+    t.append(df.repartitionByRange(3, "id"))
+    t.delete("id % 10 = 1", mode="mor")
+    t.delete("id % 10 = 5", mode="mor")
+    _, pos, _ = t._files()
+    assert len(pos) >= 2
+    before = {tuple(r) for r in t.read().collect()}
+    res = t.rewrite_position_deletes()
+    assert res["delete_files_after"] == 1
+    assert res["dangling_rows_dropped"] == 0  # nothing rewritten yet
+    assert {tuple(r) for r in t.read().collect()} == before
+    # time travel still serves the pre-rewrite snapshot
+    snaps = t.snapshots()
+    assert {tuple(r) for r in t.read(snapshot_id=snaps[-2]["snapshot-id"]).collect()} == before
+
+    # no-op on a table with no position deletes
+    t2 = IcebergTable(spark, str(tmp_path / "irpd2"))
+    t2.append(df)
+    assert t2.rewrite_position_deletes()["delete_files_before"] == 0
+
+    # eq-delete manifests ride forward verbatim
+    t3 = IcebergTable(spark, str(tmp_path / "irpd3"))
+    t3.append(df.repartitionByRange(3, "id"))
+    t3.delete("id % 10 = 2", mode="mor")
+    t3.delete_eq(spark.createDataFrame([(4,), (14,)], "id LONG"), ["id"])
+    before3 = {tuple(r) for r in t3.read().collect()}
+    _, pos3, eq3 = t3._files()
+    assert pos3 and eq3
+    res3 = t3.rewrite_position_deletes()
+    assert res3["delete_files_after"] == 1
+    _, pos3b, eq3b = t3._files()
+    assert len(pos3b) == 1 and sorted(eq3b) == sorted(eq3)
+    assert {tuple(r) for r in t3.read().collect()} == before3
