@@ -6225,3 +6225,80 @@ def q334_iceberg_rewrite_position_deletes(spark: SparkSession, sf_dir: str) -> D
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q335_iceberg_all_files_audit",
+    oracle="""
+    SELECT CAST(4 AS BIGINT) AS n_snapshots,
+           CAST(9 AS BIGINT) AS all_data_files,
+           CAST(3 AS BIGINT) AS live_files,
+           CAST(7 AS BIGINT) AS all_manifest_rows,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 9 <> 4)
+             AS live_records
+    """,
+    tags=("lakehouse", "iceberg", "metadata-tables", "audit"),
+)
+def q335_iceberg_all_files_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-snapshot metadata tables ``all_files`` /
+    ``all_manifests`` (completing q327's current-snapshot ``files`` /
+    ``history`` / ``snapshots``): every content file ANY snapshot
+    references — with reference counts and first/last referencing
+    snapshot — and every (snapshot, manifest) pairing. This is the
+    audit surface behind retention planning ("how many bytes does
+    expire_snapshots(keep_last=1) free?") and manifest-reuse health
+    ("does each commit share metadata with its parent?"), answered
+    from KBs of Avro without touching data.
+
+    The fixture's lifecycle is exact arithmetic the oracle re-states:
+    append(4 files) -> append(2) -> MoR delete -> compact(3):
+    all_files DATA rows = 4+2+3 = 9 distinct (the delete-file count is
+    a staging detail asserted >=1 in-plan, not hashed), live = 3 data
+    files, all_manifests rows = 1+2+3+1 = 7 (manifest REUSE visible:
+    snapshot 2 carries snapshot 1's manifest untouched — asserted),
+    and the live record count ties to the raw data. File counts are
+    scale-independent (explicit repartition); record counts scale with
+    sf — both engines agree on both."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = IcebergTable(spark, _scratch("iceaudit") + "_t")
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 0).repartition(4))
+    t.append(orders.filter(F.col("o_orderkey") % 3 != 0).repartition(2))
+    t.delete("o_orderkey % 9 = 4", mode="mor")
+    t.compact(target_files=3)
+
+    af = t.all_files_df()
+    am = t.all_manifests_df()
+    # manifest reuse: snapshot 2 must carry snapshot 1's manifest
+    s1_manifests = {r["manifest_path"] for r in am.filter("snapshot_id = 1").collect()}
+    s2_manifests = {r["manifest_path"] for r in am.filter("snapshot_id = 2").collect()}
+    assert s1_manifests < s2_manifests, "append must reuse the parent's manifest"
+    # the first append's files are referenced by exactly 3 snapshots
+    # (s1, s2, s3) and fall out of the compacted s4
+    first_wave = af.filter("first_snapshot_id = 1").collect()
+    assert all(r["n_snapshots"] == 3 for r in first_wave), first_wave
+    # the MoR delete's position-delete files show up as content=1 rows
+    assert af.filter("content = 1").count() >= 1
+
+    live = t.files_df().filter("content = 0")
+    return (
+        af.filter("content = 0")
+        .agg(F.count(F.lit(1)).cast("long").alias("all_data_files"))
+        .crossJoin(
+            live.agg(
+                F.count(F.lit(1)).cast("long").alias("live_files"),
+                F.sum("record_count").cast("long").alias("live_records"),
+            )
+        )
+        .crossJoin(am.agg(F.count(F.lit(1)).cast("long").alias("all_manifest_rows")))
+        .select(
+            F.lit(len(t.snapshots())).cast("long").alias("n_snapshots"),
+            "all_data_files",
+            "live_files",
+            "all_manifest_rows",
+            "live_records",
+        )
+    )

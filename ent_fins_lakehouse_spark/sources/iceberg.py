@@ -1484,6 +1484,80 @@ class IcebergTable:
             "sequence_number LONG, spec_id INT, sort_order_id INT",
         )
 
+    def all_files_df(self) -> DataFrame:
+        """The ``<table>.all_files`` metadata table: every content file
+        referenced by ANY snapshot (the cross-snapshot audit surface —
+        orphan triage, retention planning, storage accounting), with
+        the set of snapshots referencing each file collapsed to
+        ``n_snapshots`` + first/last ids. Decoded from Avro manifests
+        only; a file rewritten away still appears here until
+        :meth:`expire_snapshots` drops its last referencing snapshot."""
+        from ent_fins_lakehouse_spark.sources.avro_io import read_ocf
+
+        meta = self.metadata()
+        per_file: dict[tuple, list[int]] = {}
+        seen_lists: dict[str, list] = {}
+        for snap in meta.get("snapshots") or []:
+            lp = self._resolve(snap["manifest-list"])
+            if lp not in seen_lists:
+                seen_lists[lp] = read_ocf(lp)[1]
+            for m in seen_lists[lp]:
+                _, entries = read_ocf(self._resolve(m["manifest_path"]))
+                for e in entries:
+                    if e.get("status") == 2:
+                        continue
+                    d = e["data_file"]
+                    key = (
+                        int(d.get("content") or 0),
+                        self._resolve(d["file_path"]),
+                        int(d.get("record_count") or 0),
+                        int(d.get("file_size_in_bytes") or 0),
+                    )
+                    per_file.setdefault(key, []).append(int(snap["snapshot-id"]))
+        rows = [
+            (*key, len(set(sids)), min(sids), max(sids))
+            for key, sids in sorted(per_file.items())
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "content INT, file_path STRING, record_count LONG, "
+            "file_size_in_bytes LONG, n_snapshots INT, "
+            "first_snapshot_id LONG, last_snapshot_id LONG",
+        )
+
+    def all_manifests_df(self) -> DataFrame:
+        """The ``<table>.all_manifests`` metadata table: one row per
+        (snapshot, manifest) pairing across the whole snapshot list —
+        the manifest-reuse audit (how much metadata each commit shares
+        with its parent; a commit that rewrites every manifest is the
+        smell rewrite_manifests exists to fix)."""
+        from ent_fins_lakehouse_spark.sources.avro_io import read_ocf
+
+        rows: list[tuple] = []
+        seen_lists: dict[str, list] = {}
+        for snap in self.metadata().get("snapshots") or []:
+            lp = self._resolve(snap["manifest-list"])
+            if lp not in seen_lists:
+                seen_lists[lp] = read_ocf(lp)[1]
+            for m in seen_lists[lp]:
+                rows.append(
+                    (
+                        int(snap["snapshot-id"]),
+                        self._resolve(m["manifest_path"]),
+                        int(m.get("manifest_length") or 0),
+                        int(m.get("partition_spec_id") or 0),
+                        int(m.get("content") or 0),
+                        int(m.get("sequence_number") or 0),
+                        int(m.get("added_snapshot_id") or 0),
+                    )
+                )
+        return self.spark.createDataFrame(
+            sorted(rows),
+            "snapshot_id LONG, manifest_path STRING, manifest_length LONG, "
+            "partition_spec_id INT, content INT, sequence_number LONG, "
+            "added_snapshot_id LONG",
+        )
+
     def history_df(self) -> DataFrame:
         """The ``<table>.history`` metadata table: one row per time a
         snapshot became current (the ``snapshot-log``), with
