@@ -5715,3 +5715,67 @@ def test_iceberg_rewrite_position_deletes(spark, tmp_path):
     _, pos3b, eq3b = t3._files()
     assert len(pos3b) == 1 and sorted(eq3b) == sorted(eq3)
     assert {tuple(r) for r in t3.read().collect()} == before3
+
+
+def test_materialized_view_incremental_maintenance(spark, tmp_path):
+    """MaterializedAggView: incremental refresh == full recompute
+    bit-for-bit (decimal sums); works WITHOUT cdc staging too (whole
+    rewritten-file churn cancels per group); zero-count groups drop;
+    NULL group keys refused; no-op refresh touches nothing."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+    from ent_fins_lakehouse_spark.sources.matview import MaterializedAggView
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).alias("g"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    base = DeltaLogTable(spark, str(tmp_path / "b"))
+    base.write(df, mode="append")
+    # deliberately NO enableChangeDataFeed: the synthesized
+    # whole-file feed must still maintain the view correctly
+    mv = MaterializedAggView(spark, base, str(tmp_path / "v"))
+    created = mv.create(["g"], ["v"])
+    assert created["groups"] == 10
+
+    base.delete("g = 3")
+    base.write(
+        spark.range(50).select(
+            (F.col("id") + 5000).alias("k"),
+            F.lit(4).cast("long").alias("g"),
+            F.lit(2.5).alias("v"),
+        ),
+        mode="append",
+    )
+    res = mv.refresh()
+    assert res["mode"] == "incremental"
+    assert res["groups_dropped"] == 1
+    got = {(r["g"], r["n_rows"], r["sum_v"]) for r in mv.read().collect()}
+    want = {
+        (r["g"], r["n_rows"], r["sum_v"])
+        for r in mv._aggregate(base.read(), ["g"], ["v"]).collect()
+    }
+    assert got == want
+    assert not any(g == 3 for g, _, _ in got)
+    # idle refresh: no-op
+    assert mv.refresh()["groups_touched"] == 0
+    # full refresh lands the same rows
+    mv.refresh(full=True)
+    got2 = {(r["g"], r["n_rows"], r["sum_v"]) for r in mv.read().collect()}
+    assert got2 == want
+
+    # NULL group keys are refused at create
+    base2 = DeltaLogTable(spark, str(tmp_path / "b2"))
+    base2.write(
+        spark.range(5).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") == 2, None).otherwise(F.col("id") % 2).alias("g"),
+            F.lit(1.0).alias("v"),
+        ),
+        mode="append",
+    )
+    mv2 = MaterializedAggView(spark, base2, str(tmp_path / "v2"))
+    with pytest.raises(ValueError, match="NULL group keys"):
+        mv2.create(["g"], ["v"])
