@@ -1331,3 +1331,104 @@ def q308_stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q337_streaming_materialized_view",
+    oracle="""
+    WITH final_state AS (
+      SELECT o_custkey % 50 AS g, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_custkey % 50 <> 7
+      UNION ALL
+      SELECT 11 AS g, CAST(o_totalprice + 500 AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_custkey % 50 = 11
+    )
+    SELECT g, COUNT(*) AS n_rows,
+           CAST(SUM(price) AS DOUBLE) AS sum_o_totalprice
+    FROM final_state GROUP BY g ORDER BY g
+    """,
+    tags=("streaming", "materialized-view", "cdf", "incremental"),
+)
+def q337_streaming_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUSLY-maintained materialized view — the DLT "live
+    table" shape: a streaming change-data-feed source drives the q336
+    maintenance algebra one micro-batch at a time through
+    ``foreachBatch``, so the view trails the base table by a trigger
+    interval instead of a refresh schedule. Exactly-once via the
+    idempotent-sink recipe: the sink records the applied batch id in
+    the view's marker and skips checkpoint replays — asserted here by
+    re-running the SAME batch function with a stale id and checking
+    the view is unchanged.
+
+    Arc: the view starts over an EMPTY base, so every row it holds
+    arrived through the feed (seed append, a DELETE of one group, an
+    enriched append) across one availableNow run; a SECOND run through
+    the same checkpoint picks up only the post-stream commit. Final
+    view == a full recompute == the oracle's restatement. At 100 TB
+    each tick's cost is O(changed rows in the trigger window) — the
+    q336 refresh economics, continuously."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+    from ent_fins_lakehouse_spark.sources.matview import MaterializedAggView
+    from ent_fins_lakehouse_spark.streaming.delta_source import read_delta_stream
+
+    root = tempfile.mkdtemp(prefix="stream_mv_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 50).alias("g"),
+        "o_totalprice",
+    )
+    base = DeltaLogTable(spark, os.path.join(root, "base"))
+    base.write(orders.limit(0), mode="append")  # schema-only v0
+    base.set_property("delta.enableChangeDataFeed", "true")
+    mv = MaterializedAggView(spark, base, os.path.join(root, "view"))
+    assert mv.create(["g"], ["o_totalprice"])["groups"] == 0
+
+    # three commits land BEFORE the stream starts
+    base.write(orders, mode="append")
+    base.delete("g = 7")
+    base.write(
+        orders.filter(F.col("g") == 11).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            "g",
+            (F.col("o_totalprice") + 500).alias("o_totalprice"),
+        ),
+        mode="append",
+    )
+
+    ckpt = os.path.join(root, "ckpt")
+    sink = mv.streaming_sink()
+
+    def run() -> None:
+        q = (
+            read_delta_stream(spark, base.path, read_change_feed=True)
+            .writeStream.trigger(availableNow=True)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    mid = {tuple(r) for r in mv.read().collect()}
+    assert not any(r[0] == 7 for r in mid), "deleted group leaked into the view"
+
+    # a replayed micro-batch must be a no-op (idempotent sink)
+    replay = base.read_changes(1, base.latest_version())
+    sink(replay, 0)  # stale batch id: already applied
+    assert {tuple(r) for r in mv.read().collect()} == mid, "replay double-applied"
+
+    # post-stream commit flows through the SAME checkpoint
+    base.delete("g = 7")  # no-op commit (group already gone)
+    base.write(orders.filter(F.col("g") == 7).limit(0), mode="append")
+    run()
+
+    got = mv.read()
+    want = mv._aggregate(base.read(), ["g"], ["o_totalprice"])
+    diff = got.exceptAll(want).unionByName(want.exceptAll(got)).count()
+    assert diff == 0, f"streaming view diverged from recompute ({diff} rows)"
+    return got.select(
+        "g",
+        "n_rows",
+        F.col("sum_o_totalprice").cast("double").alias("sum_o_totalprice"),
+    ).orderBy("g")

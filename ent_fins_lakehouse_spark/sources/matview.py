@@ -152,6 +152,25 @@ class MaterializedAggView:
             return {"mode": "incremental", "groups_touched": 0,
                     "from_version": v0, "to_version": v1}
         changes = self.base.read_changes(v0 + 1, v1)
+        if int(self._load()["last_version"]) != v0:
+            raise RuntimeError("concurrent refresh detected — retry")
+        stats = self.apply_changes(changes)
+        self._save({**d, "last_version": v1})
+        return {
+            "mode": "incremental",
+            "from_version": v0,
+            "to_version": v1,
+            **stats,
+        }
+
+    def apply_changes(self, changes: DataFrame) -> dict:
+        """Apply one batch of CDF-shaped rows (table columns +
+        ``_change_type``) to the view: per-group delta aggregation →
+        one MERGE → cleanup DELETE of zero-count groups. Shared by
+        :meth:`refresh` (batch window) and :meth:`streaming_sink`
+        (one micro-batch at a time)."""
+        d = self._load()
+        group_cols, sum_cols = d["group_cols"], d["sum_cols"]
         self._guard_keys(changes.select(*group_cols), group_cols, "change feed")
         bad = (
             changes.filter(~F.col("_change_type").isin(*_SIGN))
@@ -185,26 +204,52 @@ class MaterializedAggView:
                 ],
             )
         )
+        # one control-plane job answers both "how many groups" and
+        # "can any count have reached zero" (cleanup is skippable
+        # whenever no delta is negative)
+        probe = deltas.agg(
+            F.count(F.lit(1)).alias("n"), F.min("n_rows").alias("mn")
+        ).first()
+        touched = int(probe["n"])
+        if touched == 0:
+            return {"groups_touched": 0, "groups_dropped": 0}
         updates = {"n_rows": "t.n_rows + s.n_rows"}
         for c in sum_cols:
             updates[f"sum_{c}"] = (
                 f"CAST(COALESCE(t.sum_{c}, 0) + COALESCE(s.sum_{c}, 0) "
                 "AS DECIMAL(28,2))"
             )
-        if int(self._load()["last_version"]) != v0:
-            raise RuntimeError("concurrent refresh detected — retry")
         self.table.merge(
             deltas,
             on=list(group_cols),
             matched_update=updates,
             when_not_matched_insert_all=True,
         )
-        dropped = self.table.delete("n_rows = 0")["rows_deleted"]
-        self._save({**d, "last_version": v1})
-        return {
-            "mode": "incremental",
-            "groups_touched": deltas.count(),
-            "groups_dropped": dropped,
-            "from_version": v0,
-            "to_version": v1,
-        }
+        # a zero NET delta still matters: a batch bundling a group's
+        # insert AND delete merges in an n_rows=0 row — cleanup must
+        # run unless every delta is strictly positive
+        dropped = (
+            self.table.delete("n_rows = 0")["rows_deleted"]
+            if int(probe["mn"]) <= 0
+            else 0
+        )
+        return {"groups_touched": touched, "groups_dropped": dropped}
+
+    def streaming_sink(self):
+        """A ``foreachBatch`` function continuously maintaining this
+        view from a STREAMING change feed
+        (``read_delta_stream(..., read_change_feed=True)``) — the
+        DLT-shaped "live table". Exactly-once via the standard
+        idempotent-sink recipe: the applied batch id is recorded in
+        the marker file, and a replayed micro-batch (restart between
+        sink-commit and checkpoint-commit) is skipped."""
+
+        def apply(bdf: DataFrame, batch_id: int) -> None:
+            d = self._load()
+            if int(batch_id) <= int(d.get("last_batch_id", -1)):
+                return  # checkpoint replay: already applied
+            self.apply_changes(bdf)
+            d2 = self._load()
+            self._save({**d2, "last_batch_id": int(batch_id)})
+
+        return apply

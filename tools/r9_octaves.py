@@ -92,6 +92,35 @@ def main() -> int:
         results[f"dhash_wall_s_{tag}"] = round(wt, 2)
         results[f"dhash_pairs_{tag}"] = n
 
+    # ---- materialized view: refresh cost ~ changes, not table ----
+    # the SAME absolute change set (delete one group of ~1% of keys)
+    # against a 1x and an Nx base: incremental refresh must stay
+    # ~flat while the full recompute grows with the table
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+    from ent_fins_lakehouse_spark.sources.matview import MaterializedAggView
+
+    for tag, sfd in (("1x", args.sf), (f"{args.factor}x", big)):
+        orders = load_table(spark, sfd, "orders").select(
+            "o_orderkey", (F.col("o_custkey") % 100).alias("g"), "o_totalprice"
+        )
+        bd = os.path.join(args.out, f"mvb_{tag}")
+        vd = os.path.join(args.out, f"mvv_{tag}")
+        shutil.rmtree(bd, ignore_errors=True)
+        shutil.rmtree(vd, ignore_errors=True)
+        base = DeltaLogTable(spark, bd)
+        base.write(orders.repartition(32), mode="append")
+        base.set_property("delta.enableChangeDataFeed", "true")
+        mv = MaterializedAggView(spark, base, vd)
+        ct, _ = timed(lambda: mv.create(["g"], ["o_totalprice"]))
+        # fixed-size change: only keys < the 1x keyspace, group 7
+        base.delete("g = 7 AND o_orderkey < 1500000")
+        it, res = timed(mv.refresh)
+        ft, _ = timed(lambda: mv.refresh(full=True))
+        results[f"mv_create_s_{tag}"] = round(ct, 2)
+        results[f"mv_incr_refresh_s_{tag}"] = round(it, 2)
+        results[f"mv_full_refresh_s_{tag}"] = round(ft, 2)
+        results[f"mv_groups_touched_{tag}"] = res["groups_touched"]
+
     import json
 
     print(json.dumps(results, indent=1))
