@@ -6398,3 +6398,94 @@ def q336_incremental_materialized_view(spark: SparkSession, sf_dir: str) -> Data
         "n_rows",
         F.col("sum_o_totalprice").cast("double").alias("sum_o_totalprice"),
     ).orderBy("g")
+
+
+@query(
+    "q338_insert_only_minmax_view",
+    oracle="""
+    WITH final_state AS (
+      SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events
+      UNION ALL
+      SELECT event_type, CAST(value * 3 AS DECIMAL(18,2)) AS v
+      FROM events WHERE event_id % 5 = 0
+    )
+    SELECT event_type, COUNT(*) AS n_rows,
+           CAST(SUM(v) AS DOUBLE) AS sum_value,
+           CAST(MIN(v) AS DOUBLE) AS min_value,
+           CAST(MAX(v) AS DOUBLE) AS max_value
+    FROM final_state GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("lakehouse", "materialized-view", "cdf", "incremental"),
+)
+def q338_insert_only_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX in an incrementally-maintained view — the algebra's
+    boundary case: under an INSERT-ONLY feed the extrema are
+    self-maintainable (LEAST/GREATEST against the batch minima/maxima,
+    Gupta/Mumick's distributive case), but ONE delete breaks it (the
+    removed row might have BEEN the extremum, and no delta can recover
+    the runner-up without re-scanning the group). The view therefore
+    refuses a delete-bearing window LOUDLY — asserted here — and heals
+    via refresh(full=True). This is the append-only telemetry-rollup
+    pattern (events never retract) where the refusal never fires and
+    refresh stays O(new rows).
+
+    Fixture: create over events, one enriched append, incremental
+    refresh (LEAST/GREATEST path), then a base DELETE -> the next
+    incremental refresh raises -> full refresh recovers; final view
+    is restated by the oracle and equals a recompute exactly."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+    from ent_fins_lakehouse_spark.sources.matview import MaterializedAggView
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base = DeltaLogTable(spark, _scratch("mvmm") + "_t")
+    base.write(ev, mode="append")
+    base.set_property("delta.enableChangeDataFeed", "true")
+    mv = MaterializedAggView(spark, base, _scratch("mvmmv") + "_v")
+    mv.create(["event_type"], ["value"], minmax_cols=["value"])
+
+    # insert-only wave: tripled values move maxima, not minima
+    base.write(
+        ev.filter(F.col("event_id") % 5 == 0).select(
+            (F.col("event_id") + 10_000_000).alias("event_id"),
+            "event_type",
+            (F.col("value") * 3).alias("value"),
+        ),
+        mode="append",
+    )
+    res = mv.refresh()
+    assert res["mode"] == "incremental" and res["groups_touched"] >= 1, res
+    want = mv._aggregate(base.read(), ["event_type"], ["value"], ["value"])
+    got = mv.read()
+    assert got.exceptAll(want).unionByName(want.exceptAll(got)).count() == 0
+
+    # one delete breaks min/max self-maintainability: refuse loudly...
+    base.delete("event_id % 7 = 0 AND event_id < 10000000")
+    try:
+        mv.refresh()
+        raise AssertionError("delete-bearing window must be refused")
+    except ValueError as e:
+        assert "insert-only" in str(e), e
+    # ...but the delete must NOT have been half-applied
+    assert got.exceptAll(mv.read()).count() == 0
+    # heal with a full refresh; bring the base back to oracle shape
+    base.write(
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .filter(F.col("event_id") % 7 == 0),
+        mode="append",
+    )
+    mv.refresh(full=True)
+
+    return (
+        mv.read()
+        .select(
+            "event_type",
+            "n_rows",
+            F.col("sum_value").cast("double").alias("sum_value"),
+            F.col("min_value").cast("double").alias("min_value"),
+            F.col("max_value").cast("double").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -14,9 +14,11 @@ refresh applies per-group deltas:
 and MERGEs them into the view. Refresh cost is O(changed rows) +
 O(touched groups) — at 100 TB with a steady trickle of DML, the
 difference between an unusable nightly recompute and a seconds-long
-maintenance tick. AVG rides for free as sum/count at read time; MIN /
-MAX are NOT self-maintainable under deletes (a deleted extremum needs
-a re-scan of its group) and are refused by design.
+maintenance tick. AVG rides for free as sum/count at read time. MIN /
+MAX are self-maintainable ONLY under insert-only feeds (LEAST /
+GREATEST merge); a deleted extremum needs a group re-scan, so a view
+carrying them REFUSES delete-bearing change windows and points at
+``refresh(full=True)``.
 
 Exactness discipline: sums accumulate in DECIMAL (order-insensitive),
 so an incremental refresh lands BIT-IDENTICAL to a full recompute —
@@ -86,13 +88,26 @@ class MaterializedAggView:
 
     # ---------------------------------------------------------- compute
 
-    def _aggregate(self, df: DataFrame, group_cols: list[str], sum_cols: list[str]) -> DataFrame:
+    def _aggregate(
+        self,
+        df: DataFrame,
+        group_cols: list[str],
+        sum_cols: list[str],
+        minmax_cols: list[str] | None = None,
+    ) -> DataFrame:
         aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")] + [
             F.sum(F.col(c).cast("decimal(18,2)"))
             .cast("decimal(28,2)")
             .alias(f"sum_{c}")
             for c in sum_cols
         ]
+        for c in minmax_cols or []:
+            aggs.append(
+                F.min(F.col(c).cast("decimal(18,2)")).alias(f"min_{c}")
+            )
+            aggs.append(
+                F.max(F.col(c).cast("decimal(18,2)")).alias(f"max_{c}")
+            )
         return df.groupBy(*group_cols).agg(*aggs)
 
     def _guard_keys(self, df: DataFrame, group_cols: list[str], what: str) -> None:
@@ -107,15 +122,29 @@ class MaterializedAggView:
                 "missing keys as a sentinel value instead"
             )
 
-    def create(self, group_cols: list[str], sum_cols: list[str]) -> dict:
-        """Full initial compute at the base's current version."""
+    def create(
+        self,
+        group_cols: list[str],
+        sum_cols: list[str],
+        minmax_cols: list[str] | None = None,
+    ) -> dict:
+        """Full initial compute at the base's current version.
+
+        ``minmax_cols`` adds MIN/MAX columns — maintainable ONLY under
+        an insert-only feed (a deleted extremum needs a group re-scan);
+        :meth:`apply_changes` refuses deletes when they are configured
+        and points at ``refresh(full=True)``."""
         base_version = self.base.latest_version()
         snap = self.base.read()
-        unknown = [c for c in (*group_cols, *sum_cols) if c not in snap.columns]
+        unknown = [
+            c
+            for c in (*group_cols, *sum_cols, *(minmax_cols or []))
+            if c not in snap.columns
+        ]
         if unknown:
             raise ValueError(f"view references unknown base columns {unknown}")
         self._guard_keys(snap.select(*group_cols), group_cols, "base table")
-        mv = self._aggregate(snap, group_cols, sum_cols)
+        mv = self._aggregate(snap, group_cols, sum_cols, minmax_cols)
         os.makedirs(self.dest, exist_ok=True)
         self.table.write(mv, mode="overwrite")
         self._save(
@@ -123,6 +152,7 @@ class MaterializedAggView:
                 "base_path": self.base.path,
                 "group_cols": list(group_cols),
                 "sum_cols": list(sum_cols),
+                "minmax_cols": list(minmax_cols or []),
                 "last_version": base_version,
             }
         )
@@ -143,7 +173,9 @@ class MaterializedAggView:
         group_cols, sum_cols = d["group_cols"], d["sum_cols"]
         v0, v1 = int(d["last_version"]), self.base.latest_version()
         if full:
-            mv = self._aggregate(self.base.read(), group_cols, sum_cols)
+            mv = self._aggregate(
+                self.base.read(), group_cols, sum_cols, d.get("minmax_cols")
+            )
             self.table.write(mv, mode="overwrite")
             self._save({**d, "last_version": v1})
             return {"mode": "full", "groups_touched": mv.count(),
@@ -171,17 +203,27 @@ class MaterializedAggView:
         (one micro-batch at a time)."""
         d = self._load()
         group_cols, sum_cols = d["group_cols"], d["sum_cols"]
+        minmax_cols = d.get("minmax_cols") or []
         self._guard_keys(changes.select(*group_cols), group_cols, "change feed")
+        allowed = (
+            ("insert",) if minmax_cols else tuple(_SIGN)
+        )
         bad = (
-            changes.filter(~F.col("_change_type").isin(*_SIGN))
+            changes.filter(~F.col("_change_type").isin(*allowed))
             .select("_change_type")
             .limit(1)
             .collect()
         )
         if bad:
+            hint = (
+                "MIN/MAX views are insert-only self-maintainable — "
+                "refresh(full=True) instead"
+                if minmax_cols
+                else "full-refresh instead"
+            )
             raise ValueError(
                 f"change feed carries unmaintainable change type "
-                f"{bad[0][0]!r} — full-refresh instead"
+                f"{bad[0][0]!r} — {hint}"
             )
         sign = F.element_at(
             F.create_map(
@@ -189,6 +231,10 @@ class MaterializedAggView:
             ),
             F.col("_change_type"),
         )
+        mm_aggs = []
+        for c in minmax_cols:
+            mm_aggs.append(F.min(F.col(c).cast("decimal(18,2)")).alias(f"min_{c}"))
+            mm_aggs.append(F.max(F.col(c).cast("decimal(18,2)")).alias(f"max_{c}"))
         deltas = (
             changes.withColumn("_sign", sign)
             .groupBy(*group_cols)
@@ -202,6 +248,7 @@ class MaterializedAggView:
                     .alias(f"sum_{c}")
                     for c in sum_cols
                 ],
+                *mm_aggs,
             )
         )
         # one control-plane job answers both "how many groups" and
@@ -219,6 +266,9 @@ class MaterializedAggView:
                 f"CAST(COALESCE(t.sum_{c}, 0) + COALESCE(s.sum_{c}, 0) "
                 "AS DECIMAL(28,2))"
             )
+        for c in minmax_cols:
+            updates[f"min_{c}"] = f"LEAST(t.min_{c}, s.min_{c})"
+            updates[f"max_{c}"] = f"GREATEST(t.max_{c}, s.max_{c})"
         self.table.merge(
             deltas,
             on=list(group_cols),
