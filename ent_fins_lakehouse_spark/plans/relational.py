@@ -6102,12 +6102,15 @@ def q328_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "stats", "trend"),
 )
 def q332_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mann-Kendall trend test + Theil-Sen slope over monthly revenue —
-    the standard NON-parametric pair: S = sum of sign(rev_j - rev_i)
-    over all month pairs i<j (no distribution assumption), z from the
-    exact no-ties variance n(n-1)(2n+5)/18 (DECIMAL revenue makes ties
-    measure-zero), and the robust slope = MEDIAN of pairwise slopes
-    (resists outlier months that wreck least squares).
+    """Mann-Kendall SIGNIFICANCE test + Theil-Sen slope over monthly
+    revenue — the inference half q261's per-event-type screen stops
+    short of: the same non-parametric S = sum of sign(rev_j - rev_i)
+    over month pairs i<j, but carried through the no-ties variance
+    n(n-1)(2n+5)/18 to a continuity-corrected z and a +-1.96
+    increasing / decreasing / no-trend verdict (q261 reports tau and
+    slope per key; this answers "is the trend REAL"). The robust slope
+    = MEDIAN of pairwise slopes, resisting outlier months that wreck
+    least squares.
 
     Exactness: revenue aggregates in DECIMAL; sign() is computed on
     the exact decimal difference (integer-exact S); only the slopes

@@ -92,6 +92,31 @@ def main() -> int:
         results[f"dhash_wall_s_{tag}"] = round(wt, 2)
         results[f"dhash_pairs_{tag}"] = n
 
+    # ---- rewrite_position_deletes: O(delete bytes), data untouched ----
+    # identical DML arc at both scales: the delete debt grows with SF
+    # but stays KB-sized; the consolidation must track the DEBT, and
+    # the data file set must be byte-identical across the rewrite
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    for tag, sfd in (("1x", args.sf), (f"{args.factor}x", big)):
+        td = os.path.join(args.out, f"rpd_{tag}")
+        shutil.rmtree(td, ignore_errors=True)
+        t = IcebergTable(spark, td)
+        t.append(
+            load_table(spark, sfd, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .repartitionByRange(8, "o_custkey")
+        )
+        t.delete("o_orderkey % 10 = 3", mode="mor")
+        t.delete("o_orderkey % 10 = 7", mode="mor")
+        _, pos, _ = t._files()
+        data_before = sorted(p for p, _, _ in t._files()[0])
+        wt, res = timed(t.rewrite_position_deletes)
+        assert sorted(p for p, _, _ in t._files()[0]) == data_before
+        results[f"rpd_files_{tag}"] = f"{res['delete_files_before']}->{res['delete_files_after']}"
+        results[f"rpd_rows_{tag}"] = res["rows_after"]
+        results[f"rpd_wall_s_{tag}"] = round(wt, 2)
+
     # ---- materialized view: refresh cost ~ changes, not table ----
     # the SAME absolute change set (delete one group of ~1% of keys)
     # against a 1x and an Nx base: incremental refresh must stay
