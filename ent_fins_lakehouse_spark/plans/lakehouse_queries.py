@@ -6489,3 +6489,81 @@ def q338_insert_only_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q339_delta_uniform_auto_sync",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderkey % 10 <> 6
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakehouse", "delta", "iceberg", "uniform", "interop"),
+)
+def q339_delta_uniform_auto_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniForm AUTO-sync — ``delta.universalFormat.enabledFormats=
+    iceberg`` turns the manual convert/sync pair into a per-commit
+    hook: every Delta commit maintains an Iceberg metadata TWIN in the
+    table's own root (one copy of parquet, ``_delta_log`` AND
+    ``metadata/`` side by side), so Iceberg readers follow the table
+    with zero copies and zero operator involvement. The facade's
+    dual-format refusal carves out exactly this shape: open_table
+    returns the Delta writer-of-record.
+
+    Sync is BEST-EFFORT after the durable commit, and the fixture
+    drives the full health lifecycle: appends sync (status ok + twin
+    row-identical); a deletion-vector DELETE makes the table
+    non-convertible, so the sync REFUSES (status carries the reason,
+    the twin stays consistently stale at its anchor); REORG PURGE
+    materializes the DVs and its commit SELF-HEALS the twin (the
+    anchor-diff sync translates the delete+purge window as one REPLACE
+    snapshot). Asserted at each stage; the final twin read
+    hash-matches the oracle's restatement."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable, open_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    dl = DeltaLogTable(spark, _scratch("uniform") + "_t")
+    dl.write(orders.filter(F.col("o_orderkey") % 2 == 0), mode="append")
+    dl.set_property("delta.universalFormat.enabledFormats", "iceberg")
+    assert dl.uniform_status() is None  # no sync before the first post-enable verb
+
+    dl.write(orders.filter(F.col("o_orderkey") % 2 == 1), mode="append")
+    st = dl.uniform_status()
+    assert st and st["ok"], st
+    ice = IcebergTable(spark, dl.path)
+    assert ice.read().count() == dl.read().count()
+    # the facade resolves the legitimate dual-format root to Delta
+    assert isinstance(open_table(spark, dl.path), DeltaLogTable)
+
+    # a DV delete makes the table non-convertible: sync refuses LOUDLY
+    # but the Delta commit stays durable and the twin consistently stale
+    n_before_delete = ice.read().count()
+    dl.delete("o_orderkey % 10 = 6")
+    st = dl.uniform_status()
+    assert st and not st["ok"] and "deletion vector" in st["reason"].lower(), st
+    assert IcebergTable(spark, dl.path).read().count() == n_before_delete
+
+    # REORG PURGE materializes the DVs; its commit self-heals the twin
+    dl.reorg_purge()
+    st = dl.uniform_status()
+    assert st and st["ok"], st
+    twin = IcebergTable(spark, dl.path).read()
+    assert twin.count() == dl.read().count()
+
+    return (
+        twin.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

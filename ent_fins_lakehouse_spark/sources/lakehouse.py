@@ -1808,6 +1808,9 @@ class DeltaLogTable:
         self._rt_enabled = cfg.get("delta.enableRowTracking") == "true"
         self._ict_enabled = cfg.get("delta.enableInCommitTimestamps") == "true"
         self._logcompact_enabled = cfg.get("delta.enableLogCompaction") == "true"
+        self._uniform_iceberg = "iceberg" in (
+            cfg.get("delta.universalFormat.enabledFormats") or ""
+        ).lower().split(",")
         self._last_ict = last_ict
         hwm = -1
         if "delta.rowTracking" in domains:
@@ -3871,10 +3874,70 @@ class DeltaLogTable:
                 )
             except (OSError, ValueError):
                 pass
+        if getattr(self, "_uniform_iceberg", False):
+            # UniForm (delta.universalFormat.enabledFormats=iceberg):
+            # maintain the Iceberg metadata TWIN in this table's own
+            # root — one copy of parquet, two metadata trees. Runs
+            # after the Delta commit is durable; a failed sync never
+            # un-commits data (status surfaced via uniform_status();
+            # the anchor-diff sync self-heals on the next commit)
+            self._sync_uniform()
 
     #: minor-log-compaction cadence when delta.enableLogCompaction=true
     #: (between CHECKPOINT_INTERVAL checkpoints)
     LOG_COMPACTION_INTERVAL = 5
+
+    def _sync_uniform(self) -> None:
+        """Maintain the UniForm Iceberg metadata twin after a commit:
+        first enablement converts (full Iceberg metadata tree pointing
+        at THIS table's parquet under ``<root>/metadata``), later
+        commits incremental-sync via the delta-version anchor. Best
+        effort by design — the Delta commit is already durable when
+        this runs, so a refused sync (e.g. live deletion vectors, a
+        data rewrite away from convertibility) records its reason for
+        :meth:`uniform_status` instead of failing the verb."""
+        import traceback
+
+        from ent_fins_lakehouse_spark.sources.iceberg import (
+            IcebergTable,
+            convert_delta_to_iceberg,
+            sync_delta_to_iceberg,
+        )
+
+        status_path = os.path.join(self.path, "_uniform_status.json")
+        try:
+            meta_dir = os.path.join(self.path, "metadata")
+            has_meta = os.path.isdir(meta_dir) and any(
+                f.endswith(".metadata.json") for f in os.listdir(meta_dir)
+            )
+            if not has_meta:
+                convert_delta_to_iceberg(self.spark, self, self.path)
+                synced = self.latest_version()
+            else:
+                sync_delta_to_iceberg(
+                    self.spark, self, IcebergTable(self.spark, self.path)
+                )
+                synced = self.latest_version()
+            st = {"ok": True, "delta_version": synced}
+        except (NotImplementedError, ValueError, RuntimeError) as e:
+            st = {
+                "ok": False,
+                "reason": f"{type(e).__name__}: {e}",
+                "delta_version": self.latest_version(),
+            }
+            traceback.clear_frames(e.__traceback__)
+        tmp = status_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(st, fh)
+        os.replace(tmp, status_path)
+
+    def uniform_status(self) -> dict | None:
+        """Last UniForm sync outcome (``None`` before first sync)."""
+        p = os.path.join(self.path, "_uniform_status.json")
+        if not os.path.isfile(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
 
     def _write_version_checksum(self, version: int, actions: list[dict]) -> None:
         """Version checksum sidecar (``{version}.crc``, delta-spark's
@@ -6216,6 +6279,20 @@ def open_table(spark: SparkSession, path: str):
         if t.exists()
     ]
     if len(present) > 1:
+        # ONE legitimate dual-format shape: a UniForm table (Delta
+        # writer of record + its derived Iceberg metadata twin in the
+        # same root). The Delta side owns the DML surface; Iceberg
+        # readers open the twin explicitly.
+        if sorted(present) == ["delta", "iceberg"]:
+            try:
+                _, _, _, meta = delta._snapshot()
+                cfg = (meta or {}).get("configuration") or {}
+            except Exception:
+                cfg = {}
+            if "iceberg" in (
+                cfg.get("delta.universalFormat.enabledFormats") or ""
+            ).lower().split(","):
+                return delta
         raise ValueError(
             f"{path} carries multiple table formats {present}; open the "
             "intended one explicitly (LakeTable / DeltaLogTable / IcebergTable)"
