@@ -141,10 +141,22 @@ def make_delta_stream_source():
             ignore_changes: bool,
             max_versions_per_trigger: int | None = None,
             change_feed: bool = False,
+            starting_version: int | str | None = None,
         ):
             self.table_path = table_path
             self.ignore_changes = ignore_changes
             self.change_feed = change_feed
+            # startingVersion (Delta's option of the same name): skip
+            # the initial snapshot and stream CHANGES from this commit
+            # on — "latest" resolves ONCE here, so only commits after
+            # stream construction flow. With a startingVersion the
+            # first batch uses the incremental branch even from -1
+            # (startingVersion=0 = full history REPLAY, which differs
+            # from the snapshot exactly when removes exist).
+            if starting_version == "latest":
+                vs0 = version_files(table_path)
+                starting_version = (max(vs0) if vs0 else -1) + 1
+            self.starting_version = starting_version
             # rate limiting (Delta's maxFilesPerTrigger idea at our
             # version-offset granularity): each micro-batch advances at
             # most N commit versions, so one trigger never ingests an
@@ -155,14 +167,28 @@ def make_delta_stream_source():
             self._last_end: int | None = None
 
         def initialOffset(self) -> dict:
+            if self.starting_version is not None:
+                return {"version": int(self.starting_version) - 1}
             return {"version": -1}
 
         def latestOffset(self) -> dict:
             vs = version_files(self.table_path)
             latest = max(vs) if vs else -1
             if self.max_versions is not None:
-                base = self._last_end if self._last_end is not None else -1
+                base = (
+                    self._last_end
+                    if self._last_end is not None
+                    else (
+                        int(self.starting_version) - 1
+                        if self.starting_version is not None
+                        else -1
+                    )
+                )
                 latest = min(latest, base + self.max_versions)
+            if self.starting_version is not None:
+                # never hand out an end below the start offset (e.g.
+                # "latest" on a table with no new commits yet)
+                latest = max(latest, int(self.starting_version) - 1)
             self._last_end = latest
             return {"version": latest}
 
@@ -330,7 +356,7 @@ def make_delta_stream_source():
             cmap = col_mapping(meta)
             vs = version_files(self.table_path)
             parts = []
-            if lo < 0:
+            if lo < 0 and self.starting_version is None:
                 # INITIAL SNAPSHOT (Delta's streaming semantics): the
                 # first batch is the reconciled state as of `hi` — adds
                 # minus removes, deletion vectors applied — never a
@@ -544,11 +570,17 @@ def make_delta_stream_source():
 
         def streamReader(self, schema):
             mv = self.options.get("maxversionspertrigger")
+            sv = self.options.get("startingversion")
+            if sv is not None and sv != "latest":
+                sv = int(sv)
+                if sv < 0:
+                    raise ValueError(f"startingVersion must be >= 0, got {sv}")
             return DeltaStreamReader(
                 self.options["path"],
                 self.options.get("ignorechanges", "false").lower() == "true",
                 int(mv) if mv else None,
                 self.options.get("readchangefeed", "false").lower() == "true",
+                sv,
             )
 
     return DeltaStreamDataSource
@@ -564,11 +596,15 @@ def read_delta_stream(
     ignore_changes: bool = False,
     max_versions_per_trigger: int | None = None,
     read_change_feed: bool = False,
+    starting_version: int | str | None = None,
 ):
     """Continuously read a public-format Delta table as it is appended.
     ``max_versions_per_trigger`` bounds how many commit versions one
     micro-batch ingests (Delta's maxFilesPerTrigger idea at version
-    granularity) — admission control when recovering a large backlog."""
+    granularity) — admission control when recovering a large backlog.
+    ``starting_version`` (int or "latest") skips the initial snapshot
+    and streams changes from that commit on — how a downstream
+    attaches to a table whose history it already holds."""
     register(spark)
     r = (
         spark.readStream.format("delta_stream")
@@ -579,4 +615,6 @@ def read_delta_stream(
         r = r.option("maxVersionsPerTrigger", str(max_versions_per_trigger))
     if read_change_feed:
         r = r.option("readChangeFeed", "true")
+    if starting_version is not None:
+        r = r.option("startingVersion", str(starting_version))
     return r.load()

@@ -544,3 +544,57 @@ def test_delta_stream_from_mapped_tables(spark, tmp_path):
     run_available_now(read_delta_stream(spark, t2.path), out2, ckpt2)
     got3 = sorted(r["renamed_id"] for r in spark.read.parquet(out2).collect())
     assert got3 == [0, 1, 2, 3, 4, 5, 100]
+
+
+def test_delta_stream_starting_version(spark, tmp_path):
+    """startingVersion skips the initial snapshot: only commits >= the
+    given version flow; "latest" resolves at stream construction so a
+    fresh stream sees nothing until a NEW commit lands; a DELETE before
+    the starting version never aborts the stream (it is simply outside
+    the window)."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+    from ent_fins_lakehouse_spark.streaming.autoloader import run_available_now
+    from ent_fins_lakehouse_spark.streaming.delta_source import read_delta_stream
+
+    src = str(tmp_path / "t")
+    dl = DeltaLogTable(spark, src)
+    dl.write(spark.createDataFrame([(1,), (2,)], "id INT"), mode="append")  # v0
+    dl.write(spark.createDataFrame([(3,)], "id INT"), mode="append")  # v1
+    dl.delete("id = 1")  # v2 (DV delete — would abort a window covering it)
+    dl.write(spark.createDataFrame([(4,)], "id INT"), mode="append")  # v3
+
+    # from v3: only the last append
+    out, ckpt = str(tmp_path / "o1"), str(tmp_path / "c1")
+    run_available_now(
+        read_delta_stream(spark, src, starting_version=3), out, ckpt
+    )
+    assert [r["id"] for r in spark.read.parquet(out).collect()] == [4]
+
+    # from v1: the v1 append + v3 append; the v2 DV delete aborts
+    # without ignoreChanges (it IS inside this window)
+    out2, ckpt2 = str(tmp_path / "o2"), str(tmp_path / "c2")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="deletion vector|ignoreChanges"):
+        run_available_now(
+            read_delta_stream(spark, src, starting_version=1), out2, ckpt2
+        )
+
+    # "latest": nothing until a post-construction commit arrives
+    out3, ckpt3 = str(tmp_path / "o3"), str(tmp_path / "c3")
+    run_available_now(
+        read_delta_stream(spark, src, starting_version="latest"), out3, ckpt3
+    )
+    import os as _os
+
+    n3 = (
+        spark.read.parquet(out3).count()
+        if any(f.endswith(".parquet") for f in _os.listdir(out3))
+        else 0
+    )
+    assert n3 == 0
+    dl.write(spark.createDataFrame([(5,)], "id INT"), mode="append")  # v4
+    run_available_now(
+        read_delta_stream(spark, src, starting_version="latest"), out3, ckpt3
+    )
+    assert [r["id"] for r in spark.read.parquet(out3).collect()] == [5]
