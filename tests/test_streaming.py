@@ -598,3 +598,62 @@ def test_delta_stream_starting_version(spark, tmp_path):
         read_delta_stream(spark, src, starting_version="latest"), out3, ckpt3
     )
     assert [r["id"] for r in spark.read.parquet(out3).collect()] == [5]
+
+
+def test_matview_streaming_attach_with_starting_version(spark, tmp_path):
+    """The production streaming-MV shape: create the view over a
+    POPULATED base (full compute at version v), then attach the
+    change-feed stream at startingVersion=v+1 — no replay of history
+    the view already aggregates, exactly-once through the batch-id
+    gate."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+    from ent_fins_lakehouse_spark.sources.matview import MaterializedAggView
+    from ent_fins_lakehouse_spark.streaming.delta_source import read_delta_stream
+
+    src = str(tmp_path / "base")
+    dl = DeltaLogTable(spark, src)
+    dl.write(
+        spark.range(500).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("g"),
+            (F.col("id") * 2.0).alias("v"),
+        ),
+        mode="append",
+    )
+    dl.set_property("delta.enableChangeDataFeed", "true")
+    mv = MaterializedAggView(spark, dl, str(tmp_path / "view"))
+    created = mv.create(["g"], ["v"])
+    assert created["groups"] == 5
+    attach_from = created["base_version"] + 1
+
+    # post-create DML the stream must deliver (and nothing earlier)
+    dl.delete("g = 2")
+    dl.write(
+        spark.range(50).select(
+            (F.col("id") + 9000).alias("k"), F.lit(1).cast("long").alias("g"),
+            F.lit(3.5).alias("v"),
+        ),
+        mode="append",
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        read_delta_stream(
+            spark, src, read_change_feed=True, starting_version=attach_from
+        )
+        .writeStream.trigger(availableNow=True)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(mv.streaming_sink())
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {(r["g"], r["n_rows"], r["sum_v"]) for r in mv.read().collect()}
+    want = {
+        (r["g"], r["n_rows"], r["sum_v"])
+        for r in mv._aggregate(dl.read(), ["g"], ["v"]).collect()
+    }
+    assert got == want
+    assert not any(g == 2 for g, _, _ in got)
