@@ -135,7 +135,10 @@ class MaterializedAggView:
         :meth:`apply_changes` refuses deletes when they are configured
         and points at ``refresh(full=True)``."""
         base_version = self.base.latest_version()
-        snap = self.base.read()
+        # pin the scan to the recorded version: a commit racing in
+        # between would otherwise be aggregated NOW and re-applied by
+        # the next incremental refresh (double count)
+        snap = self.base.read(version_as_of=base_version)
         unknown = [
             c
             for c in (*group_cols, *sum_cols, *(minmax_cols or []))
@@ -174,7 +177,8 @@ class MaterializedAggView:
         v0, v1 = int(d["last_version"]), self.base.latest_version()
         if full:
             mv = self._aggregate(
-                self.base.read(), group_cols, sum_cols, d.get("minmax_cols")
+                self.base.read(version_as_of=v1),
+                group_cols, sum_cols, d.get("minmax_cols"),
             )
             self.table.write(mv, mode="overwrite")
             self._save({**d, "last_version": v1})
