@@ -6233,3 +6233,142 @@ def q333_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2"),
     )
+
+
+@query(
+    "q340_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+                  THEN CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 1.5
+                            AS DECIMAL(21,3))
+                  ELSE CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                            AS DECIMAL(21,3)) END AS rev
+      FROM orders GROUP BY 1
+    ),
+    moments AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(rev AS DECIMAL(24,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(CAST(rev AS DECIMAL(24,6))
+                           * CAST(rev AS DECIMAL(24,6)) AS DECIMAL(38,6)))
+                  AS DOUBLE) AS sxx
+      FROM daily WHERE day < DATE '1996-01-01'
+    ),
+    params AS (
+      SELECT CAST(ROUND(sx / n, 6) AS DECIMAL(24,6)) AS mu,
+             CAST(ROUND(0.5 * sqrt((sxx - sx * sx / n) / (n - 1.0)), 6)
+                  AS DECIMAL(24,6)) AS ksig,
+             CAST(ROUND(5.0 * sqrt((sxx - sx * sx / n) / (n - 1.0)), 6)
+                  AS DECIMAL(24,6)) AS thresh
+      FROM moments
+    ),
+    pref AS (
+      SELECT day, thresh,
+             CAST(SUM(CAST(rev AS DECIMAL(24,6)) - mu - ksig)
+               OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+               AS DECIMAL(30,6)) AS p
+      FROM daily, params
+    ),
+    cusum AS (
+      SELECT day, thresh,
+             p - LEAST(CAST(0 AS DECIMAL(30,6)),
+                       MIN(p) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))
+               AS s
+      FROM pref
+    )
+    SELECT (SELECT COUNT(*) FROM daily) AS n_days,
+           MIN(day) AS first_alarm_day,
+           ROUND((SELECT CAST(MAX(s) AS DOUBLE) FROM cusum), 4) AS max_cusum
+    FROM cusum WHERE s > thresh
+    """,
+    tags=("relational", "stats", "changepoint", "monitoring"),
+)
+def q340_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection (Page 1954) over daily revenue —
+    the monitoring primitive behind drift alarms: S_t = max(0,
+    S_{t-1} + (x_t − μ − kσ)), alarm when S_t > hσ. The recursion
+    looks inherently sequential, but the classic identity S_t = P_t −
+    min(0, min_{j≤t} P_j) over the drift-adjusted PREFIX sums turns it
+    into two window passes (cumulative sum + running min) — fully
+    parallel prefix shapes Spark executes without a UDF or a loop,
+    identical SQL on both engines.
+
+    The fixture plants a 1.5× level shift from 1996-01-01; μ/σ
+    calibrate on the pre-shift period only (the monitoring contract —
+    the baseline must not see the anomaly), k=0.5σ drift allowance,
+    h=5σ threshold. Scale shape: one hash agg to the day spine, then
+    windows over ~2.4k rows; the only data-sized pass is the daily
+    aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1996-01-01").cast("date")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("raw"))
+        .select(
+            "day",
+            F.when(
+                F.col("day") >= cut,
+                # decimal literal times decimal, kept at 3 decimals:
+                # NO rounding anywhere (a cast back to 2dp lands on the
+                # exact .xx5 boundary, where Spark rounds half-up and
+                # DuckDB half-even)
+                (F.col("raw") * F.lit("1.5").cast("decimal(2,1)")).cast(
+                    "decimal(21,3)"
+                ),
+            )
+            .otherwise(F.col("raw").cast("decimal(21,3)"))
+            .alias("rev"),
+        )
+    )
+    # μ and the drift/threshold terms are frozen to DECIMAL constants
+    # so the prefix sums accumulate EXACTLY — a windowed double sum is
+    # summation-order-dependent (DuckDB's segment-tree vs Spark's
+    # running sum disagree in the last bits); decimal is order-free
+    # μ/σ from EXACT decimal moments (sums of rev and rev² are
+    # order-insensitive), THEN one double formula with identical text
+    # on both engines — a native STDDEV differs across engines at the
+    # 1e-9 relative level, which a 2.4k-day prefix sum amplifies
+    dec_rev = F.col("rev").cast("decimal(24,6)")
+    moments = daily.filter(F.col("day") < cut).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec_rev).cast("double").alias("sx"),
+        F.sum((dec_rev * dec_rev).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    sig = "sqrt((sxx - sx * sx / n) / (n - 1.0))"
+    params = moments.select(
+        F.expr("CAST(ROUND(sx / n, 6) AS DECIMAL(24,6))").alias("mu"),
+        F.expr(f"CAST(ROUND(0.5 * {sig}, 6) AS DECIMAL(24,6))").alias("ksig"),
+        F.expr(f"CAST(ROUND(5.0 * {sig}, 6) AS DECIMAL(24,6))").alias("thresh"),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pref = daily.crossJoin(F.broadcast(params)).select(
+        "day",
+        "thresh",
+        F.sum(F.col("rev").cast("decimal(24,6)") - F.col("mu") - F.col("ksig"))
+        .over(w)
+        .cast("decimal(30,6)")
+        .alias("p"),
+    )
+    cusum = pref.select(
+        "day",
+        "thresh",
+        (
+            F.col("p")
+            - F.least(F.lit(0).cast("decimal(30,6)"), F.min("p").over(w))
+        ).alias("s"),
+    )
+    n_days = daily.count()
+    alarms = cusum.filter(F.col("s") > F.col("thresh"))
+    peak = cusum.agg(F.round(F.max("s").cast("double"), 4).alias("max_cusum"))
+    return (
+        alarms.agg(F.min("day").alias("first_alarm_day"))
+        .crossJoin(peak)
+        .select(
+            F.lit(n_days).cast("long").alias("n_days"),
+            "first_alarm_day",
+            "max_cusum",
+        )
+    )
