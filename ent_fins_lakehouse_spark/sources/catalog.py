@@ -259,6 +259,11 @@ class LakehouseSession:
         r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+ADD\s+COLUMNS?\s*\(?\s*(?P<col>\w+)\s+(?P<dtype>[\w()<>, ]+?)\s*\)?\s*$",
         re.IGNORECASE,
     )
+    _ALTER_ORDER = re.compile(
+        r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+WRITE\s+ORDERED\s+BY\s*"
+        r"\(?\s*(?P<cols>[\w\s,]+?)\s*\)?\s*$",
+        re.IGNORECASE,
+    )
     _ALTER_DROP = re.compile(
         r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+DROP\s+COLUMN\s+(?P<col>\w+)\s*$",
         re.IGNORECASE,
@@ -556,6 +561,17 @@ class LakehouseSession:
                     f"ADD COLUMN is not supported by {type(t).__name__}"
                 )
             t.add_column(m["col"], m["dtype"])
+            return None
+        if m := self._ALTER_ORDER.match(s):
+            # Iceberg's WRITE ORDERED BY DDL extension: register the
+            # identity sort order and make it the write default —
+            # metadata-only; appends/compaction honor it from here on
+            t = self.catalog._resolve(m["target"])
+            if not hasattr(t, "replace_sort_order"):
+                raise NotImplementedError(
+                    f"WRITE ORDERED BY is not supported by {type(t).__name__}"
+                )
+            t.replace_sort_order([c.strip() for c in m["cols"].split(",")])
             return None
         if m := self._ALTER_DROP.match(s):
             t = self.catalog._resolve(m["target"])

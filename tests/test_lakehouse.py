@@ -5779,3 +5779,40 @@ def test_materialized_view_incremental_maintenance(spark, tmp_path):
     mv2 = MaterializedAggView(spark, base2, str(tmp_path / "v2"))
     with pytest.raises(ValueError, match="NULL group keys"):
         mv2.create(["g"], ["v"])
+
+
+def test_sql_write_ordered_by(spark, tmp_path):
+    """ALTER TABLE ... WRITE ORDERED BY routes to replace_sort_order
+    on Iceberg tables and refuses loudly elsewhere."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    lh = LakehouseSession(spark, str(tmp_path / "wh"))
+    lh.sql("CREATE DATABASE db")
+    lh.sql("USE db")
+    df = spark.range(100).select(F.col("id").cast("long"), (F.col("id") % 9).alias("k"))
+    t = IcebergTable(spark, str(tmp_path / "wh" / "db" / "ice"))
+    t.append(df)
+    lh.sql(f"CREATE TABLE ice USING ICEBERG LOCATION '{t.path}'")
+    lh.sql("ALTER TABLE ice WRITE ORDERED BY (k)")
+    meta = t.metadata()
+    assert int(meta["default-sort-order-id"]) >= 1
+    t.append(df.selectExpr("id + 100 as id", "k"))
+    assert any(
+        r["sort_order_id"] is not None
+        for r in t.files_df().filter("content = 0").collect()
+    )
+
+    import pytest as _pytest
+
+    dl_path = str(tmp_path / "wh" / "db" / "dl")
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    DeltaLogTable(spark, dl_path).write(
+        spark.range(3).select(F.col("id")), mode="append"
+    )
+    lh.sql(f"CREATE TABLE dl USING DELTA LOCATION '{dl_path}'")
+    with _pytest.raises(NotImplementedError, match="WRITE ORDERED BY"):
+        lh.sql("ALTER TABLE dl WRITE ORDERED BY (id)")
