@@ -260,6 +260,23 @@ class LakehouseSession:
         r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+ADD\s+COLUMNS?\s*\(?\s*(?P<col>\w+)\s+(?P<dtype>[\w()<>, ]+?)\s*\)?\s*$",
         re.IGNORECASE,
     )
+    _DETAIL = re.compile(
+        r"DESCRIBE\s+DETAIL\s+(?P<target>[\w.]+)\s*$", re.IGNORECASE
+    )
+    _SET_PROPS = re.compile(
+        r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+SET\s+TBLPROPERTIES\s*"
+        r"\(\s*(?P<kvs>.+?)\s*\)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _UNSET_PROPS = re.compile(
+        r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+UNSET\s+TBLPROPERTIES\s*"
+        r"\(\s*(?P<ks>.+?)\s*\)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _SHOW_PROPS = re.compile(
+        r"SHOW\s+TBLPROPERTIES\s+(?P<target>[\w.]+)\s*$", re.IGNORECASE
+    )
+    _PROP_KV = re.compile(r"'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'")
     _OPTIMIZE = re.compile(
         r"OPTIMIZE\s+(?P<target>[\w.]+)"
         r"(?:\s+ZORDER\s+BY\s*\(?\s*(?P<cols>[\w\s,]+?)\s*\)?)?\s*$",
@@ -592,6 +609,54 @@ class LakehouseSession:
                 )
             t.add_column(m["col"], m["dtype"])
             return None
+        if m := self._DETAIL.match(s):
+            t = self._resolve_concrete(m["target"])
+            if not hasattr(t, "detail"):
+                raise NotImplementedError(
+                    f"DESCRIBE DETAIL is not supported by {type(t).__name__}"
+                )
+            d = t.detail()
+            return self.spark.createDataFrame(
+                [(json.dumps(d, default=str),)], "detail STRING"
+            )
+        if m := self._SET_PROPS.match(s):
+            t = self._resolve_concrete(m["target"])
+            if not hasattr(t, "set_property"):
+                raise NotImplementedError(
+                    f"SET TBLPROPERTIES is not supported by {type(t).__name__}"
+                )
+            kvs = self._PROP_KV.findall(m["kvs"])
+            if not kvs:
+                raise ValueError(
+                    "SET TBLPROPERTIES expects ('key'='value'[, ...])"
+                )
+            for k, v in kvs:
+                t.set_property(k, v)
+            return None
+        if m := self._UNSET_PROPS.match(s):
+            t = self._resolve_concrete(m["target"])
+            if not hasattr(t, "set_property"):
+                raise NotImplementedError(
+                    f"UNSET TBLPROPERTIES is not supported by {type(t).__name__}"
+                )
+            for k in re.findall(r"'([^']+)'", m["ks"]):
+                t.set_property(k, None)
+            return None
+        if m := self._SHOW_PROPS.match(s):
+            t = self._resolve_concrete(m["target"])
+            cfg = {}
+            if hasattr(t, "_snapshot"):
+                try:
+                    *_, meta = t._snapshot()
+                    cfg = (meta or {}).get("configuration") or {}
+                except (TypeError, ValueError):
+                    cfg = {}
+            if not cfg and hasattr(t, "metadata"):
+                cfg = (t.metadata() or {}).get("properties") or {}
+            return self.spark.createDataFrame(
+                sorted(cfg.items()) or [("", "")],
+                "key STRING, value STRING",
+            ).filter("key <> ''")
         if m := self._OPTIMIZE.match(s):
             t = self._resolve_concrete(m["target"])
             if not hasattr(t, "optimize"):

@@ -1525,6 +1525,18 @@ class IcebergTable:
             "first_snapshot_id LONG, last_snapshot_id LONG",
         )
 
+    def refs_df(self) -> DataFrame:
+        """The ``<table>.refs`` metadata table: one row per named ref
+        (plus the implicit ``main`` head) with type and pinned
+        snapshot — the branch/tag audit surface."""
+        meta = self.metadata()
+        rows = [("main", "branch", int(meta.get("current-snapshot-id") or -1))]
+        for name, r in sorted((meta.get("refs") or {}).items()):
+            rows.append((name, str(r.get("type")), int(r.get("snapshot-id"))))
+        return self.spark.createDataFrame(
+            rows, "name STRING, type STRING, snapshot_id LONG"
+        )
+
     def all_manifests_df(self) -> DataFrame:
         """The ``<table>.all_manifests`` metadata table: one row per
         (snapshot, manifest) pairing across the whole snapshot list —

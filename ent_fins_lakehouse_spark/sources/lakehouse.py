@@ -3887,6 +3887,30 @@ class DeltaLogTable:
     #: (between CHECKPOINT_INTERVAL checkpoints)
     LOG_COMPACTION_INTERVAL = 5
 
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL over the public log (delta-spark's column
+        set): physical + logical metadata of the current snapshot from
+        add-action stats alone — no data scan, no Spark job."""
+        adds, schema, part_cols, meta = self._snapshot()
+        num_rows = 0
+        stats_ok = True
+        for info in adds.values():
+            try:
+                num_rows += int(json.loads(info.get("stats") or "{}")["numRecords"])
+            except (KeyError, TypeError, ValueError):
+                stats_ok = False
+        cfg = ((meta or {}).get("configuration") or {})
+        return {
+            "format": "delta",
+            "location": self.path,
+            "numFiles": len(adds),
+            "sizeInBytes": sum(int(i.get("size") or 0) for i in adds.values()),
+            "numRows": num_rows if stats_ok else None,
+            "partitionColumns": list(part_cols or []),
+            "properties": dict(cfg),
+            "version": self.latest_version(),
+        }
+
     def _sync_uniform(self) -> None:
         """Maintain the UniForm Iceberg metadata twin after a commit:
         first enablement converts (full Iceberg metadata tree pointing

@@ -5859,3 +5859,43 @@ def test_sql_maintenance_verbs(spark, tmp_path):
     n_real = lh.sql("VACUUM t RETAIN 0 HOURS").collect()[0]["files_removed"]
     assert n_real == n_dry
     assert dl.read().count() > 0  # live data untouched
+
+
+def test_sql_properties_and_detail(spark, tmp_path):
+    """DESCRIBE DETAIL / ALTER TABLE SET|UNSET TBLPROPERTIES /
+    SHOW TBLPROPERTIES through the facade — the property route is how
+    CDF and UniForm turn on from SQL. Iceberg refs_df rides along."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    lh = LakehouseSession(spark, str(tmp_path / "wh"))
+    lh.sql("CREATE DATABASE db")
+    lh.sql("USE db")
+    dl_path = str(tmp_path / "wh" / "db" / "t")
+    dl = DeltaLogTable(spark, dl_path)
+    dl.write(spark.range(10).select(F.col("id")), mode="append")
+    lh.sql(f"CREATE TABLE t USING DELTA LOCATION '{dl_path}'")
+
+    lh.sql("ALTER TABLE t SET TBLPROPERTIES ('delta.enableChangeDataFeed'='true')")
+    props = {r["key"]: r["value"] for r in lh.sql("SHOW TBLPROPERTIES t").collect()}
+    assert props.get("delta.enableChangeDataFeed") == "true"
+    # the property actually arms the feature: DML now stages cdc files
+    dl.delete("id = 3")
+    feed = dl.read_changes(dl.latest_version(), dl.latest_version())
+    assert [r["_change_type"] for r in feed.collect()] == ["delete"]
+
+    lh.sql("ALTER TABLE t UNSET TBLPROPERTIES ('delta.enableChangeDataFeed')")
+    props = {r["key"]: r["value"] for r in lh.sql("SHOW TBLPROPERTIES t").collect()}
+    assert "delta.enableChangeDataFeed" not in props
+
+    d = lh.sql("DESCRIBE DETAIL t").collect()[0]["detail"]
+    assert "numFiles" in d or "num_files" in d
+
+    ice = IcebergTable(spark, str(tmp_path / "ice"))
+    ice.append(spark.range(5).select(F.col("id").cast("long")))
+    ice.set_ref("audit", ref_type="tag")
+    refs = {r["name"]: (r["type"], r["snapshot_id"]) for r in ice.refs_df().collect()}
+    assert refs["audit"][0] == "tag" and refs["main"][0] == "branch"
