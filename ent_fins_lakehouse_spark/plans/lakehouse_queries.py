@@ -6567,3 +6567,84 @@ def q339_delta_uniform_auto_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q341_iceberg_to_delta_sync",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderkey % 10 <> 4
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakehouse", "iceberg", "delta", "interop", "sync"),
+)
+def q341_iceberg_to_delta_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental Iceberg→Delta sync — the REVERSE direction of the
+    UniForm/XTable pair (q-family: convert both ways, sync
+    delta→iceberg; this closes the last arrow): after conversion, each
+    sync reads the snapshot anchor off the Delta head commit, diffs
+    the Iceberg file sets, and lands ONE Delta commit of add/remove
+    actions with bounds re-encoded as stats — O(changed files)
+    metadata, zero data copied, Delta time travel serving every sync
+    state.
+
+    Lifecycle asserted: append wave -> sync (adds only, prior Delta
+    version still serves the pre-sync state); copy-on-write DELETE ->
+    sync (removes + adds in one commit); idempotent re-sync -> None;
+    an INDEPENDENT Delta write then breaks the anchor and sync refuses
+    loudly (one-way sync never merges). Final Delta read hash-matches
+    the oracle over the raw data."""
+    from ent_fins_lakehouse_spark.sources.iceberg import (
+        IcebergTable,
+        convert_iceberg_to_delta,
+        sync_iceberg_to_delta,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    ice = IcebergTable(spark, _scratch("i2d") + "_i")
+    ice.append(orders.filter(F.col("o_orderkey") % 2 == 0).repartition(4))
+    dl = convert_iceberg_to_delta(spark, ice, _scratch("i2d") + "_d")
+    v0 = dl.latest_version()
+
+    # append-only window: sync lands adds, history stays travelable
+    ice.append(orders.filter(F.col("o_orderkey") % 2 == 1).repartition(2))
+    v1 = sync_iceberg_to_delta(spark, ice, dl)
+    assert v1 == v0 + 1, (v0, v1)
+    assert dl.read().count() == ice.read().count()
+    assert dl.read(version_as_of=v0).count() < dl.read().count()
+
+    # rewrite window: CoW delete -> removes + adds in one commit
+    ice.delete("o_orderkey % 10 = 4", mode="cow")
+    v2 = sync_iceberg_to_delta(spark, ice, dl)
+    assert v2 == v1 + 1
+    got = dl.read()
+    assert got.count() == ice.read().count()
+    # idempotent when in sync
+    assert sync_iceberg_to_delta(spark, ice, dl) is None
+
+    # an independent Delta write breaks the one-way anchor: refuse
+    dl.write(orders.limit(5), mode="append")
+    try:
+        sync_iceberg_to_delta(spark, ice, dl)
+        raise AssertionError("sync must refuse after an independent Delta write")
+    except ValueError as e:
+        assert "anchor" in str(e), e
+    # restate the pre-write state for the oracle comparison
+    final = dl.read(version_as_of=v2)
+
+    return (
+        final.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

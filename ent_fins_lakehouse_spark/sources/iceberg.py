@@ -4342,7 +4342,11 @@ def convert_iceberg_to_delta(spark, iceberg_table: "IcebergTable", dest: str):
             "commitInfo": {
                 "timestamp": now,
                 "operation": "CONVERT",
-                "operationParameters": {"sourceFormat": "iceberg"},
+                # the snapshot anchor sync_iceberg_to_delta diffs from
+                "operationParameters": {
+                    "sourceFormat": "iceberg",
+                    "snapshotId": str(cur),
+                },
                 "engineInfo": "ent_fins_lakehouse_spark/delta-shim",
             }
         },
@@ -4538,3 +4542,141 @@ def sync_delta_to_iceberg(spark, delta_table, iceberg_table: "IcebergTable") -> 
         meta, snaps, snap_id, seq, rows, operation, now,
         summary_extra={"converted-from": "delta", "delta-version": str(cur)},
     )
+
+
+def sync_iceberg_to_delta(spark, iceberg_table: "IcebergTable", delta_table) -> int | None:
+    """INCREMENTAL metadata-only sync in the REVERSE direction
+    (completing the XTable pair with :func:`sync_delta_to_iceberg`):
+    the last synced Iceberg snapshot is read from the Delta log's most
+    recent CONVERT/SYNC commitInfo anchor, and only the file-set DIFF
+    since then is translated — new data files become ``add`` actions
+    (bounds re-encoded as Delta stats), files rewritten away become
+    ``remove`` actions, all in ONE Delta commit. Zero bytes of data
+    move; Delta time travel serves every prior sync state. Returns the
+    new Delta version, or None when already in sync.
+
+    Refuses: a Delta log whose LAST commit is not a conversion/sync
+    (someone wrote the Delta side independently — one-way sync cannot
+    merge), schema drift since conversion, and delete files at the
+    target snapshot (compact() first, the converter's own rule)."""
+    import json as _json
+    import time
+
+    from pyspark.sql import types as T
+
+    versions = delta_table._json_versions()
+    if not versions:
+        raise ValueError("target Delta log is empty — convert_iceberg_to_delta first")
+    last_v = max(versions)
+    anchor = None
+    with open(versions[last_v]) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            act = _json.loads(line)
+            ci = act.get("commitInfo")
+            if ci is not None:
+                params = ci.get("operationParameters") or {}
+                if params.get("sourceFormat") == "iceberg" and "snapshotId" in params:
+                    anchor = int(params["snapshotId"])
+            break  # commitInfo is the first action of every commit here
+    if anchor is None:
+        raise ValueError(
+            "target's last Delta commit is not an Iceberg conversion/sync "
+            "(advanced independently?) — one-way sync needs the snapshot "
+            "anchor on the head commit"
+        )
+    meta = iceberg_table.metadata()
+    cur = meta.get("current-snapshot-id")
+    if cur in (None, -1) or int(cur) == anchor:
+        return None
+
+    _, d_schema, _, _ = delta_table._snapshot()
+    i_schema = iceberg_table.schema(meta)
+    if {f.name: f.dataType for f in d_schema.fields} != {
+        f.name: f.dataType for f in i_schema.fields
+    }:
+        raise NotImplementedError(
+            "schema drift since conversion — re-convert instead of syncing"
+        )
+
+    data_now, pos_d, eq_d = iceberg_table._files()
+    if pos_d or eq_d:
+        raise NotImplementedError(
+            "snapshot carries delete files — run compact() first, then sync"
+        )
+    data_then, *_ = iceberg_table._files(anchor)
+    then_paths = {os.path.abspath(p) for p, _, _ in data_then}
+    now_by_path = {os.path.abspath(p): (s, b) for p, s, b in data_now}
+
+    # record counts / sizes from the current snapshot's manifests
+    from ent_fins_lakehouse_spark.sources.avro_io import read_ocf
+
+    by_path: dict[str, dict] = {}
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == cur)
+    _, manifests = read_ocf(iceberg_table._resolve(snap["manifest-list"]))
+    for m in manifests:
+        _, entries = read_ocf(iceberg_table._resolve(m["manifest_path"]))
+        for e in entries:
+            if e.get("status") == 2 or (e["data_file"].get("content") or 0) != 0:
+                continue
+            by_path[os.path.abspath(iceberg_table._resolve(e["data_file"]["file_path"]))] = e["data_file"]
+
+    now_ms = int(time.time() * 1000)
+    stats_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                   T.FloatType, T.DoubleType, T.BooleanType)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "SYNC",
+                "operationParameters": {
+                    "sourceFormat": "iceberg",
+                    "snapshotId": str(int(cur)),
+                },
+                "engineInfo": "ent_fins_lakehouse_spark/delta-shim",
+            }
+        }
+    ]
+    for p in sorted(then_paths - set(now_by_path)):
+        actions.append(
+            {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
+        )
+    n_add = 0
+    for p in sorted(set(now_by_path) - then_paths):
+        _, bounds = now_by_path[p]
+        rec = by_path.get(p) or {}
+        mins: dict = {}
+        maxs: dict = {}
+        for col, (lo, hi) in (bounds or {}).items():
+            f = next((f for f in d_schema.fields if f.name == col), None)
+            if f is None or not isinstance(f.dataType, stats_types):
+                continue
+            mins[col], maxs[col] = lo, hi
+        actions.append(
+            {
+                "add": {
+                    "path": p,
+                    "partitionValues": {},
+                    "size": int(rec.get("file_size_in_bytes") or os.path.getsize(p)),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                    "stats": _json.dumps(
+                        {
+                            "numRecords": int(rec.get("record_count") or 0),
+                            "minValues": mins,
+                            "maxValues": maxs,
+                            "nullCount": {},
+                        }
+                    ),
+                }
+            }
+        )
+        n_add += 1
+    if n_add == 0 and len(actions) == 1:
+        # snapshots advanced but the live file set is unchanged
+        # (e.g. rewrite_manifests): record the new anchor only
+        pass
+    v = last_v + 1
+    delta_table._commit_actions(v, actions)
+    return v
