@@ -110,6 +110,10 @@ HEADLINE = [
     # multimodal dedup (block-mean dHash + 4-band LSH)
     "q330_iceberg_sort_order",
     "q331_perceptual_hash_dedup",
+    # r9 session 2: the UniForm interop pair — per-commit Iceberg twin
+    # maintenance and the reverse (Iceberg→Delta) incremental sync
+    "q339_delta_uniform_auto_sync",
+    "q341_iceberg_to_delta_sync",
 ]
 
 
