@@ -6648,3 +6648,73 @@ def q341_iceberg_to_delta_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q342_iceberg_materialized_view",
+    oracle="""
+    WITH final_state AS (
+      SELECT o_custkey % 40 AS g, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+      WHERE o_custkey % 40 <> 9 AND o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_custkey % 40 AS g, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+      WHERE o_custkey % 40 <> 9 AND o_orderkey % 2 = 1
+    )
+    SELECT g, COUNT(*) AS n_rows,
+           CAST(SUM(price) AS DOUBLE) AS sum_o_totalprice
+    FROM final_state GROUP BY g ORDER BY g
+    """,
+    tags=("lakehouse", "iceberg", "materialized-view", "incremental"),
+)
+def q342_iceberg_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized-view maintenance algebra over an ICEBERG base —
+    the same per-group delta MERGE (q336), fed by Iceberg's
+    incremental scan instead of Delta CDF: appended manifests emit
+    inserts, in-range position deletes emit the masked rows as
+    deletes, and REPLACE (compaction) snapshots are correctly
+    INVISIBLE — asserted here by compacting the base mid-stream and
+    checking the refresh sees zero groups touched. Cross-format by
+    construction: the view itself stays a public Delta table, so one
+    dashboard reads one format while bases vary.
+
+    Lifecycle: create at snapshot v (full compute pinned to v),
+    append wave -> refresh (inserts), MoR DELETE -> refresh (deletes,
+    group 9 drops), compact() -> refresh is a NO-OP, and the final
+    view equals both a recompute and the oracle's restatement."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+    from ent_fins_lakehouse_spark.sources.matview import MaterializedAggView
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 40).alias("g"),
+        "o_totalprice",
+    )
+    base = IcebergTable(spark, _scratch("icemv") + "_t")
+    base.append(orders.filter(F.col("o_orderkey") % 2 == 0).repartition(4))
+    mv = MaterializedAggView(spark, base, _scratch("icemvv") + "_v")
+    created = mv.create(["g"], ["o_totalprice"])
+    assert created["groups"] == 40, created
+
+    base.append(orders.filter(F.col("o_orderkey") % 2 == 1).repartition(2))
+    res = mv.refresh()
+    assert res["mode"] == "incremental" and res["groups_touched"] == 40, res
+
+    base.delete("g = 9", mode="mor")
+    res = mv.refresh()
+    assert res["groups_touched"] == 1 and res["groups_dropped"] == 1, res
+
+    # compaction is maintenance: the feed (and so the view) ignores it
+    base.compact(target_files=4)
+    assert mv.refresh()["groups_touched"] == 0
+
+    got = mv.read()
+    want = mv._aggregate(base.read(), ["g"], ["o_totalprice"])
+    diff = got.exceptAll(want).unionByName(want.exceptAll(got)).count()
+    assert diff == 0, f"iceberg-fed view diverged from recompute ({diff} rows)"
+    return got.select(
+        "g",
+        "n_rows",
+        F.col("sum_o_totalprice").cast("double").alias("sum_o_totalprice"),
+    ).orderBy("g")

@@ -45,9 +45,12 @@ _SIGN = {
 
 
 class MaterializedAggView:
-    """A COUNT/SUM GROUP BY view over a :class:`DeltaLogTable`, stored
-    as its own public-format Delta table at ``dest`` and refreshed
-    incrementally from the base table's change feed.
+    """A COUNT/SUM GROUP BY view over a :class:`DeltaLogTable` OR an
+    Iceberg table, stored as its own public-format Delta table at
+    ``dest`` and refreshed incrementally from the base table's change
+    feed (Delta CDF versions / Iceberg incremental-scan snapshots —
+    both emit ``_change_type`` rows; Iceberg REPLACE snapshots are
+    maintenance and correctly invisible to the feed).
 
     ``sum_cols`` values are summed as ``DECIMAL(18,2)`` (exact,
     order-insensitive — the engine's float discipline); the stored
@@ -65,11 +68,32 @@ class MaterializedAggView:
 
     MARKER = "_mv.json"
 
-    def __init__(self, spark: SparkSession, base: DeltaLogTable, dest: str):
+    def __init__(self, spark: SparkSession, base, dest: str):
         self.spark = spark
         self.base = base
         self.dest = dest
         self.table = DeltaLogTable(spark, dest)
+
+    # --------------------------------------------- base-format adapter
+
+    def _base_version(self) -> int:
+        """Current feed position: Delta version / Iceberg snapshot id."""
+        if hasattr(self.base, "latest_version"):
+            return int(self.base.latest_version())
+        cur = self.base.metadata().get("current-snapshot-id")
+        return int(cur if cur is not None else -1)
+
+    def _base_read_at(self, v: int) -> DataFrame:
+        if hasattr(self.base, "latest_version"):
+            return self.base.read(version_as_of=v)
+        return self.base.read(snapshot_id=v)
+
+    def _base_changes(self, v0: int, v1: int) -> DataFrame:
+        """Feed rows in (v0, v1] — Delta's read_changes takes an
+        INCLUSIVE from-version, Iceberg's an exclusive from-snapshot."""
+        if hasattr(self.base, "latest_version"):
+            return self.base.read_changes(v0 + 1, v1)
+        return self.base.read_changes(v0, v1)
 
     # ------------------------------------------------------------ state
 
@@ -134,11 +158,11 @@ class MaterializedAggView:
         an insert-only feed (a deleted extremum needs a group re-scan);
         :meth:`apply_changes` refuses deletes when they are configured
         and points at ``refresh(full=True)``."""
-        base_version = self.base.latest_version()
+        base_version = self._base_version()
         # pin the scan to the recorded version: a commit racing in
         # between would otherwise be aggregated NOW and re-applied by
         # the next incremental refresh (double count)
-        snap = self.base.read(version_as_of=base_version)
+        snap = self._base_read_at(base_version)
         unknown = [
             c
             for c in (*group_cols, *sum_cols, *(minmax_cols or []))
@@ -174,10 +198,10 @@ class MaterializedAggView:
         away)."""
         d = self._load()
         group_cols, sum_cols = d["group_cols"], d["sum_cols"]
-        v0, v1 = int(d["last_version"]), self.base.latest_version()
+        v0, v1 = int(d["last_version"]), self._base_version()
         if full:
             mv = self._aggregate(
-                self.base.read(version_as_of=v1),
+                self._base_read_at(v1),
                 group_cols, sum_cols, d.get("minmax_cols"),
             )
             self.table.write(mv, mode="overwrite")
@@ -187,7 +211,7 @@ class MaterializedAggView:
         if v1 <= v0:
             return {"mode": "incremental", "groups_touched": 0,
                     "from_version": v0, "to_version": v1}
-        changes = self.base.read_changes(v0 + 1, v1)
+        changes = self._base_changes(v0, v1)
         if int(self._load()["last_version"]) != v0:
             raise RuntimeError("concurrent refresh detected — retry")
         stats = self.apply_changes(changes)
