@@ -3462,17 +3462,54 @@ def q246_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2"))
         .distinct()
     )
-    e1 = pe.alias("e1")
-    e2 = pe.alias("e2")
-    e3 = pe.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.s1") == F.col("e1.s2"))
-        .join(
-            e3,
-            (F.col("e3.s1") == F.col("e1.s1")) & (F.col("e3.s2") == F.col("e2.s2")),
-        )
-        .agg(F.count("*").alias("n_triangles"))
+    # DEGREE orientation (node-iterator on the DAG): every edge points
+    # from its lower-(degree, id) endpoint to the higher one, so a
+    # node's out-degree — and with it the wedge fan-out C(outdeg, 2) —
+    # is capped at O(sqrt(m)) however skewed the co-supply graph. ID
+    # orientation (s1<s2) looks equivalent but lets one low-id hub own
+    # thousands of out-edges: measured 40x superlinear at sf0.1.
+    deg = (
+        pe.select(F.col("s1").alias("s"))
+        .unionAll(pe.select(F.col("s2").alias("s")))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("deg"))
     )
+    d1 = deg.alias("d1")
+    d2 = deg.alias("d2")
+    lower_first = (F.col("d1.deg") < F.col("d2.deg")) | (
+        (F.col("d1.deg") == F.col("d2.deg")) & (F.col("s1") < F.col("s2"))
+    )
+    oe = (
+        pe.join(d1, F.col("s1") == F.col("d1.s"))
+        .join(d2, F.col("s2") == F.col("d2.s"))
+        .select(
+            F.when(lower_first, F.col("s1")).otherwise(F.col("s2")).alias("u"),
+            F.when(lower_first, F.col("s2")).otherwise(F.col("s1")).alias("v"),
+            F.when(lower_first, F.col("d2.deg")).otherwise(F.col("d1.deg")).alias(
+                "vdeg"
+            ),
+        )
+    )
+    e1 = oe.alias("e1")
+    e2 = oe.alias("e2")
+    e3 = oe.select("u", "v").alias("e3")
+    # wedges at u over its (small) out-neighborhood, ordered by the
+    # same total order so each triangle closes exactly once
+    wedge = e1.join(
+        e2,
+        (F.col("e2.u") == F.col("e1.u"))
+        & (
+            (F.col("e1.vdeg") < F.col("e2.vdeg"))
+            | (
+                (F.col("e1.vdeg") == F.col("e2.vdeg"))
+                & (F.col("e1.v") < F.col("e2.v"))
+            )
+        ),
+    )
+    tri = wedge.join(
+        e3,
+        (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+    ).agg(F.count("*").alias("n_triangles"))
     nodes = (
         pe.select(F.col("s1").alias("s"))
         .union(pe.select(F.col("s2").alias("s")))
