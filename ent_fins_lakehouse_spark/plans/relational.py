@@ -3809,9 +3809,12 @@ def q251_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY event_type ORDER BY d)
     )
     SELECT event_type, MAX(n) AS n_days,
-           ROUND(CAST(SUM(dev * dev1) AS DOUBLE) / CAST(SUM(dev * dev) AS DOUBLE), 6) AS acf1,
-           ROUND(CAST(SUM(dev * dev2) AS DOUBLE) / CAST(SUM(dev * dev) AS DOUBLE), 6) AS acf2,
-           ROUND(CAST(SUM(dev * dev3) AS DOUBLE) / CAST(SUM(dev * dev) AS DOUBLE), 6) AS acf3
+           ROUND(CAST(SUM(CAST(dev AS DECIMAL(28,4)) * dev1) AS DOUBLE)
+                 / CAST(SUM(CAST(dev AS DECIMAL(28,4)) * dev) AS DOUBLE), 6) AS acf1,
+           ROUND(CAST(SUM(CAST(dev AS DECIMAL(28,4)) * dev2) AS DOUBLE)
+                 / CAST(SUM(CAST(dev AS DECIMAL(28,4)) * dev) AS DOUBLE), 6) AS acf2,
+           ROUND(CAST(SUM(CAST(dev AS DECIMAL(28,4)) * dev3) AS DOUBLE)
+                 / CAST(SUM(CAST(dev AS DECIMAL(28,4)) * dev) AS DOUBLE), 6) AS acf3
     FROM lagd GROUP BY event_type ORDER BY event_type
     """,
     tags=("relational", "timeseries"),
