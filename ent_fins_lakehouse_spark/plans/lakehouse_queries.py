@@ -6718,3 +6718,86 @@ def q342_iceberg_materialized_view(spark: SparkSession, sf_dir: str) -> DataFram
         "n_rows",
         F.col("sum_o_totalprice").cast("double").alias("sum_o_totalprice"),
     ).orderBy("g")
+
+
+@query(
+    "q343_iceberg_deletion_vectors",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderkey % 10 <> 3 AND o_orderkey % 7 <> 2
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("lakehouse", "iceberg", "deletion-vectors", "v3"),
+)
+def q343_iceberg_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 DELETION VECTORS — the spec's modern soft-delete
+    (and the format-convergence story: v3 chose the SAME portable
+    64-bit RoaringBitmapArray serialization Delta's DVs use, so the
+    engine's one roaring codec serves both formats): DELETE encodes
+    matched rows as one bitmap per data file in a Puffin-style
+    sidecar, referenced from content=1 manifest entries
+    (referenced_data_file + blob offset/length); NO data file is
+    rewritten, and reads reduce the blobs to the same (file, pos)
+    anti-join as classic position deletes — executor-decoded, never
+    driver-materialized.
+
+    Asserted lifecycle: first DV bumps format-version to 3; a second
+    OVERLAPPING delete merges bitmaps in-executor keeping the spec's
+    one-DV-per-file invariant; the pre-DV snapshot time-travels
+    intact; rewritten-DML verbs refuse loudly (compact first);
+    compact() materializes the DVs back to a plain scan with rows
+    unchanged. The final read-back hash-matches the oracle.
+
+    100 TB shape: a delete touching N files writes N KB-sized bitmaps
+    and one manifest — write cost tracks the DELETED ROWS, not file
+    sizes; the read-side mask is one bounded anti-join however many
+    deletes accumulated (vs one file-sized union per delete under
+    parquet position-delete files)."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    t = IcebergTable(spark, _scratch("icedv") + "_t")
+    t.append(orders.repartitionByRange(6, "o_custkey"))
+    head = t.snapshots()[-1]["snapshot-id"]
+    n0 = t.read().count()
+
+    r1 = t.delete("o_orderkey % 10 = 3", mode="dv")
+    assert r1["files_touched"] >= 1 and r1["rows_deleted"] > 0, r1
+    assert int(t.metadata()["format-version"]) == 3
+    # overlapping second delete: bitmaps merge, one DV per file
+    t.delete("o_orderkey % 7 = 2", mode="dv")
+    dvs = t._dv_entries()
+    refs = [x[3] for x in dvs]
+    assert len(refs) == len(set(refs)), "one DV per data file violated"
+    assert t.read(snapshot_id=head).count() == n0, "time travel broken"
+
+    # rewritten-DML refuses; the soft path stays open
+    try:
+        t.update({"o_totalprice": "o_totalprice"}, "o_custkey = 1")
+        raise AssertionError("UPDATE over DVs must refuse")
+    except NotImplementedError:
+        pass
+
+    before = t.read().groupBy().count().collect()[0][0]
+    res = t.compact(target_files=6)
+    assert res["deletes_materialized"] >= len(dvs), res
+    assert t._dv_entries() == []
+    assert t.read().count() == before, "compaction changed visible rows"
+
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

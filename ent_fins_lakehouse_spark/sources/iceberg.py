@@ -393,19 +393,34 @@ class IcebergTable:
     # -------------------------------------------------------------- read
 
     def _files(self, snapshot_id: int | None = None):
-        """Resolve a snapshot to ``(data, pos_deletes, eq_deletes)``:
-        data = [(path, seq)], pos_deletes = [path],
-        eq_deletes = [(path, seq, equality_ids)]. Sequence numbers come
-        from the manifest entry or are inherited from its manifest-list
-        row (the spec's inheritance rule); v1 logs without them get 0."""
+        """Resolve a snapshot to ``(data, pos_deletes, eq_deletes)`` —
+        the 3-tuple every non-DV-aware call site unpacks; v3 deletion
+        vectors ride separately via :meth:`_dv_entries` /
+        :meth:`_files_full`."""
+        data, pos_deletes, eq_deletes, _ = self._files_full(snapshot_id)
+        return data, pos_deletes, eq_deletes
+
+    def _dv_entries(self, snapshot_id: int | None = None):
+        """v3 deletion-vector entries of a snapshot:
+        ``[(blob_path, offset, length, referenced_data_file, rows)]``."""
+        return self._files_full(snapshot_id)[3]
+
+    def _files_full(self, snapshot_id: int | None = None):
+        """Resolve a snapshot to ``(data, pos_deletes, eq_deletes,
+        dvs)``: data = [(path, seq, bounds)], pos_deletes = [path],
+        eq_deletes = [(path, seq, equality_ids)], dvs = [(blob_path,
+        offset, length, referenced_data_file, rows)]. Sequence numbers
+        come from the manifest entry or are inherited from its
+        manifest-list row (the spec's inheritance rule); v1 logs
+        without them get 0."""
         meta = self.metadata()
         snaps = meta.get("snapshots") or []
         if not snaps:
-            return [], [], []
+            return [], [], [], []
         if snapshot_id is None:
             snapshot_id = meta["current-snapshot-id"]
             if snapshot_id in (None, -1):
-                return [], [], []
+                return [], [], [], []
         snap = next(
             (s for s in snaps if s["snapshot-id"] == snapshot_id), None
         )
@@ -415,6 +430,7 @@ class IcebergTable:
         data: list[tuple[str, int]] = []
         pos_deletes: list[str] = []
         eq_deletes: list[tuple[str, int, list[int]]] = []
+        dvs: list[tuple[str, int, int, str, int]] = []
         names = self.field_names_by_id(meta)
         ftypes = {
             f["id"]: f["type"]
@@ -493,7 +509,8 @@ class IcebergTable:
                 df_rec = e["data_file"]
                 content = df_rec.get("content") or 0
                 fmt = (df_rec.get("file_format") or "PARQUET").upper()
-                if fmt != "PARQUET":
+                is_dv = content == 1 and bool(df_rec.get("referenced_data_file"))
+                if fmt != "PARQUET" and not (is_dv and fmt == "PUFFIN"):
                     raise NotImplementedError(f"Iceberg data file format {fmt}")
                 path = self._resolve(df_rec["file_path"])
                 if content == 0:
@@ -551,7 +568,21 @@ class IcebergTable:
                             bounds[src] = [d0.isoformat(), d1.isoformat()]
                     data.append((path, seq, bounds))
                 elif content == 1:
-                    pos_deletes.append(path)
+                    ref = df_rec.get("referenced_data_file")
+                    if ref:
+                        # v3 deletion vector: a Puffin-style blob, not
+                        # a parquet position-delete file
+                        dvs.append(
+                            (
+                                path,
+                                int(df_rec.get("content_offset") or 0),
+                                int(df_rec.get("content_size_in_bytes") or 0),
+                                self._resolve(ref),
+                                int(df_rec.get("record_count") or 0),
+                            )
+                        )
+                    else:
+                        pos_deletes.append(path)
                 else:  # content == 2: equality delete
                     ids = df_rec.get("equality_ids")
                     if not ids:
@@ -559,7 +590,7 @@ class IcebergTable:
                             f"equality delete {path} carries no equality_ids"
                         )
                     eq_deletes.append((path, seq, list(ids)))
-        return data, pos_deletes, eq_deletes
+        return data, pos_deletes, eq_deletes, dvs
 
     def data_files(self, snapshot_id: int | None = None) -> list[str]:
         return [p for p, _, _ in self._files(snapshot_id)[0]]
@@ -789,6 +820,42 @@ class IcebergTable:
             self._write_metadata(self._with_new_head(meta, int(snapshot_id)))
         return int(snapshot_id)
 
+    def _dv_del_df(self, dvs) -> DataFrame:
+        """``(_fp, _ri)`` rows masked by v3 deletion vectors, decoded
+        ON THE EXECUTORS from the Puffin-style blobs via mapInPandas
+        over the (tiny) descriptor list — the engine's Delta-side DV
+        read discipline (bitmaps never land on the driver; each blob
+        decodes in parallel; the plan carries one bounded anti-join)."""
+        desc = [(p, int(o), int(l), r) for p, o, l, r, _ in dvs]
+        desc_df = self.spark.createDataFrame(
+            desc, "_p STRING, _o LONG, _l LONG, _fp STRING"
+        )
+        if len(desc) > 1:
+            desc_df = desc_df.repartition(min(len(desc), 32))
+
+        def decode(batches):
+            import pandas as pd
+
+            from ent_fins_lakehouse_spark.sources.roaring import roaring64_rows
+
+            for pdf in batches:
+                for path, off, ln, fp in zip(
+                    pdf["_p"], pdf["_o"], pdf["_l"], pdf["_fp"]
+                ):
+                    with open(path, "rb") as fh:
+                        fh.seek(int(off))
+                        payload = fh.read(int(ln))
+                    yield pd.DataFrame(
+                        {
+                            "_fp": fp,
+                            "_ri": pd.Series(
+                                roaring64_rows(payload), dtype="int64"
+                            ),
+                        }
+                    )
+
+        return desc_df.mapInPandas(decode, "_fp STRING, _ri LONG")
+
     def _read_schema_for(self, sample_path: str, schema: T.StructType) -> T.StructType:
         """Schema-evolution-safe read schema: if the data files carry
         parquet FIELD IDS (every real Iceberg writer embeds them —
@@ -837,7 +904,7 @@ class IcebergTable:
         elif ref is not None:
             snapshot_id = self._resolve_ref(ref)
         schema = self.schema()
-        data, pos_deletes, eq_deletes = self._files(snapshot_id)
+        data, pos_deletes, eq_deletes, dvs = self._files_full(snapshot_id)
         if where:
             # file skipping on manifest [lower, upper] bounds — prune
             # only selects files; the predicate still runs as a filter
@@ -859,7 +926,7 @@ class IcebergTable:
         for seq in sorted({s for _, s, _ in data}):
             paths = sorted(p for p, s, _ in data if s == seq)
             df = self.spark.read.schema(read_schema).parquet(*paths)
-            if pos_deletes or need_seq:
+            if pos_deletes or dvs or need_seq:
                 df = df.select(
                     "*",
                     norm(F.col("_metadata.file_path")).alias("_fp"),
@@ -871,16 +938,28 @@ class IcebergTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        if pos_deletes:
+        if pos_deletes or dvs:
             # position deletes (spec: 'Position Delete Files' — parquet
-            # rows of (file_path, pos)): anti-join on file identity +
-            # row index. Fully distributed — delete files stay
-            # DataFrames; AQE broadcasts them when small.
-            del_df = (
-                self.spark.read.schema("file_path STRING, pos LONG")
-                .parquet(*sorted(pos_deletes))
-                .select(norm(F.col("file_path")).alias("_fp"), F.col("pos").alias("_ri"))
-            )
+            # rows of (file_path, pos)) and v3 DELETION VECTORS
+            # (executor-decoded bitmaps) reduce to the same (_fp, _ri)
+            # mask: one unioned anti-join on file identity + row index.
+            # Fully distributed — delete frames stay DataFrames; AQE
+            # broadcasts them when small.
+            del_parts = []
+            if pos_deletes:
+                del_parts.append(
+                    self.spark.read.schema("file_path STRING, pos LONG")
+                    .parquet(*sorted(pos_deletes))
+                    .select(
+                        norm(F.col("file_path")).alias("_fp"),
+                        F.col("pos").alias("_ri"),
+                    )
+                )
+            if dvs:
+                del_parts.append(self._dv_del_df(dvs))
+            del_df = del_parts[0]
+            for dp in del_parts[1:]:
+                del_df = del_df.unionByName(dp)
             out = out.join(del_df, ["_fp", "_ri"], "left_anti")
         # equality deletes: a delete file at sequence S masks rows only
         # in data files with sequence < S, matching null-safely on its
@@ -928,6 +1007,14 @@ class IcebergTable:
                     # spec field 140: id of the sort order the file's
                     # rows were written under (null = unsorted / unknown)
                     {"name": "sort_order_id", "type": ["null", "int"]},
+                    # v3 deletion vectors (spec: 'Deletion Vectors' /
+                    # Puffin 'deletion-vector-v1'): a content=1 entry
+                    # whose file is a DV blob names the ONE data file
+                    # it masks plus the blob's [offset, length) in the
+                    # sidecar. Null on every non-DV entry.
+                    {"name": "referenced_data_file", "type": ["null", "string"]},
+                    {"name": "content_offset", "type": ["null", "long"]},
+                    {"name": "content_size_in_bytes", "type": ["null", "long"]},
                     {"name": "lower_bounds", "type": ["null", {
                         "type": "array", "items": {
                             "type": "record", "name": "k126", "fields": [
@@ -2278,11 +2365,12 @@ class IcebergTable:
         pos_deletes: list[str],
         eq_deletes: list[tuple[str, int, list[int]]] | None = None,
         seq_of: dict[str, int] | None = None,
+        dvs: list | None = None,
     ) -> DataFrame:
         """Scan candidate data files with ``file_path``/``pos`` columns
-        attached (parquet ``_metadata``), prior position deletes
-        anti-joined away. Shared by :meth:`delete`, :meth:`update`,
-        :meth:`merge`.
+        attached (parquet ``_metadata``), prior position deletes (and,
+        via ``dvs``, v3 deletion vectors) anti-joined away. Shared by
+        :meth:`delete`, :meth:`update`, :meth:`merge`.
 
         With ``eq_deletes`` (and ``seq_of``: data path → sequence
         number), equality deletes are ALSO applied with the spec's
@@ -2325,12 +2413,24 @@ class IcebergTable:
                     F.col("_metadata.row_index").alias("pos"),
                 )
             )
-        if pos_deletes:
-            prior = (
-                self.spark.read.schema("file_path STRING, pos LONG")
-                .parquet(*sorted(pos_deletes))
-                .select(norm(F.col("file_path")).alias("file_path"), "pos")
-            )
+        if pos_deletes or dvs:
+            prior_parts = []
+            if pos_deletes:
+                prior_parts.append(
+                    self.spark.read.schema("file_path STRING, pos LONG")
+                    .parquet(*sorted(pos_deletes))
+                    .select(norm(F.col("file_path")).alias("file_path"), "pos")
+                )
+            if dvs:
+                prior_parts.append(
+                    self._dv_del_df(dvs).select(
+                        F.col("_fp").alias("file_path"),
+                        F.col("_ri").alias("pos"),
+                    )
+                )
+            prior = prior_parts[0]
+            for pp in prior_parts[1:]:
+                prior = prior.unionByName(pp)
             scan = scan.join(prior, ["file_path", "pos"], "left_anti")
         if need_seq:
             id_names = self.field_names_by_id()
@@ -2426,6 +2526,12 @@ class IcebergTable:
         trade (VERDICT r6 item 4). Returns ``{"rows_deleted",
         "files_touched"}``.
 
+        ``mode="dv"`` (v3 deletion vectors): matched rows are encoded
+        as ONE roaring bitmap per data file in a Puffin-style sidecar
+        (see :meth:`_delete_dv`) — the cheapest write of the three and
+        the modern default for high-churn soft deletes; bumps the
+        table to format-version 3 on first use.
+
         Scale shape (both modes): candidate data files prune on
         manifest bounds + partition tuples first; ONE distributed job
         computes matches; writes land distributed — the driver moves
@@ -2436,21 +2542,30 @@ class IcebergTable:
         from ent_fins_lakehouse_spark.sources.avro_io import write_ocf
         from ent_fins_lakehouse_spark.sources.skipping import prune_dirs
 
-        if mode not in ("mor", "cow"):
-            raise ValueError(f"delete mode must be 'mor' or 'cow', got {mode!r}")
+        if mode not in ("mor", "cow", "dv"):
+            raise ValueError(
+                f"delete mode must be 'mor', 'cow' or 'dv', got {mode!r}"
+            )
         meta = self.metadata()
         schema = self.schema(meta)
-        data, pos_deletes, eq_deletes = self._files()
+        data, pos_deletes, eq_deletes, dvs = self._files_full()
         if eq_deletes and mode != "cow":
             raise NotImplementedError(
                 "position-delete writes on tables carrying equality deletes "
                 "are not supported (sequence interplay) — use mode='cow' "
                 "or compact() first"
             )
+        if dvs and mode in ("mor", "cow"):
+            raise NotImplementedError(
+                "the table carries v3 deletion vectors — keep deleting with "
+                "mode='dv' (bitmaps merge per file) or compact() first"
+            )
         stats = {p: b for p, _, b in data}
         cand, _ = prune_dirs(predicate, stats, [p for p, _, _ in data])
         if not cand:
             return {"rows_deleted": 0, "files_touched": 0}
+        if mode == "dv":
+            return self._delete_dv(meta, schema, cand, pos_deletes, dvs, predicate)
         if mode == "cow":
             seq_of = {p: s for p, s, _ in data}
             return self._delete_cow(
@@ -2484,6 +2599,192 @@ class IcebergTable:
         ]
         self._commit_snapshot(meta, snaps, snap_id, seq, rows, "delete", now)
         return {"rows_deleted": rows_deleted, "files_touched": len(touched)}
+
+    def _delete_dv(
+        self,
+        meta: dict,
+        schema: T.StructType,
+        cand: list[str],
+        pos_deletes: list[str],
+        dvs: list,
+        predicate: str,
+    ) -> dict:
+        """DELETE via v3 DELETION VECTORS (spec: 'Deletion Vectors' +
+        Puffin 'deletion-vector-v1' blobs — the same portable 64-bit
+        RoaringBitmapArray serialization Delta uses, which is exactly
+        why the engine's roaring codec serves both formats): matched
+        rows are encoded as one bitmap PER DATA FILE, all blobs land in
+        one Puffin-style sidecar, and each gets a content=1 manifest
+        entry naming its ``referenced_data_file`` + blob
+        ``[content_offset, content_size_in_bytes)``. No data file is
+        rewritten — the soft-delete shape that makes high-churn DML
+        affordable on large files.
+
+        The v3 invariant — at most ONE deletion vector per data file —
+        is maintained by MERGING: a file's existing bitmap is unioned
+        with the new matches INSIDE the executor task that re-encodes
+        it, and prior pure-DV manifests are superseded by the one new
+        DV manifest (untouched files' entries carried verbatim with
+        their resolved sequence numbers). First DV write bumps the
+        table to format-version 3.
+
+        Scale shape: candidates pruned on bounds; ONE distributed scan
+        finds matches; per-file encode runs in applyInPandas tasks
+        (bitmaps never exceed a file's row count, KBs each); the
+        driver concatenates KB blobs into the sidecar and writes Avro
+        metadata — it never holds row data."""
+        import time
+        import uuid as _uuid
+
+        from ent_fins_lakehouse_spark.sources.avro_io import read_ocf, write_ocf
+
+        matched = (
+            self._scan_with_pos(schema, cand, pos_deletes, dvs=dvs)
+            .filter(predicate)
+            .select("file_path", "pos")
+        )
+        # old-DV descriptors join in so the merge happens IN the task
+        old_by_ref = {ref: (p, o, ln) for p, o, ln, ref, _ in dvs}
+        desc_df = self.spark.createDataFrame(
+            [(r, p, o, ln) for r, (p, o, ln) in sorted(old_by_ref.items())]
+            or [("", "", 0, 0)],
+            "file_path STRING, _dvp STRING, _dvo LONG, _dvl LONG",
+        ).filter("file_path <> ''")
+        joined = matched.join(F.broadcast(desc_df), "file_path", "left")
+
+        def encode(key, pdf):
+            import pandas as pd
+
+            from ent_fins_lakehouse_spark.sources.roaring import (
+                roaring64_payload,
+                roaring64_rows,
+            )
+
+            rows = set(int(x) for x in pdf["pos"])
+            dvp = pdf["_dvp"].iloc[0]
+            if isinstance(dvp, str) and dvp:
+                with open(dvp, "rb") as fh:
+                    fh.seek(int(pdf["_dvo"].iloc[0]))
+                    rows.update(roaring64_rows(fh.read(int(pdf["_dvl"].iloc[0]))))
+            return pd.DataFrame(
+                {
+                    "file_path": [key[0]],
+                    "payload": [roaring64_payload(sorted(rows))],
+                    "rows": [len(rows)],
+                }
+            )
+
+        enc = (
+            joined.groupBy("file_path")
+            .applyInPandas(encode, "file_path STRING, payload BINARY, rows LONG")
+            .collect()
+        )
+        if not enc:
+            return {"rows_deleted": 0, "files_touched": 0}
+
+        data_dir = os.path.join(self.path, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        blob_path = os.path.join(data_dir, f"{_uuid.uuid4().hex}-deletes.puffin")
+        new_rows_deleted = 0
+        new_entries: list[dict] = []
+        now = int(time.time() * 1000)
+        snaps = list(meta.get("snapshots") or [])
+        seq = int(meta.get("last-sequence-number") or 0) + 1
+        snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+        touched = set()
+        with open(blob_path, "wb") as fh:
+            fh.write(b"PUF1")  # engine puffin shim header (4 bytes)
+            off = 4
+            for r in sorted(enc, key=lambda r: r["file_path"]):
+                payload = bytes(r["payload"])
+                fh.write(payload)
+                prior_rows = 0
+                old = old_by_ref.get(r["file_path"])
+                if old is not None:
+                    prior_rows = next(
+                        n for p, o, ln, ref, n in dvs if ref == r["file_path"]
+                    )
+                new_rows_deleted += int(r["rows"]) - prior_rows
+                touched.add(r["file_path"])
+                new_entries.append(
+                    {
+                        "status": 1,
+                        "snapshot_id": snap_id,
+                        "sequence_number": None,
+                        "data_file": {
+                            "content": 1,
+                            "file_path": blob_path,
+                            "file_format": "PUFFIN",
+                            "record_count": int(r["rows"]),
+                            "file_size_in_bytes": len(payload),
+                            "referenced_data_file": r["file_path"],
+                            "content_offset": off,
+                            "content_size_in_bytes": len(payload),
+                        },
+                    }
+                )
+                off += len(payload)
+        # untouched files' existing DV entries ride into the new
+        # manifest verbatim (explicit resolved sequence, EXISTING)
+        for p, o, ln, ref, n in dvs:
+            if ref in touched:
+                continue
+            new_entries.append(
+                {
+                    "status": 0,
+                    "snapshot_id": snap_id,
+                    "sequence_number": seq - 1,
+                    "data_file": {
+                        "content": 1,
+                        "file_path": p,
+                        "file_format": "PUFFIN",
+                        "record_count": int(n),
+                        "file_size_in_bytes": int(ln),
+                        "referenced_data_file": ref,
+                        "content_offset": int(o),
+                        "content_size_in_bytes": int(ln),
+                    },
+                }
+            )
+        # prior manifests minus every pure-DV manifest (superseded by
+        # the one new DV manifest); mixed foreign manifests refused
+        rows = []
+        for r in self._prior_manifest_rows(meta, snaps):
+            if (r.get("content") or 0) == 1:
+                _, m_entries = read_ocf(self._resolve(r["manifest_path"]))
+                live = [e for e in m_entries if e.get("status") != 2]
+                dv_es = [
+                    e for e in live
+                    if (e.get("data_file") or {}).get("referenced_data_file")
+                ]
+                if dv_es and len(dv_es) != len(live):
+                    raise NotImplementedError(
+                        "manifest mixes deletion-vector and file-based "
+                        "delete entries — unsupported"
+                    )
+                if dv_es:
+                    continue
+            rows.append(r)
+        mpath = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
+        write_ocf(mpath, self._MANIFEST_SCHEMA, new_entries)
+        rows.append(
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": seq,
+                "added_snapshot_id": snap_id,
+            }
+        )
+        if int(meta.get("format-version") or 2) < 3:
+            meta = {**meta, "format-version": 3}
+        self._commit_snapshot(meta, snaps, snap_id, seq, rows, "delete", now)
+        return {
+            "rows_deleted": new_rows_deleted,
+            "files_touched": len(touched),
+            "dv_blob": blob_path,
+        }
 
     def _delete_cow(
         self,
@@ -2786,7 +3087,12 @@ class IcebergTable:
         unknown = set(assignments) - set(cols)
         if unknown:
             raise ValueError(f"UPDATE SET targets unknown columns {sorted(unknown)}")
-        data, pos_deletes, eq_deletes = self._files()
+        data, pos_deletes, eq_deletes, _dvs = self._files_full()
+        if _dvs:
+            raise NotImplementedError(
+                "UPDATE on tables carrying v3 deletion vectors is not "
+                "supported — compact() first (materializes the DVs)"
+            )
         if eq_deletes and mode != "cow":
             raise NotImplementedError(
                 "merge-on-read UPDATE on tables carrying equality deletes "
@@ -2947,7 +3253,12 @@ class IcebergTable:
                 f"match table schema {schema.simpleString()}"
             )
         source = source.select(cols)
-        data, pos_deletes, eq_deletes = self._files()
+        data, pos_deletes, eq_deletes, _dvs = self._files_full()
+        if _dvs:
+            raise NotImplementedError(
+                "MERGE on tables carrying v3 deletion vectors is not "
+                "supported — compact() first (materializes the DVs)"
+            )
         if eq_deletes and mode != "cow":
             raise NotImplementedError(
                 "merge-on-read MERGE on tables carrying equality deletes "
@@ -3532,7 +3843,7 @@ class IcebergTable:
         the multi-dimension Morton variant is the Delta side's
         ``optimize(zorder_by=…)``). Returns
         ``{"files_before", "files_after", "deletes_materialized"}``."""
-        data, pos_deletes, eq_deletes = self._files()
+        data, pos_deletes, eq_deletes, _dvs = self._files_full()
         meta = self.metadata()
         names = self.field_names_by_id(meta)
         spec_cols = [names[pf["source-id"]] for pf in self.partition_fields(meta)]
@@ -3557,7 +3868,7 @@ class IcebergTable:
         return {
             "files_before": len(data),
             "files_after": new_n,
-            "deletes_materialized": len(pos_deletes) + len(eq_deletes),
+            "deletes_materialized": len(pos_deletes) + len(eq_deletes) + len(_dvs),
         }
 
     def add_files(self, source_dir: str) -> int:
@@ -3856,10 +4167,14 @@ class IcebergTable:
             if (r.get("content") or 0) == 1:
                 _, m_entries = read_ocf(self._resolve(r["manifest_path"]))
                 live_entries = [e for e in m_entries if e.get("status") != 2]
-                if not any(
+                keep = any(
                     int((e.get("data_file") or {}).get("content") or 0) == 2
+                    # v3 deletion vectors are already one-per-file by
+                    # invariant — nothing to consolidate; carry them
+                    or (e.get("data_file") or {}).get("referenced_data_file")
                     for e in live_entries
-                ):
+                )
+                if not keep:
                     continue  # a pure pos-delete manifest: superseded
             rows.append(r)
         if entries:
@@ -3981,6 +4296,21 @@ class IcebergTable:
                 for e in live_entries
             ):
                 rows.append(r)
+                continue
+            # v3 deletion-vector manifests: each entry names its one
+            # referenced data file explicitly — dangling iff that file
+            # is no longer live; drop the manifest only when EVERY
+            # entry dangles (no parquet scan, the refs are metadata)
+            dv_refs = [
+                (e.get("data_file") or {}).get("referenced_data_file")
+                for e in live_entries
+            ]
+            if any(dv_refs):
+                refs = {self._resolve(x) for x in dv_refs if x}
+                if refs and not (refs & live):
+                    dropped += 1
+                else:
+                    rows.append(r)
                 continue
             if (r.get("content") or 0) == 1:
                 # which data files do this manifest's position-delete
@@ -4299,8 +4629,8 @@ def convert_iceberg_to_delta(spark, iceberg_table: "IcebergTable", dest: str):
 
     from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
 
-    data, pos_deletes, eq_deletes = iceberg_table._files()
-    if pos_deletes or eq_deletes:
+    data, pos_deletes, eq_deletes, _dvs = iceberg_table._files_full()
+    if pos_deletes or eq_deletes or _dvs:
         raise NotImplementedError(
             "table carries delete files — run compact() first to materialize "
             "them, then convert"
@@ -4600,8 +4930,8 @@ def sync_iceberg_to_delta(spark, iceberg_table: "IcebergTable", delta_table) -> 
             "schema drift since conversion — re-convert instead of syncing"
         )
 
-    data_now, pos_d, eq_d = iceberg_table._files()
-    if pos_d or eq_d:
+    data_now, pos_d, eq_d, dv_d = iceberg_table._files_full()
+    if pos_d or eq_d or dv_d:
         raise NotImplementedError(
             "snapshot carries delete files — run compact() first, then sync"
         )

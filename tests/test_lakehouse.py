@@ -5899,3 +5899,72 @@ def test_sql_properties_and_detail(spark, tmp_path):
     ice.set_ref("audit", ref_type="tag")
     refs = {r["name"]: (r["type"], r["snapshot_id"]) for r in ice.refs_df().collect()}
     assert refs["audit"][0] == "tag" and refs["main"][0] == "branch"
+
+
+def test_iceberg_deletion_vectors(spark, tmp_path):
+    """v3 deletion vectors: soft DELETE via per-file roaring bitmaps in
+    a Puffin-style sidecar. One-DV-per-file invariant under repeated
+    overlapping deletes (bitmaps merge in-executor); reads and the
+    dv-mode scan apply the masks; pre-DV snapshots time-travel intact;
+    MoR/CoW DML and converters refuse loudly; compact() materializes;
+    rewrite_manifests drops a DV manifest only when every referenced
+    data file is dead."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.iceberg import (
+        IcebergTable,
+        convert_iceberg_to_delta,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").cast("long"), (F.col("id") % 7).alias("k")
+    )
+    t = IcebergTable(spark, str(tmp_path / "dv"))
+    t.append(df.repartitionByRange(4, "id"))
+    head = t.snapshots()[-1]["snapshot-id"]
+
+    r = t.delete("id % 10 = 3", mode="dv")
+    assert r["rows_deleted"] == 20 and r["files_touched"] == 4
+    assert int(t.metadata()["format-version"]) == 3
+    assert t.read().count() == 180
+    assert t.read(snapshot_id=head).count() == 200  # time travel
+
+    # overlapping second delete merges bitmaps, one DV per file
+    r2 = t.delete("id % 5 = 3", mode="dv")  # overlaps %10=3 (half)
+    assert r2["rows_deleted"] == 20  # 40 matching ids, 20 already dead
+    dvs = t._dv_entries()
+    refs = [x[3] for x in dvs]
+    assert len(refs) == len(set(refs)) == 4
+    assert t.read().count() == 160
+
+    # files_df shows the DV rows as content=1 PUFFIN entries
+    fdf = t.files_df().filter("content = 1").collect()
+    assert len(fdf) == 4 and all(r["file_format"] == "PUFFIN" for r in fdf)
+
+    # refusals: MoR/CoW DML, UPDATE, MERGE, converters
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        t.delete("id = 4", mode="mor")
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        t.delete("id = 4", mode="cow")
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        t.update({"k": "k + 1"}, "id = 4")
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        t.merge(df.limit(1), on=["id"])
+    with pytest.raises(NotImplementedError, match="delete files"):
+        convert_iceberg_to_delta(spark, t, str(tmp_path / "conv"))
+
+    # rewrite_manifests keeps the LIVE DV manifest
+    before = {tuple(r) for r in t.read().collect()}
+    t.rewrite_manifests()
+    assert {tuple(r) for r in t.read().collect()} == before
+    assert len(t._dv_entries()) == 4
+
+    # compact materializes: plain scan, no DV entries, rows unchanged
+    res = t.compact(target_files=2)
+    assert res["deletes_materialized"] >= 4
+    assert t._dv_entries() == []
+    assert {tuple(r) for r in t.read().collect()} == before
+    # post-compact the old DV manifests are gone from the new snapshot;
+    # a further rewrite_manifests stays consistent
+    t.rewrite_manifests()
+    assert {tuple(r) for r in t.read().collect()} == before
