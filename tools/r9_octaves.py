@@ -117,6 +117,25 @@ def main() -> int:
         results[f"rpd_rows_{tag}"] = res["rows_after"]
         results[f"rpd_wall_s_{tag}"] = round(wt, 2)
 
+    # ---- v3 deletion vectors: write cost ~ deleted rows ----
+    # the delete predicate matches an SF-proportional row set spread
+    # over a FIXED number of files; the DV write must track the rows
+    # (bitmap encode) plus fixed commit cost — never the table bytes
+    for tag, sfd in (("1x", args.sf), (f"{args.factor}x", big)):
+        td = os.path.join(args.out, f"dv_{tag}")
+        shutil.rmtree(td, ignore_errors=True)
+        t = IcebergTable(spark, td)
+        t.append(
+            load_table(spark, sfd, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .repartitionByRange(8, "o_custkey")
+        )
+        wt, res = timed(lambda: t.delete("o_orderkey % 10 = 3", mode="dv"))
+        rt, n = timed(lambda: t.read().count())
+        results[f"dv_delete_s_{tag}"] = round(wt, 2)
+        results[f"dv_rows_deleted_{tag}"] = res["rows_deleted"]
+        results[f"dv_masked_read_s_{tag}"] = round(rt, 2)
+
     # ---- materialized view: refresh cost ~ changes, not table ----
     # the SAME absolute change set (delete one group of ~1% of keys)
     # against a 1x and an Nx base: incremental refresh must stay
