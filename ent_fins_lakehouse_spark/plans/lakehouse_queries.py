@@ -6542,19 +6542,25 @@ def q339_delta_uniform_auto_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the facade resolves the legitimate dual-format root to Delta
     assert isinstance(open_table(spark, dl.path), DeltaLogTable)
 
-    # a DV delete makes the table non-convertible: sync refuses LOUDLY
-    # but the Delta commit stays durable and the twin consistently stale
+    # a DV delete syncs too: the descriptors TRANSLATE into v3 DV
+    # entries against the same .bin bytes — the twin masks immediately
     n_before_delete = ice.read().count()
-    dl.delete("o_orderkey % 10 = 6")
+    res = dl.delete("o_orderkey % 10 = 6")
     st = dl.uniform_status()
-    assert st and not st["ok"] and "deletion vector" in st["reason"].lower(), st
-    assert IcebergTable(spark, dl.path).read().count() == n_before_delete
+    assert st and st["ok"], st
+    ice2 = IcebergTable(spark, dl.path)
+    assert int(ice2.metadata()["format-version"]) == 3
+    assert ice2.read().count() == n_before_delete - res["rows_deleted"]
+    assert ice2.read().count() == dl.read().count()
+    assert len(ice2._dv_entries()) >= 1
 
-    # REORG PURGE materializes the DVs; its commit self-heals the twin
+    # REORG PURGE materializes; the twin follows back to a plain scan
     dl.reorg_purge()
     st = dl.uniform_status()
     assert st and st["ok"], st
-    twin = IcebergTable(spark, dl.path).read()
+    ice3 = IcebergTable(spark, dl.path)
+    assert ice3._dv_entries() == []
+    twin = ice3.read()
     assert twin.count() == dl.read().count()
 
     return (

@@ -4497,9 +4497,13 @@ def convert_delta_to_iceberg(spark, delta_table, dest: str) -> "IcebergTable":
     the converted table file-skips exactly like the source; files whose
     stats are absent fall back to a footer-metadata read (no data scan).
 
+    Live deletion vectors TRANSLATE rather than refuse (since v3 both
+    formats share the portable RoaringBitmapArray serialization): each
+    Delta DV descriptor becomes an Iceberg v3 DV entry pointing at the
+    SAME ``.bin`` payload bytes, and the converted table lands at
+    format-version 3.
+
     Refused loudly (each needs a data rewrite, not metadata):
-    - tables with live deletion vectors (OPTIMIZE first — it
-      materializes them),
     - hive-partitioned tables (Delta's layout DROPS partition columns
       from the files; Iceberg requires them present),
     - column-mapped tables (physical names differ from logical).
@@ -4525,12 +4529,6 @@ def convert_delta_to_iceberg(spark, delta_table, dest: str) -> "IcebergTable":
         "delta.columnMapping.mode", "none"
     ) != "none":
         raise NotImplementedError("converting a column-mapped Delta table is not supported")
-    if any(i["deletionVector"] for i in adds.values()):
-        raise NotImplementedError(
-            "table carries live deletion vectors — run reorg_purge() first "
-            "(rewrites ONLY the DV'd files), then convert"
-        )
-
     now = int(time.time() * 1000)
     fields = [
         {"id": i + 1, "name": f.name, "required": False,
@@ -4543,28 +4541,41 @@ def convert_delta_to_iceberg(spark, delta_table, dest: str) -> "IcebergTable":
     packf = {"int": "<i", "long": "<q", "float": "<f", "double": "<d"}
 
     entries = _delta_file_entries(delta_table, adds, ids, itypes, 1)
+    # live Delta deletion vectors translate to Iceberg v3 DV entries
+    # pointing at the SAME .bin payload bytes (shared serialization)
+    dv_entries = _delta_dv_entries(delta_table, adds, 1)
 
     meta_dir = os.path.join(dest, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     mpath = os.path.join(meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
     write_ocf(mpath, IcebergTable._MANIFEST_SCHEMA, entries)
-    lpath = os.path.join(meta_dir, f"snap-1-{_uuid.uuid4().hex}.avro")
-    write_ocf(
-        lpath,
-        IcebergTable._MANIFEST_LIST_SCHEMA,
-        [
+    list_rows = [
+        {
+            "manifest_path": mpath,
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": 1,
+            "added_snapshot_id": 1,
+        }
+    ]
+    if dv_entries:
+        dpath = os.path.join(meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
+        write_ocf(dpath, IcebergTable._MANIFEST_SCHEMA, dv_entries)
+        list_rows.append(
             {
-                "manifest_path": mpath,
-                "manifest_length": os.path.getsize(mpath),
+                "manifest_path": dpath,
+                "manifest_length": os.path.getsize(dpath),
                 "partition_spec_id": 0,
-                "content": 0,
+                "content": 1,
                 "sequence_number": 1,
                 "added_snapshot_id": 1,
             }
-        ],
-    )
+        )
+    lpath = os.path.join(meta_dir, f"snap-1-{_uuid.uuid4().hex}.avro")
+    write_ocf(lpath, IcebergTable._MANIFEST_LIST_SCHEMA, list_rows)
     new_meta = {
-        "format-version": 2,
+        "format-version": 3 if dv_entries else 2,
         "table-uuid": str(_uuid.uuid4()),
         "location": dest,
         "last-sequence-number": 1,
@@ -4727,6 +4738,63 @@ def convert_iceberg_to_delta(spark, iceberg_table: "IcebergTable", dest: str):
     return dl
 
 
+def _delta_dv_entries(delta_table, adds: dict, snap_id: int) -> list[dict]:
+    """Translate Delta DELETION-VECTOR descriptors into Iceberg v3 DV
+    manifest entries POINTING AT THE DELTA .BIN FILES THEMSELVES —
+    possible because v3 chose the same portable RoaringBitmapArray
+    serialization: the payload at descriptor ``offset``+4 (past the
+    u32 size word) IS the Iceberg blob, byte for byte. Inline ('i')
+    descriptors are refused (no file to reference). Zero bytes move."""
+    import base64
+    import uuid as _uuid
+
+    entries: list[dict] = []
+    for rel, info in sorted(adds.items()):
+        dv = info.get("deletionVector")
+        if not dv:
+            continue
+        st = dv.get("storageType")
+        if st == "u":
+            enc = dv["pathOrInlineDv"]
+            prefix, enc_uuid = enc[:-20], enc[-20:]
+            u = _uuid.UUID(bytes=base64.b85decode(enc_uuid))
+            name = f"deletion_vector_{u}.bin"
+            fpath = (
+                os.path.join(delta_table.path, prefix, name)
+                if prefix
+                else os.path.join(delta_table.path, name)
+            )
+        elif st == "p":
+            fpath = dv["pathOrInlineDv"]
+            if not os.path.isabs(fpath):
+                fpath = os.path.join(delta_table.path, fpath)
+        else:
+            raise NotImplementedError(
+                f"deletion vector storage type {st!r} cannot be referenced "
+                "as an Iceberg blob — run reorg_purge() first"
+            )
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "sequence_number": None,
+                "data_file": {
+                    "content": 1,
+                    "file_path": os.path.abspath(fpath),
+                    "file_format": "PUFFIN",
+                    "record_count": int(dv.get("cardinality") or 0),
+                    "file_size_in_bytes": int(dv["sizeInBytes"]),
+                    "referenced_data_file": os.path.abspath(
+                        os.path.join(delta_table.path, rel)
+                    ),
+                    "content_offset": int(dv.get("offset") or 0) + 4,
+                    "content_size_in_bytes": int(dv["sizeInBytes"]),
+                },
+            }
+        )
+    return entries
+
+
 def _delta_file_entries(
     delta_table, adds: dict, ids: dict, itypes: dict, snap_id: int
 ) -> list[dict]:
@@ -4829,10 +4897,6 @@ def sync_delta_to_iceberg(spark, delta_table, iceberg_table: "IcebergTable") -> 
         "delta.columnMapping.mode", "none"
     ) != "none":
         raise NotImplementedError("sync of a column-mapped Delta table is not supported")
-    if any(i["deletionVector"] for i in adds_now.values()):
-        raise NotImplementedError(
-            "table carries live deletion vectors — run reorg_purge() first, then sync"
-        )
     ice_schema = iceberg_table._ice_schema(meta)
     ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
     itypes = {f["name"]: f["type"] for f in ice_schema["fields"]}
@@ -4846,7 +4910,25 @@ def sync_delta_to_iceberg(spark, delta_table, iceberg_table: "IcebergTable") -> 
     now = int(time.time() * 1000)
     seq = int(meta.get("last-sequence-number") or 0) + 1
     snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
-    if gone:
+    # Delta deletion vectors translate to v3 DV entries against the
+    # same .bin payloads (shared serialization); any DV difference —
+    # new DV, merged bitmap, DV'd file rewritten away — rebuilds the
+    # (one) DV manifest alongside the data rows
+    dv_entries = _delta_dv_entries(delta_table, adds_now, snap_id)
+    dv_now = {
+        (
+            e["data_file"]["file_path"],
+            e["data_file"]["content_offset"],
+            e["data_file"]["content_size_in_bytes"],
+            e["data_file"]["referenced_data_file"],
+        )
+        for e in dv_entries
+    }
+    dv_before = {
+        (p, o, ln, ref) for p, o, ln, ref, _ in iceberg_table._dv_entries()
+    }
+    dv_changed = dv_now != dv_before
+    if gone or dv_changed:
         entries = _delta_file_entries(delta_table, adds_now, ids, itypes, snap_id)
         rows = []
         operation = "replace"
@@ -4868,6 +4950,23 @@ def sync_delta_to_iceberg(spark, delta_table, iceberg_table: "IcebergTable") -> 
             "added_snapshot_id": snap_id,
         }
     )
+    if (gone or dv_changed) and dv_entries:
+        dpath = os.path.join(
+            iceberg_table.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro"
+        )
+        write_ocf(dpath, IcebergTable._MANIFEST_SCHEMA, dv_entries)
+        rows.append(
+            {
+                "manifest_path": dpath,
+                "manifest_length": os.path.getsize(dpath),
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": seq,
+                "added_snapshot_id": snap_id,
+            }
+        )
+    if dv_entries and int(meta.get("format-version") or 2) < 3:
+        meta = {**meta, "format-version": 3}
     return iceberg_table._commit_snapshot(
         meta, snaps, snap_id, seq, rows, operation, now,
         summary_extra={"converted-from": "delta", "delta-version": str(cur)},

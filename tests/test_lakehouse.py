@@ -2089,13 +2089,19 @@ def test_convert_delta_to_iceberg_metadata_only(spark, tmp_path):
     }
     assert it.scan_info("id < 400")["n_pruned"] >= 1
     assert set(r["id"] for r in it.read(where="id < 5").collect()) == {0, 1, 2, 3, 4}
-    # refusals
+    # live Delta DVs TRANSLATE (r9): the converted table is v3 with DV
+    # entries pointing at the same .bin payload bytes — rows masked
     dl.delete("id % 2 = 0")
-    with _pytest.raises(NotImplementedError, match="deletion vectors"):
-        convert_delta_to_iceberg(spark, dl, str(tmp_path / "i2"))
-    # OPTIMIZE materializes the DVs → conversion unblocks
+    itdv = convert_delta_to_iceberg(spark, dl, str(tmp_path / "i2"))
+    assert int(itdv.metadata()["format-version"]) == 3
+    assert len(itdv._dv_entries()) >= 1
+    assert itdv.read().count() == 1000
+    assert set(r["id"] for r in itdv.read(where="id < 5").collect()) == {1, 3}
+    # OPTIMIZE materializes the DVs → a fresh conversion is plain v2
     dl.optimize(target_files=2)
     it2 = convert_delta_to_iceberg(spark, dl, str(tmp_path / "i3"))
+    assert int(it2.metadata()["format-version"]) == 2
+    assert it2._dv_entries() == []
     assert it2.read().count() == 1000
     pd = str(tmp_path / "dp")
     dlp = DeltaLogTable(spark, pd)
