@@ -54,6 +54,7 @@ def _load_all() -> None:
     import ent_fins_lakehouse_spark.plans.streaming_queries  # noqa: F401
     import ent_fins_lakehouse_spark.plans.llm_queries  # noqa: F401
     import ent_fins_lakehouse_spark.plans.ml_queries  # noqa: F401
+    import ent_fins_lakehouse_spark.plans.geo_queries  # noqa: F401
 
 
 def queries_map() -> dict[str, SparkQuery]:
