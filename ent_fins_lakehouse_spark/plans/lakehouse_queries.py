@@ -6807,3 +6807,115 @@ def q343_iceberg_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q346_iceberg_row_lineage",
+    oracle="""
+    WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+    b1 AS (SELECT k, ROW_NUMBER() OVER (ORDER BY k) - 1 AS r FROM o WHERE k % 3 = 0),
+    b2 AS (SELECT k, ROW_NUMBER() OVER (ORDER BY k) - 1 AS r FROM o WHERE k % 3 = 1),
+    b3 AS (SELECT k, ROW_NUMBER() OVER (ORDER BY k) - 1 AS r FROM o WHERE k % 3 = 2),
+    n AS (SELECT (SELECT COUNT(*) FROM b1) AS n1,
+                 (SELECT COUNT(*) FROM b2) AS n2,
+                 (SELECT COUNT(*) FROM b3) AS n3),
+    ids AS (
+      SELECT k, r AS rid, 2 AS lusn FROM b1
+      UNION ALL SELECT k, r + n1 AS rid, 3 AS lusn FROM b2, n
+      UNION ALL SELECT k, r + n1 + n2 AS rid, 4 AS lusn FROM b3, n
+    ),
+    alive AS (SELECT * FROM ids WHERE k % 10 >= 2),
+    b4 AS (
+      SELECT k + 10000000 AS k,
+             r + (SELECT n1 + n2 + n3 FROM n)
+               + (SELECT COUNT(*) FROM alive) AS rid,
+             7 AS lusn
+      FROM b1
+    ),
+    allr AS (SELECT * FROM alive UNION ALL SELECT * FROM b4)
+    SELECT CAST(lusn AS BIGINT) AS last_updated_seq,
+           COUNT(*) AS n_rows,
+           MIN(rid) AS min_row_id,
+           MAX(rid) AS max_row_id,
+           CAST(SUM(rid) AS BIGINT) AS sum_row_id
+    FROM allr GROUP BY lusn ORDER BY last_updated_seq
+    """,
+    tags=("lakehouse", "iceberg", "v3", "lineage"),
+)
+def q346_iceberg_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 ROW LINEAGE (spec 'Row Lineage'): every row gets a
+    stable ``_row_id`` and a ``_last_updated_sequence_number``, with
+    NO per-row write cost — ids are INHERITED as ``first_row_id +
+    file position`` from a per-file slice of the table's monotonic
+    ``next-row-id`` counter, assigned at commit time in the same
+    atomic metadata write (``sources/iceberg.py``:
+    ``enable_row_lineage`` / ``_stage_data_entries`` /
+    ``_commit_snapshot``). Rewrites MATERIALIZE the two columns into
+    the new files (reserved field ids 2147483540/2147483539) so
+    compaction preserves ids exactly, UPDATE/MERGE keep a row's id
+    across versions while stamping the new commit's sequence, and
+    inserts inherit fresh ids from their file's slice — readers just
+    ``coalesce(materialized, first_row_id + pos)`` after a broadcast
+    join against the per-file lineage dim (one scan, O(files) driver
+    metadata; see :meth:`read_with_lineage`).
+
+    Lifecycle exercised here: enable → three single-file sorted
+    appends (deterministic id ranks, which is what makes the DuckDB
+    oracle expressible) → DV soft delete (surviving ids UNCHANGED —
+    positions are original file positions) → compact (ids preserved
+    via materialization; the counter over-allocates, spec-legal) →
+    post-compact append (fresh ids above everything prior). Output:
+    per last-updated sequence, row count and the id range/checksum.
+
+    100 TB shape: lineage adds ONE long per manifest entry and one
+    counter to table metadata — no id column shuffled or stored until
+    a rewrite materializes it; the id resolution is a broadcast hash
+    join against KB-sized file metadata."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k")
+    )
+    t = IcebergTable(spark, _scratch("icerl") + "_t")
+    t.append(o.limit(0).coalesce(1))
+    t.enable_row_lineage()
+    assert int(t.metadata()["format-version"]) == 3
+    assert t.metadata()["next-row-id"] == 0
+    for m in (0, 1, 2):
+        t.append(o.filter(f"k % 3 = {m}").coalesce(1).sortWithinPartitions("k"))
+    n_total = t.read().count()
+    assert t.metadata()["next-row-id"] == n_total, "counter != appended rows"
+
+    t.delete("k % 10 < 2", mode="dv")
+    lin = t.read_with_lineage()
+    n_alive = lin.count()
+    assert lin.select("_row_id").distinct().count() == n_alive, "ids not unique"
+
+    pre = dict(
+        lin.select("k", "_row_id").orderBy("k").limit(50).collect()
+    )
+    t.compact(target_files=4)
+    post = dict(
+        t.read_with_lineage().select("k", "_row_id").orderBy("k").limit(50).collect()
+    )
+    assert post == pre, "compaction changed row ids"
+
+    t.append(
+        o.filter("k % 3 = 0")
+        .selectExpr("k + 10000000 AS k")
+        .coalesce(1)
+        .sortWithinPartitions("k")
+    )
+    return (
+        t.read_with_lineage()
+        .groupBy(
+            F.col("_last_updated_sequence_number").alias("last_updated_seq")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_row_id").alias("min_row_id"),
+            F.max("_row_id").alias("max_row_id"),
+            F.sum("_row_id").alias("sum_row_id"),
+        )
+        .orderBy("last_updated_seq")
+    )

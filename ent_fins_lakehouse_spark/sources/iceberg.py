@@ -311,6 +311,16 @@ def _canonical_spec(pf: dict, names: dict[int, str]) -> str:
     return col
 
 
+#: v3 row-lineage metadata columns → reserved field ids (spec
+#: 'Reserved Field IDs': _row_id = 2147483540,
+#: _last_updated_sequence_number = 2147483539). Stamped as parquet
+#: field ids when a rewrite MATERIALIZES lineage into data files.
+ROW_LINEAGE_COLS: dict[str, int] = {
+    "_row_id": 2147483540,
+    "_last_updated_sequence_number": 2147483539,
+}
+
+
 class IcebergTable:
     """Read-only snapshot reads over an Iceberg v1/v2 table directory."""
 
@@ -878,6 +888,7 @@ class IcebergTable:
         if not has_ids:
             return schema
         ids = {f["name"]: f["id"] for f in self._ice_schema()["fields"]}
+        ids.update(ROW_LINEAGE_COLS)  # reserved metadata-column ids (v3)
         if not all(f.name in ids for f in schema.fields):
             return schema
         self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
@@ -1015,6 +1026,12 @@ class IcebergTable:
                     {"name": "referenced_data_file", "type": ["null", "string"]},
                     {"name": "content_offset", "type": ["null", "long"]},
                     {"name": "content_size_in_bytes", "type": ["null", "long"]},
+                    # v3 row lineage (spec data_file field 142): the
+                    # _row_id of the file's first row; rows inherit
+                    # first_row_id + position. Null when the file
+                    # predates lineage or carries MATERIALIZED _row_id
+                    # columns (rewrites preserving ids).
+                    {"name": "first_row_id", "type": ["null", "long"]},
                     {"name": "lower_bounds", "type": ["null", {
                         "type": "array", "items": {
                             "type": "record", "name": "k126", "fields": [
@@ -1123,6 +1140,14 @@ class IcebergTable:
         st = tempfile.mkdtemp(prefix="icew_")
         entries: list[dict] = []
         spark_types = {f.name: f.dataType for f in df.schema.fields}
+        # v3 row lineage: materialized lineage columns (a preserving
+        # rewrite, e.g. compact) get the spec's RESERVED field ids so
+        # the alias loop below can stamp them; they never enter bounds
+        # (itypes has no entry) and their entries keep first_row_id
+        # null — readers use the materialized values instead.
+        materialized_lineage = any(c in df.columns for c in ROW_LINEAGE_COLS)
+        if materialized_lineage:
+            ids = {**ids, **{c: fid for c, fid in ROW_LINEAGE_COLS.items() if c in df.columns}}
 
         names_by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
         # (pf_name, src_col, kind, param) with kind ∈ identity|bucket|truncate
@@ -1299,6 +1324,27 @@ class IcebergTable:
                 )
         finally:
             shutil.rmtree(st, ignore_errors=True)
+        # v3 row lineage: slice the table's next-row-id counter across
+        # the freshly staged files (entry first_row_id; rows inherit
+        # coalesce(materialized _row_id, first_row_id + position)).
+        # ALWAYS assigned, even on preserving rewrites whose rows carry
+        # materialized ids — the spec allows over-allocation (next-row-id
+        # only ever grows), and it is what gives a MIXED file (merge:
+        # carried-over rows materialized, inserts null) fresh unique ids
+        # for exactly its null-id rows. Stashed as PENDING — only the
+        # _commit_snapshot that lands this staging advances the counter,
+        # keeping assignment transactional with the commit.
+        self._pending_row_lineage = None
+        try:
+            next_rid = self.metadata().get("next-row-id")
+        except (FileNotFoundError, ValueError, OSError):
+            next_rid = None  # brand-new table: lineage not enabled yet
+        if next_rid is not None:
+            rid = start = int(next_rid)
+            for e in entries:
+                e["data_file"]["first_row_id"] = rid
+                rid += int(e["data_file"]["record_count"])
+            self._pending_row_lineage = (start, rid)
         return entries
 
     def _prior_manifest_rows(
@@ -1422,8 +1468,17 @@ class IcebergTable:
             if branch is not None
             else meta.get("current-snapshot-id")
         )
+        # v3 row lineage: a staging pass may have sliced the row-id
+        # counter (see _stage_data_entries) — the snapshot records its
+        # first-row-id and the table's next-row-id advances in the SAME
+        # atomic metadata commit. Popped unconditionally so a stale
+        # pending from an aborted op can never leak into a later commit.
+        pending_lineage = getattr(self, "_pending_row_lineage", None)
+        self._pending_row_lineage = None
+        lineage_on = pending_lineage is not None and "next-row-id" in meta
         new_meta = {
             **meta,
+            **({"next-row-id": pending_lineage[1]} if lineage_on else {}),
             "last-sequence-number": seq,
             "last-updated-ms": now,
             **(
@@ -1449,6 +1504,7 @@ class IcebergTable:
                         if snaps and parent not in (None, -1)
                         else {}
                     ),
+                    **({"first-row-id": pending_lineage[0]} if lineage_on else {}),
                     "sequence-number": seq,
                     "timestamp-ms": now,
                     "manifest-list": lpath,
@@ -1840,6 +1896,132 @@ class IcebergTable:
                 best = max(best, int(summ["batch-id"]))
         return best
 
+    # ------------------------------------------------ v3 row lineage
+
+    def enable_row_lineage(self) -> None:
+        """Upgrade the table to v3 ROW LINEAGE (spec 'Row Lineage'):
+        metadata gains ``next-row-id``; every subsequent data-adding
+        commit slices that counter across its new files (entry
+        ``first_row_id``, snapshot ``first-row-id``) so each row has a
+        stable ``_row_id = first_row_id + position`` and a
+        ``_last_updated_sequence_number`` (its file's data sequence).
+        Files written BEFORE the upgrade keep null lineage (readers
+        surface NULL ids — the spec's upgrade rule). Metadata-only,
+        idempotent, O_EXCL-committed."""
+        meta = self.metadata()
+        if "next-row-id" in meta:
+            return
+        self._write_metadata(
+            {**meta, "format-version": 3, "next-row-id": 0}
+        )
+
+    def _first_row_ids(self, snapshot_id: int | None = None) -> dict[str, int | None]:
+        """Per live data file: ``first_row_id`` (None = pre-lineage file
+        or a preserving rewrite carrying materialized ids). Driver-side
+        manifest walk, O(entries) — the same weight as _files_full."""
+        meta = self.metadata()
+        snaps = meta.get("snapshots") or []
+        if snapshot_id is None:
+            snapshot_id = meta.get("current-snapshot-id")
+        snap = next((s for s in snaps if s["snapshot-id"] == snapshot_id), None)
+        if snap is None:
+            return {}
+        out: dict[str, int | None] = {}
+        _, manifests = read_ocf(self._resolve(snap["manifest-list"]))
+        for m in manifests:
+            _, entries = read_ocf(self._resolve(m["manifest_path"]))
+            for e in entries:
+                if e.get("status") == 2:
+                    continue
+                df_rec = e["data_file"]
+                if (df_rec.get("content") or 0) != 0:
+                    continue
+                out[self._resolve(df_rec["file_path"])] = df_rec.get("first_row_id")
+        return out
+
+    def _lineage_ext_schema(self, schema: T.StructType) -> T.StructType:
+        """Table schema + the two v3 lineage metadata columns (nullable
+        — files that never materialized them read NULL for free)."""
+        return T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField("_row_id", T.LongType(), True),
+                T.StructField("_last_updated_sequence_number", T.LongType(), True),
+            ]
+        )
+
+    def _lineage_scan_cols(
+        self,
+        scan: DataFrame,
+        files_seq: dict[str, int],
+        frids: dict[str, int | None],
+    ) -> DataFrame:
+        """Resolve the lineage columns on a ``_scan_with_pos`` result:
+        broadcast-join the per-file dim (path → first_row_id, data
+        sequence) and ``coalesce(materialized, first_row_id + pos)`` /
+        ``coalesce(materialized, file sequence)`` in codegen. O(files)
+        driver metadata; the scan itself stays one plan."""
+        dim = self.spark.createDataFrame(
+            [(p, frids.get(p), s) for p, s in files_seq.items()],
+            "file_path string, _frid long, _fseq long",
+        )
+        return (
+            scan.join(F.broadcast(dim), "file_path")
+            .withColumn(
+                "_row_id",
+                F.coalesce(F.col("_row_id"), F.col("_frid") + F.col("pos")),
+            )
+            .withColumn(
+                "_last_updated_sequence_number",
+                F.coalesce(
+                    F.col("_last_updated_sequence_number"), F.col("_fseq")
+                ),
+            )
+            .drop("_frid", "_fseq")
+        )
+
+    def read_with_lineage(self, snapshot_id: int | None = None) -> DataFrame:
+        """Scan with the v3 row-lineage metadata columns attached:
+        table columns + ``_row_id`` + ``_last_updated_sequence_number``.
+
+        Spark-first shape: ONE scan of all live data files with the two
+        lineage columns in the read schema (files that never
+        materialized them — the common case — read NULL for free), then
+        a BROADCAST join against the per-file lineage dim (path →
+        first_row_id, sequence) and
+        ``coalesce(materialized, first_row_id + position)`` in codegen.
+        Deletes (position files, v3 DVs, equality deletes with the
+        sequence rule) are applied by the shared :meth:`_scan_with_pos`
+        — surviving rows keep their ORIGINAL positions, so ids are
+        stable under any soft delete. O(files) driver metadata, no
+        per-file plan branches — the layout scales like a plain scan."""
+        meta = self.metadata()
+        if "next-row-id" not in meta:
+            raise ValueError(
+                "row lineage is not enabled on this table — call "
+                "enable_row_lineage() first"
+            )
+        schema = self.schema(meta)
+        ext = self._lineage_ext_schema(schema)
+        data, pos_deletes, eq_deletes, dvs = self._files_full(snapshot_id)
+        if not data:
+            return self.spark.createDataFrame([], ext)
+        seq_of = {p: s for p, s, _ in data}
+        scan = self._scan_with_pos(
+            ext,
+            [p for p, _, _ in data],
+            pos_deletes,
+            eq_deletes=eq_deletes or None,
+            seq_of=seq_of if eq_deletes else None,
+            dvs=dvs or None,
+        )
+        out = self._lineage_scan_cols(scan, seq_of, self._first_row_ids(snapshot_id))
+        return out.select(
+            *[f.name for f in schema.fields],
+            "_row_id",
+            "_last_updated_sequence_number",
+        )
+
     def append(
         self,
         df: DataFrame,
@@ -1882,7 +2064,18 @@ class IcebergTable:
             ice_schema = self._ice_schema(meta)
             spark_schema = self.schema(meta)
             want = {f.name: f.dataType for f in spark_schema.fields}
-            have = {f.name: f.dataType for f in df.schema.fields}
+            # v3 row lineage: a preserving rewrite (compact) appends the
+            # table columns PLUS materialized _row_id /
+            # _last_updated_sequence_number — metadata columns, never
+            # part of the table schema; they ride into the data files.
+            lineage_cols = [
+                c for c in ROW_LINEAGE_COLS if c in df.columns and "next-row-id" in meta
+            ]
+            have = {
+                f.name: f.dataType
+                for f in df.schema.fields
+                if f.name not in lineage_cols
+            }
             if sorted(have) != sorted(want) or any(
                 have[n] != t for n, t in want.items()
             ):
@@ -1890,7 +2083,7 @@ class IcebergTable:
                     f"append schema {df.schema.simpleString()} does not match "
                     f"table schema {spark_schema.simpleString()}"
                 )
-            df = df.select(*[f.name for f in spark_schema.fields])
+            df = df.select(*[f.name for f in spark_schema.fields], *lineage_cols)
             part_fields = self.partition_fields(meta)
             names = self.field_names_by_id(meta)
             spec_cols = [_canonical_spec(pf, names) for pf in part_fields]
@@ -2818,15 +3011,25 @@ class IcebergTable:
         affected = {r["file_path"] for r in per_file}
         rows_deleted = sum(r["count"] for r in per_file)
         cols = [f.name for f in schema.fields]
+        # v3 row lineage: carried-over survivors keep BOTH lineage
+        # columns, materialized into the rewritten files.
+        lineage = "next-row-id" in meta
+        scan_schema = self._lineage_ext_schema(schema) if lineage else schema
         # NULL-safe survivor filter: rows where the predicate evaluates
         # to NULL are NOT matches, so they must survive the rewrite —
         # plain NOT (pred) would drop them (three-valued logic).
-        survivors = (
-            self._scan_with_pos(
-                schema, sorted(affected), pos_deletes, eq_deletes, seq_of
+        survivors = self._scan_with_pos(
+            scan_schema, sorted(affected), pos_deletes, eq_deletes, seq_of
+        )
+        if lineage:
+            survivors = self._lineage_scan_cols(
+                survivors,
+                {p: (seq_of or {}).get(p, 0) for p in sorted(affected)},
+                self._first_row_ids(),
             )
-            .filter(f"NOT coalesce(({predicate}), false)")
-            .select(*cols)
+        survivors = survivors.filter(f"NOT coalesce(({predicate}), false)").select(
+            *cols,
+            *(["_row_id", "_last_updated_sequence_number"] if lineage else []),
         )
         now = int(time.time() * 1000)
         seq = int(meta.get("last-sequence-number") or 0) + 1
@@ -3107,12 +3310,31 @@ class IcebergTable:
             cand = [p for p, _, _ in data]
         if not cand:
             return {"rows_updated": 0, "snapshot_id": meta.get("current-snapshot-id")}
-        scan = self._scan_with_pos(schema, cand, pos_deletes, eq_deletes, seq_of)
-        matched = scan.filter(predicate) if predicate else scan
+        # v3 row lineage: an UPDATE preserves _row_id (that is lineage's
+        # point — one id across a row's versions) and stamps the new
+        # commit's sequence as _last_updated_sequence_number; survivors
+        # carried by a CoW rewrite keep BOTH. Materialized into the new
+        # files; their entries still get (over-allocated) first_row_id.
+        lineage = "next-row-id" in meta
+        scan_schema = self._lineage_ext_schema(schema) if lineage else schema
+        scan = self._scan_with_pos(scan_schema, cand, pos_deletes, eq_deletes, seq_of)
         now = int(time.time() * 1000)
         seq = int(meta.get("last-sequence-number") or 0) + 1
         snaps = list(meta.get("snapshots") or [])
         snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+        if lineage:
+            scan = self._lineage_scan_cols(
+                scan, {p: seq_of[p] for p in cand}, self._first_row_ids()
+            )
+        matched = scan.filter(predicate) if predicate else scan
+        upd_lineage = (
+            [
+                F.col("_row_id"),
+                F.lit(seq).cast("long").alias("_last_updated_sequence_number"),
+            ]
+            if lineage
+            else []
+        )
         updated = matched.select(
             *[
                 (
@@ -3121,7 +3343,8 @@ class IcebergTable:
                     else F.col(c)
                 ).alias(c)
                 for c in cols
-            ]
+            ],
+            *upd_lineage,
         )
         part_fields = self.partition_fields(meta)
         names = self.field_names_by_id(meta)
@@ -3143,12 +3366,21 @@ class IcebergTable:
                 # NULL-safe survivors: predicate-NULL rows are non-matches
                 # and must be carried forward unchanged (same as the MoR
                 # path, which only touches rows where the predicate is TRUE)
-                new_df = (
-                    self._scan_with_pos(
-                        schema, sorted(affected), pos_deletes, eq_deletes, seq_of
+                surv = self._scan_with_pos(
+                    scan_schema, sorted(affected), pos_deletes, eq_deletes, seq_of
+                )
+                if lineage:
+                    surv = self._lineage_scan_cols(
+                        surv,
+                        {p: seq_of[p] for p in sorted(affected)},
+                        self._first_row_ids(),
                     )
-                    .filter(f"NOT coalesce(({predicate}), false)")
-                    .select(*cols)
+                new_df = (
+                    surv.filter(f"NOT coalesce(({predicate}), false)")
+                    .select(
+                        *cols,
+                        *(["_row_id", "_last_updated_sequence_number"] if lineage else []),
+                    )
                     .unionByName(updated)
                 )
             data_entries = self._stage_data_entries(
@@ -3282,7 +3514,18 @@ class IcebergTable:
                 raise ValueError(f"UPDATE SET targets unknown columns {sorted(unknown)}")
             if set(matched_update) & set(on):
                 raise ValueError("UPDATE SET cannot reassign MERGE key columns")
-        target = self._scan_with_pos(schema, cand, pos_deletes, eq_deletes, seq_of)
+        # v3 row lineage: updated rows KEEP the target row's _row_id
+        # (one id across a row's versions — lineage's point) with this
+        # commit's sequence as _last_updated_sequence_number; CoW
+        # survivors keep both; inserts carry nulls and inherit fresh
+        # ids from their file's (over-allocated) first_row_id.
+        lineage = "next-row-id" in meta
+        lin_cols = ["_row_id", "_last_updated_sequence_number"] if lineage else []
+        new_seq = int(meta.get("last-sequence-number") or 0) + 1
+        scan_schema = self._lineage_ext_schema(schema) if lineage else schema
+        target = self._scan_with_pos(scan_schema, cand, pos_deletes, eq_deletes, seq_of)
+        if lineage:
+            target = self._lineage_scan_cols(target, seq_of, self._first_row_ids())
         tkeys = target.select(*on).distinct()
         if do_update:
             # one target row matching multiple source rows is a
@@ -3329,7 +3572,20 @@ class IcebergTable:
             if matched_update is None:
                 # WHEN MATCHED THEN UPDATE SET * — the new row IS the
                 # source row (source keys are unique among matched)
-                new_parts.append(source.join(upd_keys, on=on, how="left_semi"))
+                part = source.join(upd_keys, on=on, how="left_semi")
+                if lineage:
+                    # multi-target-row matches collapse to one updated
+                    # row — it inherits the smallest matched _row_id
+                    tgt_ids = (
+                        target.join(upd_keys, on=on, how="left_semi")
+                        .groupBy(*on)
+                        .agg(F.min("_row_id").alias("_row_id"))
+                    )
+                    part = part.join(tgt_ids, on=on, how="left").withColumn(
+                        "_last_updated_sequence_number",
+                        F.lit(new_seq).cast("long"),
+                    )
+                new_parts.append(part.select(*cols, *lin_cols))
             else:
                 joined = (
                     target.drop("file_path", "pos")
@@ -3351,11 +3607,26 @@ class IcebergTable:
                                 )
                             ).alias(c)
                             for c in cols
-                        ]
+                        ],
+                        *(
+                            [
+                                F.col("t._row_id").alias("_row_id"),
+                                F.lit(new_seq)
+                                .cast("long")
+                                .alias("_last_updated_sequence_number"),
+                            ]
+                            if lineage
+                            else []
+                        ),
                     )
                 )
         if when_not_matched_insert_all:
-            new_parts.append(source.join(tkeys, on=on, how="left_anti"))
+            ins = source.join(tkeys, on=on, how="left_anti")
+            if lineage:
+                ins = ins.withColumn("_row_id", F.lit(None).cast("long")).withColumn(
+                    "_last_updated_sequence_number", F.lit(None).cast("long")
+                )
+            new_parts.append(ins)
 
         now = int(time.time() * 1000)
         seq = int(meta.get("last-sequence-number") or 0) + 1
@@ -3382,13 +3653,18 @@ class IcebergTable:
                     for r in del_df.select("file_path").distinct().collect()
                 }
                 if affected:
-                    survivors = (
-                        self._scan_with_pos(
-                            schema, sorted(affected), pos_deletes, eq_deletes, seq_of
-                        )
-                        .join(del_df, ["file_path", "pos"], "left_anti")
-                        .select(*cols)
+                    surv = self._scan_with_pos(
+                        scan_schema, sorted(affected), pos_deletes, eq_deletes, seq_of
                     )
+                    if lineage:
+                        surv = self._lineage_scan_cols(
+                            surv,
+                            {p: seq_of[p] for p in sorted(affected)},
+                            self._first_row_ids(),
+                        )
+                    survivors = surv.join(
+                        del_df, ["file_path", "pos"], "left_anti"
+                    ).select(*cols, *lin_cols)
             n_inserted = 0
             if when_not_matched_insert_all:
                 # the insert clause's rows, counted directly (the other
@@ -3398,14 +3674,19 @@ class IcebergTable:
                 )
             new_df = None
             for p in ([survivors] if survivors is not None else []) + new_parts:
-                new_df = p if new_df is None else new_df.unionByName(p.select(*cols))
+                p = p.select(*cols, *lin_cols)
+                new_df = p if new_df is None else new_df.unionByName(p)
             part_fields = self.partition_fields(meta)
             names_by_id = self.field_names_by_id(meta)
             spec_cols = [names_by_id[pf["source-id"]] for pf in part_fields]
             ice_schema = self._ice_schema(meta)
             data_entries = (
                 self._stage_data_entries(
-                    new_df.select(*cols), ice_schema, part_fields, spec_cols, snap_id
+                    new_df.select(*cols, *lin_cols),
+                    ice_schema,
+                    part_fields,
+                    spec_cols,
+                    snap_id,
                 )
                 if new_df is not None
                 else []
@@ -3847,7 +4128,15 @@ class IcebergTable:
         meta = self.metadata()
         names = self.field_names_by_id(meta)
         spec_cols = [names[pf["source-id"]] for pf in self.partition_fields(meta)]
-        df = self.read()
+        # v3 row lineage: a compaction must PRESERVE row ids (spec:
+        # rewrites that do not change rows keep lineage). Read with the
+        # lineage columns attached and write them MATERIALIZED into the
+        # rewritten files — their entries keep first_row_id null and
+        # readers prefer the materialized values.
+        if "next-row-id" in meta:
+            df = self.read_with_lineage()
+        else:
+            df = self.read()
         if sort_by is None:
             # rewrite_data_files' default strategy honors the table's
             # registered sort order (replace_sort_order): range-partition
