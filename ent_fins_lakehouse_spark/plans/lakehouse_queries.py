@@ -6919,3 +6919,97 @@ def q346_iceberg_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("last_updated_seq")
     )
+
+
+@query(
+    "q347_iceberg_default_values",
+    oracle="""
+    WITH b1 AS (
+      SELECT c_custkey, c_acctbal, 'standard' AS tier
+      FROM customer WHERE c_custkey <= 750
+    ),
+    b2 AS (
+      SELECT c_custkey, c_acctbal,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 'premium' END AS tier
+      FROM customer WHERE c_custkey > 750
+    ),
+    b3 AS (
+      SELECT c_custkey + 1000000 AS c_custkey, c_acctbal, 'standard' AS tier
+      FROM customer WHERE c_custkey <= 750
+    ),
+    t AS (
+      SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3
+    ),
+    alive AS (
+      SELECT * FROM t
+      WHERE NOT COALESCE(tier = 'standard' AND c_custkey % 7 = 0, FALSE)
+    )
+    SELECT COALESCE(tier, '<null>') AS tier,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM alive GROUP BY tier ORDER BY tier
+    """,
+    tags=("lakehouse", "iceberg", "v3", "schema-evolution"),
+)
+def q347_iceberg_default_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 DEFAULT VALUES (spec 'Default values'): ADD COLUMN
+    … DEFAULT is METADATA-ONLY backfill — the new field carries an
+    ``initial-default`` (rows in files that predate the column read
+    it; no data rewrite at any table size) and a ``write-default``
+    (appends omitting the column fill it at write time). Explicit
+    values — including explicit NULLs — stored by post-evolution
+    writers always win: the default applies per FILE (column
+    physically absent), never per value. Bumps format-version to 3.
+
+    Lifecycle: create from pre-evolution rows → ``add_column(…,
+    default='standard')`` → append rows with EXPLICIT tiers (premium /
+    NULL — the NULLs must stay NULL) → append rows WITHOUT the column
+    (write-default fills) → CoW DELETE whose predicate reads the
+    default on pre-evolution files (DML scans resolve defaults too) →
+    per-tier rollup, hash-checked against DuckDB computing the same
+    semantics relationally.
+
+    100 TB shape: the fill is a broadcast join against a KB-sized
+    per-file missing-column dim (driver footer probe, memoized per
+    immutable file) + a codegen CASE WHEN — reads stay one scan;
+    ``sources/iceberg.py`` ``add_column`` / ``_apply_initial_defaults``."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    c = load_table(spark, sf_dir, "customer")
+    t = IcebergTable(spark, _scratch("icedf") + "_t")
+    t.append(
+        c.filter("c_custkey <= 750").select(
+            "c_custkey", F.col("c_acctbal").cast("double").alias("c_acctbal")
+        )
+    )
+    t.add_column("tier", "string", default="standard")
+    assert int(t.metadata()["format-version"]) == 3
+    t.append(
+        c.filter("c_custkey > 750").select(
+            "c_custkey",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            F.expr(
+                "CASE WHEN c_mktsegment = 'BUILDING' THEN 'premium' END"
+            ).alias("tier"),
+        )
+    )
+    # omit the column entirely: write-default fills
+    t.append(
+        c.filter("c_custkey <= 750").select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+    )
+    # DML predicate resolves the default on pre-evolution files
+    t.delete("tier = 'standard' AND c_custkey % 7 = 0", mode="cow")
+    return (
+        t.read()
+        .groupBy(F.coalesce("tier", F.lit("<null>")).alias("tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("tier")
+    )

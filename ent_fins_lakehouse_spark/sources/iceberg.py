@@ -932,12 +932,13 @@ class IcebergTable:
             return empty.filter(where) if where else empty
         norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
         need_seq = bool(eq_deletes)
+        defs = self._initial_default_fields()
         read_schema = self._read_schema_for(data[0][0], schema)
         parts = []
         for seq in sorted({s for _, s, _ in data}):
             paths = sorted(p for p, s, _ in data if s == seq)
             df = self.spark.read.schema(read_schema).parquet(*paths)
-            if pos_deletes or dvs or need_seq:
+            if pos_deletes or dvs or need_seq or defs:
                 df = df.select(
                     "*",
                     norm(F.col("_metadata.file_path")).alias("_fp"),
@@ -994,6 +995,12 @@ class IcebergTable:
                 out[c].eqNullSafe(del_df[f"_eq_{c}"]) for c in cols
             ]
             out = out.join(del_df, on=cond, how="left_anti")
+        if defs:
+            # v3 default values: rows in files that predate a defaulted
+            # column read its initial-default (metadata-only backfill)
+            out = self._apply_initial_defaults(
+                out, [p for p, _, _ in data], defs, schema
+            )
         drop = [c for c in ("_fp", "_ri", "_seq") if c in out.columns]
         out = out.drop(*drop) if drop else out
         return out.filter(where) if where else out
@@ -2064,6 +2071,16 @@ class IcebergTable:
             ice_schema = self._ice_schema(meta)
             spark_schema = self.schema(meta)
             want = {f.name: f.dataType for f in spark_schema.fields}
+            # v3 default values: columns the incoming frame omits are
+            # filled with their write-default at write time (spec: the
+            # writer, not the reader, owns post-evolution fills)
+            wdefs = {
+                f["name"]: f["write-default"]
+                for f in ice_schema["fields"]
+                if f.get("write-default") is not None
+            }
+            for n in [c for c in want if c not in df.columns and c in wdefs]:
+                df = df.withColumn(n, F.lit(wdefs[n]).cast(want[n]))
             # v3 row lineage: a preserving rewrite (compact) appends the
             # table columns PLUS materialized _row_id /
             # _last_updated_sequence_number — metadata columns, never
@@ -2605,6 +2622,13 @@ class IcebergTable:
                     norm(F.col("_metadata.file_path")).alias("file_path"),
                     F.col("_metadata.row_index").alias("pos"),
                 )
+            )
+        defs = self._initial_default_fields()
+        if defs:
+            # v3 default values: DML predicates must see initial-defaults
+            # on files that predate the column, same as read()
+            scan = self._apply_initial_defaults(
+                scan, sorted(cand), defs, schema, fp_col="file_path"
             )
         if pos_deletes or dvs:
             prior_parts = []
@@ -3987,13 +4011,26 @@ class IcebergTable:
             with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as fh:
                 fh.write(str(nv))
 
-    def add_column(self, name: str, dtype) -> int:
+    #: primitive Iceberg types whose defaults serialize as plain JSON
+    #: values (spec v3 'Default values' single-value serialization)
+    _DEFAULTABLE_TYPES = {"int", "long", "float", "double", "string", "boolean"}
+
+    def add_column(self, name: str, dtype, default=None) -> int:
         """ALTER TABLE … ADD COLUMN — metadata-only schema evolution
         (spec: 'Schema Evolution'): the new OPTIONAL field gets a FRESH
         field id (``last-column-id + 1`` — ids are never reused, the
         spec's correctness rule) in a NEW schema version; existing data
         files are untouched and read NULL for it, appends after the
-        change carry it. Returns the new field id."""
+        change carry it. Returns the new field id.
+
+        ``default`` (v3 'Default values'): the field gets BOTH an
+        ``initial-default`` (what rows in files written BEFORE the
+        column existed read — still metadata-only, no backfill rewrite)
+        and a ``write-default`` (what an append missing the column
+        fills at write time). Explicit NULLs stored in newer files stay
+        NULL — the default applies per FILE (column physically absent),
+        never per value. Restricted to primitive types with plain JSON
+        single-value serialization; bumps the table to format-version 3."""
         meta = self.metadata()
         sch = self._ice_schema(meta)
         if name in [f["name"] for f in sch["fields"]]:
@@ -4004,11 +4041,22 @@ class IcebergTable:
             if not isinstance(dtype, str)
             else _spark_to_iceberg(T._parse_datatype_string(dtype))
         )
+        new_field = {"id": fid, "name": name, "required": False, "type": itype}
+        if default is not None:
+            if itype not in self._DEFAULTABLE_TYPES:
+                raise NotImplementedError(
+                    f"default values for type {itype!r} are not supported — "
+                    f"primitive types only: {sorted(self._DEFAULTABLE_TYPES)}"
+                )
+            new_field["initial-default"] = default
+            new_field["write-default"] = default
+            if int(meta.get("format-version") or 2) < 3:
+                meta = {**meta, "format-version": 3}
         new_sid = max(s.get("schema-id", 0) for s in meta.get("schemas") or [sch]) + 1
         new_schema = {
             **sch,
             "schema-id": new_sid,
-            "fields": [*sch["fields"], {"id": fid, "name": name, "required": False, "type": itype}],
+            "fields": [*sch["fields"], new_field],
         }
         self._write_metadata(
             {
@@ -4019,6 +4067,62 @@ class IcebergTable:
             }
         )
         return fid
+
+    #: memoized footer-probe of a data file's physical column set
+    #: (files are immutable once written, so the cache never staleens)
+    _FILE_COLS_CACHE: dict = {}
+
+    def _initial_default_fields(self, meta: dict | None = None) -> list[dict]:
+        return [
+            f
+            for f in self._ice_schema(meta)["fields"]
+            if f.get("initial-default") is not None
+        ]
+
+    def _apply_initial_defaults(
+        self,
+        out: DataFrame,
+        paths: list[str],
+        defs: list[dict],
+        schema: T.StructType,
+        fp_col: str = "_fp",
+    ) -> DataFrame:
+        """Per-file initial-default fill (spec v3 'Default values'): a
+        file that physically LACKS a defaulted column reads the default
+        for every row; files carrying the column keep stored values
+        (explicit NULLs stay NULL). Missing-ness is a driver-side
+        footer probe — memoized per immutable file, the same metadata
+        weight as the staging footer reads — shipped as a broadcast
+        dim; the fill itself is a codegen CASE WHEN."""
+        import pyarrow.parquet as pq
+
+        rows = []
+        for p in paths:
+            cols = IcebergTable._FILE_COLS_CACHE.get(p)
+            if cols is None:
+                cols = frozenset(pq.ParquetFile(p).schema_arrow.names)
+                IcebergTable._FILE_COLS_CACHE[p] = cols
+            rows.append(tuple([p] + [f["name"] not in cols for f in defs]))
+        dim = self.spark.createDataFrame(
+            rows,
+            T.StructType(
+                [T.StructField(fp_col, T.StringType())]
+                + [
+                    T.StructField(f"_missd_{i}", T.BooleanType())
+                    for i in range(len(defs))
+                ]
+            ),
+        )
+        out = out.join(F.broadcast(dim), fp_col)
+        for i, f in enumerate(defs):
+            dt = schema[f["name"]].dataType
+            out = out.withColumn(
+                f["name"],
+                F.when(
+                    F.col(f"_missd_{i}"), F.lit(f["initial-default"]).cast(dt)
+                ).otherwise(F.col(f["name"])),
+            )
+        return out.drop(*[f"_missd_{i}" for i in range(len(defs))])
 
     def drop_column(self, name: str) -> int:
         """ALTER TABLE … DROP COLUMN — metadata-only (spec: 'Schema
