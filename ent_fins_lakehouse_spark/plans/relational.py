@@ -6412,3 +6412,124 @@ def q340_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_cusum",
         )
     )
+
+
+@query(
+    "q348_seasonal_decomposition",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    ),
+    dense AS (
+      SELECT s.d, CAST(COALESCE(n, 0) AS BIGINT) AS n
+      FROM spine s LEFT JOIN daily USING (d)
+    ),
+    t0 AS (
+      SELECT d, n,
+             SUM(n) OVER w AS sum7, COUNT(*) OVER w AS w_n,
+             CAST(dayofweek(d) AS BIGINT) AS dow
+      FROM dense
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    def AS (
+      SELECT d, n, CAST(sum7 AS BIGINT) AS sum7, dow FROM t0 WHERE w_n = 7
+    ),
+    seas AS (
+      SELECT dow, COUNT(*) AS n_days,
+             CAST(SUM(n) AS BIGINT) AS sn, CAST(SUM(sum7) AS BIGINT) AS ss
+      FROM def GROUP BY dow
+    ),
+    seas2 AS (
+      SELECT dow, n_days,
+             CAST(7 * sn - ss AS DOUBLE) / CAST(7 * n_days AS DOUBLE) AS seasonal
+      FROM seas
+    ),
+    r AS (
+      SELECT def.dow, s.n_days, s.seasonal,
+             (CAST(n AS DOUBLE) - CAST(sum7 AS DOUBLE) / 7.0) - s.seasonal AS resid
+      FROM def JOIN seas2 s ON def.dow = s.dow
+    )
+    SELECT dow, n_days, seasonal,
+           MIN(resid) AS min_resid, MAX(resid) AS max_resid
+    FROM r GROUP BY dow, n_days, seasonal ORDER BY dow
+    """,
+    tags=("relational", "temporal", "timeseries"),
+)
+def q348_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical ADDITIVE seasonal decomposition (trend / seasonal /
+    residual — the moving-average construction STL refines) of the
+    daily event-count series, weekly period: trend = centered 7-day
+    moving average over a DENSE date spine (missing days count 0;
+    edge days with <7-row windows get NULL trend, the textbook rule),
+    seasonal = per-weekday mean of the detrended series, residual =
+    detrended − seasonal. Output: per weekday, the seasonal index and
+    the residual envelope (min/max — order-insensitive extremes).
+
+    Cross-engine exactness device: every AGGREGATION stays in 64-bit
+    integers (Σn, Σsum7 — the window sum of counts is itself an
+    integer), and the only floating-point steps are per-row IEEE
+    arithmetic written in the SAME operation order on both sides —
+    seasonal = (7·Σn − Σsum7)/(7·c) as one correctly-rounded double
+    division, resid = (n − sum7/7) − seasonal. No double is ever
+    summed across rows, so partial-aggregation order cannot drift the
+    hash (the q140 discipline, integer edition). Weekday convention
+    pinned: Spark ``dayofweek−1`` = DuckDB ``dayofweek`` (0=Sunday,
+    the q333 device).
+
+    Scale shape: the series is ONE aggregate row per day — KB-sized
+    at any event volume; the unpartitioned window runs on one task by
+    design (a per-series key partitions it for panel data). The heavy
+    work — daily counting — is a partial-agg groupBy pushed to the
+    scan."""
+    ev = load_table(spark, sf_dir, "events").select(F.col("ts").cast("date").alias("d"))
+    daily = ev.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    spine = (
+        daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d"))
+    )
+    dense = spine.join(daily, "d", "left").select(
+        "d", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    w = W.orderBy("d").rowsBetween(-3, 3)
+    t = (
+        dense.select(
+            "d",
+            "n",
+            F.sum("n").over(w).alias("sum7"),
+            F.count(F.lit(1)).over(w).alias("w_n"),
+            (F.dayofweek("d") - 1).cast("long").alias("dow"),
+        )
+        .filter("w_n = 7")
+        .drop("w_n")
+    )
+    seas = (
+        t.groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("n").alias("sn"),
+            F.sum("sum7").alias("ss"),
+        )
+        .select(
+            "dow",
+            "n_days",
+            (
+                (7 * F.col("sn") - F.col("ss")).cast("double")
+                / (7 * F.col("n_days")).cast("double")
+            ).alias("seasonal"),
+        )
+    )
+    r = t.join(F.broadcast(seas), "dow").withColumn(
+        "resid",
+        (F.col("n").cast("double") - F.col("sum7").cast("double") / F.lit(7.0))
+        - F.col("seasonal"),
+    )
+    return (
+        r.groupBy("dow", "n_days", "seasonal")
+        .agg(F.min("resid").alias("min_resid"), F.max("resid").alias("max_resid"))
+        .orderBy("dow")
+    )
