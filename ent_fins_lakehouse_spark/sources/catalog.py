@@ -257,7 +257,8 @@ class LakehouseSession:
         re.IGNORECASE,
     )
     _ALTER_ADD = re.compile(
-        r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+ADD\s+COLUMNS?\s*\(?\s*(?P<col>\w+)\s+(?P<dtype>[\w()<>, ]+?)\s*\)?\s*$",
+        r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+ADD\s+COLUMNS?\s*\(?\s*(?P<col>\w+)\s+(?P<dtype>[\w()<>, ]+?)"
+        r"(?:\s+DEFAULT\s+(?P<dflt>'[^']*'|-?\d+(?:\.\d+)?|TRUE|FALSE))?\s*\)?\s*$",
         re.IGNORECASE,
     )
     _DETAIL = re.compile(
@@ -607,7 +608,30 @@ class LakehouseSession:
                 raise NotImplementedError(
                     f"ADD COLUMN is not supported by {type(t).__name__}"
                 )
-            t.add_column(m["col"], m["dtype"])
+            if m["dflt"] is None:
+                t.add_column(m["col"], m["dtype"])
+                return None
+            # DEFAULT <literal>: each format keeps its OWN spec
+            # semantics — Iceberg v3 initial-default + write-default
+            # (pre-evolution files read it); Delta allowColumnDefaults
+            # (future writes only — existing rows read NULL). Literal
+            # decoded for Iceberg's JSON single-value form; Delta takes
+            # the SQL expression text verbatim (CURRENT_DEFAULT).
+            raw = m["dflt"]
+            from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+            if isinstance(t, (IcebergTable, IcebergFacadeTable)):
+                if raw.startswith("'"):
+                    val: object = raw[1:-1]
+                elif raw.upper() in ("TRUE", "FALSE"):
+                    val = raw.upper() == "TRUE"
+                elif "." in raw:
+                    val = float(raw)
+                else:
+                    val = int(raw)
+                t.add_column(m["col"], m["dtype"], default=val)
+            else:
+                t.add_column(m["col"], m["dtype"], default=raw)
             return None
         if m := self._DETAIL.match(s):
             t = self._resolve_concrete(m["target"])

@@ -592,11 +592,11 @@ class LakeTable:
             "only — the private format would have to rewrite every file)"
         )
 
-    def add_column(self, name: str, dtype) -> int:
-        """ALTER TABLE ADD COLUMN — open-format delegation (see
-        :meth:`rename_column`)."""
+    def add_column(self, name: str, dtype, default: str | None = None) -> int:
+        """ALTER TABLE ADD COLUMN [DEFAULT expr] — open-format
+        delegation (see :meth:`rename_column`)."""
         if (dl := self._as_delta_shim()) is not None:
-            return dl.add_column(name, dtype)
+            return dl.add_column(name, dtype, default=default)
         raise NotImplementedError(
             "ADD COLUMN is supported on open-format Delta tables; private-"
             "format tables evolve via merge_schema=True writes instead"

@@ -75,3 +75,34 @@ def test_non_primitive_default_refuses(spark, tbl):
 def test_missing_column_without_default_still_refuses(spark, tbl):
     with pytest.raises(ValueError, match="does not match"):
         tbl.append(spark.range(0, 2).selectExpr("id AS k").coalesce(1))
+
+
+def test_sql_facade_add_column_default_both_formats(spark, tmp_path):
+    """ALTER TABLE ... ADD COLUMN ... DEFAULT through the SQL facade:
+    Iceberg gets initial+write defaults (pre-evolution rows READ the
+    default); Delta gets allowColumnDefaults (future writes only —
+    existing rows stay NULL, Delta's own contract)."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    lh = LakehouseSession(spark, str(tmp_path / "wh"))
+    lh.sql("CREATE DATABASE db")
+    lh.sql("USE db")
+
+    ice = IcebergTable(spark, str(tmp_path / "wh" / "db" / "ice"))
+    ice.append(spark.range(5).select(F.col("id").cast("long")))
+    lh.sql(f"CREATE TABLE ice USING ICEBERG LOCATION '{ice.path}'")
+    lh.sql("ALTER TABLE ice ADD COLUMN tier STRING DEFAULT 'standard'")
+    assert ice.read().filter("tier = 'standard'").count() == 5
+
+    dl_path = str(tmp_path / "wh" / "db" / "dl")
+    dl = DeltaLogTable(spark, dl_path)
+    dl.write(spark.range(5).select(F.col("id")), mode="append")
+    lh.sql(f"CREATE TABLE dl USING DELTA LOCATION '{dl_path}'")
+    lh.sql("ALTER TABLE dl ADD COLUMN tier STRING DEFAULT 'basic'")
+    # Delta: existing rows read NULL; a write omitting the column fills
+    assert dl.read().filter("tier IS NULL").count() == 5
+    dl.write(spark.range(5, 8).select(F.col("id")), mode="append")
+    assert dl.read().filter("tier = 'basic'").count() == 3
