@@ -4967,8 +4967,15 @@ def convert_delta_to_iceberg(spark, delta_table, dest: str) -> "IcebergTable":
         )
     lpath = os.path.join(meta_dir, f"snap-1-{_uuid.uuid4().hex}.avro")
     write_ocf(lpath, IcebergTable._MANIFEST_LIST_SCHEMA, list_rows)
+    # Delta row tracking → Iceberg v3 row lineage: entries already
+    # carry first_row_id = baseRowId; the counter continues from the
+    # source's high water mark so post-conversion Iceberg commits
+    # assign ids Delta never used
+    rt = bool(getattr(delta_table, "_rt_enabled", False))
+    rt_next = int(getattr(delta_table, "_rt_hwm", -1)) + 1 if rt else None
     new_meta = {
-        "format-version": 3 if dv_entries else 2,
+        "format-version": 3 if (dv_entries or rt) else 2,
+        **({"next-row-id": rt_next} if rt else {}),
         "table-uuid": str(_uuid.uuid4()),
         "location": dest,
         "last-sequence-number": 1,
@@ -5234,6 +5241,15 @@ def _delta_file_entries(
                     "file_size_in_bytes": os.path.getsize(full),
                     "lower_bounds": lo_kv or None,
                     "upper_bounds": hi_kv or None,
+                    # Delta row tracking ↔ Iceberg v3 row lineage: both
+                    # formats derive ids as base + file position, so a
+                    # row-tracked add's baseRowId IS the entry's
+                    # first_row_id — the twin serves the SAME ids
+                    "first_row_id": (
+                        int(info["baseRowId"])
+                        if info.get("baseRowId") is not None
+                        else None
+                    ),
                 },
             }
         )
@@ -5282,6 +5298,10 @@ def sync_delta_to_iceberg(spark, delta_table, iceberg_table: "IcebergTable") -> 
             f"Delta table is at version {cur}, behind the last sync {then}"
         )
     adds_now, schema, part_cols, dmeta = delta_table._snapshot()
+    # capture row-tracking state NOW — the version_as_of replay below
+    # rewinds the handle's cached _rt_hwm to the old version
+    rt_on = bool(getattr(delta_table, "_rt_enabled", False))
+    rt_next = int(getattr(delta_table, "_rt_hwm", -1)) + 1 if rt_on else None
     if part_cols:
         raise NotImplementedError(
             "sync of a hive-partitioned Delta table needs a data rewrite"
@@ -5360,6 +5380,16 @@ def sync_delta_to_iceberg(spark, delta_table, iceberg_table: "IcebergTable") -> 
         )
     if dv_entries and int(meta.get("format-version") or 2) < 3:
         meta = {**meta, "format-version": 3}
+    # Delta row tracking → v3 row lineage: entries carry
+    # first_row_id = baseRowId already; keep the twin's counter at the
+    # source's high water mark + 1 so the id spaces never collide
+    if rt_on:
+        meta = {
+            **meta,
+            "format-version": 3,
+            "next-row-id": max(int(meta.get("next-row-id") or 0), rt_next),
+        }
+    iceberg_table._pending_row_lineage = None  # ids come from the source
     return iceberg_table._commit_snapshot(
         meta, snaps, snap_id, seq, rows, operation, now,
         summary_extra={"converted-from": "delta", "delta-version": str(cur)},

@@ -157,3 +157,51 @@ def test_plain_read_surface_unchanged(spark, tmp_path):
     df = t.read()
     assert df.columns == ["k", "v"]
     assert df.count() == 20
+
+
+def test_delta_row_tracking_translates_to_iceberg_lineage(spark, tmp_path):
+    """UniForm + row identity: a row-tracked Delta table's baseRowId
+    becomes the Iceberg twin's first_row_id (both formats define the
+    row id as base + file position), the twin's next-row-id continues
+    from the source high water mark, and convert → append+sync →
+    DV-delete+sync all serve IDENTICAL ids from either format."""
+    from ent_fins_lakehouse_spark.sources.iceberg import (
+        convert_delta_to_iceberg,
+        sync_delta_to_iceberg,
+    )
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    dl = DeltaLogTable(spark, str(tmp_path / "dl"))
+    dl.write(
+        spark.range(0, 25).selectExpr("id AS k", "id*2 AS v").coalesce(2),
+        mode="append",
+    )
+    dl.enable_row_tracking()
+    dl.write(
+        spark.range(25, 40).selectExpr("id AS k", "id*2 AS v").coalesce(1),
+        mode="append",
+    )
+    ice = convert_delta_to_iceberg(spark, dl, str(tmp_path / "ice"))
+    assert int(ice.metadata()["format-version"]) == 3
+    assert ice.metadata()["next-row-id"] == 40
+
+    def ids(t, reader):
+        return {r.k: r._row_id for r in reader(t).collect()}
+
+    assert ids(dl, DeltaLogTable.read_with_row_ids) == ids(
+        ice, lambda t: t.read_with_lineage()
+    )
+    dl.write(
+        spark.range(40, 50).selectExpr("id AS k", "id*2 AS v").coalesce(1),
+        mode="append",
+    )
+    sync_delta_to_iceberg(spark, dl, ice)
+    assert ids(dl, DeltaLogTable.read_with_row_ids) == ids(
+        ice, lambda t: t.read_with_lineage()
+    )
+    assert ice.metadata()["next-row-id"] == 50
+    dl.delete("k % 6 = 1")
+    sync_delta_to_iceberg(spark, dl, ice)
+    got = ids(ice, lambda t: t.read_with_lineage())
+    assert got == ids(dl, DeltaLogTable.read_with_row_ids)
+    assert len(got) == 41
