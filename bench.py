@@ -114,6 +114,15 @@ HEADLINE = [
     # maintenance and the reverse (Iceberg→Delta) incremental sync
     "q339_delta_uniform_auto_sync",
     "q341_iceberg_to_delta_sync",
+    # r9 session 3: geo cell-blocked distance join (broadcast equi-join
+    # on grid cells), Iceberg v3 row lineage (id-carrying lifecycle:
+    # appends + DV delete + preserving compaction) and default values
+    # (metadata-only backfill + CoW delete through the default), and
+    # the dense-spine seasonal decomposition
+    "q344_geo_cell_distance_join",
+    "q346_iceberg_row_lineage",
+    "q347_iceberg_default_values",
+    "q348_seasonal_decomposition",
 ]
 
 

@@ -6533,3 +6533,333 @@ def q348_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("resid").alias("min_resid"), F.max("resid").alias("max_resid"))
         .orderBy("dow")
     )
+
+
+@query(
+    "q350_event_transition_matrix",
+    oracle="""
+    WITH pairs AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events
+    ),
+    c AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM pairs WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+    FROM c ORDER BY from_type, to_type
+    """,
+    tags=("relational", "behavioral", "markov"),
+)
+def q350_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov TRANSITION MATRIX over per-user event
+    sequences — the state-migration analysis behind delinquency
+    roll-rate models (current→30dpd→60dpd→default), computed here on
+    the event stream's type transitions: P(to | from) = n(from→to) /
+    n(from→*). One lead() window per user (ties broken by the unique
+    event_id so successor pairs are engine-independent), one hash agg
+    on the |types|² ≤ bounded cell grid, then a row-normalizing window
+    over the TINY cell table. The probability is a single IEEE
+    division of two exact integers — bit-portable, no double ever
+    summed. Scale: the only data-sized exchange is the user_id
+    window; everything after operates on |types|² rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    c = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    wrow = W.partitionBy("from_type")
+    return (
+        c.select(
+            "from_type",
+            "to_type",
+            "n",
+            (
+                F.col("n").cast("double")
+                / F.sum("n").over(wrow).cast("double")
+            ).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@query(
+    "q351_loan_amortization",
+    oracle="""
+    WITH loans AS (
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS principal,
+             CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 0.010
+                  WHEN o_orderpriority = '2-HIGH' THEN 0.009
+                  WHEN o_orderpriority = '3-MEDIUM' THEN 0.008
+                  WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 0.007
+                  ELSE 0.006 END AS DOUBLE) AS r
+      FROM orders WHERE o_orderkey <= 100
+    ),
+    sched AS (
+      SELECT o_orderkey, principal, r, CAST(k AS BIGINT) AS month,
+             list_reduce(
+               list_transform(generate_series(1, k), x -> 1.0 + r),
+               (a, b) -> a * b
+             ) AS fk
+      FROM loans, generate_series(1, 12) AS gs(k)
+    ),
+    calc AS (
+      SELECT o_orderkey, month, principal, r, fk,
+             fk / (1.0 + r) AS fprev,
+             principal * r / (1.0 - 1.0 / list_reduce(
+               list_transform(generate_series(1, 12), x -> 1.0 + r),
+               (a, b) -> a * b
+             )) AS pay
+      FROM sched
+    )
+    SELECT o_orderkey, month,
+           pay AS payment,
+           (principal * fprev - pay * (fprev - 1.0) / r) * r AS interest,
+           principal * fk - pay * (fk - 1.0) / r AS balance
+    FROM calc ORDER BY o_orderkey, month
+    """,
+    tags=("relational", "finance"),
+)
+def q351_loan_amortization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-rate LOAN AMORTIZATION schedule — the lending-domain
+    expansion the reference's loan-risk tables feed (principal =
+    order value, priority-tiered monthly rate, 12-month annuity):
+    payment A = P·r/(1−(1+r)^-n), per-month interest = B_{k-1}·r and
+    remaining balance B_k = P·f_k − A·(f_k−1)/r with f_k = (1+r)^k.
+
+    Cross-engine exactness device: NO libm pow — f_k is a LEFT fold
+    of k IEEE multiplications (Spark ``aggregate`` over
+    ``sequence(1,k)``; DuckDB ``list_reduce`` without init — the
+    1.0-init vs no-init difference is exact because 1.0·x ≡ x), and
+    every derived number is per-ROW arithmetic in pinned operation
+    order: nothing is aggregated, so nothing is partition-order
+    sensitive. f_{k−1} comes from one division f_k/(1+r) (sequence(1,0)
+    would generate DESCENDING in Spark — the fold is never run at
+    k=0).
+
+    Scale shape: a map-only explode (fan-out 12) over the loan scan —
+    embarrassingly parallel, no shuffle but the final ORDER BY."""
+    o = load_table(spark, sf_dir, "orders").filter("o_orderkey <= 100")
+    loans = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("principal"),
+        F.expr(
+            "CASE WHEN o_orderpriority = '1-URGENT' THEN 0.010D"
+            " WHEN o_orderpriority = '2-HIGH' THEN 0.009D"
+            " WHEN o_orderpriority = '3-MEDIUM' THEN 0.008D"
+            " WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 0.007D"
+            " ELSE 0.006D END"
+        ).alias("r"),
+    )
+    fold = (
+        "aggregate(transform(sequence(1, {ub}), x -> CAST(1.0D + r AS DOUBLE)),"
+        " CAST(1.0D AS DOUBLE), (acc, x) -> acc * x)"
+    )
+    sched = loans.select(
+        "*", F.explode(F.expr("sequence(1, 12)")).alias("k")
+    ).select(
+        "o_orderkey",
+        "principal",
+        "r",
+        F.col("k").cast("long").alias("month"),
+        F.expr(fold.format(ub="k")).alias("fk"),
+        F.expr(f"{fold.format(ub='12')}").alias("f12"),
+    )
+    calc = sched.select(
+        "o_orderkey",
+        "month",
+        "principal",
+        "r",
+        "fk",
+        (F.col("fk") / (F.lit(1.0) + F.col("r"))).alias("fprev"),
+        (
+            F.col("principal") * F.col("r")
+            / (F.lit(1.0) - F.lit(1.0) / F.col("f12"))
+        ).alias("pay"),
+    )
+    return calc.select(
+        "o_orderkey",
+        "month",
+        F.col("pay").alias("payment"),
+        (
+            (
+                F.col("principal") * F.col("fprev")
+                - F.col("pay") * (F.col("fprev") - F.lit(1.0)) / F.col("r")
+            )
+            * F.col("r")
+        ).alias("interest"),
+        (
+            F.col("principal") * F.col("fk")
+            - F.col("pay") * (F.col("fk") - F.lit(1.0)) / F.col("r")
+        ).alias("balance"),
+    ).orderBy("o_orderkey", "month")
+
+
+@query(
+    "q352_historical_var",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS rev
+      FROM events GROUP BY 1
+    ),
+    pnl AS (
+      SELECT d, rev - LAG(rev) OVER (ORDER BY d) AS pnl FROM daily
+    ),
+    p AS (SELECT d, pnl FROM pnl WHERE pnl IS NOT NULL),
+    r AS (
+      SELECT pnl, ROW_NUMBER() OVER (ORDER BY pnl, d) AS rn,
+             COUNT(*) OVER () AS n
+      FROM p
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+           MAX(CASE WHEN rn = CAST(CEIL(0.05 * n) AS BIGINT) THEN pnl END) AS var95,
+           MAX(CASE WHEN rn = CAST(CEIL(0.01 * n) AS BIGINT) THEN pnl END) AS var99,
+           MIN(pnl) AS worst, MAX(pnl) AS best
+    FROM r
+    """,
+    tags=("relational", "finance", "risk"),
+)
+def q352_historical_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTORICAL-SIMULATION Value-at-Risk over the daily revenue
+    P&L series: VaR₉₅/VaR₉₉ as ORDER STATISTICS (the ⌈α·n⌉-th
+    smallest day-over-day change — no interpolation, so the statistic
+    is an exact element of the sample and hashes bit-for-bit), plus
+    the worst/best single-day moves. The daily series is summed in
+    DECIMAL then final-cast to DOUBLE (the q140 discipline), the P&L
+    is a per-row IEEE subtraction, and ties in the ranking are broken
+    by date — every step is partition-order-free.
+
+    Scale shape: the only data-sized work is the daily groupBy
+    (partial-agg pushed to the scan); the ranking window runs over
+    ONE ROW PER DAY — KB-sized at any event volume. For a panel of
+    books/desks, partition the ranking window by the book key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    daily = ev.groupBy("d").agg(F.sum("v").cast("double").alias("rev"))
+    wd = W.orderBy("d")
+    p = (
+        daily.select("d", (F.col("rev") - F.lag("rev").over(wd)).alias("pnl"))
+        .filter(F.col("pnl").isNotNull())
+    )
+    r = p.select(
+        "pnl",
+        F.row_number().over(W.orderBy("pnl", "d")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    k = lambda a: F.ceil(F.lit(a) * F.col("n")).cast("long")  # noqa: E731
+    return r.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.max(F.when(F.col("rn") == k(0.05), F.col("pnl"))).alias("var95"),
+        F.max(F.when(F.col("rn") == k(0.01), F.col("pnl"))).alias("var99"),
+        F.min("pnl").alias("worst"),
+        F.max("pnl").alias("best"),
+    )
+
+
+@query(
+    "q353_vintage_curves",
+    oracle="""
+    WITH j AS (
+      SELECT strftime(o.o_orderdate, '%Y-%m') AS cohort,
+             (CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) * 12
+                + CAST(EXTRACT(month FROM l.l_shipdate) AS BIGINT))
+             - (CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) * 12
+                + CAST(EXTRACT(month FROM o.o_orderdate) AS BIGINT)) AS offs,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE EXTRACT(year FROM o.o_orderdate) = 1995
+    ),
+    cells AS (
+      SELECT cohort, offs, COUNT(*) AS n_items,
+             CAST(SUM(ret) AS BIGINT) AS n_ret
+      FROM j GROUP BY cohort, offs
+    ),
+    cum AS (
+      SELECT cohort, offs, n_items,
+             SUM(n_ret) OVER (
+               PARTITION BY cohort ORDER BY offs
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_ret,
+             SUM(n_items) OVER (PARTITION BY cohort) AS total_items
+      FROM cells
+    )
+    SELECT cohort, offs, n_items,
+           CAST(cum_ret AS BIGINT) AS cum_ret,
+           CAST(cum_ret AS DOUBLE) / CAST(total_items AS DOUBLE) AS cum_return_rate
+    FROM cum ORDER BY cohort, offs
+    """,
+    tags=("relational", "finance", "cohort"),
+)
+def q353_vintage_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VINTAGE CURVES — the lending-book loss-emergence view (per
+    origination cohort, cumulative bad rate by months-on-book),
+    computed as cumulative RETURN rate per order-month cohort by
+    ship-month offset. Pure integer machinery: month ordinals are
+    y·12+m integers, the cumulative numerator is a window sum of
+    integer counts, and the rate is one IEEE division of two exact
+    integers — nothing float is ever aggregated.
+
+    Scale shape: one shuffle for the orderkey join (broadcast-eligible
+    when a cohort slice is small), one hash agg to the
+    |cohorts|×|offsets| cell grid, then windows over that TINY grid.
+    The 1995 cohort filter both bounds the output and pushes into the
+    orders scan (PushedFilters on o_orderdate)."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter("year(o_orderdate) = 1995")
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM").alias("cohort"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("om"),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).cast("long").alias("sm"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "cohort", (F.col("sm") - F.col("om")).alias("offs"), "ret"
+    )
+    cells = j.groupBy("cohort", "offs").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("ret").cast("long").alias("n_ret"),
+    )
+    wcum = (
+        W.partitionBy("cohort")
+        .orderBy("offs")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wtot = W.partitionBy("cohort")
+    return (
+        cells.select(
+            "cohort",
+            "offs",
+            "n_items",
+            F.sum("n_ret").over(wcum).cast("long").alias("cum_ret"),
+            (
+                F.sum("n_ret").over(wcum).cast("double")
+                / F.sum("n_items").over(wtot).cast("double")
+            ).alias("cum_return_rate"),
+        )
+        .orderBy("cohort", "offs")
+    )
