@@ -7013,3 +7013,100 @@ def q347_iceberg_default_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+@query(
+    "q354_binpack_compaction",
+    oracle="""
+    WITH alive AS (SELECT * FROM orders WHERE o_orderkey % 100 != 0)
+    SELECT fmt, o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM (
+      SELECT 'delta' AS fmt, * FROM alive
+      UNION ALL
+      SELECT 'iceberg' AS fmt, * FROM alive
+    )
+    GROUP BY fmt, o_orderstatus ORDER BY fmt, o_orderstatus
+    """,
+    tags=("lakehouse", "maintenance", "binpack"),
+)
+def q354_binpack_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECTIVE bin-pack compaction on BOTH formats — the real
+    OPTIMIZE / rewrite_data_files(binpack) behavior: only files under
+    the size gate are read and re-packed; right-sized files carry
+    forward byte-for-byte (adds/entries, stats, and their deletion
+    vectors untouched). Cost tracks the small-file DEBT, never the
+    table — the property a streaming ingester needs at 100 TB, where
+    a full-table OPTIMIZE is a petabyte rewrite
+    (`DeltaLogTable.optimize(min_file_size_bytes=…)`,
+    `IcebergTable.rewrite_small_files`).
+
+    Lifecycle: one big base file + five small debt appends per format
+    → DV soft delete landing on a debt file → binpack with the gate
+    set to the big file's own size (scale-relative, so the selection
+    is identical at every sf) → asserts the big file survived
+    untouched, the debt collapsed, and (Iceberg) the now-dangling DV
+    manifest is reclaimed by rewrite_manifests. Output: the per-format
+    post-compaction rollup, hash-checked against DuckDB computing the
+    surviving rows relationally."""
+    import os as _os
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    big = orders.filter("o_orderkey % 20 != 0").coalesce(1)
+    debts = [
+        orders.filter(f"o_orderkey % 100 = {m * 20}").coalesce(1)
+        for m in range(5)
+    ]
+
+    dl = DeltaLogTable(spark, _scratch("bpdl") + "_t")
+    dl.write(big, mode="append")
+    for d in debts:
+        dl.write(d, mode="append")
+    dl.delete("o_orderkey % 100 = 0")
+    adds0, *_ = dl._snapshot()
+    big_path, big_size = max(
+        ((p, int(i.get("size") or 0)) for p, i in adds0.items()),
+        key=lambda x: x[1],
+    )
+    res_d = dl.optimize(min_file_size_bytes=big_size)
+    assert res_d["files_selected"] == 5, res_d
+    adds1, *_ = dl._snapshot()
+    assert big_path in adds1, "binpack touched a right-sized file"
+
+    ice = IcebergTable(spark, _scratch("bpice") + "_t")
+    ice.append(big)
+    for d in debts:
+        ice.append(d)
+    ice.delete("o_orderkey % 100 = 0", mode="dv")
+    big_file = max(ice.data_files(), key=_os.path.getsize)
+    res_i = ice.rewrite_small_files(
+        small_file_threshold_bytes=_os.path.getsize(big_file)
+    )
+    assert res_i["files_selected"] == 5, res_i
+    assert big_file in ice.data_files(), "binpack touched a right-sized file"
+    # the debt file's DV now references a dead file — rewrite_manifests
+    # reclaims the dangling DV manifest
+    ice.rewrite_manifests()
+    assert ice._dv_entries() == [], "dangling DV manifest not reclaimed"
+
+    both = dl.read().withColumn("fmt", F.lit("delta")).unionByName(
+        ice.read().withColumn("fmt", F.lit("iceberg"))
+    )
+    return (
+        both.groupBy("fmt", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("fmt", "o_orderstatus")
+    )

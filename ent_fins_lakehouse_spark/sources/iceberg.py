@@ -4264,6 +4264,111 @@ class IcebergTable:
             "deletes_materialized": len(pos_deletes) + len(eq_deletes) + len(_dvs),
         }
 
+    def rewrite_small_files(
+        self,
+        small_file_threshold_bytes: int = 8 * 1024 * 1024,
+        target_file_size_bytes: int = 64 * 1024 * 1024,
+    ) -> dict:
+        """SELECTIVE bin-pack compaction — ``rewrite_data_files`` with
+        the binpack strategy's min-input-size gate: only data files
+        SMALLER than the threshold are read and re-packed into
+        ~``target_file_size_bytes`` outputs; every right-sized file is
+        carried forward UNTOUCHED. This is the property that matters
+        at 100 TB: a streaming ingester's small-file debt compacts at
+        a cost proportional to the DEBT, never the table
+        (:meth:`compact` is the full-rewrite variant).
+
+        Delete interplay (the spec's own composition): position
+        deletes / DVs / equality deletes masking the SELECTED files
+        are applied during the rewrite (those rows drop out; rewritten
+        files take a HIGHER data sequence, escaping prior eq-delete
+        scopes); delete manifests carry forward verbatim, still
+        masking the untouched files — entries now referencing dead
+        files are dangling-but-harmless and are reclaimed by
+        :meth:`rewrite_position_deletes` / :meth:`rewrite_manifests`.
+        Row lineage (v3): selected rows keep their ids, MATERIALIZED
+        into the packed files like :meth:`compact`.
+
+        Returns ``{"files_selected", "files_kept", "files_after",
+        "bytes_rewritten"}``; no-op (no commit) when fewer than two
+        files are under the threshold."""
+        import math
+        import time
+        import uuid as _uuid
+
+        from ent_fins_lakehouse_spark.sources.avro_io import write_ocf
+
+        meta = self.metadata()
+        schema = self.schema(meta)
+        data, pos_deletes, eq_deletes, dvs = self._files_full()
+        sizes = {p: os.path.getsize(p) for p, _, _ in data}
+        selected = sorted(
+            p for p, s in sizes.items() if s < small_file_threshold_bytes
+        )
+        if len(selected) < 2:
+            return {
+                "files_selected": len(selected),
+                "files_kept": len(data) - len(selected),
+                "files_after": len(data),
+                "bytes_rewritten": 0,
+            }
+        seq_of = {p: s for p, s, _ in data}
+        lineage = "next-row-id" in meta
+        cols = [f.name for f in schema.fields]
+        scan_schema = self._lineage_ext_schema(schema) if lineage else schema
+        scan = self._scan_with_pos(
+            scan_schema,
+            selected,
+            pos_deletes,
+            eq_deletes=eq_deletes or None,
+            seq_of=seq_of if eq_deletes else None,
+            dvs=dvs or None,
+        )
+        if lineage:
+            scan = self._lineage_scan_cols(
+                scan, {p: seq_of[p] for p in selected}, self._first_row_ids()
+            )
+        lin_cols = ["_row_id", "_last_updated_sequence_number"] if lineage else []
+        bytes_rewritten = sum(sizes[p] for p in selected)
+        n_out = max(1, math.ceil(bytes_rewritten / target_file_size_bytes))
+        packed = scan.select(*cols, *lin_cols).coalesce(n_out)
+
+        now = int(time.time() * 1000)
+        snaps = list(meta.get("snapshots") or [])
+        seq = int(meta.get("last-sequence-number") or 0) + 1
+        snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+        part_fields = self.partition_fields(meta)
+        names = self.field_names_by_id(meta)
+        spec_cols = [names[pf["source-id"]] for pf in part_fields]
+        ice_schema = self._ice_schema(meta)
+        data_entries = self._stage_data_entries(
+            packed, ice_schema, part_fields, spec_cols, snap_id
+        )
+        rows = self._rewrite_prior_rows_excluding(meta, snaps, set(selected), snap_id)
+        if data_entries:
+            am = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
+            write_ocf(am, self._manifest_schema(part_fields, ice_schema), data_entries)
+            rows.append(
+                {
+                    "manifest_path": am,
+                    "manifest_length": os.path.getsize(am),
+                    "partition_spec_id": int(meta.get("default-spec-id") or 0),
+                    "content": 0,
+                    "sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                }
+            )
+        self._commit_snapshot(
+            meta, snaps, snap_id, seq, rows, "replace", now,
+            summary_extra={"strategy": "binpack"},
+        )
+        return {
+            "files_selected": len(selected),
+            "files_kept": len(data) - len(selected),
+            "files_after": len(self.data_files()),
+            "bytes_rewritten": bytes_rewritten,
+        }
+
     def add_files(self, source_dir: str) -> int:
         """``system.add_files`` — the Iceberg MIGRATION on-ramp:
         register a directory of EXISTING parquet files into the table

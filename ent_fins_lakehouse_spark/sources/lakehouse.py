@@ -5757,6 +5757,8 @@ class DeltaLogTable:
         cluster_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
         hilbert_by: list[str] | None = None,
+        min_file_size_bytes: int | None = None,
+        target_file_size_bytes: int = 64 * 1024 * 1024,
     ) -> dict:
         """OPTIMIZE (bin-packing compaction) in the PUBLIC log format
         (the verb behind `02-Fraud-Performance.py`'s OPTIMIZE cell,
@@ -5783,13 +5785,36 @@ class DeltaLogTable:
         so equal-size file cuts cover tighter hyper-rectangles than
         Morton's Z-shaped jumps — same write cost, better pruning.
 
-        Returns ``{"files_before", "files_after", "dvs_materialized"}``.
+        ``min_file_size_bytes`` switches to SELECTIVE bin-packing (the
+        real OPTIMIZE's default gate — delta-spark only rewrites files
+        below ``optimize.minFileSize``): only files smaller than the
+        gate are read and re-packed into ~``target_file_size_bytes``
+        outputs; right-sized files carry forward untouched (their add
+        actions — and their deletion vectors — byte-for-byte).
+        Compaction cost then tracks the small-file DEBT, never the
+        table: the property a streaming ingester needs at 100 TB. DVs
+        on SELECTED files are materialized (masked rows drop out of
+        the packed files).
+
+        Returns ``{"files_before", "files_after", "dvs_materialized"}``
+        (+ ``files_selected`` in binpack mode).
         """
+        import math
         import time
 
         if sum(1 for x in (cluster_by, zorder_by, hilbert_by) if x) > 1:
             raise ValueError("pass cluster_by OR zorder_by OR hilbert_by, not several")
+        if min_file_size_bytes is not None and (cluster_by or zorder_by or hilbert_by):
+            raise ValueError(
+                "min_file_size_bytes is the binpack gate — clustering "
+                "rewrites the whole table, pass one or the other"
+            )
         adds, schema, part_cols, meta = self._snapshot()
+        if min_file_size_bytes is not None:
+            return self._optimize_binpack(
+                adds, schema, part_cols, meta,
+                min_file_size_bytes, target_file_size_bytes,
+            )
         if not cluster_by and not zorder_by and not hilbert_by:
             # clustered table (spec: 'Clustered Table'): a bare OPTIMIZE
             # clusters on the table's declared clustering columns — the
@@ -5861,6 +5886,135 @@ class DeltaLogTable:
         return {
             "files_before": len(adds),
             "files_after": len(new_adds),
+            "dvs_materialized": n_dvs,
+        }
+
+    def _optimize_binpack(
+        self,
+        adds: dict,
+        schema,
+        part_cols,
+        meta: dict,
+        min_file_size_bytes: int,
+        target_file_size_bytes: int,
+    ) -> dict:
+        """Selective small-file bin-packing (see :meth:`optimize`):
+        read ONLY the adds under the size gate (their DVs anti-joined
+        away — materialized), pack them into ~target-size files, commit
+        remove(small)+add(packed) with ``dataChange=false``. Untouched
+        adds never appear in the commit, so their stats, DVs and
+        baseRowIds carry byte-for-byte. Modeled on :meth:`reorg_purge`
+        (the same subset-scan machinery, a different selection gate)."""
+        import math
+        import time
+
+        if ((meta or {}).get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        ) != "none":
+            raise NotImplementedError(
+                "binpack OPTIMIZE on column-mapped Delta tables is not "
+                "supported by the shim (files need physical column names)"
+            )
+        small = {
+            p: info
+            for p, info in adds.items()
+            if int(info.get("size") or 0) < min_file_size_bytes
+        }
+        if len(small) < 2:
+            return {
+                "files_before": len(adds),
+                "files_after": len(adds),
+                "files_selected": len(small),
+                "dvs_materialized": 0,
+            }
+        n_dvs = sum(1 for i in small.values() if i["deletionVector"])
+        data_fields = [f for f in schema.fields if f.name not in part_cols]
+        phys = T.StructType([T.StructField(f.name, f.dataType) for f in data_fields])
+        types = {f.name: f.dataType for f in schema.fields}
+        groups: dict[tuple, list[str]] = {}
+        pv_of: dict[tuple, dict] = {}
+        dv_files: list[tuple[str, dict]] = []
+        for p, info in sorted(small.items()):
+            full = os.path.join(self.path, p)
+            pv = info["partitionValues"]
+            key = tuple(pv.get(c) for c in part_cols)
+            groups.setdefault(key, []).append(full)
+            pv_of[key] = pv
+            if info["deletionVector"]:
+                dv_files.append((os.path.abspath(full), info["deletionVector"]))
+        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+        parts: list[DataFrame] = []
+        for key in sorted(
+            groups, key=lambda k: tuple("" if v is None else str(v) for v in k)
+        ):
+            df = (
+                self.spark.read.schema(phys)
+                .parquet(*sorted(groups[key]))
+                .select(
+                    *[F.col(f.name) for f in data_fields],
+                    norm(F.col("_metadata.file_path")).alias("_fp"),
+                    F.col("_metadata.row_index").alias("_ri"),
+                )
+            )
+            pv = pv_of[key]
+            for c in part_cols:
+                df = df.withColumn(c, F.lit(pv.get(c)).cast(types[c]))
+            parts.append(df)
+        packed = parts[0]
+        for df in parts[1:]:
+            packed = packed.unionByName(df)
+        if dv_files:
+            packed = packed.join(
+                self._dv_deleted_df(dv_files), ["_fp", "_ri"], "left_anti"
+            )
+        n_out = max(
+            1,
+            math.ceil(
+                sum(int(i.get("size") or 0) for i in small.values())
+                / target_file_size_bytes
+            ),
+        )
+        packed = (
+            packed.drop("_fp", "_ri")
+            .select(*[f.name for f in schema.fields])
+            .coalesce(n_out)
+        )
+        new_adds = self._stage_adds(packed, part_cols)
+        now = int(time.time() * 1000)
+        for a in new_adds:
+            a["add"]["dataChange"] = False
+        version = self.latest_version() + 1
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now,
+                    "operation": "OPTIMIZE",
+                    "operationParameters": {
+                        "minFileSize": min_file_size_bytes,
+                        "targetFileSize": target_file_size_bytes,
+                        "strategy": "binpack",
+                    },
+                    "engineInfo": "ent_fins_lakehouse_spark/delta-shim",
+                }
+            },
+            *[
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now,
+                        "dataChange": False,
+                        "partitionValues": info["partitionValues"],
+                    }
+                }
+                for p, info in sorted(small.items())
+            ],
+            *new_adds,
+        ]
+        self._commit_actions(version, actions)
+        return {
+            "files_before": len(adds),
+            "files_after": len(adds) - len(small) + len(new_adds),
+            "files_selected": len(small),
             "dvs_materialized": n_dvs,
         }
 

@@ -1,0 +1,129 @@
+"""Selective bin-pack compaction (DeltaLogTable.optimize
+min_file_size_bytes / IcebergTable.rewrite_small_files).
+
+Contract: only files under the size gate are rewritten; right-sized
+files carry forward byte-for-byte (including their DVs); content is
+identical before/after; row lineage survives on the Iceberg side;
+fewer than two eligible files is a no-op (no commit).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+
+def _build_delta(spark, path):
+    t = DeltaLogTable(spark, path)
+    t.write(
+        spark.range(0, 100000).selectExpr("id AS k", "id*2 AS v").coalesce(1),
+        mode="append",
+    )
+    for i in range(4):
+        t.write(
+            spark.range(100000 + i * 50, 100000 + i * 50 + 50)
+            .selectExpr("id AS k", "id*2 AS v")
+            .coalesce(1),
+            mode="append",
+        )
+    return t
+
+
+def test_delta_binpack_rewrites_only_small_files(spark, tmp_path):
+    t = _build_delta(spark, str(tmp_path / "d1"))
+    t.delete("k >= 100050 AND k < 100075")  # DV on a small file
+    adds0, *_ = t._snapshot()
+    big = max(adds0, key=lambda p: int(adds0[p].get("size") or 0))
+    pre = {r.k: r.v for r in t.read().collect()}
+    v0 = t.latest_version()
+    res = t.optimize(min_file_size_bytes=int(adds0[big]["size"]))
+    assert res["files_selected"] == 4 and res["dvs_materialized"] == 1
+    adds1, *_ = t._snapshot()
+    assert big in adds1 and adds1[big] == adds0[big], "right-sized add changed"
+    assert {r.k: r.v for r in t.read().collect()} == pre
+    assert not any(i["deletionVector"] for i in adds1.values())
+    # untouched-DV case: DV on the BIG file survives binpack verbatim
+    t.delete("k < 10")
+    adds2, *_ = t._snapshot()
+    assert adds2[big]["deletionVector"] is not None
+    t.write(
+        spark.range(200000, 200050).selectExpr("id AS k", "id*2 AS v").coalesce(1),
+        mode="append",
+    )
+    t.optimize(min_file_size_bytes=int(adds0[big]["size"]))
+    adds3, *_ = t._snapshot()
+    assert adds3[big]["deletionVector"] == adds2[big]["deletionVector"]
+    assert t.read().count() == len(pre) - 10 + 50
+    assert t.latest_version() > v0
+
+
+def test_delta_binpack_noop_and_refusals(spark, tmp_path):
+    t = DeltaLogTable(spark, str(tmp_path / "d2"))
+    t.write(spark.range(0, 100).selectExpr("id AS k").coalesce(1), mode="append")
+    v0 = t.latest_version()
+    res = t.optimize(min_file_size_bytes=10**9)
+    assert res["files_selected"] == 1 and t.latest_version() == v0, "no-op must not commit"
+    with pytest.raises(ValueError, match="binpack gate"):
+        t.optimize(min_file_size_bytes=10**9, zorder_by=["k"])
+
+
+def _build_iceberg(spark, path, lineage=False):
+    t = IcebergTable(spark, path)
+    base = spark.range(0, 100000).selectExpr("id AS k", "id*2 AS v")
+    if lineage:
+        t.append(base.limit(0).coalesce(1))
+        t.enable_row_lineage()
+    t.append(base.coalesce(1))
+    for i in range(4):
+        t.append(
+            spark.range(100000 + i * 50, 100000 + i * 50 + 50)
+            .selectExpr("id AS k", "id*2 AS v")
+            .coalesce(1)
+        )
+    return t
+
+
+def test_iceberg_binpack_keeps_big_file_and_content(spark, tmp_path):
+    t = _build_iceberg(spark, str(tmp_path / "i1"))
+    t.delete("k >= 100050 AND k < 100075", mode="dv")
+    big = max(t.data_files(), key=os.path.getsize)
+    pre = {r.k: r.v for r in t.read().collect()}
+    res = t.rewrite_small_files(small_file_threshold_bytes=os.path.getsize(big))
+    assert res["files_selected"] == 4
+    assert big in t.data_files()
+    assert {r.k: r.v for r in t.read().collect()} == pre
+    # dangling DV manifest reclaimed by rewrite_manifests
+    t.rewrite_manifests()
+    assert t._dv_entries() == []
+    assert {r.k: r.v for r in t.read().collect()} == pre
+    # time travel still serves the pre-binpack snapshot
+    prior = t.snapshots()[-2]["snapshot-id"]
+    assert t.read(snapshot_id=prior).count() == len(pre)
+
+
+def test_iceberg_binpack_preserves_row_lineage(spark, tmp_path):
+    t = _build_iceberg(spark, str(tmp_path / "i2"), lineage=True)
+    pre = {
+        r.k: (r._row_id, r._last_updated_sequence_number)
+        for r in t.read_with_lineage().collect()
+    }
+    big = max(t.data_files(), key=os.path.getsize)
+    t.rewrite_small_files(small_file_threshold_bytes=os.path.getsize(big))
+    post = {
+        r.k: (r._row_id, r._last_updated_sequence_number)
+        for r in t.read_with_lineage().collect()
+    }
+    assert post == pre
+
+
+def test_iceberg_binpack_noop(spark, tmp_path):
+    t = IcebergTable(spark, str(tmp_path / "i3"))
+    t.append(spark.range(0, 100).selectExpr("id AS k").coalesce(1))
+    n_snaps = len(t.snapshots())
+    res = t.rewrite_small_files(small_file_threshold_bytes=10**9)
+    assert res["files_selected"] == 1 and res["bytes_rewritten"] == 0
+    assert len(t.snapshots()) == n_snaps, "no-op must not commit"
