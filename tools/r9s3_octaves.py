@@ -138,5 +138,79 @@ def main() -> int:
     return 0
 
 
+def binpack_probe() -> int:
+    """Separate probe: binpack wall at 1x vs 8x BASE with FIXED debt —
+    the claim is cost tracks the debt, so wall must be ~flat.
+    Usage: python tools/r9s3_octaves.py --binpack [--factor 8]"""
+    import json
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--binpack", action="store_true")
+    ap.add_argument("--factor", type=int, default=8)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/r9s3_octave")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+    from ent_fins_lakehouse_spark.sources.readers import load_table
+
+    results: dict[str, dict] = {}
+    base1 = load_table(spark, args.sf, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_totalprice").cast("double").alias("v"),
+    )
+    for label, mult in (("1x", 1), (f"{args.factor}x", args.factor)):
+        base = base1
+        for i in range(1, mult):
+            base = base.unionAll(
+                base1.select((F.col("k") + F.lit(i * 10_000_000)).alias("k"), "v")
+            )
+        for fmt in ("delta", "iceberg"):
+            path = os.path.join(args.out, f"bp_{fmt}_{label}")
+            shutil.rmtree(path, ignore_errors=True)
+            if fmt == "delta":
+                t = DeltaLogTable(spark, path)
+                t.write(base.repartition(8), mode="append")
+                for i in range(6):  # FIXED debt, same at every base size
+                    t.write(
+                        base1.filter(f"k % 1000 = {i}").coalesce(1), mode="append"
+                    )
+                # fixed gate ABOVE the debt size, BELOW every base part:
+                # the selection must be the 6 debt files at either scale
+                gate = 100_000
+                t0 = time.perf_counter()
+                r = t.optimize(min_file_size_bytes=gate)
+                w = time.perf_counter() - t0
+            else:
+                t = IcebergTable(spark, path)
+                t.append(base.repartition(8))
+                for i in range(6):
+                    t.append(base1.filter(f"k % 1000 = {i}").coalesce(1))
+                gate = 100_000
+                t0 = time.perf_counter()
+                r = t.rewrite_small_files(small_file_threshold_bytes=gate)
+                w = time.perf_counter() - t0
+            results.setdefault(fmt, {})[label] = {
+                "binpack_wall_s": round(w, 3),
+                "files_selected": r["files_selected"],
+            }
+    print(json.dumps(results, indent=2))
+    return 0
+
+
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(binpack_probe() if "--binpack" in sys.argv else main())
