@@ -6863,3 +6863,217 @@ def q353_vintage_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "offs")
     )
+
+
+@query(
+    "q355_mann_whitney_u",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS grp,
+             value AS v
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    r AS (
+      SELECT grp,
+             RANK() OVER (ORDER BY v) AS rk,
+             COUNT(*) OVER (PARTITION BY v) AS tcnt
+      FROM s
+    ),
+    g AS (
+      SELECT grp, COUNT(*) AS n,
+             CAST(SUM(2 * rk + tcnt - 1) AS BIGINT) AS r2
+      FROM r GROUP BY grp
+    ),
+    t AS (
+      SELECT CAST(SUM(c * c * c - c) AS BIGINT) AS tsum
+      FROM (SELECT COUNT(*) AS c FROM s GROUP BY v)
+    ),
+    w AS (
+      SELECT CAST(MAX(CASE WHEN grp = 1 THEN n END) AS BIGINT) AS n1,
+             CAST(MAX(CASE WHEN grp = 2 THEN n END) AS BIGINT) AS n2,
+             MAX(CASE WHEN grp = 1 THEN r2 END) AS r21
+      FROM g
+    )
+    SELECT n1, n2,
+           CAST(r21 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+           CAST(n1 * n2 AS DOUBLE)
+             - CAST(r21 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u2,
+           (CAST(r21 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+              - CAST(n1 * n2 AS DOUBLE) / 2.0)
+             / SQRT(CAST(n1 * n2 AS DOUBLE) / 12.0
+                    * (CAST(n1 + n2 + 1 AS DOUBLE)
+                       - CAST(tsum AS DOUBLE)
+                         / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))) AS z
+    FROM w, t
+    """,
+    tags=("relational", "abtest", "stats"),
+)
+def q355_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U (Wilcoxon rank-sum) — the nonparametric
+    two-sample test the A/B family was missing beside CUPED (q328) and
+    chi-square (q333): are 'click' values stochastically larger than
+    'view' values? U₁ = R₁ − n₁(n₁+1)/2 with MIDRANKS for ties and
+    the tie-corrected normal approximation
+    z = (U₁ − n₁n₂/2) / √(n₁n₂/12 · (N+1 − Σ(t³−t)/(N(N−1)))).
+
+    Cross-engine exactness device: midranks are kept as INTEGERS by
+    carrying 2·midrank = 2·rank + tieCount − 1 (rank() gives the tie
+    group's minimum; adding (t−1)/2 gives the midrank), so every
+    aggregation — rank sums, the tie correction Σ(t³−t) — is exact
+    64-bit arithmetic, and the statistic is a handful of per-scalar
+    IEEE ops in pinned order (division and sqrt are correctly-rounded,
+    unlike libm transcendentals). The ranking window is global by
+    construction (one combined sample) — a grouped A/B panel
+    partitions it by experiment key."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    s = ev.select(
+        F.when(F.col("event_type") == "click", 1).otherwise(2).alias("grp"),
+        F.col("value").alias("v"),
+    )
+    r = s.select(
+        "grp",
+        F.rank().over(W.orderBy("v")).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("v")).alias("tcnt"),
+    )
+    g = r.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(2 * F.col("rk") + F.col("tcnt") - 1).cast("long").alias("r2"),
+    )
+    t = (
+        s.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+            .cast("long")
+            .alias("tsum")
+        )
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).cast("long").alias("n1"),
+        F.max(F.when(F.col("grp") == 2, F.col("n"))).cast("long").alias("n2"),
+        F.max(F.when(F.col("grp") == 1, F.col("r2"))).alias("r21"),
+    )
+    j = w.crossJoin(t)  # 1x1
+    n1, n2, r21, tsum = F.col("n1"), F.col("n2"), F.col("r21"), F.col("tsum")
+    u1 = (r21 - n1 * (n1 + 1)).cast("double") / F.lit(2.0)
+    mu = (n1 * n2).cast("double") / F.lit(2.0)
+    nn = n1 + n2
+    var = (n1 * n2).cast("double") / F.lit(12.0) * (
+        (nn + 1).cast("double") - tsum.cast("double") / (nn * (nn - 1)).cast("double")
+    )
+    return j.select(
+        "n1",
+        "n2",
+        u1.alias("u1"),
+        ((n1 * n2).cast("double") - u1).alias("u2"),
+        ((u1 - mu) / F.sqrt(var)).alias("z"),
+    )
+
+
+@query(
+    "q356_t_closeness",
+    oracle="""
+    WITH grid AS (
+      SELECT n.c_nationkey, s.c_mktsegment
+      FROM (SELECT DISTINCT c_nationkey FROM customer) n
+      CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) s
+    ),
+    cells AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_ci
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    dense AS (
+      SELECT g.c_nationkey, g.c_mktsegment,
+             CAST(COALESCE(n_ci, 0) AS BIGINT) AS n_ci
+      FROM grid g LEFT JOIN cells USING (c_nationkey, c_mktsegment)
+    ),
+    tot AS (
+      SELECT d.*,
+             SUM(n_ci) OVER (PARTITION BY c_nationkey) AS n_c,
+             SUM(n_ci) OVER (PARTITION BY c_mktsegment) AS n_gi,
+             SUM(n_ci) OVER () AS n
+      FROM dense d
+    ),
+    diffs AS (
+      SELECT c_nationkey,
+             CAST(MAX(n_c) AS BIGINT) AS class_size,
+             list(
+               ABS(CAST(n_ci AS DOUBLE) / CAST(n_c AS DOUBLE)
+                   - CAST(n_gi AS DOUBLE) / CAST(n AS DOUBLE))
+               ORDER BY c_mktsegment
+             ) AS ds
+      FROM tot GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, class_size,
+           0.5 * list_reduce(ds, (a, b) -> a + b) AS tvd
+    FROM diffs ORDER BY c_nationkey
+    """,
+    tags=("relational", "privacy"),
+)
+def q356_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-CLOSENESS — the third rung of the anonymity ladder after
+    k-anonymity and l-diversity: for each quasi-identifier class
+    (nation), the distance between its SENSITIVE-attribute
+    distribution (market segment) and the global one must not exceed
+    t. For a categorical attribute with uniform ground distance the
+    Earth Mover's Distance reduces to total variation:
+    TVD = ½·Σᵢ|p(i|class) − q(i)| — including the |0 − qᵢ| terms for
+    segments ABSENT from a class, which is why the computation runs
+    over the DENSE class×value grid (bounded |QI|·|values| cells),
+    never just the observed cells.
+
+    Cross-engine exactness device: the five |p−q| terms per class are
+    summed by a PINNED-ORDER fold over the segment-sorted list (Spark
+    ``aggregate`` over ``array_sort``, DuckDB ordered ``list`` +
+    init-less ``list_reduce`` — exact because 0.0+x ≡ x), so the
+    only floating-point steps are per-cell divisions and an
+    order-fixed 5-term sum. Scale: one hash agg to the cell grid;
+    every window/fold runs on the bounded grid."""
+    c = load_table(spark, sf_dir, "customer")
+    grid = (
+        c.select("c_nationkey").distinct()
+        .crossJoin(c.select("c_mktsegment").distinct())
+    )
+    cells = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_ci")
+    )
+    dense = grid.join(cells, ["c_nationkey", "c_mktsegment"], "left").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.coalesce("n_ci", F.lit(0)).cast("long").alias("n_ci"),
+    )
+    tot = dense.select(
+        "*",
+        F.sum("n_ci").over(W.partitionBy("c_nationkey")).alias("n_c"),
+        F.sum("n_ci").over(W.partitionBy("c_mktsegment")).alias("n_gi"),
+        F.sum("n_ci").over(W.partitionBy()).alias("n"),
+    )
+    diffs = tot.select(
+        "c_nationkey",
+        "n_c",
+        "c_mktsegment",
+        F.abs(
+            F.col("n_ci").cast("double") / F.col("n_c").cast("double")
+            - F.col("n_gi").cast("double") / F.col("n").cast("double")
+        ).alias("d"),
+    )
+    per_class = diffs.groupBy("c_nationkey").agg(
+        F.max("n_c").cast("long").alias("class_size"),
+        F.array_sort(F.collect_list(F.struct("c_mktsegment", "d"))).alias("ds"),
+    )
+    return (
+        per_class.select(
+            "c_nationkey",
+            "class_size",
+            (
+                F.lit(0.5)
+                * F.expr(
+                    "aggregate(transform(ds, s -> s.d), CAST(0.0D AS DOUBLE),"
+                    " (acc, x) -> acc + x)"
+                )
+            ).alias("tvd"),
+        )
+        .orderBy("c_nationkey")
+    )
