@@ -3112,7 +3112,36 @@ class DeltaLogTable:
         actions.extend(adds)
 
         self._commit_actions(version, actions)
+        self._maybe_auto_compact(meta)
         return version
+
+    def _maybe_auto_compact(self, meta: dict | None) -> dict | None:
+        """Post-commit AUTO COMPACTION hook (Databricks
+        ``delta.autoOptimize.autoCompact``): when the table property is
+        ``true`` and at least ``delta.autoOptimize.minNumFiles``
+        (default 8) live files sit under
+        ``delta.autoOptimize.minFileSize`` (default 16 MiB), run the
+        selective binpack OPTIMIZE as a follow-up commit — the
+        streaming-ingest housekeeping loop, bounded by the DEBT (see
+        :meth:`_optimize_binpack`). Best-effort: a lost optimize race
+        never fails the triggering write."""
+        cfg = dict((meta or {}).get("configuration") or {})
+        if cfg.get("delta.autoOptimize.autoCompact") != "true":
+            return None
+        if cfg.get("delta.columnMapping.mode", "none") != "none":
+            return None  # binpack needs physical names; never fail the write
+        gate = int(cfg.get("delta.autoOptimize.minFileSize") or 16 * 1024 * 1024)
+        min_n = int(cfg.get("delta.autoOptimize.minNumFiles") or 8)
+        adds, *_ = self._snapshot()
+        n_small = sum(
+            1 for i in adds.values() if int(i.get("size") or 0) < gate
+        )
+        if n_small < min_n:
+            return None
+        try:
+            return self.optimize(min_file_size_bytes=gate)
+        except ConcurrentWriteError:
+            return None  # another writer took the slot — debt remains for the next hook
 
     def _conform_scoped_overwrite(
         self, df: DataFrame, schema, meta: dict | None, verb: str

@@ -127,3 +127,42 @@ def test_iceberg_binpack_noop(spark, tmp_path):
     res = t.rewrite_small_files(small_file_threshold_bytes=10**9)
     assert res["files_selected"] == 1 and res["bytes_rewritten"] == 0
     assert len(t.snapshots()) == n_snaps, "no-op must not commit"
+
+
+def test_delta_auto_compact_hook(spark, tmp_path):
+    """delta.autoOptimize.autoCompact: the 8th small append triggers a
+    follow-up binpack commit; right-sized files and content survive."""
+    t = DeltaLogTable(spark, str(tmp_path / "ac"))
+    t.write(
+        spark.range(0, 50).selectExpr("id AS k").coalesce(1), mode="append"
+    )
+    t.set_property("delta.autoOptimize.autoCompact", "true")
+    t.set_property("delta.autoOptimize.minNumFiles", "8")
+    for i in range(7):
+        t.write(
+            spark.range(50 + i * 10, 60 + i * 10).selectExpr("id AS k").coalesce(1),
+            mode="append",
+        )
+    adds, *_ = t._snapshot()
+    assert len(adds) == 1, f"auto-compact should have packed to 1 file, saw {len(adds)}"
+    assert sorted(r.k for r in t.read().collect()) == list(range(120))
+    # the optimize landed as its own commit after the triggering write
+    import glob
+    import json
+
+    ops = []
+    for f in sorted(glob.glob(os.path.join(t.path, "_delta_log", "*.json"))):
+        for line in open(f):
+            a = json.loads(line)
+            if "commitInfo" in a:
+                ops.append(a["commitInfo"].get("operation"))
+    assert "OPTIMIZE" in ops
+
+
+def test_delta_auto_compact_below_threshold_is_noop(spark, tmp_path):
+    t = DeltaLogTable(spark, str(tmp_path / "ac2"))
+    t.write(spark.range(0, 50).selectExpr("id AS k").coalesce(1), mode="append")
+    t.set_property("delta.autoOptimize.autoCompact", "true")
+    t.write(spark.range(50, 60).selectExpr("id AS k").coalesce(1), mode="append")
+    adds, *_ = t._snapshot()
+    assert len(adds) == 2, "below minNumFiles the hook must not rewrite"
