@@ -1331,16 +1331,22 @@ class IcebergTable:
                 )
         finally:
             shutil.rmtree(st, ignore_errors=True)
-        # v3 row lineage: slice the table's next-row-id counter across
-        # the freshly staged files (entry first_row_id; rows inherit
-        # coalesce(materialized _row_id, first_row_id + position)).
-        # ALWAYS assigned, even on preserving rewrites whose rows carry
-        # materialized ids — the spec allows over-allocation (next-row-id
-        # only ever grows), and it is what gives a MIXED file (merge:
-        # carried-over rows materialized, inserts null) fresh unique ids
-        # for exactly its null-id rows. Stashed as PENDING — only the
-        # _commit_snapshot that lands this staging advances the counter,
-        # keeping assignment transactional with the commit.
+        self._assign_entry_row_ids(entries)
+        return entries
+
+    def _assign_entry_row_ids(self, entries: list[dict]) -> None:
+        """v3 row lineage: slice the table's next-row-id counter across
+        freshly staged files (entry first_row_id; rows inherit
+        coalesce(materialized _row_id, first_row_id + position)).
+        ALWAYS assigned, even on preserving rewrites whose rows carry
+        materialized ids — the spec allows over-allocation (next-row-id
+        only ever grows), and it is what gives a MIXED file (merge:
+        carried-over rows materialized, inserts null) fresh unique ids
+        for exactly its null-id rows. Stashed as PENDING — only the
+        _commit_snapshot that lands this staging advances the counter,
+        keeping assignment transactional with the commit. Re-invoked by
+        the append retry path after reloading metadata (a concurrent
+        commit may have advanced the counter)."""
         self._pending_row_lineage = None
         try:
             next_rid = self.metadata().get("next-row-id")
@@ -1352,7 +1358,6 @@ class IcebergTable:
                 e["data_file"]["first_row_id"] = rid
                 rid += int(e["data_file"]["record_count"])
             self._pending_row_lineage = (start, rid)
-        return entries
 
     def _prior_manifest_rows(
         self, meta: dict, snaps: list[dict], head_id: int | None = None
@@ -1438,6 +1443,23 @@ class IcebergTable:
             )
         return out
 
+    @staticmethod
+    def _commit_basis(m: dict) -> tuple:
+        """Commit-relevant metadata identity for the staleness gate (see
+        :meth:`_commit_snapshot`): fields every interfering commit
+        changes and no planning caller pre-mutates (callers DO
+        pre-mutate format-version / next-row-id for in-commit
+        upgrades, so those stay out)."""
+        return (
+            m.get("current-snapshot-id"),
+            m.get("last-sequence-number"),
+            len(m.get("snapshots") or []),
+            m.get("current-schema-id"),
+            m.get("default-spec-id"),
+            json.dumps(m.get("refs") or {}, sort_keys=True),
+            json.dumps(m.get("properties") or {}, sort_keys=True),
+        )
+
     def _commit_snapshot(
         self,
         meta: dict,
@@ -1466,6 +1488,21 @@ class IcebergTable:
                 next_version, catalog_style = int(stem[1:]) + 1, False
             else:
                 next_version, catalog_style = int(stem.split("-", 1)[0]) + 1, True
+            # staleness gate: the version is derived from the CURRENT
+            # newest file, but new_meta is built from the CALLER's meta —
+            # if another writer advanced the table since that meta was
+            # read, committing would silently ERASE its commit (classic
+            # lost update). Compare the commit-relevant basis (head,
+            # sequence, snapshot count, schema/spec ids, refs,
+            # properties — fields a planning caller never pre-mutates)
+            # and lose LOUDLY instead; append(retries=…) rebases.
+            with open(mfile, encoding="utf-8") as fh:
+                cur = json.load(fh)
+            if self._commit_basis(cur) != self._commit_basis(meta):
+                raise RuntimeError(
+                    "Iceberg commit lost the race: table metadata advanced "
+                    f"since this {operation} was planned — retry the {operation}"
+                )
         except (FileNotFoundError, ValueError):
             next_version, catalog_style = 1, False
         # a branch commit moves ONLY the branch ref; main stays put —
@@ -2036,6 +2073,7 @@ class IcebergTable:
         txn: tuple[str, int] | None = None,
         _replace: bool = False,
         branch: str | None = None,
+        retries: int = 0,
     ) -> int:
         """Iceberg v2 WRITE interop (VERDICT r5 missing #4): stage
         ``df`` as parquet data files, emit an Avro manifest (entries
@@ -2175,41 +2213,73 @@ class IcebergTable:
                     f"branch {branch!r} does not exist — create it with "
                     "set_ref(name, ref_type='branch') first"
                 )
-        mpath = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
-        write_ocf(mpath, self._manifest_schema(part_fields, ice_schema), entries)
-        rows = (
-            []
-            if _replace
-            else self._prior_manifest_rows(
-                meta,
-                snaps,
-                head_id=(
-                    (meta.get("refs") or {})[branch]["snapshot-id"]
-                    if branch is not None
-                    else None
-                ),
+        summary_extra = (
+            {"app-id": str(txn[0]), "batch-id": str(int(txn[1]))}
+            if txn is not None
+            else None
+        )
+        schema_id = int(meta.get("current-schema-id") or 0)
+        # Commit, rebasing over concurrent commits on conflict (fast-
+        # append semantics — Iceberg's retryable operation, the twin of
+        # DeltaLogTable.write_with_retry): a blind append conflicts with
+        # NOTHING logically, so on a lost O_EXCL race the staged DATA
+        # files are reused as-is and only the metadata re-derives —
+        # fresh snapshot/sequence ids, prior manifests from the NEW
+        # head, entries re-stamped (snapshot id, and re-sliced row-id
+        # ranges when lineage is on — the winner may have consumed the
+        # counter), one new KB-sized manifest file. A REPLACE
+        # (compaction) is snapshot-planned and still loses loudly, as
+        # does schema drift during the race.
+        attempts = 1 if _replace or retries <= 0 else retries + 1
+        for attempt in range(attempts):
+            if attempt > 0:
+                meta = self.metadata()
+                if int(meta.get("current-schema-id") or 0) != schema_id:
+                    raise RuntimeError(
+                        "append retry aborted: table schema changed during the race"
+                    )
+                snaps = list(meta.get("snapshots") or [])
+                seq = int(meta.get("last-sequence-number") or 0) + 1
+                snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+                self._assign_entry_row_ids(entries)
+                for e in entries:
+                    e["snapshot_id"] = snap_id
+            mpath = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
+            write_ocf(mpath, self._manifest_schema(part_fields, ice_schema), entries)
+            rows = (
+                []
+                if _replace
+                else self._prior_manifest_rows(
+                    meta,
+                    snaps,
+                    head_id=(
+                        (meta.get("refs") or {})[branch]["snapshot-id"]
+                        if branch is not None
+                        else None
+                    ),
+                )
             )
-        )
-        rows.append(
-            {
-                "manifest_path": mpath,
-                "manifest_length": os.path.getsize(mpath),
-                "partition_spec_id": int(meta.get("default-spec-id") or 0),
-                "content": 0,
-                "sequence_number": seq,
-                "added_snapshot_id": snap_id,
-            }
-        )
-        return self._commit_snapshot(
-            meta, snaps, snap_id, seq, rows,
-            "replace" if _replace else "append", now,
-            summary_extra=(
-                {"app-id": str(txn[0]), "batch-id": str(int(txn[1]))}
-                if txn is not None
-                else None
-            ),
-            branch=branch,
-        )
+            rows.append(
+                {
+                    "manifest_path": mpath,
+                    "manifest_length": os.path.getsize(mpath),
+                    "partition_spec_id": int(meta.get("default-spec-id") or 0),
+                    "content": 0,
+                    "sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                }
+            )
+            try:
+                return self._commit_snapshot(
+                    meta, snaps, snap_id, seq, rows,
+                    "replace" if _replace else "append", now,
+                    summary_extra=summary_extra,
+                    branch=branch,
+                )
+            except RuntimeError:
+                if attempt == attempts - 1:
+                    raise
+        raise AssertionError("unreachable")
 
     @staticmethod
     def _parse_partition_fields(

@@ -166,3 +166,60 @@ def test_delta_auto_compact_below_threshold_is_noop(spark, tmp_path):
     t.write(spark.range(50, 60).selectExpr("id AS k").coalesce(1), mode="append")
     adds, *_ = t._snapshot()
     assert len(adds) == 2, "below minNumFiles the hook must not rewrite"
+
+
+def test_iceberg_append_rebases_over_concurrent_commit(spark, tmp_path):
+    """Commit staleness gate + fast-append rebase: a competitor commit
+    landing between an append's planning read and its metadata write
+    must either fail the append LOUDLY (retries=0 — previously a
+    silent lost update) or be rebased over (retries>0), with BOTH
+    appends visible and lineage ids disjoint."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    path = str(tmp_path / "race")
+    t1, t2 = IcebergTable(spark, path), IcebergTable(spark, path)
+    t1.append(spark.range(0, 10).selectExpr("id AS k").coalesce(1).limit(0))
+    t1.enable_row_lineage()
+    t1.append(spark.range(0, 10).selectExpr("id AS k").coalesce(1))
+
+    def arm_race(target):
+        orig = target._prior_manifest_rows
+        fired = {"n": 0}
+
+        def hook(meta, snaps, head_id=None):
+            if fired["n"] == 0:
+                fired["n"] = 1
+                t2.append(
+                    spark.range(100, 120).selectExpr("id AS k").coalesce(1)
+                )
+            return orig(meta, snaps, head_id=head_id)
+
+        target._prior_manifest_rows = hook
+        return target
+
+    # retries=0: loud loss, nothing committed by the loser
+    arm_race(IcebergTable(spark, path))
+    loser = IcebergTable(spark, path)
+    loser._prior_manifest_rows  # plain handle sanity
+    racer = arm_race(IcebergTable(spark, path))
+    with pytest.raises(RuntimeError, match="lost the race|was taken"):
+        racer.append(spark.range(200, 205).selectExpr("id AS k").coalesce(1))
+    n_after_loud = IcebergTable(spark, path).read().count()
+    assert n_after_loud == 30, "competitor's append must survive the loud loss"
+
+    # retries>0: rebase — both appends land, ids stay disjoint
+    racer2 = arm_race(IcebergTable(spark, path))
+    racer2.append(
+        spark.range(300, 305).selectExpr("id AS k").coalesce(1), retries=3
+    )
+    t = IcebergTable(spark, path)
+    rows = t.read_with_lineage().collect()
+    # exact expectation: 0-9, two competitor batches (100-119 twice), 300-304
+    from collections import Counter
+
+    cnt = Counter(r.k for r in rows)
+    assert all(cnt[k] == 1 for k in range(0, 10))
+    assert all(cnt[k] == 2 for k in range(100, 120))
+    assert all(cnt[k] == 1 for k in range(300, 305))
+    ids = [r._row_id for r in rows]
+    assert len(ids) == len(set(ids)), "row-id ranges collided across the rebase"
