@@ -123,6 +123,9 @@ HEADLINE = [
     "q346_iceberg_row_lineage",
     "q347_iceberg_default_values",
     "q348_seasonal_decomposition",
+    # r9 session 3b: selective bin-pack on both formats (cost tracks
+    # the small-file debt — the streaming-ingest housekeeping verb)
+    "q354_binpack_compaction",
 ]
 
 
