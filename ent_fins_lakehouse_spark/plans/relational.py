@@ -7077,3 +7077,264 @@ def q356_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "q357_log_rank_test",
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 2 END AS grp,
+             DATEDIFF('day', o.o_orderdate, MIN(l.l_shipdate)) AS dur,
+             DATEDIFF('day', o.o_orderdate, DATE '1998-06-01') AS cens
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderdate < TIMESTAMP '1998-06-01'
+      GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ),
+    subj AS (
+      SELECT grp, LEAST(dur, cens) AS obs,
+             CASE WHEN dur <= cens THEN 1 ELSE 0 END AS ev
+      FROM base
+    ),
+    hist AS (
+      SELECT obs AS t,
+             COUNT(CASE WHEN grp = 1 THEN 1 END) AS c1,
+             COUNT(CASE WHEN grp = 2 THEN 1 END) AS c2,
+             CAST(SUM(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+             CAST(SUM(CASE WHEN grp = 2 THEN ev ELSE 0 END) AS BIGINT) AS d2
+      FROM subj GROUP BY obs
+    ),
+    risk AS (
+      SELECT t, d1, d2,
+             CAST(SUM(c1) OVER (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n1,
+             CAST(SUM(c1 + c2) OVER (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n
+      FROM hist
+    ),
+    terms AS (
+      SELECT t, d1,
+             CAST((d1 + d2) * n1 AS DOUBLE) / CAST(n AS DOUBLE) AS e1,
+             CAST((d1 + d2) * n1 * (n - n1) * (n - d1 - d2) AS DOUBLE)
+               / CAST(n * n * (n - 1) AS DOUBLE) AS v
+      FROM risk WHERE d1 + d2 > 0 AND n > 1
+    ),
+    folded AS (
+      SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+             list_reduce(list(e1 ORDER BY t), (a, b) -> a + b) AS se1,
+             list_reduce(list(v ORDER BY t), (a, b) -> a + b) AS sv,
+             COUNT(*) AS n_times
+      FROM terms
+    )
+    SELECT o1, se1 AS e1, n_times,
+           (CAST(o1 AS DOUBLE) - se1) * (CAST(o1 AS DOUBLE) - se1) / sv
+             AS chi2
+    FROM folded
+    """,
+    tags=("relational", "finance", "survival"),
+)
+def q357_log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-RANK TEST — the significance half of the survival family
+    (q304's Kaplan-Meier curves answer "what does survival look
+    like"; this answers "do the two arms DIFFER"): urgent-priority vs
+    other orders, time to first shipment, right-censored at the q304
+    observation window. χ² = (O₁−E₁)²/V with the hypergeometric
+    per-death-time terms E₁ₜ = dₜ·n₁ₜ/nₜ and
+    Vₜ = dₜ·n₁ₜ·(nₜ−n₁ₜ)·(nₜ−dₜ) / (nₜ²·(nₜ−1)).
+
+    Cross-engine exactness device: every per-time term is ONE IEEE
+    division of two exact 64-bit integer products (counts ≤ 15k keep
+    the 4-factor numerator under 2⁶³), and the sums over death times
+    run as PINNED-ORDER folds over time-sorted lists (Spark
+    ``aggregate``/``array_sort``, DuckDB ordered ``list_reduce``) —
+    no float is ever hash-aggregated. At-risk counts come from one
+    DESCENDING cumulative window over the per-day histogram, so the
+    whole statistic is two hash aggs + windows over ≤ a few hundred
+    day values regardless of row count."""
+    W_END = "1998-06-01"
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .filter(F.col("o_orderdate") < F.lit(W_END).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    base = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            )
+            .otherwise(2)
+            .alias("grp"),
+            F.datediff("first_ship", "o_orderdate").alias("dur"),
+            F.datediff(
+                F.lit(W_END).cast("timestamp"), F.col("o_orderdate")
+            ).alias("cens"),
+        )
+    )
+    subj = base.select(
+        "grp",
+        F.least("dur", "cens").alias("obs"),
+        F.when(F.col("dur") <= F.col("cens"), 1).otherwise(0).alias("ev"),
+    )
+    hist = subj.groupBy(F.col("obs").alias("t")).agg(
+        F.count(F.when(F.col("grp") == 1, 1)).alias("c1"),
+        F.count(F.when(F.col("grp") == 2, 1)).alias("c2"),
+        F.sum(F.when(F.col("grp") == 1, F.col("ev")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum(F.when(F.col("grp") == 2, F.col("ev")).otherwise(0))
+        .cast("long")
+        .alias("d2"),
+    )
+    wdesc = (
+        W.orderBy(F.col("t").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    risk = hist.select(
+        "t",
+        "d1",
+        "d2",
+        F.sum("c1").over(wdesc).cast("long").alias("n1"),
+        F.sum(F.col("c1") + F.col("c2")).over(wdesc).cast("long").alias("n"),
+    )
+    d = F.col("d1") + F.col("d2")
+    terms = risk.filter((d > 0) & (F.col("n") > 1)).select(
+        "t",
+        "d1",
+        (
+            (d * F.col("n1")).cast("double") / F.col("n").cast("double")
+        ).alias("e1"),
+        (
+            (
+                d
+                * F.col("n1")
+                * (F.col("n") - F.col("n1"))
+                * (F.col("n") - d)
+            ).cast("double")
+            / (F.col("n") * F.col("n") * (F.col("n") - 1)).cast("double")
+        ).alias("v"),
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect), s -> s.x),"
+        " CAST(0.0D AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    folded = terms.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.expr(
+            fold.replace("collect", "collect_list(struct(t, e1 AS x))")
+        ).alias("se1"),
+        F.expr(
+            fold.replace("collect", "collect_list(struct(t, v AS x))")
+        ).alias("sv"),
+        F.count(F.lit(1)).alias("n_times"),
+    )
+    o1d = F.col("o1").cast("double")
+    return folded.select(
+        "o1",
+        F.col("se1").alias("e1"),
+        "n_times",
+        ((o1d - F.col("se1")) * (o1d - F.col("se1")) / F.col("sv")).alias("chi2"),
+    )
+
+
+@query(
+    "q358_kruskal_wallis",
+    oracle="""
+    WITH s AS (SELECT event_type AS g, value AS v FROM events),
+    r AS (
+      SELECT g,
+             RANK() OVER (ORDER BY v) AS rk,
+             COUNT(*) OVER (PARTITION BY v) AS tcnt
+      FROM s
+    ),
+    pg AS (
+      SELECT g, COUNT(*) AS n,
+             CAST(SUM(2 * rk + tcnt - 1) AS BIGINT) AS r2
+      FROM r GROUP BY g
+    ),
+    nn AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM pg),
+    ties AS (
+      SELECT CAST(SUM(c * c * c - c) AS BIGINT) AS tsum
+      FROM (SELECT COUNT(*) AS c FROM s GROUP BY v)
+    ),
+    terms AS (
+      SELECT g,
+             (CAST(r2 AS DOUBLE) / 2.0) * (CAST(r2 AS DOUBLE) / 2.0)
+               / CAST(n AS DOUBLE) AS term
+      FROM pg
+    ),
+    folded AS (
+      SELECT list_reduce(list(term ORDER BY g), (a, b) -> a + b) AS s_terms,
+             COUNT(*) AS k_groups
+      FROM terms
+    )
+    SELECT k_groups, n_total,
+           (12.0 / CAST(n_total * (n_total + 1) AS DOUBLE) * s_terms
+              - 3.0 * CAST(n_total + 1 AS DOUBLE))
+             / (1.0 - CAST(tsum AS DOUBLE)
+                  / CAST(n_total * n_total * n_total - n_total AS DOUBLE))
+             AS h_statistic
+    FROM folded, nn, ties
+    """,
+    tags=("relational", "abtest", "stats"),
+)
+def q358_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KRUSKAL-WALLIS H — the k-sample extension of q355's
+    Mann-Whitney (one-way ANOVA on ranks): do the five event types
+    draw values from the same distribution?
+    H = [12/(N(N+1))]·Σᵢ R̄ᵢ²·nᵢ⁻¹·4⁻¹·(2R̄ᵢ)² … computed as
+    Σ (r2ᵢ/2)²/nᵢ with the SAME integer midrank device as q355
+    (2·midrank = 2·rank + t − 1, so every aggregation is exact
+    64-bit), tie-corrected by 1 − Σ(t³−t)/(N³−N). The k per-group
+    terms fold in group-name order (pinned-order sum — q356's
+    device); the statistic itself is a scalar chain of
+    correctly-rounded IEEE ops. One global ranking window (one
+    combined sample by construction); everything after runs on k
+    rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"), F.col("value").alias("v")
+    )
+    r = ev.select(
+        "g",
+        F.rank().over(W.orderBy("v")).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("v")).alias("tcnt"),
+    )
+    pg = r.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(2 * F.col("rk") + F.col("tcnt") - 1).cast("long").alias("r2"),
+    )
+    ties = (
+        ev.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+            .cast("long")
+            .alias("tsum")
+        )
+    )
+    half = F.col("r2").cast("double") / F.lit(2.0)
+    terms = pg.select(
+        "g", "n", (half * half / F.col("n").cast("double")).alias("term")
+    )
+    folded = terms.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(g, term AS x))),"
+            " s -> s.x), CAST(0.0D AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("s_terms"),
+        F.count(F.lit(1)).alias("k_groups"),
+    ).crossJoin(ties)
+    nt = F.col("n_total")
+    h = (
+        F.lit(12.0) / (nt * (nt + 1)).cast("double") * F.col("s_terms")
+        - F.lit(3.0) * (nt + 1).cast("double")
+    )
+    corr = F.lit(1.0) - F.col("tsum").cast("double") / (
+        nt * nt * nt - nt
+    ).cast("double")
+    return folded.select(
+        "k_groups", "n_total", (h / corr).alias("h_statistic")
+    )
