@@ -347,6 +347,21 @@ class LakehouseSession:
         r"ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+UNSET\s+COLUMN\s+MASK\s+(?P<col>\w+)\s*$",
         re.IGNORECASE,
     )
+    _CREATE_MV = re.compile(
+        r"CREATE\s+MATERIALIZED\s+VIEW\s+(?P<name>[\w.]+)\s+AS\s+"
+        r"SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<base>[\w.]+)\s+"
+        r"GROUP\s+BY\s+(?P<grp>[\w\s,]+?)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _REFRESH_MV = re.compile(
+        r"REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<name>[\w.]+)(?:\s+(?P<full>FULL))?\s*$",
+        re.IGNORECASE,
+    )
+    _MV_ITEM = re.compile(
+        r"^(?:(?P<fn>SUM|MIN|MAX)\s*\(\s*(?P<col>\w+)\s*\)|COUNT\s*\(\s*\*\s*\)|(?P<bare>\w+))"
+        r"(?:\s+AS\s+\w+)?$",
+        re.IGNORECASE,
+    )
 
     def __init__(self, spark: SparkSession, warehouse_dir: str):
         self.spark = spark
@@ -447,8 +462,83 @@ class LakehouseSession:
                 return dl
         return t
 
+    def _mv_base_handle(self, qualified: str):
+        """Concrete base handle a MaterializedAggView can consume:
+        a public DeltaLogTable or a bare IcebergTable."""
+        t = self._resolve_concrete(qualified)
+        if isinstance(t, IcebergFacadeTable):
+            return t._t
+        if isinstance(t, DeltaLogTable):
+            return t
+        if isinstance(t, LakeTable):
+            dl = t._as_delta_shim()
+            if dl is not None:
+                return dl
+        raise NotImplementedError(
+            "materialized views need a public-format Delta or Iceberg base"
+        )
+
+    def _mv_handle(self, qualified: str):
+        """Rebuild the MaterializedAggView for REFRESH from its marker
+        (base path + format sniff) — the view data itself is a plain
+        Delta table at table_path(name), so SELECT needs no routing."""
+        from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+        from ent_fins_lakehouse_spark.sources.matview import MaterializedAggView
+
+        dest = self.catalog.table_path(qualified)
+        marker = os.path.join(dest, MaterializedAggView.MARKER)
+        if not os.path.isfile(marker):
+            raise ValueError(f"{qualified} is not a materialized view")
+        with open(marker, encoding="utf-8") as fh:
+            base_path = json.load(fh)["base_path"]
+        if os.path.isdir(os.path.join(base_path, "_delta_log")):
+            base = DeltaLogTable(self.spark, base_path)
+        else:
+            base = IcebergTable(self.spark, base_path)
+        return MaterializedAggView(self.spark, base, dest)
+
     def sql(self, stmt: str) -> DataFrame | None:
         s = stmt.strip().rstrip(";")
+        if m := self._CREATE_MV.match(s):
+            # restricted to the INCREMENTALLY MAINTAINABLE algebra
+            # (sources/matview.py): COUNT(*) / SUM / insert-only
+            # MIN/MAX over GROUP BY keys. Output column names are the
+            # engine's canonical n_rows / sum_<c> / min_<c> / max_<c>.
+            from ent_fins_lakehouse_spark.sources.matview import MaterializedAggView
+
+            group_cols = [c.strip() for c in m["grp"].split(",") if c.strip()]
+            sum_cols: list[str] = []
+            minmax: list[str] = []
+            bare: list[str] = []
+            for item in m["sel"].split(","):
+                im = self._MV_ITEM.match(item.strip())
+                if not im:
+                    raise ValueError(
+                        f"materialized views support bare group columns, "
+                        f"COUNT(*), SUM/MIN/MAX(col) — got {item.strip()!r}"
+                    )
+                fn = (im["fn"] or "").upper()
+                if fn == "SUM":
+                    sum_cols.append(im["col"])
+                elif fn in ("MIN", "MAX"):
+                    if im["col"] not in minmax:
+                        minmax.append(im["col"])
+                elif im["bare"]:
+                    bare.append(im["bare"])
+            if sorted(bare) != sorted(group_cols):
+                raise ValueError(
+                    "materialized view select-list bare columns must equal "
+                    f"the GROUP BY keys ({sorted(group_cols)}), got {sorted(bare)}"
+                )
+            base = self._mv_base_handle(m["base"])
+            mv = MaterializedAggView(
+                self.spark, base, self.catalog.table_path(m["name"])
+            )
+            mv.create(group_cols, sum_cols, minmax_cols=minmax or None)
+            return None
+        if m := self._REFRESH_MV.match(s):
+            self._mv_handle(m["name"]).refresh(full=m["full"] is not None)
+            return None
         if m := self._CREATE_VIEW.match(s):
             vp = self._view_path(m["name"])
             tdir = os.path.dirname(vp)
@@ -772,6 +862,13 @@ class LakehouseSession:
                     return self._apply_policies(m["target"], out)
                 except ValueError:
                     pass  # not a lake table — fall through to spark.sql
+        if re.match(r"(?:SELECT|WITH)\b", s, re.IGNORECASE):
+            # general SELECT/CTE: resolve any qualified db.table
+            # references through the catalog (format shims + policies +
+            # stored-view expansion) and plan the rewritten statement —
+            # non-catalog names (temp views, functions) pass through
+            # untouched, so this is a strict widening of spark.sql
+            return self._run_sql_with_catalog(s)
         return self.spark.sql(s)
 
     @classmethod

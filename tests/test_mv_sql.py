@@ -1,0 +1,99 @@
+"""SQL facade surface for materialized views (sources/catalog.py):
+CREATE MATERIALIZED VIEW … AS SELECT <maintainable algebra> /
+REFRESH MATERIALIZED VIEW [FULL] / plain SELECT over the view data
+(a public Delta table at table_path), plus the general SELECT/CTE
+fallthrough that resolves qualified catalog references.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+
+@pytest.fixture()
+def lh(spark, tmp_path):
+    s = LakehouseSession(spark, str(tmp_path / "wh"))
+    s.sql("CREATE DATABASE db")
+    s.sql("USE db")
+    return s
+
+
+def _expected(n):
+    exp = {}
+    for i in range(n):
+        e = exp.setdefault(i % 5, [0, 0.0])
+        e[0] += 1
+        e[1] += float(i)
+    return {g: tuple(v) for g, v in exp.items()}
+
+
+def test_mv_sql_lifecycle_delta_base(spark, lh, tmp_path):
+    dl = DeltaLogTable(spark, str(tmp_path / "wh" / "db" / "base"))
+    dl.write(
+        spark.range(0, 100).selectExpr("id % 5 AS g", "CAST(id AS DOUBLE) AS x"),
+        mode="append",
+    )
+    lh.sql(f"CREATE TABLE base USING DELTA LOCATION '{dl.path}'")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT g, COUNT(*) AS n_rows, SUM(x) AS sum_x FROM base GROUP BY g"
+    )
+    assert lh.sql("SELECT * FROM db.mv ORDER BY g").count() == 5
+    dl.write(
+        spark.range(100, 120).selectExpr("id % 5 AS g", "CAST(id AS DOUBLE) AS x"),
+        mode="append",
+    )
+    lh.sql("REFRESH MATERIALIZED VIEW mv")
+    got = {
+        r.g: (r.n_rows, float(r.sum_x))
+        for r in lh.sql("SELECT g, n_rows, sum_x FROM db.mv").collect()
+    }
+    assert got == _expected(120)
+    lh.sql("REFRESH MATERIALIZED VIEW mv FULL")
+    got2 = {
+        r.g: (r.n_rows, float(r.sum_x))
+        for r in lh.sql("SELECT g, n_rows, sum_x FROM db.mv").collect()
+    }
+    assert got2 == got
+    # general CTE fallthrough resolves catalog refs
+    n = lh.sql(
+        "WITH t AS (SELECT g FROM db.mv WHERE g < 3) SELECT COUNT(*) AS n FROM t"
+    ).collect()[0].n
+    assert n == 3
+
+
+def test_mv_sql_iceberg_base(spark, lh, tmp_path):
+    ice = IcebergTable(spark, str(tmp_path / "wh" / "db" / "ibase"))
+    ice.append(
+        spark.range(0, 60).selectExpr("id % 3 AS g", "CAST(id AS DOUBLE) AS x")
+    )
+    lh.sql(f"CREATE TABLE ibase USING ICEBERG LOCATION '{ice.path}'")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW imv AS "
+        "SELECT g, COUNT(*), SUM(x) FROM ibase GROUP BY g"
+    )
+    ice.append(
+        spark.range(60, 90).selectExpr("id % 3 AS g", "CAST(id AS DOUBLE) AS x")
+    )
+    lh.sql("REFRESH MATERIALIZED VIEW imv")
+    got = {
+        r.g: (r.n_rows, float(r.sum_x))
+        for r in lh.sql("SELECT * FROM db.imv").collect()
+    }
+    assert got == {g: (30, float(sum(i for i in range(90) if i % 3 == g))) for g in range(3)}
+
+
+def test_mv_sql_refusals(spark, lh, tmp_path):
+    dl = DeltaLogTable(spark, str(tmp_path / "wh" / "db" / "b2"))
+    dl.write(spark.range(10).selectExpr("id AS g", "CAST(id AS DOUBLE) AS x"), mode="append")
+    lh.sql(f"CREATE TABLE b2 USING DELTA LOCATION '{dl.path}'")
+    with pytest.raises(ValueError, match="SUM/MIN/MAX"):
+        lh.sql("CREATE MATERIALIZED VIEW m1 AS SELECT g, AVG(x) FROM b2 GROUP BY g")
+    with pytest.raises(ValueError, match="GROUP BY keys"):
+        lh.sql("CREATE MATERIALIZED VIEW m2 AS SELECT x, SUM(x) FROM b2 GROUP BY g")
+    with pytest.raises(ValueError, match="not a materialized view"):
+        lh.sql("REFRESH MATERIALIZED VIEW b2")
