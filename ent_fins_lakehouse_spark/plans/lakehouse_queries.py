@@ -7110,3 +7110,66 @@ def q354_binpack_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fmt", "o_orderstatus")
     )
+
+
+@query(
+    "q359_iceberg_partition_stats",
+    oracle="""
+    SELECT '{"o_orderstatus": "' || o_orderstatus || '"}' AS partition,
+           COUNT(*) AS record_count
+    FROM orders GROUP BY o_orderstatus ORDER BY partition
+    """,
+    tags=("lakehouse", "iceberg", "stats"),
+)
+def q359_iceberg_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg PARTITION STATISTICS files (spec 'Partition
+    Statistics'): the per-partition rollup is persisted as ONE parquet
+    under ``metadata/`` and registered snapshot-pinned in table
+    metadata — planners and catalogs then read a single footer instead
+    of walking manifests, and the stats survive manifest rewrites
+    (the same snapshot-pinned registry shape as the NDV/Puffin stats).
+
+    Lifecycle asserted: write stats → registry entry points at an
+    existing parquet sized as recorded → :meth:`partition_stats_df`
+    serves the REGISTERED file (no manifest walk) with per-partition
+    counts that hash-match DuckDB's relational rollup → a NEW snapshot
+    has no registered entry and falls back to the live manifest rollup
+    with the append reflected (pinned stats are per-snapshot, never
+    stale-served)."""
+    import os as _os
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("double")
+    )
+    t = IcebergTable(spark, _scratch("iceps") + "_t")
+    t.append(orders, partition_by=["o_orderstatus"])
+    entry = t.write_partition_stats()
+    assert _os.path.isfile(entry["statistics-path"])
+    assert _os.path.getsize(entry["statistics-path"]) == entry["file-size-in-bytes"]
+    assert (t.metadata().get("partition-statistics") or [])[-1] == entry
+
+    pinned = t.partition_stats_df()
+    n_before = pinned.count()
+
+    # a new snapshot has no pinned stats: the reader falls back to the
+    # live manifest rollup and sees the append
+    t.append(
+        orders.limit(50).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            F.lit("Z").alias("o_orderstatus"),
+            F.col("o_totalprice"),
+        ),
+        partition_by=["o_orderstatus"],
+    )
+    live = t.partition_stats_df()
+    assert live.count() == n_before + 1, "fallback must reflect the new snapshot"
+    assert live.filter("partition LIKE '%Z%'").first()["record_count"] == 50
+
+    # the PINNED file still serves the stats-snapshot exactly
+    return (
+        t.partition_stats_df(snapshot_id=entry["snapshot-id"])
+        .select("partition", "record_count")
+        .orderBy("partition")
+    )

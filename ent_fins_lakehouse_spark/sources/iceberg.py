@@ -1612,6 +1612,95 @@ class IcebergTable:
             "total_size_bytes LONG",
         )
 
+    def write_partition_stats(self, snapshot_id: int | None = None) -> dict:
+        """PARTITION STATISTICS file (spec 'Partition Statistics'): the
+        per-partition rollup :meth:`partitions_df` computes from
+        manifests is PERSISTED as one parquet file under ``metadata/``
+        and registered in table metadata ``partition-statistics``
+        (snapshot-pinned, like the NDV stats files) — so planners and
+        catalogs read ONE footer instead of walking manifests, and the
+        stats survive manifest rewrites. Idempotent per snapshot
+        (re-registering replaces the entry). Returns the registry
+        entry."""
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        meta = self.metadata()
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else meta.get("current-snapshot-id")
+        )
+        if sid in (None, -1):
+            raise ValueError("table has no snapshot to compute partition stats for")
+        rows = self.partitions_df(sid).collect()
+        tbl = pa.table(
+            {
+                "partition": [r["partition"] for r in rows],
+                "spec_id": [int(meta.get("default-spec-id") or 0)] * len(rows),
+                "data_record_count": [r["record_count"] for r in rows],
+                "data_file_count": [r["file_count"] for r in rows],
+                "total_data_file_size_in_bytes": [r["total_size_bytes"] for r in rows],
+            },
+            schema=pa.schema(
+                [
+                    ("partition", pa.string()),
+                    ("spec_id", pa.int32()),
+                    ("data_record_count", pa.int64()),
+                    ("data_file_count", pa.int64()),
+                    ("total_data_file_size_in_bytes", pa.int64()),
+                ]
+            ),
+        )
+        path = os.path.join(
+            self.meta_dir, f"partition-stats-{sid}-{_uuid.uuid4().hex}.parquet"
+        )
+        pq.write_table(tbl, path)
+        entry = {
+            "snapshot-id": sid,
+            "statistics-path": path,
+            "file-size-in-bytes": os.path.getsize(path),
+        }
+        reg = [
+            e
+            for e in (meta.get("partition-statistics") or [])
+            if e.get("snapshot-id") != sid
+        ] + [entry]
+        self._write_metadata({**meta, "partition-statistics": reg})
+        return entry
+
+    def partition_stats_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """Read the REGISTERED partition-statistics file for the
+        snapshot (one parquet footer — no manifest walk); falls back to
+        the live :meth:`partitions_df` rollup when none is registered."""
+        meta = self.metadata()
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else meta.get("current-snapshot-id")
+        )
+        entry = next(
+            (
+                e
+                for e in (meta.get("partition-statistics") or [])
+                if e.get("snapshot-id") == sid
+            ),
+            None,
+        )
+        if entry is None:
+            return self.partitions_df(snapshot_id)
+        return (
+            self.spark.read.parquet(self._resolve(entry["statistics-path"]))
+            .select(
+                "partition",
+                F.col("data_record_count").alias("record_count"),
+                F.col("data_file_count").alias("file_count"),
+                F.col("total_data_file_size_in_bytes").alias("total_size_bytes"),
+            )
+        )
+
     def files_df(self, snapshot_id: int | None = None) -> DataFrame:
         """The ``<table>.files`` metadata table: one row per LIVE
         content file of the snapshot — data files (``content=0``),
