@@ -1612,6 +1612,52 @@ class IcebergTable:
             "total_size_bytes LONG",
         )
 
+    def entries_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """The ``<table>.entries`` metadata table: one row per manifest
+        ENTRY of the snapshot — status (0 existing / 1 added /
+        2 deleted), owning snapshot, data sequence (inherited from the
+        manifest-list row when null, the spec's rule), content class,
+        file path/size/rows and first_row_id — the debugging view the
+        other metadata tables aggregate away. Driver-side KB Avro walk,
+        never a data scan."""
+        from ent_fins_lakehouse_spark.sources.avro_io import read_ocf
+
+        meta = self.metadata()
+        snaps = meta.get("snapshots") or []
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else meta.get("current-snapshot-id")
+        )
+        rows = []
+        snap = next((s for s in snaps if s["snapshot-id"] == sid), None)
+        if snap is not None:
+            _, manifests = read_ocf(self._resolve(snap["manifest-list"]))
+            for m in manifests:
+                m_seq = m.get("sequence_number") or 0
+                _, entries = read_ocf(self._resolve(m["manifest_path"]))
+                for e in entries:
+                    df_rec = e["data_file"]
+                    seq = e.get("sequence_number")
+                    rows.append(
+                        (
+                            int(e.get("status") or 0),
+                            e.get("snapshot_id"),
+                            int(m_seq if seq is None else seq),
+                            int(df_rec.get("content") or 0),
+                            df_rec["file_path"],
+                            int(df_rec.get("record_count") or 0),
+                            int(df_rec.get("file_size_in_bytes") or 0),
+                            df_rec.get("first_row_id"),
+                        )
+                    )
+        return self.spark.createDataFrame(
+            rows,
+            "status INT, snapshot_id LONG, sequence_number LONG, "
+            "content INT, file_path STRING, record_count LONG, "
+            "file_size_in_bytes LONG, first_row_id LONG",
+        )
+
     def write_partition_stats(self, snapshot_id: int | None = None) -> dict:
         """PARTITION STATISTICS file (spec 'Partition Statistics'): the
         per-partition rollup :meth:`partitions_df` computes from

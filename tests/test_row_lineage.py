@@ -205,3 +205,19 @@ def test_delta_row_tracking_translates_to_iceberg_lineage(spark, tmp_path):
     got = ids(ice, lambda t: t.read_with_lineage())
     assert got == ids(dl, DeltaLogTable.read_with_row_ids)
     assert len(got) == 41
+
+
+def test_entries_metadata_table(spark, tmp_path):
+    """<table>.entries: per-entry status/sequence/content/first_row_id
+    visible, sequence inherited from the manifest-list row."""
+    t = _mk(spark, tmp_path, "entries", n=10)
+    t.delete("k % 5 = 0", mode="dv")
+    e = t.entries_df()
+    # two data entries: the (empty) creation file + the real append
+    data = e.filter("content = 0 AND record_count > 0").collect()
+    dvs = e.filter("content = 1").collect()
+    assert e.filter("content = 0").count() == 2
+    assert len(data) == 1 and len(dvs) == 1
+    assert data[0].record_count == 10 and data[0].first_row_id == 0
+    assert data[0].sequence_number < dvs[0].sequence_number
+    assert dvs[0].first_row_id is None
