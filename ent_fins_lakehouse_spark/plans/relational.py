@@ -7115,8 +7115,9 @@ def q356_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms AS (
       SELECT t, d1,
              CAST((d1 + d2) * n1 AS DOUBLE) / CAST(n AS DOUBLE) AS e1,
-             CAST((d1 + d2) * n1 * (n - n1) * (n - d1 - d2) AS DOUBLE)
-               / CAST(n * n * (n - 1) AS DOUBLE) AS v
+             CAST((d1 + d2) * n1 AS DOUBLE) / CAST(n AS DOUBLE)
+               * (CAST(n - n1 AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(n - d1 - d2 AS DOUBLE) / CAST(n - 1 AS DOUBLE)) AS v
       FROM risk WHERE d1 + d2 > 0 AND n > 1
     ),
     folded AS (
@@ -7142,9 +7143,12 @@ def q357_log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-death-time terms E₁ₜ = dₜ·n₁ₜ/nₜ and
     Vₜ = dₜ·n₁ₜ·(nₜ−n₁ₜ)·(nₜ−dₜ) / (nₜ²·(nₜ−1)).
 
-    Cross-engine exactness device: every per-time term is ONE IEEE
-    division of two exact 64-bit integer products (counts ≤ 15k keep
-    the 4-factor numerator under 2⁶³), and the sums over death times
+    Cross-engine exactness device: every per-time term is a pinned
+    left-associated chain of IEEE divisions/products of exact 64-bit
+    integers — V is STAGED as (d·n₁/n)·((n−n₁)/n)·((n−d)/(n−1)) so no
+    intermediate integer product can overflow at ANY row count (the
+    single 4-factor numerator would pass 2⁶³ near 150k subjects) —
+    and the sums over death times
     run as PINNED-ORDER folds over time-sorted lists (Spark
     ``aggregate``/``array_sort``, DuckDB ordered ``list_reduce``) —
     no float is ever hash-aggregated. At-risk counts come from one
@@ -7208,13 +7212,16 @@ def q357_log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (d * F.col("n1")).cast("double") / F.col("n").cast("double")
         ).alias("e1"),
         (
-            (
-                d
-                * F.col("n1")
-                * (F.col("n") - F.col("n1"))
-                * (F.col("n") - d)
-            ).cast("double")
-            / (F.col("n") * F.col("n") * (F.col("n") - 1)).cast("double")
+            (d * F.col("n1")).cast("double")
+            / F.col("n").cast("double")
+            * (
+                (F.col("n") - F.col("n1")).cast("double")
+                / F.col("n").cast("double")
+            )
+            * (
+                (F.col("n") - d).cast("double")
+                / (F.col("n") - 1).cast("double")
+            )
         ).alias("v"),
     )
     fold = (
