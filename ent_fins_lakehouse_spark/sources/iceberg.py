@@ -1477,10 +1477,32 @@ class IcebergTable:
         Returns ``snap_id``."""
         import uuid as _uuid
 
-        from ent_fins_lakehouse_spark.sources.avro_io import write_ocf
+        from ent_fins_lakehouse_spark.sources.avro_io import read_ocf, write_ocf
 
         lpath = os.path.join(self.meta_dir, f"snap-{snap_id}-{_uuid.uuid4().hex}.avro")
         write_ocf(lpath, self._MANIFEST_LIST_SCHEMA, list_rows)
+        # standard snapshot summary metrics (spec 'Snapshots' — the
+        # fields every engine's UI/planner reads): added data files and
+        # records, summed from the manifests THIS snapshot added —
+        # bounded by the change, never a walk of the whole tree
+        added_files = added_records = 0
+        for r in list_rows:
+            if r.get("added_snapshot_id") != snap_id or (r.get("content") or 0) != 0:
+                continue
+            try:
+                _, m_entries = read_ocf(self._resolve(r["manifest_path"]))
+            except (OSError, ValueError):
+                continue
+            for e in m_entries:
+                if e.get("status") == 1:
+                    added_files += 1
+                    added_records += int(
+                        e["data_file"].get("record_count") or 0
+                    )
+        std_summary = {
+            "added-data-files": str(added_files),
+            "added-records": str(added_records),
+        }
         try:
             mfile = self._metadata_file()
             stem = os.path.basename(mfile)[: -len(".metadata.json")]
@@ -1552,7 +1574,11 @@ class IcebergTable:
                     "sequence-number": seq,
                     "timestamp-ms": now,
                     "manifest-list": lpath,
-                    "summary": {"operation": operation, **(summary_extra or {})},
+                    "summary": {
+                        "operation": operation,
+                        **std_summary,
+                        **(summary_extra or {}),
+                    },
                 },
             ],
         }
