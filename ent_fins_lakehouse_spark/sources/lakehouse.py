@@ -6215,9 +6215,15 @@ class DeltaLogTable:
     #: checkpoint cadence for engine-written logs (delta-spark's default)
     CHECKPOINT_INTERVAL = 10
 
-    def checkpoint(self, version: int | None = None) -> str:
+    def checkpoint(self, version: int | None = None, parts: int | None = None) -> str:
         """Write a single-file parquet checkpoint + ``_last_checkpoint``
-        (spec: 'Checkpoints'): the replayed snapshot's protocol /
+        (spec: 'Checkpoints'). ``parts=N`` writes the MULTI-PART
+        classic shape instead
+        (``{v}.checkpoint.{i}.{N}.parquet``, ``_last_checkpoint``
+        carrying ``parts`` — what large tables use so no single
+        checkpoint file grows unbounded); actions round-robin across
+        parts (the spec allows any distribution; readers union all
+        parts). The replayed snapshot's protocol /
         metaData / add actions as one action-table row each, so readers
         bootstrap from one parquet scan instead of replaying every JSON
         commit — the log-compaction half of Delta write interop.
@@ -6397,6 +6403,11 @@ class DeltaLogTable:
                     }
                 )
         cfg = (meta or {}).get("configuration") or {}
+        if parts and parts > 1 and cfg.get("delta.checkpointPolicy") == "v2":
+            raise ValueError(
+                "parts applies to CLASSIC checkpoints; this table's "
+                "delta.checkpointPolicy=v2 shape uses sidecars instead"
+            )
         if cfg.get("delta.checkpointPolicy") == "v2":
             # V2 spec checkpoint (spec: 'V2 Spec Checkpoint'): the add
             # actions go to a sidecar parquet under _delta_log/_sidecars/
@@ -6449,6 +6460,21 @@ class DeltaLogTable:
                 pa.Table.from_pylist(top_rows, schema=pa.schema(top_fields)), cp_path
             )
             n_actions = len(top_rows) + len(add_structs)
+        elif parts and parts > 1:
+            schema_pa = pa.schema(fields)
+            for i in range(parts):
+                slice_rows = [r for j, r in enumerate(rows) if j % parts == i]
+                cp_path = os.path.join(
+                    self.log_path,
+                    f"{version:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet",
+                )
+                pq.write_table(
+                    pa.Table.from_pylist(slice_rows, schema=schema_pa), cp_path
+                )
+            n_actions = len(rows)
+            with open(os.path.join(self.log_path, "_last_checkpoint"), "w") as fh:
+                json.dump({"version": version, "size": n_actions, "parts": parts}, fh)
+            return cp_path
         else:
             cp_path = os.path.join(self.log_path, f"{version:020d}.checkpoint.parquet")
             pq.write_table(pa.Table.from_pylist(rows, schema=pa.schema(fields)), cp_path)
