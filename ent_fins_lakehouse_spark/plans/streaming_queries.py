@@ -1432,3 +1432,78 @@ def q337_streaming_materialized_view(spark: SparkSession, sf_dir: str) -> DataFr
         "n_rows",
         F.col("sum_o_totalprice").cast("double").alias("sum_o_totalprice"),
     ).orderBy("g")
+
+
+@query(
+    "q360_stream_auto_compact",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("streaming", "lakehouse", "maintenance"),
+)
+def q360_stream_auto_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest with AUTO COMPACTION — the housekeeping loop a
+    100 TB table needs under a micro-batching writer: the exactly-once
+    Delta sink lands one small file per trigger, and the
+    ``delta.autoOptimize.autoCompact`` post-commit hook bin-packs
+    whenever ≥ minNumFiles small adds accumulate — so the LIVE file
+    count stays BOUNDED while rows only grow, and the compactions are
+    the selective debt-sized rewrites (never the table;
+    `DeltaLogTable._maybe_auto_compact` → `_optimize_binpack`).
+
+    Asserted: ≥2 OPTIMIZE commits interleaved the 12 single-file
+    micro-batches; the final live file count is under the trigger
+    threshold + target output; exactly-once held through the hook (the
+    rollup hash-matches the source relationally — no row duplicated or
+    dropped by replay or rewrite)."""
+    import glob
+    import json as _json
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+    from ent_fins_lakehouse_spark.streaming.autoloader import DeltaStreamSink
+
+    root = tempfile.mkdtemp(prefix="stream_ac_")
+    src = os.path.join(root, "src")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.repartition(12).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    table = DeltaLogTable(spark, os.path.join(root, "dl"))
+    table.write(ev.limit(0), mode="append")  # create, then arm the hook
+    table.set_property("delta.autoOptimize.autoCompact", "true")
+    table.set_property("delta.autoOptimize.minNumFiles", "6")
+    table.set_property("delta.autoOptimize.minFileSize", str(32 * 1024 * 1024))
+
+    sink = DeltaStreamSink(table, app_id="q360-ingest")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink.start(stream, os.path.join(root, "ckpt"), available_now=True)
+
+    adds, *_ = table._snapshot()
+    assert len(adds) <= 7, f"auto-compact failed to bound the debt: {len(adds)} files"
+    ops = []
+    for f in sorted(glob.glob(os.path.join(table.path, "_delta_log", "*.json"))):
+        with open(f) as fh:
+            for line in fh:
+                a = _json.loads(line)
+                if "commitInfo" in a:
+                    ops.append(a["commitInfo"].get("operation"))
+    assert ops.count("OPTIMIZE") >= 2, f"expected interleaved compactions, got {ops}"
+
+    return (
+        table.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
