@@ -7345,3 +7345,78 @@ def q358_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.select(
         "k_groups", "n_total", (h / corr).alias("h_statistic")
     )
+
+
+@query(
+    "q361_jarque_bera",
+    oracle="""
+    WITH sums AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38, 6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38, 6))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(38, 6))) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(38, 6))) AS DOUBLE) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    m AS (
+      SELECT l_returnflag, n,
+             round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                   / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS s,
+             round((s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                    - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                   / pow(s2 / n - (s1 / n) * (s1 / n), 2) - 3, 6) AS k
+      FROM sums
+    )
+    SELECT l_returnflag, n,
+           round(CAST(n AS DOUBLE) / 6.0 * (s * s + k * k / 4.0), 4) AS jb,
+           CAST(n AS DOUBLE) / 6.0 * (s * s + k * k / 4.0) > 5.991 AS non_normal
+    FROM m ORDER BY l_returnflag
+    """,
+    tags=("aggregation", "statistics"),
+)
+def q361_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JARQUE-BERA normality test per return-flag class:
+    JB = n/6·(S² + K²/4) against χ²(2) — the moment-based normality
+    screen risk models run before assuming Gaussian P&L (here it
+    correctly flags the uniform-ish quantity distribution as
+    non-normal via its platykurtic K≈−1.2). Built ENTIRELY on q98's
+    exact-DECIMAL moment machinery: the four power sums are
+    order-insensitive decimals, skew/kurt evaluate identically on
+    both engines and are pinned at 6 decimals (absorbing the one libm
+    pow call — the q98 device), so JB is plain IEEE arithmetic on
+    identical inputs. One hash agg, five result rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(x, 6)).cast("double").alias("s1"),
+        F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("s2"),
+        F.sum((x * x * x).cast("decimal(38,6)")).cast("double").alias("s3"),
+        F.sum((x * x * x * x).cast("decimal(38,6)")).cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    s = F.round(
+        (s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu) / F.pow(m2, F.lit(1.5)),
+        6,
+    )
+    k = F.round(
+        (s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n) - 3 * mu * mu * mu * mu)
+        / F.pow(m2, F.lit(2.0))
+        - 3,
+        6,
+    )
+    m = sums.select("l_returnflag", "n", s.alias("s"), k.alias("k"))
+    jb = (
+        F.col("n").cast("double")
+        / F.lit(6.0)
+        * (F.col("s") * F.col("s") + F.col("k") * F.col("k") / F.lit(4.0))
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(jb, 4).alias("jb"),
+        (jb > F.lit(5.991)).alias("non_normal"),
+    ).orderBy("l_returnflag")
