@@ -7420,3 +7420,178 @@ def q361_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(jb, 4).alias("jb"),
         (jb > F.lit(5.991)).alias("non_normal"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "q362_herfindahl_index",
+    oracle="""
+    WITH seg AS (
+      SELECT c_mktsegment,
+             n_nationkey AS nation,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY c_mktsegment, n_nationkey
+    ),
+    tot AS (
+      SELECT c_mktsegment, nation,
+             CAST(rev_dec AS DOUBLE) AS rev,
+             CAST(SUM(rev_dec) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+               AS seg_rev
+      FROM seg
+    ),
+    terms AS (
+      SELECT c_mktsegment,
+             (rev / seg_rev) * (rev / seg_rev) AS sq
+      FROM tot
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_nations,
+           list_reduce(list(sq ORDER BY sq, c_mktsegment), (a, b) -> a + b) AS hhi
+    FROM terms GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("relational", "finance", "concentration"),
+)
+def q362_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HERFINDAHL-HIRSCHMAN concentration index per market segment —
+    HHI = Σ shareᵢ² over the nations serving the segment (the
+    counterparty/portfolio concentration measure beside q251's Gini):
+    near 1/n = diversified, near 1 = concentrated. Shares come from
+    DECIMAL-exact revenue sums (window total per segment), each share
+    is one IEEE division, its square one multiplication, and the ≤25
+    per-segment terms fold in PINNED ORDER (sorted by the share value
+    itself — identical on both engines because the doubles are
+    identical). One join-agg over the data, then everything on the
+    |segments|×|nations| grid.
+
+    The segment-total window sums DECIMAL values (exact,
+    order-insensitive) before the final double cast — no float is
+    ever hash-aggregated."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    seg = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_mktsegment", F.col("n_nationkey").alias("nation"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec")
+        )
+    )
+    wseg = W.partitionBy("c_mktsegment")
+    share = F.col("rev_dec").cast("double") / F.sum("rev_dec").over(wseg).cast(
+        "double"
+    )
+    terms = seg.select("c_mktsegment", (share * share).alias("sq"))
+    return (
+        terms.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(sq, c_mktsegment))),"
+                " s -> s.sq), CAST(0.0D AS DOUBLE), (acc, x) -> acc + x)"
+            ).alias("hhi"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+#: Benford expected first-digit probabilities log10(1+1/d), d=1..9 —
+#: PINNED literals (no runtime libm), shared by the query and oracle.
+BENFORD_P = {
+    1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829992,
+    4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514,
+}
+
+
+@query(
+    "q363_benford_first_digit",
+    oracle="""
+    WITH p(digit, exp_p) AS (VALUES
+      (1, 0.3010299956639812e0), (2, 0.17609125905568124e0),
+      (3, 0.12493873660829992e0), (4, 0.09691001300805642e0),
+      (5, 0.07918124604762482e0), (6, 0.06694678963061322e0),
+      (7, 0.05799194697768673e0), (8, 0.05115252244738129e0),
+      (9, 0.04575749056067514e0)
+    ),
+    d AS (
+      SELECT CAST(SUBSTRING(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders
+    ),
+    o AS (
+      SELECT digit, COUNT(*) AS n_d FROM d GROUP BY digit
+    ),
+    j AS (
+      SELECT p.digit, COALESCE(n_d, 0) AS n_d, exp_p,
+             CAST(SUM(COALESCE(n_d, 0)) OVER () AS DOUBLE) AS n
+      FROM p LEFT JOIN o ON p.digit = o.digit
+    ),
+    t AS (
+      SELECT digit, n_d, exp_p,
+             (CAST(n_d AS DOUBLE) - n * exp_p) * (CAST(n_d AS DOUBLE) - n * exp_p)
+               / (n * exp_p) AS term
+      FROM j
+    ),
+    f AS (
+      SELECT list_reduce(list(term ORDER BY digit), (a, b) -> a + b) AS chi2
+      FROM t
+    )
+    SELECT digit, CAST(n_d AS BIGINT) AS n_d, exp_p, chi2
+    FROM t, f ORDER BY digit
+    """,
+    tags=("relational", "finance", "fraud"),
+)
+def q363_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit screen over order values — the
+    classic forensic-accounting fraud test (fabricated amounts flunk
+    the log-law): per leading digit d the observed count vs the
+    expected n·log₁₀(1+1/d), with the χ²(8) goodness-of-fit statistic.
+
+    Exactness devices: the first digit comes from the DECIMAL(18,2)
+    string rendering (no float formatting ambiguity); the nine
+    expected probabilities are PINNED LITERALS (no runtime libm
+    log10); each χ² term is per-row IEEE arithmetic in pinned order;
+    and the 9-term sum folds in digit order on both engines (Spark
+    aggregate over the full 1–9 grid — digits absent from the data
+    contribute (0 − n·p)²/(n·p), which is why the expected table LEFT
+    JOINs the observed counts, never the reverse). One hash agg over
+    the data; everything after runs on nine rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    obs = o.groupBy("digit").agg(F.count(F.lit(1)).alias("n_d"))
+    p = spark.createDataFrame(
+        [(d, BENFORD_P[d]) for d in range(1, 10)], "digit LONG, exp_p DOUBLE"
+    )
+    j = p.join(obs, "digit", "left").select(
+        "digit",
+        F.coalesce("n_d", F.lit(0)).cast("long").alias("n_d"),
+        "exp_p",
+    )
+    j = j.withColumn(
+        "n", F.sum("n_d").over(W.partitionBy()).cast("double")
+    ).withColumn(
+        "term",
+        (F.col("n_d").cast("double") - F.col("n") * F.col("exp_p"))
+        * (F.col("n_d").cast("double") - F.col("n") * F.col("exp_p"))
+        / (F.col("n") * F.col("exp_p")),
+    )
+    chi2 = F.expr(
+        "aggregate(transform(array_sort(collect_list(struct(digit, term))),"
+        " s -> s.term), CAST(0.0D AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    folded = j.agg(chi2.alias("chi2"))
+    return (
+        j.crossJoin(F.broadcast(folded))
+        .select("digit", "n_d", "exp_p", "chi2")
+        .orderBy("digit")
+    )
