@@ -241,6 +241,12 @@ class LakehouseSession:
         re.IGNORECASE | re.DOTALL,
     )
     _HISTORY = re.compile(r"DESCRIBE\s+HISTORY\s+(?P<target>[\w.]+)\s*$", re.IGNORECASE)
+    _SHOW_PARTS = re.compile(
+        r"SHOW\s+PARTITIONS\s+(?P<target>[\w.]+)\s*$", re.IGNORECASE
+    )
+    _SHOW_COLS = re.compile(
+        r"SHOW\s+COLUMNS\s+(?:IN|FROM)\s+(?P<target>[\w.]+)\s*$", re.IGNORECASE
+    )
     _CREATE_DB = re.compile(r"CREATE\s+DATABASE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*$", re.IGNORECASE)
     _CREATE_TBL = re.compile(
         r"CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s+"
@@ -632,6 +638,34 @@ class LakehouseSession:
             return None
         if m := self._HISTORY.match(s):
             return self.catalog._resolve(m["target"]).history()
+        if m := self._SHOW_PARTS.match(s):
+            t = self._resolve_concrete(m["target"])
+            if isinstance(t, IcebergFacadeTable):
+                # Iceberg: the manifest-derived partitions rollup
+                # (prefers a registered partition-statistics file)
+                return t._t.partition_stats_df().select("partition")
+            if isinstance(t, DeltaLogTable):
+                adds, _sch, part_cols, _m = t._snapshot()
+                if not part_cols:
+                    raise ValueError(f"{m['target']} is not a partitioned table")
+                vals = sorted(
+                    {
+                        json.dumps(info["partitionValues"], sort_keys=True)
+                        for info in adds.values()
+                    }
+                )
+                return self.spark.createDataFrame(
+                    [(v,) for v in vals], "partition STRING"
+                )
+            raise NotImplementedError(
+                f"SHOW PARTITIONS is not supported by {type(t).__name__}"
+            )
+        if m := self._SHOW_COLS.match(s):
+            t = self.catalog._resolve(m["target"])
+            return self.spark.createDataFrame(
+                [(f.name, f.dataType.simpleString()) for f in t.read().schema.fields],
+                "col_name STRING, data_type STRING",
+            )
         if m := self._ANALYZE.match(s):
             cols = [c.strip() for c in (m["cols"] or "").split(",") if c.strip()]
             stats = self.catalog._resolve(m["target"]).analyze(cols or None)

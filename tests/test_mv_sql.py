@@ -97,3 +97,34 @@ def test_mv_sql_refusals(spark, lh, tmp_path):
         lh.sql("CREATE MATERIALIZED VIEW m2 AS SELECT x, SUM(x) FROM b2 GROUP BY g")
     with pytest.raises(ValueError, match="not a materialized view"):
         lh.sql("REFRESH MATERIALIZED VIEW b2")
+
+
+def test_show_partitions_and_columns(spark, lh, tmp_path):
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    dl = DeltaLogTable(spark, str(tmp_path / "wh" / "db" / "pt"))
+    dl.write(
+        spark.range(0, 30).selectExpr("id AS k", "CAST(id % 3 AS STRING) AS p"),
+        mode="append",
+        partition_by=["p"],
+    )
+    lh.sql(f"CREATE TABLE pt USING DELTA LOCATION '{dl.path}'")
+    parts = [r.partition for r in lh.sql("SHOW PARTITIONS pt").collect()]
+    assert len(parts) == 3 and all('"p"' in v for v in parts)
+    cols = {r.col_name: r.data_type for r in lh.sql("SHOW COLUMNS IN pt").collect()}
+    assert cols == {"k": "bigint", "p": "string"}
+
+    ice = IcebergTable(spark, str(tmp_path / "wh" / "db" / "ipt"))
+    ice.append(
+        spark.range(0, 30).selectExpr("id AS k", "CAST(id % 3 AS STRING) AS p"),
+        partition_by=["p"],
+    )
+    lh.sql(f"CREATE TABLE ipt USING ICEBERG LOCATION '{ice.path}'")
+    assert lh.sql("SHOW PARTITIONS ipt").count() == 3
+    import pytest as _pytest
+
+    dl2 = DeltaLogTable(spark, str(tmp_path / "wh" / "db" / "np"))
+    dl2.write(spark.range(3).selectExpr("id AS k"), mode="append")
+    lh.sql(f"CREATE TABLE np USING DELTA LOCATION '{dl2.path}'")
+    with _pytest.raises(ValueError, match="not a partitioned table"):
+        lh.sql("SHOW PARTITIONS np")
