@@ -7595,3 +7595,77 @@ def q363_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("digit", "n_d", "exp_p", "chi2")
         .orderBy("digit")
     )
+
+
+@query(
+    "q364_pareto_abc",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+      FROM lineitem GROUP BY l_partkey
+    ),
+    cum AS (
+      SELECT l_partkey, r,
+             CAST(SUM(r) OVER (ORDER BY r DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / CAST(SUM(r) OVER () AS DOUBLE) AS cum_share
+      FROM rev
+    ),
+    cls AS (
+      SELECT CASE WHEN cum_share <= 0.8 THEN 'A'
+                  WHEN cum_share <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             l_partkey, r
+      FROM cum
+    )
+    SELECT abc_class,
+           COUNT(*) AS n_parts,
+           CAST(SUM(r) AS DOUBLE) AS class_revenue
+    FROM cls GROUP BY abc_class ORDER BY abc_class
+    """,
+    tags=("relational", "finance", "pareto"),
+)
+def q364_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARETO / ABC classification of parts by revenue — the 80/15/5
+    inventory-and-exposure split (A: the head covering 80% of
+    cumulative revenue, B: to 95%, C: the tail): a handful of A-class
+    keys dominating revenue is also exactly the skew profile that
+    motivates q89's salted join. Exactness devices: per-part revenue
+    and BOTH window sums (running and total) stay in DECIMAL —
+    order-insensitive under any partial aggregation — with one IEEE
+    division per row for the cumulative share; the descending order
+    pins the unique l_partkey as tiebreak so equal-revenue parts
+    classify identically on both engines. One shuffle on the part
+    key, one ranking window, three output rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_extendedprice").cast("decimal(18,2)").alias("p")
+    )
+    rev = li.groupBy("l_partkey").agg(F.sum("p").alias("r"))
+    wcum = (
+        W.orderBy(F.col("r").desc(), "l_partkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = rev.select(
+        "l_partkey",
+        "r",
+        (
+            F.sum("r").over(wcum).cast("double")
+            / F.sum("r").over(W.partitionBy()).cast("double")
+        ).alias("cum_share"),
+    )
+    cls = cum.select(
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "r",
+    )
+    return (
+        cls.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("r").cast("double").alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )
