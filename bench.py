@@ -128,6 +128,33 @@ HEADLINE = [
     "q354_binpack_compaction",
 ]
 
+# Headline rows whose wall is dominated by table BUILDS + commit
+# protocol (fixture write -> DML -> maintenance verb), not by scans.
+# Tracked separately (VERDICT r9 item 10): suite growth keeps adding
+# lifecycle rows whose fixed commit cost would otherwise bury scan-plan
+# drift — the 2x-vs-baseline budget's real subject — in the total.
+LIFECYCLE = {
+    "q145_delta_log_write",
+    "q156_lake_update",
+    "q161_delta_change_feed",
+    "q165_delta_log_merge",
+    "q190_iceberg_merge",
+    "q215_bloom_file_index",
+    "q219_copy_into",
+    "q227_incremental_dedup_index",
+    "q253_iceberg_copy_on_write",
+    "q254_delta_v2_checkpoint_write",
+    "q292_delta_reorg_purge",
+    "q294_delta_hilbert_clustering",
+    "q302_delta_cdf_dml",
+    "q330_iceberg_sort_order",
+    "q339_delta_uniform_auto_sync",
+    "q341_iceberg_to_delta_sync",
+    "q346_iceberg_row_lineage",
+    "q347_iceberg_default_values",
+    "q354_binpack_compaction",
+}
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -189,17 +216,33 @@ def main() -> int:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    scan_wall = round(sum(t for q, t in timings.items() if q not in LIFECYCLE), 3)
+    lifecycle_wall = round(sum(t for q, t in timings.items() if q in LIFECYCLE), 3)
+    try:
+        loadavg = float(open("/proc/loadavg").read().split()[0])
+    except OSError:
+        loadavg = None
+    payload = {
+        "metric": "headline_wall",
+        "value": total,
+        "unit": "sec",
+        "scan_wall": scan_wall,
+        "lifecycle_wall": lifecycle_wall,
+        "queries": timings,
+        "sf": sf,
+        "loadavg": loadavg,
+    }
+    # Self-describing artifact (VERDICT r9 item 4): the driver's
+    # tail-capture truncated BENCH_r09's single JSON line mid-stream
+    # (parsed: null), losing the headline. Persisting the same payload
+    # beside the repo makes the record independent of capture limits.
+    try:
+        with open(os.path.join(REPO_ROOT, "bench_summary.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass
+    print(json.dumps(payload))
     return 0
 
 

@@ -1,0 +1,141 @@
+"""Cross-engine-deterministic math kernels.
+
+IEEE-754 double +, -, *, / are exactly specified (correctly rounded),
+so any two engines evaluating the SAME expression tree over the same
+doubles produce bit-identical results. Transcendental library calls
+(``ln``, ``exp``) are NOT: JVM StrictMath/fdlibm and DuckDB's C++ libm
+legitimately differ by 1 ulp, which flips ``ROUND(ln(x), 4)`` whenever
+x lands within an ulp of a 4dp rounding boundary (the only hash
+mismatches ever observed in the full-registry sf0.1 sweep — SCALING.md
+r9s3c; VERDICT r9 item 1).
+
+``det_ln_ratio(a, b)`` therefore computes ln(a/b) for integer
+1 <= a <= b using ONLY exactly-specified operations, with the same
+expression tree emitted for Spark (Column algebra) and DuckDB (SQL
+text), so both engines return the bit-identical double:
+
+1. Exact range reduction via integer arithmetic: the binary exponent
+   comes from ``length(bin(n)) - 1`` (exact on both engines), and the
+   mantissa ``m = (a << k) / b`` lands in [1, 2) with the shift-vs-b
+   comparison done on exact integers. The single double division is
+   correctly rounded, hence deterministic.
+2. ln(m) for m in [1, 2) via the atanh series with z = (m-1)/(m+1)
+   (z <= 1/3): a fixed 13-term Horner polynomial in w = z*z.
+   Truncation error <= z^27/27 ~ 2.8e-14 — irrelevant for hash
+   equality because BOTH engines compute the same truncated series.
+3. ln(a/b) = ln(m) - k * LN2 with LN2 a shared decimal literal
+   (literal parsing is correctly rounded on both engines).
+
+The series coefficients are written as ``(1.0/3.0)``-style divisions
+on both sides: constant folding performs one correctly-rounded IEEE
+division per coefficient, identical everywhere.
+
+Scale shape: pure map-side scalar expressions inside whole-stage
+codegen — no shuffle, no UDF, no driver work. The integer shift
+``a << k`` stays within BIGINT for any b < 2^62 (k <= ilog2(b) -
+ilog2(a) + 1, so a << k < 2b).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Shortest decimal literal that parses to the double nearest ln(2),
+#: identical on every IEEE-754 engine.
+DET_LN2 = "0.6931471805599453"
+
+#: Odd-reciprocal coefficients of the atanh series, emitted as literal
+#: divisions so both engines fold them with one correctly-rounded op.
+_SERIES_DENOMS = (3, 5, 7, 9, 11, 13, 15, 17, 19, 21, 23, 25)
+
+
+def _ilog2(col: Column) -> Column:
+    """Exact floor(log2(n)) for positive BIGINT via the binary-string
+    length — no floating point involved."""
+    return (F.length(F.bin(col)) - F.lit(1)).cast("int")
+
+
+def det_ln_ratio(a: Column, b: Column) -> Column:
+    """ln(a/b) for integer columns 1 <= a <= b, bit-identical to the
+    SQL emitted by :func:`det_ln_ratio_sql` on DuckDB."""
+    a = a.cast("bigint")
+    b = b.cast("bigint")
+    k0 = _ilog2(b) - _ilog2(a)
+    # a << k: exact integer shift (pyspark's F.shiftleft type-hints an
+    # int literal, but the underlying SQL function takes any expression)
+    num0 = F.call_function("shiftleft", a, k0)
+    k = F.when(num0 < b, k0 + F.lit(1)).otherwise(k0)
+    num = F.call_function("shiftleft", a, k)
+
+    m = num.cast("double") / b.cast("double")
+    z = (m - F.lit(1.0)) / (m + F.lit(1.0))
+    w = z * z
+    # Horner: 1 + w*(1/3 + w*(1/5 + ... + w*(1/25)))
+    poly = F.lit(1.0) / F.lit(float(_SERIES_DENOMS[-1]))
+    for d in reversed(_SERIES_DENOMS[:-1]):
+        poly = (F.lit(1.0) / F.lit(float(d))) + w * poly
+    poly = F.lit(1.0) + w * poly
+    lnm = (F.lit(2.0) * z) * poly
+    return lnm - k.cast("double") * F.lit(float(DET_LN2))
+
+
+def det_quantize4(x: Column) -> Column:
+    """Quantize a (cross-engine bit-identical) double onto the 1e-4
+    integer grid with round-half-away-from-zero.
+
+    Scale-0 rounding of the SAME double is deterministic on both
+    engines (Java HALF_UP on the shortest repr and C++ std::round both
+    round half away from zero, and sub-half cases agree because the
+    shortest repr round-trips). Scale-4 rounding is NOT: Spark rounds
+    the decimal expansion exactly while DuckDB multiplies by 1e4 first,
+    so doubles within an ulp of a x.xxxx5 boundary flip between
+    engines — the actual source of the r9 sf0.1 hash mismatches."""
+    return F.round(x * F.lit(10000.0), 0).cast("bigint")
+
+
+def det_quantize4_sql(x: str) -> str:
+    """DuckDB twin of :func:`det_quantize4`."""
+    return f"CAST(round(({x}) * 10000.0) AS BIGINT)"
+
+
+def det_mean4(sum4: Column, n: Column) -> Column:
+    """Mean of an integer 1e-4-scaled sum, rounded half-away back onto
+    the 1e-4 grid and returned as a double. The double division of two
+    exact integers is correctly rounded (identical everywhere), and the
+    final round is scale-0, so the result is bit-identical across
+    engines — unlike ROUND(sum/n, 4), which ties exactly on the
+    x.xxxx5 boundary whenever n divides the 4dp sum (e.g. a 10-token
+    doc with sum -34.0085)."""
+    avg4 = F.round(sum4.cast("double") / n.cast("double"), 0).cast("bigint")
+    return avg4.cast("double") / F.lit(10000.0)
+
+
+def det_mean4_sql(sum4: str, n: str) -> str:
+    """DuckDB twin of :func:`det_mean4`."""
+    return f"(CAST(round(CAST({sum4} AS DOUBLE) / CAST({n} AS DOUBLE)) AS BIGINT) / 10000.0)"
+
+
+def det_ln_ratio_sql(a: str, b: str) -> str:
+    """DuckDB SQL text computing the bit-identical ln(a/b); ``a`` and
+    ``b`` are SQL sub-expressions yielding BIGINT with 1 <= a <= b.
+
+    Emitted as a single scalar expression (correlated-CTE-free) so it
+    drops into any SELECT list; sub-expressions are repeated, which
+    DuckDB CSE-collapses.
+    """
+    ka = f"(length(bin(CAST({a} AS BIGINT)))-1)"
+    kb = f"(length(bin(CAST({b} AS BIGINT)))-1)"
+    k0 = f"({kb} - {ka})"
+    num0 = f"(CAST({a} AS BIGINT) << {k0})"
+    k = f"(CASE WHEN {num0} < CAST({b} AS BIGINT) THEN {k0}+1 ELSE {k0} END)"
+    num = f"(CAST({a} AS BIGINT) << {k})"
+    m = f"(CAST({num} AS DOUBLE) / CAST({b} AS DOUBLE))"
+    z = f"(({m} - 1.0) / ({m} + 1.0))"
+    w = f"({z} * {z})"
+    poly = f"(1.0/{float(_SERIES_DENOMS[-1])})"
+    for d in reversed(_SERIES_DENOMS[:-1]):
+        poly = f"((1.0/{float(d)}) + {w} * {poly})"
+    poly = f"(1.0 + {w} * {poly})"
+    lnm = f"((2.0 * {z}) * {poly})"
+    return f"({lnm} - CAST({k} AS DOUBLE) * {DET_LN2})"

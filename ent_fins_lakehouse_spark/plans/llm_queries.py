@@ -36,6 +36,14 @@ from ent_fins_lakehouse_spark.operators.similarity import (
     cosine_topk,
     ivf_topk,
 )
+from ent_fins_lakehouse_spark.functions.detmath import (
+    det_ln_ratio,
+    det_ln_ratio_sql,
+    det_mean4,
+    det_mean4_sql,
+    det_quantize4,
+    det_quantize4_sql,
+)
 from ent_fins_lakehouse_spark.plans.registry import query
 from ent_fins_lakehouse_spark.sources.readers import load_table
 
@@ -1074,7 +1082,7 @@ def q138_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q139_unigram_lm_quality",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id,
              UNNEST(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
@@ -1087,12 +1095,11 @@ def q138_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     lp AS (
       SELECT t2.doc_id,
-             CAST(ROUND(LN(CAST(tc.tf + 1 AS DOUBLE) / CAST(consts.n_tok + consts.v AS DOUBLE)), 4)
-                  AS DECIMAL(12,4)) AS lpv
+             {det_quantize4_sql(det_ln_ratio_sql("tc.tf + 1", "consts.n_tok + consts.v"))} AS lpv4
       FROM t2 JOIN tc USING (term) CROSS JOIN consts
     )
     SELECT doc_id, COUNT(*) AS n_tokens,
-           ROUND(CAST(SUM(lpv) AS DOUBLE) / COUNT(*), 4) AS avg_logp
+           {det_mean4_sql("SUM(lpv4)", "COUNT(*)")} AS avg_logp
     FROM lp GROUP BY doc_id ORDER BY doc_id
     """,
     tags=("llm", "text"),
@@ -1130,23 +1137,24 @@ def q139_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     consts = tc.agg(
         F.sum("tf").alias("n_tok"), F.count("*").alias("v")
     )
-    lp = F.round(
-        F.log(
-            (F.col("tf").cast("double") + F.lit(1.0))
-            / (F.col("n_tok") + F.col("v")).cast("double")
-        ),
-        4,
-    ).cast("decimal(12,4)")
+    # det_ln_ratio, not F.log: libm ln differs by 1 ulp between JVM and
+    # DuckDB; and the whole score pipeline stays on the integer 1e-4
+    # grid (det_quantize4 / det_mean4) because scale-4 double ROUND is
+    # itself engine-divergent on x.xxxx5 ties — together these were the
+    # r9 sf0.1 sweep's only failures
+    lp4 = det_quantize4(
+        det_ln_ratio(F.col("tf") + F.lit(1), F.col("n_tok") + F.col("v"))
+    )
     scored = (
         toks.join(tc, "term")
         .crossJoin(F.broadcast(consts))
-        .withColumn("lpv", lp)
+        .withColumn("lpv4", lp4)
     )
     return (
         scored.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(F.sum("lpv").cast("double") / F.count("*"), 4).alias("avg_logp"),
+            det_mean4(F.sum("lpv4"), F.count("*")).alias("avg_logp"),
         )
         .orderBy("doc_id")
     )
@@ -1527,7 +1535,7 @@ def q159_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q160_bigram_lm_quality",
-    oracle="""
+    oracle=f"""
     WITH s AS (
       SELECT doc_id,
              regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS arr
@@ -1549,12 +1557,11 @@ def q159_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     v AS (SELECT COUNT(DISTINCT term) AS v FROM t2),
     lp AS (
       SELECT b2.doc_id,
-             CAST(ROUND(LN(CAST(bc.bf + 1 AS DOUBLE) / CAST(ctx.cf + v.v AS DOUBLE)), 4)
-                  AS DECIMAL(12,4)) AS lpv
+             {det_quantize4_sql(det_ln_ratio_sql("bc.bf + 1", "ctx.cf + v.v"))} AS lpv4
       FROM b2 JOIN bc USING (term, next) JOIN ctx USING (term) CROSS JOIN v
     )
     SELECT doc_id, COUNT(*) AS n_bigrams,
-           ROUND(CAST(SUM(lpv) AS DOUBLE) / COUNT(*), 4) AS avg_logp
+           {det_mean4_sql("SUM(lpv4)", "COUNT(*)")} AS avg_logp
     FROM lp GROUP BY doc_id ORDER BY doc_id
     """,
     tags=("llm", "text"),
@@ -1591,24 +1598,21 @@ def q160_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = b2.groupBy("term", "next").agg(F.count("*").alias("bf"))
     ctx = b2.groupBy("term").agg(F.count("*").alias("cf"))
     v = toks.agg(F.countDistinct("term").alias("v"))
-    lp = F.round(
-        F.log(
-            (F.col("bf").cast("double") + F.lit(1.0))
-            / (F.col("cf") + F.col("v")).cast("double")
-        ),
-        4,
-    ).cast("decimal(12,4)")
+    # deterministic cross-engine log + integer-grid scoring (see q139)
+    lp4 = det_quantize4(
+        det_ln_ratio(F.col("bf") + F.lit(1), F.col("cf") + F.col("v"))
+    )
     scored = (
         b2.join(bc, ["term", "next"])
         .join(ctx, "term")
         .crossJoin(F.broadcast(v))
-        .withColumn("lpv", lp)
+        .withColumn("lpv4", lp4)
     )
     return (
         scored.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(F.sum("lpv").cast("double") / F.count("*"), 4).alias("avg_logp"),
+            det_mean4(F.sum("lpv4"), F.count("*")).alias("avg_logp"),
         )
         .orderBy("doc_id")
     )
@@ -2831,7 +2835,7 @@ def q207_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q210_ccnet_bucketing",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id,
              UNNEST(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
@@ -2844,25 +2848,33 @@ def q207_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     lp AS (
       SELECT t2.doc_id,
-             CAST(ROUND(LN(CAST(tc.tf + 1 AS DOUBLE) / CAST(consts.n_tok + consts.v AS DOUBLE)), 4)
-                  AS DECIMAL(12,4)) AS lpv
+             {det_quantize4_sql(det_ln_ratio_sql("tc.tf + 1", "consts.n_tok + consts.v"))} AS lpv4
       FROM t2 JOIN tc USING (term) CROSS JOIN consts
     ),
     scored AS (
       SELECT lp.doc_id, d.lang,
-             ROUND(CAST(SUM(lpv) AS DOUBLE) / COUNT(*), 4) AS avg_logp
+             CAST(round(CAST(SUM(lpv4) AS DOUBLE) / COUNT(*)) AS BIGINT) AS avg4
       FROM lp JOIN documents d USING (doc_id)
       GROUP BY lp.doc_id, d.lang
     ),
+    hist AS (SELECT lang, avg4, COUNT(*) AS c FROM scored GROUP BY lang, avg4),
+    cum AS (
+      SELECT lang, avg4, c,
+             SUM(c) OVER (PARTITION BY lang ORDER BY avg4 DESC) AS cum,
+             SUM(c) OVER (PARTITION BY lang) AS n
+      FROM hist
+    ),
     cuts AS (
       SELECT lang,
-             ROUND(quantile_cont(avg_logp, 0.67), 4) AS head_cut,
-             ROUND(quantile_cont(avg_logp, 0.33), 4) AS mid_cut
-      FROM scored GROUP BY lang
+             MAX(CASE WHEN cum >= CAST(CEIL(CAST(n AS DOUBLE) / 3.0) AS BIGINT)
+                      THEN avg4 END) AS head4,
+             MAX(CASE WHEN cum >= CAST(CEIL((2.0 * CAST(n AS DOUBLE)) / 3.0) AS BIGINT)
+                      THEN avg4 END) AS mid4
+      FROM cum GROUP BY lang
     )
-    SELECT s.doc_id, s.lang, s.avg_logp,
-           CASE WHEN s.avg_logp >= c.head_cut THEN 'head'
-                WHEN s.avg_logp >= c.mid_cut THEN 'middle'
+    SELECT s.doc_id, s.lang, s.avg4 / 10000.0 AS avg_logp,
+           CASE WHEN s.avg4 >= c.head4 THEN 'head'
+                WHEN s.avg4 >= c.mid4 THEN 'middle'
                 ELSE 'tail' END AS bucket
     FROM scored s JOIN cuts c USING (lang)
     ORDER BY s.doc_id
@@ -2879,12 +2891,17 @@ def q210_ccnet_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: CCNet's per-language thirds are NOT computed with
     NTILE — a rank window partitioned by language is one reducer per
     language (5 languages -> 5 tasks sorting 20 TB each at target
-    scale). Instead the per-language cutoffs are a tiny aggregate
-    (exact interpolated percentiles at test scale; the same shape
-    holds with approx_percentile on a real corpus) broadcast back onto
-    the scored stream, so bucket assignment is a map-side comparison.
-    Cutoffs and scores are rounded to 4dp on both sides, making the
-    >= comparisons hash-exact vs DuckDB's quantile_cont."""
+    scale). Instead the cuts are exact DISCRETE order statistics
+    (rank ceil(n/3) / ceil(2n/3) from the top) read off a per-language
+    histogram of the 1e-4-quantized scores: the histogram groupBy is
+    map-side combinable and its size is bounded by the score grid (a
+    few hundred distinct values), so the cumulative-sum window runs
+    over a tiny frame and the cuts broadcast back for a map-side
+    comparison. Discrete cuts, not interpolated percentile: Spark's
+    percentile and DuckDB's quantile_cont disagree by 1 ulp on tied
+    order stats (measured), which flips >= at the cut; integer
+    rank-vs-cumulative-count comparisons cannot. Scores ride the
+    det_ln_ratio + det_quantize4 integer grid (see q139) end to end."""
     from ent_fins_lakehouse_spark.operators.dedup import normalize_text
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2895,33 +2912,39 @@ def q210_ccnet_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tc = toks.groupBy("term").agg(F.count("*").alias("tf"))
     consts = tc.agg(F.sum("tf").alias("n_tok"), F.count("*").alias("v"))
-    lp = F.round(
-        F.log(
-            (F.col("tf").cast("double") + F.lit(1.0))
-            / (F.col("n_tok") + F.col("v")).cast("double")
-        ),
-        4,
-    ).cast("decimal(12,4)")
+    lp4 = det_quantize4(
+        det_ln_ratio(F.col("tf") + F.lit(1), F.col("n_tok") + F.col("v"))
+    )
     scored = (
         toks.join(tc, "term")
         .crossJoin(F.broadcast(consts))
-        .withColumn("lpv", lp)
+        .withColumn("lpv4", lp4)
         .groupBy("doc_id")
-        .agg(F.round(F.sum("lpv").cast("double") / F.count("*"), 4).alias("avg_logp"))
+        .agg(
+            F.round(F.sum("lpv4").cast("double") / F.count("*"), 0)
+            .cast("bigint")
+            .alias("avg4")
+        )
         .join(docs.select("doc_id", "lang"), "doc_id")
     )
-    cuts = scored.groupBy("lang").agg(
-        F.round(F.percentile("avg_logp", F.lit(0.67)), 4).alias("head_cut"),
-        F.round(F.percentile("avg_logp", F.lit(0.33)), 4).alias("mid_cut"),
+    hist = scored.groupBy("lang", "avg4").agg(F.count("*").alias("c"))
+    cum = hist.withColumn(
+        "cum", F.sum("c").over(W.partitionBy("lang").orderBy(F.desc("avg4")))
+    ).withColumn("n", F.sum("c").over(W.partitionBy("lang")))
+    r_head = F.ceil(F.col("n").cast("double") / F.lit(3.0)).cast("bigint")
+    r_mid = F.ceil((F.lit(2.0) * F.col("n").cast("double")) / F.lit(3.0)).cast("bigint")
+    cuts = cum.groupBy("lang").agg(
+        F.max(F.when(F.col("cum") >= r_head, F.col("avg4"))).alias("head4"),
+        F.max(F.when(F.col("cum") >= r_mid, F.col("avg4"))).alias("mid4"),
     )
     return (
         scored.join(F.broadcast(cuts), "lang")
         .select(
             "doc_id",
             "lang",
-            "avg_logp",
-            F.when(F.col("avg_logp") >= F.col("head_cut"), F.lit("head"))
-            .when(F.col("avg_logp") >= F.col("mid_cut"), F.lit("middle"))
+            (F.col("avg4") / F.lit(10000.0)).alias("avg_logp"),
+            F.when(F.col("avg4") >= F.col("head4"), F.lit("head"))
+            .when(F.col("avg4") >= F.col("mid4"), F.lit("middle"))
             .otherwise(F.lit("tail"))
             .alias("bucket"),
         )

@@ -57,11 +57,61 @@ def _load_all() -> None:
     import ent_fins_lakehouse_spark.plans.geo_queries  # noqa: F401
 
 
+def _manifest():
+    """The generated pure-data manifest (tools/gen_manifest.py), or
+    None when absent — callers then fall back to eager loading."""
+    try:
+        from ent_fins_lakehouse_spark.plans import _manifest as m
+    except ImportError:
+        return None
+    return m
+
+
+def _lazy_fn(name: str, module: str) -> SparkQuery:
+    """A callable that imports the defining plan module on FIRST
+    invocation (the decorator registration then supplies the real fn).
+    Keeps registry/driver startup O(1) in registered queries instead of
+    paying the full ~22k-LoC plan-module import up front."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spec = QUERIES.get(name)
+        if spec is None:
+            import importlib
+
+            importlib.import_module(module)
+            spec = QUERIES[name]
+        return spec.fn(spark, sf_dir)
+
+    run.__name__ = name
+    run.__qualname__ = name
+    return run
+
+
 def queries_map() -> dict[str, SparkQuery]:
-    _load_all()
-    return {name: spec.fn for name, spec in QUERIES.items()}
+    m = _manifest()
+    if m is None:
+        _load_all()
+        return {name: spec.fn for name, spec in QUERIES.items()}
+    out: dict[str, SparkQuery] = {
+        name: _lazy_fn(name, module) for name, module in m.MODULES.items()
+    }
+    # safety net for a stale manifest: queries whose module is already
+    # imported still surface (tests/test_registry_manifest.py makes
+    # staleness a hard failure, so this only papers over the window
+    # between adding a query and regenerating)
+    for name, spec in QUERIES.items():
+        if name not in out:
+            out[name] = spec.fn
+    return out
 
 
 def oracle_sql_map() -> dict[str, str]:
-    _load_all()
-    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None}
+    m = _manifest()
+    if m is None:
+        _load_all()
+        return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None}
+    out = dict(m.ORACLES)
+    for name, spec in QUERIES.items():  # stale-manifest safety net
+        if spec.oracle is not None:
+            out[name] = spec.oracle
+    return out

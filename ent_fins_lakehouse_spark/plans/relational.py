@@ -3420,9 +3420,11 @@ def q244_kmv_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q246_triangle_count",
     oracle="""
     WITH pe AS (
-      SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+      SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+      HAVING COUNT(DISTINCT a.l_orderkey) >= 4
     ),
     tri AS (
       SELECT COUNT(*) AS n_triangles
@@ -3449,7 +3451,18 @@ def q246_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph-degree-bounded. 100 TB design: orient edges by degree
     (low-degree endpoint first) to cap wedge fan-out at sqrt(m) per
     node, and the two equi-joins shuffle on supplier key — no
-    broadcast of the full edge set is assumed."""
+    broadcast of the full edge set is assumed.
+
+    Edges carry a MIN-SUPPORT gate (>= 4 distinct co-orders): a
+    one-off co-occurrence is noise for collusion screening, and the
+    support filter is what keeps the projected graph sparse — without
+    it the uniform TPC-H order->supplier assignment converges to a
+    ~90%-dense clique as orders-per-supplier-pair grows (124.5M
+    triangles at sf0.1, an OOM-sized intermediate that misrepresents
+    the operator; VERDICT r9 item 2). Support filtering before the
+    wedge joins is the same discipline as the dedup family's bounded
+    blocking: prune the pair-generating projection first, never feed
+    an unbounded blowup into a join."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     a = li.alias("a")
     b = li.alias("b")
@@ -3459,8 +3472,15 @@ def q246_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
         )
-        .select(F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2"))
-        .distinct()
+        .select(
+            F.col("a.l_orderkey").alias("okey"),
+            F.col("a.l_suppkey").alias("s1"),
+            F.col("b.l_suppkey").alias("s2"),
+        )
+        .groupBy("s1", "s2")
+        .agg(F.countDistinct("okey").alias("support"))
+        .filter(F.col("support") >= 4)
+        .select("s1", "s2")
     )
     # DEGREE orientation (node-iterator on the DAG): every edge points
     # from its lower-(degree, id) endpoint to the higher one, so a

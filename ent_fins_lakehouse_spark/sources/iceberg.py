@@ -1443,6 +1443,51 @@ class IcebergTable:
             )
         return out
 
+    def _rebase_over_appends(
+        self, basis_meta: dict, operation: str
+    ) -> tuple[dict, list[dict], int, int]:
+        """Recompute a commit basis after losing the staleness race,
+        PROVIDED every winner commit since ``basis_meta`` was a blind
+        append — the Iceberg twin of DeltaLogTable's WriteSerializable
+        blind-append diff (VERDICT r9 item 5), mapped onto the
+        sequence-number model: appends never remove files and add no
+        delete content, so a row-level change planned against the old
+        head still applies verbatim to the new head; only the snapshot
+        and sequence ids re-derive (and the manifests/entries carrying
+        them get re-stamped by the caller). Any non-append winner
+        (overwrite/replace/delete) or schema/spec/property/ref drift
+        keeps the loud loss: the planned change might target rows the
+        winner moved or removed. Returns ``(meta, snaps, seq,
+        snap_id)`` against the new head."""
+        meta2 = self.metadata()
+        basis_ids = {s["snapshot-id"] for s in (basis_meta.get("snapshots") or [])}
+        snaps2 = list(meta2.get("snapshots") or [])
+        winners = [s for s in snaps2 if s["snapshot-id"] not in basis_ids]
+        drift = (
+            meta2.get("current-schema-id") != basis_meta.get("current-schema-id")
+            or meta2.get("default-spec-id") != basis_meta.get("default-spec-id")
+            or json.dumps(meta2.get("properties") or {}, sort_keys=True)
+            != json.dumps(basis_meta.get("properties") or {}, sort_keys=True)
+            or json.dumps(meta2.get("refs") or {}, sort_keys=True)
+            != json.dumps(basis_meta.get("refs") or {}, sort_keys=True)
+        )
+        non_append = [
+            s["snapshot-id"]
+            for s in winners
+            if ((s.get("summary") or {}).get("operation") or "") != "append"
+        ]
+        if drift or non_append:
+            what = (
+                f"non-append snapshots {non_append}" if non_append else "metadata drift"
+            )
+            raise RuntimeError(
+                f"{operation} lost the race and cannot rebase ({what}) — "
+                f"replan the {operation} against the new table state"
+            )
+        seq2 = int(meta2.get("last-sequence-number") or 0) + 1
+        snap_id2 = max((s["snapshot-id"] for s in snaps2), default=0) + 1
+        return meta2, snaps2, seq2, snap_id2
+
     @staticmethod
     def _commit_basis(m: dict) -> tuple:
         """Commit-relevant metadata identity for the staleness gate (see
@@ -2956,7 +3001,7 @@ class IcebergTable:
             shutil.rmtree(st, ignore_errors=True)
         return entries, rows_deleted, touched
 
-    def delete(self, predicate: str, mode: str = "mor") -> dict:
+    def delete(self, predicate: str, mode: str = "mor", retries: int = 0) -> dict:
         """Row-level DELETE against an Iceberg v2 table.
 
         ``mode="mor"`` (default, merge-on-read): matching rows are
@@ -2983,7 +3028,14 @@ class IcebergTable:
         Scale shape (both modes): candidate data files prune on
         manifest bounds + partition tuples first; ONE distributed job
         computes matches; writes land distributed — the driver moves
-        staged files and writes Avro metadata, never holding a row."""
+        staged files and writes Avro metadata, never holding a row.
+
+        ``retries``: when > 0, a commit that loses the O_EXCL race to a
+        BLIND APPEND rebases instead of failing (the Delta
+        WriteSerializable diff ported to Iceberg, see
+        :meth:`_rebase_over_appends`): staged delete/DV/survivor files
+        are reused, ids re-derive, manifests re-stamp. A racing
+        non-append commit still loses loudly at any retry count."""
         import time
         import uuid as _uuid
 
@@ -3013,12 +3065,14 @@ class IcebergTable:
         if not cand:
             return {"rows_deleted": 0, "files_touched": 0}
         if mode == "dv":
-            return self._delete_dv(meta, schema, cand, pos_deletes, dvs, predicate)
+            return self._delete_dv(
+                meta, schema, cand, pos_deletes, dvs, predicate, retries=retries
+            )
         if mode == "cow":
             seq_of = {p: s for p, s, _ in data}
             return self._delete_cow(
                 meta, schema, cand, pos_deletes, predicate,
-                eq_deletes=eq_deletes, seq_of=seq_of,
+                eq_deletes=eq_deletes, seq_of=seq_of, retries=retries,
             )
         matched = self._scan_with_pos(schema, cand, pos_deletes).filter(
             predicate
@@ -3033,19 +3087,30 @@ class IcebergTable:
         if not entries:
             return {"rows_deleted": 0, "files_touched": 0}
 
-        mpath = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
-        write_ocf(mpath, self._MANIFEST_SCHEMA, entries)
-        rows = self._prior_manifest_rows(meta, snaps) + [
-            {
-                "manifest_path": mpath,
-                "manifest_length": os.path.getsize(mpath),
-                "partition_spec_id": 0,
-                "content": 1,
-                "sequence_number": seq,
-                "added_snapshot_id": snap_id,
-            }
-        ]
-        self._commit_snapshot(meta, snaps, snap_id, seq, rows, "delete", now)
+        # staged delete parquet is final; only metadata re-derives on a
+        # rebase retry (blind-append winners — see _rebase_over_appends)
+        for attempt in range(max(0, retries) + 1):
+            mpath = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
+            write_ocf(mpath, self._MANIFEST_SCHEMA, entries)
+            rows = self._prior_manifest_rows(meta, snaps) + [
+                {
+                    "manifest_path": mpath,
+                    "manifest_length": os.path.getsize(mpath),
+                    "partition_spec_id": 0,
+                    "content": 1,
+                    "sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                }
+            ]
+            try:
+                self._commit_snapshot(meta, snaps, snap_id, seq, rows, "delete", now)
+                break
+            except RuntimeError:
+                if attempt == max(0, retries):
+                    raise
+                meta, snaps, seq, snap_id = self._rebase_over_appends(meta, "delete")
+                for e in entries:
+                    e["snapshot_id"] = snap_id
         return {"rows_deleted": rows_deleted, "files_touched": len(touched)}
 
     def _delete_dv(
@@ -3056,6 +3121,7 @@ class IcebergTable:
         pos_deletes: list[str],
         dvs: list,
         predicate: str,
+        retries: int = 0,
     ) -> dict:
         """DELETE via v3 DELETION VECTORS (spec: 'Deletion Vectors' +
         Puffin 'deletion-vector-v1' blobs — the same portable 64-bit
@@ -3194,40 +3260,56 @@ class IcebergTable:
                     },
                 }
             )
-        # prior manifests minus every pure-DV manifest (superseded by
-        # the one new DV manifest); mixed foreign manifests refused
-        rows = []
-        for r in self._prior_manifest_rows(meta, snaps):
-            if (r.get("content") or 0) == 1:
-                _, m_entries = read_ocf(self._resolve(r["manifest_path"]))
-                live = [e for e in m_entries if e.get("status") != 2]
-                dv_es = [
-                    e for e in live
-                    if (e.get("data_file") or {}).get("referenced_data_file")
-                ]
-                if dv_es and len(dv_es) != len(live):
-                    raise NotImplementedError(
-                        "manifest mixes deletion-vector and file-based "
-                        "delete entries — unsupported"
-                    )
-                if dv_es:
-                    continue
-            rows.append(r)
-        mpath = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
-        write_ocf(mpath, self._MANIFEST_SCHEMA, new_entries)
-        rows.append(
-            {
-                "manifest_path": mpath,
-                "manifest_length": os.path.getsize(mpath),
-                "partition_spec_id": 0,
-                "content": 1,
-                "sequence_number": seq,
-                "added_snapshot_id": snap_id,
-            }
-        )
-        if int(meta.get("format-version") or 2) < 3:
-            meta = {**meta, "format-version": 3}
-        self._commit_snapshot(meta, snaps, snap_id, seq, rows, "delete", now)
+        # the Puffin sidecar is final; manifests/ids re-derive per
+        # rebase attempt (blind-append winners — see _rebase_over_appends)
+        for attempt in range(max(0, retries) + 1):
+            # prior manifests minus every pure-DV manifest (superseded by
+            # the one new DV manifest); mixed foreign manifests refused
+            rows = []
+            for r in self._prior_manifest_rows(meta, snaps):
+                if (r.get("content") or 0) == 1:
+                    _, m_entries = read_ocf(self._resolve(r["manifest_path"]))
+                    live = [e for e in m_entries if e.get("status") != 2]
+                    dv_es = [
+                        e for e in live
+                        if (e.get("data_file") or {}).get("referenced_data_file")
+                    ]
+                    if dv_es and len(dv_es) != len(live):
+                        raise NotImplementedError(
+                            "manifest mixes deletion-vector and file-based "
+                            "delete entries — unsupported"
+                        )
+                    if dv_es:
+                        continue
+                rows.append(r)
+            mpath = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
+            write_ocf(mpath, self._MANIFEST_SCHEMA, new_entries)
+            rows.append(
+                {
+                    "manifest_path": mpath,
+                    "manifest_length": os.path.getsize(mpath),
+                    "partition_spec_id": 0,
+                    "content": 1,
+                    "sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                }
+            )
+            commit_meta = meta
+            if int(meta.get("format-version") or 2) < 3:
+                commit_meta = {**meta, "format-version": 3}
+            try:
+                self._commit_snapshot(
+                    commit_meta, snaps, snap_id, seq, rows, "delete", now
+                )
+                break
+            except RuntimeError:
+                if attempt == max(0, retries):
+                    raise
+                meta, snaps, seq, snap_id = self._rebase_over_appends(meta, "delete")
+                for e in new_entries:
+                    e["snapshot_id"] = snap_id
+                    if e.get("status") == 0:
+                        e["sequence_number"] = seq - 1
         return {
             "rows_deleted": new_rows_deleted,
             "files_touched": len(touched),
@@ -3243,6 +3325,7 @@ class IcebergTable:
         predicate: str,
         eq_deletes: list | None = None,
         seq_of: dict | None = None,
+        retries: int = 0,
     ) -> dict:
         """Copy-on-write DELETE: rewrite every file containing a match
         as survivors-only, drop the old files from the manifests in one
@@ -3297,24 +3380,39 @@ class IcebergTable:
         data_entries = self._stage_data_entries(
             survivors, ice_schema, part_fields, spec_cols, snap_id
         )
-        rows = self._rewrite_prior_rows_excluding(meta, snaps, affected, snap_id)
-        if data_entries:
-            am = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
-            write_ocf(am, self._manifest_schema(part_fields, ice_schema), data_entries)
-            rows.append(
-                {
-                    "manifest_path": am,
-                    "manifest_length": os.path.getsize(am),
-                    "partition_spec_id": 0,
-                    "content": 0,
-                    "sequence_number": seq,
-                    "added_snapshot_id": snap_id,
-                }
-            )
-        self._commit_snapshot(
-            meta, snaps, snap_id, seq, rows, "overwrite", now,
-            summary_extra={"mode": "copy-on-write"},
-        )
+        # survivor parquet is final; manifests/ids re-derive per rebase
+        # attempt (blind-append winners never touch the affected files,
+        # so the exclusion stays valid — see _rebase_over_appends)
+        for attempt in range(max(0, retries) + 1):
+            rows = self._rewrite_prior_rows_excluding(meta, snaps, affected, snap_id)
+            if data_entries:
+                am = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
+                write_ocf(am, self._manifest_schema(part_fields, ice_schema), data_entries)
+                rows.append(
+                    {
+                        "manifest_path": am,
+                        "manifest_length": os.path.getsize(am),
+                        "partition_spec_id": 0,
+                        "content": 0,
+                        "sequence_number": seq,
+                        "added_snapshot_id": snap_id,
+                    }
+                )
+            try:
+                self._commit_snapshot(
+                    meta, snaps, snap_id, seq, rows, "overwrite", now,
+                    summary_extra={"mode": "copy-on-write"},
+                )
+                break
+            except RuntimeError:
+                if attempt == max(0, retries):
+                    raise
+                meta, snaps, seq, snap_id = self._rebase_over_appends(
+                    meta, "copy-on-write delete"
+                )
+                self._assign_entry_row_ids(data_entries)
+                for e in data_entries:
+                    e["snapshot_id"] = snap_id
         return {"rows_deleted": rows_deleted, "files_touched": len(affected)}
 
     def _stage_eq_delete_entries(

@@ -258,3 +258,77 @@ def test_delta_multipart_checkpoint_roundtrip(spark, tmp_path):
     # post-checkpoint writes still apply on top
     fresh.write(spark.range(200, 205).selectExpr("id AS k").coalesce(1), mode="append")
     assert DeltaLogTable(spark, str(tmp_path / "mp")).read().count() == 90 + 5
+
+
+def _arm_append_race(spark, path, lo=100, hi=110):
+    """Instance whose first _prior_manifest_rows call lets a competitor
+    append land first — the planning-read/commit-write race window."""
+    target = IcebergTable(spark, path)
+    competitor = IcebergTable(spark, path)
+    orig = target._prior_manifest_rows
+    fired = {"n": 0}
+
+    def hook(meta, snaps, head_id=None):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            competitor.append(
+                spark.range(lo, hi).selectExpr("id AS k", "id % 2 AS grp").coalesce(1)
+            )
+        return orig(meta, snaps, head_id=head_id)
+
+    target._prior_manifest_rows = hook
+    return target
+
+
+@pytest.mark.parametrize("mode", ["mor", "dv", "cow"])
+def test_iceberg_delete_rebases_over_concurrent_append(spark, tmp_path, mode):
+    """VERDICT r9 item 5: a row-level DELETE losing the commit race to
+    a BLIND APPEND must fail loudly at retries=0 (no partial effect)
+    and rebase at retries>0 — the winner's rows all survive (the
+    delete was planned before them; WriteSerializable semantics), the
+    planned rows are gone, and nothing else changes. All three delete
+    encodings (position deletes, v3 deletion vectors, copy-on-write)
+    share the rebase."""
+    path = str(tmp_path / f"race_{mode}")
+    base = IcebergTable(spark, path)
+    base.append(spark.range(0, 20).selectExpr("id AS k", "id % 2 AS grp").coalesce(1))
+
+    # retries=0: loud loss — competitor's append survives, delete is a no-op
+    racer = _arm_append_race(spark, path)
+    with pytest.raises(RuntimeError, match="lost the race"):
+        racer.delete("k < 5", mode=mode)
+    assert IcebergTable(spark, path).read().count() == 30
+
+    # retries>0: rebase — delete lands on top of the winner's append
+    racer2 = _arm_append_race(spark, path)
+    res = racer2.delete("k < 5", mode=mode, retries=3)
+    assert res["rows_deleted"] == 5
+    ks = sorted(r.k for r in IcebergTable(spark, path).read().collect())
+    assert ks == list(range(5, 20)) + sorted([*range(100, 110)] * 2)
+
+
+def test_iceberg_delete_refuses_rebase_over_row_level_winner(spark, tmp_path):
+    """The rebase is append-only: when the race winner itself made a
+    row-level change (here another DELETE), retrying must stay a loud
+    loss — the planned change may target rows the winner moved."""
+    path = str(tmp_path / "race_rowlevel")
+    base = IcebergTable(spark, path)
+    base.append(spark.range(0, 20).selectExpr("id AS k", "id % 2 AS grp").coalesce(1))
+
+    target = IcebergTable(spark, path)
+    competitor = IcebergTable(spark, path)
+    orig = target._prior_manifest_rows
+    fired = {"n": 0}
+
+    def hook(meta, snaps, head_id=None):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            competitor.delete("k >= 18", mode="mor")
+        return orig(meta, snaps, head_id=head_id)
+
+    target._prior_manifest_rows = hook
+    with pytest.raises(RuntimeError, match="cannot rebase"):
+        target.delete("k < 5", mode="mor", retries=3)
+    # winner's delete survives; loser's never applied
+    ks = sorted(r.k for r in IcebergTable(spark, path).read().collect())
+    assert ks == list(range(0, 18))
