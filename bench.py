@@ -126,6 +126,9 @@ HEADLINE = [
     # r9 session 3b: selective bin-pack on both formats (cost tracks
     # the small-file debt — the streaming-ingest housekeeping verb)
     "q354_binpack_compaction",
+    # r10: the Iceberg change-feed stream driving the live MV (the
+    # cross-format DLT shape; wall is the streaming fixture arc)
+    "q366_iceberg_streaming_mv",
 ]
 
 # Headline rows whose wall is dominated by table BUILDS + commit
@@ -153,6 +156,7 @@ LIFECYCLE = {
     "q346_iceberg_row_lineage",
     "q347_iceberg_default_values",
     "q354_binpack_compaction",
+    "q366_iceberg_streaming_mv",
 }
 
 

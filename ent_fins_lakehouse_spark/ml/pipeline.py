@@ -26,6 +26,7 @@ from pyspark.ml.feature import (
     VectorAssembler,
 )
 from pyspark.ml.functions import vector_to_array
+from pyspark.ml.regression import GeneralizedLinearRegression
 from pyspark.ml.tuning import CrossValidator, CrossValidatorModel, ParamGridBuilder
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -90,6 +91,35 @@ def train_lr(
         regParam=reg_param,
     )
     return Pipeline(stages=[feats, lr]).fit(df)
+
+
+def train_glm(
+    df: DataFrame,
+    cat_cols: list[str],
+    num_cols: list[str],
+    label_col: str = "label",
+    max_iter: int = 10,
+    reg_param: float = 0.01,
+) -> PipelineModel:
+    """The reference's NOMINAL estimator: its MLflow run is literally
+    named "glm" (`03-Fraud-ML.py:207`) even though the code fits
+    LogisticRegression — this twin makes the name honest with
+    GeneralizedLinearRegression(family='binomial', link='logit'), the
+    same logistic model fit by IRLS instead of LBFGS. Distributed
+    exactly like the LR path (per-iteration treeAggregate); transform
+    emits ``prediction`` = the predicted MEAN (a probability under the
+    logit link), not a probability vector — score with that column
+    directly."""
+    feats = build_feature_pipeline(cat_cols, num_cols, label_col)
+    glm = GeneralizedLinearRegression(
+        featuresCol="features",
+        labelCol=label_col,
+        family="binomial",
+        link="logit",
+        maxIter=max_iter,
+        regParam=reg_param,
+    )
+    return Pipeline(stages=[feats, glm]).fit(df)
 
 
 def crossvalidate(

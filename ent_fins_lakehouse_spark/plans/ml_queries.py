@@ -176,3 +176,34 @@ def q74_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return reg.compute("customer_features", spark, sf_dir)
+
+
+@query("q365_ml_glm_train_score", oracle=None, tags=("ml",))
+def q365_ml_glm_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's nominal estimator, fitted for real: its MLflow
+    run is named "glm" (`03-Fraud-ML.py:207`) though the code fits
+    LogisticRegression — q365 trains the GeneralizedLinearRegression
+    twin (binomial family, logit link: the same model by IRLS) on the
+    q72 temporal split and scores the held-out years. Rows-only check
+    (IRLS is partitioning-sensitive like LBFGS); the AUC floor and
+    LR-agreement are asserted in tests/test_ml.py."""
+    from ent_fins_lakehouse_spark.ml.pipeline import (
+        _strip_training_summaries,
+        train_glm,
+    )
+
+    ds = ml_dataset(spark, sf_dir)
+    train = ds.filter(F.col("order_year") <= 1997).cache()
+    valid = ds.filter(F.col("order_year") > 1997)
+    model = train_glm(train, CAT_COLS, NUM_COLS)
+    _strip_training_summaries(model)
+    return (
+        model.transform(valid)
+        .select(
+            "o_orderkey",
+            "label",
+            F.col("prediction").alias("p1"),
+            (F.col("prediction") >= 0.5).cast("double").alias("prediction"),
+        )
+        .orderBy("o_orderkey")
+    )

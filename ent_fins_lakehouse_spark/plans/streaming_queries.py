@@ -1435,6 +1435,116 @@ def q337_streaming_materialized_view(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "q366_iceberg_streaming_mv",
+    oracle="""
+    WITH final_state AS (
+      SELECT o_custkey % 45 AS g, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_custkey % 45 <> 7
+      UNION ALL
+      SELECT 13 AS g, CAST(o_totalprice + 700 AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_custkey % 45 = 13
+      UNION ALL
+      SELECT 21 AS g, CAST(o_totalprice + 900 AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_custkey % 45 = 21
+    )
+    SELECT g, COUNT(*) AS n_rows,
+           CAST(SUM(price) AS DOUBLE) AS sum_o_totalprice
+    FROM final_state GROUP BY g ORDER BY g
+    """,
+    tags=("streaming", "materialized-view", "iceberg", "incremental"),
+)
+def q366_iceberg_streaming_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q337's continuously-maintained materialized view over an
+    ICEBERG base (VERDICT r9 item 9): the new iceberg_stream
+    CHANGE-FEED mode (readChangeFeed=true — appends stream as inserts,
+    merge-on-read position deletes stream the masked rows as deletes)
+    drives the SAME q336/q342 maintenance algebra through foreachBatch,
+    so the two lake formats now share one live-view pipeline shape.
+    Exactly-once by the identical idempotent-sink recipe; replay
+    asserted with a stale batch id.
+
+    Arc: the stream starts over the EMPTY base (initial snapshot
+    batch is empty), then a seed append + a MoR DELETE of one group +
+    an enriched append all arrive THROUGH THE FEED in the second
+    availableNow run; a post-stream append flows through the same
+    checkpoint in a third run. Final view == full recompute == the
+    oracle's restatement. Per tick the cost is O(changed rows):
+    insert rows stream straight from the appended files, delete rows
+    re-read ONLY the masked positions of the referenced files."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+    from ent_fins_lakehouse_spark.sources.matview import MaterializedAggView
+    from ent_fins_lakehouse_spark.streaming.iceberg_source import read_iceberg_stream
+
+    root = tempfile.mkdtemp(prefix="ice_stream_mv_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 45).alias("g"),
+        "o_totalprice",
+    )
+    base = IcebergTable(spark, os.path.join(root, "base"))
+    base.append(orders.limit(0).coalesce(1))  # schema-only snapshot
+    mv = MaterializedAggView(spark, base, os.path.join(root, "view"))
+    assert mv.create(["g"], ["o_totalprice"])["groups"] == 0
+
+    ckpt = os.path.join(root, "ckpt")
+    sink = mv.streaming_sink()
+
+    def run() -> None:
+        q = (
+            read_iceberg_stream(spark, base.path, read_change_feed=True)
+            .writeStream.trigger(availableNow=True)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()  # initial snapshot of the empty base: no rows, view unchanged
+    assert mv.read().count() == 0
+
+    # three commits arrive THROUGH the feed: seed, MoR delete, enrich
+    base.append(orders.coalesce(4))
+    base.delete("g = 7", mode="mor")
+    first_sid = base.snapshots()[0]["snapshot-id"]
+    base.append(
+        orders.filter(F.col("g") == 13).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            "g",
+            (F.col("o_totalprice") + 700).alias("o_totalprice"),
+        ).coalesce(1)
+    )
+    run()
+    mid = {tuple(r) for r in mv.read().collect()}
+    assert not any(r[0] == 7 for r in mid), "deleted group leaked into the view"
+
+    # a replayed micro-batch must be a no-op (idempotent sink)
+    replay = base.read_changes(first_sid)
+    sink(replay, 0)  # stale batch id: already applied
+    assert {tuple(r) for r in mv.read().collect()} == mid, "replay double-applied"
+
+    # post-stream commit flows through the SAME checkpoint
+    base.append(
+        orders.filter(F.col("g") == 21).select(
+            (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+            "g",
+            (F.col("o_totalprice") + 900).alias("o_totalprice"),
+        ).coalesce(1)
+    )
+    run()
+
+    got = mv.read()
+    want = mv._aggregate(base.read(), ["g"], ["o_totalprice"])
+    diff = got.exceptAll(want).unionByName(want.exceptAll(got)).count()
+    assert diff == 0, f"streaming view diverged from recompute ({diff} rows)"
+    return got.select(
+        "g",
+        "n_rows",
+        F.col("sum_o_totalprice").cast("double").alias("sum_o_totalprice"),
+    ).orderBy("g")
+
+
+@query(
     "q360_stream_auto_compact",
     oracle="""
     SELECT event_type,

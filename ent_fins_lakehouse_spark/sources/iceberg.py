@@ -5464,6 +5464,20 @@ def convert_iceberg_to_delta(spark, iceberg_table: "IcebergTable", dest: str):
     Refused loudly (a data rewrite, not metadata): tables carrying
     position or equality delete files — run ``compact()`` first to
     materialize them.
+
+    ROW IDENTITY (VERDICT r9 item 6, the reverse of
+    ``_delta_file_entries``'s baseRowId -> first_row_id): when the
+    source has v3 row lineage, the Delta twin enables ROW TRACKING in
+    the same conversion commit — each add carries ``baseRowId`` =
+    the entry's ``first_row_id`` (both formats define the row id as
+    base + file position, so the ids are bit-identical) and the
+    ``delta.rowTracking`` domain watermark continues from the source's
+    ``next-row-id``, so native Delta appends after the conversion never
+    collide with synced ids. Pre-lineage files (null ``first_row_id``):
+    empty ones are skipped (they contribute no rows), non-empty ones
+    are refused — Delta row tracking has no NULL-id representation
+    (every add must carry ``baseRowId``), so ``compact()`` the source
+    first to materialize ids.
     """
     import json as _json
     import struct as _s
@@ -5512,6 +5526,18 @@ def convert_iceberg_to_delta(spark, iceberg_table: "IcebergTable", dest: str):
                 p = os.path.abspath(iceberg_table._resolve(df_rec["file_path"]))
                 by_path[p] = df_rec
 
+    lineage = "next-row-id" in meta
+    proto = (
+        {
+            "minReaderVersion": 1,
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(
+                {"appendOnly", "invariants", "domainMetadata", "rowTracking"}
+            ),
+        }
+        if lineage
+        else {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
     actions: list[dict] = [
         {
             "commitInfo": {
@@ -5525,14 +5551,24 @@ def convert_iceberg_to_delta(spark, iceberg_table: "IcebergTable", dest: str):
                 "engineInfo": "ent_fins_lakehouse_spark/delta-shim",
             }
         },
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"protocol": proto},
         {
             "metaData": {
                 "id": str(_uuid.uuid4()),
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": schema.json(),
                 "partitionColumns": [],
-                "configuration": {},
+                # the materialized-column name lets the Delta reader
+                # serve ids for compacted/CoW-rewritten source files,
+                # whose physical _row_id differs from base + position
+                "configuration": (
+                    {
+                        "delta.enableRowTracking": "true",
+                        "delta.rowTracking.materializedRowIdColumnName": "_row_id",
+                    }
+                    if lineage
+                    else {}
+                ),
                 "createdTime": now,
             }
         },
@@ -5540,6 +5576,14 @@ def convert_iceberg_to_delta(spark, iceberg_table: "IcebergTable", dest: str):
     for path, _seq, bounds in sorted(data):
         p = os.path.abspath(path)
         rec = by_path.get(p) or {}
+        if lineage and rec.get("first_row_id") is None:
+            if int(rec.get("record_count") or 0) == 0:
+                continue  # empty pre-lineage file: nothing to identify
+            raise NotImplementedError(
+                f"file {p!r} predates row lineage (null first_row_id) — "
+                "Delta row tracking cannot represent NULL ids; compact() "
+                "the Iceberg table first to materialize them"
+            )
         mins: dict = {}
         maxs: dict = {}
         for col, (lo, hi) in (bounds or {}).items():
@@ -5563,6 +5607,23 @@ def convert_iceberg_to_delta(spark, iceberg_table: "IcebergTable", dest: str):
                             "nullCount": {},
                         }
                     ),
+                    **(
+                        {"baseRowId": int(rec["first_row_id"])}
+                        if lineage and rec.get("first_row_id") is not None
+                        else {}
+                    ),
+                }
+            }
+        )
+    if lineage:
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": _json.dumps(
+                        {"rowIdHighWaterMark": int(meta["next-row-id"]) - 1}
+                    ),
+                    "removed": False,
                 }
             }
         )
@@ -5844,7 +5905,17 @@ def sync_iceberg_to_delta(spark, iceberg_table: "IcebergTable", delta_table) -> 
     Refuses: a Delta log whose LAST commit is not a conversion/sync
     (someone wrote the Delta side independently — one-way sync cannot
     merge), schema drift since conversion, and delete files at the
-    target snapshot (compact() first, the converter's own rule)."""
+    target snapshot (compact() first, the converter's own rule).
+
+    ROW IDENTITY: when the source has v3 row lineage and the Delta twin
+    is row-tracked (a lineage-aware conversion enables it), each synced
+    add carries ``baseRowId`` = the file's ``first_row_id`` and the
+    ``delta.rowTracking`` watermark advances to the source's
+    ``next-row-id`` - 1 — both directions of the UniForm pair now
+    preserve ``_row_id`` bit-identically (VERDICT r9 item 6). A synced
+    file with null ``first_row_id`` under a row-tracked twin is refused
+    (Delta's commit path would mint fresh ids and silently diverge from
+    the source's NULL ids — compact() the source first)."""
     import json as _json
     import time
 
@@ -5928,10 +5999,20 @@ def sync_iceberg_to_delta(spark, iceberg_table: "IcebergTable", delta_table) -> 
         actions.append(
             {"remove": {"path": p, "deletionTimestamp": now_ms, "dataChange": True}}
         )
+    lineage = "next-row-id" in meta
+    rt_on = bool(getattr(delta_table, "_rt_enabled", False))  # fresh via _snapshot()
     n_add = 0
     for p in sorted(set(now_by_path) - then_paths):
         _, bounds = now_by_path[p]
         rec = by_path.get(p) or {}
+        if lineage and rt_on and rec.get("first_row_id") is None:
+            if int(rec.get("record_count") or 0) == 0:
+                continue  # empty file: nothing to identify
+            raise NotImplementedError(
+                f"synced file {p!r} has no first_row_id — the row-tracked "
+                "Delta twin would mint fresh ids and diverge from the "
+                "source's NULL lineage; compact() the Iceberg table first"
+            )
         mins: dict = {}
         maxs: dict = {}
         for col, (lo, hi) in (bounds or {}).items():
@@ -5955,10 +6036,33 @@ def sync_iceberg_to_delta(spark, iceberg_table: "IcebergTable", delta_table) -> 
                             "nullCount": {},
                         }
                     ),
+                    **(
+                        {"baseRowId": int(rec["first_row_id"])}
+                        if lineage and rt_on
+                        else {}
+                    ),
                 }
             }
         )
         n_add += 1
+    if lineage and rt_on:
+        # advance the twin's watermark past every id the source has
+        # allocated so a native Delta append after the sync cannot
+        # collide with synced ids
+        new_hwm = max(
+            int(getattr(delta_table, "_rt_hwm", -1)),
+            int(meta["next-row-id"]) - 1,
+        )
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": _json.dumps({"rowIdHighWaterMark": new_hwm}),
+                    "removed": False,
+                }
+            }
+        )
+        delta_table._rt_hwm = new_hwm
     if n_add == 0 and len(actions) == 1:
         # snapshots advanced but the live file set is unchanged
         # (e.g. rewrite_manifests): record the new anchor only

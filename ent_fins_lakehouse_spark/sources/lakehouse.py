@@ -5446,8 +5446,18 @@ class DeltaLogTable:
                 f"files without baseRowId under row tracking: {missing[:3]} — "
                 "log written by a non-row-tracking writer?"
             )
+        # spec 'Row Tracking': when the table names a MATERIALIZED
+        # row-id column, a row's id is coalesce(materialized, baseRowId
+        # + index). Iceberg-converted tables use this (compacted /
+        # CoW-rewritten source files physically carry _row_id, which a
+        # base+index derivation would mis-serve); files without the
+        # physical column scan as NULL and fall through to base+index.
+        mat_col = cfg.get("delta.rowTracking.materializedRowIdColumnName")
         data_fields = [f for f in schema.fields if f.name not in part_cols]
-        phys = T.StructType([T.StructField(f.name, f.dataType) for f in data_fields])
+        phys = T.StructType(
+            [T.StructField(f.name, f.dataType) for f in data_fields]
+            + ([T.StructField(mat_col, T.LongType())] if mat_col else [])
+        )
         types = {f.name: f.dataType for f in schema.fields}
         norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
         out_cols = [f.name for f in schema.fields] + ["_row_id", "_row_commit_version"]
@@ -5493,7 +5503,14 @@ class DeltaLogTable:
             pv = pv_of[key]
             for c in part_cols:
                 df = df.withColumn(c, F.lit(pv.get(c)).cast(types[c]))
-            parts.append(df.select(*[f.name for f in schema.fields], "_fp", "_ri"))
+            parts.append(
+                df.select(
+                    *[f.name for f in schema.fields],
+                    *([F.col(mat_col).alias("_rt_mat")] if mat_col else []),
+                    "_fp",
+                    "_ri",
+                )
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -5502,9 +5519,13 @@ class DeltaLogTable:
         rid_map = self.spark.createDataFrame(
             rid_rows, "_fp string, _rt_base long, _rt_dcv long"
         )
+        derived = F.col("_rt_base") + F.col("_ri")
         return (
             out.join(F.broadcast(rid_map), "_fp")
-            .withColumn("_row_id", F.col("_rt_base") + F.col("_ri"))
+            .withColumn(
+                "_row_id",
+                F.coalesce(F.col("_rt_mat"), derived) if mat_col else derived,
+            )
             .withColumn("_row_commit_version", F.col("_rt_dcv"))
             .select(*out_cols)
         )

@@ -64,17 +64,33 @@ def make_iceberg_stream_source():
     )
 
     class FilePartition(InputPartition):
-        def __init__(self, abs_path: str, schema_json: str, deleted: tuple = ()):
+        def __init__(
+            self,
+            abs_path: str,
+            schema_json: str,
+            deleted: tuple = (),
+            change_type: str | None = None,
+            commit_snapshot: int | None = None,
+            positions: tuple = (),
+        ):
             self.abs_path = abs_path
             self.schema_json = schema_json
             # file-local row indexes masked by position deletes
             # (initial snapshot only; decoded driver-side)
             self.deleted = deleted
+            # CHANGE-FEED mode: stamp rows with this change type /
+            # commit snapshot; a 'delete' partition with `positions`
+            # emits ONLY those row indexes (the rows a MoR position
+            # delete masked), resolved worker-side from the data file
+            self.change_type = change_type
+            self.commit_snapshot = commit_snapshot
+            self.positions = positions
 
     class IcebergStreamReader(DataSourceStreamReader):
-        def __init__(self, table_path: str, ignore_changes: bool):
+        def __init__(self, table_path: str, ignore_changes: bool, change_feed: bool):
             self.table_path = table_path
             self.ignore_changes = ignore_changes
+            self.change_feed = change_feed
 
         def _table(self):
             from pyspark.sql import SparkSession
@@ -134,12 +150,16 @@ def make_iceberg_stream_source():
                                 deleted.setdefault(os.path.abspath(fp), []).append(
                                     int(pos)
                                 )
+                    init_ct = "insert" if self.change_feed else None
+                    init_cs = snap_id if self.change_feed else None
                     for path, _seq, _b in sorted(data):
                         parts.append(
                             FilePartition(
                                 path,
                                 schema_json,
                                 tuple(deleted.get(os.path.abspath(path), ())),
+                                change_type=init_ct,
+                                commit_snapshot=init_cs,
                             )
                         )
                 return parts or [FilePartition("", "")]
@@ -148,6 +168,29 @@ def make_iceberg_stream_source():
                 op = ((snap.get("summary") or {}).get("operation") or "append").lower()
                 if op == "replace":
                     continue  # compaction: rearranges already-streamed rows
+                snap_id = snap["snapshot-id"]
+                if op != "append" and self.change_feed:
+                    # CHANGE-FEED mode streams MoR position deletes as
+                    # _change_type='delete' rows; other row-level ops
+                    # (CoW 'overwrite', equality deletes, v3 DVs) rewrite
+                    # or re-mask already-streamed data and refuse — the
+                    # batch read_changes contract, applied to the stream
+                    if (snap.get("summary") or {}).get("mode") == "copy-on-write":
+                        raise RuntimeError(
+                            f"Iceberg snapshot {snap_id} is a copy-on-write "
+                            "rewrite — use mode='mor' DML for CDC-consumed "
+                            "tables (batch read_changes' rule)"
+                        )
+                    if op == "delete":
+                        parts.extend(
+                            self._delete_partitions(t, snap, schema_json, read_ocf)
+                        )
+                        continue
+                    raise RuntimeError(
+                        f"Iceberg snapshot {snap_id} is a {op!r} — the change "
+                        "feed can only stream appends and merge-on-read "
+                        "position deletes"
+                    )
                 if op != "append":
                     if self.ignore_changes:
                         continue
@@ -156,7 +199,6 @@ def make_iceberg_stream_source():
                         "(row-level rewrite of already-streamed data); pass "
                         "ignoreChanges=true to skip such snapshots"
                     )
-                snap_id = snap["snapshot-id"]
                 _, manifests = read_ocf(t._resolve(snap["manifest-list"]))
                 for m in manifests:
                     if (m.get("content") or 0) != 0:
@@ -174,10 +216,68 @@ def make_iceberg_stream_source():
                             continue
                         parts.append(
                             FilePartition(
-                                t._resolve(df_rec["file_path"]), schema_json
+                                t._resolve(df_rec["file_path"]),
+                                schema_json,
+                                change_type="insert" if self.change_feed else None,
+                                commit_snapshot=snap_id if self.change_feed else None,
                             )
                         )
             return parts or [FilePartition("", "")]
+
+        def _delete_partitions(self, t, snap, schema_json: str, read_ocf):
+            """CHANGE-FEED partitions for one MoR DELETE snapshot: the
+            snapshot's new position-delete parquet files name
+            (file_path, pos) pairs; decode them DRIVER-side (KBs — the
+            same precedent as the initial-snapshot mask) and plan one
+            partition per referenced data file emitting exactly the
+            masked row indexes as _change_type='delete'."""
+            import os
+
+            import pyarrow.parquet as pq
+
+            snap_id = snap["snapshot-id"]
+            _, manifests = read_ocf(t._resolve(snap["manifest-list"]))
+            masked: dict[str, list[int]] = {}
+            for m in manifests:
+                if (m.get("content") or 0) != 1:
+                    continue
+                if (m.get("added_snapshot_id") or 0) != snap_id:
+                    continue
+                _, entries = read_ocf(t._resolve(m["manifest_path"]))
+                for e in entries:
+                    if e.get("status") != 1:
+                        continue
+                    rec = e["data_file"]
+                    if (rec.get("file_format") or "").upper() != "PARQUET":
+                        raise RuntimeError(
+                            f"delete file {rec.get('file_path')!r} is "
+                            f"{rec.get('file_format')!r} — the change feed "
+                            "streams parquet position deletes only (v3 "
+                            "deletion vectors re-mask cumulatively)"
+                        )
+                    if rec.get("equality_ids"):
+                        raise RuntimeError(
+                            "equality deletes cannot stream — compact() first"
+                        )
+                    tbl = pq.read_table(t._resolve(rec["file_path"]))
+                    for fp, pos in zip(
+                        tbl.column("file_path").to_pylist(),
+                        tbl.column("pos").to_pylist(),
+                    ):
+                        fp = fp[len("file:"):] if fp.startswith("file:") else fp
+                        while fp.startswith("//"):
+                            fp = fp[1:]
+                        masked.setdefault(os.path.abspath(fp), []).append(int(pos))
+            return [
+                FilePartition(
+                    path,
+                    schema_json,
+                    change_type="delete",
+                    commit_snapshot=snap_id,
+                    positions=tuple(sorted(set(pos_list))),
+                )
+                for path, pos_list in sorted(masked.items())
+            ]
 
         def read(self, partition):
             import os
@@ -190,6 +290,11 @@ def make_iceberg_stream_source():
             spark_schema = T.StructType.fromJson(json.loads(partition.schema_json))
             names = [f.name for f in spark_schema.fields]
 
+            ct = getattr(partition, "change_type", None)
+            cs = getattr(partition, "commit_snapshot", None)
+            keep_only = getattr(partition, "positions", ())
+            out_names = names + (["_change_type", "_commit_snapshot"] if ct else [])
+
             def gen():
                 import numpy as np
 
@@ -198,14 +303,23 @@ def make_iceberg_stream_source():
                     if getattr(partition, "deleted", ())
                     else None
                 )
+                karr = (
+                    np.fromiter(sorted(keep_only), dtype="int64")
+                    if keep_only
+                    else None
+                )
                 off = 0
                 pf = pq.ParquetFile(partition.abs_path)
                 for batch in pf.iter_batches():
                     n_in = batch.num_rows
-                    if darr is not None:
-                        keep = ~np.isin(
-                            np.arange(off, off + n_in, dtype="int64"), darr
-                        )
+                    idx = np.arange(off, off + n_in, dtype="int64")
+                    if karr is not None:
+                        # delete partition: emit ONLY the masked rows
+                        keep = np.isin(idx, karr)
+                        if not keep.all():
+                            batch = batch.filter(pa.array(keep))
+                    elif darr is not None:
+                        keep = ~np.isin(idx, darr)
                         if not keep.all():
                             batch = batch.filter(pa.array(keep))
                     off += n_in
@@ -220,7 +334,11 @@ def make_iceberg_stream_source():
                             cols.append(by_name[f.name])
                         else:  # post-evolution file lacking the column
                             cols.append(pa.nulls(batch.num_rows))
-                    yield pa.RecordBatch.from_arrays(cols, names=names)
+                    if ct:
+                        n = batch.num_rows
+                        cols.append(pa.array([ct] * n, type=pa.string()))
+                        cols.append(pa.array([cs] * n, type=pa.int64()))
+                    yield pa.RecordBatch.from_arrays(cols, names=out_names)
 
             return gen()
 
@@ -228,7 +346,8 @@ def make_iceberg_stream_source():
             pass  # offsets are durable in the query checkpoint
 
     class IcebergStreamDataSource(DataSource):
-        """``format("iceberg_stream")`` — options: path, ignoreChanges."""
+        """``format("iceberg_stream")`` — options: path, ignoreChanges,
+        readChangeFeed."""
 
         @classmethod
         def name(cls) -> str:
@@ -241,12 +360,22 @@ def make_iceberg_stream_source():
             from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
 
             t = IcebergTable(SparkSession.getActiveSession(), self.options["path"])
-            return t.schema()
+            sch = t.schema()
+            if self.options.get("readchangefeed", "false").lower() == "true":
+                sch = T.StructType(
+                    [
+                        *sch.fields,
+                        T.StructField("_change_type", T.StringType()),
+                        T.StructField("_commit_snapshot", T.LongType()),
+                    ]
+                )
+            return sch
 
         def streamReader(self, schema):
             return IcebergStreamReader(
                 self.options["path"],
                 self.options.get("ignorechanges", "false").lower() == "true",
+                self.options.get("readchangefeed", "false").lower() == "true",
             )
 
     return IcebergStreamDataSource
@@ -256,12 +385,21 @@ def register(spark) -> None:
     spark.dataSource.register(make_iceberg_stream_source())
 
 
-def read_iceberg_stream(spark, path: str, ignore_changes: bool = False):
-    """Continuously read an Iceberg table as snapshots are appended."""
+def read_iceberg_stream(
+    spark, path: str, ignore_changes: bool = False, read_change_feed: bool = False
+):
+    """Continuously read an Iceberg table as snapshots are appended.
+    With ``read_change_feed=True`` the stream emits CDF-shaped rows
+    (``_change_type`` insert/delete + ``_commit_snapshot``): appends
+    stream as inserts and merge-on-read POSITION DELETES stream the
+    masked rows as deletes — the streaming twin of
+    ``IcebergTable.read_changes`` with the same refusals (CoW
+    rewrites, equality deletes, v3 DVs)."""
     register(spark)
     return (
         spark.readStream.format("iceberg_stream")
         .option("path", path)
         .option("ignoreChanges", str(ignore_changes).lower())
+        .option("readChangeFeed", str(read_change_feed).lower())
         .load()
     )

@@ -106,3 +106,42 @@ def test_tracking_shim_records_locally():
     if not tracking._HAVE_MLFLOW:
         assert tracking.local_runs()[-1]["params"]["regParam"] == 0.1
         assert tracking.local_runs()[-1]["metrics"]["auc"] == 0.9
+
+
+def test_glm_train_score_auc_floor(separable):
+    """q365's estimator (VERDICT r9 item 8): GeneralizedLinearRegression
+    with binomial/logit IS logistic regression fit by IRLS — on the
+    separable fixture it must rank near-perfectly, emit calibrated
+    probabilities in [0,1], and agree with the LR twin's AUC."""
+    from ent_fins_lakehouse_spark.ml.pipeline import (
+        _strip_training_summaries,
+        auc,
+        score,
+        train_glm,
+        train_lr,
+    )
+
+    glm = train_glm(separable, ["seg", "nat"], ["bal"], reg_param=0.0)
+    _strip_training_summaries(glm)
+    scored = glm.transform(separable).select(
+        "id", "label", F.col("prediction").alias("p1")
+    )
+    lo, hi = scored.select(F.min("p1"), F.max("p1")).head()
+    assert 0.0 <= lo <= hi <= 1.0
+    glm_auc = auc(scored)
+    assert glm_auc > 0.95
+    lr = train_lr(separable, ["seg", "nat"], ["bal"], reg_param=0.0)
+    lr_auc = auc(score(lr, separable, id_cols=["id"]))
+    assert abs(glm_auc - lr_auc) < 0.02, "same model family, same ranking"
+
+
+def test_glm_query_schema(spark):
+    """q365 returns the scored held-out frame with a stable schema and
+    a hard prediction derived from the 0.5 threshold."""
+    from ent_fins_lakehouse_spark.plans.registry import queries_map
+
+    df = queries_map()["q365_ml_glm_train_score"](spark, "/root/testdata/sf0.001")
+    assert df.columns == ["o_orderkey", "label", "p1", "prediction"]
+    rows = df.collect()
+    assert rows and all(0.0 <= r.p1 <= 1.0 for r in rows)
+    assert all(r.prediction in (0.0, 1.0) for r in rows)

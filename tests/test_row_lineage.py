@@ -221,3 +221,86 @@ def test_entries_metadata_table(spark, tmp_path):
     assert data[0].record_count == 10 and data[0].first_row_id == 0
     assert data[0].sequence_number < dvs[0].sequence_number
     assert dvs[0].first_row_id is None
+
+
+def test_iceberg_lineage_translates_to_delta_row_tracking(spark, tmp_path):
+    """The REVERSE identity arrow (twin of
+    test_delta_row_tracking_translates_to_iceberg_lineage): a
+    lineage-on Iceberg table's first_row_id becomes the converted Delta
+    twin's baseRowId, the twin's rowIdHighWaterMark continues from the
+    source next-row-id, convert -> append+sync serves bit-identical id
+    maps from either format, and a native Delta append AFTER the sync
+    mints fresh non-colliding ids."""
+    from ent_fins_lakehouse_spark.sources.iceberg import (
+        convert_iceberg_to_delta,
+        sync_iceberg_to_delta,
+    )
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    ice = _mk(spark, tmp_path, "rev_src", n=25)
+    dest = str(tmp_path / "rev_dl")
+    dl = convert_iceberg_to_delta(spark, ice, dest)
+
+    def ice_ids(t):
+        return {r.k: r._row_id for r in t.read_with_lineage().collect()}
+
+    def dl_ids(path):
+        return {
+            r.k: r._row_id
+            for r in DeltaLogTable(spark, path).read_with_row_ids().collect()
+        }
+
+    assert dl_ids(dest) == ice_ids(ice)
+    assert ice.metadata()["next-row-id"] == 25
+    # the twin's watermark continues from the source counter
+    fresh = DeltaLogTable(spark, dest)
+    fresh._snapshot()
+    assert fresh._rt_enabled and fresh._rt_hwm == 24
+
+    # incremental sync carries the new file's ids verbatim
+    ice.append(
+        spark.range(25, 40).selectExpr("id AS k", "CAST(id*2 AS LONG) AS v").coalesce(1)
+    )
+    assert sync_iceberg_to_delta(spark, ice, dl) is not None
+    assert dl_ids(dest) == ice_ids(ice)
+
+    # a native Delta append after the sync mints fresh unique ids
+    dl2 = DeltaLogTable(spark, dest)
+    dl2.write(
+        spark.range(40, 45).selectExpr("id AS k", "CAST(id*2 AS LONG) AS v").coalesce(1),
+        mode="append",
+    )
+    got = dl_ids(dest)
+    assert sorted(got) == list(range(45))
+    assert len(set(got.values())) == 45, "synced and native ids collided"
+
+
+def test_pre_lineage_nonempty_files_refuse_conversion(spark, tmp_path):
+    """Delta row tracking has no NULL-id representation (every add must
+    carry baseRowId), so converting a lineage-on table that still holds
+    a non-empty PRE-lineage file must refuse loudly and point at
+    compact(); after compacting (ids materialize) the conversion
+    serves the same ids as the source."""
+    from ent_fins_lakehouse_spark.sources.iceberg import convert_iceberg_to_delta
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    path = str(tmp_path / "pre_src")
+    t = IcebergTable(spark, path)
+    t.append(
+        spark.range(0, 10).selectExpr("id AS k", "CAST(id*2 AS LONG) AS v").coalesce(1)
+    )
+    t.enable_row_lineage()
+    t.append(
+        spark.range(10, 20).selectExpr("id AS k", "CAST(id*2 AS LONG) AS v").coalesce(1)
+    )
+    dest = str(tmp_path / "pre_dl")
+    with pytest.raises(NotImplementedError, match="predates row lineage"):
+        convert_iceberg_to_delta(spark, t, dest)
+    t.compact(target_files=1)
+    convert_iceberg_to_delta(spark, t, dest)
+    ice_ids = {r.k: r._row_id for r in t.read_with_lineage().collect()}
+    dl_ids = {
+        r.k: r._row_id
+        for r in DeltaLogTable(spark, dest).read_with_row_ids().collect()
+    }
+    assert dl_ids == ice_ids and None not in dl_ids.values()

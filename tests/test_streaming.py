@@ -657,3 +657,46 @@ def test_matview_streaming_attach_with_starting_version(spark, tmp_path):
     }
     assert got == want
     assert not any(g == 2 for g, _, _ in got)
+
+
+def test_iceberg_change_feed_stream(spark, tmp_path):
+    """readChangeFeed=true: appends stream as _change_type='insert',
+    MoR position deletes stream the masked rows as 'delete' (exactly
+    those rows, stamped with the delete snapshot), and CoW rewrites
+    refuse — the streaming twin of IcebergTable.read_changes."""
+    import pytest as _pytest
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+    from ent_fins_lakehouse_spark.streaming.autoloader import run_available_now
+    from ent_fins_lakehouse_spark.streaming.iceberg_source import read_iceberg_stream
+
+    t = IcebergTable(spark, str(tmp_path / "cdf"))
+    t.append(spark.range(0, 1).selectExpr("id", "id AS v").limit(0).coalesce(1))
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    run_available_now(
+        read_iceberg_stream(spark, t.path, read_change_feed=True), out, ck
+    )  # initial empty snapshot
+
+    t.append(spark.range(0, 20).selectExpr("id", "id AS v").coalesce(1))
+    t.delete("id % 4 = 1", mode="mor")
+    run_available_now(
+        read_iceberg_stream(spark, t.path, read_change_feed=True), out, ck
+    )
+    feed = spark.read.parquet(out)
+    ins = {r.id for r in feed.filter("_change_type = 'insert'").collect()}
+    dels = {r.id for r in feed.filter("_change_type = 'delete'").collect()}
+    assert ins == set(range(20))
+    assert dels == {i for i in range(20) if i % 4 == 1}
+    # delete rows are stamped with the DELETE snapshot, after the insert's
+    snaps = feed.groupBy("_change_type").agg(
+        F.max("_commit_snapshot").alias("s")
+    ).collect()
+    by_type = {r["_change_type"]: r["s"] for r in snaps}
+    assert by_type["delete"] > by_type["insert"]
+
+    # CoW rewrites refuse in change-feed mode (batch read_changes' rule)
+    t.delete("id = 0", mode="cow")
+    with _pytest.raises(Exception, match="copy-on-write"):
+        run_available_now(
+            read_iceberg_stream(spark, t.path, read_change_feed=True), out, ck
+        )
