@@ -7173,3 +7173,67 @@ def q359_iceberg_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("partition", "record_count")
         .orderBy("partition")
     )
+
+
+@query(
+    "q367_iceberg_dv_change_feed",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_custkey % 11 AS g, o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT o_orderkey, g, o_totalprice,
+           'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_snapshot
+    FROM src
+    UNION ALL
+    SELECT o_orderkey, g, o_totalprice, 'delete', 3 FROM src WHERE g = 3
+    UNION ALL
+    SELECT o_orderkey, g, o_totalprice, 'delete', 4 FROM src WHERE g = 5
+    ORDER BY _commit_snapshot, o_orderkey
+    """,
+    tags=("lakehouse", "iceberg", "cdf", "dv"),
+)
+def q367_iceberg_dv_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC from v3 DELETION VECTORS (r10): read_changes emits a DV
+    snapshot's change as the per-file BITMAP DELTA — the new merged
+    bitmap minus the parent snapshot's — so a second DV delete whose
+    predicate also covers already-deleted rows re-emits NOTHING for
+    them (the arc deletes g=3, then "g=3 OR g=5": the second snapshot's
+    feed is exactly the g=5 rows). This closes the CDC gap for the
+    cheapest-write delete encoding: high-churn soft-delete tables can
+    feed incremental consumers (the q366 live MV, downstream syncs)
+    without switching to position-delete files.
+
+    Scale shape: blobs are KB-sized roaring bitmaps decoded on the
+    driver (the DV design point — the control plane moves kilobytes);
+    ONE distributed job re-reads only the referenced files and
+    left-semi joins the delta positions; insert feeds stream straight
+    from the appended files."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    root = tempfile.mkdtemp(prefix="ice_dv_cdc_")
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 11).alias("g"),
+            "o_totalprice",
+        )
+    )
+    t = IcebergTable(spark, os.path.join(root, "t"))
+    t.append(src.limit(0).coalesce(1))  # snapshot 1: schema only
+    t.append(src.coalesce(2))  # snapshot 2: the seed
+    t.delete("g = 3", mode="dv")  # snapshot 3: first bitmap
+    t.delete("g = 3 OR g = 5", mode="dv")  # snapshot 4: merge; delta = g=5
+    return (
+        t.read_changes(1)
+        .select(
+            "o_orderkey",
+            "g",
+            "o_totalprice",
+            "_change_type",
+            F.col("_commit_snapshot").cast("bigint").alias("_commit_snapshot"),
+        )
+        .orderBy("_commit_snapshot", "o_orderkey")
+    )

@@ -415,6 +415,17 @@ class IcebergTable:
         ``[(blob_path, offset, length, referenced_data_file, rows)]``."""
         return self._files_full(snapshot_id)[3]
 
+    @staticmethod
+    def _dv_blob_positions(blob_path: str, offset: int, length: int) -> list[int]:
+        """Decode one deletion-vector blob (KB-sized roaring bitmap) to
+        its masked row positions — driver-side control plane, shared by
+        the batch and streaming change feeds."""
+        from ent_fins_lakehouse_spark.sources.roaring import roaring64_rows
+
+        with open(blob_path, "rb") as fh:
+            fh.seek(int(offset))
+            return roaring64_rows(fh.read(int(length)))
+
     def _files_full(self, snapshot_id: int | None = None):
         """Resolve a snapshot to ``(data, pos_deletes, eq_deletes,
         dvs)``: data = [(path, seq, bounds)], pos_deletes = [path],
@@ -3613,6 +3624,7 @@ class IcebergTable:
         assignments: dict[str, str],
         predicate: str | None = None,
         mode: str = "mor",
+        retries: int = 0,
     ) -> dict:
         """Row-level UPDATE … SET col = expr [WHERE pred] as ONE Iceberg
         v2 'overwrite' snapshot. ``mode="mor"`` (default) carries BOTH a
@@ -3628,7 +3640,14 @@ class IcebergTable:
         Scale shape: candidate files prune on manifest bounds first;
         matching is one distributed scan; both the delete files and the
         new data files land via distributed writes (driver reads footers
-        only). Returns ``{"rows_updated", "snapshot_id"}``."""
+        only). Returns ``{"rows_updated", "snapshot_id"}``.
+
+        ``retries``: rebase over blind-append race winners like
+        :meth:`delete` (see :meth:`_rebase_over_appends`). With row
+        lineage on, the staged data files embed the planned commit
+        sequence (``_last_updated_sequence_number``), so a rebase
+        RE-STAGES them under the new sequence — correctness over
+        staging reuse; races are rare."""
         import time
         import uuid as _uuid
 
@@ -3680,25 +3699,31 @@ class IcebergTable:
                 scan, {p: seq_of[p] for p in cand}, self._first_row_ids()
             )
         matched = scan.filter(predicate) if predicate else scan
-        upd_lineage = (
-            [
-                F.col("_row_id"),
-                F.lit(seq).cast("long").alias("_last_updated_sequence_number"),
-            ]
-            if lineage
-            else []
-        )
-        updated = matched.select(
-            *[
-                (
-                    F.expr(assignments[c]).cast(schema[c].dataType)
-                    if c in assignments
-                    else F.col(c)
-                ).alias(c)
-                for c in cols
-            ],
-            *upd_lineage,
-        )
+
+        def _updated_for(seq_: int) -> DataFrame:
+            # lineage stamps the commit SEQUENCE into the data files, so
+            # a rebase retry rebuilds this frame under the new sequence
+            upd_lineage = (
+                [
+                    F.col("_row_id"),
+                    F.lit(seq_).cast("long").alias("_last_updated_sequence_number"),
+                ]
+                if lineage
+                else []
+            )
+            return matched.select(
+                *[
+                    (
+                        F.expr(assignments[c]).cast(schema[c].dataType)
+                        if c in assignments
+                        else F.col(c)
+                    ).alias(c)
+                    for c in cols
+                ],
+                *upd_lineage,
+            )
+
+        updated = _updated_for(seq)
         part_fields = self.partition_fields(meta)
         names = self.field_names_by_id(meta)
         spec_cols = [names[pf["source-id"]] for pf in part_fields]
@@ -3714,51 +3739,73 @@ class IcebergTable:
                 }
             affected = {r["file_path"] for r in per_file}
             rows_updated = sum(r["count"] for r in per_file)
-            new_df = updated
-            if predicate:
-                # NULL-safe survivors: predicate-NULL rows are non-matches
-                # and must be carried forward unchanged (same as the MoR
-                # path, which only touches rows where the predicate is TRUE)
-                surv = self._scan_with_pos(
-                    scan_schema, sorted(affected), pos_deletes, eq_deletes, seq_of
-                )
-                if lineage:
-                    surv = self._lineage_scan_cols(
-                        surv,
-                        {p: seq_of[p] for p in sorted(affected)},
-                        self._first_row_ids(),
+
+            def _new_df_for(seq_: int) -> DataFrame:
+                new_df = _updated_for(seq_)
+                if predicate:
+                    # NULL-safe survivors: predicate-NULL rows are
+                    # non-matches and must be carried forward unchanged
+                    # (same as the MoR path, which only touches rows
+                    # where the predicate is TRUE)
+                    surv = self._scan_with_pos(
+                        scan_schema, sorted(affected), pos_deletes, eq_deletes, seq_of
                     )
-                new_df = (
-                    surv.filter(f"NOT coalesce(({predicate}), false)")
-                    .select(
-                        *cols,
-                        *(["_row_id", "_last_updated_sequence_number"] if lineage else []),
+                    if lineage:
+                        surv = self._lineage_scan_cols(
+                            surv,
+                            {p: seq_of[p] for p in sorted(affected)},
+                            self._first_row_ids(),
+                        )
+                    new_df = (
+                        surv.filter(f"NOT coalesce(({predicate}), false)")
+                        .select(
+                            *cols,
+                            *(["_row_id", "_last_updated_sequence_number"] if lineage else []),
+                        )
+                        .unionByName(new_df)
                     )
-                    .unionByName(updated)
-                )
+                return new_df
+
             data_entries = self._stage_data_entries(
-                new_df, ice_schema, part_fields, spec_cols, snap_id
+                _new_df_for(seq), ice_schema, part_fields, spec_cols, snap_id
             )
-            rows = self._rewrite_prior_rows_excluding(meta, snaps, affected, snap_id)
-            if data_entries:
-                am = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
-                write_ocf(
-                    am, self._manifest_schema(part_fields, ice_schema), data_entries
-                )
-                rows.append(
-                    {
-                        "manifest_path": am,
-                        "manifest_length": os.path.getsize(am),
-                        "partition_spec_id": 0,
-                        "content": 0,
-                        "sequence_number": seq,
-                        "added_snapshot_id": snap_id,
-                    }
-                )
-            self._commit_snapshot(
-                meta, snaps, snap_id, seq, rows, "overwrite", now,
-                summary_extra={"mode": "copy-on-write"},
-            )
+            for attempt in range(max(0, retries) + 1):
+                rows = self._rewrite_prior_rows_excluding(meta, snaps, affected, snap_id)
+                if data_entries:
+                    am = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
+                    write_ocf(
+                        am, self._manifest_schema(part_fields, ice_schema), data_entries
+                    )
+                    rows.append(
+                        {
+                            "manifest_path": am,
+                            "manifest_length": os.path.getsize(am),
+                            "partition_spec_id": 0,
+                            "content": 0,
+                            "sequence_number": seq,
+                            "added_snapshot_id": snap_id,
+                        }
+                    )
+                try:
+                    self._commit_snapshot(
+                        meta, snaps, snap_id, seq, rows, "overwrite", now,
+                        summary_extra={"mode": "copy-on-write"},
+                    )
+                    break
+                except RuntimeError:
+                    if attempt == max(0, retries):
+                        raise
+                    meta, snaps, seq, snap_id = self._rebase_over_appends(
+                        meta, "copy-on-write update"
+                    )
+                    if lineage:
+                        # files embed the planned sequence — re-stage
+                        data_entries = self._stage_data_entries(
+                            _new_df_for(seq), ice_schema, part_fields, spec_cols, snap_id
+                        )
+                    else:
+                        for e in data_entries:
+                            e["snapshot_id"] = snap_id
             return {"rows_updated": rows_updated, "snapshot_id": snap_id}
         del_entries, rows_updated, _ = self._stage_pos_delete_entries(
             matched, len(cand), snap_id
@@ -3768,29 +3815,46 @@ class IcebergTable:
         data_entries = self._stage_data_entries(
             updated, ice_schema, part_fields, spec_cols, snap_id
         )
-        dm = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
-        write_ocf(dm, self._MANIFEST_SCHEMA, del_entries)
-        am = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
-        write_ocf(am, self._manifest_schema(part_fields, ice_schema), data_entries)
-        rows = self._prior_manifest_rows(meta, snaps) + [
-            {
-                "manifest_path": am,
-                "manifest_length": os.path.getsize(am),
-                "partition_spec_id": 0,
-                "content": 0,
-                "sequence_number": seq,
-                "added_snapshot_id": snap_id,
-            },
-            {
-                "manifest_path": dm,
-                "manifest_length": os.path.getsize(dm),
-                "partition_spec_id": 0,
-                "content": 1,
-                "sequence_number": seq,
-                "added_snapshot_id": snap_id,
-            },
-        ]
-        self._commit_snapshot(meta, snaps, snap_id, seq, rows, "overwrite", now)
+        for attempt in range(max(0, retries) + 1):
+            dm = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
+            write_ocf(dm, self._MANIFEST_SCHEMA, del_entries)
+            am = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
+            write_ocf(am, self._manifest_schema(part_fields, ice_schema), data_entries)
+            rows = self._prior_manifest_rows(meta, snaps) + [
+                {
+                    "manifest_path": am,
+                    "manifest_length": os.path.getsize(am),
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                },
+                {
+                    "manifest_path": dm,
+                    "manifest_length": os.path.getsize(dm),
+                    "partition_spec_id": 0,
+                    "content": 1,
+                    "sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                },
+            ]
+            try:
+                self._commit_snapshot(meta, snaps, snap_id, seq, rows, "overwrite", now)
+                break
+            except RuntimeError:
+                if attempt == max(0, retries):
+                    raise
+                meta, snaps, seq, snap_id = self._rebase_over_appends(meta, "update")
+                for e in del_entries:
+                    e["snapshot_id"] = snap_id
+                if lineage:
+                    # files embed the planned sequence — re-stage
+                    data_entries = self._stage_data_entries(
+                        _updated_for(seq), ice_schema, part_fields, spec_cols, snap_id
+                    )
+                else:
+                    for e in data_entries:
+                        e["snapshot_id"] = snap_id
         return {"rows_updated": rows_updated, "snapshot_id": snap_id}
 
     def merge(
@@ -3804,6 +3868,7 @@ class IcebergTable:
         not_matched_by_source_delete: bool = False,
         not_matched_by_source_condition: str | None = None,
         mode: str = "mor",
+        retries: int = 0,
     ) -> dict:
         """MERGE INTO … USING source ON keys against an ICEBERG v2
         table — the reference's core upsert verb
@@ -3819,7 +3884,12 @@ class IcebergTable:
 
         Joins are Spark-planned (no forced broadcast; AQE broadcasts a
         small source). Returns ``{"rows_updated", "rows_inserted",
-        "rows_deleted", "snapshot_id"}``."""
+        "rows_deleted", "snapshot_id"}``.
+
+        ``retries``: rebase over blind-append race winners like
+        :meth:`delete`/:meth:`update` (see :meth:`_rebase_over_appends`);
+        with row lineage on, the updated rows' staged files embed the
+        planned sequence, so a rebase re-stages them."""
         import time
         import uuid as _uuid
 
@@ -3920,66 +3990,75 @@ class IcebergTable:
             if not_matched_by_source_condition:
                 nm = nm.filter(F.expr(not_matched_by_source_condition))
             del_parts.append(nm.select(target.columns))
-        new_parts: list[DataFrame] = []
-        if do_update:
-            if matched_update is None:
-                # WHEN MATCHED THEN UPDATE SET * — the new row IS the
-                # source row (source keys are unique among matched)
-                part = source.join(upd_keys, on=on, how="left_semi")
+        def _new_parts_for(seq_: int) -> list[DataFrame]:
+            # lineage stamps the commit SEQUENCE into the updated rows'
+            # data files, so a rebase retry rebuilds these frames under
+            # the new sequence (see update()'s twin)
+            new_parts: list[DataFrame] = []
+            if do_update:
+                if matched_update is None:
+                    # WHEN MATCHED THEN UPDATE SET * — the new row IS the
+                    # source row (source keys are unique among matched)
+                    part = source.join(upd_keys, on=on, how="left_semi")
+                    if lineage:
+                        # multi-target-row matches collapse to one updated
+                        # row — it inherits the smallest matched _row_id
+                        tgt_ids = (
+                            target.join(upd_keys, on=on, how="left_semi")
+                            .groupBy(*on)
+                            .agg(F.min("_row_id").alias("_row_id"))
+                        )
+                        part = part.join(tgt_ids, on=on, how="left").withColumn(
+                            "_last_updated_sequence_number",
+                            F.lit(seq_).cast("long"),
+                        )
+                    new_parts.append(part.select(*cols, *lin_cols))
+                else:
+                    joined = (
+                        target.drop("file_path", "pos")
+                        .alias("t")
+                        .join(source.alias("s"), on=on, how="inner")
+                    )
+                    if matched_condition:
+                        joined = joined.filter(F.expr(matched_condition))
+                    new_parts.append(
+                        joined.select(
+                            *[
+                                (
+                                    F.col(c)
+                                    if c in on
+                                    else (
+                                        F.expr(matched_update[c]).cast(want[c])
+                                        if c in matched_update
+                                        else F.col(f"t.{c}")
+                                    )
+                                ).alias(c)
+                                for c in cols
+                            ],
+                            *(
+                                [
+                                    F.col("t._row_id").alias("_row_id"),
+                                    F.lit(seq_)
+                                    .cast("long")
+                                    .alias("_last_updated_sequence_number"),
+                                ]
+                                if lineage
+                                else []
+                            ),
+                        )
+                    )
+            if when_not_matched_insert_all:
+                ins = source.join(tkeys, on=on, how="left_anti")
                 if lineage:
-                    # multi-target-row matches collapse to one updated
-                    # row — it inherits the smallest matched _row_id
-                    tgt_ids = (
-                        target.join(upd_keys, on=on, how="left_semi")
-                        .groupBy(*on)
-                        .agg(F.min("_row_id").alias("_row_id"))
+                    ins = ins.withColumn(
+                        "_row_id", F.lit(None).cast("long")
+                    ).withColumn(
+                        "_last_updated_sequence_number", F.lit(None).cast("long")
                     )
-                    part = part.join(tgt_ids, on=on, how="left").withColumn(
-                        "_last_updated_sequence_number",
-                        F.lit(new_seq).cast("long"),
-                    )
-                new_parts.append(part.select(*cols, *lin_cols))
-            else:
-                joined = (
-                    target.drop("file_path", "pos")
-                    .alias("t")
-                    .join(source.alias("s"), on=on, how="inner")
-                )
-                if matched_condition:
-                    joined = joined.filter(F.expr(matched_condition))
-                new_parts.append(
-                    joined.select(
-                        *[
-                            (
-                                F.col(c)
-                                if c in on
-                                else (
-                                    F.expr(matched_update[c]).cast(want[c])
-                                    if c in matched_update
-                                    else F.col(f"t.{c}")
-                                )
-                            ).alias(c)
-                            for c in cols
-                        ],
-                        *(
-                            [
-                                F.col("t._row_id").alias("_row_id"),
-                                F.lit(new_seq)
-                                .cast("long")
-                                .alias("_last_updated_sequence_number"),
-                            ]
-                            if lineage
-                            else []
-                        ),
-                    )
-                )
-        if when_not_matched_insert_all:
-            ins = source.join(tkeys, on=on, how="left_anti")
-            if lineage:
-                ins = ins.withColumn("_row_id", F.lit(None).cast("long")).withColumn(
-                    "_last_updated_sequence_number", F.lit(None).cast("long")
-                )
-            new_parts.append(ins)
+                new_parts.append(ins)
+            return new_parts
+
+        new_parts = _new_parts_for(new_seq)
 
         now = int(time.time() * 1000)
         seq = int(meta.get("last-sequence-number") or 0) + 1
@@ -4025,23 +4104,29 @@ class IcebergTable:
                 n_inserted = (
                     new_parts[-1].select(F.count(F.lit(1))).first()[0]
                 )
-            new_df = None
-            for p in ([survivors] if survivors is not None else []) + new_parts:
-                p = p.select(*cols, *lin_cols)
-                new_df = p if new_df is None else new_df.unionByName(p)
+            def _new_df_for(seq_: int) -> DataFrame | None:
+                new_df = None
+                for p in (
+                    [survivors] if survivors is not None else []
+                ) + _new_parts_for(seq_):
+                    p = p.select(*cols, *lin_cols)
+                    new_df = p if new_df is None else new_df.unionByName(p)
+                return new_df
+
             part_fields = self.partition_fields(meta)
             names_by_id = self.field_names_by_id(meta)
             spec_cols = [names_by_id[pf["source-id"]] for pf in part_fields]
             ice_schema = self._ice_schema(meta)
+            first_df = _new_df_for(seq)
             data_entries = (
                 self._stage_data_entries(
-                    new_df.select(*cols, *lin_cols),
+                    first_df.select(*cols, *lin_cols),
                     ice_schema,
                     part_fields,
                     spec_cols,
                     snap_id,
                 )
-                if new_df is not None
+                if first_df is not None
                 else []
             )
             if not affected and not data_entries:
@@ -4051,34 +4136,53 @@ class IcebergTable:
                     "rows_deleted": 0,
                     "snapshot_id": meta.get("current-snapshot-id"),
                 }
-            rows = self._rewrite_prior_rows_excluding(meta, snaps, affected, snap_id)
-            if data_entries:
-                am = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
-                write_ocf(
-                    am, self._manifest_schema(part_fields, ice_schema), data_entries
-                )
-                rows.append(
-                    {
-                        "manifest_path": am,
-                        "manifest_length": os.path.getsize(am),
-                        "partition_spec_id": 0,
-                        "content": 0,
-                        "sequence_number": seq,
-                        "added_snapshot_id": snap_id,
-                    }
-                )
-            self._commit_snapshot(
-                meta, snaps, snap_id, seq, rows, "overwrite", now,
-                summary_extra={"mode": "copy-on-write"},
-            )
+            for attempt in range(max(0, retries) + 1):
+                rows = self._rewrite_prior_rows_excluding(meta, snaps, affected, snap_id)
+                if data_entries:
+                    am = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
+                    write_ocf(
+                        am, self._manifest_schema(part_fields, ice_schema), data_entries
+                    )
+                    rows.append(
+                        {
+                            "manifest_path": am,
+                            "manifest_length": os.path.getsize(am),
+                            "partition_spec_id": 0,
+                            "content": 0,
+                            "sequence_number": seq,
+                            "added_snapshot_id": snap_id,
+                        }
+                    )
+                try:
+                    self._commit_snapshot(
+                        meta, snaps, snap_id, seq, rows, "overwrite", now,
+                        summary_extra={"mode": "copy-on-write"},
+                    )
+                    break
+                except RuntimeError:
+                    if attempt == max(0, retries):
+                        raise
+                    meta, snaps, seq, snap_id = self._rebase_over_appends(
+                        meta, "copy-on-write merge"
+                    )
+                    if lineage and data_entries:
+                        # files embed the planned sequence — re-stage
+                        data_entries = self._stage_data_entries(
+                            _new_df_for(seq).select(*cols, *lin_cols),
+                            ice_schema,
+                            part_fields,
+                            spec_cols,
+                            snap_id,
+                        )
+                    else:
+                        for e in data_entries:
+                            e["snapshot_id"] = snap_id
             return {
                 "rows_updated": n_upd_del,
                 "rows_inserted": n_inserted,
                 "rows_deleted": max(0, n_deleted - n_upd_del),
                 "snapshot_id": snap_id,
             }
-        list_rows = self._prior_manifest_rows(meta, snaps)
-        n_prior = len(list_rows)
         n_deleted = 0
         # stage update-deletes and not-matched-by-source-deletes as
         # SEPARATE jobs: each part's row count then comes from the
@@ -4092,37 +4196,37 @@ class IcebergTable:
             n_deleted += n
         if do_update and del_parts:
             n_upd_del = part_counts[0]
-        if del_entries:
-            dm = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
-            write_ocf(dm, self._MANIFEST_SCHEMA, del_entries)
-            list_rows.append(
-                {
-                    "manifest_path": dm,
-                    "manifest_length": os.path.getsize(dm),
-                    "partition_spec_id": 0,
-                    "content": 1,
-                    "sequence_number": seq,
-                    "added_snapshot_id": snap_id,
-                }
-            )
-        n_written = 0
-        if new_parts:
-            new_df = new_parts[0]
-            for p in new_parts[1:]:
+        part_fields = self.partition_fields(meta)
+        names = self.field_names_by_id(meta)
+        spec_cols = [names[pf["source-id"]] for pf in part_fields]
+        ice_schema = self._ice_schema(meta)
+
+        def _stage_new(seq_: int, snap_id_: int) -> list[dict]:
+            parts_ = _new_parts_for(seq_)
+            if not parts_:
+                return []
+            new_df = parts_[0]
+            for p in parts_[1:]:
                 new_df = new_df.unionByName(p)
-            part_fields = self.partition_fields(meta)
-            names = self.field_names_by_id(meta)
-            spec_cols = [names[pf["source-id"]] for pf in part_fields]
-            ice_schema = self._ice_schema(meta)
-            data_entries = self._stage_data_entries(
-                new_df, ice_schema, part_fields, spec_cols, snap_id
+            return self._stage_data_entries(
+                new_df, ice_schema, part_fields, spec_cols, snap_id_
             )
+
+        data_entries = _stage_new(seq, snap_id) if new_parts else []
+        n_written = sum(e["data_file"]["record_count"] for e in data_entries)
+        if not del_entries and not data_entries:
+            return {
+                "rows_updated": 0,
+                "rows_inserted": 0,
+                "rows_deleted": 0,
+                "snapshot_id": meta.get("current-snapshot-id"),
+            }
+        for attempt in range(max(0, retries) + 1):
+            list_rows = self._prior_manifest_rows(meta, snaps)
             if data_entries:
-                n_written = sum(e["data_file"]["record_count"] for e in data_entries)
                 am = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
                 write_ocf(am, self._manifest_schema(part_fields, ice_schema), data_entries)
-                list_rows.insert(
-                    len(list_rows) - (1 if del_parts and n_deleted else 0),
+                list_rows.append(
                     {
                         "manifest_path": am,
                         "manifest_length": os.path.getsize(am),
@@ -4130,16 +4234,36 @@ class IcebergTable:
                         "content": 0,
                         "sequence_number": seq,
                         "added_snapshot_id": snap_id,
-                    },
+                    }
                 )
-        if len(list_rows) == n_prior:
-            return {
-                "rows_updated": 0,
-                "rows_inserted": 0,
-                "rows_deleted": 0,
-                "snapshot_id": meta.get("current-snapshot-id"),
-            }
-        self._commit_snapshot(meta, snaps, snap_id, seq, list_rows, "overwrite", now)
+            if del_entries:
+                dm = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
+                write_ocf(dm, self._MANIFEST_SCHEMA, del_entries)
+                list_rows.append(
+                    {
+                        "manifest_path": dm,
+                        "manifest_length": os.path.getsize(dm),
+                        "partition_spec_id": 0,
+                        "content": 1,
+                        "sequence_number": seq,
+                        "added_snapshot_id": snap_id,
+                    }
+                )
+            try:
+                self._commit_snapshot(meta, snaps, snap_id, seq, list_rows, "overwrite", now)
+                break
+            except RuntimeError:
+                if attempt == max(0, retries):
+                    raise
+                meta, snaps, seq, snap_id = self._rebase_over_appends(meta, "merge")
+                for e in del_entries:
+                    e["snapshot_id"] = snap_id
+                if lineage and data_entries:
+                    # updated rows embed the planned sequence — re-stage
+                    data_entries = _stage_new(seq, snap_id)
+                else:
+                    for e in data_entries:
+                        e["snapshot_id"] = snap_id
         return {
             "rows_updated": n_upd_del,
             "rows_inserted": max(0, n_written - n_upd_del),
@@ -4160,7 +4284,10 @@ class IcebergTable:
         (null-safe), since every pre-existing data file has a lower
         sequence than the new delete. An ``upsert_eq`` snapshot thus
         emits its matched old rows as deletes AND its new file as
-        inserts, the CDC pair. Each row carries ``_commit_snapshot``.
+        inserts, the CDC pair. v3 DELETION VECTORS emit the per-file
+        POSITION DELTA (new bitmap minus the parent snapshot's — DV
+        writes merge, so the delta is exactly the rows this snapshot
+        deleted). Each row carries ``_commit_snapshot``.
         REPLACE snapshots (compaction) are skipped — they rearrange
         rows, they don't change them."""
         snaps = sorted(self.snapshots(), key=lambda s: s["snapshot-id"])
@@ -4199,6 +4326,7 @@ class IcebergTable:
             added_data: list[str] = []
             added_deletes: list[str] = []
             added_eq: list[tuple[str, list[int]]] = []
+            added_dvs: list[dict] = []
             for m in mrows:
                 if (m.get("added_snapshot_id") or 0) != sid:
                     continue
@@ -4212,7 +4340,15 @@ class IcebergTable:
                     if content == 0:
                         added_data.append(path)
                     elif content == 1:
-                        added_deletes.append(path)
+                        if (rec.get("file_format") or "").upper() == "PUFFIN":
+                            # v3 deletion vector: the one new DV manifest
+                            # carries new/merged bitmaps as status=1 and
+                            # untouched files' entries as status=0 carried
+                            # — only the former are this snapshot's change
+                            if e.get("status") == 1:
+                                added_dvs.append(rec)
+                        else:
+                            added_deletes.append(path)
                     else:
                         ids_ = rec.get("equality_ids")
                         if not ids_:
@@ -4278,6 +4414,52 @@ class IcebergTable:
                     .withColumn("_commit_snapshot", F.lit(sid))
                 )
                 parts.append(rows)
+            if added_dvs:
+                # v3 DV CDC: a DV write MERGES a file's bitmap, so this
+                # snapshot's change is the per-file POSITION DELTA — the
+                # new bitmap minus the PARENT snapshot's bitmap for the
+                # same referenced file. Blobs are KB-sized roaring
+                # bitmaps (the DV design point: the control plane moves
+                # kilobytes), decoded driver-side like the DV write path
+                # concatenates them; ONE distributed job then re-reads
+                # only the referenced files and keeps the delta rows.
+                parent = s.get("parent-snapshot-id")
+                old_by_ref: dict[str, tuple[str, int, int]] = {}
+                if parent is not None:
+                    for p_, o_, ln_, ref_, _n in self._dv_entries(int(parent)):
+                        old_by_ref[self._resolve(ref_)] = (p_, int(o_), int(ln_))
+                pairs: list[tuple[str, int]] = []
+                for rec in added_dvs:
+                    ref = self._resolve(rec["referenced_data_file"])
+                    new_pos = set(
+                        self._dv_blob_positions(
+                            self._resolve(rec["file_path"]),
+                            int(rec.get("content_offset") or 0),
+                            int(rec.get("content_size_in_bytes") or 0),
+                        )
+                    )
+                    old = old_by_ref.get(ref)
+                    if old is not None:
+                        new_pos -= set(self._dv_blob_positions(*old))
+                    pairs.extend((ref, int(x)) for x in sorted(new_pos))
+                if pairs:
+                    dels = self.spark.createDataFrame(pairs, "_fp STRING, _ri LONG")
+                    refs = sorted({fp for fp, _ in pairs})
+                    parts.append(
+                        self.spark.read.schema(
+                            self._read_schema_for(refs[0], schema)
+                        )
+                        .parquet(*refs)
+                        .select(
+                            "*",
+                            norm(F.col("_metadata.file_path")).alias("_fp"),
+                            F.col("_metadata.row_index").alias("_ri"),
+                        )
+                        .join(dels, ["_fp", "_ri"], "left_semi")
+                        .drop("_fp", "_ri")
+                        .withColumn("_change_type", F.lit("delete"))
+                        .withColumn("_commit_snapshot", F.lit(sid))
+                    )
         if not parts:
             return self.spark.createDataFrame([], out_schema)
         out = parts[0]

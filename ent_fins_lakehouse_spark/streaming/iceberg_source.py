@@ -127,7 +127,7 @@ def make_iceberg_stream_source():
                 # not history replay
                 if hi > 0:
                     snap_id = snaps[hi - 1]["snapshot-id"]
-                    data, pos_deletes, eq_deletes = t._files(snap_id)
+                    data, pos_deletes, eq_deletes, dvs = t._files_full(snap_id)
                     if eq_deletes:
                         raise RuntimeError(
                             "streaming from a table carrying EQUALITY deletes "
@@ -135,6 +135,11 @@ def make_iceberg_stream_source():
                             "them first"
                         )
                     deleted: dict[str, list[int]] = {}
+                    # v3 deletion vectors mask the initial snapshot too
+                    for p_, o_, ln_, ref_, _n in dvs:
+                        deleted.setdefault(
+                            os.path.abspath(t._resolve(ref_)), []
+                        ).extend(t._dv_blob_positions(p_, int(o_), int(ln_)))
                     if pos_deletes:
                         import pyarrow.parquet as pq
 
@@ -170,11 +175,11 @@ def make_iceberg_stream_source():
                     continue  # compaction: rearranges already-streamed rows
                 snap_id = snap["snapshot-id"]
                 if op != "append" and self.change_feed:
-                    # CHANGE-FEED mode streams MoR position deletes as
-                    # _change_type='delete' rows; other row-level ops
-                    # (CoW 'overwrite', equality deletes, v3 DVs) rewrite
-                    # or re-mask already-streamed data and refuse — the
-                    # batch read_changes contract, applied to the stream
+                    # CHANGE-FEED mode streams MoR position deletes and
+                    # v3 DV bitmap deltas as _change_type='delete' rows;
+                    # CoW 'overwrite' and equality deletes rewrite
+                    # already-streamed data and refuse — the batch
+                    # read_changes contract, applied to the stream
                     if (snap.get("summary") or {}).get("mode") == "copy-on-write":
                         raise RuntimeError(
                             f"Iceberg snapshot {snap_id} is a copy-on-write "
@@ -225,17 +230,22 @@ def make_iceberg_stream_source():
             return parts or [FilePartition("", "")]
 
         def _delete_partitions(self, t, snap, schema_json: str, read_ocf):
-            """CHANGE-FEED partitions for one MoR DELETE snapshot: the
-            snapshot's new position-delete parquet files name
-            (file_path, pos) pairs; decode them DRIVER-side (KBs — the
-            same precedent as the initial-snapshot mask) and plan one
-            partition per referenced data file emitting exactly the
-            masked row indexes as _change_type='delete'."""
+            """CHANGE-FEED partitions for one DELETE snapshot: new
+            position-delete parquet files name (file_path, pos) pairs;
+            new v3 DELETION-VECTOR blobs contribute the per-file
+            position DELTA vs the parent snapshot's bitmap (DV writes
+            merge, so the delta is exactly this snapshot's deletions).
+            Both are decoded DRIVER-side (KBs — the same precedent as
+            the initial-snapshot mask); one partition per referenced
+            data file emits exactly the masked row indexes as
+            _change_type='delete'."""
             import os
 
             import pyarrow.parquet as pq
 
             snap_id = snap["snapshot-id"]
+            parent = snap.get("parent-snapshot-id")
+            old_by_ref: dict[str, tuple[str, int, int]] = {}
             _, manifests = read_ocf(t._resolve(snap["manifest-list"]))
             masked: dict[str, list[int]] = {}
             for m in manifests:
@@ -248,17 +258,29 @@ def make_iceberg_stream_source():
                     if e.get("status") != 1:
                         continue
                     rec = e["data_file"]
-                    if (rec.get("file_format") or "").upper() != "PARQUET":
-                        raise RuntimeError(
-                            f"delete file {rec.get('file_path')!r} is "
-                            f"{rec.get('file_format')!r} — the change feed "
-                            "streams parquet position deletes only (v3 "
-                            "deletion vectors re-mask cumulatively)"
-                        )
                     if rec.get("equality_ids"):
                         raise RuntimeError(
                             "equality deletes cannot stream — compact() first"
                         )
+                    if (rec.get("file_format") or "").upper() == "PUFFIN":
+                        if parent is not None and not old_by_ref:
+                            for p_, o_, ln_, ref_, _n in t._dv_entries(int(parent)):
+                                old_by_ref[t._resolve(ref_)] = (
+                                    p_, int(o_), int(ln_),
+                                )
+                        ref = t._resolve(rec["referenced_data_file"])
+                        new_pos = set(
+                            t._dv_blob_positions(
+                                t._resolve(rec["file_path"]),
+                                int(rec.get("content_offset") or 0),
+                                int(rec.get("content_size_in_bytes") or 0),
+                            )
+                        )
+                        old = old_by_ref.get(ref)
+                        if old is not None:
+                            new_pos -= set(t._dv_blob_positions(*old))
+                        masked.setdefault(ref, []).extend(int(x) for x in new_pos)
+                        continue
                     tbl = pq.read_table(t._resolve(rec["file_path"]))
                     for fp, pos in zip(
                         tbl.column("file_path").to_pylist(),
@@ -391,10 +413,11 @@ def read_iceberg_stream(
     """Continuously read an Iceberg table as snapshots are appended.
     With ``read_change_feed=True`` the stream emits CDF-shaped rows
     (``_change_type`` insert/delete + ``_commit_snapshot``): appends
-    stream as inserts and merge-on-read POSITION DELETES stream the
-    masked rows as deletes — the streaming twin of
+    stream as inserts; merge-on-read POSITION DELETES and v3 DELETION
+    VECTORS stream the masked rows as deletes (DVs as the per-file
+    bitmap delta vs the parent snapshot) — the streaming twin of
     ``IcebergTable.read_changes`` with the same refusals (CoW
-    rewrites, equality deletes, v3 DVs)."""
+    rewrites, equality deletes)."""
     register(spark)
     return (
         spark.readStream.format("iceberg_stream")

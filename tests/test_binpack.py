@@ -332,3 +332,90 @@ def test_iceberg_delete_refuses_rebase_over_row_level_winner(spark, tmp_path):
     # winner's delete survives; loser's never applied
     ks = sorted(r.k for r in IcebergTable(spark, path).read().collect())
     assert ks == list(range(0, 18))
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_iceberg_update_rebases_over_concurrent_append(spark, tmp_path, mode):
+    """UPDATE twin of the delete rebase: losing to a blind append at
+    retries>0 rebases (with row lineage ON, the staged files embed the
+    planned sequence, so the rebase re-stages them — asserted via the
+    updated rows' _last_updated_sequence_number matching the FINAL
+    committed sequence, not the pre-race one)."""
+    path = str(tmp_path / f"upd_race_{mode}")
+    base = IcebergTable(spark, path)
+    base.append(
+        spark.range(0, 1).selectExpr("id AS k", "CAST(0 AS LONG) AS v").limit(0).coalesce(1)
+    )
+    base.enable_row_lineage()
+    base.append(spark.range(0, 20).selectExpr("id AS k", "CAST(id AS LONG) AS v").coalesce(1))
+
+    target = IcebergTable(spark, path)
+    competitor = IcebergTable(spark, path)
+    orig = target._prior_manifest_rows
+    fired = {"n": 0}
+
+    def hook(meta, snaps, head_id=None):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            competitor.append(
+                spark.range(100, 110).selectExpr("id AS k", "CAST(id AS LONG) AS v").coalesce(1)
+            )
+        return orig(meta, snaps, head_id=head_id)
+
+    target._prior_manifest_rows = hook
+    res = target.update({"v": "v + 1000"}, predicate="k < 5", mode=mode, retries=3)
+    assert res["rows_updated"] == 5
+    t = IcebergTable(spark, path)
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows[0] == 1000 and rows[4] == 1004 and rows[5] == 5
+    assert all(rows[k] == k for k in range(100, 110)), "winner's append lost"
+    # lineage: updated rows stamped with the FINAL sequence; ids kept
+    lin = {r.k: (r._row_id, r._last_updated_sequence_number)
+           for r in t.read_with_lineage().collect()}
+    final_seq = int(t.metadata()["last-sequence-number"])
+    assert all(lin[k][1] == final_seq for k in range(5)), (
+        "re-stage under the rebased sequence did not happen"
+    )
+    ids = [i for i, _ in lin.values()]
+    assert len(ids) == len(set(ids))
+
+
+def test_iceberg_merge_rebases_over_concurrent_append(spark, tmp_path):
+    """MERGE twin: upsert loses the race to a blind append, rebases at
+    retries>0; updated rows keep their ids and carry the final
+    sequence, inserts get fresh ids, the winner's rows survive."""
+    path = str(tmp_path / "mrg_race")
+    base = IcebergTable(spark, path)
+    base.append(
+        spark.range(0, 1).selectExpr("id AS k", "CAST(0 AS LONG) AS v").limit(0).coalesce(1)
+    )
+    base.enable_row_lineage()
+    base.append(spark.range(0, 10).selectExpr("id AS k", "CAST(id AS LONG) AS v").coalesce(1))
+
+    target = IcebergTable(spark, path)
+    competitor = IcebergTable(spark, path)
+    orig = target._prior_manifest_rows
+    fired = {"n": 0}
+
+    def hook(meta, snaps, head_id=None):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            competitor.append(
+                spark.range(100, 105).selectExpr("id AS k", "CAST(id AS LONG) AS v").coalesce(1)
+            )
+        return orig(meta, snaps, head_id=head_id)
+
+    target._prior_manifest_rows = hook
+    src = spark.range(5, 15).selectExpr("id AS k", "CAST(id * 10 AS LONG) AS v").coalesce(1)
+    res = target.merge(src, on=["k"], retries=3)
+    assert res["rows_updated"] == 5 and res["rows_inserted"] == 5
+    t = IcebergTable(spark, path)
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows[5] == 50 and rows[14] == 140 and rows[0] == 0
+    assert all(rows[k] == k for k in range(100, 105)), "winner's append lost"
+    lin = {r.k: (r._row_id, r._last_updated_sequence_number)
+           for r in t.read_with_lineage().collect()}
+    final_seq = int(t.metadata()["last-sequence-number"])
+    assert all(lin[k][1] == final_seq for k in range(5, 15))
+    ids = [i for i, _ in lin.values()]
+    assert len(ids) == len(set(ids)), "row-id ranges collided across the rebase"

@@ -700,3 +700,44 @@ def test_iceberg_change_feed_stream(spark, tmp_path):
         run_available_now(
             read_iceberg_stream(spark, t.path, read_change_feed=True), out, ck
         )
+
+
+def test_iceberg_change_feed_streams_dv_deltas(spark, tmp_path):
+    """v3 deletion vectors through the change-feed stream: each DV
+    snapshot emits only its bitmap DELTA (a second delete covering
+    already-deleted rows re-emits nothing for them), and the initial
+    snapshot of a fresh stream applies DV masks to the reconciled
+    state."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+    from ent_fins_lakehouse_spark.streaming.autoloader import run_available_now
+    from ent_fins_lakehouse_spark.streaming.iceberg_source import read_iceberg_stream
+
+    t = IcebergTable(spark, str(tmp_path / "dv"))
+    t.append(spark.range(0, 1).selectExpr("id", "id AS v").limit(0).coalesce(1))
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    run_available_now(
+        read_iceberg_stream(spark, t.path, read_change_feed=True), out, ck
+    )
+
+    t.append(spark.range(0, 24).selectExpr("id", "id AS v").coalesce(1))
+    t.delete("id % 4 = 1", mode="dv")
+    t.delete("id % 4 = 1 OR id % 4 = 2", mode="dv")  # delta = %4==2 only
+    run_available_now(
+        read_iceberg_stream(spark, t.path, read_change_feed=True), out, ck
+    )
+    feed = spark.read.parquet(out)
+    dels = feed.filter("_change_type = 'delete'").groupBy("_commit_snapshot").agg(
+        F.collect_set("id").alias("ids")
+    ).collect()
+    by_snap = {r["_commit_snapshot"]: sorted(r["ids"]) for r in dels}
+    assert sorted(by_snap) == [3, 4]
+    assert by_snap[3] == [i for i in range(24) if i % 4 == 1]
+    assert by_snap[4] == [i for i in range(24) if i % 4 == 2], "bitmap delta leaked"
+    ins = {r.id for r in feed.filter("_change_type = 'insert'").collect()}
+    assert ins == set(range(24))
+
+    # fresh stream: initial snapshot reconciles the DV masks
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    run_available_now(read_iceberg_stream(spark, t.path), out2, ck2)
+    live = {r.id for r in spark.read.parquet(out2).collect()}
+    assert live == {i for i in range(24) if i % 4 not in (1, 2)}
