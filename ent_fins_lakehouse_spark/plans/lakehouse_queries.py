@@ -7237,3 +7237,79 @@ def q367_iceberg_dv_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("_commit_snapshot", "o_orderkey")
     )
+
+
+@query(
+    "q368_hll_ndv_view",
+    oracle="""
+    WITH final_state AS (
+      SELECT o_custkey % 25 AS g, o_custkey AS ck FROM orders
+      UNION ALL
+      SELECT 6 AS g, o_custkey + 1000000 AS ck FROM orders WHERE o_custkey % 25 = 6
+    )
+    SELECT g, COUNT(*) AS n_rows, COUNT(DISTINCT ck) AS exact_ndv,
+           TRUE AS ndv_within_5pct
+    FROM final_state GROUP BY g ORDER BY g
+    """,
+    tags=("lakehouse", "materialized-view", "sketch", "incremental"),
+)
+def q368_hll_ndv_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained APPROXIMATE-DISTINCT view (r10): the
+    MaterializedAggView family grows ndv_cols — a mergeable
+    DataSketches HLL sketch per group (4 KB state, register-max
+    hll_union merge) with its estimate denormalized beside it. Exact
+    COUNT(DISTINCT) is NOT self-maintainable (knowing a batch added 50
+    keys says nothing about how many were already present); the
+    mergeable sketch is, which is why every warehouse's incremental
+    NDV story is a sketch. Refresh cost stays O(changed rows) +
+    O(touched groups); insert-only like MIN/MAX (registers cannot
+    forget — asserted by the delete-refusal test).
+
+    Arc: empty CDF base -> create -> seed append + incremental refresh
+    -> enrichment append (new distinct keys into ONE group) +
+    incremental refresh. Correctness: n_rows and exact_ndv hash-exact
+    vs DuckDB (q141's bounded-check pattern); the sketch estimate is
+    asserted within 5% of exact per group inside the plan (lgK=12 RSE
+    is ~1.6%, and sparse-mode HLL is EXACT at these cardinalities)."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+    from ent_fins_lakehouse_spark.sources.matview import MaterializedAggView
+
+    root = tempfile.mkdtemp(prefix="hll_mv_")
+    src = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 25).alias("g"),
+        F.col("o_custkey").alias("ck"),
+    )
+    base = DeltaLogTable(spark, os.path.join(root, "base"))
+    base.write(src.limit(0), mode="append")
+    base.set_property("delta.enableChangeDataFeed", "true")
+    mv = MaterializedAggView(spark, base, os.path.join(root, "view"))
+    assert mv.create(["g"], [], ndv_cols=["ck"])["groups"] == 0
+
+    base.write(src, mode="append")
+    mv.refresh()
+    base.write(
+        src.filter(F.col("g") == 6).select(
+            "g", (F.col("ck") + 1_000_000).alias("ck")
+        ),
+        mode="append",
+    )
+    st = mv.refresh()
+    assert st["mode"] == "incremental" and st["groups_touched"] >= 1
+
+    exact = base.read().groupBy("g").agg(
+        F.countDistinct("ck").alias("exact_ndv")
+    )
+    return (
+        mv.read()
+        .join(exact, "g")
+        .select(
+            "g",
+            "n_rows",
+            "exact_ndv",
+            (
+                F.abs(F.col("ndv_ck") - F.col("exact_ndv"))
+                <= F.greatest(F.lit(1), (F.col("exact_ndv") * 0.05).cast("long"))
+            ).alias("ndv_within_5pct"),
+        )
+        .orderBy("g")
+    )

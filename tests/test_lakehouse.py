@@ -5974,3 +5974,55 @@ def test_iceberg_deletion_vectors(spark, tmp_path):
     # a further rewrite_manifests stays consistent
     t.rewrite_manifests()
     assert {tuple(r) for r in t.read().collect()} == before
+
+
+def test_hll_ndv_view_maintenance_and_refusal(spark, tmp_path):
+    """ndv_cols (r10): the HLL sketch state merges across incremental
+    refreshes (estimate within the lgK=12 error of exact; EXACT at
+    sparse-mode cardinalities), and a delete-bearing window is refused
+    like MIN/MAX (registers cannot forget)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+    from ent_fins_lakehouse_spark.sources.matview import MaterializedAggView
+
+    base = DeltaLogTable(spark, str(tmp_path / "b"))
+    base.write(
+        spark.range(0, 1).selectExpr("CAST(0 AS LONG) AS g", "id AS ck").limit(0),
+        mode="append",
+    )
+    base.set_property("delta.enableChangeDataFeed", "true")
+    mv = MaterializedAggView(spark, base, str(tmp_path / "v"))
+    mv.create(["g"], [], ndv_cols=["ck"])
+
+    base.write(
+        spark.range(0, 600).selectExpr("id % 3 AS g", "id AS ck"), mode="append"
+    )
+    mv.refresh()
+    # overlapping second batch: 300 repeats + 150 fresh keys per group
+    base.write(
+        spark.range(300, 750).selectExpr("id % 3 AS g", "id AS ck"), mode="append"
+    )
+    mv.refresh()
+    got = {r["g"]: (r["n_rows"], r["ndv_ck"]) for r in mv.read().collect()}
+    assert got[0][0] == 350 and got[1][0] == 350 and got[2][0] == 350
+    for g in (0, 1, 2):
+        assert abs(got[g][1] - 250) <= 5, got  # 250 distinct per group
+
+    # deletes are unmaintainable for sketch state
+    base.delete("ck < 10")
+    with _pytest.raises(ValueError, match="HLL-NDV"):
+        mv.refresh()
+    # the escape hatch recomputes exactly
+    st = mv.refresh(full=True)
+    assert st["mode"] == "full"
+    got2 = {r["g"]: r["ndv_ck"] for r in mv.read().collect()}
+    exact = {
+        r["g"]: r["x"]
+        for r in base.read().groupBy("g").agg(
+            F.countDistinct("ck").alias("x")
+        ).collect()
+    }
+    for g in exact:
+        assert abs(got2[g] - exact[g]) <= max(1, exact[g] // 20)
