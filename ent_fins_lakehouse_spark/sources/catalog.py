@@ -364,7 +364,8 @@ class LakehouseSession:
         re.IGNORECASE,
     )
     _MV_ITEM = re.compile(
-        r"^(?:(?P<fn>SUM|MIN|MAX)\s*\(\s*(?P<col>\w+)\s*\)|COUNT\s*\(\s*\*\s*\)|(?P<bare>\w+))"
+        r"^(?:(?P<fn>SUM|MIN|MAX|APPROX_COUNT_DISTINCT)\s*\(\s*(?P<col>\w+)\s*\)"
+        r"|COUNT\s*\(\s*\*\s*\)|(?P<bare>\w+))"
         r"(?:\s+AS\s+\w+)?$",
         re.IGNORECASE,
     )
@@ -508,20 +509,24 @@ class LakehouseSession:
         if m := self._CREATE_MV.match(s):
             # restricted to the INCREMENTALLY MAINTAINABLE algebra
             # (sources/matview.py): COUNT(*) / SUM / insert-only
-            # MIN/MAX over GROUP BY keys. Output column names are the
-            # engine's canonical n_rows / sum_<c> / min_<c> / max_<c>.
+            # MIN/MAX / insert-only APPROX_COUNT_DISTINCT (mergeable
+            # HLL sketch) over GROUP BY keys. Output column names are
+            # the engine's canonical n_rows / sum_<c> / min_<c> /
+            # max_<c> / ndv_<c>.
             from ent_fins_lakehouse_spark.sources.matview import MaterializedAggView
 
             group_cols = [c.strip() for c in m["grp"].split(",") if c.strip()]
             sum_cols: list[str] = []
             minmax: list[str] = []
+            ndv: list[str] = []
             bare: list[str] = []
             for item in m["sel"].split(","):
                 im = self._MV_ITEM.match(item.strip())
                 if not im:
                     raise ValueError(
                         f"materialized views support bare group columns, "
-                        f"COUNT(*), SUM/MIN/MAX(col) — got {item.strip()!r}"
+                        f"COUNT(*), SUM/MIN/MAX(col), "
+                        f"APPROX_COUNT_DISTINCT(col) — got {item.strip()!r}"
                     )
                 fn = (im["fn"] or "").upper()
                 if fn == "SUM":
@@ -529,6 +534,9 @@ class LakehouseSession:
                 elif fn in ("MIN", "MAX"):
                     if im["col"] not in minmax:
                         minmax.append(im["col"])
+                elif fn == "APPROX_COUNT_DISTINCT":
+                    if im["col"] not in ndv:
+                        ndv.append(im["col"])
                 elif im["bare"]:
                     bare.append(im["bare"])
             if sorted(bare) != sorted(group_cols):
@@ -540,7 +548,12 @@ class LakehouseSession:
             mv = MaterializedAggView(
                 self.spark, base, self.catalog.table_path(m["name"])
             )
-            mv.create(group_cols, sum_cols, minmax_cols=minmax or None)
+            mv.create(
+                group_cols,
+                sum_cols,
+                minmax_cols=minmax or None,
+                ndv_cols=ndv or None,
+            )
             return None
         if m := self._REFRESH_MV.match(s):
             self._mv_handle(m["name"]).refresh(full=m["full"] is not None)

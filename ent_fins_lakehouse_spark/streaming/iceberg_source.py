@@ -87,10 +87,24 @@ def make_iceberg_stream_source():
             self.positions = positions
 
     class IcebergStreamReader(DataSourceStreamReader):
-        def __init__(self, table_path: str, ignore_changes: bool, change_feed: bool):
+        def __init__(
+            self,
+            table_path: str,
+            ignore_changes: bool,
+            change_feed: bool,
+            max_snapshots_per_trigger: int | None = None,
+        ):
             self.table_path = table_path
             self.ignore_changes = ignore_changes
             self.change_feed = change_feed
+            # rate limiting (the delta_source maxVersionsPerTrigger twin
+            # at snapshot-index granularity): each micro-batch advances
+            # at most N snapshots — admission control so recovery after
+            # downtime never ingests an unbounded backlog in one batch.
+            # Tracked from the last end handed out; realigned in
+            # commit() with what the engine durably processed.
+            self.max_snapshots = max_snapshots_per_trigger
+            self._last_end: int | None = None
 
         def _table(self):
             from pyspark.sql import SparkSession
@@ -107,7 +121,19 @@ def make_iceberg_stream_source():
             return {"idx": 0}
 
         def latestOffset(self) -> dict:
-            return {"idx": len(self._snapshots())}
+            latest = len(self._snapshots())
+            if self.max_snapshots is not None:
+                # a fresh reader's first poll uses the INITIAL offset as
+                # base, exactly like delta_source: on a restarted query
+                # this may undershoot the checkpointed start — the
+                # engine then sees "no new data", delivers the restart
+                # commit() (which realigns the cursor), and re-polls.
+                # Never overshoot-or-guess: the poll after realignment
+                # gives the full stride from the true position.
+                base = self._last_end if self._last_end is not None else 0
+                latest = min(latest, base + self.max_snapshots)
+            self._last_end = latest
+            return {"idx": latest}
 
         def partitions(self, start: dict, end: dict):
             import os
@@ -120,6 +146,12 @@ def make_iceberg_stream_source():
             snaps = meta.get("snapshots") or []
             schema_json = t.schema(meta).json()
             lo, hi = start["idx"], end["idx"]
+            # restart alignment (delta_source's rule): the engine
+            # replays the last WAL-logged batch before polling, so the
+            # checkpointed start teaches a fresh rate-limit cursor its
+            # true position
+            if self._last_end is None or self._last_end < lo:
+                self._last_end = lo
             parts: list[FilePartition] = []
             if lo == 0:
                 # INITIAL SNAPSHOT: live files of the snapshot at
@@ -365,7 +397,9 @@ def make_iceberg_stream_source():
             return gen()
 
         def commit(self, end: dict) -> None:
-            pass  # offsets are durable in the query checkpoint
+            # offsets are durable in the query checkpoint; align the
+            # rate-limit cursor with what was durably processed
+            self._last_end = end["idx"]
 
     class IcebergStreamDataSource(DataSource):
         """``format("iceberg_stream")`` — options: path, ignoreChanges,
@@ -394,10 +428,12 @@ def make_iceberg_stream_source():
             return sch
 
         def streamReader(self, schema):
+            mx = self.options.get("maxsnapshotspertrigger")
             return IcebergStreamReader(
                 self.options["path"],
                 self.options.get("ignorechanges", "false").lower() == "true",
                 self.options.get("readchangefeed", "false").lower() == "true",
+                max_snapshots_per_trigger=int(mx) if mx else None,
             )
 
     return IcebergStreamDataSource
@@ -408,7 +444,11 @@ def register(spark) -> None:
 
 
 def read_iceberg_stream(
-    spark, path: str, ignore_changes: bool = False, read_change_feed: bool = False
+    spark,
+    path: str,
+    ignore_changes: bool = False,
+    read_change_feed: bool = False,
+    max_snapshots_per_trigger: int | None = None,
 ):
     """Continuously read an Iceberg table as snapshots are appended.
     With ``read_change_feed=True`` the stream emits CDF-shaped rows
@@ -419,10 +459,12 @@ def read_iceberg_stream(
     ``IcebergTable.read_changes`` with the same refusals (CoW
     rewrites, equality deletes)."""
     register(spark)
-    return (
+    r = (
         spark.readStream.format("iceberg_stream")
         .option("path", path)
         .option("ignoreChanges", str(ignore_changes).lower())
         .option("readChangeFeed", str(read_change_feed).lower())
-        .load()
     )
+    if max_snapshots_per_trigger is not None:
+        r = r.option("maxSnapshotsPerTrigger", str(max_snapshots_per_trigger))
+    return r.load()

@@ -128,3 +128,29 @@ def test_show_partitions_and_columns(spark, lh, tmp_path):
     lh.sql(f"CREATE TABLE np USING DELTA LOCATION '{dl2.path}'")
     with _pytest.raises(ValueError, match="not a partitioned table"):
         lh.sql("SHOW PARTITIONS np")
+
+
+def test_mv_sql_approx_count_distinct(spark, lh, tmp_path):
+    """APPROX_COUNT_DISTINCT(col) in CREATE MATERIALIZED VIEW maps to
+    the mergeable HLL ndv column (insert-only maintenance; estimate
+    exact at sparse-mode cardinalities)."""
+    dl = DeltaLogTable(spark, str(tmp_path / "wh" / "db" / "nb"))
+    dl.write(
+        spark.range(0, 300).selectExpr("id % 3 AS g", "id AS ck"), mode="append"
+    )
+    lh.sql(f"CREATE TABLE nb USING DELTA LOCATION '{dl.path}'")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW nmv AS "
+        "SELECT g, COUNT(*), APPROX_COUNT_DISTINCT(ck) FROM nb GROUP BY g"
+    )
+    got = {r.g: (r.n_rows, r.ndv_ck) for r in lh.sql("SELECT g, n_rows, ndv_ck FROM db.nmv").collect()}
+    assert all(got[g][0] == 100 for g in (0, 1, 2))
+    assert all(abs(got[g][1] - 100) <= 2 for g in (0, 1, 2))
+    # overlapping insert-only tick: 50 repeats + 50 fresh per group
+    dl.write(
+        spark.range(150, 450).selectExpr("id % 3 AS g", "id AS ck"), mode="append"
+    )
+    lh.sql("REFRESH MATERIALIZED VIEW nmv")
+    got2 = {r.g: (r.n_rows, r.ndv_ck) for r in lh.sql("SELECT g, n_rows, ndv_ck FROM db.nmv").collect()}
+    assert all(got2[g][0] == 200 for g in (0, 1, 2))
+    assert all(abs(got2[g][1] - 150) <= 3 for g in (0, 1, 2))

@@ -741,3 +741,35 @@ def test_iceberg_change_feed_streams_dv_deltas(spark, tmp_path):
     run_available_now(read_iceberg_stream(spark, t.path), out2, ck2)
     live = {r.id for r in spark.read.parquet(out2).collect()}
     assert live == {i for i in range(24) if i % 4 not in (1, 2)}
+
+
+def test_iceberg_stream_rate_limiting(spark, tmp_path):
+    """maxSnapshotsPerTrigger (the Delta maxVersionsPerTrigger twin at
+    snapshot-index granularity): a 4-snapshot backlog drains two
+    snapshots per availableNow run instead of one unbounded batch."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+    from ent_fins_lakehouse_spark.streaming.autoloader import run_available_now
+    from ent_fins_lakehouse_spark.streaming.iceberg_source import read_iceberg_stream
+
+    t = IcebergTable(spark, str(tmp_path / "rl"))
+    t.append(spark.range(0, 1).selectExpr("id", "id AS v").limit(0).coalesce(1))
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    # initial batch: the (empty) reconciled snapshot
+    run_available_now(
+        read_iceberg_stream(spark, t.path, max_snapshots_per_trigger=2), out, ck
+    )
+    for i in range(4):
+        t.append(
+            spark.range(i * 10, i * 10 + 10).selectExpr("id", "id AS v").coalesce(1)
+        )
+    seen = []
+    for _ in range(4):
+        run_available_now(
+            read_iceberg_stream(spark, t.path, max_snapshots_per_trigger=2), out, ck
+        )
+        seen.append(spark.read.parquet(out).count())
+    # exactly two snapshots per availableNow run until the backlog
+    # drains (the WAL-replay realignment in partitions() gives a fresh
+    # reader its true cursor before the stride poll)
+    assert seen == [20, 40, 40, 40], seen
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == list(range(40))
