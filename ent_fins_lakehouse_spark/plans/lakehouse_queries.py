@@ -7313,3 +7313,47 @@ def q368_hll_ndv_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+@query(
+    "q369_sql_time_travel_join",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders WHERE o_orderkey % 6 = 0
+    """,
+    tags=("lakehouse", "sql", "time-travel"),
+)
+def q369_sql_time_travel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel inside a GENERAL facade SELECT (r10): a JOIN of two
+    AS-OF states across BOTH lake formats — `db.d VERSION AS OF 0`
+    (Delta: even orderkeys only, before the v1 append) against
+    `db.i VERSION AS OF 1` (Iceberg: the first snapshot, multiples of
+    3) — so the join serves exactly the orderkey%6==0 rows however the
+    CURRENT tables have grown since. The previous facade surface only
+    time-traveled `SELECT * FROM t`; this resolves as-of snapshots for
+    arbitrary SELECT shapes through the same format shims with read
+    policies still applied."""
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    src = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    dpath = _scratch("ttd") + "_t"
+    d = DeltaLogTable(spark, dpath)
+    d.write(src.filter(F.col("o_orderkey") % 2 == 0), mode="append")  # v0
+    d.write(src.filter(F.col("o_orderkey") % 2 == 1), mode="append")  # v1
+    ipath = _scratch("tti") + "_t"
+    i = IcebergTable(spark, ipath)
+    i.append(src.filter(F.col("o_orderkey") % 3 == 0).coalesce(2))  # snapshot 1
+    i.append(src.filter(F.col("o_orderkey") % 3 != 0).coalesce(2))  # snapshot 2
+    lh = LakehouseSession(spark, _scratch("wh_tt"))
+    lh.sql("CREATE DATABASE db")
+    lh.sql(f"CREATE TABLE db.d USING DELTA LOCATION '{dpath}'")
+    lh.sql(f"CREATE TABLE db.i USING ICEBERG LOCATION '{ipath}'")
+    return lh.sql(
+        "SELECT COUNT(*) AS n_rows, "
+        "CAST(SUM(CAST(a.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price "
+        "FROM db.d VERSION AS OF 0 a "
+        "JOIN db.i VERSION AS OF 1 b ON a.o_orderkey = b.o_orderkey"
+    )

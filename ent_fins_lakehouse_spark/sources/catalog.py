@@ -413,12 +413,45 @@ class LakehouseSession:
         set of view names currently being expanded so a cyclic
         definition (A→A or A→B→A) raises a clear planning error
         instead of a Python RecursionError."""
+        out_sql = select
+        # TIME TRAVEL in the SELECT path: `FROM db.t VERSION AS OF 3` /
+        # `TIMESTAMP AS OF '...'` resolves the as-of snapshot through
+        # the format shims (Delta version/ICT timestamp, Iceberg
+        # snapshot history) BEFORE planning; read policies still apply
+        # (time travel must not bypass governance).
+        tt_pat = re.compile(
+            r"(FROM|JOIN)\s+([A-Za-z_]\w*\.[A-Za-z_]\w*)\s+"
+            r"(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\d+)",
+            re.IGNORECASE,
+        )
+        for i, m_tt in enumerate(list(tt_pat.finditer(out_sql))):
+            kw, q, kind, lit = m_tt.group(1), m_tt.group(2), m_tt.group(3), m_tt.group(4)
+            if os.path.isfile(self._view_path(q)):
+                raise ValueError(
+                    f"{kind.upper()} AS OF over view {q} is not supported — "
+                    "views are definitions, not versioned tables"
+                )
+            t = self._resolve_concrete(q)
+            if kind.upper() == "VERSION":
+                df = t.read(version_as_of=int(lit))
+            else:
+                ts_raw = lit[1:-1] if lit.startswith("'") else lit
+                # quoted epoch-millis pass through as int; otherwise
+                # ISO-8601 (naive = UTC, the engine's session pin)
+                ts = int(ts_raw) if ts_raw.isdigit() else ts_raw
+                if isinstance(t, DeltaLogTable):
+                    df = t.read(version_as_of=t.version_at(ts))
+                else:
+                    df = t.read(timestamp_as_of=ts)
+            df = self._apply_policies(q, df)
+            alias = f"_lh_asof_{i}_" + q.replace(".", "_")
+            df.createOrReplaceTempView(alias)
+            out_sql = out_sql.replace(m_tt.group(0), f"{kw} {alias}")
         refs = set(
             re.findall(
-                r"(?:FROM|JOIN)\s+([A-Za-z_]\w*\.[A-Za-z_]\w*)", select, re.IGNORECASE
+                r"(?:FROM|JOIN)\s+([A-Za-z_]\w*\.[A-Za-z_]\w*)", out_sql, re.IGNORECASE
             )
         )
-        out_sql = select
         for q in sorted(refs):
             if os.path.isfile(self._view_path(q)):
                 if q in _expanding:
@@ -895,6 +928,12 @@ class LakehouseSession:
             return self.spark.createDataFrame([(db, t) for t in self.catalog.tables(db)], "database STRING, tableName STRING")
         if m := self._SELECT_TBL.match(s):
             if os.path.isfile(self._view_path(m["target"])):
+                if m["v"] or m["ts"]:
+                    raise ValueError(
+                        f"VERSION/TIMESTAMP AS OF over view {m['target']} is "
+                        "not supported — views are definitions, not "
+                        "versioned tables"
+                    )
                 # stored view: re-plan the saved SELECT with catalog
                 # table references resolved (views-on-views compose;
                 # underlying tables' policies apply on their reads)

@@ -154,3 +154,51 @@ def test_mv_sql_approx_count_distinct(spark, lh, tmp_path):
     got2 = {r.g: (r.n_rows, r.ndv_ck) for r in lh.sql("SELECT g, n_rows, ndv_ck FROM db.nmv").collect()}
     assert all(got2[g][0] == 200 for g in (0, 1, 2))
     assert all(abs(got2[g][1] - 150) <= 3 for g in (0, 1, 2))
+
+
+def test_sql_time_travel_select(spark, lh, tmp_path):
+    """SELECT ... FROM db.t VERSION AS OF n / TIMESTAMP AS OF 'ts'
+    resolves the as-of snapshot through the format shims for BOTH lake
+    formats; policies still apply; views refuse."""
+    # Delta base: v0 = 10 rows, v1 = +10
+    dl = DeltaLogTable(spark, str(tmp_path / "wh" / "db" / "tt"))
+    dl.write(spark.range(0, 10).selectExpr("id AS k"), mode="append")
+    dl.write(spark.range(10, 20).selectExpr("id AS k"), mode="append")
+    lh.sql(f"CREATE TABLE tt USING DELTA LOCATION '{dl.path}'")
+    assert lh.sql("SELECT COUNT(*) AS n FROM db.tt").collect()[0].n == 20
+    assert (
+        lh.sql("SELECT COUNT(*) AS n FROM db.tt VERSION AS OF 0").collect()[0].n == 10
+    )
+    # timestamp at v0's commit time
+    import json as _json
+    import os as _os
+
+    v0 = _os.path.join(dl.log_path, "00000000000000000000.json")
+    with open(v0) as fh:
+        ts0 = _json.loads(fh.readline())["commitInfo"]["timestamp"]
+    got = lh.sql(
+        f"SELECT COUNT(*) AS n FROM db.tt TIMESTAMP AS OF '{ts0}'"
+    ).collect()[0].n
+    assert got == 10
+
+    # Iceberg base: snapshots 1 and 2
+    ice = IcebergTable(spark, str(tmp_path / "wh" / "db" / "itt"))
+    ice.append(spark.range(0, 7).selectExpr("id AS k").coalesce(1))
+    ice.append(spark.range(7, 12).selectExpr("id AS k").coalesce(1))
+    lh.sql(f"CREATE TABLE itt USING ICEBERG LOCATION '{ice.path}'")
+    assert (
+        lh.sql("SELECT COUNT(*) AS n FROM db.itt VERSION AS OF 1").collect()[0].n == 7
+    )
+    assert lh.sql("SELECT COUNT(*) AS n FROM db.itt").collect()[0].n == 12
+
+    # join of two as-of states plans through the same path
+    n = lh.sql(
+        "SELECT COUNT(*) AS n FROM db.tt VERSION AS OF 0 a "
+        "JOIN db.itt VERSION AS OF 1 b ON a.k = b.k"
+    ).collect()[0].n
+    assert n == 7
+
+    # views refuse AS OF
+    lh.sql("CREATE VIEW vv AS SELECT k FROM db.tt")
+    with pytest.raises(ValueError, match="not supported"):
+        lh.sql("SELECT * FROM db.vv VERSION AS OF 0")
