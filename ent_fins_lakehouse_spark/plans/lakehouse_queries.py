@@ -7357,3 +7357,68 @@ def q369_sql_time_travel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM db.d VERSION AS OF 0 a "
         "JOIN db.i VERSION AS OF 1 b ON a.o_orderkey = b.o_orderkey"
     )
+
+
+@query(
+    "q370_sql_table_changes",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_custkey % 20 AS g,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    feed AS (
+      SELECT 'delete' AS _change_type, p FROM src WHERE g = 7
+      UNION ALL
+      SELECT 'insert',
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 50 AS DECIMAL(18,2))
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT _change_type, COUNT(*) AS n_rows,
+           CAST(SUM(p) AS DOUBLE) AS sum_price
+    FROM feed GROUP BY _change_type ORDER BY _change_type
+    """,
+    tags=("lakehouse", "sql", "cdf"),
+)
+def q370_sql_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delta-spark ``table_changes`` TVF in the facade (r10):
+    aggregate straight over a version window of the change feed —
+    `FROM table_changes('db.o', 1, 2)` — with the feed rows produced by
+    the engine's CDF reader (a DELETE's pre-images at v1, an append's
+    inserts at v2) and policies applied like any read. The TVF also
+    takes quoted timestamps (delta-spark's boundary rules) and Iceberg
+    snapshot ids (exclusive start, the format's native convention) —
+    pinned in tests/test_mv_sql.py."""
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 20).alias("g"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    path = _scratch("tvf") + "_t"
+    d = DeltaLogTable(spark, path)
+    d.write(src.filter(F.col("o_orderkey") % 2 == 0), mode="append")  # v0
+    d.delete("g = 7")  # v1: pre-images feed as deletes
+    d.write(  # v2: inserts
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 1)
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 20).alias("g"),
+            (F.col("o_totalprice").cast("decimal(18,2)") + 50)
+            .cast("decimal(18,2)")
+            .alias("p"),
+        ),
+        mode="append",
+    )
+    lh = LakehouseSession(spark, _scratch("wh_tvf"))
+    lh.sql("CREATE DATABASE db")
+    lh.sql(f"CREATE TABLE db.o USING DELTA LOCATION '{path}'")
+    return lh.sql(
+        "SELECT _change_type, COUNT(*) AS n_rows, "
+        "CAST(SUM(p) AS DOUBLE) AS sum_price "
+        "FROM table_changes('db.o', 1, 2) "
+        "GROUP BY _change_type ORDER BY _change_type"
+    )

@@ -414,6 +414,37 @@ class LakehouseSession:
         definition (A→A or A→B→A) raises a clear planning error
         instead of a Python RecursionError."""
         out_sql = select
+        # CHANGE-DATA-FEED TVF (the delta-spark `table_changes` idiom):
+        # `FROM table_changes('db.t', 1[, 4])` — integer args are
+        # versions (Delta: INCLUSIVE start, its native rule) or
+        # snapshot ids (Iceberg: EXCLUSIVE start, ITS native rule);
+        # quoted args are timestamps (Delta only, delta-spark's >= /
+        # <= boundary rules). Policies apply to the feed rows.
+        tc_pat = re.compile(
+            r"table_changes\s*\(\s*'(?P<tbl>[\w.]+)'\s*,\s*"
+            r"(?P<a>\d+|'[^']*')\s*(?:,\s*(?P<b>\d+|'[^']*'))?\s*\)",
+            re.IGNORECASE,
+        )
+        for i, m_tc in enumerate(list(tc_pat.finditer(out_sql))):
+            q = m_tc.group("tbl")
+            a, b = m_tc.group("a"), m_tc.group("b")
+            t = self._resolve_concrete(q)
+            if isinstance(t, IcebergFacadeTable):
+                t = t._t
+            if a.startswith("'"):
+                if not hasattr(t, "read_changes_by_timestamp"):
+                    raise NotImplementedError(
+                        "timestamp-based table_changes needs a Delta base"
+                    )
+                df = t.read_changes_by_timestamp(
+                    a[1:-1], b[1:-1] if b else None
+                )
+            else:
+                df = t.read_changes(int(a), int(b) if b else None)
+            df = self._apply_policies(q, df)
+            alias = f"_lh_tc_{i}_" + q.replace(".", "_")
+            df.createOrReplaceTempView(alias)
+            out_sql = out_sql.replace(m_tc.group(0), alias)
         # TIME TRAVEL in the SELECT path: `FROM db.t VERSION AS OF 3` /
         # `TIMESTAMP AS OF '...'` resolves the as-of snapshot through
         # the format shims (Delta version/ICT timestamp, Iceberg

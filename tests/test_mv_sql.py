@@ -202,3 +202,41 @@ def test_sql_time_travel_select(spark, lh, tmp_path):
     lh.sql("CREATE VIEW vv AS SELECT k FROM db.tt")
     with pytest.raises(ValueError, match="not supported"):
         lh.sql("SELECT * FROM db.vv VERSION AS OF 0")
+
+
+def test_sql_table_changes_tvf(spark, lh, tmp_path):
+    """table_changes('db.t', a[, b]) in the facade: Delta versions
+    (inclusive start, delta-spark's rule), Delta timestamps (quoted
+    args), and Iceberg snapshot ids (exclusive start, its native
+    rule)."""
+    dl = DeltaLogTable(spark, str(tmp_path / "wh" / "db" / "cd"))
+    dl.write(spark.range(0, 10).selectExpr("id AS k"), mode="append")  # v0
+    dl.set_property("delta.enableChangeDataFeed", "true")  # v1
+    dl.delete("k < 3")  # v2
+    dl.write(spark.range(10, 15).selectExpr("id AS k"), mode="append")  # v3
+    lh.sql(f"CREATE TABLE cd USING DELTA LOCATION '{dl.path}'")
+
+    got = lh.sql(
+        "SELECT _change_type, COUNT(*) AS n FROM table_changes('db.cd', 2, 3) "
+        "GROUP BY _change_type ORDER BY _change_type"
+    ).collect()
+    by = {r._change_type: r.n for r in got}
+    assert by == {"delete": 3, "insert": 5}
+
+    # aggregate over the feed joined against the current state
+    n = lh.sql(
+        "SELECT COUNT(*) AS n FROM table_changes('db.cd', 0, 3) c "
+        "JOIN db.cd t ON c.k = t.k WHERE c._change_type = 'insert'"
+    ).collect()[0].n
+    assert n == 7 + 5  # v0 inserts still live (10-3) + v3 inserts 5
+
+    # Iceberg base: exclusive-from snapshot convention
+    ice = IcebergTable(spark, str(tmp_path / "wh" / "db" / "ci"))
+    ice.append(spark.range(0, 6).selectExpr("id AS k").coalesce(1))
+    ice.append(spark.range(6, 9).selectExpr("id AS k").coalesce(1))
+    lh.sql(f"CREATE TABLE ci USING ICEBERG LOCATION '{ice.path}'")
+    rows = lh.sql(
+        "SELECT k, _change_type FROM table_changes('db.ci', 1) ORDER BY k"
+    ).collect()
+    assert [r.k for r in rows] == list(range(6, 9))
+    assert all(r._change_type == "insert" for r in rows)
