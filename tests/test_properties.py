@@ -150,3 +150,60 @@ def test_roaring64_codec_roundtrip(rows):
     )
 
     assert sorted(roaring64_rows(roaring64_payload(rows))) == sorted(set(rows))
+
+
+# DML arcs for the materialized-view invariant: a sequence of appends
+# (batches of (group, value) rows) and predicate deletes over a small
+# group domain — adversarial for the MERGE maintenance (groups hitting
+# zero, re-inserted groups, negative values)
+mv_arcs = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("append"),
+            st.lists(
+                st.tuples(st.integers(0, 4), st.integers(-1000, 1000)),
+                min_size=1,
+                max_size=12,
+            ),
+        ),
+        st.tuples(st.just("delete"), st.integers(0, 4)),
+    ),
+    min_size=2,
+    max_size=5,
+)
+
+
+@SET
+@given(arc=mv_arcs)
+def test_mv_incremental_equals_recompute(sparkm, tmp_path_factory, arc):
+    """Gupta-Mumick maintenance invariant, property-tested: after ANY
+    interleaving of appends and predicate deletes, refresh() applied
+    per commit leaves the view BIT-IDENTICAL (decimal sums) to a full
+    recompute of the final base state; groups whose count reaches zero
+    leave the view entirely."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+    from ent_fins_lakehouse_spark.sources.matview import MaterializedAggView
+
+    root = str(tmp_path_factory.mktemp("mvprop"))
+    base = DeltaLogTable(sparkm, root + "/b")
+    base.write(
+        sparkm.createDataFrame([], "g LONG, v LONG"),
+        mode="append",
+    )
+    base.set_property("delta.enableChangeDataFeed", "true")
+    mv = MaterializedAggView(sparkm, base, root + "/v")
+    mv.create(["g"], ["v"])
+    for step in arc:
+        if step[0] == "append":
+            base.write(
+                sparkm.createDataFrame(step[1], "g LONG, v LONG"), mode="append"
+            )
+        else:
+            base.delete(f"g = {step[1]}")
+        mv.refresh()  # tick per commit — the live-view cadence
+    got = mv.read()
+    want = mv._aggregate(base.read(), ["g"], ["v"])
+    diff = got.exceptAll(want).unionByName(want.exceptAll(got)).count()
+    assert diff == 0
+    # zero-count groups never linger
+    assert got.filter("n_rows <= 0").count() == 0
