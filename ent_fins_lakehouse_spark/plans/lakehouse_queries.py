@@ -7422,3 +7422,48 @@ def q370_sql_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM table_changes('db.o', 1, 2) "
         "GROUP BY _change_type ORDER BY _change_type"
     )
+
+
+@query(
+    "q371_iceberg_zorder_rewrite",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_partkey <= 200
+    ORDER BY l_orderkey, l_partkey, l_suppkey, l_quantity, l_extendedprice
+    """,
+    tags=("lakehouse", "iceberg", "zorder"),
+)
+def q371_iceberg_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rewrite_data_files with the Z-ORDER sort strategy on the
+    ICEBERG side (r10 — q180's cross-format twin, one shared Morton
+    `_zvalue` kernel for both table formats): bucket bits interleave
+    JVM-side, the rewrite range-partitions + sorts on the z-value, and
+    every rewritten file covers a small (orderkey x partkey)
+    hyper-rectangle — so the manifests' footer-sourced lower/upper
+    bounds prune predicates on EITHER column, asserted for both
+    dimensions via the same manifest-bounds pruning the reads use,
+    then hash-checked against the relational oracle."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+    from ent_fins_lakehouse_spark.sources.skipping import prune_dirs
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    t = IcebergTable(spark, _scratch("icez") + "_t")
+    t.append(li.repartition(16))
+    t.compact(target_files=16, zorder_by=["l_orderkey", "l_partkey"])
+    q_ok, q_pk = (
+        int(li.approxQuantile(c, [0.05], 0.01)[0])
+        for c in ("l_orderkey", "l_partkey")
+    )
+    data, *_ = t._files_full()
+    stats = {p: b for p, _, b in data}
+    for pred in (f"l_orderkey <= {q_ok}", f"l_partkey <= {q_pk}"):
+        cand, _pruned = prune_dirs(pred, stats, [p for p, _, _ in data])
+        if len(data) - len(cand) < 4:
+            raise AssertionError(
+                f"z-order must prune on {pred}: {len(cand)}/{len(data)} files scan"
+            )
+    return t.read(where="l_partkey <= 200").orderBy(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )

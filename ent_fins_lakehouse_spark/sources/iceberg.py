@@ -4721,7 +4721,12 @@ class IcebergTable:
             }
         )
 
-    def compact(self, target_files: int = 8, sort_by: list[str] | None = None) -> dict:
+    def compact(
+        self,
+        target_files: int = 8,
+        sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+    ) -> dict:
         """rewrite_data_files — Iceberg's compaction verb (OPTIMIZE's
         cross-format twin): the current snapshot rewrites into
         ``target_files`` right-sized files committed as a REPLACE
@@ -4735,11 +4740,20 @@ class IcebergTable:
         range-partition + sort on the given columns, so each rewritten
         file covers a DISJOINT range and the manifests' footer-sourced
         lower/upper bounds turn selective — the compaction that makes
-        file skipping effective (Z-ORDER's single-dimension sibling;
-        the multi-dimension Morton variant is the Delta side's
-        ``optimize(zorder_by=…)``). Returns
+        file skipping effective (Z-ORDER's single-dimension sibling).
+
+        ``zorder_by`` is rewrite_data_files' SORT strategy with a
+        Z-ORDER expression (Iceberg's ``zorder(...)``): the same
+        Morton bit-interleave the Delta side's ``optimize(zorder_by=…)``
+        uses (shared ``_zvalue`` kernel — one clustering implementation,
+        two table formats), so each rewritten file covers a small
+        hyper-rectangle and the manifests' lower/upper bounds prune
+        predicates on ANY z-ordered column, not just the leading one.
+        Returns
         ``{"files_before", "files_after", "deletes_materialized"}``."""
         data, pos_deletes, eq_deletes, _dvs = self._files_full()
+        if sort_by and zorder_by:
+            raise ValueError("pass sort_by OR zorder_by, not both")
         meta = self.metadata()
         names = self.field_names_by_id(meta)
         spec_cols = [names[pf["source-id"]] for pf in self.partition_fields(meta)]
@@ -4752,6 +4766,25 @@ class IcebergTable:
             df = self.read_with_lineage()
         else:
             df = self.read()
+        if zorder_by:
+            from ent_fins_lakehouse_spark.sources.lakehouse import _zvalue
+
+            missing = [c for c in zorder_by if c not in df.columns]
+            if missing:
+                raise ValueError(f"zorder_by columns {missing} not in table")
+            df = (
+                df.withColumn("_z", _zvalue(df, zorder_by))
+                .repartitionByRange(max(1, target_files), "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+            snap_id = self.append(df, _replace=True)
+            new_n = len(self.data_files(snap_id))
+            return {
+                "files_before": len(data),
+                "files_after": new_n,
+                "deletes_materialized": len(pos_deletes) + len(eq_deletes) + len(_dvs),
+            }
         if sort_by is None:
             # rewrite_data_files' default strategy honors the table's
             # registered sort order (replace_sort_order): range-partition
