@@ -419,3 +419,49 @@ def test_iceberg_merge_rebases_over_concurrent_append(spark, tmp_path):
     assert all(lin[k][1] == final_seq for k in range(5, 15))
     ids = [i for i, _ in lin.values()]
     assert len(ids) == len(set(ids)), "row-id ranges collided across the rebase"
+
+
+def test_iceberg_concurrent_writers_stress(spark, tmp_path):
+    """Real-thread contention (not an injected hook): six appenders
+    race on one table with retries — every batch must land EXACTLY
+    once (fast-append rebase under genuine O_EXCL losses), and a
+    MoR delete racing the appenders rebases over them and removes
+    exactly its pre-existing targets."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "stress")
+    seed = IcebergTable(spark, path)
+    seed.append(
+        spark.range(0, 50).selectExpr("id AS k", "id % 5 AS g").coalesce(1)
+    )
+
+    def appender(i: int) -> int:
+        t = IcebergTable(spark, path)
+        return t.append(
+            spark.range(1000 + i * 100, 1000 + i * 100 + 100)
+            .selectExpr("id AS k", "id % 5 AS g")
+            .coalesce(1),
+            retries=25,
+        )
+
+    def deleter() -> dict:
+        t = IcebergTable(spark, path)
+        return t.delete("k < 10", mode="mor", retries=25)
+
+    with ThreadPoolExecutor(max_workers=7) as ex:
+        futs = [ex.submit(appender, i) for i in range(6)]
+        dfut = ex.submit(deleter)
+        snap_ids = [f.result() for f in futs]
+        dres = dfut.result()
+
+    assert len(set(snap_ids)) == 6, "two appends claimed the same snapshot"
+    assert dres["rows_deleted"] == 10
+    t = IcebergTable(spark, path)
+    ks = sorted(r.k for r in t.read().collect())
+    want = list(range(10, 50)) + list(range(1000, 1600))
+    assert ks == want, (len(ks), len(want))
+    # the log is a clean linear history: snapshot ids are unique and
+    # the final snapshot count covers every commit exactly once
+    snaps = t.snapshots()
+    ids = [s["snapshot-id"] for s in snaps]
+    assert len(ids) == len(set(ids)) == 8  # seed + 6 appends + delete
