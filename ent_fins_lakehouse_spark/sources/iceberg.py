@@ -4726,6 +4726,7 @@ class IcebergTable:
         target_files: int = 8,
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        hilbert_by: list[str] | None = None,
     ) -> dict:
         """rewrite_data_files — Iceberg's compaction verb (OPTIMIZE's
         cross-format twin): the current snapshot rewrites into
@@ -4749,11 +4750,15 @@ class IcebergTable:
         two table formats), so each rewritten file covers a small
         hyper-rectangle and the manifests' lower/upper bounds prune
         predicates on ANY z-ordered column, not just the leading one.
-        Returns
+        ``hilbert_by`` clusters on the Hilbert curve instead (the
+        liquid-clustering curve — shared ``_hilbert_value`` kernel):
+        consecutive curve positions are always grid neighbors, so
+        equal-size file cuts cover tighter hyper-rectangles than
+        Morton's Z-shaped jumps. Returns
         ``{"files_before", "files_after", "deletes_materialized"}``."""
         data, pos_deletes, eq_deletes, _dvs = self._files_full()
-        if sort_by and zorder_by:
-            raise ValueError("pass sort_by OR zorder_by, not both")
+        if sum(1 for x in (sort_by, zorder_by, hilbert_by) if x) > 1:
+            raise ValueError("pass sort_by OR zorder_by OR hilbert_by, not several")
         meta = self.metadata()
         names = self.field_names_by_id(meta)
         spec_cols = [names[pf["source-id"]] for pf in self.partition_fields(meta)]
@@ -4766,14 +4771,21 @@ class IcebergTable:
             df = self.read_with_lineage()
         else:
             df = self.read()
-        if zorder_by:
-            from ent_fins_lakehouse_spark.sources.lakehouse import _zvalue
+        if zorder_by or hilbert_by:
+            from ent_fins_lakehouse_spark.sources.lakehouse import (
+                _hilbert_value,
+                _zvalue,
+            )
 
-            missing = [c for c in zorder_by if c not in df.columns]
+            curve_cols = zorder_by or hilbert_by
+            missing = [c for c in curve_cols if c not in df.columns]
             if missing:
-                raise ValueError(f"zorder_by columns {missing} not in table")
+                raise ValueError(f"clustering columns {missing} not in table")
+            curve = (
+                _zvalue(df, curve_cols) if zorder_by else _hilbert_value(df, curve_cols)
+            )
             df = (
-                df.withColumn("_z", _zvalue(df, zorder_by))
+                df.withColumn("_z", curve)
                 .repartitionByRange(max(1, target_files), "_z")
                 .sortWithinPartitions("_z")
                 .drop("_z")

@@ -465,3 +465,27 @@ def test_iceberg_concurrent_writers_stress(spark, tmp_path):
     snaps = t.snapshots()
     ids = [s["snapshot-id"] for s in snaps]
     assert len(ids) == len(set(ids)) == 8  # seed + 6 appends + delete
+
+
+def test_iceberg_hilbert_compact_prunes_both_dims(spark, tmp_path):
+    """compact(hilbert_by=...) — the liquid-clustering curve on the
+    Iceberg side (q371's Morton sibling, shared _hilbert_value
+    kernel): rewritten files prune on EITHER clustered column via
+    manifest bounds, and content is unchanged."""
+    from ent_fins_lakehouse_spark.sources.skipping import prune_dirs
+
+    path = str(tmp_path / "hz")
+    t = IcebergTable(spark, path)
+    df = spark.range(0, 40000).selectExpr(
+        "id AS a", "CAST(pmod(id * 2654435761, 40000) AS LONG) AS b"
+    )
+    t.append(df.repartition(16))
+    before = sorted(r.a for r in t.read().collect())
+    st = t.compact(target_files=16, hilbert_by=["a", "b"])
+    assert st["files_after"] >= 8
+    data, *_ = t._files_full()
+    stats = {p: b for p, _, b in data}
+    for pred in ("a <= 2000", "b <= 2000"):
+        cand, _ = prune_dirs(pred, stats, [p for p, _, _ in data])
+        assert len(data) - len(cand) >= 4, (pred, len(cand), len(data))
+    assert sorted(r.a for r in t.read().collect()) == before
