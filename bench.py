@@ -127,8 +127,11 @@ HEADLINE = [
     # the small-file debt — the streaming-ingest housekeeping verb)
     "q354_binpack_compaction",
     # r10: the Iceberg change-feed stream driving the live MV (the
-    # cross-format DLT shape; wall is the streaming fixture arc)
+    # cross-format DLT shape; wall is the streaming fixture arc), and
+    # the Iceberg Z-order rewrite (write-path curve cost, the
+    # cross-format pair of q294's Delta Hilbert row)
     "q366_iceberg_streaming_mv",
+    "q371_iceberg_zorder_rewrite",
 ]
 
 # Headline rows whose wall is dominated by table BUILDS + commit
@@ -157,6 +160,7 @@ LIFECYCLE = {
     "q347_iceberg_default_values",
     "q354_binpack_compaction",
     "q366_iceberg_streaming_mv",
+    "q371_iceberg_zorder_rewrite",
 }
 
 
