@@ -7467,3 +7467,41 @@ def q371_iceberg_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(where="l_partkey <= 200").orderBy(
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
     )
+
+
+@query(
+    "q372_iceberg_fsck_repair",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey % 2 = 0
+    ORDER BY o_orderkey
+    """,
+    tags=("lakehouse", "iceberg", "maintenance"),
+)
+def q372_iceberg_fsck_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FSCK REPAIR TABLE on the Iceberg side (r10 — Delta-verb parity):
+    a data file deleted OUT OF BAND (lifecycle policy, foreign GC)
+    breaks every read with FileNotFound; fsck_repair probes existence
+    per live file (control plane only) and commits ONE snapshot that
+    drops exactly the dangling entries via the copy-on-write exclusion
+    primitive — survivors keep serving and hash-match the oracle's
+    restatement. dry_run reports without committing; time travel still
+    sees the pre-repair metadata."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    src = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t = IcebergTable(spark, _scratch("fsck") + "_t")
+    t.append(src.filter(F.col("o_orderkey") % 2 == 0).coalesce(1))
+    t.append(src.filter(F.col("o_orderkey") % 2 == 1).coalesce(1))
+    data, *_ = t._files_full()
+    victim = next(
+        p for p, _, b in data
+        if b and b.get("o_orderkey") and int(b["o_orderkey"][0]) % 2 == 1
+    )
+    os.remove(victim)
+    rep = t.fsck_repair(dry_run=True)
+    assert rep["n_missing"] == 1 and rep["missing"] == [victim], rep
+    rep2 = t.fsck_repair()
+    assert rep2["n_missing"] == 1 and "snapshot_id" in rep2
+    assert t.fsck_repair(dry_run=True)["n_missing"] == 0
+    return t.read().orderBy("o_orderkey")

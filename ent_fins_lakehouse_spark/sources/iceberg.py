@@ -4820,6 +4820,95 @@ class IcebergTable:
             "deletes_materialized": len(pos_deletes) + len(eq_deletes) + len(_dvs),
         }
 
+    def fsck_repair(self, dry_run: bool = False) -> dict:
+        """FSCK REPAIR TABLE — the Delta verb's Iceberg twin (r10):
+        drop manifest entries whose DATA or DELETE files no longer
+        exist on storage (out-of-band lifecycle deletion, manual
+        cleanup, a foreign engine's GC) so reads stop failing with
+        FileNotFound. Control-plane only: one existence probe per live
+        file, then ONE 'delete' snapshot — data manifests rewrite via
+        the same exclusion primitive copy-on-write uses (survivor
+        entries become EXISTING with explicit sequences), delete
+        manifests drop entries whose delete file (parquet or Puffin
+        sidecar) is gone. Returns ``{"n_active", "n_missing",
+        "missing"}`` (+ ``snapshot_id`` after a repair)."""
+        import time
+        import uuid as _uuid
+
+        from ent_fins_lakehouse_spark.sources.avro_io import read_ocf, write_ocf
+
+        meta = self.metadata()
+        snaps = list(meta.get("snapshots") or [])
+        data, pos_deletes, eq_deletes, dvs = self._files_full()
+        live = [p for p, _, _ in data]
+        missing_data = {p for p in live if not os.path.exists(p)}
+        del_paths = (
+            list(pos_deletes)
+            + [p for p, _, _ in eq_deletes]
+            + [p for p, _, _, _, _ in dvs]
+        )
+        missing_del = {p for p in del_paths if not os.path.exists(p)}
+        report = {
+            "n_active": len(live) + len(del_paths),
+            "n_missing": len(missing_data) + len(missing_del),
+            "missing": sorted(missing_data | missing_del),
+        }
+        if dry_run or not (missing_data or missing_del):
+            return report
+        now = int(time.time() * 1000)
+        seq = int(meta.get("last-sequence-number") or 0) + 1
+        snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+        rows = self._rewrite_prior_rows_excluding(meta, snaps, missing_data, snap_id)
+        if missing_del:
+            out_rows = []
+            for r in rows:
+                if (r.get("content") or 0) != 1:
+                    out_rows.append(r)
+                    continue
+                _, entries = read_ocf(self._resolve(r["manifest_path"]))
+                m_seq = r.get("sequence_number") or 0
+                keep, changed = [], False
+                for e in entries:
+                    if e.get("status") == 2:
+                        continue
+                    if self._resolve(e["data_file"]["file_path"]) in missing_del:
+                        changed = True
+                        continue
+                    keep.append(
+                        {
+                            **e,
+                            "status": 0,
+                            "sequence_number": (
+                                e.get("sequence_number")
+                                if e.get("sequence_number") is not None
+                                else m_seq
+                            ),
+                        }
+                    )
+                if not changed:
+                    out_rows.append(r)
+                    continue
+                if not keep:
+                    continue
+                mp = os.path.join(self.meta_dir, f"manifest-{_uuid.uuid4().hex}.avro")
+                write_ocf(mp, self._MANIFEST_SCHEMA, keep)
+                out_rows.append(
+                    {
+                        "manifest_path": mp,
+                        "manifest_length": os.path.getsize(mp),
+                        "partition_spec_id": r.get("partition_spec_id") or 0,
+                        "content": 1,
+                        "sequence_number": m_seq,
+                        "added_snapshot_id": snap_id,
+                    }
+                )
+            rows = out_rows
+        self._commit_snapshot(
+            meta, snaps, snap_id, seq, rows, "delete", now,
+            summary_extra={"trigger": "fsck"},
+        )
+        return {**report, "snapshot_id": snap_id}
+
     def rewrite_small_files(
         self,
         small_file_threshold_bytes: int = 8 * 1024 * 1024,

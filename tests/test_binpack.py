@@ -489,3 +489,45 @@ def test_iceberg_hilbert_compact_prunes_both_dims(spark, tmp_path):
         cand, _ = prune_dirs(pred, stats, [p for p, _, _ in data])
         assert len(data) - len(cand) >= 4, (pred, len(cand), len(data))
     assert sorted(r.a for r in t.read().collect()) == before
+
+
+def test_iceberg_fsck_repair(spark, tmp_path):
+    """FSCK REPAIR (Delta parity): out-of-band deletion of a data file
+    and a position-delete file breaks reads; dry_run reports both;
+    repair drops exactly their entries in one snapshot — survivors
+    (including delete semantics on INTACT files) keep serving, and
+    time travel still sees the pre-repair metadata."""
+    import os
+
+    path = str(tmp_path / "fsck")
+    t = IcebergTable(spark, path)
+    t.append(spark.range(0, 10).selectExpr("id AS k").coalesce(1))
+    t.append(spark.range(10, 20).selectExpr("id AS k").coalesce(1))
+    t.delete("k = 15", mode="mor")  # pos-delete on an INTACT file
+    t.delete("k = 3", mode="mor")  # pos-delete file we will remove
+
+    data, pos_deletes, *_ = t._files_full()
+    victim_data = next(
+        p for p, _, b in data if b and b.get("k") and int(b["k"][0]) == 10
+    )
+    # the delete parquet whose masked position is 3 (k=3 in file one)
+    import pyarrow.parquet as pq
+
+    victim_del = next(
+        p for p in pos_deletes if 3 in pq.read_table(p).column("pos").to_pylist()
+    )
+    os.remove(victim_data)
+    os.remove(victim_del)
+
+    rep = t.fsck_repair(dry_run=True)
+    assert rep["n_missing"] == 2 and sorted(rep["missing"]) == sorted(
+        [victim_data, victim_del]
+    )
+    rep2 = t.fsck_repair()
+    assert rep2["n_missing"] == 2
+    fresh = IcebergTable(spark, path)
+    ks = sorted(r.k for r in fresh.read().collect())
+    # second file (10..19) gone; k=3's delete file gone so k=3 is back;
+    # k=15 lived in the removed file anyway
+    assert ks == list(range(0, 10))
+    assert fresh.fsck_repair(dry_run=True)["n_missing"] == 0
