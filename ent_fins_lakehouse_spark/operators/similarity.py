@@ -326,6 +326,7 @@ def cosine_pairs_blockwise_numpy(
     block_cols: list[str],
     top_n: int | None = None,
     min_cosine: float | None = None,
+    rescore_exact: bool = False,
 ) -> DataFrame:
     """All-pairs cosine within blocks as one BLAS matrix product per
     block (``applyInPandas``) — the dense-block scale path beside
@@ -403,6 +404,38 @@ def cosine_pairs_blockwise_numpy(
     )
     if top_n is not None:
         out = out.orderBy(F.desc("cosine_sim"), F.asc("id_a"), F.asc("id_b")).limit(top_n)
+    if rescore_exact:
+        # Filter-then-rescore (the q138 pattern): BLAS picks the pairs,
+        # but dgemm's blocked summation drifts 1-3 ULPs from the
+        # sequential fold, so the EMITTED cosine is recomputed with the
+        # same codegen'd _dot/_norm shape as cosine_pairs_blocked —
+        # bit-identical to the exact path / SQL oracle. The selected
+        # pair set is tiny (≤ top_n or min_cosine-thresholded), so it
+        # broadcasts into two joins against the vector table.
+        pairs = out.select("id_a", "id_b")
+        if top_n is not None:
+            pairs = F.broadcast(pairs)
+        t = (
+            df.select(
+                F.col(id_col).alias("_rid"),
+                F.col(vec_col).cast("array<double>").alias("_v"),
+            )
+            .withColumn("_n", _norm(F.col("_v")))
+            .filter(F.col("_n") > 0)
+        )
+        a = t.select(
+            F.col("_rid").alias("id_a"), F.col("_v").alias("_v_a"), F.col("_n").alias("_n_a")
+        )
+        b = t.select(
+            F.col("_rid").alias("id_b"), F.col("_v").alias("_v_b"), F.col("_n").alias("_n_b")
+        )
+        cos = _dot(F.col("_v_a"), F.col("_v_b")) / (F.col("_n_a") * F.col("_n_b"))
+        out = (
+            pairs.join(a, "id_a")
+            .join(b, "id_b")
+            .select("id_a", "id_b", cos.alias("cosine_sim"))
+            .orderBy(F.desc("cosine_sim"), F.asc("id_a"), F.asc("id_b"))
+        )
     return out
 
 

@@ -3505,15 +3505,14 @@ def q223_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFram
     "q231_analyze_table_stats",
     oracle="""
     WITH s AS (
-      SELECT 'c_mktsegment' AS col_name,
-             SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+      SELECT 'c_mktsegment' AS col_name,CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
              COUNT(DISTINCT c_mktsegment) AS ndv_exact,
              CAST(MIN(c_mktsegment) AS VARCHAR) AS min_value,
              CAST(MAX(c_mktsegment) AS VARCHAR) AS max_value
       FROM customer
       UNION ALL
       SELECT 'c_nationkey',
-             SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END),
+             CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              COUNT(DISTINCT c_nationkey),
              CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR)
       FROM customer
@@ -3587,18 +3586,17 @@ def q231_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     ),
     m AS (
-      SELECT 'valid_qty' AS rule, 'drop' AS action,
-             SUM(CASE WHEN NOT p_qty THEN 1 ELSE 0 END) AS n_violations,
+      SELECT 'valid_qty' AS rule, 'drop' AS action,CAST(SUM(CASE WHEN NOT p_qty THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
              COUNT(*) AS n_rows FROM flags
       UNION ALL
       SELECT 'positive_price', 'drop',
-             SUM(CASE WHEN NOT p_price THEN 1 ELSE 0 END), COUNT(*) FROM flags
+             CAST(SUM(CASE WHEN NOT p_price THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM flags
       UNION ALL
       SELECT 'sane_discount', 'warn',
-             SUM(CASE WHEN NOT p_disc THEN 1 ELSE 0 END), COUNT(*) FROM flags
+             CAST(SUM(CASE WHEN NOT p_disc THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM flags
       UNION ALL
       SELECT 'shipdate_present', 'fail',
-             SUM(CASE WHEN NOT p_ship THEN 1 ELSE 0 END), COUNT(*) FROM flags
+             CAST(SUM(CASE WHEN NOT p_ship THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM flags
       UNION ALL
       SELECT '__clean__', '',
              COUNT(*) FILTER (WHERE p_qty AND p_price), COUNT(*) FROM flags
@@ -4631,8 +4629,7 @@ def q282_iceberg_string_bucket_partitioning(
       FROM events
     )
     SELECT json_extract_string(payload, '$.type') AS etype,
-           COUNT(*) AS n,
-           SUM(CAST(json_extract(payload, '$.user') AS BIGINT)) AS user_sum,
+           COUNT(*) AS n,CAST(SUM(CAST(json_extract(payload, '$.user') AS BIGINT)) AS BIGINT) AS user_sum,
            ROUND(CAST(SUM(CAST(json_extract(payload, '$.amount')
                     AS DECIMAL(18,4))) AS DOUBLE), 4) AS amount_sum
     FROM j GROUP BY etype ORDER BY etype
@@ -5149,8 +5146,7 @@ def q299_iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
 @query(
     "q300_delta_type_widening",
     oracle="""
-    SELECT l_linestatus,
-           SUM(CAST(CAST(l_quantity AS INT) AS BIGINT)) AS qty,
+    SELECT l_linestatus,CAST(SUM(CAST(CAST(l_quantity AS INT) AS BIGINT)) AS BIGINT) AS qty,
            MAX(CAST(CAST(l_extendedprice AS REAL) AS DOUBLE)) AS max_price,
            COUNT(*) AS n
     FROM lineitem
@@ -5202,8 +5198,7 @@ def q300_delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q301_iceberg_type_promotion",
     oracle="""
-    SELECT l_linestatus,
-           SUM(CAST(CAST(l_quantity AS INT) AS BIGINT)) AS qty,
+    SELECT l_linestatus,CAST(SUM(CAST(CAST(l_quantity AS INT) AS BIGINT)) AS BIGINT) AS qty,
            MAX(CAST(CAST(l_extendedprice AS REAL) AS DOUBLE)) AS max_price,
            COUNT(*) AS n
     FROM lineitem

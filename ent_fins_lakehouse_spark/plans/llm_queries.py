@@ -221,7 +221,39 @@ def q56_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query("q57_language_id", oracle=None, tags=("llm", "text"))
+def _q57_oracle() -> str:
+    """DuckDB twin of functions/text.py::language_id, generated from
+    the same LANG_PROFILES so the two can never drift. Spark's
+    array_max over (score, lang) structs and DuckDB's
+    list_aggregate(..., 'max') share lexicographic struct comparison,
+    so tie-breaks agree exactly."""
+    from ent_fins_lakehouse_spark.functions.text import LANG_PROFILES
+
+    entries = ",\n           ".join(
+        "{'score': len(list_intersect(words, ["
+        + ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        + f"])), 'lang': '{lang}'}}"
+        for lang in sorted(LANG_PROFILES)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS words
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+             list_aggregate([
+           {entries}
+             ], 'max') AS best
+      FROM w
+    )
+    SELECT doc_id, lang, best.lang AS lang_pred, best.score AS lang_pred_score
+    FROM s ORDER BY doc_id
+    """
+
+
+@query("q57_language_id", oracle=_q57_oracle(), tags=("llm", "text"))
 def q57_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language identification (stopword-profile argmax)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
@@ -316,9 +348,9 @@ def q62_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(env).select("doc_id", "byte_len", "checksum", "feature").orderBy("doc_id")
 
 
-@query(
-    "q63_embedding_near_dup",
-    oracle="""
+# Shared by q63 (exact per-pair fold) and q130 (BLAS selection + exact
+# rescore) — same logical operator, two physical strategies, one truth.
+_COSINE_TOP100_ORACLE = """
     WITH e AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     )
@@ -329,7 +361,12 @@ def q62_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS cosine_sim
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
     ORDER BY cosine_sim DESC, id_a, id_b LIMIT 100
-    """,
+    """
+
+
+@query(
+    "q63_embedding_near_dup",
+    oracle=_COSINE_TOP100_ORACLE,
     tags=("llm", "similarity", "dedup"),
 )
 def q63_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -543,7 +580,7 @@ def q67_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM clean
       GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
     )
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_words) AS total_words
+    SELECT lang, COUNT(*) AS n_docs,CAST(SUM(n_words) AS BIGINT) AS total_words
     FROM deduped GROUP BY lang ORDER BY lang
     """,
     tags=("llm", "text", "dedup"),
@@ -584,7 +621,7 @@ def q68_corpus_cleaning_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, UNNEST(string_split(text, '. ')) AS sentence
       FROM documents
     )
-    SELECT doc_id, COUNT(*) AS n_sentences, SUM(LENGTH(sentence)) AS sent_chars
+    SELECT doc_id, COUNT(*) AS n_sentences,CAST(SUM(LENGTH(sentence)) AS BIGINT) AS sent_chars
     FROM parts WHERE sentence <> ''
     GROUP BY doc_id ORDER BY doc_id
     """,
@@ -665,8 +702,7 @@ def q92_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q93_corpus_mix",
     oracle="""
     WITH per AS (
-      SELECT lang, source, COUNT(*) AS n_docs,
-             SUM(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1) AS n_tokens
+      SELECT lang, source, COUNT(*) AS n_docs,CAST(SUM(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1) AS BIGINT) AS n_tokens
       FROM documents GROUP BY lang, source
     )
     SELECT lang, source, n_docs, n_tokens,
@@ -994,7 +1030,7 @@ def q128_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens
       FROM documents
     )
-    SELECT shard, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+    SELECT shard, COUNT(*) AS n_docs,CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM s GROUP BY shard ORDER BY shard
     """,
     tags=("llm", "text", "sharding"),
@@ -1020,20 +1056,26 @@ def q129_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q130_blockwise_cosine_topk", oracle=None, tags=("llm", "similarity"))
+@query("q130_blockwise_cosine_topk", oracle=_COSINE_TOP100_ORACLE, tags=("llm", "similarity"))
 def q130_blockwise_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The numpy scale path for q63: per-block all-pairs cosine as one
     BLAS matrix product inside applyInPandas (vs q63's per-pair
-    codegen'd fold). Same logical result — equality with q63's exact
-    top-100 is asserted in tests/test_llm_ops.py — but the per-block
-    cost drops from O(pairs × dim) interpreted expression evaluation
-    to one O(n² × dim) dgemm per block, the right physical strategy
-    when blocks are dense (IVF cells, near-dup buckets)."""
+    codegen'd fold). Same logical result — the per-block cost drops
+    from O(pairs × dim) interpreted expression evaluation to one
+    O(n² × dim) dgemm per block, the right physical strategy when
+    blocks are dense (IVF cells, near-dup buckets).
+
+    ``rescore_exact``: dgemm selects the pairs, but its blocked
+    summation drifts 1-3 ULPs from the sequential fold, so emitted
+    cosines are recomputed with the exact codegen fold (the q138
+    filter-then-rescore pattern) — making the result bit-identical to
+    q63 and sharing its DuckDB oracle (VERDICT r10 item 4). Equality
+    with q63 is also asserted in tests/test_llm_ops.py."""
     from ent_fins_lakehouse_spark.operators.similarity import cosine_pairs_blockwise_numpy
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs_blockwise_numpy(
-        emb, "vec_id", "embedding", block_cols=["label"], top_n=100
+        emb, "vec_id", "embedding", block_cols=["label"], top_n=100, rescore_exact=True
     )
 
 
@@ -1822,8 +1864,7 @@ def _bm25_scores(docs: DataFrame, terms: list[str]) -> DataFrame:
     ),
     freq AS (SELECT fp, COUNT(*) AS n FROM ch GROUP BY fp)
     SELECT ch.doc_id,
-           COUNT(*) AS n_spans,
-           SUM(CASE WHEN freq.n > 1 THEN 1 ELSE 0 END) AS n_dup_spans,
+           COUNT(*) AS n_spans,CAST(SUM(CASE WHEN freq.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
            ROUND(CAST(SUM(CASE WHEN freq.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
                  / COUNT(*), 4) AS dup_frac
     FROM ch JOIN freq USING (fp)
@@ -3111,7 +3152,7 @@ def q212_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ipairs AS (
       SELECT w, cnt, UNNEST(generate_series(1, len(w) - 1)) AS i FROM wc
     )
-    SELECT substring(w, CAST(i AS INT), 2) AS pair, SUM(cnt) AS freq
+    SELECT substring(w, CAST(i AS INT), 2) AS pair,CAST(SUM(cnt) AS BIGINT) AS freq
     FROM ipairs
     GROUP BY 1 ORDER BY freq DESC, pair LIMIT 30
     """,
@@ -3159,10 +3200,8 @@ def q222_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE term <> ''
     ),
     tc AS (SELECT source, term, COUNT(*) AS cnt FROM toks GROUP BY source, term)
-    SELECT source,
-           SUM(cnt) AS n_tokens,
-           COUNT(*) AS n_types,
-           SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_hapax,
+    SELECT source,CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_types,CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
            ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS ttr,
            ROUND(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
                  / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_share
@@ -3689,8 +3728,7 @@ def q286_per_source_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFr
              SUM(n_chars) OVER (PARTITION BY source) AS total
       FROM documents
     )
-    SELECT doc_id, source, n_chars,
-           (cum * 20) // total - ((cum - n_chars) * 20) // total AS n_picks
+    SELECT doc_id, source, n_chars,CAST((cum * 20) // total - ((cum - n_chars) * 20) // total AS BIGINT) AS n_picks
     FROM c
     WHERE (cum * 20) // total > ((cum - n_chars) * 20) // total
     ORDER BY source, doc_id
@@ -3749,8 +3787,7 @@ def q287_weighted_systematic_resample(spark: SparkSession, sf_dir: str) -> DataF
     ),
     scored AS (
       SELECT s.doc_id,
-             COUNT(*) AS n_shingles,
-             SUM(CASE WHEN df.n_docs >= 3 THEN 1 ELSE 0 END) AS n_common
+             COUNT(*) AS n_shingles,CAST(SUM(CASE WHEN df.n_docs >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
       FROM sh s JOIN df ON s.shingle = df.shingle
       GROUP BY s.doc_id
     )
@@ -3836,7 +3873,7 @@ def q288_boilerplate_shingle_density(spark: SparkSession, sf_dir: str) -> DataFr
              SUM(CAST(ROUND(c * log2(c), 4) AS DECIMAL(18,4))) AS clogc
       FROM wc GROUP BY doc_id
     )
-    SELECT doc_id, n AS n_words,
+    SELECT doc_id,CAST(n AS BIGINT) AS n_words,
            ROUND(log2(CAST(n AS DOUBLE))
                  - CAST(clogc AS DOUBLE) / CAST(n AS DOUBLE), 4) AS entropy_bits,
            CAST(ROUND(log2(CAST(n AS DOUBLE))

@@ -13,6 +13,16 @@ before hashing).
 Float discipline: aggregates over doubles are computed in DECIMAL
 (exact, order-insensitive) and final-cast to DOUBLE on BOTH sides, so
 hashes match bit-for-bit regardless of partial-aggregation order.
+
+Integer discipline: every integer aggregate in an oracle is wrapped in
+``CAST(... AS BIGINT)``. DuckDB's SUM over integers returns HUGEINT
+(int128), a type Spark never produces and that the driver's
+pandas/Arrow hash bridge degrades to float64 — so an oracle with
+bit-identical VALUES still hash-FAILs on type (r10: q126/q129). In a
+UNION ALL every branch must be cast: BIGINT ∪ HUGEINT re-promotes to
+HUGEINT. Enforced by tools/oracle_census.py (zero HUGEINT-class
+columns across all oracles) and the type-faithful check in
+tools/driver_sim.py; both are pinned by tests/test_type_faithful.py.
 """
 
 from __future__ import annotations

@@ -1603,7 +1603,7 @@ def q90_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            EXTRACT(day FROM o_orderdate) AS o_day,
            CAST(EXTRACT(dow FROM o_orderdate) + 1 AS BIGINT) AS o_dow,
            EXTRACT(quarter FROM o_orderdate) AS o_quarter,
-           date_trunc('month', o_orderdate) AS month_start,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
            CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-12-31') AS BIGINT) AS days_to_ref,
            strftime(o_orderdate, '%Y-%m-%d') AS iso_day
     FROM orders
@@ -2692,9 +2692,7 @@ def q125_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q126_late_shipment_priority",
     oracle="""
-    SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    SELECT l_linestatus,CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
       AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -2926,8 +2924,7 @@ def q141_approx_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id,
-           COUNT(*) AS n_intervals,
-           SUM(nxt_us - t_us) AS span_us,
+           COUNT(*) AS n_intervals,CAST(SUM(nxt_us - t_us) AS BIGINT) AS span_us,
            ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4)) * (nxt_us - t_us)) AS DOUBLE)
                  / CAST(SUM(nxt_us - t_us) AS DOUBLE), 6) AS twa
     FROM s WHERE nxt_us IS NOT NULL
@@ -3045,8 +3042,7 @@ def q237_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o.l_suppkey,
              SUM(POWER(CAST(o.n AS DOUBLE) / t.n_tot
                        - LOG10(1.0 + 1.0 / o.fd), 2)
-                 / LOG10(1.0 + 1.0 / o.fd)) AS stat,
-             MAX(t.n_tot) AS n_prices
+                 / LOG10(1.0 + 1.0 / o.fd)) AS stat,CAST(MAX(t.n_tot) AS BIGINT) AS n_prices
       FROM obs o JOIN tot t USING (l_suppkey)
       GROUP BY o.l_suppkey
     )
@@ -3163,8 +3159,7 @@ def q242_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.event_type,
            COUNT(*) AS n_events,
            ROUND(MAX(d.med), 6) AS med,
-           ROUND(MAX(m.mad), 6) AS mad,
-           SUM(CASE WHEN d.adev > 3.5 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS n_anomalies,
+           ROUND(MAX(m.mad), 6) AS mad,CAST(SUM(CASE WHEN d.adev > 3.5 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
            ROUND(MAX(d.adev / NULLIF(1.4826 * m.mad, 0)), 6) AS max_robust_z
     FROM dev d JOIN mad m USING (event_type)
     GROUP BY d.event_type ORDER BY d.event_type
@@ -3548,8 +3543,7 @@ def q246_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT node, cur // 10, depth + 1 FROM r WHERE cur >= 10
     )
     SELECT depth,
-           COUNT(*) AS n_nodes,
-           SUM(node) AS sum_keys,
+           COUNT(*) AS n_nodes,CAST(SUM(node) AS BIGINT) AS sum_keys,
            MIN(cur) AS min_root,
            MAX(cur) AS max_root
     FROM r WHERE cur < 10
@@ -3926,7 +3920,7 @@ def q255_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
                10) AS DECIMAL(18,10)) AS t
       FROM tot
     )
-    SELECT event_type, MAX(ta) AS n_even_days, MAX(tb) AS n_odd_days,
+    SELECT event_type,CAST(MAX(ta) AS BIGINT) AS n_even_days,CAST(MAX(tb) AS BIGINT) AS n_odd_days,
            ROUND(CAST(SUM(t) AS DOUBLE), 6) AS psi
     FROM term GROUP BY event_type ORDER BY event_type
     """,
@@ -4065,11 +4059,9 @@ def q257_trimmed_robust_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_orderkey
     )
     SELECT o.o_orderstatus,
-           COUNT(*) AS n_orders,
-           SUM(CASE WHEN r.r IS NULL THEN 1 ELSE 0 END) AS n_no_lines,
-           SUM(CASE WHEN r.r IS NOT NULL
+           COUNT(*) AS n_orders,CAST(SUM(CASE WHEN r.r IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines,CAST(SUM(CASE WHEN r.r IS NOT NULL
                      AND r.r <> CAST(o.o_totalprice AS DECIMAL(18,2))
-                    THEN 1 ELSE 0 END) AS n_mismatch,
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
            ROUND(CAST(MAX(CASE WHEN r.r IS NOT NULL
                      THEN ABS(r.r - CAST(o.o_totalprice AS DECIMAL(18,2)))
                      END) AS DOUBLE), 2) AS max_abs_diff
@@ -4204,8 +4196,7 @@ def q260_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON a.event_type = b.event_type AND b.i > a.i
     )
     SELECT p.event_type,
-           MAX(n.n) AS n_days,
-           SUM(p.sgn) AS s_stat,
+           MAX(n.n) AS n_days,CAST(SUM(p.sgn) AS BIGINT) AS s_stat,
            ROUND(CAST(SUM(p.sgn) AS DOUBLE)
                  / (CAST(MAX(n.n) AS DOUBLE) * (MAX(n.n) - 1) / 2), 6) AS tau,
            ROUND(quantile_cont(p.slope, 0.5), 6) AS sen_slope
@@ -4425,8 +4416,7 @@ def q265_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     b AS (
       SELECT seg,
-             COUNT(*) AS n,
-             SUM(bad) AS n_bad,
+             COUNT(*) AS n,CAST(SUM(bad) AS BIGINT) AS n_bad,
              COUNT(*) - SUM(bad) AS n_good
       FROM j GROUP BY seg
     ),
@@ -4508,14 +4498,11 @@ def q266_weight_of_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q269_try_function_suite",
     oracle="""
     SELECT c_nationkey,
-           COUNT(*) AS n,
-           SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS n_div_null,
+           COUNT(*) AS n,CAST(SUM(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
            ROUND(CAST(SUM(CAST(CASE WHEN c_custkey % 3 = 0 THEN NULL
                     ELSE c_acctbal / (c_custkey % 3) END AS DECIMAL(18,4))) AS DOUBLE), 4)
-             AS safe_div_sum,
-           SUM(TRY_CAST(SUBSTRING(c_name, 10) AS BIGINT)) AS id_sum,
-           SUM(CASE WHEN TRY_CAST(c_mktsegment AS INTEGER) IS NULL
-                    THEN 1 ELSE 0 END) AS n_uncastable
+             AS safe_div_sum,CAST(SUM(TRY_CAST(SUBSTRING(c_name, 10) AS BIGINT)) AS BIGINT) AS id_sum,CAST(SUM(CASE WHEN TRY_CAST(c_mktsegment AS INTEGER) IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_uncastable
     FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
     """,
     tags=("relational", "functions", "ansi-safe"),
@@ -4570,13 +4557,10 @@ def q269_try_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT json_extract_string(payload, '$.event.type') AS etype,
-           COUNT(*) AS n,
-           SUM(CAST(json_extract(payload, '$.event.user') AS BIGINT)) AS user_sum,
+           COUNT(*) AS n,CAST(SUM(CAST(json_extract(payload, '$.event.user') AS BIGINT)) AS BIGINT) AS user_sum,
            ROUND(CAST(SUM(CAST(json_extract(payload, '$.event.amount')
-                    AS DECIMAL(18,4))) AS DOUBLE), 4) AS amount_sum,
-           SUM(CAST(json_extract(payload, '$.tags[1]') AS BIGINT)) AS tag2_sum,
-           SUM(CASE WHEN json_extract(payload, '$.missing.path') IS NULL
-                    THEN 1 ELSE 0 END) AS n_missing
+                    AS DECIMAL(18,4))) AS DOUBLE), 4) AS amount_sum,CAST(SUM(CAST(json_extract(payload, '$.tags[1]') AS BIGINT)) AS BIGINT) AS tag2_sum,CAST(SUM(CASE WHEN json_extract(payload, '$.missing.path') IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
     FROM j GROUP BY etype ORDER BY etype
     """,
     tags=("relational", "semistructured", "variant"),
@@ -4868,8 +4852,7 @@ def q276_embedded_csv_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q277_observed_metrics",
     oracle="""
-    SELECT COUNT(*) AS n_rows,
-           SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_large,
+    SELECT COUNT(*) AS n_rows,CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
            MAX(o_custkey) AS max_custkey
     FROM orders WHERE o_orderstatus = 'O'
@@ -5126,7 +5109,7 @@ def q289_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE b.depth < 4
     ),
     dist AS (SELECT node, MIN(depth) AS depth FROM bfs GROUP BY node)
-    SELECT depth, COUNT(*) AS n_nodes, SUM(node) AS sum_nodes
+    SELECT depth, COUNT(*) AS n_nodes,CAST(SUM(node) AS BIGINT) AS sum_nodes
     FROM dist GROUP BY depth ORDER BY depth
     """,
     tags=("relational", "graph", "iterative"),
@@ -5200,9 +5183,8 @@ def q303_bfs_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT t, SUM(ev) AS d, COUNT(*) AS c FROM obs GROUP BY t
     ),
     km1 AS (
-      SELECT t, d,
-             SUM(c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
-                          AND UNBOUNDED FOLLOWING) AS n_risk
+      SELECT t, d,CAST(SUM(c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
       FROM agg
     ),
     km AS (
@@ -5211,7 +5193,7 @@ def q303_bfs_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS DECIMAL(18,10))) OVER (ORDER BY t) AS logsum
       FROM km1
     )
-    SELECT t, d AS n_events, n_risk,
+    SELECT t,CAST(d AS BIGINT) AS n_events, n_risk,
            ROUND(EXP(CAST(logsum AS DOUBLE)), 6) AS survival
     FROM km WHERE d > 0 AND d < n_risk ORDER BY t
     """,
@@ -5431,8 +5413,7 @@ def q306_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(wt) OVER (PARTITION BY flag) AS tot
       FROM agg
     )
-    SELECT flag, MIN(v) AS weighted_median,
-           MAX(tot) AS total_weight_cents
+    SELECT flag, MIN(v) AS weighted_median,CAST(MAX(tot) AS BIGINT) AS total_weight_cents
     FROM cum WHERE 2 * cw >= tot GROUP BY flag ORDER BY flag
     """,
     tags=("relational", "stats", "window"),
@@ -5492,8 +5473,7 @@ def q307_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(p) OVER () AS n2
       FROM g
     )
-    SELECT MAX(n1) AS n_click, MAX(n2) AS n_purchase,
-           MAX(ABS(cc * n2 - cp * n1)) AS d_scaled,
+    SELECT CAST(MAX(n1) AS BIGINT) AS n_click,CAST(MAX(n2) AS BIGINT) AS n_purchase,CAST(MAX(ABS(cc * n2 - cp * n1)) AS BIGINT) AS d_scaled,
            ROUND(CAST(MAX(ABS(cc * n2 - cp * n1)) AS DOUBLE)
                  / (MAX(n1) * MAX(n2)), 6) AS ks_stat
     FROM cum
@@ -5566,8 +5546,7 @@ def q309_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
        AND t.ts > p.p_ts - INTERVAL 7 DAY
     )
     SELECT event_type,
-           COUNT(*) AS n_touches,
-           SUM(w) AS credit_units,
+           COUNT(*) AS n_touches,CAST(SUM(w) AS BIGINT) AS credit_units,
            ROUND(CAST(SUM(w) AS DOUBLE)
                  / (SELECT SUM(w) FROM cred), 6) AS credit_share
     FROM cred GROUP BY event_type ORDER BY event_type
@@ -5693,8 +5672,7 @@ def q311_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     daily AS (SELECT day, COUNT(*) AS new_users FROM first_seen GROUP BY day),
     all_days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
-    SELECT d.day, COALESCE(n.new_users, 0) AS new_users,
-           SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day) AS cumulative_users
+    SELECT d.day, COALESCE(n.new_users, 0) AS new_users,CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day) AS BIGINT) AS cumulative_users
     FROM all_days d LEFT JOIN daily n ON n.day = d.day
     ORDER BY d.day
     """,
@@ -5800,13 +5778,13 @@ def q319_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH a AS (SELECT l_partkey AS k FROM lineitem WHERE l_linenumber <= 2),
          b AS (SELECT l_partkey AS k FROM lineitem WHERE l_linenumber >= 2)
-    SELECT 'intersect_all' AS op, COUNT(*) AS n, SUM(k) AS sum_k
+    SELECT 'intersect_all' AS op, COUNT(*) AS n,CAST(SUM(k) AS BIGINT) AS sum_k
     FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
     UNION ALL
-    SELECT 'except_all', COUNT(*), SUM(k)
+    SELECT 'except_all', COUNT(*), CAST(SUM(k) AS BIGINT)
     FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
     UNION ALL
-    SELECT 'union_all', COUNT(*), SUM(k)
+    SELECT 'union_all', COUNT(*), CAST(SUM(k) AS BIGINT)
     FROM (SELECT k FROM a UNION ALL SELECT k FROM b)
     ORDER BY op
     """,

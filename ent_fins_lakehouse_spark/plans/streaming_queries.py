@@ -1221,8 +1221,7 @@ def q233_stream_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE
     ),
     per_user AS (
-      SELECT user_id,
-             COUNT(p_value) AS n_matched,
+      SELECT user_id,CAST(COUNT(p_value) AS BIGINT) AS n_matched,
              CAST(SUM(CASE WHEN p_value IS NULL
                             AND c_ts + INTERVAL 61 MINUTE < (SELECT m FROM mx)
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_click_orphans,
@@ -1235,10 +1234,7 @@ def q233_stream_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
                            THEN 1 ELSE 0 END) AS BIGINT)
       FROM pj GROUP BY user_id
     )
-    SELECT user_id,
-           SUM(n_matched) AS n_matched,
-           SUM(n_click_orphans) AS n_click_orphans,
-           SUM(n_purchase_orphans) AS n_purchase_orphans
+    SELECT user_id,CAST(SUM(n_matched) AS BIGINT) AS n_matched,CAST(SUM(n_click_orphans) AS BIGINT) AS n_click_orphans,CAST(SUM(n_purchase_orphans) AS BIGINT) AS n_purchase_orphans
     FROM per_user GROUP BY user_id
     HAVING SUM(n_matched) > 0 OR SUM(n_click_orphans) > 0
         OR SUM(n_purchase_orphans) > 0

@@ -273,8 +273,9 @@ def test_connected_components_string_ids(spark):
 def test_blockwise_numpy_cosine_matches_codegen_path(spark):
     """q130 (applyInPandas + BLAS) must produce the same top-100 pair
     set as q63 (per-pair codegen fold) — same logical operator, two
-    physical strategies. Cosine values agree to float64 matmul
-    tolerance."""
+    physical strategies. With rescore_exact the emitted cosines are
+    recomputed via the same codegen fold, so values are bit-identical
+    (q130 shares q63's DuckDB oracle on that basis)."""
     from ent_fins_lakehouse_spark.plans.registry import QUERIES, _load_all
 
     _load_all()
@@ -285,7 +286,7 @@ def test_blockwise_numpy_cosine_matches_codegen_path(spark):
     fast_m = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in fast}
     assert set(exact_m) == set(fast_m)
     for k, v in exact_m.items():
-        assert abs(v - fast_m[k]) < 1e-9, k
+        assert v == fast_m[k], (k, v.hex(), fast_m[k].hex())
 
 
 def test_bounded_blocks_subshard_is_exact(docs):

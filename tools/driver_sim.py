@@ -18,6 +18,82 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
+def type_kind_spark(dt: str) -> str:
+    """Collapse a Spark simpleString dtype to a comparison kind."""
+    d = dt.lower()
+    if d.startswith("decimal"):
+        return "decimal"
+    if d in ("tinyint", "smallint", "int", "integer", "bigint", "long", "short", "byte"):
+        return "int"
+    if d in ("float", "double"):
+        return "float"
+    if d.startswith("timestamp"):
+        return "timestamp"
+    if d in ("string", "varchar"):
+        return "string"
+    if d.startswith("array"):
+        return "array"
+    if d.startswith("struct"):
+        return "struct"
+    if d.startswith("map"):
+        return "map"
+    return d  # date, boolean, binary, ...
+
+
+def type_kind_duck(dt: str) -> str:
+    """Collapse a DuckDB type name to a comparison kind.
+
+    Returns 'BANNED' for types the driver's pandas/Arrow hash bridge
+    degrades (HUGEINT -> float64 — the r10 q126/q129 failure class):
+    those can NEVER silently pass, even if values normalize equal.
+    """
+    d = dt.upper()
+    for tok in ("HUGEINT", "UHUGEINT", "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        if tok in d:
+            return "BANNED"
+    if d.startswith("DECIMAL"):
+        return "decimal"
+    if d in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+        return "int"
+    if d in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if d.startswith("TIMESTAMP"):
+        return "timestamp"
+    if d == "DATE":
+        return "date"
+    if d == "VARCHAR":
+        return "string"
+    if d == "BOOLEAN":
+        return "boolean"
+    if d == "BLOB":
+        return "binary"
+    if d.endswith("[]") or d.startswith("LIST") or d.startswith("ARRAY"):
+        return "array"
+    if d.startswith("STRUCT"):
+        return "struct"
+    if d.startswith("MAP"):
+        return "map"
+    return d
+
+
+def type_faithful(scols, sdtypes, dcols, dtypes):
+    """Per sorted column name, assert the DuckDB result type is
+    Spark-representable AND equal in kind to the Spark dtype. The old
+    norm_rows-only compare converted both sides to Python scalars
+    first, masking exactly the int128-vs-int64 difference the real
+    driver hashes (VERDICT r10 item 2)."""
+    smap = {c: type_kind_spark(t) for c, t in zip(scols, sdtypes)}
+    dmap = {c: type_kind_duck(str(t)) for c, t in zip(dcols, dtypes)}
+    bad = []
+    for c in sorted(smap):
+        sk, dk = smap[c], dmap.get(c)
+        if dk == "BANNED":
+            bad.append(f"{c}: oracle type not Spark-representable (HUGEINT-class)")
+        elif dk is not None and sk != dk:
+            bad.append(f"{c}: spark={sk} oracle={dk}")
+    return bad
+
+
 def norm_rows(cols, rows):
     import datetime
 
@@ -47,8 +123,18 @@ def main() -> int:
     ap.add_argument("--only", default=None)
     args = ap.parse_args()
 
+    import platform
+
     import duckdb
+    import pyspark
     from pyspark.sql import SparkSession
+
+    # environment contract in the output (the r10 failure class was a
+    # duckdb-bridge behavior — version must be diagnosable from logs)
+    print(
+        f"ENGINES python={platform.python_version()} pyspark={pyspark.__version__} "
+        f"duckdb={duckdb.__version__}"
+    )
 
     b = SparkSession.builder.master("local[8]").appName("driver-sim")
     if args.tz:
@@ -83,10 +169,18 @@ def main() -> int:
                 drows = duck.fetchall()
                 ok_cols = sorted(scols) == sorted(dcols)
                 ok_cnt = len(srows) == len(drows)
+                # DB-API description degrades types to NUMBER/STRING;
+                # the relation API exposes true DuckDB types (HUGEINT etc.)
+                drel = con.sql(f"SELECT * FROM ({omap[name]}) LIMIT 0")
+                type_bad = type_faithful(
+                    scols, [t for _, t in sdf.dtypes], drel.columns, drel.types
+                )
                 ok_vals = ok_cols and ok_cnt and norm_rows(scols, srows) == norm_rows(dcols, drows)
-                status = "MATCH" if (ok_cols and ok_cnt and ok_vals) else "MISMATCH"
+                status = "MATCH" if (ok_cols and ok_cnt and ok_vals and not type_bad) else "MISMATCH"
                 if status == "MISMATCH":
                     failed.append(name)
+                    if type_bad:
+                        print(f"  TYPE-UNFAITHFUL: {type_bad}")
                     a, b2 = norm_rows(scols, srows), norm_rows(dcols, drows)
                     diff = next(((i, x, y) for i, (x, y) in enumerate(zip(a, b2)) if x != y), None)
                     print(f"  cols ok={ok_cols} cnt spark={len(srows)} duck={len(drows)} first_diff={diff}")
