@@ -5485,32 +5485,60 @@ class IcebergTable:
         }
 
     def remove_orphan_files(self, dry_run: bool = False) -> dict:
-        """remove_orphan_files — reclaim data files under ``data/``
-        referenced by NO snapshot (crash leftovers: a writer that
-        staged files but lost the optimistic metadata commit, the
+        """remove_orphan_files — reclaim files referenced by NO
+        snapshot of ANY retained ``*.metadata.json`` (crash leftovers:
+        a writer that staged data files, manifests, or a manifest list
+        but lost — or died before — the optimistic metadata commit; the
         Iceberg analogue of Delta VACUUM's uncommitted-file cleanup).
-        Metadata (manifests, metadata.json) is never touched; live
-        files of EVERY snapshot — including historical ones — are kept,
-        so time travel survives. Returns ``{"orphans": [...]}`` under
-        dry_run, else the deleted count."""
+        Covers data files recursively under ``data/`` (partitioned
+        staging dirs included) AND unreachable Avro manifests /
+        manifest lists under ``metadata/``; ``*.metadata.json``,
+        version hints, and Puffin files referenced by live snapshots
+        are never touched. Live files of EVERY snapshot in every
+        retained metadata version are kept, so time travel survives.
+        Returns ``{"orphans": [...]}`` under dry_run, else the deleted
+        count."""
         import glob as _glob
 
-        snaps = self.snapshots()
-        live: set[str] = set()
-        for snap in snaps:
-            lpath = self._resolve(snap["manifest-list"])
-            _, mrows = read_ocf(lpath)
+        # reachability roots: every snapshot of every retained
+        # metadata.json version (a crash-window orphan is by
+        # definition reachable from none of them)
+        live_lists: set[str] = set()
+        for mpath in _glob.glob(os.path.join(self.meta_dir, "*.metadata.json")):
+            try:
+                with open(mpath) as fh:
+                    m = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            for snap in m.get("snapshots") or []:
+                if snap.get("manifest-list"):
+                    live_lists.add(os.path.abspath(self._resolve(snap["manifest-list"])))
+        live: set[str] = set(live_lists)
+        for lpath in sorted(live_lists):
+            try:
+                _, mrows = read_ocf(lpath)
+            except (OSError, ValueError):
+                continue
             for r in mrows:
-                _, entries = read_ocf(self._resolve(r["manifest_path"]))
+                man = os.path.abspath(self._resolve(r["manifest_path"]))
+                live.add(man)
+                try:
+                    _, entries = read_ocf(man)
+                except (OSError, ValueError):
+                    continue
                 for e in entries:
                     live.add(
                         os.path.abspath(self._resolve(e["data_file"]["file_path"]))
                     )
-        on_disk = {
-            os.path.abspath(p)
-            for p in _glob.glob(os.path.join(self.path, "data", "*"))
-            if os.path.isfile(p)
-        }
+        on_disk: set[str] = set()
+        data_root = os.path.join(self.path, "data")
+        for root, _dirs, files in os.walk(data_root):
+            for fn in files:
+                on_disk.add(os.path.abspath(os.path.join(root, fn)))
+        # Avro debris in metadata/: manifests + manifest lists only —
+        # never *.metadata.json (the commit history) or other artifacts
+        for p in _glob.glob(os.path.join(self.meta_dir, "*.avro")):
+            on_disk.add(os.path.abspath(p))
         orphans = sorted(on_disk - live)
         if dry_run:
             return {"orphans": orphans}

@@ -6213,6 +6213,33 @@ class DeltaLogTable:
                 if os.path.getmtime(full) > horizon:
                     continue
                 victims.append(full)
+        # V2-checkpoint sidecar debris: a writer killed between the
+        # sidecar parquet and the top-level checkpoint file leaves an
+        # orphan under _delta_log/_sidecars/ that no checkpoint
+        # references — reclaim it like any other staged-but-uncommitted
+        # artifact (sidecars named by ANY present checkpoint file are
+        # live: old checkpoints stay readable until log cleanup).
+        sc_dir = os.path.join(self.log_path, "_sidecars")
+        if os.path.isdir(sc_dir):
+            referenced: set[str] = set()
+            for fn in os.listdir(self.log_path):
+                if ".checkpoint" not in fn or not fn.endswith(".parquet"):
+                    continue
+                try:
+                    import pyarrow.parquet as _pq
+
+                    cp = _pq.read_table(os.path.join(self.log_path, fn))
+                    if "sidecar" in cp.column_names:
+                        for sc in cp.column("sidecar").to_pylist():
+                            if sc and sc.get("path"):
+                                referenced.add(sc["path"])
+                except (OSError, ValueError):
+                    continue
+            for fn in os.listdir(sc_dir):
+                full = os.path.abspath(os.path.join(sc_dir, fn))
+                if fn in referenced or os.path.getmtime(full) > horizon:
+                    continue
+                victims.append(full)
         if not dry_run:
             for v in victims:
                 os.remove(v)
