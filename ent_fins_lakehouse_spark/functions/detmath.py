@@ -139,3 +139,136 @@ def det_ln_ratio_sql(a: str, b: str) -> str:
     poly = f"(1.0 + {w} * {poly})"
     lnm = f"((2.0 * {z}) * {poly})"
     return f"({lnm} - CAST({k} AS DOUBLE) * {DET_LN2})"
+
+
+#: (2k+1)! denominators of the sin Taylor series, exact in double
+#: (every factorial through 22! is exactly representable).
+_SIN_DENOMS = (
+    6,
+    120,
+    5040,
+    362880,
+    39916800,
+    6227020800,
+    1307674368000,
+    355687428096000,
+    121645100408832000,
+    51090942171709440000,
+)
+
+#: (2k)! denominators of the cos Taylor series.
+_COS_DENOMS = (
+    2,
+    24,
+    720,
+    40320,
+    3628800,
+    479001600,
+    87178291200,
+    20922789888000,
+    6402373705728000,
+    2432902008176640000,
+)
+
+#: asin series coefficients ((2k-1)!!/(2k)!!/(2k+1)) as exact integer
+#: (numerator, denominator) pairs — emitted as one literal division
+#: each, correctly rounded identically on both engines.
+_ASIN_COEFS = (
+    (1, 6),
+    (3, 40),
+    (15, 336),
+    (105, 3456),
+    (945, 42240),
+    (10395, 599040),
+    (135135, 9676800),
+    (2027025, 175472640),
+)
+
+#: Shortest decimal literal parsing to the double nearest pi.
+DET_PI = "3.141592653589793"
+
+
+def _horner(w: Column, coefs: list[Column]) -> Column:
+    poly = coefs[-1]
+    for c in reversed(coefs[:-1]):
+        poly = c + w * poly
+    return poly
+
+
+def _alt_coefs(denoms, first_negative: bool) -> list[Column]:
+    """Alternating-sign reciprocal coefficients as IN-ENGINE literal
+    divisions (one correctly rounded fold each — the det_ln_ratio
+    device, identical on both engines)."""
+    out = []
+    for k, d in enumerate(denoms):
+        neg = (k % 2 == 0) == first_negative
+        out.append(F.lit(-1.0 if neg else 1.0) / F.lit(float(d)))
+    return out
+
+
+def det_sin(x: Column) -> Column:
+    """sin(x) for |x| <= ~1.9 rad via the fixed 10-term Taylor Horner —
+    bit-identical to :func:`det_sin_sql` on DuckDB (only exactly
+    specified IEEE ops: the coefficients are single literal divisions,
+    the Horner is the same tree on both engines). Truncation error at
+    |x| = 1.9 is ~ x^23/23! < 1e-16 relative — but determinism does not
+    depend on accuracy: both engines compute the SAME truncated
+    series. Used by the geo family (latitudes/half-angle deltas are
+    range-bounded by construction, so no range reduction is needed)."""
+    w = x * x
+    return x * (F.lit(1.0) + w * _horner(w, _alt_coefs(_SIN_DENOMS, True)))
+
+
+def det_sin_sql(x: str) -> str:
+    """DuckDB twin of :func:`det_sin`."""
+    w = f"(({x}) * ({x}))"
+    coefs = [
+        f"({'-' if k % 2 == 0 else ''}1.0/{float(d)})" for k, d in enumerate(_SIN_DENOMS)
+    ]
+    poly = coefs[-1]
+    for c in reversed(coefs[:-1]):
+        poly = f"({c} + {w} * {poly})"
+    return f"(({x}) * (1.0 + {w} * {poly}))"
+
+
+def det_cos(x: Column) -> Column:
+    """cos(x) for |x| <= ~1.9 rad — see :func:`det_sin` for the
+    determinism argument; twin of :func:`det_cos_sql`."""
+    w = x * x
+    return F.lit(1.0) + w * _horner(w, _alt_coefs(_COS_DENOMS, True))
+
+
+def det_cos_sql(x: str) -> str:
+    """DuckDB twin of :func:`det_cos`."""
+    w = f"(({x}) * ({x}))"
+    coefs = [
+        f"({'-' if k % 2 == 0 else ''}1.0/{float(d)})" for k, d in enumerate(_COS_DENOMS)
+    ]
+    poly = coefs[-1]
+    for c in reversed(coefs[:-1]):
+        poly = f"({c} + {w} * {poly})"
+    return f"(1.0 + {w} * {poly})"
+
+
+def det_asin(y: Column) -> Column:
+    """Truncated asin series for y in [0, 1] — strictly MONOTONIC in y
+    (all coefficients positive), so ordering by it equals ordering by
+    the exact asin/haversine distance; bit-identical to
+    :func:`det_asin_sql`. Accuracy is high only for small y (the
+    nearest-neighbor regime a top-k query emits: relative truncation
+    error < 1e-12 for y <= 0.35); for y -> 1 the value undershoots the
+    true asin on BOTH engines equally, so ranking and hashes still
+    agree everywhere."""
+    v = y * y
+    coefs = [F.lit(float(n)) / F.lit(float(d)) for n, d in _ASIN_COEFS]
+    return y * (F.lit(1.0) + v * _horner(v, coefs))
+
+
+def det_asin_sql(y: str) -> str:
+    """DuckDB twin of :func:`det_asin`."""
+    v = f"(({y}) * ({y}))"
+    coefs = [f"({float(n)}/{float(d)})" for n, d in _ASIN_COEFS]
+    poly = coefs[-1]
+    for c in reversed(coefs[:-1]):
+        poly = f"({c} + {v} * {poly})"
+    return f"(({y}) * (1.0 + {v} * {poly}))"

@@ -178,43 +178,119 @@ QUERY_LON = -33.25
 KNN_K = 10
 
 
+def _q345_oracle() -> str:
+    """DuckDB twin of q345 — the same det-trig expression trees
+    (functions/detmath.py det_sin/det_cos/det_asin), CTE-staged so each
+    kernel's argument is a short column name (the kernels repeat their
+    argument ~20x in the Horner text)."""
+    from ent_fins_lakehouse_spark.functions.detmath import (
+        DET_PI,
+        det_asin_sql,
+        det_cos_sql,
+        det_sin_sql,
+    )
+
+    # CAST the degree constants to DOUBLE: DuckDB otherwise parses
+    # both factors as DECIMAL and overflows the decimal multiply
+    rad1 = f"((CAST({QUERY_LAT} AS DOUBLE) * {DET_PI}) / 180.0)"
+    lon1 = f"((CAST({QUERY_LON} AS DOUBLE) * {DET_PI}) / 180.0)"
+    return f"""
+    WITH xy AS (
+      SELECT c_custkey, c_mktsegment,
+             (CAST(c_custkey AS BIGINT) * 48271) % {GRID_SPAN} AS cx,
+             (CAST(c_custkey AS BIGINT) * 16807) % {GRID_SPAN} AS cy
+      FROM customer
+    ),
+    deg AS (
+      SELECT c_custkey, c_mktsegment,
+             ((CAST(cy AS DOUBLE) / {float(GRID_SPAN)}) * 120.0 - 60.0) AS lat,
+             ((CAST(cx AS DOUBLE) / {float(GRID_SPAN)}) * 360.0 - 180.0) AS lon
+      FROM xy
+    ),
+    rad AS (
+      SELECT *, ((lat * {DET_PI}) / 180.0) AS latr,
+                ((lon * {DET_PI}) / 180.0) AS lonr
+      FROM deg
+    ),
+    halves AS (
+      SELECT *, ((latr - {rad1}) / 2.0) AS dlat2,
+                ((lonr - {lon1}) / 2.0) AS dlon2
+      FROM rad
+    ),
+    trig AS (
+      SELECT *, {det_sin_sql('dlat2')} AS sdlat,
+                {det_sin_sql('dlon2')} AS sdlon,
+                {det_cos_sql('latr')} AS clat
+      FROM halves
+    ),
+    hav AS (
+      SELECT *, ((sdlat * sdlat)
+                 + (({det_cos_sql(rad1)} * clat) * (sdlon * sdlon))) AS h
+      FROM trig
+    )
+    SELECT c_custkey, c_mktsegment, lat, lon,
+           ((2.0 * 6371.0) * {det_asin_sql('sqrt(h)')}) AS dist_km
+    FROM hav
+    ORDER BY dist_km, c_custkey LIMIT {KNN_K}
+    """
+
+
 @query(
     "q345_haversine_knn",
-    oracle=None,  # libm trig is not bit-portable across engines; see tests/test_geo.py
+    oracle=_q345_oracle(),
     tags=("geo", "topk"),
 )
 def q345_haversine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k nearest customers to a fixed query point by haversine
     great-circle distance. Micro-coordinates map to lat ∈ [-60, 60),
-    lon ∈ [-180, 180); the distance is computed entirely with built-in
-    JVM math (`radians/sin/cos/asin/sqrt` — whole-stage codegen, no
-    Python), and the ranking is `ORDER BY dist LIMIT k`, which Spark
-    physically executes as TakeOrderedAndProject: each partition keeps
-    a local k-row heap and the driver merges k·partitions rows — no
-    global sort shuffle, flat at any corpus size. Rows-only by design:
-    trig is libm-dependent (the SCALING.md rounding-caveat class);
-    `tests/test_geo.py::test_haversine_knn_matches_numpy` pins the
-    values against a NumPy reference instead."""
-    cust = _customers_xy(spark, sf_dir)
-    lat = (F.col("cy").cast("double") / GRID_SPAN) * 120.0 - 60.0
-    lon = (F.col("cx").cast("double") / GRID_SPAN) * 360.0 - 180.0
-    lat1 = F.radians(F.lit(QUERY_LAT))
-    lon1 = F.radians(F.lit(QUERY_LON))
-    lat2 = F.radians(lat)
-    lon2 = F.radians(lon)
-    a = (
-        F.pow(F.sin((lat2 - lat1) / 2), 2)
-        + F.cos(lat1) * F.cos(lat2) * F.pow(F.sin((lon2 - lon1) / 2), 2)
+    lon ∈ [-180, 180); the ranking is `ORDER BY dist LIMIT k`, which
+    Spark physically executes as TakeOrderedAndProject: each partition
+    keeps a local k-row heap and the driver merges k·partitions rows —
+    no global sort shuffle, flat at any corpus size.
+
+    libm trig is not bit-portable across engines (the SCALING.md
+    rounding-caveat class that kept this query rows-only through r10),
+    so the trig runs on the detmath kernels instead: fixed truncated
+    series over exactly-specified IEEE ops, the same expression tree
+    emitted to Spark (Column algebra, whole-stage codegen) and DuckDB
+    (SQL text) — bit-identical, hence oracle-checkable. det_asin is
+    strictly monotonic, so the top-k SET equals the exact haversine
+    top-k even where the series is least accurate;
+    `tests/test_geo.py::test_haversine_knn_matches_numpy` pins values
+    against a NumPy reference in the emitted (small-angle) regime."""
+    from ent_fins_lakehouse_spark.functions.detmath import (
+        DET_PI,
+        det_asin,
+        det_cos,
+        det_sin,
     )
-    dist_km = F.lit(2.0 * 6371.0) * F.asin(F.sqrt(a))
-    return (
-        cust.select(
-            "c_custkey",
-            "c_mktsegment",
-            lat.alias("lat"),
-            lon.alias("lon"),
-            dist_km.alias("dist_km"),
+
+    pi = F.lit(float(DET_PI))
+    cust = _customers_xy(spark, sf_dir)
+    lat = (F.col("cy").cast("double") / F.lit(float(GRID_SPAN))) * F.lit(120.0) - F.lit(60.0)
+    lon = (F.col("cx").cast("double") / F.lit(float(GRID_SPAN))) * F.lit(360.0) - F.lit(180.0)
+    staged = (
+        cust.withColumn("lat", lat)
+        .withColumn("lon", lon)
+        .withColumn("latr", (F.col("lat") * pi) / F.lit(180.0))
+        .withColumn("lonr", (F.col("lon") * pi) / F.lit(180.0))
+        .withColumn("dlat2", (F.col("latr") - (F.lit(QUERY_LAT) * pi) / F.lit(180.0)) / F.lit(2.0))
+        .withColumn("dlon2", (F.col("lonr") - (F.lit(QUERY_LON) * pi) / F.lit(180.0)) / F.lit(2.0))
+        .withColumn("sdlat", det_sin(F.col("dlat2")))
+        .withColumn("sdlon", det_sin(F.col("dlon2")))
+        .withColumn("clat", det_cos(F.col("latr")))
+        .withColumn(
+            "h",
+            (F.col("sdlat") * F.col("sdlat"))
+            + (
+                (det_cos((F.lit(QUERY_LAT) * pi) / F.lit(180.0)) * F.col("clat"))
+                * (F.col("sdlon") * F.col("sdlon"))
+            ),
         )
+        .withColumn("dist_km", F.lit(2.0 * 6371.0) * det_asin(F.sqrt(F.col("h"))))
+    )
+    return (
+        staged.select("c_custkey", "c_mktsegment", "lat", "lon", "dist_km")
         .orderBy("dist_km", "c_custkey")
         .limit(KNN_K)
     )

@@ -415,13 +415,75 @@ def q64_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q65_winnow_overlap", oracle=None, tags=("llm", "dedup"))
+def _q65_oracle(k: int = 8, w: int = 6, min_shared: int = 3, max_doc_freq: float = 0.05) -> str:
+    """DuckDB twin of operators/dedup.py::winnow_fingerprints +
+    winnow_overlap_pairs. The numpy kernel's uint64-wraparound
+    polynomial hash is replicated exactly: the k power constants
+    B^(k-1-j) mod 2^64 are precomputed in Python and emitted as
+    HUGEINT literals, each k-gram hash is an 8-term
+    byte-times-constant sum reduced mod 2^64 in int128 (max ~2^75,
+    far inside HUGEINT), and the final value maps to the same signed
+    BIGINT the kernel's .view(int64) produces. Valid because the
+    corpus is ASCII (ascii(char) == utf-8 byte); window minima are
+    taken on the UNSIGNED value like the kernel, then deduplicated."""
+    B, M = 1_000_003, 1 << 64
+    powers = [pow(B, k - 1 - j, M) for j in range(k)]
+    hash_terms = " + ".join(
+        f"CAST(ascii(substring(s, i + {j}, 1)) AS HUGEINT) * {p}"
+        for j, p in enumerate(powers)
+    )
+    return f"""
+    WITH norm AS MATERIALIZED (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+      FROM documents
+    ),
+    grams AS MATERIALIZED (
+      SELECT doc_id, i, ({hash_terms}) % {M} AS h
+      FROM norm, UNNEST(range(1, length(s) - {k} + 2)) AS t(i)
+      WHERE length(s) >= {k}
+    ),
+    hlist AS (
+      SELECT doc_id, list(h ORDER BY i) AS hs FROM grams GROUP BY doc_id
+    ),
+    mins AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) < {w} THEN [list_aggregate(hs, 'min')]
+                  ELSE list_transform(range(1, len(hs) - {w} + 2),
+                                      j -> list_aggregate(hs[j:j+{w - 1}], 'min'))
+             END AS ms
+      FROM hlist
+    ),
+    fps AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             CASE WHEN u >= {1 << 63} THEN CAST(u - {M} AS BIGINT)
+                  ELSE CAST(u AS BIGINT) END AS fp
+      FROM (SELECT doc_id, UNNEST(ms) AS u FROM mins)
+    ),
+    rare AS (
+      SELECT fp FROM fps GROUP BY fp
+      HAVING COUNT(*) <= GREATEST(
+        CAST(FLOOR((SELECT COUNT(*) FROM documents) * {max_doc_freq}) AS BIGINT), 2)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+    FROM (SELECT * FROM fps JOIN rare USING (fp)) a
+    JOIN (SELECT * FROM fps JOIN rare USING (fp)) b USING (fp)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {min_shared}
+    ORDER BY id_a, id_b
+    """
+
+
+@query("q65_winnow_overlap", oracle=_q65_oracle(), tags=("llm", "dedup"))
 def q65_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash) fingerprint overlap: partial-overlap /
     containment candidates that whole-document MinHash misses
     (shared substrings ≥ k+window-1 chars guarantee a shared
-    fingerprint). Rows-only: the winnowing guarantee itself is unit-
-    tested in tests/test_llm_ops.py."""
+    fingerprint). Oracle-checked since r11 — the uint64 polynomial
+    hash is exactly replayable in SQL via precomputed mod-2^64 power
+    constants and int128 intermediates (see ``_q65_oracle``); the
+    winnowing guarantee itself stays unit-tested in
+    tests/test_llm_ops.py."""
     from ent_fins_lakehouse_spark.operators.dedup import winnow_overlap_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3355,7 +3417,69 @@ def q227_incremental_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.read().select("digest", "doc_id", "source").orderBy("digest")
 
 
-@query("q224_mmr_rerank", tags=("llm", "similarity"))
+#: MMR constants shared by the Spark path and the generated oracle.
+_MMR_LAMBDA, _MMR_K, _MMR_POOL = 0.7, 10, 50
+
+
+def _q224_oracle() -> str:
+    """DuckDB twin of q224 — the k-step greedy unrolled as CTE pairs
+    (ch{t}: the argmax row; st{t}: survivors with max-sim updated via
+    the same sequential-fold dot product). Every float op mirrors the
+    Spark/driver tree exactly (sequential list folds, GREATEST vs max,
+    identical literal arithmetic), so the selection chain and emitted
+    relevances are bit-identical."""
+    lam = _MMR_LAMBDA
+    score = f"(({lam} * rel) - ((1.0 - {lam}) * msim))"
+    parts = [
+        f"""
+    WITH raw AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id <> 0 AND sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                  CAST(embedding AS DOUBLE[]))) > 0
+    ),
+    qv AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0
+    ),
+    pool AS (
+      SELECT r.vec_id, r.v,
+             list_dot_product(r.v, q.v)
+               / (sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(q.v, q.v)))
+               AS csim
+      FROM raw r, qv q
+      ORDER BY csim DESC, vec_id LIMIT {_MMR_POOL}
+    ),
+    qu AS (
+      SELECT list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u FROM qv
+    ),
+    st0 AS MATERIALIZED (
+      SELECT p.vec_id,
+             list_transform(p.v, x -> x / sqrt(list_dot_product(p.v, p.v))) AS u,
+             list_dot_product(list_transform(p.v, x -> x / sqrt(list_dot_product(p.v, p.v))), q.u) AS rel,
+             0.0 AS msim
+      FROM pool p, qu q
+    )"""
+    ]
+    for t in range(1, _MMR_K + 1):
+        parts.append(
+            f""",
+    ch{t} AS MATERIALIZED (
+      SELECT vec_id, u, rel FROM st{t - 1}
+      ORDER BY {score} DESC, vec_id LIMIT 1
+    ),
+    st{t} AS MATERIALIZED (
+      SELECT s.vec_id, s.u, s.rel,
+             GREATEST(s.msim, list_dot_product(s.u, c.u)) AS msim
+      FROM st{t - 1} s, ch{t} c WHERE s.vec_id <> c.vec_id
+    )"""
+        )
+    union = "\n    UNION ALL\n".join(
+        f"    SELECT CAST({t - 1} AS INTEGER) AS rank, CAST(vec_id AS INTEGER) AS vec_id, rel AS relevance FROM ch{t}"
+        for t in range(1, _MMR_K + 1)
+    )
+    return "".join(parts) + f"\n{union}\n    ORDER BY rank\n"
+
+
+@query("q224_mmr_rerank", oracle=_q224_oracle(), tags=("llm", "similarity"))
 def q224_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
     1998) — the diversity-aware top-k every RAG retriever bolts onto a
@@ -3366,44 +3490,55 @@ def q224_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact top-50 candidate pool (one scan, broadcast query vector, JVM
     dot products), then the O(k*pool) greedy selection on the driver
     over the 50-row pool — bounded by construction, like every
-    re-ranker. Rows-only: the greedy argmax chain is not SQL; the
-    diversity invariant (MMR's selection is no less diverse than plain
-    top-k) is asserted in tests/test_llm_ops.py."""
-    import numpy as np
+    re-ranker.
+
+    The bounded driver tier uses SEQUENTIAL float folds (the same
+    left-fold order as Spark's aggregate/zip_with and DuckDB's
+    list_dot_product — the q63-proven equivalence) rather than BLAS,
+    so the greedy chain is engine-portable and the whole operator is
+    oracle-checked against an unrolled k-step CTE twin (r11; rows-only
+    before that). 50x64 sequential driver flops are noise next to the
+    distributed candidate scan; the diversity invariant stays asserted
+    in tests/test_llm_ops.py."""
+    import math
+
+    def sdot(a, b):  # the engines' shared left-fold order
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    pool_ids = [
-        r["vec_id"]
-        for r in cosine_topk(
-            emb.filter(F.col("vec_id") != 0), "embedding", list(qvec), 50, "vec_id"
-        ).collect()
-    ]
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    pool_rows = cosine_topk(
+        emb.filter(F.col("vec_id") != 0), "embedding", qvec, _MMR_POOL, "vec_id"
+    ).collect()
+    pool_ids = [r["vec_id"] for r in pool_rows]
     pool = (
         emb.filter(F.col("vec_id").isin(pool_ids))
         .select("vec_id", "embedding")
         .collect()
-    )  # bounded: exactly 50 rows (pool size), never O(corpus)
-    ids = np.array([r["vec_id"] for r in pool])
-    V = np.array([r["embedding"] for r in pool], dtype=np.float64)
-    V /= np.linalg.norm(V, axis=1, keepdims=True)
-    q = np.array(qvec, dtype=np.float64)
-    q /= np.linalg.norm(q)
-    rel = V @ q
-    lam, k = 0.7, 10
+    )  # bounded: exactly the pool size, never O(corpus)
+    qn = math.sqrt(sdot(qvec, qvec))
+    qu = [x / qn for x in qvec]
+    ids, U = [], []
+    for r in pool:
+        v = [float(x) for x in r["embedding"]]
+        n = math.sqrt(sdot(v, v))
+        ids.append(r["vec_id"])
+        U.append([x / n for x in v])
+    rel = [sdot(u, qu) for u in U]
+    lam, k = _MMR_LAMBDA, _MMR_K
     chosen: list[int] = []
     cand = list(range(len(ids)))
-    max_sim = np.zeros(len(ids))
+    max_sim = [0.0] * len(ids)
     for _ in range(k):
-        scores = lam * rel - (1 - lam) * max_sim
-        best = max(cand, key=lambda i: (scores[i], -ids[i]))
+        best = max(cand, key=lambda i: ((lam * rel[i]) - ((1.0 - lam) * max_sim[i]), -ids[i]))
         chosen.append(best)
         cand.remove(best)
-        max_sim = np.maximum(max_sim, V @ V[best])
-    out = [
-        (int(rank), int(ids[i]), float(round(rel[i], 6)))
-        for rank, i in enumerate(chosen)
-    ]
+        for i in cand:
+            max_sim[i] = max(max_sim[i], sdot(U[i], U[best]))
+    out = [(int(rank), int(ids[i]), float(rel[i])) for rank, i in enumerate(chosen)]
     return spark.createDataFrame(out, "rank INT, vec_id INT, relevance DOUBLE")
 
 

@@ -105,3 +105,80 @@ def test_quantize4_bit_identical(spark):
     con.executemany("INSERT INTO t VALUES (?)", vals)
     drows = [v for (v,) in con.execute(f"SELECT {det_quantize4_sql('x')} FROM t").fetchall()]
     assert srows == drows
+
+
+def test_det_trig_bit_identical_spark_vs_duckdb(spark):
+    """det_sin / det_cos / det_asin must produce bit-identical doubles
+    on Spark (Column tree, codegen) and DuckDB (SQL text) over a dense
+    grid of the geo domain (|x| <= 1.9 rad; asin arg in [0, 1])."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.functions.detmath import (
+        det_asin,
+        det_asin_sql,
+        det_cos,
+        det_cos_sql,
+        det_sin,
+        det_sin_sql,
+    )
+
+    n = 4001
+    grid = (F.col("id").cast("double") / F.lit(float(n - 1))) * F.lit(3.8) - F.lit(1.9)
+    rows = (
+        spark.range(n)
+        .select(grid.alias("x"))
+        .select(
+            "x",
+            det_sin(F.col("x")).alias("s"),
+            det_cos(F.col("x")).alias("c"),
+            det_asin((F.col("x") + F.lit(1.9)) / F.lit(3.8)).alias("a"),
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    q = f"""
+    SELECT x, {det_sin_sql('x')} AS s, {det_cos_sql('x')} AS c,
+           {det_asin_sql('((x+1.9)/3.8)')} AS a
+    FROM (SELECT CAST(id AS DOUBLE)/{float(n - 1)}*3.8-1.9 AS x FROM range({n}) t(id))
+    """
+    duck = {r[0].hex(): r[1:] for r in con.execute(q).fetchall()}
+    for r in rows:
+        ds, dc, da = duck[r["x"].hex()]
+        assert r["s"] == ds and r["c"] == dc and r["a"] == da, r["x"]
+
+
+def test_det_trig_accuracy_vs_libm(spark):
+    """Truncation error bounds on the intended domain: sin/cos within
+    2 ulp-ish of libm over |x| <= 1.9; asin within 1e-9 for y <= 0.4
+    (the top-k nearest-neighbor regime that actually gets emitted) and
+    strictly monotonic over all of [0, 1] (ordering correctness)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.functions.detmath import det_asin, det_cos, det_sin
+
+    n = 2001
+    grid = (F.col("id").cast("double") / F.lit(float(n - 1))) * F.lit(3.8) - F.lit(1.9)
+    rows = (
+        spark.range(n)
+        .select(grid.alias("x"))
+        .select(
+            "x",
+            det_sin(F.col("x")).alias("s"),
+            det_cos(F.col("x")).alias("c"),
+            det_asin((F.col("x") + F.lit(1.9)) / F.lit(3.8)).alias("a"),
+        )
+        .collect()
+    )
+    prev_a = -1.0
+    for r in rows:
+        assert abs(r["s"] - math.sin(r["x"])) < 5e-15
+        assert abs(r["c"] - math.cos(r["x"])) < 5e-15
+        y = (r["x"] + 1.9) / 3.8
+        if y <= 0.4:
+            assert abs(r["a"] - math.asin(y)) < 1e-9
+        assert r["a"] > prev_a, "det_asin must be strictly increasing"
+        prev_a = r["a"]
