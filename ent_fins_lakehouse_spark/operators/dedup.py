@@ -543,3 +543,124 @@ def _cc_label_propagation(pairs: DataFrame, ids: DataFrame, id_col: str, max_ite
         if changed == 0:
             break
     return labels.select(F.col("src").alias(id_col), "group_id")
+
+
+def kgram_position_hashes(
+    df: DataFrame, text_col: str, out_col: str = "gram_hashes", k: int = 8
+) -> DataFrame:
+    """Per-POSITION k-gram hashes (no winnowing): element i of the
+    output array is the polynomial hash of the k bytes starting at
+    0-based offset i of the normalized text — the raw material for
+    duplicated-SPAN extraction (:func:`duplicated_spans`), where
+    :func:`winnow_fingerprints` would discard the position/contiguity
+    information the diagonal-run step needs.
+
+    Same uint64-wraparound polynomial as the winnowing kernel (base
+    1000003 over utf-8 bytes of the whitespace-normalized, lowercased
+    text), vectorized with sliding_window_view; values are emitted as
+    the signed-int64 view so they live in a Spark LongType column.
+    SQL-replayable exactly (see plans/llm_queries.py::_kgram_hash_sql)
+    because the k power constants mod 2^64 are plain integers."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    B = np.uint64(1_000_003)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _hashes(texts):  # pd.Series[str] -> pd.Series[list[int]]
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        powers = (B ** np.arange(k - 1, -1, -1, dtype=np.uint64))[None, :]
+        out = []
+        with np.errstate(over="ignore"):
+            for t in texts:
+                s = " ".join(str(t or "").lower().split())
+                data = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+                if len(data) < k:
+                    out.append([])
+                    continue
+                grams = sliding_window_view(data, k).astype(np.uint64)
+                out.append((grams * powers).sum(axis=1).view(np.int64).tolist())
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _hashes(F.col(text_col)))
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_span: int = 14,
+    max_doc_freq: float = 0.05,
+    top_n: int = 100,
+) -> DataFrame:
+    """Exact duplicated-substring extraction between document pairs —
+    the ExactSubstr idea (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better") in its distributed
+    diagonal-run form instead of a suffix array:
+
+    1. hash every k-gram position (:func:`kgram_position_hashes`),
+    2. drop hashes present in more than ``max_doc_freq`` of documents
+       (boilerplate grams are exactly the quadratic join hot spots —
+       the same IDF-style guard as winnowing/LSH, which is what keeps
+       the self-join sub-quadratic at 100 TB),
+    3. equi-join positions across documents on the hash (the only
+       shuffle), and
+    4. collapse matches on the same DIAGONAL (pos_a - pos_b) into
+       maximal consecutive runs with one window pass: a run of r
+       consecutive matching grams is a shared substring of r + k - 1
+       characters.
+
+    Returns per-pair span accounting: ``n_spans``, ``max_span_len``,
+    ``dup_chars`` (sum of span lengths), top-``top_n`` pairs by
+    (max_span_len DESC, id_a, id_b). Exact for non-colliding grams
+    (64-bit polynomial over ASCII; collisions would need ~2^32
+    distinct grams by birthday bound)."""
+    from pyspark.sql import Window as W
+
+    fp = kgram_position_hashes(
+        df.select(id_col, text_col), text_col, k=k
+    ).select(F.col(id_col).alias("_id"), "gram_hashes")
+    ex = fp.select(
+        "_id", F.posexplode("gram_hashes").alias("pos", "h")
+    )
+    n_docs = df.select(id_col).count()
+    cap = max(int(n_docs * max_doc_freq), 2)
+    rare = (
+        ex.groupBy("h")
+        .agg(F.countDistinct("_id").alias("_df"))
+        .filter(F.col("_df") <= cap)
+        .select("h")
+    )
+    ex = ex.join(rare, "h")
+    a = ex.select(F.col("_id").alias("id_a"), F.col("pos").alias("pos_a"), "h")
+    b = ex.select(F.col("_id").alias("id_b"), F.col("pos").alias("pos_b"), "h")
+    matches = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pos_a", "pos_b", (F.col("pos_a") - F.col("pos_b")).alias("diag"))
+    )
+    w = W.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    runs = (
+        matches.withColumn("rn", F.row_number().over(w))
+        .withColumn("grp", F.col("pos_a") - F.col("rn"))
+        .groupBy("id_a", "id_b", "diag", "grp")
+        .agg(
+            (F.count("*") + F.lit(k - 1)).alias("span_len"),
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+        )
+        .filter(F.col("span_len") >= min_span)
+    )
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.max("span_len").alias("max_span_len"),
+            F.sum("span_len").alias("dup_chars"),
+        )
+        .orderBy(F.desc("max_span_len"), "id_a", "id_b")
+        .limit(top_n)
+    )

@@ -7500,3 +7500,89 @@ def q372_iceberg_fsck_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert rep2["n_missing"] == 1 and "snapshot_id" in rep2
     assert t.fsck_repair(dry_run=True)["n_missing"] == 0
     return t.read().orderBy("o_orderkey")
+
+
+@query(
+    "q374_join_mv_incremental",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_custkey AS custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    ),
+    b AS (
+      SELECT c_custkey AS custkey, c_mktsegment,
+             CASE WHEN c_custkey % 10 = 4 THEN c_acctbal + 1000 ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 10 <> 3
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM a JOIN b USING (custkey)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("lakehouse", "materialized-view", "join", "incremental"),
+)
+def q374_join_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained JOIN materialized view
+    (sources/matview.py::MaterializedJoinView) — the delta-rule
+    ΔV = ΔA⋈B ∪ (A∖ΔA)⋈ΔB beside the engine's aggregate MVs, driven
+    by BOTH base tables' change feeds through one refresh window that
+    mixes appends, a DV DELETE, and an UPDATE (pre/post collapse).
+    Maintenance deletes ride the new WHEN MATCHED THEN DELETE merge
+    clause. The final view is asserted equal to a full join recompute,
+    and the oracle restates the final logical state; per tick the cost
+    is O(|Δ| ⋈ matched) with the Δ sides broadcast."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+    from ent_fins_lakehouse_spark.sources.matview import MaterializedJoinView
+
+    root = tempfile.mkdtemp(prefix="join_mv_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment", "c_acctbal"
+    )
+    a = DeltaLogTable(spark, os.path.join(root, "a"))
+    a.write(orders.filter(F.col("o_orderkey") % 3 == 0).coalesce(4), mode="overwrite")
+    a.set_property("delta.enableChangeDataFeed", "true")
+    b = DeltaLogTable(spark, os.path.join(root, "b"))
+    b.write(cust.coalesce(2), mode="overwrite")
+    b.set_property("delta.enableChangeDataFeed", "true")
+
+    mv = MaterializedJoinView(spark, a, b, os.path.join(root, "view"))
+    mv.create(
+        on=["custkey"],
+        a_pk="o_orderkey",
+        b_pk="custkey",
+        a_cols=["o_totalprice"],
+        b_cols=["c_mktsegment", "c_acctbal"],
+    )
+
+    # one refresh window mixing all three DML shapes on both sides
+    a.write(orders.filter(F.col("o_orderkey") % 3 == 1).coalesce(2), mode="append")
+    b.delete("custkey % 10 = 3")
+    b.update({"c_acctbal": "c_acctbal + 1000"}, "custkey % 10 = 4")
+    mv.refresh()
+
+    got = mv.read()
+    want = (
+        a.read()
+        .join(b.read(), on=["custkey"], how="inner")
+        .select(*got.columns)
+    )
+    diff = got.exceptAll(want).unionByName(want.exceptAll(got)).count()
+    assert diff == 0, f"join view diverged from recompute ({diff} rows)"
+    return (
+        got.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_totalprice"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -4576,3 +4576,130 @@ def q331_perceptual_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )
+
+
+def _q373_oracle(k: int = 8, min_span: int = 14, max_doc_freq: float = 0.05, top_n: int = 100) -> str:
+    """DuckDB twin of operators/dedup.py::duplicated_spans — the same
+    mod-2^64 per-position k-gram hash as _q65_oracle (0-based
+    positions), rare-hash gate on DISTINCT doc count, diagonal-run
+    collapse via ROW_NUMBER, and pair-level span accounting."""
+    B, M = 1_000_003, 1 << 64
+    powers = [pow(B, k - 1 - j, M) for j in range(k)]
+    hash_terms = " + ".join(
+        f"CAST(ascii(substring(s, i + {1 + j}, 1)) AS HUGEINT) * {p}"
+        for j, p in enumerate(powers)
+    )
+    return f"""
+    WITH norm AS MATERIALIZED (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+      FROM documents
+    ),
+    grams AS MATERIALIZED (
+      SELECT doc_id, i AS pos,
+             CASE WHEN ({hash_terms}) % {M} >= {1 << 63}
+                  THEN CAST(({hash_terms}) % {M} - {M} AS BIGINT)
+                  ELSE CAST(({hash_terms}) % {M} AS BIGINT) END AS h
+      FROM norm, UNNEST(range(0, length(s) - {k} + 1)) AS t(i)
+      WHERE length(s) >= {k}
+    ),
+    rare AS (
+      SELECT h FROM grams GROUP BY h
+      HAVING COUNT(DISTINCT doc_id) <= GREATEST(
+        CAST(FLOOR((SELECT COUNT(*) FROM documents) * {max_doc_freq}) AS BIGINT), 2)
+    ),
+    g AS MATERIALIZED (SELECT doc_id, pos, h FROM grams JOIN rare USING (h)),
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos AS pos_a, a.pos - b.pos AS diag
+      FROM g a JOIN g b USING (h)
+      WHERE a.doc_id < b.doc_id
+    ),
+    r AS (
+      SELECT id_a, id_b, diag, pos_a,
+             pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS grp
+      FROM m
+    ),
+    runs AS (
+      SELECT id_a, id_b, COUNT(*) + {k - 1} AS span_len
+      FROM r GROUP BY id_a, id_b, diag, grp
+      HAVING COUNT(*) + {k - 1} >= {min_span}
+    )
+    SELECT id_a, id_b, COUNT(*) AS n_spans,
+           CAST(MAX(span_len) AS BIGINT) AS max_span_len,
+           CAST(SUM(span_len) AS BIGINT) AS dup_chars
+    FROM runs GROUP BY id_a, id_b
+    ORDER BY max_span_len DESC, id_a, id_b LIMIT {top_n}
+    """
+
+
+@query("q373_duplicated_spans", oracle=_q373_oracle(), tags=("llm", "dedup"))
+def q373_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring extraction (the ExactSubstr result of
+    Lee et al. 2021) in distributed diagonal-run form — see
+    operators/dedup.py::duplicated_spans. Where q65's winnowing emits
+    CANDIDATE pairs, this emits the exact shared spans themselves
+    (count, longest, total duplicated chars per pair): the operator a
+    training-data pipeline uses to CUT the duplicated region, not just
+    flag the pair. Sub-quadratic by the same rare-gram gate as
+    winnowing/LSH; one equi-join shuffle + one window pass."""
+    from ent_fins_lakehouse_spark.operators.dedup import duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(docs, "doc_id", "text", k=8, min_span=14, max_doc_freq=0.05)
+
+
+def _q375_oracle(k: int = 100) -> str:
+    """DuckDB twin of q375 — md5-uniform draw, det_ln_ratio ln, one
+    correctly rounded division by the weight: bit-identical keys."""
+    from ent_fins_lakehouse_spark.functions.detmath import det_ln_ratio_sql
+
+    u = "CAST(('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1"
+    key = f"({det_ln_ratio_sql(u, str(1 << 32))} / CAST(n_tokens AS DOUBLE))"
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, {key} AS sample_key
+    FROM w WHERE n_tokens > 0
+    ORDER BY sample_key DESC, doc_id LIMIT {k}
+    """
+
+
+@query("q375_weighted_reservoir_sample", oracle=_q375_oracle(), tags=("llm", "sampling"))
+def q375_weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis-
+    Spirakis A-ES key (the distributed-reservoir classic): each row
+    draws u ~ U(0,1] and takes key = ln(u)/w; the global top-k by key
+    IS an exact weighted sample without replacement. The draw is the
+    engine's md5-uniform device (a pure function of doc_id — same
+    sample on every engine and every rerun), the ln is
+    detmath.det_ln_ratio over the integer pair (m+1, 2^32) so the key
+    is bit-identical to the DuckDB oracle, and the weight is the
+    corpus token count (sampling ∝ tokens — the mixture-building
+    primitive the temp-mix/DSIR family composes with).
+
+    Physical shape at 100 TB: one linear scan, all-codegen key
+    arithmetic, TakeOrderedAndProject top-k (per-partition k-row heaps
+    + a k·partitions driver merge — the distributed reservoir; no
+    global sort shuffle)."""
+    from ent_fins_lakehouse_spark.functions.detmath import det_ln_ratio
+    from ent_fins_lakehouse_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    m1 = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        + F.lit(1)
+    )
+    key = det_ln_ratio(m1, F.lit(1 << 32)) / F.col("n_tokens").cast("double")
+    return (
+        docs.filter(F.col("n_tokens") > 0)
+        .select("doc_id", "n_tokens", key.alias("sample_key"))
+        .orderBy(F.desc("sample_key"), "doc_id")
+        .limit(100)
+    )

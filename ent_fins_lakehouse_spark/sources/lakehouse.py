@@ -4616,6 +4616,7 @@ class DeltaLogTable:
         when_not_matched_insert_all: bool = True,
         matched_condition: str | None = None,
         matched_update: dict[str, str] | None = None,
+        matched_delete: bool = False,
         not_matched_by_source_delete: bool = False,
         not_matched_by_source_condition: str | None = None,
         with_schema_evolution: bool = False,
@@ -4627,7 +4628,11 @@ class DeltaLogTable:
         a format delta-spark / DuckDB / Polars can read back. Clause
         surface matches :meth:`LakeTable.merge` (conditional matched
         update, UPDATE SET exprs over ``t``/``s`` aliases, NOT MATCHED
-        BY SOURCE DELETE).
+        BY SOURCE DELETE), plus WHEN MATCHED [AND cond] THEN DELETE
+        (``matched_delete=True``, exclusive with the matched-update
+        clauses — the spec's delete-by-key merge; a delete-only merge
+        accepts a source carrying just the ``on`` columns, the
+        delete-feed shape view maintenance produces).
 
         Physical shape: row→file attribution via the parquet
         ``_metadata.file_path`` column; only files holding matched keys
@@ -4700,15 +4705,31 @@ class DeltaLogTable:
                 df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
             schema = T.StructType(list(schema.fields) + evolved_fields)
             want = {f.name: f.dataType for f in schema.fields}
+        elif matched_delete and not when_not_matched_insert_all:
+            # delete-only merge: the source is a key feed — it needs
+            # the ON columns (type-checked), nothing else
+            missing_on = [c for c in on if c not in have]
+            if missing_on:
+                raise ValueError(f"delete-merge source is missing key columns {missing_on}")
+            bad_t = [c for c in on if have[c] != want[c]]
+            if bad_t:
+                raise ValueError(f"delete-merge key column types differ for {bad_t}")
         elif sorted(have) != sorted(want) or any(have[n] != t for n, t in want.items()):
             raise ValueError(
                 f"merge source schema {source.schema.simpleString()} does not "
                 f"match table schema {schema.simpleString()}"
             )
-        source = source.select(*[f.name for f in schema.fields])
-        self._enforce_constraints(source, "merge")
+        delete_only = matched_delete and not when_not_matched_insert_all
+        source = source.select(*(on if delete_only else [f.name for f in schema.fields]))
+        if not delete_only:
+            self._enforce_constraints(source, "merge")
         full = df.drop("_fp")
         do_update = when_matched_update_all or matched_update is not None
+        if matched_delete and do_update:
+            raise ValueError(
+                "WHEN MATCHED THEN DELETE is exclusive with the matched-update "
+                "clauses — pass when_matched_update_all=False"
+            )
         if matched_update is not None:
             unknown = set(matched_update) - set(want)
             if unknown:
@@ -4756,9 +4777,23 @@ class DeltaLogTable:
                 .select(*on)
                 .distinct()
             )
+        del_keys = keys
+        if matched_delete and matched_condition and tdf is not None:
+            del_keys = (
+                tdf.alias("t")
+                .join(source.alias("s"), on=on, how="inner")
+                .filter(F.expr(matched_condition))
+                .select(*on)
+                .distinct()
+            )
         parts: list[DataFrame] = []
         if tdf is not None:
-            kept = tdf.join(upd_keys, on=on, how="left_anti") if do_update else tdf
+            if do_update:
+                kept = tdf.join(upd_keys, on=on, how="left_anti")
+            elif matched_delete:
+                kept = tdf.join(del_keys, on=on, how="left_anti")
+            else:
+                kept = tdf
             if not_matched_by_source_delete:
                 kept_matched = kept.join(keys, on=on, how="left_semi")
                 if not_matched_by_source_condition:
@@ -4836,6 +4871,12 @@ class DeltaLogTable:
                     cdc_parts.append(
                         post.withColumn("_change_type", F.lit("update_postimage"))
                     )
+            if matched_delete and tdf is not None:
+                cdc_parts.append(
+                    tdf.join(del_keys, on=on, how="left_semi").withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                )
             if not_matched_by_source_delete and tdf is not None:
                 deleted = tdf.join(keys, on=on, how="left_anti")
                 if not_matched_by_source_condition:

@@ -924,3 +924,60 @@ def test_segment_audio_rejects_unaligned_segment_ms(spark):
         segment_audio(env, segment_ms=0)
     # aligned value still works
     assert segment_audio(env, segment_ms=8).count() > 0
+
+
+def test_duplicated_spans_exact_lengths(spark):
+    """duplicated_spans must recover the exact shared-substring length
+    on a constructed fixture: a 40-char region copied between two docs
+    (span_len == 40), a full-containment pair (span == the contained
+    doc), and an unrelated pair absent."""
+    from ent_fins_lakehouse_spark.operators.dedup import duplicated_spans
+
+    shared = "the quick brown fox jumps over the dog!"  # 39 chars
+    assert len(shared) == 39
+    docs = spark.createDataFrame(
+        [
+            (1, "AAAA xxxxxxxx " + shared + " yyyyyyyy BBBB"),
+            (2, "CCCC zzzzzzzz " + shared + " wwwwwwww DDDD"),
+            (3, shared),  # fully contained in 1 and 2
+            (4, "completely unrelated content with no overlap at all qqqq"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): (r["n_spans"], r["max_span_len"], r["dup_chars"])
+        for r in duplicated_spans(
+            docs, "doc_id", "text", k=8, min_span=14, max_doc_freq=1.0
+        ).collect()
+    }
+    # docs 1<->2 share " <shared> " INCLUDING both flanking spaces (41
+    # chars); doc 3 is exactly the 39-char region with no flanks
+    assert out[(1, 2)][1] == 41, out
+    assert out[(1, 3)][1] == 39 and out[(2, 3)][1] == 39
+    assert not any(4 in k for k in out), "unrelated doc must produce no spans"
+
+
+def test_weighted_reservoir_sample_is_weight_biased_and_stable(spark):
+    """q375's A-ES sample: exactly k distinct docs, deterministic
+    across reruns, and biased toward heavy (high-token) documents —
+    the sampled mean token count must exceed the corpus mean."""
+    from ent_fins_lakehouse_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+    sf = "/root/testdata/sf0.001"
+    fn = QUERIES["q375_weighted_reservoir_sample"].fn
+    s1 = fn(spark, sf).collect()
+    s2 = fn(spark, sf).collect()
+    assert [tuple(r) for r in s1] == [tuple(r) for r in s2], "must be deterministic"
+    assert len({r["doc_id"] for r in s1}) == len(s1) == 100
+    from ent_fins_lakehouse_spark.functions.text import token_count
+    from ent_fins_lakehouse_spark.sources.readers import load_table
+
+    corpus = (
+        load_table(spark, sf, "documents")
+        .select(token_count("text").alias("n"))
+        .agg(F.avg("n"))
+        .first()[0]
+    )
+    sampled = sum(r["n_tokens"] for r in s1) / len(s1)
+    assert sampled > corpus, (sampled, corpus)
