@@ -7667,3 +7667,198 @@ def q364_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@query(
+    "q376_gap_fill_interpolate",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, DATE_TRUNC('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS v_obs
+      FROM events WHERE user_id % 15 = 0
+      GROUP BY user_id, DATE_TRUNC('hour', ts)
+    ),
+    b AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM obs GROUP BY user_id),
+    spine AS (
+      SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b
+    ),
+    j AS (
+      SELECT s.user_id, s.h, o.v_obs
+      FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.h = o.h
+    ),
+    wnd AS (
+      SELECT user_id, h, v_obs,
+        last_value(v_obs IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_v,
+        last_value(CASE WHEN v_obs IS NOT NULL THEN h END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_h,
+        first_value(v_obs IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_v,
+        first_value(CASE WHEN v_obs IS NOT NULL THEN h END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_h
+      FROM j
+    )
+    SELECT user_id,
+           STRFTIME(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           (v_obs IS NOT NULL) AS is_observed,
+           CASE WHEN v_obs IS NOT NULL THEN v_obs
+                WHEN p_v IS NULL THEN n_v
+                WHEN n_v IS NULL THEN p_v
+                ELSE (p_v + ((n_v - p_v)
+                      * (CAST(epoch(h) - epoch(p_h) AS DOUBLE)
+                         / CAST(epoch(n_h) - epoch(p_h) AS DOUBLE))))
+           END AS v_filled
+    FROM wnd ORDER BY user_id, h
+    """,
+    tags=("events", "timeseries", "window"),
+)
+def q376_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series GAP FILL + linear interpolation — the resampling
+    primitive (TimescaleDB's time_bucket_gapfill / interpolate) every
+    event lakehouse needs before joining irregular series: per user,
+    a dense hourly spine spans [first, last] observation
+    (``sequence()`` + explode — generated, never shuffled), missing
+    hours take the linear interpolation between the bracketing
+    observations (two IGNORE NULLS window passes locate them; edges
+    carry the nearest value). Interpolation arithmetic is the same
+    IEEE tree on both engines (integer epoch deltas, one division),
+    and observed hours pass their exact DECIMAL-summed value through —
+    hash-exact end to end.
+
+    Scale shape: per-user windows partition cleanly (no global sort);
+    the spine explode is O(hours) rows per key, map-side; the only
+    shuffle is the user_id hash partitioning shared by the groupBy and
+    both window passes (one exchange, reused)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 15 == 0)
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(dsum("value").alias("v_obs"))
+    bounds = obs.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    j = spine.join(obs, on=["user_id", "h"], how="left")
+    w_prev = W.partitionBy("user_id").orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    w_next = W.partitionBy("user_id").orderBy("h").rowsBetween(0, W.unboundedFollowing)
+    obs_h = F.when(F.col("v_obs").isNotNull(), F.col("h"))
+    wnd = (
+        j.withColumn("p_v", F.last("v_obs", ignorenulls=True).over(w_prev))
+        .withColumn("p_h", F.last(obs_h, ignorenulls=True).over(w_prev))
+        .withColumn("n_v", F.first("v_obs", ignorenulls=True).over(w_next))
+        .withColumn("n_h", F.first(obs_h, ignorenulls=True).over(w_next))
+    )
+    eh, ph, nh = (F.unix_timestamp(c) for c in ("h", "p_h", "n_h"))
+    frac = (eh - ph).cast("double") / (nh - ph).cast("double")
+    filled = (
+        F.when(F.col("v_obs").isNotNull(), F.col("v_obs"))
+        .when(F.col("p_v").isNull(), F.col("n_v"))
+        .when(F.col("n_v").isNull(), F.col("p_v"))
+        .otherwise(F.col("p_v") + ((F.col("n_v") - F.col("p_v")) * frac))
+    )
+    return wnd.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        F.col("v_obs").isNotNull().alias("is_observed"),
+        filled.alias("v_filled"),
+    ).orderBy("user_id", "h")
+
+
+def _q377_oracle() -> str:
+    """DuckDB twin of q377 — the same blocked candidates, agreement
+    predicates, and det_ln_ratio-folded Fellegi-Sunter weights in the
+    same left-fold summation order."""
+    from ent_fins_lakehouse_spark.operators.linkage import field_weights_sql
+
+    wa1, wd1 = field_weights_sql((9, 10), (1, 20))  # acctbal last digit
+    wa2, wd2 = field_weights_sql((4, 5), (1, 50))  # acctbal proximity
+    wa3, wd3 = field_weights_sql((17, 20), (1, 100))  # entity number mod
+    score = (
+        f"((CASE WHEN agree_digit THEN {wa1} ELSE {wd1} END"
+        f" + CASE WHEN agree_acct THEN {wa2} ELSE {wd2} END)"
+        f" + CASE WHEN agree_num THEN {wa3} ELSE {wd3} END)"
+    )
+    return f"""
+    WITH cand AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             (CAST(FLOOR(abs(c.c_acctbal)) AS BIGINT) % 10
+              = CAST(FLOOR(abs(s.s_acctbal)) AS BIGINT) % 10) AS agree_digit,
+             (abs(c.c_acctbal - s.s_acctbal) < 100.0) AS agree_acct,
+             (CAST(regexp_extract(c.c_name, '([0-9]+)$', 1) AS BIGINT) % 100
+              = CAST(regexp_extract(s.s_name, '([0-9]+)$', 1) AS BIGINT) % 100) AS agree_num
+      FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+    )
+    SELECT c_custkey, s_suppkey,
+           (CAST(agree_digit AS INTEGER) + CAST(agree_acct AS INTEGER)
+            + CAST(agree_num AS INTEGER)) AS n_agree,
+           {score} AS fs_score
+    FROM cand
+    WHERE {score} > 0.0
+    ORDER BY fs_score DESC, c_custkey, s_suppkey LIMIT 200
+    """
+
+
+@query("q377_record_linkage", oracle=_q377_oracle(), tags=("linkage", "entity-resolution"))
+def q377_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (Fellegi-Sunter 1969) between the
+    customer and supplier files — see operators/linkage.py: blocked
+    candidates (nation equi-join — the bounded-blocking discipline,
+    never a cross join), three comparison fields (balance last-digit,
+    account-balance proximity, entity-number congruence), each
+    contributing its log-likelihood-ratio weight computed from
+    rational m/u probabilities via det_ln_ratio — so scores are
+    bit-identical to the SQL oracle. Pairs above the ln-odds-0
+    threshold rank by score (TakeOrderedAndProject)."""
+    from ent_fins_lakehouse_spark.operators.linkage import (
+        FieldSpec,
+        fellegi_sunter_score,
+        linkage_candidates,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("nk"), "c_acctbal", "c_name"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").alias("nk"), "s_acctbal", "s_name"
+    )
+    cand = linkage_candidates(cust, supp, ["nk"]).select(
+        "c_custkey",
+        "s_suppkey",
+        (
+            F.floor(F.abs(F.col("c_acctbal"))).cast("bigint") % 10
+            == F.floor(F.abs(F.col("s_acctbal"))).cast("bigint") % 10
+        ).alias("agree_digit"),
+        (F.abs(F.col("c_acctbal") - F.col("s_acctbal")) < F.lit(100.0)).alias(
+            "agree_acct"
+        ),
+        (
+            F.regexp_extract("c_name", r"([0-9]+)$", 1).cast("bigint") % 100
+            == F.regexp_extract("s_name", r"([0-9]+)$", 1).cast("bigint") % 100
+        ).alias("agree_num"),
+    )
+    fields = [
+        FieldSpec("digit", F.col("agree_digit"), (9, 10), (1, 20)),
+        FieldSpec("acct", F.col("agree_acct"), (4, 5), (1, 50)),
+        FieldSpec("num", F.col("agree_num"), (17, 20), (1, 100)),
+    ]
+    score = fellegi_sunter_score(fields)
+    n_agree = (
+        F.col("agree_digit").cast("int")
+        + F.col("agree_acct").cast("int")
+        + F.col("agree_num").cast("int")
+    )
+    return (
+        cand.select(
+            "c_custkey",
+            "s_suppkey",
+            n_agree.alias("n_agree"),
+            score.alias("fs_score"),
+        )
+        .filter(F.col("fs_score") > 0.0)
+        .orderBy(F.desc("fs_score"), "c_custkey", "s_suppkey")
+        .limit(200)
+    )

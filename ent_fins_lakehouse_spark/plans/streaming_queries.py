@@ -1604,3 +1604,89 @@ def q360_stream_auto_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q378_streaming_join_mv",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_custkey AS custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 4 IN (0, 1) AND o_orderkey % 50 <> 1
+    ),
+    b AS (SELECT c_custkey AS custkey, c_mktsegment FROM customer)
+    SELECT c_mktsegment,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
+    FROM a JOIN b USING (custkey)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("streaming", "materialized-view", "join", "incremental"),
+)
+def q378_streaming_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of q374's join view: the fact side's Delta
+    CHANGE FEED streams through foreachBatch into
+    MaterializedJoinView.streaming_sink('a') (the live
+    fact-join-dimension table — DLT's streaming join shape), while the
+    dimension side is read at apply time. One availableNow drain
+    covers an append + a DV DELETE window; exactly-once by the
+    engine's idempotent-sink recipe (stale batch ids skipped). Final
+    view asserted equal to the join recompute; the oracle restates the
+    final logical state. Per micro-batch the cost is O(|batch| ⋈
+    dim) with the batch side broadcast."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+    from ent_fins_lakehouse_spark.sources.matview import MaterializedJoinView
+    from ent_fins_lakehouse_spark.streaming.delta_source import read_delta_stream
+
+    root = tempfile.mkdtemp(prefix="stream_join_mv_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    a = DeltaLogTable(spark, os.path.join(root, "a"))
+    a.write(orders.filter(F.col("o_orderkey") % 4 == 0).coalesce(2), mode="overwrite")
+    a.set_property("delta.enableChangeDataFeed", "true")
+    b = DeltaLogTable(spark, os.path.join(root, "b"))
+    b.write(cust.coalesce(2), mode="overwrite")
+
+    mv = MaterializedJoinView(spark, a, b, os.path.join(root, "view"))
+    mv.create(
+        on=["custkey"],
+        a_pk="o_orderkey",
+        b_pk="custkey",
+        a_cols=["o_totalprice"],
+        b_cols=["c_mktsegment"],
+    )
+    start_version = a.latest_version()
+
+    # fact-side DML arrives THROUGH the stream: an append + a DV delete
+    a.write(orders.filter(F.col("o_orderkey") % 4 == 1).coalesce(2), mode="append")
+    a.delete("o_orderkey % 50 = 1")
+    sink = mv.streaming_sink("a")
+    q = (
+        read_delta_stream(
+            spark, a.path, read_change_feed=True, starting_version=start_version + 1
+        )
+        .writeStream.trigger(availableNow=True)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .foreachBatch(sink)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = mv.read()
+    want = a.read().join(b.read(), on=["custkey"], how="inner").select(*got.columns)
+    diff = got.exceptAll(want).unionByName(want.exceptAll(got)).count()
+    assert diff == 0, f"streaming join view diverged from recompute ({diff} rows)"
+    return (
+        got.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_totalprice"),
+        )
+        .orderBy("c_mktsegment")
+    )

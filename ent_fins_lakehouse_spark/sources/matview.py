@@ -559,3 +559,65 @@ class MaterializedJoinView:
             "va": va1,
             "vb": vb1,
         }
+
+    def apply_side_changes(self, changes: DataFrame, side: str) -> dict:
+        """Apply one batch of CDF-shaped rows from ONE base (``side``
+        in {'a','b'}) while the other side is read at its current
+        version — the streaming fact-feed / slowly-read-dimension
+        shape. Same maintenance algebra as :meth:`refresh`: touched
+        pks drop all their pairs (WHEN MATCHED THEN DELETE), final
+        live rows re-derive theirs against the other side."""
+        d = self._load()
+        on = d["on"]
+        if side == "a":
+            pk, cols = d["a_pk"], d["a_cols"]
+            other = self.base_b.read()
+            opk, ocols = d["b_pk"], d["b_cols"]
+        else:
+            pk, cols = d["b_pk"], d["b_cols"]
+            other = self.base_a.read()
+            opk, ocols = d["a_pk"], d["a_cols"]
+        ch = changes.select(pk, *on, *cols, "_change_type", "_commit_version")
+        touched = ch.select(pk).distinct()
+        live = (
+            self._final_state(ch, pk)
+            .filter(F.col("_change_type").isin("insert", "update_postimage"))
+            .select(pk, *on, *cols)
+        )
+        deleted = self.table.merge(
+            touched,
+            on=[pk],
+            when_matched_update_all=False,
+            when_not_matched_insert_all=False,
+            matched_delete=True,
+        )["files_rewritten"]
+        fresh = self._join(
+            F.broadcast(live), self._select_side(other, opk, on, ocols), on
+        ).select(*self.table.read().columns)
+        n_ins = fresh.count()
+        if n_ins:
+            self.table.write(fresh, mode="append")
+        return {"files_rewritten": deleted, "pairs_inserted": n_ins}
+
+    def streaming_sink(self, side: str):
+        """A ``foreachBatch`` function continuously maintaining this
+        join view from ONE base's STREAMING change feed
+        (``read_delta_stream(..., read_change_feed=True)``) — the live
+        fact-join-dimension table. Exactly-once via the engine's
+        idempotent-sink recipe (applied batch id in the marker file;
+        checkpoint replays are skipped). Do not mix with batch
+        :meth:`refresh` windows for the same side — pick one driver
+        per side."""
+        if side not in ("a", "b"):
+            raise ValueError("side must be 'a' or 'b'")
+
+        def apply(bdf: DataFrame, batch_id: int) -> None:
+            d = self._load()
+            key = f"last_batch_id_{side}"
+            if int(batch_id) <= int(d.get(key, -1)):
+                return  # checkpoint replay: already applied
+            self.apply_side_changes(bdf, side)
+            d2 = self._load()
+            self._save({**d2, key: int(batch_id)})
+
+        return apply

@@ -113,3 +113,23 @@ def test_two_windows_sequential_refreshes(spark, mjv):
     assert (4, 30) not in _pairs(mv)
     assert {r["val"] for r in mv.read().filter("a_id = 1").collect()} == {101.0}
     _assert_converged(a, b, mv)
+
+
+def test_streaming_side_sink_replay_is_noop(spark, mjv):
+    """streaming_sink('a'): a replayed micro-batch (stale batch id)
+    must be skipped — the exactly-once recipe shared with the
+    aggregate view's sink."""
+    a, b, mv = mjv
+    v0 = a.latest_version()
+    a.write(
+        spark.createDataFrame([(7, 10, 700.0)], "a_id LONG, k LONG, val DOUBLE").coalesce(1),
+        mode="append",
+    )
+    batch = a.read_changes(v0 + 1)
+    sink = mv.streaming_sink("a")
+    sink(batch, 0)
+    state = {tuple(r) for r in mv.read().collect()}
+    assert (7, 10) in {(r["a_id"], r["k"]) for r in mv.read().collect()}
+    sink(batch, 0)  # replay: must be a no-op
+    assert {tuple(r) for r in mv.read().collect()} == state
+    _assert_converged(a, b, mv)
