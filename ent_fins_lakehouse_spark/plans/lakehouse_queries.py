@@ -7586,3 +7586,61 @@ def q374_join_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q380_iceberg_metadata_tables_sql",
+    oracle="""
+    WITH base AS (SELECT c_nationkey, COUNT(*) AS n1 FROM customer GROUP BY c_nationkey),
+    sec AS (
+      SELECT c_nationkey, COUNT(*) AS n2 FROM customer WHERE c_custkey <= 50
+      GROUP BY c_nationkey
+    )
+    SELECT b.c_nationkey AS nationkey,
+           CAST(b.n1 + COALESCE(s.n2, 0) AS BIGINT) AS record_count,
+           CAST(1 + CASE WHEN s.n2 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS file_count,
+           CAST(2 AS BIGINT) AS n_snapshots
+    FROM base b LEFT JOIN sec s ON b.c_nationkey = s.c_nationkey
+    ORDER BY nationkey
+    """,
+    tags=("lakehouse", "iceberg", "metadata", "sql"),
+)
+def q380_iceberg_metadata_tables_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg METADATA TABLES through the SQL facade — the
+    ``db.t.partitions`` / ``db.t.files`` / ``db.t.snapshots`` /
+    ``db.t.history`` suffix-table idiom Spark's Iceberg catalog
+    exposes, resolved in catalog.py BEFORE the general table pass.
+    The reads are manifest/Avro walks only (KBs however large the
+    data): the layout audit that drives OPTIMIZE targeting never
+    scans a data file. Correctness is cross-checked against the DATA:
+    per-partition record counts and file counts from the manifests
+    must equal the logical group-by (two partitioned appends, each
+    repartitioned on the key so file counts are deterministic), and
+    the snapshot count joins in from ``db.t.snapshots``."""
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    loc = _scratch("meta_tbl") + "_t"
+    t = IcebergTable(spark, loc)
+    t.append(cust.repartition("c_nationkey"), partition_by=["c_nationkey"])
+    t.append(
+        cust.filter(F.col("c_custkey") <= 50).repartition("c_nationkey"),
+        partition_by=["c_nationkey"],
+    )
+    lh = LakehouseSession(spark, _scratch("wh_meta_tbl"))
+    lh.sql("CREATE DATABASE meta")
+    lh.sql(f"CREATE TABLE meta.t USING ICEBERG LOCATION '{loc}'")
+    return lh.sql(
+        """
+        SELECT CAST(get_json_object(p.partition, '$.c_nationkey') AS BIGINT) AS nationkey,
+               p.record_count AS record_count,
+               p.file_count AS file_count,
+               s.n_snapshots AS n_snapshots
+        FROM meta.t.partitions p
+        CROSS JOIN (SELECT COUNT(*) AS n_snapshots FROM meta.t.snapshots) s
+        ORDER BY nationkey
+        """
+    )

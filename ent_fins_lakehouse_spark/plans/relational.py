@@ -7862,3 +7862,77 @@ def q377_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("fs_score"), "c_custkey", "s_suppkey")
         .limit(200)
     )
+
+
+@query(
+    "q379_session_pattern_match",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id, substring(event_type, 1, 1) AS c FROM events
+    ),
+    g AS (
+      SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                     THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM g
+    ),
+    q AS (
+      SELECT user_id, sid, string_agg(c, '' ORDER BY ts, event_id) AS seq
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           COUNT(*) FILTER (WHERE regexp_matches(seq, 'vc+p')) AS n_vcp_sessions,
+           CAST(MAX(length(seq)) AS BIGINT) AS longest_session
+    FROM q GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("events", "sessionization", "pattern"),
+)
+def q379_session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern matching over sessions — the MATCH_RECOGNIZE shape
+    (SQL:2016) Spark lacks natively, expressed as sessionize → encode
+    each session's ordered event-type sequence as a string → regex:
+    here 'view, one-or-more clicks, purchase' occurring CONTIGUOUSLY
+    inside a 30-minute-gap session ('vc+p' over first letters, which
+    are unique across the five event types). Per user: sessions,
+    pattern-matching sessions, longest session.
+
+    Scale shape: one user-hash exchange feeds the lag window, the
+    running-sum session ids, and the per-session aggregation; the
+    regex runs once per SESSION (not per event) in codegen. Ordering
+    ties break on event_id, so the encoded sequence — and the hash —
+    is deterministic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    brk = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), F.lit(1)).otherwise(F.lit(0))
+    sid = F.sum(brk).over(w.rowsBetween(W.unboundedPreceding, 0)).cast("long")
+    sessions = (
+        ev.withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "c"))),
+                    lambda x: x["c"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.count_if(F.col("seq").rlike("vc+p")).alias("n_vcp_sessions"),
+            F.max(F.length("seq")).cast("long").alias("longest_session"),
+        )
+        .orderBy("user_id")
+    )

@@ -478,6 +478,36 @@ class LakehouseSession:
             alias = f"_lh_asof_{i}_" + q.replace(".", "_")
             df.createOrReplaceTempView(alias)
             out_sql = out_sql.replace(m_tt.group(0), f"{kw} {alias}")
+        # METADATA TABLES (Iceberg Spark's `db.t.files` suffix-table
+        # idiom, plus `db.t.history` for Delta): resolved BEFORE the
+        # general db.table pass so `db.t.files` is never misread as a
+        # reference to db.t. Metadata reads are driver-side manifest /
+        # log walks — no data scan.
+        meta_pat = re.compile(
+            r"(FROM|JOIN)\s+([A-Za-z_]\w*\.[A-Za-z_]\w*)"
+            r"\.(files|snapshots|partitions|history)\b",
+            re.IGNORECASE,
+        )
+        for i, m_md in enumerate(list(meta_pat.finditer(out_sql))):
+            kw, q, which = m_md.group(1), m_md.group(2), m_md.group(3).lower()
+            t = self._resolve_concrete(q)
+            if isinstance(t, IcebergFacadeTable):
+                t = t._t
+            getter = getattr(t, f"{which}_df", None)
+            if getter is not None:
+                df = getter()
+            elif which == "history" and hasattr(t, "history"):
+                df = t.history()
+            else:
+                raise NotImplementedError(
+                    f"metadata table {q}.{which} is not available for "
+                    f"{type(t).__name__} — Iceberg tables expose files/"
+                    "snapshots/partitions/history; Delta tables expose "
+                    "history (use DESCRIBE DETAIL for file stats)"
+                )
+            alias = f"_lh_meta_{i}_" + q.replace(".", "_") + f"_{which}"
+            df.createOrReplaceTempView(alias)
+            out_sql = out_sql.replace(m_md.group(0), f"{kw} {alias}")
         refs = set(
             re.findall(
                 r"(?:FROM|JOIN)\s+([A-Za-z_]\w*\.[A-Za-z_]\w*)", out_sql, re.IGNORECASE

@@ -3916,6 +3916,41 @@ class DeltaLogTable:
     #: (between CHECKPOINT_INTERVAL checkpoints)
     LOG_COMPACTION_INTERVAL = 5
 
+    def history(self) -> DataFrame:
+        """DESCRIBE HISTORY over the PUBLIC log (delta-spark's surface,
+        D8): one row per commit from its ``commitInfo`` action —
+        version, timestamp (in-commit timestamp when enabled),
+        operation, operationParameters JSON. A driver-side log walk;
+        no data scan. Also serves the facade's ``db.t.history``
+        metadata suffix table."""
+        rows = []
+        for fn in sorted(os.listdir(self.log_path)):
+            stem, ext = os.path.splitext(fn)
+            if ext != ".json" or not stem.isdigit():
+                continue
+            version = int(stem)
+            op, ts, params = None, None, "{}"
+            try:
+                with open(os.path.join(self.log_path, fn)) as fh:
+                    for line in fh:
+                        a = json.loads(line)
+                        ci = a.get("commitInfo")
+                        if ci is not None:
+                            op = ci.get("operation")
+                            ts = ci.get("inCommitTimestamp", ci.get("timestamp"))
+                            params = json.dumps(ci.get("operationParameters") or {})
+                            break
+            except (OSError, ValueError):
+                pass
+            if ts is None:
+                ts = int(os.path.getmtime(os.path.join(self.log_path, fn)) * 1000)
+            rows.append((version, int(ts), op, params))
+        return self.spark.createDataFrame(
+            rows,
+            "version LONG, timestamp_ms LONG, operation STRING, "
+            "operationParameters STRING",
+        )
+
     def detail(self) -> dict:
         """DESCRIBE DETAIL over the public log (delta-spark's column
         set): physical + logical metadata of the current snapshot from

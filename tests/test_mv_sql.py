@@ -240,3 +240,35 @@ def test_sql_table_changes_tvf(spark, lh, tmp_path):
     ).collect()
     assert [r.k for r in rows] == list(range(6, 9))
     assert all(r._change_type == "insert" for r in rows)
+
+
+def test_metadata_suffix_tables_in_facade(spark, tmp_path):
+    """db.t.files / .snapshots / .partitions / .history resolve for an
+    Iceberg table; db.t.history resolves for a Delta table; the
+    unsupported combination refuses loudly."""
+    import pytest
+
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    ice = IcebergTable(spark, str(tmp_path / "ice"))
+    ice.append(spark.range(20).selectExpr("id", "id % 2 AS p").coalesce(1))
+    ice.append(spark.range(20, 30).selectExpr("id", "id % 2 AS p").coalesce(1))
+    dl = DeltaLogTable(spark, str(tmp_path / "dl"))
+    dl.write(spark.range(5).selectExpr("id"), mode="overwrite")
+
+    lh = LakehouseSession(spark, str(tmp_path / "wh"))
+    lh.sql("CREATE DATABASE m")
+    lh.sql(f"CREATE TABLE m.ice USING ICEBERG LOCATION '{tmp_path / 'ice'}'")
+    lh.sql(f"CREATE TABLE m.dl USING DELTA LOCATION '{tmp_path / 'dl'}'")
+
+    assert lh.sql("SELECT COUNT(*) AS n FROM m.ice.snapshots").first()["n"] == 2
+    files = lh.sql("SELECT record_count FROM m.ice.files WHERE content = 0").collect()
+    assert sum(r["record_count"] for r in files) == 30
+    parts = lh.sql("SELECT SUM(record_count) AS n FROM m.ice.partitions").first()
+    assert parts["n"] == 30
+    assert lh.sql("SELECT COUNT(*) AS n FROM m.ice.history").first()["n"] == 2
+    assert lh.sql("SELECT COUNT(*) AS n FROM m.dl.history").first()["n"] >= 1
+    with pytest.raises(NotImplementedError, match="metadata table"):
+        lh.sql("SELECT * FROM m.dl.files")
