@@ -132,6 +132,18 @@ HEADLINE = [
     # cross-format pair of q294's Delta Hilbert row)
     "q366_iceberg_streaming_mv",
     "q371_iceberg_zorder_rewrite",
+    # r11: duplicated-span extraction (all-position gram join + window
+    # runs — the heaviest new scan shape), the delta-rule join MV and
+    # its streaming twin (commit-protocol lifecycles), and three light
+    # linear-pass rows (A-ES sample, gap-fill interpolation, session
+    # pattern match, FS record linkage)
+    "q373_duplicated_spans",
+    "q374_join_mv_incremental",
+    "q375_weighted_reservoir_sample",
+    "q376_gap_fill_interpolate",
+    "q377_record_linkage",
+    "q378_streaming_join_mv",
+    "q379_session_pattern_match",
 ]
 
 # Headline rows whose wall is dominated by table BUILDS + commit
@@ -161,6 +173,8 @@ LIFECYCLE = {
     "q354_binpack_compaction",
     "q366_iceberg_streaming_mv",
     "q371_iceberg_zorder_rewrite",
+    "q374_join_mv_incremental",
+    "q378_streaming_join_mv",
 }
 
 

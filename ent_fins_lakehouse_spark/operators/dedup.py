@@ -412,6 +412,7 @@ def winnow_overlap_pairs(
     k: int = 5,
     window: int = 4,
     max_doc_freq: float = 0.05,
+    max_docs_per_fp: int = 256,
 ) -> DataFrame:
     """Document-overlap candidates by shared winnowing fingerprints:
     explode the fingerprint sets, self-join on the 64-bit fingerprint
@@ -423,13 +424,17 @@ def winnow_overlap_pairs(
     fraction of documents before the join — boilerplate/stop-phrase
     prints carry no overlap signal and their buckets are exactly the
     quadratic hot spots that would dominate the shuffle at 100 TB
-    (the IDF analogue of winnowing practice)."""
+    (the IDF analogue of winnowing practice). ``max_docs_per_fp``
+    bounds the bucket ABSOLUTELY: a fraction-only gate grows with the
+    corpus, so per-bucket pair fan-out (O(bucket²)) silently goes
+    quadratic at scale — the r11 octave caught exactly this class in
+    the sibling span operator; capped, fan-out is bounded forever."""
     fp = winnow_fingerprints(
         _at_parallelism(df.select(id_col, text_col)), text_col, k=k, window=window
     ).select(id_col, "fingerprints").persist()
     ex = fp.select(F.col(id_col).alias("_id"), F.explode("fingerprints").alias("fp"))
     n_docs = fp.count()  # fp is persisted; cheap
-    cap = max(int(n_docs * max_doc_freq), 2)
+    cap = min(max(int(n_docs * max_doc_freq), 2), max_docs_per_fp)
     rare = (
         ex.groupBy("fp")
         .agg(F.count("*").alias("_df"))
@@ -594,6 +599,7 @@ def duplicated_spans(
     k: int = 8,
     min_span: int = 14,
     max_doc_freq: float = 0.05,
+    max_docs_per_gram: int = 64,
     top_n: int = 100,
 ) -> DataFrame:
     """Exact duplicated-substring extraction between document pairs —
@@ -603,9 +609,15 @@ def duplicated_spans(
 
     1. hash every k-gram position (:func:`kgram_position_hashes`),
     2. drop hashes present in more than ``max_doc_freq`` of documents
+       AND in more than ``max_docs_per_gram`` documents ABSOLUTELY
        (boilerplate grams are exactly the quadratic join hot spots —
-       the same IDF-style guard as winnowing/LSH, which is what keeps
-       the self-join sub-quadratic at 100 TB),
+       the same IDF-style guard as winnowing/LSH). The absolute cap is
+       load-bearing at scale: a fraction-only gate grows with the
+       corpus, so the per-gram pair fan-out (O(bucket²)) silently goes
+       quadratic — the r11 8× octave found exactly that (a 0.05 cap at
+       40k docs permits 2000-doc buckets → 2M pairs per gram, spilling
+       the host); capped at 64 the fan-out is ≤ 2k pairs per gram
+       forever,
     3. equi-join positions across documents on the hash (the only
        shuffle), and
     4. collapse matches on the same DIAGONAL (pos_a - pos_b) into
@@ -627,7 +639,7 @@ def duplicated_spans(
         "_id", F.posexplode("gram_hashes").alias("pos", "h")
     )
     n_docs = df.select(id_col).count()
-    cap = max(int(n_docs * max_doc_freq), 2)
+    cap = min(max(int(n_docs * max_doc_freq), 2), max_docs_per_gram)
     rare = (
         ex.groupBy("h")
         .agg(F.countDistinct("_id").alias("_df"))

@@ -415,7 +415,13 @@ def q64_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q65_oracle(k: int = 8, w: int = 6, min_shared: int = 3, max_doc_freq: float = 0.05) -> str:
+def _q65_oracle(
+    k: int = 8,
+    w: int = 6,
+    min_shared: int = 3,
+    max_doc_freq: float = 0.05,
+    max_docs_per_fp: int = 256,
+) -> str:
     """DuckDB twin of operators/dedup.py::winnow_fingerprints +
     winnow_overlap_pairs. The numpy kernel's uint64-wraparound
     polynomial hash is replicated exactly: the k power constants
@@ -461,8 +467,9 @@ def _q65_oracle(k: int = 8, w: int = 6, min_shared: int = 3, max_doc_freq: float
     ),
     rare AS (
       SELECT fp FROM fps GROUP BY fp
-      HAVING COUNT(*) <= GREATEST(
-        CAST(FLOOR((SELECT COUNT(*) FROM documents) * {max_doc_freq}) AS BIGINT), 2)
+      HAVING COUNT(*) <= LEAST(GREATEST(
+        CAST(FLOOR((SELECT COUNT(*) FROM documents) * {max_doc_freq}) AS BIGINT), 2),
+        {max_docs_per_fp})
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
     FROM (SELECT * FROM fps JOIN rare USING (fp)) a
@@ -4578,7 +4585,13 @@ def q331_perceptual_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q373_oracle(k: int = 8, min_span: int = 14, max_doc_freq: float = 0.05, top_n: int = 100) -> str:
+def _q373_oracle(
+    k: int = 8,
+    min_span: int = 14,
+    max_doc_freq: float = 0.05,
+    max_docs_per_gram: int = 64,
+    top_n: int = 100,
+) -> str:
     """DuckDB twin of operators/dedup.py::duplicated_spans — the same
     mod-2^64 per-position k-gram hash as _q65_oracle (0-based
     positions), rare-hash gate on DISTINCT doc count, diagonal-run
@@ -4604,8 +4617,9 @@ def _q373_oracle(k: int = 8, min_span: int = 14, max_doc_freq: float = 0.05, top
     ),
     rare AS (
       SELECT h FROM grams GROUP BY h
-      HAVING COUNT(DISTINCT doc_id) <= GREATEST(
-        CAST(FLOOR((SELECT COUNT(*) FROM documents) * {max_doc_freq}) AS BIGINT), 2)
+      HAVING COUNT(DISTINCT doc_id) <= LEAST(GREATEST(
+        CAST(FLOOR((SELECT COUNT(*) FROM documents) * {max_doc_freq}) AS BIGINT), 2),
+        {max_docs_per_gram})
     ),
     g AS MATERIALIZED (SELECT doc_id, pos, h FROM grams JOIN rare USING (h)),
     m AS (

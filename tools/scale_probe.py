@@ -94,6 +94,13 @@ PROBE_QUERIES = [
     "q322_modern_aggregates",
     "q323_percent_of_parent_rollup",
     "q324_dau_mau_stickiness",
+    # r11: duplicated spans (all-position gram join), A-ES sample,
+    # gap-fill interpolation, record linkage, session pattern match
+    "q373_duplicated_spans",
+    "q375_weighted_reservoir_sample",
+    "q376_gap_fill_interpolate",
+    "q377_record_linkage",
+    "q379_session_pattern_match",
 ]
 
 # per-table key columns to offset per copy (fact->dim links stay valid
