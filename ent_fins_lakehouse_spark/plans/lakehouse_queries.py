@@ -7644,3 +7644,80 @@ def q380_iceberg_metadata_tables_sql(spark: SparkSession, sf_dir: str) -> DataFr
         ORDER BY nationkey
         """
     )
+
+
+@query(
+    "q381_sql_join_mv",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_custkey AS custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 5 IN (0, 1) AND o_orderkey % 40 <> 1
+    ),
+    b AS (SELECT c_custkey AS custkey, c_mktsegment FROM customer)
+    SELECT c_mktsegment,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
+    FROM a JOIN b USING (custkey)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("lakehouse", "materialized-view", "join", "sql"),
+)
+def q381_sql_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface over q374's join view: ``CREATE MATERIALIZED
+    VIEW … AS SELECT … FROM db.a JOIN db.b USING (k) KEYED BY
+    (a_pk, b_pk)`` (the KEYED BY extension names the pair-identity
+    keys the delta-rule maintenance needs), then base DML through the
+    same facade (INSERT INTO … SELECT + DELETE FROM), ``REFRESH
+    MATERIALIZED VIEW`` routing to the join maintainer via the marker
+    sniff, and a plain SELECT over the view (it is just a Delta
+    table). Final state asserted equal to the recompute; the oracle
+    restates it."""
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    root = _scratch("sql_join_mv")
+    a = DeltaLogTable(spark, root + "_a")
+    a.write(orders.filter(F.col("o_orderkey") % 5 == 0).coalesce(2), mode="overwrite")
+    a.set_property("delta.enableChangeDataFeed", "true")
+    b = DeltaLogTable(spark, root + "_b")
+    b.write(cust.coalesce(2), mode="overwrite")
+    b.set_property("delta.enableChangeDataFeed", "true")
+
+    lh = LakehouseSession(spark, _scratch("wh_sql_join_mv"))
+    lh.sql("CREATE DATABASE jm")
+    lh.sql(f"CREATE TABLE jm.facts USING DELTA LOCATION '{a.path}'")
+    lh.sql(f"CREATE TABLE jm.dim USING DELTA LOCATION '{b.path}'")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW jm.v AS "
+        "SELECT o_orderkey, custkey, o_totalprice, c_mktsegment "
+        "FROM jm.facts JOIN jm.dim USING (custkey) "
+        "KEYED BY (o_orderkey, custkey)"
+    )
+    # fact-side DML through the SAME facade, then an incremental refresh
+    orders.filter(F.col("o_orderkey") % 5 == 1).createOrReplaceTempView(
+        "q381_new_facts"
+    )
+    lh.sql("INSERT INTO jm.facts SELECT * FROM q381_new_facts")
+    lh.sql("DELETE FROM jm.facts WHERE o_orderkey % 40 = 1")
+    lh.sql("REFRESH MATERIALIZED VIEW jm.v")
+
+    got = lh.sql("SELECT o_orderkey, custkey, o_totalprice, c_mktsegment FROM jm.v")
+    want = a.read().join(b.read(), on=["custkey"], how="inner").select(*got.columns)
+    diff = got.exceptAll(want).unionByName(want.exceptAll(got)).count()
+    assert diff == 0, f"SQL join view diverged from recompute ({diff} rows)"
+    return (
+        got.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_totalprice"),
+        )
+        .orderBy("c_mktsegment")
+    )

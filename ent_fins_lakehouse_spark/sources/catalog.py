@@ -363,6 +363,17 @@ class LakehouseSession:
         r"REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<name>[\w.]+)(?:\s+(?P<full>FULL))?\s*$",
         re.IGNORECASE,
     )
+    #: JOIN materialized view (engine extension syntax — the KEYED BY
+    #: clause names the two sides' primary keys, which pair identity
+    #: and the delta-rule maintenance need; DLT carries the same info
+    #: out-of-band in expectations/config)
+    _CREATE_JMV = re.compile(
+        r"CREATE\s+MATERIALIZED\s+VIEW\s+(?P<name>[\w.]+)\s+AS\s+"
+        r"SELECT\s+(?P<sel>[\w\s,]+?)\s+FROM\s+(?P<a>[\w.]+)\s+"
+        r"JOIN\s+(?P<b>[\w.]+)\s+USING\s*\(\s*(?P<keys>[\w\s,]+?)\s*\)\s+"
+        r"KEYED\s+BY\s*\(\s*(?P<apk>\w+)\s*,\s*(?P<bpk>\w+)\s*\)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
     _MV_ITEM = re.compile(
         r"^(?:(?P<fn>SUM|MIN|MAX|APPROX_COUNT_DISTINCT)\s*\(\s*(?P<col>\w+)\s*\)"
         r"|COUNT\s*\(\s*\*\s*\)|(?P<bare>\w+))"
@@ -598,8 +609,62 @@ class LakehouseSession:
             base = IcebergTable(self.spark, base_path)
         return MaterializedAggView(self.spark, base, dest)
 
+    def _join_mv_base(self, qualified: str):
+        """A Delta base handle a MaterializedJoinView can consume.
+        Join views need versioned CDF windows from BOTH sides, which
+        the engine's change-feed surface provides for Delta; an
+        Iceberg side refuses loudly (use the agg-view's Iceberg path
+        or mirror the side as Delta)."""
+        t = self._resolve_concrete(qualified)
+        if isinstance(t, DeltaLogTable):
+            return t
+        if isinstance(t, LakeTable):
+            dl = DeltaLogTable(self.spark, t.path)
+            if dl.exists():
+                return dl
+        raise NotImplementedError(
+            f"JOIN materialized views need Delta CDF bases; {qualified} "
+            f"resolves to {type(t).__name__}"
+        )
+
     def sql(self, stmt: str) -> DataFrame | None:
         s = stmt.strip().rstrip(";")
+        if m := self._CREATE_JMV.match(s):
+            # JOIN materialized view: V = A >< B keyed by the sides'
+            # primary keys, maintained by the delta rule from both
+            # bases' change feeds (sources/matview.py
+            # MaterializedJoinView). Select-list columns are bare
+            # names split by side from the base schemas.
+            from ent_fins_lakehouse_spark.sources.matview import MaterializedJoinView
+
+            keys = [c.strip() for c in m["keys"].split(",") if c.strip()]
+            sel = [c.strip() for c in m["sel"].split(",") if c.strip()]
+            a = self._join_mv_base(m["a"])
+            b = self._join_mv_base(m["b"])
+            a_schema = set(a.read().columns)
+            b_schema = set(b.read().columns)
+            apk, bpk = m["apk"], m["bpk"]
+            if apk not in a_schema or bpk not in b_schema:
+                raise ValueError(
+                    f"KEYED BY ({apk}, {bpk}) must name a column of each side"
+                )
+            a_cols, b_cols, unknown = [], [], []
+            for c in sel:
+                if c in keys or c in (apk, bpk):
+                    continue
+                if c in a_schema:
+                    a_cols.append(c)
+                elif c in b_schema:
+                    b_cols.append(c)
+                else:
+                    unknown.append(c)
+            if unknown:
+                raise ValueError(f"view references unknown base columns {unknown}")
+            mv = MaterializedJoinView(
+                self.spark, a, b, self.catalog.table_path(m["name"])
+            )
+            mv.create(on=keys, a_pk=apk, b_pk=bpk, a_cols=a_cols, b_cols=b_cols)
+            return None
         if m := self._CREATE_MV.match(s):
             # restricted to the INCREMENTALLY MAINTAINABLE algebra
             # (sources/matview.py): COUNT(*) / SUM / insert-only
@@ -650,6 +715,28 @@ class LakehouseSession:
             )
             return None
         if m := self._REFRESH_MV.match(s):
+            from ent_fins_lakehouse_spark.sources.matview import MaterializedJoinView
+
+            dest = self.catalog.table_path(m["name"])
+            jmarker = os.path.join(dest, MaterializedJoinView.MARKER)
+            if os.path.isfile(jmarker):
+                with open(jmarker, encoding="utf-8") as fh:
+                    cfg = json.load(fh)
+                mv = MaterializedJoinView(
+                    self.spark,
+                    DeltaLogTable(self.spark, cfg["base_a_path"]),
+                    DeltaLogTable(self.spark, cfg["base_b_path"]),
+                    dest,
+                )
+                if m["full"] is not None:
+                    # full recompute: replay create() from the stored config
+                    mv.create(
+                        on=cfg["on"], a_pk=cfg["a_pk"], b_pk=cfg["b_pk"],
+                        a_cols=cfg["a_cols"], b_cols=cfg["b_cols"],
+                    )
+                else:
+                    mv.refresh()
+                return None
             self._mv_handle(m["name"]).refresh(full=m["full"] is not None)
             return None
         if m := self._CREATE_VIEW.match(s):

@@ -424,7 +424,24 @@ class LakeTable:
 
     def write(self, df: DataFrame, mode: str = "overwrite", merge_schema: bool = False) -> "LakeTable":
         """S8-equivalent: persist a DataFrame as a table version
-        (`01-Fraud-Delta.py:116` write.format('delta').mode('overwrite'))."""
+        (`01-Fraud-Delta.py:116` write.format('delta').mode('overwrite')).
+
+        Like every other DML verb, delegates to the PUBLIC Delta
+        writer when the path holds an open-format table — write was
+        the ONE verb missing the shim, so a facade
+        ``INSERT INTO … SELECT`` against a ``USING DELTA LOCATION``
+        table silently committed to a fresh engine ``_txn_log`` beside
+        the public ``_delta_log`` (the exact split-brain the shim
+        exists to prevent; caught by q381's join-view arc)."""
+        if (dl := self._as_delta_shim()) is not None:
+            if merge_schema:
+                raise NotImplementedError(
+                    "merge_schema on a public Delta table: use the public "
+                    "writer's schema-evolution paths (merge "
+                    "with_schema_evolution / add_column) instead"
+                )
+            dl.write(df, mode=mode)
+            return self
         base = self.latest_version()
         old, committed = self._snapshot() if self.exists() else ([], None)
         if mode == "append":

@@ -458,6 +458,8 @@ class MaterializedJoinView:
         self.table.write(mv, mode="overwrite")
         self._save(
             {
+                "base_a_path": self.base_a.path,
+                "base_b_path": self.base_b.path,
                 "on": list(on),
                 "a_pk": a_pk,
                 "b_pk": b_pk,

@@ -272,3 +272,55 @@ def test_metadata_suffix_tables_in_facade(spark, tmp_path):
     assert lh.sql("SELECT COUNT(*) AS n FROM m.dl.history").first()["n"] >= 1
     with pytest.raises(NotImplementedError, match="metadata table"):
         lh.sql("SELECT * FROM m.dl.files")
+
+
+def test_sql_join_mv_lifecycle(spark, tmp_path):
+    """CREATE MATERIALIZED VIEW … JOIN … USING … KEYED BY, both-side
+    DML, REFRESH (incremental AND FULL), and the Delta-base refusal
+    for non-Delta sides."""
+    import pytest
+
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    a = DeltaLogTable(spark, str(tmp_path / "a"))
+    a.write(
+        spark.createDataFrame([(1, 10, 1.0), (2, 20, 2.0)], "pk LONG, k LONG, v DOUBLE"),
+        mode="overwrite",
+    )
+    a.set_property("delta.enableChangeDataFeed", "true")
+    b = DeltaLogTable(spark, str(tmp_path / "b"))
+    b.write(spark.createDataFrame([(10, "x"), (20, "y")], "k LONG, tag STRING"), mode="overwrite")
+    b.set_property("delta.enableChangeDataFeed", "true")
+
+    lh = LakehouseSession(spark, str(tmp_path / "wh"))
+    lh.sql("CREATE DATABASE j")
+    lh.sql(f"CREATE TABLE j.a USING DELTA LOCATION '{tmp_path / 'a'}'")
+    lh.sql(f"CREATE TABLE j.b USING DELTA LOCATION '{tmp_path / 'b'}'")
+    lh.sql(
+        "CREATE MATERIALIZED VIEW j.v AS SELECT pk, k, v, tag "
+        "FROM j.a JOIN j.b USING (k) KEYED BY (pk, k)"
+    )
+    assert {r["pk"] for r in lh.sql("SELECT pk FROM j.v").collect()} == {1, 2}
+
+    # facade DML on both sides, one incremental refresh window
+    lh.sql("INSERT INTO j.a VALUES (3, 10, 3.0)")
+    lh.sql("DELETE FROM j.b WHERE k = 20")
+    lh.sql("REFRESH MATERIALIZED VIEW j.v")
+    rows = {(r["pk"], r["k"]) for r in lh.sql("SELECT pk, k FROM j.v").collect()}
+    assert rows == {(1, 10), (3, 10)}, rows
+
+    # FULL refresh replays create() from the stored config
+    lh.sql("REFRESH MATERIALIZED VIEW j.v FULL")
+    rows2 = {(r["pk"], r["k"]) for r in lh.sql("SELECT pk, k FROM j.v").collect()}
+    assert rows2 == rows
+
+    ice = IcebergTable(spark, str(tmp_path / "ice"))
+    ice.append(spark.createDataFrame([(10, 1)], "k LONG, z LONG").coalesce(1))
+    lh.sql(f"CREATE TABLE j.ice USING ICEBERG LOCATION '{tmp_path / 'ice'}'")
+    with pytest.raises(NotImplementedError, match="Delta CDF bases"):
+        lh.sql(
+            "CREATE MATERIALIZED VIEW j.v2 AS SELECT pk, k, z "
+            "FROM j.a JOIN j.ice USING (k) KEYED BY (pk, k)"
+        )
