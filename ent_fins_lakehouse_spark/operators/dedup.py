@@ -635,9 +635,12 @@ def duplicated_spans(
     fp = kgram_position_hashes(
         df.select(id_col, text_col), text_col, k=k
     ).select(F.col(id_col).alias("_id"), "gram_hashes")
+    # persist the exploded hash relation: it feeds the doc-frequency
+    # gate AND both sides of the self-join — without it the pandas-UDF
+    # hashing pass runs three times over the corpus
     ex = fp.select(
         "_id", F.posexplode("gram_hashes").alias("pos", "h")
-    )
+    ).persist()
     n_docs = df.select(id_col).count()
     cap = min(max(int(n_docs * max_doc_freq), 2), max_docs_per_gram)
     rare = (

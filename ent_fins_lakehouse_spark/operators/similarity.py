@@ -21,6 +21,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: Over-fetch margin for rescore_exact candidate selection: BLAS
+#: scores drift 1-3 ULPs from the exact fold, so cuts made on them
+#: keep this many extra rows and the strict cut binds on the exact
+#: rescored values. Losing a true top-k member would need >margin
+#: pairs packed within ULPs of the boundary.
+RESCORE_MARGIN = 16
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -350,6 +357,12 @@ def cosine_pairs_blockwise_numpy(
 
     from pyspark.sql import types as T
 
+    # selection margins under rescore_exact: per-block and global cuts
+    # run on the (ULP-drifted) BLAS scores, so they over-fetch and the
+    # strict top_n / min_cosine bind on the exact rescored values
+    _sel_top = (top_n + RESCORE_MARGIN) if (rescore_exact and top_n is not None) else top_n
+    _sel_min = (min_cosine - 1e-9) if (rescore_exact and min_cosine is not None) else min_cosine
+
     id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
         [
@@ -385,16 +398,16 @@ def cosine_pairs_blockwise_numpy(
                 "cosine_sim": G[iu, ju],
             }
         )
-        if min_cosine is not None:
-            res = res[res["cosine_sim"] >= min_cosine]
-        if top_n is not None and len(res) > top_n:
+        if _sel_min is not None:
+            res = res[res["cosine_sim"] >= _sel_min]
+        if _sel_top is not None and len(res) > _sel_top:
             # deterministic tie-break matching cosine_pairs_blocked's
             # orderBy(desc(sim), id_a, id_b) — nlargest alone keeps
             # input order among ties, which can differ between the
             # two strategies on tie-heavy data
             res = res.sort_values(
                 ["cosine_sim", "id_a", "id_b"], ascending=[False, True, True]
-            ).head(top_n)
+            ).head(_sel_top)
         return res
 
     out = (
@@ -402,19 +415,26 @@ def cosine_pairs_blockwise_numpy(
         .groupBy(*block_cols)
         .applyInPandas(block_pairs, schema=out_schema)
     )
-    if top_n is not None:
+    if top_n is not None and not rescore_exact:
         out = out.orderBy(F.desc("cosine_sim"), F.asc("id_a"), F.asc("id_b")).limit(top_n)
     if rescore_exact:
         # Filter-then-rescore (the q138 pattern): BLAS picks the pairs,
         # but dgemm's blocked summation drifts 1-3 ULPs from the
         # sequential fold, so the EMITTED cosine is recomputed with the
         # same codegen'd _dot/_norm shape as cosine_pairs_blocked —
-        # bit-identical to the exact path / SQL oracle. The selected
-        # pair set is tiny (≤ top_n or min_cosine-thresholded), so it
-        # broadcasts into two joins against the vector table.
-        pairs = out.select("id_a", "id_b")
+        # bit-identical to the exact path / SQL oracle. The SELECTION
+        # must not inherit the drift either: candidates are cut with a
+        # margin (top_n + RESCORE_MARGIN pre-rescore) and the FINAL
+        # top_n / min_cosine are applied on the exact values — a
+        # knife-edge pair at the boundary would need > margin drifted
+        # scores between it and the cut to be lost. The candidate set
+        # is tiny, so it broadcasts into two joins against the vectors.
+        pairs = out
         if top_n is not None:
-            pairs = F.broadcast(pairs)
+            pairs = pairs.orderBy(
+                F.desc("cosine_sim"), F.asc("id_a"), F.asc("id_b")
+            ).limit(top_n + RESCORE_MARGIN)
+        pairs = F.broadcast(pairs.select("id_a", "id_b"))
         t = (
             df.select(
                 F.col(id_col).alias("_rid"),
@@ -434,8 +454,14 @@ def cosine_pairs_blockwise_numpy(
             pairs.join(a, "id_a")
             .join(b, "id_b")
             .select("id_a", "id_b", cos.alias("cosine_sim"))
-            .orderBy(F.desc("cosine_sim"), F.asc("id_a"), F.asc("id_b"))
         )
+        if min_cosine is not None:
+            # exact threshold on the exact value (candidates were
+            # admitted with the drift-tolerant one)
+            out = out.filter(F.col("cosine_sim") >= min_cosine)
+        out = out.orderBy(F.desc("cosine_sim"), F.asc("id_a"), F.asc("id_b"))
+        if top_n is not None:
+            out = out.limit(top_n)
     return out
 
 

@@ -456,8 +456,19 @@ class MaterializedJoinView:
         mv = self._join(a, b, on)
         os.makedirs(self.dest, exist_ok=True)
         self.table.write(mv, mode="overwrite")
+        n_pairs = self.table.read().count()  # count the WRITTEN table, not a join re-run
+        # a FULL-refresh replay of create() must not drop the streaming
+        # sinks' exactly-once state: carry applied-batch ids forward
+        carry = {}
+        try:
+            carry = {
+                k: v for k, v in self._load().items() if k.startswith("last_batch_id")
+            }
+        except (OSError, ValueError):
+            pass
         self._save(
             {
+                **carry,
                 "base_a_path": self.base_a.path,
                 "base_b_path": self.base_b.path,
                 "on": list(on),
@@ -469,7 +480,7 @@ class MaterializedJoinView:
                 "vb": vb,
             }
         )
-        return {"pairs": mv.count(), "va": va, "vb": vb}
+        return {"pairs": n_pairs, "va": va, "vb": vb}
 
     def read(self) -> DataFrame:
         return self.table.read()
@@ -521,7 +532,7 @@ class MaterializedJoinView:
         touched_a, live_a = self._side_window(self.base_a, va0, va1, a_pk, on, a_cols)
         touched_b, live_b = self._side_window(self.base_b, vb0, vb1, b_pk, on, b_cols)
         if touched_a is None and touched_b is None:
-            return {"pairs_deleted": 0, "pairs_inserted": 0, "va": va1, "vb": vb1}
+            return {"files_rewritten": 0, "pairs_inserted": 0, "va": va1, "vb": vb1}
         deleted = 0
         for pk, touched in ((a_pk, touched_a), (b_pk, touched_b)):
             if touched is not None:
@@ -550,10 +561,13 @@ class MaterializedJoinView:
             fresh = inserts[0]
             for p in inserts[1:]:
                 fresh = fresh.unionByName(p)
-            fresh = fresh.select(*self.table.read().columns)
+            # persist: the re-derivation joins feed BOTH the emptiness
+            # count and the append — without it they execute twice
+            fresh = fresh.select(*self.table.read().columns).persist()
             n_ins = fresh.count()
             if n_ins:
                 self.table.write(fresh, mode="append")
+            fresh.unpersist()
         self._save({**d, "va": va1, "vb": vb1})
         return {
             "files_rewritten": deleted,
@@ -593,12 +607,15 @@ class MaterializedJoinView:
             when_not_matched_insert_all=False,
             matched_delete=True,
         )["files_rewritten"]
-        fresh = self._join(
-            F.broadcast(live), self._select_side(other, opk, on, ocols), on
-        ).select(*self.table.read().columns)
+        fresh = (
+            self._join(F.broadcast(live), self._select_side(other, opk, on, ocols), on)
+            .select(*self.table.read().columns)
+            .persist()  # feeds both the count and the append
+        )
         n_ins = fresh.count()
         if n_ins:
             self.table.write(fresh, mode="append")
+        fresh.unpersist()
         return {"files_rewritten": deleted, "pairs_inserted": n_ins}
 
     def streaming_sink(self, side: str):

@@ -19,7 +19,17 @@ sys.path.insert(0, "/root/repo")
 
 
 def type_kind_spark(dt: str) -> str:
-    """Collapse a Spark simpleString dtype to a comparison kind."""
+    """Collapse a Spark simpleString dtype to a comparison kind.
+
+    Integer widths <= 64 bits deliberately collapse to ONE kind (the
+    VERDICT r10 item-2 spec: "int<->int with width <= 64"): the r10
+    q126/q129 failures were VALUE degradation (int128 -> float64
+    renders 3557.0 vs 3557), which no width <= 64 exhibits — int32 and
+    int64 render the same value through the driver's hash bridge, as
+    nine rounds of green samples over mixed-width queries confirm.
+    FLOAT/REAL vs DOUBLE likewise only differ when a value needs more
+    than 24 mantissa bits, which the float discipline (DECIMAL sums
+    cast to DOUBLE on both sides) already rules out."""
     d = dt.lower()
     if d.startswith("decimal"):
         return "decimal"
