@@ -1380,7 +1380,15 @@ def _ivf_sq8_layout(spark: SparkSession, sf_dir: str, n_clusters: int = 8) -> tu
     from ent_fins_lakehouse_spark.operators.similarity import quantize_int8
 
     digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    root = os.path.join(tempfile.gettempdir(), f"efl_ivf_sq8_{digest}_k{n_clusters}")
+    # per-PROCESS root: the layout is still built once and reused by
+    # every probe query in the session (the amortization that matters),
+    # but two concurrent sessions never share it — a stable cross-
+    # process path raced one session's atexit cleanup / rebuild against
+    # another's reads (observed as UNABLE_TO_INFER_SCHEMA when three
+    # verify sweeps ran concurrently)
+    root = os.path.join(
+        tempfile.gettempdir(), f"efl_ivf_sq8_{digest}_k{n_clusters}_p{os.getpid()}"
+    )
     path = os.path.join(root, "embeddings_by_cluster")
     meta = os.path.join(root, "centroids.json")
     if os.path.isfile(meta) and os.path.isfile(os.path.join(path, "_SUCCESS")):
@@ -2262,7 +2270,9 @@ def _ivf_pq_layout(
     )
 
     digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    root = os.path.join(tempfile.gettempdir(), f"efl_ivf_pq_{digest}_k{n_clusters}")
+    root = os.path.join(
+        tempfile.gettempdir(), f"efl_ivf_pq_{digest}_k{n_clusters}_p{os.getpid()}"
+    )  # per-process: see _ivf_sq8_layout
     path = os.path.join(root, "embeddings_by_cluster")
     meta = os.path.join(root, "index.json")
     if os.path.isfile(meta) and os.path.isfile(os.path.join(path, "_SUCCESS")):
