@@ -981,3 +981,29 @@ def test_weighted_reservoir_sample_is_weight_biased_and_stable(spark):
     )
     sampled = sum(r["n_tokens"] for r in s1) / len(s1)
     assert sampled > corpus, (sampled, corpus)
+
+
+def test_duplicated_spans_absolute_cap_engages(spark):
+    """The r11a scale lesson as a pinned unit test: a gram present in
+    MORE docs than max_docs_per_gram must be gated out (its pairs
+    vanish) even when the fractional cap would admit it — the absolute
+    bound is what keeps per-gram join fan-out O(cap^2) at any corpus
+    size."""
+    from ent_fins_lakehouse_spark.operators.dedup import duplicated_spans
+
+    boiler = "this exact boilerplate sentence appears everywhere ok"
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} unique padding {i * 7919} " + boiler) for i in range(8)],
+        "doc_id INT, text STRING",
+    )
+    # fractional cap alone (max_doc_freq=1.0 -> cap 8) admits the
+    # boilerplate gram: every pair shares the long span
+    loose = duplicated_spans(
+        docs, "doc_id", "text", k=8, min_span=14, max_doc_freq=1.0, max_docs_per_gram=64
+    ).collect()
+    assert len(loose) == 8 * 7 // 2, "all pairs share the boilerplate span"
+    # absolute cap 4 < 8 docs gates the shared grams out entirely
+    tight = duplicated_spans(
+        docs, "doc_id", "text", k=8, min_span=14, max_doc_freq=1.0, max_docs_per_gram=4
+    ).collect()
+    assert tight == [], f"capped gate must drop the busy grams: {tight[:3]}"
