@@ -564,7 +564,8 @@ def kgram_position_hashes(
     1000003 over utf-8 bytes of the whitespace-normalized, lowercased
     text), vectorized with sliding_window_view; values are emitted as
     the signed-int64 view so they live in a Spark LongType column.
-    SQL-replayable exactly (see plans/llm_queries.py::_kgram_hash_sql)
+    SQL-replayable exactly (the DuckDB replays live inline in
+    plans/llm_queries.py::_q65_oracle and ::_q373_oracle)
     because the k power constants mod 2^64 are plain integers."""
     import numpy as np
     import pandas as pd

@@ -66,8 +66,27 @@ def _det_ln_rational_sql(num: int, den: int) -> str:
     return f"(0.0 - {det_ln_ratio_sql(str(den), str(num))})"
 
 
+def _validate_mu(
+    m: tuple[int, int], u: tuple[int, int], name: str = "<field>"
+) -> None:
+    """Loudly reject degenerate m/u: either probability at 0 or 1, or
+    m == u, yields ln(0), a zero denominator, or ln(1) fed into the
+    score — a silent -inf/NaN instead of a configuration error."""
+    mn, md = m
+    un, ud = u
+    if md <= 0 or ud <= 0:
+        raise ValueError(f"field {name!r}: m/u denominators must be positive")
+    if not (0 < mn < md):
+        raise ValueError(f"field {name!r}: m={mn}/{md} must satisfy 0 < m < 1")
+    if not (0 < un < ud):
+        raise ValueError(f"field {name!r}: u={un}/{ud} must satisfy 0 < u < 1")
+    if mn * ud == un * md:
+        raise ValueError(f"field {name!r}: m == u carries no information")
+
+
 def field_weights(m: tuple[int, int], u: tuple[int, int]) -> tuple[Column, Column]:
     """(agreement_weight, disagreement_weight) Columns for one field."""
+    _validate_mu(m, u)
     mn, md = m
     un, ud = u
     agree = _det_ln_rational(mn * ud, md * un)  # ln((m)/(u))
@@ -76,6 +95,7 @@ def field_weights(m: tuple[int, int], u: tuple[int, int]) -> tuple[Column, Colum
 
 
 def field_weights_sql(m: tuple[int, int], u: tuple[int, int]) -> tuple[str, str]:
+    _validate_mu(m, u)
     mn, md = m
     un, ud = u
     return (
@@ -90,6 +110,7 @@ def fellegi_sunter_score(fields: list[FieldSpec]) -> Column:
     order in any SQL twin)."""
     score = None
     for f in fields:
+        _validate_mu(f.m, f.u, f.name)
         wa, wd = field_weights(f.m, f.u)
         contrib = F.when(f.agree, wa).otherwise(wd)
         score = contrib if score is None else (score + contrib)

@@ -434,7 +434,13 @@ def cosine_pairs_blockwise_numpy(
             pairs = pairs.orderBy(
                 F.desc("cosine_sim"), F.asc("id_a"), F.asc("id_b")
             ).limit(top_n + RESCORE_MARGIN)
-        pairs = F.broadcast(pairs.select("id_a", "id_b"))
+            # top_n bounds the candidate set, so it broadcasts safely;
+            # without it the per-block pair set is only min_cosine-
+            # filtered (or unfiltered) and can exceed driver memory —
+            # let AQE pick the join strategy from real sizes instead
+            pairs = F.broadcast(pairs.select("id_a", "id_b"))
+        else:
+            pairs = pairs.select("id_a", "id_b")
         t = (
             df.select(
                 F.col(id_col).alias("_rid"),

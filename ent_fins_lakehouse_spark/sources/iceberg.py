@@ -5484,7 +5484,9 @@ class IcebergTable:
             "delete_manifests_dropped": dropped,
         }
 
-    def remove_orphan_files(self, dry_run: bool = False) -> dict:
+    def remove_orphan_files(
+        self, dry_run: bool = False, older_than_hours: float = 72.0
+    ) -> dict:
         """remove_orphan_files — reclaim files referenced by NO
         snapshot of ANY retained ``*.metadata.json`` (crash leftovers:
         a writer that staged data files, manifests, or a manifest list
@@ -5496,9 +5498,20 @@ class IcebergTable:
         version hints, and Puffin files referenced by live snapshots
         are never touched. Live files of EVERY snapshot in every
         retained metadata version are kept, so time travel survives.
+
+        ``older_than_hours`` (default 72, matching Iceberg's 3-day
+        retention) is the crash-window safety horizon: a file whose
+        mtime is newer than the horizon is SKIPPED even if currently
+        unreferenced, because a concurrent writer may have staged it
+        and not yet won its optimistic metadata commit — deleting it
+        would corrupt that writer's eventually-successful commit. Pass
+        ``older_than_hours=0`` only when no concurrent writer can
+        exist (tests, single-writer maintenance windows).
+
         Returns ``{"orphans": [...]}`` under dry_run, else the deleted
         count."""
         import glob as _glob
+        import time as _time
 
         # reachability roots: every snapshot of every retained
         # metadata.json version (a crash-window orphan is by
@@ -5539,7 +5552,15 @@ class IcebergTable:
         # never *.metadata.json (the commit history) or other artifacts
         for p in _glob.glob(os.path.join(self.meta_dir, "*.avro")):
             on_disk.add(os.path.abspath(p))
-        orphans = sorted(on_disk - live)
+        horizon = _time.time() - older_than_hours * 3600.0
+        orphans = []
+        for p in sorted(on_disk - live):
+            try:
+                if os.path.getmtime(p) > horizon:
+                    continue  # inside the concurrent-writer window
+            except OSError:
+                continue  # already gone — someone else reclaimed it
+            orphans.append(p)
         if dry_run:
             return {"orphans": orphans}
         for p in orphans:

@@ -40,6 +40,13 @@ from pyspark.sql import functions as F
 
 from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
 
+#: The create-time clustering rewrite (OPTIMIZE on the a-side pk) only
+#: runs once the view outgrows this — below it, a per-tick full view
+#: scan is already trivial and the rewrite would cost more than it
+#: saves. The clustering DECLARATION always lands regardless, so a
+#: later bare optimize() establishes the layout when the view grows.
+CLUSTER_REWRITE_MIN_BYTES = 8 * 1024 * 1024
+
 #: CDF row polarity for self-maintainable aggregates
 _SIGN = {
     "insert": 1,
@@ -428,6 +435,12 @@ class MaterializedJoinView:
 
     # -------------------------------------------------------- compute
 
+    def _table_bytes(self) -> int:
+        """Total data bytes of the view table (metadata-only: summed
+        add-action sizes)."""
+        adds, _schema, _pc, _meta = self.table._snapshot()
+        return sum(int(i.get("size") or 0) for i in adds.values())
+
     def _select_side(self, df: DataFrame, pk: str, on: list[str], cols: list[str]) -> DataFrame:
         return df.select(pk, *on, *cols)
 
@@ -456,6 +469,22 @@ class MaterializedJoinView:
         mv = self._join(a, b, on)
         os.makedirs(self.dest, exist_ok=True)
         self.table.write(mv, mode="overwrite")
+        # Cluster the view on the A-side pk (VERDICT r11 item 2):
+        # OPTIMIZE range-partitions + sorts the WRITTEN files (one
+        # re-read — never a recompute of the join, which a
+        # repartitionByRange before the write would sample-execute
+        # twice), so every file covers a tight disjoint a_pk range and
+        # the touched-pk delete-MERGE in refresh()/apply_side_changes()
+        # prunes to O(touched files) via merge-key data skipping
+        # instead of re-scanning the whole view per maintenance tick.
+        # The clustering DECLARATION always lands (one metadata
+        # commit); the physical rewrite only runs once the view is big
+        # enough for per-tick scans to dominate the one-time rewrite —
+        # below the gate a full view scan is already trivial, and a
+        # later bare optimize() establishes the layout when it grows.
+        self.table.set_clustering([a_pk])
+        if self._table_bytes() >= CLUSTER_REWRITE_MIN_BYTES:
+            self.table.optimize()
         n_pairs = self.table.read().count()  # count the WRITTEN table, not a join re-run
         # a FULL-refresh replay of create() must not drop the streaming
         # sinks' exactly-once state: carry applied-batch ids forward

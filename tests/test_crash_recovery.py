@@ -223,7 +223,7 @@ def test_iceberg_append_crash_before_metadata_commit(spark, tmp_path, monkeypatc
     orphans = set(_all_files(t.path)) - before
     assert orphans, "crash should have left staged files behind"
 
-    t.remove_orphan_files()
+    t.remove_orphan_files(older_than_hours=0)
     assert not (set(_all_files(t.path)) & orphans), "orphans must be reclaimed"
 
     t.append(spark.range(100, 150).selectExpr("id", "id % 7 AS k").coalesce(1))
@@ -258,7 +258,7 @@ def test_iceberg_mor_delete_crash_before_metadata_commit(spark, tmp_path, monkey
     assert t.read().count() == 100, "uncommitted delete must not mask rows"
     orphans = set(_all_files(t.path)) - before
 
-    t.remove_orphan_files()
+    t.remove_orphan_files(older_than_hours=0)
     assert not (set(_all_files(t.path)) & orphans)
 
     t.delete("k = 3", mode="mor")

@@ -2947,14 +2947,39 @@ def test_iceberg_remove_orphan_files(spark, tmp_path):
     # crash leftover: a staged file that never got its metadata commit
     orphan = str(tmp_path / "t" / "data" / "deadbeef-orphan.parquet")
     spark.range(0, 5).coalesce(1).toPandas().to_parquet(orphan)
-    pre = t.remove_orphan_files(dry_run=True)
+    pre = t.remove_orphan_files(dry_run=True, older_than_hours=0)
     assert pre["orphans"] == [os.path.abspath(orphan)]
-    res = t.remove_orphan_files()
+    res = t.remove_orphan_files(older_than_hours=0)
     assert res["orphans_deleted"] == 1 and not os.path.exists(orphan)
     # live files (incl. historical snapshots' and delete files) survive
     assert t.read().count() == 27
     snaps = t.snapshots_df().collect()
     assert t.read(snapshot_id=snaps[0].snapshot_id).count() == 30
+
+
+def test_iceberg_orphan_retention_spares_fresh_files(spark, tmp_path):
+    """The older_than horizon (Iceberg's 3-day default) must SKIP
+    unreferenced files newer than the horizon: a concurrent writer may
+    have staged them and not yet won its optimistic metadata commit.
+    Only a file backdated past the horizon is reclaimed."""
+    import os
+    import time
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    t = IcebergTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(0, 10).selectExpr("id", "id AS v"))
+    fresh = str(tmp_path / "t" / "data" / "inflight-concurrent.parquet")
+    old = str(tmp_path / "t" / "data" / "ancient-orphan.parquet")
+    pdf = spark.range(0, 3).toPandas()
+    pdf.to_parquet(fresh)
+    pdf.to_parquet(old)
+    past = time.time() - 80 * 3600  # beyond the 72h default horizon
+    os.utime(old, (past, past))
+    res = t.remove_orphan_files()  # default horizon
+    assert res["orphans_deleted"] == 1
+    assert os.path.exists(fresh), "in-window staged file must survive"
+    assert not os.path.exists(old)
 
 
 def test_delta_id_mode_mapped_append(spark, tmp_path):
@@ -6026,3 +6051,63 @@ def test_hll_ndv_view_maintenance_and_refusal(spark, tmp_path):
     }
     for g in exact:
         assert abs(got2[g] - exact[g]) <= max(1, exact[g] // 20)
+
+
+def test_merge_key_data_skipping_prunes_files(spark, tmp_path, monkeypatch):
+    """Merge-key data skipping (VERDICT r11 item 2): on a pk-clustered
+    table, a touched-pk MERGE's candidate set excludes every file whose
+    [min, max] stats range cannot hold a source key — the O(touched
+    files) maintenance scan the join-MV tick relies on."""
+    from ent_fins_lakehouse_spark.sources import lakehouse as lh
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    monkeypatch.setattr(lh, "MERGE_PRUNE_MIN_BYTES", 0)
+    t = DeltaLogTable(spark, str(tmp_path / "t"))
+    # 4 files with disjoint id ranges (range-partition + sort = the
+    # clustered layout MaterializedJoinView.create writes)
+    df = (
+        spark.range(0, 400)
+        .selectExpr("id", "id * 2 AS v")
+        .repartitionByRange(4, "id")
+        .sortWithinPartitions("id")
+    )
+    t.write(df, mode="overwrite")
+    adds, schema, part_cols, meta = t._snapshot()
+    assert len(adds) == 4
+    _, pmap = t._mapping(meta, schema)
+
+    # keys land in one range only -> one candidate file
+    src = spark.createDataFrame([(5,), (17,)], "id long")
+    cand = t._merge_candidate_files(src, ["id"], adds, schema, part_cols, pmap)
+    assert cand is not None and len(cand) == 1
+
+    # keys spanning two ranges -> two candidates
+    src2 = spark.createDataFrame([(5,), (399,)], "id long")
+    cand2 = t._merge_candidate_files(src2, ["id"], adds, schema, part_cols, pmap)
+    assert cand2 is not None and len(cand2) == 4  # min/max range spans all
+
+    # empty key feed -> no candidate at all
+    src3 = spark.createDataFrame([], "id long")
+    cand3 = t._merge_candidate_files(src3, ["id"], adds, schema, part_cols, pmap)
+    assert cand3 == []
+
+    # string-only keys carry no file stats -> pruning declines (None)
+    t2 = DeltaLogTable(spark, str(tmp_path / "t2"))
+    t2.write(spark.range(0, 10).selectExpr("CAST(id AS STRING) AS k"))
+    adds2, schema2, pc2, meta2 = t2._snapshot()
+    _, pmap2 = t2._mapping(meta2, schema2)
+    srcs = spark.createDataFrame([("3",)], "k string")
+    assert t2._merge_candidate_files(srcs, ["k"], adds2, schema2, pc2, pmap2) is None
+
+    # end-to-end: the delete-merge rewrites only the overlapping file
+    # and the result is exact
+    res = t.merge(
+        src,
+        on=["id"],
+        when_matched_update_all=False,
+        when_not_matched_insert_all=False,
+        matched_delete=True,
+    )
+    assert res["files_rewritten"] == 1
+    assert t.read().count() == 398
+    assert t.read().filter("id IN (5, 17)").count() == 0
