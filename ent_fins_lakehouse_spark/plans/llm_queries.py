@@ -284,22 +284,85 @@ def q58_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, "embedding", list(qvec), k=10, id_col="vec_id")
 
 
-@query("q59_ann_lsh_topk", oracle=None, tags=("llm", "similarity"))
+def _exact_top10_oracle(*flags: str) -> str:
+    """q58's exact-top-10 oracle with literal-TRUE invariant columns
+    appended — the ANN tier's hard-signal shape (see
+    :func:`_ann_exact_with_flags`)."""
+    cols = "".join(f", TRUE AS {f}" for f in flags)
+    return f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qe, q.qe))) AS cosine_sim
+      FROM embeddings e, q
+    )
+    SELECT vec_id, cosine_sim{cols} FROM scored
+    ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    """
+
+
+def _ann_exact_with_flags(exact, id_col: str, flags) -> DataFrame:
+    """The q141 sketch-beside-exact pattern applied to the ANN tier
+    (VERDICT r11 item 1): the EXACT top-k is the hash-checkable
+    payload, and each ``(name, ann_result, floor_hits)`` triple folds
+    one deterministic boolean column into the plan — did the ANN
+    plan's result contain at least ``floor_hits`` of the exact top-k
+    ids (recall@k ≥ floor). The ANN machinery (seeded LSH / KMeans —
+    deterministic given the data) genuinely executes inside this
+    plan; a recall regression flips the boolean and the DuckDB
+    oracle's literal TRUE hash-mismatches. 1-row broadcast crossJoins
+    only — no payload perturbation, no extra shuffle."""
+    out = exact
+    for name, ann_ids, floor_hits in flags:
+        hit = (
+            exact.select(id_col)
+            .join(ann_ids.select(id_col), id_col, "inner")
+            .agg(F.count("*").alias("_n"))
+            .select((F.col("_n") >= F.lit(int(floor_hits))).alias(name))
+        )
+        out = out.crossJoin(F.broadcast(hit))
+    return out
+
+
+@query(
+    "q59_ann_lsh_topk",
+    oracle=_exact_top10_oracle("lsh_recall_ok"),
+    tags=("llm", "similarity"),
+)
 def q59_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via random-projection LSH (recall vs q58
-    asserted in tests)."""
+    """Random-projection LSH ANN under the driver's hard signal: the
+    seeded LSH probe (4 tables) runs in-plan and its top-10 recall
+    against the exact top-10 folds into ``lsh_recall_ok`` (floor 3/10
+    — LSH trades recall for sublinear probes; the test floor). The
+    payload rows are the exact ranking, hash-checked by the oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return ann_topk_lsh(emb, "embedding", list(qvec), k=10, id_col="vec_id")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    exact = cosine_topk(emb, "embedding", qvec, k=10, id_col="vec_id")
+    ann = ann_topk_lsh(emb, "embedding", qvec, k=10, id_col="vec_id")
+    return _ann_exact_with_flags(exact, "vec_id", [("lsh_recall_ok", ann, 3)])
 
 
-@query("q60_ivf_topk", oracle=None, tags=("llm", "similarity"))
+@query(
+    "q60_ivf_topk",
+    oracle=_exact_top10_oracle("ivf_recall_ok"),
+    tags=("llm", "similarity"),
+)
 def q60_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (KMeans coarse quantizer, n_probe=4) approximate top-10."""
+    """IVF ANN (KMeans coarse quantizer, n_probe=4 of 8 cells) under
+    the driver's hard signal: the probe's top-10 recall vs the exact
+    top-10 folds into ``ivf_recall_ok`` (floor 5/10 — the test-suite
+    floor for a 4/8-cell probe). Payload rows are the exact ranking,
+    hash-checked by the oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    exact = cosine_topk(emb, "embedding", qvec, k=10, id_col="vec_id")
     indexed, centroids = build_ivf_index(emb, "embedding", n_clusters=8)
-    return ivf_topk(indexed, centroids, "embedding", list(qvec), k=10, id_col="vec_id", n_probe=4)
+    ann = ivf_topk(
+        indexed, centroids, "embedding", qvec, k=10, id_col="vec_id", n_probe=4
+    )
+    return _ann_exact_with_flags(exact, "vec_id", [("ivf_recall_ok", ann, 5)])
 
 
 @query(
@@ -1357,58 +1420,146 @@ def _centroid_probe(centroids: list[list[float]], qvec: list[float], n_probe: in
     return sorted(range(len(centroids)), key=lambda i: -cos(centroids[i], qvec))[:n_probe]
 
 
+def _dataset_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
+    """Content fingerprint of one dataset table for layout addressing:
+    md5 over the dataset path PLUS each data file's (relpath, size,
+    mtime_ns). Two sessions pointing at the same bytes share a layout;
+    a rewritten dataset addresses a fresh one. Metadata-only — no data
+    is read."""
+    import hashlib
+    import os
+
+    h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    target = os.path.join(sf_dir, f"{table}.parquet")
+    entries: list[tuple] = []
+    if os.path.isdir(target):
+        for dp, _dn, fns in os.walk(target):
+            for fn in fns:
+                p = os.path.join(dp, fn)
+                st = os.stat(p)
+                entries.append(
+                    (os.path.relpath(p, target), st.st_size, st.st_mtime_ns)
+                )
+    elif os.path.isfile(target):
+        st = os.stat(target)
+        entries.append((os.path.basename(target), st.st_size, st.st_mtime_ns))
+    for e in sorted(entries):
+        h.update(repr(e).encode())
+    return h.hexdigest()[:16]
+
+
+def _serving_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    kind: str,
+    n_clusters: int,
+    meta_name: str,
+    build,
+) -> tuple[str, object]:
+    """Build-once / probe-MANY-SESSIONS ANN serving layout plumbing
+    (VERDICT r11 item 4): the layout root is CONTENT-ADDRESSED —
+    keyed by (dataset fingerprint, index params), no pid — so a second
+    fresh session serves probes from the first session's build instead
+    of rebuilding a 100 TB index per process.
+
+    Concurrency contract (the r11 race, solved structurally instead of
+    by pid isolation):
+    - builds land in a pid-scratch dir and PUBLISH via one atomic
+      os.rename — readers can never observe a half-built layout at the
+      content address;
+    - a rename loser discards its scratch and serves the winner's
+      identical layout;
+    - the shared root is NEVER removed at exit (the r11 cleanup race;
+      cross-session amortization requires the layout to outlive the
+      session) — content addressing bounds accumulation to distinct
+      (dataset, params) pairs in the system tempdir;
+    - if the content address is unusable (pre-existing invalid debris),
+      the build falls back to serving from its pid scratch, which IS
+      atexit-cleaned (the r11 behavior).
+
+    ``build(data_path)`` writes the partitioned parquet layout and
+    returns the JSON-serializable metadata (centroids / codebooks).
+    Returns (data_path, metadata)."""
+    import atexit
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    fp = _dataset_fingerprint(sf_dir)
+    final_root = os.path.join(
+        tempfile.gettempdir(), f"efl_{kind}_{fp}_k{n_clusters}"
+    )
+
+    def _load(root: str):
+        meta = os.path.join(root, meta_name)
+        data = os.path.join(root, "embeddings_by_cluster")
+        if os.path.isfile(meta) and os.path.isfile(os.path.join(data, "_SUCCESS")):
+            with open(meta, encoding="utf-8") as fh:
+                return data, json.load(fh)
+        return None
+
+    got = _load(final_root)
+    if got is not None:
+        return got
+    scratch = f"{final_root}.build_p{os.getpid()}"
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch, exist_ok=True)
+    meta_obj = build(os.path.join(scratch, "embeddings_by_cluster"))
+    with open(os.path.join(scratch, meta_name), "w", encoding="utf-8") as fh:
+        json.dump(meta_obj, fh)
+    with open(os.path.join(scratch, "built_by.json"), "w", encoding="utf-8") as fh:
+        json.dump({"pid": os.getpid(), "kind": kind, "fingerprint": fp}, fh)
+    try:
+        os.rename(scratch, final_root)  # the atomic publish
+    except OSError:
+        pass
+    got = _load(final_root)
+    if got is not None:
+        shutil.rmtree(scratch, ignore_errors=True)
+        return got
+    # content address unusable — serve this process's scratch build
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    data, meta_obj = _load(scratch) or (os.path.join(scratch, "embeddings_by_cluster"), meta_obj)
+    return data, meta_obj
+
+
 def _ivf_sq8_layout(spark: SparkSession, sf_dir: str, n_clusters: int = 8) -> tuple[str, list[list[float]]]:
     """Build-once / probe-many IVF-SQ8 serving layout.
 
     The embeddings table is written hive-partitioned by KMeans cluster
     id with BOTH the full-precision vector and its int8 quantization
     (qvec, qscale) as sibling columns; centroids are persisted beside
-    it. The layout lives at a stable per-dataset path and is REUSED on
-    every subsequent probe (index builds are amortized across queries
-    in production — a 100 TB index is rebuilt on ingest cadence, not
-    per query); delete the directory to force a rebuild. The scratch
-    root is registered for atexit cleanup so long sessions don't
-    accumulate layouts. Returns (parquet_path, centroids).
-    """
-    import atexit
-    import hashlib
-    import json
-    import os
-    import shutil
-    import tempfile
-
+    it. The layout lives at a CONTENT-ADDRESSED path (dataset
+    fingerprint + index params — see :func:`_serving_layout`) and is
+    reused by every probe in every session pointing at the same data
+    (index builds amortize across queries AND sessions in production —
+    a 100 TB index is rebuilt on ingest cadence, not per process);
+    delete the directory to force a rebuild. Returns
+    (parquet_path, centroids)."""
     from ent_fins_lakehouse_spark.operators.similarity import quantize_int8
 
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    # per-PROCESS root: the layout is still built once and reused by
-    # every probe query in the session (the amortization that matters),
-    # but two concurrent sessions never share it — a stable cross-
-    # process path raced one session's atexit cleanup / rebuild against
-    # another's reads (observed as UNABLE_TO_INFER_SCHEMA when three
-    # verify sweeps ran concurrently)
-    root = os.path.join(
-        tempfile.gettempdir(), f"efl_ivf_sq8_{digest}_k{n_clusters}_p{os.getpid()}"
+    def build(data_path: str):
+        emb = load_table(spark, sf_dir, "embeddings")
+        indexed, centroids = build_ivf_index(emb, "embedding", n_clusters=n_clusters)
+        qz = quantize_int8(indexed, "embedding")
+        # zero vectors have no quantization scale (and no cosine): keep
+        # the row (full-precision column stays complete) but null out
+        # qvec so the quantized scorer skips it explicitly
+        qz = qz.withColumn("qvec", F.when(F.col("qscale") > 0, F.col("qvec")))
+        qz.write.mode("overwrite").partitionBy("ivf_cluster").parquet(data_path)
+        return centroids
+
+    return _serving_layout(
+        spark, sf_dir, "ivf_sq8", n_clusters, "centroids.json", build
     )
-    path = os.path.join(root, "embeddings_by_cluster")
-    meta = os.path.join(root, "centroids.json")
-    if os.path.isfile(meta) and os.path.isfile(os.path.join(path, "_SUCCESS")):
-        with open(meta, encoding="utf-8") as fh:
-            return path, json.load(fh)
-    emb = load_table(spark, sf_dir, "embeddings")
-    indexed, centroids = build_ivf_index(emb, "embedding", n_clusters=n_clusters)
-    qz = quantize_int8(indexed, "embedding")
-    # zero vectors have no quantization scale (and no cosine): keep the
-    # row (full-precision column stays complete) but null out qvec so
-    # the quantized scorer skips it explicitly
-    qz = qz.withColumn("qvec", F.when(F.col("qscale") > 0, F.col("qvec")))
-    qz.write.mode("overwrite").partitionBy("ivf_cluster").parquet(path)
-    with open(meta, "w", encoding="utf-8") as fh:
-        json.dump(centroids, fh)
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
-    return path, centroids
 
 
-@query("q144_ivf_partitioned_serving", oracle=None, tags=("llm", "similarity", "layout"))
+@query(
+    "q144_ivf_partitioned_serving",
+    oracle=_exact_top10_oracle("ivf_serving_recall_ok"),
+    tags=("llm", "similarity", "layout"),
+)
 def q144_ivf_partitioned_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN serving as a storage-layout problem: the IVF index (KMeans
     cluster assignment) is PERSISTED as a hive-partitioned layout
@@ -1419,10 +1570,13 @@ def q144_ivf_partitioned_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector corpus is actually served: the index is a partition key,
     not an in-memory structure, and every probe is a partition-pruned
     columnar scan (~n_probe/n_clusters of the table) + exact rescore.
-    The layout is built once per dataset and reused across probes
-    (see :func:`_ivf_sq8_layout`). Rows-only (KMeans isn't
-    SQL-expressible); equality with the in-memory IVF probe (q60) and
-    recall vs exact (q58) are asserted in tests/test_llm_ops.py."""
+    The layout is built once per dataset and reused across probes AND
+    sessions (see :func:`_ivf_sq8_layout`).
+
+    Hard signal (VERDICT r12): the pruned probe runs in-plan and its
+    top-10 recall vs the exact top-10 folds into
+    ``ivf_serving_recall_ok`` (floor 5/10, the 4/8-cell probe floor);
+    payload rows are the exact ranking, hash-checked by the oracle."""
     from ent_fins_lakehouse_spark.operators.similarity import with_cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1431,15 +1585,23 @@ def q144_ivf_partitioned_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = _centroid_probe(centroids, qvec, n_probe=4)
     scan = spark.read.parquet(path).filter(F.col("ivf_cluster").isin(probe))
     _require_partition_pruned(scan, "ivf_cluster")
-    return (
+    served = (
         with_cosine(scan, "embedding", qvec)
         .select("vec_id", "cosine_sim")
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(10)
     )
+    exact = cosine_topk(emb, "embedding", qvec, k=10, id_col="vec_id")
+    return _ann_exact_with_flags(
+        exact, "vec_id", [("ivf_serving_recall_ok", served, 5)]
+    )
 
 
-@query("q148_ivf_sq8_serving", oracle=None, tags=("llm", "similarity", "layout"))
+@query(
+    "q148_ivf_sq8_serving",
+    oracle=_exact_top10_oracle("sq8_recall_ok", "rescore_tier_exact"),
+    tags=("llm", "similarity", "layout"),
+)
 def q148_ivf_sq8_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end IVF-SQ8 serving — q138's quantized filter-then-
     rescore composed with q144's partition-pruned layout. The probe:
@@ -1458,9 +1620,20 @@ def q148_ivf_sq8_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the full production story: the index is a
     partition key (metadata pruning), the hot scan is the quantized
     column (I/O), and full floats are touched for ~50 rows per query.
-    Rows-only (KMeans); recall vs the exact q58 baseline is asserted
-    ≥ the plain-IVF q60 baseline in tests/test_llm_ops.py."""
-    from ent_fins_lakehouse_spark.operators.similarity import _dot, _norm, dequantize
+
+    Hard signal (VERDICT r12): two deterministic booleans fold the
+    serving invariants into the oracle-checked output —
+    ``sq8_recall_ok`` (served top-10 recalls ≥ 5/10 of the exact
+    global top-10) and ``rescore_tier_exact`` (the rescored top-10
+    EQUALS the exact-over-probed-cells top-10 on (vec_id,
+    round(cosine, 9)) — the 50-candidate quantized prefilter loses no
+    ranking fidelity). Payload rows are the exact global ranking."""
+    from ent_fins_lakehouse_spark.operators.similarity import (
+        _dot,
+        _norm,
+        dequantize,
+        with_cosine,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
@@ -1478,15 +1651,35 @@ def q148_ivf_sq8_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("approx_sim"), F.asc("vec_id"))
         .limit(50)
     )
-    exact = (
+    exact_cos = (
         _dot(F.col("embedding").cast("array<double>"), qlit)
         / (_norm(F.col("embedding").cast("array<double>")) * _norm(qlit))
     ).alias("cosine_sim")
-    return (
-        cand.select("vec_id", "approx_sim", exact)
+    served = (
+        cand.select("vec_id", exact_cos)
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(10)
     )
+    probed_exact = (
+        with_cosine(scan, "embedding", qvec)
+        .select("vec_id", "cosine_sim")
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+    def _r9(df):
+        return df.select("vec_id", F.round("cosine_sim", 9).alias("_c"))
+
+    tier_eq = (
+        _r9(served)
+        .exceptAll(_r9(probed_exact))
+        .unionAll(_r9(probed_exact).exceptAll(_r9(served)))
+        .agg(F.count("*").alias("_n"))
+        .select((F.col("_n") == 0).alias("rescore_tier_exact"))
+    )
+    exact = cosine_topk(emb, "embedding", qvec, k=10, id_col="vec_id")
+    out = _ann_exact_with_flags(exact, "vec_id", [("sq8_recall_ok", served, 5)])
+    return out.crossJoin(F.broadcast(tier_eq))
 
 
 @query("q151_ivf_blocked_near_dup", oracle=None, tags=("llm", "similarity", "dedup"))
@@ -2001,7 +2194,11 @@ def q175_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q176_pq_ann", oracle=None, tags=("llm", "similarity"))
+@query(
+    "q176_pq_ann",
+    oracle=_exact_top10_oracle("pq_recall_ok"),
+    tags=("llm", "similarity"),
+)
 def q176_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (the compression tier beyond q138's
     scalar int8): 64-dim floats → 8 codes of 4 bits (64× smaller hot
@@ -2009,8 +2206,13 @@ def q176_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Asymmetric Distance Computation — an m×k dot table embedded as
     array literals, summed JVM-side per row with zero Python in the
     scan — then the top-50 candidates exact-rescore on full precision.
-    Rows-only check (KMeans); recall vs the exact top-k is asserted in
-    tests/test_llm_ops.py."""
+
+    Hard signal (VERDICT r12): the ADC+rerank probe runs in-plan and
+    its top-10 recall vs the exact top-10 folds into ``pq_recall_ok``
+    (floor 5/10 at rerank=200 — measured 7-10/10 across
+    sf0.001/0.01/0.1; the 4-bit codes are deliberately coarse, the
+    rerank tier carries the precision). Payload rows are the exact
+    ranking, hash-checked by the oracle."""
     from ent_fins_lakehouse_spark.operators.similarity import (
         build_pq_codebooks,
         pq_encode,
@@ -2021,9 +2223,11 @@ def q176_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
     books = build_pq_codebooks(emb, "embedding", m=8, k=16)
     enc = pq_encode(emb.select("vec_id", "embedding"), "embedding", books)
-    return pq_topk(
-        enc, emb, books, "embedding", qvec, k=10, id_col="vec_id", rerank=50
+    ann = pq_topk(
+        enc, emb, books, "embedding", qvec, k=10, id_col="vec_id", rerank=200
     )
+    exact = cosine_topk(emb, "embedding", qvec, k=10, id_col="vec_id")
+    return _ann_exact_with_flags(exact, "vec_id", [("pq_recall_ok", ann, 5)])
 
 
 @query(
@@ -2256,46 +2460,38 @@ def _ivf_pq_layout(
     with the deeper compression tier): hive-partitioned by KMeans
     cluster id, rows carry the full-precision vector PLUS the 8×4-bit
     PQ codes and reconstructed norm; centroids and codebooks persist
-    beside it. Returns (parquet_path, centroids, codebooks)."""
-    import atexit
-    import hashlib
-    import json
-    import os
-    import shutil
-    import tempfile
-
+    beside it. Content-addressed and cross-session reusable — see
+    :func:`_serving_layout`. Returns (parquet_path, centroids,
+    codebooks)."""
     from ent_fins_lakehouse_spark.operators.similarity import (
         build_pq_codebooks,
         pq_encode,
     )
 
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    root = os.path.join(
-        tempfile.gettempdir(), f"efl_ivf_pq_{digest}_k{n_clusters}_p{os.getpid()}"
-    )  # per-process: see _ivf_sq8_layout
-    path = os.path.join(root, "embeddings_by_cluster")
-    meta = os.path.join(root, "index.json")
-    if os.path.isfile(meta) and os.path.isfile(os.path.join(path, "_SUCCESS")):
-        with open(meta, encoding="utf-8") as fh:
-            m = json.load(fh)
-        return path, m["centroids"], m["books"]
-    emb = load_table(spark, sf_dir, "embeddings")
-    indexed, centroids = build_ivf_index(emb, "embedding", n_clusters=n_clusters)
-    books = build_pq_codebooks(emb, "embedding", m=8, k=16)
-    enc = pq_encode(indexed, "embedding", books)
-    # zero vectors have no cosine: null the codes so the ADC scorer
-    # skips them explicitly (full-precision column stays complete)
-    enc = enc.withColumn(
-        "pq_codes", F.when(F.col("pq_norm") > 0, F.col("pq_codes"))
+    def build(data_path: str):
+        emb = load_table(spark, sf_dir, "embeddings")
+        indexed, centroids = build_ivf_index(emb, "embedding", n_clusters=n_clusters)
+        books = build_pq_codebooks(emb, "embedding", m=8, k=16)
+        enc = pq_encode(indexed, "embedding", books)
+        # zero vectors have no cosine: null the codes so the ADC scorer
+        # skips them explicitly (full-precision column stays complete)
+        enc = enc.withColumn(
+            "pq_codes", F.when(F.col("pq_norm") > 0, F.col("pq_codes"))
+        )
+        enc.write.mode("overwrite").partitionBy("ivf_cluster").parquet(data_path)
+        return {"centroids": centroids, "books": books}
+
+    path, m = _serving_layout(
+        spark, sf_dir, "ivf_pq", n_clusters, "index.json", build
     )
-    enc.write.mode("overwrite").partitionBy("ivf_cluster").parquet(path)
-    with open(meta, "w", encoding="utf-8") as fh:
-        json.dump({"centroids": centroids, "books": books}, fh)
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
-    return path, centroids, books
+    return path, m["centroids"], m["books"]
 
 
-@query("q188_ivf_pq_serving", oracle=None, tags=("llm", "similarity", "layout"))
+@query(
+    "q188_ivf_pq_serving",
+    oracle=_exact_top10_oracle("ivf_pq_recall_ok"),
+    tags=("llm", "similarity", "layout"),
+)
 def q188_ivf_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end IVF-PQ serving — the deepest compression tier of the
     ANN family matrix (q60 IVF → q138 SQ8 → q148 IVF-SQ8 → q176 PQ →
@@ -2304,11 +2500,17 @@ def q188_ivf_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells), ADC-score ONLY the 4-byte PQ codes column via JVM
     element_at lookups over the query's dot table (the 64×-smaller
     hot column; parquet is columnar, floats cost nothing yet), then
-    exact-rescore the top-50 on full precision. At 100 TB: partition
+    exact-rescore the top-200 on full precision. At 100 TB: partition
     pruning handles the index, the scan streams 4-byte codes, and
-    full floats are touched for ~50 rows per query. Rows-only
-    (KMeans); recall vs the exact baseline is asserted in
-    tests/test_llm_ops.py."""
+    full floats are touched for ~200 rows per query.
+
+    Hard signal (VERDICT r12): the full pruned-scan + ADC + rescore
+    pipeline runs in-plan and its top-10 recall vs the exact top-10
+    folds into ``ivf_pq_recall_ok`` (floor 5/10 — the IVF probe
+    bounds recall; PQ only orders within probed cells, and the
+    200-candidate rescore tier absorbs the 4-bit codes' coarseness on
+    small corpora). Payload rows are the exact ranking, hash-checked
+    by the oracle."""
     import math
 
     from ent_fins_lakehouse_spark.operators.similarity import _dot, _norm
@@ -2338,18 +2540,20 @@ def q188_ivf_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             (approx_dot / (F.lit(qn) * F.col("pq_norm"))).alias("approx_sim"),
         )
         .orderBy(F.desc("approx_sim"), F.asc("vec_id"))
-        .limit(50)
+        .limit(200)
     )
     qlit = F.array(*[F.lit(float(x)) for x in qvec])
-    exact = (
+    exact_cos = (
         _dot(F.col("embedding").cast("array<double>"), qlit)
         / (_norm(F.col("embedding").cast("array<double>")) * _norm(qlit))
     ).alias("cosine_sim")
-    return (
-        cand.select("vec_id", "approx_sim", exact)
+    served = (
+        cand.select("vec_id", exact_cos)
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(10)
     )
+    exact = cosine_topk(emb, "embedding", qvec, k=10, id_col="vec_id")
+    return _ann_exact_with_flags(exact, "vec_id", [("ivf_pq_recall_ok", served, 5)])
 
 
 @query(
@@ -3682,7 +3886,34 @@ def q232_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q262_ivf_incremental_append", oracle=None, tags=("llm", "similarity", "layout"))
+_Q262_ORACLE = """
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 50
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 7),
+    scored AS (
+      SELECT c.vec_id,
+             list_dot_product(c.v, q.qe)
+               / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qe, q.qe)))
+               AS cosine_sim
+      FROM corpus c, q
+    )
+    SELECT vec_id, cosine_sim,
+           TRUE AS clone_cell_ok, TRUE AS clone_served_ok,
+           TRUE AS clone_tie_ok, TRUE AS inc_recall_ok
+    FROM scored
+    ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    """
+
+
+@query(
+    "q262_ivf_incremental_append",
+    oracle=_Q262_ORACLE,
+    tags=("llm", "similarity", "layout"),
+)
 def q262_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL maintenance of the IVF serving layout (the gap
     between q188's build-once index and a live corpus): a new vector
@@ -3692,11 +3923,17 @@ def q262_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     hive-partitioned layout — so index maintenance costs O(batch), not
     O(corpus), and probes keep their PartitionFilters pruning
     (enforced). The fixture appends exact clones of the first 50
-    vectors under new ids and probes with vector 7: its clone MUST
-    land in the probed cells and tie the original's cosine (asserted),
-    proving the appended rows are served through the same pruned path.
-    Rows-only (KMeans); assignment/probe invariants asserted inline
-    and in tests/test_llm_ops.py."""
+    vectors under new ids and probes with vector 7.
+
+    Hard signal (VERDICT r12): the maintenance invariants fold into
+    oracle-checked booleans — ``clone_cell_ok`` (clone 1000007 landed
+    in vector 7's cell), ``clone_served_ok`` (the served top-2 is
+    exactly {7, 1000007} — appended rows flow through the same pruned
+    path), ``clone_tie_ok`` (clone cosine ties the original), and
+    ``inc_recall_ok`` (served top-10 recalls ≥ 5/10 of the exact
+    top-10 over the UNION corpus). Payload rows are that exact
+    union-corpus ranking — fully SQL-expressible since the appended
+    batch is a deterministic transform of the base table."""
     import math
 
     from ent_fins_lakehouse_spark.operators.similarity import (
@@ -3740,8 +3977,7 @@ def q262_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "ivf_cluster")
         .collect()
     }
-    if cells[7] != cells[1_000_007]:
-        raise AssertionError(f"clone landed in a different cell: {cells}")
+    clone_cell_ok = cells.get(7) is not None and cells.get(7) == cells.get(1_000_007)
 
     qvec = list(emb.filter(F.col("vec_id") == 7).select("embedding").head()[0])
 
@@ -3754,7 +3990,7 @@ def q262_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan = spark.read.parquet(path).filter(F.col("ivf_cluster").isin(probe))
     _require_partition_pruned(scan, "ivf_cluster")
     qlit = F.array(*[F.lit(float(x)) for x in qvec])
-    out = (
+    served = (
         scan.select(
             "vec_id",
             (
@@ -3765,13 +4001,28 @@ def q262_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(10)
     )
-    top = out.limit(2).collect()
-    ids = {r["vec_id"] for r in top}
-    if not {7, 1_000_007} <= ids:
-        raise AssertionError(f"appended clone not served at top: {ids}")
-    if abs(top[0]["cosine_sim"] - top[1]["cosine_sim"]) > 1e-9:
-        raise AssertionError("clone cosine must tie the original")
-    return out
+    top = served.limit(2).collect()
+    clone_served_ok = {r["vec_id"] for r in top} == {7, 1_000_007}
+    clone_tie_ok = (
+        len(top) == 2 and abs(top[0]["cosine_sim"] - top[1]["cosine_sim"]) <= 1e-9
+    )
+    # the exact ranking over the UNION corpus (base + appended clones)
+    # — the SQL-expressible payload the oracle reproduces
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        emb.filter(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+    )
+    exact = cosine_topk(corpus, "embedding", qvec, k=10, id_col="vec_id")
+    out = _ann_exact_with_flags(exact, "vec_id", [("inc_recall_ok", served, 5)])
+    return out.select(
+        "vec_id",
+        "cosine_sim",
+        F.lit(bool(clone_cell_ok)).alias("clone_cell_ok"),
+        F.lit(bool(clone_served_ok)).alias("clone_served_ok"),
+        F.lit(bool(clone_tie_ok)).alias("clone_tie_ok"),
+        "inc_recall_ok",
+    )
 
 
 @query(
