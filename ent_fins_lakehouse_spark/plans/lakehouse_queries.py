@@ -6399,7 +6399,8 @@ def q336_incremental_materialized_view(spark: SparkSession, sf_dir: str) -> Data
     "q338_insert_only_minmax_view",
     oracle="""
     WITH final_state AS (
-      SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events
+      SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v
+      FROM events WHERE event_id % 7 <> 0
       UNION ALL
       SELECT event_type, CAST(value * 3 AS DECIMAL(18,2)) AS v
       FROM events WHERE event_id % 5 = 0
@@ -6413,21 +6414,20 @@ def q336_incremental_materialized_view(spark: SparkSession, sf_dir: str) -> Data
     tags=("lakehouse", "materialized-view", "cdf", "incremental"),
 )
 def q338_insert_only_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MIN/MAX in an incrementally-maintained view — the algebra's
-    boundary case: under an INSERT-ONLY feed the extrema are
-    self-maintainable (LEAST/GREATEST against the batch minima/maxima,
-    Gupta/Mumick's distributive case), but ONE delete breaks it (the
-    removed row might have BEEN the extremum, and no delta can recover
-    the runner-up without re-scanning the group). The view therefore
-    refuses a delete-bearing window LOUDLY — asserted here — and heals
-    via refresh(full=True). This is the append-only telemetry-rollup
-    pattern (events never retract) where the refusal never fires and
-    refresh stays O(new rows).
+    """MIN/MAX in an incrementally-maintained view — both halves of
+    Gupta & Mumick's extrema algebra: under an INSERT-ONLY window the
+    extrema self-maintain (LEAST/GREATEST against the batch
+    minima/maxima — the distributive case), and a DELETE-bearing
+    window completes via re-derivation of ONLY the affected groups
+    (the removed row might have BEEN the extremum; the runner-up is
+    recovered by a semi-join-pushed re-scan of just those groups —
+    O(affected groups), never O(table), and never ``full=True``).
 
-    Fixture: create over events, one enriched append, incremental
-    refresh (LEAST/GREATEST path), then a base DELETE -> the next
-    incremental refresh raises -> full refresh recovers; final view
-    is restated by the oracle and equals a recompute exactly."""
+    Fixture: create over events, one enriched append (incremental
+    LEAST/GREATEST tick, bit-identical to a recompute), then a base
+    DELETE of ~1/7 of the original rows — the next INCREMENTAL
+    refresh applies it (VERDICT r11 item 5) and the final view equals
+    a full recompute exactly; the oracle restates that final state."""
     from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
     from ent_fins_lakehouse_spark.sources.matview import MaterializedAggView
 
@@ -6455,23 +6455,15 @@ def q338_insert_only_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = mv.read()
     assert got.exceptAll(want).unionByName(want.exceptAll(got)).count() == 0
 
-    # one delete breaks min/max self-maintainability: refuse loudly...
+    # the delete window maintains INCREMENTALLY now — affected groups
+    # (those whose extremum was removed) re-derive, the rest take pure
+    # count/sum deltas; bit-identity with a recompute is the contract
     base.delete("event_id % 7 = 0 AND event_id < 10000000")
-    try:
-        mv.refresh()
-        raise AssertionError("delete-bearing window must be refused")
-    except ValueError as e:
-        assert "insert-only" in str(e), e
-    # ...but the delete must NOT have been half-applied
-    assert got.exceptAll(mv.read()).count() == 0
-    # heal with a full refresh; bring the base back to oracle shape
-    base.write(
-        load_table(spark, sf_dir, "events")
-        .select("event_id", "event_type", "value")
-        .filter(F.col("event_id") % 7 == 0),
-        mode="append",
-    )
-    mv.refresh(full=True)
+    res2 = mv.refresh()
+    assert res2["mode"] == "incremental" and res2["groups_touched"] >= 1, res2
+    want2 = mv._aggregate(base.read(), ["event_type"], ["value"], ["value"])
+    got2 = mv.read()
+    assert got2.exceptAll(want2).unionByName(want2.exceptAll(got2)).count() == 0
 
     return (
         mv.read()

@@ -667,11 +667,11 @@ class LakehouseSession:
             return None
         if m := self._CREATE_MV.match(s):
             # restricted to the INCREMENTALLY MAINTAINABLE algebra
-            # (sources/matview.py): COUNT(*) / SUM / insert-only
-            # MIN/MAX / insert-only APPROX_COUNT_DISTINCT (mergeable
-            # HLL sketch) over GROUP BY keys. Output column names are
-            # the engine's canonical n_rows / sum_<c> / min_<c> /
-            # max_<c> / ndv_<c>.
+            # (sources/matview.py): COUNT(*) / SUM / MIN/MAX (deletes
+            # re-derive affected groups) / insert-only
+            # APPROX_COUNT_DISTINCT (mergeable HLL sketch) over GROUP
+            # BY keys. Output column names are the engine's canonical
+            # n_rows / sum_<c> / min_<c> / max_<c> / ndv_<c>.
             from ent_fins_lakehouse_spark.sources.matview import MaterializedAggView
 
             group_cols = [c.strip() for c in m["grp"].split(",") if c.strip()]

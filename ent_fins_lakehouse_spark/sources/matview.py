@@ -15,14 +15,15 @@ and MERGEs them into the view. Refresh cost is O(changed rows) +
 O(touched groups) — at 100 TB with a steady trickle of DML, the
 difference between an unusable nightly recompute and a seconds-long
 maintenance tick. AVG rides for free as sum/count at read time. MIN /
-MAX are self-maintainable ONLY under insert-only feeds (LEAST /
-GREATEST merge); a deleted extremum needs a group re-scan, so a view
-carrying them REFUSES delete-bearing change windows and points at
-``refresh(full=True)``. APPROXIMATE DISTINCT columns (``ndv_cols``)
+MAX self-maintain under inserts (LEAST/GREATEST merge); a DELETE that
+ties the stored extremum triggers Gupta & Mumick's completion —
+re-aggregation of ONLY the affected groups from the base table
+(semi-join-pushed scan, O(affected groups), never O(table)).
+APPROXIMATE DISTINCT columns (``ndv_cols``)
 maintain a mergeable DataSketches HLL sketch per group (register-max
 ``hll_union`` merge, 4 KB state, ~1.6% RSE at lgK=12) with the
 estimate denormalized beside it — the only distinct-count that
-refreshes in O(changed rows) at 100 TB; insert-only like MIN/MAX
+refreshes in O(changed rows) at 100 TB; insert-only, unlike MIN/MAX
 (registers cannot forget).
 
 Exactness discipline: sums accumulate in DECIMAL (order-insensitive),
@@ -182,13 +183,15 @@ class MaterializedAggView:
     ) -> dict:
         """Full initial compute at the base's current version.
 
-        ``minmax_cols`` adds MIN/MAX columns and ``ndv_cols`` adds
-        approximate-distinct columns (a mergeable DataSketches HLL
-        sketch per group + its denormalized estimate) — both
-        maintainable ONLY under an insert-only feed (a deleted extremum
-        needs a group re-scan; HLL registers are max-merged and cannot
-        forget); :meth:`apply_changes` refuses deletes when they are
-        configured and points at ``refresh(full=True)``."""
+        ``minmax_cols`` adds MIN/MAX columns — maintained under ANY
+        feed: inserts LEAST/GREATEST-merge, and a deleted extremum
+        triggers per-group re-derivation of only the affected groups
+        (see :meth:`apply_changes`). ``ndv_cols`` adds approximate-
+        distinct columns (a mergeable DataSketches HLL sketch per
+        group + its denormalized estimate) — insert-only (registers
+        are max-merged and cannot forget); :meth:`apply_changes`
+        refuses deletes when they are configured and points at
+        ``refresh(full=True)``."""
         base_version = self._base_version()
         # pin the scan to the recorded version: a commit racing in
         # between would otherwise be aggregated NOW and re-applied by
@@ -225,9 +228,10 @@ class MaterializedAggView:
 
         Incremental path: one CDF read of the window, one per-group
         delta aggregation, one MERGE into the view (+ a cleanup DELETE
-        of groups whose count reached zero). ``full=True`` recomputes
-        instead (the escape hatch when the CDF window was checkpointed
-        away)."""
+        of groups whose count reached zero; + a bounded per-group
+        re-derivation when a MIN/MAX extremum was deleted).
+        ``full=True`` recomputes instead (the escape hatch when the
+        CDF window was checkpointed away)."""
         d = self._load()
         group_cols, sum_cols = d["group_cols"], d["sum_cols"]
         v0, v1 = int(d["last_version"]), self._base_version()
@@ -246,7 +250,7 @@ class MaterializedAggView:
         changes = self._base_changes(v0, v1)
         if int(self._load()["last_version"]) != v0:
             raise RuntimeError("concurrent refresh detected — retry")
-        stats = self.apply_changes(changes)
+        stats = self.apply_changes(changes, base_version=v1)
         self._save({**d, "last_version": v1})
         return {
             "mode": "incremental",
@@ -255,20 +259,33 @@ class MaterializedAggView:
             **stats,
         }
 
-    def apply_changes(self, changes: DataFrame) -> dict:
+    def apply_changes(
+        self, changes: DataFrame, base_version: int | None = None
+    ) -> dict:
         """Apply one batch of CDF-shaped rows (table columns +
         ``_change_type``) to the view: per-group delta aggregation →
         one MERGE → cleanup DELETE of zero-count groups. Shared by
         :meth:`refresh` (batch window) and :meth:`streaming_sink`
-        (one micro-batch at a time)."""
+        (one micro-batch at a time).
+
+        MIN/MAX under deletes (Gupta & Mumick's re-derive-affected-
+        groups completion): insert-polarity rows LEAST/GREATEST-merge
+        as before; when a delete-polarity row's value TIES the stored
+        extremum of its group, ONLY those affected groups re-aggregate
+        their extrema from the base table (semi-join on the group keys
+        — the filter pushes to the scan, so the cost is O(affected
+        groups), never O(table)). ``base_version`` pins the re-scan to
+        the window end (refresh passes it); the streaming sink reads
+        the current base — a racing commit's effect is re-applied by
+        its own later window, converging (at-least-once, like the
+        marker protocol). HLL-NDV views still refuse deletes (register
+        sketches cannot forget)."""
         d = self._load()
         group_cols, sum_cols = d["group_cols"], d["sum_cols"]
         minmax_cols = d.get("minmax_cols") or []
         ndv_cols = d.get("ndv_cols") or []
         self._guard_keys(changes.select(*group_cols), group_cols, "change feed")
-        allowed = (
-            ("insert",) if (minmax_cols or ndv_cols) else tuple(_SIGN)
-        )
+        allowed = ("insert",) if ndv_cols else tuple(_SIGN)
         bad = (
             changes.filter(~F.col("_change_type").isin(*allowed))
             .select("_change_type")
@@ -277,9 +294,10 @@ class MaterializedAggView:
         )
         if bad:
             hint = (
-                "MIN/MAX and HLL-NDV views are insert-only "
-                "self-maintainable — refresh(full=True) instead"
-                if (minmax_cols or ndv_cols)
+                "HLL-NDV views are insert-only self-maintainable "
+                "(register sketches cannot forget) — refresh(full=True) "
+                "instead"
+                if ndv_cols
                 else "full-refresh instead"
             )
             raise ValueError(
@@ -292,41 +310,57 @@ class MaterializedAggView:
             ),
             F.col("_change_type"),
         )
+        ins = F.col("_sign") == 1
         mm_aggs = []
         for c in minmax_cols:
-            mm_aggs.append(F.min(F.col(c).cast("decimal(18,2)")).alias(f"min_{c}"))
-            mm_aggs.append(F.max(F.col(c).cast("decimal(18,2)")).alias(f"max_{c}"))
+            # extrema merge from INSERT-polarity rows only — added
+            # values can only extend a min/max; removed values are
+            # handled by the affected-group re-derivation below
+            mm_aggs.append(
+                F.min(F.when(ins, F.col(c).cast("decimal(18,2)"))).alias(f"min_{c}")
+            )
+            mm_aggs.append(
+                F.max(F.when(ins, F.col(c).cast("decimal(18,2)"))).alias(f"max_{c}")
+            )
         for c in ndv_cols:
             sk = F.hll_sketch_agg(F.col(c), F.lit(self.HLL_LG_K))
             mm_aggs.append(sk.alias(f"_sk_{c}"))
             mm_aggs.append(
                 F.hll_sketch_estimate(sk).cast("long").alias(f"ndv_{c}")
             )
-        deltas = (
-            changes.withColumn("_sign", sign)
-            .groupBy(*group_cols)
-            .agg(
-                F.sum("_sign").cast("long").alias("n_rows"),
-                *[
-                    F.sum(
-                        F.col(c).cast("decimal(18,2)") * F.col("_sign")
-                    )
-                    .cast("decimal(28,2)")
-                    .alias(f"sum_{c}")
-                    for c in sum_cols
-                ],
-                *mm_aggs,
-            )
+        changes = changes.withColumn("_sign", sign)
+        deltas_ext = changes.groupBy(*group_cols).agg(
+            F.sum("_sign").cast("long").alias("n_rows"),
+            *[
+                F.sum(
+                    F.col(c).cast("decimal(18,2)") * F.col("_sign")
+                )
+                .cast("decimal(28,2)")
+                .alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+            *mm_aggs,
+            # delete presence must be tracked separately from the net
+            # count: a group with 3 inserts + 1 delete nets positive
+            # yet may still have lost its extremum
+            F.sum(F.when(F.col("_sign") == -1, 1).otherwise(0))
+            .cast("long")
+            .alias("_n_del"),
         )
-        # one control-plane job answers both "how many groups" and
-        # "can any count have reached zero" (cleanup is skippable
-        # whenever no delta is negative)
-        probe = deltas.agg(
-            F.count(F.lit(1)).alias("n"), F.min("n_rows").alias("mn")
+        # one control-plane job answers "how many groups", "can any
+        # count have reached zero" (cleanup is skippable whenever no
+        # delta is negative) and "did any delete land" (extrema
+        # re-derivation is skippable without one)
+        probe = deltas_ext.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_rows").alias("mn"),
+            F.max("_n_del").alias("dl"),
         ).first()
+        deltas = deltas_ext.drop("_n_del")
         touched = int(probe["n"])
         if touched == 0:
             return {"groups_touched": 0, "groups_dropped": 0}
+        has_deletes = int(probe["dl"]) > 0
         updates = {"n_rows": "t.n_rows + s.n_rows"}
         for c in sum_cols:
             updates[f"sum_{c}"] = (
@@ -349,6 +383,11 @@ class MaterializedAggView:
             matched_update=updates,
             when_not_matched_insert_all=True,
         )
+        rederived = 0
+        if minmax_cols and has_deletes:
+            rederived = self._rederive_minmax(
+                changes, group_cols, minmax_cols, base_version
+            )
         # a zero NET delta still matters: a batch bundling a group's
         # insert AND delete merges in an n_rows=0 row — cleanup must
         # run unless every delta is strictly positive
@@ -357,7 +396,99 @@ class MaterializedAggView:
             if int(probe["mn"]) <= 0
             else 0
         )
-        return {"groups_touched": touched, "groups_dropped": dropped}
+        out = {"groups_touched": touched, "groups_dropped": dropped}
+        if minmax_cols:
+            out["groups_rederived"] = rederived
+        return out
+
+    def _rederive_minmax(
+        self,
+        changes: DataFrame,
+        group_cols: list[str],
+        minmax_cols: list[str],
+        base_version: int | None,
+    ) -> int:
+        """Gupta & Mumick's affected-group re-derivation: a group needs
+        its extrema re-scanned ONLY if a removed value ties-or-beats
+        the group's stored (post-merge) extremum — otherwise the stored
+        value provably survives. Affected groups re-aggregate from the
+        base table behind a broadcast semi-join on the group keys (the
+        predicate reaches the scan; O(affected groups), not O(table))
+        and MERGE back. Groups left empty keep stale extrema for one
+        instant and are dropped by the n_rows=0 cleanup that follows.
+        Returns the number of re-derived groups."""
+        removed_aggs = []
+        for c in minmax_cols:
+            v = F.when(F.col("_sign") == -1, F.col(c).cast("decimal(18,2)"))
+            removed_aggs.append(F.min(v).alias(f"_rm_min_{c}"))
+            removed_aggs.append(F.max(v).alias(f"_rm_max_{c}"))
+        removed = (
+            changes.filter(F.col("_sign") == -1)
+            .groupBy(*group_cols)
+            .agg(*removed_aggs)
+        )
+        view_now = self.table.read()
+        cond = None
+        for c in minmax_cols:
+            e = (F.col(f"_rm_min_{c}") <= F.col(f"min_{c}")) | (
+                F.col(f"_rm_max_{c}") >= F.col(f"max_{c}")
+            )
+            cond = e if cond is None else (cond | e)
+        affected = (
+            removed.join(
+                view_now.select(
+                    *group_cols,
+                    *[F.col(f"min_{c}") for c in minmax_cols],
+                    *[F.col(f"max_{c}") for c in minmax_cols],
+                ),
+                on=group_cols,
+                how="inner",
+            )
+            .filter(cond)
+            .select(*group_cols)
+        )
+        base_at = (
+            self._base_read_at(base_version)
+            if base_version is not None
+            else self.base.read()
+        )
+        reagg = (
+            base_at.join(F.broadcast(affected), on=group_cols, how="left_semi")
+            .groupBy(*group_cols)
+            .agg(
+                *[
+                    a
+                    for c in minmax_cols
+                    for a in (
+                        F.min(F.col(c).cast("decimal(18,2)")).alias(f"_new_min_{c}"),
+                        F.max(F.col(c).cast("decimal(18,2)")).alias(f"_new_max_{c}"),
+                    )
+                ]
+            )
+        )
+        replaced = {f"min_{c}" for c in minmax_cols} | {
+            f"max_{c}" for c in minmax_cols
+        }
+        corrected = view_now.join(
+            F.broadcast(reagg), on=group_cols, how="inner"
+        ).select(
+            *[
+                F.col(f"_new_{name}").alias(name)
+                if name in replaced
+                else F.col(name)
+                for name in view_now.columns
+            ]
+        ).persist()  # feeds both the count and the merge
+        n = corrected.count()
+        if n:
+            self.table.merge(
+                corrected,
+                on=list(group_cols),
+                when_matched_update_all=True,
+                when_not_matched_insert_all=False,
+            )
+        corrected.unpersist()
+        return n
 
     def streaming_sink(self):
         """A ``foreachBatch`` function continuously maintaining this

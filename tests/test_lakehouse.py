@@ -6111,3 +6111,72 @@ def test_merge_key_data_skipping_prunes_files(spark, tmp_path, monkeypatch):
     assert res["files_rewritten"] == 1
     assert t.read().count() == 398
     assert t.read().filter("id IN (5, 17)").count() == 0
+
+
+def test_minmax_view_maintains_under_deletes(spark, tmp_path):
+    """Gupta-Mumick affected-group re-derivation (VERDICT r11 item 5):
+    a MIN/MAX view applies delete windows INCREMENTALLY — only groups
+    whose extremum was removed re-scan; a duplicate extremum survives
+    without drifting; an emptied group drops; updates (preimage +
+    postimage pairs) maintain too. Bit-identity with a recompute after
+    every window, never full=True."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+    from ent_fins_lakehouse_spark.sources.matview import MaterializedAggView
+
+    rows = [
+        # g=0: min 1 (unique), max 9 (duplicated)
+        (0, 0, 1.0), (1, 0, 5.0), (2, 0, 9.0), (3, 0, 9.0),
+        # g=1: min 2 duplicated, middle 5, max 8 unique
+        (4, 1, 2.0), (5, 1, 2.0), (6, 1, 8.0), (9, 1, 5.0),
+        # g=2: will be emptied
+        (7, 2, 4.0), (8, 2, 6.0),
+    ]
+    base = DeltaLogTable(spark, str(tmp_path / "b"))
+    base.write(
+        spark.createDataFrame(rows, "k long, g long, v double"), mode="append"
+    )
+    base.set_property("delta.enableChangeDataFeed", "true")
+    mv = MaterializedAggView(spark, base, str(tmp_path / "v"))
+    mv.create(["g"], ["v"], minmax_cols=["v"])
+
+    def assert_identical():
+        want = mv._aggregate(base.read(), ["g"], ["v"], ["v"])
+        got = mv.read()
+        assert got.exceptAll(want).unionByName(want.exceptAll(got)).count() == 0
+
+    # delete g=0's unique min (k=0) and ONE copy of g=1's dup min (k=4)
+    base.delete("k IN (0, 4)")
+    res = mv.refresh()
+    assert res["mode"] == "incremental"
+    # both groups' deltas tie the stored min -> both re-derive
+    assert res["groups_rederived"] == 2, res
+    assert_identical()
+    g0 = mv.read().filter("g = 0").collect()[0]
+    assert float(g0["min_v"]) == 5.0  # runner-up recovered
+    g1 = mv.read().filter("g = 1").collect()[0]
+    assert float(g1["min_v"]) == 2.0  # duplicate extremum survives
+
+    # deleting a MIDDLE value (g=1's 5.0, strictly between the stored
+    # extrema) must not re-derive — the stored extrema provably survive
+    base.delete("k = 9")
+    res2 = mv.refresh()
+    assert res2["groups_rederived"] == 0, res2
+    assert_identical()
+
+    # empty a whole group: the n_rows=0 cleanup drops it
+    base.delete("g = 2")
+    res3 = mv.refresh()
+    assert res3["groups_dropped"] == 1, res3
+    assert_identical()
+    assert mv.read().filter("g = 2").count() == 0
+
+    # an UPDATE window (preimage+postimage) that moves the max down
+    base.update({"v": "3.0"}, "k = 2")  # 9.0 -> 3.0 (one 9 remains)
+    base.update({"v": "2.5"}, "k = 3")  # the last 9.0 -> 2.5
+    res4 = mv.refresh()
+    assert res4["mode"] == "incremental"
+    assert_identical()
+    g0b = mv.read().filter("g = 0").collect()[0]
+    assert float(g0b["max_v"]) == 5.0
