@@ -144,6 +144,9 @@ HEADLINE = [
     "q377_record_linkage",
     "q378_streaming_join_mv",
     "q379_session_pattern_match",
+    # r12: WITH RECURSIVE lowered through the SQL facade (fixture
+    # build + depth-bounded fixpoint loop — a lifecycle row)
+    "q382_recursive_cte_sql",
 ]
 
 # Headline rows whose wall is dominated by table BUILDS + commit
@@ -175,6 +178,7 @@ LIFECYCLE = {
     "q371_iceberg_zorder_rewrite",
     "q374_join_mv_incremental",
     "q378_streaming_join_mv",
+    "q382_recursive_cte_sql",
 }
 
 

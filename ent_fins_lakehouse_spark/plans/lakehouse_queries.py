@@ -7713,3 +7713,63 @@ def q381_sql_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q382_recursive_cte_sql",
+    oracle="""
+    WITH RECURSIVE r (node, cur, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer
+      UNION ALL
+      SELECT node, cur // 10, depth + 1 FROM r WHERE cur >= 10
+    )
+    SELECT depth,
+           COUNT(*) AS n_nodes,
+           CAST(SUM(node) AS BIGINT) AS sum_keys,
+           MIN(cur) AS min_root,
+           MAX(cur) AS max_root
+    FROM r WHERE cur < 10
+    GROUP BY depth ORDER BY depth
+    """,
+    tags=("lakehouse", "sql", "recursive", "iterative"),
+)
+def q382_recursive_cte_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITH RECURSIVE`` through the SQL facade (VERDICT r11 item 6)
+    — the one major SQL surface Spark lacks, lowered in catalog.py to
+    the engine's iterative-dataflow fixpoint (the q248/q303 loop):
+    base select seeds the frontier, the step select sees the CTE name
+    bound to the CURRENT frontier (Postgres/DuckDB working-table
+    semantics, UNION ALL bag / UNION set+semi-naive), each frontier is
+    eagerly checkpointed so lineage stays O(1) per iteration, and a
+    MAX_RECURSION cap fails a diverging recursion loudly. The oracle
+    is DuckDB's NATIVE recursive CTE over the same hierarchy — a free
+    exact cross-engine check of the whole lowering. Base table
+    references resolve through the catalog (q248's synthetic forest:
+    parent = key div 10, roots < 10), so depth tracks log10 of the
+    key domain — the driver loop is recursion depth, never row
+    count."""
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    t = DeltaLogTable(spark, _scratch("rcte") + "_t")
+    t.write(cust.coalesce(2), mode="overwrite")
+    lh = LakehouseSession(spark, _scratch("wh_rcte"))
+    lh.sql("CREATE DATABASE rc")
+    lh.sql(f"CREATE TABLE rc.customers USING DELTA LOCATION '{t.path}'")
+    return lh.sql(
+        """
+        WITH RECURSIVE r (node, cur, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM rc.customers
+          UNION ALL
+          SELECT node, cur DIV 10, depth + 1 FROM r WHERE cur >= 10
+        )
+        SELECT depth,
+               COUNT(*) AS n_nodes,
+               CAST(SUM(node) AS BIGINT) AS sum_keys,
+               MIN(cur) AS min_root,
+               MAX(cur) AS max_root
+        FROM r WHERE cur < 10
+        GROUP BY depth ORDER BY depth
+        """
+    )

@@ -324,3 +324,101 @@ def test_sql_join_mv_lifecycle(spark, tmp_path):
             "CREATE MATERIALIZED VIEW j.v2 AS SELECT pk, k, z "
             "FROM j.a JOIN j.ice USING (k) KEYED BY (pk, k)"
         )
+
+
+def test_with_recursive_union_distinct_terminates_on_cycle(spark, tmp_path):
+    """UNION (set) semantics dedupe the frontier against everything
+    seen (semi-naive evaluation), so a CYCLIC graph's transitive
+    closure terminates — the case UNION ALL would loop forever on."""
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src int, dst int"
+    )
+    t = DeltaLogTable(spark, str(tmp_path / "e"))
+    t.write(edges, mode="overwrite")
+    lh = LakehouseSession(spark, str(tmp_path / "wh"))
+    lh.sql("CREATE DATABASE g")
+    lh.sql(f"CREATE TABLE g.edges USING DELTA LOCATION '{t.path}'")
+    got = lh.sql(
+        """
+        WITH RECURSIVE reach (src, dst) AS (
+          SELECT src, dst FROM g.edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN g.edges e ON r.dst = e.src
+        )
+        SELECT src, dst FROM reach ORDER BY src, dst
+        """
+    )
+    rows = {(r["src"], r["dst"]) for r in got.collect()}
+    # transitive closure of {1->2->3->1, 3->4}: every node in the cycle
+    # reaches every node (incl. itself) and 4; 4 reaches nothing
+    want = {(s, d) for s in (1, 2, 3) for d in (1, 2, 3, 4)}
+    assert rows == want
+    # cross-engine: DuckDB's native recursive CTE agrees
+    import duckdb
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE edges (src INT, dst INT)")
+    duck.executemany(
+        "INSERT INTO edges VALUES (?, ?)", [(1, 2), (2, 3), (3, 1), (3, 4)]
+    )
+    dk = set(
+        map(
+            tuple,
+            duck.execute(
+                """
+        WITH RECURSIVE reach (src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src, dst FROM reach ORDER BY src, dst
+        """
+            ).fetchall(),
+        )
+    )
+    assert rows == dk
+
+
+def test_with_recursive_divergence_fails_loudly(spark, tmp_path, monkeypatch):
+    """A step with no termination condition hits MAX_RECURSION and
+    raises instead of looping forever."""
+    import pytest
+
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    t = DeltaLogTable(spark, str(tmp_path / "n"))
+    t.write(spark.createDataFrame([(1,)], "x int"), mode="overwrite")
+    lh = LakehouseSession(spark, str(tmp_path / "wh"))
+    lh.sql("CREATE DATABASE d")
+    lh.sql(f"CREATE TABLE d.n USING DELTA LOCATION '{t.path}'")
+    monkeypatch.setattr(type(lh), "MAX_RECURSION", 5)
+    with pytest.raises(ValueError, match="did not converge"):
+        lh.sql(
+            """
+            WITH RECURSIVE r (x) AS (
+              SELECT x FROM d.n
+              UNION ALL
+              SELECT x + 1 FROM r
+            )
+            SELECT COUNT(*) FROM r
+            """
+        )
+
+
+def test_with_recursive_rejects_malformed_body(spark, tmp_path):
+    import pytest
+
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+
+    lh = LakehouseSession(spark, str(tmp_path / "wh"))
+    with pytest.raises(ValueError, match="UNION"):
+        lh.sql("WITH RECURSIVE r AS (SELECT 1 AS x) SELECT * FROM r")
+    with pytest.raises(ValueError, match="final SELECT"):
+        lh.sql(
+            "WITH RECURSIVE r AS (SELECT 1 AS x UNION ALL "
+            "SELECT x + 1 FROM r WHERE x < 3) DELETE FROM r"
+        )
