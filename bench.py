@@ -145,8 +145,11 @@ HEADLINE = [
     "q378_streaming_join_mv",
     "q379_session_pattern_match",
     # r12: WITH RECURSIVE lowered through the SQL facade (fixture
-    # build + depth-bounded fixpoint loop — a lifecycle row)
+    # build + depth-bounded fixpoint loop) and the equality-delete
+    # CDC stream (two availableNow drains over upsert_eq/delete_eq
+    # snapshots) — both lifecycle rows
     "q382_recursive_cte_sql",
+    "q383_iceberg_eq_delete_stream",
 ]
 
 # Headline rows whose wall is dominated by table BUILDS + commit
@@ -179,6 +182,7 @@ LIFECYCLE = {
     "q374_join_mv_incremental",
     "q378_streaming_join_mv",
     "q382_recursive_cte_sql",
+    "q383_iceberg_eq_delete_stream",
 }
 
 

@@ -1690,3 +1690,115 @@ def q378_streaming_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q383_iceberg_eq_delete_stream",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR(MAX(c_custkey) / 4.0) AS BIGINT) AS lo,
+             CAST(FLOOR(MAX(c_custkey) / 2.0) AS BIGINT) AS mid,
+             CAST(FLOOR(3 * MAX(c_custkey) / 4.0) AS BIGINT) AS hi
+      FROM customer
+    ),
+    mrg AS (SELECT * FROM customer
+            WHERE c_custkey > (SELECT lo FROM b)
+              AND c_custkey <= (SELECT mid FROM b)),
+    ins AS (SELECT * FROM customer WHERE c_custkey > (SELECT hi FROM b)),
+    del AS (SELECT * FROM customer WHERE c_custkey <= (SELECT lo FROM b))
+    SELECT * FROM (
+      SELECT 'a_initial' AS op, 'insert' AS change_type, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      FROM customer
+      UNION ALL
+      SELECT 'b_upsert', 'delete', COUNT(*),
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      FROM mrg
+      UNION ALL
+      SELECT 'b_upsert', 'insert', COUNT(*) + (SELECT COUNT(*) FROM ins),
+             CAST(SUM(CAST(c_acctbal + 500 AS DECIMAL(18,2)))
+                  + (SELECT SUM(CAST(c_acctbal + 1000 AS DECIMAL(18,2)))
+                     FROM ins) AS DOUBLE)
+      FROM mrg
+      UNION ALL
+      SELECT 'c_cdc_delete', 'delete', COUNT(*),
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      FROM del
+    ) ORDER BY op, change_type
+    """,
+    tags=("streaming", "iceberg", "cdc", "eq-delete"),
+)
+def q383_iceberg_eq_delete_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING change feed over Iceberg EQUALITY-delete snapshots —
+    q317's stream twin (VERDICT r11 item 7), so a Flink-CDC-ingested
+    table feeds a streaming MV without compact-first: an ``upsert_eq``
+    snapshot streams its matched OLD rows as deletes plus its new data
+    file as inserts (the CDC pair), and a ``delete_eq`` streams the
+    parent snapshot's visible rows matching the key tuples. The key
+    sets decode DRIVER-side (KB-sized by the Flink design point — the
+    same precedent as position-delete masks); workers evaluate the
+    null-safe semi-join as a hash-set probe per Arrow batch, with the
+    parent's own masks (position deletes, DVs, PRIOR equality deletes)
+    carried as exclusions so an already-dead row never re-emits.
+
+    Arc: seed append → drain 1 (initial reconciled snapshot as
+    inserts) → upsert_eq + delete_eq → drain 2 through the SAME
+    checkpoint streams exactly the two CDC windows. Per-(snapshot,
+    change_type) accounting hash-matches the oracle's closed form;
+    exactly-once replay is pinned in tests/test_streaming.py."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+    from ent_fins_lakehouse_spark.streaming.autoloader import run_available_now
+    from ent_fins_lakehouse_spark.streaming.iceberg_source import (
+        read_iceberg_stream,
+    )
+
+    root = tempfile.mkdtemp(prefix="ice_eq_stream_")
+    target = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    maxk = int(cust.agg(F.max("c_custkey")).first()[0])
+    lo, mid, hi = maxk // 4, maxk // 2, (3 * maxk) // 4
+    t = IcebergTable(spark, os.path.join(root, "tbl"))
+    t.append(cust.repartitionByRange(4, "c_custkey"))
+    s0 = t.metadata()["current-snapshot-id"]
+
+    run_available_now(
+        read_iceberg_stream(spark, t.path, read_change_feed=True), target, ckpt
+    )
+
+    src = (
+        cust.filter(f"c_custkey > {lo} AND c_custkey <= {mid}")
+        .withColumn("c_acctbal", F.col("c_acctbal") + 500)
+        .unionByName(
+            cust.filter(f"c_custkey > {hi}").select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                (F.col("c_acctbal") + 1000).alias("c_acctbal"),
+            )
+        )
+    )
+    t.upsert_eq(src, ["c_custkey"])
+    s1 = t.metadata()["current-snapshot-id"]
+    t.delete_eq(
+        cust.filter(f"c_custkey <= {lo}").select("c_custkey"), ["c_custkey"]
+    )
+
+    run_available_now(
+        read_iceberg_stream(spark, t.path, read_change_feed=True), target, ckpt
+    )
+    out = spark.read.parquet(target)
+    return (
+        out.select(
+            F.when(F.col("_commit_snapshot") == s0, "a_initial")
+            .when(F.col("_commit_snapshot") == s1, "b_upsert")
+            .otherwise("c_cdc_delete")
+            .alias("op"),
+            F.col("_change_type").alias("change_type"),
+            F.col("c_acctbal").cast("decimal(18,2)").alias("_bal"),
+        )
+        .groupBy("op", "change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_bal").cast("double").alias("bal"),
+        )
+        .orderBy("op", "change_type")
+    )

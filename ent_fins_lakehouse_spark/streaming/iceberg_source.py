@@ -72,6 +72,8 @@ def make_iceberg_stream_source():
             change_type: str | None = None,
             commit_snapshot: int | None = None,
             positions: tuple = (),
+            eq_match: tuple = (),
+            eq_exclude: tuple = (),
         ):
             self.abs_path = abs_path
             self.schema_json = schema_json
@@ -85,6 +87,15 @@ def make_iceberg_stream_source():
             self.change_type = change_type
             self.commit_snapshot = commit_snapshot
             self.positions = positions
+            # EQUALITY-delete synthesis (the Flink-CDC shape): each
+            # entry is (key_cols, key_tuples) decoded DRIVER-side from
+            # a KB-sized equality-delete file. eq_match: emit ONLY
+            # rows whose key tuple is in the set (a delete partition
+            # synthesizing this snapshot's masked rows). eq_exclude:
+            # DROP matching rows (prior deletes already applied to the
+            # feed — emitting them again would double-delete).
+            self.eq_match = eq_match
+            self.eq_exclude = eq_exclude
 
     class IcebergStreamReader(DataSourceStreamReader):
         def __init__(
@@ -113,6 +124,48 @@ def make_iceberg_stream_source():
             from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
 
             return IcebergTable(SparkSession.getActiveSession(), self.table_path)
+
+        @staticmethod
+        def _eq_key_tuples(t, path: str, eids: list[int]) -> tuple:
+            """(key_cols, key_tuples) of one equality-delete file,
+            resolved under the CURRENT logical names with the batch
+            reader's rules (parquet FIELD ID when the file carries
+            ids, else POSITIONAL in equality_ids order — never by
+            name). Decoded DRIVER-side with pyarrow: eq-delete files
+            are KB-sized by the Flink-CDC design point (one batch's
+            keys), the same precedent as the position-delete masks."""
+            import pyarrow.parquet as pq
+
+            id_names = t.field_names_by_id()
+            cols = tuple(id_names[i] for i in eids)
+            pf = pq.ParquetFile(path)
+            fsch = pf.schema_arrow
+            fnames = list(fsch.names)
+            by_fid: dict[int, str] = {}
+            for i in range(len(fnames)):
+                raw = (fsch.field(i).metadata or {}).get(b"PARQUET:field_id")
+                if raw is not None:
+                    by_fid[int(raw)] = fsch.field(i).name
+            src = [
+                by_fid.get(fid, fnames[pos]) if by_fid else fnames[pos]
+                for pos, fid in enumerate(eids)
+            ]
+            tbl = pf.read(columns=src)
+            keys = set(zip(*(tbl.column(c).to_pylist() for c in src)))
+            return cols, tuple(sorted(keys, key=repr))
+
+        def _eq_masks_for(
+            self, t, eq_deletes: list, file_seq: int
+        ) -> tuple:
+            """The (cols, keys) sets of every equality delete whose
+            sequence is ABOVE a data file's — the spec's strict-<
+            masking rule (a file added in the same snapshot as its
+            delete survives it)."""
+            out = []
+            for dpath, dseq, eids in eq_deletes:
+                if int(dseq) > int(file_seq):
+                    out.append(self._eq_key_tuples(t, dpath, list(eids)))
+            return tuple(out)
 
         def _snapshots(self) -> list[dict]:
             return self._table().metadata().get("snapshots") or []
@@ -160,12 +213,6 @@ def make_iceberg_stream_source():
                 if hi > 0:
                     snap_id = snaps[hi - 1]["snapshot-id"]
                     data, pos_deletes, eq_deletes, dvs = t._files_full(snap_id)
-                    if eq_deletes:
-                        raise RuntimeError(
-                            "streaming from a table carrying EQUALITY deletes "
-                            "is not supported — run compact() to materialize "
-                            "them first"
-                        )
                     deleted: dict[str, list[int]] = {}
                     # v3 deletion vectors mask the initial snapshot too
                     for p_, o_, ln_, ref_, _n in dvs:
@@ -189,7 +236,11 @@ def make_iceberg_stream_source():
                                 )
                     init_ct = "insert" if self.change_feed else None
                     init_cs = snap_id if self.change_feed else None
-                    for path, _seq, _b in sorted(data):
+                    for path, seq, _b in sorted(data):
+                        # equality deletes mask the initial snapshot
+                        # too: rows matching a HIGHER-sequence delete's
+                        # key tuples are not live (q164's read rule,
+                        # synthesized worker-side as an exclusion set)
                         parts.append(
                             FilePartition(
                                 path,
@@ -197,6 +248,7 @@ def make_iceberg_stream_source():
                                 tuple(deleted.get(os.path.abspath(path), ())),
                                 change_type=init_ct,
                                 commit_snapshot=init_cs,
+                                eq_exclude=self._eq_masks_for(t, eq_deletes, seq),
                             )
                         )
                 return parts or [FilePartition("", "")]
@@ -207,28 +259,42 @@ def make_iceberg_stream_source():
                     continue  # compaction: rearranges already-streamed rows
                 snap_id = snap["snapshot-id"]
                 if op != "append" and self.change_feed:
-                    # CHANGE-FEED mode streams MoR position deletes and
-                    # v3 DV bitmap deltas as _change_type='delete' rows;
-                    # CoW 'overwrite' and equality deletes rewrite
-                    # already-streamed data and refuse — the batch
-                    # read_changes contract, applied to the stream
+                    # CHANGE-FEED mode streams MoR position deletes, v3
+                    # DV bitmap deltas, and EQUALITY deletes (the Flink
+                    # CDC shape: masked parent rows synthesized as
+                    # _change_type='delete'; an upsert_eq 'overwrite'
+                    # additionally streams its new files as inserts —
+                    # the CDC pair). CoW rewrites already-streamed data
+                    # and refuses — the batch read_changes contract.
                     if (snap.get("summary") or {}).get("mode") == "copy-on-write":
                         raise RuntimeError(
                             f"Iceberg snapshot {snap_id} is a copy-on-write "
                             "rewrite — use mode='mor' DML for CDC-consumed "
                             "tables (batch read_changes' rule)"
                         )
-                    if op == "delete":
-                        parts.extend(
-                            self._delete_partitions(t, snap, schema_json, read_ocf)
+                    if op in ("delete", "overwrite"):
+                        dml_parts, saw_eq = self._delete_partitions(
+                            t, snap, schema_json, read_ocf
                         )
-                        continue
-                    raise RuntimeError(
-                        f"Iceberg snapshot {snap_id} is a {op!r} — the change "
-                        "feed can only stream appends and merge-on-read "
-                        "position deletes"
-                    )
-                if op != "append":
+                        if op == "overwrite" and not saw_eq:
+                            raise RuntimeError(
+                                f"Iceberg snapshot {snap_id} is an 'overwrite' "
+                                "without equality deletes — it rewrites "
+                                "already-streamed rows; use mode='mor' DML or "
+                                "upsert_eq for CDC-consumed tables"
+                            )
+                        parts.extend(dml_parts)
+                        if op == "delete":
+                            continue
+                        # upsert_eq: fall through — its added data
+                        # files stream as the inserts of the CDC pair
+                    else:
+                        raise RuntimeError(
+                            f"Iceberg snapshot {snap_id} is a {op!r} — the "
+                            "change feed can only stream appends, merge-on-"
+                            "read position deletes, and equality deletes"
+                        )
+                elif op != "append":
                     if self.ignore_changes:
                         continue
                     raise RuntimeError(
@@ -262,15 +328,18 @@ def make_iceberg_stream_source():
             return parts or [FilePartition("", "")]
 
         def _delete_partitions(self, t, snap, schema_json: str, read_ocf):
-            """CHANGE-FEED partitions for one DELETE snapshot: new
+            """CHANGE-FEED partitions for one DML snapshot: new
             position-delete parquet files name (file_path, pos) pairs;
             new v3 DELETION-VECTOR blobs contribute the per-file
             position DELTA vs the parent snapshot's bitmap (DV writes
-            merge, so the delta is exactly this snapshot's deletions).
-            Both are decoded DRIVER-side (KBs — the same precedent as
+            merge, so the delta is exactly this snapshot's deletions);
+            new EQUALITY-delete files synthesize the PARENT snapshot's
+            visible rows matching their key tuples (null-safe — the
+            batch read_changes shape; see :meth:`_eq_delete_partitions`).
+            All are decoded DRIVER-side (KBs — the same precedent as
             the initial-snapshot mask); one partition per referenced
-            data file emits exactly the masked row indexes as
-            _change_type='delete'."""
+            data file emits exactly the masked rows as
+            _change_type='delete'. Returns (partitions, saw_eq)."""
             import os
 
             import pyarrow.parquet as pq
@@ -280,6 +349,7 @@ def make_iceberg_stream_source():
             old_by_ref: dict[str, tuple[str, int, int]] = {}
             _, manifests = read_ocf(t._resolve(snap["manifest-list"]))
             masked: dict[str, list[int]] = {}
+            eq_recs: list[tuple[str, list[int]]] = []
             for m in manifests:
                 if (m.get("content") or 0) != 1:
                     continue
@@ -291,9 +361,13 @@ def make_iceberg_stream_source():
                         continue
                     rec = e["data_file"]
                     if rec.get("equality_ids"):
-                        raise RuntimeError(
-                            "equality deletes cannot stream — compact() first"
+                        eq_recs.append(
+                            (
+                                t._resolve(rec["file_path"]),
+                                list(rec["equality_ids"]),
+                            )
                         )
+                        continue
                     if (rec.get("file_format") or "").upper() == "PUFFIN":
                         if parent is not None and not old_by_ref:
                             for p_, o_, ln_, ref_, _n in t._dv_entries(int(parent)):
@@ -322,7 +396,7 @@ def make_iceberg_stream_source():
                         while fp.startswith("//"):
                             fp = fp[1:]
                         masked.setdefault(os.path.abspath(fp), []).append(int(pos))
-            return [
+            parts = [
                 FilePartition(
                     path,
                     schema_json,
@@ -331,6 +405,64 @@ def make_iceberg_stream_source():
                     positions=tuple(sorted(set(pos_list))),
                 )
                 for path, pos_list in sorted(masked.items())
+            ]
+            if eq_recs:
+                parts.extend(
+                    self._eq_delete_partitions(t, snap, schema_json, eq_recs)
+                )
+            return parts, bool(eq_recs)
+
+        def _eq_delete_partitions(
+            self, t, snap, schema_json: str, eq_recs: list
+        ) -> list:
+            """Delete partitions synthesizing one snapshot's EQUALITY
+            deletes — the streaming twin of batch read_changes' rule:
+            the masked rows are the PARENT snapshot's visible rows
+            matching the new key tuples (null-safe; every parent file
+            has a lower sequence than the new delete, so all qualify).
+            The parent's own masks — position deletes, DV bitmaps, and
+            PRIOR equality deletes — ride along as exclusions so a row
+            already dead before this snapshot never re-emits as a
+            delete. Cost tracks the CHANGE: the key sets are KB-sized,
+            and each partition is one parent data file scanned once."""
+            import os
+
+            import pyarrow.parquet as pq
+
+            snap_id = snap["snapshot-id"]
+            parent = snap.get("parent-snapshot-id")
+            if parent is None:
+                return []
+            match = tuple(
+                self._eq_key_tuples(t, p, eids) for p, eids in eq_recs
+            )
+            data, pos_deletes, prior_eq, dvs = t._files_full(int(parent))
+            deleted: dict[str, list[int]] = {}
+            for p_, o_, ln_, ref_, _n in dvs:
+                deleted.setdefault(
+                    os.path.abspath(t._resolve(ref_)), []
+                ).extend(t._dv_blob_positions(p_, int(o_), int(ln_)))
+            for dp in pos_deletes:
+                tbl = pq.read_table(dp)
+                for fp, pos in zip(
+                    tbl.column("file_path").to_pylist(),
+                    tbl.column("pos").to_pylist(),
+                ):
+                    fp = fp[len("file:") :] if fp.startswith("file:") else fp
+                    while fp.startswith("//"):
+                        fp = fp[1:]
+                    deleted.setdefault(os.path.abspath(fp), []).append(int(pos))
+            return [
+                FilePartition(
+                    path,
+                    schema_json,
+                    deleted=tuple(deleted.get(os.path.abspath(path), ())),
+                    change_type="delete",
+                    commit_snapshot=snap_id,
+                    eq_match=match,
+                    eq_exclude=self._eq_masks_for(t, prior_eq, seq),
+                )
+                for path, seq, _b in sorted(data)
             ]
 
         def read(self, partition):
@@ -347,7 +479,29 @@ def make_iceberg_stream_source():
             ct = getattr(partition, "change_type", None)
             cs = getattr(partition, "commit_snapshot", None)
             keep_only = getattr(partition, "positions", ())
+            eq_match = getattr(partition, "eq_match", ())
+            eq_exclude = getattr(partition, "eq_exclude", ())
             out_names = names + (["_change_type", "_commit_snapshot"] if ct else [])
+
+            def eq_flags(batch, sets):
+                """Per-row bool: key tuple ∈ any (cols, keys) set —
+                the worker half of the equality-delete semi-join
+                (null-safe: None tuples compare equal, eqNullSafe's
+                rule). Missing columns (post-evolution files) read as
+                None."""
+                n = batch.num_rows
+                hit = [False] * n
+                by = {nm: batch.column(i) for i, nm in enumerate(batch.schema.names)}
+                for cols, keys in sets:
+                    ks = set(keys)
+                    vals = [
+                        by[c].to_pylist() if c in by else [None] * n
+                        for c in cols
+                    ]
+                    for i, tup in enumerate(zip(*vals)):
+                        if tup in ks:
+                            hit[i] = True
+                return hit
 
             def gen():
                 import numpy as np
@@ -379,6 +533,18 @@ def make_iceberg_stream_source():
                     off += n_in
                     if batch.num_rows == 0:
                         continue
+                    if eq_exclude:
+                        dead = eq_flags(batch, eq_exclude)
+                        if any(dead):
+                            batch = batch.filter(pa.array([not d for d in dead]))
+                            if batch.num_rows == 0:
+                                continue
+                    if eq_match:
+                        m = eq_flags(batch, eq_match)
+                        if not all(m):
+                            batch = batch.filter(pa.array(m))
+                            if batch.num_rows == 0:
+                                continue
                     by_name = {
                         n: batch.column(i) for i, n in enumerate(batch.schema.names)
                     }
@@ -455,9 +621,13 @@ def read_iceberg_stream(
     (``_change_type`` insert/delete + ``_commit_snapshot``): appends
     stream as inserts; merge-on-read POSITION DELETES and v3 DELETION
     VECTORS stream the masked rows as deletes (DVs as the per-file
-    bitmap delta vs the parent snapshot) — the streaming twin of
-    ``IcebergTable.read_changes`` with the same refusals (CoW
-    rewrites, equality deletes)."""
+    bitmap delta vs the parent snapshot); EQUALITY DELETES — the
+    Flink-CDC ingest shape — stream the parent snapshot's visible
+    rows matching the key tuples as deletes, and an ``upsert_eq``
+    snapshot additionally streams its new files as inserts (the CDC
+    pair), so a CDC-ingested table feeds a streaming MV without
+    compact-first. The streaming twin of ``IcebergTable.read_changes``
+    with the same refusal (CoW rewrites)."""
     register(spark)
     r = (
         spark.readStream.format("iceberg_stream")

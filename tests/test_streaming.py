@@ -330,7 +330,8 @@ def test_delta_stream_rate_limit(spark, tmp_path):
 def test_iceberg_stream_source_semantics(spark, tmp_path):
     """Initial snapshot reconciles position deletes; DML snapshots
     abort without ignoreChanges and skip with it; equality deletes
-    refuse."""
+    reconcile into the initial snapshot (r12 — previously a
+    refusal)."""
     import os
 
     import pytest as _pytest
@@ -365,16 +366,19 @@ def test_iceberg_stream_source_semantics(spark, tmp_path):
         )
     assert spark.read.parquet(out1).count() == 91
 
-    # equality deletes in the initial snapshot refuse loudly
+    # equality deletes reconcile into the initial snapshot (r12):
+    # the masked keys never appear — no refusal, no ghost rows
+    _ = _pytest  # (the refusal assertions above keep the import busy)
     t2 = IcebergTable(spark, str(tmp_path / "t2"))
     t2.append(spark.range(0, 10).selectExpr("id", "id AS v"))
     t2.delete_eq(spark.range(0, 3).selectExpr("id"), keys=["id"])
-    with _pytest.raises(Exception, match="EQUALITY"):
-        run_available_now(
-            read_iceberg_stream(spark, str(tmp_path / "t2")),
-            str(tmp_path / "o2"),
-            str(tmp_path / "c2"),
-        )
+    run_available_now(
+        read_iceberg_stream(spark, str(tmp_path / "t2")),
+        str(tmp_path / "o2"),
+        str(tmp_path / "c2"),
+    )
+    got2 = spark.read.parquet(str(tmp_path / "o2"))
+    assert got2.count() == 7 and got2.filter("id < 3").count() == 0
 
 
 def test_iceberg_stream_sink_idempotence(spark, tmp_path):
@@ -849,3 +853,91 @@ def test_iceberg_streaming_mv_full_arc(spark, tmp_path):
     want = mv._aggregate(base.read(), ["g"], ["o_totalprice"])
     diff = got.exceptAll(want).unionByName(want.exceptAll(got)).count()
     assert diff == 0, f"streaming view diverged from recompute ({diff} rows)"
+
+
+def test_iceberg_eq_delete_stream_exactly_once_and_replay(spark, tmp_path):
+    """q383's contract pinned: equality-delete snapshots stream the
+    CDC pair exactly once — a third availableNow run through the same
+    checkpoint adds NOTHING — and the accumulated feed replays to the
+    table's final state row-for-row."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+    from ent_fins_lakehouse_spark.streaming.autoloader import run_available_now
+    from ent_fins_lakehouse_spark.streaming.iceberg_source import (
+        read_iceberg_stream,
+    )
+
+    rows = [(k, float(k) * 10) for k in range(1, 21)]
+    base = spark.createDataFrame(rows, "k long, v double")
+    t = IcebergTable(spark, str(tmp_path / "t"))
+    t.append(base.coalesce(2))
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_available_now(
+        read_iceberg_stream(spark, t.path, read_change_feed=True), out, ckpt
+    )
+    # upsert: keys 5..8 new values, key 100 brand new; delete keys 1..3
+    src = spark.createDataFrame(
+        [(k, float(k) * 100) for k in (5, 6, 7, 8)] + [(100, 1.0)],
+        "k long, v double",
+    )
+    t.upsert_eq(src, ["k"])
+    t.delete_eq(spark.createDataFrame([(1,), (2,), (3,)], "k long"), ["k"])
+    run_available_now(
+        read_iceberg_stream(spark, t.path, read_change_feed=True), out, ckpt
+    )
+    feed = spark.read.parquet(out)
+    n2 = feed.count()
+    # upsert pair: 4 old rows deleted + 5 inserted; delete: 3 rows
+    assert feed.filter("_change_type = 'delete'").count() == 7
+    assert feed.filter("_change_type = 'insert'").count() == 20 + 5
+    # exactly-once: a replay drain adds nothing
+    run_available_now(
+        read_iceberg_stream(spark, t.path, read_change_feed=True), out, ckpt
+    )
+    assert spark.read.parquet(out).count() == n2
+    # feed replay reconstructs the final state: last event per key
+    # wins, and within one snapshot the insert (the upsert's new row)
+    # outranks the delete of the old row — postimage over preimage
+    from pyspark.sql import Window as W
+
+    pri = F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+    w = W.partitionBy("k").orderBy(F.desc("_commit_snapshot"), F.desc(pri))
+    final = (
+        feed.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1 AND _change_type = 'insert'")
+        .select("k", "v")
+    )
+    want = t.read().select("k", "v")
+    assert final.exceptAll(want).unionByName(want.exceptAll(final)).count() == 0
+
+
+def test_iceberg_stream_initial_snapshot_applies_eq_deletes(spark, tmp_path):
+    """A stream STARTED on a table already carrying equality deletes
+    reconciles them into the initial snapshot (no refusal, no ghost
+    rows), honoring the sequence rule: an upsert's own data file
+    survives its same-snapshot delete."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+    from ent_fins_lakehouse_spark.streaming.autoloader import run_available_now
+    from ent_fins_lakehouse_spark.streaming.iceberg_source import (
+        read_iceberg_stream,
+    )
+
+    base = spark.createDataFrame(
+        [(k, float(k)) for k in range(1, 11)], "k long, v double"
+    )
+    t = IcebergTable(spark, str(tmp_path / "t"))
+    t.append(base.coalesce(1))
+    t.upsert_eq(
+        spark.createDataFrame([(5, 500.0), (42, 42.0)], "k long, v double"),
+        ["k"],
+    )
+    t.delete_eq(spark.createDataFrame([(9,)], "k long"), ["k"])
+    out = str(tmp_path / "out")
+    run_available_now(
+        read_iceberg_stream(spark, t.path), out, str(tmp_path / "ckpt")
+    )
+    got = spark.read.parquet(out).select("k", "v")
+    want = t.read().select("k", "v")
+    assert got.exceptAll(want).unionByName(want.exceptAll(got)).count() == 0
+    vals = {r["k"]: r["v"] for r in got.collect()}
+    assert vals[5] == 500.0 and vals[42] == 42.0 and 9 not in vals
