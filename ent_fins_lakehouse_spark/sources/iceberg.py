@@ -3857,6 +3857,77 @@ class IcebergTable:
                         e["snapshot_id"] = snap_id
         return {"rows_updated": rows_updated, "snapshot_id": snap_id}
 
+    def _merge_candidate_paths(
+        self, source: DataFrame, on: list[str], data: list
+    ) -> list[str] | None:
+        """Merge-key data skipping from manifest-entry bounds (the
+        Iceberg twin of :meth:`DeltaLogTable._merge_candidate_files`):
+        a data file whose decoded [lower, upper] bounds on a merge-key
+        column cannot overlap the SOURCE's key range holds no matched
+        row, so the target scan drops it — on a key-sorted table
+        (write_with_sort_order / rewrite) the touched-key MERGE reads
+        O(touched files), never O(table). Costs one tiny aggregate
+        over the source, gated on total data bytes so small tables
+        skip the extra job. Numeric keys only (string bounds may be
+        truncated). Returns None when pruning is not applicable."""
+        import os as _os
+
+        from ent_fins_lakehouse_spark.sources.lakehouse import (
+            MERGE_PRUNE_MIN_BYTES,
+        )
+
+        num_t = (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType,
+        )
+        src_types = {f.name: f.dataType for f in source.schema.fields}
+        comparable = [c for c in on if isinstance(src_types.get(c), num_t)]
+        if not comparable:
+            return None
+        if not any(
+            c in (b or {}) for _p, _s, b in data for c in comparable
+        ):
+            return None  # no file carries key bounds — nothing to prune
+        total = 0
+        for p, _s, _b in data:
+            try:
+                total += _os.path.getsize(p)
+            except OSError:
+                pass
+        if total < MERGE_PRUNE_MIN_BYTES:
+            return None
+        aggs = []
+        for c in comparable:
+            aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+        row = source.agg(*aggs).collect()[0].asDict()
+        rng: dict[str, tuple] = {}
+        for c in comparable:
+            lo, hi = row[f"_mn_{c}"], row[f"_mx_{c}"]
+            if lo is not None and hi is not None:
+                rng[c] = (lo, hi)
+        if not rng:
+            # empty / all-null key feed: equality matches nothing
+            return []
+        cand: list[str] = []
+        for p, _s, b in data:
+            st = b or {}
+            keep = True
+            for c, (smin, smax) in rng.items():
+                if c not in st:
+                    continue
+                lo, hi = st[c]
+                ok_types = (
+                    isinstance(lo, (int, float))
+                    and isinstance(hi, (int, float))
+                    and not isinstance(lo, bool)
+                )
+                if ok_types and (hi < smin or lo > smax):
+                    keep = False
+                    break
+            if keep:
+                cand.append(p)
+        return cand
+
     def merge(
         self,
         source: DataFrame,
@@ -3921,8 +3992,7 @@ class IcebergTable:
                 "or compact() first"
             )
         seq_of = {p: s for p, s, _ in data}
-        cand = [p for p, _, _ in data]
-        if not cand:
+        if not data:
             n = self.append(source)
             return {
                 "rows_updated": 0,
@@ -3930,6 +4000,19 @@ class IcebergTable:
                 "rows_deleted": 0,
                 "snapshot_id": n,
             }
+        cand = [p for p, _, _ in data]
+        # merge-key data skipping (DeltaLogTable.merge's rule, bounds
+        # from the manifest entries): files whose [lower, upper] range
+        # on a merge key cannot overlap the source's key range hold no
+        # matched row — sound for matched clauses AND the insert
+        # anti-join; NOT MATCHED BY SOURCE must see every file.
+        if not not_matched_by_source_delete:
+            pruned = self._merge_candidate_paths(source, on, data)
+            if pruned is not None and len(pruned) < len(cand):
+                # an empty candidate set still scans one file: the
+                # merge plumbing (target schema, counts) needs a scan,
+                # and one unmatched file costs nothing
+                cand = pruned or [data[0][0]]
         do_update = when_matched_update_all or matched_update is not None
         if matched_update is not None:
             unknown = set(matched_update) - set(want)

@@ -4675,6 +4675,23 @@ class DeltaLogTable:
         if unknown:
             raise ValueError(f"UPDATE SET targets unknown columns {sorted(unknown)}")
         pred = F.expr(predicate) if predicate else F.lit(True)
+        if predicate:
+            # stats-based pruning first (delete()'s rule): files whose
+            # add-action [min,max] / partitionValues cannot satisfy the
+            # predicate are never scanned for row->file attribution —
+            # an update of one day's data touches a handful of files,
+            # not the table
+            from ent_fins_lakehouse_spark.sources.skipping import prune_dirs
+
+            stats = self._file_stats_map(adds, schema, part_cols, pmap)
+            cand, _pruned = prune_dirs(predicate, stats, sorted(adds))
+            if len(cand) < len(adds):
+                df = self._only_files(
+                    df,
+                    sorted(
+                        os.path.abspath(os.path.join(self.path, p)) for p in cand
+                    ),
+                )
         touched = sorted(
             r["_fp"] for r in df.filter(pred).select("_fp").distinct().collect()
         )

@@ -355,3 +355,58 @@ def test_bloom_index_probe_is_executor_side(spark, tmp_path, monkeypatch):
     info2 = t.scan_info("k = 5")
     assert info2["n_read"] >= 1
     assert t.read(where="k = 5").count() == 2
+
+
+def test_update_prunes_files_by_predicate_stats(spark, tmp_path):
+    """UPDATE gets delete()'s stats pruning: on a range-laid-out table,
+    a narrow predicate rewrites only the overlapping file and the
+    result is exact (VERDICT r12 scan-cost parity across DML verbs)."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    t = DeltaLogTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.range(0, 400)
+        .selectExpr("id", "id * 2 AS v")
+        .repartitionByRange(4, "id")
+        .sortWithinPartitions("id"),
+        mode="overwrite",
+    )
+    res = t.update({"v": "v + 1"}, "id BETWEEN 10 AND 20")
+    assert res["files_rewritten"] == 1 and res["rows_updated"] == 11
+    got = t.read().filter("id BETWEEN 10 AND 20").agg(F.sum("v")).first()[0]
+    assert got == sum(i * 2 + 1 for i in range(10, 21))
+    assert t.read().count() == 400
+
+
+def test_iceberg_merge_prunes_files_by_key_bounds(spark, tmp_path, monkeypatch):
+    """Iceberg MERGE gets the same merge-key data skipping as Delta:
+    on a range-laid-out table, a narrow key feed's MoR merge masks
+    rows from only the overlapping file, and the result is exact."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources import lakehouse as lh
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    monkeypatch.setattr(lh, "MERGE_PRUNE_MIN_BYTES", 0)
+    t = IcebergTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.range(0, 400)
+        .selectExpr("id", "id * 2 AS v")
+        .repartitionByRange(4, "id")
+        .sortWithinPartitions("id")
+    )
+    data, _pd, _eq, _dvs = t._files_full()
+    assert len(data) == 4
+    src = spark.createDataFrame([(5, -1), (17, -2), (450, -3)], "id long, v long")
+    cand = t._merge_candidate_paths(src, ["id"], data)
+    assert cand is not None and len(cand) == 4  # range [5,450] spans all
+    src2 = spark.createDataFrame([(5, -1), (17, -2)], "id long, v long")
+    cand2 = t._merge_candidate_paths(src2, ["id"], data)
+    assert cand2 is not None and len(cand2) == 1
+    res = t.merge(src2, on=["id"])
+    assert res["rows_updated"] == 2 and res["rows_inserted"] == 0
+    got = {r["id"]: r["v"] for r in t.read().filter("id IN (5, 17, 30)").collect()}
+    assert got == {5: -1, 17: -2, 30: 60}
+    assert t.read().count() == 400
