@@ -86,8 +86,12 @@ def jaccard_pairs_blocked(
     max_block_size: int | None = None,
     on_oversize: str = "subshard",
     max_total_pairs: int | None = None,
+    shingle_n: int = 1,
 ) -> DataFrame:
-    """Exact unigram-Jaccard near-dup pairs within blocking keys.
+    """Exact Jaccard near-dup pairs within blocking keys, over word
+    unigrams (default) or word n-gram shingles (``shingle_n > 1`` —
+    the same :func:`shingle_ngrams` convention the MinHash path
+    hashes, so this is its exact ground truth at any n).
 
     Blocking bounds the quadratic comparison to each block (the same
     role LSH bands play probabilistically); inside a block the set
@@ -113,10 +117,18 @@ def jaccard_pairs_blocked(
         bounded_pair_sides,
     )
 
+    if shingle_n > 1:
+        toks = F.split(normalize_text(text_col), " ")
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_n, F.lit(0)))
+        wexpr = F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, shingle_n), " "))
+        )
+    else:
+        wexpr = F.array_distinct(F.split(normalize_text(text_col), " "))
     t = _at_parallelism(df.select(id_col, text_col, *block_cols)).select(
         F.col(id_col).alias("_id"),
         *[F.col(c) for c in block_cols],
-        F.array_distinct(F.split(normalize_text(text_col), " ")).alias("_w"),
+        wexpr.alias("_w"),
     ).withColumn("_sz", F.size("_w")).persist()  # word sets feed both sides of the block join
     a, b, cond = bounded_pair_sides(
         t,
@@ -141,6 +153,86 @@ def jaccard_pairs_blocked(
             F.greatest("id_a", "id_b").alias("id_b"),
             jac.alias("jaccard"),
         )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard similarity join WITHOUT blocking keys —
+    prefix filtering (Bayardo/Ma/Srikant, WWW'07 "Scaling Up All
+    Pairs"; the PPJoin family): sort each doc's shingle set by one
+    global order (binary string order — identical in Spark and
+    DuckDB); if J(A,B) ≥ t then the smallest SHARED shingle has rank
+    ≤ floor((1-t)·|x|)+1 in BOTH sets (everything before it is
+    exclusive, and |x∖other| ≤ (1-t)·|x| when J ≥ t), so the pair
+    collides on at least one PREFIX token. Candidates are therefore
+    one equi-join on the prefix token — never a cross join — with the
+    size-ratio prune (min ≥ t·max) riding the join condition, and
+    survivors verify exact Jaccard.
+
+    This is the exact counterpart to MinHash-LSH banding: recall 1.0
+    by construction, candidate count tracking near-duplicate density
+    rather than n², no blocking key needed. 100 TB shape: narrow
+    shingle map → prefix explode (≈(1-t)·|s|+1 rows/doc) → token
+    equi-join (the only shuffle) → distinct pairs → verify join-back.
+    Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    if shingle_n > 1:
+        toks = F.split(normalize_text(text_col), " ")
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_n, F.lit(0)))
+        wexpr = F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, shingle_n), " "))
+        )
+    else:
+        wexpr = F.array_distinct(F.split(normalize_text(text_col), " "))
+    t = (
+        _at_parallelism(df.select(id_col, text_col))
+        .select(F.col(id_col).alias("_id"), F.array_sort(wexpr).alias("_s"))
+        .withColumn("_ln", F.size("_s"))
+        .persist()  # sorted sets feed the prefix explode AND the verify
+    )
+    # +1e-9 slack: IEEE (1.0 - 0.9)*|s| lands just UNDER 0.1*|s|, so a
+    # bare floor clips the prefix one short exactly when (1-t)*|s| is
+    # an integer — the boundary where the guarantee needs that element
+    p = (
+        F.floor(F.lit(1.0 - threshold) * F.col("_ln") + F.lit(1e-9)) + 1
+    ).cast("int")
+    pref = t.select(
+        "_id", "_ln", F.explode(F.slice("_s", F.lit(1), p)).alias("_tok")
+    )
+    a = pref.select(
+        F.col("_id").alias("id_a"), F.col("_ln").alias("_ln_a"), "_tok"
+    )
+    b = pref.select(
+        F.col("_id").alias("id_b"), F.col("_ln").alias("_ln_b"), "_tok"
+    )
+    cand = (
+        a.join(
+            b,
+            [
+                a["_tok"] == b["_tok"],
+                F.col("id_a") < F.col("id_b"),
+                F.least("_ln_a", "_ln_b").cast("double")
+                >= F.lit(float(threshold)) * F.greatest("_ln_a", "_ln_b") - F.lit(1e-9),
+            ],
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = t.select(F.col("_id").alias("id_a"), F.col("_s").alias("_s_a"))
+    sb = t.select(F.col("_id").alias("id_b"), F.col("_s").alias("_s_b"))
+    inter = F.size(F.array_intersect("_s_a", "_s_b"))
+    union = F.size(F.array_union("_s_a", "_s_b"))
+    jac = inter.cast("double") / union
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

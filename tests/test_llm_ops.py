@@ -1077,3 +1077,34 @@ def test_duplicated_spans_absolute_cap_engages(spark):
         docs, "doc_id", "text", k=8, min_span=14, max_doc_freq=1.0, max_docs_per_gram=4
     ).collect()
     assert tight == [], f"capped gate must drop the busy grams: {tight[:3]}"
+
+
+def test_jaccard_prefix_join_equals_quadratic_ground_truth(docs):
+    """The prefix-filtering all-pairs join (Bayardo WWW'07) is EXACT:
+    identical pair set and identical jaccard values as the quadratic
+    single-block join, at both shingle sizes — including the
+    (1-t)*|s|-integer boundary where a bare IEEE floor would clip the
+    prefix one short."""
+    from pyspark.sql import functions as FF
+
+    from ent_fins_lakehouse_spark.operators.dedup import (
+        jaccard_pairs_blocked,
+        jaccard_pairs_prefix,
+    )
+
+    blocked = docs.withColumn("_all", FF.lit(1))
+    for n in (1, 3):
+        quad = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in jaccard_pairs_blocked(
+                blocked, "doc_id", "text", ["_all"], 0.9, shingle_n=n
+            ).collect()
+        }
+        pref = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in jaccard_pairs_prefix(
+                docs, "doc_id", "text", 0.9, shingle_n=n
+            ).collect()
+        }
+        assert quad, f"ground truth empty at shingle_n={n}"
+        assert pref == quad
