@@ -166,22 +166,35 @@ def jaccard_pairs_prefix(
 ) -> DataFrame:
     """EXACT all-pairs Jaccard similarity join WITHOUT blocking keys —
     prefix filtering (Bayardo/Ma/Srikant, WWW'07 "Scaling Up All
-    Pairs"; the PPJoin family): sort each doc's shingle set by one
-    global order (binary string order — identical in Spark and
-    DuckDB); if J(A,B) ≥ t then the smallest SHARED shingle has rank
-    ≤ floor((1-t)·|x|)+1 in BOTH sets (everything before it is
-    exclusive, and |x∖other| ≤ (1-t)·|x| when J ≥ t), so the pair
+    Pairs"; the PPJoin family): order each doc's shingle set by ONE
+    global total order; if J(A,B) ≥ t then the smallest SHARED shingle
+    has rank ≤ floor((1-t)·|x|)+1 in BOTH sets (everything before it
+    is exclusive, and |x∖other| ≤ (1-t)·|x| when J ≥ t), so the pair
     collides on at least one PREFIX token. Candidates are therefore
     one equi-join on the prefix token — never a cross join — with the
     size-ratio prune (min ≥ t·max) riding the join condition, and
     survivors verify exact Jaccard.
 
-    This is the exact counterpart to MinHash-LSH banding: recall 1.0
-    by construction, candidate count tracking near-duplicate density
-    rather than n², no blocking key needed. 100 TB shape: narrow
-    shingle map → prefix explode (≈(1-t)·|s|+1 rows/doc) → token
-    equi-join (the only shuffle) → distinct pairs → verify join-back.
-    Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    The global order is INCREASING DOCUMENT FREQUENCY (ties by token)
+    — the paper's prescription, and the difference between a toy and
+    a scalable operator: prefix tokens are then each doc's RAREST
+    shingles, so the candidate join's fan-out tracks rare-token
+    collisions (≈ the near-duplicate density) instead of the corpus's
+    Zipf head. The r12b octave measured lexicographic ordering
+    OOM-ing at 8×·sf0.1 on unigrams (~30M candidates) where df-order
+    stays flat. Correctness does not depend on WHICH total order is
+    used — any fixed order satisfies the rank argument — so the exact
+    pair set is order-invariant (the DuckDB oracle twin uses plain
+    lexicographic order).
+
+    100 TB shape: narrow shingle map → token-df groupBy (one pass) →
+    per-doc rank window → prefix rows (≈(1-t)·|s|+1 per doc) → token
+    equi-join (the only shuffle that matters) → distinct pairs →
+    verify join-back. Recall 1.0 by construction — the exact
+    counterpart to MinHash-LSH banding. Returns (id_a, id_b, jaccard)
+    with id_a < id_b."""
+    from pyspark.sql import Window as W
+
     if shingle_n > 1:
         toks = F.split(normalize_text(text_col), " ")
         idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_n, F.lit(0)))
@@ -192,18 +205,26 @@ def jaccard_pairs_prefix(
         wexpr = F.array_distinct(F.split(normalize_text(text_col), " "))
     t = (
         _at_parallelism(df.select(id_col, text_col))
-        .select(F.col(id_col).alias("_id"), F.array_sort(wexpr).alias("_s"))
+        .select(F.col(id_col).alias("_id"), wexpr.alias("_s"))
         .withColumn("_ln", F.size("_s"))
-        .persist()  # sorted sets feed the prefix explode AND the verify
+        .persist()  # shingle sets feed the prefix pass AND the verify
     )
+    ex = t.select("_id", "_ln", F.explode("_s").alias("_tok"))
+    tok_df = ex.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
     # +1e-9 slack: IEEE (1.0 - 0.9)*|s| lands just UNDER 0.1*|s|, so a
     # bare floor clips the prefix one short exactly when (1-t)*|s| is
     # an integer — the boundary where the guarantee needs that element
     p = (
         F.floor(F.lit(1.0 - threshold) * F.col("_ln") + F.lit(1e-9)) + 1
     ).cast("int")
-    pref = t.select(
-        "_id", "_ln", F.explode(F.slice("_s", F.lit(1), p)).alias("_tok")
+    pref = (
+        ex.join(tok_df, "_tok")
+        .withColumn(
+            "_rn",
+            F.row_number().over(W.partitionBy("_id").orderBy("_df", "_tok")),
+        )
+        .filter(F.col("_rn") <= p)
+        .select("_id", "_ln", "_tok")
     )
     a = pref.select(
         F.col("_id").alias("id_a"), F.col("_ln").alias("_ln_a"), "_tok"
