@@ -84,9 +84,11 @@ def _validate_mu(
         raise ValueError(f"field {name!r}: m == u carries no information")
 
 
-def field_weights(m: tuple[int, int], u: tuple[int, int]) -> tuple[Column, Column]:
+def field_weights(
+    m: tuple[int, int], u: tuple[int, int], name: str = "<field>"
+) -> tuple[Column, Column]:
     """(agreement_weight, disagreement_weight) Columns for one field."""
-    _validate_mu(m, u)
+    _validate_mu(m, u, name)
     mn, md = m
     un, ud = u
     agree = _det_ln_rational(mn * ud, md * un)  # ln((m)/(u))
@@ -110,8 +112,7 @@ def fellegi_sunter_score(fields: list[FieldSpec]) -> Column:
     order in any SQL twin)."""
     score = None
     for f in fields:
-        _validate_mu(f.m, f.u, f.name)
-        wa, wd = field_weights(f.m, f.u)
+        wa, wd = field_weights(f.m, f.u, f.name)
         contrib = F.when(f.agree, wa).otherwise(wd)
         score = contrib if score is None else (score + contrib)
     return score

@@ -1643,18 +1643,25 @@ def _serving_layout(
         json.dump(meta_obj, fh)
     with open(os.path.join(scratch, "built_by.json"), "w", encoding="utf-8") as fh:
         json.dump({"pid": os.getpid(), "kind": kind, "fingerprint": fp}, fh)
+    renamed = True
     try:
         os.rename(scratch, final_root)  # the atomic publish
     except OSError:
-        pass
+        renamed = False
     got = _load(final_root)
     if got is not None:
-        shutil.rmtree(scratch, ignore_errors=True)
+        if not renamed:
+            shutil.rmtree(scratch, ignore_errors=True)  # lost the race
         return got
+    if renamed:
+        # published, but the validity probe declined (e.g. a cluster
+        # config suppressing _SUCCESS markers): the build itself
+        # succeeded and now lives at the content address — serve it
+        # directly rather than pointing at the renamed-away scratch
+        return os.path.join(final_root, "embeddings_by_cluster"), meta_obj
     # content address unusable — serve this process's scratch build
     atexit.register(shutil.rmtree, scratch, ignore_errors=True)
-    data, meta_obj = _load(scratch) or (os.path.join(scratch, "embeddings_by_cluster"), meta_obj)
-    return data, meta_obj
+    return os.path.join(scratch, "embeddings_by_cluster"), meta_obj
 
 
 def _ivf_sq8_layout(spark: SparkSession, sf_dir: str, n_clusters: int = 8) -> tuple[str, list[list[float]]]:

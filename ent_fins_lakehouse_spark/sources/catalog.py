@@ -651,8 +651,16 @@ class LakehouseSession:
                 depth += 1
             elif ch == ")":
                 depth -= 1
-            elif depth == 0 and body[i : i + 5].upper() == "UNION" and (
-                i == 0 or not body[i - 1].isalnum()
+            elif (
+                depth == 0
+                and body[i : i + 5].upper() == "UNION"
+                # WORD boundaries on both sides: 'my_union' / 'union_ct'
+                # are identifiers, not the set operator
+                and (i == 0 or not (body[i - 1].isalnum() or body[i - 1] == "_"))
+                and (
+                    i + 5 >= n
+                    or not (body[i + 5].isalnum() or body[i + 5] == "_")
+                )
             ):
                 rest = body[i + 5 :]
                 m_all = re.match(r"\s+ALL\b", rest, re.IGNORECASE)
@@ -722,6 +730,16 @@ class LakehouseSession:
             else None
         )
         base_sql, step_sql, distinct = self._split_top_level_union(body)
+        # the CTE binds through a UNIQUE internal view (the db.table
+        # rewriting precedent): a user temp view sharing the CTE name
+        # is never clobbered, the accumulated result never leaks into
+        # the session, and two concurrent facade recursions can't
+        # cross-bind frontiers
+        import uuid as _uuid
+
+        alias = f"_lh_rcte_{name}_{_uuid.uuid4().hex[:8]}"
+        step_sql = re.sub(rf"\b{re.escape(name)}\b", alias, step_sql)
+        final_sql = re.sub(rf"\b{re.escape(name)}\b", alias, final_sql)
         acc = self._run_sql_with_catalog(base_sql, set())
         if cols:
             acc = acc.toDF(*cols)
@@ -729,27 +747,38 @@ class LakehouseSession:
             acc = acc.distinct()
         acc = acc.localCheckpoint(eager=True)
         frontier = acc
-        for it in range(self.MAX_RECURSION):
-            if frontier.isEmpty():
-                break
-            frontier.createOrReplaceTempView(name)
-            new = self._run_sql_with_catalog(step_sql, set())
-            if cols:
-                new = new.toDF(*cols)
-            if distinct:
-                new = new.distinct().exceptAll(acc)
-            frontier = new.localCheckpoint(eager=True)
-            acc = acc.unionByName(frontier)
-            if it % 3 == 2:
-                acc = acc.localCheckpoint(eager=False)
-        else:
-            raise ValueError(
-                f"recursive CTE {name!r} did not converge within "
-                f"{self.MAX_RECURSION} iterations — check the step's "
-                "termination condition"
-            )
-        acc.createOrReplaceTempView(name)
-        return self._run_sql_with_catalog(final_sql, set())
+        try:
+            for it in range(self.MAX_RECURSION):
+                if frontier.isEmpty():
+                    break
+                frontier.createOrReplaceTempView(alias)
+                new = self._run_sql_with_catalog(step_sql, set())
+                if cols:
+                    new = new.toDF(*cols)
+                if distinct:
+                    new = new.distinct().exceptAll(acc)
+                frontier = new.localCheckpoint(eager=True)
+                acc = acc.unionByName(frontier)
+                if it % 3 == 2:
+                    acc = acc.localCheckpoint(eager=False)
+            else:
+                # exhausted the budget — converged only if the LAST
+                # pass produced an empty frontier (depth == cap)
+                if not frontier.isEmpty():
+                    raise ValueError(
+                        f"recursive CTE {name!r} did not converge within "
+                        f"{self.MAX_RECURSION} iterations — check the "
+                        "step's termination condition"
+                    )
+            acc.createOrReplaceTempView(alias)
+            return self._run_sql_with_catalog(final_sql, set())
+        finally:
+            # the final DataFrame's analyzed plan captured the view's
+            # child; the registration itself need not outlive this call
+            try:
+                self.spark.catalog.dropTempView(alias)
+            except Exception:
+                pass
 
     def sql(self, stmt: str) -> DataFrame | None:
         s = stmt.strip().rstrip(";")

@@ -329,23 +329,40 @@ class MaterializedAggView:
                 F.hll_sketch_estimate(sk).cast("long").alias(f"ndv_{c}")
             )
         changes = changes.withColumn("_sign", sign)
-        deltas_ext = changes.groupBy(*group_cols).agg(
-            F.sum("_sign").cast("long").alias("n_rows"),
-            *[
-                F.sum(
-                    F.col(c).cast("decimal(18,2)") * F.col("_sign")
-                )
-                .cast("decimal(28,2)")
-                .alias(f"sum_{c}")
-                for c in sum_cols
-            ],
-            *mm_aggs,
-            # delete presence must be tracked separately from the net
-            # count: a group with 3 inserts + 1 delete nets positive
-            # yet may still have lost its extremum
-            F.sum(F.when(F.col("_sign") == -1, 1).otherwise(0))
-            .cast("long")
-            .alias("_n_del"),
+        rm_aggs = []
+        for c in minmax_cols:
+            # delete-polarity extrema per group, computed in the SAME
+            # pass as the deltas (the CDF window scans once, not once
+            # per consumer — review finding)
+            v = F.when(F.col("_sign") == -1, F.col(c).cast("decimal(18,2)"))
+            rm_aggs.append(F.min(v).alias(f"_rm_min_{c}"))
+            rm_aggs.append(F.max(v).alias(f"_rm_max_{c}"))
+        _extras = ["_n_del"] + [f"_rm_min_{c}" for c in minmax_cols] + [
+            f"_rm_max_{c}" for c in minmax_cols
+        ]
+        deltas_ext = (
+            changes.groupBy(*group_cols)
+            .agg(
+                F.sum("_sign").cast("long").alias("n_rows"),
+                *[
+                    F.sum(
+                        F.col(c).cast("decimal(18,2)") * F.col("_sign")
+                    )
+                    .cast("decimal(28,2)")
+                    .alias(f"sum_{c}")
+                    for c in sum_cols
+                ],
+                *mm_aggs,
+                *rm_aggs,
+                # delete presence must be tracked separately from the
+                # net count: a group with 3 inserts + 1 delete nets
+                # positive yet may still have lost its extremum
+                F.sum(F.when(F.col("_sign") == -1, 1).otherwise(0))
+                .cast("long")
+                .alias("_n_del"),
+            )
+            .persist()  # one row per touched group; feeds the probe,
+            # the merge, and the re-derivation without re-reading CDF
         )
         # one control-plane job answers "how many groups", "can any
         # count have reached zero" (cleanup is skippable whenever no
@@ -356,9 +373,10 @@ class MaterializedAggView:
             F.min("n_rows").alias("mn"),
             F.max("_n_del").alias("dl"),
         ).first()
-        deltas = deltas_ext.drop("_n_del")
+        deltas = deltas_ext.drop(*_extras)
         touched = int(probe["n"])
         if touched == 0:
+            deltas_ext.unpersist()
             return {"groups_touched": 0, "groups_dropped": 0}
         has_deletes = int(probe["dl"]) > 0
         updates = {"n_rows": "t.n_rows + s.n_rows"}
@@ -385,8 +403,13 @@ class MaterializedAggView:
         )
         rederived = 0
         if minmax_cols and has_deletes:
+            removed = deltas_ext.filter(F.col("_n_del") > 0).select(
+                *group_cols,
+                *[F.col(f"_rm_min_{c}") for c in minmax_cols],
+                *[F.col(f"_rm_max_{c}") for c in minmax_cols],
+            )
             rederived = self._rederive_minmax(
-                changes, group_cols, minmax_cols, base_version
+                removed, group_cols, minmax_cols, base_version
             )
         # a zero NET delta still matters: a batch bundling a group's
         # insert AND delete merges in an n_rows=0 row — cleanup must
@@ -396,6 +419,7 @@ class MaterializedAggView:
             if int(probe["mn"]) <= 0
             else 0
         )
+        deltas_ext.unpersist()
         out = {"groups_touched": touched, "groups_dropped": dropped}
         if minmax_cols:
             out["groups_rederived"] = rederived
@@ -403,7 +427,7 @@ class MaterializedAggView:
 
     def _rederive_minmax(
         self,
-        changes: DataFrame,
+        removed: DataFrame,
         group_cols: list[str],
         minmax_cols: list[str],
         base_version: int | None,
@@ -411,22 +435,14 @@ class MaterializedAggView:
         """Gupta & Mumick's affected-group re-derivation: a group needs
         its extrema re-scanned ONLY if a removed value ties-or-beats
         the group's stored (post-merge) extremum — otherwise the stored
-        value provably survives. Affected groups re-aggregate from the
+        value provably survives. ``removed`` carries each delete-
+        bearing group's removed-value extrema (aggregated in the same
+        pass as the deltas). Affected groups re-aggregate from the
         base table behind a broadcast semi-join on the group keys (the
         predicate reaches the scan; O(affected groups), not O(table))
         and MERGE back. Groups left empty keep stale extrema for one
         instant and are dropped by the n_rows=0 cleanup that follows.
         Returns the number of re-derived groups."""
-        removed_aggs = []
-        for c in minmax_cols:
-            v = F.when(F.col("_sign") == -1, F.col(c).cast("decimal(18,2)"))
-            removed_aggs.append(F.min(v).alias(f"_rm_min_{c}"))
-            removed_aggs.append(F.max(v).alias(f"_rm_max_{c}"))
-        removed = (
-            changes.filter(F.col("_sign") == -1)
-            .groupBy(*group_cols)
-            .agg(*removed_aggs)
-        )
         view_now = self.table.read()
         cond = None
         for c in minmax_cols:

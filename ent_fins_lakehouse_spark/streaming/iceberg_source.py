@@ -125,8 +125,16 @@ def make_iceberg_stream_source():
 
             return IcebergTable(SparkSession.getActiveSession(), self.table_path)
 
-        @staticmethod
-        def _eq_key_tuples(t, path: str, eids: list[int]) -> tuple:
+        #: (abs_path, eids) -> (key_cols, key_tuples). Delete files are
+        #: immutable once written, so the decode memoizes per file —
+        #: without it, masking F data files against D accumulated
+        #: deletes would re-decode each delete file F times per
+        #: micro-batch plan (the review finding). Bounded like the
+        #: batch reader's footer cache.
+        _EQ_TUPLES_CACHE: dict = {}
+
+        @classmethod
+        def _eq_key_tuples(cls, t, path: str, eids: list[int]) -> tuple:
             """(key_cols, key_tuples) of one equality-delete file,
             resolved under the CURRENT logical names with the batch
             reader's rules (parquet FIELD ID when the file carries
@@ -136,6 +144,10 @@ def make_iceberg_stream_source():
             keys), the same precedent as the position-delete masks."""
             import pyarrow.parquet as pq
 
+            ck = (path, tuple(eids))
+            hit = cls._EQ_TUPLES_CACHE.get(ck)
+            if hit is not None:
+                return hit
             id_names = t.field_names_by_id()
             cols = tuple(id_names[i] for i in eids)
             pf = pq.ParquetFile(path)
@@ -152,7 +164,11 @@ def make_iceberg_stream_source():
             ]
             tbl = pf.read(columns=src)
             keys = set(zip(*(tbl.column(c).to_pylist() for c in src)))
-            return cols, tuple(sorted(keys, key=repr))
+            out = (cols, tuple(sorted(keys, key=repr)))
+            if len(cls._EQ_TUPLES_CACHE) >= 4096:
+                cls._EQ_TUPLES_CACHE.clear()
+            cls._EQ_TUPLES_CACHE[ck] = out
+            return out
 
         def _eq_masks_for(
             self, t, eq_deletes: list, file_seq: int
