@@ -410,3 +410,51 @@ def test_iceberg_merge_prunes_files_by_key_bounds(spark, tmp_path, monkeypatch):
     got = {r["id"]: r["v"] for r in t.read().filter("id IN (5, 17, 30)").collect()}
     assert got == {5: -1, 17: -2, 30: 60}
     assert t.read().count() == 400
+
+
+def test_merge_cdf_emission_is_complete_under_key_pruning(spark, tmp_path, monkeypatch):
+    """Merge-key data skipping must not distort the change data feed:
+    with the scan pruned to candidate files, the CDF still emits the
+    full clause-correct row set (update pre/postimages for matched
+    keys, inserts for unmatched), and rows in non-candidate files are
+    untouched."""
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources import lakehouse as lh
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    monkeypatch.setattr(lh, "MERGE_PRUNE_MIN_BYTES", 0)
+    t = DeltaLogTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.range(0, 400)
+        .selectExpr("id", "id * 2 AS v")
+        .repartitionByRange(4, "id")
+        .sortWithinPartitions("id"),
+        mode="overwrite",
+    )
+    t.set_property("delta.enableChangeDataFeed", "true")
+    v0 = t.latest_version()
+    # keys 10..14 exist (one candidate file); 1000..1002 are inserts
+    src = spark.createDataFrame(
+        [(k, -k) for k in range(10, 15)] + [(k, -k) for k in (1000, 1001, 1002)],
+        "id long, v long",
+    )
+    res = t.merge(src, on=["id"])
+    assert res["files_rewritten"] == 1  # pruning held
+    feed = t.read_changes(v0 + 1, t.latest_version())
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_type == {
+        "update_preimage": 5,
+        "update_postimage": 5,
+        "insert": 3,
+    }, by_type
+    pre = {r["id"]: r["v"] for r in feed.filter("_change_type = 'update_preimage'").collect()}
+    post = {r["id"]: r["v"] for r in feed.filter("_change_type = 'update_postimage'").collect()}
+    assert pre == {k: 2 * k for k in range(10, 15)}
+    assert post == {k: -k for k in range(10, 15)}
+    # final state exact: untouched rows (incl. non-candidate files) intact
+    assert t.read().count() == 403
+    assert t.read().filter("id = 399").collect()[0]["v"] == 798
