@@ -7773,3 +7773,64 @@ def q382_recursive_cte_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY depth ORDER BY depth
         """
     )
+
+
+@query(
+    "q384_near_dup_tvf_sql",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               range(0, greatest(len(w) - 3, 0) + 1),
+               i -> array_to_string(w[i+1 : i+3], ' ')))) AS s
+      FROM toks
+    ),
+    sz AS (SELECT doc_id, s, len(s) AS ln,
+                  CAST(FLOOR(0.1 * len(s) + 1e-9) AS BIGINT) + 1 AS p
+           FROM sh),
+    pref AS (SELECT doc_id, ln, UNNEST(s[1 : p]) AS tok FROM sz),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pref a JOIN pref b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+       AND least(a.ln, b.ln) >= 0.9 * greatest(a.ln, b.ln) - 1e-9
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+    FROM cand c JOIN sz a ON c.id_a = a.doc_id JOIN sz b ON c.id_b = b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.9
+    ORDER BY id_a, id_b
+    """,
+    tags=("lakehouse", "sql", "dedup", "tvf"),
+)
+def q384_near_dup_tvf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prefix-filter similarity join as a SQL TABLE FUNCTION —
+    ``FROM near_dup_pairs('db.t', 'id', 'text', 0.9, 3)`` in the
+    facade (the table_changes TVF precedent): one FROM clause gives
+    any SQL user the EXACT sub-quadratic all-pairs Jaccard join
+    (operators/dedup.py jaccard_pairs_prefix — df-ordered prefixes,
+    recall 1.0 by construction; SCALING r12b), composable with joins
+    and aggregates like any table. Read policies apply to the scanned
+    base rows. The oracle is DuckDB's own prefix-filter twin — exact
+    pair set AND exact jaccard values, cross-engine."""
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = DeltaLogTable(spark, _scratch("ndtvf") + "_t")
+    t.write(docs.coalesce(2), mode="overwrite")
+    lh = LakehouseSession(spark, _scratch("wh_ndtvf"))
+    lh.sql("CREATE DATABASE dd")
+    lh.sql(f"CREATE TABLE dd.docs USING DELTA LOCATION '{t.path}'")
+    return lh.sql(
+        "SELECT id_a, id_b, jaccard "
+        "FROM near_dup_pairs('dd.docs', 'doc_id', 'text', 0.9, 3) "
+        "ORDER BY id_a, id_b"
+    )

@@ -456,6 +456,35 @@ class LakehouseSession:
             alias = f"_lh_tc_{i}_" + q.replace(".", "_")
             df.createOrReplaceTempView(alias)
             out_sql = out_sql.replace(m_tc.group(0), alias)
+        # NEAR-DUP TVF: `FROM near_dup_pairs('db.t', 'id', 'text',
+        # 0.9[, 3])` — the EXACT prefix-filtering all-pairs Jaccard
+        # join (operators/dedup.py jaccard_pairs_prefix) as a SQL
+        # table function: (id_a, id_b, jaccard). The sub-quadratic
+        # exact similarity join every dedup pipeline needs, one FROM
+        # clause away. Policies apply to the scanned base rows.
+        nd_pat = re.compile(
+            r"near_dup_pairs\s*\(\s*'(?P<tbl>[\w.]+)'\s*,\s*"
+            r"'(?P<id>\w+)'\s*,\s*'(?P<txt>\w+)'\s*,\s*"
+            r"(?P<thr>[0-9.]+)\s*(?:,\s*(?P<n>\d+))?\s*\)",
+            re.IGNORECASE,
+        )
+        for i, m_nd in enumerate(list(nd_pat.finditer(out_sql))):
+            from ent_fins_lakehouse_spark.operators.dedup import (
+                jaccard_pairs_prefix,
+            )
+
+            q = m_nd.group("tbl")
+            base = self._apply_policies(q, self._resolve_concrete(q).read())
+            df = jaccard_pairs_prefix(
+                base,
+                m_nd.group("id"),
+                m_nd.group("txt"),
+                threshold=float(m_nd.group("thr")),
+                shingle_n=int(m_nd.group("n") or 1),
+            )
+            alias = f"_lh_nd_{i}_" + q.replace(".", "_")
+            df.createOrReplaceTempView(alias)
+            out_sql = out_sql.replace(m_nd.group(0), alias)
         # TIME TRAVEL in the SELECT path: `FROM db.t VERSION AS OF 3` /
         # `TIMESTAMP AS OF '...'` resolves the as-of snapshot through
         # the format shims (Delta version/ICT timestamp, Iceberg

@@ -422,3 +422,42 @@ def test_with_recursive_rejects_malformed_body(spark, tmp_path):
             "WITH RECURSIVE r AS (SELECT 1 AS x UNION ALL "
             "SELECT x + 1 FROM r WHERE x < 3) DELETE FROM r"
         )
+
+
+def test_near_dup_tvf_composes_and_respects_policies(spark, tmp_path):
+    """The near_dup_pairs TVF behaves like any table: it composes with
+    aggregates, and the scanned base rows pass through read policies —
+    a ROW FILTER that hides one near-dup twin removes its pairs."""
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # exact twin of 1
+        (3, "one two three four five six seven"),
+        (4, "one two three four five six seven"),     # exact twin of 3
+        (5, "completely different text with no twin"),
+    ]
+    t = DeltaLogTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame(rows, "doc_id long, text string"))
+    lh = LakehouseSession(spark, str(tmp_path / "wh"))
+    lh.sql("CREATE DATABASE dd")
+    lh.sql(f"CREATE TABLE dd.docs USING DELTA LOCATION '{t.path}'")
+
+    got = lh.sql(
+        "SELECT id_a, id_b FROM near_dup_pairs('dd.docs', 'doc_id', 'text', 0.9) "
+        "ORDER BY id_a"
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2), (3, 4)]
+    # composes with aggregates
+    n = lh.sql(
+        "SELECT COUNT(*) AS n FROM near_dup_pairs('dd.docs', 'doc_id', 'text', 0.9)"
+    ).collect()[0]["n"]
+    assert n == 2
+    # governance rides the scan: hide doc 2 -> its pair disappears
+    lh.sql("ALTER TABLE dd.docs SET ROW FILTER (doc_id <> 2)")
+    filtered = lh.sql(
+        "SELECT id_a, id_b FROM near_dup_pairs('dd.docs', 'doc_id', 'text', 0.9) "
+        "ORDER BY id_a"
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in filtered] == [(3, 4)]
