@@ -326,6 +326,103 @@ def ivf_topk(
     )
 
 
+#: ivf_batch_topk ships the query set through the driver (centroid
+#: ranking) and broadcasts it into the probe join — a MINING anchor
+#: set, not a table. The cap makes an accidental table-sized query
+#: side fail loudly instead of OOM-ing the driver.
+BATCH_PROBE_MAX_QUERIES = 100_000
+
+
+def ivf_batch_topk(
+    spark,
+    layout_path: str,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """BATCHED IVF probe over a persisted serving layout — the
+    throughput shape q207's docstring points at: hard-negative mining,
+    retrieval-index refresh, and eval sweeps probe with THOUSANDS of
+    query vectors at once, where per-query serving (q144/q148) would
+    pay a scan each. One plan serves the whole batch:
+
+    1. every query ranks the centroid list driver-side (the probe set
+       is bounded — ``BATCH_PROBE_MAX_QUERIES`` — and the centroid
+       matrix is tiny) and emits ``n_probe`` (query, cell) rows;
+    2. ONE partition-pruned scan reads the UNION of probed cells —
+       zero bytes from cells no query probes;
+    3. the (query, cell) rows BROADCAST into the scan, so scoring is
+       a JVM-codegen dot-product join whose cost is
+       Σ_cell |rows(cell)| × |queries probing cell| — the IVF-bounded
+       mining cost, never |corpus| × |queries|;
+    4. a per-query window keeps the exact top-k among scored rows
+       (deterministic ties by id).
+
+    Returns (query_id, id_col, cosine_sim, rank). Recall per query
+    matches the single-probe operator (same cells, same scoring)."""
+    import math
+
+    rows = queries.select(query_id_col, vec_col).limit(
+        BATCH_PROBE_MAX_QUERIES + 1
+    ).collect()
+    if len(rows) > BATCH_PROBE_MAX_QUERIES:
+        raise ValueError(
+            f"batch probe query set exceeds {BATCH_PROBE_MAX_QUERIES:,} "
+            "rows — a query side this large is a table, not a mining "
+            "anchor set; join against the layout directly instead"
+        )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return d / (na * nb)
+
+    probe_rows = []
+    for r in rows:
+        qv = [float(x) for x in r[vec_col]]
+        ranked = sorted(
+            range(len(centroids)), key=lambda i: -cos(centroids[i], qv)
+        )
+        for cell in ranked[:n_probe]:
+            probe_rows.append((r[query_id_col], int(cell), qv))
+    qdt = dict(queries.dtypes)[query_id_col]
+    if not probe_rows:
+        return spark.createDataFrame(
+            [],
+            f"{query_id_col} {qdt}, {id_col} long, cosine_sim double, rank int",
+        )
+    qdf = spark.createDataFrame(
+        probe_rows, f"{query_id_col} {qdt}, ivf_cluster int, _qv array<double>"
+    )
+    cells = sorted({c for _q, c, _v in probe_rows})
+    scan = spark.read.parquet(layout_path).filter(
+        F.col("ivf_cluster").isin(cells)
+    )
+    from pyspark.sql import Window as W
+
+    cand = scan.join(F.broadcast(qdf), "ivf_cluster")
+    score = (
+        _dot(F.col(vec_col).cast("array<double>"), F.col("_qv"))
+        / (_norm(F.col(vec_col).cast("array<double>")) * _norm(F.col("_qv")))
+    ).alias("cosine_sim")
+    w = W.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        cand.select(query_id_col, id_col, score)
+        # a query probing n_probe cells never sees a row twice (cells
+        # partition the corpus), so no dedup is needed before ranking
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
 def cosine_pairs_blockwise_numpy(
     df: DataFrame,
     id_col: str,

@@ -5229,3 +5229,109 @@ def q375_weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.desc("sample_key"), "doc_id")
         .limit(100)
     )
+
+
+_Q385_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
+    ),
+    a AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 40 = 0),
+    scored AS (
+      SELECT a.query_id, e.vec_id,
+             list_dot_product(e.v, a.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(a.qv, a.qv)))
+               AS cosine_sim
+      FROM a JOIN e ON e.vec_id <> a.query_id
+    ),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id
+      ) AS rank FROM scored
+    )
+    SELECT query_id, vec_id, cosine_sim, CAST(rank AS INT) AS rank,
+           TRUE AS batch_recall_ok
+    FROM rk WHERE rank <= 3 ORDER BY query_id, rank
+    """
+
+
+@query(
+    "q385_ivf_batch_mining",
+    oracle=_Q385_ORACLE,
+    tags=("llm", "similarity", "layout", "mining"),
+)
+def q385_ivf_batch_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED ANN mining over the persisted IVF layout — the
+    throughput tier q207's rescore step routes through at 100 TB:
+    every anchor (here vec_id % 40 — the mining 2.5%) ranks the
+    centroids driver-side, ONE partition-pruned scan reads the union
+    of probed cells, the (anchor, cell) pairs broadcast into the scan,
+    and a JVM dot-product join + per-anchor window yields each
+    anchor's top-k — cost Σ_cell |rows| × |anchors probing cell|,
+    never |corpus| × |anchors| (:func:`operators.similarity.ivf_batch_topk`).
+
+    Hard signal: the payload is the exact per-anchor top-3 (brute
+    force, self excluded — hash-checked by the oracle's window), and
+    the batch probe's per-anchor hits vs that exact set fold into
+    ``batch_recall_ok`` (floor 50% of all exact slots — the 4/8-cell
+    probe bound, same band as q60/q144)."""
+    import math
+
+    from ent_fins_lakehouse_spark.operators.similarity import (
+        _dot,
+        _norm,
+        ivf_batch_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path, centroids = _ivf_sq8_layout(spark, sf_dir, n_clusters=8)
+    anchors = emb.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    served = ivf_batch_topk(
+        spark, path, centroids, anchors, k=4, n_probe=4
+    ).filter(F.col("vec_id") != F.col("query_id"))
+
+    # exact per-anchor top-3 (the payload): broadcast anchor matrix,
+    # JVM codegen dot, one window — q207's kernel
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+    ).withColumn("_n", _norm(F.col("_v"))).filter(F.col("_n") > 0)
+    a = e.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_n").alias("_qn"),
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        e.crossJoin(F.broadcast(a))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot(F.col("_v"), F.col("_qv")) / (F.col("_n") * F.col("_qn"))).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .persist()
+    )
+    n_slots = exact.count()
+    n_hit = (
+        served.select("query_id", "vec_id")
+        .join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"], "inner")
+        .count()
+    )
+    ok = n_slots == 0 or n_hit >= math.ceil(0.5 * n_slots)
+    return exact.select(
+        "query_id",
+        "vec_id",
+        "cosine_sim",
+        "rank",
+        F.lit(bool(ok)).alias("batch_recall_ok"),
+    ).orderBy("query_id", "rank")

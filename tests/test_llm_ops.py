@@ -1108,3 +1108,50 @@ def test_jaccard_prefix_join_equals_quadratic_ground_truth(docs):
         }
         assert quad, f"ground truth empty at shingle_n={n}"
         assert pref == quad
+
+
+def test_ivf_batch_topk_matches_per_query_probe(spark, emb):
+    """The batched IVF probe returns, for every query, exactly what
+    the per-query probe returns on the same layout parameters — one
+    pruned scan for the whole batch is a plan optimization, never a
+    semantic one. A table-sized query side refuses loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as FF
+
+    from ent_fins_lakehouse_spark.operators import similarity as S
+    from ent_fins_lakehouse_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_batch_topk,
+        ivf_topk,
+    )
+    from ent_fins_lakehouse_spark.plans.llm_queries import _ivf_sq8_layout
+    from tests.conftest import SF_SMOKE
+
+    path, centroids = _ivf_sq8_layout(spark, SF_SMOKE, n_clusters=8)
+    queries = emb.filter(FF.col("vec_id") % 100 == 0).select(
+        FF.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = ivf_batch_topk(spark, path, centroids, queries, k=5, n_probe=4)
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["cosine_sim"], 9))
+        for r in batch.collect()
+    }
+    indexed, cents2 = build_ivf_index(emb, "embedding", n_clusters=8)
+    assert centroids == cents2  # seeded determinism
+    for q in [r["query_id"] for r in queries.select("query_id").collect()]:
+        qvec = list(
+            emb.filter(FF.col("vec_id") == q).select("embedding").head()[0]
+        )
+        single = ivf_topk(
+            indexed, centroids, "embedding", qvec, k=5, id_col="vec_id", n_probe=4
+        ).collect()
+        for rank, r in enumerate(single, start=1):
+            assert got[(q, rank)] == (r["vec_id"], round(r["cosine_sim"], 9))
+    # cap: a table-sized query side is refused
+    orig = S.BATCH_PROBE_MAX_QUERIES
+    try:
+        S.BATCH_PROBE_MAX_QUERIES = 3
+        with _pytest.raises(ValueError, match="anchor set"):
+            ivf_batch_topk(spark, path, centroids, queries, k=5)
+    finally:
+        S.BATCH_PROBE_MAX_QUERIES = orig
