@@ -150,6 +150,11 @@ HEADLINE = [
     # snapshots) — both lifecycle rows
     "q382_recursive_cte_sql",
     "q383_iceberg_eq_delete_stream",
+    # r12 session 2: the near-dup TVF (fixture build + prefix join
+    # through the SQL facade — lifecycle) and the batched IVF mining
+    # probe (pruned scan + broadcast join + window — scan-shaped)
+    "q384_near_dup_tvf_sql",
+    "q385_ivf_batch_mining",
 ]
 
 # Headline rows whose wall is dominated by table BUILDS + commit
@@ -183,6 +188,7 @@ LIFECYCLE = {
     "q378_streaming_join_mv",
     "q382_recursive_cte_sql",
     "q383_iceberg_eq_delete_stream",
+    "q384_near_dup_tvf_sql",
 }
 
 
