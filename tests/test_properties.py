@@ -207,3 +207,49 @@ def test_mv_incremental_equals_recompute(sparkm, tmp_path_factory, arc):
     assert diff == 0
     # zero-count groups never linger
     assert got.filter("n_rows <= 0").count() == 0
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)),
+    min_size=1,
+    max_size=14,
+)
+
+
+@SET
+@given(edges=edge_lists)
+def test_recursive_cte_closure_matches_duckdb(sparkm, tmp_path_factory, edges):
+    """The facade's WITH RECURSIVE lowering computes the SAME
+    transitive closure as DuckDB's native recursive CTE on arbitrary
+    small digraphs — cycles, self-loops, and duplicate edges included
+    (UNION set semantics must terminate and dedupe identically)."""
+    import duckdb
+
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    root = tmp_path_factory.mktemp("rcte")
+    t = DeltaLogTable(sparkm, str(root / "e"))
+    t.write(
+        sparkm.createDataFrame(edges, "src int, dst int"), mode="overwrite"
+    )
+    lh = LakehouseSession(sparkm, str(root / "wh"))
+    lh.sql("CREATE DATABASE g")
+    lh.sql(f"CREATE TABLE g.edges USING DELTA LOCATION '{t.path}'")
+    stmt = """
+        WITH RECURSIVE reach (src, dst) AS (
+          SELECT src, dst FROM {tbl}
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN {tbl} e ON r.dst = e.src
+        )
+        SELECT src, dst FROM reach
+    """
+    got = {
+        (r["src"], r["dst"])
+        for r in lh.sql(stmt.format(tbl="g.edges")).collect()
+    }
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE edges (src INT, dst INT)")
+    duck.executemany("INSERT INTO edges VALUES (?, ?)", edges)
+    want = set(map(tuple, duck.execute(stmt.format(tbl="edges")).fetchall()))
+    assert got == want
