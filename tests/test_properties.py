@@ -253,3 +253,83 @@ def test_recursive_cte_closure_matches_duckdb(sparkm, tmp_path_factory, edges):
     duck.executemany("INSERT INTO edges VALUES (?, ?)", edges)
     want = set(map(tuple, duck.execute(stmt.format(tbl="edges")).fetchall()))
     assert got == want
+
+
+dup_texts = st.lists(
+    st.text(alphabet="ab cd", min_size=0, max_size=60),
+    min_size=2,
+    max_size=12,
+)
+
+
+@SET
+@given(texts=dup_texts, thr=st.sampled_from([0.7, 0.8, 0.9]), n=st.sampled_from([1, 2]))
+def test_prefix_join_equals_quadratic_on_random_text(sparkm, texts, thr, n):
+    """jaccard_pairs_prefix == the quadratic ground truth on random
+    tiny-alphabet texts (maximal shingle collisions, duplicates,
+    empty/whitespace strings) at several thresholds and shingle
+    sizes — the prefix-length guarantee has no data-shape escape
+    hatch."""
+    from ent_fins_lakehouse_spark.operators.dedup import (
+        jaccard_pairs_blocked,
+        jaccard_pairs_prefix,
+    )
+
+    # plant guaranteed duplicates so the pair set is non-trivial
+    rows = [(i, t) for i, t in enumerate(texts)]
+    rows += [(1000 + i, t) for i, t in enumerate(texts[:2])]
+    df = sparkm.createDataFrame(rows, "doc_id long, text string")
+    quad = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in jaccard_pairs_blocked(
+            df.withColumn("_all", F.lit(1)),
+            "doc_id", "text", ["_all"], thr, shingle_n=n,
+        ).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in jaccard_pairs_prefix(
+            df, "doc_id", "text", thr, shingle_n=n
+        ).collect()
+    }
+    assert pref == quad
+
+
+@SET
+@given(target=kv_batches, source=kv_batches)
+def test_merge_key_skipping_is_invisible(sparkm, tmp_path_factory, target, source):
+    """Merge-key data skipping may only change WHICH FILES ARE READ:
+    the same delete-merge applied with pruning forced on and forced
+    off lands identical final tables (rows and values)."""
+    from ent_fins_lakehouse_spark.sources import lakehouse as lh
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    root = tmp_path_factory.mktemp("mks")
+    src = sparkm.createDataFrame(
+        sorted({k for k, _ in source}), "int"
+    ).toDF("k")
+    finals = []
+    for gate, tag in ((0, "on"), (1 << 60, "off")):
+        t = DeltaLogTable(sparkm, str(root / f"t_{tag}"))
+        t.write(
+            sparkm.createDataFrame(target, "k int, v long")
+            .repartitionByRange(3, "k")
+            .sortWithinPartitions("k"),
+            mode="overwrite",
+        )
+        old = lh.MERGE_PRUNE_MIN_BYTES
+        lh.MERGE_PRUNE_MIN_BYTES = gate
+        try:
+            t.merge(
+                src,
+                on=["k"],
+                when_matched_update_all=False,
+                when_not_matched_insert_all=False,
+                matched_delete=True,
+            )
+        finally:
+            lh.MERGE_PRUNE_MIN_BYTES = old
+        finals.append(
+            sorted((r["k"], r["v"]) for r in t.read().collect())
+        )
+    assert finals[0] == finals[1]
