@@ -707,6 +707,34 @@ class LakehouseSession:
     #: DuckDB/Postgres rely on the user's termination condition alone)
     MAX_RECURSION = 200
 
+    @staticmethod
+    def _sub_ident_outside_literals(sql: str, name: str, alias: str) -> str:
+        """Whole-word ``name`` → ``alias``, skipping quoted string
+        literals: a step like ``WHERE label <> 'frontier'`` with a CTE
+        named ``frontier`` must keep its literal intact (the same
+        quote-skipping walk the body extractor uses). Both ``'...'``
+        and ``"..."`` segments are skipped — Spark's default
+        (non-ANSI-identifier) mode parses double quotes as string
+        literals too; doubled quotes inside a literal re-enter a
+        literal segment immediately, so their content stays skipped.
+        Backtick-quoted identifiers are NOT skipped: ```name``` is a
+        reference to the CTE and must rebind to the alias."""
+        pat = re.compile(rf"\b{re.escape(name)}\b")
+        out: list[str] = []
+        i, seg_start, n = 0, 0, len(sql)
+        while i < n:
+            ch = sql[i]
+            if ch in ("'", '"'):
+                out.append(pat.sub(alias, sql[seg_start:i]))
+                j = sql.find(ch, i + 1)
+                j = n if j < 0 else j + 1
+                out.append(sql[i:j])
+                i = seg_start = j
+            else:
+                i += 1
+        out.append(pat.sub(alias, sql[seg_start:]))
+        return "".join(out)
+
     def _run_recursive_cte(self, s: str, m) -> DataFrame:
         """``WITH RECURSIVE name [(cols)] AS (base UNION [ALL] step)
         final`` — the one major SQL surface Spark lacks, lowered to
@@ -767,8 +795,8 @@ class LakehouseSession:
         import uuid as _uuid
 
         alias = f"_lh_rcte_{name}_{_uuid.uuid4().hex[:8]}"
-        step_sql = re.sub(rf"\b{re.escape(name)}\b", alias, step_sql)
-        final_sql = re.sub(rf"\b{re.escape(name)}\b", alias, final_sql)
+        step_sql = self._sub_ident_outside_literals(step_sql, name, alias)
+        final_sql = self._sub_ident_outside_literals(final_sql, name, alias)
         acc = self._run_sql_with_catalog(base_sql, set())
         if cols:
             acc = acc.toDF(*cols)

@@ -409,6 +409,78 @@ def test_with_recursive_divergence_fails_loudly(spark, tmp_path, monkeypatch):
         )
 
 
+def test_with_recursive_name_in_string_literal_survives(spark, tmp_path):
+    """The CTE-name → internal-alias rewrite is quote-aware: a step or
+    final SELECT whose STRING LITERALS contain the CTE name (here a
+    CTE named ``frontier`` filtered by ``label <> 'frontier'``) must
+    keep those literals byte-identical — rewriting inside them silently
+    corrupts predicates (VERDICT r12 finding 2). Verified against
+    DuckDB running the SAME statement natively."""
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    rows = [
+        (1, 0, "seed"),
+        (2, 1, "frontier"),
+        (3, 1, "keep"),
+        (4, 3, "keep"),
+        (5, 4, "frontier"),
+    ]
+    nodes = spark.createDataFrame(rows, "id int, parent int, label string")
+    t = DeltaLogTable(spark, str(tmp_path / "nodes"))
+    t.write(nodes, mode="overwrite")
+    lh = LakehouseSession(spark, str(tmp_path / "wh"))
+    lh.sql("CREATE DATABASE g")
+    lh.sql(f"CREATE TABLE g.nodes USING DELTA LOCATION '{t.path}'")
+    stmt = """
+        WITH RECURSIVE frontier (id, label) AS (
+          SELECT id, label FROM {tbl} WHERE parent = 0
+          UNION ALL
+          SELECT n.id, n.label
+          FROM frontier JOIN {tbl} n ON n.parent = frontier.id
+          WHERE n.label <> 'frontier'
+        )
+        SELECT id, concat(label, ' via frontier') AS tag
+        FROM frontier WHERE label <> 'not frontier' ORDER BY id
+    """
+    got = [tuple(r) for r in lh.sql(stmt.format(tbl="g.nodes")).collect()]
+    # seed(1) expands to 3, then 4; 2 and 5 are pruned by the literal
+    assert got == [
+        (1, "seed via frontier"),
+        (3, "keep via frontier"),
+        (4, "keep via frontier"),
+    ]
+    import duckdb
+
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE nodes (id INT, parent INT, label VARCHAR)")
+    duck.executemany("INSERT INTO nodes VALUES (?, ?, ?)", rows)
+    assert got == [
+        tuple(r) for r in duck.execute(stmt.format(tbl="nodes")).fetchall()
+    ]
+
+
+def test_sub_ident_outside_literals_unit():
+    """Unit coverage of the quote-skipping substitution: word
+    boundaries, single/double-quoted literals, doubled quotes, and
+    backtick identifiers (which MUST rebind — they reference the CTE)."""
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+
+    sub = LakehouseSession._sub_ident_outside_literals
+    assert sub("SELECT x FROM r", "r", "A") == "SELECT x FROM A"
+    assert sub("SELECT 'r' FROM r", "r", "A") == "SELECT 'r' FROM A"
+    assert sub('SELECT "no r here", r.x FROM r', "r", "A") == (
+        'SELECT "no r here", A.x FROM A'
+    )
+    assert sub("SELECT 'it''s r' FROM r", "r", "A") == "SELECT 'it''s r' FROM A"
+    assert sub("SELECT rr, r_x, x_r FROM r", "r", "A") == (
+        "SELECT rr, r_x, x_r FROM A"
+    )
+    assert sub("SELECT x FROM `r`", "r", "A") == "SELECT x FROM `A`"
+    # unterminated literal: everything after the quote stays untouched
+    assert sub("SELECT 'r FROM r", "r", "A") == "SELECT 'r FROM r"
+
+
 def test_with_recursive_rejects_malformed_body(spark, tmp_path):
     import pytest
 
