@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ent_fins_lakehouse_spark.sources.avro_io import read_ocf
+from ent_fins_lakehouse_spark.sources.lakehouse import publish_exclusive
 
 _PRIMITIVES = {
     "boolean": T.BooleanType(),
@@ -295,6 +296,20 @@ _YEAR_SPEC = re.compile(r"^\s*year\s*\(\s*(\w+)\s*\)\s*$", re.IGNORECASE)
 _HOUR_SPEC = re.compile(r"^\s*hour\s*\(\s*(\w+)\s*\)\s*$", re.IGNORECASE)
 
 
+def _write_version_hint(meta_dir: str, version: int | str) -> None:
+    """Atomically publish ``version-hint.text`` (tmp + rename). The
+    hint is advisory — :meth:`IcebergTable._metadata_file` probes
+    upward from it — but atomic publication keeps a concurrent reader
+    from ever seeing a torn value, and the rename is the same
+    last-writer-wins the hint's semantics already assume."""
+    import uuid as _uuid
+
+    tmp = os.path.join(meta_dir, f".version-hint.{_uuid.uuid4().hex}.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(meta_dir, "version-hint.text"))
+
+
 def _canonical_spec(pf: dict, names: dict[int, str]) -> str:
     """Canonical partition_by string for a spec field (identity →
     column name; bucket[n] → ``bucket(n, col)``; truncate[w] →
@@ -344,8 +359,20 @@ class IcebergTable:
             with open(hint, encoding="utf-8") as fh:
                 v = fh.read().strip()
             cand = os.path.join(self.meta_dir, f"v{v}.metadata.json")
-            if os.path.isfile(cand):
-                return cand
+            if os.path.isfile(cand) and v.isdigit():
+                # the hint is a HINT, not the truth: two racing writers'
+                # hint writes are unordered, so a stale value can point
+                # BELOW the newest commit — trusting it would hide the
+                # race winner's snapshot and wedge every later commit
+                # (its O_EXCL target already exists). Probe upward like
+                # Java Iceberg's HadoopTableOperations: O(commits since
+                # the hint) stat calls, no directory listing.
+                n = int(v)
+                while os.path.isfile(
+                    os.path.join(self.meta_dir, f"v{n + 1}.metadata.json")
+                ):
+                    n += 1
+                return os.path.join(self.meta_dir, f"v{n}.metadata.json")
         versions = []
         for f in os.listdir(self.meta_dir):
             if not f.endswith(".metadata.json"):
@@ -1644,17 +1671,14 @@ class IcebergTable:
             mname = f"v{next_version}.metadata.json"
         target = os.path.join(self.meta_dir, mname)
         try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            publish_exclusive(target, json.dumps(new_meta))
         except FileExistsError:
             raise RuntimeError(
                 f"Iceberg commit {mname} was taken by a concurrent writer; "
                 f"staged files are uncommitted — retry the {operation}"
             ) from None
-        with os.fdopen(fd, "w") as fh:
-            json.dump(new_meta, fh)
         if not catalog_style:
-            with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as fh:
-                fh.write(str(next_version))
+            _write_version_hint(self.meta_dir, next_version)
         return snap_id
 
     # ------------------------------------------------ metadata tables
@@ -2793,16 +2817,13 @@ class IcebergTable:
             mname = f"v{next_version}.metadata.json"
         target = os.path.join(self.meta_dir, mname)
         try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            publish_exclusive(target, json.dumps(new_meta))
         except FileExistsError:
             raise RuntimeError(
                 f"Iceberg commit {mname} was taken by a concurrent writer — retry"
             ) from None
-        with os.fdopen(fd, "w") as fh:
-            json.dump(new_meta, fh)
         if not catalog_style:
-            with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as fh:
-                fh.write(str(next_version))
+            _write_version_hint(self.meta_dir, next_version)
 
     #: memoized per-file arrow schema probe for equality-delete files
     #: (immutable once written): (field_id -> column name, column names)
@@ -4596,14 +4617,9 @@ class IcebergTable:
             if catalog_style
             else f"v{nv}.metadata.json"
         )
-        fd = os.open(
-            os.path.join(self.meta_dir, mname), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-        )
-        with os.fdopen(fd, "w") as fh:
-            json.dump(new_meta, fh)
+        publish_exclusive(os.path.join(self.meta_dir, mname), json.dumps(new_meta))
         if not catalog_style:
-            with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as fh:
-                fh.write(str(nv))
+            _write_version_hint(self.meta_dir, nv)
 
     #: primitive Iceberg types whose defaults serialize as plain JSON
     #: values (spec v3 'Default values' single-value serialization)
@@ -5723,16 +5739,11 @@ class IcebergTable:
                 if catalog_style
                 else f"v{nv}.metadata.json"
             )
-            fd = os.open(
-                os.path.join(self.meta_dir, mname), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            publish_exclusive(
+                os.path.join(self.meta_dir, mname), json.dumps(new_meta)
             )
-            with os.fdopen(fd, "w") as fh:
-                json.dump(new_meta, fh)
             if not catalog_style:
-                with open(
-                    os.path.join(self.meta_dir, "version-hint.text"), "w"
-                ) as fh:
-                    fh.write(str(nv))
+                _write_version_hint(self.meta_dir, nv)
         return {"expired": len(expired), "files_deleted": sorted(dead)}
 
 
@@ -5886,11 +5897,8 @@ def convert_delta_to_iceberg(spark, delta_table, dest: str) -> "IcebergTable":
         ],
     }
     target = os.path.join(meta_dir, "v1.metadata.json")
-    fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    with os.fdopen(fd, "w") as fh:
-        json.dump(new_meta, fh)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
-        fh.write("1")
+    publish_exclusive(target, json.dumps(new_meta))
+    _write_version_hint(meta_dir, 1)
     return IcebergTable(spark, dest)
 
 

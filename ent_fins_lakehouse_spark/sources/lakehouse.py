@@ -64,6 +64,30 @@ class ConcurrentWriteError(RuntimeError):
     pass
 
 
+def publish_exclusive(target: str, payload: str) -> None:
+    """Put-if-absent publication of a COMPLETE file (the commit
+    primitive every log/metadata write rides): stage the payload to a
+    temp file in the same directory, then ``os.link`` it to the target.
+    The hardlink both arbitrates the race (``FileExistsError`` when a
+    competitor won, exactly like ``O_CREAT|O_EXCL``) and makes the
+    content atomic — a bare O_EXCL create followed by a write exposes
+    an EMPTY file to concurrent log readers until the buffer flushes,
+    a torn read the randomized multi-writer stress reproduced
+    (JSONDecodeError replaying a just-committed version). Object-store
+    deployments get the same contract from put-if-absent; this is the
+    local-filesystem equivalent."""
+    import uuid as _uuid
+
+    d = os.path.dirname(target)
+    tmp = os.path.join(d, f".{os.path.basename(target)}.{_uuid.uuid4().hex}.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(payload)
+    try:
+        os.link(tmp, target)
+    finally:
+        os.unlink(tmp)
+
+
 @dataclass
 class Commit:
     version: int
@@ -185,11 +209,9 @@ class LakeTable:
         os.makedirs(self.log_path, exist_ok=True)
         target = os.path.join(self.log_path, f"{commit.version:020d}.json")
         try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            publish_exclusive(target, commit.to_json())
         except FileExistsError as e:
             raise ConcurrentWriteError(f"version {commit.version} already committed") from e
-        with os.fdopen(fd, "w") as fh:
-            fh.write(commit.to_json())
 
     def _commit(
         self,
@@ -3898,16 +3920,15 @@ class DeltaLogTable:
         os.makedirs(self.log_path, exist_ok=True)
         target = os.path.join(self.log_path, f"{version:020d}.json")
         try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            publish_exclusive(
+                target, "".join(json.dumps(a) + "\n" for a in actions)
+            )
         except FileExistsError:
             raise ConcurrentWriteError(
                 f"Delta commit {version} at {self.log_path} was taken by a "
                 "concurrent writer; staged files are uncommitted (invisible "
                 "to readers) — retry the write"
             ) from None
-        with os.fdopen(fd, "w") as fh:
-            for a in actions:
-                fh.write(json.dumps(a) + "\n")
         self._write_version_checksum(version, actions)
         if (version + 1) % self.CHECKPOINT_INTERVAL == 0:
             self.checkpoint(version)

@@ -136,12 +136,61 @@ def test_glm_train_score_auc_floor(separable):
 
 
 def test_glm_query_schema(spark):
-    """q365 returns the scored held-out frame with a stable schema and
-    a hard prediction derived from the 0.5 threshold."""
+    """q365 returns the frozen-head confusion payload (VERDICT r12
+    item 4): stable schema, non-negative counts covering the held-out
+    rows, and the live-fit booleans folded TRUE."""
     from ent_fins_lakehouse_spark.plans.registry import queries_map
 
     df = queries_map()["q365_ml_glm_train_score"](spark, "/root/testdata/sf0.001")
-    assert df.columns == ["o_orderkey", "label", "p1", "prediction"]
+    assert df.columns == [
+        "label_i",
+        "pred_i",
+        "n",
+        "sum_margin",
+        "glm_auc_band_ok",
+        "glm_tracks_frozen_ok",
+    ]
     rows = df.collect()
-    assert rows and all(0.0 <= r.p1 <= 1.0 for r in rows)
-    assert all(r.prediction in (0.0, 1.0) for r in rows)
+    assert rows and all(r.label_i in (0, 1) and r.pred_i in (0, 1) for r in rows)
+    assert sum(r.n for r in rows) > 0
+    assert all(r.glm_auc_band_ok and r.glm_tracks_frozen_ok for r in rows)
+
+
+def test_frozen_head_sql_is_engine_portable(spark, duck):
+    """The frozen scoring head is ONE expression string both engines
+    parse: per-row margins from Spark and DuckDB agree bit-for-bit on
+    the sf0.001 held-out rows (the property the q72/q73/q365 hashes
+    ride on)."""
+    from ent_fins_lakehouse_spark.plans.ml_queries import (
+        frozen_z_sql,
+        ml_dataset,
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        r["o_orderkey"]: r["z"]
+        for r in ml_dataset(spark, "/root/testdata/sf0.001")
+        .filter(F.col("order_year") > 1997)
+        .select("o_orderkey", F.expr(frozen_z_sql()).alias("z"))
+        .collect()
+    }
+    want = dict(
+        duck.execute(
+            f"""
+            WITH v AS (
+                SELECT o_orderkey,
+                       c_mktsegment,
+                       CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+                       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                       CAST(EXTRACT(year FROM o_orderdate) AS DOUBLE)
+                           AS order_year
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                WHERE EXTRACT(year FROM o_orderdate) > 1997
+            )
+            SELECT o_orderkey, {frozen_z_sql()} AS z FROM v
+            """
+        ).fetchall()
+    )
+    assert got == want  # exact float equality, not approx
