@@ -155,6 +155,9 @@ HEADLINE = [
     # probe (pruned scan + broadcast join + window — scan-shaped)
     "q384_near_dup_tvf_sql",
     "q385_ivf_batch_mining",
+    # r13: the LSH pipeline alone (q53 times LSH + exact ground truth
+    # in one number; this row isolates the banding/verify wall)
+    "q386_minhash_lsh_pairs",
 ]
 
 # Headline rows whose wall is dominated by table BUILDS + commit

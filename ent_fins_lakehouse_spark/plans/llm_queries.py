@@ -236,6 +236,58 @@ def q53_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_Q386_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               range(0, greatest(len(w) - 3, 0) + 1),
+               i -> array_to_string(w[i+1 : i+3], ' ')))) AS s
+      FROM toks
+    ),
+    sz AS (SELECT doc_id, s, len(s) AS ln,
+                  CAST(FLOOR(0.1 * len(s) + 1e-9) AS BIGINT) + 1 AS p
+           FROM sh),
+    pref AS (SELECT doc_id, ln, UNNEST(s[1 : p]) AS tok FROM sz),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pref a JOIN pref b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+       AND least(a.ln, b.ln) >= 0.9 * greatest(a.ln, b.ln) - 1e-9
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+    FROM cand c JOIN sz a ON c.id_a = a.doc_id JOIN sz b ON c.id_b = b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.9
+    ORDER BY id_a, id_b
+    """
+
+
+@query("q386_minhash_lsh_pairs", oracle=_Q386_ORACLE, tags=("llm", "dedup"))
+def q386_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH pipeline ALONE — banded signature join →
+    candidate pairs → exact-Jaccard verify — with NO in-plan ground
+    truth (VERDICT r12 item 6: q53 times both operators in one bench
+    row, so a regression in either hides; this row isolates the LSH
+    wall while q384 isolates the exact prefix join). The oracle is the
+    exact prefix-filter pair set: exact-verify makes precision 1.0 by
+    construction, and the seeded banding's recall is 1.0 on the driver
+    corpora (measured at sf0.001/0.01/0.1 — q53's recall boolean keeps
+    watching the ≥0.9 contract), so a banding regression that drops a
+    true pair hash-mismatches loudly here. 100 TB shape: banded
+    equi-join, never all-pairs (`operators/dedup.py:261`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", jaccard_threshold=0.9, shingle_n=3
+    ).orderBy("id_a", "id_b")
+
+
 _Q54_ORACLE = """
     WITH toks AS (
       SELECT doc_id, lang, source,
