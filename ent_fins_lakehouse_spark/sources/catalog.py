@@ -159,6 +159,42 @@ class LakehouseCatalog:
         db, tbl = self._split(qualified)
         os.makedirs(os.path.join(self.root, db), exist_ok=True)
         if location:
+            declared = (fmt or "").lower()
+            if df is not None:
+                # CTAS at an external LOCATION: materialize in the
+                # DECLARED format (previously the df was silently
+                # dropped and an empty pointer registered — caught by
+                # the router fuzz, VERDICT r12 item 5)
+                if declared == "iceberg":
+                    IcebergFacadeTable(self.spark, location).write(
+                        df, mode="overwrite"
+                    )
+                elif declared == "delta":
+                    DeltaLogTable(self.spark, location).write(
+                        df, mode="overwrite"
+                    )
+                else:
+                    LakeTable(self.spark, location).write(df, mode="overwrite")
+            # registering an EXISTING location: the declared format must
+            # match what is actually there — `USING DELTA LOCATION` over
+            # an empty dir would otherwise sniff-resolve to a LakeTable
+            # and every later verb would hit the wrong log (fuzz-found)
+            if declared == "iceberg":
+                md = os.path.join(location, "metadata")
+                if not os.path.isdir(md):
+                    raise ValueError(
+                        f"CREATE TABLE … USING ICEBERG LOCATION: no Iceberg "
+                        f"metadata at {location!r} — point LOCATION at an "
+                        "existing Iceberg table or add AS SELECT to "
+                        "materialize one"
+                    )
+            elif declared == "delta":
+                if not os.path.isdir(os.path.join(location, "_delta_log")):
+                    raise ValueError(
+                        f"CREATE TABLE … USING DELTA LOCATION: no _delta_log "
+                        f"at {location!r} — point LOCATION at an existing "
+                        "Delta table or add AS SELECT to materialize one"
+                    )
             # register external location via symlink-free indirection:
             # store a pointer file
             p = self.table_path(qualified)
@@ -837,8 +873,48 @@ class LakehouseSession:
             except Exception:
                 pass
 
+    #: Statement families the facade OWNS: when none of the routed
+    #: shapes match one of these verbs, the router refuses LOUDLY
+    #: instead of falling through to spark.sql — a near-miss variant
+    #: (extra token, unsupported clause) silently hitting Spark's OWN
+    #: session catalog is a wrong-effect class, not a syntax error
+    #: (e.g. ``DROP TABLE`` of a lake table landing as a no-op against
+    #: the empty Spark catalog). SELECT/WITH, temp-view DDL, EXPLAIN,
+    #: SET, and SHOW forms the facade doesn't route stay pass-through.
+    _OWNED_VERB = re.compile(
+        r"(?:MERGE|DELETE|UPDATE|INSERT|OPTIMIZE|VACUUM|REORG|USE)\b"
+        r"|ANALYZE\s+TABLE\b"
+        r"|CREATE\s+(?:OR\s+REPLACE\s+)?(?:DATABASE|TABLE|VIEW|MATERIALIZED\s+VIEW)\b"
+        r"|DROP\s+(?:DATABASE|TABLE|VIEW|MATERIALIZED\s+VIEW)\b"
+        r"|REFRESH\s+MATERIALIZED\s+VIEW\b"
+        r"|ALTER\s+TABLE\b"
+        r"|DESCRIBE\s+(?:HISTORY|DETAIL)\b"
+        r"|SHOW\s+(?:DATABASES|TABLES|PARTITIONS|COLUMNS|TBLPROPERTIES)\b",
+        re.IGNORECASE,
+    )
+
+    @staticmethod
+    def _strip_leading_comments(s: str) -> str:
+        """Drop leading ``--`` line and ``/* */`` block comments so a
+        commented statement routes by its verb instead of falling
+        through to spark.sql with the facade's catalog unresolved."""
+        s = s.lstrip()
+        while True:
+            if s.startswith("--"):
+                nl = s.find("\n")
+                if nl < 0:
+                    return ""
+                s = s[nl + 1 :].lstrip()
+            elif s.startswith("/*"):
+                end = s.find("*/")
+                if end < 0:
+                    raise ValueError("unterminated block comment in statement")
+                s = s[end + 2 :].lstrip()
+            else:
+                return s
+
     def sql(self, stmt: str) -> DataFrame | None:
-        s = stmt.strip().rstrip(";")
+        s = self._strip_leading_comments(stmt).strip().rstrip(";").strip()
         if m := self._WITH_REC.match(s):
             return self._run_recursive_cte(s, m)
         if m := self._CREATE_JMV.match(s):
@@ -1133,6 +1209,22 @@ class LakehouseSession:
             t.rename_column(m["old"], m["new"])
             return None
         if m := self._ALTER_ADD.match(s):
+            # dtype legitimately contains commas inside decimal(10,2) /
+            # map<string,int>; a TOP-LEVEL comma means a multi-column
+            # ADD COLUMNS list, which the single-column route would
+            # silently mangle into one garbage dtype (fuzz-found)
+            depth = 0
+            for ch in m["dtype"]:
+                if ch in "(<":
+                    depth += 1
+                elif ch in ")>":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    raise ValueError(
+                        "unsupported statement shape for a facade-owned "
+                        "verb: multi-column ADD COLUMNS — add one column "
+                        "per statement"
+                    )
             t = self.catalog._resolve(m["target"])
             if not hasattr(t, "add_column"):
                 raise NotImplementedError(
@@ -1315,6 +1407,14 @@ class LakehouseSession:
             # non-catalog names (temp views, functions) pass through
             # untouched, so this is a strict widening of spark.sql
             return self._run_sql_with_catalog(s)
+        if self._OWNED_VERB.match(s):
+            raise ValueError(
+                f"unsupported statement shape for a facade-owned verb: "
+                f"{s[:80]!r} — the statement starts like a routed form "
+                "but matches none; see LakehouseSession.sql's supported "
+                "shapes (a silent spark.sql fallthrough would hit the "
+                "wrong catalog)"
+            )
         return self.spark.sql(s)
 
     @classmethod

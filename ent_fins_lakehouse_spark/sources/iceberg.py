@@ -2315,6 +2315,7 @@ class IcebergTable:
         _replace: bool = False,
         branch: str | None = None,
         retries: int = 0,
+        _basis_meta: dict | None = None,
     ) -> int:
         """Iceberg v2 WRITE interop (VERDICT r5 missing #4): stage
         ``df`` as parquet data files, emit an Avro manifest (entries
@@ -2346,7 +2347,14 @@ class IcebergTable:
         ) if os.path.isdir(self.meta_dir) else False
         now = int(time.time() * 1000)
         if exists:
-            meta = self.metadata()
+            # a REPLACE (compaction) caller pins the metadata basis it
+            # PLANNED from: re-reading fresh metadata here would slide
+            # the staleness gate past any commit that landed during the
+            # caller's (expensive) rewrite, and the replace's manifest
+            # list - built from the planned snapshot - would silently
+            # erase that winner's rows (randomized-stress find, VERDICT
+            # r12 item 3: a racing append vanished under compact()).
+            meta = _basis_meta if _basis_meta is not None else self.metadata()
             ice_schema = self._ice_schema(meta)
             spark_schema = self.schema(meta)
             want = {f.name: f.dataType for f in spark_schema.fields}
@@ -4889,7 +4897,7 @@ class IcebergTable:
                 .sortWithinPartitions("_z")
                 .drop("_z")
             )
-            snap_id = self.append(df, _replace=True)
+            snap_id = self.append(df, _replace=True, _basis_meta=meta)
             new_n = len(self.data_files(snap_id))
             return {
                 "files_before": len(data),
@@ -4911,7 +4919,7 @@ class IcebergTable:
             df = df.repartition(max(1, target_files), *spec_cols)
         else:
             df = df.coalesce(max(1, target_files))
-        snap_id = self.append(df, _replace=True)
+        snap_id = self.append(df, _replace=True, _basis_meta=meta)
         new_n = len(self.data_files(snap_id))
         return {
             "files_before": len(data),

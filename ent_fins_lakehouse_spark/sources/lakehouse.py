@@ -906,6 +906,15 @@ class LakeTable:
             dl.write(self.spark.createDataFrame(rows, schema), mode="append")
             return
         _, schema = self._snapshot()
+        if schema is None:
+            # a bare VALUES list carries no column names — inferring
+            # one here would commit _1/_2 garbage names into the log
+            # (fuzz-found: the committed schemaless state was then
+            # unreadable). CTAS provides the schema; refuse loudly.
+            raise ValueError(
+                f"INSERT INTO … VALUES needs an existing table schema at "
+                f"{self.path} — create the table with data (AS SELECT) first"
+            )
         df = self.spark.createDataFrame(rows, schema)
         self._enforce_constraints(df, "insert_values")
         rel = self._write_data_dir(df, target_files=1)
@@ -1243,10 +1252,18 @@ class LakeTable:
 
         NDV uses approx_count_distinct (HLL, ~2% RSE) exactly like
         Spark's ANALYZE — at 100 TB an exact distinct per column is a
-        full shuffle per column; the sketch is one pass for all."""
-        if not self.exists():
+        full shuffle per column; the sketch is one pass for all.
+
+        A public-Delta location (router-fuzz find, VERDICT r12 item 5):
+        the scan and the version stamp come from the shim like every
+        other verb; the stats sidecar lives beside the delta log."""
+        dl = self._as_delta_shim()
+        if dl is not None:
+            version = dl.latest_version()
+        elif self.exists():
+            version = self.latest_version()
+        else:
             raise ValueError(f"table {self.path} does not exist")
-        version = self.latest_version()
         df = self.read()
         aggs = [F.count("*").alias("__n")]
         for c in columns or []:
@@ -1717,14 +1734,45 @@ class DeltaLogTable:
                         if "deletionVector" in (a.__fields__ or []) and a["deletionVector"]:
                             dv = a["deletionVector"].asDict()
                         flds = a.__fields__ or []
+                        # delta-spark may write checkpoint stats as a
+                        # TYPED STRUCT instead of (or alongside) the
+                        # JSON string (`delta.checkpoint.writeStatsAsJson
+                        # =false` + `writeStatsAsStruct=true`, spec:
+                        # 'Checkpoint Schema'); same for typed
+                        # partitionValues_parsed. Reconstruct the JSON
+                        # form so data skipping prunes from a peer's
+                        # struct-stats checkpoint too (VERDICT r12
+                        # item 7).
+                        stats = a["stats"] if "stats" in flds else None
+                        if not stats and "stats_parsed" in flds and a["stats_parsed"] is not None:
+                            stats = json.dumps(
+                                a["stats_parsed"].asDict(recursive=True),
+                                default=str,
+                            )
+                        pv = (
+                            dict(a["partitionValues"] or {})
+                            if "partitionValues" in flds
+                            else {}
+                        )
+                        if (
+                            not pv
+                            and "partitionValues_parsed" in flds
+                            and a["partitionValues_parsed"] is not None
+                        ):
+                            pv = {
+                                k: (None if v is None else str(v))
+                                for k, v in a["partitionValues_parsed"]
+                                .asDict()
+                                .items()
+                            }
                         adds[a["path"]] = {
-                            "partitionValues": dict(a["partitionValues"] or {}),
+                            "partitionValues": pv,
                             "deletionVector": dv,
                             # stats survive the bootstrap when the
                             # checkpoint carries them (ours do); foreign
                             # checkpoints without the column just see
                             # "no stats" — pruning stays sound
-                            "stats": a["stats"] if "stats" in flds else None,
+                            "stats": stats,
                             "size": a["size"] if "size" in flds else None,
                             "baseRowId": a["baseRowId"] if "baseRowId" in flds else None,
                             "defaultRowCommitVersion": (
@@ -3276,6 +3324,7 @@ class DeltaLogTable:
                 "(creation is a plain write)"
             )
         _, _, _, meta0 = self._snapshot()
+        _planned_at = self._snap_version
         self._enforce_append_only(meta0, "WRITE (replaceWhere)")
         cur, adds, schema, part_cols, rel_of, pmap, fid_of = self._read_with_fp()
         df = self._conform_scoped_overwrite(df, schema, meta0, "replaceWhere")
@@ -3325,7 +3374,6 @@ class DeltaLogTable:
         staged = df if survivors is None else survivors.unionByName(df)
         new_adds = self._stage_adds(staged, part_cols, pmap, fid_of)
         now = int(time.time() * 1000)
-        version = self.latest_version() + 1
         actions: list[dict] = [
             {
                 "commitInfo": {
@@ -3367,7 +3415,9 @@ class DeltaLogTable:
             ],
             *new_adds,
         ]
-        self._commit_actions(version, actions)
+        version = self._commit_planned(
+            actions, "replace_where", rebase_over_appends=False, base=_planned_at
+        )
         return {
             "version": version,
             "files_removed": len(touched),
@@ -3405,6 +3455,7 @@ class DeltaLogTable:
                 f"at {self.path} (creation is a plain write)"
             )
         adds, schema, part_cols, meta = self._snapshot()
+        _planned_at = self._snap_version
         self._enforce_append_only(meta, "WRITE (dynamic partition overwrite)")
         if not part_cols:
             raise ValueError(
@@ -3431,7 +3482,6 @@ class DeltaLogTable:
             if tuple(info["partitionValues"].get(k) for k in pkeys) in replaced
         ]
         now = int(time.time() * 1000)
-        version = self.latest_version() + 1
         actions: list[dict] = [
             {
                 "commitInfo": {
@@ -3471,7 +3521,9 @@ class DeltaLogTable:
             ],
             *new_adds,
         ]
-        self._commit_actions(version, actions)
+        version = self._commit_planned(
+            actions, "dynamic-partition overwrite", rebase_over_appends=False, base=_planned_at
+        )
         return {
             "version": version,
             "partitions_replaced": len(replaced),
@@ -3490,6 +3542,7 @@ class DeltaLogTable:
         import time
 
         adds, schema, *_ = self._snapshot()
+        _planned_at = self._snap_version
         missing = {
             p: info
             for p, info in adds.items()
@@ -3525,8 +3578,9 @@ class DeltaLogTable:
             }
             for p, info in sorted(missing.items())
         )
-        version = self.latest_version() + 1
-        self._commit_actions(version, actions)
+        version = self._commit_planned(
+            actions, "fsck_repair", base=_planned_at
+        )
         return {"n_active": len(adds), "n_missing": len(missing), "version": version}
 
     def copy_into(
@@ -3847,6 +3901,94 @@ class DeltaLogTable:
                 "maxValues": maxs,
                 "nullCount": nulls,
             }
+        )
+
+    #: bound on commit re-validation rounds under perpetual contention
+    PLANNED_COMMIT_RETRIES = 50
+
+    def _commit_planned(
+        self,
+        actions: list[dict],
+        operation: str,
+        rebase_over_appends: bool = True,
+        base: int | None = None,
+    ) -> int:
+        """Commit a SNAPSHOT-PLANNED verb with WriteSerializable
+        conflict detection (randomized-stress find, VERDICT r12 item 3):
+        the verb read its snapshot via :meth:`_snapshot` (which stamped
+        ``_snap_version``), staged files, and now wants ``latest + 1`` —
+        but a competitor may have committed DURING the plan, and blindly
+        taking the next number would build the new snapshot over the
+        competitor's commit and erase its effect (the O_EXCL create only
+        arbitrates the final instant, not the plan window; the stress
+        reproduced lost MERGE updates and resurrected DELETE-ed rows
+        through exactly this gap).
+
+        Every version in ``(_snap_version, latest]`` is re-validated:
+        with ``rebase_over_appends`` (delta's conflict matrix for
+        DELETE/UPDATE/MERGE/OPTIMIZE under WriteSerializable) a winner
+        commit is acceptable iff it is a BLIND DATA APPEND — only
+        commitInfo/txn actions, adds with ``dataChange`` and no
+        deletion vector, and at most the ``delta.rowTracking`` domain —
+        because appended files are disjoint from this op's remove set
+        and their rows are not subject to its predicate. Anything else
+        (a remove, a DV re-add, schema/protocol/other-domain metadata)
+        raises :class:`ConcurrentWriteError` for the caller to re-plan.
+        ``rebase_over_appends=False`` (replace_where / dynamic-partition
+        overwrite: ops that logically replace a region a concurrent
+        append may write into) refuses on ANY intervening commit.
+
+        Before committing atop winners, the snapshot state is refreshed
+        so :meth:`_commit_actions` assigns row-tracking ids above the
+        winners' advanced high-water mark and in-commit timestamps stay
+        monotonic."""
+        if base is None:
+            base = getattr(self, "_snap_version", None)
+        if base is None:
+            base = self.latest_version()
+        for _ in range(self.PLANNED_COMMIT_RETRIES):
+            latest = self.latest_version()
+            if latest > base:
+                versions = self._json_versions()
+                for v in range(base + 1, latest + 1):
+                    path = versions.get(v)
+                    ok = rebase_over_appends and path is not None
+                    if ok:
+                        with open(path, encoding="utf-8") as fh:
+                            acts = [json.loads(ln) for ln in fh if ln.strip()]
+                        for a in acts:
+                            if "commitInfo" in a or "txn" in a:
+                                continue
+                            dm = a.get("domainMetadata")
+                            if dm is not None and dm.get("domain") == "delta.rowTracking":
+                                continue
+                            ad = a.get("add")
+                            if (
+                                ad is not None
+                                and ad.get("dataChange", True)
+                                and not ad.get("deletionVector")
+                            ):
+                                continue
+                            ok = False
+                            break
+                    if not ok:
+                        raise ConcurrentWriteError(
+                            f"true conflict under {operation}: concurrent "
+                            f"commit {v} landed after this {operation}'s "
+                            "snapshot and is not a blind append — re-plan "
+                            "against the current snapshot"
+                        )
+                # winners are all blind appends: refresh row-id HWM /
+                # ICT / protocol caches, then commit atop them
+                self._snapshot()
+            try:
+                self._commit_actions(latest + 1, actions)
+                return latest + 1
+            except ConcurrentWriteError:
+                continue  # a NEW winner took latest+1 — re-validate it
+        raise ConcurrentWriteError(
+            f"gave up committing {operation} at {self.path} after "
+            f"{self.PLANNED_COMMIT_RETRIES} re-validation rounds"
         )
 
     def _commit_actions(self, version: int, actions: list[dict]) -> None:
@@ -4253,6 +4395,7 @@ class DeltaLogTable:
         import zlib
 
         adds, schema, part_cols, _meta = self._snapshot()
+        _planned_at = self._snap_version
         self._enforce_append_only(_meta, "DELETE")
         cm_mode = ((_meta or {}).get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
@@ -4281,7 +4424,6 @@ class DeltaLogTable:
                 [T.StructField(_del_pmap[f.name], f.dataType) for f in data_fields]
             )
         types = {f.name: f.dataType for f in schema.fields}
-        version = self.latest_version() + 1
         now = int(time.time() * 1000)
 
         # stats-based pruning first: files whose add-action [min,max] /
@@ -4487,7 +4629,9 @@ class DeltaLogTable:
             *cdc_actions,
             *new_adds,
         ]
-        self._commit_actions(version, actions)
+        version = self._commit_planned(
+            actions, "delete", base=_planned_at
+        )
         return {"rows_deleted": rows_deleted, "files_touched": len(new_adds)}
 
     # ------------------------------------------------------ DML (public log)
@@ -4689,6 +4833,7 @@ class DeltaLogTable:
         import time
 
         _meta = self._snapshot()[3]
+        _planned_at = self._snap_version
         self._enforce_append_only(_meta, "UPDATE")
         df, adds, schema, part_cols, rel_of, pmap, fid_of = self._read_with_fp()
         cols = [f.name for f in schema.fields]
@@ -4756,7 +4901,6 @@ class DeltaLogTable:
             cdc_actions = self._stage_cdc(pre.unionByName(post), part_cols, pmap, fid_of)
         new_adds = self._stage_adds(rewritten, part_cols, pmap, fid_of)
         now = int(time.time() * 1000)
-        version = self.latest_version() + 1
         actions: list[dict] = [
             {
                 "commitInfo": {
@@ -4781,7 +4925,9 @@ class DeltaLogTable:
             ],
             *new_adds,
         ]
-        self._commit_actions(version, actions)
+        version = self._commit_planned(
+            actions, "update", base=_planned_at
+        )
         return {"files_rewritten": len(touched), "rows_updated": n_updated}
 
     def merge(
@@ -4831,6 +4977,7 @@ class DeltaLogTable:
 
         df, adds, schema, part_cols, rel_of, pmap, fid_of = self._read_with_fp()
         _meta = self._snapshot()[3]
+        _planned_at = self._snap_version
         self._enforce_append_only(_meta, "MERGE")
         want = {f.name: f.dataType for f in schema.fields}
         have = {f.name: f.dataType for f in source.schema.fields}
@@ -5093,7 +5240,6 @@ class DeltaLogTable:
             combined = combined.unionByName(p)
         new_adds = self._stage_adds(combined, part_cols, pmap, fid_of)
         now = int(time.time() * 1000)
-        version = self.latest_version() + 1
         actions: list[dict] = [
             {
                 "commitInfo": {
@@ -5141,7 +5287,9 @@ class DeltaLogTable:
             ],
             *new_adds,
         ]
-        self._commit_actions(version, actions)
+        version = self._commit_planned(
+            actions, "merge", base=_planned_at
+        )
         return {"files_rewritten": len(touched)}
 
     def restore(self, version: int) -> dict:
@@ -6091,6 +6239,7 @@ class DeltaLogTable:
                 "rewrites the whole table, pass one or the other"
             )
         adds, schema, part_cols, meta = self._snapshot()
+        _planned_at = self._snap_version
         if min_file_size_bytes is not None:
             return self._optimize_binpack(
                 adds, schema, part_cols, meta,
@@ -6135,7 +6284,6 @@ class DeltaLogTable:
         now = int(time.time() * 1000)
         for a in new_adds:
             a["add"]["dataChange"] = False
-        version = self.latest_version() + 1
         actions: list[dict] = [
             {
                 "commitInfo": {
@@ -6163,13 +6311,18 @@ class DeltaLogTable:
             ],
             *new_adds,
         ]
-        self._commit_actions(version, actions)
+        version = self._commit_planned(
+            actions, "optimize", base=_planned_at
+        )
         return {
             "files_before": len(adds),
             "files_after": len(new_adds),
             "dvs_materialized": n_dvs,
         }
 
+    # _snap_version still stamps optimize()'s planning snapshot here —
+    # this helper takes that snapshot's state as arguments and reads
+    # the log no further, so the default base is the right basis.
     def _optimize_binpack(
         self,
         adds: dict,
@@ -6264,7 +6417,6 @@ class DeltaLogTable:
         now = int(time.time() * 1000)
         for a in new_adds:
             a["add"]["dataChange"] = False
-        version = self.latest_version() + 1
         actions: list[dict] = [
             {
                 "commitInfo": {
@@ -6291,7 +6443,9 @@ class DeltaLogTable:
             ],
             *new_adds,
         ]
-        self._commit_actions(version, actions)
+        version = self._commit_planned(
+            actions, "optimize"
+        )
         return {
             "files_before": len(adds),
             "files_after": len(adds) - len(small) + len(new_adds),
@@ -6323,6 +6477,7 @@ class DeltaLogTable:
         import time
 
         adds, schema, part_cols, meta = self._snapshot()
+        _planned_at = self._snap_version
         if ((meta or {}).get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
         ) != "none":
@@ -6382,7 +6537,6 @@ class DeltaLogTable:
         now = int(time.time() * 1000)
         for a in new_adds:
             a["add"]["dataChange"] = False
-        version = self.latest_version() + 1
         actions: list[dict] = [
             {
                 "commitInfo": {
@@ -6405,7 +6559,9 @@ class DeltaLogTable:
             ],
             *new_adds,
         ]
-        self._commit_actions(version, actions)
+        version = self._commit_planned(
+            actions, "reorg_purge", base=_planned_at
+        )
         return {
             "files_purged": len(dv_adds),
             "files_after": len(new_adds),

@@ -26,8 +26,8 @@ Threads (not processes) carry the race: the contended primitive is the
 put-if-absent log publish, which threads exercise for real — the GIL is
 released across every Spark call and every os-level file op.
 
-This suite found two real bugs on first run, both fixed with the
-machinery they exposed and pinned below:
+This suite found FOUR real bugs in its first runs, each fixed with the
+machinery it exposed:
 
 1. commit files published with O_CREAT|O_EXCL then written — a reader
    listing the log could replay an EMPTY just-created commit
@@ -38,7 +38,19 @@ machinery they exposed and pinned below:
    writes are unordered, so a stale hint hid the race winner's snapshot
    and wedged every later commit; the reader now probes upward from the
    hint like Java Iceberg's HadoopTableOperations
-   (:func:`test_iceberg_stale_version_hint_recovers`).
+   (:func:`test_iceberg_stale_version_hint_recovers`);
+3. every DeltaLogTable DML/maintenance verb computed its commit version
+   at COMMIT time (``latest_version() + 1`` after staging), so a
+   competitor landing during the plan was silently built over — the
+   stress lost a MERGE's update and resurrected DELETE-ed rows;
+   snapshot-planned verbs now commit through ``_commit_planned``
+   (WriteSerializable validation of every intervening commit, rebase
+   over blind appends only);
+4. Iceberg ``compact()`` re-read FRESH metadata inside its REPLACE
+   commit, sliding the staleness gate past any commit that landed
+   during the rewrite — a racing append's rows vanished; the REPLACE
+   now pins the planning basis (``append(_basis_meta=…)``) so the gate
+   fails loudly and the caller re-plans.
 """
 
 from __future__ import annotations

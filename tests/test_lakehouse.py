@@ -6187,3 +6187,59 @@ def test_minmax_view_maintains_under_deletes(spark, tmp_path):
     assert_identical()
     g0b = mv.read().filter("g = 0").collect()[0]
     assert float(g0b["max_v"]) == 5.0
+
+
+def test_checkpoint_with_struct_stats_bootstraps_and_prunes(spark, tmp_path):
+    """Foreign classic checkpoints with STRUCT-typed stats (VERDICT r12
+    item 7): delta-spark with ``delta.checkpoint.writeStatsAsJson=false``
+    + ``writeStatsAsStruct=true`` emits ``add.stats_parsed`` (typed
+    struct) and no JSON ``stats`` string — plus ``partitionValues_parsed``.
+    Synthesized here by rewriting our own checkpoint into that shape
+    (the spec's 'Checkpoint Schema' variant): the bootstrap must replay
+    it AND data skipping must still prune from the reconstructed stats."""
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "t")
+    t = DeltaLogTable(spark, td)
+    t.write(
+        spark.range(0, 100).selectExpr("id AS k", "CAST(id AS STRING) AS v").coalesce(1),
+        mode="append",
+    )
+    t.write(
+        spark.range(100, 200).selectExpr("id AS k", "CAST(id AS STRING) AS v").coalesce(1),
+        mode="append",
+    )
+    t.checkpoint(t.latest_version())
+    _cp_v, (cp_path,) = t._checkpoint()
+    df = spark.read.parquet(cp_path)
+    stats_schema = (
+        "numRecords BIGINT, "
+        "minValues STRUCT<k: BIGINT, v: STRING>, "
+        "maxValues STRUCT<k: BIGINT, v: STRING>, "
+        "nullCount STRUCT<k: BIGINT, v: BIGINT>"
+    )
+    keep = [f for f in df.schema["add"].dataType.fieldNames() if f != "stats"]
+    new_add = F.struct(
+        *[F.col(f"add.{f}").alias(f) for f in keep],
+        F.from_json("add.stats", stats_schema).alias("stats_parsed"),
+    )
+    df2 = df.withColumn("add", F.when(F.col("add.path").isNotNull(), new_add))
+    out = str(tmp_path / "cp_rewrite")
+    df2.coalesce(1).write.mode("overwrite").parquet(out)
+    part = _glob.glob(os.path.join(out, "part-*.parquet"))[0]
+    os.replace(part, cp_path)
+    # fresh handle: bootstrap replays the struct-stats checkpoint ...
+    t2 = DeltaLogTable(spark, td)
+    assert t2.read().count() == 200
+    assert sorted(r["k"] for r in t2.read(where="k >= 195").collect()) == list(
+        range(195, 200)
+    )
+    # ... and skipping prunes from the RECONSTRUCTED stats: the two
+    # files cover k in [0,100) and [100,200) — a k>=150 scan reads one
+    info = t2.scan_info("k >= 150")
+    assert info["n_read"] == 1 and info["n_pruned"] == 1, info
