@@ -3941,7 +3941,13 @@ class DeltaLogTable:
         Before committing atop winners, the snapshot state is refreshed
         so :meth:`_commit_actions` assigns row-tracking ids above the
         winners' advanced high-water mark and in-commit timestamps stay
-        monotonic."""
+        monotonic.
+
+        ``actions`` may be a list, or a CALLABLE ``(version) -> list``
+        for version-pinned metadata commits whose action content embeds
+        the commit version (ICT enablement, typeWidening's
+        ``tableVersion`` audit entry) — rebuilt per attempt so the
+        embedded version always matches the committed one."""
         if base is None:
             base = getattr(self, "_snap_version", None)
         if base is None:
@@ -3949,40 +3955,17 @@ class DeltaLogTable:
         for _ in range(self.PLANNED_COMMIT_RETRIES):
             latest = self.latest_version()
             if latest > base:
-                versions = self._json_versions()
-                for v in range(base + 1, latest + 1):
-                    path = versions.get(v)
-                    ok = rebase_over_appends and path is not None
-                    if ok:
-                        with open(path, encoding="utf-8") as fh:
-                            acts = [json.loads(ln) for ln in fh if ln.strip()]
-                        for a in acts:
-                            if "commitInfo" in a or "txn" in a:
-                                continue
-                            dm = a.get("domainMetadata")
-                            if dm is not None and dm.get("domain") == "delta.rowTracking":
-                                continue
-                            ad = a.get("add")
-                            if (
-                                ad is not None
-                                and ad.get("dataChange", True)
-                                and not ad.get("deletionVector")
-                            ):
-                                continue
-                            ok = False
-                            break
-                    if not ok:
-                        raise ConcurrentWriteError(
-                            f"true conflict under {operation}: concurrent "
-                            f"commit {v} landed after this {operation}'s "
-                            "snapshot and is not a blind append — re-plan "
-                            "against the current snapshot"
-                        )
+                self._check_planned_winners(
+                    operation, base, latest, rebase_over_appends
+                )
                 # winners are all blind appends: refresh row-id HWM /
                 # ICT / protocol caches, then commit atop them
                 self._snapshot()
             try:
-                self._commit_actions(latest + 1, actions)
+                self._commit_actions(
+                    latest + 1,
+                    actions(latest + 1) if callable(actions) else actions,
+                )
                 return latest + 1
             except ConcurrentWriteError:
                 continue  # a NEW winner took latest+1 — re-validate it
@@ -3990,6 +3973,43 @@ class DeltaLogTable:
             f"gave up committing {operation} at {self.path} after "
             f"{self.PLANNED_COMMIT_RETRIES} re-validation rounds"
         )
+
+    def _check_planned_winners(
+        self, operation: str, base: int, latest: int, rebase_over_appends: bool
+    ) -> None:
+        """Raise unless every commit in ``(base, latest]`` is a blind
+        data append (and rebasing over those is allowed) — the
+        WriteSerializable winners check shared by every snapshot-planned
+        commit path."""
+        versions = self._json_versions()
+        for v in range(base + 1, latest + 1):
+            path = versions.get(v)
+            ok = rebase_over_appends and path is not None
+            if ok:
+                with open(path, encoding="utf-8") as fh:
+                    acts = [json.loads(ln) for ln in fh if ln.strip()]
+                for a in acts:
+                    if "commitInfo" in a or "txn" in a:
+                        continue
+                    dm = a.get("domainMetadata")
+                    if dm is not None and dm.get("domain") == "delta.rowTracking":
+                        continue
+                    ad = a.get("add")
+                    if (
+                        ad is not None
+                        and ad.get("dataChange", True)
+                        and not ad.get("deletionVector")
+                    ):
+                        continue
+                    ok = False
+                    break
+            if not ok:
+                raise ConcurrentWriteError(
+                    f"true conflict under {operation}: concurrent "
+                    f"commit {v} landed after this {operation}'s "
+                    "snapshot and is not a blind append — re-plan "
+                    "against the current snapshot"
+                )
 
     def _commit_actions(self, version: int, actions: list[dict]) -> None:
         """O_EXCL optimistic commit of one versioned action file (+
@@ -5495,21 +5515,29 @@ class DeltaLogTable:
             self._last_protocol = self._feature_protocol(
                 writer_feats={"inCommitTimestamp"}
             )
-            ict = max(
-                int(_time.time() * 1000), int(getattr(self, "_last_ict", -1)) + 1
-            )
-            v_next = self.latest_version() + 1
+            def build(v_next: int) -> list[dict]:
+                # per attempt: the enabling commit must land at EXACTLY
+                # the version its properties name, and state flips must
+                # survive _commit_planned's snapshot refresh (which
+                # re-reads them from the not-yet-updated config)
+                ict = max(
+                    int(_time.time() * 1000),
+                    int(getattr(self, "_last_ict", -1)) + 1,
+                )
+                self._ict_enabled = True
+                self._ict_forced = ict
+                return self._constraint_meta_actions(
+                    meta,
+                    {
+                        "delta.enableInCommitTimestamps": "true",
+                        "delta.inCommitTimestampEnablementVersion": str(v_next),
+                        "delta.inCommitTimestampEnablementTimestamp": str(ict),
+                    },
+                    drop=None,
+                )
+
             self._ict_enabled = True
-            self._ict_forced = ict
-            self._commit_constraint_meta(
-                meta,
-                {
-                    "delta.enableInCommitTimestamps": "true",
-                    "delta.inCommitTimestampEnablementVersion": str(v_next),
-                    "delta.inCommitTimestampEnablementTimestamp": str(ict),
-                },
-                drop=None,
-            )
+            self._commit_planned(build, "SET TBLPROPERTIES")
             return
         if (
             key == "delta.enableChangeDataFeed"
@@ -5554,6 +5582,18 @@ class DeltaLogTable:
             )
 
     def _commit_constraint_meta(self, meta: dict, add_cfg: dict, drop: str | None) -> None:
+        # planned commit: a concurrent metadata/DML winner landing
+        # during this ALTER would otherwise be silently overwritten by
+        # the stale metaData action (same class as the DML stale-plan
+        # bug the randomized stress found); blind appends rebase
+        self._commit_planned(
+            self._constraint_meta_actions(meta, add_cfg, drop),
+            "ADD CONSTRAINT" if add_cfg else "DROP CONSTRAINT",
+        )
+
+    def _constraint_meta_actions(
+        self, meta: dict, add_cfg: dict, drop: str | None
+    ) -> list[dict]:
         import time
 
         cfg = dict((meta or {}).get("configuration") or {})
@@ -5578,7 +5618,7 @@ class DeltaLogTable:
             {"protocol": proto},
             {"metaData": new_meta},
         ]
-        self._commit_actions(self.latest_version() + 1, actions)
+        return actions
 
     def _enforce_constraints(self, df: DataFrame, op: str) -> None:
         """One validation scan for all active constraints over the
@@ -5602,21 +5642,23 @@ class DeltaLogTable:
         TABLE)."""
         import time
 
-        actions: list[dict] = [
-            {
-                "commitInfo": {
-                    "timestamp": int(time.time() * 1000),
-                    "operation": operation,
-                    "engineInfo": "ent_fins_lakehouse_spark/delta-shim",
+        def build(v: int) -> list[dict]:
+            m = meta(v) if callable(meta) else meta
+            actions: list[dict] = [
+                {
+                    "commitInfo": {
+                        "timestamp": int(time.time() * 1000),
+                        "operation": operation,
+                        "engineInfo": "ent_fins_lakehouse_spark/delta-shim",
+                    }
                 }
-            }
-        ]
-        if proto is not None:
-            actions.append({"protocol": proto})
-        actions.append({"metaData": meta})
-        v = self.latest_version() + 1
-        self._commit_actions(v, actions)
-        return v
+            ]
+            if proto is not None:
+                actions.append({"protocol": proto})
+            actions.append({"metaData": m})
+            return actions
+
+        return self._commit_planned(build, operation)
 
     def _refuse_constrained(self, column: str, verb: str) -> None:
         import re as _re
@@ -5793,9 +5835,12 @@ class DeltaLogTable:
         # backfill re-adds inside this very commit
         self._rt_enabled = True
         self._rt_hwm = -1
-        v = self.latest_version() + 1
-        self._commit_actions(v, actions)
-        return v
+        # the backfill re-adds every live file: an intervening APPEND
+        # would leave the winner's new file without a baseRowId, so any
+        # winner at all forces a re-plan (rebase_over_appends=False)
+        return self._commit_planned(
+            actions, "enable row tracking", rebase_over_appends=False
+        )
 
     def read_with_row_ids(self, version_as_of: int | None = None) -> DataFrame:
         """Snapshot with the row-tracking columns materialized:
@@ -6068,31 +6113,36 @@ class DeltaLogTable:
             )
         if name in part_cols:
             raise ValueError(f"cannot widen partition column {name!r}")
-        base = json.loads(meta["schemaString"])
-        version = self.latest_version() + 1
-        for f in base["fields"]:
-            if f["name"] == name:
-                # schemaString primitives are simple strings
-                # ("long", "double", "decimal(12,2)")
-                f["type"] = (
-                    new_t.simpleString()
-                    if isinstance(new_t, T.DecimalType)
-                    else new_t.typeName()
-                )
-                md = dict(f.get("metadata") or {})
-                md.setdefault("delta.typeChanges", []).append(
-                    {
-                        "fromType": old_t.simpleString(),
-                        "toType": new_t.simpleString(),
-                        "tableVersion": version,
-                    }
-                )
-                f["metadata"] = md
         proto = self._feature_protocol(
             reader_feats={"typeWidening"}, writer_feats={"typeWidening"}
         )
-        new_meta = {**meta, "schemaString": json.dumps(base)}
-        v = self._commit_meta(new_meta, "CHANGE COLUMN", proto=proto)
+
+        def widened_meta(version: int) -> dict:
+            # built per commit attempt: the typeChanges audit entry
+            # embeds the COMMITTED version, which may advance past the
+            # planned one when blind appends win the race
+            base = json.loads(meta["schemaString"])
+            for f in base["fields"]:
+                if f["name"] == name:
+                    # schemaString primitives are simple strings
+                    # ("long", "double", "decimal(12,2)")
+                    f["type"] = (
+                        new_t.simpleString()
+                        if isinstance(new_t, T.DecimalType)
+                        else new_t.typeName()
+                    )
+                    md = dict(f.get("metadata") or {})
+                    md.setdefault("delta.typeChanges", []).append(
+                        {
+                            "fromType": old_t.simpleString(),
+                            "toType": new_t.simpleString(),
+                            "tableVersion": version,
+                        }
+                    )
+                    f["metadata"] = md
+            return {**meta, "schemaString": json.dumps(base)}
+
+        v = self._commit_meta(widened_meta, "CHANGE COLUMN", proto=proto)
         self._last_protocol = proto
         return v
 
@@ -6140,9 +6190,7 @@ class DeltaLogTable:
         proto = self._feature_protocol(
             writer_feats={"clustering", "domainMetadata"}
         )
-        v = self.latest_version() + 1
-        self._commit_actions(
-            v,
+        v = self._commit_planned(
             [
                 {
                     "commitInfo": {
@@ -6163,6 +6211,7 @@ class DeltaLogTable:
                     }
                 },
             ],
+            "CLUSTER BY",
         )
         self._last_protocol = proto
         return v
