@@ -1524,6 +1524,14 @@ class DeltaLogTable:
     engine produces are consumable by ANY Delta reader (delta-spark,
     DuckDB's delta scanner, Polars), closing the write half of the
     interop loop with the reference's ``USING DELTA`` tables.
+
+    Concurrency contract: the TABLE is safe under concurrent writers —
+    every commit is put-if-absent and snapshot-planned verbs validate
+    intervening winners (:meth:`_commit_planned`) — but a HANDLE is
+    not: plan-state caches (``_snap_version``, row-id HWM, protocol,
+    ICT clock) live on the instance, so concurrent writers must each
+    own a handle, exactly as separate sessions/processes naturally do
+    (delta-spark's DeltaTable has the same per-session shape).
     """
 
     #: reader features whose data interpretation this shim implements

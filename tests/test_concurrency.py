@@ -218,7 +218,14 @@ class _DeltaOps:
         self.t.merge(src, ["k"])
 
     def neutral(self):
-        self.t.optimize(target_files=2)
+        # alternate the two content-neutral verbs so the storm also
+        # exercises the metadata commit path (_commit_planned with a
+        # metaData action) under genuine races, not just OPTIMIZE
+        self._n = getattr(self, "_n", 0) + 1
+        if self._n % 2:
+            self.t.optimize(target_files=2)
+        else:
+            self.t.set_property("stress.tick", str(self._n))
 
 
 class _IceOps:
@@ -260,8 +267,16 @@ def _run_lake_schedule(spark, root: str, seed: int) -> None:
     path = os.path.join(root, f"lake{seed}")
     t = LakeTable(spark, path)
     t.write(spark.createDataFrame([(-1, -1)], "k INT, v INT"))
-    ops = _LakeOps(spark, path)
-    want = _storm(spark, seed, lambda tid, rng, model: _ops_for(spark, ops, tid, rng, model))
+    # one handle PER WRITER (a handle's snapshot state is per-session,
+    # like a real concurrent writer's): sharing one instance across
+    # threads races its cached plan state, which is not a claimed contract
+    want = _storm(
+        spark,
+        seed,
+        lambda tid, rng, model: _ops_for(
+            spark, _LakeOps(spark, path), tid, rng, model
+        ),
+    )
     want[-1] = -1
     assert _read_kv(t.read()) == want, f"lost update (seed={seed})"
     versions = [c.version for c in t._read_commits()]
@@ -277,8 +292,13 @@ def _run_delta_schedule(spark, root: str, seed: int) -> None:
     t.set_property("delta.enableChangeDataFeed", "true")
     t.enable_row_tracking()
     cdf_from = t.latest_version() + 1
-    ops = _DeltaOps(spark, path)
-    want = _storm(spark, seed, lambda tid, rng, model: _ops_for(spark, ops, tid, rng, model))
+    want = _storm(
+        spark,
+        seed,
+        lambda tid, rng, model: _ops_for(
+            spark, _DeltaOps(spark, path), tid, rng, model
+        ),
+    )
     want[-1] = -1
     assert _read_kv(t.read()) == want, f"lost update (seed={seed})"
     final = t.latest_version()
@@ -312,8 +332,13 @@ def _run_iceberg_schedule(spark, root: str, seed: int) -> None:
     path = os.path.join(root, f"ice{seed}")
     t = IcebergTable(spark, path)
     t.append(spark.createDataFrame([(-1, -1)], "k INT, v INT").coalesce(1))
-    ops = _IceOps(spark, path, random.Random(seed ^ 0xABCD))
-    want = _storm(spark, seed, lambda tid, rng, model: _ops_for(spark, ops, tid, rng, model))
+    want = _storm(
+        spark,
+        seed,
+        lambda tid, rng, model: _ops_for(
+            spark, _IceOps(spark, path, random.Random(seed * 7 + tid)), tid, rng, model
+        ),
+    )
     want[-1] = -1
     assert _read_kv(t.read()) == want, f"lost update (seed={seed})"
     snaps = t.snapshots()
