@@ -210,10 +210,20 @@ def q72_ml_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = score(model, valid, id_cols=["o_orderkey"])
     a = auc(scored)
     pr = scored.agg(
-        F.min("p1").alias("lo"), F.max("p1").alias("hi")
+        F.min("p1").alias("lo"),
+        F.max("p1").alias("hi"),
+        F.avg("p1").alias("mean_p"),
+        F.avg("label").alias("base_rate"),
     ).first()
     auc_ok = bool(0.30 <= a <= 0.70)
-    proba_ok = bool(0.0 <= pr["lo"] < pr["hi"] <= 1.0)
+    # probabilities in range AND calibrated to the label prior. NOT a
+    # min<max spread check: at larger SFs the regularized fit correctly
+    # collapses to the intercept on this noise label (constant p =
+    # prior) — a constant, calibrated model is healthy here
+    proba_ok = bool(
+        0.0 <= pr["lo"] <= pr["hi"] <= 1.0
+        and abs(pr["mean_p"] - pr["base_rate"]) <= 0.05
+    )
     return (
         valid.select(
             F.col("label").cast("int").alias("label_i"),
