@@ -5659,6 +5659,11 @@ class IcebergTable:
         # never *.metadata.json (the commit history) or other artifacts
         for p in _glob.glob(os.path.join(self.meta_dir, "*.avro")):
             on_disk.add(os.path.abspath(p))
+        # publish_exclusive staging residue: a writer killed between the
+        # tmp write and the hardlink leaves `.<name>.<hex>.tmp` beside
+        # the metadata — never referenced, reclaim past the horizon
+        for p in _glob.glob(os.path.join(self.meta_dir, ".*.tmp")):
+            on_disk.add(os.path.abspath(p))
         horizon = _time.time() - older_than_hours * 3600.0
         orphans = []
         for p in sorted(on_disk - live):

@@ -6684,6 +6684,16 @@ class DeltaLogTable:
                 if fn in referenced or os.path.getmtime(full) > horizon:
                     continue
                 victims.append(full)
+        # publish_exclusive staging residue: a writer killed between
+        # the tmp write and the hardlink leaves `.<name>.<hex>.tmp` in
+        # the log dir forever (never referenced — the link IS the
+        # commit). Reclaim past the same retention horizon; a younger
+        # tmp may belong to an in-flight commit.
+        for fn in os.listdir(self.log_path):
+            if fn.startswith(".") and fn.endswith(".tmp"):
+                full = os.path.abspath(os.path.join(self.log_path, fn))
+                if os.path.getmtime(full) <= horizon:
+                    victims.append(full)
         if not dry_run:
             for v in victims:
                 os.remove(v)

@@ -430,3 +430,42 @@ def test_iceberg_stale_version_hint_recovers(spark, tmp_path):
     assert {r["k"] for r in t2.read().collect()} == {1, 2}
     t2.append(spark.createDataFrame([(3, 3)], "k INT, v INT").coalesce(1))
     assert {r["k"] for r in t2.read().collect()} == {1, 2, 3}
+
+
+def test_crashed_publish_tmp_residue_reclaimed(spark, tmp_path):
+    """A writer killed between publish_exclusive's tmp write and the
+    hardlink leaves `.…​.tmp` staging residue beside the log/metadata —
+    never referenced (the link IS the commit). Both formats' orphan
+    reclamation sweeps it past the retention horizon, and never touches
+    a YOUNG tmp (it may belong to an in-flight commit)."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    # Delta: vacuum reclaims old log-dir tmp residue
+    dt = DeltaLogTable(spark, str(tmp_path / "d"))
+    dt.write(spark.createDataFrame([(1, 1)], "k INT, v INT"), mode="append")
+    stale = os.path.join(dt.log_path, ".00000000000000000009.json.dead.tmp")
+    young = os.path.join(dt.log_path, ".00000000000000000010.json.live.tmp")
+    for p in (stale, young):
+        with open(p, "w") as fh:
+            fh.write("{}")
+    os.utime(stale, (time.time() - 9 * 24 * 3600,) * 2)
+    dt.vacuum(retention_hours=168.0)
+    assert not os.path.exists(stale), "stale publish residue must be vacuumed"
+    assert os.path.exists(young), "in-flight tmp must survive"
+    assert dt.read().count() == 1
+    os.remove(young)
+
+    # Iceberg: remove_orphan_files reclaims old metadata tmp residue
+    it = IcebergTable(spark, str(tmp_path / "i"))
+    it.append(spark.createDataFrame([(1, 1)], "k INT, v INT").coalesce(1))
+    istale = os.path.join(it.meta_dir, ".v9.metadata.json.dead.tmp")
+    iyoung = os.path.join(it.meta_dir, ".v10.metadata.json.live.tmp")
+    for p in (istale, iyoung):
+        with open(p, "w") as fh:
+            fh.write("{}")
+    os.utime(istale, (time.time() - 9 * 24 * 3600,) * 2)
+    res = it.remove_orphan_files(older_than_hours=72.0)
+    assert not os.path.exists(istale), res
+    assert os.path.exists(iyoung)
+    assert it.read().count() == 1
