@@ -200,6 +200,16 @@ def main() -> int:
         except Exception as ex:
             failed.append(name)
             print(f"ERROR     {name}: {type(ex).__name__}: {str(ex)[:200]}")
+        finally:
+            # queries are independently runnable by contract; a cached
+            # relation surviving its query is pure driver-heap ballast.
+            # Without this, a full sf0.1 sweep accumulated enough cached
+            # blocks over ~350 queries to OOM the default 1g driver heap
+            # (r13: q65's collect tipped it) — per-query it is noise.
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
     print(f"\n{len(qmap)} queries, {len(failed)} failed: {failed}")
     return 1 if failed else 0
 
