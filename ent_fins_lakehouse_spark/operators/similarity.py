@@ -366,10 +366,22 @@ def ivf_batch_topk(
     matches the single-probe operator (same cells, same scoring)."""
     import numpy as np
 
-    rows = queries.select(query_id_col, vec_col).limit(
+    # Arrow-batched collection: on an array<float> column toPandas with
+    # Arrow enabled lands each cell as a numpy array, so the matrix
+    # assembly below never runs an interpreted per-element float() loop
+    # (the r13 prologue's one remaining Python-per-element pass —
+    # ~7.7e7 conversions at the 100k × 768 cap).
+    sel = queries.select(query_id_col, vec_col).limit(
         BATCH_PROBE_MAX_QUERIES + 1
-    ).collect()
-    if len(rows) > BATCH_PROBE_MAX_QUERIES:
+    )
+    _arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
+    _arrow_was = spark.conf.get(_arrow_key, "false")
+    spark.conf.set(_arrow_key, "true")
+    try:
+        pdf = sel.toPandas()
+    finally:
+        spark.conf.set(_arrow_key, _arrow_was)
+    if len(pdf) > BATCH_PROBE_MAX_QUERIES:
         raise ValueError(
             f"batch probe query set exceeds {BATCH_PROBE_MAX_QUERIES:,} "
             "rows — a query side this large is a table, not a mining "
@@ -379,12 +391,11 @@ def ivf_batch_topk(
     # Centroid ranking is ONE matmul over the whole anchor batch, not a
     # per-anchor Python loop: at the operator's envelope (100k anchors ×
     # thousands of centroids × 768 dims) interpreted float loops are a
-    # driver-hours prologue; Q·Cᵀ + argpartition is milliseconds and
-    # ranks identically (cosine argsort == normalized-dot argsort).
+    # driver-hours prologue; Q·Cᵀ + one stable lexsort is seconds.
     probe_rows = []
-    if rows:
-        qmat = np.asarray(
-            [[float(x) for x in r[vec_col]] for r in rows], dtype=np.float64
+    if len(pdf):
+        qmat = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
         )
         cmat = np.asarray(centroids, dtype=np.float64)
         qn = np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -393,23 +404,20 @@ def ivf_batch_topk(
         cn[cn == 0.0] = 1.0
         sims = (qmat / qn) @ (cmat / cn).T  # (n_queries, n_centroids)
         take = min(n_probe, len(centroids))
-        if take < len(centroids):
-            part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
-        else:
-            part = np.broadcast_to(
-                np.arange(len(centroids)), sims.shape
-            ).copy()
-        # order the probed cells best-first within each row, breaking
-        # sim ties by cell index — byte-identical to the per-query
-        # sorted(range(...), key=-cos) ranking it replaces
-        order = np.lexsort(
-            (part, -np.take_along_axis(sims, part, axis=1)), axis=1
-        )
-        part = np.take_along_axis(part, order, axis=1)
-        for ri, r in enumerate(rows):
+        # full per-row stable ranking by (-sim, cell index): equal sims
+        # straddling the n_probe boundary resolve to the LOWEST cell
+        # index — the selection the stable per-query sorted() made.
+        # argpartition alone picks arbitrarily among boundary ties, so
+        # the probed cell SET could differ run-to-run; a full lexsort
+        # over the (bounded, thousands-wide) centroid axis is cheap and
+        # deterministic.
+        idx = np.broadcast_to(np.arange(len(centroids)), sims.shape)
+        part = np.lexsort((idx, -sims), axis=1)[:, :take]
+        qids = pdf[query_id_col].tolist()
+        for ri, qid in enumerate(qids):
             qv = qmat[ri].tolist()
             for cell in part[ri]:
-                probe_rows.append((r[query_id_col], int(cell), qv))
+                probe_rows.append((qid, int(cell), qv))
     qdt = dict(queries.dtypes)[query_id_col]
     if not probe_rows:
         return spark.createDataFrame(

@@ -4066,7 +4066,61 @@ def q224_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "rank INT, vec_id INT, relevance DOUBLE")
 
 
-@query("q229_bpe_train", tags=("llm", "tokenizer"))
+# DuckDB replay of the full BPE training loop (VERDICT r13 item 2):
+# WITH RECURSIVE carries the ENTIRE weighted vocabulary as one
+# list<struct> row; each recursive step computes the argmax pair from
+# the working state via a LATERAL unnest + hash agg (freq DESC, l, r —
+# the operator's exact tie-break) and rewrites the state with plain
+# replace() over brace-delimited symbol strings, whose left-to-right
+# non-overlapping scan IS the Sennrich merge semantics ('{a}{a}{a}' ->
+# '{aa}{a}'). Fully SF-independent — no pinned literals; DuckDB
+# re-derives every merge from the corpus, so a wrong pair count, tie
+# break, or merge rewrite on the Spark side hash-mismatches.
+_BPE_REPLAY_CTE = r"""
+WITH RECURSIVE vocab0 AS (
+  SELECT w, count(*)::BIGINT AS cnt,
+         regexp_replace(w, '(.)', '{\1}', 'g') || '{</w>}' AS seq
+  FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+    FROM documents
+  )
+  WHERE length(w) >= 2
+  GROUP BY w
+),
+st AS (
+  SELECT 0 AS it,
+         (SELECT list(struct_pack(cnt := cnt, seq := seq)) FROM vocab0) AS vocab,
+         CAST(NULL AS VARCHAR) AS l, CAST(NULL AS VARCHAR) AS r,
+         CAST(NULL AS BIGINT) AS freq
+  UNION ALL
+  SELECT it + 1,
+         list_transform(st.vocab, v -> struct_pack(
+             cnt := v.cnt,
+             seq := replace(v.seq, '{' || ch.l || '}{' || ch.r || '}',
+                            '{' || ch.l || ch.r || '}'))),
+         ch.l, ch.r, ch.freq
+  FROM st, LATERAL (
+    SELECT p.l, p.r, sum(p.cnt)::BIGINT AS freq
+    FROM (
+      SELECT syms[i] AS l, syms[i + 1] AS r, cnt
+      FROM (
+        SELECT u.v.cnt AS cnt, str_split(trim(u.v.seq, '{}'), '}{') AS syms
+        FROM (SELECT unnest(st.vocab) AS v) u
+      ) s, LATERAL unnest(generate_series(1, len(s.syms) - 1)) AS t(i)
+    ) p
+    GROUP BY p.l, p.r
+    ORDER BY freq DESC, p.l, p.r
+    LIMIT 1
+  ) ch
+  WHERE it < 12 AND ch.freq > 1
+)
+"""
+
+
+@query("q229_bpe_train", oracle=_BPE_REPLAY_CTE + """
+SELECT (it - 1)::INT AS rank, l AS "left", r AS "right", freq
+FROM st WHERE it >= 1 ORDER BY rank
+""", tags=("llm", "tokenizer"))
 def q229_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016) — 12
     merge rules learned over the corpus: one corpus-sized word-count
@@ -4074,10 +4128,12 @@ def q229_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + hash agg, a ONE-row driver collect for the argmax merge,
     an Arrow-batched rewrite of only the words containing the pair).
     State localCheckpoints between iterations so the loop doesn't
-    stack lineage. Deterministic (ties break lexicographically) but
-    iterative — not SQL; tests/test_llm_ops.py replays the exact
-    Sennrich reference algorithm in pure Python on the same corpus
-    and asserts rule-for-rule equality."""
+    stack lineage. Deterministic (ties break lexicographically);
+    oracled by a DuckDB WITH RECURSIVE replay of the full loop (no
+    pinned literals — DuckDB re-derives every merge from the corpus);
+    tests/test_llm_ops.py additionally replays the exact Sennrich
+    reference algorithm in pure Python and asserts rule-for-rule
+    equality."""
     from ent_fins_lakehouse_spark.operators.tokenizer import bpe_train
 
     docs = load_table(spark, sf_dir, "documents")
@@ -4088,7 +4144,32 @@ def q229_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
-@query("q230_bpe_encode_stats", tags=("llm", "tokenizer"))
+@query("q230_bpe_encode_stats", oracle=_BPE_REPLAY_CTE + """
+, final_vocab AS (
+  SELECT vocab FROM st ORDER BY it DESC LIMIT 1
+),
+enc AS (
+  -- the training loop's final state IS encode-by-merge-rank over the
+  -- distinct-word table: merges applied in rank order, left-to-right
+  SELECT u.v.cnt AS cnt, str_split(trim(u.v.seq, '{}'), '}{') AS tokens
+  FROM (SELECT unnest(vocab) AS v FROM final_vocab) u
+),
+tok AS (
+  SELECT t.token, sum(e.cnt)::BIGINT AS freq
+  FROM enc e, LATERAL unnest(e.tokens) AS t(token)
+  GROUP BY t.token
+),
+top AS (
+  SELECT token, freq FROM tok WHERE length(token) > 1
+  ORDER BY freq DESC, token LIMIT 25
+),
+totals AS (
+  SELECT '__TOTAL_TOKENS__' AS token, sum(cnt * len(tokens))::BIGINT AS freq
+  FROM enc
+)
+SELECT * FROM (SELECT * FROM top UNION ALL SELECT * FROM totals)
+ORDER BY token
+""", tags=("llm", "tokenizer"))
 def q230_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE ENCODING at corpus scale — the trained merge table applied
     in rank order over the DISTINCT-word table only (one Arrow pass,
@@ -4096,7 +4177,9 @@ def q230_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency weights, the corpus text is never re-tokenized. Returns
     the top-25 learned tokens by corpus frequency plus a TOTALS row
     (corpus token count vs raw symbol count — the compression the 12
-    merges bought). Deterministic; invariants (every token's corpus
+    merges bought). Deterministic; oracled by the DuckDB recursive
+    replay's final state (training's last vocab IS encode-by-merge-rank
+    over the distinct-word table); invariants (every token's corpus
     frequency ≥ its merge freq, totals shrink by exactly the merge
     freqs) are asserted in tests/test_llm_ops.py."""
     from ent_fins_lakehouse_spark.operators.tokenizer import (

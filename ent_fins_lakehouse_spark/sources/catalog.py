@@ -699,6 +699,26 @@ class LakehouseSession:
     )
 
     @staticmethod
+    def _literal_end(s: str, i: int) -> int:
+        """Index just past the string literal opening at ``s[i]``.
+        Honors backslash escapes — Spark's default (non-ANSI) string
+        parser treats ``\\'`` as an escaped quote INSIDE the literal,
+        so ending the skip there would expose the literal's tail to
+        identifier substitution / paren counting. Doubled quotes
+        re-enter a literal at the caller's next step, so they need no
+        handling here. An unterminated literal extends to the end."""
+        q, j, n = s[i], i + 1, len(s)
+        while j < n:
+            c = s[j]
+            if c == "\\":
+                j += 2
+                continue
+            if c == q:
+                return j + 1
+            j += 1
+        return n
+
+    @staticmethod
     def _split_top_level_union(body: str) -> tuple[str, str, bool]:
         """Split a recursive CTE body at its TOP-LEVEL ``UNION [ALL]``
         (paren- and quote-aware). Returns (base_sql, recursive_sql,
@@ -709,8 +729,7 @@ class LakehouseSession:
         while i < n:
             ch = body[i]
             if ch == "'":
-                j = body.find("'", i + 1)
-                i = n if j < 0 else j + 1
+                i = LakehouseSession._literal_end(body, i)
                 continue
             if ch == "(":
                 depth += 1
@@ -752,7 +771,9 @@ class LakehouseSession:
         and ``"..."`` segments are skipped — Spark's default
         (non-ANSI-identifier) mode parses double quotes as string
         literals too; doubled quotes inside a literal re-enter a
-        literal segment immediately, so their content stays skipped.
+        literal segment immediately, so their content stays skipped,
+        and backslash-escaped quotes stay inside the literal
+        (:meth:`_literal_end`).
         Backtick-quoted identifiers are NOT skipped: ```name``` is a
         reference to the CTE and must rebind to the alias."""
         pat = re.compile(rf"\b{re.escape(name)}\b")
@@ -762,8 +783,7 @@ class LakehouseSession:
             ch = sql[i]
             if ch in ("'", '"'):
                 out.append(pat.sub(alias, sql[seg_start:i]))
-                j = sql.find(ch, i + 1)
-                j = n if j < 0 else j + 1
+                j = LakehouseSession._literal_end(sql, i)
                 out.append(sql[i:j])
                 i = seg_start = j
             else:
@@ -800,8 +820,7 @@ class LakehouseSession:
         while i < n and depth:
             ch = s[i]
             if ch == "'":
-                j = s.find("'", i + 1)
-                i = n if j < 0 else j + 1
+                i = self._literal_end(s, i)
                 continue
             if ch == "(":
                 depth += 1

@@ -146,6 +146,26 @@ def _parse_ts_ms(ts) -> int:
     raise TypeError(f"unsupported timestamp_as_of value {ts!r}")
 
 
+def _struct_stats_jsonable(v):
+    """Typed checkpoint ``stats_parsed`` values → the JSON forms
+    :meth:`DeltaLogTable._file_stats` writes, so skipping compares
+    like with like: date/datetime → isoformat (matching the native
+    stats path — NOT ``str(datetime)``, whose space separator breaks
+    lexicographic ordering against isoformat literals); int/float/
+    bool/str pass through; Decimal/bytes/anything else → None, which
+    :meth:`_file_stats_map` treats as 'no stats for this column'
+    (pruning disabled, never unsound)."""
+    import datetime
+
+    if isinstance(v, dict):
+        return {k: _struct_stats_jsonable(x) for k, x in v.items()}
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return None
+
+
 class LakeTable:
     """A named, versioned, ACID table at a directory path."""
 
@@ -1753,9 +1773,20 @@ class DeltaLogTable:
                         # item 7).
                         stats = a["stats"] if "stats" in flds else None
                         if not stats and "stats_parsed" in flds and a["stats_parsed"] is not None:
+                            # sanitize BEFORE dumping: default=str would
+                            # render timestamps 'YYYY-MM-DD HH:MM:SS'
+                            # (str(datetime)) while _file_stats emits
+                            # isoformat 'YYYY-MM-DDTHH:MM:SS'; skipping
+                            # compares the strings lexicographically
+                            # (' ' < 'T' at position 10), so the mixed
+                            # forms could unsoundly prune. Emit isoformat
+                            # and fold non-orderable values (Decimal,
+                            # bytes) to null — null min/max disables
+                            # pruning for that column, never corrupts it.
                             stats = json.dumps(
-                                a["stats_parsed"].asDict(recursive=True),
-                                default=str,
+                                _struct_stats_jsonable(
+                                    a["stats_parsed"].asDict(recursive=True)
+                                )
                             )
                         pv = (
                             dict(a["partitionValues"] or {})
@@ -5004,8 +5035,15 @@ class DeltaLogTable:
         import uuid as _uuid
 
         df, adds, schema, part_cols, rel_of, pmap, fid_of = self._read_with_fp()
-        _meta = self._snapshot()[3]
+        # stamp the plan basis from _read_with_fp's OWN snapshot, then
+        # pin the metadata read to that same version: an unpinned second
+        # _snapshot() here would advance _snap_version past any commit
+        # that landed between the two reads, excluding it from
+        # _check_planned_winners' (base, latest] window — a non-blind
+        # winner in that gap would be silently built over (the
+        # lost-update class the r13 stress suite closed elsewhere)
         _planned_at = self._snap_version
+        _meta = self._snapshot(_planned_at)[3]
         self._enforce_append_only(_meta, "MERGE")
         want = {f.name: f.dataType for f in schema.fields}
         have = {f.name: f.dataType for f in source.schema.fields}

@@ -300,6 +300,12 @@ def _run_delta_schedule(spark, root: str, seed: int) -> None:
         ),
     )
     want[-1] = -1
+    _verify_delta_invariants(t, want, cdf_from, seed)
+
+
+def _verify_delta_invariants(t, want: dict[int, int], cdf_from: int, seed) -> None:
+    """The full post-storm invariant battery for the public Delta log —
+    shared by the thread-level schedules and the cross-process storm."""
     assert _read_kv(t.read()) == want, f"lost update (seed={seed})"
     final = t.latest_version()
     versions = sorted(t._json_versions())
@@ -340,6 +346,12 @@ def _run_iceberg_schedule(spark, root: str, seed: int) -> None:
         ),
     )
     want[-1] = -1
+    _verify_iceberg_invariants(t, path, want, seed)
+
+
+def _verify_iceberg_invariants(t, path: str, want: dict[int, int], seed) -> None:
+    """Post-storm invariants for the Iceberg v2 layer — shared by the
+    thread-level schedules and the cross-process storm."""
     assert _read_kv(t.read()) == want, f"lost update (seed={seed})"
     snaps = t.snapshots()
     ids = [s["snapshot-id"] for s in snaps]
@@ -574,3 +586,142 @@ def test_publish_exclusive_cross_process_storm(tmp_path):
             seen.add((d["w"], d["i"]))
     assert seen == {(w, i) for w in range(8) for i in range(25)}
     assert [f for f in os.listdir(path) if f.endswith(".tmp")] == []
+
+
+def test_merge_plan_basis_sees_interleaved_nonblind_winner(spark, tmp_path, monkeypatch):
+    """Pin for the r13 advisory find: merge() stamped ``_planned_at``
+    from a SECOND ``_snapshot()`` taken AFTER ``_read_with_fp()``'s
+    planning snapshot, so a non-blind commit landing between the two
+    reads fell outside ``_check_planned_winners``' (base, latest]
+    window and was silently built over — the rewrite resurrected the
+    competitor's deleted rows. The basis must be the version the PLAN
+    read: a DELETE injected right after ``_read_with_fp`` returns must
+    surface as ConcurrentWriteError, never a lost update."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import (
+        ConcurrentWriteError,
+        DeltaLogTable,
+    )
+
+    td = str(tmp_path / "t")
+    t = DeltaLogTable(spark, td)
+    t.write(
+        spark.range(0, 10).selectExpr("id AS k", "CAST(id AS STRING) AS v").coalesce(1),
+        mode="append",
+    )
+
+    orig = t._read_with_fp
+
+    def read_then_lose_race():
+        res = orig()
+        # competitor lands a NON-BLIND commit (remove+add) in the gap
+        # between the plan snapshot and merge's metadata read
+        DeltaLogTable(spark, td).delete("k = 5")
+        return res
+
+    monkeypatch.setattr(t, "_read_with_fp", read_then_lose_race)
+    src = spark.createDataFrame([(5, "merged")], "k BIGINT, v STRING")
+    with pytest.raises(ConcurrentWriteError):
+        t.merge(src, on=["k"])
+    # the interleaved DELETE survives; re-planning merges cleanly
+    t2 = DeltaLogTable(spark, td)
+    assert t2.read().filter("k = 5").count() == 0
+    t2.merge(src, on=["k"])
+    assert [r["v"] for r in t2.read().filter("k = 5").collect()] == ["merged"]
+
+
+def test_cross_process_dml_storm(spark, tmp_path):
+    """Full-DML storm across OS PROCESSES (VERDICT r13 item 3): the
+    thread storms above share one JVM and one Python runtime, which
+    serializes interleavings real deployments hit — N independent jobs
+    on N drivers committing MERGE/DELETE/UPDATE/OPTIMIZE at one shared
+    lakehouse path. Here 3 workers, each a separate python process with
+    its OWN SparkSession, drive the same randomized op vocabulary over
+    20 schedules (10 Delta + 10 Iceberg), file-barrier-aligned at each
+    schedule start so contention is real. Invariants per schedule are
+    the full battery: no lost update vs the union of per-writer models,
+    dense versions / linear metadata chain, checksum validation, CDF
+    net-replay, row-id uniqueness."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    n_workers, n_schedules = 3, 20
+    sync_dir = str(tmp_path / "sync")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(sync_dir)
+    os.makedirs(out_dir)
+
+    schedules, cdf_from = [], {}
+    seed_rows = [(-1, -1)]
+    for sid in range(n_schedules):
+        kind = "delta" if sid % 2 == 0 else "iceberg"
+        path = str(tmp_path / f"{kind}{sid}")
+        if kind == "delta":
+            t = DeltaLogTable(spark, path)
+            t.write(
+                spark.createDataFrame(seed_rows, "k INT, v INT"), mode="overwrite"
+            )
+            t.set_property("delta.enableChangeDataFeed", "true")
+            t.enable_row_tracking()
+            cdf_from[sid] = t.latest_version() + 1
+        else:
+            t = IcebergTable(spark, path)
+            t.append(spark.createDataFrame(seed_rows, "k INT, v INT").coalesce(1))
+        schedules.append(
+            {"id": sid, "kind": kind, "path": path, "seed": 7100 + sid}
+        )
+    sched_file = str(tmp_path / "schedules.json")
+    with open(sched_file, "w") as fh:
+        json.dump(schedules, fh)
+
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_storm_worker.py")
+    logs, procs = [], []
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="2g")
+    for wid in range(n_workers):
+        log = open(str(tmp_path / f"worker{wid}.log"), "w")
+        logs.append(log)
+        procs.append(
+            subprocess.Popen(
+                [
+                    _sys.executable,
+                    worker,
+                    sched_file,
+                    str(wid),
+                    str(n_workers),
+                    sync_dir,
+                    out_dir,
+                ],
+                stdout=log,
+                stderr=subprocess.STDOUT,
+                env=env,
+            )
+        )
+    try:
+        for wid, p in enumerate(procs):
+            rc = p.wait(timeout=1500)
+            tail = open(str(tmp_path / f"worker{wid}.log")).read()[-3000:]
+            assert rc == 0, f"worker {wid} rc={rc}:\n{tail}"
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for log in logs:
+            log.close()
+
+    for sched in schedules:
+        sid, kind, path = sched["id"], sched["kind"], sched["path"]
+        want: dict[int, int] = {-1: -1}
+        for wid in range(n_workers):
+            with open(os.path.join(out_dir, f"model_s{sid}_w{wid}.json")) as fh:
+                want.update({int(k): v for k, v in json.load(fh).items()})
+        if kind == "delta":
+            _verify_delta_invariants(
+                DeltaLogTable(spark, path), want, cdf_from[sid], sched["seed"]
+            )
+        else:
+            _verify_iceberg_invariants(
+                IcebergTable(spark, path), path, want, sched["seed"]
+            )

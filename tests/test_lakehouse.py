@@ -6243,3 +6243,126 @@ def test_checkpoint_with_struct_stats_bootstraps_and_prunes(spark, tmp_path):
     # files cover k in [0,100) and [100,200) — a k>=150 scan reads one
     info = t2.scan_info("k >= 150")
     assert info["n_read"] == 1 and info["n_pruned"] == 1, info
+
+
+def test_struct_stats_timestamp_reconstruction_matches_isoformat(spark, tmp_path):
+    """Pin for the r13 advisory find: struct-checkpoint timestamp stats
+    were reconstructed via ``json.dumps(..., default=str)``, i.e.
+    ``str(datetime)`` = 'YYYY-MM-DD HH:MM:SS' — but the native stats
+    path and predicate literals use isoformat 'YYYY-MM-DDTHH:MM:SS',
+    and skipping compares lexicographically (' ' < 'T' at position 10),
+    so a day-2 file's max looked SMALLER than any day-2 'T' literal and
+    the file was unsoundly pruned: rows silently dropped. The
+    reconstruction must emit isoformat (and fold non-orderable values
+    to null, which just disables pruning for that column)."""
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "ts_t")
+    t = DeltaLogTable(spark, td)
+    day1 = spark.createDataFrame(
+        [(i, f"2024-01-01T{i:02d}:00:00") for i in range(6)], "k LONG, s STRING"
+    ).select("k", F.col("s").cast("timestamp").alias("ts"))
+    day2 = spark.createDataFrame(
+        [(i + 6, f"2024-01-02T{i:02d}:00:00") for i in range(6)], "k LONG, s STRING"
+    ).select("k", F.col("s").cast("timestamp").alias("ts"))
+    t.write(day1.coalesce(1), mode="append")
+    t.write(day2.coalesce(1), mode="append")
+    t.checkpoint(t.latest_version())
+    _cp_v, (cp_path,) = t._checkpoint()
+    df = spark.read.parquet(cp_path)
+    # the engine's own writer records no timestamp footer stats, so a
+    # from_json rewrite would carry null ts ranges — synthesize the
+    # TYPED struct stats the way a delta-spark writer would emit them:
+    # real timestamp min/max per file, computed from the file itself
+    paths = [
+        r["add"]["path"]
+        for r in df.select("add").collect()
+        if r["add"] is not None and r["add"]["path"]
+    ]
+    stats_expr = None
+    for p in paths:
+        row = (
+            spark.read.parquet(os.path.join(td, p))
+            .agg(
+                F.min("k"), F.max("k"), F.min("ts"), F.max("ts"), F.count("*")
+            )
+            .collect()[0]
+        )
+        st = F.struct(
+            F.lit(row[4]).cast("bigint").alias("numRecords"),
+            F.struct(
+                F.lit(row[0]).cast("bigint").alias("k"),
+                F.lit(row[2]).alias("ts"),
+            ).alias("minValues"),
+            F.struct(
+                F.lit(row[1]).cast("bigint").alias("k"),
+                F.lit(row[3]).alias("ts"),
+            ).alias("maxValues"),
+            F.struct(
+                F.lit(0).cast("bigint").alias("k"),
+                F.lit(0).cast("bigint").alias("ts"),
+            ).alias("nullCount"),
+        )
+        stats_expr = (
+            F.when(F.col("add.path") == p, st)
+            if stats_expr is None
+            else stats_expr.when(F.col("add.path") == p, st)
+        )
+    keep = [f for f in df.schema["add"].dataType.fieldNames() if f != "stats"]
+    new_add = F.struct(
+        *[F.col(f"add.{f}").alias(f) for f in keep],
+        stats_expr.alias("stats_parsed"),
+    )
+    df2 = df.withColumn("add", F.when(F.col("add.path").isNotNull(), new_add))
+    out = str(tmp_path / "cp_ts_rewrite")
+    df2.coalesce(1).write.mode("overwrite").parquet(out)
+    part = _glob.glob(os.path.join(out, "part-*.parquet"))[0]
+    os.replace(part, cp_path)
+    t2 = DeltaLogTable(spark, td)
+    assert t2.read().count() == 12
+    # the day-2 scan must return all 6 day-2 rows (the bug pruned the
+    # day-2 file: its reconstructed max '2024-01-02 05:00:00' compared
+    # below the 'T' literal) ...
+    got = t2.read(where="ts >= '2024-01-02T00:00:00'").collect()
+    assert len(got) == 6, got
+    # ... while still PRUNING the day-1 file from the reconstructed
+    # isoformat stats (skipping works, and works soundly)
+    info = t2.scan_info("ts >= '2024-01-02T00:00:00'")
+    assert info["n_read"] == 1 and info["n_pruned"] == 1, info
+
+
+def test_struct_stats_non_orderable_values_fold_to_null(spark, tmp_path):
+    """Decimal (and other non-JSON-orderable) struct-stats values must
+    reconstruct as null — 'no stats, never prune' — not as strings whose
+    lexicographic order diverges from numeric order ('9.5' > '10.0')."""
+    import json as _json
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import _struct_stats_jsonable
+
+    import datetime
+    import decimal
+
+    got = _struct_stats_jsonable(
+        {
+            "numRecords": 3,
+            "minValues": {
+                "d": decimal.Decimal("9.50"),
+                "ts": datetime.datetime(2024, 1, 2, 5, 0, 0),
+                "day": datetime.date(2024, 1, 2),
+                "k": 1,
+                "s": "abc",
+                "b": b"\x00",
+            },
+        }
+    )
+    assert got["minValues"]["d"] is None
+    assert got["minValues"]["ts"] == "2024-01-02T05:00:00"
+    assert got["minValues"]["day"] == "2024-01-02"
+    assert got["minValues"]["k"] == 1 and got["minValues"]["s"] == "abc"
+    assert got["minValues"]["b"] is None
+    _json.dumps(got)  # everything left is JSON-serializable

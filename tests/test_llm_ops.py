@@ -1155,3 +1155,43 @@ def test_ivf_batch_topk_matches_per_query_probe(spark, emb):
             ivf_batch_topk(spark, path, centroids, queries, k=5)
     finally:
         S.BATCH_PROBE_MAX_QUERIES = orig
+
+
+def test_ivf_batch_topk_boundary_ties_pick_lowest_cell(spark, tmp_path):
+    """Pin for the r13 advisory find: centroid selection at the n_probe
+    boundary must break sim TIES by lowest cell index (the stable
+    per-query sorted() contract), not argpartition's arbitrary pick.
+    Four centroids are exact scalar multiples of each other (cosine 1.0
+    with the query, bit-identical after normalization); with n_probe=2
+    the probed set must be cells {0, 1} — so only their rows can appear
+    in the result, deterministically, run after run."""
+    from pyspark.sql import functions as FF
+
+    from ent_fins_lakehouse_spark.operators.similarity import ivf_batch_topk
+
+    # layout: one vector per cell, all perfectly similar to the query —
+    # any cell's row would score 1.0, so the probed CELLS decide the ids
+    rows = [(i, i, [1.0, 0.0]) for i in range(6)]
+    layout = str(tmp_path / "ivf_ties")
+    spark.createDataFrame(
+        rows, "vec_id LONG, ivf_cluster INT, embedding ARRAY<DOUBLE>"
+    ).write.partitionBy("ivf_cluster").parquet(layout)
+    centroids = [
+        [2.0, 0.0],   # cos = 1.0 (tie)
+        [0.5, 0.0],   # cos = 1.0 (tie)
+        [1.0, 0.0],   # cos = 1.0 (tie)
+        [4.0, 0.0],   # cos = 1.0 (tie)
+        [0.0, 1.0],   # cos = 0.0
+        [-1.0, 0.0],  # cos = -1.0
+    ]
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    for _ in range(3):  # determinism across repeated plans
+        got = sorted(
+            r["vec_id"]
+            for r in ivf_batch_topk(
+                spark, layout, centroids, queries, k=10, n_probe=2
+            ).collect()
+        )
+        assert got == [0, 1], got

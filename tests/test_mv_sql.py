@@ -479,6 +479,20 @@ def test_sub_ident_outside_literals_unit():
     assert sub("SELECT x FROM `r`", "r", "A") == "SELECT x FROM `A`"
     # unterminated literal: everything after the quote stays untouched
     assert sub("SELECT 'r FROM r", "r", "A") == "SELECT 'r FROM r"
+    # backslash-escaped quote stays INSIDE the literal (Spark's default
+    # non-ANSI string parser): the CTE name in the literal's tail must
+    # not be rewritten, and real references after it still rebind
+    assert sub(
+        "SELECT x FROM r WHERE lbl <> 'it\\'s r' AND r.x > 0", "r", "A"
+    ) == "SELECT x FROM A WHERE lbl <> 'it\\'s r' AND A.x > 0"
+    # escaped backslash at literal end: quote after \\ DOES terminate
+    assert sub("SELECT 'p\\\\' , r.x FROM r", "r", "A") == (
+        "SELECT 'p\\\\' , A.x FROM A"
+    )
+    # double-quoted literal with an escaped double quote
+    assert sub('SELECT "a \\" r tail", r.x FROM r', "r", "A") == (
+        'SELECT "a \\" r tail", A.x FROM A'
+    )
 
 
 def test_with_recursive_rejects_malformed_body(spark, tmp_path):
