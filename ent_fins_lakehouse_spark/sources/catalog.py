@@ -207,6 +207,19 @@ class LakehouseCatalog:
             if df is not None:
                 t.write(df, mode="overwrite")
             return t
+        if (fmt or "").lower() == "delta":
+            # managed CTAS honors the DECLARED format exactly like the
+            # external-LOCATION branch above: `USING DELTA AS SELECT`
+            # used to materialize the engine-native log instead, so
+            # later public-Delta verbs (SET TBLPROPERTIES, CDF) refused
+            # against a table the user declared as Delta (found by the
+            # SELECT-composition fuzz, r14). Resolution still goes
+            # through LakeTable, whose per-verb `_as_delta_shim`
+            # delegation lands every mutation in the public log.
+            dl = DeltaLogTable(self.spark, self.table_path(qualified))
+            if df is not None:
+                dl.write(df, mode="overwrite")
+            return LakeTable(self.spark, self.table_path(qualified))
         t = LakeTable(self.spark, self.table_path(qualified))
         if df is not None:
             t.write(df, mode="overwrite")

@@ -197,6 +197,11 @@ class LakeTable:
     def latest_version(self) -> int:
         files = self._commit_files()
         if not files:
+            # public-Delta fall-through (engine internals never reach
+            # here on a delegated path: write/DML shim first)
+            dl = self._as_delta_shim()
+            if dl is not None:
+                return dl.latest_version()
             return -1
         return int(files[-1].split(".")[0])
 
@@ -520,6 +525,8 @@ class LakeTable:
     def version_at(self, timestamp) -> int:
         """Resolve a point in time to the newest version committed at
         or before it (D8 timestampAsOf)."""
+        if (dl := self._as_delta_shim()) is not None:
+            return dl.version_at(timestamp)
         ms = _parse_ts_ms(timestamp)
         cands = [c.version for c in self._read_commits() if c.timestamp_ms <= ms]
         if not cands:
@@ -577,6 +584,8 @@ class LakeTable:
     def scan_info(self, where: str | None = None) -> dict:
         """Introspection: how many dirs a predicate scan would read
         (tests + EXPLAIN-style visibility for skipping)."""
+        if (dl := self._as_delta_shim()) is not None:
+            return dl.scan_info(where)
         from ent_fins_lakehouse_spark.sources.skipping import prune_dirs
 
         active, _ = self._snapshot()
@@ -585,6 +594,12 @@ class LakeTable:
 
     def history(self) -> DataFrame:
         """DESCRIBE HISTORY (D8, `01-Fraud-Delta.py:214`)."""
+        if (dl := self._as_delta_shim()) is not None:
+            # read-side delegation completes the DML shim: the engine
+            # log is empty at a public-Delta path, so answering from it
+            # would be a SILENT 0-row history (found by the r14
+            # SELECT-composition fuzz, the wrong-answer class)
+            return dl.history()
         rows = [
             (c.version, c.timestamp_ms, c.operation, json.dumps(c.metrics))
             for c in self._read_commits()
@@ -1040,6 +1055,8 @@ class LakeTable:
         snapshots (``exceptAll`` both ways), which is exact for any
         operation; compaction commits (optimize) are data-neutral and
         emit nothing."""
+        if (dl := self._as_delta_shim()) is not None:
+            return dl.read_changes(from_version, to_version)
         if to_version is None:
             to_version = self.latest_version()
         parts: list[DataFrame] = []
@@ -1112,6 +1129,8 @@ class LakeTable:
         DESCRIBE HISTORY, `01-Fraud-Delta.py:214`): physical + logical
         metadata of the current snapshot. Driver-side metadata walk
         only — no Spark job."""
+        if (dl := self._as_delta_shim()) is not None:
+            return dl.detail()
         active, schema = self._snapshot()
         commits = self._read_commits()
         num_files = 0
@@ -1155,6 +1174,15 @@ class LakeTable:
         Deep: data dirs are physically copied; the clone is fully
         independent. Per-dir skipping stats are carried over in both
         modes so pruning works without a re-scan."""
+        if (dl := self._as_delta_shim()) is not None:
+            if not shallow:
+                raise NotImplementedError(
+                    "deep CLONE of a public-Delta table is not supported — "
+                    "use shallow=True (metadata-only, delta-spark's shape)"
+                )
+            dl.clone(target_path)
+            return LakeTable(self.spark, target_path)
+
         active, schema = self._snapshot()
         if schema is None:
             raise ValueError(f"cannot clone non-existent table {self.path}")
@@ -1202,6 +1230,8 @@ class LakeTable:
     def constraints(self) -> dict[str, str]:
         """Active CHECK constraints (name → SQL expression), replayed
         from the commit log like the schema."""
+        if (dl := self._as_delta_shim()) is not None:
+            return dl.constraints()
         out: dict[str, str] = {}
         for c in self._read_commits():
             if c.operation == "add_constraint":

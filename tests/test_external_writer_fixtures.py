@@ -1,0 +1,554 @@
+"""Hand-authored EXTERNAL-writer fixtures for the reader edge cases
+(VERDICT r13 item 5).
+
+Interop tests elsewhere mostly round-trip through this engine's own
+writers; these fixtures are authored byte-by-byte per the PUBLIC specs
+(Iceberg spec 'Manifests'/'Partition Transforms'/'Position Delete
+Files'; Delta PROTOCOL.md 'Checkpoints') by the TEST, independently of
+the engine's write path — the q184 external-fixture precedent. The two
+highest-value shapes per the r13 verdict:
+
+(a) an Iceberg v2 table with ``bucket[n]`` partitioning and a parquet
+    position-delete file, bucket ordinals computed by an INDEPENDENT
+    pure-Python murmur3_x86_32 (so the engine's vectorized transform is
+    cross-checked, not self-checked);
+(b) a Delta log whose MULTI-PART checkpoint carries typed
+    ``stats_parsed`` / ``partitionValues_parsed`` structs and NO json
+    ``stats``/``partitionValues`` (delta-spark's
+    ``writeStatsAsJson=false`` + ``writeStatsAsStruct=true`` shape),
+    with a post-checkpoint JSON commit to replay on top.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+# ------------------------------------------------- independent murmur3
+
+
+def _mmh3_x86_32(data: bytes, seed: int = 0) -> int:
+    """Pure-Python murmur3_x86_32 (Appleby's public algorithm) — the
+    INDEPENDENT twin of the engine's vectorized transform."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed
+    n = len(data) // 4 * 4
+    for i in range(0, n, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[n:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def _bucket_long(v: int, n: int) -> int:
+    """Iceberg ``bucket[n]`` over a long: murmur3_x86_32 of the
+    little-endian 8-byte value, int-range-masked, mod n (spec
+    'Bucket Transform Details')."""
+    return (_mmh3_x86_32(struct.pack("<q", v)) & 0x7FFFFFFF) % n
+
+
+# --------------------------------------------- (a) Iceberg fixture
+
+
+N_BUCKETS = 4
+
+
+def _author_iceberg_bucket_posdel(table_dir: str) -> dict:
+    """Author the table as an external writer would: pyarrow data
+    files grouped by independently-computed bucket ordinal, a parquet
+    position-delete file, avro manifests with partition records, a
+    manifest list, and v2 metadata JSON. Returns the expectations."""
+    from ent_fins_lakehouse_spark.sources.avro_io import write_ocf
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    meta_dir = os.path.join(table_dir, "metadata")
+    data_dir = os.path.join(table_dir, "data")
+    os.makedirs(meta_dir)
+    os.makedirs(data_dir)
+
+    rows = [(k, f"v{k}") for k in range(40)]
+    by_bucket: dict[int, list[tuple[int, str]]] = {}
+    for k, v in rows:
+        by_bucket.setdefault(_bucket_long(k, N_BUCKETS), []).append((k, v))
+    assert len(by_bucket) == N_BUCKETS, "fixture wants all buckets hit"
+
+    ice_schema = {
+        "schema-id": 0,
+        "type": "struct",
+        "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "long"},
+            {"id": 2, "name": "v", "required": False, "type": "string"},
+        ],
+    }
+    part_fields = [
+        {
+            "name": "k_bucket",
+            "transform": f"bucket[{N_BUCKETS}]",
+            "source-id": 1,
+            "field-id": 1000,
+        }
+    ]
+
+    data_paths: dict[int, str] = {}
+    entries = []
+    for b, brows in sorted(by_bucket.items()):
+        fpath = os.path.join(data_dir, f"k_bucket={b}", f"{uuid.uuid4().hex}.parquet")
+        os.makedirs(os.path.dirname(fpath), exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array([k for k, _ in brows], pa.int64()),
+                    "v": pa.array([v for _, v in brows], pa.string()),
+                }
+            ),
+            fpath,
+        )
+        data_paths[b] = fpath
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": 1,
+                "sequence_number": 1,
+                "data_file": {
+                    "content": 0,
+                    "file_path": fpath,
+                    "file_format": "PARQUET",
+                    "partition": {"k_bucket": b},
+                    "record_count": len(brows),
+                    "file_size_in_bytes": os.path.getsize(fpath),
+                },
+            }
+        )
+
+    # position-delete parquet per the spec ('Position Delete Files'):
+    # (file_path, pos) rows, sorted — delete positions 0 and 2 of
+    # bucket 0's file
+    victims_file = data_paths[0]
+    deleted_keys = [by_bucket[0][0][0], by_bucket[0][2][0]]
+    del_path = os.path.join(data_dir, f"{uuid.uuid4().hex}-deletes.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([victims_file] * 2, pa.string()),
+                "pos": pa.array([0, 2], pa.int64()),
+            }
+        ),
+        del_path,
+    )
+    del_entry = {
+        "status": 1,
+        "snapshot_id": 2,
+        "sequence_number": 2,
+        "data_file": {
+            "content": 1,
+            "file_path": del_path,
+            "file_format": "PARQUET",
+            "partition": {"k_bucket": 0},
+            "record_count": 2,
+            "file_size_in_bytes": os.path.getsize(del_path),
+        },
+    }
+
+    # a dummy engine handle ONLY to borrow the spec-shaped avro
+    # schemas; nothing is written through it
+    t = IcebergTable.__new__(IcebergTable)
+    msch = t._manifest_schema(part_fields, ice_schema)
+
+    data_manifest = os.path.join(meta_dir, f"m-data-{uuid.uuid4().hex}.avro")
+    write_ocf(data_manifest, msch, entries)
+    del_manifest = os.path.join(meta_dir, f"m-del-{uuid.uuid4().hex}.avro")
+    write_ocf(del_manifest, msch, [del_entry])
+
+    lpath = os.path.join(meta_dir, f"snap-2-{uuid.uuid4().hex}.avro")
+    write_ocf(
+        lpath,
+        IcebergTable._MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": data_manifest,
+                "manifest_length": os.path.getsize(data_manifest),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "added_snapshot_id": 1,
+            },
+            {
+                "manifest_path": del_manifest,
+                "manifest_length": os.path.getsize(del_manifest),
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": 2,
+                "added_snapshot_id": 2,
+            },
+        ],
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": table_dir,
+        "last-sequence-number": 2,
+        "last-updated-ms": 1700000000000,
+        "last-column-id": 2,
+        "schemas": [ice_schema],
+        "current-schema-id": 0,
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": part_fields}],
+        "last-partition-id": 1000,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": 2,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "sequence-number": 1,
+                "timestamp-ms": 1700000000000,
+                "manifest-list": lpath,
+                "summary": {"operation": "append"},
+            },
+            {
+                "snapshot-id": 2,
+                "sequence-number": 2,
+                "timestamp-ms": 1700000001000,
+                "manifest-list": lpath,
+                "summary": {"operation": "delete"},
+            },
+        ],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return {
+        "deleted_keys": deleted_keys,
+        "by_bucket": by_bucket,
+        "data_paths": data_paths,
+    }
+
+
+def test_external_iceberg_bucket_partition_position_deletes(spark, tmp_path):
+    """The engine reads an externally-laid-out bucket-partitioned
+    Iceberg v2 table with parquet position deletes: content minus the
+    deleted positions, and point predicates prune to the single
+    matching bucket's file via the manifest partition tuples."""
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    td = str(tmp_path / "ice_ext")
+    os.makedirs(td)
+    exp = _author_iceberg_bucket_posdel(td)
+    t = IcebergTable(spark, td)
+
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    want = {k: f"v{k}" for k in range(40) if k not in exp["deleted_keys"]}
+    assert got == want, "position deletes must subtract exactly their rows"
+
+    # bucket pruning: a point predicate on the source column scans only
+    # the matching bucket's file (manifest partition tuple + the
+    # bucket-transform predicate rewrite)
+    probe = max(want)
+    b = _bucket_long(probe, N_BUCKETS)
+    sub = t.read(where=f"k = {probe}")
+    assert [r["v"] for r in sub.collect()] == [f"v{probe}"]
+    scanned = {
+        f for f in sub.inputFiles() if "-deletes" not in f
+    }
+    assert len(scanned) == 1 and exp["data_paths"][b] in "".join(scanned), (
+        "point predicate must prune to the single matching bucket file"
+    )
+
+    # a deleted key's row stays deleted under the pruned scan too
+    dk = exp["deleted_keys"][0]
+    assert t.read(where=f"k = {dk}").count() == 0
+
+
+# ----------------------------------------------- (b) Delta fixture
+
+
+def _delta_schema_string() -> str:
+    return json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "ts", "type": "timestamp", "nullable": True, "metadata": {}},
+                {"name": "p", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+
+
+def _write_delta_data_file(path: str, ks: list[int], day: int) -> dict:
+    """A data file as an external writer lays it out: partition column
+    NOT materialized, timestamps annotated UTC micros. Returns the
+    typed stats an external checkpoint writer would compute."""
+    import datetime
+
+    tss = [
+        datetime.datetime(2024, 1, day, k % 24, 0, 0, tzinfo=datetime.timezone.utc)
+        for k in ks
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array(ks, pa.int64()),
+                "ts": pa.array(tss, pa.timestamp("us", tz="UTC")),
+            }
+        ),
+        path,
+    )
+    return {
+        "numRecords": len(ks),
+        "min_k": min(ks),
+        "max_k": max(ks),
+        "min_ts": min(tss),
+        "max_ts": max(tss),
+    }
+
+
+def _author_delta_multipart_checkpoint(table_dir: str) -> dict:
+    """00.json (protocol+metaData+2 adds), 01.json (2 adds), a 2-part
+    checkpoint at version 1 carrying ONLY typed structs (stats_parsed,
+    partitionValues_parsed; json stats/partitionValues null), then
+    02.json replayed on top. All bytes authored here, never by the
+    engine's writer."""
+    log_dir = os.path.join(table_dir, "_delta_log")
+    os.makedirs(log_dir)
+
+    files = []  # (rel_path, partition, stats)
+    plan = [
+        ("p=a/part-00000.parquet", "a", list(range(0, 5)), 1),
+        ("p=a/part-00001.parquet", "a", list(range(5, 10)), 1),
+        ("p=b/part-00002.parquet", "b", list(range(100, 105)), 2),
+        ("p=b/part-00003.parquet", "b", list(range(105, 110)), 2),
+    ]
+    for rel, p, ks, day in plan:
+        fpath = os.path.join(table_dir, rel)
+        os.makedirs(os.path.dirname(fpath), exist_ok=True)
+        st = _write_delta_data_file(fpath, ks, day)
+        files.append((rel, p, st))
+
+    def add_json(rel, p, st):
+        return {
+            "add": {
+                "path": rel,
+                "partitionValues": {"p": p},
+                "size": os.path.getsize(os.path.join(table_dir, rel)),
+                "modificationTime": 1700000000000,
+                "dataChange": True,
+                "stats": json.dumps(
+                    {
+                        "numRecords": st["numRecords"],
+                        "minValues": {
+                            "k": st["min_k"],
+                            "ts": st["min_ts"].strftime("%Y-%m-%dT%H:%M:%S"),
+                        },
+                        "maxValues": {
+                            "k": st["max_k"],
+                            "ts": st["max_ts"].strftime("%Y-%m-%dT%H:%M:%S"),
+                        },
+                        "nullCount": {"k": 0, "ts": 0},
+                    }
+                ),
+            }
+        }
+
+    meta = {
+        "metaData": {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _delta_schema_string(),
+            "partitionColumns": ["p"],
+            "configuration": {},
+            "createdTime": 1700000000000,
+        }
+    }
+    proto = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        for act in [
+            {"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE"}},
+            proto,
+            meta,
+            add_json(*files[0]),
+            add_json(*files[1]),
+        ]:
+            fh.write(json.dumps(act) + "\n")
+    with open(os.path.join(log_dir, f"{1:020d}.json"), "w") as fh:
+        for act in [
+            {"commitInfo": {"timestamp": 1700000001000, "operation": "WRITE"}},
+            add_json(*files[2]),
+            add_json(*files[3]),
+        ]:
+            fh.write(json.dumps(act) + "\n")
+
+    # ---- the 2-part checkpoint at version 1, typed structs only
+    ts_t = pa.timestamp("us", tz="UTC")
+    stats_t = pa.struct(
+        [
+            ("numRecords", pa.int64()),
+            ("minValues", pa.struct([("k", pa.int64()), ("ts", ts_t)])),
+            ("maxValues", pa.struct([("k", pa.int64()), ("ts", ts_t)])),
+            ("nullCount", pa.struct([("k", pa.int64()), ("ts", pa.int64())])),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("partitionValues_parsed", pa.struct([("p", pa.string())])),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+            ("stats_parsed", stats_t),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    cp_schema = pa.schema([("add", add_t), ("metaData", meta_t), ("protocol", proto_t)])
+
+    def add_struct(rel, p, st):
+        return {
+            "path": rel,
+            "partitionValues": None,  # struct form only — the shape under test
+            "partitionValues_parsed": {"p": p},
+            "size": os.path.getsize(os.path.join(table_dir, rel)),
+            "modificationTime": 1700000000000,
+            "dataChange": False,
+            "stats": None,
+            "stats_parsed": {
+                "numRecords": st["numRecords"],
+                "minValues": {"k": st["min_k"], "ts": st["min_ts"]},
+                "maxValues": {"k": st["max_k"], "ts": st["max_ts"]},
+                "nullCount": {"k": 0, "ts": 0},
+            },
+        }
+
+    part1 = [
+        {
+            "add": None,
+            "metaData": {
+                "id": json.loads(json.dumps(meta["metaData"]["id"])),
+                "format": {"provider": "parquet"},
+                "schemaString": _delta_schema_string(),
+                "partitionColumns": ["p"],
+                "createdTime": 1700000000000,
+            },
+            "protocol": None,
+        },
+        {
+            "add": None,
+            "metaData": None,
+            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+        },
+        {"add": add_struct(*files[0]), "metaData": None, "protocol": None},
+        {"add": add_struct(*files[1]), "metaData": None, "protocol": None},
+    ]
+    part2 = [
+        {"add": add_struct(*files[2]), "metaData": None, "protocol": None},
+        {"add": add_struct(*files[3]), "metaData": None, "protocol": None},
+    ]
+    for i, rows in enumerate([part1, part2], start=1):
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=cp_schema),
+            os.path.join(
+                log_dir, f"{1:020d}.checkpoint.{i:010d}.{2:010d}.parquet"
+            ),
+        )
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 1, "size": len(part1) + len(part2), "parts": 2}, fh)
+
+    # ---- a post-checkpoint commit to replay on top of the bootstrap
+    rel5 = "p=c/part-00004.parquet"
+    fpath5 = os.path.join(table_dir, rel5)
+    os.makedirs(os.path.dirname(fpath5), exist_ok=True)
+    st5 = _write_delta_data_file(fpath5, list(range(200, 203)), 3)
+    with open(os.path.join(log_dir, f"{2:020d}.json"), "w") as fh:
+        for act in [
+            {"commitInfo": {"timestamp": 1700000002000, "operation": "WRITE"}},
+            add_json(rel5, "c", st5),
+        ]:
+            fh.write(json.dumps(act) + "\n")
+    return {"n_v0": 10, "n_v1": 20, "n_v2": 23}
+
+
+def test_external_delta_multipart_struct_checkpoint(spark, tmp_path):
+    """Bootstrap from an externally-authored MULTI-PART checkpoint
+    whose adds carry ONLY typed stats_parsed / partitionValues_parsed
+    (no json stats, null partitionValues map), replay the
+    post-checkpoint commit, reconstruct partition columns, and prune
+    soundly from the parsed struct stats — including timestamp ranges
+    against 'T'-separator ISO literals (the r13 advisory class)."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "delta_ext")
+    os.makedirs(td)
+    exp = _author_delta_multipart_checkpoint(td)
+    t = DeltaLogTable(spark, td)
+
+    assert t.latest_version() == 2
+    df = t.read()
+    assert df.count() == exp["n_v2"]
+    # partition column reconstructed from partitionValues_parsed
+    got_p = {r["p"] for r in df.select("p").distinct().collect()}
+    assert got_p == {"a", "b", "c"}
+    by_p = {
+        r["p"]: r["n"]
+        for r in df.groupBy("p").count().withColumnRenamed("count", "n").collect()
+    }
+    assert by_p == {"a": 10, "b": 10, "c": 3}
+
+    # time travel beneath the checkpoint still replays pure JSON
+    assert t.read(version_as_of=0).count() == exp["n_v0"]
+    assert t.read(version_as_of=1).count() == exp["n_v1"]
+
+    # skipping from the reconstructed struct stats: k ranges …
+    info = t.scan_info("k >= 100")
+    assert info["n_read"] == 3 and info["n_pruned"] == 2, info
+    # … and timestamp ranges vs a 'T' ISO literal (day-2 files only;
+    # the old default=str reconstruction compared ' ' < 'T' and pruned
+    # the WRONG side)
+    sub = t.read(where="ts >= '2024-01-02T00:00:00'")
+    assert sub.count() == 13  # day-2 files (10) + the day-3 commit (3)
+    info = t.scan_info("ts >= '2024-01-02T00:00:00'")
+    assert info["n_pruned"] >= 2, info
+
+    # partition pruning from the struct-sourced partition values
+    info = t.scan_info("p = 'b'")
+    assert info["n_read"] == 2 and info["n_pruned"] == 3, info
