@@ -369,6 +369,23 @@ def _gen_statement(rng: random.Random, fx) -> tuple[str, str]:
     return s.format(ref=sref), s.format(ref=dref)
 
 
+def _mutate_keywords(stmt: str, rng: random.Random) -> str:
+    """Randomize the case of SQL keywords and stretch inter-token
+    whitespace — the router fuzz's robustness family applied to the
+    COMPOSED statement. Only fully-uppercase tokens are keywords by
+    construction (the generator emits identifiers/literals lowercase),
+    so identifiers and quoted literals stay byte-identical."""
+    out = []
+    for tok in stmt.split(" "):
+        if tok.isalpha() and tok.isupper():
+            tok = "".join(
+                c.lower() if rng.random() < 0.5 else c for c in tok
+            )
+        out.append(tok)
+    sep = lambda: rng.choice([" ", "  ", "\n", " \t"])  # noqa: E731
+    return sep().join(out) if rng.random() < 0.5 else " ".join(out)
+
+
 def _compare(sdf, duck, dsql: str, stmt: str) -> None:
     drel = duck.execute(dsql)
     dcols = [c[0] for c in drel.description]
@@ -396,6 +413,8 @@ def test_select_composition_parity(fz):
     rng = random.Random(SEED)
     for n in range(N_STATEMENTS):
         stmt, dsql = _gen_statement(rng, fz)
+        if rng.random() < 0.4:  # router-fuzz robustness, composed level
+            stmt = _mutate_keywords(stmt, rng)
         try:
             sdf = fz.lh.sql(stmt)
             _compare(sdf, fz.duck, dsql, stmt)
