@@ -1195,3 +1195,64 @@ def test_ivf_batch_topk_boundary_ties_pick_lowest_cell(spark, tmp_path):
             ).collect()
         )
         assert got == [0, 1], got
+
+
+def test_bpe_duckdb_oracle_matches_sennrich_on_overlap_corpus():
+    """The q229 DuckDB WITH RECURSIVE replay's replace()-as-merge must
+    reproduce the Sennrich left-to-right NON-OVERLAPPING scan exactly
+    where it matters most: self-adjacent pairs ('aaa' under merge
+    (a,a) -> ['aa','a'], never ['aa','aa']) — while PAIR COUNTS stay
+    overlapping (2 per 'aaa'). An engineered corpus forces both
+    properties through several chained self-merges; the pure-Python
+    reference replay is the ground truth. No Spark involved — this
+    pins the ORACLE's semantics, the driver sweep pins Spark == oracle."""
+    import collections
+    import re as _re
+
+    import duckdb
+
+    from ent_fins_lakehouse_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE documents AS SELECT * FROM (VALUES
+        ('aaa aaa aaaa baab aab aaab'),
+        ('aaa aaaa baab aab xaaay zaaaz'),
+        ('aaa aaa aaa aaaa aaab baab')) t(text)"""
+    )
+    got = [tuple(r) for r in con.execute(QUERIES["q229_bpe_train"].oracle).fetchall()]
+
+    texts = [r[0] for r in con.execute("SELECT text FROM documents").fetchall()]
+    vocab = collections.Counter()
+    for t in texts:
+        for w in _re.split("[^a-z]+", t.lower()):
+            if len(w) >= 2:
+                vocab[w] += 1
+    vs = {w: tuple(w) + ("</w>",) for w in vocab}
+    want = []
+    for rank in range(12):
+        pc = collections.Counter()
+        for w, syms in vs.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += vocab[w]
+        if not pc:
+            break
+        (l, r), f = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if f <= 1:
+            break
+        want.append((rank, l, r, f))
+        for w, syms in list(vs.items()):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vs[w] = tuple(out)
+    assert got == want
+    # the corpus actually exercised the overlap rule: chained
+    # self-merges (a,a) then (aa,a) must both have been learned
+    assert [m[1:3] for m in want[:2]] == [("a", "a"), ("aa", "a")]
