@@ -552,3 +552,149 @@ def test_external_delta_multipart_struct_checkpoint(spark, tmp_path):
     # partition pruning from the struct-sourced partition values
     info = t.scan_info("p = 'b'")
     assert info["n_read"] == 2 and info["n_pruned"] == 3, info
+
+
+# ------------------------------------------- (c) Delta deletion vector
+
+
+def _encode_roaring64_with_runs(bitmap_positions, run_spans) -> bytes:
+    """An INDEPENDENT RoaringFormatSpec encoder covering container
+    kinds this engine's own writer never emits: a RUN container
+    (cookie 12347 + run bitset) beside a BITMAP container
+    (cardinality > 4096). External writers (delta-spark / Rust
+    kernels) produce exactly these, so the engine's decoder must be
+    cross-checked against bytes its encoder cannot round-trip.
+
+    ``bitmap_positions``: >4096 positions inside 16-bit chunk 0;
+    ``run_spans``: [(start, stop_inclusive)] inside chunk 1."""
+    magic = 1681511377
+    out = [struct.pack("<i", magic), struct.pack("<Q", 1), struct.pack("<I", 0)]
+    n_cont = 2
+    # SERIAL_COOKIE with (containers - 1) in the high half + run bitset
+    out.append(struct.pack("<I", 12347 | ((n_cont - 1) << 16)))
+    out.append(bytes([0b00000010]))  # container 1 is the run container
+    run_card = sum(b - a + 1 for a, b in run_spans)
+    out.append(struct.pack("<HH", 0, len(bitmap_positions) - 1))
+    out.append(struct.pack("<HH", 1, run_card - 1))
+    # n_cont < 4 → no offset table (the spec's small-serialization rule)
+    bits = bytearray(8192)
+    for v in bitmap_positions:
+        bits[v >> 3] |= 1 << (v & 7)
+    out.append(bytes(bits))
+    out.append(struct.pack("<H", len(run_spans)))
+    for a, b in run_spans:
+        out.append(struct.pack("<HH", a, b - a))  # length = count - 1
+    return b"".join(out)
+
+
+def test_external_delta_deletion_vector_run_and_bitmap_containers(spark, tmp_path):
+    """A Delta log whose DV .bin is authored byte-by-byte per
+    PROTOCOL.md 'Deletion Vectors' framing (version byte, [u32-BE
+    size][payload][u32-BE crc], 'u' storage with the Base85 UUID name
+    derivation) around an independently-encoded roaring payload using
+    RUN + BITMAP containers. The engine's reader must subtract exactly
+    those positions."""
+    import base64
+    import zlib
+
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "delta_dv")
+    log_dir = os.path.join(td, "_delta_log")
+    os.makedirs(log_dir)
+
+    n_rows = 70_000
+    rel = "part-00000.parquet"
+    pq.write_table(
+        pa.table({"k": pa.array(range(n_rows), pa.int64())}),
+        os.path.join(td, rel),
+    )
+
+    bitmap_positions = list(range(0, 10_000, 2))  # 5,000 — bitmap container
+    run_spans = [(10, 29), (100, 119)]  # chunk-1 runs → rows 65546.. etc.
+    deleted = set(bitmap_positions) | {
+        65_536 + v for a, b in run_spans for v in range(a, b + 1)
+    }
+    payload = _encode_roaring64_with_runs(bitmap_positions, run_spans)
+
+    dv_uuid = uuid.uuid4()
+    blob = b"\x01" + struct.pack(">i", len(payload)) + payload + struct.pack(
+        ">i", zlib.crc32(payload) & 0x7FFFFFFF
+    )
+    with open(os.path.join(td, f"deletion_vector_{dv_uuid}.bin"), "wb") as fh:
+        fh.write(blob)
+
+    schema_str = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}}
+            ],
+        }
+    )
+    acts0 = [
+        {"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE"}},
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        },
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_str,
+                "partitionColumns": [],
+                "configuration": {"delta.enableDeletionVectors": "true"},
+                "createdTime": 1700000000000,
+            }
+        },
+        {
+            "add": {
+                "path": rel,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(td, rel)),
+                "modificationTime": 1700000000000,
+                "dataChange": True,
+            }
+        },
+    ]
+    acts1 = [
+        {"commitInfo": {"timestamp": 1700000001000, "operation": "DELETE"}},
+        {"remove": {"path": rel, "dataChange": True, "deletionTimestamp": 1700000001000}},
+        {
+            "add": {
+                "path": rel,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(td, rel)),
+                "modificationTime": 1700000000000,
+                "dataChange": False,
+                "deletionVector": {
+                    "storageType": "u",
+                    "pathOrInlineDv": base64.b85encode(dv_uuid.bytes).decode(),
+                    "offset": 1,
+                    "sizeInBytes": len(payload),
+                    "cardinality": len(deleted),
+                },
+            }
+        },
+    ]
+    for v, acts in enumerate([acts0, acts1]):
+        with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as fh:
+            for act in acts:
+                fh.write(json.dumps(act) + "\n")
+
+    t = DeltaLogTable(spark, td)
+    df = t.read()
+    assert df.count() == n_rows - len(deleted)
+    got_deleted_present = df.filter(
+        df.k.isin([0, 2, 9998, 65_546, 65_655])
+    ).count()
+    assert got_deleted_present == 0, "masked positions leaked through"
+    # survivors adjacent to every masked region are intact
+    assert df.filter(df.k.isin([1, 9999, 10_000, 65_545, 65_656])).count() == 5
+    # pre-DV version still serves all rows
+    assert t.read(version_as_of=0).count() == n_rows
