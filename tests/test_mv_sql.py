@@ -547,3 +547,56 @@ def test_near_dup_tvf_composes_and_respects_policies(spark, tmp_path):
         "ORDER BY id_a"
     ).collect()
     assert [(r["id_a"], r["id_b"]) for r in filtered] == [(3, 4)]
+
+
+def test_sub_ident_literal_segmentation_property():
+    """Property fuzz of the literal scanner (r13 ADVICE hardening): an
+    INDEPENDENT char-walk state machine (backslash escapes the next
+    char; a doubled quote re-enters; unterminated extends to the end)
+    segments randomized quote/escape soup, the same \\b-regex is applied
+    to the model's outside segments only, and the result must equal
+    _sub_ident_outside_literals byte-for-byte. Catches any divergence
+    in escape/doubled-quote/unterminated handling."""
+    import random
+    import re
+
+    from ent_fins_lakehouse_spark.sources.catalog import LakehouseSession
+
+    sub = LakehouseSession._sub_ident_outside_literals
+    pat = re.compile(r"\br\b")
+
+    def model(sql: str, alias: str) -> str:
+        out, seg, i, n = [], [], 0, len(sql)
+        while i < n:
+            c = sql[i]
+            if c in ("'", '"'):
+                out.append(pat.sub(alias, "".join(seg)))
+                seg = []
+                q, j = c, i + 1
+                lit = [c]
+                while j < n:
+                    if sql[j] == "\\":
+                        lit.append(sql[j : j + 2])
+                        j += 2
+                        continue
+                    if sql[j] == q:
+                        lit.append(q)
+                        j += 1
+                        break
+                    lit.append(sql[j])
+                    j += 1
+                out.append("".join(lit))
+                i = j if j > i else n
+            else:
+                seg.append(c)
+                i += 1
+        out.append(pat.sub(alias, "".join(seg)))
+        return "".join(out)
+
+    rng = random.Random(140_002)
+    alphabet = ["r", "x", " ", "'", '"', "\\", "(", ")", ".", ",", "r", " r "]
+    for trial in range(3000):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24)))
+        got = sub(s, "r", "A")
+        want = model(s, "A")
+        assert got == want, (trial, repr(s), repr(got), repr(want))
