@@ -424,6 +424,22 @@ def test_sigkill_storm_delta_and_iceberg(spark, tmp_path):
         "iceberg writer never got commits in before the kills — storm vacuous"
     )
 
+    # crash debris reclaim under real kill -9: VACUUM(0h) +
+    # remove_orphan_files(0h) sweep whatever the killed writers left
+    # staged/unreferenced, WITHOUT changing either table's content
+    # (0-hour horizons are safe here: no writer is live)
+    dt_pre = {r["k"]: r["v"] for r in DeltaLogTable(spark, dpath).read().collect()}
+    removed_d = DeltaLogTable(spark, dpath).vacuum(retention_hours=0.0)
+    it_pre = {r["k"]: r["v"] for r in IcebergTable(spark, ipath).read().collect()}
+    removed_i = IcebergTable(spark, ipath).remove_orphan_files(older_than_hours=0.0)
+    assert {r["k"]: r["v"] for r in DeltaLogTable(spark, dpath).read().collect()} == dt_pre
+    assert {r["k"]: r["v"] for r in IcebergTable(spark, ipath).read().collect()} == it_pre
+    for root_dir in (dpath, ipath):
+        leftovers = []
+        for root, _dirs, fns in os.walk(root_dir):
+            leftovers += [f for f in fns if f.endswith(".tmp")]
+        assert leftovers == [], f"publish staging residue survived the sweep: {leftovers[:3]}"
+
     # a fresh writer commits on top of the killed log, no manual repair
     dt3 = DeltaLogTable(spark, dpath)
     v_before = dt3.latest_version()
