@@ -698,3 +698,196 @@ def test_external_delta_deletion_vector_run_and_bitmap_containers(spark, tmp_pat
     assert df.filter(df.k.isin([1, 9999, 10_000, 65_545, 65_656])).count() == 5
     # pre-DV version still serves all rows
     assert t.read(version_as_of=0).count() == n_rows
+
+
+# --------------------- (d) Iceberg truncate/day transforms + eq deletes
+
+
+def test_external_iceberg_truncate_day_partitioning_equality_deletes(spark, tmp_path):
+    """External layout with the OTHER transform family: a spec carrying
+    truncate[10] over a long and day over a timestamp, plus an
+    equality-delete file (content=2, equality_ids=[1]) at a later
+    sequence. Reads must subtract the equality-matched rows only from
+    earlier-sequence data, and point/range predicates must prune via
+    the manifest partition tuples (no footer bounds are written — the
+    tuples are the only pruning information)."""
+    import datetime
+
+    from ent_fins_lakehouse_spark.sources.avro_io import write_ocf
+    from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
+
+    td = str(tmp_path / "ice_td")
+    meta_dir = os.path.join(td, "metadata")
+    data_dir = os.path.join(td, "data")
+    os.makedirs(meta_dir)
+    os.makedirs(data_dir)
+
+    ice_schema = {
+        "schema-id": 0,
+        "type": "struct",
+        "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "long"},
+            {"id": 2, "name": "ts", "required": False, "type": "timestamp"},
+        ],
+    }
+    part_fields = [
+        {"name": "k_trunc", "transform": "truncate[10]", "source-id": 1, "field-id": 1000},
+        {"name": "ts_day", "transform": "day", "source-id": 2, "field-id": 1001},
+    ]
+
+    groups = [  # (k range, truncate tuple, day ordinal)
+        (range(0, 10), 0, 0),
+        (range(10, 20), 10, 1),
+        (range(20, 30), 20, 2),
+    ]
+    entries, paths_by_trunc = [], {}
+    for ks, trunc, day in groups:
+        fpath = os.path.join(data_dir, f"{uuid.uuid4().hex}.parquet")
+        tss = [
+            datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+            + datetime.timedelta(days=day, hours=k % 24)
+            for k in ks
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(list(ks), pa.int64()),
+                    "ts": pa.array(tss, pa.timestamp("us", tz="UTC")),
+                }
+            ),
+            fpath,
+        )
+        paths_by_trunc[trunc] = fpath
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": 1,
+                "sequence_number": 1,
+                "data_file": {
+                    "content": 0,
+                    "file_path": fpath,
+                    "file_format": "PARQUET",
+                    "partition": {"k_trunc": trunc, "ts_day": day},
+                    "record_count": len(list(ks)),
+                    "file_size_in_bytes": os.path.getsize(fpath),
+                },
+            }
+        )
+
+    # equality-delete file: column k (field id 1), deleting 5 and 15
+    del_path = os.path.join(data_dir, f"{uuid.uuid4().hex}-eqdel.parquet")
+    pq.write_table(pa.table({"k": pa.array([5, 15], pa.int64())}), del_path)
+    del_entry = {
+        "status": 1,
+        "snapshot_id": 2,
+        "sequence_number": 2,
+        "data_file": {
+            "content": 2,
+            "file_path": del_path,
+            "file_format": "PARQUET",
+            "partition": {"k_trunc": None, "ts_day": None},
+            "record_count": 2,
+            "file_size_in_bytes": os.path.getsize(del_path),
+            "equality_ids": [1],
+        },
+    }
+
+    t0 = IcebergTable.__new__(IcebergTable)
+    msch = t0._manifest_schema(part_fields, ice_schema)
+    # the engine's append schema has no equality_ids field (it never
+    # writes eq deletes) — extend the data_file record the way an
+    # external writer's schema would
+    for f in msch["fields"]:
+        if f["name"] == "data_file":
+            f["type"]["fields"].append(
+                {
+                    "name": "equality_ids",
+                    "type": ["null", {"type": "array", "items": "int"}],
+                }
+            )
+    data_manifest = os.path.join(meta_dir, f"m-data-{uuid.uuid4().hex}.avro")
+    write_ocf(data_manifest, msch, entries)
+    del_manifest = os.path.join(meta_dir, f"m-del-{uuid.uuid4().hex}.avro")
+    write_ocf(del_manifest, msch, [del_entry])
+    lpath = os.path.join(meta_dir, f"snap-2-{uuid.uuid4().hex}.avro")
+    write_ocf(
+        lpath,
+        IcebergTable._MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": data_manifest,
+                "manifest_length": os.path.getsize(data_manifest),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "added_snapshot_id": 1,
+            },
+            {
+                "manifest_path": del_manifest,
+                "manifest_length": os.path.getsize(del_manifest),
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": 2,
+                "added_snapshot_id": 2,
+            },
+        ],
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": td,
+        "last-sequence-number": 2,
+        "last-updated-ms": 1700000000000,
+        "last-column-id": 2,
+        "schemas": [ice_schema],
+        "current-schema-id": 0,
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": part_fields}],
+        "last-partition-id": 1001,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": 2,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "sequence-number": 1,
+                "timestamp-ms": 1700000000000,
+                "manifest-list": lpath,
+                "summary": {"operation": "append"},
+            },
+            {
+                "snapshot-id": 2,
+                "sequence-number": 2,
+                "timestamp-ms": 1700000001000,
+                "manifest-list": lpath,
+                "summary": {"operation": "overwrite"},
+            },
+        ],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    t = IcebergTable(spark, td)
+    got = sorted(r["k"] for r in t.read().collect())
+    assert got == sorted(set(range(30)) - {5, 15})
+
+    # truncate-tuple pruning: k >= 20 reads only the third file
+    sub = t.read(where="k >= 20")
+    assert sorted(r["k"] for r in sub.collect()) == list(range(20, 30))
+    scanned = {f for f in sub.inputFiles() if "eqdel" not in f}
+    assert len(scanned) == 1 and paths_by_trunc[20] in "".join(scanned)
+
+    # day-tuple pruning: the ordinals reconstruct [day, next-day) DATE
+    # bounds, so an exact day-boundary literal conservatively keeps the
+    # adjacent file (sound); a literal strictly INSIDE day 2 prunes to
+    # the single day-2 file. Day-2 rows carry hour = k % 24, so the
+    # 06:00 cut keeps k 20-23 only.
+    sub = t.read(where="ts >= '1970-01-03T06:00:00'")
+    assert sorted(r["k"] for r in sub.collect()) == [20, 21, 22, 23]
+    scanned = {f for f in sub.inputFiles() if "eqdel" not in f}
+    assert len(scanned) == 1 and paths_by_trunc[20] in "".join(scanned)
+
+    # the eq-deleted keys stay deleted under pruned scans too
+    assert t.read(where="k = 15").count() == 0
