@@ -891,3 +891,113 @@ def test_external_iceberg_truncate_day_partitioning_equality_deletes(spark, tmp_
 
     # the eq-deleted keys stay deleted under pruned scans too
     assert t.read(where="k = 15").count() == 0
+
+
+# ------------------------------- (e) Delta column mapping (name mode)
+
+
+def test_external_delta_column_mapping_name_mode(spark, tmp_path):
+    """delta-spark's REAL column-mapping output shape, authored
+    externally: logical names live only in the schemaString metadata
+    (`delta.columnMapping.physicalName` = 'col-<uuid>',
+    `delta.columnMapping.id`), data files carry ONLY the physical
+    names. A reader matching by logical name would return all-null
+    columns silently — the wrong-answer class; resolution must go
+    physical-name-first. Partition column physicalName also diverges
+    from its logical name, so partitionValues reconstruction must map
+    it too."""
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "delta_cm")
+    log_dir = os.path.join(td, "_delta_log")
+    os.makedirs(log_dir)
+
+    phys_k = f"col-{uuid.uuid4()}"
+    phys_v = f"col-{uuid.uuid4()}"
+    phys_p = f"col-{uuid.uuid4()}"
+
+    rel = f"{phys_p}=a/part-00000.parquet"
+    os.makedirs(os.path.join(td, f"{phys_p}=a"))
+    pq.write_table(
+        pa.table(
+            {
+                phys_k: pa.array([1, 2, 3], pa.int64()),
+                phys_v: pa.array(["x", "y", "z"], pa.string()),
+            }
+        ),
+        os.path.join(td, rel),
+    )
+
+    schema_str = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "k",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": phys_k,
+                    },
+                },
+                {
+                    "name": "v",
+                    "type": "string",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": phys_v,
+                    },
+                },
+                {
+                    "name": "p",
+                    "type": "string",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 3,
+                        "delta.columnMapping.physicalName": phys_p,
+                    },
+                },
+            ],
+        }
+    )
+    acts = [
+        {"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE"}},
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_str,
+                "partitionColumns": ["p"],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "3",
+                },
+                "createdTime": 1700000000000,
+            }
+        },
+        {
+            "add": {
+                # physical partition dir + PHYSICAL key in partitionValues,
+                # exactly as delta-spark lays it out under name mode
+                "path": rel,
+                "partitionValues": {phys_p: "a"},
+                "size": os.path.getsize(os.path.join(td, rel)),
+                "modificationTime": 1700000000000,
+                "dataChange": True,
+            }
+        },
+    ]
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        for act in acts:
+            fh.write(json.dumps(act) + "\n")
+
+    t = DeltaLogTable(spark, td)
+    df = t.read()
+    assert set(df.columns) == {"k", "v", "p"}
+    rows = {r["k"]: (r["v"], r["p"]) for r in df.collect()}
+    assert rows == {1: ("x", "a"), 2: ("y", "a"), 3: ("z", "a")}, (
+        "logical-name matching would have returned nulls here"
+    )
