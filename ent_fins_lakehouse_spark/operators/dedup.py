@@ -225,6 +225,9 @@ def jaccard_pairs_prefix(
         )
         .filter(F.col("_rn") <= p)
         .select("_id", "_ln", "_tok")
+        .persist()  # both sides of the prefix-token self-join read
+        # this — unpersisted, the token-df groupBy + join + rank window
+        # subtree executes once per side (r14 plan audit)
     )
     a = pref.select(
         F.col("_id").alias("id_a"), F.col("_ln").alias("_ln_a"), "_tok"
@@ -355,7 +358,10 @@ def minhash_lsh_pairs(
     banded = hashed.select(
         "_id",
         F.posexplode(_band_keys_udf(b, r, seed)(F.col("_h"))).alias("band_idx", "band_val"),
-    )
+    ).persist()  # both sides of the candidate self-join read this —
+    # without it the numpy minhash/banding kernel (the expensive pass)
+    # executes once PER SIDE (r14 plan audit: two ArrowEvalPython
+    # subtrees for one UDF); persisted, it runs exactly once
     cand = (
         banded.select(F.col("_id").alias("id_a"), "band_idx", "band_val")
         .join(

@@ -223,8 +223,24 @@ def q53_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", jaccard_threshold=0.9, shingle_n=3
     ).select("id_a", "id_b")
     n_exact = exact.count()
-    n_found = lsh.join(exact, ["id_a", "id_b"], "inner").count()
-    n_extra = lsh.join(exact, ["id_a", "id_b"], "left_anti").count()
+    # one action derives BOTH counts (r14: the former inner-count +
+    # anti-count pair executed the whole LSH pipeline twice); a left
+    # join against the persisted exact pair set marks hits, and one
+    # aggregate splits found vs extra
+    probe = (
+        lsh.join(
+            exact.withColumn("_hit", F.lit(1)), ["id_a", "id_b"], "left"
+        )
+        .agg(
+            F.count("_hit").alias("n_found"),
+            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0)).alias(
+                "n_extra"
+            ),
+        )
+        .first()
+    )
+    n_found = int(probe["n_found"])
+    n_extra = int(probe["n_extra"] or 0)
     recall_ok = n_exact == 0 or n_found >= math.ceil(0.9 * n_exact)
     groups = dedup_connected_components(exact, docs.select("doc_id"), "doc_id")
     exact.unpersist()

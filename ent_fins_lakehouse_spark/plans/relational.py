@@ -5151,7 +5151,11 @@ def q303_bfs_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", F.lit(d).alias("depth"))
             .localCheckpoint()
         )
-        visited = visited.unionByName(nxt).localCheckpoint()
+        # each level is already checkpointed; re-checkpointing the
+        # growing union copied the whole visited set every round
+        # (O(V·depth) materialized bytes over the loop — r14). A union
+        # of checkpointed levels reads them back without recompute.
+        visited = visited.unionByName(nxt)
         frontier = nxt
         if nxt.isEmpty():
             break

@@ -4947,13 +4947,21 @@ class DeltaLogTable:
                         os.path.abspath(os.path.join(self.path, p)) for p in cand
                     ),
                 )
-        touched = sorted(
-            r["_fp"] for r in df.filter(pred).select("_fp").distinct().collect()
+        # ONE attribution job returns the touched files AND the matched
+        # row count (r14: the former distinct-collect + count pair
+        # scanned every candidate file twice, re-running the DV-decode
+        # anti-join each time)
+        per_file = (
+            df.filter(pred)
+            .groupBy("_fp")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
         )
+        touched = sorted(r["_fp"] for r in per_file)
         if not touched:
             return {"files_rewritten": 0, "rows_updated": 0}
+        n_updated = int(sum(r["_n"] for r in per_file))
         sub = self._only_files(df, touched)
-        n_updated = sub.filter(pred).count()
         rewritten = sub.select(
             *[
                 (
@@ -4989,6 +4997,7 @@ class DeltaLogTable:
             ).withColumn("_change_type", F.lit("update_postimage"))
             cdc_actions = self._stage_cdc(pre.unionByName(post), part_cols, pmap, fid_of)
         new_adds = self._stage_adds(rewritten, part_cols, pmap, fid_of)
+        sub.unpersist()
         now = int(time.time() * 1000)
         actions: list[dict] = [
             {
@@ -5139,7 +5148,21 @@ class DeltaLogTable:
                 f"match table schema {schema.simpleString()}"
             )
         delete_only = matched_delete and not when_not_matched_insert_all
-        source = source.select(*(on if delete_only else [f.name for f in schema.fields]))
+        # In the full-row shapes the source (Δ feed) is consumed by up
+        # to six downstream plans (dup guard, key distinct, clause
+        # joins, cdc derivations) — persist it once so a non-trivial
+        # feed (a CDF read subtree) is computed exactly once per merge,
+        # and a nondeterministic source cannot diverge between clauses
+        # (delta-spark materializes its merge source for the same two
+        # reasons). A delete-only merge reduces the source to a key
+        # projection whose two consumers are cheap distincts — there a
+        # persist just adds a materialization pass (measured on q374's
+        # delete-only maintenance merges, r14).
+        source = source.select(
+            *(on if delete_only else [f.name for f in schema.fields])
+        )
+        if not delete_only:
+            source = source.persist()
         if not delete_only:
             self._enforce_constraints(source, "merge")
         full = df.drop("_fp")
@@ -5169,6 +5192,24 @@ class DeltaLogTable:
                 raise ValueError(f"UPDATE SET targets unknown columns {sorted(unknown)}")
             if set(matched_update) & set(on):
                 raise ValueError("UPDATE SET cannot reassign MERGE key columns")
+        # the table's distinct key set feeds the dup guard, the
+        # update-all matched-source semi-join, the insert anti-join and
+        # their cdc twins — persist it ONLY when at least two of those
+        # will actually evaluate it, so the pruned table scan + distinct
+        # runs once, not once per consumer; a single-consumer persist
+        # would add a materialization pass for nothing (r14)
+        _cdf = self._cdf_on(_meta)
+        _update_all = do_update and matched_update is None
+        _fk_consumers = (
+            (1 if do_update else 0)  # dup guard
+            + (1 if _update_all else 0)  # matched-source semi-join
+            + (1 if when_not_matched_insert_all else 0)  # insert anti
+            + (1 if _cdf and _update_all else 0)  # cdc postimage semi
+            + (1 if _cdf and when_not_matched_insert_all else 0)  # cdc insert
+        )
+        full_keys = full.select(*on).distinct()
+        if _fk_consumers >= 2:
+            full_keys = full_keys.persist()
         if do_update:
             # Delta errors when one target row matches multiple source
             # rows (nondeterministic update) — same refusal here
@@ -5179,7 +5220,7 @@ class DeltaLogTable:
                 .drop("_n")
             )
             dup_matched = (
-                dup_keys.join(full.select(*on).distinct(), on=on, how="left_semi")
+                dup_keys.join(full_keys, on=on, how="left_semi")
                 .limit(1)
                 .collect()
             )
@@ -5200,7 +5241,31 @@ class DeltaLogTable:
                 .distinct()
                 .collect()
             )
+        # touched-file rows feed the kept-rows pass, the clause joins
+        # and their cdc twins — persist when at least two consumers
+        # will evaluate them so the parquet scan (+ DV anti-join) runs
+        # once, not once per consumer. With a single consumer (e.g. a
+        # delete-only merge on a non-CDF table, the MV maintenance
+        # shape) a persist materializes the whole touched-file row set
+        # for nothing — measured 3x on q374's refresh (r14).
+        _tdf_consumers = (
+            1  # kept-rows pass
+            + (1 if do_update and matched_condition else 0)  # upd_keys
+            + (1 if matched_delete and matched_condition else 0)  # del_keys
+            + (1 if matched_update is not None else 0)  # update projection
+            + (
+                (
+                    (2 if matched_update is not None else (1 if do_update else 0))
+                    + (1 if matched_delete else 0)
+                    + (1 if not_matched_by_source_delete else 0)
+                )
+                if _cdf
+                else 0
+            )
+        )
         tdf = self._only_files(df, touched).drop("_fp") if touched else None
+        if tdf is not None and _tdf_consumers >= 2:
+            tdf = tdf.persist()
         upd_keys = keys
         if do_update and matched_condition and tdf is not None:
             upd_keys = (
@@ -5256,13 +5321,17 @@ class DeltaLogTable:
                         )
                     )
             else:
-                matched_src = source.join(full.select(*on).distinct(), on=on, how="left_semi")
+                matched_src = source.join(full_keys, on=on, how="left_semi")
                 if matched_condition:
                     matched_src = matched_src.join(upd_keys, on=on, how="left_semi")
                 parts.append(matched_src)
         if when_not_matched_insert_all:
-            parts.append(source.join(full.select(*on).distinct(), on=on, how="left_anti"))
+            parts.append(source.join(full_keys, on=on, how="left_anti"))
         if not parts:
+            source.unpersist()
+            full_keys.unpersist()
+            if tdf is not None:
+                tdf.unpersist()
             return {"files_rewritten": 0}
         # change data feed: re-derive each clause's row set with the
         # SAME joins the merge plan uses, labeled per spec —
@@ -5297,7 +5366,7 @@ class DeltaLogTable:
                         )
                     )
                     post = source.join(
-                        full.select(*on).distinct(), on=on, how="left_semi"
+                        full_keys, on=on, how="left_semi"
                     )
                     if matched_condition:
                         post = post.join(upd_keys, on=on, how="left_semi")
@@ -5322,7 +5391,7 @@ class DeltaLogTable:
             if when_not_matched_insert_all:
                 cdc_parts.append(
                     source.join(
-                        full.select(*on).distinct(), on=on, how="left_anti"
+                        full_keys, on=on, how="left_anti"
                     ).withColumn("_change_type", F.lit("insert"))
                 )
         cdc_actions: list[dict] = []
@@ -5335,6 +5404,10 @@ class DeltaLogTable:
         for p in parts[1:]:
             combined = combined.unionByName(p)
         new_adds = self._stage_adds(combined, part_cols, pmap, fid_of)
+        source.unpersist()
+        full_keys.unpersist()
+        if tdf is not None:
+            tdf.unpersist()
         now = int(time.time() * 1000)
         actions: list[dict] = [
             {

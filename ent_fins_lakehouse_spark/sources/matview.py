@@ -684,19 +684,26 @@ class MaterializedJoinView:
         )
 
     def _side_window(self, base, v0: int, v1: int, pk: str, on: list[str], cols: list[str]):
-        """(touched_pks, final_live_rows) for one side's CDF window."""
+        """(touched_pks, final_live_rows, persisted window) for one
+        side's CDF window — the caller unpersists the window once the
+        maintenance tick committed."""
         if v1 <= v0:
-            return None, None
+            return None, None, None
+        # the window feeds the touched-pk distinct (evaluated again by
+        # the maintenance merge's attribution + kept-rows anti-join)
+        # AND the final-state collapse — persist so the CDF read (log
+        # replay + change-file scan) runs once per side, not once per
+        # consumer (r14)
         ch = base.read_changes(v0 + 1, v1).select(
             pk, *on, *cols, "_change_type", "_commit_version"
-        )
+        ).persist()
         touched = ch.select(pk).distinct()
         live = (
             self._final_state(ch, pk)
             .filter(F.col("_change_type").isin("insert", "update_postimage"))
             .select(pk, *on, *cols)
         )
-        return touched, live
+        return touched, live, ch
 
     def refresh(self) -> dict:
         d = self._load()
@@ -705,8 +712,8 @@ class MaterializedJoinView:
         va0, vb0 = int(d["va"]), int(d["vb"])
         va1 = int(self.base_a.latest_version())
         vb1 = int(self.base_b.latest_version())
-        touched_a, live_a = self._side_window(self.base_a, va0, va1, a_pk, on, a_cols)
-        touched_b, live_b = self._side_window(self.base_b, vb0, vb1, b_pk, on, b_cols)
+        touched_a, live_a, ch_a = self._side_window(self.base_a, va0, va1, a_pk, on, a_cols)
+        touched_b, live_b, ch_b = self._side_window(self.base_b, vb0, vb1, b_pk, on, b_cols)
         if touched_a is None and touched_b is None:
             return {"files_rewritten": 0, "pairs_inserted": 0, "va": va1, "vb": vb1}
         deleted = 0
@@ -744,6 +751,9 @@ class MaterializedJoinView:
             if n_ins:
                 self.table.write(fresh, mode="append")
             fresh.unpersist()
+        for ch in (ch_a, ch_b):
+            if ch is not None:
+                ch.unpersist()
         self._save({**d, "va": va1, "vb": vb1})
         return {
             "files_rewritten": deleted,
@@ -769,7 +779,13 @@ class MaterializedJoinView:
             pk, cols = d["b_pk"], d["b_cols"]
             other = self.base_a.read()
             opk, ocols = d["a_pk"], d["a_cols"]
-        ch = changes.select(pk, *on, *cols, "_change_type", "_commit_version")
+        # same one-persisted-window shape as refresh(): touched feeds
+        # the maintenance merge's attribution + kept-rows anti-join,
+        # live the re-derivation join — one batch-plan evaluation, not
+        # one per consumer (r14)
+        ch = changes.select(
+            pk, *on, *cols, "_change_type", "_commit_version"
+        ).persist()
         touched = ch.select(pk).distinct()
         live = (
             self._final_state(ch, pk)
@@ -792,6 +808,7 @@ class MaterializedJoinView:
         if n_ins:
             self.table.write(fresh, mode="append")
         fresh.unpersist()
+        ch.unpersist()
         return {"files_rewritten": deleted, "pairs_inserted": n_ins}
 
     def streaming_sink(self, side: str):
