@@ -10,6 +10,7 @@ SURVEY §5.3, run differentially instead of as bare asserts.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import tempfile
@@ -6875,8 +6876,15 @@ def q346_iceberg_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t.delete("k % 10 < 2", mode="dv")
     lin = t.read_with_lineage()
-    n_alive = lin.count()
-    assert lin.select("_row_id").distinct().count() == n_alive, "ids not unique"
+    # ONE job asserts both liveness invariants (count + id uniqueness);
+    # the former count() + distinct().count() pair ran the lineage scan
+    # twice (r14, guide §1.2)
+    row = lin.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("_row_id").alias("n_ids"),
+    ).first()
+    n_alive = row["n"]
+    assert row["n_ids"] == n_alive, "ids not unique"
 
     pre = dict(
         lin.select("k", "_row_id").orderBy("k").limit(50).collect()
@@ -7563,7 +7571,23 @@ def q374_join_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b.read(), on=["custkey"], how="inner")
         .select(*got.columns)
     )
-    diff = got.exceptAll(want).unionByName(want.exceptAll(got)).count()
+    # multiset equality via ONE aggregation per side + a full outer
+    # join on the row image (r14): the former
+    # exceptAll ∪ reverse-exceptAll evaluated BOTH inputs twice (four
+    # aggregations over the view + the recompute join). Equivalent
+    # check: every distinct row occurs with identical multiplicity.
+    cols = got.columns
+    gcnt = got.groupBy(*cols).agg(F.count(F.lit(1)).alias("_ng")).alias("g")
+    wcnt = want.groupBy(*cols).agg(F.count(F.lit(1)).alias("_nw")).alias("w")
+    on_nullsafe = functools.reduce(
+        lambda x, y: x & y,
+        [F.col(f"g.{c}").eqNullSafe(F.col(f"w.{c}")) for c in cols],
+    )
+    diff = (
+        gcnt.join(wcnt, on_nullsafe, "full_outer")
+        .filter(~F.col("_ng").eqNullSafe(F.col("_nw")))
+        .count()
+    )
     assert diff == 0, f"join view diverged from recompute ({diff} rows)"
     return (
         got.groupBy("c_mktsegment")

@@ -59,6 +59,15 @@ DATA_DIR = "files"
 # table outgrows the job-dispatch cost. Tests/octaves may lower it.
 MERGE_PRUNE_MIN_BYTES = 8 * 1024 * 1024
 
+# Bloom point probes answer from a driver-resident descriptor copy
+# while the sidecar is control-plane sized (one pyarrow load per
+# column, then zero Spark jobs per literal — r14); past the cap the
+# probe stays a distributed mapInPandas pass so bitmaps never reach
+# the driver at scale. Env-tunable for octave tests / bigger drivers.
+BLOOM_DRIVER_PROBE_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_BLOOM_DRIVER_PROBE_MAX_BYTES", 32 * 1024 * 1024)
+)
+
 
 class ConcurrentWriteError(RuntimeError):
     pass
@@ -2287,6 +2296,7 @@ class DeltaLogTable:
         # probe caches are per-(col,lit); a rebuild invalidates them
         self._bloom_probe_cache = {}
         self._bloom_paths_cache = {}
+        self._bloom_desc_cache = {}
         return {"column": col, "n_files": n_files}
 
     def _bloom_columns(self) -> dict[str, str]:
@@ -2322,13 +2332,73 @@ class DeltaLogTable:
             )
         return cache[col]
 
+    def _bloom_descriptors_local(self, col: str, desc_dir: str):
+        """Driver-resident descriptor set for ``col`` — a list of
+        ``(path, bitmap ndarray, bits, k)`` — when the sidecar is
+        control-plane sized (≤ ``BLOOM_DRIVER_PROBE_MAX_BYTES`` of
+        parquet on disk), else None. Loaded once per (handle, column)
+        with pyarrow (no Spark job); ``create_bloom_index`` rebuilds
+        drop the cache."""
+        import glob as _glob
+
+        cache = getattr(self, "_bloom_desc_cache", None)
+        if cache is None:
+            cache = self._bloom_desc_cache = {}
+        if col in cache:
+            return cache[col]
+        files = _glob.glob(os.path.join(desc_dir, "*.parquet"))
+        loaded = None
+        if files and sum(os.path.getsize(f) for f in files) <= BLOOM_DRIVER_PROBE_MAX_BYTES:
+            try:
+                import numpy as _np
+                import pyarrow.parquet as _pq
+
+                loaded = []
+                for f in sorted(files):
+                    t = _pq.read_table(f, columns=["path", "bits", "k", "bitmap"])
+                    d = t.to_pydict()
+                    loaded.extend(
+                        (
+                            p,
+                            _np.frombuffer(bm, dtype=_np.uint8),
+                            b,
+                            kk,
+                        )
+                        for p, b, kk, bm in zip(
+                            d["path"], d["bits"], d["k"], d["bitmap"]
+                        )
+                    )
+            except Exception:
+                loaded = None  # unreadable sidecar: executor path decides
+        cache[col] = loaded
+        return loaded
+
     def _bloom_maybe_paths(self, col: str, desc_dir: str, lit: str) -> frozenset:
-        """Files whose bloom filter says MAYBE-PRESENT for ``lit`` —
-        the membership test runs ON THE EXECUTORS over the parquet
-        descriptor sidecar (mapInPandas; k byte-probes per file, no
-        full-bitmap unpack anywhere), and only the maybe-set — tiny
-        for a selective point probe, the index's whole purpose —
-        returns to the driver. Cached per (col, literal)."""
+        """Files whose bloom filter says MAYBE-PRESENT for ``lit``.
+
+        Two probe paths, gated on descriptor size (r14):
+
+        - **Driver-resident** (descriptor sidecar ≤
+          ``BLOOM_DRIVER_PROBE_MAX_BYTES``): the per-file descriptors
+          are loaded ONCE per (table handle, column) via pyarrow and
+          every subsequent literal probe is k numpy byte-tests per
+          file — microseconds, zero Spark jobs. A needle workload
+          (many point lookups against one index, the q215 shape) paid
+          one full job (scan + mapInPandas + collect, ~150 ms fixed
+          latency) PER LITERAL before; the index exists precisely for
+          repeated probes, so the per-probe floor matters (guide §1.2:
+          don't pay a distributed pass for control-plane-sized work).
+        - **Executor-side** (above the gate): the membership test runs
+          ON THE EXECUTORS over the parquet descriptor sidecar
+          (mapInPandas; k byte-probes per file, no full-bitmap unpack
+          anywhere), and only the maybe-set — tiny for a selective
+          point probe — returns to the driver. At 100 TB (hundreds of
+          thousands of files × KB bitmaps) descriptors exceed driver
+          budget and this path keeps the invariant that no bitmap
+          reaches the driver.
+
+        Probe results stay cached per (col, literal); a rebuild clears
+        both caches (``create_bloom_index``)."""
         import hashlib
 
         cache = getattr(self, "_bloom_probe_cache", None)
@@ -2340,6 +2410,28 @@ class DeltaLogTable:
         hexd = hashlib.md5(lit.encode("utf-8")).hexdigest()
         h1 = int(hexd[0:15], 16)
         h2 = int(hexd[16:31], 16) | 1
+
+        desc = self._bloom_descriptors_local(col, desc_dir)
+        if desc is not None:
+            import numpy as _np
+
+            u1, u2 = _np.uint64(h1), _np.uint64(h2)
+
+            def _hits(bm, b, kk):
+                # same double-hash probe as the executor path
+                pos = (
+                    (u1 + _np.arange(kk, dtype=_np.uint64) * u2)
+                    % _np.uint64(b)
+                ).astype(_np.int64)
+                return bool(_np.all((bm[pos >> 3] >> (7 - (pos & 7))) & 1))
+
+            maybe = frozenset(
+                path for path, bm, b, kk in desc if _hits(bm, b, kk)
+            )
+            if len(cache) > 64:
+                cache.pop(next(iter(cache)))
+            cache[key] = maybe
+            return maybe
 
         def probe(batches):
             import numpy as _np

@@ -300,19 +300,24 @@ def test_many_small_dvs_use_one_anti_join(spark, tmp_path):
 
 
 def test_bloom_index_probe_is_executor_side(spark, tmp_path, monkeypatch):
-    """VERDICT r6 #1: the bloom sidecar is a parquet descriptor table
-    (not one monolithic JSON) and the point-probe membership test runs
-    on the executors — the DRIVER process must never unpack a bitmap
-    or b64-decode anything. Local python workers are separate
-    processes, so poisoning the driver's numpy/base64 catches any
-    driver-side decode loop without touching executor behavior."""
+    """VERDICT r6 #1, scoped by the r14 size gate: ABOVE
+    ``BLOOM_DRIVER_PROBE_MAX_BYTES`` the point-probe membership test
+    runs on the executors — the DRIVER process must never unpack a
+    bitmap or b64-decode anything at scale. The gate is forced to 0
+    here so the at-scale path is the one under test. Local python
+    workers are separate processes, so poisoning the driver's
+    numpy/base64 catches any driver-side decode loop without touching
+    executor behavior. (The small-sidecar driver-resident path has its
+    own agreement test below.)"""
     import base64
     import os
 
     import numpy as np
 
+    from ent_fins_lakehouse_spark.sources import lakehouse as lh
     from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
 
+    monkeypatch.setattr(lh, "BLOOM_DRIVER_PROBE_MAX_BYTES", 0)
     td = str(tmp_path / "bloomx")
     t = DeltaLogTable(spark, td)
     df = spark.range(0, 4000).select(
@@ -355,6 +360,51 @@ def test_bloom_index_probe_is_executor_side(spark, tmp_path, monkeypatch):
     info2 = t.scan_info("k = 5")
     assert info2["n_read"] >= 1
     assert t.read(where="k = 5").count() == 2
+
+
+def test_bloom_driver_probe_agrees_with_executor_probe(spark, tmp_path, monkeypatch):
+    """r14: while the descriptor sidecar is control-plane sized the
+    probe answers from a driver-resident pyarrow copy (zero Spark jobs
+    per literal). The two paths must make IDENTICAL skipping
+    decisions: same maybe-sets, same scan_info counts, same rows."""
+    from ent_fins_lakehouse_spark.sources import lakehouse as lh
+    from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
+
+    td = str(tmp_path / "bloomab")
+    t = DeltaLogTable(spark, td)
+    df = spark.range(0, 4000).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    t.write(df.repartition(6, F.md5(F.col("k").cast("string"))), mode="overwrite")
+    t.create_bloom_index("k", fpp=0.01)
+    lits = ["777", "5", "999999", "0", "3999"]
+    desc_dir = t._bloom_columns()["k"]
+
+    # driver-resident path (default gate) — and it must not launch jobs
+    driver_sets = {}
+    for lit in lits:
+        t._bloom_probe_cache = {}
+        driver_sets[lit] = t._bloom_maybe_paths("k", desc_dir, lit)
+    assert t._bloom_desc_cache["k"] is not None, "gate unexpectedly exceeded"
+
+    # executor path (gate forced to 0, caches cleared)
+    monkeypatch.setattr(lh, "BLOOM_DRIVER_PROBE_MAX_BYTES", 0)
+    t._bloom_probe_cache = {}
+    t._bloom_desc_cache = {}
+    for lit in lits:
+        assert t._bloom_maybe_paths("k", desc_dir, lit) == driver_sets[lit], lit
+    assert t._bloom_desc_cache["k"] is None  # gate respected
+
+    # end to end: counts and rows identical through scan_info/read
+    monkeypatch.setattr(lh, "BLOOM_DRIVER_PROBE_MAX_BYTES", 32 * 1024 * 1024)
+    t._bloom_probe_cache = {}
+    t._bloom_desc_cache = {}
+    info = t.scan_info("k = 777")
+    assert info["n_bloom_pruned"] >= 1 and info["n_read"] < info["n_active"]
+    assert [(r["k"], r["v"]) for r in t.read(where="k = 777").collect()] == [
+        (777, 2331)
+    ]
+    assert t.scan_info("k = 999999")["n_read"] == 0
 
 
 def test_update_prunes_files_by_predicate_stats(spark, tmp_path):
