@@ -10,7 +10,6 @@ SURVEY §5.3, run differentially instead of as bare asserts.
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import tempfile
@@ -18,6 +17,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ent_fins_lakehouse_spark.plans.checks import multiset_diff_count
 from ent_fins_lakehouse_spark.plans.registry import query
 from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
 from ent_fins_lakehouse_spark.sources.readers import load_table
@@ -2326,7 +2326,8 @@ def q189_iceberg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     if res["rows_updated"] != n_low:
         raise AssertionError(f"expected {n_low} updated rows, got {res}")
     before = t.read(snapshot_id=snap0).select(*sup.columns)
-    if before.exceptAll(sup).count() != 0 or sup.exceptAll(before).count() != 0:
+    # one evaluation per side instead of up to four (r14, guide §1.2)
+    if multiset_diff_count(before, sup) != 0:
         raise AssertionError("pre-update snapshot must serve original values")
     return t.read().orderBy("s_suppkey")
 
@@ -6382,9 +6383,10 @@ def q336_incremental_materialized_view(spark: SparkSession, sf_dir: str) -> Data
     assert res["groups_dropped"] == 1, res
 
     got = mv.read()
-    # incremental must equal a full recompute EXACTLY (decimal sums)
+    # incremental must equal a full recompute EXACTLY (decimal sums);
+    # one evaluation per side instead of four (r14, guide §1.2)
     want = mv._aggregate(base.read(), ["g"], ["o_totalprice"])
-    diff = got.exceptAll(want).unionByName(want.exceptAll(got)).count()
+    diff = multiset_diff_count(got, want)
     assert diff == 0, f"incremental refresh diverged from recompute ({diff} rows)"
     # a second refresh with no new commits is a no-op
     assert mv.refresh()["groups_touched"] == 0
@@ -6454,7 +6456,7 @@ def q338_insert_only_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert res["mode"] == "incremental" and res["groups_touched"] >= 1, res
     want = mv._aggregate(base.read(), ["event_type"], ["value"], ["value"])
     got = mv.read()
-    assert got.exceptAll(want).unionByName(want.exceptAll(got)).count() == 0
+    assert multiset_diff_count(got, want) == 0
 
     # the delete window maintains INCREMENTALLY now — affected groups
     # (those whose extremum was removed) re-derive, the rest take pure
@@ -6464,7 +6466,7 @@ def q338_insert_only_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert res2["mode"] == "incremental" and res2["groups_touched"] >= 1, res2
     want2 = mv._aggregate(base.read(), ["event_type"], ["value"], ["value"])
     got2 = mv.read()
-    assert got2.exceptAll(want2).unionByName(want2.exceptAll(got2)).count() == 0
+    assert multiset_diff_count(got2, want2) == 0
 
     return (
         mv.read()
@@ -6705,7 +6707,7 @@ def q342_iceberg_materialized_view(spark: SparkSession, sf_dir: str) -> DataFram
 
     got = mv.read()
     want = mv._aggregate(base.read(), ["g"], ["o_totalprice"])
-    diff = got.exceptAll(want).unionByName(want.exceptAll(got)).count()
+    diff = multiset_diff_count(got, want)
     assert diff == 0, f"iceberg-fed view diverged from recompute ({diff} rows)"
     return got.select(
         "g",
@@ -7571,23 +7573,9 @@ def q374_join_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b.read(), on=["custkey"], how="inner")
         .select(*got.columns)
     )
-    # multiset equality via ONE aggregation per side + a full outer
-    # join on the row image (r14): the former
-    # exceptAll ∪ reverse-exceptAll evaluated BOTH inputs twice (four
-    # aggregations over the view + the recompute join). Equivalent
-    # check: every distinct row occurs with identical multiplicity.
-    cols = got.columns
-    gcnt = got.groupBy(*cols).agg(F.count(F.lit(1)).alias("_ng")).alias("g")
-    wcnt = want.groupBy(*cols).agg(F.count(F.lit(1)).alias("_nw")).alias("w")
-    on_nullsafe = functools.reduce(
-        lambda x, y: x & y,
-        [F.col(f"g.{c}").eqNullSafe(F.col(f"w.{c}")) for c in cols],
-    )
-    diff = (
-        gcnt.join(wcnt, on_nullsafe, "full_outer")
-        .filter(~F.col("_ng").eqNullSafe(F.col("_nw")))
-        .count()
-    )
+    # multiset equality in one evaluation per side (r14): the former
+    # exceptAll ∪ reverse-exceptAll evaluated BOTH inputs twice
+    diff = multiset_diff_count(got, want)
     assert diff == 0, f"join view diverged from recompute ({diff} rows)"
     return (
         got.groupBy("c_mktsegment")

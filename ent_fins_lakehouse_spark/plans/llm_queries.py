@@ -44,6 +44,10 @@ from ent_fins_lakehouse_spark.functions.detmath import (
     det_quantize4,
     det_quantize4_sql,
 )
+from ent_fins_lakehouse_spark.plans.checks import (
+    multiset_diff_count,
+    multiset_equal_col,
+)
 from ent_fins_lakehouse_spark.plans.registry import query
 from ent_fins_lakehouse_spark.sources.readers import load_table
 
@@ -1878,12 +1882,10 @@ def q148_ivf_sq8_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _r9(df):
         return df.select("vec_id", F.round("cosine_sim", 9).alias("_c"))
 
-    tier_eq = (
-        _r9(served)
-        .exceptAll(_r9(probed_exact))
-        .unionAll(_r9(probed_exact).exceptAll(_r9(served)))
-        .agg(F.count("*").alias("_n"))
-        .select((F.col("_n") == 0).alias("rescore_tier_exact"))
+    # lazy multiset equality — one evaluation per side instead of the
+    # four the exceptAll pair paid (r14, guide §1.2)
+    tier_eq = multiset_equal_col(
+        _r9(served), _r9(probed_exact), "rescore_tier_exact"
     )
     exact = cosine_topk(emb, "embedding", qvec, k=10, id_col="vec_id")
     out = _ann_exact_with_flags(exact, "vec_id", [("sq8_recall_ok", served, 5)])
@@ -2056,11 +2058,9 @@ def q157_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         indexed, "vec_id", "embedding", ["ivf_cluster"], min_cosine=0.95
     )
     cell_keep = keep_list(cell_pairs)
-    n_diff = (
-        cell_keep.exceptAll(exact_keep)
-        .unionByName(exact_keep.exceptAll(cell_keep))
-        .count()
-    )
+    # one evaluation of the unpersisted cell pipeline instead of two
+    # (r14, guide §1.2); boolean below only cares about == 0
+    n_diff = multiset_diff_count(cell_keep, exact_keep)
     n_groups = exact_keep.filter(F.col("n_members") >= 2).count()
     return exact_keep.select(
         "vec_id",

@@ -20,6 +20,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ent_fins_lakehouse_spark.functions.numeric import dec
+from ent_fins_lakehouse_spark.plans.checks import multiset_diff_count
 from ent_fins_lakehouse_spark.plans.registry import query
 from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
 from ent_fins_lakehouse_spark.sources.readers import load_table
@@ -1421,7 +1422,8 @@ def q337_streaming_materialized_view(spark: SparkSession, sf_dir: str) -> DataFr
 
     got = mv.read()
     want = mv._aggregate(base.read(), ["g"], ["o_totalprice"])
-    diff = got.exceptAll(want).unionByName(want.exceptAll(got)).count()
+    # one evaluation per side instead of four (r14, guide §1.2)
+    diff = multiset_diff_count(got, want)
     assert diff == 0, f"streaming view diverged from recompute ({diff} rows)"
     return got.select(
         "g",
@@ -1522,7 +1524,8 @@ def q366_iceberg_streaming_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     got = mv.read()
     want = mv._aggregate(base.read(), ["g"], ["o_totalprice"])
-    diff = got.exceptAll(want).unionByName(want.exceptAll(got)).count()
+    # one evaluation per side instead of four (r14, guide §1.2)
+    diff = multiset_diff_count(got, want)
     assert diff == 0, f"streaming view diverged from recompute ({diff} rows)"
     return got.select(
         "g",
@@ -1678,7 +1681,8 @@ def q378_streaming_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     got = mv.read()
     want = a.read().join(b.read(), on=["custkey"], how="inner").select(*got.columns)
-    diff = got.exceptAll(want).unionByName(want.exceptAll(got)).count()
+    # one evaluation per side instead of four (r14, guide §1.2)
+    diff = multiset_diff_count(got, want)
     assert diff == 0, f"streaming join view diverged from recompute ({diff} rows)"
     return (
         got.groupBy("c_mktsegment")
