@@ -550,17 +550,30 @@ def winnow_overlap_pairs(
     the sibling span operator; capped, fan-out is bounded forever."""
     fp = winnow_fingerprints(
         _at_parallelism(df.select(id_col, text_col)), text_col, k=k, window=window
-    ).select(id_col, "fingerprints").persist()
-    ex = fp.select(F.col(id_col).alias("_id"), F.explode("fingerprints").alias("fp"))
-    n_docs = fp.count()  # fp is persisted; cheap
+    ).select(id_col, "fingerprints")
+    # persist the EXPLODED relation (not the array form): it feeds the
+    # frequency gate and both self-join sides
+    ex = fp.select(
+        F.col(id_col).alias("_id"), F.explode("fingerprints").alias("fp")
+    ).persist()
+    # winnow_fingerprints is row-preserving, so the doc count comes
+    # from the narrow source scan (no recompute of the kernel)
+    n_docs = df.select(id_col).count()
     cap = min(max(int(n_docs * max_doc_freq), 2), max_docs_per_fp)
-    rare = (
+    # gate inverted (r14, guide §3.1): anti-join the TINY persisted
+    # hot set (prints in > cap docs — bounded boilerplate) instead of
+    # inner-joining the huge rare set. Identical surviving rows, but
+    # the broadcast side shrinks from ~every distinct print to the
+    # capped hot list, and the persist keeps the gate's full-relation
+    # aggregation from running once per self-join side.
+    hot = (
         ex.groupBy("fp")
         .agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") <= cap)
+        .filter(F.col("_df") > cap)
         .select("fp")
+        .persist()
     )
-    ex = ex.join(rare, "fp")
+    ex = ex.join(hot, "fp", "left_anti")
     a = ex.select(F.col("_id").alias("id_a"), "fp")
     b = ex.select(F.col("_id").alias("id_b"), "fp")
     return (
@@ -753,23 +766,31 @@ def duplicated_spans(
     from pyspark.sql import Window as W
 
     fp = kgram_position_hashes(
-        df.select(id_col, text_col), text_col, k=k
+        _at_parallelism(df.select(id_col, text_col)), text_col, k=k
     ).select(F.col(id_col).alias("_id"), "gram_hashes")
     # persist the exploded hash relation: it feeds the doc-frequency
     # gate AND both sides of the self-join — without it the pandas-UDF
-    # hashing pass runs three times over the corpus
+    # hashing pass runs three times over the corpus. _at_parallelism
+    # widens the UDF pass itself when the scan arrives narrow (r14).
     ex = fp.select(
         "_id", F.posexplode("gram_hashes").alias("pos", "h")
     ).persist()
     n_docs = df.select(id_col).count()
     cap = min(max(int(n_docs * max_doc_freq), 2), max_docs_per_gram)
-    rare = (
+    # gate inverted (r14, guide §3.1): anti-join the TINY persisted
+    # hot set (grams in > cap docs) instead of inner-joining the huge
+    # rare set — identical surviving rows, the broadcast side shrinks
+    # from ~every distinct gram to the capped hot list, and the
+    # persist keeps the gate's full-relation distinct-aggregation from
+    # running once per self-join side.
+    hot = (
         ex.groupBy("h")
         .agg(F.countDistinct("_id").alias("_df"))
-        .filter(F.col("_df") <= cap)
+        .filter(F.col("_df") > cap)
         .select("h")
+        .persist()
     )
-    ex = ex.join(rare, "h")
+    ex = ex.join(hot, "h", "left_anti")
     a = ex.select(F.col("_id").alias("id_a"), F.col("pos").alias("pos_a"), "h")
     b = ex.select(F.col("_id").alias("id_b"), F.col("pos").alias("pos_b"), "h")
     matches = (
