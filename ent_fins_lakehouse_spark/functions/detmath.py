@@ -80,6 +80,34 @@ def det_ln_ratio(a: Column, b: Column) -> Column:
     return lnm - k.cast("double") * F.lit(float(DET_LN2))
 
 
+def det_ln_ratio_const(a: int, b: int) -> float:
+    """Driver-side constant fold of :func:`det_ln_ratio` for INTEGER
+    literals 1 <= a <= b: the identical IEEE-754 operation sequence in
+    CPython (whose float ops are the same correctly-rounded doubles),
+    so the result is bit-identical to what Catalyst's constant folding
+    of the Column tree produces — and to the DuckDB twin. Exists
+    because building the ~90-node Column tree costs ~175 ms of py4j
+    round trips PER CALL on the driver (r14 profile of the linkage
+    scorer: 6 calls = 1.05 s of driver wall); a known-constant ratio
+    needs one literal instead (guide §1.2)."""
+    if not (1 <= a <= b):
+        raise ValueError(f"det_ln_ratio_const needs 1 <= a <= b, got {a}, {b}")
+    k0 = (b.bit_length() - 1) - (a.bit_length() - 1)
+    num0 = a << k0
+    k = k0 + 1 if num0 < b else k0
+    num = a << k
+    # mirror cast(double)/cast(double): convert each side first
+    m = float(num) / float(b)
+    z = (m - 1.0) / (m + 1.0)
+    w = z * z
+    poly = 1.0 / float(_SERIES_DENOMS[-1])
+    for d in reversed(_SERIES_DENOMS[:-1]):
+        poly = (1.0 / float(d)) + w * poly
+    poly = 1.0 + w * poly
+    lnm = (2.0 * z) * poly
+    return lnm - float(k) * float(DET_LN2)
+
+
 def det_quantize4(x: Column) -> Column:
     """Quantize a (cross-engine bit-identical) double onto the 1e-4
     integer grid with round-half-away-from-zero.

@@ -32,7 +32,7 @@ from math import gcd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ent_fins_lakehouse_spark.functions.detmath import det_ln_ratio
+from ent_fins_lakehouse_spark.functions.detmath import det_ln_ratio_const
 
 
 @dataclass(frozen=True)
@@ -47,13 +47,18 @@ class FieldSpec:
 
 
 def _det_ln_rational(num: int, den: int) -> Column:
-    """ln(num/den) for positive integers via det_ln_ratio (which needs
-    a <= b): ln(a/b) directly, or -ln(b/a) when the ratio exceeds 1."""
+    """ln(num/den) for positive integers: the arguments are known
+    Python ints, so the value is folded ON THE DRIVER via
+    det_ln_ratio_const (bit-identical to the det_ln_ratio Column tree
+    Catalyst would have constant-folded — r14: the tree cost ~175 ms
+    of py4j expression-building per call) and emitted as one literal.
+    det_ln_ratio needs a <= b: ln(a/b) directly, or -ln(b/a) when the
+    ratio exceeds 1."""
     g = gcd(num, den)
     num, den = num // g, den // g
     if num <= den:
-        return det_ln_ratio(F.lit(num), F.lit(den))
-    return -det_ln_ratio(F.lit(den), F.lit(num))
+        return F.lit(det_ln_ratio_const(num, den))
+    return F.lit(-det_ln_ratio_const(den, num))
 
 
 def _det_ln_rational_sql(num: int, den: int) -> str:

@@ -182,3 +182,22 @@ def test_det_trig_accuracy_vs_libm(spark):
             assert abs(r["a"] - math.asin(y)) < 1e-9
         assert r["a"] > prev_a, "det_asin must be strictly increasing"
         prev_a = r["a"]
+
+
+def test_det_ln_ratio_const_bit_identical_to_column_tree(spark, pairs):
+    """r14: the driver-side constant fold (det_ln_ratio_const, used by
+    the linkage scorer for literal m/u ratios) must be BIT-identical to
+    what Spark computes for the det_ln_ratio Column tree — CPython's
+    float ops are the same correctly-rounded IEEE doubles, but only if
+    the operation sequence mirrors the tree exactly."""
+    from ent_fins_lakehouse_spark.functions.detmath import det_ln_ratio_const
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    srows = {
+        (r["a"], r["b"]): r["v"]
+        for r in df.select(
+            "a", "b", det_ln_ratio(F.col("a"), F.col("b")).alias("v")
+        ).collect()
+    }
+    for (a, b), v in srows.items():
+        assert _bits(det_ln_ratio_const(a, b)) == _bits(v), (a, b, v)
