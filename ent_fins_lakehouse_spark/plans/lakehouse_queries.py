@@ -1886,9 +1886,11 @@ def q180_delta_log_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # selectivity assertions on 5%-quantile cutoffs so they hold at
     # every scale factor (a fixed literal is selective at sf0.01 but
     # covers most of the key space at sf0.001)
+    # ONE pass builds both column sketches (r14, guide §1.2) — the
+    # per-column generator ran two full scans
     q_ok, q_pk = (
-        int(li.approxQuantile(c, [0.05], 0.01)[0])
-        for c in ("l_orderkey", "l_partkey")
+        int(v[0])
+        for v in li.approxQuantile(["l_orderkey", "l_partkey"], [0.05], 0.01)
     )
     for pred in (f"l_orderkey <= {q_ok}", f"l_partkey <= {q_pk}"):
         info = dl.scan_info(pred)
@@ -4940,9 +4942,10 @@ def q294_delta_hilbert_clustering(spark: SparkSession, sf_dir: str) -> DataFrame
     dl = DeltaLogTable(spark, _scratch("dlh"))
     dl.write(li.repartition(16), mode="append")
     dl.optimize(target_files=16, hilbert_by=["l_orderkey", "l_suppkey"])
+    # ONE pass builds both column sketches (r14, guide §1.2)
     q_ok, q_sk = (
-        int(li.approxQuantile(c, [0.05], 0.01)[0])
-        for c in ("l_orderkey", "l_suppkey")
+        int(v[0])
+        for v in li.approxQuantile(["l_orderkey", "l_suppkey"], [0.05], 0.01)
     )
     for pred in (f"l_orderkey <= {q_ok}", f"l_suppkey <= {q_sk}"):
         info = dl.scan_info(pred)
@@ -6528,20 +6531,24 @@ def q339_delta_uniform_auto_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = dl.uniform_status()
     assert st and st["ok"], st
     ice = IcebergTable(spark, dl.path)
-    assert ice.read().count() == dl.read().count()
+    # ONE count job per table state (r14, guide §1.2) — each count is a
+    # full-scan job, and the twin/writer equality makes the second scan
+    # of the same state redundant
+    n_before_delete = ice.read().count()
+    assert n_before_delete == dl.read().count()
     # the facade resolves the legitimate dual-format root to Delta
     assert isinstance(open_table(spark, dl.path), DeltaLogTable)
 
     # a DV delete syncs too: the descriptors TRANSLATE into v3 DV
     # entries against the same .bin bytes — the twin masks immediately
-    n_before_delete = ice.read().count()
     res = dl.delete("o_orderkey % 10 = 6")
     st = dl.uniform_status()
     assert st and st["ok"], st
     ice2 = IcebergTable(spark, dl.path)
     assert int(ice2.metadata()["format-version"]) == 3
-    assert ice2.read().count() == n_before_delete - res["rows_deleted"]
-    assert ice2.read().count() == dl.read().count()
+    n_after_delete = ice2.read().count()
+    assert n_after_delete == n_before_delete - res["rows_deleted"]
+    assert n_after_delete == dl.read().count()
     assert len(ice2._dv_entries()) >= 1
 
     # REORG PURGE materializes; the twin follows back to a plain scan
@@ -7449,9 +7456,11 @@ def q371_iceberg_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = IcebergTable(spark, _scratch("icez") + "_t")
     t.append(li.repartition(16))
     t.compact(target_files=16, zorder_by=["l_orderkey", "l_partkey"])
+    # ONE pass builds both column sketches (r14, guide §1.2) — the
+    # per-column generator ran two full scans
     q_ok, q_pk = (
-        int(li.approxQuantile(c, [0.05], 0.01)[0])
-        for c in ("l_orderkey", "l_partkey")
+        int(v[0])
+        for v in li.approxQuantile(["l_orderkey", "l_partkey"], [0.05], 0.01)
     )
     data, *_ = t._files_full()
     stats = {p: b for p, _, b in data}
