@@ -7733,43 +7733,54 @@ def q376_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     and observed hours pass their exact DECIMAL-summed value through —
     hash-exact end to end.
 
-    Scale shape: per-user windows partition cleanly (no global sort);
-    the spine explode is O(hours) rows per key, map-side; the only
-    shuffle is the user_id hash partitioning shared by the groupBy and
-    both window passes (one exchange, reused)."""
+    Scale shape (r14 segment form): ONE scan + hour aggregate, one
+    lead() window locates each observation's successor, and the dense
+    spine is generated per SEGMENT [h, next_h) — explode stays
+    map-side, the spine⨝obs hash join and the bounds aggregate (a
+    second full scan+agg subtree in the old plan) are gone entirely.
+    Exact because v_obs is never NULL (dsum over non-null values), so
+    the previous/next non-null observations the two IGNORE NULLS
+    window passes located are precisely the segment endpoints; the
+    interpolation expression is the same IEEE tree (integer epoch
+    deltas, one double division), hash-exact end to end."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 15 == 0)
     obs = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
     ).agg(dsum("value").alias("v_obs"))
-    bounds = obs.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-    spine = bounds.select(
+    w = W.partitionBy("user_id").orderBy("h")
+    seg = obs.select(
         "user_id",
-        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        "h",
+        "v_obs",
+        F.lead("h").over(w).alias("n_h"),
+        F.lead("v_obs").over(w).alias("n_v"),
     )
-    j = spine.join(obs, on=["user_id", "h"], how="left")
-    w_prev = W.partitionBy("user_id").orderBy("h").rowsBetween(W.unboundedPreceding, 0)
-    w_next = W.partitionBy("user_id").orderBy("h").rowsBetween(0, W.unboundedFollowing)
-    obs_h = F.when(F.col("v_obs").isNotNull(), F.col("h"))
-    wnd = (
-        j.withColumn("p_v", F.last("v_obs", ignorenulls=True).over(w_prev))
-        .withColumn("p_h", F.last(obs_h, ignorenulls=True).over(w_prev))
-        .withColumn("n_v", F.first("v_obs", ignorenulls=True).over(w_next))
-        .withColumn("n_h", F.first(obs_h, ignorenulls=True).over(w_next))
+    hours = seg.select(
+        "user_id",
+        "h",
+        "v_obs",
+        "n_h",
+        "n_v",
+        F.explode(
+            F.sequence(
+                F.col("h"),
+                F.coalesce(F.col("n_h") - F.expr("INTERVAL 1 HOUR"), F.col("h")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hh"),
     )
-    eh, ph, nh = (F.unix_timestamp(c) for c in ("h", "p_h", "n_h"))
+    eh, ph, nh = (F.unix_timestamp(c) for c in ("hh", "h", "n_h"))
     frac = (eh - ph).cast("double") / (nh - ph).cast("double")
-    filled = (
-        F.when(F.col("v_obs").isNotNull(), F.col("v_obs"))
-        .when(F.col("p_v").isNull(), F.col("n_v"))
-        .when(F.col("n_v").isNull(), F.col("p_v"))
-        .otherwise(F.col("p_v") + ((F.col("n_v") - F.col("p_v")) * frac))
+    is_obs = F.col("hh") == F.col("h")
+    filled = F.when(is_obs, F.col("v_obs")).otherwise(
+        F.col("v_obs") + ((F.col("n_v") - F.col("v_obs")) * frac)
     )
-    return wnd.select(
+    return hours.select(
         "user_id",
-        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
-        F.col("v_obs").isNotNull().alias("is_observed"),
+        F.date_format("hh", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        is_obs.alias("is_observed"),
         filled.alias("v_filled"),
-    ).orderBy("user_id", "h")
+    ).orderBy("user_id", "hh")
 
 
 def _q377_oracle() -> str:
