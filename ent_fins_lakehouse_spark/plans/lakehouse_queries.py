@@ -7055,6 +7055,7 @@ def q354_binpack_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-compaction rollup, hash-checked against DuckDB computing the
     surviving rows relationally."""
     import os as _os
+    from concurrent.futures import ThreadPoolExecutor
 
     from ent_fins_lakehouse_spark.sources.iceberg import IcebergTable
     from ent_fins_lakehouse_spark.sources.lakehouse import DeltaLogTable
@@ -7070,36 +7071,49 @@ def q354_binpack_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         for m in range(5)
     ]
 
-    dl = DeltaLogTable(spark, _scratch("bpdl") + "_t")
-    dl.write(big, mode="append")
-    for d in debts:
-        dl.write(d, mode="append")
-    dl.delete("o_orderkey % 100 = 0")
-    adds0, *_ = dl._snapshot()
-    big_path, big_size = max(
-        ((p, int(i.get("size") or 0)) for p, i in adds0.items()),
-        key=lambda x: x[1],
-    )
-    res_d = dl.optimize(min_file_size_bytes=big_size)
-    assert res_d["files_selected"] == 5, res_d
-    adds1, *_ = dl._snapshot()
-    assert big_path in adds1, "binpack touched a right-sized file"
+    def _delta_arc() -> DeltaLogTable:
+        dl = DeltaLogTable(spark, _scratch("bpdl") + "_t")
+        dl.write(big, mode="append")
+        for d in debts:
+            dl.write(d, mode="append")
+        dl.delete("o_orderkey % 100 = 0")
+        adds0, *_ = dl._snapshot()
+        big_path, big_size = max(
+            ((p, int(i.get("size") or 0)) for p, i in adds0.items()),
+            key=lambda x: x[1],
+        )
+        res_d = dl.optimize(min_file_size_bytes=big_size)
+        assert res_d["files_selected"] == 5, res_d
+        adds1, *_ = dl._snapshot()
+        assert big_path in adds1, "binpack touched a right-sized file"
+        return dl
 
-    ice = IcebergTable(spark, _scratch("bpice") + "_t")
-    ice.append(big)
-    for d in debts:
-        ice.append(d)
-    ice.delete("o_orderkey % 100 = 0", mode="dv")
-    big_file = max(ice.data_files(), key=_os.path.getsize)
-    res_i = ice.rewrite_small_files(
-        small_file_threshold_bytes=_os.path.getsize(big_file)
-    )
-    assert res_i["files_selected"] == 5, res_i
-    assert big_file in ice.data_files(), "binpack touched a right-sized file"
-    # the debt file's DV now references a dead file — rewrite_manifests
-    # reclaims the dangling DV manifest
-    ice.rewrite_manifests()
-    assert ice._dv_entries() == [], "dangling DV manifest not reclaimed"
+    def _ice_arc() -> IcebergTable:
+        ice = IcebergTable(spark, _scratch("bpice") + "_t")
+        ice.append(big)
+        for d in debts:
+            ice.append(d)
+        ice.delete("o_orderkey % 100 = 0", mode="dv")
+        big_file = max(ice.data_files(), key=_os.path.getsize)
+        res_i = ice.rewrite_small_files(
+            small_file_threshold_bytes=_os.path.getsize(big_file)
+        )
+        assert res_i["files_selected"] == 5, res_i
+        assert big_file in ice.data_files(), "binpack touched a right-sized file"
+        # the debt file's DV now references a dead file —
+        # rewrite_manifests reclaims the dangling DV manifest
+        ice.rewrite_manifests()
+        assert ice._dv_entries() == [], "dangling DV manifest not reclaimed"
+        return ice
+
+    # the two format arcs are fully independent (separate scratch
+    # roots, no shared state) and each is a serial chain of small
+    # commits — overlap them so one arc's commit latency back-fills
+    # the other's idle executors (guide §2.6, r14)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_delta = pool.submit(_delta_arc)
+        f_ice = pool.submit(_ice_arc)
+        dl, ice = f_delta.result(), f_ice.result()
 
     both = dl.read().withColumn("fmt", F.lit("delta")).unionByName(
         ice.read().withColumn("fmt", F.lit("iceberg"))
