@@ -2973,16 +2973,28 @@ def q192_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bucket"),
         )
     )
-    feat = b2.groupBy("doc_id", "bucket").agg(F.count("*").alias("c"))
-    tc = b2.filter(F.col("lang") == "en").groupBy("bucket").agg(F.count("*").alias("tc"))
-    rc = b2.groupBy("bucket").agg(F.count("*").alias("rc"))
-    tot = b2.agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_total"),
-        F.count("*").alias("r_total"),
+    # ONE pass over the heavy explode+window relation (r14, guide
+    # §1.2/§2.3): the per-(doc,bucket) partial aggregate carries the
+    # in-domain count alongside, so tc/rc/tot all fold from this tiny
+    # persisted relation instead of re-evaluating b2 (the old plan
+    # evaluated the tokenize+lead subtree FOUR times). Integer-count
+    # folding is exact, so the lrv doubles are unchanged.
+    feat = (
+        b2.groupBy("doc_id", "bucket")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_en"),
+        )
+        .persist()
+    )
+    bstats = feat.groupBy("bucket").agg(
+        F.sum("c").alias("rc"), F.sum("c_en").alias("tc")
+    )
+    tot = feat.agg(
+        F.sum("c_en").alias("t_total"), F.sum("c").alias("r_total")
     )
     lr = (
-        rc.join(tc, "bucket", "left")
-        .crossJoin(F.broadcast(tot))
+        bstats.crossJoin(F.broadcast(tot))
         .select(
             "bucket",
             F.round(

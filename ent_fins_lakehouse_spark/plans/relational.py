@@ -5304,21 +5304,39 @@ def q305_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
     )
-    # basket count enters the plan as a broadcast 1-row cross join —
-    # no driver action, one job; the basket exchange feeding sup/tot/
-    # pairs is shared via Spark's ReusedExchange, no persist needed
-    tot = basket.select("okey").distinct().agg(F.count("*").alias("n_tot"))
-    sup = basket.groupBy("brand").agg(F.count("*").alias("n_b"))
-    a = basket.alias("a")
-    b = basket.alias("b")
+    # ONE evaluation of the lineitem⨝part+distinct subtree (r14, guide
+    # §1.2): the old shape consumed `basket` four ways (tot, sup, both
+    # self-join sides) and the planner reused NOTHING — the plan showed
+    # 10 parquet scans and zero ReusedExchange. Grouping each basket's
+    # sorted brand set once makes tot a group count, sup an explode of
+    # the sets (basket is distinct, so set-explode ≡ basket rows), and
+    # the candidate pairs the in-group ordered combinations —
+    # per-basket k² with k ≤ ~7, exactly the multiset the
+    # `a.brand < b.brand` self-join produced, with no join and no
+    # second shuffle of basket. The tiny per-order relation persists.
+    g = (
+        basket.groupBy("okey")
+        .agg(F.sort_array(F.collect_set("brand")).alias("brands"))
+        .persist()
+    )
+    tot = g.agg(F.count("*").alias("n_tot"))
+    sup = (
+        g.select(F.explode("brands").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count("*").alias("n_b"))
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.brand") < F.col("b.brand")),
+        g.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(brands, (x, i) ->"
+                    " transform(slice(brands, i + 2, size(brands)),"
+                    " y -> struct(x AS brand_a, y AS brand_b))))"
+                )
+            ).alias("p")
         )
         .groupBy(
-            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+            F.col("p.brand_a").alias("brand_a"), F.col("p.brand_b").alias("brand_b")
         )
         .agg(F.count("*").alias("pair_n"))
     )
