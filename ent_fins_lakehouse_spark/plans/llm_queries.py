@@ -2227,18 +2227,26 @@ def q160_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "next")
     )
     bc = b2.groupBy("term", "next").agg(F.count("*").alias("bf"))
-    ctx = b2.groupBy("term").agg(F.count("*").alias("cf"))
+    # context counts FOLD from the bigram counts (r14, guide §1.2):
+    # cf(term) = Σ bf over next — exact integers computed as a window
+    # sum over the distinct-bigram relation, so bc evaluates ONCE (a
+    # groupBy+self-join shape would duplicate its subtree) and the old
+    # second full evaluation + full shuffle of b2 is gone
     v = toks.agg(F.countDistinct("term").alias("v"))
+    cf = F.sum("bf").over(W.partitionBy("term"))
     # deterministic cross-engine log + integer-grid scoring (see q139)
     lp4 = det_quantize4(
         det_ln_ratio(F.col("bf") + F.lit(1), F.col("cf") + F.col("v"))
     )
-    scored = (
-        b2.join(bc, ["term", "next"])
-        .join(ctx, "term")
+    # score each DISTINCT bigram once, then one join attaches it to the
+    # corpus — the old shape joined the full bigram relation twice
+    # (by (term,next), then re-shuffled by term)
+    lpt = (
+        bc.withColumn("cf", cf)
         .crossJoin(F.broadcast(v))
-        .withColumn("lpv4", lp4)
+        .select("term", "next", lp4.alias("lpv4"))
     )
+    scored = b2.join(lpt, ["term", "next"])
     return (
         scored.groupBy("doc_id")
         .agg(
