@@ -4049,6 +4049,26 @@ class IcebergTable:
                 raise ValueError(f"UPDATE SET targets unknown columns {sorted(unknown)}")
             if set(matched_update) & set(on):
                 raise ValueError("UPDATE SET cannot reassign MERGE key columns")
+        # Consumer-counted persists (r14, the DeltaLogTable.merge rule):
+        # the source feed is consumed by up to four downstream plans
+        # (dup guard, key distinct, matched clause, insert anti-join) —
+        # persist it when ≥2 will run so a non-trivial feed computes
+        # once and cannot diverge between clauses. A pure
+        # NOT-MATCHED-BY-SOURCE delete consumes it once (the key
+        # distinct) — no persist there, matching the Delta delete-only
+        # lesson. These are change-feed/key-sized relations used as
+        # join or broadcast inputs, so output file layout is untouched.
+        _cached: list[DataFrame] = []
+        _src_consumers = (2 if do_update else 0) + 1 + (
+            1 if when_not_matched_insert_all else 0
+        )
+        if _src_consumers >= 2:
+            source = source.persist()
+            _cached.append(source)
+
+        def _release() -> None:
+            for _c in _cached:
+                _c.unpersist()
         # v3 row lineage: updated rows KEEP the target row's _row_id
         # (one id across a row's versions — lineage's point) with this
         # commit's sequence as _last_updated_sequence_number; CoW
@@ -4062,6 +4082,16 @@ class IcebergTable:
         if lineage:
             target = self._lineage_scan_cols(target, seq_of, self._first_row_ids())
         tkeys = target.select(*on).distinct()
+        # each tkeys consumer re-runs the TARGET scan (candidate files
+        # + delete anti-joins) — persist when ≥2 consume it
+        _tkeys_consumers = (
+            (1 if do_update else 0)
+            + (1 if do_update and not matched_condition else 0)
+            + (1 if when_not_matched_insert_all else 0)
+        )
+        if _tkeys_consumers >= 2:
+            tkeys = tkeys.persist()
+            _cached.append(tkeys)
         if do_update:
             # one target row matching multiple source rows is a
             # nondeterministic update — refuse, as Delta does
@@ -4091,6 +4121,17 @@ class IcebergTable:
                 .select(*on)
                 .distinct()
             )
+        # upd_keys gates the update-delete pass, the updated-rows
+        # clause, and (with lineage) the row-id carryover — each a
+        # separate job re-running its target-semi-join subtree
+        _upd_consumers = (
+            (1 if do_update else 0)
+            + (1 if do_update and matched_update is None else 0)
+            + (1 if do_update and lineage and matched_update is None else 0)
+        )
+        if _upd_consumers >= 2:
+            upd_keys = upd_keys.persist()
+            _cached.append(upd_keys)
         del_parts: list[DataFrame] = []
         n_upd_del = 0
         if do_update:
@@ -4242,6 +4283,7 @@ class IcebergTable:
                 else []
             )
             if not affected and not data_entries:
+                _release()
                 return {
                     "rows_updated": 0,
                     "rows_inserted": 0,
@@ -4289,6 +4331,7 @@ class IcebergTable:
                     else:
                         for e in data_entries:
                             e["snapshot_id"] = snap_id
+            _release()
             return {
                 "rows_updated": n_upd_del,
                 "rows_inserted": n_inserted,
@@ -4327,6 +4370,7 @@ class IcebergTable:
         data_entries = _stage_new(seq, snap_id) if new_parts else []
         n_written = sum(e["data_file"]["record_count"] for e in data_entries)
         if not del_entries and not data_entries:
+            _release()
             return {
                 "rows_updated": 0,
                 "rows_inserted": 0,
@@ -4376,6 +4420,7 @@ class IcebergTable:
                 else:
                     for e in data_entries:
                         e["snapshot_id"] = snap_id
+        _release()
         return {
             "rows_updated": n_upd_del,
             "rows_inserted": max(0, n_written - n_upd_del),
