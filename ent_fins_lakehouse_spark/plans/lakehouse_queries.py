@@ -6619,8 +6619,10 @@ def q341_iceberg_to_delta_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     ice.append(orders.filter(F.col("o_orderkey") % 2 == 1).repartition(2))
     v1 = sync_iceberg_to_delta(spark, ice, dl)
     assert v1 == v0 + 1, (v0, v1)
-    assert dl.read().count() == ice.read().count()
-    assert dl.read(version_as_of=v0).count() < dl.read().count()
+    # ONE count job per table state (r14, guide §1.2)
+    n_head = dl.read().count()
+    assert n_head == ice.read().count()
+    assert dl.read(version_as_of=v0).count() < n_head
 
     # rewrite window: CoW delete -> removes + adds in one commit
     ice.delete("o_orderkey % 10 = 4", mode="cow")
@@ -7736,7 +7738,9 @@ def q381_sql_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     got = lh.sql("SELECT o_orderkey, custkey, o_totalprice, c_mktsegment FROM jm.v")
     want = a.read().join(b.read(), on=["custkey"], how="inner").select(*got.columns)
-    diff = got.exceptAll(want).unionByName(want.exceptAll(got)).count()
+    # multiset equality in one evaluation per side (r14, the same
+    # rewrite as the first assert above — this second site was missed)
+    diff = multiset_diff_count(got, want)
     assert diff == 0, f"SQL join view diverged from recompute ({diff} rows)"
     return (
         got.groupBy("c_mktsegment")
