@@ -3628,20 +3628,36 @@ def q234_dlt_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         apply_expectations,
     )
 
+    from ent_fins_lakehouse_spark.operators.expectations import _passes
+
     li = load_table(spark, sf_dir, "lineitem")
-    clean, quarantine, metrics = apply_expectations(
-        li,
-        [
-            Expectation("valid_qty", "l_quantity BETWEEN 1 AND 50", "drop"),
-            Expectation("positive_price", "l_extendedprice > 0", "drop"),
-            Expectation("sane_discount", "l_discount BETWEEN 0 AND 0.1", "warn"),
-            Expectation("shipdate_present", "l_shipdate IS NOT NULL", "fail"),
-        ],
-    )
+    exps = [
+        Expectation("valid_qty", "l_quantity BETWEEN 1 AND 50", "drop"),
+        Expectation("positive_price", "l_extendedprice > 0", "drop"),
+        Expectation("sane_discount", "l_discount BETWEEN 0 AND 0.1", "warn"),
+        Expectation("shipdate_present", "l_shipdate IS NOT NULL", "fail"),
+    ]
+    clean, quarantine, metrics = apply_expectations(li, exps)
+    # r14 (guide §1.2): the split tallies were FOUR more full-table
+    # jobs (clean.count, quarantine.count, li.count ×2) after the
+    # operator's single metrics pass. ONE aggregate over the operator's
+    # own gate conjunction gives all four numbers: n_clean = Σ all-pass
+    # (clean is filter(all_pass)), n_quarantine = n − n_clean exactly
+    # (quarantine is filter(~all_pass) and the coalesced gate is never
+    # NULL, so the two filters partition the table).
+    gate_pass = F.lit(True)
+    for e in exps:
+        if e.action in ("drop", "fail"):
+            gate_pass = gate_pass & _passes(e)
+    row = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(gate_pass.cast("long")).alias("nc"),
+    ).first()
+    n_rows, n_clean = int(row["n"]), int(row["nc"] or 0)
     extras = spark.createDataFrame(
         [
-            ("__clean__", "", clean.count(), li.count()),
-            ("__quarantine__", "", quarantine.count(), li.count()),
+            ("__clean__", "", n_clean, n_rows),
+            ("__quarantine__", "", n_rows - n_clean, n_rows),
         ],
         "rule STRING, action STRING, n_violations LONG, n_rows LONG",
     )

@@ -1499,9 +1499,15 @@ def q139_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself carries NO forced broadcast hint (10⁸–10⁹ distinct tokens on
     a real corpus would OOM a forced hint), so AQE /
     autoBroadcastJoinThreshold picks the tc-join strategy from actual
-    sizes. Nothing is persisted: at 100 TB, caching the exploded token
-    stream costs more than the extra narrow re-scan, and in production
-    the LM (tc + consts) is index metadata built once and reused."""
+    sizes. The exploded token stream is never persisted (at 100 TB,
+    caching it costs more than the extra narrow re-scan), but the
+    VOCAB-sized tc table is (r14, q66's rule): unpersisted, the consts
+    aggregate and the scored join each rebuilt tc's explode+groupBy
+    subtree — THREE corpus explode passes for a two-pass algorithm.
+    With tc persisted the corpus explodes exactly twice (tc build +
+    scored's toks side). Locally neutral (interleaved A/B min 0.83 vs
+    0.81 s — the corpus is tiny); the win is the removed full pass,
+    which grows with the corpus."""
     from ent_fins_lakehouse_spark.operators.dedup import normalize_text
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1510,7 +1516,9 @@ def q139_unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.split(normalize_text("text"), " ")).alias("term"))
         .filter(F.col("term") != "")
     )
-    tc = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    tc = _swap_persist(
+        "q139_tc", toks.groupBy("term").agg(F.count("*").alias("tf"))
+    )
     # n_tok = Σ tf and v = |vocab| fall out of the (small) vocab table —
     # no second pass over the token stream for the constants
     consts = tc.agg(
@@ -3374,7 +3382,22 @@ def q204_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order functions — ``transform`` (with the position index
     feeding the coin) and ``filter`` — so the op is one map-only pass,
     no explode, NO shuffle, no UDF; the oracle unnests to rows and
-    re-aggregates, proving the array formulation exact."""
+    re-aggregates, proving the array formulation exact.
+
+    r14: the words array and the md5-coin mask array are materialized
+    ONCE through staged projections. The single-select form evaluated
+    the split THREE times and the per-word md5 coin three times per
+    row (masked_text, labels, n_masked each rebuilt it), and codegen
+    subexpression elimination cannot merge them — lambda variables get
+    fresh exprIds per ``transform``, so the subtrees are never
+    syntactically equal. CollapseProject keeps the stages separate
+    because each intermediate is non-cheap and referenced more than
+    once downstream. Bit-exact (same expression tree per element,
+    evaluated once); interleaved A/B at sf0.1: 1.81 → 1.45 s min
+    (~0.80×). ``_at_parallelism`` on the input was measured and
+    REJECTED (1.26 → 1.59 s — the round-robin shuffle of the text
+    costs more than the freed cores return at this operator's
+    compute density)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
     words = F.split(F.trim("text"), r"\s+")
 
@@ -3399,15 +3422,25 @@ def q204_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
             < 0.15
         )
 
-    masked = F.transform(words, lambda w, i: F.when(coin(i), "<MASK>").otherwise(w))
-    labels = F.filter(
-        F.transform(words, lambda w, i: F.when(coin(i), w)), lambda x: x.isNotNull()
+    s1 = docs.select("doc_id", words.alias("_w"))
+    s2 = s1.select(
+        "doc_id", "_w", F.transform("_w", lambda w, i: coin(i)).alias("_m")
     )
-    return docs.select(
+    s3 = s2.select(
         "doc_id",
-        F.array_join(masked, " ").alias("masked_text"),
-        F.array_join(labels, " ").alias("labels"),
-        F.size(labels).cast("long").alias("n_masked"),
+        F.zip_with(
+            "_w", "_m", lambda w, m: F.when(m, F.lit("<MASK>")).otherwise(w)
+        ).alias("_mk"),
+        F.filter(
+            F.zip_with("_w", "_m", lambda w, m: F.when(m, w)),
+            lambda x: x.isNotNull(),
+        ).alias("_lb"),
+    )
+    return s3.select(
+        "doc_id",
+        F.array_join("_mk", " ").alias("masked_text"),
+        F.array_join("_lb", " ").alias("labels"),
+        F.size("_lb").cast("long").alias("n_masked"),
     ).orderBy("doc_id")
 
 
