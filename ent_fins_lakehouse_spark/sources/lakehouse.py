@@ -5073,21 +5073,37 @@ class DeltaLogTable:
         # so CDF readers never pay the snapshot-diff synthesis
         cdc_actions: list[dict] = []
         if self._cdf_on(_meta):
+            # r14: ONE explode-of-structs pass emits the pre/post pair
+            # per matched row — the former two-branch union scanned the
+            # touched files (and re-ran the DV-decode anti-join) twice
+            # inside the cdc staging job. Row order inside cdc files
+            # changes (interleaved pairs instead of all-pre-then-post);
+            # the spec orders nothing, CDF readers consume actions.
             upd = sub.filter(pred)
-            pre = upd.select(*cols).withColumn(
-                "_change_type", F.lit("update_preimage")
-            )
-            post = upd.select(
-                *[
-                    (
-                        F.expr(assignments[c]).cast(schema[c].dataType)
-                        if c in assignments
-                        else F.col(c)
-                    ).alias(c)
-                    for c in cols
-                ]
-            ).withColumn("_change_type", F.lit("update_postimage"))
-            cdc_actions = self._stage_cdc(pre.unionByName(post), part_cols, pmap, fid_of)
+            pair = upd.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            *[F.col(c).alias(c) for c in cols],
+                            F.lit("update_preimage").alias("_change_type"),
+                        ),
+                        F.struct(
+                            *[
+                                (
+                                    F.expr(assignments[c]).cast(
+                                        schema[c].dataType
+                                    )
+                                    if c in assignments
+                                    else F.col(c)
+                                ).alias(c)
+                                for c in cols
+                            ],
+                            F.lit("update_postimage").alias("_change_type"),
+                        ),
+                    )
+                ).alias("_pair")
+            ).select("_pair.*")
+            cdc_actions = self._stage_cdc(pair, part_cols, pmap, fid_of)
         new_adds = self._stage_adds(rewritten, part_cols, pmap, fid_of)
         sub.unpersist()
         now = int(time.time() * 1000)
