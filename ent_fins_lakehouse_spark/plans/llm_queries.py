@@ -2417,15 +2417,24 @@ def _bm25_scores(docs: DataFrame, terms: list[str]) -> DataFrame:
         .select("doc_id", F.explode(F.split(normalize_text("text"), " ")).alias("term"))
         .filter(F.col("term") != "")
     )
-    dlen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # r14 (q139's rule): unpersisted, this plan re-ran the corpus
+    # explode FOUR times — dlen, consts (via dlen), tf, df_ (via tf).
+    # dlen is doc-sized and tf is term-filtered-tiny; persisting both
+    # leaves exactly TWO explode passes (dlen build + tf build).
+    # Locally neutral (interleaved A/B min 0.39 vs 0.36 s); the
+    # removed passes grow with the corpus.
+    dlen = _swap_persist(
+        "bm25_dlen", toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    )
     consts = dlen.agg(
         F.count("*").cast("double").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
     )
-    tf = (
+    tf = _swap_persist(
+        "bm25_tf",
         toks.filter(F.col("term").isin(terms))
         .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf")),
     )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
@@ -2487,9 +2496,14 @@ def q175_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-document dedup (q50/q51) is blind to.
 
     Scale shape: one posexplode (linear), one (doc, span) hash-groupBy,
-    one corpus-wide fingerprint count (32-byte keys, not span text),
-    one AQE-planned join back — every stage is a hash aggregation on
-    bounded keys; no pairwise comparison anywhere."""
+    then ONE count window over the fingerprint key — every stage is a
+    hash aggregation / windowed count on bounded keys; no pairwise
+    comparison anywhere. r14: the corpus-wide fingerprint count was a
+    separate groupBy joined back, which evaluated the whole
+    posexplode+collect_list span pass TWICE (once per join side); the
+    window computes n over the same single pass and shuffle
+    (interleaved A/B at sf0.1: min 1.45 → 0.75 s, ~0.52×; plan 2 span
+    subtrees → 1)."""
     from ent_fins_lakehouse_spark.operators.dedup import normalize_text
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2515,11 +2529,10 @@ def q175_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp")
         )
     )
-    freq = ch.groupBy("fp").agg(F.count("*").alias("n"))
+    chn = ch.withColumn("n", F.count("*").over(W.partitionBy("fp")))
     dup = F.when(F.col("n") > 1, 1).otherwise(0)
     return (
-        ch.join(freq, "fp")
-        .groupBy("doc_id")
+        chn.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_spans"),
             F.sum(dup).alias("n_dup_spans"),

@@ -6507,7 +6507,13 @@ def q348_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     work — daily counting — is a partial-agg groupBy pushed to the
     scan."""
     ev = load_table(spark, sf_dir, "events").select(F.col("ts").cast("date").alias("d"))
-    daily = ev.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    # r14 (guide §5): daily (one row per day, KB-sized) feeds the
+    # bounds-spine aggregate AND the dense left join, and t (same
+    # cardinality) feeds the seasonal aggregate AND the residual join —
+    # unpersisted, the events scan + daily groupBy ran FOUR times
+    # (2 consumers × 2 consumers). Persisting both day-sized relations
+    # leaves exactly ONE events pass.
+    daily = ev.groupBy("d").agg(F.count(F.lit(1)).alias("n")).persist()
     spine = (
         daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
         .select(F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d"))
@@ -6526,6 +6532,7 @@ def q348_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter("w_n = 7")
         .drop("w_n")
+        .persist()
     )
     seas = (
         t.groupBy("dow")
