@@ -5452,20 +5452,43 @@ class DeltaLogTable:
                     j = tdf.alias("t").join(source.alias("s"), on=on, how="inner")
                     if matched_condition:
                         j = j.filter(F.expr(matched_condition))
+                    # r14 (update()'s rule): one explode-of-structs
+                    # pass emits the pre/post pair per matched row —
+                    # the former two selects over j executed the
+                    # tdf⨝source join twice inside the cdc staging job
+                    # (both inputs are cached, but the join itself is
+                    # not).
                     cdc_parts.append(
                         j.select(
-                            *[F.col(f"t.{f.name}").alias(f.name) for f in schema.fields]
-                        ).withColumn("_change_type", F.lit("update_preimage"))
-                    )
-                    cdc_parts.append(
-                        j.select(
-                            *[
-                                F.expr(matched_update[f.name]).cast(f.dataType).alias(f.name)
-                                if f.name in matched_update
-                                else F.col(f"t.{f.name}").alias(f.name)
-                                for f in schema.fields
-                            ]
-                        ).withColumn("_change_type", F.lit("update_postimage"))
+                            F.explode(
+                                F.array(
+                                    F.struct(
+                                        *[
+                                            F.col(f"t.{f.name}").alias(f.name)
+                                            for f in schema.fields
+                                        ],
+                                        F.lit("update_preimage").alias(
+                                            "_change_type"
+                                        ),
+                                    ),
+                                    F.struct(
+                                        *[
+                                            F.expr(matched_update[f.name])
+                                            .cast(f.dataType)
+                                            .alias(f.name)
+                                            if f.name in matched_update
+                                            else F.col(f"t.{f.name}").alias(
+                                                f.name
+                                            )
+                                            for f in schema.fields
+                                        ],
+                                        F.lit("update_postimage").alias(
+                                            "_change_type"
+                                        ),
+                                    ),
+                                )
+                            ).alias("_pair")
+                        ).select("_pair.*")
                     )
                 else:
                     cdc_parts.append(
