@@ -1952,7 +1952,8 @@ def q151_ivf_blocked_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["_all"],
         top_n=100,
         rescore_exact=True,
-    ).persist()
+    )
+    exact = _swap_persist("q151_exact", exact)
     indexed, _ = build_ivf_index(emb, "embedding", n_clusters=8)
     cell = cosine_pairs_blockwise_numpy(
         indexed, "vec_id", "embedding", ["ivf_cluster"], top_n=100
@@ -2060,7 +2061,7 @@ def q157_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_cosine=0.95,
         rescore_exact=True,
     )
-    exact_keep = keep_list(exact_pairs).persist()
+    exact_keep = _swap_persist("q157_exact_keep", keep_list(exact_pairs))
     indexed, _ = build_ivf_index(corpus, "embedding", n_clusters=8)
     cell_pairs = cosine_pairs_blockwise_numpy(
         indexed, "vec_id", "embedding", ["ivf_cluster"], min_cosine=0.95
@@ -3008,13 +3009,12 @@ def q192_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted relation instead of re-evaluating b2 (the old plan
     # evaluated the tokenize+lead subtree FOUR times). Integer-count
     # folding is exact, so the lrv doubles are unchanged.
-    feat = (
-        b2.groupBy("doc_id", "bucket")
-        .agg(
+    feat = _swap_persist(
+        "q192_feat",
+        b2.groupBy("doc_id", "bucket").agg(
             F.count("*").alias("c"),
             F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_en"),
-        )
-        .persist()
+        ),
     )
     bstats = feat.groupBy("bucket").agg(
         F.sum("c").alias("rc"), F.sum("c_en").alias("tc")
@@ -5533,10 +5533,11 @@ def q385_ivf_batch_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
-    exact = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .persist()
+    exact = _swap_persist(
+        "q385_exact",
+        scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= 3
+        ),
     )
     n_slots = exact.count()
     n_hit = (

@@ -30,6 +30,7 @@ from ent_fins_lakehouse_spark.functions.numeric import (
     money,
     revenue_expr,
 )
+from ent_fins_lakehouse_spark.plans.llm_queries import _swap_persist
 from ent_fins_lakehouse_spark.plans.registry import query
 from ent_fins_lakehouse_spark.sources.readers import load_table
 
@@ -5314,10 +5315,11 @@ def q305_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-basket k² with k ≤ ~7, exactly the multiset the
     # `a.brand < b.brand` self-join produced, with no join and no
     # second shuffle of basket. The tiny per-order relation persists.
-    g = (
-        basket.groupBy("okey")
-        .agg(F.sort_array(F.collect_set("brand")).alias("brands"))
-        .persist()
+    g = _swap_persist(
+        "q305_brand_sets",
+        basket.groupBy("okey").agg(
+            F.sort_array(F.collect_set("brand")).alias("brands")
+        ),
     )
     tot = g.agg(F.count("*").alias("n_tot"))
     sup = (
@@ -6513,7 +6515,9 @@ def q348_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unpersisted, the events scan + daily groupBy ran FOUR times
     # (2 consumers × 2 consumers). Persisting both day-sized relations
     # leaves exactly ONE events pass.
-    daily = ev.groupBy("d").agg(F.count(F.lit(1)).alias("n")).persist()
+    daily = _swap_persist(
+        "q348_daily", ev.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    )
     spine = (
         daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
         .select(F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d"))
@@ -6522,7 +6526,8 @@ def q348_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d", F.coalesce("n", F.lit(0)).cast("long").alias("n")
     )
     w = W.orderBy("d").rowsBetween(-3, 3)
-    t = (
+    t = _swap_persist(
+        "q348_trend",
         dense.select(
             "d",
             "n",
@@ -6531,8 +6536,7 @@ def q348_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.dayofweek("d") - 1).cast("long").alias("dow"),
         )
         .filter("w_n = 7")
-        .drop("w_n")
-        .persist()
+        .drop("w_n"),
     )
     seas = (
         t.groupBy("dow")

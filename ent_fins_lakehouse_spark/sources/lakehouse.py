@@ -5105,7 +5105,6 @@ class DeltaLogTable:
             ).select("_pair.*")
             cdc_actions = self._stage_cdc(pair, part_cols, pmap, fid_of)
         new_adds = self._stage_adds(rewritten, part_cols, pmap, fid_of)
-        sub.unpersist()
         now = int(time.time() * 1000)
         actions: list[dict] = [
             {

@@ -354,8 +354,20 @@ def test_sigkill_storm_delta_and_iceberg(spark, tmp_path):
     worker = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_crash_worker.py")
     rng = random.Random(14_003)
 
+    def commit_count(kind: str, path: str) -> int:
+        # count landed commits straight off disk so the poll never
+        # touches the table classes mid-storm
+        if kind == "delta":
+            d = os.path.join(path, "_delta_log")
+            names = os.listdir(d) if os.path.isdir(d) else []
+            return sum(1 for f in names if f.endswith(".json") and f[:-5].isdigit())
+        d = os.path.join(path, "metadata")
+        names = os.listdir(d) if os.path.isdir(d) else []
+        return sum(1 for f in names if f.endswith(".metadata.json"))
+
     def one_round(kind: str, path: str) -> None:
         log = open(str(tmp_path / f"crash_{kind}.log"), "a")
+        c0 = commit_count(kind, path)
         p = subprocess.Popen(
             [_sys.executable, worker, kind, path],
             stdout=log,
@@ -363,9 +375,18 @@ def test_sigkill_storm_delta_and_iceberg(spark, tmp_path):
             start_new_session=True,  # kill the JVM with the python
         )
         try:
-            # let the JVM come up and commits start flowing, then kill
-            # at a random in-flight moment
-            time.sleep(rng.uniform(14.0, 22.0))
+            # wait until the worker has actually landed >=2 new commits
+            # (a fixed sleep made the storm vacuous on contended hosts
+            # where JVM startup ate the whole window), then kill at a
+            # random in-flight moment; generous cap for loaded hosts
+            deadline = time.monotonic() + 180.0
+            while time.monotonic() < deadline:
+                if p.poll() is not None:
+                    break  # worker died on its own — surface via asserts
+                if commit_count(kind, path) >= c0 + 2:
+                    break
+                time.sleep(0.25)
+            time.sleep(rng.uniform(0.0, 3.0))
         finally:
             try:
                 os.killpg(os.getpgid(p.pid), signal.SIGKILL)
