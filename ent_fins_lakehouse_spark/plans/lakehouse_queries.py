@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ent_fins_lakehouse_spark.plans.checks import multiset_diff_count
+from ent_fins_lakehouse_spark.plans.llm_queries import _swap_persist
 from ent_fins_lakehouse_spark.plans.registry import query
 from ent_fins_lakehouse_spark.sources.lakehouse import LakeTable
 from ent_fins_lakehouse_spark.sources.readers import load_table
@@ -6891,31 +6892,55 @@ def q346_iceberg_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").cast("long").alias("k")
     )
-    t = IcebergTable(spark, _scratch("icerl") + "_t")
+    path = _scratch("icerl") + "_t"
+    t = IcebergTable(spark, path)
     t.append(o.limit(0).coalesce(1))
     t.enable_row_lineage()
     assert int(t.metadata()["format-version"]) == 3
     assert t.metadata()["next-row-id"] == 0
-    for m in (0, 1, 2):
-        t.append(o.filter(f"k % 3 = {m}").coalesce(1).sortWithinPartitions("k"))
+    # r15 (guide §2.6, VERDICT r14 item 3): the three appends commit to
+    # ONE version chain — serial by contract — but their STAGING
+    # (distributed parquet write + footer pass) is independent work, so
+    # stage all three concurrently on per-thread handles and commit
+    # serially in version order. Losing commits rebase: fresh
+    # snapshot/sequence ids and re-sliced row-id ranges over whatever
+    # landed first, staged data files reused as-is — so the committed
+    # ids/sequences are IDENTICAL to the serial schedule's.
+    from concurrent.futures import ThreadPoolExecutor
+
+    handles = [IcebergTable(spark, path) for _ in (0, 1, 2)]
+
+    def _stage(m: int) -> dict:
+        spark.sparkContext.setJobDescription(f"q346: stage append k%3={m}")
+        return handles[m]._plan_append(
+            o.filter(f"k % 3 = {m}").coalesce(1).sortWithinPartitions("k")
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        staged = list(pool.map(_stage, (0, 1, 2)))
+    for h, s in zip(handles, staged):
+        h._commit_planned_append(s, retries=3)
     n_total = t.read().count()
     assert t.metadata()["next-row-id"] == n_total, "counter != appended rows"
 
     t.delete("k % 10 < 2", mode="dv")
-    lin = t.read_with_lineage()
+    # r15 (guide §5): the post-delete lineage projection feeds TWO jobs
+    # (the liveness aggregate and the pre-compact id snapshot) — persist
+    # it once instead of running the lineage scan + DV anti-join twice
+    kid = _swap_persist(
+        "q346_lin", t.read_with_lineage().select("k", "_row_id")
+    )
     # ONE job asserts both liveness invariants (count + id uniqueness);
     # the former count() + distinct().count() pair ran the lineage scan
     # twice (r14, guide §1.2)
-    row = lin.agg(
+    row = kid.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("_row_id").alias("n_ids"),
     ).first()
     n_alive = row["n"]
     assert row["n_ids"] == n_alive, "ids not unique"
 
-    pre = dict(
-        lin.select("k", "_row_id").orderBy("k").limit(50).collect()
-    )
+    pre = dict(kid.orderBy("k").limit(50).collect())
     t.compact(target_files=4)
     post = dict(
         t.read_with_lineage().select("k", "_row_id").orderBy("k").limit(50).collect()

@@ -2337,10 +2337,36 @@ class IcebergTable:
         Spark-first shape: data lands via one distributed
         ``df.write.parquet``; only footer metadata is read back on the
         driver (no data scan)."""
-        import time
-        import uuid as _uuid
+        staged = self._plan_append(
+            df,
+            partition_by=partition_by,
+            txn=txn,
+            _replace=_replace,
+            branch=branch,
+            _basis_meta=_basis_meta,
+        )
+        return self._commit_planned_append(staged, retries=retries)
 
-        from ent_fins_lakehouse_spark.sources.avro_io import write_ocf
+    def _plan_append(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
+        _replace: bool = False,
+        branch: str | None = None,
+        _basis_meta: dict | None = None,
+    ) -> dict:
+        """Staging half of :meth:`append`: validate the frame against
+        the table, run the distributed parquet write + footer pass
+        (``_stage_data_entries``), and return the planned commit state.
+        Staging is the expensive, Spark-job half; it holds no lock and
+        touches no table metadata, so independent appends may stage
+        CONCURRENTLY (guide §2.6) on separate ``IcebergTable`` handles
+        and then commit serially in version order via
+        :meth:`_commit_planned_append` — the commit rebases row-id
+        slices and snapshot ids over whatever landed in between."""
+        import time
+        import uuid as _uuid  # noqa: F401  (parity with commit half)
 
         exists = self.exists() and bool(
             [f for f in os.listdir(self.meta_dir) if f.endswith(".metadata.json")]
@@ -2468,17 +2494,53 @@ class IcebergTable:
             else None
         )
         schema_id = int(meta.get("current-schema-id") or 0)
-        # Commit, rebasing over concurrent commits on conflict (fast-
-        # append semantics — Iceberg's retryable operation, the twin of
-        # DeltaLogTable.write_with_retry): a blind append conflicts with
-        # NOTHING logically, so on a lost O_EXCL race the staged DATA
-        # files are reused as-is and only the metadata re-derives —
-        # fresh snapshot/sequence ids, prior manifests from the NEW
-        # head, entries re-stamped (snapshot id, and re-sliced row-id
-        # ranges when lineage is on — the winner may have consumed the
-        # counter), one new KB-sized manifest file. A REPLACE
-        # (compaction) is snapshot-planned and still loses loudly, as
-        # does schema drift during the race.
+        return {
+            "meta": meta,
+            "snaps": snaps,
+            "seq": seq,
+            "snap_id": snap_id,
+            "entries": entries,
+            "ice_schema": ice_schema,
+            "part_fields": part_fields,
+            "branch": branch,
+            "summary_extra": summary_extra,
+            "replace": _replace,
+            "schema_id": schema_id,
+            "now": now,
+            # captured so a later staging on this handle (or the
+            # commit's own rebase) cannot clobber this plan's slice
+            "pending_lineage": getattr(self, "_pending_row_lineage", None),
+        }
+
+    def _commit_planned_append(self, staged: dict, retries: int = 0) -> int:
+        """Commit half of :meth:`append` — rebases over concurrent
+        commits on conflict (fast-append semantics, Iceberg's retryable
+        operation, the twin of DeltaLogTable.write_with_retry): a blind
+        append conflicts with NOTHING logically, so on a lost O_EXCL
+        race the staged DATA files are reused as-is and only the
+        metadata re-derives — fresh snapshot/sequence ids, prior
+        manifests from the NEW head, entries re-stamped (snapshot id,
+        and re-sliced row-id ranges when lineage is on — the winner may
+        have consumed the counter), one new KB-sized manifest file. A
+        REPLACE (compaction) is snapshot-planned and still loses
+        loudly, as does schema drift during the race."""
+        import uuid as _uuid
+
+        from ent_fins_lakehouse_spark.sources.avro_io import write_ocf
+
+        meta = staged["meta"]
+        snaps = staged["snaps"]
+        seq = staged["seq"]
+        snap_id = staged["snap_id"]
+        entries = staged["entries"]
+        ice_schema = staged["ice_schema"]
+        part_fields = staged["part_fields"]
+        branch = staged["branch"]
+        summary_extra = staged["summary_extra"]
+        _replace = staged["replace"]
+        schema_id = staged["schema_id"]
+        now = staged["now"]
+        self._pending_row_lineage = staged["pending_lineage"]
         attempts = 1 if _replace or retries <= 0 else retries + 1
         for attempt in range(attempts):
             if attempt > 0:

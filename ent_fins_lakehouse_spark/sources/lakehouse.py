@@ -3978,6 +3978,32 @@ class DeltaLogTable:
             )
         ]
 
+    def _stage_cdc_and_adds(
+        self,
+        cdc_df: DataFrame | None,
+        add_df: DataFrame,
+        part_cols: list[str],
+        pmap: dict | None = None,
+        fid_of: dict | None = None,
+    ) -> tuple[list[dict], list[dict]]:
+        """Stage one DML commit's cdc files and data files
+        CONCURRENTLY (guide §2.6, VERDICT r14 item 4): the two staging
+        writes are independent outputs of the same commit — neither
+        reads the other's files — and each is a small Spark job whose
+        tail leaves most executor slots idle, so submitting both from a
+        2-thread pool overlaps the second job's ramp-up with the
+        first's stragglers. Job submission from driver threads is
+        plain Spark scheduling; actions stay exactly the serial
+        schedule's (same files, same order in the commit)."""
+        if cdc_df is None:
+            return [], self._stage_adds(add_df, part_cols, pmap, fid_of)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fc = pool.submit(self._stage_cdc, cdc_df, part_cols, pmap, fid_of)
+            fa = pool.submit(self._stage_adds, add_df, part_cols, pmap, fid_of)
+            return fc.result(), fa.result()
+
     def _cdc_protocol_actions(self) -> list[dict]:
         """Protocol upgrade to the ``changeDataFeed`` writer feature,
         or ``[]`` when the log already carries it (enablement via
@@ -4703,10 +4729,43 @@ class DeltaLogTable:
             )
 
         encoded = []
+        cdc_pool = cdc_future = None
         if parts:
             scan = parts[0]
             for p in parts[1:]:
                 scan = scan.unionByName(p)
+            # change data feed: emit the newly-masked rows as explicit
+            # cdc delete files — the predicate-matched scan minus rows
+            # a PRIOR DV already masked (those were emitted by the
+            # commit that masked them). The cdc write depends only on
+            # PRIOR table state, never on the encode job's result, so
+            # it stages CONCURRENTLY with the bitmap encode (guide
+            # §2.6, r15); an empty delete removes the staged files
+            # before the early return below.
+            if self._cdf_on(_meta):
+                del_rows = scan.filter(predicate)
+                dvf = [(full, json.loads(d)) for full, d in sorted(desc_of.items())]
+                if dvf:
+                    masked = (
+                        self._dv_deleted_df(dvf)
+                        .withColumnRenamed("_fp", "_dv_fp")
+                        .withColumnRenamed("_ri", "_dv_ri")
+                    )
+                    del_rows = del_rows.join(
+                        masked, ["_dv_fp", "_dv_ri"], "left_anti"
+                    )
+                from concurrent.futures import ThreadPoolExecutor
+
+                cdc_pool = ThreadPoolExecutor(max_workers=1)
+                cdc_future = cdc_pool.submit(
+                    self._stage_cdc,
+                    del_rows.select(
+                        *[f.name for f in schema.fields]
+                    ).withColumn("_change_type", F.lit("delete")),
+                    part_cols,
+                    _del_pmap,
+                    _del_fids,
+                )
             encoded = (
                 scan.filter(predicate)
                 .select("_dv_fp", "_dv_ri")
@@ -4757,31 +4816,20 @@ class DeltaLogTable:
                 add_act["baseRowId"] = info["baseRowId"]
                 add_act["defaultRowCommitVersion"] = info.get("defaultRowCommitVersion")
             new_adds.append({"add": add_act})
-        if not new_adds:
-            return {"rows_deleted": 0, "files_touched": 0}
-        # change data feed: emit the newly-masked rows as explicit cdc
-        # delete files — the predicate-matched scan minus rows a PRIOR
-        # DV already masked (those were emitted by the commit that
-        # masked them)
         cdc_actions: list[dict] = []
-        if self._cdf_on(_meta):
-            del_rows = scan.filter(predicate)
-            dvf = [(full, json.loads(d)) for full, d in sorted(desc_of.items())]
-            if dvf:
-                masked = (
-                    self._dv_deleted_df(dvf)
-                    .withColumnRenamed("_fp", "_dv_fp")
-                    .withColumnRenamed("_ri", "_dv_ri")
-                )
-                del_rows = del_rows.join(masked, ["_dv_fp", "_dv_ri"], "left_anti")
-            cdc_actions = self._stage_cdc(
-                del_rows.select(*[f.name for f in schema.fields]).withColumn(
-                    "_change_type", F.lit("delete")
-                ),
-                part_cols,
-                _del_pmap,
-                _del_fids,
-            )
+        if cdc_future is not None:
+            cdc_actions = cdc_future.result()
+            cdc_pool.shutdown()
+        if not new_adds:
+            # nothing to commit — the concurrently staged cdc files
+            # (exactly the newly-masked rows: none) are unreferenced;
+            # drop them so an empty delete leaves no debris
+            for act in cdc_actions:
+                try:
+                    os.remove(os.path.join(self.path, act["cdc"]["path"]))
+                except OSError:
+                    pass
+            return {"rows_deleted": 0, "files_touched": 0}
         # _feature_protocol STARTS from the log's actual latest
         # protocol, so existing feature gates (columnMapping,
         # timestampNtz, variantType, …) survive the upgrade — a
@@ -5071,7 +5119,7 @@ class DeltaLogTable:
         # changed rows — emit them as explicit cdc files (preimage with
         # the original values, postimage with the assignments applied)
         # so CDF readers never pay the snapshot-diff synthesis
-        cdc_actions: list[dict] = []
+        pair: DataFrame | None = None
         if self._cdf_on(_meta):
             # r14: ONE explode-of-structs pass emits the pre/post pair
             # per matched row — the former two-branch union scanned the
@@ -5103,8 +5151,9 @@ class DeltaLogTable:
                     )
                 ).alias("_pair")
             ).select("_pair.*")
-            cdc_actions = self._stage_cdc(pair, part_cols, pmap, fid_of)
-        new_adds = self._stage_adds(rewritten, part_cols, pmap, fid_of)
+        cdc_actions, new_adds = self._stage_cdc_and_adds(
+            pair, rewritten, part_cols, pmap, fid_of
+        )
         now = int(time.time() * 1000)
         actions: list[dict] = [
             {
@@ -5317,36 +5366,51 @@ class DeltaLogTable:
         full_keys = full.select(*on).distinct()
         if _fk_consumers >= 2:
             full_keys = full_keys.persist()
-        if do_update:
-            # Delta errors when one target row matches multiple source
-            # rows (nondeterministic update) — same refusal here
-            dup_keys = (
-                source.groupBy(*on)
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .filter(F.col("_n") > 1)
-                .drop("_n")
-            )
-            dup_matched = (
-                dup_keys.join(full_keys, on=on, how="left_semi")
-                .limit(1)
-                .collect()
-            )
+        keys = source.select(*on).distinct()
+        # The dup guard and the touched-file attribution are
+        # INDEPENDENT jobs over prior state (both must finish before
+        # anything is staged or committed, and the guard still raises
+        # before any file moves) — submit them concurrently (guide
+        # §2.6, r15) instead of paying two serial job waits.
+        dup_f = touched_f = None
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        with _TPE(max_workers=2) as _pool:
+            if do_update:
+                # Delta errors when one target row matches multiple
+                # source rows (nondeterministic update) — same refusal
+                dup_keys = (
+                    source.groupBy(*on)
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                    .filter(F.col("_n") > 1)
+                    .drop("_n")
+                )
+                dup_f = _pool.submit(
+                    lambda: dup_keys.join(full_keys, on=on, how="left_semi")
+                    .limit(1)
+                    .collect()
+                )
+            if not not_matched_by_source_delete:
+                touched_f = _pool.submit(
+                    lambda: sorted(
+                        r["_fp"]
+                        for r in df.join(keys, on=on, how="left_semi")
+                        .select("_fp")
+                        .distinct()
+                        .collect()
+                    )
+                )
+            dup_matched = dup_f.result() if dup_f is not None else []
             if dup_matched:
                 raise ValueError(
                     f"MERGE source has multiple rows for key "
                     f"{dup_matched[0].asDict()} matching the target — "
                     "dedup the source change feed before merging"
                 )
-        keys = source.select(*on).distinct()
-        if not_matched_by_source_delete:
-            touched = sorted(rel_of)  # any file may hold unmatched rows
-        else:
-            touched = sorted(
-                r["_fp"]
-                for r in df.join(keys, on=on, how="left_semi")
-                .select("_fp")
-                .distinct()
-                .collect()
+            touched = (
+                sorted(rel_of)  # any file may hold unmatched rows
+                if not_matched_by_source_delete
+                else touched_f.result()
             )
         # touched-file rows feed the kept-rows pass, the clause joins
         # and their cdc twins — persist when at least two consumers
@@ -5524,16 +5588,17 @@ class DeltaLogTable:
                         full_keys, on=on, how="left_anti"
                     ).withColumn("_change_type", F.lit("insert"))
                 )
-        cdc_actions: list[dict] = []
+        cdc_df: DataFrame | None = None
         if cdc_parts:
             cdc_df = cdc_parts[0]
             for p in cdc_parts[1:]:
                 cdc_df = cdc_df.unionByName(p)
-            cdc_actions = self._stage_cdc(cdc_df, part_cols, pmap, fid_of)
         combined = parts[0]
         for p in parts[1:]:
             combined = combined.unionByName(p)
-        new_adds = self._stage_adds(combined, part_cols, pmap, fid_of)
+        cdc_actions, new_adds = self._stage_cdc_and_adds(
+            cdc_df, combined, part_cols, pmap, fid_of
+        )
         source.unpersist()
         full_keys.unpersist()
         if tdf is not None:
