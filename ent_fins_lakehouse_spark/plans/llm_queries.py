@@ -223,10 +223,24 @@ def q53_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = jaccard_pairs_prefix(
         docs, "doc_id", "text", threshold=0.9, shingle_n=3
     ).select("id_a", "id_b").persist()
-    lsh = minhash_lsh_pairs(
-        docs, "doc_id", "text", jaccard_threshold=0.9, shingle_n=3
-    ).select("id_a", "id_b")
-    n_exact = exact.count()
+    lsh = _swap_persist(
+        "q53_lsh",
+        minhash_lsh_pairs(
+            docs, "doc_id", "text", jaccard_threshold=0.9, shingle_n=3
+        ).select("id_a", "id_b"),
+    )
+    # r15 (guide §2.6): the exact prefix-join pipeline and the LSH
+    # band pipeline are INDEPENDENT DAGs over the same corpus — only
+    # the probe join consumes both. Materialize them as two concurrent
+    # jobs instead of serially (first-run codegen + the two corpus
+    # scans overlap); the probe then reads both caches.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f_exact = _pool.submit(exact.count)
+        _f_lsh = _pool.submit(lsh.count)
+        n_exact = _f_exact.result()
+        _f_lsh.result()
     # one action derives BOTH counts (r14: the former inner-count +
     # anti-count pair executed the whole LSH pipeline twice); a left
     # join against the persisted exact pair set marks hits, and one

@@ -284,26 +284,15 @@ class MaterializedAggView:
         group_cols, sum_cols = d["group_cols"], d["sum_cols"]
         minmax_cols = d.get("minmax_cols") or []
         ndv_cols = d.get("ndv_cols") or []
-        self._guard_keys(changes.select(*group_cols), group_cols, "change feed")
+        # r15 (guide §1.2): the null-key guard and the change-type
+        # guard used to be two extra full scans of the change batch
+        # BEFORE the delta aggregation — under foreachBatch each scan
+        # re-executes the streaming source's CDC read. Both guards now
+        # ride the delta aggregate (per-group tallies, checked from the
+        # probe row before anything merges); the raise-before-mutation
+        # contract is unchanged, and the failure paths re-scan only to
+        # name the offending value.
         allowed = ("insert",) if ndv_cols else tuple(_SIGN)
-        bad = (
-            changes.filter(~F.col("_change_type").isin(*allowed))
-            .select("_change_type")
-            .limit(1)
-            .collect()
-        )
-        if bad:
-            hint = (
-                "HLL-NDV views are insert-only self-maintainable "
-                "(register sketches cannot forget) — refresh(full=True) "
-                "instead"
-                if ndv_cols
-                else "full-refresh instead"
-            )
-            raise ValueError(
-                f"change feed carries unmaintainable change type "
-                f"{bad[0][0]!r} — {hint}"
-            )
         sign = F.element_at(
             F.create_map(
                 *[y for k, v in _SIGN.items() for y in (F.lit(k), F.lit(v))]
@@ -337,9 +326,13 @@ class MaterializedAggView:
             v = F.when(F.col("_sign") == -1, F.col(c).cast("decimal(18,2)"))
             rm_aggs.append(F.min(v).alias(f"_rm_min_{c}"))
             rm_aggs.append(F.max(v).alias(f"_rm_max_{c}"))
-        _extras = ["_n_del"] + [f"_rm_min_{c}" for c in minmax_cols] + [
+        _extras = ["_n_del", "_n_bad"] + [f"_rm_min_{c}" for c in minmax_cols] + [
             f"_rm_max_{c}" for c in minmax_cols
         ]
+        _nullkey = None
+        for c in group_cols:
+            e = F.col(c).isNull()
+            _nullkey = e if _nullkey is None else (_nullkey | e)
         deltas_ext = (
             changes.groupBy(*group_cols)
             .agg(
@@ -360,19 +353,54 @@ class MaterializedAggView:
                 F.sum(F.when(F.col("_sign") == -1, 1).otherwise(0))
                 .cast("long")
                 .alias("_n_del"),
+                # guard tally: rows whose change type the view cannot
+                # maintain (checked from the probe before the merge)
+                F.sum(
+                    F.when(~F.col("_change_type").isin(*allowed), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("_n_bad"),
             )
             .persist()  # one row per touched group; feeds the probe,
             # the merge, and the re-derivation without re-reading CDF
         )
         # one control-plane job answers "how many groups", "can any
         # count have reached zero" (cleanup is skippable whenever no
-        # delta is negative) and "did any delete land" (extrema
-        # re-derivation is skippable without one)
+        # delta is negative), "did any delete land" (extrema
+        # re-derivation is skippable without one), and both guards
         probe = deltas_ext.agg(
             F.count(F.lit(1)).alias("n"),
             F.min("n_rows").alias("mn"),
             F.max("_n_del").alias("dl"),
+            F.max("_n_bad").alias("bad"),
+            F.max(F.when(_nullkey, 1).otherwise(0)).alias("nullkey"),
         ).first()
+        if int(probe["bad"] or 0) > 0:
+            deltas_ext.unpersist()
+            bad = (
+                changes.filter(~F.col("_change_type").isin(*allowed))
+                .select("_change_type")
+                .limit(1)
+                .collect()
+            )
+            hint = (
+                "HLL-NDV views are insert-only self-maintainable "
+                "(register sketches cannot forget) — refresh(full=True) "
+                "instead"
+                if ndv_cols
+                else "full-refresh instead"
+            )
+            raise ValueError(
+                f"change feed carries unmaintainable change type "
+                f"{bad[0][0]!r} — {hint}"
+            )
+        if int(probe["nullkey"] or 0) > 0:
+            deltas_ext.unpersist()
+            raise ValueError(
+                "change feed contains NULL group keys — the MERGE-based "
+                "incremental maintenance joins on key equality; model "
+                "missing keys as a sentinel value instead"
+            )
         deltas = deltas_ext.drop(*_extras)
         touched = int(probe["n"])
         if touched == 0:
@@ -792,19 +820,28 @@ class MaterializedJoinView:
             .filter(F.col("_change_type").isin("insert", "update_postimage"))
             .select(pk, *on, *cols)
         )
-        deleted = self.table.merge(
-            touched,
-            on=[pk],
-            when_matched_update_all=False,
-            when_not_matched_insert_all=False,
-            matched_delete=True,
-        )["files_rewritten"]
         fresh = (
             self._join(F.broadcast(live), self._select_side(other, opk, on, ocols), on)
             .select(*self.table.read().columns)
             .persist()  # feeds both the count and the append
         )
-        n_ins = fresh.count()
+        # r15 (guide §2.6): the re-derivation join materializes from
+        # the batch + the OTHER base while the touched-pk delete-merge
+        # commits to the view table — independent inputs, so the two
+        # jobs overlap; the append still lands strictly after the
+        # merge's commit (same version chain, serial by contract).
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        with _TPE(max_workers=1) as _pool:
+            _f_fresh = _pool.submit(fresh.count)
+            deleted = self.table.merge(
+                touched,
+                on=[pk],
+                when_matched_update_all=False,
+                when_not_matched_insert_all=False,
+                matched_delete=True,
+            )["files_rewritten"]
+            n_ins = _f_fresh.result()
         if n_ins:
             self.table.write(fresh, mode="append")
         fresh.unpersist()
