@@ -744,16 +744,6 @@ class MaterializedJoinView:
         touched_b, live_b, ch_b = self._side_window(self.base_b, vb0, vb1, b_pk, on, b_cols)
         if touched_a is None and touched_b is None:
             return {"files_rewritten": 0, "pairs_inserted": 0, "va": va1, "vb": vb1}
-        deleted = 0
-        for pk, touched in ((a_pk, touched_a), (b_pk, touched_b)):
-            if touched is not None:
-                deleted += self.table.merge(
-                    touched,
-                    on=[pk],
-                    when_matched_update_all=False,
-                    when_not_matched_insert_all=False,
-                    matched_delete=True,
-                )["files_rewritten"]
         inserts = []
         if live_a is not None:
             b_now = self._select_side(
@@ -767,7 +757,7 @@ class MaterializedJoinView:
             if touched_a is not None:
                 a_now = a_now.join(touched_a, on=[a_pk], how="left_anti")
             inserts.append(self._join(a_now, F.broadcast(live_b), on))
-        n_ins = 0
+        fresh = None
         if inserts:
             fresh = inserts[0]
             for p in inserts[1:]:
@@ -775,10 +765,38 @@ class MaterializedJoinView:
             # persist: the re-derivation joins feed BOTH the emptiness
             # count and the append — without it they execute twice
             fresh = fresh.select(*self.table.read().columns).persist()
-            n_ins = fresh.count()
+
+        def _merges() -> int:
+            deleted = 0
+            for pk, touched in ((a_pk, touched_a), (b_pk, touched_b)):
+                if touched is not None:
+                    deleted += self.table.merge(
+                        touched,
+                        on=[pk],
+                        when_matched_update_all=False,
+                        when_not_matched_insert_all=False,
+                        matched_delete=True,
+                    )["files_rewritten"]
+            return deleted
+
+        # r15 (guide §2.6): the re-derivation joins read the window +
+        # the version-pinned bases, never the view table — materialize
+        # them while the touched-pk delete-merges commit (serial among
+        # themselves on the view's version chain); the append still
+        # lands strictly after both merges.
+        n_ins = 0
+        if fresh is not None:
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+
+            with _TPE(max_workers=1) as _pool:
+                _f_fresh = _pool.submit(fresh.count)
+                deleted = _merges()
+                n_ins = _f_fresh.result()
             if n_ins:
                 self.table.write(fresh, mode="append")
             fresh.unpersist()
+        else:
+            deleted = _merges()
         for ch in (ch_a, ch_b):
             if ch is not None:
                 ch.unpersist()
