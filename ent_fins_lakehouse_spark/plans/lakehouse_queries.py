@@ -6548,11 +6548,19 @@ def q339_delta_uniform_auto_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = dl.uniform_status()
     assert st and st["ok"], st
     ice = IcebergTable(spark, dl.path)
-    # ONE count job per table state (r14, guide §1.2) — each count is a
-    # full-scan job, and the twin/writer equality makes the second scan
-    # of the same state redundant
-    n_before_delete = ice.read().count()
-    assert n_before_delete == dl.read().count()
+
+    # r15 (guide §2.6): each twin/writer equality assert needs two
+    # full-scan counts over the same files through two metadata stacks
+    # — independent jobs, so each pair runs concurrently
+    def _pair_counts(df1, df2):
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as _p:
+            f1, f2 = _p.submit(df1.count), _p.submit(df2.count)
+            return f1.result(), f2.result()
+
+    n_before_delete, n_dl = _pair_counts(ice.read(), dl.read())
+    assert n_before_delete == n_dl
     # the facade resolves the legitimate dual-format root to Delta
     assert isinstance(open_table(spark, dl.path), DeltaLogTable)
 
@@ -6563,9 +6571,9 @@ def q339_delta_uniform_auto_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert st and st["ok"], st
     ice2 = IcebergTable(spark, dl.path)
     assert int(ice2.metadata()["format-version"]) == 3
-    n_after_delete = ice2.read().count()
+    n_after_delete, n_dl2 = _pair_counts(ice2.read(), dl.read())
     assert n_after_delete == n_before_delete - res["rows_deleted"]
-    assert n_after_delete == dl.read().count()
+    assert n_after_delete == n_dl2
     assert len(ice2._dv_entries()) >= 1
 
     # REORG PURGE materializes; the twin follows back to a plain scan
@@ -6575,7 +6583,8 @@ def q339_delta_uniform_auto_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     ice3 = IcebergTable(spark, dl.path)
     assert ice3._dv_entries() == []
     twin = ice3.read()
-    assert twin.count() == dl.read().count()
+    n_twin, n_dl3 = _pair_counts(twin, dl.read())
+    assert n_twin == n_dl3
 
     return (
         twin.groupBy("o_orderstatus")
@@ -6636,17 +6645,28 @@ def q341_iceberg_to_delta_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     ice.append(orders.filter(F.col("o_orderkey") % 2 == 1).repartition(2))
     v1 = sync_iceberg_to_delta(spark, ice, dl)
     assert v1 == v0 + 1, (v0, v1)
-    # ONE count job per table state (r14, guide §1.2)
-    n_head = dl.read().count()
-    assert n_head == ice.read().count()
-    assert dl.read(version_as_of=v0).count() < n_head
+    # ONE count job per table state (r14, guide §1.2), and the
+    # independent state counts run CONCURRENTLY (r15, guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as _p:
+        _f = [
+            _p.submit(dl.read().count),
+            _p.submit(ice.read().count),
+            _p.submit(dl.read(version_as_of=v0).count),
+        ]
+        n_head, n_ice, n_v0 = (f.result() for f in _f)
+    assert n_head == n_ice
+    assert n_v0 < n_head
 
     # rewrite window: CoW delete -> removes + adds in one commit
     ice.delete("o_orderkey % 10 = 4", mode="cow")
     v2 = sync_iceberg_to_delta(spark, ice, dl)
     assert v2 == v1 + 1
     got = dl.read()
-    assert got.count() == ice.read().count()
+    with ThreadPoolExecutor(max_workers=2) as _p:
+        _fa, _fb = _p.submit(got.count), _p.submit(ice.read().count)
+        assert _fa.result() == _fb.result()
     # idempotent when in sync
     assert sync_iceberg_to_delta(spark, ice, dl) is None
 
