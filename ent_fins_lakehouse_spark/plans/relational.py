@@ -5144,11 +5144,19 @@ def q303_bfs_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier = spark.createDataFrame([(1, 0)], "node bigint, depth int")
     visited = frontier
     for d in range(1, 5):
+        # r15 (guide §3.1): the frontier (≤ the entity universe,
+        # KB–MB) and the visited set are the SMALL sides; unhinted,
+        # the planner ran BOTH joins as SortMergeJoin, re-shuffling
+        # the whole persisted edge relation every level. Broadcasting
+        # frontier/visited makes each level one cache read + one
+        # small-distinct shuffle, no edge exchange.
         nxt = (
-            frontier.join(e2, frontier.node == e2.src)
+            F.broadcast(frontier).join(e2, frontier.node == e2.src)
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(
+                F.broadcast(visited.select("node")), "node", "left_anti"
+            )
             .select("node", F.lit(d).alias("depth"))
             .localCheckpoint()
         )

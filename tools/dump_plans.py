@@ -1,5 +1,7 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") for named queries to plans/r14/.
+"""Dump .explain("formatted") for named queries to plans/<round>/.
+
+Round dir from $SPARK_GRAFT_PLANS_ROUND (default r15).
 
 Usage: python tools/dump_plans.py before q53_minhash_lsh_dedup q373_...
        python tools/dump_plans.py after  q53_minhash_lsh_dedup
@@ -27,7 +29,9 @@ from ent_fins_lakehouse_spark.plans.registry import queries_map
 spark = get_session(app_name=f"plans_{tag}")
 spark.sparkContext.setLogLevel("ERROR")
 qmap = queries_map()
-out_dir = os.path.join(REPO_ROOT, "plans", "r14")
+out_dir = os.path.join(
+    REPO_ROOT, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15")
+)
 os.makedirs(out_dir, exist_ok=True)
 
 for name in names:
