@@ -2783,8 +2783,13 @@ class DeltaLogTable:
                 F.lit(v).alias("_commit_version"),
             )
 
-        def file_rows(path: str, pv: dict, dv_keep=None, dv_drop=None) -> DataFrame:
-            df = self.spark.read.schema(phys).parquet(os.path.join(self.path, path))
+        def file_rows(path, pv: dict, dv_keep=None, dv_drop=None) -> DataFrame:
+            # `path`: one rel path, or a list of rel paths sharing a
+            # partition tuple and carrying NO DV mask (r15 §6 batching)
+            rels = path if isinstance(path, list) else [path]
+            df = self.spark.read.schema(phys).parquet(
+                *[os.path.join(self.path, p) for p in rels]
+            )
             if dv_keep is not None or dv_drop is not None:
                 df = df.select("*", F.col("_metadata.row_index").alias("_ri"))
                 # bounded-plan application: isin literal below
@@ -2816,13 +2821,24 @@ class DeltaLogTable:
                 acts = [json.loads(line) for line in fh if line.strip()]
             cdc = [a["cdc"] for a in acts if "cdc" in a]
             if cdc:
+                # r15 (guide §6): cdc files sharing a commit and a
+                # partition tuple read as ONE multi-path scan instead
+                # of one scan node per file — same rows, smaller plan,
+                # one file-source per (commit, partition) group
+                cdc_schema = T.StructType(
+                    [*phys.fields, T.StructField("_change_type", T.StringType())]
+                )
+                cdc_groups: dict[tuple, list[str]] = {}
+                cdc_pv: dict[tuple, dict] = {}
                 for c in cdc:
-                    cdc_schema = T.StructType(
-                        [*phys.fields, T.StructField("_change_type", T.StringType())]
-                    )
-                    df = self.spark.read.schema(cdc_schema).parquet(
+                    pv = c.get("partitionValues") or {}
+                    k = tuple(sorted(pv.items()))
+                    cdc_groups.setdefault(k, []).append(
                         os.path.join(self.path, c["path"])
                     )
+                    cdc_pv[k] = pv
+                for k, paths in sorted(cdc_groups.items()):
+                    df = self.spark.read.schema(cdc_schema).parquet(*paths)
                     df = df.select(
                         *(
                             [F.col(f.name) for f in data_fields]
@@ -2837,9 +2853,7 @@ class DeltaLogTable:
                     for pc in part_cols:
                         df = df.withColumn(
                             pc,
-                            F.lit(
-                                (c.get("partitionValues") or {}).get(pmap[pc])
-                            ).cast(types[pc]),
+                            F.lit(cdc_pv[k].get(pmap[pc])).cast(types[pc]),
                         )
                     parts.append(
                         df.select(
@@ -2862,6 +2876,12 @@ class DeltaLogTable:
                     elif "remove" in a:
                         live_paths.discard(a["remove"]["path"])
                 continue
+            # r15 (guide §6): mask-free files sharing a partition tuple
+            # batch into one multi-path scan per (commit, polarity, pv)
+            # group; files carrying a DV mask stay per-file (the mask
+            # is per-file). Same rows, far fewer scan nodes.
+            ins_groups: dict[tuple, tuple[dict, list[str]]] = {}
+            del_groups: dict[tuple, tuple[dict, list[str]]] = {}
             for a in acts:
                 if "add" in a and not a["add"].get("dataChange"):
                     # dataChange=false (OPTIMIZE/REORG): no rows to
@@ -2892,25 +2912,39 @@ class DeltaLogTable:
                                     pv, "delete", v,
                                 )
                             )
-                    else:
+                    elif new_dv:
                         parts.append(
                             attach(
-                                file_rows(ad["path"], pv, dv_drop=new_dv or None),
+                                file_rows(ad["path"], pv, dv_drop=new_dv),
                                 pv, "insert", v,
                             )
                         )
+                    else:
+                        k = tuple(sorted(pv.items()))
+                        ins_groups.setdefault(k, (pv, []))[1].append(ad["path"])
                     live_paths.add(ad["path"])
                     prior_dv[ad["path"]] = new_dv
                 elif "remove" in a and a["remove"].get("dataChange", True):
                     rm = a["remove"]
                     pv = rm.get("partitionValues") or {}
-                    parts.append(
-                        attach(
-                            file_rows(rm["path"], pv, dv_drop=prior_dv.get(rm["path"])),
-                            pv, "delete", v,
+                    mask = prior_dv.get(rm["path"])
+                    if mask:
+                        parts.append(
+                            attach(
+                                file_rows(rm["path"], pv, dv_drop=mask),
+                                pv, "delete", v,
+                            )
                         )
-                    )
+                    else:
+                        k = tuple(sorted(pv.items()))
+                        del_groups.setdefault(k, (pv, []))[1].append(rm["path"])
                     live_paths.discard(rm["path"])
+            for k in sorted(ins_groups):
+                pv, rels = ins_groups[k]
+                parts.append(attach(file_rows(rels, pv), pv, "insert", v))
+            for k in sorted(del_groups):
+                pv, rels = del_groups[k]
+                parts.append(attach(file_rows(rels, pv), pv, "delete", v))
         if not parts:
             return self.spark.createDataFrame(
                 [],
