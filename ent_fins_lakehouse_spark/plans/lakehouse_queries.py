@@ -6928,17 +6928,28 @@ def q346_iceberg_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ids/sequences are IDENTICAL to the serial schedule's.
     from concurrent.futures import ThreadPoolExecutor
 
-    handles = [IcebergTable(spark, path) for _ in (0, 1, 2)]
+    handles = [IcebergTable(spark, path) for _ in range(4)]
 
     def _stage(m: int) -> dict:
+        if m == 3:
+            # the post-compact append's DATA does not depend on table
+            # state either — stage it now, commit it last (one rebase
+            # re-derives its snapshot id and row-id slice then)
+            spark.sparkContext.setJobDescription("q346: stage final append")
+            return handles[3]._plan_append(
+                o.filter("k % 3 = 0")
+                .selectExpr("k + 10000000 AS k")
+                .coalesce(1)
+                .sortWithinPartitions("k")
+            )
         spark.sparkContext.setJobDescription(f"q346: stage append k%3={m}")
         return handles[m]._plan_append(
             o.filter(f"k % 3 = {m}").coalesce(1).sortWithinPartitions("k")
         )
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        staged = list(pool.map(_stage, (0, 1, 2)))
-    for h, s in zip(handles, staged):
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        staged = list(pool.map(_stage, range(4)))
+    for h, s in zip(handles[:3], staged[:3]):
         h._commit_planned_append(s, retries=3)
     n_total = t.read().count()
     assert t.metadata()["next-row-id"] == n_total, "counter != appended rows"
@@ -6967,12 +6978,7 @@ def q346_iceberg_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert post == pre, "compaction changed row ids"
 
-    t.append(
-        o.filter("k % 3 = 0")
-        .selectExpr("k + 10000000 AS k")
-        .coalesce(1)
-        .sortWithinPartitions("k")
-    )
+    handles[3]._commit_planned_append(staged[3], retries=3)
     return (
         t.read_with_lineage()
         .groupBy(
