@@ -53,6 +53,19 @@ def _passes(e: Expectation) -> F.Column:
     return F.coalesce(F.expr(e.expr), F.lit(False))
 
 
+def gate_condition(expectations: list[Expectation]) -> F.Column:
+    """The drop/fail gate conjunction — TRUE exactly for the rows
+    :func:`apply_expectations` returns in ``clean``. Public so callers
+    tallying the clean/quarantine split (q234) share ONE definition
+    with the operator; if the gate semantics ever change, both move
+    together (ADVICE r14)."""
+    cond = F.lit(True)
+    for e in expectations:
+        if e.action in ("drop", "fail"):
+            cond = cond & _passes(e)
+    return cond
+
+
 def apply_expectations(
     df: DataFrame, expectations: list[Expectation]
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -99,9 +112,7 @@ def apply_expectations(
 
     gate = [e for e in expectations if e.action in ("drop", "fail")]
     if gate:
-        all_pass = F.lit(True)
-        for e in gate:
-            all_pass = all_pass & _passes(e)
+        all_pass = gate_condition(expectations)
         clean = df.filter(all_pass)
         quarantine = df.filter(~all_pass).withColumn(
             "_violations",

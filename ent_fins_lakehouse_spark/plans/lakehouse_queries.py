@@ -3627,9 +3627,8 @@ def q234_dlt_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ent_fins_lakehouse_spark.operators.expectations import (
         Expectation,
         apply_expectations,
+        gate_condition,
     )
-
-    from ent_fins_lakehouse_spark.operators.expectations import _passes
 
     li = load_table(spark, sf_dir, "lineitem")
     exps = [
@@ -3646,10 +3645,7 @@ def q234_dlt_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (clean is filter(all_pass)), n_quarantine = n − n_clean exactly
     # (quarantine is filter(~all_pass) and the coalesced gate is never
     # NULL, so the two filters partition the table).
-    gate_pass = F.lit(True)
-    for e in exps:
-        if e.action in ("drop", "fail"):
-            gate_pass = gate_pass & _passes(e)
+    gate_pass = gate_condition(exps)
     row = li.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(gate_pass.cast("long")).alias("nc"),

@@ -51,7 +51,12 @@ def test_update_cdc_pair_multisets_and_single_file(spark, cdf_table):
 
     cdc = _cdc_actions(dl, v)
     # fused staging: one cdc file for a one-split touched set (the
-    # two-branch union wrote one file per branch)
+    # two-branch union wrote one file per branch). NOTE (ADVICE r14):
+    # this pins the FUSION SIGNATURE and assumes narrow ops preserve
+    # the single input split through the explode — a planner or
+    # partitioning change could alter the physical file count without
+    # breaking the cdc contract; if it fires spuriously, weaken to
+    # `<= 2` (the pre-fusion branch count) rather than chasing splits.
     assert len(cdc) == 1, cdc
 
     ch = dl.read_changes(v, v)
