@@ -737,8 +737,14 @@ def q145_delta_log_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = dl.write(sup, mode="overwrite")
     if (v0, v1, v2) != (0, 1, 2):
         raise AssertionError(f"unexpected commit versions {(v0, v1, v2)}")
-    n_v1 = dl.read(version_as_of=1).count()
-    if n_v1 != sup.count():
+    # independent counts run concurrently (r15, guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _p:
+        _fa = _p.submit(dl.read(version_as_of=1).count)
+        _fb = _p.submit(sup.count)
+        n_v1, n_sup = _fa.result(), _fb.result()
+    if n_v1 != n_sup:
         raise AssertionError(f"time travel to pre-overwrite state saw {n_v1} rows")
     return dl.read().orderBy("s_suppkey")
 
@@ -2378,7 +2384,12 @@ def q190_iceberg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("c_mktsegment", F.lit("NEWSEGMENT"))
     )
     res = t.merge(updates.unionByName(inserts), on=["c_custkey"])
-    n_upd, n_ins = updates.count(), inserts.count()
+    # independent counts run concurrently (r15, guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _p:
+        _fu, _fi = _p.submit(updates.count), _p.submit(inserts.count)
+        n_upd, n_ins = _fu.result(), _fi.result()
     if res["rows_updated"] != n_upd or res["rows_inserted"] != n_ins:
         raise AssertionError(
             f"expected {n_upd} updates + {n_ins} inserts, got {res}"
