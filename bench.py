@@ -196,7 +196,10 @@ LIFECYCLE = {
 
 
 def _summary_path(
-    contended: bool, root: str, new_queries: dict | None = None
+    contended: bool,
+    root: str,
+    new_queries: dict | None = None,
+    cpus: int | None = None,
 ) -> str:
     """Where this run's summary lands. A contended run never clobbers
     an existing solo (contended: false) record — it diverts to the
@@ -220,6 +223,24 @@ def _summary_path(
     if rec.get("contended") is not False:
         return path
     if contended:
+        return divert
+    # Third line of defense (r15, after the 8-core scaling probe's
+    # summary slipped the 1.10 sum guard and clobbered a minutes-old
+    # 32-core record): a capture at a DIFFERENT core count than the
+    # record's is a scaling probe, not a better solo record — divert.
+    # Records predating the cpus field (no "cpus" key) only accept
+    # same-count overwrites once a cpus-stamped run lands.
+    if (
+        cpus is not None
+        and rec.get("cpus") is not None
+        and int(rec["cpus"]) != int(cpus)
+    ):
+        print(
+            f"bench: capture at {cpus} cores vs the committed "
+            f"{rec['cpus']}-core solo record — scaling probe, "
+            f"diverting to {divert}.",
+            file=sys.stderr,
+        )
         return divert
     old_q = rec.get("queries") or {}
     common = set(old_q) & set(new_queries or {})
@@ -309,7 +330,7 @@ def main() -> int:
     except ValueError:
         sf = None
 
-    from ent_fins_lakehouse_spark.session import get_session
+    from ent_fins_lakehouse_spark.session import DEFAULT_CPUS, get_session
     from ent_fins_lakehouse_spark.plans.registry import queries_map
 
     spark = get_session(app_name="bench")
@@ -362,6 +383,7 @@ def main() -> int:
         "lifecycle_wall": lifecycle_wall,
         "queries": timings,
         "sf": sf,
+        "cpus": DEFAULT_CPUS,
         "loadavg": _loadavg(),
         "loadavg_start": loadavg_start,
         "contended": contended,
@@ -374,7 +396,7 @@ def main() -> int:
     # Clobber guard (VERDICT r11 item 3): a contended capture must not
     # overwrite a committed solo record — the contended run's numbers
     # are uniformly inflated and dirty the git tree every driver round.
-    summary_path = _summary_path(contended, REPO_ROOT, timings)
+    summary_path = _summary_path(contended, REPO_ROOT, timings, DEFAULT_CPUS)
     if summary_path.endswith(".contended.json"):
         print(
             "bench: contended run — preserving the solo "
